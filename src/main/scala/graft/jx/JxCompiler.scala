@@ -1,0 +1,313 @@
+package graft.jx
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * JxExpr → Catalyst `Column`: the single compile target replacing the
+ * reference's triple (to_python / to_sql / to_painless) compiler
+ * (reference: vendor/jx_python/expressions.py, vendor/jx_sqlite/expressions.py).
+ *
+ * JX null semantics differ from SQL and are centralized here
+ * (reference: vendor/jx_base/expressions.py:999-1014,1042-1043,1740-1756):
+ *   - `eq` is decisive: missing==missing → TRUE  (⇒ `eqNullSafe`)
+ *   - `ne` is never missing (⇒ `!(a <=> b)`)
+ *   - inequalities with a missing operand → FALSE
+ *   - boolean context treats missing as FALSE (and/or/not/where)
+ *   - arithmetic: any-missing → default (strict) or ignore-missing (`nulls:true`)
+ *   - division by zero → default / missing
+ *
+ * Everything compiles to built-in (codegen'd) functions — no UDFs in the
+ * expression path, so whole-stage codegen spans stay wide.
+ */
+object JxCompiler {
+  import JxExpr._
+
+  private def allowScripting = JxExpr.allowScripting
+
+  /** Compile-time context: how to resolve variables and window neighbors. */
+  case class Ctx(
+      resolveVar: String => Column = name => col(name),
+      resolveRows: (JxExpr, Int) => Column = (_, _) =>
+        throw new IllegalArgumentException("`rows` is only valid inside a window clause"))
+
+  val defaultCtx: Ctx = Ctx()
+
+  def compile(e: JxExpr): Column = compile(e, defaultCtx)
+
+  /** Literal of a raw parsed JSON value. */
+  def litAny(v: Any): Column = v match {
+    case null      => lit(null)
+    case s: Seq[_] => array(s.map(litAny): _*)
+    case other     => lit(other) // String/Long/Double/Boolean/Timestamp/Date/Decimal…
+  }
+
+  /** Boolean context: missing → FALSE ("decisive" booleans). */
+  def truthy(e: JxExpr, ctx: Ctx): Column = e match {
+    // these are never null — skip the coalesce so Catalyst sees bare predicates
+    case _: EqOp | _: NeOp | _: InequalityOp | _: MissingOp | _: ExistsOp |
+         _: AndOp | _: OrOp | _: NotOp | TrueOp | FalseOp | _: PrefixOp | _: SuffixOp =>
+      compile(e, ctx)
+    case other => coalesce(compile(other, ctx), lit(false))
+  }
+
+  private def withDefault(c: Column, default: JxExpr, ctx: Ctx): Column = default match {
+    case NullOp => c
+    case d      => coalesce(c, compile(d, ctx))
+  }
+
+  def compile(e: JxExpr, ctx: Ctx): Column = e match {
+    // ---- leaves --------------------------------------------------------
+    case Variable(name) => ctx.resolveVar(name)
+    case Lit(v)         => litAny(v)
+    case NullOp         => lit(null)
+    case TrueOp         => lit(true)
+    case FalseOp        => lit(false)
+    case DateOp(spec)   => lit(DateMath.parse(spec))
+    case OffsetOp(i)    => ctx.resolveVar(s"_$i")
+    case RowsOp(v, off) => ctx.resolveRows(v, off)
+
+    // ---- boolean / comparison ------------------------------------------
+    case AndOp(Nil)    => lit(true)
+    case AndOp(terms)  => terms.map(truthy(_, ctx)).reduce(_ && _)
+    case OrOp(Nil)     => lit(false)
+    case OrOp(terms)   => terms.map(truthy(_, ctx)).reduce(_ || _)
+    case NotOp(t)      => !truthy(t, ctx)
+    case EqOp(l, r)    => compile(l, ctx) <=> compile(r, ctx)
+    case NeOp(l, r)    => !(compile(l, ctx) <=> compile(r, ctx))
+    case InequalityOp(op, l, r) =>
+      val (a, b) = (compile(l, ctx), compile(r, ctx))
+      val cmp = op match {
+        case "gt" => a > b; case "gte" => a >= b
+        case "lt" => a < b; case "lte" => a <= b
+      }
+      coalesce(cmp, lit(false))
+    case InOp(v, Lit(items: Seq[_])) =>
+      coalesce(compile(v, ctx).isin(items: _*), lit(false))
+    case InOp(v, listE) =>
+      coalesce(array_contains(compile(listE, ctx), compile(v, ctx)), lit(false))
+    case MissingOp(t) => compile(t, ctx).isNull
+    case ExistsOp(t)  => compile(t, ctx).isNotNull
+    case IsTypeOp(kind, t) =>
+      val c = compile(t, ctx)
+      val ty = call_function("typeof", c)
+      kind match {
+        case "boolean" => ty === "boolean"
+        case "string"  => ty === "string"
+        case "number"  => ty.isin("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+        case "integer" => ty.isin("tinyint", "smallint", "int", "bigint") ||
+          (ty.isin("float", "double") && c.cast(DoubleType) === floor(c.cast(DoubleType)).cast(DoubleType))
+      }
+
+    // ---- arithmetic ------------------------------------------------------
+    case MultiOp(op, terms, nulls, default) =>
+      val cols = terms.map(compile(_, ctx))
+      if (!nulls) {
+        // strict: SQL's null propagation already means any-missing → missing
+        val strict = op match {
+          case "add" => cols.reduce(_ + _)
+          case "mul" => cols.reduce(_ * _)
+        }
+        withDefault(strict, default, ctx)
+      } else {
+        // ignore missing operands; all-missing → default
+        val neutral = op match {
+          case "add" => cols.map(coalesce(_, lit(0L))).reduce(_ + _)
+          case "mul" => cols.map(coalesce(_, lit(1L))).reduce(_ * _)
+        }
+        val allMissing = cols.map(_.isNull).reduce(_ && _)
+        when(allMissing, default match { case NullOp => lit(null); case d => compile(d, ctx) })
+          .otherwise(neutral)
+      }
+    case BinaryOp(op, l, r, default) =>
+      val (a, b) = (compile(l, ctx), compile(r, ctx))
+      val res = op match {
+        case "sub" => a - b
+        case "exp" => pow(a, b)
+        case "mod" => a % b
+      }
+      withDefault(res, default, ctx)
+    case DivOp(l, r, default) =>
+      // Spark non-ANSI division yields null on /0, matching JX "missing"
+      withDefault(compile(l, ctx) / compile(r, ctx), default, ctx)
+    case FloorOp(l, r) =>
+      val (a, b) = (compile(l, ctx), compile(r, ctx))
+      floor(a / b) * b
+    case MaxOp(terms) =>
+      if (terms.size == 1) compile(terms.head, ctx)
+      else greatest(terms.map(compile(_, ctx)): _*)
+    case MinOp(terms) =>
+      if (terms.size == 1) compile(terms.head, ctx)
+      else least(terms.map(compile(_, ctx)): _*)
+    case CountOp(terms) =>
+      terms.map(t => when(compile(t, ctx).isNotNull, lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+    case CoalesceOp(terms) => coalesce(terms.map(compile(_, ctx)): _*)
+    case CastOp(kind, t) =>
+      val c = compile(t, ctx)
+      kind match {
+        case "number"  => c.cast(DoubleType)   // timestamp → epoch seconds, string trims
+        case "integer" => c.cast(LongType)
+        case "string"  => c.cast(StringType)
+        case "boolean" => c.cast(BooleanType)
+      }
+    case UnixOp(t)     => compile(t, ctx).cast(DoubleType)
+    case FromUnixOp(t) => timestamp_seconds(compile(t, ctx))
+
+    // ---- string ----------------------------------------------------------
+    case LengthOp(t) => length(compile(t, ctx).cast(StringType))
+    case SubstrOp(kind, v, n) =>
+      val s = compile(v, ctx).cast(StringType)
+      val k = greatest(compile(n, ctx).cast(IntegerType), lit(0))
+      kind match {
+        case "left"      => substring(s, lit(1), k)
+        case "right"     =>
+          val kk = least(k, length(s))
+          substring(s, length(s) - kk + lit(1), kk)
+        case "not_left"  => substring(s, k + lit(1), length(s))
+        case "not_right" => substring(s, lit(1), greatest(length(s) - k, lit(0)))
+      }
+    case FindOp(v, f, start, default) =>
+      val s = compile(v, ctx).cast(StringType)
+      val sub = compile(f, ctx).cast(StringType)
+      val pos1 = compile(start, ctx).cast(IntegerType) + lit(1)
+      val loc = call_function("locate", sub, s, pos1)
+      val dflt = default match { case NullOp => lit(null); case d => compile(d, ctx) }
+      when(s.isNull || sub.isNull || loc === 0, dflt).otherwise((loc - lit(1)).cast(LongType))
+    case BetweenOp(v, prefixE, suffixE, start, default) =>
+      val s = compile(v, ctx).cast(StringType)
+      val st1 = compile(start, ctx).cast(IntegerType) + lit(1)
+      // begin: 1-based index just after prefix (or `start` when no prefix)
+      val begin = prefixE match {
+        case NullOp => st1
+        case Lit(i: Long) => lit(i.toInt + 1)
+        case p =>
+          val pc = compile(p, ctx).cast(StringType)
+          val loc = call_function("locate", pc, s, st1)
+          when(loc === 0, lit(null)).otherwise(loc + length(pc))
+      }
+      val end = suffixE match {
+        case NullOp => length(s) + lit(1)
+        case Lit(i: Long) => lit(i.toInt + 1)
+        case sfx =>
+          val sc = compile(sfx, ctx).cast(StringType)
+          val loc = call_function("locate", sc, s, begin)
+          when(loc === 0, lit(null)).otherwise(loc)
+      }
+      val res = substring(s, begin, end - begin)
+      val dflt = default match { case NullOp => lit(null); case d => compile(d, ctx) }
+      when(s.isNull || begin.isNull || end.isNull, dflt).otherwise(res)
+    case PrefixOp(v, p) =>
+      val pc = compile(p, ctx)
+      when(pc.isNull, lit(true))
+        .otherwise(coalesce(compile(v, ctx).cast(StringType).startsWith(pc.cast(StringType)), lit(false)))
+    case SuffixOp(v, sfx) =>
+      val sc = compile(sfx, ctx)
+      when(sc.isNull, lit(true))
+        .otherwise(coalesce(compile(v, ctx).cast(StringType).endsWith(sc.cast(StringType)), lit(false)))
+    case ConcatOp(terms, separator, default) =>
+      val sep = separator match {
+        case Lit(s: String) => s
+        case NullOp         => ""
+        case other => throw new IllegalArgumentException(s"concat separator must be literal: $other")
+      }
+      val cols = terms.map(compile(_, ctx).cast(StringType))
+      val allMissing = cols.map(_.isNull).reduce(_ && _)
+      val dflt = default match { case NullOp => lit(null); case d => compile(d, ctx) }
+      when(allMissing, dflt).otherwise(concat_ws(sep, cols: _*))
+    case RegExpOp(v, p) =>
+      // JX regex is a FULL-match test (reference expressions.py:1803-1824)
+      val s = compile(v, ctx).cast(StringType)
+      val full = p match {
+        case Lit(pat: String) => lit("^(?:" + pat + ")$")
+        case other            => concat(lit("^(?:"), compile(other, ctx), lit(")$"))
+      }
+      coalesce(call_function("regexp_like", s, full), lit(false))
+    case SplitOp(v, p) =>
+      val pat = p match {
+        case Lit(s: String) => lit(s)
+        case other          => compile(other, ctx)
+      }
+      call_function("split", compile(v, ctx).cast(StringType), pat)
+    // ---- structural ------------------------------------------------------
+    case GetOp(v, i) =>
+      call_function("try_element_at", compile(v, ctx), compile(i, ctx).cast(IntegerType) + lit(1))
+    case FirstOp(t) => call_function("try_element_at", compile(t, ctx), lit(1))
+    case LastOp(t)  => call_function("try_element_at", compile(t, ctx), lit(-1))
+    case TupleOp(terms) =>
+      struct(terms.zipWithIndex.map { case (t, i) => compile(t, ctx).as(s"_$i") }: _*)
+    case SelectOp(fields) =>
+      struct(fields.map { case (n, v) => compile(v, ctx).as(n) }: _*)
+    case LeavesOp(_) =>
+      throw new IllegalArgumentException("`leaves` is handled by the select pipeline, not scalar compile")
+    case WhenOp(c, t, els) =>
+      when(truthy(c, ctx), compile(t, ctx)).otherwise(compile(els, ctx))
+    case CaseOp(whens, default) =>
+      whens.foldRight(compile(default, ctx)) { (w, acc) =>
+        when(truthy(w.cond, ctx), compile(w.thenE, ctx)).otherwise(acc)
+      }
+    case ScriptOp(sql) =>
+      if (allowScripting) expr(sql)
+      else throw new IllegalArgumentException("scripting is disabled (set JxExpr.allowScripting)")
+  }
+}
+
+/**
+ * Date-math literal parser for JX `{"date": "now-7day"}` expressions
+ * (reference: vendor/mo_times date parsing used by DateOp, expressions.py:718).
+ * Supports ISO dates, "now"/"today"/"eod", `<base>±<n><unit>` chains, and
+ * compact "1jan2015"-style forms. Evaluated once at compile time (a literal).
+ */
+object DateMath {
+  import java.time._
+  import java.time.format.DateTimeFormatter
+
+  private val compact = "(?i)(\\d{1,2})(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)(\\d{4})".r
+  private val months = Seq("jan", "feb", "mar", "apr", "may", "jun", "jul", "aug", "sep", "oct", "nov", "dec")
+
+  def parse(spec: String): java.sql.Timestamp = parseAt(spec, Instant.now())
+
+  def parseAt(spec: String, now: Instant): java.sql.Timestamp = {
+    val s = spec.trim
+    // split base and +/- operations
+    val parts = s.split("(?=[+-])").toSeq
+    val base = parseBase(parts.head.trim, now)
+    val result = parts.tail.foldLeft(base) { (t, op) =>
+      val sign = if (op.startsWith("-")) -1 else 1
+      val body = op.drop(1).trim
+      val m = "(\\d*)\\s*([a-zA-Z]+)".r.findFirstMatchIn(body)
+        .getOrElse(throw new IllegalArgumentException(s"bad date math: $spec"))
+      val n = if (m.group(1).isEmpty) 1L else m.group(1).toLong
+      addUnit(t, sign * n, m.group(2).toLowerCase.stripSuffix("s"))
+    }
+    java.sql.Timestamp.from(result)
+  }
+
+  private def parseBase(b: String, now: Instant): Instant = b.toLowerCase match {
+    case "now" => now
+    case "today" => now.atZone(ZoneOffset.UTC).toLocalDate.atStartOfDay(ZoneOffset.UTC).toInstant
+    case "eod" => now.atZone(ZoneOffset.UTC).toLocalDate.plusDays(1).atStartOfDay(ZoneOffset.UTC).toInstant
+    case compact(d, mon, y) =>
+      LocalDate.of(y.toInt, months.indexOf(mon.toLowerCase) + 1, d.toInt)
+        .atStartOfDay(ZoneOffset.UTC).toInstant
+    case iso if iso.matches("\\d{4}-\\d{2}-\\d{2}") =>
+      LocalDate.parse(iso).atStartOfDay(ZoneOffset.UTC).toInstant
+    case isoT if isoT.matches("\\d{4}-\\d{2}-\\d{2}[t ].*") =>
+      LocalDateTime.parse(isoT.replace(" ", "T"), DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+        .toInstant(ZoneOffset.UTC)
+    case num if num.matches("\\d+(\\.\\d+)?") =>
+      Instant.ofEpochMilli((num.toDouble * 1000).toLong)
+    case other => throw new IllegalArgumentException(s"cannot parse date: $other")
+  }
+
+  private def addUnit(t: Instant, n: Long, unit: String): Instant = unit match {
+    case "second" | "sec" => t.plusSeconds(n)
+    case "minute" | "min" => t.plusSeconds(60 * n)
+    case "hour"           => t.plusSeconds(3600 * n)
+    case "day"            => t.plusSeconds(86400 * n)
+    case "week"           => t.plusSeconds(7 * 86400 * n)
+    case "month"          => t.atZone(ZoneOffset.UTC).plusMonths(n).toInstant
+    case "year"           => t.atZone(ZoneOffset.UTC).plusYears(n).toInstant
+    case other => throw new IllegalArgumentException(s"unknown duration unit: $other")
+  }
+}

@@ -1,0 +1,334 @@
+package graft.jx
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/**
+ * The JX ("JSON Query Expressions") operator algebra, re-expressed as a Scala
+ * ADT. Operator surface mirrors the reference registry
+ * (reference: vendor/jx_base/expressions.py:2775-2842) — the ~50 op classes —
+ * but the representation and all execution is Spark-first: every JxExpr
+ * compiles to a Catalyst `Column` (see [[JxCompiler]]).
+ *
+ * Parsing accepts the reference's JSON forms:
+ *   - `"a.b"`                      → variable (dot-path)
+ *   - `123`, `true`                → literal
+ *   - `{"literal": v}`             → literal (incl. lists/objects)
+ *   - `{"eq": {"a": 1, "b": 2}}`   → and(eq(a,1), eq(b,2))  (simple form)
+ *   - `{"eq": {"a": [1,2]}}`       → in(a, [1,2])
+ *   - `{"add": ["a", 1], "nulls": true, "default": 0}`
+ *   - `{"when": c, "then": t, "else": e}` …
+ */
+sealed trait JxExpr
+
+object JxExpr {
+  // ---- leaves ---------------------------------------------------------
+  case class Variable(name: String) extends JxExpr
+  /** value is one of: null, Boolean, Long, Double, String, Seq[Any], Map[String,Any] */
+  case class Lit(value: Any) extends JxExpr
+  case object NullOp extends JxExpr
+  case object TrueOp extends JxExpr
+  case object FalseOp extends JxExpr
+  /** Date literal with string math, e.g. "now-7day", "today" (reference DateOp). */
+  case class DateOp(spec: String) extends JxExpr
+  /** Positional variable into a tuple-row (reference OffsetOp). */
+  case class OffsetOp(index: Int) extends JxExpr
+  /** Neighbor-row variable, window context only (reference RowsOp). */
+  case class RowsOp(variable: JxExpr, offset: Int) extends JxExpr
+
+  // ---- boolean / comparison ------------------------------------------
+  case class AndOp(terms: Seq[JxExpr]) extends JxExpr
+  case class OrOp(terms: Seq[JxExpr]) extends JxExpr
+  case class NotOp(term: JxExpr) extends JxExpr
+  /** Decisive (null-safe) equality: missing==missing is TRUE. */
+  case class EqOp(lhs: JxExpr, rhs: JxExpr) extends JxExpr
+  case class NeOp(lhs: JxExpr, rhs: JxExpr) extends JxExpr
+  /** op ∈ {gt, gte, lt, lte}; missing operand → FALSE. */
+  case class InequalityOp(op: String, lhs: JxExpr, rhs: JxExpr) extends JxExpr
+  case class InOp(value: JxExpr, list: JxExpr) extends JxExpr
+  case class MissingOp(term: JxExpr) extends JxExpr
+  case class ExistsOp(term: JxExpr) extends JxExpr
+  /** op ∈ {boolean,integer,number,string} runtime type test. */
+  case class IsTypeOp(kind: String, term: JxExpr) extends JxExpr
+
+  // ---- arithmetic -----------------------------------------------------
+  /** op ∈ {add, mul}; n-ary. nulls=true → ignore missing operands
+    * (all missing → default); nulls=false → any missing → default. */
+  case class MultiOp(op: String, terms: Seq[JxExpr], nulls: Boolean, default: JxExpr) extends JxExpr
+  /** op ∈ {sub, exp, mod}; missing if either side missing (unless default). */
+  case class BinaryOp(op: String, lhs: JxExpr, rhs: JxExpr, default: JxExpr) extends JxExpr
+  /** Division; /0 and null → default (or missing). */
+  case class DivOp(lhs: JxExpr, rhs: JxExpr, default: JxExpr) extends JxExpr
+  /** Bucket rounding: floor(lhs/rhs)*rhs; rhs=0 → missing. */
+  case class FloorOp(lhs: JxExpr, rhs: JxExpr) extends JxExpr
+  /** n-ary scalar max/min; ignores missing. */
+  case class MaxOp(terms: Seq[JxExpr]) extends JxExpr
+  case class MinOp(terms: Seq[JxExpr]) extends JxExpr
+  /** count of non-missing terms (scalar, n-ary). */
+  case class CountOp(terms: Seq[JxExpr]) extends JxExpr
+  case class CoalesceOp(terms: Seq[JxExpr]) extends JxExpr
+  /** kind ∈ {number, integer, string, boolean}. */
+  case class CastOp(kind: String, term: JxExpr) extends JxExpr
+  case class UnixOp(term: JxExpr) extends JxExpr
+  case class FromUnixOp(term: JxExpr) extends JxExpr
+
+  // ---- string ---------------------------------------------------------
+  case class LengthOp(term: JxExpr) extends JxExpr
+  /** kind ∈ {left, right, not_left, not_right}; n clamped to [0, len]. */
+  case class SubstrOp(kind: String, value: JxExpr, n: JxExpr) extends JxExpr
+  /** 0-based index of substring from `start`; absent → default/missing. */
+  case class FindOp(value: JxExpr, find: JxExpr, start: JxExpr, default: JxExpr) extends JxExpr
+  /** Substring between prefix and suffix (string or integer bounds). */
+  case class BetweenOp(value: JxExpr, prefix: JxExpr, suffix: JxExpr, start: JxExpr, default: JxExpr) extends JxExpr
+  /** startswith; missing prefix → TRUE. */
+  case class PrefixOp(value: JxExpr, prefix: JxExpr) extends JxExpr
+  case class SuffixOp(value: JxExpr, suffix: JxExpr) extends JxExpr
+  /** n-ary string join skipping missing operands. */
+  case class ConcatOp(terms: Seq[JxExpr], separator: JxExpr, default: JxExpr) extends JxExpr
+  /** Full-match regex test. */
+  case class RegExpOp(value: JxExpr, pattern: JxExpr) extends JxExpr
+  case class SplitOp(value: JxExpr, pattern: JxExpr) extends JxExpr
+
+  // ---- structural -----------------------------------------------------
+  /** Dynamic index into a list value. */
+  case class GetOp(value: JxExpr, index: JxExpr) extends JxExpr
+  case class FirstOp(term: JxExpr) extends JxExpr
+  case class LastOp(term: JxExpr) extends JxExpr
+  case class TupleOp(terms: Seq[JxExpr]) extends JxExpr
+  /** Build an object from named sub-expressions. */
+  case class SelectOp(fields: Seq[(String, JxExpr)]) extends JxExpr
+  /** Expand all leaf columns under prefix (`a.*`). */
+  case class LeavesOp(prefix: String) extends JxExpr
+  case class WhenOp(cond: JxExpr, thenE: JxExpr, elseE: JxExpr) extends JxExpr
+  /** First-true when list + trailing default. */
+  case class CaseOp(whens: Seq[WhenOp], default: JxExpr) extends JxExpr
+  /** Raw SQL escape hatch; disabled unless jx.allowScripting=true
+    * (reference disables it by default too: expressions.py:29). */
+  case class ScriptOp(script: String) extends JxExpr
+
+  var allowScripting: Boolean = false
+
+  // =====================================================================
+  // JSON parsing
+  // =====================================================================
+
+  def parseJson(json: String): JxExpr = parse(JsonMethods.parse(json))
+
+  /** json4s value → raw Scala value (for literals). */
+  def rawValue(v: JValue): Any = v match {
+    case JNull | JNothing => null
+    case JBool(b)         => b
+    case JInt(i)          => i.toLong
+    case JLong(l)         => l
+    case JDouble(d)       => d
+    case JDecimal(d)      => d.toDouble
+    case JString(s)       => s
+    case JArray(items)    => items.map(rawValue)
+    case JObject(fields)  => fields.map { case (k, x) => k -> rawValue(x) }.toMap
+    case JSet(items)      => items.map(rawValue)
+  }
+
+  def parse(v: JValue): JxExpr = v match {
+    case JString(s)       => Variable(s)
+    case JBool(true)      => TrueOp
+    case JBool(false)     => FalseOp
+    case JNull | JNothing => NullOp
+    case JInt(_) | JLong(_) | JDouble(_) | JDecimal(_) => Lit(rawValue(v))
+    case JArray(items)    => TupleOp(items.map(parse)) // bare list = tuple
+    case obj: JObject     => parseObject(obj)
+    case other => throw new IllegalArgumentException(s"cannot parse expression: $other")
+  }
+
+  private val opKeys: Set[String] = Set(
+    "add", "and", "between", "case", "coalesce", "concat", "count", "date",
+    "div", "divide", "eq", "exists", "exp", "find", "first", "floor",
+    "from_unix", "get", "gt", "gte", "in", "instr", "is_boolean", "is_integer",
+    "is_number", "is_string", "last", "left", "length", "literal", "lt", "lte",
+    "match_all", "max", "minus", "missing", "mod", "mul", "mult", "multiply",
+    "ne", "neq", "not", "not_left", "not_right", "null", "number", "integer",
+    "boolean", "offset", "or", "postfix", "prefix", "range", "regex", "regexp",
+    "right", "rows", "script", "select", "split", "string", "sub", "subtract",
+    "suffix", "sum", "term", "terms", "tuple", "unix", "when", "min")
+
+  private def parseObject(obj: JObject): JxExpr = {
+    val fields = obj.obj.toMap
+    val opField = obj.obj.collectFirst { case (k, x) if opKeys(k) => (k, x) }
+    opField match {
+      case None =>
+        // simple form: {var: literal} (conjunction of equalities)
+        // (reference: expressions.py:149-156)
+        val eqs = obj.obj.map { case (k, x) => simpleEq(k, x) }
+        if (eqs.size == 1) eqs.head else AndOp(eqs)
+      case Some((op, arg)) => parseOp(op, arg, fields)
+    }
+  }
+
+  private def simpleEq(name: String, v: JValue): JxExpr = v match {
+    case JArray(items) => InOp(Variable(name), Lit(items.map(rawValue)))
+    case _: JObject =>
+      // an object arg here means `name` was meant as an operator
+      throw new IllegalArgumentException(s"unknown operator: $name")
+    case other => EqOp(Variable(name), Lit(rawValue(other)))
+  }
+
+  private def termList(arg: JValue): Seq[JxExpr] = arg match {
+    case JArray(items) => items.map(parse)
+    case other         => Seq(parse(other))
+  }
+
+  /** Binary ops accept `{op: [lhs, rhs]}` or simple form `{op: {var: literal}}`. */
+  private def binaryArgs(arg: JValue): (JxExpr, JxExpr) = arg match {
+    case JArray(List(a, b)) => (parse(a), parse(b))
+    case JObject(List((k, x))) => (Variable(k), Lit(rawValue(x)))
+    case other => throw new IllegalArgumentException(s"expected binary args, got $other")
+  }
+
+  private def optExpr(fields: Map[String, JValue], key: String): JxExpr =
+    fields.get(key).map(parse).getOrElse(NullOp)
+
+  private def parseOp(op: String, arg: JValue, fields: Map[String, JValue]): JxExpr = op match {
+    case "literal" => Lit(rawValue(arg))
+    case "null" => NullOp
+    case "match_all" => TrueOp
+    case "date" => arg match {
+      case JString(s) => DateOp(s)
+      case other      => Lit(rawValue(other))
+    }
+    case "offset" => OffsetOp(rawValue(arg).asInstanceOf[Long].toInt)
+    case "rows" => arg match {
+      case JArray(List(v, o)) => RowsOp(parse(v), rawValue(o).asInstanceOf[Long].toInt)
+      case other => throw new IllegalArgumentException(s"rows expects [var, offset]: $other")
+    }
+    case "and" => AndOp(termList(arg))
+    case "or" => OrOp(termList(arg))
+    case "not" => NotOp(parse(arg))
+    case "eq" | "term" => arg match {
+      case JArray(items) if items.size >= 2 =>
+        val es = items.map(parse)
+        if (es.size == 2) EqOp(es(0), es(1)) else AndOp(es.tail.map(EqOp(es.head, _)))
+      case JObject(pairs) =>
+        val eqs = pairs.map { case (k, x) => simpleEq(k, x) }
+        if (eqs.size == 1) eqs.head else AndOp(eqs)
+      case other => throw new IllegalArgumentException(s"eq: $other")
+    }
+    case "ne" | "neq" => arg match {
+      case JArray(List(a, b)) => NeOp(parse(a), parse(b))
+      case JObject(List((k, x))) => NeOp(Variable(k), Lit(rawValue(x)))
+      case other => throw new IllegalArgumentException(s"ne: $other")
+    }
+    case "gt" | "gte" | "lt" | "lte" =>
+      val (l, r) = binaryArgs(arg)
+      InequalityOp(op, l, r)
+    case "in" | "terms" => arg match {
+      case JObject(List((k, x))) => InOp(Variable(k), Lit(rawValue(x)))
+      case JArray(List(a, b))    => InOp(parse(a), parse(b))
+      case other => throw new IllegalArgumentException(s"in: $other")
+    }
+    case "range" => arg match {
+      // {"range": {"field": {"gte": a, "lt": b}}} → and of inequalities
+      case JObject(List((field, JObject(bounds)))) =>
+        AndOp(bounds.map { case (cmp, lim) => InequalityOp(cmp, Variable(field), Lit(rawValue(lim))) })
+      case other => throw new IllegalArgumentException(s"range: $other")
+    }
+    case "missing" => MissingOp(parse(arg))
+    case "exists" => ExistsOp(parse(arg))
+    case "is_boolean" => IsTypeOp("boolean", parse(arg))
+    case "is_integer" => IsTypeOp("integer", parse(arg))
+    case "is_number" => IsTypeOp("number", parse(arg))
+    case "is_string" => IsTypeOp("string", parse(arg))
+    case "add" | "sum" => MultiOp("add", termList(arg), parseNulls(fields), optExpr(fields, "default"))
+    case "mul" | "mult" | "multiply" => MultiOp("mul", termList(arg), parseNulls(fields), optExpr(fields, "default"))
+    case "sub" | "subtract" | "minus" =>
+      val (l, r) = binaryArgs(arg); BinaryOp("sub", l, r, optExpr(fields, "default"))
+    case "exp" =>
+      val (l, r) = binaryArgs(arg); BinaryOp("exp", l, r, optExpr(fields, "default"))
+    case "mod" =>
+      val (l, r) = binaryArgs(arg); BinaryOp("mod", l, r, optExpr(fields, "default"))
+    case "div" | "divide" =>
+      val (l, r) = binaryArgs(arg); DivOp(l, r, optExpr(fields, "default"))
+    case "floor" => arg match {
+      case JArray(List(a, b)) => FloorOp(parse(a), parse(b))
+      case JObject(List((k, x))) => FloorOp(Variable(k), Lit(rawValue(x)))
+      case other              => FloorOp(parse(other), Lit(1L))
+    }
+    case "max" => MaxOp(termList(arg))
+    case "min" => MinOp(termList(arg))
+    case "count" => CountOp(termList(arg))
+    case "coalesce" => CoalesceOp(termList(arg))
+    case "number" | "integer" | "string" | "boolean" => CastOp(op, parse(arg))
+    case "unix" => UnixOp(parse(arg))
+    case "from_unix" => FromUnixOp(parse(arg))
+    case "length" => LengthOp(parse(arg))
+    case "left" | "right" | "not_left" | "not_right" =>
+      val (l, r) = binaryArgs(arg); SubstrOp(op, l, r)
+    case "find" | "instr" =>
+      val (l, r) = binaryArgs(arg)
+      FindOp(l, r, fields.get("start").map(parse).getOrElse(Lit(0L)), optExpr(fields, "default"))
+    case "between" => arg match {
+      case JObject(List((k, JArray(List(p, s))))) =>
+        BetweenOp(Variable(k), parse(p), parse(s),
+          fields.get("start").map(parse).getOrElse(Lit(0L)), optExpr(fields, "default"))
+      case JArray(List(v, p, s)) =>
+        BetweenOp(parse(v), parse(p), parse(s),
+          fields.get("start").map(parse).getOrElse(Lit(0L)), optExpr(fields, "default"))
+      case other => throw new IllegalArgumentException(s"between: $other")
+    }
+    case "prefix" =>
+      val (l, r) = binaryArgs(arg); PrefixOp(l, r)
+    case "suffix" | "postfix" =>
+      val (l, r) = binaryArgs(arg); SuffixOp(l, r)
+    case "concat" =>
+      ConcatOp(termList(arg), fields.get("separator").map(parse).getOrElse(Lit("")),
+        optExpr(fields, "default"))
+    case "regex" | "regexp" =>
+      val (l, r) = binaryArgs(arg); RegExpOp(l, r)
+    case "split" =>
+      val (l, r) = binaryArgs(arg); SplitOp(l, r)
+    case "get" => arg match {
+      case JArray(List(a, b)) => GetOp(parse(a), parse(b))
+      case other => throw new IllegalArgumentException(s"get: $other")
+    }
+    case "first" => FirstOp(parse(arg))
+    case "last" => LastOp(parse(arg))
+    case "tuple" => TupleOp(termList(arg))
+    case "select" => arg match {
+      case JArray(items) =>
+        SelectOp(items.map {
+          case JObject(f) =>
+            val m = f.toMap
+            val value = parse(m("value"))
+            val name = m.get("name").map(rawValue(_).toString).getOrElse(value match {
+              case Variable(n) => n
+              case _ => throw new IllegalArgumentException("select field needs name")
+            })
+            name -> value
+          case JString(s) => s -> Variable(s)
+          case other => throw new IllegalArgumentException(s"select field: $other")
+        })
+      case other => throw new IllegalArgumentException(s"select: $other")
+    }
+    case "when" =>
+      WhenOp(parse(arg), optExpr(fields, "then"), optExpr(fields, "else"))
+    case "case" => arg match {
+      case JArray(items) =>
+        val parsed = items.map(parse)
+        val (whens, default) = parsed.last match {
+          case w: WhenOp => (parsed, NullOp)
+          case d         => (parsed.init, d)
+        }
+        CaseOp(whens.map {
+          case w: WhenOp => w
+          case other => throw new IllegalArgumentException(s"case when-clause: $other")
+        }, default)
+      case other => throw new IllegalArgumentException(s"case: $other")
+    }
+    case "script" => ScriptOp(rawValue(arg).toString)
+    case other => throw new IllegalArgumentException(s"unknown operator: $other")
+  }
+
+  private def parseNulls(fields: Map[String, JValue]): Boolean =
+    fields.get("nulls").exists {
+      case JBool(b) => b
+      case _        => false
+    }
+}

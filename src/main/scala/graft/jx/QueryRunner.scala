@@ -1,0 +1,427 @@
+package graft.jx
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * JxQuery × DataFrame → DataFrame: the execution layer.
+ *
+ * Routing mirrors the reference (vendor/jx_sqlite/query_table.py:102-116):
+ * edges → dense cube; groupby → sparse GROUP BY; else the setop pipeline
+ * (filter → window → sort → select → limit).
+ *
+ * Scale notes (designed for a 1000-executor cluster, tested on local[32]):
+ *  - edges do NOT use non-equi domain joins: partition membership for
+ *    time/duration/range domains is computed arithmetically per row
+ *    (`floor((v-min)/interval)`), so the cube is ONE shuffle on small
+ *    integer keys; densification is a broadcast join against the tiny
+ *    generated domain DataFrame (reference does a UNION-with-missed-
+ *    coordinates pass instead: vendor/jx_sqlite/edges_table.py:461-504).
+ *  - set/default domains classify via a CASE chain (codegen'd), never a join.
+ *  - a DefaultDomain runs one extra top-k job to discover partitions
+ *    (reference: edges_table.py:257-264).
+ */
+object QueryRunner {
+  import JxExpr._
+
+  /** Resolve `from` "table.child.grandchild" → DataFrame + nested perspective:
+    * each child segment is an ArrayType(Struct) column that gets exploded;
+    * names resolve deepest-arm-first with parent fields reachable
+    * (reference: vendor/jx_sqlite/snowflake.py:247-341). */
+  def resolveFrom(from: String, load: String => DataFrame): (DataFrame, Seq[String]) = {
+    val segs = from.split('.').toSeq
+    var df = load(segs.head)
+    val path = scala.collection.mutable.ArrayBuffer[String]()
+    for (seg <- segs.tail) {
+      val full = (path :+ seg).mkString(".")
+      df = df.withColumn(seg, explode_outer(col(full)))
+      path.clear()
+      path += seg // after explode the child struct is a top-level column
+    }
+    (df, path.toSeq)
+  }
+
+  private def hasField(schema: StructType, path: Seq[String]): Boolean = path match {
+    case Seq() => true
+    case head +: rest => schema.fields.find(_.name == head) match {
+      case Some(StructField(_, st: StructType, _, _)) => hasField(st, rest)
+      case Some(_) => rest.isEmpty
+      case None => false
+    }
+  }
+
+  def mkCtx(df: DataFrame, path: Seq[String]): JxCompiler.Ctx = {
+    val prefixes: Seq[Seq[String]] =
+      (path.indices.reverse.map(i => path.take(i + 1)) :+ Seq.empty[String])
+    JxCompiler.Ctx(resolveVar = name => {
+      if (name == ".") {
+        if (path.nonEmpty) col(path.mkString("."))
+        else struct(df.columns.map(col).toIndexedSeq: _*)
+      } else {
+        val segs = name.split('.').toSeq
+        prefixes.find(p => hasField(df.schema, p ++ segs)) match {
+          case Some(p) => col((p ++ segs).mkString("."))
+          case None    => col(name)
+        }
+      }
+    })
+  }
+
+  def run(spark: SparkSession, q: JxQuery, load: String => DataFrame): DataFrame = {
+    val (base, path) = resolveFrom(q.from, load)
+    val ctx = mkCtx(base, path)
+    val filtered = q.where match {
+      case TrueOp => base
+      case w      => base.filter(JxCompiler.truthy(w, ctx))
+    }
+    if (q.edges.nonEmpty) runEdges(spark, q, filtered, ctx)
+    else if (q.groupby.nonEmpty) runGroupby(q, filtered, ctx)
+    else if (q.isAggregate) runScalarAgg(q, filtered, ctx)
+    else runSetop(q, filtered, path, ctx)
+  }
+
+  // ---- setop: filter → window → sort → select → limit -------------------
+
+  private def runSetop(q: JxQuery, df0: DataFrame, path: Seq[String], ctx: JxCompiler.Ctx): DataFrame = {
+    var df = df0
+    for (w <- q.windows) df = applyWindow(df, w, ctx)
+    val sorted =
+      if (q.sort.isEmpty) df
+      else df.orderBy(q.sort.map(sortCol(_, ctx)): _*)
+    val selected =
+      if (!q.selectGiven && q.select.isEmpty) {
+        if (path.nonEmpty) sorted.select(col(path.mkString(".") + ".*"))
+        else sorted
+      } else {
+        val cols = q.select.flatMap(selectCols(_, sorted, path, ctx))
+        sorted.select(cols: _*)
+      }
+    q.limit.fold(selected)(n => selected.limit(n.toInt))
+  }
+
+  /** Expand one select clause; `leaves`/`.*` may yield several columns. */
+  private def selectCols(s: SelectClause, df: DataFrame, path: Seq[String], ctx: JxCompiler.Ctx): Seq[Column] =
+    s.value match {
+      case Variable("*") | LeavesOp("") | LeavesOp(".") =>
+        leafColumns(df, path).map { case (name, c) => c.as(name) }
+      case Variable(n) if n.endsWith(".*") =>
+        val prefix = n.dropRight(2)
+        val parent = ctx.resolveVar(prefix)
+        structLeaves(dataTypeOf(df, ctx, prefix), parent).map { case (nm, c) => c.as(s.name match {
+          case x if x == n => nm
+          case other       => s"$other.$nm"
+        })}
+      case v => Seq(JxCompiler.compile(v, ctx).as(s.name))
+    }
+
+  private def dataTypeOf(df: DataFrame, ctx: JxCompiler.Ctx, name: String): DataType =
+    df.select(ctx.resolveVar(name)).schema.fields.head.dataType
+
+  private def structLeaves(dt: DataType, parent: Column): Seq[(String, Column)] = dt match {
+    case st: StructType => st.fields.toIndexedSeq.flatMap { f =>
+      structLeaves(f.dataType, parent.getField(f.name)).map {
+        case ("", c)   => f.name -> c
+        case (suff, c) => s"${f.name}.$suff" -> c
+      }
+    }
+    case _ => Seq("" -> parent)
+  }
+
+  private def leafColumns(df: DataFrame, path: Seq[String]): Seq[(String, Column)] = {
+    val root: Seq[(String, Column, DataType)] =
+      if (path.nonEmpty) {
+        val p = path.mkString(".")
+        val dt = df.select(col(p)).schema.fields.head.dataType
+        Seq((p, col(p), dt))
+      } else df.schema.fields.toIndexedSeq.map(f => (f.name, col(f.name), f.dataType))
+    root.flatMap {
+      case (_, c, st: StructType) => structLeaves(st, c)
+      case (n, c, _)              => Seq(n -> c)
+    }
+  }
+
+  private def sortCol(s: SortClause, ctx: JxCompiler.Ctx): Column = {
+    val c = JxCompiler.compile(s.value, ctx)
+    // nulls sort least in either direction (reference jx.py:562-627)
+    if (s.dir >= 0) c.asc_nulls_first else c.desc_nulls_last
+  }
+
+  // ---- aggregate helpers -------------------------------------------------
+
+  def aggColumn(s: SelectClause, ctx: JxCompiler.Ctx): Column = {
+    val isDot = s.value == Variable(".")
+    lazy val v = JxCompiler.compile(s.value, ctx)
+    val agg = s.aggregate.getOrElse("none") match {
+      case "count"       => if (isDot) count(lit(1)) else count(v)
+      case "sum"         => sum(v)
+      case "average"     => avg(v)
+      case "minimum"     => min(v)
+      case "maximum"     => max(v)
+      case "median"      => median(v)
+      case "percentile"  => percentile(v, lit(s.percentile.getOrElse(0.5))) // exact, interpolated (matches DuckDB quantile_cont)
+      case "cardinality" => count_distinct(v)
+      case "union"       => array_sort(collect_set(v))
+      case "list"        => array_sort(collect_list(v))
+      case "one"         =>
+        // error on conflicting values (reference windows.py:76-101)
+        when(count_distinct(v) > 1,
+          raise_error(concat(lit(s"`one` aggregate saw conflicting values for ${s.name}"))))
+          .otherwise(max(v))
+      case "first"       => first(v, ignoreNulls = true)
+      case "last"        => last(v, ignoreNulls = true)
+      case "stats"       =>
+        // struct per reference STATS template (vendor/jx_sqlite/__init__.py:157-167)
+        struct(
+          count(v).as("count"), sum(v).as("sum"), min(v).as("min"), max(v).as("max"),
+          avg(v).as("avg"), var_pop(v).as("var"), stddev_pop(v).as("std"),
+          sum(v * v).as("sos"))
+      case "exists"      => (count(v) > 0).as(s.name)
+      case other => throw new IllegalArgumentException(s"unknown aggregate: $other")
+    }
+    val withDflt = s.default match {
+      case Some(d) => coalesce(agg, JxCompiler.compile(d, ctx))
+      case None    => agg
+    }
+    withDflt.as(s.name)
+  }
+
+  private def runScalarAgg(q: JxQuery, df: DataFrame, ctx: JxCompiler.Ctx): DataFrame = {
+    val aggs = q.select.map(aggColumn(_, ctx))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def runGroupby(q: JxQuery, df: DataFrame, ctx: JxCompiler.Ctx): DataFrame = {
+    val keys = q.groupby.map(e => JxCompiler.compile(e.value.get, ctx).as(e.name))
+    val aggs = q.select.map(aggColumn(_, ctx))
+    val grouped = df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    val ordered = grouped.orderBy(q.groupby.map(e => col(e.name).asc_nulls_first): _*)
+    q.limit.fold(ordered)(n => ordered.limit(n.toInt))
+  }
+
+  // ---- edges: dense cube ---------------------------------------------------
+
+  /** One resolved edge: how to classify a fact row into a partition index,
+    * plus the small domain DataFrame (idx, value) used to densify. */
+  private case class ResolvedEdge(
+      name: String,
+      idxCol: Column,          // nullable partition index for a fact row (null → null bucket)
+      parts: Int,              // number of real partitions
+      allowNulls: Boolean,
+      domainDF: DataFrame,     // columns: __idx (int), __value (edge output)
+      explodes: Boolean = false) // true when idxCol is an array (interval edges)
+
+  /** Tiny (idx, value) domain DataFrame keeping the value's native Spark type. */
+  private def mkDomainDF(spark: SparkSession, values: Seq[Any], dt: DataType): DataFrame = {
+    val rows = values.zipWithIndex.map { case (v, i) =>
+      org.apache.spark.sql.Row(i, v)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(StructField("__idx", IntegerType, nullable = false), StructField("__value", dt))))
+  }
+
+  private def sparkTypeOf(v: Any): DataType = v match {
+    case _: Long => LongType
+    case _: Int => IntegerType
+    case _: Double => DoubleType
+    case _: Boolean => BooleanType
+    case _ => StringType
+  }
+
+  private def resolveEdge(spark: SparkSession, e: EdgeClause, i: Int, df: DataFrame, ctx: JxCompiler.Ctx): ResolvedEdge = {
+    e.domain match {
+      case Domain.SetDomain(parts) =>
+        val idx =
+          if (parts.forall(_.where.isEmpty)) {
+            val v = JxCompiler.compile(e.value.get, ctx)
+            parts.zipWithIndex.foldRight(lit(null).cast(IntegerType)) { case ((p, pi), acc) =>
+              when(v <=> JxCompiler.litAny(p.value.getOrElse(p.name)), lit(pi)).otherwise(acc)
+            }
+          } else {
+            // predicate partitions → CASE WHEN chain (reference edges_table.py:79-86)
+            parts.zipWithIndex.foldRight(lit(null).cast(IntegerType)) { case ((p, pi), acc) =>
+              val cond = p.where.map(JxCompiler.truthy(_, ctx))
+                .getOrElse(JxCompiler.compile(e.value.get, ctx) <=> JxCompiler.litAny(p.value.getOrElse(p.name)))
+              when(cond, lit(pi)).otherwise(acc)
+            }
+          }
+        val partValues: Seq[Any] = parts.map(p => p.value.getOrElse(p.name))
+        val dt = partValues.collectFirst { case v if v != null => sparkTypeOf(v) }.getOrElse(StringType)
+        val dom = mkDomainDF(spark, partValues, dt)
+        ResolvedEdge(e.name, idx, parts.size, e.allowNulls, dom)
+
+      case Domain.DefaultDomain(limit) =>
+        // discover top-k values by frequency (reference edges_table.py:257-264)
+        val v = JxCompiler.compile(e.value.get, ctx)
+        val vdt = df.select(v.as("__v")).schema.head.dataType
+        val topk = df.groupBy(v.as("__v")).agg(count(lit(1)).as("__n"))
+          .filter(col("__v").isNotNull)
+          .orderBy(col("__n").desc, col("__v").asc_nulls_first)
+          .limit(math.max(limit, 1))
+          .select(col("__v")).collect().map(_.get(0)).toSeq
+        val idx = topk.zipWithIndex.foldRight(lit(null).cast(IntegerType)) { case ((value, pi), acc) =>
+          when(v <=> JxCompiler.litAny(value), lit(pi)).otherwise(acc)
+        }
+        val dom = mkDomainDF(spark, topk, vdt)
+        ResolvedEdge(e.name, idx, topk.size, e.allowNulls, dom)
+
+      case Domain.RangeDomain(mn, mx, step) =>
+        val n = math.ceil((mx - mn) / step).toInt
+        mkIntervalEdge(spark, e, mn, mx, step, n, ctx,
+          idx => lit(mn) + idx * lit(step))
+
+      case Domain.DurationDomain(mn, mx, step) =>
+        val n = math.ceil((mx - mn) / step).toInt
+        mkIntervalEdge(spark, e, mn, mx, step, n, ctx,
+          idx => lit(mn) + idx * lit(step))
+
+      case Domain.TimeDomain(tmin, tmax, stepSec, stepMonths) =>
+        if (stepMonths == 0) {
+          val mn = tmin.getTime / 1000.0
+          val mx = tmax.getTime / 1000.0
+          val n = math.ceil((mx - mn) / stepSec).toInt
+          mkIntervalEdge(spark, e, mn, mx, stepSec, n, ctx,
+            idx => timestamp_seconds(lit(mn) + idx * lit(stepSec)),
+            castToSeconds = true)
+        } else {
+          // calendar-month intervals: idx = month-ordinal difference
+          val zmin = tmin.toInstant.atZone(java.time.ZoneOffset.UTC)
+          val zmax = tmax.toInstant.atZone(java.time.ZoneOffset.UTC)
+          val ordMin = zmin.getYear * 12 + zmin.getMonthValue - 1
+          val n = math.ceil(((zmax.getYear * 12 + zmax.getMonthValue - 1) - ordMin).toDouble / stepMonths).toInt
+          val v = JxCompiler.compile(e.value.get, ctx)
+          val ord = (year(v) * lit(12) + month(v) - lit(1) - lit(ordMin)) / lit(stepMonths)
+          val idx = when(v.isNull || v < lit(tmin) || v >= lit(tmax), lit(null).cast(IntegerType))
+            .otherwise(floor(ord).cast(IntegerType))
+          val dom = spark.range(n).select(
+            col("id").cast(IntegerType).as("__idx"),
+            to_timestamp(add_months(lit(new java.sql.Date(tmin.getTime)), col("id").cast(IntegerType) * stepMonths)).as("__value"))
+          ResolvedEdge(e.name, idx, n, e.allowNulls, dom)
+        }
+    }
+  }
+
+  /** Interval edge via arithmetic bucketing: idx = floor((v-min)/step).
+    * When the edge has `range:{min,max}` the row lands in EVERY overlapping
+    * part (reference lists/aggs.py:123-147) → idx becomes an exploded sequence. */
+  private def mkIntervalEdge(
+      spark: SparkSession, e: EdgeClause,
+      mn: Double, mx: Double, step: Double, n: Int,
+      ctx: JxCompiler.Ctx, valueOf: Column => Column,
+      castToSeconds: Boolean = false): ResolvedEdge = {
+    def numeric(expr: JxExpr): Column = {
+      val c = JxCompiler.compile(expr, ctx)
+      if (castToSeconds) c.cast(DoubleType) else c.cast(DoubleType)
+    }
+    val dom = spark.range(n).select(
+      col("id").cast(IntegerType).as("__idx"),
+      valueOf(col("id")).as("__value"))
+    e.range match {
+      case Some((minE, maxE)) =>
+        val lo = numeric(minE); val hi = numeric(maxE)
+        val loIdx = greatest(floor((lo - lit(mn)) / lit(step)).cast(IntegerType), lit(0))
+        val hiIdx = least(floor(((hi - lit(mn)) / lit(step)) - lit(1e-9)).cast(IntegerType), lit(n - 1))
+        val arr = when(lo.isNull || hi.isNull || hi <= lit(mn) || lo >= lit(mx), array(lit(null).cast(IntegerType)))
+          .otherwise(sequence(loIdx, hiIdx))
+        ResolvedEdge(e.name, arr, n, e.allowNulls, dom, explodes = true)
+      case None =>
+        val v = numeric(e.value.get)
+        val idx = when(v.isNull || v < lit(mn) || v >= lit(mx), lit(null).cast(IntegerType))
+          .otherwise(floor((v - lit(mn)) / lit(step)).cast(IntegerType))
+        ResolvedEdge(e.name, idx, n, e.allowNulls, dom)
+    }
+  }
+
+  private def runEdges(spark: SparkSession, q: JxQuery, df0: DataFrame, ctx: JxCompiler.Ctx): DataFrame = {
+    val edges = q.edges.zipWithIndex.map { case (e, i) => resolveEdge(spark, e, i, df0, ctx) }
+    val idxNames = edges.indices.map(i => s"__e${i}_idx")
+
+    // classify each fact row; interval (range) edges explode to every matching cell
+    var df = df0
+    edges.zip(idxNames).foreach { case (e, nm) =>
+      df = if (e.explodes) df.withColumn(nm, explode(e.idxCol)) else df.withColumn(nm, e.idxCol)
+    }
+    val aggs = q.select.map(aggColumn(_, ctx))
+    val grouped = df.groupBy(idxNames.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
+    // densify: cross-join the (tiny) domains incl. the null bucket, broadcast-join facts
+    val domains = edges.zip(idxNames).map { case (e, nm) =>
+      val base = e.domainDF.select(col("__idx").as(nm), col("__value").as(s"${nm}_v"))
+      if (e.allowNulls)
+        base.unionByName(spark.range(1).select(
+          lit(null).cast(IntegerType).as(nm),
+          lit(null).cast(base.schema(s"${nm}_v").dataType).as(s"${nm}_v")))
+      else base
+    }
+    val dense = domains.reduce(_.crossJoin(_))
+    val joinCond = idxNames.map(nm => dense(nm) <=> grouped(nm)).reduce(_ && _)
+    var out = dense.join(broadcast(grouped), joinCond, "left")
+      .select(
+        edges.zip(idxNames).map { case (e, nm) => dense(s"${nm}_v").as(e.name) } ++
+        idxNames.map(nm => dense(nm).as(s"${nm}_ord")) ++
+        q.select.map(s => s.default match {
+          case Some(d) => coalesce(grouped(s.name), JxCompiler.compile(d, JxCompiler.defaultCtx)).as(s.name)
+          case None    => grouped(s.name)
+        }): _*)
+    // order by edge indices, null bucket last (reference edges_table.py:499-504)
+    out = out.orderBy(idxNames.map(nm => col(s"${nm}_ord").asc_nulls_last): _*)
+      .drop(idxNames.map(nm => s"${nm}_ord"): _*)
+    q.limit.fold(out)(nLim => out.limit(nLim.toInt))
+  }
+
+  // ---- window clauses -------------------------------------------------------
+
+  private def applyWindow(df: DataFrame, w: WindowClause, ctx: JxCompiler.Ctx): DataFrame = {
+    val partCols = w.edges.map(JxCompiler.compile(_, ctx))
+    val sortCols = w.sort.map(sortCol(_, ctx))
+    var spec: WindowSpec =
+      if (partCols.nonEmpty) Window.partitionBy(partCols: _*)
+      else Window.partitionBy(lit(1))
+    if (sortCols.nonEmpty) spec = spec.orderBy(sortCols: _*)
+
+    val winCtx = ctx.copy(
+      resolveVar = name =>
+        if (name == "rownum") row_number().over(spec) - lit(1)
+        else ctx.resolveVar(name),
+      resolveRows = (v, off) => {
+        val c = JxCompiler.compile(v, ctx)
+        if (off >= 0) lead(c, off).over(spec) else lag(c, -off).over(spec)
+      })
+
+    w.aggregate match {
+      case None | Some("none") =>
+        df.withColumn(w.name, JxCompiler.compile(w.value, winCtx))
+      case Some(agg) =>
+        val value = w.where match {
+          case Some(cond) => when(JxCompiler.truthy(cond, ctx), JxCompiler.compile(w.value, ctx))
+          case None       => JxCompiler.compile(w.value, ctx)
+        }
+        val aggC = agg match {
+          case "count"   => count(value)
+          case "sum"     => sum(value)
+          case "average" => avg(value)
+          case "minimum" => min(value)
+          case "maximum" => max(value)
+          case "first"   => first(value, ignoreNulls = true)
+          case "last"    => last(value, ignoreNulls = true)
+          case "list"    => collect_list(value)
+          case "cardinality" => approx_count_distinct(value)
+          case other => throw new IllegalArgumentException(s"window aggregate: $other")
+        }
+        val framed = w.range match {
+          case Some((mn, mx)) =>
+            // JX window range is half-open [rownum+min, rownum+max);
+            // Spark bounds are inclusive ⇒ rowsBetween(min, max-1)
+            val lo = if (mn == Long.MinValue) Window.unboundedPreceding else mn
+            val hi = if (mx == Long.MaxValue) Window.unboundedFollowing else mx - 1
+            spec.rowsBetween(lo, hi)
+          case None =>
+            if (sortCols.nonEmpty) spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            else spec.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        }
+        df.withColumn(w.name, aggC.over(framed))
+    }
+  }
+}
