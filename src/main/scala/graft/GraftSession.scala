@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * SparkSession factory with the settings the JX semantics assume:
+ *
+ *  - ANSI off: JX arithmetic yields "missing" (null) on /0, bad casts,
+ *    etc. (reference expressions.py:918-922) — Spark 4's ANSI default
+ *    would raise instead.
+ *  - TIMESTAMP_NTZ inference off: parquet naive timestamps load as
+ *    TimestampType; with session TZ pinned to UTC the values are
+ *    identical and remain castable to epoch seconds.
+ *  - nanosAsLong: Spark has no nanosecond timestamp; TIMESTAMP(NANOS)
+ *    parquet columns load as Long and [[SparkEntry.loader]] converts
+ *    them to microsecond timestamps (same truncation DuckDB applies).
+ *  - AQE on; shuffle partitions default to the local core count (the
+ *    200 default is wrong for local mode; on a real cluster, callers
+ *    should size this to ~2-3× total executor cores).
+ */
+object GraftSession {
+  def builder(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  def get(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    val spark = builder(cores).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

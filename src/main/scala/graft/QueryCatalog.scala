@@ -1,0 +1,559 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.jx.{JxQuery, QueryRunner}
+
+/**
+ * The SURVEY §2 operator inventory as runnable (JX query, DuckDB oracle)
+ * pairs. Every entry exercises the graft engine (JSON → JxQuery →
+ * QueryRunner → DataFrame); the oracle expresses identical semantics in
+ * DuckDB SQL over the same parquet tables.
+ *
+ * Column names are aligned on both sides (the driver's compare sorts
+ * columns by name before hashing). Row order is made deterministic with
+ * total sorts on unique keys.
+ */
+object QueryCatalog {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def jx(json: String): Q =
+    (spark, dir) => QueryRunner.run(spark, JxQuery.parse(json), SparkEntry.loader(spark, dir))
+
+  /** name → (query, optional oracle) */
+  val catalog: Map[String, (Q, Option[String])] = Map(
+
+    // =====================================================================
+    // §2.4 groupby + aggregates
+    // =====================================================================
+    "q_groupby_agg" -> (jx("""{
+      "from": "lineitem",
+      "groupby": ["l_returnflag", "l_linestatus"],
+      "select": [
+        {"name": "sum_qty",  "value": "l_quantity", "aggregate": "sum"},
+        {"name": "avg_price","value": "l_extendedprice", "aggregate": "average"},
+        {"name": "min_disc", "value": "l_discount", "aggregate": "minimum"},
+        {"name": "max_tax",  "value": "l_tax", "aggregate": "maximum"},
+        {"name": "n",        "value": ".", "aggregate": "count"}
+      ]
+    }"""), Some("""
+      SELECT l_returnflag, l_linestatus,
+        sum(l_quantity) AS sum_qty, avg(l_extendedprice) AS avg_price,
+        min(l_discount) AS min_disc, max(l_tax) AS max_tax, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")),
+
+    "q_groupby_expr_key" -> (jx("""{
+      "from": "orders",
+      "groupby": [{"name": "bucket", "value": {"floor": ["o_totalprice", 50000]}}],
+      "select": [
+        {"name": "n", "value": ".", "aggregate": "count"},
+        {"name": "total", "value": "o_totalprice", "aggregate": "sum"}
+      ]
+    }"""), Some("""
+      SELECT CAST(floor(o_totalprice/50000)*50000 AS BIGINT) AS bucket,
+             count(*) AS n, sum(o_totalprice) AS total
+      FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    "q_agg_conditional" -> (jx("""{
+      "from": "orders",
+      "groupby": ["o_orderstatus"],
+      "select": [
+        {"name": "n_urgent", "value": {"when": {"eq": {"o_orderpriority": "1-URGENT"}}, "then": 1, "else": 0}, "aggregate": "sum"},
+        {"name": "n", "value": ".", "aggregate": "count"}
+      ]
+    }"""), Some("""
+      SELECT o_orderstatus,
+             sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+             count(*) AS n
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    "q_agg_distinct" -> (jx("""{
+      "from": "lineitem",
+      "groupby": ["l_returnflag"],
+      "select": [
+        {"name": "n_status", "value": "l_linestatus", "aggregate": "cardinality"},
+        {"name": "statuses", "value": "l_linestatus", "aggregate": "union"},
+        {"name": "n_parts", "value": "l_partkey", "aggregate": "cardinality"}
+      ]
+    }"""), Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_linestatus) AS n_status,
+             list_sort(list(DISTINCT l_linestatus)) AS statuses,
+             count(DISTINCT l_partkey) AS n_parts
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    "q_agg_stats" -> (jx("""{
+      "from": "lineitem",
+      "groupby": ["l_linestatus"],
+      "select": [
+        {"name": "cnt", "value": "l_quantity", "aggregate": "count"},
+        {"name": "total", "value": "l_quantity", "aggregate": "sum"},
+        {"name": "mean", "value": "l_quantity", "aggregate": "average"},
+        {"name": "variance", "value": "l_quantity", "aggregate": "var"},
+        {"name": "stdev", "value": "l_quantity", "aggregate": "std"},
+        {"name": "sos", "value": {"mul": ["l_quantity", "l_quantity"]}, "aggregate": "sum"}
+      ]
+    }"""), Some("""
+      SELECT l_linestatus, count(l_quantity) AS cnt, sum(l_quantity) AS total,
+             avg(l_quantity) AS mean, var_pop(l_quantity) AS variance,
+             stddev_pop(l_quantity) AS stdev, sum(l_quantity*l_quantity) AS sos
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    "q_agg_percentile" -> (jx("""{
+      "from": "lineitem",
+      "groupby": ["l_returnflag"],
+      "select": [
+        {"name": "med_qty", "value": "l_quantity", "aggregate": "median"},
+        {"name": "p90_price", "value": "l_extendedprice", "aggregate": "percentile", "percentile": 0.9}
+      ]
+    }"""), Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.5) AS med_qty,
+             quantile_cont(l_extendedprice, 0.9) AS p90_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    "q_agg_scalar" -> (jx("""{
+      "from": "lineitem",
+      "select": [
+        {"name": "n", "value": ".", "aggregate": "count"},
+        {"name": "n_parts", "value": "l_partkey", "aggregate": "cardinality"},
+        {"name": "total_qty", "value": "l_quantity", "aggregate": "sum"},
+        {"name": "max_ship", "value": "l_shipdate", "aggregate": "maximum"}
+      ]
+    }"""), Some("""
+      SELECT count(*) AS n, count(DISTINCT l_partkey) AS n_parts,
+             sum(l_quantity) AS total_qty, max(l_shipdate) AS max_ship
+      FROM lineitem""")),
+
+    // =====================================================================
+    // §2.4 edges: dense cubes over domains
+    // =====================================================================
+    "q_edges_set" -> (jx("""{
+      "from": "orders",
+      "edges": [{
+        "name": "priority", "value": "o_orderpriority", "allowNulls": true,
+        "domain": {"type": "set", "partitions": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW", "9-PHANTOM"]}
+      }],
+      "select": [
+        {"name": "n", "value": ".", "aggregate": "count"},
+        {"name": "revenue", "value": "o_totalprice", "aggregate": "sum"}
+      ]
+    }"""), Some("""
+      WITH dom(i, priority) AS (VALUES (0,'1-URGENT'),(1,'2-HIGH'),(2,'3-MEDIUM'),(3,'4-NOT SPECIFIED'),(4,'5-LOW'),(5,'9-PHANTOM')),
+      agg AS (SELECT o_orderpriority p, count(*) n, sum(o_totalprice) rev FROM orders GROUP BY 1)
+      SELECT dom.priority, coalesce(agg.n, 0) AS n, agg.rev AS revenue
+      FROM dom LEFT JOIN agg ON dom.priority = agg.p
+      UNION ALL
+      SELECT NULL, coalesce(sum(n), 0), sum(rev) FROM agg
+        WHERE p IS NULL OR p NOT IN (SELECT priority FROM dom)
+      ORDER BY priority NULLS LAST""")),
+
+    "q_edges_time_month" -> (jx("""{
+      "from": "orders",
+      "edges": [{
+        "name": "month", "value": "o_orderdate", "allowNulls": true,
+        "domain": {"type": "time", "min": "1995-01-01", "max": "1996-01-01", "interval": "month"}
+      }],
+      "select": [
+        {"name": "n", "value": ".", "aggregate": "count"},
+        {"name": "revenue", "value": "o_totalprice", "aggregate": "sum"}
+      ]
+    }"""), Some("""
+      WITH dom AS (SELECT generate_series AS m, CAST(row_number() OVER () - 1 AS INT) i
+                   FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '1995-12-01', INTERVAL 1 MONTH)),
+      agg AS (SELECT date_trunc('month', o_orderdate) m, count(*) n, sum(o_totalprice) rev
+              FROM orders WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1996-01-01' GROUP BY 1)
+      SELECT dom.m AS month, coalesce(agg.n, 0) AS n, agg.rev AS revenue
+      FROM dom LEFT JOIN agg USING (m)
+      UNION ALL
+      SELECT NULL, count(*), sum(o_totalprice) FROM orders
+        WHERE o_orderdate IS NULL OR o_orderdate < '1995-01-01' OR o_orderdate >= '1996-01-01'
+      ORDER BY month NULLS LAST""")),
+
+    "q_edges_time_week" -> (jx("""{
+      "from": "events",
+      "edges": [{
+        "name": "week", "value": "ts", "allowNulls": false,
+        "domain": {"type": "time", "min": "2024-01-01", "max": "2024-02-05", "interval": "week"}
+      }],
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}]
+    }"""), Some("""
+      WITH dom AS (SELECT generate_series AS w FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-04', INTERVAL 7 DAY)),
+      agg AS (SELECT TIMESTAMP '2024-01-01' + INTERVAL (7*floor(date_diff('second', TIMESTAMP '2024-01-01', ts)/604800.0)) DAY AS w, count(*) n
+              FROM events WHERE ts >= '2024-01-01' AND ts < '2024-02-05' GROUP BY 1)
+      SELECT dom.w AS week, coalesce(agg.n, 0) AS n
+      FROM dom LEFT JOIN agg USING (w) ORDER BY week""")),
+
+    "q_edges_range" -> (jx("""{
+      "from": "lineitem",
+      "edges": [{
+        "name": "qty_bucket", "value": "l_quantity", "allowNulls": true,
+        "domain": {"type": "range", "min": 1, "max": 51, "interval": 10}
+      }],
+      "select": [
+        {"name": "n", "value": ".", "aggregate": "count"},
+        {"name": "avg_price", "value": "l_extendedprice", "aggregate": "average"}
+      ]
+    }"""), Some("""
+      WITH dom AS (SELECT CAST(generate_series AS DOUBLE) lo, CAST(row_number() OVER () - 1 AS INT) i
+                   FROM generate_series(1, 41, 10)),
+      agg AS (SELECT 1 + 10*floor((l_quantity - 1)/10) lo, count(*) n, avg(l_extendedprice) ap
+              FROM lineitem WHERE l_quantity >= 1 AND l_quantity < 51 GROUP BY 1)
+      SELECT dom.lo AS qty_bucket, coalesce(agg.n, 0) AS n, agg.ap AS avg_price
+      FROM dom LEFT JOIN agg USING (lo)
+      UNION ALL
+      SELECT NULL, count(*), avg(l_extendedprice) FROM lineitem
+        WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity >= 51
+      HAVING count(*) >= 0
+      ORDER BY qty_bucket NULLS LAST""")),
+
+    "q_edges_default_topk" -> (jx("""{
+      "from": "events",
+      "edges": [{
+        "name": "etype", "value": "event_type", "allowNulls": true,
+        "domain": {"type": "default", "limit": 3}
+      }],
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}]
+    }"""), Some("""
+      WITH topk AS (SELECT event_type v, count(*) n, CAST(row_number() OVER (ORDER BY count(*) DESC, event_type) - 1 AS INT) i
+                    FROM events WHERE event_type IS NOT NULL GROUP BY 1
+                    ORDER BY count(*) DESC, event_type LIMIT 3)
+      SELECT etype, n FROM (
+        SELECT v AS etype, n, i AS ord FROM topk
+        UNION ALL
+        SELECT NULL, count(*), 99 FROM events
+          WHERE event_type IS NULL OR event_type NOT IN (SELECT v FROM topk)
+      ) ORDER BY ord""")),
+
+    "q_edges_2d" -> (jx("""{
+      "from": "lineitem",
+      "edges": [
+        {"name": "flag", "value": "l_returnflag", "allowNulls": false,
+         "domain": {"type": "set", "partitions": ["A", "N", "R"]}},
+        {"name": "qty_bucket", "value": "l_quantity", "allowNulls": false,
+         "domain": {"type": "range", "min": 1, "max": 51, "interval": 25}}
+      ],
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}]
+    }"""), Some("""
+      WITH flags(fi, flag) AS (VALUES (0,'A'),(1,'N'),(2,'R')),
+      buckets AS (SELECT CAST(generate_series AS DOUBLE) lo, CAST(row_number() OVER () - 1 AS INT) bi
+                  FROM generate_series(1, 26, 25)),
+      agg AS (SELECT l_returnflag f, 1 + 25*floor((l_quantity-1)/25) lo, count(*) n
+              FROM lineitem WHERE l_quantity >= 1 AND l_quantity < 51 GROUP BY 1, 2)
+      SELECT flags.flag, buckets.lo AS qty_bucket, coalesce(agg.n, 0) AS n
+      FROM flags CROSS JOIN buckets LEFT JOIN agg ON agg.f = flags.flag AND agg.lo = buckets.lo
+      ORDER BY flags.fi, buckets.bi""")),
+
+    "q_edges_where_parts" -> (jx("""{
+      "from": "orders",
+      "edges": [{
+        "name": "size", "allowNulls": true,
+        "domain": {"type": "set", "partitions": [
+          {"name": "small",  "where": {"lt": {"o_totalprice": 50000}}},
+          {"name": "medium", "where": {"and": [{"gte": {"o_totalprice": 50000}}, {"lt": {"o_totalprice": 200000}}]}},
+          {"name": "large",  "where": {"gte": {"o_totalprice": 200000}}}
+        ]}
+      }],
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}]
+    }"""), Some("""
+      WITH dom(i, size) AS (VALUES (0,'small'),(1,'medium'),(2,'large')),
+      agg AS (SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                          WHEN o_totalprice >= 50000 AND o_totalprice < 200000 THEN 'medium'
+                          WHEN o_totalprice >= 200000 THEN 'large' END s, count(*) n
+              FROM orders GROUP BY 1)
+      SELECT size, n FROM (
+        SELECT dom.size, coalesce(agg.n, 0) AS n, dom.i AS ord
+        FROM dom LEFT JOIN agg ON dom.size = agg.s
+        UNION ALL SELECT NULL, coalesce(sum(n), 0), 99 FROM agg WHERE s IS NULL
+      ) ORDER BY ord""")),
+
+    "q_edges_interval_overlap" -> (jx("""{
+      "from": "lineitem",
+      "edges": [{
+        "name": "span", "allowNulls": false,
+        "range": {"min": "l_quantity", "max": {"add": ["l_quantity", 15]}},
+        "domain": {"type": "range", "min": 1, "max": 51, "interval": 10}
+      }],
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}]
+    }"""), Some("""
+      WITH dom AS (SELECT CAST(generate_series AS DOUBLE) lo, CAST(generate_series + 10 AS DOUBLE) hi,
+                          CAST(row_number() OVER () - 1 AS INT) i
+                   FROM generate_series(1, 41, 10))
+      SELECT dom.lo AS span, count(l.l_orderkey) AS n
+      FROM dom LEFT JOIN lineitem l ON l.l_quantity < dom.hi AND l.l_quantity + 15 > dom.lo
+      GROUP BY dom.lo, dom.i ORDER BY dom.i""")),
+
+    // =====================================================================
+    // §2.2/§2.6 setop pipeline: filter, sort, select, limit
+    // =====================================================================
+    "q_setop_filter_sort" -> (jx("""{
+      "from": "orders",
+      "select": [
+        {"name": "o_orderkey", "value": "o_orderkey"},
+        {"name": "o_totalprice", "value": "o_totalprice"},
+        {"name": "o_orderpriority", "value": "o_orderpriority"}
+      ],
+      "where": {"and": [
+        {"gt": {"o_totalprice": 100000}},
+        {"eq": {"o_orderstatus": "F"}}
+      ]},
+      "sort": [{"value": "o_totalprice", "sort": -1}, "o_orderkey"],
+      "limit": 100
+    }"""), Some("""
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_totalprice > 100000 AND o_orderstatus = 'F'
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    "q_setop_in_range" -> (jx("""{
+      "from": "lineitem",
+      "select": ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"],
+      "where": {"and": [
+        {"in": {"l_returnflag": ["A", "R"]}},
+        {"range": {"l_quantity": {"gte": 45, "lt": 48}}},
+        {"ne": {"l_linestatus": "O"}}
+      ]},
+      "sort": ["l_orderkey", "l_linenumber"],
+      "limit": 10000
+    }"""), Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      FROM lineitem
+      WHERE l_returnflag IN ('A','R') AND l_quantity >= 45 AND l_quantity < 48
+        AND l_linestatus <> 'O'
+      ORDER BY l_orderkey, l_linenumber LIMIT 10000""")),
+
+    // =====================================================================
+    // §2.7 expression operators
+    // =====================================================================
+    "q_expr_string" -> (jx("""{
+      "from": "part",
+      "select": [
+        {"name": "p_partkey", "value": "p_partkey"},
+        {"name": "first5", "value": {"left": {"p_name": 5}}},
+        {"name": "last3", "value": {"right": {"p_name": 3}}},
+        {"name": "after5", "value": {"not_left": {"p_name": 5}}},
+        {"name": "trimmed", "value": {"not_right": {"p_name": 2}}},
+        {"name": "name_len", "value": {"length": "p_name"}},
+        {"name": "pos_iv", "value": {"find": {"p_name": "iv"}}},
+        {"name": "branded", "value": {"concat": ["p_brand", "p_type"], "separator": "-"}},
+        {"name": "is_std", "value": {"prefix": {"p_type": "STANDARD"}}},
+        {"name": "ends_ss", "value": {"suffix": {"p_name": "s"}}}
+      ],
+      "sort": ["p_partkey"],
+      "limit": 10000
+    }"""), Some("""
+      SELECT p_partkey,
+        substr(p_name, 1, 5) AS first5,
+        right(p_name, 3) AS last3,
+        substr(p_name, 6) AS after5,
+        substr(p_name, 1, greatest(length(p_name) - 2, 0)) AS trimmed,
+        length(p_name) AS name_len,
+        CAST(nullif(strpos(p_name, 'iv'), 0) - 1 AS BIGINT) AS pos_iv,
+        concat_ws('-', p_brand, p_type) AS branded,
+        starts_with(p_type, 'STANDARD') AS is_std,
+        ends_with(p_name, 's') AS ends_ss
+      FROM part ORDER BY p_partkey LIMIT 10000""")),
+
+    "q_expr_math" -> (jx("""{
+      "from": "lineitem",
+      "select": [
+        {"name": "l_orderkey", "value": "l_orderkey"},
+        {"name": "l_linenumber", "value": "l_linenumber"},
+        {"name": "bucket", "value": {"floor": ["l_extendedprice", 100]}},
+        {"name": "modk", "value": {"mod": ["l_partkey", 7]}},
+        {"name": "powd", "value": {"exp": ["l_discount", 2]}},
+        {"name": "divd", "value": {"div": ["l_extendedprice", "l_quantity"]}},
+        {"name": "divz", "value": {"div": ["l_quantity", {"sub": ["l_partkey", "l_partkey"]}], "default": {"literal": -1.0}}},
+        {"name": "addn", "value": {"add": ["l_tax", "l_discount"], "nulls": true}},
+        {"name": "gmax", "value": {"max": ["l_tax", "l_discount"]}},
+        {"name": "revenue", "value": {"mul": ["l_extendedprice", {"sub": [1, "l_discount"]}]}}
+      ],
+      "where": {"lte": {"l_orderkey": 2000}},
+      "sort": ["l_orderkey", "l_linenumber"],
+      "limit": 10000
+    }"""), Some("""
+      SELECT l_orderkey, l_linenumber,
+        CAST(floor(l_extendedprice/100)*100 AS BIGINT) AS bucket,
+        l_partkey % 7 AS modk,
+        power(l_discount, 2) AS powd,
+        l_extendedprice / l_quantity AS divd,
+        CAST(-1.0 AS DOUBLE) AS divz,
+        l_tax + l_discount AS addn,
+        greatest(l_tax, l_discount) AS gmax,
+        l_extendedprice * (1 - l_discount) AS revenue
+      FROM lineitem WHERE l_orderkey <= 2000
+      ORDER BY l_orderkey, l_linenumber LIMIT 10000""")),
+
+    "q_expr_when_case" -> (jx("""{
+      "from": "orders",
+      "select": [
+        {"name": "o_orderkey", "value": "o_orderkey"},
+        {"name": "heat", "value": {"case": [
+          {"when": {"eq": {"o_orderpriority": "1-URGENT"}}, "then": {"literal": "hot"}},
+          {"when": {"prefix": {"o_orderpriority": "2"}}, "then": {"literal": "warm"}},
+          {"literal": "cold"}
+        ]}},
+        {"name": "is_final", "value": {"when": {"in": {"o_orderstatus": ["F", "P"]}}, "then": 1, "else": 0}},
+        {"name": "big_price", "value": {"when": {"gt": {"o_totalprice": 200000}}, "then": "o_totalprice"}},
+        {"name": "has_big", "value": {"exists": {"when": {"gt": {"o_totalprice": 200000}}, "then": "o_totalprice"}}},
+        {"name": "no_big", "value": {"missing": {"when": {"gt": {"o_totalprice": 200000}}, "then": "o_totalprice"}}}
+      ],
+      "where": {"lte": {"o_orderkey": 5000}},
+      "sort": ["o_orderkey"],
+      "limit": 10000
+    }"""), Some("""
+      SELECT o_orderkey,
+        CASE WHEN o_orderpriority = '1-URGENT' THEN 'hot'
+             WHEN starts_with(o_orderpriority, '2') THEN 'warm'
+             ELSE 'cold' END AS heat,
+        CASE WHEN o_orderstatus IN ('F','P') THEN 1 ELSE 0 END AS is_final,
+        CASE WHEN o_totalprice > 200000 THEN o_totalprice END AS big_price,
+        (CASE WHEN o_totalprice > 200000 THEN o_totalprice END) IS NOT NULL AS has_big,
+        (CASE WHEN o_totalprice > 200000 THEN o_totalprice END) IS NULL AS no_big
+      FROM orders WHERE o_orderkey <= 5000 ORDER BY o_orderkey LIMIT 10000""")),
+
+    "q_null_semantics" -> (jx("""{
+      "from": "orders",
+      "select": [
+        {"name": "o_orderkey", "value": "o_orderkey"},
+        {"name": "eq_decisive", "value": {"eq": [{"when": {"gt": {"o_totalprice": 150000}}, "then": "o_orderstatus"}, {"literal": "F"}]}},
+        {"name": "both_missing", "value": {"eq": [{"when": {"gt": {"o_totalprice": 150000}}, "then": "o_orderstatus"}, {"null": {}}]}},
+        {"name": "ne_decisive", "value": {"ne": [{"when": {"gt": {"o_totalprice": 150000}}, "then": "o_orderstatus"}, {"literal": "F"}]}},
+        {"name": "gt_missing_false", "value": {"gt": [{"when": {"eq": {"o_orderstatus": "X"}}, "then": "o_totalprice"}, 0]}},
+        {"name": "coal", "value": {"coalesce": [{"when": {"gt": {"o_totalprice": 150000}}, "then": "o_orderstatus"}, {"literal": "none"}]}},
+        {"name": "add_strict", "value": {"add": ["o_totalprice", {"when": {"eq": {"o_orderstatus": "X"}}, "then": 1}]}},
+        {"name": "add_nulls", "value": {"add": ["o_totalprice", {"when": {"eq": {"o_orderstatus": "X"}}, "then": 1}], "nulls": true}}
+      ],
+      "where": {"lte": {"o_orderkey": 3000}},
+      "sort": ["o_orderkey"],
+      "limit": 10000
+    }"""), Some("""
+      SELECT o_orderkey,
+        (CASE WHEN o_totalprice > 150000 THEN o_orderstatus END) IS NOT DISTINCT FROM 'F' AS eq_decisive,
+        (CASE WHEN o_totalprice > 150000 THEN o_orderstatus END) IS NOT DISTINCT FROM NULL AS both_missing,
+        (CASE WHEN o_totalprice > 150000 THEN o_orderstatus END) IS DISTINCT FROM 'F' AS ne_decisive,
+        coalesce((CASE WHEN o_orderstatus = 'X' THEN o_totalprice END) > 0, false) AS gt_missing_false,
+        coalesce(CASE WHEN o_totalprice > 150000 THEN o_orderstatus END, 'none') AS coal,
+        o_totalprice + (CASE WHEN o_orderstatus = 'X' THEN 1 END) AS add_strict,
+        CASE WHEN o_totalprice IS NULL AND (CASE WHEN o_orderstatus = 'X' THEN 1 END) IS NULL THEN NULL
+             ELSE coalesce(o_totalprice, 0) + coalesce(CASE WHEN o_orderstatus = 'X' THEN 1 END, 0) END AS add_nulls
+      FROM orders WHERE o_orderkey <= 3000 ORDER BY o_orderkey LIMIT 10000""")),
+
+    "q_expr_regex_split" -> (jx("""{
+      "from": "part",
+      "select": [
+        {"name": "p_partkey", "value": "p_partkey"},
+        {"name": "is_brass", "value": {"regex": {"p_type": ".*BRASS"}}},
+        {"name": "first_word", "value": {"get": [{"split": {"p_type": " "}}, 0]}},
+        {"name": "last_word", "value": {"last": {"split": {"p_type": " "}}}}
+      ],
+      "sort": ["p_partkey"],
+      "limit": 10000
+    }"""), Some("""
+      SELECT p_partkey,
+        regexp_full_match(p_type, '.*BRASS') AS is_brass,
+        split_part(p_type, ' ', 1) AS first_word,
+        string_split(p_type, ' ')[-1] AS last_word
+      FROM part ORDER BY p_partkey LIMIT 10000""")),
+
+    "q_expr_date" -> (jx("""{
+      "from": "orders",
+      "select": [
+        {"name": "o_orderkey", "value": "o_orderkey"},
+        {"name": "epoch_s", "value": {"integer": {"unix": "o_orderdate"}}},
+        {"name": "back", "value": {"from_unix": {"unix": "o_orderdate"}}}
+      ],
+      "where": {"and": [
+        {"gte": ["o_orderdate", {"date": "1998-06-01"}]},
+        {"lt": ["o_orderdate", {"date": "1998-08-01"}]}
+      ]},
+      "sort": ["o_orderkey"],
+      "limit": 10000
+    }"""), Some("""
+      SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+             o_orderdate AS back
+      FROM orders
+      WHERE o_orderdate >= '1998-06-01' AND o_orderdate < '1998-08-01'
+      ORDER BY o_orderkey LIMIT 10000""")),
+
+    "q_expr_between" -> (jx("""{
+      "from": "part",
+      "select": [
+        {"name": "p_partkey", "value": "p_partkey"},
+        {"name": "mid", "value": {"between": {"p_type": ["STANDARD ", " BRASS"]}}}
+      ],
+      "sort": ["p_partkey"],
+      "limit": 10000
+    }"""), Some("""
+      SELECT p_partkey,
+        CASE WHEN strpos(p_type, 'STANDARD ') > 0
+              AND strpos(substr(p_type, strpos(p_type, 'STANDARD ') + 9), ' BRASS') > 0
+             THEN substr(p_type, strpos(p_type, 'STANDARD ') + 9,
+                  strpos(substr(p_type, strpos(p_type, 'STANDARD ') + 9), ' BRASS') - 1)
+        END AS mid
+      FROM part ORDER BY p_partkey LIMIT 10000""")),
+
+    // =====================================================================
+    // §2.5 window clauses
+    // =====================================================================
+    "q_window_rank" -> (jx("""{
+      "from": "orders",
+      "window": [{
+        "name": "rn", "value": "rownum",
+        "edges": ["o_orderstatus"],
+        "sort": [{"value": "o_totalprice", "sort": -1}, "o_orderkey"]
+      }],
+      "select": ["o_orderkey", "o_orderstatus", "o_totalprice", "rn"],
+      "where": {"lte": {"o_orderkey": 4000}},
+      "sort": ["o_orderkey"],
+      "limit": 10000
+    }"""), Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+        CAST(row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) - 1 AS INT) AS rn
+      FROM orders WHERE o_orderkey <= 4000
+      ORDER BY o_orderkey LIMIT 10000""")),
+
+    "q_window_sliding" -> (jx("""{
+      "from": "events",
+      "window": [{
+        "name": "run3", "value": "value", "aggregate": "sum",
+        "edges": ["user_id"],
+        "sort": ["event_id"],
+        "range": {"min": -2, "max": 1}
+      }],
+      "select": ["event_id", "user_id", "value", "run3"],
+      "sort": ["event_id"],
+      "limit": 10000
+    }"""), Some("""
+      SELECT event_id, user_id, value,
+        sum(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS run3
+      FROM events ORDER BY event_id LIMIT 10000""")),
+
+    "q_window_neighbors" -> (jx("""{
+      "from": "events",
+      "window": [{
+        "name": "prev_value", "value": {"rows": ["value", -1]},
+        "edges": ["user_id"], "sort": ["event_id"]
+      }, {
+        "name": "next_type", "value": {"rows": ["event_type", 1]},
+        "edges": ["user_id"], "sort": ["event_id"]
+      }, {
+        "name": "cum_total", "value": "value", "aggregate": "sum",
+        "edges": ["user_id"], "sort": ["event_id"]
+      }],
+      "select": ["event_id", "user_id", "prev_value", "next_type", "cum_total"],
+      "sort": ["event_id"],
+      "limit": 10000
+    }"""), Some("""
+      SELECT event_id, user_id,
+        lag(value) OVER w AS prev_value,
+        lead(event_type) OVER w AS next_type,
+        sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_total
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      ORDER BY event_id LIMIT 10000"""))
+  )
+
+  def queries: Map[String, Q] = catalog.map { case (k, (q, _)) => k -> q }
+  def oracles: Map[String, String] = catalog.collect { case (k, (_, Some(o))) => k -> o.trim }
+}

@@ -129,11 +129,11 @@ object JxCompiler {
       }
       withDefault(res, default, ctx)
     case DivOp(l, r, default) =>
-      // Spark non-ANSI division yields null on /0, matching JX "missing"
-      withDefault(compile(l, ctx) / compile(r, ctx), default, ctx)
+      // try_divide: /0 → null ("missing") under ANSI and non-ANSI alike
+      withDefault(try_divide(compile(l, ctx), compile(r, ctx)), default, ctx)
     case FloorOp(l, r) =>
       val (a, b) = (compile(l, ctx), compile(r, ctx))
-      floor(a / b) * b
+      floor(try_divide(a, b)) * b
     case MaxOp(terms) =>
       if (terms.size == 1) compile(terms.head, ctx)
       else greatest(terms.map(compile(_, ctx)): _*)
@@ -269,7 +269,10 @@ object DateMath {
 
   def parseAt(spec: String, now: Instant): java.sql.Timestamp = {
     val s = spec.trim
-    // split base and +/- operations
+    // whole string may already be a date (ISO dates contain '-')
+    try return java.sql.Timestamp.from(parseBase(s, now))
+    catch { case _: Exception => }
+    // else split base and +/- duration operations
     val parts = s.split("(?=[+-])").toSeq
     val base = parseBase(parts.head.trim, now)
     val result = parts.tail.foldLeft(base) { (t, op) =>

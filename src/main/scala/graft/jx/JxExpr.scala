@@ -183,8 +183,22 @@ object JxExpr {
     case other => throw new IllegalArgumentException(s"expected binary args, got $other")
   }
 
-  private def optExpr(fields: Map[String, JValue], key: String): JxExpr =
-    fields.get(key).map(parse).getOrElse(NullOp)
+  /** Literal unless it's an operator object. */
+  private def litOrExpr(v: JValue): JxExpr = v match {
+    case o: JObject => parse(o)
+    case JNull      => NullOp
+    case other      => Lit(rawValue(other))
+  }
+
+  /** `default`/`separator` and similar option fields hold LITERALS
+    * (a bare string there is a value, not a variable); objects are
+    * still parsed as expressions. */
+  private def optLiteral(fields: Map[String, JValue], key: String): JxExpr =
+    fields.get(key).map {
+      case o: JObject => parse(o)
+      case JNull      => NullOp
+      case v          => Lit(rawValue(v))
+    }.getOrElse(NullOp)
 
   private def parseOp(op: String, arg: JValue, fields: Map[String, JValue]): JxExpr = op match {
     case "literal" => Lit(rawValue(arg))
@@ -236,16 +250,16 @@ object JxExpr {
     case "is_integer" => IsTypeOp("integer", parse(arg))
     case "is_number" => IsTypeOp("number", parse(arg))
     case "is_string" => IsTypeOp("string", parse(arg))
-    case "add" | "sum" => MultiOp("add", termList(arg), parseNulls(fields), optExpr(fields, "default"))
-    case "mul" | "mult" | "multiply" => MultiOp("mul", termList(arg), parseNulls(fields), optExpr(fields, "default"))
+    case "add" | "sum" => MultiOp("add", termList(arg), parseNulls(fields), optLiteral(fields, "default"))
+    case "mul" | "mult" | "multiply" => MultiOp("mul", termList(arg), parseNulls(fields), optLiteral(fields, "default"))
     case "sub" | "subtract" | "minus" =>
-      val (l, r) = binaryArgs(arg); BinaryOp("sub", l, r, optExpr(fields, "default"))
+      val (l, r) = binaryArgs(arg); BinaryOp("sub", l, r, optLiteral(fields, "default"))
     case "exp" =>
-      val (l, r) = binaryArgs(arg); BinaryOp("exp", l, r, optExpr(fields, "default"))
+      val (l, r) = binaryArgs(arg); BinaryOp("exp", l, r, optLiteral(fields, "default"))
     case "mod" =>
-      val (l, r) = binaryArgs(arg); BinaryOp("mod", l, r, optExpr(fields, "default"))
+      val (l, r) = binaryArgs(arg); BinaryOp("mod", l, r, optLiteral(fields, "default"))
     case "div" | "divide" =>
-      val (l, r) = binaryArgs(arg); DivOp(l, r, optExpr(fields, "default"))
+      val (l, r) = binaryArgs(arg); DivOp(l, r, optLiteral(fields, "default"))
     case "floor" => arg match {
       case JArray(List(a, b)) => FloorOp(parse(a), parse(b))
       case JObject(List((k, x))) => FloorOp(Variable(k), Lit(rawValue(x)))
@@ -263,14 +277,15 @@ object JxExpr {
       val (l, r) = binaryArgs(arg); SubstrOp(op, l, r)
     case "find" | "instr" =>
       val (l, r) = binaryArgs(arg)
-      FindOp(l, r, fields.get("start").map(parse).getOrElse(Lit(0L)), optExpr(fields, "default"))
+      FindOp(l, r, fields.get("start").map(parse).getOrElse(Lit(0L)), optLiteral(fields, "default"))
     case "between" => arg match {
+      // prefix/suffix are literal strings (or integer indexes), not variables
       case JObject(List((k, JArray(List(p, s))))) =>
-        BetweenOp(Variable(k), parse(p), parse(s),
-          fields.get("start").map(parse).getOrElse(Lit(0L)), optExpr(fields, "default"))
+        BetweenOp(Variable(k), litOrExpr(p), litOrExpr(s),
+          fields.get("start").map(parse).getOrElse(Lit(0L)), optLiteral(fields, "default"))
       case JArray(List(v, p, s)) =>
-        BetweenOp(parse(v), parse(p), parse(s),
-          fields.get("start").map(parse).getOrElse(Lit(0L)), optExpr(fields, "default"))
+        BetweenOp(parse(v), litOrExpr(p), litOrExpr(s),
+          fields.get("start").map(parse).getOrElse(Lit(0L)), optLiteral(fields, "default"))
       case other => throw new IllegalArgumentException(s"between: $other")
     }
     case "prefix" =>
@@ -278,8 +293,9 @@ object JxExpr {
     case "suffix" | "postfix" =>
       val (l, r) = binaryArgs(arg); SuffixOp(l, r)
     case "concat" =>
-      ConcatOp(termList(arg), fields.get("separator").map(parse).getOrElse(Lit("")),
-        optExpr(fields, "default"))
+      ConcatOp(termList(arg), optLiteral(fields, "separator") match {
+        case NullOp => Lit(""); case s => s
+      }, optLiteral(fields, "default"))
     case "regex" | "regexp" =>
       val (l, r) = binaryArgs(arg); RegExpOp(l, r)
     case "split" =>
@@ -308,7 +324,7 @@ object JxExpr {
       case other => throw new IllegalArgumentException(s"select: $other")
     }
     case "when" =>
-      WhenOp(parse(arg), optExpr(fields, "then"), optExpr(fields, "else"))
+      WhenOp(parse(arg), fields.get("then").map(parse).getOrElse(NullOp), fields.get("else").map(parse).getOrElse(NullOp))
     case "case" => arg match {
       case JArray(items) =>
         val parsed = items.map(parse)

@@ -171,6 +171,11 @@ object QueryRunner {
           .otherwise(max(v))
       case "first"       => first(v, ignoreNulls = true)
       case "last"        => last(v, ignoreNulls = true)
+      // population variance/stddev, matching the reference STATS templates
+      // (vendor/jx_sqlite/__init__.py:157-167: (1-1/n)*VARIANCE = var_pop)
+      case "var"         => var_pop(v)
+      case "std"         => stddev_pop(v)
+      case "sos"         => sum(v * v)
       case "stats"       =>
         // struct per reference STATS template (vendor/jx_sqlite/__init__.py:157-167)
         struct(
