@@ -1,0 +1,155 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, Path}
+
+/**
+ * Incremental snowflake extract: filter the fact table past the watermark,
+ * assemble nested documents, stamp batch coordinates + lineage, write
+ * gzip NDJSON partitioned by batch key, then advance the watermark —
+ * at-least-once, idempotent by key overwrite
+ * (reference: mysql_to_s3/extract.py:92-254).
+ *
+ * The reference enumerates ids with a keyset-paginated driver loop and a
+ * thread pool; Spark-natively the whole increment is ONE distributed pass:
+ * predicate-pushdown scan → coordinate assignment → doc assembly →
+ * partitioned write. Batch coordinates reproduce the counter chain
+ * ([[DurationCounter]]/[[BatchCounter]]) exactly: the duration bucket is
+ * pure arithmetic; the in-bucket batch index is row_number()/size over
+ * (time, id) order, so a restart from the watermark yields identical keys
+ * (the tests/test_counters.py replay contract).
+ */
+case class ExtractConfig(
+    plan: SnowflakePlan,
+    /** optional leading time dimension, e.g. ("o_orderdate", day) */
+    timeField: Option[(String, DurationUnit)],
+    idField: String,
+    batchSize: Long,
+    /** epoch start of the time axis (reference `extract.start`) */
+    start: java.time.Instant,
+    destination: String,
+    lastFile: Path,
+    revision: String = "dev")
+
+case class ExtractResult(rows: Long, batches: Long, watermark: Watermark)
+
+case class Watermark(coords: Seq[Long], lastTime: Option[java.sql.Timestamp], lastId: Long)
+
+object Extract {
+
+  def run(spark: SparkSession, cfg: ExtractConfig, load: String => DataFrame): ExtractResult = {
+    val prev = readWatermark(cfg.lastFile)
+    val fact0 = load(cfg.plan.table)
+
+    // 1. incremental filter — strictly-increasing (time, id) keyset from the
+    //    watermark, pushed down to the scan (reference extract.py:156-183)
+    val fact = prev match {
+      case None => fact0
+      case Some(w) =>
+        cfg.timeField match {
+          case Some((tf, _)) =>
+            val t = w.lastTime.get
+            fact0.filter(col(tf) > lit(t) ||
+              (col(tf) === lit(t) && col(cfg.idField) > lit(w.lastId)))
+          case None => fact0.filter(col(cfg.idField) > lit(w.lastId))
+        }
+    }
+
+    // 2. batch coordinates
+    val withDur = cfg.timeField match {
+      case Some((tf, unit)) =>
+        val startFloor = unit.floor(cfg.start).getEpochSecond
+        val durKey = unit match {
+          case DurationUnit.Seconds(n) =>
+            floor((col(tf).cast("double") - lit(startFloor)) / lit(n)).cast("long")
+          case DurationUnit.Week =>
+            val days = floor(col(tf).cast("double") / lit(86400L))
+            floor((days + lit(4)) / lit(7)) - lit((Math.floorDiv(startFloor / 86400 + 4, 7L)))
+          case DurationUnit.Month =>
+            val zs = cfg.start.atZone(java.time.ZoneOffset.UTC)
+            (year(col(tf)) * 12 + month(col(tf))) - lit(zs.getYear * 12 + zs.getMonthValue)
+          case DurationUnit.Year =>
+            year(col(tf)) - lit(cfg.start.atZone(java.time.ZoneOffset.UTC).getYear)
+        }
+        fact.withColumn("__dur", durKey.cast("long"))
+      case None => fact.withColumn("__dur", lit(0L))
+    }
+    val order = cfg.timeField.map(t => col(t._1)).toSeq :+ col(cfg.idField)
+    val w = Window.partitionBy(col("__dur")).orderBy(order: _*)
+    val withBatch = withDur
+      .withColumn("__seq", row_number().over(w) - lit(1))
+      .withColumn("__batch", (col("__seq") / lit(cfg.batchSize)).cast("long"))
+
+    // 3. assemble docs for exactly these fact rows
+    val assembled = joinAssembled(cfg.plan, withBatch, load)
+
+    // 4. lineage envelope + partitioned gzip NDJSON write
+    //    (reference extract.py:208-242: one S3 object per batch key)
+    val docCols = assembled.columns.filterNot(Set("__dur", "__seq", "__batch"))
+    val docs = assembled.select(
+      struct(docCols.map(col).toIndexedSeq: _*).as(cfg.plan.table),
+      struct(
+        col("__seq").as("id"),
+        struct(lit(cfg.plan.table).as("table"),
+          concat_ws(".", col("__dur"), col("__batch")).as("key")).as("source"),
+        lit(cfg.revision).as("revision"),
+        (unix_timestamp() * lit(1.0)).as("timestamp")).as("etl"),
+      col("__dur").as("batch_t"), col("__batch").as("batch_i"))
+
+    docs.write.mode("overwrite")
+      .partitionBy("batch_t", "batch_i")
+      .option("compression", "gzip")
+      .json(cfg.destination)
+
+    // 5. watermark: advance only after a successful write (extract.py:254)
+    val agg = withBatch.agg(
+      count(lit(1)), max(col("__dur")), max(col("__batch")),
+      cfg.timeField.map(t => max(col(t._1))).getOrElse(lit(null)),
+      max(col(cfg.idField))).collect()(0)
+    val rows = agg.getLong(0)
+    val wm =
+      if (rows == 0) prev.getOrElse(Watermark(Seq(0, 0), None, Long.MinValue))
+      else Watermark(
+        Seq(agg.getLong(1), agg.getLong(2)),
+        Option(agg.get(3)).map(_.asInstanceOf[java.sql.Timestamp]),
+        agg.getLong(4))
+    writeWatermark(cfg.lastFile, wm)
+    val nBatches = if (rows == 0) 0L
+      else docs.select(countDistinct(col("batch_t"), col("batch_i"))).collect()(0).getLong(0)
+    ExtractResult(rows, nBatches, wm)
+  }
+
+  /** Assemble docs only for the given fact subset (keeps coordinate cols). */
+  private def joinAssembled(plan: SnowflakePlan, factSubset: DataFrame, load: String => DataFrame): DataFrame = {
+    val filteredLoad: String => DataFrame =
+      name => if (name == plan.table) factSubset.drop("__dur", "__seq", "__batch") else load(name)
+    val docs = DocAssembler.assemble(plan, filteredLoad)
+    docs.join(factSubset.select(col(plan.key), col("__dur"), col("__seq"), col("__batch")),
+      Seq(plan.key), "inner")
+  }
+
+  // -- watermark file: {"coords":[t,b], "lastTime":"...", "lastId":n} -------
+
+  def readWatermark(p: Path): Option[Watermark] =
+    if (!Files.exists(p)) None
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val j = JsonMethods.parse(Files.readString(p))
+      implicit val fmt: Formats = DefaultFormats
+      val coords = (j \ "coords").extract[Seq[Long]]
+      val lastId = (j \ "lastId").extract[Long]
+      val lastTime = (j \ "lastTime").extractOpt[String]
+        .map(s => java.sql.Timestamp.from(java.time.Instant.parse(s)))
+      Some(Watermark(coords, lastTime, lastId))
+    }
+
+  def writeWatermark(p: Path, w: Watermark): Unit = {
+    val t = w.lastTime.map(ts => "\"" + ts.toInstant.toString + "\"").getOrElse("null")
+    Files.createDirectories(p.toAbsolutePath.getParent)
+    Files.writeString(p,
+      s"""{"coords":[${w.coords.mkString(",")}],"lastTime":$t,"lastId":${w.lastId}}""")
+  }
+}

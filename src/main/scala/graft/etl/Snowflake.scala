@@ -1,0 +1,97 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Snowflake denormalization plan: a fact table, its many-to-one lookups
+ * (→ inner-object columns) and one-to-many children (→ nested arrays),
+ * recursively (reference: mysql_to_s3/snowflake_schema.py:288-513 discovers
+ * this graph from information_schema; here the plan is explicit and a JDBC
+ * metadata walk can synthesize it — see [[SchemaWalk]]).
+ *
+ * Scale design: lookups are broadcast joins (dimension tables are small);
+ * each nesting level costs one groupBy(parent key) + one left join — the
+ * canonical Spark nesting pattern, shuffling on the keys the data is
+ * usually already clustered by.
+ */
+case class SnowflakePlan(
+    table: String,
+    key: String,
+    lookups: Seq[Lookup] = Nil,
+    children: Seq[Child] = Nil,
+    /** like the reference `reference_only`: emit just this column's value
+      * instead of the whole lookup object (snowflake_schema.py:382-392) */
+    referenceOnly: Option[String] = None,
+    /** drop FK columns from output ("lean" docs, README.md show_foreign_keys) */
+    showForeignKeys: Boolean = true,
+    /** sentinel strings scrubbed to null (extract.py:266,280-282) */
+    nullValues: Seq[String] = Nil)
+
+/** many-to-one: fact.fk → lookup table's key; becomes struct column `as`. */
+case class Lookup(fk: String, as: String, plan: SnowflakePlan)
+
+/** one-to-many: child.fk → this table's key; becomes array column `as`. */
+case class Child(fk: String, as: String, plan: SnowflakePlan)
+
+object DocAssembler {
+
+  /** Assemble one row per `plan.table` row with lookups embedded as structs
+    * and children as (key-ordered) arrays of structs. */
+  def assemble(plan: SnowflakePlan, load: String => DataFrame): DataFrame = {
+    var df = scrub(load(plan.table), plan.nullValues)
+    val dropFks = scala.collection.mutable.ArrayBuffer[String]()
+
+    for (lk <- plan.lookups) {
+      val sub = assemble(lk.plan, load)
+      val docCols = sub.columns.filter(c => plan.showForeignKeys || c != lk.plan.key)
+      val payload: Column = lk.plan.referenceOnly match {
+        case Some(refCol) => col(refCol)
+        case None         => struct(docCols.map(col).toIndexedSeq: _*)
+      }
+      val keyed = sub.select(col(lk.plan.key).as(s"__${lk.as}_key"), payload.as(lk.as))
+      df = df.join(broadcast(keyed), df(lk.fk) === keyed(s"__${lk.as}_key"), "left")
+        .drop(s"__${lk.as}_key")
+      if (!plan.showForeignKeys) dropFks += lk.fk
+    }
+
+    for (ch <- plan.children) {
+      val sub = assemble(ch.plan, load)
+      // key first in the struct so array_sort orders children by key
+      val ordered = ch.plan.key +: sub.columns.filter(_ != ch.plan.key).toSeq
+      val visible = ordered.filter(c => plan.showForeignKeys || c != ch.fk)
+      val arr = sub.groupBy(col(ch.fk).as(s"__${ch.as}_key"))
+        .agg(array_sort(collect_list(struct(visible.map(col): _*))).as(ch.as))
+      df = df.join(arr, df(plan.key) === arr(s"__${ch.as}_key"), "left")
+        .drop(s"__${ch.as}_key")
+    }
+    if (!plan.showForeignKeys && dropFks.nonEmpty) df = df.drop(dropFks.toSeq: _*)
+    df
+  }
+
+  /** Replace configured sentinel strings with null in every string column. */
+  def scrub(df: DataFrame, nullValues: Seq[String]): DataFrame =
+    if (nullValues.isEmpty) df
+    else df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case StringType =>
+          d.withColumn(f.name, when(col(f.name).isin(nullValues: _*), lit(null)).otherwise(col(f.name)))
+        case _ => d
+      }
+    }
+
+  /** Wrap assembled rows as the reference's document envelope:
+    * {<fact_table>: {...}, etl: {id, source, revision, timestamp}}
+    * (reference: mysql_to_s3/extract.py:208-229). */
+  def withLineage(docs: DataFrame, factName: String, revision: String, batchIdCols: Seq[Column]): DataFrame = {
+    val docCols = docs.columns
+    docs.select(
+      struct(docCols.map(col).toIndexedSeq: _*).as(factName),
+      struct(
+        (batchIdCols :+
+          struct(lit(factName).as("table")).as("source") :+
+          lit(revision).as("revision") :+
+          (unix_timestamp() * 1.0).as("timestamp")): _*).as("etl"))
+  }
+}
