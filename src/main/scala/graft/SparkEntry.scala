@@ -33,10 +33,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_groupby_agg")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = QueryCatalog.queries
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data pipeline operators (dedup/similarity/text/multimodal). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueryCatalog.queries ++ TrainingCatalog.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = QueryCatalog.oracles
+  def oracleSql: Map[String, String] = QueryCatalog.oracles ++ TrainingCatalog.oracles
 }

@@ -1,0 +1,244 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/**
+ * Training-data pipeline operators as oracle-checked catalog entries:
+ * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash),
+ * similarity search over embeddings, text analysis, and multimodal
+ * metadata plumbing — run over the `documents` / `embeddings` tables.
+ *
+ * Oracles replicate each formula in DuckDB SQL. Where the operator
+ * depends on engine-native hashing (xxhash64: MinHash, SimHash, LSH
+ * signatures) the verified OUTPUT is still oracle-checkable when the
+ * verification step recomputes an exact measure (minhash_lsh → exact
+ * Jaccard); purely hash-valued outputs are rows-only.
+ */
+object TrainingCatalog {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def q(f: Q): Q = f
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    SparkEntry.loader(spark, dir)("documents")
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    SparkEntry.loader(spark, dir)("embeddings")
+
+  /** BPE pattern with the leading apostrophe SQL-escaped. */
+  private val BpeSql = "''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  private def lexSql(lang: String): String =
+    TextAnalysis.lexiconPattern(TextAnalysis.Lexicons.collectFirst { case (`lang`, ws) => ws }.get)
+
+  val catalog: Map[String, (Q, Option[String])] = Map(
+
+    // =====================================================================
+    // text analysis
+    // =====================================================================
+    "q_text_stats" -> (q((s, dir) => {
+      val t = col("text")
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).as("n_tok"),
+        TextAnalysis.bpeTokenCount(t).as("n_bpe"),
+        TextAnalysis.wordCharCount(t).as("n_wordchars"),
+        TextAnalysis.avgWordLen(t).as("avg_word_len"))
+    }), Some(s"""
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+        len(regexp_extract_all(text, '$BpeSql')) AS n_bpe,
+        length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_wordchars,
+        CASE WHEN n_tok > 0 THEN CAST(n_wordchars AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS avg_word_len
+      FROM documents ORDER BY doc_id""")),
+
+    "q_text_quality" -> (q((s, dir) => {
+      val t = col("text")
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.punctRatio(t).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(t, "en").as("stop_ratio"),
+        TextAnalysis.qualityScore(t).as("quality"))
+    }), Some(s"""
+      WITH m AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+          len(regexp_extract_all(lower(text), '${lexSql("en")}')) AS n_stop,
+          length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_wordchars,
+          length(text) AS n_chars
+        FROM documents)
+      SELECT doc_id,
+        CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio,
+        CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+        round(
+          least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.3
+          + (CASE WHEN n_tok > 0 AND CAST(n_wordchars AS DOUBLE) / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0
+                  THEN 1.0 ELSE 0.0 END) * 0.2
+          + least((CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0) * 0.3
+          + (1.0 - least((CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)) * 4.0, 1.0)) * 0.2,
+          6) AS quality
+      FROM m ORDER BY doc_id""")),
+
+    "q_text_langid" -> (q((s, dir) => {
+      val t = col("text")
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.langScore(t, "en").as("s_en"),
+        TextAnalysis.langScore(t, "fr").as("s_fr"),
+        TextAnalysis.langScore(t, "es").as("s_es"),
+        TextAnalysis.langScore(t, "de").as("s_de"),
+        TextAnalysis.cjkCount(t).as("s_zh"),
+        TextAnalysis.langId(t).as("lang_pred"))
+    }), Some(s"""
+      WITH m AS (
+        SELECT doc_id,
+          len(regexp_extract_all(lower(text), '${lexSql("en")}')) AS s_en,
+          len(regexp_extract_all(lower(text), '${lexSql("fr")}')) AS s_fr,
+          len(regexp_extract_all(lower(text), '${lexSql("es")}')) AS s_es,
+          len(regexp_extract_all(lower(text), '${lexSql("de")}')) AS s_de,
+          len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh
+        FROM documents)
+      SELECT doc_id, s_en, s_fr, s_es, s_de, s_zh,
+        CASE WHEN s_en + s_fr + s_es + s_de + s_zh = 0 THEN 'und'
+             WHEN s_zh > 0 THEN 'zh'
+             WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+             WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+             WHEN s_es >= s_de THEN 'es'
+             ELSE 'de' END AS lang_pred
+      FROM m ORDER BY doc_id""")),
+
+    "q_text_fingerprint" -> (q((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    ), Some("""
+      SELECT doc_id,
+        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents ORDER BY doc_id""")),
+
+    // =====================================================================
+    // deduplication
+    // =====================================================================
+    "q_dedup_exact" -> (q((s, dir) =>
+      Dedup.exactGroups(docs(s, dir), "doc_id", "text")
+    ), Some("""
+      SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+             count(*) AS n_copies, min(doc_id) AS keep_id
+      FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    "q_dedup_jaccard" -> (q((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
+    ), Some(JaccardOracleSql)),
+
+    // MinHash-LSH discovers candidates by band-hash bucketing, then
+    // verifies with exact Jaccard. At 128 hashes / 32 bands a j>=0.8 pair
+    // escapes with P < 1e-7, so the verified output equals the exact
+    // all-pairs result on this data (near-dup pairs here have j >= 0.9).
+    "q_dedup_minhash_lsh" -> (q((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        n = 3, numHashes = 128, bands = 32, threshold = 0.5)
+    ), Some(JaccardOracleSql)),
+
+    // SimHash output is engine-hash-valued → rows-only check here;
+    // recall of planted near-dups is asserted in DedupSpec.
+    "q_dedup_simhash" -> (q((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 8)
+    ), None),
+
+    "q_dedup_embedding" -> (q((s, dir) =>
+      Similarity.cosinePairs(embs(s, dir), threshold = 0.45)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+    ), Some("""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS sim
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+        AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.45
+      ORDER BY 1, 2""")),
+
+    // =====================================================================
+    // similarity search
+    // =====================================================================
+    "q_sim_topk" -> (q((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 20), k = 5)
+        .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 6).as("sim"))
+    }), Some("""
+      WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings WHERE vec_id < 20),
+      c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_vec FROM embeddings),
+      s AS (SELECT q_id, n_id, list_cosine_similarity(q_vec, n_vec) AS sim
+            FROM q, c WHERE q_id <> n_id),
+      r AS (SELECT q_id, n_id, sim,
+                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
+            FROM s)
+      SELECT q_id, rank, n_id, round(sim, 6) AS sim FROM r WHERE rank <= 5
+      ORDER BY q_id, rank""")),
+
+    // LSH-bucketed ANN: approximate (bucket recall measured in SimilaritySpec
+    // against the brute-force baseline) → rows-only check.
+    "q_sim_lsh_topk" -> (q((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.lshTopK(e, e.where(col("vec_id") < 20), k = 5, planes = 4, tables = 8)
+        .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 6).as("sim"))
+    }), None),
+
+    // =====================================================================
+    // multimodal (payload plumbing; decode is a deterministic STUB)
+    // =====================================================================
+    "q_multimodal_meta" -> (q((s, dir) => {
+      val withBin = Multimodal.withPayload(docs(s, dir), "text")
+      val meta = Multimodal.imageMeta(col("content"))
+      withBin.select(
+        col("doc_id"),
+        meta.getField("byte_len").as("byte_len"),
+        meta.getField("width").as("width"),
+        meta.getField("height").as("height"),
+        Multimodal.resizeMeta(meta, 128).getField("width").as("rs_width"),
+        Multimodal.resizeMeta(meta, 128).getField("height").as("rs_height"),
+        size(Multimodal.frameOffsets(col("content"), 2)).as("n_sampled_frames"))
+    }), Some("""
+      WITH m AS (
+        SELECT doc_id, octet_length(encode(text)) AS byte_len,
+               octet_length(encode(text)) % 241 + 16 AS width,
+               (octet_length(encode(text)) * 7) % 241 + 16 AS height,
+               octet_length(encode(text)) % 7 + 1 AS n_frames
+        FROM documents)
+      SELECT doc_id, byte_len, width, height,
+             CAST(width * 128 AS DOUBLE) / CAST(greatest(width, height) AS DOUBLE) AS rs_width,
+             CAST(height * 128 AS DOUBLE) / CAST(greatest(width, height) AS DOUBLE) AS rs_height,
+             CAST((n_frames + 1) // 2 AS INT) AS n_sampled_frames
+      FROM m ORDER BY doc_id"""))
+  )
+
+  /** Exact word-trigram Jaccard pairs at threshold 0.5 — the oracle for
+    * both the exact operator and the (verified) MinHash-LSH operator. */
+  private lazy val JaccardOracleSql: String = """
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(
+          [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) AS s
+        FROM toks WHERE len(t) >= 3),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.5
+      ORDER BY 1, 2"""
+
+  def queries: Map[String, Q] = catalog.map { case (k, (q, _)) => k -> q }
+  def oracles: Map[String, String] = catalog.collect { case (k, (_, Some(o))) => k -> o.trim }
+}

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * tokenization counts, quality scoring, language identification, and
+ * document fingerprinting.
+ *
+ * Everything here is pure `Column` algebra (whole-stage-codegen'd, no
+ * UDFs), so at 100 TB these run inside the scan stage with zero shuffle:
+ * each operator is a per-row projection the optimizer can pipeline with
+ * filters and column pruning.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokens of the trimmed text; blank → empty array, null → null. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish regex tokenizer (GPT-2-style contractions + letter runs +
+    * digit runs + punctuation runs); count of non-overlapping matches. */
+  val BpeTokenPattern = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeTokenPattern)).cast("long")
+
+  def charCount(text: Column): Column = length(text).cast("long")
+
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("long")
+
+  def digitCount(text: Column): Column =
+    regexp_count(text, lit("[0-9]")).cast("long")
+
+  /** Non-whitespace character count (the mass of the words). */
+  def wordCharCount(text: Column): Column =
+    length(regexp_replace(trim(text), "\\s+", "")).cast("long")
+
+  def avgWordLen(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n > 0, wordCharCount(text).cast("double") / n.cast("double"))
+  }
+
+  def punctRatio(text: Column): Column =
+    punctCount(text).cast("double") / greatest(charCount(text), lit(1L)).cast("double")
+
+  // -- language ID (stopword-lexicon heuristic) ---------------------------
+
+  /** Tiny per-language function-word lexicons; matching is whole-word on
+    * lowercased text. CJK presence is scored by character class. */
+  val Lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "as", "was", "on", "are"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "est", "dans", "que", "pour", "sur", "avec", "au"),
+    "es" -> Seq("el", "los", "las", "y", "en", "que", "un", "una", "es", "por", "con", "para", "del", "se"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "eine", "zu", "im", "auf", "nicht"))
+
+  def lexiconPattern(words: Seq[String]): String = "\\b(" + words.mkString("|") + ")\\b"
+
+  def langScore(text: Column, lang: String): Column = {
+    val words = Lexicons.collectFirst { case (`lang`, ws) => ws }.get
+    regexp_count(lower(text), lit(lexiconPattern(words))).cast("long")
+  }
+
+  /** CJK (Han) character count — decisive evidence for zh. */
+  def cjkCount(text: Column): Column =
+    regexp_count(text, lit("[一-鿿]")).cast("long")
+
+  /** Argmax over language scores with a fixed tie-break order
+    * (zh-if-any-CJK > en > fr > es > de); no evidence → "und". */
+  def langId(text: Column): Column = {
+    val en = langScore(text, "en"); val fr = langScore(text, "fr")
+    val es = langScore(text, "es"); val de = langScore(text, "de")
+    val zh = cjkCount(text)
+    when(en + fr + es + de + zh === 0, lit("und"))
+      .when(zh > 0, lit("zh"))
+      .when(en >= fr && en >= es && en >= de, lit("en"))
+      .when(fr >= es && fr >= de, lit("fr"))
+      .when(es >= de, lit("es"))
+      .otherwise(lit("de"))
+  }
+
+  /** Ratio of (per-language) stopwords to tokens. */
+  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    val n = tokenCount(text)
+    when(n > 0, langScore(text, lang).cast("double") / n.cast("double")).otherwise(lit(0.0))
+  }
+
+  // -- quality score ------------------------------------------------------
+
+  /** Heuristic quality score in [0,1] (Gopher-rule flavored): length,
+    * word-shape, stopword-density, punctuation-density signals, fixed
+    * weights, rounded to 6dp so it is reproducible across engines. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / 50.0, lit(1.0))
+    val awl = avgWordLen(text)
+    val wordLenScore = when(awl >= 3.0 && awl <= 10.0, lit(1.0)).otherwise(lit(0.0))
+    val stopScore = least(stopwordRatio(text, "en") * 5.0, lit(1.0))
+    val punctPenalty = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    round(lenScore * 0.3 + wordLenScore * 0.2 + stopScore * 0.3 + punctPenalty * 0.2, 6)
+  }
+
+  // -- fingerprints -------------------------------------------------------
+
+  /** Whitespace/case-normalized form used by content hashing. */
+  def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Stable content fingerprint: md5 of the normalized text. */
+  def fingerprint(text: Column): Column = md5(normText(text))
+
+  /** Rolling polynomial token hash (order-sensitive, engine-native
+    * xxhash64 per token; Long overflow wraps deterministically). */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(normText(text)), lit(0L),
+      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+}

@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops._
+
+/** Value-level tests for the training-data pipeline operators on crafted
+  * data (the DuckDB oracle covers the testdata tables; these pin the
+  * operator semantics on controlled inputs). */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.get("4")
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about spark shuffles and partition pruning"),
+    (4L, "THE  quick   brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1 modulo case/ws
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  // -- exact dedup --------------------------------------------------------
+
+  test("exactGroups: case/whitespace-normalized duplicates collapse") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length === 4) // 1==4, others distinct
+    val dup = g.find(_.getLong(1) == 2L).get
+    assert(dup.getLong(2) === 1L) // keep_id = min id
+  }
+
+  test("dropExactDuplicates keeps lowest id") {
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 2L, 3L, 5L))
+  }
+
+  // -- jaccard ------------------------------------------------------------
+
+  test("jaccardPairs finds the near-dup and the exact-dup pair") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhashLshPairs matches exact jaccardPairs on this data") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh === exact) // verification step makes candidates exact
+  }
+
+  test("minhash estimated jaccard approximates exact jaccard") {
+    val sig = docs.select(col("doc_id"),
+      Dedup.minhashSignature(Dedup.wordShingles(col("text"), 3), 128).as("sig"))
+    val a = sig.where($"doc_id" === 1).select("sig").as[Seq[Long]].head()
+    val b = sig.where($"doc_id" === 2).select("sig").as[Seq[Long]].head()
+    val est = a.zip(b).count { case (x, y) => x == y } / 128.0
+    // exact word-trigram jaccard of docs 1,2 is 10/14 ≈ 0.714
+    assert(math.abs(est - 0.714) < 0.2)
+  }
+
+  test("simhashPairs: near-dups are close in hamming, distinct docs are not") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs((1L, 2L)) <= 16)
+    assert(pairs.get((1L, 3L)).isEmpty && pairs.get((2L, 3L)).isEmpty)
+  }
+
+  test("simhash64 identical for identical token streams") {
+    val h = docs.select(Dedup.simhash64(col("text")).as("h"))
+      .where(col("h").isNotNull).as[Long].collect()
+    assert(h.distinct.length >= 3)
+    val h1 = docs.where($"doc_id" === 1).select(Dedup.simhash64(col("text"))).as[Long].head()
+    val h4 = docs.where($"doc_id" === 4).select(Dedup.simhash64(lower(col("text")))).as[Long].head()
+    assert(h1 === h4) // same tokens after lowercasing doc 4
+  }
+
+  // -- similarity ---------------------------------------------------------
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK: nearest neighbor ordering is by cosine") {
+    val top = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" === 0), k = 2)
+      .orderBy("rank").select("n_id").as[Long].collect()
+    assert(top.toSeq === Seq(1L, 2L)) // cos(0,1)≈0.994 > cos(0,2)=0 > cos(0,4)=-1
+  }
+
+  test("lshTopK recall@1 vs brute force on sf0.001 (deterministic seed)") {
+    val e = SparkEntry.loader(spark, "/root/testdata/sf0.001")("embeddings")
+    val q = e.where($"vec_id" < 10)
+    val bf = Similarity.bruteForceTopK(e, q, k = 1)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    val lsh = Similarity.lshTopK(e, q, k = 1, planes = 4, tables = 8)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    val hits = bf.count { case (qid, nid) => lsh.get(qid).contains(nid) }
+    // NNs in this synthetic corpus sit at cos≈0.5 — the LSH-hard regime;
+    // 4-plane × 8-table multiprobe is expected ≳80% here, far better on
+    // real corpora where near-dups have cos > 0.9
+    assert(hits >= 6, s"LSH recall@1 too low: $hits/10")
+  }
+
+  test("cosinePairs is symmetric-free (a<b) and thresholded") {
+    val pairs = Similarity.cosinePairs(vecs, 0.9).select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.toSet === Set((0L, 1L)))
+  }
+
+  // -- text analysis ------------------------------------------------------
+
+  test("tokenCount/bpeTokenCount/avgWordLen on crafted text") {
+    val df = Seq(("a bb  ccc", "It's 42%!"), ("", "x")).toDF("t1", "t2")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("t1")).as("n1"),
+      TextAnalysis.bpeTokenCount(col("t2")).as("n2"),
+      TextAnalysis.avgWordLen(col("t1")).as("awl")).collect()
+    assert(r(0).getLong(0) === 3L)
+    assert(r(0).getLong(1) === 5L) // It|'s|42|%|!
+    assert(r(0).getDouble(2) === 2.0)
+    assert(r(1).getLong(0) === 0L)
+    assert(r(1).isNullAt(2))
+  }
+
+  test("langId picks the lexicon-majority language") {
+    val df = Seq(
+      "the cat and the dog in the house",
+      "le chat et la maison dans les arbres",
+      "el perro y las casas en que vivo",
+      "der hund und die katze ist von den",
+      "这是中文文本",
+      "zzz qqq www").toDF("text")
+    val got = df.select(TextAnalysis.langId(col("text"))).as[String].collect()
+    assert(got.toSeq === Seq("en", "fr", "es", "de", "zh", "und"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive; rolling is order-sensitive") {
+    val df = Seq(("a b c", "A  b   C", "c b a")).toDF("x", "y", "z")
+    val r = df.select(
+      TextAnalysis.fingerprint(col("x")) === TextAnalysis.fingerprint(col("y")),
+      TextAnalysis.rollingFingerprint(col("x")) === TextAnalysis.rollingFingerprint(col("y")),
+      TextAnalysis.rollingFingerprint(col("x")) === TextAnalysis.rollingFingerprint(col("z"))).collect()(0)
+    assert(r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2))
+  }
+
+  // -- multimodal ---------------------------------------------------------
+
+  test("multimodal payload plumbing: meta from binary, batched decode agrees") {
+    val withBin = Multimodal.withPayload(docs, "text")
+    val viaColumns = withBin.select(col("doc_id"),
+      Multimodal.imageMeta(col("content")).as("m"))
+      .select(col("doc_id"), col("m.byte_len"), col("m.width"), col("m.height"))
+      .as[(Long, Long, Int, Int)].collect().sortBy(_._1)
+    val viaPartitions = Multimodal.decodePartitioned(
+      withBin.select(col("doc_id"), col("content")).as[(Long, Array[Byte])])
+      .collect().sortBy(_.id).map(d => (d.id, d.byteLen, d.width, d.height))
+    assert(viaColumns.toSeq === viaPartitions.toSeq)
+  }
+
+  test("fakeEmbedding has requested dim and deterministic values") {
+    val e1 = Multimodal.withPayload(docs, "text")
+      .select(Multimodal.fakeEmbedding(col("content"), 8)).as[Seq[Double]].collect()
+    assert(e1.forall(_.length == 8))
+    assert(e1.forall(_.forall(v => v >= 0.0 && v < 1.0)))
+  }
+}
