@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.native
 
 /**
  * Deduplication operators for training-data pipelines, in increasing
@@ -52,6 +53,14 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Sorted-distinct word n-gram shingle HASHES — the discovery-path
+    * representation: no shingle strings are materialized (native
+    * [[graft.functions.ShingleHashes]]), set ops run on longs. Set
+    * sizes/intersections are identical to [[wordShingles]] modulo
+    * 64-bit hash collisions (~m²/2⁶⁵ — negligible). */
+  def shingleHashes(text: Column, n: Int): Column =
+    native.shingleHashes(TextAnalysis.tokens(text), n)
+
   /** Character k-gram shingles (for short/no-whitespace text). */
   def charShingles(text: Column, k: Int): Column = {
     val s = normText(text)
@@ -69,7 +78,7 @@ object Dedup {
     * discovery-grade; see [[minhashLshPairs]] for the scale path. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(wordShingles(col(textCol), n)).as("sh"))
+    val sh = df.select(col(idCol).as("id"), explode(shingleHashes(col(textCol), n)).as("sh"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -98,16 +107,11 @@ object Dedup {
   }
 
   /** MinHash signature (array<long> of length numHashes) over a distinct
-    * shingle array. Empty shingle set → null elements (filter upstream). */
-  def minhashSignature(shingles: Column, numHashes: Int = 128): Column = {
-    val (as, bs) = hashCoeffs(numHashes)
-    val aLit = typedlit(as); val bLit = typedlit(bs)
-    // base hashes reduced into [0, P): one xxhash64 per shingle
-    val h1 = transform(shingles, s => pmod(xxhash64(s), lit(MinhashPrime)))
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(h1, h =>
-        pmod(element_at(aLit, i + 1) * (h + 1L) + element_at(bLit, i + 1), lit(MinhashPrime)))))
-  }
+    * shingle array; empty shingle set → null. One xxhash64 per shingle,
+    * then a native codegen'd kernel for the numHashes×|shingles| sweep
+    * (see graft.functions.MinHashSigExpr). */
+  def minhashSignature(shingles: Column, numHashes: Int = 128): Column =
+    native.minhashSig(transform(shingles, s => xxhash64(s)), numHashes, seed = 77L)
 
   /** Estimated Jaccard = fraction of agreeing signature positions. */
   def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
@@ -130,23 +134,26 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val docs = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+    val docs = df.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
 
-    val banded = docs.select(col("id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), j =>
-        struct(j.as("band"), xxhash64(slice(col("sig"), j * r + 1, lit(r))).as("bh")))).as("b"))
-      .select(col("id"), col("sh"), col("b.band"), col("b.bh"))
+    // banding stays NARROW (id, band, bh): the ×bands explosion and the
+    // candidate shuffle never carry the shingle arrays
+    val banded = docs.withColumn("sig", native.minhashSig(col("sh"), numHashes, 77L))
+      .select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), j =>
+          struct(j.as("band"), xxhash64(slice(col("sig"), j * r + 1, lit(r))).as("bh")))).as("b"))
+      .select(col("id"), col("b.band"), col("b.bh"))
 
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("a.sh").as("sh_a"),
-        col("b.id").as("id_b"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
     cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("common").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"))
@@ -159,17 +166,10 @@ object Dedup {
   private val Pow2: Array[Long] = (0 until 64).map(1L << _).toArray
 
   /** 64-bit SimHash over whitespace tokens: per-bit ±1 vote of each
-    * token's xxhash64, sign → bit. Single pass, pure Column algebra. */
-  def simhash64(text: Column): Column = {
-    val pow = typedlit(Pow2)
-    val hs = transform(TextAnalysis.tokens(text), t => xxhash64(t))
-    val votes = aggregate(hs, typedlit(Array.fill(64)(0L)),
-      (acc, h) => zip_with(acc,
-        transform(pow, p => when(h.bitwiseAND(p) =!= 0L, 1L).otherwise(-1L)),
-        (a, v) => a + v))
-    aggregate(zip_with(votes, pow, (v, p) => when(v > 0L, p).otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+    * token's xxhash64, sign → bit. Native codegen'd kernel
+    * (see graft.functions.SimHash64Expr). */
+  def simhash64(text: Column): Column =
+    native.simhash(transform(TextAnalysis.tokens(text), t => xxhash64(t)))
 
   def hammingDist(a: Column, b: Column): Column =
     length(regexp_replace(bin(a.bitwiseXOR(b)), "0", "")).cast("int")

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.native
 
 /**
  * Approximate-nearest-neighbor / similarity search over an embedding
@@ -17,16 +18,18 @@ import org.apache.spark.sql.functions._
  *    candidate set is |corpus| / 2^planes × (planes+1) per query.
  *  - `cosinePairs`: all-pairs near-duplicate detection by cosine.
  *
- * Dot products are `zip_with` + ordered `aggregate` (left-to-right IEEE
- * double summation — deterministic and reproducible across engines).
+ * Dot products run through a native codegen'd Catalyst expression
+ * ([[graft.functions.DotProductDouble]]) — left-to-right IEEE double
+ * summation, deterministic and reproducible across engines, no
+ * interpreted higher-order functions in the hot path.
  */
 object Similarity {
 
   /** Cast to double once; all math is double for reproducibility. */
   def vecD(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Native codegen'd kernel (see graft.functions.DotProductDouble). */
+  def dot(a: Column, b: Column): Column = native.dotD(a, b)
 
   def norm2(a: Column): Column = dot(a, a)
 
@@ -38,14 +41,19 @@ object Similarity {
   /**
    * Exact cosine top-k: for each row of `queries`, the k most similar
    * corpus rows (excluding self-matches by id). Queries are broadcast —
-   * at 100 TB the corpus never shuffles; cost is one pass × |Q| dots.
+   * at 100 TB the corpus never shuffles; norms are precomputed per side
+   * so each pair costs exactly one codegen'd dot product.
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_vec")))
+    val q = broadcast(queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", sqrt(dot(col("q_vec"), col("q_vec")))))
     val c = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_vec"))
+      .withColumn("n_norm", sqrt(dot(col("n_vec"), col("n_vec"))))
+    val den = col("q_norm") * col("n_norm")
     val scored = c.crossJoin(q).where(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("sim"))
+      .select(col("q_id"), col("n_id"),
+        when(den =!= 0.0, dot(col("q_vec"), col("n_vec")) / den).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
@@ -56,9 +64,13 @@ object Similarity {
   def cosinePairs(df: DataFrame, threshold: Double,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), vecD(col(vecCol)).as("va"))
+      .withColumn("norm_a", sqrt(dot(col("va"), col("va"))))
     val b = df.select(col(idCol).as("id_b"), vecD(col(vecCol)).as("vb"))
+      .withColumn("norm_b", sqrt(dot(col("vb"), col("vb"))))
+    val den = col("norm_a") * col("norm_b")
     a.crossJoin(b).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("sim"))
+      .select(col("id_a"), col("id_b"),
+        when(den =!= 0.0, dot(col("va"), col("vb")) / den).as("sim"))
       .where(col("sim") >= threshold)
   }
 
@@ -105,10 +117,12 @@ object Similarity {
     val q = broadcast(
       queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_vec"))
         .withColumn("probe", explode(array(probes: _*))))
+    val den = sqrt(dot(col("q_vec"), col("q_vec"))) * sqrt(dot(col("n_vec"), col("n_vec")))
     val scored = c.join(q, col("bucket") === col("probe") && col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), col("q_vec"), col("n_vec"))
       .dropDuplicates("q_id", "n_id")
-      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("sim"))
+      .select(col("q_id"), col("n_id"),
+        when(den =!= 0.0, dot(col("q_vec"), col("n_vec")) / den).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
