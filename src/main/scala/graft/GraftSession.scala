@@ -25,6 +25,9 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      // with ANSI off, legacy sizeOfNull would make size(null) = -1;
+      // JX missing-propagation needs size(null) = null
+      .config("spark.sql.legacy.sizeOfNull", "false")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

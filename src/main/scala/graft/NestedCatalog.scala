@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.{Child, DocAssembler, Lookup, SnowflakePlan}
+import graft.jx.{JxQuery, QueryRunner}
+import graft.ops.{Batching, NestedOps}
+
+/**
+ * Nested-document query surface: snowflake-assembled docs (customer ⊃
+ * orders ⊃ lineitems) queried through JX relative perspectives
+ * (`from: "docs.orders.lineitems"`, reference jx_sqlite/snowflake.py:
+ * 247-341), drill-filter array ops, and batch chunking. Oracles express
+ * the same results over the FLAT tables — so these entries verify the
+ * assembly+explode round-trip end to end.
+ */
+object NestedCatalog {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def q(f: Q): Q = f
+
+  /** customer docs with nation reference and orders⊃lineitems children. */
+  private def customerPlan = SnowflakePlan("customer", "c_custkey",
+    lookups = Seq(Lookup("c_nationkey", "nation",
+      SnowflakePlan("nation", "n_nationkey", referenceOnly = Some("n_name")))),
+    children = Seq(Child("o_custkey", "orders",
+      SnowflakePlan("orders", "o_orderkey",
+        children = Seq(Child("l_orderkey", "lineitems",
+          SnowflakePlan("lineitem", "l_orderkey")))))))
+
+  private def ordersPlan = SnowflakePlan("orders", "o_orderkey",
+    children = Seq(Child("l_orderkey", "lineitems",
+      SnowflakePlan("lineitem", "l_orderkey"))))
+
+  /** Table loader that also serves assembled document "tables". */
+  private def load(s: SparkSession, dir: String): String => DataFrame = {
+    val base = SparkEntry.loader(s, dir)
+    name => name match {
+      case "customer_docs" => DocAssembler.assemble(customerPlan, base)
+      case "orders_docs"   => DocAssembler.assemble(ordersPlan, base)
+      case other           => base(other)
+    }
+  }
+
+  private def jx(json: String): Q =
+    (s, dir) => QueryRunner.run(s, JxQuery.parse(json), load(s, dir))
+
+  val catalog: Map[String, (Q, Option[String])] = Map(
+
+    // one-level relative perspective: parent fields reachable from the arm
+    "q_nested_from_child" -> (jx("""{
+      "from": "customer_docs.orders",
+      "select": ["c_custkey", "nation", "o_orderkey", "o_totalprice"],
+      "where": {"gt": {"o_totalprice": 350000}},
+      "sort": ["o_orderkey"],
+      "limit": 10000
+    }"""), Some("""
+      SELECT c_custkey, n_name AS nation, o_orderkey, o_totalprice
+      FROM customer
+      JOIN nation ON n_nationkey = c_nationkey
+      JOIN orders ON o_custkey = c_custkey
+      WHERE o_totalprice > 350000
+      ORDER BY o_orderkey LIMIT 10000""")),
+
+    // two-level arm: fields from BOTH ancestors + the deep arm in one query
+    "q_nested_deep_arm" -> (jx("""{
+      "from": "customer_docs.orders.lineitems",
+      "select": [
+        "c_custkey", "o_orderkey", "l_linenumber",
+        {"name": "revenue", "value": {"mul": ["l_extendedprice", {"sub": [1, "l_discount"]}]}}
+      ],
+      "where": {"gte": {"l_quantity": 47}},
+      "sort": ["o_orderkey", "l_linenumber"],
+      "limit": 10000
+    }"""), Some("""
+      SELECT c_custkey, o_orderkey, l_linenumber,
+             l_extendedprice * (1 - l_discount) AS revenue
+      FROM customer
+      JOIN orders ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE l_quantity >= 47
+      ORDER BY o_orderkey, l_linenumber LIMIT 10000""")),
+
+    // aggregate over a nested arm grouped by an ancestor field
+    "q_nested_agg" -> (jx("""{
+      "from": "customer_docs.orders.lineitems",
+      "groupby": ["nation"],
+      "select": [
+        {"name": "n_items", "value": ".", "aggregate": "count"},
+        {"name": "total_qty", "value": "l_quantity", "aggregate": "sum"}
+      ]
+    }"""), Some("""
+      SELECT n_name AS nation, count(*) AS n_items, sum(l_quantity) AS total_qty
+      FROM customer
+      JOIN nation ON n_nationkey = c_nationkey
+      JOIN orders ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1""")),
+
+    // `one` aggregate: functionally-dependent value per group, else error
+    "q_agg_one" -> (jx("""{
+      "from": "customer_docs.orders",
+      "groupby": ["o_orderkey"],
+      "select": [{"name": "cust_name", "value": "c_name", "aggregate": "one"}],
+      "limit": 10000
+    }"""), Some("""
+      SELECT o_orderkey, c_name AS cust_name
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey LIMIT 10000""")),
+
+    // drill_filter as array predicate: customers with any big order
+    "q_nested_exists" -> (q((s, dir) =>
+      load(s, dir)("customer_docs")
+        .where(NestedOps.existsIn("orders", """{"gt": {"o_totalprice": 400000}}"""))
+        .select(col("c_custkey"))
+    ), Some("""
+      SELECT c_custkey FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      ORDER BY c_custkey""")),
+
+    // aggregate inside the document: no explode, no shuffle
+    "q_nested_sumover" -> (q((s, dir) =>
+      load(s, dir)("customer_docs").select(
+        col("c_custkey"),
+        NestedOps.sumOver("orders", "\"o_totalprice\"").as("total"))
+    ), Some("""
+      SELECT c_custkey, coalesce(sum(o_totalprice), 0.0) AS total
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1 ORDER BY 1""")),
+
+    // drill_filter rewriting the array in place
+    "q_nested_drillfilter" -> (q((s, dir) =>
+      NestedOps.drillFilter(load(s, dir)("orders_docs"),
+        "lineitems", """{"eq": {"l_linestatus": "O"}}""")
+        .select(col("o_orderkey"),
+          coalesce(size(col("lineitems")), lit(0)).as("n_open"))
+    ), Some("""
+      SELECT o_orderkey,
+             count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_open
+      FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1""")),
+
+    // exact sliding median (reference windows.py:281-306)
+    "q_window_median" -> (jx("""{
+      "from": "events",
+      "window": [{
+        "name": "med5", "value": "value", "aggregate": "median",
+        "edges": ["user_id"], "sort": ["event_id"],
+        "range": {"min": -4, "max": 1}
+      }],
+      "select": ["event_id", "user_id", "value", "med5"],
+      "sort": ["event_id"],
+      "limit": 10000
+    }"""), Some("""
+      SELECT event_id, user_id, value,
+        quantile_cont(value, 0.5) OVER (PARTITION BY user_id ORDER BY event_id
+          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
+      FROM events ORDER BY event_id LIMIT 10000""")),
+
+    // fixed-size batch chunking (reference group_by.py:87-182)
+    "q_chunk_by_size" -> (q((s, dir) =>
+      Batching.chunkBySize(SparkEntry.loader(s, dir)("events"), "event_id", 500)
+        .groupBy(col("chunk"))
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("first_id"),
+          max(col("event_id")).as("last_id"))
+    ), Some("""
+      WITH r AS (SELECT event_id,
+                        CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS rn
+                 FROM events)
+      SELECT rn // 500 AS chunk, count(*) AS n,
+             min(event_id) AS first_id, max(event_id) AS last_id
+      FROM r GROUP BY 1 ORDER BY 1"""))
+  )
+
+  def queries: Map[String, Q] = catalog.map { case (k, (f, _)) => k -> f }
+  def oracles: Map[String, String] = catalog.collect { case (k, (_, Some(o))) => k -> o.trim }
+}

@@ -36,9 +36,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2, plus the
     * training-data pipeline operators (dedup/similarity/text/multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueryCatalog.queries ++ TrainingCatalog.queries
+    QueryCatalog.queries ++ TrainingCatalog.queries ++ NestedCatalog.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = QueryCatalog.oracles ++ TrainingCatalog.oracles
+  def oracleSql: Map[String, String] =
+    QueryCatalog.oracles ++ TrainingCatalog.oracles ++ NestedCatalog.oracles
 }

@@ -52,7 +52,8 @@ case class WindowClause(
     aggregate: Option[String],
     /** rows-range [min, max) relative to current row (half-open, reference jx.py:1013-1034) */
     range: Option[(Long, Long)],
-    where: Option[JxExpr])
+    where: Option[JxExpr],
+    percentile: Option[Double] = None)
 
 /** Edge partitioning schemes (reference: vendor/jx_base/domains.py:739-748). */
 sealed trait Domain
@@ -233,7 +234,12 @@ object JxQuery {
         case other => throw new IllegalArgumentException(s"window range: $other")
       }
       val where = m.get("where").map(JxExpr.parse)
-      WindowClause(name, value, edges, sort, agg, range, where)
+      val pct = m.get("percentile").map(JxExpr.rawValue(_) match {
+        case d: Double => d
+        case l: Long   => l.toDouble
+        case o => throw new IllegalArgumentException(s"percentile: $o")
+      })
+      WindowClause(name, value, edges, sort, agg, range, where, pct)
     case other => throw new IllegalArgumentException(s"window: $other")
   }
 

@@ -33,14 +33,13 @@ object QueryRunner {
   def resolveFrom(from: String, load: String => DataFrame): (DataFrame, Seq[String]) = {
     val segs = from.split('.').toSeq
     var df = load(segs.head)
-    val path = scala.collection.mutable.ArrayBuffer[String]()
+    val chain = scala.collection.mutable.ArrayBuffer[String]()
     for (seg <- segs.tail) {
-      val full = (path :+ seg).mkString(".")
-      df = df.withColumn(seg, explode_outer(col(full)))
-      path.clear()
-      path += seg // after explode the child struct is a top-level column
+      val parent = if (chain.isEmpty) seg else chain.last + "." + seg
+      df = df.withColumn(seg, explode_outer(col(parent)))
+      chain += seg // each exploded child struct becomes a top-level column
     }
-    (df, path.toSeq)
+    (df, chain.toSeq)
   }
 
   private def hasField(schema: StructType, path: Seq[String]): Boolean = path match {
@@ -53,11 +52,13 @@ object QueryRunner {
   }
 
   def mkCtx(df: DataFrame, path: Seq[String]): JxCompiler.Ctx = {
+    // deepest-arm-first: each exploded ancestor is its own top-level struct,
+    // so a name resolves against [deepest, ..., shallowest, root]
     val prefixes: Seq[Seq[String]] =
-      (path.indices.reverse.map(i => path.take(i + 1)) :+ Seq.empty[String])
+      (path.reverse.map(Seq(_)) :+ Seq.empty[String])
     JxCompiler.Ctx(resolveVar = name => {
       if (name == ".") {
-        if (path.nonEmpty) col(path.mkString("."))
+        if (path.nonEmpty) col(path.last)
         else struct(df.columns.map(col).toIndexedSeq: _*)
       } else {
         val segs = name.split('.').toSeq
@@ -92,7 +93,7 @@ object QueryRunner {
       else df.orderBy(q.sort.map(sortCol(_, ctx)): _*)
     val selected =
       if (!q.selectGiven && q.select.isEmpty) {
-        if (path.nonEmpty) sorted.select(col(path.mkString(".") + ".*"))
+        if (path.nonEmpty) sorted.select(col(path.last + ".*"))
         else sorted
       } else {
         val cols = q.select.flatMap(selectCols(_, sorted, path, ctx))
@@ -132,7 +133,7 @@ object QueryRunner {
   private def leafColumns(df: DataFrame, path: Seq[String]): Seq[(String, Column)] = {
     val root: Seq[(String, Column, DataType)] =
       if (path.nonEmpty) {
-        val p = path.mkString(".")
+        val p = path.last
         val dt = df.select(col(p)).schema.fields.head.dataType
         Seq((p, col(p), dt))
       } else df.schema.fields.toIndexedSeq.map(f => (f.name, col(f.name), f.dataType))
@@ -151,10 +152,13 @@ object QueryRunner {
   // ---- aggregate helpers -------------------------------------------------
 
   def aggColumn(s: SelectClause, ctx: JxCompiler.Ctx): Column = {
-    val isDot = s.value == Variable(".")
     lazy val v = JxCompiler.compile(s.value, ctx)
     val agg = s.aggregate.getOrElse("none") match {
-      case "count"       => if (isDot) count(lit(1)) else count(v)
+      // count(".") counts rows of the CURRENT arm: at the root "." is a
+      // never-null struct (= COUNT(*)); on a nested arm it is the exploded
+      // child struct, null for padded parents with no children — those
+      // must not count (reference drill semantics, jx.py:672-941)
+      case "count"       => count(v)
       case "sum"         => sum(v)
       case "average"     => avg(v)
       case "minimum"     => min(v)
@@ -413,6 +417,9 @@ object QueryRunner {
           case "last"    => last(value, ignoreNulls = true)
           case "list"    => collect_list(value)
           case "cardinality" => approx_count_distinct(value)
+          // exact sliding percentile (reference windows.py:281-306)
+          case "median"      => percentile(value, lit(0.5))
+          case "percentile"  => percentile(value, lit(w.percentile.getOrElse(0.5)))
           case other => throw new IllegalArgumentException(s"window aggregate: $other")
         }
         val framed = w.range match {
