@@ -1,0 +1,130 @@
+package graft.etl
+
+import java.sql.Connection
+import scala.collection.mutable
+
+/**
+ * FK-graph discovery over JDBC metadata → [[SnowflakePlan]], reproducing
+ * the reference's snowflake schema walk (mysql_to_s3/snowflake_schema.py:
+ * 288-513): breadth-first over foreign-key relations from a chosen fact
+ * table; many-to-one constraints become inner-object lookups, one-to-many
+ * become nested child arrays; `exclude` prunes the walk, `referenceOnly`
+ * inlines a single label column instead of the whole object
+ * (snowflake_schema.py:382-392), `addRelations` supplies FK edges the
+ * database doesn't declare (README.md add_relations).
+ *
+ * Cycle safety: each constraint is followed at most once
+ * (done_relations, snowflake_schema.py:309-314,421-423).
+ *
+ * The walk is driver-side metadata-only (one JDBC connection); the data
+ * path stays fully distributed — each discovered table is a Spark JDBC
+ * read and [[DocAssembler]] joins them.
+ */
+object SchemaWalk {
+
+  /** One FK edge: fkTable.fkColumn → pkTable.pkColumn. */
+  case class Relation(name: String, fkTable: String, fkColumn: String,
+                      pkTable: String, pkColumn: String)
+
+  case class WalkConfig(
+      factTable: String,
+      /** tables never followed (reference `exclude`) */
+      exclude: Set[String] = Set.empty,
+      /** table → label column inlined instead of the nested object
+        * (reference `reference_only: ["table.column"]`) */
+      referenceOnly: Map[String, String] = Map.empty,
+      /** full object but NO nested children at or below these tables
+        * (reference `reference_only: ["table"]` → no_nested_docs,
+        * snowflake_schema.py:297-298) */
+      referenceAll: Set[String] = Set.empty,
+      /** undeclared FK edges to merge in (reference `add_relations`) */
+      addRelations: Seq[Relation] = Nil,
+      showForeignKeys: Boolean = true,
+      nullValues: Seq[String] = Nil)
+
+  /** All single-column FK relations visible in the connection's schema. */
+  def discoverRelations(conn: Connection): Seq[Relation] = {
+    val md = conn.getMetaData
+    val tables = mutable.ArrayBuffer[String]()
+    val rs = md.getTables(null, null, "%", Array("TABLE"))
+    while (rs.next()) tables += rs.getString("TABLE_NAME")
+    rs.close()
+    tables.toSeq.flatMap { t =>
+      val fks = md.getImportedKeys(null, null, t)
+      val out = mutable.ArrayBuffer[Relation]()
+      while (fks.next()) {
+        if (fks.getShort("KEY_SEQ") == 1)
+          out += Relation(
+            Option(fks.getString("FK_NAME")).getOrElse(s"${t}_fk${out.size}").toLowerCase,
+            fks.getString("FKTABLE_NAME").toLowerCase,
+            fks.getString("FKCOLUMN_NAME").toLowerCase,
+            fks.getString("PKTABLE_NAME").toLowerCase,
+            fks.getString("PKCOLUMN_NAME").toLowerCase)
+        else () // composite FKs: first column only (reference elects one unique key)
+      }
+      fks.close()
+      out.toSeq
+    }
+  }
+
+  /** Unique-key election: primary key, else the most-referenced column,
+    * else "id" (reference snowflake_schema.py:143-175: primary >
+    * referenced > shortest). */
+  def electKey(conn: Connection, table: String, relations: Seq[Relation]): String = {
+    val md = conn.getMetaData
+    val pks = md.getPrimaryKeys(null, null, table.toUpperCase)
+    var pk: Option[String] = None
+    while (pks.next()) if (pks.getShort("KEY_SEQ") == 1) pk = Some(pks.getString("COLUMN_NAME").toLowerCase)
+    pks.close()
+    pk.orElse(
+      relations.filter(_.pkTable == table).groupBy(_.pkColumn)
+        .toSeq.sortBy(-_._2.size).headOption.map(_._1))
+      .getOrElse("id")
+  }
+
+  /** Lookup alias: FK column with id/key suffix stripped
+    * (reference snowflake_schema.py:330-339), else the parent table name. */
+  def lookupAlias(fkColumn: String, pkTable: String): String = {
+    val stripped = fkColumn.replaceAll("(?i)[._]?(id|key)$", "")
+    if (stripped.isEmpty) pkTable else stripped
+  }
+
+  def walk(conn: Connection, cfg: WalkConfig): SnowflakePlan = {
+    val relations = discoverRelations(conn) ++ cfg.addRelations
+
+    // `done` is PER-PATH (each branch gets a copy): an edge may appear
+    // under several arms (inner1 under both fact.about and nested2.about)
+    // but never twice along one path — exactly the reference's
+    // copy(done_relations) in every todo.append (snowflake_schema.py:
+    // 408-414,487-493)
+    def build(table: String, done: Set[String], noNestedDocs: Boolean): SnowflakePlan = {
+      val key = electKey(conn, table, relations)
+      val nn = noNestedDocs || cfg.referenceAll(table)
+      val followable = relations.filterNot(r => done(r.name))
+      val lookupRels = followable.filter(r => r.fkTable == table && !cfg.exclude(r.pkTable))
+      val childRels =
+        if (nn) Nil
+        else followable.filter(r => r.pkTable == table && !cfg.exclude(r.fkTable))
+      val claimed = done ++ lookupRels.map(_.name) ++ childRels.map(_.name)
+      val lookups = lookupRels.map(r =>
+        Lookup(r.fkColumn, lookupAlias(r.fkColumn, r.pkTable), build(r.pkTable, claimed, nn)))
+      val children = childRels.map(r =>
+        Child(r.fkColumn, r.fkTable, build(r.fkTable, claimed, nn)))
+      SnowflakePlan(table, key, lookups, children,
+        referenceOnly = cfg.referenceOnly.get(table),
+        showForeignKeys = cfg.showForeignKeys,
+        nullValues = if (table == cfg.factTable) cfg.nullValues else Nil)
+    }
+
+    build(cfg.factTable, Set.empty, noNestedDocs = false)
+  }
+
+  /** Spark JDBC table loader with lower-cased column names (Derby/MySQL
+    * metadata case-fold differently; docs use lower-case names). */
+  def jdbcLoader(spark: org.apache.spark.sql.SparkSession, url: String): String => org.apache.spark.sql.DataFrame =
+    name => {
+      val df = spark.read.format("jdbc")
+        .option("url", url).option("dbtable", name).load()
+      df.toDF(df.columns.map(_.toLowerCase).toIndexedSeq: _*)
+    }
+}

@@ -51,9 +51,13 @@ object DocAssembler {
         case None         => struct(docCols.map(col).toIndexedSeq: _*)
       }
       val keyed = sub.select(col(lk.plan.key).as(s"__${lk.as}_key"), payload.as(lk.as))
-      df = df.join(broadcast(keyed), df(lk.fk) === keyed(s"__${lk.as}_key"), "left")
+      val fkCol = df(lk.fk)
+      df = df.join(broadcast(keyed), fkCol === keyed(s"__${lk.as}_key"), "left")
         .drop(s"__${lk.as}_key")
-      if (!plan.showForeignKeys) dropFks += lk.fk
+      // when the object alias IS the fk column name, the object replaces
+      // the scalar (reference: fact.about becomes the inner1 object)
+      if (lk.as == lk.fk) df = df.drop(fkCol)
+      else if (!plan.showForeignKeys) dropFks += lk.fk
     }
 
     for (ch <- plan.children) {
