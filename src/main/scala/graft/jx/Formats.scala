@@ -1,0 +1,100 @@
+package graft.jx
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/**
+ * Result-format envelopes (reference vendor/jx_python/jx.py:108-120 and
+ * the Cube container, vendor/jx_python/containers/cube.py:27-95):
+ *
+ *  - "list":  {"data": [ {doc}, ... ]}
+ *  - "table": {"header": [names], "data": [[row values], ...]}
+ *  - "cube":  {"edges": [{name, domain.partitions}], "data": {measure:
+ *             N-dim nested arrays}} — dense, null bucket last.
+ *
+ * Formatting collects to the driver by design: cubes/tables are result
+ * envelopes for clients, bounded by the query limit (default 10, max
+ * 10,000 — reference jx_base/query.py:35-36), never a data-scale path.
+ */
+object Formats {
+
+  def jValue(v: Any): JValue = v match {
+    case null => JNull
+    case b: Boolean => JBool(b)
+    case i: Int => JLong(i.toLong)
+    case l: Long => JLong(l)
+    case f: Float => JDouble(f.toDouble)
+    case d: Double => JDouble(d)
+    case d: java.math.BigDecimal => JDecimal(BigDecimal(d))
+    case s: String => JString(s)
+    case t: java.sql.Timestamp => JDouble(t.getTime / 1000.0) // Date → unix (jx_base/__init__.py:41-56)
+    case d: java.sql.Date => JDouble(d.getTime / 1000.0)
+    case r: Row => JObject(r.schema.fieldNames.toList.zip(r.toSeq.map(jValue)).map { case (n, j) => n -> j })
+    case m: Map[_, _] => JObject(m.toList.map { case (k, x) => k.toString -> jValue(x) })
+    case it: Iterable[_] => JArray(it.toList.map(jValue))
+    case it: scala.collection.Seq[_] => JArray(it.toList.map(jValue))
+    case other => JString(other.toString)
+  }
+
+  def list(df: DataFrame): String =
+    JsonMethods.compact(JObject("data" -> JArray(df.collect().toList.map(jValue))))
+
+  def table(df: DataFrame): String = {
+    val names = df.columns.toList
+    val rows = df.collect().toList.map(r => JArray(r.toSeq.toList.map(jValue)))
+    JsonMethods.compact(JObject(
+      "header" -> JArray(names.map(JString(_))),
+      "data" -> JArray(rows)))
+  }
+
+  /** Cube envelope over an edges result (rows already dense + ordered by
+    * edge indices, null partition last — the runEdges contract). */
+  def cube(df: DataFrame, edgeNames: Seq[String]): String = {
+    val rows = df.collect().toSeq
+    val measureNames = df.columns.filterNot(edgeNames.contains).toSeq
+    // per-edge partition values in row order (dense cube ⇒ the distinct
+    // values of each edge column appear in domain order)
+    val domains: Seq[Seq[Any]] = edgeNames.map { e =>
+      val i = df.columns.indexOf(e)
+      val seen = scala.collection.mutable.LinkedHashSet[Any]()
+      rows.foreach(r => seen += r.get(i))
+      seen.toSeq
+    }
+    val dims = domains.map(_.size)
+
+    def shape(values: Seq[JValue], ds: Seq[Int]): JValue = ds match {
+      case Seq() => values.headOption.getOrElse(JNull)
+      case d +: rest =>
+        val stride = rest.product
+        JArray((0 until d).toList.map(i => shape(values.slice(i * stride, (i + 1) * stride), rest)))
+    }
+
+    val data = JObject(measureNames.toList.map { m =>
+      val i = df.columns.indexOf(m)
+      m -> shape(rows.map(r => jValue(r.get(i))), dims)
+    })
+    val edges = JArray(edgeNames.toList.zip(domains).map { case (e, dom) =>
+      JObject(
+        "name" -> JString(e),
+        "domain" -> JObject(
+          "type" -> JString("set"),
+          "partitions" -> JArray(dom.toList.map(jValue))))
+    })
+    JsonMethods.compact(JObject("edges" -> edges, "data" -> data))
+  }
+
+  /** Run a query and wrap per its `format` (default "list";
+    * "cube" requires edges). */
+  def run(spark: org.apache.spark.sql.SparkSession, q: JxQuery,
+          load: String => DataFrame): String = {
+    val df = QueryRunner.run(spark, q, load)
+    q.format match {
+      case "table" => table(df)
+      case "cube"  =>
+        require(q.edges.nonEmpty, "cube format requires edges")
+        cube(df, q.edges.map(_.name))
+      case _ => list(df)
+    }
+  }
+}

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import graft.etl.{DocAssembler, SnowflakePlan}
+
+/**
+ * Structured Streaming surface. The reference has no true streaming —
+ * its "stream" is an incremental batch pull with a resumable watermark
+ * file and worker threads (mysql_to_s3/extract.py:92-154). Spark-native,
+ * the same capabilities become:
+ *
+ *  - `extractStream`: continuous snowflake extract — each micro-batch of
+ *    fact rows is doc-assembled against the (static, broadcast) dims and
+ *    appended to the sink; Spark's checkpoint replaces the watermark
+ *    file (same at-least-once, resume-from-offset contract).
+ *  - `windowedCounts`: the JX time-domain edge on an unbounded stream —
+ *    event-time windows + watermark-bounded state.
+ *  - `sessionize`: gap-based session windows via
+ *    flatMapGroupsWithState — the custom-state path the JX window
+ *    accumulators (vendor/jx_python/windows.py) would need on a stream.
+ *
+ * Scale notes: stream side never shuffles in `extractStream` (dims are
+ * broadcast); windowed aggs shuffle on (window, key) with state bounded
+ * by the watermark horizon; sessionize state is per-user and evicted by
+ * processing-time timeout.
+ */
+object Streams {
+
+  /** Micro-batch snowflake assembly: the fact stream is joined/nested
+    * against static dimension tables per `plan` and handed to `sink`
+    * (e.g. a partitioned NDJSON writer + notification). */
+  def extractStream(factStream: DataFrame, plan: SnowflakePlan,
+                    loadStatic: String => DataFrame)(
+                    sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    factStream.writeStream.foreachBatch { (batch: Dataset[Row], id: Long) =>
+      val docs = DocAssembler.assemble(plan,
+        name => if (name == plan.table) batch.toDF() else loadStatic(name))
+      sink(docs, id)
+    }
+
+  /** Event-time sliding-window aggregation with a watermark bound. */
+  def windowedCounts(events: DataFrame, tsCol: String, valueCol: String,
+                     windowLen: String, slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide).as("w"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("n"), col("total"))
+
+  // -- sessionization -----------------------------------------------------
+
+  case class Event(userId: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  case class Session(userId: Long, start: java.sql.Timestamp, end: java.sql.Timestamp,
+                     nEvents: Long, total: Double)
+
+  /** Native gap-based session aggregation — the preferred streaming path:
+    * `session_window` handles merge + watermark finalization with no
+    * custom state code; append mode emits a session once the watermark
+    * guarantees no more members can arrive. */
+  def sessionWindowAgg(events: DataFrame, tsCol: String, valueCol: String, keyCol: String,
+                       gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .select(col(keyCol), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"), col("total"))
+
+  /** Custom-state sessionization via flatMapGroupsWithState — the escape
+    * hatch for state machines `session_window` can't express. A session
+    * closes when a same-user event arrives more than `gapMs` later;
+    * still-open sessions stay in state. Works on batch Datasets too
+    * (state scoped to the run). For plain gap sessions on a stream prefer
+    * [[sessionWindowAgg]]: group-state timeouts in this Spark version
+    * retrigger empty micro-batches unboundedly, which starves
+    * drain-the-source semantics (processAllAvailable). */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    implicit val sessionEnc: Encoder[Session] = Encoders.product[Session]
+    implicit val stateEnc: Encoder[SessionState] = Encoders.product[SessionState]
+    events.groupByKey(_.userId)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              Session(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n, s.total))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach(state.update)
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Convenience: run a streaming DataFrame to an in-memory table and
+    * block until current data is processed (test/debug utility). */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): StreamingQuery = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+import graft.jx.{Formats, JxQuery}
+
+/** Result envelopes: list/table/cube (reference jx.py:108-120). */
+class FormatsSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.get("4")
+  val dir = "/root/testdata/sf0.001"
+  private def load = SparkEntry.loader(spark, dir)
+
+  test("table format: header + row arrays") {
+    val out = Formats.run(spark, JxQuery.parse("""{
+      "from": "region", "select": ["r_regionkey", "r_name"],
+      "sort": ["r_regionkey"], "format": "table"}"""), load)
+    val j = JsonMethods.parse(out)
+    assert((j \ "header") === JArray(List(JString("r_regionkey"), JString("r_name"))))
+    val data = (j \ "data").asInstanceOf[JArray].arr
+    assert(data.length === 5)
+    assert(data.head.asInstanceOf[JArray].arr.head === JInt(0))
+  }
+
+  test("list format: array of docs") {
+    val out = Formats.run(spark, JxQuery.parse("""{
+      "from": "nation", "select": ["n_nationkey", "n_name"],
+      "where": {"lt": {"n_nationkey": 3}}, "sort": ["n_nationkey"]}"""), load)
+    val j = JsonMethods.parse(out)
+    val docs = (j \ "data").asInstanceOf[JArray].arr
+    assert(docs.length === 3)
+    assert((docs.head \ "n_nationkey") === JInt(0))
+  }
+
+  test("cube format: dense N-d measure arrays + edge domains") {
+    val out = Formats.run(spark, JxQuery.parse("""{
+      "from": "orders",
+      "edges": [{"name": "status", "value": "o_orderstatus", "allowNulls": false,
+                 "domain": {"type": "set", "partitions": ["F", "O", "P"]}}],
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+      "format": "cube"}"""), load)
+    val j = JsonMethods.parse(out)
+    val parts = (j \ "edges")(0) \ "domain" \ "partitions"
+    assert(parts === JArray(List(JString("F"), JString("O"), JString("P"))))
+    val n = (j \ "data" \ "n").asInstanceOf[JArray].arr
+    assert(n.length === 3) // one cell per partition, dense
+    assert(n.forall((v => v.isInstanceOf[JInt] || v.isInstanceOf[JLong])))
+  }
+
+  test("2-edge cube shapes data as nested arrays") {
+    val out = Formats.run(spark, JxQuery.parse("""{
+      "from": "lineitem",
+      "edges": [
+        {"name": "flag", "value": "l_returnflag", "allowNulls": false,
+         "domain": {"type": "set", "partitions": ["A", "N", "R"]}},
+        {"name": "status", "value": "l_linestatus", "allowNulls": false,
+         "domain": {"type": "set", "partitions": ["F", "O"]}}
+      ],
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+      "format": "cube"}"""), load)
+    val j = JsonMethods.parse(out)
+    val n = (j \ "data" \ "n").asInstanceOf[JArray].arr
+    assert(n.length === 3)
+    assert(n.forall(_.asInstanceOf[JArray].arr.length === 2))
+  }
+}

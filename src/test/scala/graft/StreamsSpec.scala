@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.{Child, Lookup, SnowflakePlan}
+import graft.streaming.Streams
+
+class StreamsSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.get("4")
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedCounts: event-time windows with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double)]
+    val agg = Streams.windowedCounts(
+      in.toDF().toDF("ts", "value"), "ts", "value",
+      windowLen = "10 minutes", slide = "10 minutes", watermark = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("win").outputMode(OutputMode.Complete).start()
+    in.addData(
+      (ts("2024-01-01 00:01:00"), 1.0),
+      (ts("2024-01-01 00:04:00"), 2.0),
+      (ts("2024-01-01 00:12:00"), 10.0))
+    q.processAllAvailable()
+    val rows = spark.table("win").orderBy("window_start")
+      .select("n", "total").as[(Long, Double)].collect()
+    q.stop()
+    assert(rows.toSeq === Seq((2L, 3.0), (1L, 10.0)))
+  }
+
+  test("sessionize (batch mode): gap splits sessions, open ones withheld") {
+    import spark.implicits._
+    val events = Seq(
+      Streams.Event(1, ts("2024-01-01 00:00:00"), 1.0),
+      Streams.Event(1, ts("2024-01-01 00:00:30"), 2.0),
+      Streams.Event(1, ts("2024-01-01 00:05:00"), 5.0), // > 1 min gap → closes first
+      Streams.Event(1, ts("2024-01-01 00:30:00"), 9.0), // closes second
+      Streams.Event(2, ts("2024-01-01 00:00:00"), 7.0)).toDS()
+    val closed = Streams.sessionize(events, gapMs = 60000).collect()
+    // user 1: two closed sessions; the trailing 9.0 and all of user 2
+    // remain open (no gap-exceeding successor) — the state contract
+    assert(closed.map(s => (s.userId, s.nEvents, s.total)).sortBy(_._3).toSeq ===
+      Seq((1L, 2L, 3.0), (1L, 1L, 5.0)))
+  }
+
+  test("sessionWindowAgg: native session_window finalizes on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.Event]
+    val agg = Streams.sessionWindowAgg(
+      in.toDF().toDF("userId", "ts", "value"), "ts", "value", "userId",
+      gap = "1 minute", watermark = "1 second")
+    val q = agg.writeStream.format("memory").queryName("swin").outputMode(OutputMode.Append).start()
+    in.addData(
+      Streams.Event(1, ts("2024-01-01 00:00:00"), 1.0),
+      Streams.Event(1, ts("2024-01-01 00:00:30"), 2.0),
+      Streams.Event(1, ts("2024-01-01 00:05:00"), 5.0),
+      Streams.Event(2, ts("2024-01-01 00:00:00"), 7.0))
+    q.processAllAvailable()
+    // advance watermark far beyond all sessions → everything finalizes
+    in.addData(Streams.Event(9, ts("2024-01-01 01:00:00"), 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("swin").orderBy("userId", "session_start")
+      .select("userId", "n", "total").as[(Long, Long, Double)].collect()
+    q.stop()
+    assert(rows.toSeq === Seq((1L, 2L, 3.0), (1L, 1L, 5.0), (2L, 1L, 7.0)))
+  }
+
+  test("extractStream: micro-batch snowflake assembly against static dims") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val static = Map(
+      "customer" -> Seq((1L, "alice"), (2L, "bob")).toDF("c_id", "c_name"),
+      "items" -> Seq((100L, 10L, 5.0), (101L, 10L, 7.0)).toDF("i_id", "o_id", "price"))
+    val plan = SnowflakePlan("orders", "o_id",
+      lookups = Seq(Lookup("cust", "customer", SnowflakePlan("customer", "c_id"))),
+      children = Seq(Child("o_id", "items", SnowflakePlan("items", "i_id"))))
+
+    val in = MemoryStream[(Long, Long)]
+    val collected = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val writer = Streams.extractStream(in.toDF().toDF("o_id", "cust"), plan, static) {
+      (docs, _) => collected ++= docs.collect()
+    }
+    val q = writer.start()
+    in.addData((10L, 1L), (11L, 2L))
+    q.processAllAvailable()
+    q.stop()
+    assert(collected.size === 2)
+    val d10 = collected.find(_.getLong(0) == 10L).get
+    assert(d10.getStruct(d10.fieldIndex("customer")).getString(1) === "alice")
+    assert(d10.getSeq[Any](d10.fieldIndex("items")).size === 2)
+    val d11 = collected.find(_.getLong(0) == 11L).get
+    assert(d11.isNullAt(d11.fieldIndex("items"))) // no items → null array
+  }
+}
