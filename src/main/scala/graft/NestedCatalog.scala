@@ -29,6 +29,11 @@ object NestedCatalog {
         children = Seq(Child("l_orderkey", "lineitems",
           SnowflakePlan("lineitem", "l_orderkey")))))))
 
+  /** customerPlan pruned to the arms a query actually touches — assembly
+    * cost tracks the referenced columns, not the full document tree. */
+  private def customerOrdersPlan = customerPlan.copy(
+    children = customerPlan.children.map(c => c.copy(plan = c.plan.copy(children = Nil))))
+
   private def ordersPlan = SnowflakePlan("orders", "o_orderkey",
     children = Seq(Child("l_orderkey", "lineitems",
       SnowflakePlan("lineitem", "l_orderkey"))))
@@ -38,6 +43,7 @@ object NestedCatalog {
     val base = SparkEntry.loader(s, dir)
     name => name match {
       case "customer_docs" => DocAssembler.assemble(customerPlan, base)
+      case "customer_orders" => DocAssembler.assemble(customerOrdersPlan, base)
       case "orders_docs"   => DocAssembler.assemble(ordersPlan, base)
       case other           => base(other)
     }
@@ -50,7 +56,7 @@ object NestedCatalog {
 
     // one-level relative perspective: parent fields reachable from the arm
     "q_nested_from_child" -> (jx("""{
-      "from": "customer_docs.orders",
+      "from": "customer_orders.orders",
       "select": ["c_custkey", "nation", "o_orderkey", "o_totalprice"],
       "where": {"gt": {"o_totalprice": 350000}},
       "sort": ["o_orderkey"],
@@ -100,7 +106,7 @@ object NestedCatalog {
 
     // `one` aggregate: functionally-dependent value per group, else error
     "q_agg_one" -> (jx("""{
-      "from": "customer_docs.orders",
+      "from": "customer_orders.orders",
       "groupby": ["o_orderkey"],
       "select": [{"name": "cust_name", "value": "c_name", "aggregate": "one"}],
       "limit": 10000
@@ -111,7 +117,7 @@ object NestedCatalog {
 
     // drill_filter as array predicate: customers with any big order
     "q_nested_exists" -> (q((s, dir) =>
-      load(s, dir)("customer_docs")
+      load(s, dir)("customer_orders")
         .where(NestedOps.existsIn("orders", """{"gt": {"o_totalprice": 400000}}"""))
         .select(col("c_custkey"))
     ), Some("""
@@ -122,7 +128,7 @@ object NestedCatalog {
 
     // aggregate inside the document: no explode, no shuffle
     "q_nested_sumover" -> (q((s, dir) =>
-      load(s, dir)("customer_docs").select(
+      load(s, dir)("customer_orders").select(
         col("c_custkey"),
         NestedOps.sumOver("orders", "\"o_totalprice\"").as("total"))
     ), Some("""
@@ -158,6 +164,29 @@ object NestedCatalog {
         quantile_cont(value, 0.5) OVER (PARTITION BY user_id ORDER BY event_id
           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
       FROM events ORDER BY event_id LIMIT 10000""")),
+
+    // outlier-trimmed stats (reference windows.py:126-155 Stats(middle))
+    "q_agg_trimmed_stats" -> (q((s, dir) => {
+      val stats = graft.functions.TrimmedStats(0.8)(col("l_quantity").cast("double"))
+      SparkEntry.loader(s, dir)("lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(stats.as("ts"))
+        .select(col("l_returnflag"), col("ts.count").as("cnt"),
+          round(col("ts.mean"), 6).as("mean"),
+          round(col("ts.variance"), 6).as("variance"),
+          col("ts.min").as("lo"), col("ts.max").as("hi"))
+    }), Some("""
+      WITH r AS (
+        SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem)
+      SELECT l_returnflag, count(*) AS cnt,
+             round(avg(v), 6) AS mean, round(var_pop(v), 6) AS variance,
+             min(v) AS lo, max(v) AS hi
+      FROM r
+      WHERE rn > ceil(n * 0.1) AND rn <= n - ceil(n * 0.1)
+      GROUP BY 1 ORDER BY 1""")),
 
     // fixed-size batch chunking (reference group_by.py:87-182)
     "q_chunk_by_size" -> (q((s, dir) =>
