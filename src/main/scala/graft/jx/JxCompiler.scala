@@ -52,6 +52,27 @@ object JxCompiler {
     case other => coalesce(compile(other, ctx), lit(false))
   }
 
+  /** FILTER position: a WHERE drops null-valued predicates exactly like
+    * false ones, so the missing→FALSE coalesce wrap is redundant on
+    * positively-scoped comparisons — stripping it lets Catalyst push
+    * plain GreaterThan/LessThan/In down to the parquet scan. NOT scopes
+    * revert to [[truthy]] (not(missing-compare) must be TRUE). */
+  def filterPred(e: JxExpr, ctx: Ctx): Column = e match {
+    case AndOp(Nil)   => lit(true)
+    case AndOp(terms) => terms.map(filterPred(_, ctx)).reduce(_ && _)
+    case OrOp(Nil)    => lit(false)
+    // null || true = true, and a top-level null drops the row like false
+    case OrOp(terms)  => terms.map(filterPred(_, ctx)).reduce(_ || _)
+    case InequalityOp(op, l, r) =>
+      val (a, b) = (compile(l, ctx), compile(r, ctx))
+      op match {
+        case "gt" => a > b; case "gte" => a >= b
+        case "lt" => a < b; case "lte" => a <= b
+      }
+    case InOp(v, Lit(items: Seq[_])) => compile(v, ctx).isin(items: _*)
+    case other => truthy(other, ctx)
+  }
+
   private def withDefault(c: Column, default: JxExpr, ctx: Ctx): Column = default match {
     case NullOp => c
     case d      => coalesce(c, compile(d, ctx))

@@ -75,7 +75,7 @@ object QueryRunner {
     val ctx = mkCtx(base, path)
     val filtered = q.where match {
       case TrueOp => base
-      case w      => base.filter(JxCompiler.truthy(w, ctx))
+      case w      => base.filter(JxCompiler.filterPred(w, ctx))
     }
     if (q.edges.nonEmpty) runEdges(spark, q, filtered, ctx)
     else if (q.groupby.nonEmpty) runGroupby(q, filtered, ctx)
