@@ -1,0 +1,134 @@
+package graft.container
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.jx.{Formats, JxCompiler, JxExpr, JxQuery, QueryRunner}
+
+/**
+ * The reference's Container interface (vendor/jx_base/container.py:
+ * 48-147): anything queryable via `query/filter/sort/select/window/
+ * groupby/format`. Implementations: [[ListContainer]] (local rows) and
+ * [[FactStore]] (mutable parquet-snapshot store).
+ */
+trait Container {
+  def name: String
+  def dataFrame: DataFrame
+  def spark: SparkSession
+
+  /** Run a JX JSON query against this container ("from" is implied). */
+  def query(json: String): DataFrame = {
+    val q = JxQuery.parse(json)
+    QueryRunner.run(spark, q.copy(from = rewriteFrom(q.from)), load)
+  }
+
+  /** Query returning the reference's format envelope (list/table/cube). */
+  def queryFormatted(json: String): String = {
+    val q = JxQuery.parse(json)
+    Formats.run(spark, q.copy(from = rewriteFrom(q.from)), load)
+  }
+
+  private def rewriteFrom(from: String): String =
+    if (from == "." || from.isEmpty) name
+    else if (from.startsWith(name)) from
+    else s"$name.$from" // "orders.lineitems" relative to this container
+
+  protected def load: String => DataFrame =
+    n => if (n == name) dataFrame else spark.read.parquet(n)
+}
+
+/** In-memory rows as a container (reference ListContainer,
+  * vendor/jx_python/containers/list_usingPythonList.py:34-45). */
+class ListContainer(val spark: SparkSession, val name: String, df: DataFrame) extends Container {
+  def dataFrame: DataFrame = df
+}
+
+/**
+ * Mutable document store over versioned parquet snapshots — the
+ * reference's QueryTable insert/update/upsert/delete surface
+ * (vendor/jx_sqlite/insert_table.py:40-370, query_table.py:45-47)
+ * without an external table format: each mutation writes snapshot
+ * `v{n}` and atomically advances a `_CURRENT` marker (readers pin the
+ * snapshot they started from — the same copy-on-write contract Delta/
+ * Iceberg formalize; swap in Delta MERGE on a real deployment for
+ * row-level conflict handling).
+ *
+ * Schema evolution on insert = unionByName(allowMissingColumns): new
+ * fields widen the schema, missing fields null-pad (the reference's
+ * ALTER TABLE ADD COLUMN, insert_table.py:255-299). The reference's
+ * scalar→array "nest migration" (snowflake.py:117-202) is out of scope
+ * — write arrays from the start.
+ */
+class FactStore(val spark: SparkSession, val name: String, dir: Path) extends Container {
+
+  private def marker = dir.resolve("_CURRENT")
+
+  private def currentVersion: Int =
+    if (Files.exists(marker)) Files.readString(marker).trim.toInt else 0
+
+  def dataFrame: DataFrame = {
+    val v = currentVersion
+    require(v > 0, s"FactStore $name is empty — insert first")
+    spark.read.parquet(dir.resolve(s"v$v").toString)
+  }
+
+  def isEmpty: Boolean = currentVersion == 0
+
+  private def writeSnapshot(df: DataFrame): Unit = {
+    val next = currentVersion + 1
+    df.write.mode("overwrite").parquet(dir.resolve(s"v$next").toString)
+    val tmp = dir.resolve("_CURRENT.tmp")
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, marker, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def insert(docs: DataFrame): this.type = {
+    val merged =
+      if (isEmpty) docs
+      else dataFrame.unionByName(docs, allowMissingColumns = true)
+    writeSnapshot(merged)
+    this
+  }
+
+  /** Rows matching the JX where are rewritten with `set` columns
+    * (each a JX expression evaluated against the old row). Deep (nested
+    * array) updates are rejected, like the reference
+    * (insert_table.py:40-196). */
+  def update(whereJson: String, set: Map[String, String]): this.type = {
+    val df = dataFrame
+    val pred = JxCompiler.truthy(JxExpr.parseJson(whereJson), ctx(df))
+    set.keys.find(_.contains(".")).foreach { k =>
+      throw new IllegalArgumentException(s"deep update not supported: $k")
+    }
+    val updated = set.foldLeft(df) { case (d, (colName, exprJson)) =>
+      d.withColumn(colName,
+        when(pred, JxCompiler.compile(JxExpr.parseJson(exprJson), ctx(df)))
+          .otherwise(col(colName)))
+    }
+    writeSnapshot(updated)
+    this
+  }
+
+  def delete(whereJson: String): this.type = {
+    val df = dataFrame
+    val pred = JxCompiler.truthy(JxExpr.parseJson(whereJson), ctx(df))
+    writeSnapshot(df.filter(!pred))
+    this
+  }
+
+  /** upsert = delete-matching-keys + insert (reference
+    * query_table.py:45-47). */
+  def upsert(docs: DataFrame, key: String): this.type = {
+    if (isEmpty) insert(docs)
+    else {
+      val keep = dataFrame.join(docs.select(col(key)), Seq(key), "left_anti")
+      writeSnapshot(keep.unionByName(docs, allowMissingColumns = true))
+      this
+    }
+  }
+
+  private def ctx(df: DataFrame): JxCompiler.Ctx =
+    JxCompiler.Ctx(resolveVar = n =>
+      if (n == ".") struct(df.columns.map(col).toIndexedSeq: _*) else col(n))
+}
