@@ -85,6 +85,19 @@ object DocAssembler {
       }
     }
 
+  /** Serialize date/timestamp columns as unix seconds (double) — the
+    * reference's JSON type mapping Date → NUMBER
+    * (vendor/jx_base/__init__.py:41-56); apply before assembly so nested
+    * docs inherit the numeric form. */
+  def datesToUnix(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case TimestampType | DateType =>
+          d.withColumn(f.name, col(f.name).cast(TimestampType).cast(DoubleType))
+        case _ => d
+      }
+    }
+
   /** Wrap assembled rows as the reference's document envelope:
     * {<fact_table>: {...}, etl: {id, source, revision, timestamp}}
     * (reference: mysql_to_s3/extract.py:208-229). */

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew mitigation for hot join/group keys at 100 TB scale. AQE's skew
+ * handling (`spark.sql.adaptive.skewJoin`, on by default in
+ * GraftSession) covers sort-merge joins; salting is the explicit tool
+ * for hot-key aggregation and broadcast-ineligible joins:
+ *
+ *  - `saltedJoin`: the big side gets a random salt in [0, salts);
+ *    the small side is replicated ×salts — the hot key's rows spread
+ *    over `salts` reducers instead of one straggler.
+ *  - `twoPhaseAgg`: partial aggregate on (key, salt), then final
+ *    aggregate on key — same two-shuffle shape Spark's own partial
+ *    aggregation uses, made explicit for algebraic custom aggregates.
+ */
+object Skew {
+
+  /** Deterministic pseudo-salt derived from the whole row (stable across
+    * retries — rand() would break task re-execution determinism). */
+  def salt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int")
+
+  /** Equi-join `big ⋈ small` on `key`, spreading hot keys over `salts`
+    * partitions. `small` is replicated ×salts (use only when small is
+    * modest but above the broadcast threshold). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
+                 joinType: String = "inner"): DataFrame = {
+    val b = big.withColumn("__salt", salt(big, salts))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+      .withColumn("__salt", col("__salt").cast("int"))
+    b.join(s, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Two-phase aggregation: sum-like aggregates on (key, salt) partials,
+    * then re-aggregate by key. `partials` maps output column name →
+    * (partial agg of input, final re-agg of the partial column). */
+  def twoPhaseAgg(df: DataFrame, key: String, salts: Int,
+                  partials: Map[String, (Column, String => Column)]): DataFrame = {
+    val salted = df.withColumn("__salt", salt(df, salts))
+    val partial = salted.groupBy(col(key), col("__salt"))
+      .agg(partials.head._2._1.as(partials.head._1),
+        partials.tail.map { case (n, (c, _)) => c.as(n) }.toSeq: _*)
+    partial.groupBy(col(key))
+      .agg(partials.head._2._2(partials.head._1).as(partials.head._1),
+        partials.tail.map { case (n, (_, f)) => f(n).as(n) }.toSeq: _*)
+  }
+}

@@ -81,6 +81,13 @@ class EtlSpec extends AnyFunSuite {
     assert(df.where(col("nation").isNotNull).count() > 0)
   }
 
+  test("datesToUnix serializes timestamps as unix seconds (Date → NUMBER)") {
+    import spark.implicits._
+    val df = Seq(java.sql.Timestamp.valueOf("1970-01-01 00:01:00")).toDF("ts")
+    val out = DocAssembler.datesToUnix(df).select(col("ts")).as[Double].head()
+    assert(out === 60.0)
+  }
+
   test("doc assembly: sentinel scrub maps configured strings to null") {
     import spark.implicits._
     val df = Seq(("a", "-"), ("b", "real")).toDF("k", "v")

@@ -164,6 +164,29 @@ class OpsSpec extends AnyFunSuite {
     assert(viaColumns.toSeq === viaPartitions.toSeq)
   }
 
+  // -- skew helpers -------------------------------------------------------
+
+  test("saltedJoin equals plain join; twoPhaseAgg equals direct agg") {
+    import graft.ops.Skew
+    val e = SparkEntry.loader(spark, "/root/testdata/sf0.001")("events")
+      .select(col("user_id"), col("value"))
+    val dim = e.select(col("user_id")).distinct()
+      .withColumn("tag", concat(lit("u"), col("user_id")))
+    val plain = e.join(dim, Seq("user_id")).agg(count(lit(1)), sum(col("value"))).collect()(0)
+    val salted = Skew.saltedJoin(e, dim, "user_id", salts = 8)
+      .agg(count(lit(1)), sum(col("value"))).collect()(0)
+    assert(plain.getLong(0) === salted.getLong(0))
+    assert(math.abs(plain.getDouble(1) - salted.getDouble(1)) < 1e-6)
+
+    val direct = e.groupBy(col("user_id")).agg(sum(col("value")).as("s"), count(lit(1)).as("n"))
+      .orderBy("user_id").collect().map(r => (r.getLong(0), math.round(r.getDouble(1)*1e6), r.getLong(2)))
+    val twoPhase = Skew.twoPhaseAgg(e, "user_id", salts = 8, Map(
+      "s" -> (sum(col("value")), (c: String) => sum(col(c))),
+      "n" -> (count(lit(1)), (c: String) => sum(col(c)))))
+      .orderBy("user_id").collect().map(r => (r.getLong(0), math.round(r.getDouble(1)*1e6), r.getLong(2)))
+    assert(direct.toSeq === twoPhase.toSeq)
+  }
+
   test("fakeEmbedding has requested dim and deterministic values") {
     val e1 = Multimodal.withPayload(docs, "text")
       .select(Multimodal.fakeEmbedding(col("content"), 8)).as[Seq[Double]].collect()
