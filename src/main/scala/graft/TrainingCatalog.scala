@@ -181,11 +181,19 @@ object TrainingCatalog {
       SELECT q_id, rank, n_id, round(sim, 6) AS sim FROM r WHERE rank <= 5
       ORDER BY q_id, rank""")),
 
-    // LSH-bucketed ANN: approximate (bucket recall measured in SimilaritySpec
+    // LSH-bucketed ANN: approximate (bucket recall measured in OpsSpec
     // against the brute-force baseline) → rows-only check.
     "q_sim_lsh_topk" -> (q((s, dir) => {
       val e = embs(s, dir)
       Similarity.lshTopK(e, e.where(col("vec_id") < 20), k = 5, planes = 4, tables = 8)
+        .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 6).as("sim"))
+    }), None),
+
+    // IVF ANN (KMeans coarse quantizer): approximate → rows-only check;
+    // recall vs brute force measured in OpsSpec.
+    "q_sim_ivf_topk" -> (q((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 20), k = 5, nlist = 16, nprobe = 8)
         .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 6).as("sim"))
     }), None),
 

@@ -89,6 +89,51 @@ object Similarity {
     }.reduce(_ + _)
 
   /**
+   * IVF (inverted-file) ANN top-k: a KMeans coarse quantizer (MLlib,
+   * deterministic seed) partitions the corpus into `nlist` cells; each
+   * query searches the `nprobe` cells whose centroids are most cosine-
+   * similar, with exact re-ranking inside. Candidates ≈ corpus ×
+   * nprobe/nlist; unlike random hyperplanes the cells adapt to the data
+   * distribution, which keeps recall high even when true neighbors sit
+   * at modest cosine similarity.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, idCol: String = "vec_id",
+              vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c0 = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_vec"))
+      .withColumn("features", array_to_vector(col("n_vec")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features").fit(c0)
+    val c = model.transform(c0).select(col("n_id"), col("n_vec"), col("prediction").as("cell"))
+    val centroids = model.clusterCenters.map(_.toArray)
+    // nprobe nearest cells per query by EUCLIDEAN distance — KMeans
+    // assigns corpus cells euclidean, so probing must match that
+    // geometry (dist² = |q|² - 2q·c + |c|²; |q|² is rank-invariant)
+    def cellDists(vec: Column): Seq[(Int, Column)] =
+      centroids.toSeq.zipWithIndex.map { case (ctr, i) =>
+        i -> (lit(ctr.map(x => x * x).sum) - lit(2.0) * dot(vec, typedlit(ctr)))
+      }
+    val probeArr = {
+      val dists = cellDists(col("q_vec"))
+      // ascending by distance, take nprobe — a sorted struct array
+      slice(array_sort(array(dists.map { case (i, d) =>
+        struct(d.as("d"), lit(i).as("cell")) }: _*)), 1, nprobe)
+    }
+    val q = broadcast(
+      queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_vec"))
+        .withColumn("probe", explode(probeArr))
+        .select(col("q_id"), col("q_vec"), col("probe.cell").as("cell")))
+    val den = sqrt(dot(col("q_vec"), col("q_vec"))) * sqrt(dot(col("n_vec"), col("n_vec")))
+    val scored = c.join(q, Seq("cell")).where(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        when(den =!= 0.0, dot(col("q_vec"), col("n_vec")) / den).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+  }
+
+  /**
    * Multi-table LSH-bucketed ANN top-k. `tables` independent hash tables
    * of `planes` hyperplanes each (the standard recall amplifier: a true
    * neighbor is found if ANY table buckets it with the query); queries

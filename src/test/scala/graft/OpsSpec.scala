@@ -109,6 +109,20 @@ class OpsSpec extends AnyFunSuite {
     assert(hits >= 6, s"LSH recall@1 too low: $hits/10")
   }
 
+  test("ivfTopK recall@1 vs brute force on sf0.001 (KMeans coarse quantizer)") {
+    val e = SparkEntry.loader(spark, "/root/testdata/sf0.001")("embeddings")
+    val q = e.where($"vec_id" < 10)
+    val bf = Similarity.bruteForceTopK(e, q, k = 1)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    val ivf = Similarity.ivfTopK(e, q, k = 1, nlist = 16, nprobe = 8)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    val hits = bf.count { case (qid, nid) => ivf.get(qid).contains(nid) }
+    // uniform-random embeddings are ANN's worst case (no cluster
+    // structure to exploit); half-corpus probing is the honest bar here —
+    // real corpora with topical clusters probe far fewer cells
+    assert(hits >= 7, s"IVF recall@1 too low: $hits/10")
+  }
+
   test("cosinePairs is symmetric-free (a<b) and thresholded") {
     val pairs = Similarity.cosinePairs(vecs, 0.9).select("id_a", "id_b").as[(Long, Long)].collect()
     assert(pairs.toSet === Set((0L, 1L)))
