@@ -165,6 +165,19 @@ object NestedCatalog {
           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
       FROM events ORDER BY event_id LIMIT 10000""")),
 
+    // post-aggregation filter (Container interface `having`)
+    "q_groupby_having" -> (jx("""{
+      "from": "lineitem",
+      "groupby": ["l_partkey"],
+      "select": [
+        {"name": "n", "value": ".", "aggregate": "count"},
+        {"name": "qty", "value": "l_quantity", "aggregate": "sum"}
+      ],
+      "having": {"gte": {"n": 6}}
+    }"""), Some("""
+      SELECT l_partkey, count(*) AS n, sum(l_quantity) AS qty
+      FROM lineitem GROUP BY 1 HAVING count(*) >= 6 ORDER BY 1""")),
+
     // outlier-trimmed stats (reference windows.py:126-155 Stats(middle))
     "q_agg_trimmed_stats" -> (q((s, dir) => {
       val stats = graft.functions.TrimmedStats(0.8)(col("l_quantity").cast("double"))

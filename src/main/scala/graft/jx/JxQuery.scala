@@ -22,7 +22,11 @@ case class JxQuery(
     sort: Seq[SortClause],
     windows: Seq[WindowClause],
     limit: Option[Long],
-    format: String) {
+    format: String,
+    /** post-aggregation filter over output columns (Container interface
+      * surface, vendor/jx_base/container.py:131; stubbed in the
+      * reference — free with Spark). */
+    having: Option[JxExpr] = None) {
   def isAggregate: Boolean =
     edges.nonEmpty || groupby.nonEmpty || select.exists(_.aggregate.exists(_ != "none"))
 }
@@ -123,7 +127,8 @@ object JxQuery {
       case Some(JString(f)) => f
       case _                => "list"
     }
-    JxQuery(from, normalizedSelects, selectJ.isDefined, edges, groupby, where, sort, windows, limit, format)
+    JxQuery(from, normalizedSelects, selectJ.isDefined, edges, groupby, where, sort, windows, limit, format,
+      having = obj.get("having").map(JxExpr.parse))
   }
 
   private def seqOf(v: Option[JValue]): Seq[JValue] = v match {

@@ -205,9 +205,14 @@ object QueryRunner {
     val keys = q.groupby.map(e => JxCompiler.compile(e.value.get, ctx).as(e.name))
     val aggs = q.select.map(aggColumn(_, ctx))
     val grouped = df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
-    val ordered = grouped.orderBy(q.groupby.map(e => col(e.name).asc_nulls_first): _*)
+    val had = q.having.fold(grouped)(h =>
+      grouped.filter(JxCompiler.filterPred(h, outputCtx)))
+    val ordered = had.orderBy(q.groupby.map(e => col(e.name).asc_nulls_first): _*)
     q.limit.fold(ordered)(n => ordered.limit(n.toInt))
   }
+
+  /** names resolve against the aggregated output columns */
+  private def outputCtx: JxCompiler.Ctx = JxCompiler.Ctx(resolveVar = col)
 
   // ---- edges: dense cube ---------------------------------------------------
 
