@@ -16,7 +16,22 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // ETL assembly throughput: full 3-level snowflake (customer ⊃ orders
+    // ⊃ lineitems + nation lookup) docs per second at this SF
+    val etlDps = try {
+      val load = SparkEntry.loader(spark, sfDir)
+      val plan = graft.etl.SnowflakePlan("customer", "c_custkey",
+        lookups = Seq(graft.etl.Lookup("c_nationkey", "nation",
+          graft.etl.SnowflakePlan("nation", "n_nationkey", referenceOnly = Some("n_name")))),
+        children = Seq(graft.etl.Child("o_custkey", "orders",
+          graft.etl.SnowflakePlan("orders", "o_orderkey",
+            children = Seq(graft.etl.Child("l_orderkey", "lineitems",
+              graft.etl.SnowflakePlan("lineitem", "l_orderkey")))))))
+      val t0 = System.nanoTime()
+      val n = graft.etl.DocAssembler.assemble(plan, load).count()
+      n / ((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => -1.0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"etl_assemble_docs_per_sec":${etlDps.toLong},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
