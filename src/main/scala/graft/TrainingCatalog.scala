@@ -135,6 +135,29 @@ object TrainingCatalog {
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
     ), Some(JaccardOracleSql)),
 
+    "q_dedup_jaccard_char" -> (q((s, dir) =>
+      Dedup.jaccardPairsChar(docs(s, dir), "doc_id", "text", k = 5, threshold = 0.6)
+    ), Some("""
+      WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(
+          [substr(s, i, 5) for i in range(1, length(s) - 3)])) AS g
+        FROM norm WHERE length(s) >= 5),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.6
+      ORDER BY 1, 2""")),
+
     // MinHash-LSH discovers candidates by band-hash bucketing, then
     // verifies with exact Jaccard. At 128 hashes / 32 bands a j>=0.8 pair
     // escapes with P < 1e-7, so the verified output equals the exact

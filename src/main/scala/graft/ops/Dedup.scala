@@ -61,6 +61,12 @@ object Dedup {
   def shingleHashes(text: Column, n: Int): Column =
     native.shingleHashes(TextAnalysis.tokens(text), n)
 
+  /** Character k-gram shingle hashes: the normalized text split into
+    * 1-char tokens fed through the same native chained-hash kernel
+    * (a k-chain of char hashes ≡ a char k-gram hash). */
+  def charShingleHashes(text: Column, k: Int): Column =
+    native.shingleHashes(split(normText(text), ""), k)
+
   /** Character k-gram shingles (for short/no-whitespace text). */
   def charShingles(text: Column, k: Int): Column = {
     val s = normText(text)
@@ -77,8 +83,17 @@ object Dedup {
     * The per-shingle join fan-out is docFreq² — verification-grade, not
     * discovery-grade; see [[minhashLshPairs]] for the scale path. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(shingleHashes(col(textCol), n)).as("sh"))
+                   n: Int = 3, threshold: Double = 0.5): DataFrame =
+    jaccardPairsBy(df, idCol, shingleHashes(col(textCol), n), threshold)
+
+  /** Char-k-gram flavor (robust to tokenization; for CJK/no-whitespace). */
+  def jaccardPairsChar(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 5, threshold: Double = 0.6): DataFrame =
+    jaccardPairsBy(df, idCol, charShingleHashes(col(textCol), k), threshold)
+
+  private def jaccardPairsBy(df: DataFrame, idCol: String, shingles: Column,
+                             threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(shingles).as("sh"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
