@@ -74,6 +74,34 @@ object Similarity {
       .where(col("sim") >= threshold)
   }
 
+  /** LSH-prefiltered near-dup pairs — the scale path for [[cosinePairs]]:
+    * candidates must share a bucket in ≥1 of `tables` hyperplane tables
+    * (same amplification as [[lshTopK]]), exact cosine verifies. Linear
+    * candidate generation instead of the all-pairs cross join; recall vs
+    * the exact operator is measured in OpsSpec. */
+  def cosinePairsLsh(df: DataFrame, threshold: Double, planes: Int = 4,
+                     tables: Int = 8, idCol: String = "vec_id",
+                     vecCol: String = "embedding", seed: Long = 1234L): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val hps = (0 until tables).map(t => hyperplanes(planes, dim, seed + t))
+    val v = df.select(col(idCol).as("id"), vecD(col(vecCol)).as("vec"))
+      .withColumn("norm", sqrt(dot(col("vec"), col("vec"))))
+    val banded = v.select(col("id"),
+      explode(array((0 until tables).map(t =>
+        rhpSignature(col("vec"), hps(t)) + lit(t.toLong << 32)): _*)).as("bucket"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val va = v.select(col("id").as("id_a"), col("vec").as("va"), col("norm").as("na"))
+    val vb = v.select(col("id").as("id_b"), col("vec").as("vb"), col("norm").as("nb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        when(col("na") * col("nb") =!= 0.0,
+          dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
   // -- random-hyperplane LSH ---------------------------------------------
 
   /** Deterministic Gaussian hyperplanes (planes × dim). */

@@ -128,6 +128,18 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.toSet === Set((0L, 1L)))
   }
 
+  test("cosinePairsLsh recall vs exact cosinePairs on sf0.001") {
+    val e = SparkEntry.loader(spark, "/root/testdata/sf0.001")("embeddings")
+    val exact = Similarity.cosinePairs(e, 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosinePairsLsh(e, 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // verification is exact → no false positives
+    // pairs here sit at cos 0.45-0.51 — the hardest LSH regime; real
+    // near-dup corpora (cos > 0.9) bucket together almost surely
+    assert(lsh.size * 2 >= exact.size, s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
   // -- text analysis ------------------------------------------------------
 
   test("tokenCount/bpeTokenCount/avgWordLen on crafted text") {
