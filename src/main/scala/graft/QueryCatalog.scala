@@ -529,6 +529,43 @@ object QueryCatalog {
         sum(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS run3
       FROM events ORDER BY event_id LIMIT 10000""")),
 
+    "q_select_star" -> (jx("""{
+      "from": "part",
+      "select": ["*"],
+      "sort": ["p_partkey"],
+      "limit": 10000
+    }"""), Some("""
+      SELECT * FROM part ORDER BY p_partkey LIMIT 10000""")),
+
+    "q_groupby_null_key" -> (jx("""{
+      "from": "events",
+      "groupby": [{"name": "big_type", "value": {"when": {"gt": {"value": 5}}, "then": "event_type"}}],
+      "select": [
+        {"name": "n", "value": ".", "aggregate": "count"},
+        {"name": "total", "value": "value", "aggregate": "sum"}
+      ]
+    }"""), Some("""
+      SELECT CASE WHEN value > 5 THEN event_type END AS big_type,
+             count(*) AS n, sum(value) AS total
+      FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""")),
+
+    "q_window_where" -> (jx("""{
+      "from": "events",
+      "window": [{
+        "name": "click_total", "value": "value", "aggregate": "sum",
+        "where": {"eq": {"event_type": "click"}},
+        "edges": ["user_id"], "sort": ["event_id"]
+      }],
+      "select": ["event_id", "user_id", "click_total"],
+      "sort": ["event_id"],
+      "limit": 10000
+    }"""), Some("""
+      SELECT event_id, user_id,
+        sum(CASE WHEN event_type = 'click' THEN value END)
+          OVER (PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_total
+      FROM events ORDER BY event_id LIMIT 10000""")),
+
     "q_window_neighbors" -> (jx("""{
       "from": "events",
       "window": [{
