@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.Config
+
+/** Reference-config compatibility: the ACTUAL production config from the
+  * reference repo must parse, including trailing commas, $ref includes
+  * (gracefully skipped when the private file is absent), add_relations
+  * arrow strings, and the reference_only table-vs-column split. */
+class ConfigSpec extends AnyFunSuite {
+
+  test("reference treeherder.json parses into a faithful WalkConfig") {
+    val c = Config.loadFile(Paths.get("/root/reference/resources/config/treeherder.json"))
+    assert(c.snowflake.factTable === "job")
+    assert(!c.snowflake.showForeignKeys)
+    assert(c.snowflake.nullValues === Seq("-", "unknown", ""))
+    assert(c.snowflake.exclude.contains("auth_user"))
+    // "failure_classification.name" → inline column; "job_group" → full
+    // object, no nested docs below
+    assert(c.snowflake.referenceOnly("failure_classification") === "name")
+    assert(c.snowflake.referenceAll.contains("job_group"))
+    // arrow relations: schema prefix dropped, both endpoints parsed
+    val r = c.snowflake.addRelations.find(_.fkTable == "performance_datum").get
+    assert(r.fkColumn === "ds_job_id" && r.pkTable === "job" && r.pkColumn === "project_specific_id")
+
+    val e = c.extract.get
+    assert(e.threads === 2)
+    assert(e.fields === Seq("last_modified", "id"))
+    assert(e.types === Seq("time", "number"))
+    assert(e.batch === Seq("day", 1000L))
+
+    val w = Config.walkConfig(c)
+    assert(w.factTable === "job" && !w.showForeignKeys)
+    assert(c.destination.contains("s3://active-data-treeherder-jobs"))
+  }
+
+  test("$ref includes merge when the file exists") {
+    val dir = Files.createTempDirectory("graft_cfg")
+    Files.writeString(dir.resolve("private.json"),
+      """{"db": {"username": "u1", "password": "p1"}}""")
+    Files.writeString(dir.resolve("main.json"),
+      """{"snowflake": {"fact_table": "f",
+           "database": {"schema": "s", "$ref": "file://private.json#db"}}}""")
+    val c = Config.loadFile(dir.resolve("main.json"))
+    assert(c.snowflake.database("schema") === "s")
+    assert(c.snowflake.database("username") === "u1")
+  }
+
+  test("extractConfig derives counters from the reference batch spec") {
+    val c = Config.parse("""{
+      "extract": {"last": "x.json", "field": ["last_modified", "id"],
+                  "type": ["time", "number"], "start": ["1jan2015", 0],
+                  "batch": ["day", 1000]},
+      "snowflake": {"fact_table": "job"}}""")
+    val plan = graft.etl.SnowflakePlan("job", "id")
+    val ec = Config.extractConfig(c, plan, "/tmp/out",
+      Files.createTempDirectory("graft_cfg2").resolve("last.json"))
+    assert(ec.timeField.get._1 === "last_modified")
+    assert(ec.batchSize === 1000L)
+    assert(ec.idField === "id")
+    assert(ec.start === java.time.Instant.parse("2015-01-01T00:00:00Z"))
+  }
+}
