@@ -112,6 +112,30 @@ object TrainingCatalog {
              ELSE 'de' END AS lang_pred
       FROM m ORDER BY doc_id""")),
 
+    "q_text_repetition" -> (q((s, dir) => {
+      val d = docs(s, dir)
+      val rep = d.select(col("doc_id"),
+        round(TextAnalysis.repeatedTokenFraction(col("text")), 6).as("rep_tok_frac"))
+      val top = TextAnalysis.topBigramFraction(d, "doc_id", "text")
+        .select(col("id").as("doc_id"), round(col("top_bigram_frac"), 6).as("top_bigram_frac"))
+      rep.join(top, Seq("doc_id"), "left")
+    }), Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      bg AS (
+        SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS b
+        FROM toks WHERE len(t) >= 2),
+      cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+      tb AS (SELECT doc_id,
+                    round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac
+             FROM cnt GROUP BY 1)
+      SELECT toks.doc_id,
+             round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE), 6) AS rep_tok_frac,
+             tb.top_bigram_frac
+      FROM toks LEFT JOIN tb ON tb.doc_id = toks.doc_id
+      ORDER BY 1""")),
+
     "q_text_fingerprint" -> (q((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),

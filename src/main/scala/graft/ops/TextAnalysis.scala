@@ -105,6 +105,31 @@ object TextAnalysis {
     round(lenScore * 0.3 + wordLenScore * 0.2 + stopScore * 0.3 + punctPenalty * 0.2, 6)
   }
 
+  // -- repetition signals (Gopher-rule flavored) --------------------------
+
+  /** Fraction of tokens that are repeats: 1 - |distinct|/|tokens|. */
+  def repeatedTokenFraction(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) > 0,
+      lit(1.0) - size(array_distinct(t)).cast("double") / size(t).cast("double"))
+  }
+
+  /** Per-doc fraction of bigram occurrences taken by the most frequent
+    * bigram (high → boilerplate/spam). Distributed: explode bigrams →
+    * count per (id, bigram) → max/sum per id. */
+  def topBigramFraction(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = tokens(col(textCol))
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val bg = df.select(col(idCol).as("id"), explode(bigrams).as("bg"))
+    bg.groupBy(col("id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_bigram_frac"))
+  }
+
   // -- fingerprints -------------------------------------------------------
 
   /** Whitespace/case-normalized form used by content hashing. */
