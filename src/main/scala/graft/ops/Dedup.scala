@@ -146,10 +146,27 @@ object Dedup {
    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, numHashes: Int = 128, bands: Int = 32,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5): DataFrame =
+    minhashLshPairsBy(df, idCol, shingleHashes(col(textCol), n), numHashes, bands, threshold)
+
+  /** Char k-gram flavor — use this (NOT the exact inverted index) when
+    * shingle document frequency is high: char shingles on a small
+    * vocabulary are shared by most documents, making `jaccardPairsChar`'s
+    * per-shingle join fan-out quadratic; LSH candidates stay linear.
+    * Defaults use r=6 rows/band: char-shingle BACKGROUND similarity is
+    * much higher than word-shingle (~0.3 here), so candidate noise scales
+    * with j_background^r — r=6 keeps it ~100× below r=4 while a true
+    * near-dup at j≥0.9 is still found with P ≈ 1-1e-9. */
+  def minhashLshPairsChar(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 5, numHashes: Int = 120, bands: Int = 20,
+                          threshold: Double = 0.6): DataFrame =
+    minhashLshPairsBy(df, idCol, charShingleHashes(col(textCol), k), numHashes, bands, threshold)
+
+  private def minhashLshPairsBy(df: DataFrame, idCol: String, shingles: Column,
+                                numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val docs = df.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
+    val docs = df.select(col(idCol).as("id"), shingles.as("sh"))
       .where(size(col("sh")) > 0)
 
     // banding stays NARROW (id, band, bh): the ×bands explosion and the
