@@ -208,6 +208,27 @@ object QueryCatalog {
       HAVING count(*) >= 0
       ORDER BY qty_bucket NULLS LAST""")),
 
+    "q_edges_duration" -> (jx("""{
+      "from": "events",
+      "edges": [{
+        "name": "dur_bucket", "value": "value", "allowNulls": true,
+        "domain": {"type": "duration", "min": 0, "max": "5minute", "interval": "1minute"}
+      }],
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}]
+    }"""), Some("""
+      WITH dom AS (SELECT CAST(generate_series AS DOUBLE) lo,
+                          CAST(row_number() OVER () - 1 AS INT) i
+                   FROM generate_series(0, 240, 60)),
+      agg AS (SELECT 60*floor(value/60) lo, count(*) n
+              FROM events WHERE value >= 0 AND value < 300 GROUP BY 1)
+      SELECT dur_bucket, n FROM (
+        SELECT dom.lo AS dur_bucket, coalesce(agg.n, 0) AS n, dom.i AS ord
+        FROM dom LEFT JOIN agg USING (lo)
+        UNION ALL
+        SELECT NULL, count(*), 99 FROM events
+          WHERE value IS NULL OR value < 0 OR value >= 300
+      ) ORDER BY ord""")),
+
     "q_edges_default_topk" -> (jx("""{
       "from": "events",
       "edges": [{

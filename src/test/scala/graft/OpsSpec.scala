@@ -79,6 +79,17 @@ class OpsSpec extends AnyFunSuite {
     assert(h1 === h4) // same tokens after lowercasing doc 4
   }
 
+  test("minhashLshPairsChar matches exact jaccardPairsChar on crafted docs") {
+    val exact = Dedup.jaccardPairsChar(docs, "doc_id", "text", k = 5, threshold = 0.6)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.minhashLshPairsChar(docs, "doc_id", "text", k = 5, threshold = 0.6)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh === exact)
+    assert(exact.exists(p => p._1 == 1L && p._2 == 2L)) // the near-dup pair
+  }
+
   // -- similarity ---------------------------------------------------------
 
   private lazy val vecs = Seq(
