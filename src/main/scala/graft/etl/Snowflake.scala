@@ -65,8 +65,16 @@ object DocAssembler {
       // key first in the struct so array_sort orders children by key
       val ordered = ch.plan.key +: sub.columns.filter(_ != ch.plan.key).toSeq
       val visible = ordered.filter(c => plan.showForeignKeys || c != ch.fk)
+      val sorted = array_sort(collect_list(struct(visible.map(col): _*)))
+      // "lean" docs (reference show_foreign_keys=False) also omit the
+      // child's own id column — golden lean nested1 has no id/ref
+      // (tests/test_extract.py "lean"); sort by key first, then strip it
+      val lean = visible.filterNot(c => !plan.showForeignKeys && c == ch.plan.key)
+      val payload =
+        if (lean == visible) sorted
+        else transform(sorted, x => struct(lean.map(c => x.getField(c).as(c)): _*))
       val arr = sub.groupBy(col(ch.fk).as(s"__${ch.as}_key"))
-        .agg(array_sort(collect_list(struct(visible.map(col): _*))).as(ch.as))
+        .agg(payload.as(ch.as))
       df = df.join(arr, df(plan.key) === arr(s"__${ch.as}_key"), "left")
         .drop(s"__${ch.as}_key")
     }

@@ -117,6 +117,23 @@ class SchemaWalkSpec extends AnyFunSuite {
     assert(d10.getDate(1).toString === "1970-01-01")
   }
 
+  test("lean docs (show_foreign_keys=false) omit id/fk columns everywhere") {
+    val plan = SchemaWalk.walk(conn, refCfg).copy(showForeignKeys = false)
+    // propagate leanness down the tree like the reference config does
+    def leanify(p: SnowflakePlan): SnowflakePlan = p.copy(
+      showForeignKeys = false,
+      lookups = p.lookups.map(l => l.copy(plan = leanify(l.plan))),
+      children = p.children.map(c => c.copy(plan = leanify(c.plan))))
+    val docs = DocAssembler.assemble(leanify(plan), SchemaWalk.jdbcLoader(spark, url))
+    val n1Type = docs.schema("nested1").dataType.simpleString
+    // golden "lean": nested1 elements carry description/about/nested2 but
+    // NOT id or ref (tests/test_extract.py expected_results["lean"])
+    assert(!n1Type.contains("id:") && !n1Type.contains("ref:"), n1Type)
+    assert(n1Type.contains("description"))
+    val aboutType = docs.schema("about").dataType.simpleString
+    assert(!aboutType.contains("id:"), aboutType)
+  }
+
   test("exclude prunes the walk") {
     val plan = SchemaWalk.walk(conn, WalkConfig("fact_table",
       referenceAll = Set("inner1"), exclude = Set("nested2", "inner2")))
