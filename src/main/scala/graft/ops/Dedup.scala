@@ -195,8 +195,6 @@ object Dedup {
 
   // -- SimHash ------------------------------------------------------------
 
-  private val Pow2: Array[Long] = (0 until 64).map(1L << _).toArray
-
   /** 64-bit SimHash over whitespace tokens: per-bit ±1 vote of each
     * token's xxhash64, sign → bit. Native codegen'd kernel
     * (see graft.functions.SimHash64Expr). */
