@@ -165,6 +165,25 @@ object NestedCatalog {
           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
       FROM events ORDER BY event_id LIMIT 10000""")),
 
+    // dense cube over a nested arm: edges after the explode chain
+    "q_nested_edges" -> (jx("""{
+      "from": "customer_orders.orders",
+      "edges": [{
+        "name": "status", "value": "o_orderstatus", "allowNulls": false,
+        "domain": {"type": "set", "partitions": ["F", "O", "P"]}
+      }],
+      "select": [
+        {"name": "n", "value": ".", "aggregate": "count"},
+        {"name": "revenue", "value": "o_totalprice", "aggregate": "sum"}
+      ]
+    }"""), Some("""
+      WITH dom(i, status) AS (VALUES (0, 'F'), (1, 'O'), (2, 'P')),
+      agg AS (SELECT o_orderstatus s, count(*) n, sum(o_totalprice) rev
+              FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+      SELECT dom.status, coalesce(agg.n, 0) AS n, agg.rev AS revenue
+      FROM dom LEFT JOIN agg ON dom.status = agg.s
+      ORDER BY dom.i""")),
+
     // post-aggregation filter (Container interface `having`)
     "q_groupby_having" -> (jx("""{
       "from": "lineitem",
