@@ -187,6 +187,22 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2))
   }
 
+  test("TrimmedStats drops ceil(n*(1-middle)/2) per tail; all-trimmed is null") {
+    import graft.functions.TrimmedStats
+    // 10 values incl. outliers; middle=0.8 → ignore ceil(10*0.1)=1 per tail
+    val df = Seq(1000.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, -999.0)
+      .toDF("v").withColumn("g", lit(1))
+    val r = df.groupBy(col("g")).agg(TrimmedStats(0.8)(col("v")).as("ts"))
+      .select("ts.count", "ts.mean", "ts.min", "ts.max").collect()(0)
+    assert(r.getLong(0) === 8L)
+    assert(r.getDouble(1) === 4.5) // mean of 1..8
+    assert(r.getDouble(2) === 1.0 && r.getDouble(3) === 8.0) // outliers gone
+    // middle so small everything is trimmed → null stats
+    val r2 = df.limit(2).groupBy(col("g")).agg(TrimmedStats(0.1)(col("v")).as("ts"))
+      .select("ts.count", "ts.mean").collect()(0)
+    assert(r2.getLong(0) === 0L && r2.isNullAt(1))
+  }
+
   // -- multimodal ---------------------------------------------------------
 
   test("multimodal payload plumbing: meta from binary, batched decode agrees") {
