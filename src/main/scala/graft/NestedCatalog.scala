@@ -165,8 +165,10 @@ object NestedCatalog {
           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
       FROM events ORDER BY event_id LIMIT 10000""")),
 
-    // dense cube over a nested arm: edges after the explode chain
-    "q_nested_edges" -> (jx("""{
+    // dense cube over a nested arm: edges after the explode chain.
+    // revenue is rounded on BOTH sides: the ~1.2e9 double sum carries
+    // summation-order jitter (~5e-6 absolute) across engines.
+    "q_nested_edges" -> (q((s, dir) => jx("""{
       "from": "customer_orders.orders",
       "edges": [{
         "name": "status", "value": "o_orderstatus", "allowNulls": false,
@@ -176,11 +178,11 @@ object NestedCatalog {
         {"name": "n", "value": ".", "aggregate": "count"},
         {"name": "revenue", "value": "o_totalprice", "aggregate": "sum"}
       ]
-    }"""), Some("""
+    }""")(s, dir).withColumn("revenue", round(col("revenue"), 2))), Some("""
       WITH dom(i, status) AS (VALUES (0, 'F'), (1, 'O'), (2, 'P')),
       agg AS (SELECT o_orderstatus s, count(*) n, sum(o_totalprice) rev
               FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1)
-      SELECT dom.status, coalesce(agg.n, 0) AS n, agg.rev AS revenue
+      SELECT dom.status, coalesce(agg.n, 0) AS n, round(agg.rev, 2) AS revenue
       FROM dom LEFT JOIN agg ON dom.status = agg.s
       ORDER BY dom.i""")),
 

@@ -20,6 +20,9 @@ object QueryCatalog {
   def jx(json: String): Q =
     (spark, dir) => QueryRunner.run(spark, JxQuery.parse(json), SparkEntry.loader(spark, dir))
 
+  /** Post-process an entry's DataFrame (driver-compare representation fixes). */
+  def post(q: Q)(f: DataFrame => DataFrame): Q = (spark, dir) => f(q(spark, dir))
+
   /** name → (query, optional oracle) */
   val catalog: Map[String, (Q, Option[String])] = Map(
 
@@ -64,11 +67,13 @@ object QueryCatalog {
       ]
     }"""), Some("""
       SELECT o_orderstatus,
-             sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
              count(*) AS n
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
-    "q_agg_distinct" -> (jx("""{
+    // `statuses` (a set-valued `union` aggregate) is emitted as a joined
+    // string: the driver's pandas compare cannot sort/hash array columns.
+    "q_agg_distinct" -> (post(jx("""{
       "from": "lineitem",
       "groupby": ["l_returnflag"],
       "select": [
@@ -76,10 +81,10 @@ object QueryCatalog {
         {"name": "statuses", "value": "l_linestatus", "aggregate": "union"},
         {"name": "n_parts", "value": "l_partkey", "aggregate": "cardinality"}
       ]
-    }"""), Some("""
+    }"""))(df => df.withColumn("statuses", org.apache.spark.sql.functions.concat_ws(",", org.apache.spark.sql.functions.col("statuses")))), Some("""
       SELECT l_returnflag,
              count(DISTINCT l_linestatus) AS n_status,
-             list_sort(list(DISTINCT l_linestatus)) AS statuses,
+             array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
              count(DISTINCT l_partkey) AS n_parts
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
@@ -142,10 +147,10 @@ object QueryCatalog {
     }"""), Some("""
       WITH dom(i, priority) AS (VALUES (0,'1-URGENT'),(1,'2-HIGH'),(2,'3-MEDIUM'),(3,'4-NOT SPECIFIED'),(4,'5-LOW'),(5,'9-PHANTOM')),
       agg AS (SELECT o_orderpriority p, count(*) n, sum(o_totalprice) rev FROM orders GROUP BY 1)
-      SELECT dom.priority, coalesce(agg.n, 0) AS n, agg.rev AS revenue
+      SELECT dom.priority, CAST(coalesce(agg.n, 0) AS BIGINT) AS n, agg.rev AS revenue
       FROM dom LEFT JOIN agg ON dom.priority = agg.p
       UNION ALL
-      SELECT NULL, coalesce(sum(n), 0), sum(rev) FROM agg
+      SELECT NULL, CAST(coalesce(sum(n), 0) AS BIGINT), sum(rev) FROM agg
         WHERE p IS NULL OR p NOT IN (SELECT priority FROM dom)
       ORDER BY priority NULLS LAST""")),
 
@@ -283,7 +288,7 @@ object QueryCatalog {
                           WHEN o_totalprice >= 50000 AND o_totalprice < 200000 THEN 'medium'
                           WHEN o_totalprice >= 200000 THEN 'large' END s, count(*) n
               FROM orders GROUP BY 1)
-      SELECT size, n FROM (
+      SELECT size, CAST(n AS BIGINT) AS n FROM (
         SELECT dom.size, coalesce(agg.n, 0) AS n, dom.i AS ord
         FROM dom LEFT JOIN agg ON dom.size = agg.s
         UNION ALL SELECT NULL, coalesce(sum(n), 0), 99 FROM agg WHERE s IS NULL
