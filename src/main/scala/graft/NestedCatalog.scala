@@ -38,19 +38,32 @@ object NestedCatalog {
     children = Seq(Child("l_orderkey", "lineitems",
       SnowflakePlan("lineitem", "l_orderkey"))))
 
-  /** Table loader that also serves assembled document "tables". */
-  private def load(s: SparkSession, dir: String): String => DataFrame = {
+  /** Assembled docs memoized per (session, doc, dir, referenced columns):
+    * catalog entries sharing a perspective reuse one persisted assembly
+    * instead of re-shuffling the snowflake per query. */
+  private val assembled =
+    scala.collection.concurrent.TrieMap[(Int, String, String, Option[Set[String]]), DataFrame]()
+
+  /** Table loader that also serves assembled document "tables", pruned to
+    * the query's referenced columns (see JxQuery.referencedNames). */
+  private def load(s: SparkSession, dir: String, needed: Option[Set[String]]): String => DataFrame = {
     val base = SparkEntry.loader(s, dir)
+    def doc(name: String, plan: => SnowflakePlan): DataFrame =
+      assembled.getOrElseUpdate((System.identityHashCode(s), name, dir, needed),
+        DocAssembler.assemble(plan, base, needed)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     name => name match {
-      case "customer_docs" => DocAssembler.assemble(customerPlan, base)
-      case "customer_orders" => DocAssembler.assemble(customerOrdersPlan, base)
-      case "orders_docs"   => DocAssembler.assemble(ordersPlan, base)
+      case "customer_docs" => doc("customer_docs", customerPlan)
+      case "customer_orders" => doc("customer_orders", customerOrdersPlan)
+      case "orders_docs"   => doc("orders_docs", ordersPlan)
       case other           => base(other)
     }
   }
 
-  private def jx(json: String): Q =
-    (s, dir) => QueryRunner.run(s, JxQuery.parse(json), load(s, dir))
+  private def jx(json: String): Q = (s, dir) => {
+    val query = JxQuery.parse(json)
+    QueryRunner.run(s, query, load(s, dir, JxQuery.referencedNames(query)))
+  }
 
   val catalog: Map[String, (Q, Option[String])] = Map(
 
@@ -117,7 +130,7 @@ object NestedCatalog {
 
     // drill_filter as array predicate: customers with any big order
     "q_nested_exists" -> (q((s, dir) =>
-      load(s, dir)("customer_orders")
+      load(s, dir, Some(Set("c_custkey", "orders", "o_totalprice")))("customer_orders")
         .where(NestedOps.existsIn("orders", """{"gt": {"o_totalprice": 400000}}"""))
         .select(col("c_custkey"))
     ), Some("""
@@ -128,7 +141,7 @@ object NestedCatalog {
 
     // aggregate inside the document: no explode, no shuffle
     "q_nested_sumover" -> (q((s, dir) =>
-      load(s, dir)("customer_orders").select(
+      load(s, dir, Some(Set("c_custkey", "orders", "o_totalprice")))("customer_orders").select(
         col("c_custkey"),
         NestedOps.sumOver("orders", "\"o_totalprice\"").as("total"))
     ), Some("""
@@ -138,7 +151,7 @@ object NestedCatalog {
 
     // drill_filter rewriting the array in place
     "q_nested_drillfilter" -> (q((s, dir) =>
-      NestedOps.drillFilter(load(s, dir)("orders_docs"),
+      NestedOps.drillFilter(load(s, dir, Some(Set("o_orderkey", "lineitems", "l_linestatus")))("orders_docs"),
         "lineitems", """{"eq": {"l_linestatus": "O"}}""")
         .select(col("o_orderkey"),
           coalesce(size(col("lineitems")), lit(0)).as("n_open"))

@@ -38,13 +38,31 @@ case class Child(fk: String, as: String, plan: SnowflakePlan)
 object DocAssembler {
 
   /** Assemble one row per `plan.table` row with lookups embedded as structs
-    * and children as (key-ordered) arrays of structs. */
-  def assemble(plan: SnowflakePlan, load: String => DataFrame): DataFrame = {
+    * and children as (key-ordered) arrays of structs.
+    *
+    * `needed` (when given) prunes assembly to the referenced surface:
+    * unreferenced scalar columns are dropped before the child-side
+    * `collect_list(struct(...))`, and whole lookup/child arms whose alias
+    * is never referenced are skipped. At scale this is the difference
+    * between shuffling 2 fields and shuffling the full document width —
+    * Catalyst cannot prune struct fields through a collect_list aggregate,
+    * so the projection must happen here, upstream of the shuffle. */
+  def assemble(plan: SnowflakePlan, load: String => DataFrame,
+               needed: Option[Set[String]] = None): DataFrame = {
+    val keptLookups = plan.lookups.filter(lk => needed.forall(_.contains(lk.as)))
+    val keptChildren = plan.children.filter(ch => needed.forall(_.contains(ch.as)))
     var df = scrub(load(plan.table), plan.nullValues)
+    for (ns <- needed) {
+      // the join/sort machinery always needs this level's key + kept fks
+      val always = Set(plan.key) ++ keptLookups.map(_.fk)
+      val cols = df.columns.filter(c => ns.contains(c) || always.contains(c))
+      df = df.select(cols.map(col).toIndexedSeq: _*)
+    }
     val dropFks = scala.collection.mutable.ArrayBuffer[String]()
 
-    for (lk <- plan.lookups) {
-      val sub = assemble(lk.plan, load)
+    for (lk <- keptLookups) {
+      val sub = assemble(lk.plan, load,
+        needed.map(_ ++ lk.plan.referenceOnly + lk.plan.key))
       val docCols = sub.columns.filter(c => plan.showForeignKeys || c != lk.plan.key)
       val payload: Column = lk.plan.referenceOnly match {
         case Some(refCol) => col(refCol)
@@ -60,8 +78,8 @@ object DocAssembler {
       else if (!plan.showForeignKeys) dropFks += lk.fk
     }
 
-    for (ch <- plan.children) {
-      val sub = assemble(ch.plan, load)
+    for (ch <- keptChildren) {
+      val sub = assemble(ch.plan, load, needed.map(_ + ch.fk + ch.plan.key))
       // key first in the struct so array_sort orders children by key
       val ordered = ch.plan.key +: sub.columns.filter(_ != ch.plan.key).toSeq
       val visible = ordered.filter(c => plan.showForeignKeys || c != ch.fk)

@@ -82,6 +82,29 @@ object JxQuery {
   val DefaultLimit = 10L
   val MaxLimit = 10000L
 
+  /** Every simple name the query references (dot-paths contribute each
+    * segment), or None when the query selects everything (`*`, leaves, or
+    * an implicit setop select-all). Drives assembly-side column pruning:
+    * nested-document sources only materialize the arms/columns a query
+    * touches, so collect_list width tracks the query, not the document. */
+  def referencedNames(q: JxQuery): Option[Set[String]] = {
+    var wildcard = !q.selectGiven && q.select.isEmpty
+    val names = scala.collection.mutable.Set[String]()
+    def walk(x: Any): Unit = x match {
+      case JxExpr.Variable(n) =>
+        if (n == "*" || n.endsWith(".*")) wildcard = true
+        else if (n != "." && n != "rownum") n.split('.').foreach(names += _)
+      case JxExpr.LeavesOp(_) => wildcard = true
+      case JxExpr.ScriptOp(_) => wildcard = true // free-form: cannot see its inputs
+      case p: Product => p.productIterator.foreach(walk)
+      case s: Iterable[_] => s.foreach(walk)
+      case _ => ()
+    }
+    Seq(q.select, q.edges, q.groupby, q.where, q.sort, q.windows, q.having).foreach(walk)
+    q.from.split('.').foreach(names += _)
+    if (wildcard) None else Some(names.toSet)
+  }
+
   /** Canonical aggregate aliases (reference query.py:283-290 + sql_aggs). */
   val canonicalAggregates: Map[String, String] = Map(
     "add" -> "sum", "avg" -> "average", "mean" -> "average",

@@ -81,6 +81,48 @@ class EtlSpec extends AnyFunSuite {
     assert(df.where(col("nation").isNotNull).count() > 0)
   }
 
+  test("doc assembly: `needed` prunes columns and unreferenced arms") {
+    val load = SparkEntry.loader(spark, "/root/testdata/sf0.001")
+    val plan = SnowflakePlan("customer", "c_custkey",
+      lookups = Seq(Lookup("c_nationkey", "nation",
+        SnowflakePlan("nation", "n_nationkey", referenceOnly = Some("n_name")))),
+      children = Seq(Child("o_custkey", "orders",
+        SnowflakePlan("orders", "o_orderkey",
+          children = Seq(Child("l_orderkey", "lineitems",
+            SnowflakePlan("lineitem", "l_orderkey")))))))
+    val pruned = DocAssembler.assemble(plan, load,
+      Some(Set("c_custkey", "orders", "o_totalprice")))
+    // root: key + referenced arm only; "nation" lookup and all other
+    // customer scalars are gone
+    assert(pruned.columns.toSet === Set("c_custkey", "orders"))
+    val ordersElem = pruned.schema("orders").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // child struct: its key + fk + the referenced column; lineitems arm gone
+    assert(ordersElem.fieldNames.toSet === Set("o_orderkey", "o_custkey", "o_totalprice"))
+    // pruned assembly agrees with the full one on the surviving surface
+    val full = DocAssembler.assemble(plan, load)
+    val a = pruned.select(col("c_custkey"),
+      aggregate(col("orders.o_totalprice"), lit(0.0), _ + _).as("t"))
+    val b = full.select(col("c_custkey"),
+      aggregate(col("orders.o_totalprice"), lit(0.0), _ + _).as("t"))
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
+  test("referencedNames collects query surface; wildcards disable pruning") {
+    import graft.jx.JxQuery
+    val q = JxQuery.parse("""{
+      "from": "docs.orders",
+      "select": [{"name": "x", "value": {"mul": ["o_totalprice", 2]}}],
+      "where": {"gt": {"c_acctbal": 0}},
+      "sort": ["o_orderkey"]
+    }""")
+    assert(JxQuery.referencedNames(q) ===
+      Some(Set("docs", "orders", "o_totalprice", "c_acctbal", "o_orderkey")))
+    val star = JxQuery.parse("""{"from": "docs.orders", "limit": 10}""")
+    assert(JxQuery.referencedNames(star) === None)
+  }
+
   test("datesToUnix serializes timestamps as unix seconds (Date → NUMBER)") {
     import spark.implicits._
     val df = Seq(java.sql.Timestamp.valueOf("1970-01-01 00:01:00")).toDF("ts")
