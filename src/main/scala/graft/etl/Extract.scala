@@ -31,7 +31,9 @@ case class ExtractConfig(
     start: java.time.Instant,
     destination: String,
     lastFile: Path,
-    revision: String = "dev")
+    revision: String = "dev",
+    /** per-batch completion messages (reference extract.py:244-251) */
+    notifier: Notifier = Notifier.noop)
 
 case class ExtractResult(rows: Long, batches: Long, watermark: Watermark)
 
@@ -49,11 +51,13 @@ object Extract {
       case None => fact0
       case Some(w) =>
         cfg.timeField match {
-          case Some((tf, _)) =>
+          case Some((tf, _)) if w.lastTime.isDefined =>
             val t = w.lastTime.get
             fact0.filter(col(tf) > lit(t) ||
               (col(tf) === lit(t) && col(cfg.idField) > lit(w.lastId)))
-          case None => fact0.filter(col(cfg.idField) > lit(w.lastId))
+          // watermark carries no time component (recorded by a time-less
+          // config, or a legacy empty-increment run): keyset on id alone
+          case _ => fact0.filter(col(cfg.idField) > lit(w.lastId))
         }
     }
 
@@ -78,47 +82,67 @@ object Extract {
     }
     val order = cfg.timeField.map(t => col(t._1)).toSeq :+ col(cfg.idField)
     val w = Window.partitionBy(col("__dur")).orderBy(order: _*)
+    // persist the increment: the write, the watermark aggregate and the
+    // batch inventory all read this ONE materialization instead of
+    // re-scanning the source (and re-assembling docs) per consumer —
+    // at 100 TB the increment is watermark-bounded, so this is the
+    // standard bounded-working-set persist
     val withBatch = withDur
       .withColumn("__seq", row_number().over(w) - lit(1))
       .withColumn("__batch", (col("__seq") / lit(cfg.batchSize)).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // 3. assemble docs for exactly these fact rows
+      val assembled = joinAssembled(cfg.plan, withBatch, load)
 
-    // 3. assemble docs for exactly these fact rows
-    val assembled = joinAssembled(cfg.plan, withBatch, load)
+      // 4. lineage envelope + partitioned gzip NDJSON write
+      //    (reference extract.py:208-242: one S3 object per batch key)
+      val docCols = assembled.columns.filterNot(Set("__dur", "__seq", "__batch"))
+      val docs = assembled.select(
+        struct(docCols.map(col).toIndexedSeq: _*).as(cfg.plan.table),
+        struct(
+          col("__seq").as("id"),
+          struct(lit(cfg.plan.table).as("table"),
+            concat_ws(".", col("__dur"), col("__batch")).as("key")).as("source"),
+          lit(cfg.revision).as("revision"),
+          (unix_timestamp() * lit(1.0)).as("timestamp")).as("etl"),
+        col("__dur").as("batch_t"), col("__batch").as("batch_i"))
 
-    // 4. lineage envelope + partitioned gzip NDJSON write
-    //    (reference extract.py:208-242: one S3 object per batch key)
-    val docCols = assembled.columns.filterNot(Set("__dur", "__seq", "__batch"))
-    val docs = assembled.select(
-      struct(docCols.map(col).toIndexedSeq: _*).as(cfg.plan.table),
-      struct(
-        col("__seq").as("id"),
-        struct(lit(cfg.plan.table).as("table"),
-          concat_ws(".", col("__dur"), col("__batch")).as("key")).as("source"),
-        lit(cfg.revision).as("revision"),
-        (unix_timestamp() * lit(1.0)).as("timestamp")).as("etl"),
-      col("__dur").as("batch_t"), col("__batch").as("batch_i"))
+      docs.write.mode("overwrite")
+        .partitionBy("batch_t", "batch_i")
+        .option("compression", "gzip")
+        .json(cfg.destination)
 
-    docs.write.mode("overwrite")
-      .partitionBy("batch_t", "batch_i")
-      .option("compression", "gzip")
-      .json(cfg.destination)
-
-    // 5. watermark: advance only after a successful write (extract.py:254)
-    val agg = withBatch.agg(
-      count(lit(1)), max(col("__dur")), max(col("__batch")),
-      cfg.timeField.map(t => max(col(t._1))).getOrElse(lit(null)),
-      max(col(cfg.idField))).collect()(0)
-    val rows = agg.getLong(0)
-    val wm =
-      if (rows == 0) prev.getOrElse(Watermark(Seq(0, 0), None, Long.MinValue))
-      else Watermark(
-        Seq(agg.getLong(1), agg.getLong(2)),
-        Option(agg.get(3)).map(_.asInstanceOf[java.sql.Timestamp]),
-        agg.getLong(4))
-    writeWatermark(cfg.lastFile, wm)
-    val nBatches = if (rows == 0) 0L
-      else docs.select(countDistinct(col("batch_t"), col("batch_i"))).collect()(0).getLong(0)
-    ExtractResult(rows, nBatches, wm)
+      // 5. ONE aggregate over the persisted increment: row count, watermark
+      //    coordinates AND the batch inventory (bounded: #batches ≤
+      //    rows/batchSize) — no second scan, no re-assembly
+      val agg = withBatch.agg(
+        count(lit(1)), max(col("__dur")), max(col("__batch")),
+        cfg.timeField.map(t => max(col(t._1))).getOrElse(lit(null)),
+        max(col(cfg.idField)),
+        collect_set(struct(col("__dur"), col("__batch")))).collect()(0)
+      val rows = agg.getLong(0)
+      val batchKeys: Seq[(Long, Long)] =
+        agg.getSeq[org.apache.spark.sql.Row](5).map(r => (r.getLong(0), r.getLong(1))).sorted
+      if (rows == 0) {
+        // nothing written → nothing to notify, and the watermark must NOT
+        // move (writing one with no time component would poison the next
+        // keyset filter)
+        ExtractResult(0L, 0L, prev.getOrElse(Watermark(Seq(0, 0), None, Long.MinValue)))
+      } else {
+        val wm = Watermark(
+          Seq(agg.getLong(1), agg.getLong(2)),
+          Option(agg.get(3)).map(_.asInstanceOf[java.sql.Timestamp]),
+          agg.getLong(4))
+        // notify per written batch object (reference extract.py:244-251),
+        // then advance the watermark (extract.py:254)
+        val now = java.time.Instant.now()
+        for ((t, b) <- batchKeys)
+          cfg.notifier.add(Notifier.batchMessage(cfg.destination, s"$t.$b", now))
+        writeWatermark(cfg.lastFile, wm)
+        ExtractResult(rows, batchKeys.size.toLong, wm)
+      }
+    } finally withBatch.unpersist()
   }
 
   /** Assemble docs only for the given fact subset (keeps coordinate cols). */

@@ -49,19 +49,18 @@ object Formats {
   }
 
   /** Cube envelope over an edges result (rows already dense + ordered by
-    * edge indices, null partition last — the runEdges contract). */
-  def cube(df: DataFrame, edgeNames: Seq[String]): String = {
+    * edge indices, null partition last — the runEdges contract).
+    * `domains` are the RESOLVED edge partition values from
+    * [[QueryRunner.runEdgesWithDomains]] — never reconstructed from result
+    * rows, where duplicate partition values or a truncating limit would
+    * silently mis-shape the nested data arrays. */
+  def cube(df: DataFrame, edgeNames: Seq[String], domains: Seq[Seq[Any]]): String = {
     val rows = df.collect().toSeq
     val measureNames = df.columns.filterNot(edgeNames.contains).toSeq
-    // per-edge partition values in row order (dense cube ⇒ the distinct
-    // values of each edge column appear in domain order)
-    val domains: Seq[Seq[Any]] = edgeNames.map { e =>
-      val i = df.columns.indexOf(e)
-      val seen = scala.collection.mutable.LinkedHashSet[Any]()
-      rows.foreach(r => seen += r.get(i))
-      seen.toSeq
-    }
     val dims = domains.map(_.size)
+    require(rows.size == dims.product,
+      s"cube is not dense: ${rows.size} rows vs dims ${dims.mkString("x")} — " +
+        "was the result truncated by a limit?")
 
     def shape(values: Seq[JValue], ds: Seq[Int]): JValue = ds match {
       case Seq() => values.headOption.getOrElse(JNull)
@@ -88,13 +87,13 @@ object Formats {
     * "cube" requires edges). */
   def run(spark: org.apache.spark.sql.SparkSession, q: JxQuery,
           load: String => DataFrame): String = {
-    val df = QueryRunner.run(spark, q, load)
     q.format match {
-      case "table" => table(df)
-      case "cube"  =>
+      case "cube" =>
         require(q.edges.nonEmpty, "cube format requires edges")
-        cube(df, q.edges.map(_.name))
-      case _ => list(df)
+        val (df, domains) = QueryRunner.runEdgesWithDomains(spark, q, load)
+        cube(df, q.edges.map(_.name), domains)
+      case "table" => table(QueryRunner.run(spark, q, load))
+      case _       => list(QueryRunner.run(spark, q, load))
     }
   }
 }

@@ -77,11 +77,20 @@ object QueryRunner {
       case TrueOp => base
       case w      => base.filter(JxCompiler.filterPred(w, ctx))
     }
-    if (q.edges.nonEmpty) runEdges(spark, q, filtered, ctx)
+    if (q.edges.nonEmpty) applyHaving(q, runEdges(spark, q, filtered, ctx))
     else if (q.groupby.nonEmpty) runGroupby(q, filtered, ctx)
-    else if (q.isAggregate) runScalarAgg(q, filtered, ctx)
-    else runSetop(q, filtered, path, ctx)
+    else if (q.isAggregate) applyHaving(q, runScalarAgg(q, filtered, ctx))
+    else {
+      if (q.having.isDefined)
+        throw new IllegalArgumentException("`having` requires an aggregation (edges/groupby/aggregate select)")
+      runSetop(q, filtered, path, ctx)
+    }
   }
+
+  /** `having` filters the aggregated output uniformly — edges and scalar
+    * aggregates included, not just groupby (where it is applied pre-sort). */
+  private def applyHaving(q: JxQuery, out: DataFrame): DataFrame =
+    q.having.fold(out)(h => out.filter(JxCompiler.filterPred(h, outputCtx)))
 
   // ---- setop: filter → window → sort → select → limit -------------------
 
@@ -337,7 +346,13 @@ object QueryRunner {
         val lo = numeric(minE); val hi = numeric(maxE)
         val loIdx = greatest(floor((lo - lit(mn)) / lit(step)).cast(IntegerType), lit(0))
         val hiIdx = least(floor(((hi - lit(mn)) / lit(step)) - lit(1e-9)).cast(IntegerType), lit(n - 1))
-        val arr = when(lo.isNull || hi.isNull || hi <= lit(mn) || lo >= lit(mx), array(lit(null).cast(IntegerType)))
+        // hiIdx < loIdx (zero-width interval on a bucket boundary, or dirty
+        // max < min) would make sequence() DESCEND and count wrong buckets;
+        // such rows overlap nothing → null bucket (reference overlap
+        // predicate part.min < hi && part.max > lo, lists/aggs.py:123-147)
+        val arr = when(
+            lo.isNull || hi.isNull || hi <= lit(mn) || lo >= lit(mx) || hiIdx < loIdx,
+            array(lit(null).cast(IntegerType)))
           .otherwise(sequence(loIdx, hiIdx))
         ResolvedEdge(e.name, arr, n, e.allowNulls, dom, explodes = true)
       case None =>
@@ -348,8 +363,31 @@ object QueryRunner {
     }
   }
 
-  private def runEdges(spark: SparkSession, q: JxQuery, df0: DataFrame, ctx: JxCompiler.Ctx): DataFrame = {
-    val edges = q.edges.zipWithIndex.map { case (e, i) => resolveEdge(spark, e, i, df0, ctx) }
+  /** Edges result + each edge's resolved partition values in domain order
+    * (null bucket appended when allowNulls) — the authoritative domains
+    * for cube shaping; reconstruction from result rows is ambiguous when
+    * partitions share values or a limit truncates the cube. */
+  def runEdgesWithDomains(spark: SparkSession, q: JxQuery, load: String => DataFrame): (DataFrame, Seq[Seq[Any]]) = {
+    val (base, path) = resolveFrom(q.from, load)
+    val ctx = mkCtx(base, path)
+    val filtered = q.where match {
+      case TrueOp => base
+      case w      => base.filter(JxCompiler.filterPred(w, ctx))
+    }
+    val edges = q.edges.zipWithIndex.map { case (e, i) => resolveEdge(spark, e, i, filtered, ctx) }
+    val doms = edges.map { e =>
+      e.domainDF.orderBy(col("__idx")).collect().map(_.get(1)).toSeq ++
+        (if (e.allowNulls) Seq(null) else Nil)
+    }
+    (applyHaving(q, runEdgesResolved(spark, q, filtered, ctx, edges)), doms)
+  }
+
+  private def runEdges(spark: SparkSession, q: JxQuery, df0: DataFrame, ctx: JxCompiler.Ctx): DataFrame =
+    runEdgesResolved(spark, q, df0, ctx,
+      q.edges.zipWithIndex.map { case (e, i) => resolveEdge(spark, e, i, df0, ctx) })
+
+  private def runEdgesResolved(spark: SparkSession, q: JxQuery, df0: DataFrame,
+                               ctx: JxCompiler.Ctx, edges: Seq[ResolvedEdge]): DataFrame = {
     val idxNames = edges.indices.map(i => s"__e${i}_idx")
 
     // classify each fact row; interval (range) edges explode to every matching cell

@@ -76,7 +76,10 @@ object TextAnalysis {
     val en = langScore(text, "en"); val fr = langScore(text, "fr")
     val es = langScore(text, "es"); val de = langScore(text, "de")
     val zh = cjkCount(text)
-    when(en + fr + es + de + zh === 0, lit("und"))
+    // null text → null language (all scores are null, so every comparison
+    // below would be null-false and control would fall through to "de")
+    when(text.isNull, lit(null).cast("string"))
+      .when(en + fr + es + de + zh === 0, lit("und"))
       .when(zh > 0, lit("zh"))
       .when(en >= fr && en >= es && en >= de, lit("en"))
       .when(fr >= es && fr >= de, lit("fr"))

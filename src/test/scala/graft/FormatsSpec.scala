@@ -63,4 +63,37 @@ class FormatsSpec extends AnyFunSuite {
     assert(n.length === 3)
     assert(n.forall(_.asInstanceOf[JArray].arr.length === 2))
   }
+
+  test("cube domains come from the resolved query, not the result rows") {
+    // duplicate partition VALUES (same value, two named parts): row-derived
+    // domain reconstruction would collapse them to one and mis-shape
+    val out = Formats.run(spark, JxQuery.parse("""{
+      "from": "orders",
+      "edges": [{"name": "status", "allowNulls": false,
+                 "domain": {"type": "set", "partitions": [
+                   {"name": "open",   "where": {"eq": {"o_orderstatus": "O"}}},
+                   {"name": "other",  "where": {"ne": {"o_orderstatus": "O"}}},
+                   {"name": "never",  "where": {"eq": {"o_orderstatus": "ZZZ"}}}
+                 ]}}],
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+      "format": "cube"}"""), load)
+    val j = JsonMethods.parse(out)
+    val parts = ((j \ "edges")(0) \ "domain" \ "partitions").asInstanceOf[JArray].arr
+    assert(parts === List(JString("open"), JString("other"), JString("never")))
+    val n = (j \ "data" \ "n").asInstanceOf[JArray].arr
+    assert(n.length === 3) // dense incl. the empty "never" cell
+  }
+
+  test("cube with a truncating limit fails loudly instead of mis-shaping") {
+    val ex = intercept[IllegalArgumentException] {
+      Formats.run(spark, JxQuery.parse("""{
+        "from": "orders",
+        "edges": [{"name": "status", "value": "o_orderstatus", "allowNulls": false,
+                   "domain": {"type": "set", "partitions": ["F", "O", "P"]}}],
+        "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+        "limit": 2,
+        "format": "cube"}"""), load)
+    }
+    assert(ex.getMessage.contains("not dense"))
+  }
 }

@@ -178,6 +178,12 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq("en", "fr", "es", "de", "zh", "und"))
   }
 
+  test("langId(null) is null, not a fall-through language") {
+    val df = Seq(Option.empty[String], Some("the cat and the dog")).toDF("text")
+    val got = df.select(TextAnalysis.langId(col("text"))).collect().map(r => Option(r.getString(0)))
+    assert(got.toSeq === Seq(None, Some("en")))
+  }
+
   test("fingerprint is whitespace/case-insensitive; rolling is order-sensitive") {
     val df = Seq(("a b c", "A  b   C", "c b a")).toDF("x", "y", "z")
     val r = df.select(

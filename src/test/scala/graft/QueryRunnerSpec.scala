@@ -25,6 +25,68 @@ class QueryRunnerSpec extends AnyFunSuite {
     assert(df.count() === 7) // 6 partitions + null bucket
   }
 
+  test("interval edge: zero-width/inverted spans land in the null bucket, not wrong cells") {
+    import graft.jx._
+    import org.apache.spark.sql.functions._
+    // span [v, v): zero width exactly on bucket boundaries — the naive
+    // sequence(loIdx, hiIdx) DESCENDS (hiIdx < loIdx) and counts buckets
+    val q = JxQuery.parse("""{
+      "from": "lineitem",
+      "edges": [{"name": "span", "allowNulls": true,
+        "range": {"min": "l_quantity", "max": "l_quantity"},
+        "domain": {"type": "range", "min": 1, "max": 51, "interval": 10}}],
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}]
+    }""")
+    val df = QueryRunner.run(spark, q, SparkEntry.loader(spark, dir))
+    val rows = df.collect()
+    val li = SparkEntry.loader(spark, dir)("lineitem")
+    val total = li.count()
+    // reference overlap predicate (part.min < hi && part.max > lo): an
+    // interior zero-width span overlaps its ONE containing bucket; a span
+    // exactly on a bucket boundary (or outside the axis) overlaps NOTHING
+    // → null bucket. Pre-fix, boundary rows produced a DESCENDING sequence
+    // and were counted in TWO buckets.
+    val expectNull = li.filter(
+      col("l_quantity").isin(1, 11, 21, 31, 41) || col("l_quantity") >= 51).count()
+    val nullBucket = rows.find(_.isNullAt(0)).get.getLong(1)
+    assert(nullBucket === expectNull)
+    // no double counting: cells sum to the row count exactly
+    assert(rows.map(_.getLong(1)).sum === total)
+  }
+
+  test("having applies to edges and scalar aggregates; setop+having throws") {
+    import graft.jx._
+    val edgesQ = JxQuery.parse("""{
+      "from": "orders",
+      "edges": [{"name": "status", "value": "o_orderstatus", "allowNulls": false,
+                 "domain": {"type": "set", "partitions": ["F", "O", "P"]}}],
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+      "having": {"gt": {"n": 500}}
+    }""")
+    val dense = QueryRunner.run(spark,
+      JxQuery.parse("""{
+        "from": "orders",
+        "edges": [{"name": "status", "value": "o_orderstatus", "allowNulls": false,
+                   "domain": {"type": "set", "partitions": ["F", "O", "P"]}}],
+        "select": [{"name": "n", "value": ".", "aggregate": "count"}]
+      }"""), SparkEntry.loader(spark, dir)).count()
+    val had = QueryRunner.run(spark, edgesQ, SparkEntry.loader(spark, dir)).count()
+    assert(had === 1, s"having n>500 keeps only the O cell, got $had of $dense")
+
+    val scalarQ = JxQuery.parse("""{
+      "from": "orders",
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+      "having": {"gt": {"n": 1000000000}}
+    }""")
+    assert(QueryRunner.run(spark, scalarQ, SparkEntry.loader(spark, dir)).count() === 0)
+
+    val setopQ = JxQuery.parse(
+      """{"from": "orders", "select": ["o_orderkey"], "having": {"gt": {"o_orderkey": 0}}}""")
+    intercept[IllegalArgumentException] {
+      QueryRunner.run(spark, setopQ, SparkEntry.loader(spark, dir))
+    }
+  }
+
   test("default limit is 10, clamp at 10000") {
     import graft.jx._
     val q = JxQuery.parse("""{"from": "lineitem"}""")
