@@ -120,11 +120,53 @@ object SchemaWalk {
   }
 
   /** Spark JDBC table loader with lower-cased column names (Derby/MySQL
-    * metadata case-fold differently; docs use lower-case names). */
-  def jdbcLoader(spark: org.apache.spark.sql.SparkSession, url: String): String => org.apache.spark.sql.DataFrame =
+    * metadata case-fold differently; docs use lower-case names).
+    *
+    * `keyOf` maps a table to its elected numeric key (see [[electKey]] /
+    * [[planKeys]]); when it yields one, the read is SPLIT across
+    * `numPartitions` parallel connections via partitionColumn bounds — the
+    * Spark-native equivalent of the reference's keyset-paginated cursor
+    * (mysql_to_s3/extract.py:156-183). Without this every table arrives
+    * through ONE connection on ONE task, the ingest-side scale killer.
+    * Bounds come from one tiny MIN/MAX query per table; tables whose key
+    * isn't numeric (or that are empty) fall back to a single partition. */
+  def jdbcLoader(spark: org.apache.spark.sql.SparkSession, url: String,
+                 keyOf: String => Option[String] = _ => None,
+                 numPartitions: Int = 1): String => org.apache.spark.sql.DataFrame =
     name => {
-      val df = spark.read.format("jdbc")
-        .option("url", url).option("dbtable", name).load()
+      val base = spark.read.format("jdbc").option("url", url).option("dbtable", name)
+      val reader = (if (numPartitions > 1) keyOf(name) else None)
+        .flatMap(k => numericBounds(url, name, k)) match {
+          case Some((k, lo, hi)) if hi > lo =>
+            base.option("partitionColumn", k)
+              .option("lowerBound", lo).option("upperBound", hi)
+              .option("numPartitions", numPartitions)
+          case _ => base
+        }
+      val df = reader.load()
       df.toDF(df.columns.map(_.toLowerCase).toIndexedSeq: _*)
     }
+
+  /** table → elected key for every table in an assembled plan. */
+  def planKeys(plan: SnowflakePlan): Map[String, String] =
+    Map(plan.table -> plan.key) ++
+      plan.lookups.flatMap(l => planKeys(l.plan)) ++
+      plan.children.flatMap(c => planKeys(c.plan))
+
+  /** MIN/MAX of a numeric key — the partition bounds (None when the key
+    * is non-numeric, the table is empty, or the probe fails). */
+  private def numericBounds(url: String, table: String, key: String): Option[(String, Long, Long)] =
+    try {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement().executeQuery(s"SELECT MIN($key), MAX($key) FROM $table")
+        val out =
+          if (rs.next()) {
+            val lo = rs.getLong(1)
+            if (rs.wasNull()) None else Some((key, lo, rs.getLong(2)))
+          } else None
+        rs.close()
+        out
+      } finally conn.close()
+    } catch { case _: java.sql.SQLException => None }
 }

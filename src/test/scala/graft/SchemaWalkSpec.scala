@@ -107,6 +107,32 @@ class SchemaWalkSpec extends AnyFunSuite {
     assert(d13.isNullAt(0))
   }
 
+  test("partitioned JDBC read: >1 input partition, identical golden docs") {
+    val plan = SchemaWalk.walk(conn, refCfg)
+    val keys = SchemaWalk.planKeys(plan)
+    assert(keys === Map("fact_table" -> "id", "inner1" -> "id",
+      "inner2" -> "id", "nested1" -> "id", "nested2" -> "id"))
+
+    val parLoad = SchemaWalk.jdbcLoader(spark, url, keys.get, numPartitions = 3)
+    // the scan itself is split: the reference streams through one cursor,
+    // Spark-natively the key range fans out over parallel connections
+    assert(parLoad("fact_table").rdd.getNumPartitions === 3)
+
+    val single = DocAssembler.assemble(plan, SchemaWalk.jdbcLoader(spark, url))
+    val parted = DocAssembler.assemble(plan, parLoad)
+    assert(parted.count() === 4)
+    // same docs regardless of read parallelism
+    val flat = (df: org.apache.spark.sql.DataFrame) => df.select(
+      col("id"), col("name"), col("about.value"),
+      size(col("nested1")), col("nested1")(0).getField("description"))
+    assert(flat(parted).exceptAll(flat(single)).count() === 0)
+    assert(flat(single).exceptAll(flat(parted)).count() === 0)
+
+    // a table whose key can't be bounded falls back to one partition
+    val noKey = SchemaWalk.jdbcLoader(spark, url, _ => Some("name"), numPartitions = 3)
+    assert(noKey("fact_table").rdd.getNumPartitions === 1)
+  }
+
   test("reference_only inlines the label column (reference test_inline)") {
     val plan = SchemaWalk.walk(conn, WalkConfig("fact_table",
       referenceOnly = Map("inner1" -> "value", "inner2" -> "value")))
