@@ -22,10 +22,22 @@ trait Container {
     QueryRunner.run(spark, q.copy(from = rewriteFrom(q.from)), load)
   }
 
-  /** Query returning the reference's format envelope (list/table/cube). */
+  /** Query returning the reference's format envelope (list/table/cube).
+    * `format:"container"` has a non-String result — use [[queryContainer]]. */
   def queryFormatted(json: String): String = {
     val q = JxQuery.parse(json)
+    if (q.format == "container")
+      throw new IllegalArgumentException("format:\"container\" returns a store — use queryContainer")
     Formats.run(spark, q.copy(from = rewriteFrom(q.from)), load)
+  }
+
+  /** `format:"container"`: materialize the query result as a NEW queryable
+    * [[FactStore]] and return it (reference jx_sqlite/query_table.py:
+    * 97-100 — a query result becomes a first-class table). */
+  def queryContainer(json: String, dir: Path, newName: String): FactStore = {
+    val q = JxQuery.parse(json)
+    val result = QueryRunner.run(spark, q.copy(from = rewriteFrom(q.from)), load)
+    new FactStore(spark, newName, dir).insert(result)
   }
 
   private def rewriteFrom(from: String): String =
@@ -55,9 +67,10 @@ class ListContainer(val spark: SparkSession, val name: String, df: DataFrame) ex
  *
  * Schema evolution on insert = unionByName(allowMissingColumns): new
  * fields widen the schema, missing fields null-pad (the reference's
- * ALTER TABLE ADD COLUMN, insert_table.py:255-299). The reference's
- * scalar→array "nest migration" (snowflake.py:117-202) is out of scope
- * — write arrays from the start.
+ * ALTER TABLE ADD COLUMN, insert_table.py:255-299), and a column seen
+ * as scalar on one side and array-of-the-same-type on the other is
+ * migrated by promoting the scalar side to 1-element arrays — the
+ * reference's nest migration (snowflake.py:117-202).
  */
 class FactStore(val spark: SparkSession, val name: String, dir: Path) extends Container {
 
@@ -86,9 +99,30 @@ class FactStore(val spark: SparkSession, val name: String, dir: Path) extends Co
   def insert(docs: DataFrame): this.type = {
     val merged =
       if (isEmpty) docs
-      else dataFrame.unionByName(docs, allowMissingColumns = true)
+      else {
+        val (cur, inc) = migrateNesting(dataFrame, docs)
+        cur.unionByName(inc, allowMissingColumns = true)
+      }
     writeSnapshot(merged)
     this
+  }
+
+  /** Scalar→array nest migration (reference snowflake.py:117-202): when a
+    * column is T on one side and ARRAY&lt;T&gt; on the other, the scalar
+    * side is promoted to a 1-element array (null stays null, matching the
+    * reference's "missing value never becomes [null]"). */
+  private def migrateNesting(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.ArrayType
+    var (x, y) = (a, b)
+    val bTypes = b.schema.fields.map(f => f.name -> f.dataType).toMap
+    for (fa <- a.schema.fields; bt <- bTypes.get(fa.name)) (fa.dataType, bt) match {
+      case (at, ArrayType(et, _)) if at == et =>
+        x = x.withColumn(fa.name, when(col(fa.name).isNotNull, array(col(fa.name))))
+      case (ArrayType(et, _), vt) if vt == et =>
+        y = y.withColumn(fa.name, when(col(fa.name).isNotNull, array(col(fa.name))))
+      case _ => ()
+    }
+    (x, y)
   }
 
   /** Rows matching the JX where are rewritten with `set` columns
@@ -122,8 +156,9 @@ class FactStore(val spark: SparkSession, val name: String, dir: Path) extends Co
   def upsert(docs: DataFrame, key: String): this.type = {
     if (isEmpty) insert(docs)
     else {
-      val keep = dataFrame.join(docs.select(col(key)), Seq(key), "left_anti")
-      writeSnapshot(keep.unionByName(docs, allowMissingColumns = true))
+      val (cur, inc) = migrateNesting(dataFrame, docs)
+      val keep = cur.join(inc.select(col(key)), Seq(key), "left_anti")
+      writeSnapshot(keep.unionByName(inc, allowMissingColumns = true))
       this
     }
   }

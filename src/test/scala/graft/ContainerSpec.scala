@@ -64,4 +64,49 @@ class ContainerSpec extends AnyFunSuite {
     val versions = java.nio.file.Files.list(dir).filter(_.getFileName.toString.startsWith("v")).count()
     assert(versions >= 5)
   }
+
+  test("nest migration: a column seen as scalar then array is promoted") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nest")
+    val store = new FactStore(spark, "facts", dir)
+
+    // {x: 1} then {x: [1, 2]} — the reference's snowflake.py:117-202 case
+    store.insert(Seq((1L, Some(7)), (2L, None)).toDF("id", "x"))
+    store.insert(Seq((3L, Seq(1, 2))).toDF("id", "x"))
+    val t = store.dataFrame.schema("x").dataType
+    assert(t.isInstanceOf[org.apache.spark.sql.types.ArrayType], t.simpleString)
+    val rows = store.dataFrame.orderBy("id")
+      .select(col("x")).collect().map(r => Option(r.getSeq[Int](0)).map(_.toSeq))
+    // scalar 7 → [7]; null stays null (never [null]); arrays pass through
+    assert(rows.toSeq === Seq(Some(Seq(7)), None, Some(Seq(1, 2))))
+
+    // the mirror direction: array-first store receives a scalar
+    val store2 = new FactStore(spark, "facts2",
+      java.nio.file.Files.createTempDirectory("graft_nest2"))
+    store2.insert(Seq((1L, Seq("a", "b"))).toDF("id", "s"))
+    store2.insert(Seq((2L, "c")).toDF("id", "s"))
+    val rows2 = store2.dataFrame.orderBy("id")
+      .select(col("s")).collect().map(_.getSeq[String](0).toSeq)
+    assert(rows2.toSeq === Seq(Seq("a", "b"), Seq("c")))
+  }
+
+  test("format:container round-trips query -> store -> query") {
+    import spark.implicits._
+    val c = new ListContainer(spark, "people",
+      Seq((1L, "ann", 34), (2L, "bo", 25), (3L, "cy", 41)).toDF("id", "name", "age"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_qc")
+    val derived = c.queryContainer("""{"from": ".", "select": ["name", "age"],
+      "where": {"gte": {"age": 30}}}""", dir, "elders")
+    // the result is a first-class container: query it again
+    val got = derived.query("""{"from": ".", "select": ["name"], "sort": ["name"]}""")
+      .as[String].collect()
+    assert(got.toSeq === Seq("ann", "cy"))
+    // and it is a mutable store like any other
+    derived.insert(Seq(("dee", 50)).toDF("name", "age"))
+    assert(derived.dataFrame.count() === 3)
+    // queryFormatted refuses the container format (non-String result)
+    intercept[IllegalArgumentException] {
+      c.queryFormatted("""{"from": ".", "format": "container"}""")
+    }
+  }
 }
