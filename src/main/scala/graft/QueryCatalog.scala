@@ -20,6 +20,9 @@ object QueryCatalog {
   def jx(json: String): Q =
     (spark, dir) => QueryRunner.run(spark, JxQuery.parse(json), SparkEntry.loader(spark, dir))
 
+  /** A raw (non-JX) catalog entry. */
+  def raw(f: Q): Q = f
+
   /** Post-process an entry's DataFrame (driver-compare representation fixes). */
   def post(q: Q)(f: DataFrame => DataFrame): Q = (spark, dir) => f(q(spark, dir))
 
@@ -614,7 +617,73 @@ object QueryCatalog {
         sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_total
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
-      ORDER BY event_id LIMIT 10000"""))
+      ORDER BY event_id LIMIT 10000""")),
+
+    // =====================================================================
+    // §2.6 list utilities (reference jx.py:633-645,1045-1093) as window
+    // transforms: "the list" is a partition's rows in event order
+    // =====================================================================
+    "q_list_pairwise" -> (raw((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ops.ListOps.pairwise(
+        SparkEntry.loader(s, dir)("events"),
+        col("value"), Seq(col("user_id")), Seq(col("event_id")))
+        .select(col("event_id"), col("user_id"), col("a"), col("b"))
+        .orderBy(col("event_id"))
+    }), Some("""
+      SELECT event_id, user_id, a, b FROM (
+        SELECT event_id, user_id, value AS a,
+               lead(value) OVER w AS b, lead(1) OVER w AS has_next
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+      WHERE has_next IS NOT NULL ORDER BY event_id""")),
+
+    "q_list_accumulate" -> (raw((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ops.ListOps.accumulate(
+        SparkEntry.loader(s, dir)("events"),
+        col("value"), Seq(col("user_id")), Seq(col("event_id")))
+        .select(col("event_id"), col("user_id"), col("value"), col("sum_before"))
+        .orderBy(col("event_id"))
+    }), Some("""
+      SELECT event_id, user_id, value,
+             coalesce(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sum_before
+      FROM events ORDER BY event_id""")),
+
+    "q_list_countdown" -> (raw((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ops.ListOps.countdown(
+        SparkEntry.loader(s, dir)("events"),
+        Seq(col("user_id")), Seq(col("event_id")))
+        .select(col("event_id"), col("user_id"), col("remaining"))
+        .orderBy(col("event_id"))
+    }), Some("""
+      SELECT event_id, user_id,
+             count(*) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS remaining
+      FROM events ORDER BY event_id""")),
+
+    // prefix arrays stringified: the compare harness cannot hash arrays
+    "q_list_prefixes" -> (raw((s, dir) => {
+      import org.apache.spark.sql.functions.{col, concat_ws}
+      graft.ops.ListOps.prefixes(
+        SparkEntry.loader(s, dir)("events"),
+        col("event_id"), Seq(col("user_id")), Seq(col("event_id")))
+        .select(col("event_id"), col("user_id"),
+          concat_ws(",", col("prefix")).as("prefix"))
+        .orderBy(col("event_id"))
+    }), Some("""
+      SELECT event_id, user_id,
+             array_to_string(list(event_id) OVER (PARTITION BY user_id
+               ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               ',') AS prefix
+      FROM events ORDER BY event_id""")),
+
+    "q_list_intervals" -> (raw((s, dir) =>
+      graft.ops.ListOps.intervals(s, 0, 23, 5)
+    ), Some("""
+      SELECT generate_series AS lo, least(generate_series + 5, 23) AS hi
+      FROM generate_series(0, 22, 5) ORDER BY lo"""))
   )
 
   def queries: Map[String, Q] = catalog.map { case (k, (q, _)) => k -> q }

@@ -178,6 +178,40 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq("en", "fr", "es", "de", "zh", "und"))
   }
 
+  test("ListOps: pairwise/accumulate/countdown/reversePos/prefixes/intervals") {
+    import graft.ops.ListOps
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("i", "v")
+    val part = Seq.empty[org.apache.spark.sql.Column]
+    val ord = Seq(col("i"))
+
+    val pw = ListOps.pairwise(df, col("v"), part, ord)
+      .orderBy("i").select("a", "b").as[(Double, Double)].collect()
+    assert(pw.toSeq === Seq((10.0, 20.0), (20.0, 30.0))) // last row dropped
+
+    val acc = ListOps.accumulate(df, col("v"), part, ord)
+      .orderBy("i").select("sum_before").as[Double].collect()
+    assert(acc.toSeq === Seq(0.0, 10.0, 30.0)) // sum of values BEFORE
+
+    val cd = ListOps.countdown(df, part, ord)
+      .orderBy("i").select("remaining").as[Long].collect()
+    assert(cd.toSeq === Seq(2L, 1L, 0L))
+
+    val rp = ListOps.reversePos(df, part, ord)
+      .orderBy("i").select("rev_pos").as[Long].collect()
+    assert(rp.toSeq === Seq(2L, 1L, 0L))
+
+    val pf = ListOps.prefixes(df, col("i"), part, ord)
+      .orderBy("i").select("prefix").as[Seq[Long]].collect()
+    assert(pf.toSeq === Seq(Seq(1L), Seq(1L, 2L), Seq(1L, 2L, 3L)))
+
+    // [floor(min), ceil(max)) covered; last pair clips (jx.py:1045-1056)
+    val iv = ListOps.intervals(spark, 0, 23, 5).orderBy("lo")
+      .as[(Long, Long)].collect()
+    assert(iv.toSeq === Seq((0L, 5L), (5L, 10L), (10L, 15L), (15L, 20L), (20L, 23L)))
+    assert(ListOps.intervals(spark, 2.3, 7.9, 10).as[(Long, Long)].collect().toSeq === Seq((2L, 8L)))
+    assert(ListOps.intervals(spark, 5, 5, 1).count() === 0)
+  }
+
   test("langId(null) is null, not a fall-through language") {
     val df = Seq(Option.empty[String], Some("the cat and the dog")).toDF("text")
     val got = df.select(TextAnalysis.langId(col("text"))).collect().map(r => Option(r.getString(0)))
