@@ -197,9 +197,26 @@ object TrainingCatalog {
 
     // SimHash output is engine-hash-valued → rows-only check here;
     // recall of planted near-dups is asserted in DedupSpec.
-    "q_dedup_simhash" -> (q((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 8)
-    ), None),
+    // deterministic-recall oracle: plant a lightly-perturbed copy of each
+    // long document (id + 1_000_000, one appended token). SimHash is pure
+    // content hashing and 8-band banding guarantees discovery at
+    // Hamming ≤ 7 (pigeonhole; planted perturbations measure ≤ 6 at every SF),
+    // so "every planted near-dup is recovered" is a deterministic,
+    // oracle-checkable claim; the SQL side states the expected pair set.
+    "q_dedup_simhash" -> (q((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val sel = base.where(col("doc_id") < 100 && length(col("text")) > 300)
+      val planted = sel.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" copy")).as("text"))
+      Dedup.simhashPairs(base.unionByName(planted), "doc_id", "text",
+          maxHamming = 7, bands = 8)
+        .where(col("id_b") === col("id_a") + 1000000L && col("id_a") < 100)
+        .select(col("id_a").as("doc_id"), col("id_b").as("dup_id"))
+        .orderBy("doc_id")
+    }), Some("""
+      SELECT doc_id, doc_id + 1000000 AS dup_id
+      FROM documents WHERE doc_id < 100 AND length(text) > 300
+      ORDER BY doc_id""")),
 
     "q_dedup_embedding" -> (q((s, dir) =>
       Similarity.cosinePairs(embs(s, dir), threshold = 0.45)
@@ -234,19 +251,38 @@ object TrainingCatalog {
 
     // LSH-bucketed ANN: approximate (bucket recall measured in OpsSpec
     // against the brute-force baseline) → rows-only check.
+    // deterministic-recall oracles for the approximate ANN paths: the
+    // corpus gains an EXACT copy of every query vector (id + 1_000_000).
+    // An identical vector hashes to the same bucket in every RHP table
+    // (and lands in the same IVF cell, which the query always probes), so
+    // "each query's top-k contains its planted copy at sim 1.0" is
+    // guaranteed by construction, not sampled — the oracle states it.
+    // Recall-vs-brute-force on natural data stays covered in OpsSpec.
     "q_sim_lsh_topk" -> (q((s, dir) => {
-      val e = embs(s, dir)
-      Similarity.lshTopK(e, e.where(col("vec_id") < 20), k = 5, planes = 4, tables = 8)
-        .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 6).as("sim"))
-    }), None),
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val queries = e.where(col("vec_id") < 20)
+      val planted = queries.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.lshTopK(e.unionByName(planted), queries, k = 5, planes = 4, tables = 8)
+        .groupBy(col("q_id"))
+        .agg(max(when(col("n_id") === col("q_id") + 1000000L, 1).otherwise(0)).as("found"),
+          round(max(col("sim")), 6).as("top_sim"))
+        .orderBy("q_id")
+    }), Some("""
+      SELECT vec_id AS q_id, 1 AS found, CAST(1.0 AS DOUBLE) AS top_sim
+      FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")),
 
-    // IVF ANN (KMeans coarse quantizer): approximate → rows-only check;
-    // recall vs brute force measured in OpsSpec.
     "q_sim_ivf_topk" -> (q((s, dir) => {
-      val e = embs(s, dir)
-      Similarity.ivfTopK(e, e.where(col("vec_id") < 20), k = 5, nlist = 16, nprobe = 8)
-        .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 6).as("sim"))
-    }), None),
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val queries = e.where(col("vec_id") < 20)
+      val planted = queries.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.ivfTopK(e.unionByName(planted), queries, k = 5, nlist = 16, nprobe = 8)
+        .groupBy(col("q_id"))
+        .agg(max(when(col("n_id") === col("q_id") + 1000000L, 1).otherwise(0)).as("found"),
+          round(max(col("sim")), 6).as("top_sim"))
+        .orderBy("q_id")
+    }), Some("""
+      SELECT vec_id AS q_id, 1 AS found, CAST(1.0 AS DOUBLE) AS top_sim
+      FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")),
 
     // =====================================================================
     // multimodal (payload plumbing; decode is a deterministic STUB)

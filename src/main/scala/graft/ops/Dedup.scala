@@ -206,15 +206,21 @@ object Dedup {
 
   /**
    * SimHash near-duplicate pairs with Hamming distance <= maxHamming.
-   * Banding: 4 chunks of 16 bits; by pigeonhole any pair within Hamming 3
-   * agrees on ≥1 chunk, so recall is exact for maxHamming <= 3.
+   * Banding: `bands` chunks of 64/bands bits; by pigeonhole any pair
+   * within Hamming bands-1 agrees on ≥1 chunk, so recall is exact for
+   * maxHamming <= bands-1. More bands = stronger recall guarantee but
+   * more candidate noise (smaller band keys collide more) — the default
+   * 4×16 suits discovery; 8×8 buys a ≤7 guarantee for verification.
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64: $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val docs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
     val banded = docs.select(col("id"), col("sh"),
-      explode(array((0 until 4).map(j => struct(lit(j).as("band"),
-        shiftrightunsigned(col("sh"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("b"))
+      explode(array((0 until bands).map(j => struct(lit(j).as("band"),
+        shiftrightunsigned(col("sh"), width * j).bitwiseAND(lit(mask)).as("key"))): _*)).as("b"))
       .select(col("id"), col("sh"), col("b.band"), col("b.key"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
