@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Vocab-file-driven subword tokenization: classic byte-pair-encoding
+ * merges (Sennrich et al. 2016; the GPT-2 merges.txt format) and greedy
+ * longest-match WordPiece (Schuster & Nakajima 2012; BERT's vocab.txt
+ * format with "##" continuations). The regex proxy
+ * [[TextAnalysis.bpeTokenCount]] stays as the zero-dependency default;
+ * these give exact counts against a real vocabulary.
+ *
+ * The merge loop is inherently per-string imperative, so the column API
+ * is a JVM scalar udf over the broadcast vocabulary — one in-memory map
+ * probe per merge step, no shuffle, executed inside the scan stage like
+ * the rest of the text operators (a Python UDF would serialize every
+ * row; a JVM udf does not).
+ */
+object Tokenizer {
+
+  /** BPE merge table: pair → priority rank (file order). */
+  final case class BpeVocab(ranks: Map[(String, String), Int]) {
+
+    /** Merge loop of the original BPE algorithm: repeatedly merge the
+      * lowest-rank adjacent pair until none is mergeable. */
+    def encodeWord(word: String): Vector[String] = {
+      var parts = word.map(_.toString).toVector
+      while (parts.length > 1) {
+        var bestRank = Int.MaxValue
+        var bestIdx = -1
+        var i = 0
+        while (i < parts.length - 1) {
+          val r = ranks.getOrElse((parts(i), parts(i + 1)), Int.MaxValue)
+          if (r < bestRank) { bestRank = r; bestIdx = i }
+          i += 1
+        }
+        if (bestIdx < 0) return parts
+        val merged = parts(bestIdx) + parts(bestIdx + 1)
+        // merge EVERY occurrence of the winning pair in one pass
+        val b = Vector.newBuilder[String]
+        var j = 0
+        while (j < parts.length) {
+          if (j < parts.length - 1 && parts(j) == parts(bestIdx) && parts(j + 1) == parts(bestIdx + 1)) {
+            b += merged; j += 2
+          } else { b += parts(j); j += 1 }
+        }
+        parts = b.result()
+      }
+      parts
+    }
+
+    def encode(text: String): Seq[String] =
+      preTokens(text).flatMap(encodeWord)
+  }
+
+  /** WordPiece vocabulary: whole words + "##"-prefixed continuations. */
+  final case class WordPieceVocab(vocab: Set[String], unk: String = "[UNK]") {
+
+    /** Greedy longest-match-first; an unmatchable word is a single unk. */
+    def encodeWord(word: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var start = 0
+      while (start < word.length) {
+        var end = word.length
+        var found: String = null
+        while (end > start && found == null) {
+          val piece0 = word.substring(start, end)
+          val piece = if (start > 0) "##" + piece0 else piece0
+          if (vocab.contains(piece)) found = piece
+          else end -= 1
+        }
+        if (found == null) return Vector(unk)
+        out += found
+        start = end
+      }
+      out.result()
+    }
+
+    def encode(text: String): Seq[String] =
+      preTokens(text).flatMap(encodeWord)
+  }
+
+  /** GPT-2-style pre-tokenization (same pattern as the regex proxy). */
+  private val Pre = TextAnalysis.BpeTokenPattern.r
+  def preTokens(text: String): Seq[String] =
+    if (text == null) Nil else Pre.findAllIn(text).toSeq
+
+  /** Parse merges.txt content: optional "#version" header, one
+    * space-separated pair per line, rank = line order. */
+  def parseMerges(lines: IterableOnce[String]): BpeVocab =
+    BpeVocab(lines.iterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .zipWithIndex
+      .flatMap { case (l, i) =>
+        l.split(' ') match {
+          case Array(a, b) => Some((a, b) -> i)
+          case _           => None
+        }
+      }.toMap)
+
+  def loadMerges(path: String): BpeVocab = {
+    val src = scala.io.Source.fromFile(path)
+    try parseMerges(src.getLines()) finally src.close()
+  }
+
+  /** vocab.txt: one piece per line (BERT format). */
+  def loadWordPiece(path: String, unk: String = "[UNK]"): WordPieceVocab = {
+    val src = scala.io.Source.fromFile(path)
+    try WordPieceVocab(src.getLines().map(_.trim).filter(_.nonEmpty).toSet, unk)
+    finally src.close()
+  }
+
+  // -- column API (same shape as TextAnalysis.bpeTokenCount) --------------
+
+  /** Exact BPE token count of `text` under `vocab` (null text → null). */
+  def bpeTokenCount(text: Column, vocab: BpeVocab): Column = {
+    val f = udf((s: String) => if (s == null) null else java.lang.Long.valueOf(vocab.encode(s).size.toLong))
+    f(text)
+  }
+
+  /** Exact WordPiece token count of `text` under `vocab` (null → null). */
+  def wordPieceTokenCount(text: Column, vocab: WordPieceVocab): Column = {
+    val f = udf((s: String) => if (s == null) null else java.lang.Long.valueOf(vocab.encode(s).size.toLong))
+    f(text)
+  }
+
+  /** BPE tokens as an array column, for downstream shingling/dedup. */
+  def bpeTokens(text: Column, vocab: BpeVocab): Column = {
+    val f = udf((s: String) => if (s == null) null else vocab.encode(s))
+    f(text)
+  }
+}

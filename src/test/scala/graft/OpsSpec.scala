@@ -178,6 +178,43 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq("en", "fr", "es", "de", "zh", "und"))
   }
 
+  test("BPE merges: classic 'lower' example, merge order, column counts") {
+    import graft.ops.Tokenizer
+    // fixture in the public merges.txt format (Sennrich BPE / GPT-2 file
+    // layout): rank = line order
+    val vocab = Tokenizer.parseMerges(Seq(
+      "#version: fixture",
+      "l o", "lo w", "e r", "low er"))
+    assert(vocab.encodeWord("lower") === Vector("lower")) // full merge chain
+    assert(vocab.encodeWord("low") === Vector("low"))
+    assert(vocab.encodeWord("newest") === Vector("n", "e", "w", "e", "s", "t"))
+    // every occurrence of the winning pair merges in one pass
+    assert(vocab.encodeWord("lolo") === Vector("lo", "lo"))
+    // pre-tokenization splits words/digits/punct like the regex proxy
+    assert(vocab.encode("low, lower!") === Seq("low", ",", "lower", "!"))
+
+    val df = Seq("low lower", null.asInstanceOf[String]).toDF("text")
+    val got = df.select(Tokenizer.bpeTokenCount(col("text"), vocab))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq === Seq(Some(2L), None))
+    val toks = df.where(col("text").isNotNull)
+      .select(Tokenizer.bpeTokens(col("text"), vocab)).as[Seq[String]].head()
+    assert(toks === Seq("low", "lower"))
+  }
+
+  test("WordPiece: greedy longest match with ## continuations, UNK fallback") {
+    import graft.ops.Tokenizer
+    // the canonical BERT docs example: un ##aff ##able
+    val vocab = Tokenizer.WordPieceVocab(
+      Set("un", "##aff", "##able", "aff", "hi", "##gh"))
+    assert(vocab.encodeWord("unaffable") === Vector("un", "##aff", "##able"))
+    assert(vocab.encodeWord("high") === Vector("hi", "##gh"))
+    assert(vocab.encodeWord("zzz") === Vector("[UNK]"))
+    val df = Seq("unaffable hi").toDF("text")
+    assert(df.select(Tokenizer.wordPieceTokenCount(col("text"), vocab))
+      .as[Long].head() === 4L)
+  }
+
   test("ListOps: pairwise/accumulate/countdown/reversePos/prefixes/intervals") {
     import graft.ops.ListOps
     val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("i", "v")
