@@ -127,12 +127,21 @@ object Similarity {
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, idCol: String = "vec_id",
-              vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+              vecCol: String = "embedding", seed: Long = 42L,
+              /** quantizer-training bound: the coarse centroids only need a
+                * representative sample, so the fit cost stays O(cap · iter)
+                * no matter how large the corpus is (standard IVF practice) */
+              fitSampleCap: Long = 65536L, fitMaxIter: Int = 10): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c0 = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_vec"))
       .withColumn("features", array_to_vector(col("n_vec")))
-    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features").fit(c0)
+    val n = c0.count()
+    val fitSet =
+      if (n <= fitSampleCap) c0
+      else c0.sample(withReplacement = false, fitSampleCap.toDouble / n, seed)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(fitMaxIter)
+      .setFeaturesCol("features").fit(fitSet)
     val c = model.transform(c0).select(col("n_id"), col("n_vec"), col("prediction").as("cell"))
     val centroids = model.clusterCenters.map(_.toArray)
     // nprobe nearest cells per query by EUCLIDEAN distance — KMeans
