@@ -5,12 +5,17 @@ import org.apache.spark.sql.functions._
 
 /**
  * Multimodal columns: image/audio/video payloads ride as opaque `binary`
- * columns with a typed metadata struct beside them. The Spark-side
- * plumbing (schema, partition sizing, batch-shaped decode) is real; the
- * codec itself is STUBBED — this container has no image/audio libraries,
- * so `StubDecoder` produces deterministic fake metadata derived only
- * from payload length. Swap `decode` for a real codec (JNI/FFI) without
- * touching the pipeline shape.
+ * columns with a typed metadata struct beside them. Two decode tiers:
+ *
+ *  - REAL header decoders for formats whose layout needs no external
+ *    codec: BMP (width/height/channels) and canonical WAV (sample rate/
+ *    channels/bits/duration) — pure Column algebra over the bytes, so
+ *    they run codegen'd inside the scan stage.
+ *  - STUB decoder for compressed formats (JPEG/PNG/MP4...): this
+ *    container has no image/audio libraries, so `StubDecoder` produces
+ *    deterministic fake metadata from payload length. Swap it for a real
+ *    codec (JNI/FFI) at `decodePartitioned` without touching the
+ *    pipeline shape.
  *
  * Scale notes: payload columns dominate row size — keep them OUT of
  * shuffles (project metadata first, join payloads back by id last), and
@@ -62,6 +67,65 @@ object Multimodal {
     transform(sequence(lit(0), lit(dim - 1)),
       i => pmod(xxhash64(content, i), lit(1000L)).cast("double") / 1000.0)
 
+  // -- REAL header decoders (no external codec required) ------------------
+
+  /** Little-endian unsigned int of `nBytes` at 0-based `offset` — byte
+    * slicing + hex/conv Column algebra, codegen'd, no UDF. */
+  private def leUInt(content: Column, offset: Int, nBytes: Int): Column =
+    (0 until nBytes).map { i =>
+      conv(hex(substring(content, offset + 1 + i, 1)), 16, 10).cast("long") * lit(1L << (8 * i))
+    }.reduce(_ + _)
+
+  /** Little-endian SIGNED 32-bit int at `offset`. */
+  private def leSInt32(content: Column, offset: Int): Column = {
+    val u = leUInt(content, offset, 4)
+    when(u > Int.MaxValue.toLong, u - lit(1L << 32)).otherwise(u)
+  }
+
+  private def asciiAt(content: Column, offset: Int, len: Int): Column =
+    decode(substring(content, offset + 1, len), "UTF-8")
+
+  /** REAL BMP header decode (BITMAPINFOHEADER layout: magic "BM", signed
+    * LE width@18 / height@22 — negative height = top-down, reported as
+    * its magnitude — bits-per-pixel@28). Null for non-BMP payloads. */
+  def bmpMeta(content: Column): Column = {
+    val ok = length(content) >= 54 && asciiAt(content, 0, 2) === "BM"
+    when(ok, struct(
+      length(content).cast("long").as("byte_len"),
+      leSInt32(content, 18).cast("int").as("width"),
+      abs(leSInt32(content, 22)).cast("int").as("height"),
+      (leUInt(content, 28, 2) / 8L).cast("int").as("channels")))
+  }
+
+  /** REAL canonical-WAV header decode (44-byte RIFF/WAVE/fmt/data layout:
+    * channels@22, sample rate@24, bits@34, data size@40 → duration).
+    * Null for non-WAV payloads or non-canonical chunk layouts. */
+  def wavMeta(content: Column): Column = {
+    val ok = length(content) >= 44 &&
+      asciiAt(content, 0, 4) === "RIFF" && asciiAt(content, 8, 4) === "WAVE" &&
+      asciiAt(content, 36, 4) === "data"
+    val channels = leUInt(content, 22, 2)
+    val rate = leUInt(content, 24, 4)
+    val bits = leUInt(content, 34, 2)
+    val byteRate = rate * channels * (bits / 8L)
+    when(ok, struct(
+      rate.cast("int").as("sample_rate"),
+      channels.cast("int").as("channels"),
+      bits.cast("int").as("bits_per_sample"),
+      when(byteRate > 0,
+        leUInt(content, 40, 4).cast("double") / byteRate.cast("double"))
+        .as("duration_sec")))
+  }
+
+  /** JVM-side BMP decoder for the partition-batched path. */
+  val BmpDecoder: Array[Byte] => Option[(Long, Int, Int, Int)] = bytes => {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') None
+    else {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      Some((bytes.length.toLong, bb.getInt(18), math.abs(bb.getInt(22)), bb.getShort(28) / 8))
+    }
+  }
+
   // -- batch-shaped decode (the real-codec integration point) -------------
 
   case class DecodedMeta(id: Long, byteLen: Long, width: Int, height: Int, channels: Int)
@@ -81,12 +145,13 @@ object Multimodal {
    * output: DecodedMeta. This is the `mapPartitions` integration point —
    * codec handles initialize once per partition, not once per row.
    */
-  def decodePartitioned(ds: Dataset[(Long, Array[Byte])]): Dataset[DecodedMeta] = {
+  def decodePartitioned(ds: Dataset[(Long, Array[Byte])],
+                        decode: Array[Byte] => (Long, Int, Int, Int) = StubDecoder): Dataset[DecodedMeta] = {
     implicit val enc: Encoder[DecodedMeta] = Encoders.product[DecodedMeta]
     ds.mapPartitions { it =>
       // real codec: open context here, close via iterator completion
       it.map { case (id, bytes) =>
-        val (len, w, h, c) = StubDecoder(bytes)
+        val (len, w, h, c) = decode(bytes)
         DecodedMeta(id, len, w, h, c)
       }
     }

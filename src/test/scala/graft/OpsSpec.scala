@@ -178,6 +178,48 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq("en", "fr", "es", "de", "zh", "und"))
   }
 
+  test("BMP/WAV header decode: real bytes, real fields; non-matching → null") {
+    import graft.ops.Multimodal
+    import java.nio.{ByteBuffer, ByteOrder}
+    def bmp(w: Int, h: Int, bits: Short): Array[Byte] = {
+      val b = ByteBuffer.allocate(60).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte)
+      b.putInt(18, w); b.putInt(22, h); b.putShort(28, bits)
+      b.array()
+    }
+    def wav(rate: Int, ch: Short, bits: Short, dataLen: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes); b.position(8); b.put("WAVE".getBytes)
+      b.putShort(22, ch); b.putInt(24, rate); b.putShort(34, bits)
+      b.position(36); b.put("data".getBytes); b.putInt(40, dataLen)
+      b.array()
+    }
+    val rows = Seq(
+      (1L, bmp(640, 480, 24)),
+      (2L, bmp(100, -200, 32)),          // negative height = top-down BMP
+      (3L, wav(44100, 2, 16, 176400)),   // exactly 1 second of stereo 16-bit
+      (4L, "not an image".getBytes)
+    ).toDF("id", "content")
+    val got = rows.select(col("id"),
+      Multimodal.bmpMeta(col("content")).as("img"),
+      Multimodal.wavMeta(col("content")).as("aud")).orderBy("id").collect()
+    assert(got(0).getStruct(1).getInt(1) === 640 && got(0).getStruct(1).getInt(2) === 480)
+    assert(got(0).getStruct(1).getInt(3) === 3) // 24bpp → 3 channels
+    assert(got(1).getStruct(1).getInt(1) === 100 && got(1).getStruct(1).getInt(2) === 200)
+    assert(got(1).getStruct(1).getInt(3) === 4) // 32bpp → 4 channels
+    val aud = got(2).getStruct(2)
+    assert(aud.getInt(0) === 44100 && aud.getInt(1) === 2 && aud.getInt(2) === 16)
+    assert(aud.getDouble(3) === 1.0)
+    assert(got(2).isNullAt(1) && got(0).isNullAt(2)) // cross-format: null
+    assert(got(3).isNullAt(1) && got(3).isNullAt(2))
+
+    // JVM decoder agrees with the Column decode on the batched path
+    val ds = Seq((1L, bmp(640, 480, 24))).toDS()
+    val dec = Multimodal.decodePartitioned(ds,
+      b => Multimodal.BmpDecoder(b).getOrElse((b.length.toLong, -1, -1, -1))).head()
+    assert((dec.width, dec.height, dec.channels) === ((640, 480, 3)))
+  }
+
   test("BPE merges: classic 'lower' example, merge order, column counts") {
     import graft.ops.Tokenizer
     // fixture in the public merges.txt format (Sennrich BPE / GPT-2 file
