@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests for the properties that matter at
+  * 100 TB: filters reach the parquet scan (PushedFilters), projection
+  * reaches the scan (ReadSchema), nested assembly reads only referenced
+  * columns, and expression pipelines stay inside whole-stage codegen.
+  * Catching a regression here costs milliseconds; catching it in a
+  * cluster bill does not. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.get("4")
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def scanLines(p: String): Seq[String] =
+    p.split('\n').map(_.trim).filter(_.contains("FileScan parquet")).toSeq
+
+  test("filter pushdown: where-compiled predicates reach PushedFilters") {
+    val p = plan("q_setop_in_range")
+    val scans = scanLines(p)
+    assert(scans.nonEmpty)
+    // bare predicates (no UDF wrappers) push into the parquet reader
+    assert(p.contains("PushedFilters: [") && !p.matches("(?s).*PushedFilters: \\[\\].*"),
+      s"no pushed filters in:\n${scans.mkString("\n")}")
+  }
+
+  test("column pruning: a 2-column aggregate reads 2 columns, not 16") {
+    val p = plan("q_groupby_agg")
+    val li = scanLines(p).find(_.contains("lineitem.parquet")).get
+    // ReadSchema lists only the referenced lineitem columns
+    val read = li.substring(li.indexOf("FileScan parquet [") + "FileScan parquet [".length)
+    val nCols = read.takeWhile(_ != ']').split(',').length
+    assert(nCols <= 7, s"lineitem scan reads $nCols columns: $li")
+  }
+
+  test("pruned nested assembly: lineitem scan width tracks the query") {
+    val p = plan("q_nested_agg") // references nation + l_quantity only
+    val li = scanLines(p).find(_.contains("lineitem.parquet")).get
+    val read = li.substring(li.indexOf("FileScan parquet [") + "FileScan parquet [".length)
+    val cols = read.takeWhile(_ != ']').split(',').map(_.trim.takeWhile(_ != '#')).toSeq
+    assert(cols.toSet === Set("l_orderkey", "l_quantity"),
+      s"expected join key + referenced column only, got $cols")
+  }
+
+  test("expression pipeline stays inside whole-stage codegen") {
+    // executedPlan.toString marks codegen stages with "*(n)" prefixes
+    val p = plan("q_expr_math")
+    assert(p.contains("*("), "no whole-stage-codegen spans in q_expr_math plan")
+  }
+
+  test("edges densify via broadcast, not a shuffle join") {
+    val p = plan("q_edges_set")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "domain densify join is not broadcast")
+  }
+}
