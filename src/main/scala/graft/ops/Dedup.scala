@@ -93,10 +93,20 @@ object Dedup {
 
   private def jaccardPairsBy(df: DataFrame, idCol: String, shingles: Column,
                              threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(shingles).as("sh"))
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    // set size computed on the array BEFORE exploding — carried through
+    // the explode for free instead of shuffling a sizes join back on
+    val arr = df.select(col(idCol).as("id"), shingles.as("arr"))
+      .withColumn("sz", size(col("arr")).cast("long"))
+    val sh = arr.select(col("id"), col("sz"), explode(col("arr")).as("sh"))
+    val sizes = arr.select(col("id"), col("sz"))
+    // size-ratio bound: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs whose
+    // set sizes differ by more than the threshold ratio cannot qualify —
+    // pruned INSIDE the join, before the per-pair count shuffle (lossless;
+    // the classic length filter of exact set-similarity joins)
     val common = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+          col("a.sz") >= lit(threshold) * col("b.sz") &&
+          col("b.sz") >= lit(threshold) * col("a.sz"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("common"))
     common
