@@ -110,16 +110,29 @@ class FactStore(val spark: SparkSession, val name: String, dir: Path) extends Co
   /** Scalar→array nest migration (reference snowflake.py:117-202): when a
     * column is T on one side and ARRAY&lt;T&gt; on the other, the scalar
     * side is promoted to a 1-element array (null stays null, matching the
-    * reference's "missing value never becomes [null]"). */
+    * reference's "missing value never becomes [null]"). Numeric columns
+    * seen at different widths widen to the larger type (int → long →
+    * double) — the Spark-typed stand-in for the reference's multi-typed
+    * columns when the types are order-compatible (SURVEY §1.2). */
   private def migrateNesting(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.types.ArrayType
+    import org.apache.spark.sql.types._
+    def rank(dt: DataType): Int = dt match {
+      case ByteType => 0; case ShortType => 1; case IntegerType => 2
+      case LongType => 3; case FloatType => 4; case DoubleType => 5
+      case _ => -1
+    }
     var (x, y) = (a, b)
     val bTypes = b.schema.fields.map(f => f.name -> f.dataType).toMap
     for (fa <- a.schema.fields; bt <- bTypes.get(fa.name)) (fa.dataType, bt) match {
+      case (at, bt2) if at == bt2 => ()
       case (at, ArrayType(et, _)) if at == et =>
         x = x.withColumn(fa.name, when(col(fa.name).isNotNull, array(col(fa.name))))
       case (ArrayType(et, _), vt) if vt == et =>
         y = y.withColumn(fa.name, when(col(fa.name).isNotNull, array(col(fa.name))))
+      case (at, bt2) if rank(at) >= 0 && rank(bt2) >= 0 =>
+        val wide = if (rank(at) >= rank(bt2)) at else bt2
+        if (at != wide) x = x.withColumn(fa.name, col(fa.name).cast(wide))
+        if (bt2 != wide) y = y.withColumn(fa.name, col(fa.name).cast(wide))
       case _ => ()
     }
     (x, y)

@@ -90,6 +90,21 @@ class ContainerSpec extends AnyFunSuite {
     assert(rows2.toSeq === Seq(Seq("a", "b"), Seq("c")))
   }
 
+  test("numeric widening: int-then-double column widens, values preserved") {
+    import spark.implicits._
+    val store = new FactStore(spark, "nums",
+      java.nio.file.Files.createTempDirectory("graft_widen"))
+    store.insert(Seq((1L, 10), (2L, 20)).toDF("id", "x"))       // int
+    store.insert(Seq((3L, 2.5)).toDF("id", "x"))                // double
+    assert(store.dataFrame.schema("x").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    val got = store.dataFrame.orderBy("id").select("x").as[Double].collect()
+    assert(got.toSeq === Seq(10.0, 20.0, 2.5))
+    // and the mirror: double-first store receives ints
+    store.insert(Seq((4L, 7)).toDF("id", "x"))
+    assert(store.dataFrame.count() === 4)
+  }
+
   test("format:container round-trips query -> store -> query") {
     import spark.implicits._
     val c = new ListContainer(spark, "people",
