@@ -235,9 +235,11 @@ object NestedCatalog {
       WHERE rn > ceil(n * 0.1) AND rn <= n - ceil(n * 0.1)
       GROUP BY 1 ORDER BY 1""")),
 
-    // fixed-size batch chunking (reference group_by.py:87-182)
+    // fixed-size batch chunking (reference group_by.py:87-182) — the
+    // DISTRIBUTED variant: per-range-partition ranks + broadcast offsets,
+    // no single-partition window (oracle identical to the driver-side one)
     "q_chunk_by_size" -> (q((s, dir) =>
-      Batching.chunkBySize(SparkEntry.loader(s, dir)("events"), "event_id", 500)
+      Batching.chunkBySizeScaled(SparkEntry.loader(s, dir)("events"), "event_id", 500)
         .groupBy(col("chunk"))
         .agg(count(lit(1)).as("n"), min(col("event_id")).as("first_id"),
           max(col("event_id")).as("last_id"))

@@ -178,6 +178,19 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq("en", "fr", "es", "de", "zh", "und"))
   }
 
+  test("chunkBySizeScaled equals the single-partition chunking") {
+    import graft.ops.Batching
+    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val a = Batching.chunkBySize(df, "event_id", 137)
+      .select("event_id", "chunk")
+    val b = Batching.chunkBySizeScaled(df, "event_id", 137, parts = 7)
+      .select("event_id", "chunk")
+    // (AQE may coalesce the tiny test shuffle; the plan property —
+    // per-range-partition ranks + broadcast offsets, no single-partition
+    // window — is structural, the equality check is the contract)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
   test("BMP/WAV header decode: real bytes, real fields; non-matching → null") {
     import graft.ops.Multimodal
     import java.nio.{ByteBuffer, ByteOrder}
