@@ -125,6 +125,42 @@ object Similarity {
    * distribution, which keeps recall high even when true neighbors sit
    * at modest cosine similarity.
    */
+  /** Seeded Lloyd's k-means on a driver-side sample (the IVF coarse
+    * quantizer needs only representative centroids, not an exact
+    * clustering): deterministic shuffled init, empty clusters keep their
+    * previous centroid, at most `iters` passes. */
+  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "ivf fit needs a non-empty corpus")
+    val rnd = new scala.util.Random(seed)
+    val kk = math.min(k, points.length)
+    var cents = rnd.shuffle(points.indices.toVector).take(kk).map(i => points(i).clone).toArray
+    val dim = points(0).length
+    def nearest(p: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var j = 0
+        while (j < dim) { val x = p(j) - cents(c)(j); d += x * x; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val cnts = new Array[Long](cents.length)
+      for (p <- points) {
+        val c = nearest(p)
+        var j = 0
+        while (j < dim) { sums(c)(j) += p(j); j += 1 }
+        cnts(c) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        if (cnts(i) == 0) old else sums(i).map(_ / cnts(i))
+      }
+    }
+    cents
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, idCol: String = "vec_id",
               vecCol: String = "embedding", seed: Long = 42L,
@@ -132,18 +168,25 @@ object Similarity {
                 * representative sample, so the fit cost stays O(cap · iter)
                 * no matter how large the corpus is (standard IVF practice) */
               fitSampleCap: Long = 65536L, fitMaxIter: Int = 10): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val c0 = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_vec"))
-      .withColumn("features", array_to_vector(col("n_vec")))
+    // Coarse-quantizer fit is a DRIVER-side seeded Lloyd over a bounded
+    // sample: at most fitSampleCap vectors ever leave the executors, the
+    // fit costs milliseconds instead of a distributed job per iteration,
+    // and determinism is trivial. Cell ASSIGNMENT stays distributed —
+    // codegen'd dot products against broadcast centroid literals.
     val n = c0.count()
     val fitSet =
       if (n <= fitSampleCap) c0
       else c0.sample(withReplacement = false, fitSampleCap.toDouble / n, seed)
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(fitMaxIter)
-      .setFeaturesCol("features").fit(fitSet)
-    val c = model.transform(c0).select(col("n_id"), col("n_vec"), col("prediction").as("cell"))
-    val centroids = model.clusterCenters.map(_.toArray)
+    val samplePts = fitSet.select(col("n_vec")).limit(fitSampleCap.toInt)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val centroids = lloyd(samplePts, nlist, fitMaxIter, seed)
+    def assignCell(vec: Column): Column =
+      element_at(array_sort(array(centroids.toSeq.zipWithIndex.map { case (ctr, i) =>
+        struct((lit(ctr.map(x => x * x).sum) - lit(2.0) * dot(vec, typedlit(ctr.toSeq))).as("d"),
+          lit(i).as("cell"))
+      }: _*)), 1).getField("cell")
+    val c = c0.withColumn("cell", assignCell(col("n_vec")))
     // nprobe nearest cells per query by EUCLIDEAN distance — KMeans
     // assigns corpus cells euclidean, so probing must match that
     // geometry (dist² = |q|² - 2q·c + |c|²; |q|² is rank-invariant)
