@@ -116,15 +116,6 @@ object Similarity {
       when(dot(vec, typedlit(p)) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /**
-   * IVF (inverted-file) ANN top-k: a KMeans coarse quantizer (MLlib,
-   * deterministic seed) partitions the corpus into `nlist` cells; each
-   * query searches the `nprobe` cells whose centroids are most cosine-
-   * similar, with exact re-ranking inside. Candidates ≈ corpus ×
-   * nprobe/nlist; unlike random hyperplanes the cells adapt to the data
-   * distribution, which keeps recall high even when true neighbors sit
-   * at modest cosine similarity.
-   */
   /** Seeded Lloyd's k-means on a driver-side sample (the IVF coarse
     * quantizer needs only representative centroids, not an exact
     * clustering): deterministic shuffled init, empty clusters keep their
@@ -161,6 +152,15 @@ object Similarity {
     cents
   }
 
+  /**
+   * IVF (inverted-file) ANN top-k: a k-means coarse quantizer (seeded
+   * driver-side Lloyd over a bounded sample) partitions the corpus into `nlist` cells; each
+   * query searches the `nprobe` cells whose centroids are most cosine-
+   * similar, with exact re-ranking inside. Candidates ≈ corpus ×
+   * nprobe/nlist; unlike random hyperplanes the cells adapt to the data
+   * distribution, which keeps recall high even when true neighbors sit
+   * at modest cosine similarity.
+   */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, idCol: String = "vec_id",
               vecCol: String = "embedding", seed: Long = 42L,

@@ -120,7 +120,7 @@ class OpsSpec extends AnyFunSuite {
     assert(hits >= 6, s"LSH recall@1 too low: $hits/10")
   }
 
-  test("ivfTopK recall@1 vs brute force on sf0.001 (KMeans coarse quantizer)") {
+  test("ivfTopK recall@1 vs brute force on sf0.001 (Lloyd coarse quantizer)") {
     val e = SparkEntry.loader(spark, "/root/testdata/sf0.001")("embeddings")
     val q = e.where($"vec_id" < 10)
     val bf = Similarity.bruteForceTopK(e, q, k = 1)
