@@ -40,6 +40,19 @@ object Streams {
       sink(docs, id)
     }
 
+  /** [[extractStream]] with the batch extract's notification parity: one
+    * {bucket, key, timestamp, date/time} message per non-empty micro-batch
+    * after its sink completes (reference extract.py:244-251; key = the
+    * micro-batch id, the streaming analogue of the batch coordinates). */
+  def extractStreamNotified(factStream: DataFrame, plan: SnowflakePlan,
+                            loadStatic: String => DataFrame,
+                            notifier: graft.etl.Notifier, bucket: String)(
+                            sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    extractStream(factStream, plan, loadStatic) { (docs, id) =>
+      sink(docs, id)
+      notifier.add(graft.etl.Notifier.batchMessage(bucket, id.toString, java.time.Instant.now()))
+    }
+
   /** Event-time sliding-window aggregation with a watermark bound. */
   def windowedCounts(events: DataFrame, tsCol: String, valueCol: String,
                      windowLen: String, slide: String, watermark: String): DataFrame =

@@ -96,4 +96,30 @@ class StreamsSpec extends AnyFunSuite {
     val d11 = collected.find(_.getLong(0) == 11L).get
     assert(d11.isNullAt(d11.fieldIndex("items"))) // no items → null array
   }
+
+  test("extractStreamNotified: one message per micro-batch after the sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val static = Map("customer" -> Seq((1L, "alice")).toDF("c_id", "c_name"))
+    val plan = SnowflakePlan("orders", "o_id",
+      lookups = Seq(Lookup("cust", "customer", SnowflakePlan("customer", "c_id"))))
+    val in = MemoryStream[(Long, Long)]
+    val sunk = scala.collection.mutable.ArrayBuffer[Long]()
+    val msgs = scala.collection.mutable.ArrayBuffer[Map[String, Any]]()
+    val writer = Streams.extractStreamNotified(
+      in.toDF().toDF("o_id", "cust"), plan, static,
+      (m: Map[String, Any]) => msgs.synchronized { msgs += m }, "s3://bucket/out") {
+      (docs, id) => sunk += docs.count(); ()
+    }
+    val q = writer.start()
+    in.addData((10L, 1L))
+    q.processAllAvailable()
+    in.addData((11L, 1L))
+    q.processAllAvailable()
+    q.stop()
+    assert(sunk.toSeq === Seq(1L, 1L))
+    assert(msgs.size === 2)
+    assert(msgs.forall(m => m("bucket") == "s3://bucket/out" &&
+      m.contains("key") && m.contains("timestamp") && m.contains("date/time")))
+  }
 }
