@@ -38,20 +38,31 @@ object NestedCatalog {
     children = Seq(Child("l_orderkey", "lineitems",
       SnowflakePlan("lineitem", "l_orderkey"))))
 
-  /** Assembled docs memoized per (session, doc, dir, referenced columns):
-    * catalog entries sharing a perspective reuse one persisted assembly
-    * instead of re-shuffling the snowflake per query. */
+  /** Assembled docs memoized per (doc, dir, referenced columns) within a
+    * session: catalog entries sharing a perspective reuse one persisted
+    * assembly instead of re-shuffling the snowflake per query. Sessions
+    * are weak keys, so a stopped session's cached (dead) plans are
+    * collectable and can never be served to a different session. */
   private val assembled =
-    scala.collection.concurrent.TrieMap[(Int, String, String, Option[Set[String]]), DataFrame]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[(String, String, Option[Set[String]], Set[String]), DataFrame]]())
 
   /** Table loader that also serves assembled document "tables", pruned to
-    * the query's referenced columns (see JxQuery.referencedNames). */
-  private def load(s: SparkSession, dir: String, needed: Option[Set[String]]): String => DataFrame = {
+    * the query's referenced columns (see JxQuery.referenced). */
+  private def load(s: SparkSession, dir: String, needed: Option[Set[String]],
+                   whole: Set[String] = Set.empty): String => DataFrame = {
     val base = SparkEntry.loader(s, dir)
-    def doc(name: String, plan: => SnowflakePlan): DataFrame =
-      assembled.getOrElseUpdate((System.identityHashCode(s), name, dir, needed),
-        DocAssembler.assemble(plan, base, needed)
+    def doc(name: String, plan: => SnowflakePlan): DataFrame = {
+      val perSession = assembled.synchronized {
+        var m = assembled.get(s)
+        if (m == null) { m = scala.collection.concurrent.TrieMap.empty; assembled.put(s, m) }
+        m
+      }
+      perSession.getOrElseUpdate((name, dir, needed, whole),
+        DocAssembler.assemble(plan, base, needed, whole)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
     name => name match {
       case "customer_docs" => doc("customer_docs", customerPlan)
       case "customer_orders" => doc("customer_orders", customerOrdersPlan)
@@ -62,7 +73,9 @@ object NestedCatalog {
 
   private def jx(json: String): Q = (s, dir) => {
     val query = JxQuery.parse(json)
-    QueryRunner.run(s, query, load(s, dir, JxQuery.referencedNames(query)))
+    val ref = JxQuery.referenced(query)
+    QueryRunner.run(s, query,
+      load(s, dir, ref.map(_.names), ref.map(_.whole).getOrElse(Set.empty)))
   }
 
   val catalog: Map[String, (Q, Option[String])] = Map(

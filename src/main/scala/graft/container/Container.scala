@@ -130,7 +130,13 @@ class FactStore(val spark: SparkSession, val name: String, dir: Path) extends Co
       case (ArrayType(et, _), vt) if vt == et =>
         y = y.withColumn(fa.name, when(col(fa.name).isNotNull, array(col(fa.name))))
       case (at, bt2) if rank(at) >= 0 && rank(bt2) >= 0 =>
-        val wide = if (rank(at) >= rank(bt2)) at else bt2
+        // an integral type meeting a fractional one widens to DOUBLE:
+        // float cannot hold every int/long (24-bit mantissa), so
+        // integral->float would silently round large values
+        val fractional = Set[DataType](FloatType, DoubleType)
+        val wide =
+          if (fractional(at) != fractional(bt2)) DoubleType
+          else if (rank(at) >= rank(bt2)) at else bt2
         if (at != wide) x = x.withColumn(fa.name, col(fa.name).cast(wide))
         if (bt2 != wide) y = y.withColumn(fa.name, col(fa.name).cast(wide))
       case _ => ()

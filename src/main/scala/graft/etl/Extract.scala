@@ -92,28 +92,7 @@ object Extract {
       .withColumn("__batch", (col("__seq") / lit(cfg.batchSize)).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // 3. assemble docs for exactly these fact rows
-      val assembled = joinAssembled(cfg.plan, withBatch, load)
-
-      // 4. lineage envelope + partitioned gzip NDJSON write
-      //    (reference extract.py:208-242: one S3 object per batch key)
-      val docCols = assembled.columns.filterNot(Set("__dur", "__seq", "__batch"))
-      val docs = assembled.select(
-        struct(docCols.map(col).toIndexedSeq: _*).as(cfg.plan.table),
-        struct(
-          col("__seq").as("id"),
-          struct(lit(cfg.plan.table).as("table"),
-            concat_ws(".", col("__dur"), col("__batch")).as("key")).as("source"),
-          lit(cfg.revision).as("revision"),
-          (unix_timestamp() * lit(1.0)).as("timestamp")).as("etl"),
-        col("__dur").as("batch_t"), col("__batch").as("batch_i"))
-
-      docs.write.mode("overwrite")
-        .partitionBy("batch_t", "batch_i")
-        .option("compression", "gzip")
-        .json(cfg.destination)
-
-      // 5. ONE aggregate over the persisted increment: row count, watermark
+      // 3. ONE aggregate over the persisted increment: row count, watermark
       //    coordinates AND the batch inventory (bounded: #batches ≤
       //    rows/batchSize) — no second scan, no re-assembly
       val agg = withBatch.agg(
@@ -125,11 +104,35 @@ object Extract {
       val batchKeys: Seq[(Long, Long)] =
         agg.getSeq[org.apache.spark.sql.Row](5).map(r => (r.getLong(0), r.getLong(1))).sorted
       if (rows == 0) {
-        // nothing written → nothing to notify, and the watermark must NOT
-        // move (writing one with no time component would poison the next
-        // keyset filter)
+        // nothing to write → nothing notified, destination untouched, and
+        // the watermark must NOT move (a time-less watermark would poison
+        // the next keyset filter)
         ExtractResult(0L, 0L, prev.getOrElse(Watermark(Seq(0, 0), None, Long.MinValue)))
       } else {
+        // 4. assemble docs for exactly these fact rows + lineage envelope,
+        //    partitioned gzip NDJSON write (reference extract.py:208-242:
+        //    one S3 object per batch key). DYNAMIC partition overwrite:
+        //    an incremental run replaces only the batch keys it produced —
+        //    earlier increments' objects stay, and re-running a failed
+        //    increment overwrites its own keys idempotently (static mode
+        //    would truncate the whole destination every run).
+        val assembled = joinAssembled(cfg.plan, withBatch, load)
+        val docCols = assembled.columns.filterNot(Set("__dur", "__seq", "__batch"))
+        val docs = assembled.select(
+          struct(docCols.map(col).toIndexedSeq: _*).as(cfg.plan.table),
+          struct(
+            col("__seq").as("id"),
+            struct(lit(cfg.plan.table).as("table"),
+              concat_ws(".", col("__dur"), col("__batch")).as("key")).as("source"),
+            lit(cfg.revision).as("revision"),
+            (unix_timestamp() * lit(1.0)).as("timestamp")).as("etl"),
+          col("__dur").as("batch_t"), col("__batch").as("batch_i"))
+        docs.write.mode("overwrite")
+          .partitionBy("batch_t", "batch_i")
+          .option("partitionOverwriteMode", "dynamic")
+          .option("compression", "gzip")
+          .json(cfg.destination)
+
         val wm = Watermark(
           Seq(agg.getLong(1), agg.getLong(2)),
           Option(agg.get(3)).map(_.asInstanceOf[java.sql.Timestamp]),

@@ -29,12 +29,23 @@ object Notifier {
     * seam made testable without a queue. */
   final class FileNotifier(path: Path) extends Notifier {
     override def add(message: Map[String, Any]): Unit = synchronized {
+      // escape control chars too — an unescaped newline in a bucket/key
+      // value would break the one-line-per-message NDJSON framing
+      def esc(s: String): String = s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
       val json = message.toSeq.sortBy(_._1).map { case (k, v) =>
         val vj = v match {
-          case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          case s: String => "\"" + esc(s) + "\""
           case other     => String.valueOf(other)
         }
-        "\"" + k + "\":" + vj
+        "\"" + esc(k) + "\":" + vj
       }.mkString("{", ",", "}")
       Files.createDirectories(path.toAbsolutePath.getParent)
       Files.writeString(path, json + "\n",

@@ -154,19 +154,29 @@ object SchemaWalk {
       plan.children.flatMap(c => planKeys(c.plan))
 
   /** MIN/MAX of a numeric key — the partition bounds (None when the key
-    * is non-numeric, the table is empty, or the probe fails). */
+    * is non-numeric, the table is empty, or the probe fails). The column's
+    * declared JDBC type gates the probe: drivers like MySQL happily
+    * coerce numeric-looking VARCHARs through getLong, but Spark's JDBC
+    * source rejects a string partitionColumn at load time. */
   private def numericBounds(url: String, table: String, key: String): Option[(String, Long, Long)] =
     try {
       val conn = java.sql.DriverManager.getConnection(url)
       try {
-        val rs = conn.createStatement().executeQuery(s"SELECT MIN($key), MAX($key) FROM $table")
-        val out =
-          if (rs.next()) {
-            val lo = rs.getLong(1)
-            if (rs.wasNull()) None else Some((key, lo, rs.getLong(2)))
-          } else None
-        rs.close()
-        out
+        import java.sql.Types._
+        val numericTypes = Set(TINYINT, SMALLINT, INTEGER, BIGINT, NUMERIC, DECIMAL)
+        val meta = conn.createStatement()
+          .executeQuery(s"SELECT $key FROM $table WHERE 1=0").getMetaData
+        if (!numericTypes.contains(meta.getColumnType(1))) None
+        else {
+          val rs = conn.createStatement().executeQuery(s"SELECT MIN($key), MAX($key) FROM $table")
+          val out =
+            if (rs.next()) {
+              val lo = rs.getLong(1)
+              if (rs.wasNull()) None else Some((key, lo, rs.getLong(2)))
+            } else None
+          rs.close()
+          out
+        }
       } finally conn.close()
     } catch { case _: java.sql.SQLException => None }
 }

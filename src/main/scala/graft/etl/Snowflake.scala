@@ -48,7 +48,10 @@ object DocAssembler {
     * Catalyst cannot prune struct fields through a collect_list aggregate,
     * so the projection must happen here, upstream of the shuffle. */
   def assemble(plan: SnowflakePlan, load: String => DataFrame,
-               needed: Option[Set[String]] = None): DataFrame = {
+               needed: Option[Set[String]] = None,
+               /** aliases a query consumes as WHOLE values — pruning does
+                 * not descend below these arms (JxQuery.ReferencedCols) */
+               whole: Set[String] = Set.empty): DataFrame = {
     val keptLookups = plan.lookups.filter(lk => needed.forall(_.contains(lk.as)))
     val keptChildren = plan.children.filter(ch => needed.forall(_.contains(ch.as)))
     var df = scrub(load(plan.table), plan.nullValues)
@@ -61,8 +64,10 @@ object DocAssembler {
     val dropFks = scala.collection.mutable.ArrayBuffer[String]()
 
     for (lk <- keptLookups) {
-      val sub = assemble(lk.plan, load,
-        needed.map(_ ++ lk.plan.referenceOnly + lk.plan.key))
+      val subNeeded =
+        if (whole.contains(lk.as)) None
+        else needed.map(_ ++ lk.plan.referenceOnly + lk.plan.key)
+      val sub = assemble(lk.plan, load, subNeeded, whole)
       val docCols = sub.columns.filter(c => plan.showForeignKeys || c != lk.plan.key)
       val payload: Column = lk.plan.referenceOnly match {
         case Some(refCol) => col(refCol)
@@ -79,7 +84,10 @@ object DocAssembler {
     }
 
     for (ch <- keptChildren) {
-      val sub = assemble(ch.plan, load, needed.map(_ + ch.fk + ch.plan.key))
+      val subNeeded =
+        if (whole.contains(ch.as)) None
+        else needed.map(_ + ch.fk + ch.plan.key)
+      val sub = assemble(ch.plan, load, subNeeded, whole)
       // key first in the struct so array_sort orders children by key
       val ordered = ch.plan.key +: sub.columns.filter(_ != ch.plan.key).toSeq
       val visible = ordered.filter(c => plan.showForeignKeys || c != ch.fk)

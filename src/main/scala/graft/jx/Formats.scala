@@ -90,6 +90,8 @@ object Formats {
     q.format match {
       case "cube" =>
         require(q.edges.nonEmpty, "cube format requires edges")
+        require(q.having.isEmpty,
+          "cube format cannot carry `having`: dropping cells breaks the dense N-d shape — use format:\"list\"")
         val (df, domains) = QueryRunner.runEdgesWithDomains(spark, q, load)
         cube(df, q.edges.map(_.name), domains)
       case "table" => table(QueryRunner.run(spark, q, load))

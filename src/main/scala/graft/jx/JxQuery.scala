@@ -82,18 +82,28 @@ object JxQuery {
   val DefaultLimit = 10L
   val MaxLimit = 10000L
 
-  /** Every simple name the query references (dot-paths contribute each
-    * segment), or None when the query selects everything (`*`, leaves, or
-    * an implicit setop select-all). Drives assembly-side column pruning:
-    * nested-document sources only materialize the arms/columns a query
-    * touches, so collect_list width tracks the query, not the document. */
-  def referencedNames(q: JxQuery): Option[Set[String]] = {
+  /** What a query touches, for assembly-side column pruning. `names` are
+    * the simple names referenced anywhere (dot-paths contribute each
+    * segment); `whole` are the FINAL segments of referenced variables —
+    * a name referenced as a value in its own right. An arm alias in
+    * `whole` means the query consumes the arm's entire subtree (e.g.
+    * `select: ["orders"]`), so pruning must not descend below it; an arm
+    * that appears only as a path prefix or from-chain segment still
+    * prunes to its referenced columns. */
+  case class ReferencedCols(names: Set[String], whole: Set[String])
+
+  def referenced(q: JxQuery): Option[ReferencedCols] = {
     var wildcard = !q.selectGiven && q.select.isEmpty
     val names = scala.collection.mutable.Set[String]()
+    val whole = scala.collection.mutable.Set[String]()
     def walk(x: Any): Unit = x match {
       case JxExpr.Variable(n) =>
         if (n == "*" || n.endsWith(".*")) wildcard = true
-        else if (n != "." && n != "rownum") n.split('.').foreach(names += _)
+        else if (n != "." && n != "rownum") {
+          val segs = n.split('.')
+          segs.foreach(names += _)
+          whole += segs.last
+        }
       case JxExpr.LeavesOp(_) => wildcard = true
       case JxExpr.ScriptOp(_) => wildcard = true // free-form: cannot see its inputs
       case p: Product => p.productIterator.foreach(walk)
@@ -101,9 +111,13 @@ object JxQuery {
       case _ => ()
     }
     Seq(q.select, q.edges, q.groupby, q.where, q.sort, q.windows, q.having).foreach(walk)
-    q.from.split('.').foreach(names += _)
-    if (wildcard) None else Some(names.toSet)
+    q.from.split('.').foreach(names += _) // perspectives: prunable, NOT whole
+    if (wildcard) None else Some(ReferencedCols(names.toSet, whole.toSet))
   }
+
+  /** Back-compat view of [[referenced]]: just the name set. */
+  def referencedNames(q: JxQuery): Option[Set[String]] =
+    referenced(q).map(_.names)
 
   /** Canonical aggregate aliases (reference query.py:283-290 + sql_aggs). */
   val canonicalAggregates: Map[String, String] = Map(

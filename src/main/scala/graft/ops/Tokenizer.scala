@@ -86,19 +86,21 @@ object Tokenizer {
   def preTokens(text: String): Seq[String] =
     if (text == null) Nil else Pre.findAllIn(text).toSeq
 
-  /** Parse merges.txt content: optional "#version" header, one
-    * space-separated pair per line, rank = line order. */
-  def parseMerges(lines: IterableOnce[String]): BpeVocab =
-    BpeVocab(lines.iterator
-      .map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .zipWithIndex
+  /** Parse merges.txt content: an optional leading "#version" header, one
+    * space-separated pair per line, rank = line order. Only the version
+    * header is skipped — merge rules whose tokens START with '#' (e.g.
+    * the rule that builds "##") are legitimate content. */
+  def parseMerges(lines: IterableOnce[String]): BpeVocab = {
+    val it = lines.iterator.map(_.trim).filter(_.nonEmpty).buffered
+    if (it.hasNext && it.head.startsWith("#version")) it.next()
+    BpeVocab(it.zipWithIndex
       .flatMap { case (l, i) =>
         l.split(' ') match {
           case Array(a, b) => Some((a, b) -> i)
           case _           => None
         }
       }.toMap)
+  }
 
   def loadMerges(path: String): BpeVocab = {
     val src = scala.io.Source.fromFile(path)

@@ -50,7 +50,10 @@ object Streams {
                             sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     extractStream(factStream, plan, loadStatic) { (docs, id) =>
       sink(docs, id)
-      notifier.add(graft.etl.Notifier.batchMessage(bucket, id.toString, java.time.Instant.now()))
+      // empty micro-batches (empty triggers, restart replays) wrote no
+      // object — notifying would advertise a key that does not exist
+      if (!docs.isEmpty)
+        notifier.add(graft.etl.Notifier.batchMessage(bucket, id.toString, java.time.Instant.now()))
     }
 
   /** Event-time sliding-window aggregation with a watermark bound. */

@@ -103,6 +103,16 @@ class ContainerSpec extends AnyFunSuite {
     // and the mirror: double-first store receives ints
     store.insert(Seq((4L, 7)).toDF("id", "x"))
     assert(store.dataFrame.count() === 4)
+
+    // long + float widens to DOUBLE (float's 24-bit mantissa would
+    // silently round large longs)
+    val s2 = new FactStore(spark, "lf",
+      java.nio.file.Files.createTempDirectory("graft_widen_lf"))
+    s2.insert(Seq((1L, 1234567890123L)).toDF("id", "x"))
+    s2.insert(Seq((2L, 0.5f)).toDF("id", "x"))
+    assert(s2.dataFrame.schema("x").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    assert(s2.dataFrame.where(col("id") === 1).select("x").as[Double].head() === 1234567890123.0)
   }
 
   test("format:container round-trips query -> store -> query") {

@@ -141,6 +141,51 @@ class EtlSpec extends AnyFunSuite {
     assert(df.where(col("nation").isNotNull).count() > 0)
   }
 
+  test("incremental runs append: run 2 must not delete run 1's batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_etl_incr")
+    val full = SparkEntry.loader(spark, "/root/testdata/sf0.001")
+    val plan = SnowflakePlan("orders", "o_orderkey")
+    val cfg = ExtractConfig(
+      plan, timeField = Some(("o_orderdate", DurationUnit.Month)),
+      idField = "o_orderkey", batchSize = 200,
+      start = Instant.parse("1992-01-01T00:00:00Z"),
+      destination = tmp.resolve("out").toString,
+      lastFile = tmp.resolve("last.json"))
+    // run 1 sees only the first half of the timeline; run 2 sees it all
+    val half: String => org.apache.spark.sql.DataFrame = name => {
+      val df = full(name)
+      if (name == "orders") df.filter(col("o_orderdate") < "1998-01-01") else df
+    }
+    val r1 = Extract.run(spark, cfg, half)
+    val r2 = Extract.run(spark, cfg, full)
+    assert(r1.rows > 0 && r2.rows > 0)
+    // dynamic partition overwrite: run 2 replaced only its own batch
+    // keys, so the total on disk is both increments
+    val onDisk = spark.read.json(cfg.destination).count()
+    assert(onDisk === r1.rows + r2.rows)
+  }
+
+  test("whole-arm references disable pruning below that arm") {
+    import graft.jx.JxQuery
+    val q = JxQuery.parse(
+      """{"from": "customer_orders", "select": ["c_custkey", "orders"], "limit": 5}""")
+    val ref = JxQuery.referenced(q).get
+    assert(ref.whole.contains("orders"))
+
+    val load = SparkEntry.loader(spark, "/root/testdata/sf0.001")
+    val plan = SnowflakePlan("customer", "c_custkey",
+      children = Seq(Child("o_custkey", "orders",
+        SnowflakePlan("orders", "o_orderkey"))))
+    val pruned = DocAssembler.assemble(plan, load,
+      Some(ref.names), ref.whole)
+    val elem = pruned.schema("orders").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // the arm is consumed whole → all 9 orders columns survive
+    assert(elem.fieldNames.length === load("orders").columns.length,
+      s"whole arm was gutted to ${elem.fieldNames.mkString(",")}")
+  }
+
   test("doc assembly: `needed` prunes columns and unreferenced arms") {
     val load = SparkEntry.loader(spark, "/root/testdata/sf0.001")
     val plan = SnowflakePlan("customer", "c_custkey",

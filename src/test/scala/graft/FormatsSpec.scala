@@ -84,6 +84,19 @@ class FormatsSpec extends AnyFunSuite {
     assert(n.length === 3) // dense incl. the empty "never" cell
   }
 
+  test("cube + having is rejected up-front with a having-specific message") {
+    val ex = intercept[IllegalArgumentException] {
+      Formats.run(spark, JxQuery.parse("""{
+        "from": "orders",
+        "edges": [{"name": "status", "value": "o_orderstatus", "allowNulls": false,
+                   "domain": {"type": "set", "partitions": ["F", "O", "P"]}}],
+        "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+        "having": {"gt": {"n": 0}},
+        "format": "cube"}"""), load)
+    }
+    assert(ex.getMessage.contains("having"))
+  }
+
   test("cube with a truncating limit fails loudly instead of mis-shaping") {
     val ex = intercept[IllegalArgumentException] {
       Formats.run(spark, JxQuery.parse("""{

@@ -247,6 +247,10 @@ class OpsSpec extends AnyFunSuite {
     assert(vocab.encodeWord("lolo") === Vector("lo", "lo"))
     // pre-tokenization splits words/digits/punct like the regex proxy
     assert(vocab.encode("low, lower!") === Seq("low", ",", "lower", "!"))
+    // only a LEADING #version header is skipped — merge rules whose
+    // tokens start with '#' are content (they build the ## piece)
+    val hashy = Tokenizer.parseMerges(Seq("#version: 0.2", "# #", "## x"))
+    assert(hashy.ranks === Map(("#", "#") -> 0, ("##", "x") -> 1))
 
     val df = Seq("low lower", null.asInstanceOf[String]).toDF("text")
     val got = df.select(Tokenizer.bpeTokenCount(col("text"), vocab))
