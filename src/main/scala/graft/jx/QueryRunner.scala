@@ -442,9 +442,21 @@ object QueryRunner {
         if (off >= 0) lead(c, off).over(spec) else lag(c, -off).over(spec)
       })
 
+    // window `where` (reference jx.py:979-985 "DO NOT CONSIDER THESE
+    // VALUES"): non-matching rows contribute nothing and receive no
+    // value. Nulling their contribution matches the reference exactly for
+    // accumulative aggregates (nulls are ignored); for ROW-OFFSET frames
+    // the reference renumbers over the filtered subsequence while this
+    // keeps the original row positions — a documented deviation (the
+    // filtered-renumber needs a join-back on a unique key).
     w.aggregate match {
       case None | Some("none") =>
-        df.withColumn(w.name, JxCompiler.compile(w.value, winCtx))
+        val v = JxCompiler.compile(w.value, winCtx)
+        val out = w.where match {
+          case Some(cond) => when(JxCompiler.truthy(cond, ctx), v)
+          case None       => v
+        }
+        df.withColumn(w.name, out)
       case Some(agg) =>
         val value = w.where match {
           case Some(cond) => when(JxCompiler.truthy(cond, ctx), JxCompiler.compile(w.value, ctx))
