@@ -141,6 +141,21 @@ object NestedCatalog {
       FROM orders JOIN customer ON o_custkey = c_custkey
       ORDER BY o_orderkey LIMIT 10000""")),
 
+    // implicit nested-branch descent: select paths crossing an array arm
+    // explode it (one row per child, childless parents padded null) —
+    // reference list-select jx.py:277-443; two branches is an error
+    "q_nested_implicit_descent" -> (jx("""{
+      "from": "orders_docs",
+      "select": ["o_orderkey", {"name": "linenum", "value": "lineitems.l_linenumber"}],
+      "where": {"lte": {"o_orderkey": 500}},
+      "sort": ["o_orderkey", "lineitems.l_linenumber"],
+      "limit": 10000
+    }"""), Some("""
+      SELECT o_orderkey, l_linenumber AS linenum
+      FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_orderkey <= 500
+      ORDER BY o_orderkey, linenum LIMIT 10000""")),
+
     // drill_filter as array predicate: customers with any big order
     "q_nested_exists" -> (q((s, dir) =>
       load(s, dir, Some(Set("c_custkey", "orders", "o_totalprice")))("customer_orders")

@@ -83,8 +83,80 @@ object QueryRunner {
     else {
       if (q.having.isDefined)
         throw new IllegalArgumentException("`having` requires an aggregation (edges/groupby/aggregate select)")
-      runSetop(q, filtered, path, ctx)
+      val (df2, path2) = implicitDescent(q, filtered, path)
+      runSetop(q, df2, path2, mkCtx(df2, path2))
     }
+  }
+
+  /** Reference list-select descends ONE nested-array branch implicitly:
+    * a select path that crosses an array-of-struct column explodes that
+    * arm (one row per child, childless parents padded null); paths that
+    * cross TWO different branches are an error (jx.py:277-443, the
+    * "select into two nested arrays" rejection). Applied only on the
+    * setop path — aggregates name their arm in `from`. */
+  private def implicitDescent(q: JxQuery, df0: DataFrame, path0: Seq[String]): (DataFrame, Seq[String]) = {
+    var df = df0
+    var path = path0
+    val done = scala.collection.mutable.Set[Seq[String]]()
+    var changed = true
+    while (changed) {
+      changed = false
+      // first array-of-struct segment crossed by each select path, if any
+      val arms = q.select.flatMap { s =>
+        def vars(e: JxExpr): Seq[String] = e match {
+          case Variable(n) if n != "." && n != "*" && !n.endsWith(".*") => Seq(n)
+          case p: Product => p.productIterator.toSeq.flatMap {
+            case e2: JxExpr => vars(e2)
+            case xs: Iterable[_] => xs.toSeq.collect { case e2: JxExpr => e2 }.flatMap(vars)
+            case _ => Nil
+          }
+          case _ => Nil
+        }
+        vars(s.value).flatMap { n =>
+          val segs = n.split('.').toSeq
+          // resolve like mkCtx: deepest arm first, then root
+          val prefixes = (path.reverse.map(Seq(_)) :+ Seq.empty[String])
+          prefixes.collectFirst {
+            case p if firstArraySeg(df.schema, p ++ segs, p.size).isDefined =>
+              firstArraySeg(df.schema, p ++ segs, p.size).get
+          }
+        }
+      }.distinct.filterNot(done)
+      if (arms.size > 1)
+        throw new IllegalArgumentException(
+          s"select descends two nested branches: ${arms.mkString(", ")} — query one arm via `from`")
+      for (arm <- arms.headOption) {
+        val seg = arm.last
+        df = df.withColumn(seg, explode_outer(col(arm.mkString("."))))
+        path = path :+ seg
+        done += arm
+        changed = true
+      }
+    }
+    (df, path)
+  }
+
+  /** The path (up to and including) the first array-of-struct segment a
+    * dotted reference crosses WITH fields remaining after it, or None.
+    * `skip` marks resolution-prefix segments already exploded. */
+  private def firstArraySeg(schema: StructType, segs: Seq[String], skip: Int): Option[Seq[String]] = {
+    var st: DataType = schema
+    var i = 0
+    while (i < segs.size) {
+      st match {
+        case s: StructType => s.fields.find(_.name == segs(i)) match {
+          case Some(f) => f.dataType match {
+            case ArrayType(et: StructType, _) if i < segs.size - 1 && i >= skip =>
+              return Some(segs.take(i + 1))
+            case other => st = other
+          }
+          case None => return None
+        }
+        case _ => return None
+      }
+      i += 1
+    }
+    None
   }
 
   /** `having` filters the aggregated output uniformly — edges and scalar

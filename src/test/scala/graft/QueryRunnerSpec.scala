@@ -87,6 +87,27 @@ class QueryRunnerSpec extends AnyFunSuite {
     }
   }
 
+  test("select crossing two nested branches throws (one-arm rule)") {
+    import graft.jx._
+    import org.apache.spark.sql.functions._
+    // craft docs with two sibling array arms
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq((1L, "a")), Seq((10L, 2.0))))
+      .toDF("id", "arm_a", "arm_b")
+      .withColumn("arm_a", col("arm_a").cast("array<struct<x:bigint,s:string>>"))
+      .withColumn("arm_b", col("arm_b").cast("array<struct<y:bigint,v:double>>"))
+    val q = JxQuery.parse(
+      """{"from": "t", "select": ["arm_a.s", "arm_b.v"], "limit": 10}""")
+    val ex = intercept[IllegalArgumentException] {
+      QueryRunner.run(spark, q, _ => df)
+    }
+    assert(ex.getMessage.contains("two nested branches"))
+    // one branch descends fine: one row per child
+    val ok = JxQuery.parse("""{"from": "t", "select": ["id", "arm_a.s"], "limit": 10}""")
+    assert(QueryRunner.run(spark, ok, _ => df).count() === 1)
+  }
+
   test("default limit is 10, clamp at 10000") {
     import graft.jx._
     val q = JxQuery.parse("""{"from": "lineitem"}""")
