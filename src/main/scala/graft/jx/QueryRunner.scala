@@ -250,8 +250,10 @@ object QueryRunner {
       case "union"       => array_sort(collect_set(v))
       case "list"        => array_sort(collect_list(v))
       case "one"         =>
-        // error on conflicting values (reference windows.py:76-101)
-        when(count_distinct(v) > 1,
+        // error on conflicting values (reference windows.py:76-101).
+        // min != max detects conflicts with plain partial aggregates —
+        // count_distinct would force an expand/two-phase plan
+        when(min(v) =!= max(v),
           raise_error(concat(lit(s"`one` aggregate saw conflicting values for ${s.name}"))))
           .otherwise(max(v))
       case "first"       => first(v, ignoreNulls = true)

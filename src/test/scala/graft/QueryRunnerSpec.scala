@@ -87,6 +87,25 @@ class QueryRunnerSpec extends AnyFunSuite {
     }
   }
 
+  test("`one` aggregate raises on conflicting values, passes through a constant") {
+    import graft.jx._
+    val s = spark
+    import s.implicits._
+    val good = Seq((1L, "x"), (1L, "x"), (2L, "y")).toDF("k", "v")
+    val q = JxQuery.parse("""{
+      "from": "t", "groupby": ["k"],
+      "select": [{"name": "v1", "value": "v", "aggregate": "one"}]}""")
+    val ok = QueryRunner.run(spark, q, _ => good).orderBy("k")
+      .collect().map(_.getString(1))
+    assert(ok.toSeq === Seq("x", "y"))
+    val bad = Seq((1L, "x"), (1L, "z")).toDF("k", "v")
+    val ex = intercept[Exception] {
+      QueryRunner.run(spark, q, _ => bad).collect()
+    }
+    assert(ex.getMessage.contains("conflicting") ||
+      Option(ex.getCause).exists(_.getMessage.contains("conflicting")))
+  }
+
   test("select crossing two nested branches throws (one-arm rule)") {
     import graft.jx._
     import org.apache.spark.sql.functions._
