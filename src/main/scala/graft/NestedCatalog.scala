@@ -40,13 +40,24 @@ object NestedCatalog {
 
   /** Assembled docs memoized per (doc, dir, referenced columns) within a
     * session: catalog entries sharing a perspective reuse one persisted
-    * assembly instead of re-shuffling the snowflake per query. Sessions
-    * are weak keys, so a stopped session's cached (dead) plans are
-    * collectable and can never be served to a different session. */
+    * assembly instead of re-shuffling the snowflake per query. Bounded:
+    * at most 4 sessions are retained (a cached DataFrame strongly
+    * references its session, so weak keys would never collect — explicit
+    * LRU eviction unpersists the evicted session's assemblies instead). */
+  private val MaxCachedSessions = 4
   private val assembled =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        scala.collection.concurrent.TrieMap[(String, String, Option[Set[String]], Set[String]), DataFrame]]())
+    new java.util.LinkedHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[(String, String, Option[Set[String]], Set[String]), DataFrame]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession,
+            scala.collection.concurrent.TrieMap[(String, String, Option[Set[String]], Set[String]), DataFrame]]): Boolean = {
+        val evict = size() > MaxCachedSessions
+        if (evict) e.getValue.values.foreach(df =>
+          try df.unpersist(blocking = false) catch { case _: Throwable => () })
+        evict
+      }
+    }
 
   /** Table loader that also serves assembled document "tables", pruned to
     * the query's referenced columns (see JxQuery.referenced). */

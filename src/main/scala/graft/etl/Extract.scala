@@ -82,6 +82,17 @@ object Extract {
     }
     val order = cfg.timeField.map(t => col(t._1)).toSeq :+ col(cfg.idField)
     val w = Window.partitionBy(col("__dur")).orderBy(order: _*)
+    // batch indices RESUME within a duration bucket the previous run
+    // already wrote to: new rows in the watermark's bucket start at
+    // recorded-batch + 1, so this run's keys can never collide with —
+    // and dynamic-overwrite can never delete — an earlier increment's
+    // objects (the counter-replay contract of the reference's
+    // BatchCounter, distributed). Later buckets start at 0 as usual.
+    val batchBase = prev match {
+      case Some(pw) if pw.coords.size >= 2 =>
+        when(col("__dur") === lit(pw.coords(0)), lit(pw.coords(1) + 1)).otherwise(lit(0L))
+      case _ => lit(0L)
+    }
     // persist the increment: the write, the watermark aggregate and the
     // batch inventory all read this ONE materialization instead of
     // re-scanning the source (and re-assembling docs) per consumer —
@@ -89,7 +100,8 @@ object Extract {
     // standard bounded-working-set persist
     val withBatch = withDur
       .withColumn("__seq", row_number().over(w) - lit(1))
-      .withColumn("__batch", (col("__seq") / lit(cfg.batchSize)).cast("long"))
+      .withColumn("__batch",
+        (col("__seq") / lit(cfg.batchSize)).cast("long") + batchBase)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // 3. ONE aggregate over the persisted increment: row count, watermark

@@ -163,7 +163,10 @@ object SchemaWalk {
       val conn = java.sql.DriverManager.getConnection(url)
       try {
         import java.sql.Types._
-        val numericTypes = Set(TINYINT, SMALLINT, INTEGER, BIGINT, NUMERIC, DECIMAL)
+        // floating keys are legal partition columns too — integer bounds
+        // merely bracket the stride ranges (edge partitions are unbounded)
+        val numericTypes = Set(TINYINT, SMALLINT, INTEGER, BIGINT, NUMERIC, DECIMAL,
+          FLOAT, DOUBLE, REAL)
         val meta = conn.createStatement()
           .executeQuery(s"SELECT $key FROM $table WHERE 1=0").getMetaData
         if (!numericTypes.contains(meta.getColumnType(1))) None

@@ -94,24 +94,36 @@ object JxQuery {
 
   def referenced(q: JxQuery): Option[ReferencedCols] = {
     var wildcard = !q.selectGiven && q.select.isEmpty
+    var dotWhole = false // "." consumed as a VALUE (not just presence)
     val names = scala.collection.mutable.Set[String]()
     val whole = scala.collection.mutable.Set[String]()
     def walk(x: Any): Unit = x match {
       case JxExpr.Variable(n) =>
         if (n == "*" || n.endsWith(".*")) wildcard = true
-        else if (n != "." && n != "rownum") {
+        else if (n == ".") dotWhole = true
+        else if (n != "rownum") {
           val segs = n.split('.')
           segs.foreach(names += _)
           whole += segs.last
         }
       case JxExpr.LeavesOp(_) => wildcard = true
       case JxExpr.ScriptOp(_) => wildcard = true // free-form: cannot see its inputs
+      // count(".")/exists(".") only test the arm struct's null-ness (the
+      // explode_outer padding), not its contents — a pruned struct
+      // answers them identically, so they don't force whole-arm width
+      case SelectClause(_, JxExpr.Variable("."), Some("count" | "exists"), _, _) => ()
       case p: Product => p.productIterator.foreach(walk)
       case s: Iterable[_] => s.foreach(walk)
       case _ => ()
     }
     Seq(q.select, q.edges, q.groupby, q.where, q.sort, q.windows, q.having).foreach(walk)
     q.from.split('.').foreach(names += _) // perspectives: prunable, NOT whole
+    if (dotWhole) {
+      // "." is the current arm consumed whole: the deepest from segment's
+      // subtree (or, at root perspective, everything)
+      val segs = q.from.split('.')
+      if (segs.length > 1) whole += segs.last else wildcard = true
+    }
     if (wildcard) None else Some(ReferencedCols(names.toSet, whole.toSet))
   }
 

@@ -101,53 +101,61 @@ object QueryRunner {
     var changed = true
     while (changed) {
       changed = false
-      // first array-of-struct segment crossed by each select path, if any
-      val arms = q.select.flatMap { s =>
-        def vars(e: JxExpr): Seq[String] = e match {
-          case Variable(n) if n != "." && n != "*" && !n.endsWith(".*") => Seq(n)
-          case p: Product => p.productIterator.toSeq.flatMap {
-            case e2: JxExpr => vars(e2)
-            case xs: Iterable[_] => xs.toSeq.collect { case e2: JxExpr => e2 }.flatMap(vars)
-            case _ => Nil
-          }
-          case _ => Nil
-        }
-        vars(s.value).flatMap { n =>
-          val segs = n.split('.').toSeq
-          // resolve like mkCtx: deepest arm first, then root
-          val prefixes = (path.reverse.map(Seq(_)) :+ Seq.empty[String])
-          prefixes.collectFirst {
-            case p if firstArraySeg(df.schema, p ++ segs, p.size).isDefined =>
-              firstArraySeg(df.schema, p ++ segs, p.size).get
-          }
-        }
-      }.distinct.filterNot(done)
+      // generic walk (same shape as JxQuery.referenced): every variable
+      // name inside the select values, wherever it nests
+      def vars(x: Any): Seq[String] = x match {
+        case Variable(n) if n != "." && n != "*" && !n.endsWith(".*") => Seq(n)
+        case p: Product => p.productIterator.toSeq.flatMap(vars)
+        case xs: Iterable[_] => xs.toSeq.flatMap(vars)
+        case _ => Nil
+      }
+      // first array-of-struct crossing of each select path. Descent is
+      // supported only at a resolution boundary (the array is the FIRST
+      // segment after an already-exploded prefix) — arm-RELATIVE names,
+      // like the reference's. A deeper fully-qualified crossing would
+      // silently resolve to the parent's array after the explode, so it
+      // is rejected instead.
+      val crossings = q.select.flatMap(s => vars(s.value)).distinct.flatMap { n =>
+        val segs = n.split('.').toSeq
+        val prefixes = (path.reverse.map(Seq(_)) :+ Seq.empty[String])
+        prefixes.flatMap(p => firstArraySeg(df.schema, p ++ segs, p.size)
+          .map { case (arm, atBoundary) => (n, arm, atBoundary) }).headOption
+      }
+      val arms = crossings.collect { case (_, arm, true) => arm }.distinct.filterNot(done)
       if (arms.size > 1)
         throw new IllegalArgumentException(
           s"select descends two nested branches: ${arms.mkString(", ")} — query one arm via `from`")
-      for (arm <- arms.headOption) {
-        val seg = arm.last
-        df = df.withColumn(seg, explode_outer(col(arm.mkString("."))))
-        path = path :+ seg
-        done += arm
-        changed = true
+      arms.headOption match {
+        case Some(arm) =>
+          val seg = arm.last
+          df = df.withColumn(seg, explode_outer(col(arm.mkString("."))))
+          path = path :+ seg
+          done += arm
+          changed = true
+        case None =>
+          val deep = crossings.collect { case (n, arm, false) if !done(arm) => n }
+          if (deep.nonEmpty)
+            throw new IllegalArgumentException(
+              s"select crosses a nested array mid-path (${deep.mkString(", ")}): " +
+                "use the arm-relative name or query the arm via `from`")
       }
     }
     (df, path)
   }
 
   /** The path (up to and including) the first array-of-struct segment a
-    * dotted reference crosses WITH fields remaining after it, or None.
-    * `skip` marks resolution-prefix segments already exploded. */
-  private def firstArraySeg(schema: StructType, segs: Seq[String], skip: Int): Option[Seq[String]] = {
+    * dotted reference crosses WITH fields remaining after it, or None;
+    * the Boolean is true when the crossing sits directly at the
+    * resolution boundary (`skip` = number of prefix segments). */
+  private def firstArraySeg(schema: StructType, segs: Seq[String], skip: Int): Option[(Seq[String], Boolean)] = {
     var st: DataType = schema
     var i = 0
     while (i < segs.size) {
       st match {
         case s: StructType => s.fields.find(_.name == segs(i)) match {
           case Some(f) => f.dataType match {
-            case ArrayType(et: StructType, _) if i < segs.size - 1 && i >= skip =>
-              return Some(segs.take(i + 1))
+            case ArrayType(_: StructType, _) if i < segs.size - 1 && i >= skip =>
+              return Some((segs.take(i + 1), i == skip))
             case other => st = other
           }
           case None => return None

@@ -48,11 +48,17 @@ object Streams {
                             loadStatic: String => DataFrame,
                             notifier: graft.etl.Notifier, bucket: String)(
                             sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
-    extractStream(factStream, plan, loadStatic) { (docs, id) =>
+    factStream.writeStream.foreachBatch { (batch: Dataset[Row], id: Long) =>
+      // emptiness is checked on the incoming FACT batch (the assembly
+      // root: empty facts → empty docs) — probing the assembled docs
+      // would re-run the whole fact⋈dims join as an extra job per trigger
+      val empty = batch.isEmpty
+      val docs = DocAssembler.assemble(plan,
+        name => if (name == plan.table) batch.toDF() else loadStatic(name))
       sink(docs, id)
       // empty micro-batches (empty triggers, restart replays) wrote no
       // object — notifying would advertise a key that does not exist
-      if (!docs.isEmpty)
+      if (!empty)
         notifier.add(graft.etl.Notifier.batchMessage(bucket, id.toString, java.time.Instant.now()))
     }
 

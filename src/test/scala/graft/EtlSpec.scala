@@ -151,16 +151,19 @@ class EtlSpec extends AnyFunSuite {
       start = Instant.parse("1992-01-01T00:00:00Z"),
       destination = tmp.resolve("out").toString,
       lastFile = tmp.resolve("last.json"))
-    // run 1 sees only the first half of the timeline; run 2 sees it all
+    // run 1 cuts MID-month (mid-duration-bucket): run 2's first rows land
+    // in the SAME bucket run 1 already wrote to — the batch counter must
+    // resume past run 1's recorded batch or dynamic overwrite would
+    // replace run 1's objects in that bucket
     val half: String => org.apache.spark.sql.DataFrame = name => {
       val df = full(name)
-      if (name == "orders") df.filter(col("o_orderdate") < "1998-01-01") else df
+      if (name == "orders") df.filter(col("o_orderdate") < "1998-06-15") else df
     }
     val r1 = Extract.run(spark, cfg, half)
     val r2 = Extract.run(spark, cfg, full)
     assert(r1.rows > 0 && r2.rows > 0)
-    // dynamic partition overwrite: run 2 replaced only its own batch
-    // keys, so the total on disk is both increments
+    // dynamic partition overwrite + resumed batch indices: the total on
+    // disk is both increments, nothing deleted, no key collisions
     val onDisk = spark.read.json(cfg.destination).count()
     assert(onDisk === r1.rows + r2.rows)
   }
