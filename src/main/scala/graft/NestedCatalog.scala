@@ -54,7 +54,8 @@ object NestedCatalog {
             scala.collection.concurrent.TrieMap[(String, String, Option[Set[String]], Set[String]), DataFrame]]): Boolean = {
         val evict = size() > MaxCachedSessions
         if (evict) e.getValue.values.foreach(df =>
-          try df.unpersist(blocking = false) catch { case _: Throwable => () })
+          try df.unpersist(blocking = false)
+          catch { case scala.util.control.NonFatal(_) => () })
         evict
       }
     }
@@ -64,16 +65,17 @@ object NestedCatalog {
   private def load(s: SparkSession, dir: String, needed: Option[Set[String]],
                    whole: Set[String] = Set.empty): String => DataFrame = {
     val base = SparkEntry.loader(s, dir)
-    def doc(name: String, plan: => SnowflakePlan): DataFrame = {
-      val perSession = assembled.synchronized {
+    def doc(name: String, plan: => SnowflakePlan): DataFrame =
+      // assemble+persist are lazy (driver-side plan building, no jobs), so
+      // the whole lookup-or-insert holds the lock: an eviction can never
+      // interleave and strand a freshly persisted plan in an orphaned map
+      assembled.synchronized {
         var m = assembled.get(s)
         if (m == null) { m = scala.collection.concurrent.TrieMap.empty; assembled.put(s, m) }
-        m
+        m.getOrElseUpdate((name, dir, needed, whole),
+          DocAssembler.assemble(plan, base, needed, whole)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       }
-      perSession.getOrElseUpdate((name, dir, needed, whole),
-        DocAssembler.assemble(plan, base, needed, whole)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    }
     name => name match {
       case "customer_docs" => doc("customer_docs", customerPlan)
       case "customer_orders" => doc("customer_orders", customerOrdersPlan)

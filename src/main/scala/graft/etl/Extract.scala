@@ -107,14 +107,18 @@ object Extract {
       // 3. ONE aggregate over the persisted increment: row count, watermark
       //    coordinates AND the batch inventory (bounded: #batches ≤
       //    rows/batchSize) — no second scan, no re-assembly
+      // watermark coords = the LAST WRITTEN KEY: lexicographic max of
+      // (__dur, __batch) — independent maxima would pair the last bucket
+      // with another bucket's batch index, a coordinate no row ever had,
+      // and the resume base would then leave holes in the key sequence
       val agg = withBatch.agg(
-        count(lit(1)), max(col("__dur")), max(col("__batch")),
+        count(lit(1)), max(struct(col("__dur"), col("__batch"))),
         cfg.timeField.map(t => max(col(t._1))).getOrElse(lit(null)),
         max(col(cfg.idField)),
         collect_set(struct(col("__dur"), col("__batch")))).collect()(0)
       val rows = agg.getLong(0)
       val batchKeys: Seq[(Long, Long)] =
-        agg.getSeq[org.apache.spark.sql.Row](5).map(r => (r.getLong(0), r.getLong(1))).sorted
+        agg.getSeq[org.apache.spark.sql.Row](4).map(r => (r.getLong(0), r.getLong(1))).sorted
       if (rows == 0) {
         // nothing to write → nothing notified, destination untouched, and
         // the watermark must NOT move (a time-less watermark would poison
@@ -145,10 +149,11 @@ object Extract {
           .option("compression", "gzip")
           .json(cfg.destination)
 
+        val lastKey = agg.getStruct(1)
         val wm = Watermark(
-          Seq(agg.getLong(1), agg.getLong(2)),
-          Option(agg.get(3)).map(_.asInstanceOf[java.sql.Timestamp]),
-          agg.getLong(4))
+          Seq(lastKey.getLong(0), lastKey.getLong(1)),
+          Option(agg.get(2)).map(_.asInstanceOf[java.sql.Timestamp]),
+          agg.getLong(3))
         // notify per written batch object (reference extract.py:244-251),
         // then advance the watermark (extract.py:254)
         val now = java.time.Instant.now()

@@ -34,10 +34,18 @@ object Streams {
   def extractStream(factStream: DataFrame, plan: SnowflakePlan,
                     loadStatic: String => DataFrame)(
                     sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    extractStreamRaw(factStream, plan, loadStatic) { (_, docs, id) => sink(docs, id) }
+
+  /** The shared micro-batch assembly loop; the sink also sees the raw
+    * fact batch (for cheap emptiness/inspection without re-running the
+    * fact⋈dims assembly). */
+  private def extractStreamRaw(factStream: DataFrame, plan: SnowflakePlan,
+                               loadStatic: String => DataFrame)(
+                               sink: (Dataset[Row], DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     factStream.writeStream.foreachBatch { (batch: Dataset[Row], id: Long) =>
       val docs = DocAssembler.assemble(plan,
         name => if (name == plan.table) batch.toDF() else loadStatic(name))
-      sink(docs, id)
+      sink(batch, docs, id)
     }
 
   /** [[extractStream]] with the batch extract's notification parity: one
@@ -48,13 +56,11 @@ object Streams {
                             loadStatic: String => DataFrame,
                             notifier: graft.etl.Notifier, bucket: String)(
                             sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
-    factStream.writeStream.foreachBatch { (batch: Dataset[Row], id: Long) =>
+    extractStreamRaw(factStream, plan, loadStatic) { (batch, docs, id) =>
       // emptiness is checked on the incoming FACT batch (the assembly
       // root: empty facts → empty docs) — probing the assembled docs
       // would re-run the whole fact⋈dims join as an extra job per trigger
       val empty = batch.isEmpty
-      val docs = DocAssembler.assemble(plan,
-        name => if (name == plan.table) batch.toDF() else loadStatic(name))
       sink(docs, id)
       // empty micro-batches (empty triggers, restart replays) wrote no
       // object — notifying would advertise a key that does not exist
