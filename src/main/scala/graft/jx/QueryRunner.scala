@@ -36,7 +36,12 @@ object QueryRunner {
     val chain = scala.collection.mutable.ArrayBuffer[String]()
     for (seg <- segs.tail) {
       val parent = if (chain.isEmpty) seg else chain.last + "." + seg
-      df = df.withColumn(seg, explode_outer(col(parent)))
+      // INNER explode: `from: "fact.nested"` is the nested table's rows
+      // (reference jx_sqlite reads the child table directly;
+      // snowflake.py:247-341) — a parent with no children contributes no
+      // rows to the child perspective. explode_outer's null padding would
+      // surface phantom null-key groups in groupby/one over the arm.
+      df = df.withColumn(seg, explode(col(parent)))
       chain += seg // each exploded child struct becomes a top-level column
     }
     (df, chain.toSeq)
