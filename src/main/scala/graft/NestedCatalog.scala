@@ -40,30 +40,58 @@ object NestedCatalog {
 
   /** Assembled docs memoized per (doc, dir, referenced columns) within a
     * session: catalog entries sharing a perspective reuse one persisted
-    * assembly instead of re-shuffling the snowflake per query. Bounded:
-    * at most 4 sessions are retained (a cached DataFrame strongly
-    * references its session, so weak keys would never collect — explicit
-    * LRU eviction unpersists the evicted session's assemblies instead). */
+    * assembly instead of re-shuffling the snowflake per query. Bounded in
+    * BOTH dimensions (a cached DataFrame strongly references its session,
+    * so weak keys would never collect — explicit LRU eviction unpersists
+    * instead): at most 4 sessions, and at most 16 assemblies per session,
+    * so ad-hoc query shapes within one long-lived session cannot grow
+    * executor memory/disk without bound. */
   private val MaxCachedSessions = 4
+  private val MaxAssembliesPerSession = 16
+
+  private type AssemblyKey = (String, String, Option[Set[String]], Set[String])
+
+  private def unpersistQuietly(df: DataFrame): Unit =
+    try df.unpersist(blocking = false)
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Access-ordered LRU of assemblies; evicted entries are unpersisted. */
+  private final class AssemblyCache
+      extends java.util.LinkedHashMap[AssemblyKey, DataFrame](32, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[AssemblyKey, DataFrame]): Boolean = {
+      val evict = size() > MaxAssembliesPerSession
+      if (evict) unpersistQuietly(e.getValue)
+      evict
+    }
+  }
+
   private val assembled =
-    new java.util.LinkedHashMap[SparkSession,
-        scala.collection.concurrent.TrieMap[(String, String, Option[Set[String]], Set[String]), DataFrame]](
-        16, 0.75f, true) {
+    new java.util.LinkedHashMap[SparkSession, AssemblyCache](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[SparkSession,
-            scala.collection.concurrent.TrieMap[(String, String, Option[Set[String]], Set[String]), DataFrame]]): Boolean = {
+          e: java.util.Map.Entry[SparkSession, AssemblyCache]): Boolean = {
         val evict = size() > MaxCachedSessions
-        if (evict) e.getValue.values.foreach(df =>
-          try df.unpersist(blocking = false)
-          catch { case scala.util.control.NonFatal(_) => () })
+        if (evict) e.getValue.values.forEach(df => unpersistQuietly(df))
         evict
       }
     }
 
+  /** Unpersist and drop every cached assembly of `s` (benchmarks use this
+    * to decouple timed entries from warm-up cache state). */
+  def clearCache(s: SparkSession): Unit = assembled.synchronized {
+    val m = assembled.remove(s)
+    if (m != null) m.values.forEach(df => unpersistQuietly(df))
+  }
+
+  /** Number of live cached assemblies for `s` (spec hook). */
+  private[graft] def cachedAssemblies(s: SparkSession): Int = assembled.synchronized {
+    val m = assembled.get(s); if (m == null) 0 else m.size()
+  }
+
   /** Table loader that also serves assembled document "tables", pruned to
-    * the query's referenced columns (see JxQuery.referenced). */
-  private def load(s: SparkSession, dir: String, needed: Option[Set[String]],
-                   whole: Set[String] = Set.empty): String => DataFrame = {
+    * the query's referenced columns (see JxQuery.referenced).
+    * private[graft]: specs drive the cache through it. */
+  private[graft] def load(s: SparkSession, dir: String, needed: Option[Set[String]],
+                          whole: Set[String] = Set.empty): String => DataFrame = {
     val base = SparkEntry.loader(s, dir)
     def doc(name: String, plan: => SnowflakePlan): DataFrame =
       // assemble+persist are lazy (driver-side plan building, no jobs), so
@@ -71,10 +99,15 @@ object NestedCatalog {
       // interleave and strand a freshly persisted plan in an orphaned map
       assembled.synchronized {
         var m = assembled.get(s)
-        if (m == null) { m = scala.collection.concurrent.TrieMap.empty; assembled.put(s, m) }
-        m.getOrElseUpdate((name, dir, needed, whole),
-          DocAssembler.assemble(plan, base, needed, whole)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        if (m == null) { m = new AssemblyCache; assembled.put(s, m) }
+        val key = (name, dir, needed, whole)
+        var df = m.get(key)
+        if (df == null) {
+          df = DocAssembler.assemble(plan, base, needed, whole)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          m.put(key, df)
+        }
+        df
       }
     name => name match {
       case "customer_docs" => doc("customer_docs", customerPlan)
@@ -275,6 +308,46 @@ object NestedCatalog {
       FROM r
       WHERE rn > ceil(n * 0.1) AND rn <= n - ceil(n * 0.1)
       GROUP BY 1 ORDER BY 1""")),
+
+    // END-TO-END extract through the driver's oracle gate: a real
+    // Extract.run (keyset filter → duration buckets → batch indexing →
+    // doc assembly → partitioned gzip-NDJSON write → watermark) into a
+    // fresh temp dir, then the WRITTEN FILES are read back and inventoried
+    // per batch key. The oracle restates the batch-coordinate arithmetic
+    // (month bucket + in-bucket (date, id) rank ÷ batchSize) from the flat
+    // table — so batch keys, per-batch doc counts and last-ids of the
+    // written objects are all hash-checked (the reference's own golden
+    // tests are extract tests: tests/test_extract.py:46-148). Bounded to
+    // one quarter of orders so the entry stays bench-sized at sf0.1.
+    "q_etl_extract" -> (q((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q_etl")
+      val base = SparkEntry.loader(s, dir)
+      val bounded: String => DataFrame = n =>
+        if (n == "orders") base(n).where(col("o_orderdate") < lit("1995-04-01")) else base(n)
+      val cfg = graft.etl.ExtractConfig(
+        ordersPlan, timeField = Some(("o_orderdate", graft.etl.DurationUnit.Month)),
+        idField = "o_orderkey", batchSize = 100,
+        start = java.time.Instant.parse("1995-01-01T00:00:00Z"),
+        destination = tmp.resolve("out").toString,
+        lastFile = tmp.resolve("last.json"))
+      graft.etl.Extract.run(s, cfg, bounded)
+      s.read.json(cfg.destination)
+        .groupBy(col("batch_t").cast("long").as("batch_t"),
+          col("batch_i").cast("long").as("batch_i"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("orders.o_orderkey")).cast("long").as("last_id"))
+        .orderBy("batch_t", "batch_i")
+    }), Some("""
+      WITH f AS (
+        SELECT o_orderkey,
+               (year(o_orderdate) * 12 + month(o_orderdate)) - (1995 * 12 + 1) AS bt,
+               row_number() OVER (
+                 PARTITION BY (year(o_orderdate) * 12 + month(o_orderdate))
+                 ORDER BY o_orderdate, o_orderkey) - 1 AS seq
+        FROM orders WHERE o_orderdate < DATE '1995-04-01')
+      SELECT CAST(bt AS BIGINT) AS batch_t, CAST(seq // 100 AS BIGINT) AS batch_i,
+             count(*) AS n_docs, CAST(max(o_orderkey) AS BIGINT) AS last_id
+      FROM f GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // fixed-size batch chunking (reference group_by.py:87-182) — the
     // DISTRIBUTED variant: per-range-partition ranks + broadcast offsets,

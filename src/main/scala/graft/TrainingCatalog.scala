@@ -231,6 +231,26 @@ object TrainingCatalog {
                                    CAST(b.embedding AS DOUBLE[])) >= 0.45
       ORDER BY 1, 2""")),
 
+    // The SCALE path for embedding near-dup: LSH-bucketed candidate
+    // generation (linear, no all-pairs cross join) + exact cosine verify.
+    // deterministic planted-pair oracle: the corpus gains an EXACT copy of
+    // every vec_id < 20 (id + 1_000_000). Identical vectors share every
+    // RHP bucket, so each planted pair is a guaranteed candidate and
+    // verifies at cosine 1.0 — the oracle states exactly that pair set.
+    // (q_dedup_embedding above stays as the exact verification tier;
+    // recall vs the exact operator on natural data is specced in OpsSpec.)
+    "q_dedup_embedding_lsh" -> (q((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = e.where(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      Similarity.cosinePairsLsh(e.unionByName(planted), threshold = 0.999)
+        .where(col("id_b") === col("id_a") + 1000000L && col("id_a") < 20)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+        .orderBy("id_a")
+    }), Some("""
+      SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, CAST(1.0 AS DOUBLE) AS sim
+      FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")),
+
     // =====================================================================
     // similarity search
     // =====================================================================
@@ -285,8 +305,41 @@ object TrainingCatalog {
       FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")),
 
     // =====================================================================
-    // multimodal (payload plumbing; decode is a deterministic STUB)
+    // multimodal — q_multimodal_meta exercises the payload PLUMBING with
+    // the deterministic stub; q_multimodal_decode validates the REAL
+    // BMP/PNG header decoders against payloads with planted dimensions
     // =====================================================================
+
+    // REAL decode check: BMP and PNG payloads are synthesized with
+    // dimensions derived from doc_id (different formulas per format, so
+    // the two decoders can't mask each other), then decoded by the pure
+    // Column-algebra header parsers; the oracle states the planted
+    // arithmetic. The payload-synthesis UDF is test scaffolding — the
+    // decoders under test are codegen'd Column algebra, not UDFs.
+    "q_multimodal_decode" -> (q((s, dir) => {
+      val mkBmp = udf((id: Long) =>
+        Multimodal.syntheticBmp((id % 241 + 16).toInt, (id * 3 % 241 + 16).toInt))
+      val mkPng = udf((id: Long) =>
+        Multimodal.syntheticPng((id * 5 % 199 + 16).toInt, (id * 7 % 199 + 16).toInt))
+      val withPayloads = docs(s, dir).select(col("doc_id"),
+        mkBmp(col("doc_id")).as("bmp"), mkPng(col("doc_id")).as("png"))
+      val bm = Multimodal.bmpMeta(col("bmp"))
+      val pm = Multimodal.pngMeta(col("png"))
+      withPayloads.select(
+        col("doc_id"),
+        bm.getField("width").as("bmp_w"), bm.getField("height").as("bmp_h"),
+        bm.getField("channels").as("bmp_c"),
+        pm.getField("width").as("png_w"), pm.getField("height").as("png_h"),
+        pm.getField("channels").as("png_c"))
+    }), Some("""
+      SELECT doc_id,
+             CAST(doc_id % 241 + 16 AS INT) AS bmp_w,
+             CAST(doc_id * 3 % 241 + 16 AS INT) AS bmp_h,
+             CAST(3 AS INT) AS bmp_c,
+             CAST(doc_id * 5 % 199 + 16 AS INT) AS png_w,
+             CAST(doc_id * 7 % 199 + 16 AS INT) AS png_h,
+             CAST(3 AS INT) AS png_c
+      FROM documents ORDER BY doc_id""")),
     "q_multimodal_meta" -> (q((s, dir) => {
       val withBin = Multimodal.withPayload(docs(s, dir), "text")
       val meta = Multimodal.imageMeta(col("content"))

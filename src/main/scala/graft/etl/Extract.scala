@@ -17,9 +17,12 @@ import java.nio.file.{Files, Paths, Path}
  * predicate-pushdown scan → coordinate assignment → doc assembly →
  * partitioned write. Batch coordinates reproduce the counter chain
  * ([[DurationCounter]]/[[BatchCounter]]) exactly: the duration bucket is
- * pure arithmetic; the in-bucket batch index is row_number()/size over
- * (time, id) order, so a restart from the watermark yields identical keys
- * (the tests/test_counters.py replay contract).
+ * pure arithmetic; the in-bucket batch index is the 0-based (time, id)
+ * rank over the bucket — a per-bucket window for modest increments, a
+ * distributed prefix-sum rank ([[graft.ops.Batching.rankWithinScaled]])
+ * above [[ExtractConfig.scaledIndexThreshold]] rows per bucket (identical
+ * keys, no single-task bucket sort) — so a restart from the watermark
+ * yields identical keys (the tests/test_counters.py replay contract).
  */
 case class ExtractConfig(
     plan: SnowflakePlan,
@@ -33,7 +36,12 @@ case class ExtractConfig(
     lastFile: Path,
     revision: String = "dev",
     /** per-batch completion messages (reference extract.py:244-251) */
-    notifier: Notifier = Notifier.noop)
+    notifier: Notifier = Notifier.noop,
+    /** buckets larger than this switch batch indexing from the per-bucket
+      * window (one task sorts the whole bucket) to the distributed
+      * prefix-sum rank ([[graft.ops.Batching.rankWithinScaled]]) — at
+      * 100 TB a production bucket is a full day of keys */
+    scaledIndexThreshold: Long = 4000000L)
 
 case class ExtractResult(rows: Long, batches: Long, watermark: Watermark)
 
@@ -81,7 +89,6 @@ object Extract {
       case None => fact.withColumn("__dur", lit(0L))
     }
     val order = cfg.timeField.map(t => col(t._1)).toSeq :+ col(cfg.idField)
-    val w = Window.partitionBy(col("__dur")).orderBy(order: _*)
     // batch indices RESUME within a duration bucket the previous run
     // already wrote to: new rows in the watermark's bucket start at
     // recorded-batch + 1, so this run's keys can never collide with —
@@ -93,13 +100,30 @@ object Extract {
         when(col("__dur") === lit(pw.coords(0)), lit(pw.coords(1) + 1)).otherwise(lit(0L))
       case _ => lit(0L)
     }
+    // in-bucket sequence number: per-bucket window below the threshold
+    // (one shuffle, fine for modest increments), distributed prefix-sum
+    // rank above it (a window serializes each duration bucket through ONE
+    // task — a production bucket is a day; at 100 TB that is one executor
+    // sorting a day of keys). Both assign identical 0-based (time, id)
+    // ranks, so batch keys are byte-identical across the two paths
+    // (asserted in EtlSpec). The bucket-size probe is an aggregate over a
+    // column-pruned scan (only the time column is read) — cheap relative
+    // to the extract itself.
+    val bucketSizes = withDur.groupBy(col("__dur")).agg(count(lit(1))).collect()
+    val maxBucket = if (bucketSizes.isEmpty) 0L else bucketSizes.map(_.getLong(1)).max
+    val seqd =
+      if (maxBucket > cfg.scaledIndexThreshold)
+        graft.ops.Batching.rankWithinScaled(withDur, "__dur", order, out = "__seq")
+      else {
+        val w = Window.partitionBy(col("__dur")).orderBy(order: _*)
+        withDur.withColumn("__seq", (row_number().over(w) - lit(1)).cast("long"))
+      }
     // persist the increment: the write, the watermark aggregate and the
     // batch inventory all read this ONE materialization instead of
     // re-scanning the source (and re-assembling docs) per consumer —
     // at 100 TB the increment is watermark-bounded, so this is the
     // standard bounded-working-set persist
-    val withBatch = withDur
-      .withColumn("__seq", row_number().over(w) - lit(1))
+    val withBatch = seqd
       .withColumn("__batch",
         (col("__seq") / lit(cfg.batchSize)).cast("long") + batchBase)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -113,7 +137,8 @@ object Extract {
       // and the resume base would then leave holes in the key sequence
       val agg = withBatch.agg(
         count(lit(1)), max(struct(col("__dur"), col("__batch"))),
-        cfg.timeField.map(t => max(col(t._1))).getOrElse(lit(null)),
+        // cast: a DATE time axis still records a Timestamp watermark
+        cfg.timeField.map(t => max(col(t._1).cast("timestamp"))).getOrElse(lit(null)),
         max(col(cfg.idField)),
         collect_set(struct(col("__dur"), col("__batch")))).collect()(0)
       val rows = agg.getLong(0)
@@ -165,11 +190,14 @@ object Extract {
     } finally withBatch.unpersist()
   }
 
-  /** Assemble docs only for the given fact subset (keeps coordinate cols). */
+  /** Assemble docs only for the given fact subset (keeps coordinate cols).
+    * `restrictChildren`: child tables are semi-joined down to the
+    * increment's keys BEFORE their collect_list — an increment touching
+    * 0.01% of parents must not re-aggregate 100% of children. */
   private def joinAssembled(plan: SnowflakePlan, factSubset: DataFrame, load: String => DataFrame): DataFrame = {
     val filteredLoad: String => DataFrame =
       name => if (name == plan.table) factSubset.drop("__dur", "__seq", "__batch") else load(name)
-    val docs = DocAssembler.assemble(plan, filteredLoad)
+    val docs = DocAssembler.assemble(plan, filteredLoad, restrictChildren = true)
     docs.join(factSubset.select(col(plan.key), col("__dur"), col("__seq"), col("__batch")),
       Seq(plan.key), "inner")
   }

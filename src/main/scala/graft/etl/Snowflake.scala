@@ -46,12 +46,24 @@ object DocAssembler {
     * is never referenced are skipped. At scale this is the difference
     * between shuffling 2 fields and shuffling the full document width —
     * Catalyst cannot prune struct fields through a collect_list aggregate,
-    * so the projection must happen here, upstream of the shuffle. */
+    * so the projection must happen here, upstream of the shuffle.
+    *
+    * `restrictChildren = true` is the INCREMENTAL-extract shape: each
+    * child table is semi-joined down to the current level's key set
+    * before its own assembly and `collect_list` — an increment touching
+    * 0.01% of parents must not re-aggregate 100% of children (at 100 TB
+    * the child tables are the bulk of the data; the watermark-bounded key
+    * set broadcasts, so dropped child rows never shuffle). Child rows
+    * whose fk has no surviving parent contribute nothing to a left join
+    * either way, so the output is identical (EtlSpec equivalence). */
   def assemble(plan: SnowflakePlan, load: String => DataFrame,
                needed: Option[Set[String]] = None,
                /** aliases a query consumes as WHOLE values — pruning does
                  * not descend below these arms (JxQuery.ReferencedCols) */
-               whole: Set[String] = Set.empty): DataFrame = {
+               whole: Set[String] = Set.empty,
+               /** semi-join filter on this level's table: (column, keys) */
+               keyFilter: Option[(String, DataFrame)] = None,
+               restrictChildren: Boolean = false): DataFrame = {
     val keptLookups = plan.lookups.filter(lk => needed.forall(_.contains(lk.as)))
     val keptChildren = plan.children.filter(ch => needed.forall(_.contains(ch.as)))
     var df = scrub(load(plan.table), plan.nullValues)
@@ -61,6 +73,10 @@ object DocAssembler {
       val cols = df.columns.filter(c => ns.contains(c) || always.contains(c))
       df = df.select(cols.map(col).toIndexedSeq: _*)
     }
+    for ((c, keys) <- keyFilter) df = df.join(keys, Seq(c), "left_semi")
+    // child restriction keys, taken BEFORE lookup joins widen the plan
+    val ownKeys = if (restrictChildren && keptChildren.nonEmpty)
+      Some(df.select(col(plan.key)).distinct()) else None
     val dropFks = scala.collection.mutable.ArrayBuffer[String]()
 
     for (lk <- keptLookups) {
@@ -87,7 +103,8 @@ object DocAssembler {
       val subNeeded =
         if (whole.contains(ch.as)) None
         else needed.map(_ + ch.fk + ch.plan.key)
-      val sub = assemble(ch.plan, load, subNeeded, whole)
+      val childFilter = ownKeys.map(k => ch.fk -> k.select(col(plan.key).as(ch.fk)))
+      val sub = assemble(ch.plan, load, subNeeded, whole, childFilter, restrictChildren)
       // key first in the struct so array_sort orders children by key
       val ordered = ch.plan.key +: sub.columns.filter(_ != ch.plan.key).toSeq
       val visible = ordered.filter(c => plan.showForeignKeys || c != ch.fk)

@@ -82,7 +82,7 @@ object QueryRunner {
       case TrueOp => base
       case w      => base.filter(JxCompiler.filterPred(w, ctx))
     }
-    if (q.edges.nonEmpty) applyHaving(q, runEdges(spark, q, filtered, ctx))
+    if (q.edges.nonEmpty) runEdges(spark, q, filtered, ctx)
     else if (q.groupby.nonEmpty) runGroupby(q, filtered, ctx)
     else if (q.isAggregate) applyHaving(q, runScalarAgg(q, filtered, ctx))
     else {
@@ -172,8 +172,8 @@ object QueryRunner {
     None
   }
 
-  /** `having` filters the aggregated output uniformly — edges and scalar
-    * aggregates included, not just groupby (where it is applied pre-sort). */
+  /** `having` on the scalar-aggregate path; groupby and edges apply the
+    * same filter inline, before their sort/limit. */
   private def applyHaving(q: JxQuery, out: DataFrame): DataFrame =
     q.having.fold(out)(h => out.filter(JxCompiler.filterPred(h, outputCtx)))
 
@@ -466,7 +466,7 @@ object QueryRunner {
       e.domainDF.orderBy(col("__idx")).collect().map(_.get(1)).toSeq ++
         (if (e.allowNulls) Seq(null) else Nil)
     }
-    (applyHaving(q, runEdgesResolved(spark, q, filtered, ctx, edges)), doms)
+    (runEdgesResolved(spark, q, filtered, ctx, edges), doms)
   }
 
   private def runEdges(spark: SparkSession, q: JxQuery, df0: DataFrame, ctx: JxCompiler.Ctx): DataFrame =
@@ -504,6 +504,10 @@ object QueryRunner {
           case Some(d) => coalesce(grouped(s.name), JxCompiler.compile(d, JxCompiler.defaultCtx)).as(s.name)
           case None    => grouped(s.name)
         }): _*)
+    // having filters cells BEFORE sort/limit (same order as the groupby
+    // path) — applying it after an explicit limit could drop qualifying
+    // cells that fell outside the pre-filter limit
+    out = q.having.fold(out)(h => out.filter(JxCompiler.filterPred(h, outputCtx)))
     // order by edge indices, null bucket last (reference edges_table.py:499-504)
     out = out.orderBy(idxNames.map(nm => col(s"${nm}_ord").asc_nulls_last): _*)
       .drop(idxNames.map(nm => s"${nm}_ord"): _*)

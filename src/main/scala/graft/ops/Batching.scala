@@ -41,4 +41,52 @@ object Batching {
     }
     df.sparkSession.createDataFrame(withChunk, schema)
   }
+
+  /** Distributed per-key rank: the 0-based position of each row within its
+    * `keyCol` group under `order` — equal to
+    * `row_number().over(Window.partitionBy(keyCol).orderBy(order)) - 1`,
+    * but NO single task ever sorts a whole key group (the window form
+    * serializes each group through one task — at 100 TB a "group" can be a
+    * full day of keys). Same distributed-prefix-sum shape as
+    * [[chunkBySizeScaled]]: range-partition on (key, order), sort within
+    * partitions, count rows per (partition, key) — bounded, because range
+    * partitioning keeps each key's rows in one contiguous partition band,
+    * so there are at most `parts + distinctKeys` count entries — then
+    * broadcast the per-(partition, key) offsets and add them to local
+    * positions. Both passes run over the SAME shuffled RDD, so the
+    * sampled range boundaries cannot drift between them. */
+  def rankWithinScaled(df: DataFrame, keyCol: String, order: Seq[org.apache.spark.sql.Column],
+                       out: String = "rank", parts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (parts > 0) parts else spark.sessionState.conf.numShufflePartitions
+    val sortCols = col(keyCol) +: order
+    val ranged = df.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+
+        org.apache.spark.sql.types.StructField(out, org.apache.spark.sql.types.LongType, nullable = false))
+    val keyIdx = ranged.schema.fieldIndex(keyCol)
+    val rdd = ranged.rdd
+    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap[Any, Long]()
+      it.foreach { r => val k = r.get(keyIdx); m.update(k, m.getOrElse(k, 0L) + 1L) }
+      m.iterator.map { case (k, c) => (pid, k, c) }
+    }.collect()
+    val offsets: Map[(Int, Any), Long] =
+      counts.groupBy(_._2).iterator.flatMap { case (k, cs) =>
+        var acc = 0L
+        cs.sortBy(_._1).map { case (pid, _, c) =>
+          val entry = ((pid, k), acc); acc += c; entry
+        }
+      }.toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val local = scala.collection.mutable.HashMap[Any, Long]()
+      it.map { r =>
+        val k = r.get(keyIdx)
+        val i = local.getOrElse(k, 0L); local.update(k, i + 1L)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (bc.value((pid, k)) + i))
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
 }

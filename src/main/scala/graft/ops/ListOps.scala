@@ -12,13 +12,27 @@ import org.apache.spark.sql.functions._
  * partition in a given order, so every helper is one window function —
  * one shuffle on the partition keys, no driver materialization, which is
  * the only shape that survives 100 TB.
+ *
+ * PASS PARTITION KEYS AT SCALE: an empty `partition` means ONE global
+ * list — a single-partition window that serializes the whole input
+ * through one task. That is the reference's driver-side-list semantics
+ * and is fine for query-path inputs (bounded by the 10k limit clamp),
+ * but on a data-scale DataFrame it is a deliberate choice the caller
+ * must make; these helpers log a warning when they see it.
  */
 object ListOps {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private def win(partition: Seq[Column], order: Seq[Column]) = {
     val base =
       if (partition.nonEmpty) Window.partitionBy(partition: _*)
-      else Window.partitionBy(lit(1))
+      else {
+        log.warn("ListOps called with no partition keys: the global-list " +
+          "window serializes ALL rows through one task — pass `partition` " +
+          "columns for data-scale inputs")
+        Window.partitionBy(lit(1))
+      }
     base.orderBy(order: _*)
   }
 

@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
  * columns with a typed metadata struct beside them. Two decode tiers:
  *
  *  - REAL header decoders for formats whose layout needs no external
- *    codec: BMP (width/height/channels) and canonical WAV (sample rate/
- *    channels/bits/duration) — pure Column algebra over the bytes, so
- *    they run codegen'd inside the scan stage.
- *  - STUB decoder for compressed formats (JPEG/PNG/MP4...): this
- *    container has no image/audio libraries, so `StubDecoder` produces
- *    deterministic fake metadata from payload length. Swap it for a real
- *    codec (JNI/FFI) at `decodePartitioned` without touching the
- *    pipeline shape.
+ *    codec: BMP (width/height/channels), PNG (IHDR width/height/channels)
+ *    and canonical WAV (sample rate/channels/bits/duration) — pure Column
+ *    algebra over the bytes, so they run codegen'd inside the scan stage.
+ *  - REAL full decode via the JDK's own `javax.imageio` (PNG/JPEG/BMP/GIF
+ *    readers ship with every JRE): [[ImageIoDecoder]], plugged into the
+ *    partition-batched [[decodePartitioned]] seam.
+ *  - STUB decoder for formats the JDK cannot read (MP4, audio codecs...):
+ *    `StubDecoder` produces deterministic fake metadata from payload
+ *    length. Swap in a real codec (JNI/FFI) at `decodePartitioned`
+ *    without touching the pipeline shape.
  *
  * Scale notes: payload columns dominate row size — keep them OUT of
  * shuffles (project metadata first, join payloads back by id last), and
@@ -117,6 +119,60 @@ object Multimodal {
         .as("duration_sec")))
   }
 
+  /** Big-endian unsigned int of `nBytes` at 0-based `offset` (PNG chunk
+    * layout is network byte order). */
+  private def beUInt(content: Column, offset: Int, nBytes: Int): Column =
+    (0 until nBytes).map { i =>
+      conv(hex(substring(content, offset + 1 + i, 1)), 16, 10).cast("long") *
+        lit(1L << (8 * (nBytes - 1 - i)))
+    }.reduce(_ + _)
+
+  /** REAL PNG header decode: 8-byte signature, then the IHDR chunk is
+    * mandatory-first (PNG spec §5.6) — big-endian width@16 / height@20,
+    * bit depth@24, color type@25 → channel count (grey 1, truecolor 3,
+    * palette 1, grey+alpha 2, truecolor+alpha 4). Null for non-PNG
+    * payloads. Pure Column algebra like [[bmpMeta]] — runs codegen'd in
+    * the scan stage, no UDF, no full decode. */
+  def pngMeta(content: Column): Column = {
+    val ok = length(content) >= 33 &&
+      hex(substring(content, 1, 8)) === "89504E470D0A1A0A" &&
+      asciiAt(content, 12, 4) === "IHDR"
+    val colorType = beUInt(content, 25, 1)
+    val channels = when(colorType === 2, 3).when(colorType === 4, 2)
+      .when(colorType === 6, 4).otherwise(1)
+    when(ok, struct(
+      length(content).cast("long").as("byte_len"),
+      beUInt(content, 16, 4).cast("int").as("width"),
+      beUInt(content, 20, 4).cast("int").as("height"),
+      channels.cast("int").as("channels")))
+  }
+
+  // -- synthetic payloads (spec/oracle scaffolding: headers with KNOWN
+  //    planted dimensions, so decoders are checkable against arithmetic) --
+
+  /** Minimal valid BMP: 54-byte BITMAPINFOHEADER, no pixel data. */
+  def syntheticBmp(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(0, 'B'.toByte); bb.put(1, 'M'.toByte)
+    bb.putInt(2, 54); bb.putInt(10, 54); bb.putInt(14, 40)
+    bb.putInt(18, w); bb.putInt(22, h)
+    bb.putShort(26, 1); bb.putShort(28, 24)
+    bb.array()
+  }
+
+  /** PNG signature + IHDR chunk (33 bytes, truecolor 8-bit; CRC zeroed —
+    * header decoders don't verify it). */
+  def syntheticPng(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(33) // big-endian by default
+    bb.put(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    bb.putInt(13); bb.put("IHDR".getBytes("US-ASCII"))
+    bb.putInt(w); bb.putInt(h)
+    bb.put(8.toByte); bb.put(2.toByte) // bit depth, color type = truecolor
+    bb.put(0.toByte); bb.put(0.toByte); bb.put(0.toByte) // compression/filter/interlace
+    bb.putInt(0) // CRC (unchecked)
+    bb.array()
+  }
+
   /** JVM-side BMP decoder for the partition-batched path. */
   val BmpDecoder: Array[Byte] => Option[(Long, Int, Int, Int)] = bytes => {
     if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') None
@@ -138,6 +194,25 @@ object Multimodal {
     val len = bytes.length.toLong
     (len, (len % 241 + 16).toInt, ((len * 7) % 241 + 16).toInt, 3)
   }
+
+  /** REAL compressed-format decoder backed by the JDK's `javax.imageio`
+    * (PNG/JPEG/BMP/GIF/TIFF readers ship with every JRE — no external
+    * library): a FULL decode, so dimensions come from the actual pixel
+    * data and channels from the decoded color model. None when no
+    * installed reader claims the payload. */
+  val ImageIoDecoder: Array[Byte] => Option[(Long, Int, Int, Int)] = bytes => {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else Some((bytes.length.toLong, img.getWidth, img.getHeight,
+      img.getColorModel.getNumComponents))
+  }
+
+  /** Adapt an Option-returning decoder for [[decodePartitioned]]; payloads
+    * no reader claims fall back to the deterministic stub. */
+  def orStub(d: Array[Byte] => Option[(Long, Int, Int, Int)]): Array[Byte] => (Long, Int, Int, Int) =
+    bytes => d(bytes).getOrElse(StubDecoder(bytes))
 
   /**
    * Partition-batched decode: the per-partition iterator shape a real

@@ -5,11 +5,19 @@ import org.apache.spark.sql.functions._
 
 /**
  * Vocab-file-driven subword tokenization: classic byte-pair-encoding
- * merges (Sennrich et al. 2016; the GPT-2 merges.txt format) and greedy
- * longest-match WordPiece (Schuster & Nakajima 2012; BERT's vocab.txt
- * format with "##" continuations). The regex proxy
- * [[TextAnalysis.bpeTokenCount]] stays as the zero-dependency default;
- * these give exact counts against a real vocabulary.
+ * merges (Sennrich et al. 2016; parses the merges.txt FILE LAYOUT that
+ * GPT-2 popularized) and greedy longest-match WordPiece (Schuster &
+ * Nakajima 2012; BERT's vocab.txt format with "##" continuations). The
+ * regex proxy [[TextAnalysis.bpeTokenCount]] stays as the
+ * zero-dependency default.
+ *
+ * Exactness caveat: counts are exact for vocabularies TRAINED OVER THIS
+ * SAME PRE-TOKENIZER (whitespace-discarding, character-initial). GPT-2's
+ * own merges.txt additionally assumes its bytes→unicode pre-encoding
+ * (the Ġ space marker and byte-level fallback alphabet); without that
+ * mapping most of its space-prefixed merge rules never fire, so counts
+ * against the actual GPT-2 vocabulary diverge — plug a byte-level
+ * pre-encoder in front of [[BpeVocab.encodeWord]] if you need that.
  *
  * The merge loop is inherently per-string imperative, so the column API
  * is a JVM scalar udf over the broadcast vocabulary — one in-memory map

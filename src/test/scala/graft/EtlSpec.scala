@@ -116,12 +116,16 @@ class EtlSpec extends AnyFunSuite {
       assert(m("bucket") === cfg.destination)
       assert(m.contains("timestamp") && m.contains("date/time"))
     }
-    // AQE splits the partitioned write into ~10 jobs; the combined
-    // watermark+inventory aggregate adds ONE more over the persisted
-    // increment (measured: 11). The pre-fix pipeline re-scanned the source
-    // for the watermark and re-assembled docs for countDistinct — several
-    // extra multi-stage jobs on top.
-    assert(jobs.get() <= 12, s"expected a single-pass extract, saw ${jobs.get()} jobs")
+    // AQE splits the partitioned write into ~10 jobs; on top: ONE
+    // watermark+inventory aggregate over the persisted increment, ONE
+    // bucket-size probe (column-pruned aggregate picking the indexing
+    // path), and ONE broadcast build of the increment's key set for the
+    // child semi-join (restrictChildren) — all bounded jobs over the
+    // persisted increment, the SOURCE is still scanned once (measured:
+    // 14). The pre-fix pipeline re-scanned the source for the watermark
+    // and re-assembled docs for countDistinct — several extra multi-stage
+    // jobs on top.
+    assert(jobs.get() <= 15, s"expected a single-pass extract, saw ${jobs.get()} jobs")
 
     // FileNotifier round-trips the same shape as NDJSON
     val fn = new Notifier.FileNotifier(tmp.resolve("notify.ndjson"))
@@ -166,6 +170,49 @@ class EtlSpec extends AnyFunSuite {
     // disk is both increments, nothing deleted, no key collisions
     val onDisk = spark.read.json(cfg.destination).count()
     assert(onDisk === r1.rows + r2.rows)
+  }
+
+  test("scaled batch indexing: byte-identical keys + doc→batch mapping vs the window path") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_etl_scaled")
+    val load = SparkEntry.loader(spark, "/root/testdata/sf0.001")
+    val plan = SnowflakePlan("orders", "o_orderkey")
+    def cfg(dest: String, threshold: Long) = ExtractConfig(
+      plan, timeField = Some(("o_orderdate", DurationUnit.Year)),
+      idField = "o_orderkey", batchSize = 100,
+      start = Instant.parse("1992-01-01T00:00:00Z"),
+      destination = tmp.resolve(dest).toString,
+      lastFile = tmp.resolve(dest + ".last.json"),
+      scaledIndexThreshold = threshold)
+    // Year buckets → each bucket holds ~200 rows spread across >1 range
+    // partition on the scaled path; threshold 0 forces the distributed
+    // rank, MaxValue forces the per-bucket window
+    val rw = Extract.run(spark, cfg("win", Long.MaxValue), load)
+    val rs = Extract.run(spark, cfg("scaled", 0L), load)
+    assert(rw.rows > 0 && rw.rows === rs.rows && rw.batches === rs.batches)
+    assert(rw.watermark === rs.watermark)
+    def inventory(dest: String): Seq[(Long, Long, Long, Long)] =
+      spark.read.json(tmp.resolve(dest).toString)
+        .select(col("batch_t").cast("long"), col("batch_i").cast("long"),
+          col("etl.id").cast("long"), col("orders.o_orderkey").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+    // every doc lands in the SAME (batch_t, batch_i) with the SAME in-batch
+    // sequence number under both indexing paths
+    assert(inventory("win") === inventory("scaled"))
+  }
+
+  test("restrictChildren: incremental assembly equals full assembly filtered to the subset") {
+    val load = SparkEntry.loader(spark, "/root/testdata/sf0.001")
+    val plan = SnowflakePlan("orders", "o_orderkey",
+      children = Seq(Child("l_orderkey", "lineitems", SnowflakePlan("lineitem", "l_orderkey"))))
+    val subLoad: String => org.apache.spark.sql.DataFrame = n =>
+      if (n == "orders") load(n).filter(col("o_orderkey") <= 300) else load(n)
+    val restricted = DocAssembler.assemble(plan, subLoad, restrictChildren = true)
+    val full = DocAssembler.assemble(plan, load).filter(col("o_orderkey") <= 300)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("o_orderkey"), col("lineitems.l_linenumber").as("ln"))
+    assert(canon(restricted).exceptAll(canon(full)).count() === 0 &&
+      canon(full).exceptAll(canon(restricted)).count() === 0)
   }
 
   test("whole-arm references disable pruning below that arm") {

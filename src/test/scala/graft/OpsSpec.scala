@@ -34,6 +34,19 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(1L, 2L, 3L, 5L))
   }
 
+  test("char-shingle LSH pairs EQUAL the exact inverted-index pairs on sf0.01") {
+    // closes the probability argument with a measured equality: discovery
+    // (LSH, r=6 banding) finds exactly the pairs the exact inverted index
+    // finds at the catalog's own (k=5, t=0.6) setting — candidates are
+    // already exact-verified, so LSH ⊆ exact always; this asserts recall
+    val d01 = SparkEntry.loader(spark, "/root/testdata/sf0.01")("documents")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = pairSet(Dedup.minhashLshPairsChar(d01, "doc_id", "text", k = 5, threshold = 0.6))
+    val exact = pairSet(Dedup.jaccardPairsChar(d01, "doc_id", "text", k = 5, threshold = 0.6))
+    assert(lsh === exact)
+  }
+
   // -- jaccard ------------------------------------------------------------
 
   test("jaccardPairs finds the near-dup and the exact-dup pair") {
@@ -191,6 +204,19 @@ class OpsSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
 
+  test("rankWithinScaled equals the per-key window rank, keys split across partitions") {
+    import org.apache.spark.sql.expressions.Window
+    // 3 keys × ~1700 rows each, forced across 7 range partitions so every
+    // key group spans >1 partition (the broadcast-offset path is exercised)
+    val df = spark.range(5000).select(
+      (col("id") % 3).as("k"), col("id").as("v"))
+    val viaWindow = df.withColumn("r",
+      row_number().over(Window.partitionBy(col("k")).orderBy(col("v"))).cast("long") - 1)
+    val viaScaled = Batching.rankWithinScaled(df, "k", Seq(col("v")), out = "r", parts = 7)
+    assert(viaWindow.exceptAll(viaScaled).count() === 0 &&
+      viaScaled.exceptAll(viaWindow).count() === 0)
+  }
+
   test("BMP/WAV header decode: real bytes, real fields; non-matching → null") {
     import graft.ops.Multimodal
     import java.nio.{ByteBuffer, ByteOrder}
@@ -231,6 +257,36 @@ class OpsSpec extends AnyFunSuite {
     val dec = Multimodal.decodePartitioned(ds,
       b => Multimodal.BmpDecoder(b).getOrElse((b.length.toLong, -1, -1, -1))).head()
     assert((dec.width, dec.height, dec.channels) === ((640, 480, 3)))
+  }
+
+  test("PNG decode: Column parser + ImageIO decoder agree on a REAL encoder's output") {
+    import graft.ops.Multimodal
+    // a real PNG produced by the JDK encoder — not our own synthetic bytes
+    val img = new java.awt.image.BufferedImage(37, 23, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(5, 5, 0xFF8800)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val realPng = bos.toByteArray
+
+    // Column-algebra header parse of the real encoder's bytes
+    val rows = Seq((1L, realPng), (2L, Multimodal.syntheticPng(300, 70)),
+        (3L, "not a png".getBytes))
+      .toDF("id", "content")
+      .select(col("id"), Multimodal.pngMeta(col("content")).as("m"))
+      .orderBy("id").collect()
+    assert(rows(0).getStruct(1).getInt(1) === 37 && rows(0).getStruct(1).getInt(2) === 23)
+    assert(rows(0).getStruct(1).getInt(3) === 3)
+    assert(rows(1).getStruct(1).getInt(1) === 300 && rows(1).getStruct(1).getInt(2) === 70)
+    assert(rows(2).isNullAt(1))
+
+    // full ImageIO decode through the partition-batched seam: real
+    // dimensions + color components from the decoded pixel data
+    val ds = Seq((1L, realPng), (2L, "junk".getBytes)).toDS()
+    val dec = Multimodal.decodePartitioned(ds, Multimodal.orStub(Multimodal.ImageIoDecoder))
+      .collect().sortBy(_.id)
+    assert((dec(0).width, dec(0).height, dec(0).channels) === ((37, 23, 3)))
+    // unclaimed payload falls back to the deterministic stub
+    assert(dec(1).width === ("junk".getBytes.length % 241 + 16))
   }
 
   test("BPE merges: classic 'lower' example, merge order, column counts") {
@@ -306,6 +362,22 @@ class OpsSpec extends AnyFunSuite {
     assert(iv.toSeq === Seq((0L, 5L), (5L, 10L), (10L, 15L), (15L, 20L), (20L, 23L)))
     assert(ListOps.intervals(spark, 2.3, 7.9, 10).as[(Long, Long)].collect().toSeq === Seq((2L, 8L)))
     assert(ListOps.intervals(spark, 5, 5, 1).count() === 0)
+  }
+
+  test("ListOps with partition keys distributes: no single-partition window in the plan") {
+    import graft.ops.ListOps
+    val df = spark.range(100).select((col("id") % 5).as("k"), col("id").as("v"))
+    val keyed = ListOps.pairwise(df, col("v"), Seq(col("k")), Seq(col("v")))
+    val plan = keyed.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning"), s"expected a keyed window shuffle, got:\n$plan")
+    assert(!plan.contains("SinglePartition"), "keyed ListOps must not serialize to one task")
+    // per-key lists: each of the 5 keys drops exactly its own last row
+    assert(keyed.count() === 95)
+
+    // the global form (empty partition) is the documented driver-scale
+    // path — still correct, just serialized
+    val global = ListOps.pairwise(df, col("v"), Seq.empty, Seq(col("v")))
+    assert(global.count() === 99)
   }
 
   test("langId(null) is null, not a fall-through language") {

@@ -87,6 +87,40 @@ class QueryRunnerSpec extends AnyFunSuite {
     }
   }
 
+  test("edges: having filters cells BEFORE limit (qualifying cell outside limit survives)") {
+    import graft.jx._
+    // F is cell 0 with n<=500; O is cell 1 with n>500. A post-limit having
+    // would limit to [F] first and then drop it → 0 rows; the correct
+    // having→sort→limit order keeps exactly the O cell.
+    val q = JxQuery.parse("""{
+      "from": "orders",
+      "edges": [{"name": "status", "value": "o_orderstatus", "allowNulls": false,
+                 "domain": {"type": "set", "partitions": ["F", "O", "P"]}}],
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+      "having": {"gt": {"n": 500}},
+      "limit": 1
+    }""")
+    val rows = QueryRunner.run(spark, q, SparkEntry.loader(spark, dir)).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getString(0) === "O")
+  }
+
+  test("NestedCatalog assembly cache is LRU-bounded per session and unpersists evictions") {
+    NestedCatalog.clearCache(spark)
+    val extras = Seq("c_name", "c_address", "c_phone", "c_acctbal", "c_mktsegment", "c_comment")
+    // 18 distinct (needed) keys — enough to overflow the per-session bound
+    val neededSets = (extras.combinations(1) ++ extras.combinations(2))
+      .map(c => Set("c_custkey") ++ c).take(18).toSeq
+    val first = NestedCatalog.load(spark, dir, Some(neededSets.head))("customer_orders")
+    assert(first.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    neededSets.tail.foreach(n => NestedCatalog.load(spark, dir, Some(n))("customer_orders"))
+    assert(NestedCatalog.cachedAssemblies(spark) <= 16)
+    assert(first.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "evicted assembly must be unpersisted")
+    NestedCatalog.clearCache(spark)
+    assert(NestedCatalog.cachedAssemblies(spark) === 0)
+  }
+
   test("`one` aggregate raises on conflicting values, passes through a constant") {
     import graft.jx._
     val s = spark
