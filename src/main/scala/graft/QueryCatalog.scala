@@ -316,6 +316,44 @@ object QueryCatalog {
     // =====================================================================
     // §2.2/§2.6 setop pipeline: filter, sort, select, limit
     // =====================================================================
+    // cross-type sort over typed slots (jx.py:614-627 fixed type order
+    // boolean < number < string < missing-last; variant values encoded as
+    // the reference's {b,n,s} typed slots, typed_encoder.py:18-23). The
+    // sort key is a lexicographic struct — ordinary codegen'd sort, no
+    // UDF comparator — and the oracle restates the rank + slot order.
+    "q_sort_cross_type" -> (raw((s, dir) => {
+      import graft.jx.TypedSlots
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val e = SparkEntry.loader(s, dir)("events")
+      val m = col("event_id") % 4
+      val slots =
+        when(m === 0, TypedSlots.ofBoolean(col("value") > 50))
+          .when(m === 1, TypedSlots.ofNumber(col("value")))
+          .when(m === 2, TypedSlots.ofString(col("event_type")))
+          .otherwise(TypedSlots.missing)
+      e.select(col("event_id"), slots.as("v"))
+        .withColumn("pos", row_number()
+          .over(Window.orderBy(TypedSlots.sortKey(col("v")), col("event_id")))
+          .cast("long"))
+        .select(col("pos"), col("event_id"),
+          col("v.b").cast("int").as("b"), col("v.n").as("n"), col("v.s").as("s"))
+    }), Some("""
+      WITH m AS (
+        SELECT event_id,
+          CASE WHEN event_id % 4 = 0 THEN (value > 50) END AS b,
+          CASE WHEN event_id % 4 = 1 THEN value END AS n,
+          CASE WHEN event_id % 4 = 2 THEN event_type END AS s
+        FROM events),
+      r AS (
+        SELECT event_id, b, n, s,
+          CASE WHEN b IS NOT NULL THEN 0 WHEN n IS NOT NULL THEN 1
+               WHEN s IS NOT NULL THEN 2 ELSE 3 END AS tr
+        FROM m)
+      SELECT CAST(row_number() OVER (ORDER BY tr, b, n, s, event_id) AS BIGINT) AS pos,
+             event_id, CAST(b AS INT) AS b, n, s
+      FROM r ORDER BY pos""")),
+
     "q_setop_filter_sort" -> (jx("""{
       "from": "orders",
       "select": [

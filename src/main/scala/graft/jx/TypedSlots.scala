@@ -1,0 +1,64 @@
+package graft.jx
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * The reference's typed-column encoding and cross-type ordering, as an
+ * ENCODER DETAIL (SURVEY §1.3): a variant scalar is a struct of typed
+ * slots `{b, n, s}` — boolean / number / string — with exactly one slot
+ * populated (reference vendor/mo_json/typed_encoder.py:18-23, which
+ * suffixes storage columns `$B/$N/$S` for the same reason: SQLite and
+ * Spark columns are mono-typed, so type mixing becomes slot mixing).
+ *
+ * Cross-type sort (vendor/jx_python/jx.py:614-627) uses the fixed type
+ * order boolean < number < string < missing-last; [[sortKey]] compiles
+ * that to a lexicographic struct key, so `orderBy(sortKey(v))` is one
+ * ordinary sort — no UDF comparator, fully codegen'd, sortable at any
+ * scale. (The reference also orders list < object after string; slots
+ * carry scalars only — nested values stay typed DataFrame columns,
+ * documented deviation SURVEY §7.4.7.)
+ */
+object TypedSlots {
+
+  private val NullB = lit(null).cast(BooleanType)
+  private val NullN = lit(null).cast(DoubleType)
+  private val NullS = lit(null).cast(StringType)
+
+  private def mk(b: Column, n: Column, s: Column): Column =
+    struct(b.as("b"), n.as("n"), s.as("s"))
+
+  def ofBoolean(c: Column): Column = mk(c.cast(BooleanType), NullN, NullS)
+  def ofNumber(c: Column): Column = mk(NullB, c.cast(DoubleType), NullS)
+  def ofString(c: Column): Column = mk(NullB, NullN, c.cast(StringType))
+
+  /** All slots null — the reference's `missing` (sorts after every value). */
+  def missing: Column = mk(NullB, NullN, NullS)
+
+  /** Encode a column of `df` by its Spark type; timestamps/dates follow
+    * the reference's Date → NUMBER mapping (unix seconds). */
+  def encode(df: DataFrame, colName: String): Column =
+    df.schema(colName).dataType match {
+      case BooleanType               => ofBoolean(col(colName))
+      case _: NumericType            => ofNumber(col(colName))
+      case TimestampType | DateType  => ofNumber(col(colName).cast(TimestampType).cast(DoubleType))
+      case StringType                => ofString(col(colName))
+      case other =>
+        throw new IllegalArgumentException(
+          s"no typed slot for $colName: $other — nested values stay typed columns")
+    }
+
+  /** Lexicographic sort key for the reference's cross-type order:
+    * false < true < numbers < strings < missing. A slot that is null in
+    * BOTH compared rows (always the case for same-rank rows) compares
+    * equal, so within a type rank the populated slot decides. */
+  def sortKey(slots: Column): Column = struct(
+    when(slots.getField("b").isNotNull, 0)
+      .when(slots.getField("n").isNotNull, 1)
+      .when(slots.getField("s").isNotNull, 2)
+      .otherwise(3).as("tr"),
+    slots.getField("b").cast(IntegerType).as("b"),
+    slots.getField("n").as("n"),
+    slots.getField("s").as("s"))
+}

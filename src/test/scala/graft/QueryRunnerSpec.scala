@@ -121,6 +121,26 @@ class QueryRunnerSpec extends AnyFunSuite {
     assert(NestedCatalog.cachedAssemblies(spark) === 0)
   }
 
+  test("cross-type sort: false < true < numbers < strings < missing (typed slots)") {
+    import graft.jx.TypedSlots
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "s", "banana"), (2L, "n", "3.5"), (3L, "miss", ""), (4L, "b", "true"),
+      (5L, "b", "false"), (6L, "n", "-1"), (7L, "s", "apple")
+    ).toDF("id", "kind", "raw")
+    val slots = when(col("kind") === "b", TypedSlots.ofBoolean(col("raw") === "true"))
+      .when(col("kind") === "n", TypedSlots.ofNumber(col("raw").cast("double")))
+      .when(col("kind") === "s", TypedSlots.ofString(col("raw")))
+      .otherwise(TypedSlots.missing)
+    val out = df.select(col("id"), slots.as("v"))
+      .orderBy(TypedSlots.sortKey(col("v")), col("id"))
+      .select("id").as[Long].collect().toSeq
+    // jx.py:614-627 order: booleans (false<true), numbers, strings, missing
+    assert(out === Seq(5L, 4L, 6L, 2L, 7L, 1L, 3L))
+  }
+
   test("`one` aggregate raises on conflicting values, passes through a constant") {
     import graft.jx._
     val s = spark
