@@ -324,7 +324,6 @@ object QueryCatalog {
     "q_sort_cross_type" -> (raw((s, dir) => {
       import graft.jx.TypedSlots
       import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.expressions.Window
       val e = SparkEntry.loader(s, dir)("events")
       val m = col("event_id") % 4
       val slots =
@@ -332,11 +331,14 @@ object QueryCatalog {
           .when(m === 1, TypedSlots.ofNumber(col("value")))
           .when(m === 2, TypedSlots.ofString(col("event_type")))
           .otherwise(TypedSlots.missing)
-      e.select(col("event_id"), slots.as("v"))
-        .withColumn("pos", row_number()
-          .over(Window.orderBy(TypedSlots.sortKey(col("v")), col("event_id")))
-          .cast("long"))
-        .select(col("pos"), col("event_id"),
+      // global rank WITHOUT a single-partition window: the cross-type key
+      // is an ordinary sortable struct, so the distributed prefix-sum rank
+      // (range partition + broadcast offsets) applies directly
+      val keyed = e.select(col("event_id"), slots.as("v"))
+        .withColumn("__g", lit(0L))
+        .withColumn("__k", TypedSlots.sortKey(col("v")))
+      graft.ops.Batching.rankWithinScaled(keyed, "__g", Seq(col("__k"), col("event_id")), out = "pos0")
+        .select((col("pos0") + 1L).as("pos"), col("event_id"),
           col("v.b").cast("int").as("b"), col("v.n").as("n"), col("v.s").as("s"))
     }), Some("""
       WITH m AS (
