@@ -12,10 +12,14 @@ object Bench {
     // 36 s for a groupBy that runs warm in 1.7 s). Cold first-run times
     // are still reported, additively, as "queries_cold"/"total_cold".
     val entries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // a failed run reports -1, NOT its time-to-failure: a broken entry
+    // must be visible in the artifact, never mistaken for a fast one
     def timeOne(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] entry failed: ${e.getMessage}"); -1.0
+      }
     }
     val results = entries.map { case (name, fn) =>
       val cold = timeOne(fn)
@@ -27,8 +31,10 @@ object Bench {
         .mkString("{", ",", "}")
     val qs = jmap { case (k, w, _) => (k, w) }
     val qsCold = jmap { case (k, _, c) => (k, c) }
-    val total = results.map(_._2).sum
-    val totalCold = results.map(_._3).sum
+    val errors = results.collect { case (k, w, c) if w < 0 || c < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val totalCold = results.map(_._3).filter(_ >= 0).sum
     // ETL assembly throughput: full 3-level snowflake (customer ⊃ orders
     // ⊃ lineitems + nation lookup) docs per second at this SF — same
     // second-of-two-runs discipline
@@ -46,7 +52,7 @@ object Bench {
       val n = graft.etl.DocAssembler.assemble(plan, load).count()
       n / ((System.nanoTime() - t0) / 1e9)
     } catch { case _: Throwable => -1.0 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_cold":$totalCold,"queries_cold":$qsCold,"etl_assemble_docs_per_sec":${etlDps.toLong},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_cold":$totalCold,"queries_cold":$qsCold,"errors":$errors,"etl_assemble_docs_per_sec":${etlDps.toLong},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -320,7 +320,19 @@ object NestedCatalog {
     // tests are extract tests: tests/test_extract.py:46-148). Bounded to
     // one quarter of orders so the entry stays bench-sized at sf0.1.
     "q_etl_extract" -> (q((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q_etl")
+      // fixed scratch parent, wiped on entry: repeated verify/bench
+      // invocations must not accumulate extracts in tmpdir. The previous
+      // call's output is always fully materialized before the next call
+      // starts (entries run sequentially), so the wipe is safe.
+      val scratch = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_q_etl_scratch")
+      if (java.nio.file.Files.exists(scratch)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(scratch).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      java.nio.file.Files.createDirectories(scratch)
+      val tmp = java.nio.file.Files.createTempDirectory(scratch, "run")
       val base = SparkEntry.loader(s, dir)
       val bounded: String => DataFrame = n =>
         if (n == "orders") base(n).where(col("o_orderdate") < lit("1995-04-01")) else base(n)

@@ -61,8 +61,16 @@ object Extract {
         cfg.timeField match {
           case Some((tf, _)) if w.lastTime.isDefined =>
             val t = w.lastTime.get
-            fact0.filter(col(tf) > lit(t) ||
-              (col(tf) === lit(t) && col(cfg.idField) > lit(w.lastId)))
+            // the explicit cast mirrors the watermark-record side (a DATE
+            // axis records max(cast(tf as timestamp))), so both sides
+            // interpret the value through the SAME session timezone.
+            // INVARIANT: spark.sql.session.timeZone must not change
+            // between the run that records a watermark and the run that
+            // resumes from it (graft pins UTC everywhere) — a DATE is
+            // tz-less, so its timestamp reading is tz-dependent.
+            val tfTs = col(tf).cast("timestamp")
+            fact0.filter(tfTs > lit(t) ||
+              (tfTs === lit(t) && col(cfg.idField) > lit(w.lastId)))
           // watermark carries no time component (recorded by a time-less
           // config, or a legacy empty-increment run): keyset on id alone
           case _ => fact0.filter(col(cfg.idField) > lit(w.lastId))
@@ -107,10 +115,11 @@ object Extract {
     // sorting a day of keys). Both assign identical 0-based (time, id)
     // ranks, so batch keys are byte-identical across the two paths
     // (asserted in EtlSpec). The bucket-size probe is an aggregate over a
-    // column-pruned scan (only the time column is read) — cheap relative
-    // to the extract itself.
-    val bucketSizes = withDur.groupBy(col("__dur")).agg(count(lit(1))).collect()
-    val maxBucket = if (bucketSizes.isEmpty) 0L else bucketSizes.map(_.getLong(1)).max
+    // column-pruned scan (only the time column is read) reduced to ONE
+    // driver scalar — fine-grained duration units can have millions of
+    // buckets, so the inventory must never be collected.
+    val maxBucket = withDur.groupBy(col("__dur")).count()
+      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
     val seqd =
       if (maxBucket > cfg.scaledIndexThreshold)
         graft.ops.Batching.rankWithinScaled(withDur, "__dur", order, out = "__seq")

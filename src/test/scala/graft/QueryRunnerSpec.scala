@@ -141,6 +141,26 @@ class QueryRunnerSpec extends AnyFunSuite {
     assert(out === Seq(5L, 4L, 6L, 2L, 7L, 1L, 3L))
   }
 
+  test("TypedSlots.encode dispatches on schema type; timestamps follow Date → NUMBER") {
+    import graft.jx.TypedSlots
+    val s = spark
+    import s.implicits._
+    val df = Seq((true, 7L, "x", java.sql.Timestamp.valueOf("1970-01-01 00:01:00")))
+      .toDF("b", "n", "s", "t")
+    val row = df.select(
+      TypedSlots.encode(df, "b").as("eb"),
+      TypedSlots.encode(df, "n").as("en"),
+      TypedSlots.encode(df, "s").as("es"),
+      TypedSlots.encode(df, "t").as("et")).head()
+    assert(row.getStruct(0).getBoolean(0) && row.getStruct(0).isNullAt(1))
+    assert(row.getStruct(1).getDouble(1) === 7.0)
+    assert(row.getStruct(2).getString(2) === "x")
+    assert(row.getStruct(3).getDouble(1) === 60.0) // Date → NUMBER (unix seconds)
+    intercept[IllegalArgumentException] {
+      TypedSlots.encode(Seq(Seq(1)).toDF("arr"), "arr")
+    }
+  }
+
   test("`one` aggregate raises on conflicting values, passes through a constant") {
     import graft.jx._
     val s = spark
