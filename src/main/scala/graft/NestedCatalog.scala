@@ -75,8 +75,10 @@ object NestedCatalog {
       }
     }
 
-  /** Unpersist and drop every cached assembly of `s` (benchmarks use this
-    * to decouple timed entries from warm-up cache state). */
+  /** Unpersist and drop every cached assembly of `s`. Used by SPECS to
+    * isolate cache state between cases; Bench deliberately does NOT call
+    * it — warm-run timings are supposed to include assembly-cache hits,
+    * exactly as a long-lived session would see them. */
   def clearCache(s: SparkSession): Unit = assembled.synchronized {
     val m = assembled.remove(s)
     if (m != null) m.values.forEach(df => unpersistQuietly(df))
@@ -320,22 +322,32 @@ object NestedCatalog {
     // tests are extract tests: tests/test_extract.py:46-148). Bounded to
     // one quarter of orders so the entry stays bench-sized at sf0.1.
     "q_etl_extract" -> (q((s, dir) => {
-      // fixed scratch parent, wiped on entry: repeated verify/bench
-      // invocations must not accumulate extracts in tmpdir. The previous
-      // call's output is always fully materialized before the next call
-      // starts (entries run sequentially), so the wipe is safe.
-      val scratch = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft_q_etl_scratch")
+      // per-process scratch parent, wiped on entry: repeated verify/bench
+      // invocations in ONE JVM must not accumulate extracts in tmpdir,
+      // and keying by pid means a concurrently-running second JVM
+      // (verify + bench overlap) can never clobber this one's output.
+      // Within a JVM the previous call's output is always fully
+      // materialized before the next call starts (entries run
+      // sequentially), so the wipe is safe.
+      val scratch = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_q_etl_scratch_${ProcessHandle.current().pid()}")
       if (java.nio.file.Files.exists(scratch)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(scratch).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        val walk = java.nio.file.Files.walk(scratch)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } finally walk.close()
       }
       java.nio.file.Files.createDirectories(scratch)
       val tmp = java.nio.file.Files.createTempDirectory(scratch, "run")
       val base = SparkEntry.loader(s, dir)
+      // one-month window at batchSize 100: big enough to exercise every
+      // extract stage (keyset filter, coordinates, assembly, partitioned
+      // write, watermark), small enough that the bench entry measures the
+      // engine rather than bulk-write volume
       val bounded: String => DataFrame = n =>
-        if (n == "orders") base(n).where(col("o_orderdate") < lit("1995-04-01")) else base(n)
+        if (n == "orders") base(n).where(col("o_orderdate") < lit("1995-02-01")) else base(n)
       val cfg = graft.etl.ExtractConfig(
         ordersPlan, timeField = Some(("o_orderdate", graft.etl.DurationUnit.Month)),
         idField = "o_orderkey", batchSize = 100,
@@ -343,7 +355,15 @@ object NestedCatalog {
         destination = tmp.resolve("out").toString,
         lastFile = tmp.resolve("last.json"))
       graft.etl.Extract.run(s, cfg, bounded)
-      s.read.json(cfg.destination)
+      // read the WRITTEN objects back with an explicit schema — the
+      // inventory only needs the doc's id field; schema inference would
+      // re-scan (and fully decompress) every gzip NDJSON object just to
+      // discover fields this query never reads. batch_t/batch_i are
+      // partition directories, appended by partition discovery.
+      val readBack = new org.apache.spark.sql.types.StructType()
+        .add("orders", new org.apache.spark.sql.types.StructType()
+          .add("o_orderkey", org.apache.spark.sql.types.LongType))
+      s.read.schema(readBack).json(cfg.destination)
         .groupBy(col("batch_t").cast("long").as("batch_t"),
           col("batch_i").cast("long").as("batch_i"))
         .agg(count(lit(1)).as("n_docs"),
@@ -356,7 +376,7 @@ object NestedCatalog {
                row_number() OVER (
                  PARTITION BY (year(o_orderdate) * 12 + month(o_orderdate))
                  ORDER BY o_orderdate, o_orderkey) - 1 AS seq
-        FROM orders WHERE o_orderdate < DATE '1995-04-01')
+        FROM orders WHERE o_orderdate < DATE '1995-02-01')
       SELECT CAST(bt AS BIGINT) AS batch_t, CAST(seq // 100 AS BIGINT) AS batch_i,
              count(*) AS n_docs, CAST(max(o_orderkey) AS BIGINT) AS last_id
       FROM f GROUP BY 1, 2 ORDER BY 1, 2""")),

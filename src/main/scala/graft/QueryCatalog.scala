@@ -356,6 +356,95 @@ object QueryCatalog {
              event_id, CAST(b AS INT) AS b, n, s
       FROM r ORDER BY pos""")),
 
+    // typed slots as FIRST-CLASS query values, not just a sort encoding
+    // (vendor/jx_sqlite/expressions.py:32-79 compiles every expression to
+    // per-slot fragments): grouping a mixed-type column — the slots
+    // struct IS the group key (struct grouping is slot-wise null-safe,
+    // so each (type, value) is one group and all-missing rows are ONE
+    // group), with missing() and the cross-type rank restated per group.
+    // The number slot is bucketed (floor(value/25)) so groups are dense.
+    "q_variant_groupby" -> (raw((s, dir) => {
+      import graft.jx.TypedSlots
+      import org.apache.spark.sql.functions._
+      val e = SparkEntry.loader(s, dir)("events")
+      val m = col("event_id") % 4
+      val slots =
+        when(m === 0, TypedSlots.ofBoolean(col("value") > 50))
+          .when(m === 1, TypedSlots.ofNumber(floor(col("value") / 25)))
+          .when(m === 2, TypedSlots.ofString(col("event_type")))
+          .otherwise(TypedSlots.missing)
+      e.select(col("event_id"), slots.as("v"))
+        .groupBy(TypedSlots.groupKey(col("v")).as("v"))
+        .agg(count(lit(1)).as("n_rows"), min(col("event_id")).as("first_id"))
+        .select(
+          col("v.b").cast("int").as("b"), col("v.n").as("n"), col("v.s").as("s"),
+          TypedSlots.isMissing(col("v")).as("is_missing"),
+          col("n_rows"), col("first_id"))
+    }), Some("""
+      WITH m AS (
+        SELECT event_id,
+          CASE WHEN event_id % 4 = 0 THEN (value > 50) END AS b,
+          CASE WHEN event_id % 4 = 1 THEN floor(value / 25) END AS n,
+          CASE WHEN event_id % 4 = 2 THEN event_type END AS s
+        FROM events)
+      SELECT CAST(b AS INT) AS b, n, s,
+             (b IS NULL AND n IS NULL AND s IS NULL) AS is_missing,
+             count(*) AS n_rows, min(event_id) AS first_id
+      FROM m GROUP BY b, n, s ORDER BY 1, 2, 3""")),
+
+    // decisive eq over TWO variant columns: slot-wise null-safe equality
+    // (a.b<=>b.b AND a.n<=>b.n AND a.s<=>b.s) — equal iff same type AND
+    // same value, missing==missing is TRUE, result never null — used both
+    // as a FILTER (the semi-lattice of rows whose two variants agree) and
+    // as a projected flag. v2 deliberately overlaps v1 on half the type
+    // assignments so the filter keeps a nontrivial, value-dependent set.
+    "q_variant_eq" -> (raw((s, dir) => {
+      import graft.jx.TypedSlots
+      import org.apache.spark.sql.functions._
+      val e = SparkEntry.loader(s, dir)("events")
+      val m1 = col("event_id") % 4
+      val v1 =
+        when(m1 === 0, TypedSlots.ofBoolean(col("value") > 50))
+          .when(m1 === 1, TypedSlots.ofNumber(floor(col("value") / 25)))
+          .when(m1 === 2, TypedSlots.ofString(col("event_type")))
+          .otherwise(TypedSlots.missing)
+      // v2's 8-way mix lines up with v1's 4-way mix so every eq outcome
+      // occurs: same type + same value (string at id%8∈{2,6}, number at
+      // id%8=1), same type + value-DEPENDENT (number at id%8=5 compares
+      // floor(value/25) with floor(user_id/25)), missing==missing TRUE
+      // (id%8=3), and cross-type/never-equal elsewhere.
+      val m2 = col("event_id") % 8
+      val v2 =
+        when(m2 === 3, TypedSlots.missing)
+          .when(m2 % 4 === 0, TypedSlots.ofBoolean(col("value") <= 50))
+          .when(m2 === 1, TypedSlots.ofNumber(floor(col("value") / 25)))
+          .when(m2 % 2 === 0, TypedSlots.ofString(col("event_type")))
+          .otherwise(TypedSlots.ofNumber(floor(col("user_id") / 25)))
+      e.select(col("event_id"), v1.as("v1"), v2.as("v2"))
+        .select(col("event_id"),
+          TypedSlots.eqSlots(col("v1"), col("v2")).as("eq"),
+          TypedSlots.isMissing(col("v1")).as("m1"))
+        .where(col("eq") || col("event_id") % 100 === 0)
+    }), Some("""
+      WITH m AS (
+        SELECT event_id,
+          CASE WHEN event_id % 4 = 0 THEN (value > 50) END AS b1,
+          CASE WHEN event_id % 4 = 1 THEN floor(value / 25) END AS n1,
+          CASE WHEN event_id % 4 = 2 THEN event_type END AS s1,
+          CASE WHEN event_id % 8 IN (0, 4) THEN (value <= 50) END AS b2,
+          CASE WHEN event_id % 8 = 1 THEN floor(value / 25)
+               WHEN event_id % 8 IN (5, 7) THEN floor(user_id / 25) END AS n2,
+          CASE WHEN event_id % 8 IN (2, 6) THEN event_type END AS s2
+        FROM events),
+      f AS (
+        SELECT event_id,
+          (b1 IS NOT DISTINCT FROM b2 AND n1 IS NOT DISTINCT FROM n2
+           AND s1 IS NOT DISTINCT FROM s2) AS eq,
+          (b1 IS NULL AND n1 IS NULL AND s1 IS NULL) AS m1
+        FROM m)
+      SELECT event_id, eq, m1 FROM f
+      WHERE eq OR event_id % 100 = 0 ORDER BY event_id""")),
+
     "q_setop_filter_sort" -> (jx("""{
       "from": "orders",
       "select": [

@@ -340,6 +340,31 @@ object TrainingCatalog {
              CAST(doc_id * 7 % 199 + 16 AS INT) AS png_h,
              CAST(3 AS INT) AS png_c
       FROM documents ORDER BY doc_id""")),
+    // FULL-DECODE check: each document gets a REAL compressed PNG
+    // (ImageIO.write of a BufferedImage with doc_id-derived dimensions
+    // and deterministic pixel data), then [[Multimodal.ImageIoDecoder]]
+    // inflates the actual pixel stream through the partition-batched
+    // decodePartitioned seam — so this entry proves the compressed-pixel
+    // path, where q_multimodal_decode proves only the header parsers.
+    // byte_len is excluded from the output: deflate size is encoder-
+    // dependent, so only the decoded dims/channels are oracle-stable.
+    "q_multimodal_imageio" -> (q((s, dir) => {
+      import s.implicits._
+      val mkPng = udf((id: Long) =>
+        Multimodal.syntheticPngPixels((id % 97 + 8).toInt, (id * 3 % 97 + 8).toInt, id))
+      val payloads = docs(s, dir)
+        .select(col("doc_id"), mkPng(col("doc_id")).as("png"))
+        .as[(Long, Array[Byte])]
+      Multimodal.decodePartitioned(payloads, Multimodal.orStub(Multimodal.ImageIoDecoder))
+        .toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"), col("channels"))
+    }), Some("""
+      SELECT doc_id,
+             CAST(doc_id % 97 + 8 AS INT) AS width,
+             CAST(doc_id * 3 % 97 + 8 AS INT) AS height,
+             CAST(3 AS INT) AS channels
+      FROM documents ORDER BY doc_id""")),
+
     "q_multimodal_meta" -> (q((s, dir) => {
       val withBin = Multimodal.withPayload(docs(s, dir), "text")
       val meta = Multimodal.imageMeta(col("content"))

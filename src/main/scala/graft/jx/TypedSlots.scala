@@ -49,6 +49,30 @@ object TypedSlots {
           s"no typed slot for $colName: $other — nested values stay typed columns")
     }
 
+  /** DECISIVE equality over two variants — slot-wise null-safe equality
+    * `a.b <=> b.b && a.n <=> b.n && a.s <=> b.s` (the reference compiles
+    * eq over typed columns to per-slot fragments,
+    * vendor/jx_sqlite/expressions.py:32-79). At most one slot of each
+    * side is populated, so two variants are equal iff they hold the SAME
+    * type and the same value — and, per the reference's decisive eq,
+    * missing == missing is TRUE and the result is never null. */
+  def eqSlots(a: Column, b: Column): Column =
+    (a.getField("b") <=> b.getField("b")) &&
+      (a.getField("n") <=> b.getField("n")) &&
+      (a.getField("s") <=> b.getField("s"))
+
+  /** The reference's `missing` predicate: no slot populated. Never null. */
+  def isMissing(slots: Column): Column =
+    slots.getField("b").isNull && slots.getField("n").isNull &&
+      slots.getField("s").isNull
+
+  /** Variant as a GROUP KEY: the slots struct itself — Spark's grouping
+    * compares struct fields null-safely, so each (type, value) pair forms
+    * its own group and all-missing rows form exactly one group, matching
+    * the reference's typed-column groupby. Named for intent at call
+    * sites; no transformation is needed. */
+  def groupKey(slots: Column): Column = slots
+
   /** Lexicographic sort key for the reference's cross-type order:
     * false < true < numbers < strings < missing. A slot that is null in
     * BOTH compared rows (always the case for same-rank rows) compares

@@ -54,10 +54,32 @@ object Batching {
     * so there are at most `parts + distinctKeys` count entries — then
     * broadcast the per-(partition, key) offsets and add them to local
     * positions. Both passes run over the SAME shuffled RDD, so the
-    * sampled range boundaries cannot drift between them. */
+    * sampled range boundaries cannot drift between them.
+    *
+    * DRIVER-MEMORY BOUND: the offsets map is collected to the driver and
+    * broadcast, so its `parts + distinctKeys` size is a real bound, not a
+    * footnote — day-granularity buckets give thousands of entries, but a
+    * `Seconds(n)` axis over years gives millions. A cheap
+    * `approx_count_distinct` probe (one aggregate over the pruned key
+    * column) guards this: above `maxOffsetKeys` estimated keys the rank
+    * falls back to the per-key WINDOW — sound in exactly that regime,
+    * because many distinct keys over the same row count means each key
+    * group is small, which is the case the window handles well (it only
+    * degenerates when one task sorts a huge single group). The two paths
+    * assign identical ranks (asserted in OpsSpec).
+    *
+    * DETERMINISM: ranks among rows tied on all of (`keyCol`, `order`) are
+    * arbitrary AND may differ between fault-replayed recomputations of a
+    * lost partition — end `order` with a unique column (Extract's idField
+    * satisfies this) whenever downstream persists derived keys. */
   def rankWithinScaled(df: DataFrame, keyCol: String, order: Seq[org.apache.spark.sql.Column],
-                       out: String = "rank", parts: Int = 0): DataFrame = {
+                       out: String = "rank", parts: Int = 0,
+                       maxOffsetKeys: Long = 1L << 20): DataFrame = {
     val spark = df.sparkSession
+    val approxKeys = df.agg(approx_count_distinct(col(keyCol))).head().getLong(0)
+    if (approxKeys > maxOffsetKeys)
+      return df.withColumn(out,
+        (row_number().over(Window.partitionBy(col(keyCol)).orderBy(order: _*)) - 1).cast("long"))
     val n = if (parts > 0) parts else spark.sessionState.conf.numShufflePartitions
     val sortCols = col(keyCol) +: order
     val ranged = df.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)

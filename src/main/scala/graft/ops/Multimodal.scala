@@ -132,7 +132,9 @@ object Multimodal {
     * bit depth@24, color type@25 → channel count (grey 1, truecolor 3,
     * palette 1, grey+alpha 2, truecolor+alpha 4). Null for non-PNG
     * payloads. Pure Column algebra like [[bmpMeta]] — runs codegen'd in
-    * the scan stage, no UDF, no full decode. */
+    * the scan stage, no UDF, no full decode. NOTE: channels are samples
+    * per pixel as STORED — a palette PNG reports 1 here but decodes to a
+    * 3-component color model under [[ImageIoDecoder]] (see its doc). */
   def pngMeta(content: Column): Column = {
     val ok = length(content) >= 33 &&
       hex(substring(content, 1, 8)) === "89504E470D0A1A0A" &&
@@ -158,6 +160,28 @@ object Multimodal {
     bb.putInt(18, w); bb.putInt(22, h)
     bb.putShort(26, 1); bb.putShort(28, 24)
     bb.array()
+  }
+
+  /** FULL PNG with real compressed pixel data: `ImageIO.write` of a
+    * TYPE_3BYTE_BGR BufferedImage whose pixels are a deterministic
+    * function of (seed, x, y) — so the payload is a spec-compliant PNG a
+    * full decoder must actually inflate, unlike [[syntheticPng]]'s bare
+    * header. Oracle scaffolding for the [[ImageIoDecoder]] tier. */
+  def syntheticPngPixels(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((seed * 2654435761L).toInt ^ (x * 31 + y * 17)) & 0xFFFFFF)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** PNG signature + IHDR chunk (33 bytes, truecolor 8-bit; CRC zeroed —
@@ -199,7 +223,14 @@ object Multimodal {
     * (PNG/JPEG/BMP/GIF/TIFF readers ship with every JRE — no external
     * library): a FULL decode, so dimensions come from the actual pixel
     * data and channels from the decoded color model. None when no
-    * installed reader claims the payload. */
+    * installed reader claims the payload.
+    *
+    * CHANNEL SEMANTICS vs [[pngMeta]]: the header tier reports samples
+    * per pixel as STORED (PNG color type — palette images store 1 index
+    * per pixel, so channels=1); this tier reports components as DECODED
+    * (ImageIO expands a palette to its color model, typically 3). Both
+    * are correct answers to different questions; pick the tier matching
+    * whether downstream wants storage layout or pixel semantics. */
   val ImageIoDecoder: Array[Byte] => Option[(Long, Int, Int, Int)] = bytes => {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))

@@ -38,6 +38,21 @@ object Similarity {
     when(d =!= 0.0, dot(a, b) / d)
   }
 
+  /** SIZING RULE for the RHP-LSH `planes` parameter: each table splits
+    * the corpus into 2^planes buckets, and the bucket self-join / probe
+    * join costs O(sum of squared bucket sizes) — so `planes` must GROW
+    * with the corpus: `planes ≈ log2(n / targetBucket)`. The library
+    * default `planes = 4` (16 buckets/table) is sized for ~10^4-10^6
+    * vector corpora; left at 4 on a 10^9-vector corpus every bucket holds
+    * n/16 and the candidate join reverts to near-quadratic — THE one way
+    * a caller can silently recreate the all-pairs scan the LSH tier
+    * exists to avoid. Raising `planes` trades recall per table
+    * (compensate with `tables`); bucket-occupancy balance is asserted in
+    * OpsSpec. */
+  def planesFor(corpusCount: Long, targetBucket: Long = 4096L): Int =
+    math.max(1, math.ceil(
+      math.log(math.max(1.0, corpusCount.toDouble / targetBucket)) / math.log(2.0)).toInt)
+
   /**
    * Exact cosine top-k: for each row of `queries`, the k most similar
    * corpus rows (excluding self-matches by id). Queries are broadcast —
@@ -78,7 +93,9 @@ object Similarity {
     * candidates must share a bucket in ≥1 of `tables` hyperplane tables
     * (same amplification as [[lshTopK]]), exact cosine verifies. Linear
     * candidate generation instead of the all-pairs cross join; recall vs
-    * the exact operator is measured in OpsSpec. */
+    * the exact operator is measured in OpsSpec. Size `planes` to the
+    * corpus via [[planesFor]] — the default 4 only suits modest corpora
+    * (see the sizing-rule scaladoc there). */
   def cosinePairsLsh(df: DataFrame, threshold: Double, planes: Int = 4,
                      tables: Int = 8, idCol: String = "vec_id",
                      vecCol: String = "embedding", seed: Long = 1234L): DataFrame = {
@@ -222,7 +239,9 @@ object Similarity {
    *
    * Corpus-side cost is a projection + explode(tables) + one bucket-join
    * (no all-pairs scan); recall vs [[bruteForceTopK]] is tunable with
-   * (planes ↓, tables ↑) and measured in SimilaritySpec.
+   * (planes ↓, tables ↑) and measured in SimilaritySpec. Size `planes`
+   * to the corpus via [[planesFor]] — the default 4 only suits modest
+   * corpora (see the sizing-rule scaladoc there).
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 4, tables: Int = 8, idCol: String = "vec_id",

@@ -217,6 +217,50 @@ class OpsSpec extends AnyFunSuite {
       viaScaled.exceptAll(viaWindow).count() === 0)
   }
 
+  test("rankWithinScaled guards high-cardinality keys: window fallback, identical ranks") {
+    import org.apache.spark.sql.expressions.Window
+    // 2500 distinct keys × 2 rows: a driver offsets map of this shape is
+    // what the maxOffsetKeys probe exists to prevent. Forcing the
+    // threshold low proves (a) the fallback ENGAGES (plan carries a
+    // window, no LogicalRDD from the prefix-sum path) and (b) it assigns
+    // byte-identical ranks.
+    val df = spark.range(5000).select((col("id") % 2500).as("k"), col("id").as("v"))
+    val viaWindow = df.withColumn("r",
+      row_number().over(Window.partitionBy(col("k")).orderBy(col("v"))).cast("long") - 1)
+    val guarded = Batching.rankWithinScaled(df, "k", Seq(col("v")), out = "r",
+      parts = 7, maxOffsetKeys = 100)
+    assert(guarded.queryExecution.optimizedPlan.toString.contains("windowspecdefinition"),
+      "expected the per-key-window fallback for high-cardinality keys")
+    assert(viaWindow.exceptAll(guarded).count() === 0 &&
+      guarded.exceptAll(viaWindow).count() === 0)
+    // same input through the prefix-sum path (threshold above the key
+    // count): still identical — the guard changes the plan, never ranks
+    val scaled = Batching.rankWithinScaled(df, "k", Seq(col("v")), out = "r", parts = 7)
+    assert(scaled.exceptAll(viaWindow).count() === 0 &&
+      viaWindow.exceptAll(scaled).count() === 0)
+  }
+
+  test("RHP-LSH planesFor keeps bucket occupancy bounded as the corpus grows") {
+    import graft.ops.Similarity
+    // synthetic 20k-vector corpus (deterministic): planesFor must pick
+    // enough planes that no bucket degenerates toward the all-pairs join.
+    // Random-hyperplane buckets over roughly isotropic vectors are
+    // balanced in expectation (n / 2^planes); assert a generous 8× bound.
+    val n = 20000
+    val target = 256L
+    val planes = Similarity.planesFor(n, target)
+    assert(planes >= 6, s"planesFor($n, $target) = $planes should exceed the static default 4")
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until n).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val hps = Similarity.hyperplanes(planes, 16, seed = 99L)
+    val occ = df.select(graft.ops.Similarity.rhpSignature(
+        Similarity.vecD(col("embedding")), hps).as("bucket"))
+      .groupBy("bucket").count().agg(max("count")).head().getLong(0)
+    assert(occ <= 8 * (n / (1L << planes)).max(target),
+      s"max bucket occupancy $occ not bounded for planes=$planes")
+  }
+
   test("BMP/WAV header decode: real bytes, real fields; non-matching → null") {
     import graft.ops.Multimodal
     import java.nio.{ByteBuffer, ByteOrder}
