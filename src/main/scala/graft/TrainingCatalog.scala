@@ -195,6 +195,20 @@ object TrainingCatalog {
         n = 3, numHashes = 128, bands = 32, threshold = 0.5)
     ), Some(JaccardOracleSql)),
 
+    // cluster RESOLUTION on top of the real LSH discovery output: the
+    // MinHash-LSH pairs (oracle-verified above to equal exact Jaccard)
+    // are transitively closed by the distributed large-star/small-star
+    // connected-components operator into keep-one clusters; the oracle
+    // computes the same closure with a recursive CTE. Covers the step a
+    // pair list alone cannot: A~B, B~C without A~C must still form ONE
+    // cluster with ONE survivor.
+    "q_dedup_clusters" -> (q((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        n = 3, numHashes = 128, bands = 32, threshold = 0.5)
+      Dedup.connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("rep"))
+    }), Some(ClusterOracleSql)),
+
     // SimHash output is engine-hash-valued → rows-only check here;
     // recall of planted near-dups is asserted in DedupSpec.
     // deterministic-recall oracle: plant a lightly-perturbed copy of each
@@ -351,7 +365,7 @@ object TrainingCatalog {
     "q_multimodal_imageio" -> (q((s, dir) => {
       import s.implicits._
       val mkPng = udf((id: Long) =>
-        Multimodal.syntheticPngPixels((id % 97 + 8).toInt, (id * 3 % 97 + 8).toInt, id))
+        Multimodal.syntheticPngPixels((id % 41 + 8).toInt, (id * 3 % 41 + 8).toInt, id))
       val payloads = docs(s, dir)
         .select(col("doc_id"), mkPng(col("doc_id")).as("png"))
         .as[(Long, Array[Byte])]
@@ -360,8 +374,8 @@ object TrainingCatalog {
         .select(col("id").as("doc_id"), col("width"), col("height"), col("channels"))
     }), Some("""
       SELECT doc_id,
-             CAST(doc_id % 97 + 8 AS INT) AS width,
-             CAST(doc_id * 3 % 97 + 8 AS INT) AS height,
+             CAST(doc_id % 41 + 8 AS INT) AS width,
+             CAST(doc_id * 3 % 41 + 8 AS INT) AS height,
              CAST(3 AS INT) AS channels
       FROM documents ORDER BY doc_id""")),
 
@@ -390,27 +404,48 @@ object TrainingCatalog {
       FROM m ORDER BY doc_id"""))
   )
 
-  /** Exact word-trigram Jaccard pairs at threshold 0.5 — the oracle for
-    * both the exact operator and the (verified) MinHash-LSH operator. */
-  private lazy val JaccardOracleSql: String = """
-      WITH toks AS (
+  /** CTE list computing `jp(id_a, id_b, jaccard)`: exact word-trigram
+    * Jaccard pairs at threshold 0.5 — shared by the pair oracles and the
+    * cluster oracle's recursive closure. */
+  private lazy val JaccardPairsCtes: String = """
+      toks AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
       sh AS (
         SELECT doc_id, unnest(list_distinct(
           [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) AS s
         FROM toks WHERE len(t) >= 3),
       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-      pairs AS (
+      cop AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-      SELECT id_a, id_b,
-             CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
-      FROM pairs
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
-      WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.5
-      ORDER BY 1, 2"""
+        GROUP BY 1, 2),
+      jp AS (
+        SELECT id_a, id_b,
+               CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
+        FROM cop
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.5)"""
+
+  /** Exact word-trigram Jaccard pairs at threshold 0.5 — the oracle for
+    * both the exact operator and the (verified) MinHash-LSH operator. */
+  private lazy val JaccardOracleSql: String =
+    s"WITH $JaccardPairsCtes SELECT id_a, id_b, jaccard FROM jp ORDER BY 1, 2"
+
+  /** Transitive closure of the Jaccard pairs via recursive CTE: per node,
+    * the minimum reachable id = its component representative. Tractable
+    * because the pair set is small; the Spark side computes the same
+    * closure with the O(log n)-round star algorithm. */
+  private lazy val ClusterOracleSql: String = s"""
+      WITH RECURSIVE $JaccardPairsCtes,
+      edges AS (SELECT id_a AS a, id_b AS b FROM jp
+                UNION SELECT id_b, id_a FROM jp),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      SELECT a AS doc_id, least(a, min(b)) AS rep
+      FROM reach GROUP BY a ORDER BY doc_id"""
 
   def queries: Map[String, Q] = catalog.map { case (k, (q, _)) => k -> q }
   def oracles: Map[String, String] = catalog.collect { case (k, (_, Some(o))) => k -> o.trim }

@@ -240,4 +240,106 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .where(col("hamming") <= maxHamming)
   }
+
+  // -- duplicate-cluster resolution (connected components) ----------------
+
+  /**
+   * Distributed connected components over a pair list — the cluster-
+   * resolution step after near-dup DISCOVERY: pair lists from
+   * [[minhashLshPairs]]/[[simhashPairs]]/[[Similarity.cosinePairsLsh]]
+   * are transitively closed into clusters so "keep one per cluster" can
+   * drop every duplicate (a pair list alone under-deletes: A~B, B~C
+   * without A~C keeps two of the three).
+   *
+   * Algorithm: alternating large-star / small-star (Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond", SoCC'14) — each
+   * round is two hash-shuffles on node ids, and the edge set converges
+   * to min-rooted stars in O(log n) rounds REGARDLESS of component
+   * diameter (naive min-label propagation needs O(diameter) rounds — a
+   * 1M-doc chain would take 1M shuffles). Per round the edge RDD is
+   * persisted and the previous round's freed; the convergence probe is a
+   * (count, xxhash-sum) checksum — one tiny aggregate, no exceptAll
+   * self-join. At 100 TB: every step is a groupBy/join on long node ids
+   * (shuffle-friendly scalars), nothing is ever collected to the driver.
+   *
+   * Returns (node, rep): one row per distinct id in `pairs`, rep = the
+   * smallest id of its component (deterministic survivor choice, same
+   * convention as [[exactGroups]]'s keep_id).
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("u", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    // canonical directed edges big→small, self-loops dropped; each
+    // iteration is pinned as a fresh persisted RDD-backed frame so the
+    // logical plan (and fault-recovery lineage) stays one round deep
+    def pin(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val r = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(r, schema), r)
+    }
+    def checksum(df: DataFrame): (Long, Long) = {
+      val row = df.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    }
+    // large-star: every node connects its strictly-LARGER neighbors to
+    // the min of its closed neighborhood (symmetric view)
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbr = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbr.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      nbr.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    }
+    // small-star: every node connects its smaller neighbors AND itself
+    // to its minimum neighbor (directed view, u > v throughout)
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      e.join(mins, "u").select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+    }
+    val canonical = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+    var (cur, curRdd) = pin(canonical)
+    var sig = checksum(cur)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val (next, nextRdd) = pin(smallStar(largeStar(cur)))
+      val nextSig = checksum(next)
+      converged = nextSig == sig
+      curRdd.unpersist()
+      cur = next; curRdd = nextRdd; sig = nextSig; it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds (${sig._1} edges)")
+    // at convergence the edges are min-rooted stars: u → its component's
+    // min. Roots themselves have no outgoing edge → rep = self.
+    val nodes = pairs.select(col(aCol).cast("long").as("node"))
+      .union(pairs.select(col(bCol).cast("long").as("node"))).distinct()
+    // the returned (lazy) frame reads the FINAL star-edge RDD, which
+    // stays persisted — it is one (long, long) row per non-root node,
+    // negligible beside the corpus, and unpersisting here would force
+    // every downstream action to recompute the whole iteration chain
+    nodes.join(cur.select(col("u").as("node"), col("v").as("rep")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("rep"), col("node")).as("rep"))
+  }
+
+  /** One row per duplicate CLUSTER (transitively closed): representative
+    * id (min), member count, member list capped at `maxMembers` for
+    * inspection — the "keep one per cluster" deletion manifest. */
+  def dupClusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+                  maxMembers: Int = 100): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .groupBy(col("rep"))
+      .agg(count(lit(1)).as("n_members"),
+        slice(sort_array(collect_list(col("node"))), 1, maxMembers).as("members"))
 }

@@ -240,6 +240,44 @@ class OpsSpec extends AnyFunSuite {
       viaWindow.exceptAll(scaled).count() === 0)
   }
 
+  test("connectedComponents matches driver-side union-find on a random graph") {
+    import graft.ops.Dedup
+    // deterministic random graph: 400 nodes, 300 edges → a mix of
+    // singletons-in-pairs, trees, and cycles
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+      .filter { case (a, b) => a != b }
+    val df = spark.createDataFrame(edges).toDF("id_a", "id_b")
+    // reference union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      .map(n => (n, find(n)))
+    val got = Dedup.connectedComponents(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === want)
+  }
+
+  test("connectedComponents closes a long chain (diameter >> rounds)") {
+    import graft.ops.Dedup
+    // a 2048-node path: naive min-propagation needs 2047 rounds; the
+    // star algorithm must finish inside the 50-round cap (O(log n))
+    val df = spark.range(2047).select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val got = Dedup.connectedComponents(df)
+    assert(got.where(col("rep") =!= 0L).count() === 0)
+    assert(got.count() === 2048)
+    // dupClusters rolls the same labels into a keep-one manifest
+    val cl = Dedup.dupClusters(df, maxMembers = 5).collect()
+    assert(cl.length === 1 && cl(0).getLong(0) === 0L && cl(0).getLong(1) === 2048L)
+  }
+
   test("RHP-LSH planesFor keeps bucket occupancy bounded as the corpus grows") {
     import graft.ops.Similarity
     // synthetic 20k-vector corpus (deterministic): planesFor must pick
