@@ -445,6 +445,101 @@ object QueryCatalog {
       SELECT event_id, eq, m1 FROM f
       WHERE eq OR event_id % 100 = 0 ORDER BY event_id""")),
 
+    // decisive cross-type COMPARISON (lt + three-way sign) between two
+    // variant columns: an ordinary struct comparison of the sort keys —
+    // same codegen'd path as the cross-type sort, no UDF comparator. The
+    // oracle restates the type-rank-then-value order as explicit CASEs.
+    "q_variant_compare" -> (raw((s, dir) => {
+      import graft.jx.TypedSlots
+      import org.apache.spark.sql.functions._
+      val e = SparkEntry.loader(s, dir)("events")
+      val m1 = col("event_id") % 4
+      val v1 =
+        when(m1 === 0, TypedSlots.ofBoolean(col("value") > 50))
+          .when(m1 === 1, TypedSlots.ofNumber(floor(col("value") / 25)))
+          .when(m1 === 2, TypedSlots.ofString(col("event_type")))
+          .otherwise(TypedSlots.missing)
+      val m2 = col("event_id") % 8
+      val v2 =
+        when(m2 === 3, TypedSlots.missing)
+          .when(m2 % 4 === 0, TypedSlots.ofBoolean(col("value") <= 50))
+          .when(m2 === 1, TypedSlots.ofNumber(floor(col("value") / 25)))
+          .when(m2 % 2 === 0, TypedSlots.ofString(col("event_type")))
+          .otherwise(TypedSlots.ofNumber(floor(col("user_id") / 25)))
+      e.select(col("event_id"), v1.as("v1"), v2.as("v2"))
+        .select(col("event_id"),
+          TypedSlots.ltSlots(col("v1"), col("v2")).as("lt"),
+          TypedSlots.cmpSlots(col("v1"), col("v2")).as("cmp"))
+    }), Some("""
+      WITH m AS (
+        SELECT event_id,
+          CASE WHEN event_id % 4 = 0 THEN (value > 50) END AS b1,
+          CASE WHEN event_id % 4 = 1 THEN floor(value / 25) END AS n1,
+          CASE WHEN event_id % 4 = 2 THEN event_type END AS s1,
+          CASE WHEN event_id % 8 IN (0, 4) THEN (value <= 50) END AS b2,
+          CASE WHEN event_id % 8 = 1 THEN floor(value / 25)
+               WHEN event_id % 8 IN (5, 7) THEN floor(user_id / 25) END AS n2,
+          CASE WHEN event_id % 8 IN (2, 6) THEN event_type END AS s2
+        FROM events),
+      r AS (
+        SELECT event_id, b1, n1, s1, b2, n2, s2,
+          CASE WHEN b1 IS NOT NULL THEN 0 WHEN n1 IS NOT NULL THEN 1
+               WHEN s1 IS NOT NULL THEN 2 ELSE 3 END AS t1,
+          CASE WHEN b2 IS NOT NULL THEN 0 WHEN n2 IS NOT NULL THEN 1
+               WHEN s2 IS NOT NULL THEN 2 ELSE 3 END AS t2
+        FROM m),
+      c AS (
+        SELECT event_id,
+          (t1 < t2 OR (t1 = t2 AND (
+             (t1 = 0 AND b1 < b2) OR (t1 = 1 AND n1 < n2)
+             OR (t1 = 2 AND s1 < s2)))) AS lt,
+          (t1 = t2 AND (t1 = 3 OR (t1 = 0 AND b1 = b2)
+             OR (t1 = 1 AND n1 = n2) OR (t1 = 2 AND s1 = s2))) AS eq
+        FROM r)
+      SELECT event_id, lt, CASE WHEN lt THEN -1 WHEN eq THEN 0 ELSE 1 END AS cmp
+      FROM c ORDER BY event_id""")),
+
+    // cross-type MIN aggregate over a variant column: min of the sort key
+    // is an ordinary struct-min (orderable type, partial-aggregatable →
+    // map-side combine), decoded back to slots — the smallest value per
+    // group under bool < number < string < missing.
+    "q_variant_min" -> (raw((s, dir) => {
+      import graft.jx.TypedSlots
+      import org.apache.spark.sql.functions._
+      val e = SparkEntry.loader(s, dir)("events")
+      val m = col("event_id") % 4
+      val slots =
+        when(m === 0, TypedSlots.ofBoolean(col("value") > 50))
+          .when(m === 1, TypedSlots.ofNumber(floor(col("value") / 25)))
+          .when(m === 2, TypedSlots.ofString(col("event_type")))
+          .otherwise(TypedSlots.missing)
+      e.select(col("event_type"), slots.as("v"))
+        .groupBy(col("event_type"))
+        .agg(min(TypedSlots.sortKey(col("v"))).as("mn"), count(lit(1)).as("n_rows"))
+        .select(col("event_type"),
+          col("mn.b").as("b"), col("mn.n").as("n"), col("mn.s").as("s"),
+          col("n_rows"))
+    }), Some("""
+      WITH m AS (
+        SELECT event_type,
+          CASE WHEN event_id % 4 = 0 THEN (value > 50) END AS b,
+          CASE WHEN event_id % 4 = 1 THEN floor(value / 25) END AS n,
+          CASE WHEN event_id % 4 = 2 THEN event_type END AS s
+        FROM events),
+      r AS (
+        SELECT event_type, b, n, s,
+          CASE WHEN b IS NOT NULL THEN 0 WHEN n IS NOT NULL THEN 1
+               WHEN s IS NOT NULL THEN 2 ELSE 3 END AS tr,
+          count(*) OVER (PARTITION BY event_type) AS n_rows,
+          row_number() OVER (PARTITION BY event_type
+                             ORDER BY (CASE WHEN b IS NOT NULL THEN 0
+                                            WHEN n IS NOT NULL THEN 1
+                                            WHEN s IS NOT NULL THEN 2
+                                            ELSE 3 END), b, n, s) AS rn
+        FROM m)
+      SELECT event_type, CAST(b AS INT) AS b, n, s, n_rows
+      FROM r WHERE rn = 1 ORDER BY event_type""")),
+
     "q_setop_filter_sort" -> (jx("""{
       "from": "orders",
       "select": [

@@ -209,6 +209,75 @@ object TrainingCatalog {
         .select(col("node").as("doc_id"), col("rep"))
     }), Some(ClusterOracleSql)),
 
+    // END-TO-END curation pipeline — the composition a training-data run
+    // actually executes, as ONE oracle-checked query: language filter
+    // (en) + quality floor, then near-dup discovery (MinHash-LSH) over
+    // ONLY the filtered corpus, transitive cluster closure, keep-one
+    // survivor selection, and per-survivor token accounting. Every stage
+    // reuses an independently-oracled operator; the oracle re-composes
+    // their SQL formulas over a `curated` CTE with a recursive closure.
+    "q_pipeline_curate" -> (q((s, dir) => {
+      val t = col("text")
+      val cur = docs(s, dir)
+        .where(TextAnalysis.langId(t) === "en" && TextAnalysis.qualityScore(t) >= 0.5)
+      val pairs = Dedup.minhashLshPairs(cur, "doc_id", "text",
+        n = 3, numHashes = 128, bands = 32, threshold = 0.5)
+      val dropped = Dedup.connectedComponents(pairs)
+        .where(col("rep") =!= col("node")).select(col("node").as("doc_id"))
+      cur.join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(t).as("quality"),
+          TextAnalysis.bpeTokenCount(t).as("n_bpe"))
+    }), Some(s"""
+      WITH RECURSIVE qm AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+          len(regexp_extract_all(lower(text), '${lexSql("en")}')) AS n_stop,
+          len(regexp_extract_all(lower(text), '${lexSql("fr")}')) AS s_fr,
+          len(regexp_extract_all(lower(text), '${lexSql("es")}')) AS s_es,
+          len(regexp_extract_all(lower(text), '${lexSql("de")}')) AS s_de,
+          len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh,
+          length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_wordchars,
+          length(text) AS n_chars
+        FROM documents),
+      scored AS (
+        SELECT doc_id,
+          round(
+            least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.3
+            + (CASE WHEN n_tok > 0 AND CAST(n_wordchars AS DOUBLE) / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0
+                    THEN 1.0 ELSE 0.0 END) * 0.2
+            + least((CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0) * 0.3
+            + (1.0 - least((CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)) * 4.0, 1.0)) * 0.2,
+            6) AS quality,
+          CASE WHEN n_stop + s_fr + s_es + s_de + s_zh = 0 THEN 'und'
+               WHEN s_zh > 0 THEN 'zh'
+               WHEN n_stop >= s_fr AND n_stop >= s_es AND n_stop >= s_de THEN 'en'
+               WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+               WHEN s_es >= s_de THEN 'es'
+               ELSE 'de' END AS lang_pred
+        FROM qm),
+      curated AS (
+        SELECT d.doc_id, d.text FROM documents d
+        JOIN scored USING (doc_id)
+        WHERE lang_pred = 'en' AND quality >= 0.5),
+      ${jaccardPairsCtes("curated")},
+      edges AS (SELECT id_a AS a, id_b AS b FROM jp
+                UNION SELECT id_b, id_a FROM jp),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      dropped AS (
+        SELECT a AS doc_id FROM reach GROUP BY a HAVING least(a, min(b)) <> a)
+      SELECT c.doc_id, scored.quality,
+             len(regexp_extract_all(c.text, '$BpeSql')) AS n_bpe
+      FROM curated c
+      JOIN scored USING (doc_id)
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM dropped)
+      ORDER BY c.doc_id""")),
+
     // SimHash output is engine-hash-valued → rows-only check here;
     // recall of planted near-dups is asserted in DedupSpec.
     // deterministic-recall oracle: plant a lightly-perturbed copy of each
@@ -405,11 +474,12 @@ object TrainingCatalog {
   )
 
   /** CTE list computing `jp(id_a, id_b, jaccard)`: exact word-trigram
-    * Jaccard pairs at threshold 0.5 — shared by the pair oracles and the
-    * cluster oracle's recursive closure. */
-  private lazy val JaccardPairsCtes: String = """
+    * Jaccard pairs at threshold 0.5 over table/CTE `src` — shared by the
+    * pair oracles, the cluster oracle's recursive closure, and the
+    * curation pipeline (which pairs only the FILTERED corpus). */
+  private def jaccardPairsCtes(src: String = "documents"): String = s"""
       toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM $src),
       sh AS (
         SELECT doc_id, unnest(list_distinct(
           [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) AS s
@@ -430,14 +500,14 @@ object TrainingCatalog {
   /** Exact word-trigram Jaccard pairs at threshold 0.5 — the oracle for
     * both the exact operator and the (verified) MinHash-LSH operator. */
   private lazy val JaccardOracleSql: String =
-    s"WITH $JaccardPairsCtes SELECT id_a, id_b, jaccard FROM jp ORDER BY 1, 2"
+    s"WITH ${jaccardPairsCtes()} SELECT id_a, id_b, jaccard FROM jp ORDER BY 1, 2"
 
   /** Transitive closure of the Jaccard pairs via recursive CTE: per node,
     * the minimum reachable id = its component representative. Tractable
     * because the pair set is small; the Spark side computes the same
     * closure with the O(log n)-round star algorithm. */
   private lazy val ClusterOracleSql: String = s"""
-      WITH RECURSIVE $JaccardPairsCtes,
+      WITH RECURSIVE ${jaccardPairsCtes()},
       edges AS (SELECT id_a AS a, id_b AS b FROM jp
                 UNION SELECT id_b, id_a FROM jp),
       reach AS (

@@ -66,6 +66,19 @@ object TypedSlots {
     slots.getField("b").isNull && slots.getField("n").isNull &&
       slots.getField("s").isNull
 
+  /** Decisive cross-type LESS-THAN under the reference order
+    * (bool < number < string < missing, jx.py:614-627): an ordinary
+    * struct comparison of the [[sortKey]]s. Never null — the keys are
+    * never null, same-rank rows populate the SAME slot on both sides
+    * (so no null-vs-value field comparison arises), and two missings
+    * compare equal. */
+  def ltSlots(a: Column, b: Column): Column = sortKey(a) < sortKey(b)
+
+  /** Three-way decisive comparison: -1 / 0 / +1 under the cross-type
+    * order — [[ltSlots]] and [[eqSlots]] composed. */
+  def cmpSlots(a: Column, b: Column): Column =
+    when(ltSlots(a, b), -1).when(eqSlots(a, b), 0).otherwise(1)
+
   /** Variant as a GROUP KEY: the slots struct itself — Spark's grouping
     * compares struct fields null-safely, so each (type, value) pair forms
     * its own group and all-missing rows form exactly one group, matching
