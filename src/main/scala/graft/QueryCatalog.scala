@@ -540,6 +540,38 @@ object QueryCatalog {
       SELECT event_type, CAST(b AS INT) AS b, n, s, n_rows
       FROM r WHERE rn = 1 ORDER BY event_type""")),
 
+    // gap-based sessionization (30-min gap): ONE shuffle on the user
+    // key, per-task working set bounded by per-user activity — see
+    // graft.ops.Sessions for the scale notes and the streaming sibling.
+    // ts is truncated to seconds on BOTH sides: the parquet stores
+    // nanosecond timestamps, which Spark rounds to micros and DuckDB
+    // truncates — second-level sessions are the honest common grain.
+    "q_sessionize" -> (raw((s, dir) => {
+      import org.apache.spark.sql.functions.{col, date_trunc}
+      val e = SparkEntry.loader(s, dir)("events")
+        .withColumn("ts", date_trunc("second", col("ts")))
+      graft.ops.Sessions.sessionSummary(e, "user_id", "ts",
+        gapSec = 1800, tieBreak = col("event_id"))
+    }), Some("""
+      WITH e AS (
+        SELECT user_id, date_trunc('second', ts) AS ts, event_id FROM events),
+      g AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (
+        SELECT user_id, ts,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+        FROM g)
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             count(*) AS n_events,
+             min(ts) AS session_start, max(ts) AS session_end,
+             CAST(epoch(max(ts)) - epoch(min(ts)) AS DOUBLE) AS duration_sec
+      FROM s GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     "q_setop_filter_sort" -> (jx("""{
       "from": "orders",
       "select": [

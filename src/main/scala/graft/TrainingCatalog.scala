@@ -209,6 +209,29 @@ object TrainingCatalog {
         .select(col("node").as("doc_id"), col("rep"))
     }), Some(ClusterOracleSql)),
 
+    // deterministic split assignment / sampling: md5-prefix buckets are
+    // bytewise-identical across engines and independent of partitioning,
+    // so the oracle IS the production semantics (a row never changes
+    // split when the corpus grows — per-row hash, not rank)
+    "q_split_assign" -> (q((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        graft.ops.Sampling.splitAssign(col("text"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    ), Some("""
+      SELECT doc_id,
+        CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+             WHEN substr(md5(text), 1, 2) < 'e7' THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id""")),
+
+    "q_sample_hash" -> (q((s, dir) =>
+      docs(s, dir).where(graft.ops.Sampling.sampleByHash(col("text"), 0.25))
+        .select(col("doc_id"), graft.ops.Sampling.hashBucket(col("text")).as("bucket"))
+    ), Some("""
+      SELECT doc_id, substr(md5(text), 1, 2) AS bucket
+      FROM documents WHERE substr(md5(text), 1, 2) < '40'
+      ORDER BY doc_id""")),
+
     // END-TO-END curation pipeline — the composition a training-data run
     // actually executes, as ONE oracle-checked query: language filter
     // (en) + quality floor, then near-dup discovery (MinHash-LSH) over

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic, engine-portable sampling and split assignment for
+ * training-data pipelines. Both are pure Column algebra over md5 of a
+ * stable key — no RNG state, no driver coordination:
+ *
+ *  - the SAME row lands in the SAME split on every run, on every engine,
+ *    at every scale (md5 is bytewise-identical everywhere, unlike
+ *    engine-native hash functions or seeded per-partition RNGs, whose
+ *    draws depend on partitioning);
+ *  - adding/removing OTHER rows never moves a row between splits
+ *    (per-row hash, not rank-based) — the property that keeps eval sets
+ *    stable as a corpus grows;
+ *  - runs codegen'd inside the scan: at 100 TB split assignment is a
+ *    free projection, never a shuffle.
+ *
+ * Granularity is the first two hex digits (1/256 ≈ 0.4%); use more hex
+ * digits via `hexPrefixLen` when finer fractions are needed.
+ */
+object Sampling {
+
+  /** First `hexPrefixLen` lowercase-hex chars of md5(key) — the bucket
+    * string both Spark and any SQL engine order identically. */
+  def hashBucket(key: Column, hexPrefixLen: Int = 2): Column =
+    substring(md5(key.cast("string")), 1, hexPrefixLen)
+
+  /** Deterministic ~`fraction` sample: keep rows whose 2-hex-digit
+    * bucket falls below ceil(fraction·256). Exact expectation over the
+    * hash distribution, exact determinism over reruns. */
+  def sampleByHash(key: Column, fraction: Double): Column = {
+    require(fraction >= 0 && fraction <= 1, s"fraction: $fraction")
+    val cut = math.min(256, math.ceil(fraction * 256).toInt)
+    hashBucket(key) < lit(f"$cut%02x")
+  }
+
+  /** Train/val/test assignment from cumulative weight cutoffs over the
+    * 256-bucket space, e.g. `splitAssign(col, Seq("train" -> 0.8,
+    * "val" -> 0.1, "test" -> 0.1))`. Weights are normalized; cutoffs
+    * round UP to 1/256 granularity (an 80/10/10 split cuts at buckets
+    * 0xcd and 0xe7 → 205/26/25 buckets). */
+  def splitAssign(key: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), s"splits: $splits")
+    val total = splits.map(_._2).sum
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    val bucket = hashBucket(key)
+    val cases = splits.zip(cuts).dropRight(1).map { case ((name, _), cut) =>
+      (name, f"${math.min(256, math.ceil(cut * 256).toInt)}%02x")
+    }
+    cases.foldRight(lit(splits.last._1): Column) { case ((name, hex), rest) =>
+      when(bucket < lit(hex), name).otherwise(rest)
+    }
+  }
+}

@@ -278,6 +278,43 @@ class OpsSpec extends AnyFunSuite {
     assert(cl.length === 1 && cl(0).getLong(0) === 0L && cl(0).getLong(1) === 2048L)
   }
 
+  test("splitAssign is deterministic, exhaustive, and near the requested weights") {
+    import graft.ops.Sampling
+    val df = spark.range(20000).select(concat(lit("doc "), col("id")).as("k"))
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val counts = df.select(Sampling.splitAssign(col("k"), splits).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test")) // exhaustive
+    assert(counts.values.sum === 20000L)                  // no row dropped
+    // cutoffs round to 1/256: expected 205/26/25 buckets ± hash noise
+    assert(math.abs(counts("train") - 20000.0 * 205 / 256) < 500)
+    assert(math.abs(counts("val") - 20000.0 * 26 / 256) < 300)
+    // determinism: a second pass assigns identically
+    val twice = df.select(col("k"), Sampling.splitAssign(col("k"), splits).as("a"))
+      .join(df.select(col("k"), Sampling.splitAssign(col("k"), splits).as("b")), "k")
+      .where(col("a") =!= col("b")).count()
+    assert(twice === 0L)
+    // sampleByHash(0.25) keeps the same rows as the 0x40-cut predicate
+    val n = df.where(Sampling.sampleByHash(col("k"), 0.25)).count()
+    assert(math.abs(n - 20000.0 * 64 / 256) < 400)
+  }
+
+  test("sessionize splits on gap > threshold, 0-based per user") {
+    import graft.ops.Sessions
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000)
+    // user 1: events at 0s, 100s, 2000s (gap 1900 > 1800 → new session),
+    // 2100s; user 2: single event
+    val rows = Seq((1L, ts(0), 1L), (1L, ts(100), 2L), (1L, ts(2000), 3L),
+      (1L, ts(2100), 4L), (2L, ts(50), 5L))
+    val df = spark.createDataFrame(rows).toDF("user_id", "ts", "event_id")
+    val got = Sessions.sessionSummary(df, "user_id", "ts", gapSec = 1800,
+        tieBreak = col("event_id"))
+      .orderBy("user_id", "session_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(got.toSeq === Seq((1L, 0L, 2L, 100.0), (1L, 1L, 2L, 100.0), (2L, 0L, 1L, 0.0)))
+  }
+
   test("RHP-LSH planesFor keeps bucket occupancy bounded as the corpus grows") {
     import graft.ops.Similarity
     // synthetic 20k-vector corpus (deterministic): planesFor must pick
