@@ -136,6 +136,32 @@ object TrainingCatalog {
       FROM toks LEFT JOIN tb ON tb.doc_id = toks.doc_id
       ORDER BY 1""")),
 
+    // top-3 TF-IDF keywords per doc; the corpus count feeds the smoothed
+    // idf (one bounded probe job). Ranking is on the ROUNDED score with
+    // term tiebreak — reproducible across engines (libm ulp differences
+    // cannot reorder the top-k), see TextAnalysis.topTfIdfTerms.
+    "q_text_tfidf" -> (q((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.topTfIdfTerms(d, "doc_id", "text", k = 3, docCount = d.count())
+        .withColumnRenamed("id", "doc_id")
+    }), Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      sc AS (
+        SELECT doc_id, tf.term, tf, df,
+               round(tf * (ln((n.n + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+        FROM tf JOIN dfq USING (term) CROSS JOIN n),
+      r AS (
+        SELECT doc_id, term, tf, df, score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        FROM sc)
+      SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, score
+      FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
     "q_text_fingerprint" -> (q((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -409,6 +435,25 @@ object TrainingCatalog {
     }), Some("""
       SELECT vec_id AS q_id, 1 AS found, CAST(1.0 AS DOUBLE) AS top_sim
       FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")),
+
+    // per-label centroids of the embedding corpus: one partial-aggregated
+    // (label, position) shuffle, no window, no collect — see
+    // Similarity.centroids for the scale shape
+    "q_embed_centroid" -> (q((s, dir) =>
+      Similarity.centroids(embs(s, dir), "label")
+    ), Some("""
+      WITH ex AS (
+        SELECT label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings),
+      s AS (
+        SELECT label, pos, sum(CAST(x AS DOUBLE)) AS s, count(*) AS n
+        FROM ex GROUP BY 1, 2),
+      c AS (
+        SELECT label, max(n) AS n_vecs,
+               list(round(s / n, 6) ORDER BY pos) AS centroid
+        FROM s GROUP BY 1)
+      SELECT label, n_vecs, centroid FROM c ORDER BY label""")),
 
     // =====================================================================
     // multimodal — q_multimodal_meta exercises the payload PLUMBING with

@@ -53,6 +53,29 @@ object Similarity {
     math.max(1, math.ceil(
       math.log(math.max(1.0, corpusCount.toDouble / targetBucket)) / math.log(2.0)).toInt)
 
+  /** Per-group centroid (element-wise mean) of an embedding column —
+    * cluster summaries, class prototypes, IVF seeding. Declarative and
+    * fully distributed: posexplode to (group, pos, x), ONE partial-
+    * aggregated sum/count shuffle on (group, pos), then reassembly of
+    * the (tiny: groups × dim) result into ordered arrays. The corpus
+    * never passes through a window or a driver collect; map-side combine
+    * shrinks the explode to groups × dim × partitions rows before the
+    * shuffle. Means are rounded to 6 dp: distributed float summation is
+    * partition-order-dependent in the far decimals. */
+  def centroids(df: DataFrame, groupCol: String, vecCol: String = "embedding"): DataFrame = {
+    val ex = df.select(col(groupCol).as("g"),
+      posexplode(vecD(col(vecCol))).as(Seq("pos", "x")))
+    val sums = ex.groupBy(col("g"), col("pos"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    sums.groupBy(col("g"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("pos"), (col("s") / col("n")).as("m")))),
+          e => round(e.getField("m"), 6)).as("centroid"),
+        max(col("n")).as("n_vecs"))
+      .select(col("g").as(groupCol), col("n_vecs"), col("centroid"))
+  }
+
   /**
    * Exact cosine top-k: for each row of `queries`, the k most similar
    * corpus rows (excluding self-matches by id). Queries are broadcast —

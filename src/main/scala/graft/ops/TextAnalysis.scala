@@ -147,4 +147,34 @@ object TextAnalysis {
   def rollingFingerprint(text: Column): Column =
     aggregate(tokens(normText(text)), lit(0L),
       (acc, t) => acc * lit(1000003L) + xxhash64(t))
+
+  /**
+   * Top-k TF-IDF terms per document (keyword extraction): term
+   * frequency per (doc, term), document frequency per term, smoothed
+   * idf = ln((N+1)/(df+1)) + 1, score = tf·idf.
+   *
+   * Distribution shape: explode → ONE (doc, term) aggregate (map-side
+   * combined) → ONE term-keyed aggregate for df (the term dictionary
+   * shuffles, never the corpus) → join back on term → per-doc top-k
+   * window (documents are small groups). `docCount` is passed in so the
+   * caller can reuse a known corpus count instead of an extra pass.
+   *
+   * Scores are ROUNDED (6 dp) before ranking, and ties break on the
+   * term string — so the top-k set is reproducible across engines
+   * whose libm ulps differ, not just across Spark runs.
+   */
+  def topTfIdfTerms(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                    k: Int, docCount: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("score",
+        round(col("tf") * (log(lit(docCount + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+    val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+  }
 }
