@@ -265,6 +265,14 @@ object Dedup {
    * Returns (node, rep): one row per distinct id in `pairs`, rep = the
    * smallest id of its component (deterministic survivor choice, same
    * convention as [[exactGroups]]'s keep_id).
+   *
+   * PERSIST LIFECYCLE: the result depends on two small persisted RDDs
+   * (the pinned input pair list and the converged star set — each one
+   * (long, long) row per pair/non-root node) which stay cached so
+   * downstream actions don't re-run discovery or the iteration chain;
+   * Spark's LRU evicts them under pressure. Callers looping over MANY
+   * independent pair lists in one session should materialize the result
+   * and drop the reference between calls.
    */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b", maxIter: Int = 50): DataFrame = {
@@ -280,6 +288,13 @@ object Dedup {
       val r = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
       (spark.createDataFrame(r, schema), r)
     }
+    // the INPUT pair list is pinned once too: discovery upstream of this
+    // operator (an LSH candidate join, a curation filter) is typically
+    // the most expensive stage of the whole pipeline, and both the
+    // canonical edge set AND the node inventory read it — without the
+    // pin, each reads means one full re-run of discovery
+    val (base, _) = pin(pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
     def checksum(df: DataFrame): (Long, Long) = {
       val row = df.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
       (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
@@ -302,10 +317,9 @@ object Dedup {
         .union(mins.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v")).distinct()
     }
-    val canonical = pairs
-      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-      .where(col("a") =!= col("b"))
-      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+    val canonical = base
+      .where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
     var (cur, curRdd) = pin(canonical)
     var sig = checksum(cur)
@@ -323,12 +337,14 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds (${sig._1} edges)")
     // at convergence the edges are min-rooted stars: u → its component's
     // min. Roots themselves have no outgoing edge → rep = self.
-    val nodes = pairs.select(col(aCol).cast("long").as("node"))
-      .union(pairs.select(col(bCol).cast("long").as("node"))).distinct()
-    // the returned (lazy) frame reads the FINAL star-edge RDD, which
-    // stays persisted — it is one (long, long) row per non-root node,
-    // negligible beside the corpus, and unpersisting here would force
-    // every downstream action to recompute the whole iteration chain
+    val nodes = base.select(col("u").as("node"))
+      .union(base.select(col("v").as("node"))).distinct()
+    // the returned (lazy) frame reads the pinned input RDD (node
+    // inventory) and the FINAL star-edge RDD — both stay persisted: the
+    // star set is one (long, long) row per non-root node and the input
+    // is the pair list itself, both negligible beside the corpus, and
+    // unpersisting here would force every downstream action to re-run
+    // the discovery join and the whole iteration chain
     nodes.join(cur.select(col("u").as("node"), col("v").as("rep")), Seq("node"), "left")
       .select(col("node"), coalesce(col("rep"), col("node")).as("rep"))
   }

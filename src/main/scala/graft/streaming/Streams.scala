@@ -28,6 +28,21 @@ import graft.etl.{DocAssembler, SnowflakePlan}
  */
 object Streams {
 
+  /** Exact-dedup ON INGEST: drop any document whose normalized content
+    * hash ([[graft.ops.Dedup.contentHash]]) was already seen within the
+    * watermark horizon — `dropDuplicatesWithinWatermark` keeps hash
+    * state ONLY until the watermark passes it, so state is bounded by
+    * (ingest rate × delay), not by corpus history. The batch analogue is
+    * [[graft.ops.Dedup.dropExactDuplicates]]; near-dup (MinHash/SimHash)
+    * stays a batch/compaction concern — its candidate join has no
+    * bounded-state streaming form. */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  delay: String): DataFrame =
+    docs.withColumn("__h", graft.ops.Dedup.contentHash(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
   /** Micro-batch snowflake assembly: the fact stream is joined/nested
     * against static dimension tables per `plan` and handed to `sink`
     * (e.g. a partitioned NDJSON writer + notification). */

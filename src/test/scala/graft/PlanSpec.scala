@@ -56,4 +56,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
       "domain densify join is not broadcast")
   }
+
+  test("split assignment is a shuffle-free codegen'd projection") {
+    val p = plan("q_split_assign")
+    assert(!p.contains("Exchange"), s"split assignment should not shuffle:\n$p")
+    assert(p.contains("*("), "split assignment fell out of whole-stage codegen")
+  }
+
+  test("sessionization shuffles exactly once, on the user key") {
+    val p = plan("q_sessionize")
+    val exchanges = p.split('\n').count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges === 1, s"expected 1 exchange (user key), got $exchanges:\n$p")
+    assert(p.contains("hashpartitioning(user_id"), "shuffle is not on the user key")
+  }
+
+  test("centroids partial-aggregate before the (group, position) shuffle") {
+    val p = plan("q_embed_centroid")
+    // map-side combine: the plan prints top-down, so the partial sum must
+    // appear AFTER (= below) the last exchange — the exploded corpus is
+    // combined to (group, pos) partials before anything shuffles raw
+    val lines = p.split('\n').toSeq
+    val lastExchange = lines.lastIndexWhere(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(lastExchange >= 0)
+    assert(lines.drop(lastExchange).exists(_.contains("partial_sum")),
+      s"no partial aggregation below the shuffle:\n$p")
+  }
+
+  test("variant min aggregates partially (map-side) before the group shuffle") {
+    val p = plan("q_variant_min")
+    val lines = p.split('\n').toSeq
+    val exchange = lines.indexWhere(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchange >= 0)
+    assert(lines.drop(exchange).exists(_.contains("partial_min")),
+      s"no map-side partial min below the shuffle:\n$p")
+  }
 }

@@ -32,6 +32,26 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((2L, 3.0), (1L, 10.0)))
   }
 
+  test("dedupStream drops within-watermark exact duplicates, keeps first") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = Streams.dedupStream(
+      in.toDF().toDF("doc_id", "text", "ts"), "text", "ts", delay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      (1L, "the same doc", ts("2024-01-01 00:00:00")),
+      (2L, "THE  same   doc", ts("2024-01-01 00:01:00")), // normalized dup of 1
+      (3L, "a different doc", ts("2024-01-01 00:02:00")))
+    q.processAllAvailable()
+    in.addData((4L, "the same doc", ts("2024-01-01 00:03:00"))) // still within horizon
+    q.processAllAvailable()
+    val ids = spark.table("dedup").select("doc_id").as[Long].collect().sorted
+    q.stop()
+    assert(ids.toSeq === Seq(1L, 3L))
+  }
+
   test("sessionize (batch mode): gap splits sessions, open ones withheld") {
     import spark.implicits._
     val events = Seq(
