@@ -540,6 +540,74 @@ object QueryCatalog {
       SELECT event_type, CAST(b AS INT) AS b, n, s, n_rows
       FROM r WHERE rn = 1 ORDER BY event_type""")),
 
+    // slot-aware strict arithmetic: number∘number flows through the
+    // number fragment, every other type pairing collapses to missing —
+    // mirrors the reference's typed arithmetic compile (expressions.py
+    // routes ops to the $N fragment only)
+    "q_variant_math" -> (raw((s, dir) => {
+      import graft.jx.TypedSlots
+      import org.apache.spark.sql.functions._
+      val e = SparkEntry.loader(s, dir)("events")
+      val m1 = col("event_id") % 4
+      val v1 =
+        when(m1 === 0, TypedSlots.ofBoolean(col("value") > 50))
+          .when(m1 === 1, TypedSlots.ofNumber(floor(col("value") / 25)))
+          .when(m1 === 2, TypedSlots.ofString(col("event_type")))
+          .otherwise(TypedSlots.missing)
+      val m2 = col("event_id") % 2
+      val v2 =
+        when(m2 === 0, TypedSlots.ofNumber(col("user_id")))
+          .otherwise(TypedSlots.ofString(col("event_type")))
+      val add = TypedSlots.addSlots(v1, v2)
+      val mul = TypedSlots.mulSlots(v1, v2)
+      e.select(col("event_id"),
+        add.getField("n").as("add_n"),
+        TypedSlots.isMissing(add).as("add_missing"),
+        mul.getField("n").as("mul_n"))
+    }), Some("""
+      WITH m AS (
+        SELECT event_id,
+          CASE WHEN event_id % 4 = 1 THEN floor(value / 25) END AS n1,
+          CASE WHEN event_id % 2 = 0 THEN CAST(user_id AS DOUBLE) END AS n2
+        FROM events)
+      SELECT event_id, n1 + n2 AS add_n,
+             (n1 + n2) IS NULL AS add_missing,
+             n1 * n2 AS mul_n
+      FROM m ORDER BY event_id""")),
+
+    // JSON → variant round-trip: serialize a mixed-type value into real
+    // JSON text, re-extract the raw token, parse it into typed slots by
+    // SYNTAX (number vs quoted string vs boolean vs null) — the
+    // ingestion path that creates variant columns in the first place.
+    // The oracle states the planted mapping directly, so the entry
+    // proves parse(serialize(x)) == x for every type arm incl. null
+    // payloads collapsing to missing.
+    "q_variant_from_json" -> (raw((s, dir) => {
+      import graft.jx.TypedSlots
+      import org.apache.spark.sql.functions._
+      val e = SparkEntry.loader(s, dir)("events")
+      val m = col("event_id") % 4
+      val json =
+        when(m === 0, concat(lit("{\"v\": "), col("value") > 50, lit("}")))
+          .when(m === 1, concat(lit("{\"v\": "), col("value"), lit("}")))
+          .when(m === 2, concat(lit("{\"v\": \""), col("event_type"), lit("\"}")))
+          .otherwise(lit("{\"v\": null}"))
+      val tok = regexp_extract(json, "\\{\"v\": (.*)\\}", 1)
+      val v = TypedSlots.fromJsonToken(tok)
+      e.select(col("event_id"), v.as("v"))
+        .select(col("event_id"), col("v.b").cast("int").as("b"),
+          col("v.n").as("n"), col("v.s").as("s"),
+          TypedSlots.isMissing(col("v")).as("is_missing"))
+    }), Some("""
+      SELECT event_id,
+        CAST(CASE WHEN event_id % 4 = 0 THEN (value > 50) END AS INT) AS b,
+        CASE WHEN event_id % 4 = 1 THEN value END AS n,
+        CASE WHEN event_id % 4 = 2 THEN event_type END AS s,
+        ((CASE WHEN event_id % 4 = 0 THEN (value > 50) END) IS NULL
+         AND (CASE WHEN event_id % 4 = 1 THEN value END) IS NULL
+         AND (CASE WHEN event_id % 4 = 2 THEN event_type END) IS NULL) AS is_missing
+      FROM events ORDER BY event_id""")),
+
     // gap-based sessionization (30-min gap): ONE shuffle on the user
     // key, per-task working set bounded by per-user activity — see
     // graft.ops.Sessions for the scale notes and the streaming sibling.

@@ -66,6 +66,41 @@ object TypedSlots {
     slots.getField("b").isNull && slots.getField("n").isNull &&
       slots.getField("s").isNull
 
+  /** Parse a RAW JSON value token into typed slots — how variant columns
+    * actually arise at ingestion (the reference types each JSON value
+    * into its $B/$N/$S storage column the same way,
+    * typed_encoder.py:18-23): `true`/`false` → boolean slot, a quoted
+    * string → string slot (quotes stripped; escape handling is the
+    * caller's concern), a JSON number → number slot, `null`/absent/
+    * malformed → missing. Pure Column algebra, codegen'd in the scan.
+    * NOTE: takes the raw TOKEN (e.g. `regexp_extract` of the document),
+    * not `get_json_object` output — the latter strips quotes and loses
+    * the number-vs-string distinction. */
+  def fromJsonToken(token: Column): Column = {
+    val tok = trim(token)
+    when(tok.isNull || tok === "null" || tok === "", missing)
+      .when(tok === "true", ofBoolean(lit(true)))
+      .when(tok === "false", ofBoolean(lit(false)))
+      .when(tok.rlike("^\".*\"$"),
+        ofString(regexp_replace(tok, "^\"|\"$", "")))
+      .when(tok.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][-+]?[0-9]+)?$"),
+        ofNumber(tok.cast(DoubleType)))
+      .otherwise(missing)
+  }
+
+  /** Slot-aware STRICT arithmetic: number ∘ number → number slot,
+    * anything else (boolean, string, missing on either side) → missing —
+    * the reference's typed compile routes arithmetic to the number
+    * fragment only (expressions.py:32-79); non-number slots contribute
+    * NULL there, which strict mode surfaces as missing. */
+  def addSlots(a: Column, b: Column): Column = numBin(a, b, _ + _)
+  def mulSlots(a: Column, b: Column): Column = numBin(a, b, _ * _)
+
+  private def numBin(a: Column, b: Column, f: (Column, Column) => Column): Column = {
+    val r = f(a.getField("n"), b.getField("n"))
+    when(r.isNotNull, ofNumber(r)).otherwise(missing)
+  }
+
   /** Decisive cross-type LESS-THAN under the reference order
     * (bool < number < string < missing, jx.py:614-627): an ordinary
     * struct comparison of the [[sortKey]]s. Never null — the keys are
