@@ -148,6 +148,26 @@ object TextAnalysis {
     aggregate(tokens(normText(text)), lit(0L),
       (acc, t) => acc * lit(1000003L) + xxhash64(t))
 
+  /** Redaction patterns shared verbatim with SQL oracles: email
+    * addresses, http(s) URLs, and long (7+) digit runs (phone/account
+    * numbers). Kept deliberately simple and engine-portable — both RE2
+    * and java.util.regex read these identically. */
+  val RedactEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val RedactUrl = "https?://[^\\s]+"
+  val RedactDigits = "[0-9]{7,}"
+
+  /** Content scrubbing for training corpora: replace emails, URLs, and
+    * long digit runs with type tags. Pure codegen'd regexp_replace chain
+    * in the scan — at 100 TB redaction is a free projection. Order
+    * matters: URLs first (an URL may embed digit runs), then emails,
+    * then bare digit runs. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, RedactUrl, "<URL>"),
+        RedactEmail, "<EMAIL>"),
+      RedactDigits, "<NUM>")
+
   /**
    * Top-k TF-IDF terms per document (keyword extraction): term
    * frequency per (doc, term), document frequency per term, smoothed
