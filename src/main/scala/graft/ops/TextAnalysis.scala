@@ -178,6 +178,10 @@ object TextAnalysis {
    * shuffles, never the corpus) → join back on term → per-doc top-k
    * window (documents are small groups). `docCount` is passed in so the
    * caller can reuse a known corpus count instead of an extra pass.
+   * SKEW: the tf⋈df join key follows the Zipfian term distribution —
+   * stopword keys dominate. AQE's skew-join split handles it (enabled in
+   * GraftSession); with a bounded vocabulary, broadcast the df side
+   * instead.
    *
    * Scores are ROUNDED (6 dp) before ranking, and ties break on the
    * term string — so the top-k set is reproducible across engines
