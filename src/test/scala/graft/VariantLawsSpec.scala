@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.jx.TypedSlots
+
+/**
+ * Law tests for the typed-slot variant algebra: every law is checked on
+ * the CROSS PRODUCT of a value domain spanning all four type ranks
+ * (boolean / number / string / missing), evaluated through the real
+ * Column expressions in one Spark job — the NullLawsSpec pattern applied
+ * to cross-type semantics (reference jx.py:614-627 order,
+ * jx_sqlite/expressions.py:32-79 per-slot fragments).
+ *
+ * Laws:
+ *  - trichotomy: exactly one of lt(a,b), eq(a,b), lt(b,a)
+ *  - cmp is consistent: cmp = -1 ⟺ lt, 0 ⟺ eq, +1 ⟺ gt
+ *  - eq is reflexive (incl. missing == missing) and symmetric
+ *  - lt is irreflexive and asymmetric; the induced order is total
+ *  - isMissing(a) ⟺ eq(a, missing)
+ *  - strict arithmetic: result is a number slot iff BOTH operands are
+ *    number slots; commutative where defined
+ *  - sortKey order ranks every boolean below every number below every
+ *    string below missing
+ */
+class VariantLawsSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.get("4")
+
+  /** Value domain as (tag, payload) pairs rendered into slot structs:
+    * booleans, numbers (incl. negatives/extremes), strings (incl. empty
+    * and numeral-looking), and missing. */
+  private def variantOf(tag: org.apache.spark.sql.Column, payload: org.apache.spark.sql.Column) =
+    when(tag === "b", TypedSlots.ofBoolean(payload === "true"))
+      .when(tag === "n", TypedSlots.ofNumber(payload.cast("double")))
+      .when(tag === "s", TypedSlots.ofString(payload))
+      .otherwise(TypedSlots.missing)
+
+  private val domain: Seq[(String, String)] = Seq(
+    ("b", "true"), ("b", "false"),
+    ("n", "0"), ("n", "1"), ("n", "-1"), ("n", "2.5"), ("n", "-1e15"), ("n", "1e15"),
+    ("s", ""), ("s", "a"), ("s", "b"), ("s", "1"), ("s", "true"),
+    ("m", ""))
+
+  private lazy val pairs = {
+    val a = spark.createDataFrame(domain).toDF("ta", "pa")
+    val b = spark.createDataFrame(domain).toDF("tb", "pb")
+    a.crossJoin(b)
+      .withColumn("va", variantOf(col("ta"), col("pa")))
+      .withColumn("vb", variantOf(col("tb"), col("pb")))
+  }
+
+  private def lawHolds(law: org.apache.spark.sql.Column, name: String): Unit = {
+    val bad = pairs.where(!coalesce(law, lit(false))).count()
+    assert(bad === 0L, s"law '$name' fails on $bad pairs")
+  }
+
+  test("trichotomy: exactly one of lt(a,b), eq(a,b), lt(b,a)") {
+    val lt = TypedSlots.ltSlots(col("va"), col("vb"))
+    val gt = TypedSlots.ltSlots(col("vb"), col("va"))
+    val eq = TypedSlots.eqSlots(col("va"), col("vb"))
+    lawHolds(
+      (lt.cast("int") + gt.cast("int") + eq.cast("int")) === 1,
+      "trichotomy")
+  }
+
+  test("cmp agrees with lt/eq and is antisymmetric") {
+    val cab = TypedSlots.cmpSlots(col("va"), col("vb"))
+    val cba = TypedSlots.cmpSlots(col("vb"), col("va"))
+    lawHolds((cab === -1) === TypedSlots.ltSlots(col("va"), col("vb")), "cmp=-1 ⟺ lt")
+    lawHolds((cab === 0) === TypedSlots.eqSlots(col("va"), col("vb")), "cmp=0 ⟺ eq")
+    lawHolds(cab === -cba, "cmp antisymmetry")
+  }
+
+  test("eq is reflexive (incl. missing) and symmetric; missing ⟺ eq-to-missing") {
+    lawHolds(TypedSlots.eqSlots(col("va"), col("va")), "eq reflexive")
+    lawHolds(
+      TypedSlots.eqSlots(col("va"), col("vb")) === TypedSlots.eqSlots(col("vb"), col("va")),
+      "eq symmetric")
+    lawHolds(
+      TypedSlots.isMissing(col("va")) === TypedSlots.eqSlots(col("va"), TypedSlots.missing),
+      "isMissing ⟺ eq(·, missing)")
+  }
+
+  test("lt is irreflexive; type ranks order bool < number < string < missing") {
+    lawHolds(!TypedSlots.ltSlots(col("va"), col("va")), "lt irreflexive")
+    // rank of a variant under the fixed type order
+    def rank(v: org.apache.spark.sql.Column) =
+      when(v.getField("b").isNotNull, 0).when(v.getField("n").isNotNull, 1)
+        .when(v.getField("s").isNotNull, 2).otherwise(3)
+    // different ranks ⇒ lt follows the fixed type order
+    lawHolds(
+      when(rank(col("va")) < rank(col("vb")), TypedSlots.ltSlots(col("va"), col("vb")))
+        .when(rank(col("va")) > rank(col("vb")), TypedSlots.ltSlots(col("vb"), col("va")))
+        .otherwise(lit(true)),
+      "cross-rank order is the type order")
+  }
+
+  test("strict arithmetic: number iff both numbers; commutative; missing propagates") {
+    val add = TypedSlots.addSlots(col("va"), col("vb"))
+    val bothNum = col("va.n").isNotNull && col("vb.n").isNotNull
+    lawHolds(TypedSlots.isMissing(add) === !bothNum, "add is number iff both numbers")
+    lawHolds(
+      TypedSlots.eqSlots(add, TypedSlots.addSlots(col("vb"), col("va"))),
+      "add commutative")
+    lawHolds(
+      TypedSlots.isMissing(TypedSlots.mulSlots(col("va"), TypedSlots.missing)),
+      "mul by missing is missing")
+  }
+}
