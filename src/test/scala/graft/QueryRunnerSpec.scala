@@ -13,6 +13,17 @@ class QueryRunnerSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("catalog merge shadows no entry and every oracle names a query") {
+    // SparkEntry merges three catalogs with ++ — a reused entry name
+    // would silently DROP one implementation and weaken the gate
+    val sizes = QueryCatalog.queries.size + TrainingCatalog.queries.size +
+      NestedCatalog.queries.size
+    assert(SparkEntry.queries.size === sizes,
+      "duplicate entry name across catalogs (one shadowed)")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without a query: $orphans")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns rows") {
       val df = fn(spark, dir)
