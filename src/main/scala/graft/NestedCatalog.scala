@@ -381,6 +381,60 @@ object NestedCatalog {
              count(*) AS n_docs, CAST(max(o_orderkey) AS BIGINT) AS last_id
       FROM f GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // RESUME through the oracle gate: TWO sequential one-month extracts
+    // into the SAME destination + watermark file — the second run's
+    // keyset filter starts from the recorded watermark, its Feb bucket
+    // starts at batch 0, and dynamic partition overwrite must leave
+    // January's objects untouched. The union of written objects must be
+    // byte-identical (keys, counts, last-ids) to what ONE run over the
+    // full window would write, which is exactly what the keyset oracle
+    // states — the reference's counter-replay contract
+    // (tests/test_counters.py, tests/test_extract.py:46-148), driver-checked.
+    "q_etl_extract_resume" -> (q((s, dir) => {
+      val scratch = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_q_etl_resume_${ProcessHandle.current().pid()}")
+      if (java.nio.file.Files.exists(scratch)) {
+        val walk = java.nio.file.Files.walk(scratch)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } finally walk.close()
+      }
+      java.nio.file.Files.createDirectories(scratch)
+      val tmp = java.nio.file.Files.createTempDirectory(scratch, "run")
+      val base = SparkEntry.loader(s, dir)
+      def bounded(until: String): String => DataFrame = n =>
+        if (n == "orders") base(n).where(col("o_orderdate") < lit(until)) else base(n)
+      val cfg = graft.etl.ExtractConfig(
+        ordersPlan, timeField = Some(("o_orderdate", graft.etl.DurationUnit.Month)),
+        idField = "o_orderkey", batchSize = 100,
+        start = java.time.Instant.parse("1995-01-01T00:00:00Z"),
+        destination = tmp.resolve("out").toString,
+        lastFile = tmp.resolve("last.json"))
+      graft.etl.Extract.run(s, cfg, bounded("1995-02-01"))  // increment 1: January
+      graft.etl.Extract.run(s, cfg, bounded("1995-03-01"))  // increment 2: resumes → February
+      val readBack = new org.apache.spark.sql.types.StructType()
+        .add("orders", new org.apache.spark.sql.types.StructType()
+          .add("o_orderkey", org.apache.spark.sql.types.LongType))
+      s.read.schema(readBack).json(cfg.destination)
+        .groupBy(col("batch_t").cast("long").as("batch_t"),
+          col("batch_i").cast("long").as("batch_i"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("orders.o_orderkey")).cast("long").as("last_id"))
+        .orderBy("batch_t", "batch_i")
+    }), Some("""
+      WITH f AS (
+        SELECT o_orderkey,
+               (year(o_orderdate) * 12 + month(o_orderdate)) - (1995 * 12 + 1) AS bt,
+               row_number() OVER (
+                 PARTITION BY (year(o_orderdate) * 12 + month(o_orderdate))
+                 ORDER BY o_orderdate, o_orderkey) - 1 AS seq
+        FROM orders WHERE o_orderdate < DATE '1995-03-01')
+      SELECT CAST(bt AS BIGINT) AS batch_t, CAST(seq // 100 AS BIGINT) AS batch_i,
+             count(*) AS n_docs, CAST(max(o_orderkey) AS BIGINT) AS last_id
+      FROM f GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // fixed-size batch chunking (reference group_by.py:87-182) — the
     // DISTRIBUTED variant: per-range-partition ranks + broadcast offsets,
     // no single-partition window (oracle identical to the driver-side one)
