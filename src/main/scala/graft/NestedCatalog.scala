@@ -126,6 +126,28 @@ object NestedCatalog {
       load(s, dir, ref.map(_.names), ref.map(_.whole).getOrElse(Set.empty)))
   }
 
+  /** Per-process scratch parent for extract entries, wiped on call:
+    * repeated verify/bench invocations in ONE JVM must not accumulate
+    * extracts in tmpdir, and keying by pid means a concurrently-running
+    * second JVM (verify + bench overlap) can never clobber this one's
+    * output. Within a JVM the previous call's output is always fully
+    * materialized before the next call starts (entries run
+    * sequentially), so the wipe is safe. Returns a fresh run dir. */
+  private def freshScratch(name: String): java.nio.file.Path = {
+    val scratch = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"${name}_${ProcessHandle.current().pid()}")
+    if (java.nio.file.Files.exists(scratch)) {
+      val walk = java.nio.file.Files.walk(scratch)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+    java.nio.file.Files.createDirectories(scratch)
+    java.nio.file.Files.createTempDirectory(scratch, "run")
+  }
+
   val catalog: Map[String, (Q, Option[String])] = Map(
 
     // one-level relative perspective: parent fields reachable from the arm
@@ -322,25 +344,7 @@ object NestedCatalog {
     // tests are extract tests: tests/test_extract.py:46-148). Bounded to
     // one quarter of orders so the entry stays bench-sized at sf0.1.
     "q_etl_extract" -> (q((s, dir) => {
-      // per-process scratch parent, wiped on entry: repeated verify/bench
-      // invocations in ONE JVM must not accumulate extracts in tmpdir,
-      // and keying by pid means a concurrently-running second JVM
-      // (verify + bench overlap) can never clobber this one's output.
-      // Within a JVM the previous call's output is always fully
-      // materialized before the next call starts (entries run
-      // sequentially), so the wipe is safe.
-      val scratch = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_q_etl_scratch_${ProcessHandle.current().pid()}")
-      if (java.nio.file.Files.exists(scratch)) {
-        val walk = java.nio.file.Files.walk(scratch)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } finally walk.close()
-      }
-      java.nio.file.Files.createDirectories(scratch)
-      val tmp = java.nio.file.Files.createTempDirectory(scratch, "run")
+      val tmp = freshScratch("graft_q_etl_scratch")
       val base = SparkEntry.loader(s, dir)
       // one-month window at batchSize 100: big enough to exercise every
       // extract stage (keyset filter, coordinates, assembly, partitioned
@@ -391,18 +395,7 @@ object NestedCatalog {
     // states — the reference's counter-replay contract
     // (tests/test_counters.py, tests/test_extract.py:46-148), driver-checked.
     "q_etl_extract_resume" -> (q((s, dir) => {
-      val scratch = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_q_etl_resume_${ProcessHandle.current().pid()}")
-      if (java.nio.file.Files.exists(scratch)) {
-        val walk = java.nio.file.Files.walk(scratch)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } finally walk.close()
-      }
-      java.nio.file.Files.createDirectories(scratch)
-      val tmp = java.nio.file.Files.createTempDirectory(scratch, "run")
+      val tmp = freshScratch("graft_q_etl_resume")
       val base = SparkEntry.loader(s, dir)
       def bounded(until: String): String => DataFrame = n =>
         if (n == "orders") base(n).where(col("o_orderdate") < lit(until)) else base(n)
