@@ -82,6 +82,17 @@ class PlanSpec extends AnyFunSuite {
       s"no partial aggregation below the shuffle:\n$p")
   }
 
+  test("extract read-back scans ONLY the explicit schema (no inference)") {
+    // building the entry's frame RUNS the (sf0.001, one-month) extract —
+    // cheap here, and the resulting plan proves the gzip NDJSON read-back
+    // projects just the doc id instead of inferring the full doc schema
+    val p = plan("q_etl_extract")
+    val jsonScan = p.split('\n').find(l => l.contains("FileScan json")).getOrElse(
+      fail(s"no json scan in plan:\n$p"))
+    assert(jsonScan.contains("ReadSchema: struct<orders:struct<o_orderkey:bigint>>"),
+      s"read-back schema is not the explicit 1-field projection: $jsonScan")
+  }
+
   test("variant min aggregates partially (map-side) before the group shuffle") {
     val p = plan("q_variant_min")
     val lines = p.split('\n').toSeq

@@ -95,6 +95,27 @@ class VariantLawsSpec extends AnyFunSuite {
       "cross-rank order is the type order")
   }
 
+  test("fromJsonToken types by syntax; malformed and null collapse to missing") {
+    val toks = Seq("true", "false", "42", "-1.5", "2e3", "\"abc\"", "\"42\"", "\"\"",
+      "null", "", "  true ", "nonsense", "{", "[1,2]", null)
+    val df = spark.createDataFrame(toks.map(Tuple1(_))).toDF("tok")
+      .withColumn("v", TypedSlots.fromJsonToken(col("tok")))
+      .select(col("tok"), col("v.b").as("b"), col("v.n").as("n"), col("v.s").as("s"))
+    val got = df.collect().map(r => r.getString(0) ->
+      ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(got("true") === (Some(true), None, None))
+    assert(got("  true ") === (Some(true), None, None))   // token is trimmed
+    assert(got("false") === (Some(false), None, None))
+    assert(got("42") === (None, Some(42.0), None))
+    assert(got("-1.5") === (None, Some(-1.5), None))
+    assert(got("2e3") === (None, Some(2000.0), None))
+    assert(got("\"abc\"") === (None, None, Some("abc")))
+    assert(got("\"42\"") === (None, None, Some("42")))    // quoted stays a STRING
+    assert(got("\"\"") === (None, None, Some("")))
+    for (m <- Seq("null", "", "nonsense", "{", "[1,2]", null))
+      assert(got(m) === (None, None, None), s"token '$m' should be missing")
+  }
+
   test("strict arithmetic: number iff both numbers; commutative; missing propagates") {
     val add = TypedSlots.addSlots(col("va"), col("vb"))
     val bothNum = col("va.n").isNotNull && col("vb.n").isNotNull
