@@ -278,6 +278,22 @@ object TrainingCatalog {
              ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""")),
 
+    // stratified per-class sample: 5 embeddings per label under the
+    // md5-hash order — membership is deterministic across engines and
+    // partitionings; ranks come from the distributed prefix-sum (few
+    // huge strata = the per-key window's worst case)
+    "q_sample_stratified" -> (q((s, dir) =>
+      graft.ops.Sampling.stratifiedTake(
+          embs(s, dir).select(col("label"), col("vec_id")), "label", "vec_id", 5)
+        .select(col("label"), col("vec_id"))
+    ), Some("""
+      WITH r AS (
+        SELECT label, vec_id,
+               row_number() OVER (PARTITION BY label
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS rn
+        FROM embeddings)
+      SELECT label, vec_id FROM r WHERE rn < 5 ORDER BY label, vec_id""")),
+
     "q_sample_hash" -> (q((s, dir) =>
       docs(s, dir).where(graft.ops.Sampling.sampleByHash(col("text"), 0.25))
         .select(col("doc_id"), graft.ops.Sampling.hashBucket(col("text")).as("bucket"))

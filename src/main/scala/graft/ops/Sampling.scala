@@ -37,6 +37,20 @@ object Sampling {
     hashBucket(key) < lit(f"$cut%02x")
   }
 
+  /** Deterministic STRATIFIED take: the first `n` rows of each class
+    * under the md5-hash order of the row key — a uniform per-class
+    * sample that is engine-reproducible and partitioning-independent
+    * (same members every run, every engine). Ranking within class runs
+    * through [[Batching.rankWithinScaled]]: strata are typically FEW and
+    * HUGE — exactly the shape where a per-class window serializes each
+    * class through one task — and the hash order ends in the unique row
+    * key, satisfying the rank's total-order determinism contract. */
+  def stratifiedTake(df: org.apache.spark.sql.DataFrame, classCol: String,
+                     keyCol: String, n: Long): org.apache.spark.sql.DataFrame =
+    Batching.rankWithinScaled(df, classCol,
+        Seq(md5(col(keyCol).cast("string")), col(keyCol)), out = "__r")
+      .where(col("__r") < n).drop("__r")
+
   /** Train/val/test assignment from cumulative weight cutoffs over the
     * 256-bucket space, e.g. `splitAssign(col, Seq("train" -> 0.8,
     * "val" -> 0.1, "test" -> 0.1))`. Weights are normalized; cutoffs
