@@ -202,6 +202,78 @@ object TrainingCatalog {
     // =====================================================================
     // deduplication
     // =====================================================================
+    // Gopher/C4 corpus filter rules over planted decorations: bullets,
+    // ellipsis lines, lorem-ipsum, braces, and stopword boosts are mixed
+    // in deterministically by doc_id so every rule fires both ways. The
+    // oracle restates each published threshold in SQL.
+    "q_text_filter_rules" -> (q((s, dir) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit("\n- bullet item\n- second bullet")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("\nto be continued...")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" lorem ipsum dolor sit")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, lit(" { config }")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" of the and that have with")).otherwise(lit("")))
+      val base = docs(s, dir).select(col("doc_id"), planted.as("t"))
+      val t = col("t")
+      val flagged = TextAnalysis.filterFlags(t).foldLeft(
+        base.select(col("doc_id"),
+          TextAnalysis.tokenCount(t).as("n_tok"),
+          TextAnalysis.symbolWordRatio(t).as("symbol_ratio"),
+          TextAnalysis.bulletLineFraction(t).as("bullet_frac"),
+          TextAnalysis.ellipsisLineFraction(t).as("ellipsis_frac"),
+          TextAnalysis.alphaWordFraction(t).as("alpha_frac"),
+          TextAnalysis.distinctStopCount(t).as("n_stop"), t)) {
+        case (d, (name, c)) => d.withColumn(name, c)
+      }
+      flagged.withColumn("keep", TextAnalysis.keepDocument(t)).drop("t")
+    }), Some(s"""
+      WITH p AS (
+        SELECT doc_id, text
+          || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '- bullet item' || chr(10) || '- second bullet' ELSE '' END
+          || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'to be continued...' ELSE '' END
+          || CASE WHEN doc_id % 13 = 0 THEN ' lorem ipsum dolor sit' ELSE '' END
+          || CASE WHEN doc_id % 17 = 0 THEN ' { config }' ELSE '' END
+          || CASE WHEN doc_id % 5 = 0 THEN ' of the and that have with' ELSE '' END AS t
+        FROM documents),
+      m AS (
+        SELECT doc_id, t,
+          CASE WHEN length(trim(t)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(t), '\\s+')) END AS n_tok,
+          length(regexp_replace(trim(t), '\\s+', '', 'g')) AS n_wordchars,
+          string_split(t, chr(10)) AS ls,
+          regexp_split_to_array(trim(t), '\\s+') AS toks
+        FROM p),
+      f AS (
+        SELECT doc_id, n_tok,
+          round(CAST(len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\\.\\.\\.')) AS DOUBLE)
+                / greatest(n_tok, 1), 6) AS symbol_ratio,
+          round(CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*]'))) AS DOUBLE)
+                / greatest(len(ls), 1), 6) AS bullet_frac,
+          round(CAST(len(list_filter(ls, l -> regexp_matches(rtrim(l), '\\.\\.\\.$$'))) AS DOUBLE)
+                / greatest(len(ls), 1), 6) AS ellipsis_frac,
+          round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                / greatest(n_tok, 1), 6) AS alpha_frac,
+          ${TextAnalysis.GopherStops.map(w =>
+            s"(CASE WHEN regexp_matches(lower(t), '\\b$w\\b') THEN 1 ELSE 0 END)").mkString(" + ")} AS n_stop,
+          CASE WHEN n_tok > 0 THEN CAST(n_wordchars AS DOUBLE) / n_tok END AS awl,
+          contains(lower(t), 'lorem ipsum') AS has_lorem,
+          contains(t, '{') AS has_brace
+        FROM m)
+      SELECT doc_id, n_tok, symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac, CAST(n_stop AS BIGINT) AS n_stop,
+        (n_tok BETWEEN 50 AND 100000) AS wc_ok,
+        coalesce(awl BETWEEN 3.0 AND 10.0, false) AS awl_ok,
+        (symbol_ratio <= 0.1) AS symbol_ok,
+        (bullet_frac <= 0.9) AS bullet_ok,
+        (ellipsis_frac <= 0.3) AS ellipsis_ok,
+        (alpha_frac >= 0.8) AS alpha_ok,
+        (n_stop >= 2) AS stop_ok,
+        NOT has_lorem AS no_lorem,
+        NOT has_brace AS no_brace,
+        ((n_tok BETWEEN 50 AND 100000) AND coalesce(awl BETWEEN 3.0 AND 10.0, false)
+          AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+          AND alpha_frac >= 0.8 AND n_stop >= 2 AND NOT has_lorem AND NOT has_brace) AS keep
+      FROM f ORDER BY doc_id""")),
+
     "q_dedup_exact" -> (q((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")
     ), Some("""

@@ -168,6 +168,70 @@ object TextAnalysis {
         RedactEmail, "<EMAIL>"),
       RedactDigits, "<NUM>")
 
+  // -- corpus filter rules (Gopher/C4 flavored) ---------------------------
+
+  /** Gopher's stopword-presence list (Rae et al. 2021, table A1 rule 8);
+    * C4 uses "lorem ipsum" and curly-brace page rejection (Raffel et al.
+    * 2020 §2.2). Matching is whole-word on lowercased text. */
+  val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def lines(text: Column): Column = split(text, "\n")
+
+  /** Fraction of lines that start with a bullet marker (`-` or `*`). */
+  def bulletLineFraction(text: Column): Column = {
+    val ls = lines(text)
+    round(size(filter(ls, l => ltrim(l).rlike("^[-*]")))
+      .cast("double") / greatest(size(ls), lit(1)).cast("double"), 6)
+  }
+
+  /** Fraction of lines that end with an ellipsis. */
+  def ellipsisLineFraction(text: Column): Column = {
+    val ls = lines(text)
+    round(size(filter(ls, l => rtrim(l).rlike("\\.\\.\\.$")))
+      .cast("double") / greatest(size(ls), lit(1)).cast("double"), 6)
+  }
+
+  /** `#`-or-ellipsis symbols per word (Gopher rule 5). */
+  def symbolWordRatio(text: Column): Column =
+    round((regexp_count(text, lit("#")) + regexp_count(text, lit("\\.\\.\\.")))
+      .cast("double") / greatest(tokenCount(text), lit(1L)).cast("double"), 6)
+
+  /** Fraction of tokens containing at least one alphabetic character. */
+  def alphaWordFraction(text: Column): Column =
+    round(size(filter(tokens(text), t => t.rlike("[A-Za-z]")))
+      .cast("double") / greatest(tokenCount(text), lit(1L)).cast("double"), 6)
+
+  /** How many DISTINCT Gopher stopwords appear (whole-word, lowercased). */
+  def distinctStopCount(text: Column): Column =
+    GopherStops.map(w =>
+      when(lower(text).rlike("\\b" + w + "\\b"), 1L).otherwise(0L)).reduce(_ + _)
+
+  /**
+   * Document-level corpus filter: Gopher rules 1-8 + C4's lorem-ipsum and
+   * curly-brace rejections, each surfaced as its own flag so pipelines can
+   * tune thresholds. Pure `Column` algebra over one row — at 100 TB this
+   * is a free projection in the scan, pipelined with pushed-down filters.
+   * Thresholds are the published ones: 50..100k words, mean word length
+   * 3..10, symbol ratio ≤0.1, ≤90% bullet lines, ≤30% ellipsis lines,
+   * ≥80% alphabetic words, ≥2 stopwords.
+   */
+  def filterFlags(text: Column): Seq[(String, Column)] = {
+    val n = tokenCount(text)
+    Seq(
+      "wc_ok" -> (n >= 50L && n <= 100000L),
+      "awl_ok" -> coalesce(avgWordLen(text) >= 3.0 && avgWordLen(text) <= 10.0, lit(false)),
+      "symbol_ok" -> (symbolWordRatio(text) <= 0.1),
+      "bullet_ok" -> (bulletLineFraction(text) <= 0.9),
+      "ellipsis_ok" -> (ellipsisLineFraction(text) <= 0.3),
+      "alpha_ok" -> (alphaWordFraction(text) >= 0.8),
+      "stop_ok" -> (distinctStopCount(text) >= 2L),
+      "no_lorem" -> !lower(text).contains("lorem ipsum"),
+      "no_brace" -> !text.contains("{"))
+  }
+
+  def keepDocument(text: Column): Column =
+    filterFlags(text).map(_._2).reduce(_ && _)
+
   /**
    * Top-k TF-IDF terms per document (keyword extraction): term
    * frequency per (doc, term), document frequency per term, smoothed
