@@ -168,6 +168,45 @@ object TextAnalysis {
         RedactEmail, "<EMAIL>"),
       RedactDigits, "<NUM>")
 
+  // -- benchmark decontamination ------------------------------------------
+
+  /** Word n-grams of the lowercased whitespace-token stream, space-joined
+    * (fewer than n tokens → empty array). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val t = tokens(lower(text))
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /**
+   * Test-set decontamination: flag corpus documents sharing any word
+   * n-gram with a benchmark text set (the n-gram collision checks of
+   * GPT-3 appendix C / PaLM; n = 8..13 words is the published range).
+   *
+   * Shape at 100 TB: the benchmark side is DISTINCT'd and **broadcast**
+   * (eval sets are MBs; the corpus is the big side and never shuffles
+   * for the match). The corpus explodes to (doc, gram) pairs only inside
+   * the scan stage, where the broadcast inner join discards non-matches
+   * immediately — the per-doc hit aggregate shuffles just the (rare)
+   * surviving matches, and the final flag join broadcasts the tiny
+   * contaminated-id set back onto the corpus.
+   */
+  def decontaminate(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                    bench: org.apache.spark.sql.DataFrame, benchTextCol: String,
+                    n: Int): org.apache.spark.sql.DataFrame = {
+    val grams = docs.select(col(idCol).as("__id"),
+      explode(wordNgrams(col(textCol), n)).as("__g"))
+    val bgrams = bench.select(explode(wordNgrams(col(benchTextCol), n)).as("__g")).distinct()
+    val hits = grams.join(broadcast(bgrams), "__g")
+      .groupBy(col("__id")).agg(count_distinct(col("__g")).as("n_hits"))
+    docs.join(broadcast(hits), docs(idCol) === hits("__id"), "left")
+      .select(docs.columns.map(docs(_)) :+
+        coalesce(col("n_hits"), lit(0L)).as("n_hits") :+
+        (coalesce(col("n_hits"), lit(0L)) > 0L).as("contaminated"): _*)
+  }
+
   // -- corpus filter rules (Gopher/C4 flavored) ---------------------------
 
   /** Gopher's stopword-presence list (Rae et al. 2021, table A1 rule 8);

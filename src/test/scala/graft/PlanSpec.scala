@@ -93,6 +93,14 @@ class PlanSpec extends AnyFunSuite {
       s"read-back schema is not the explicit 1-field projection: $jsonScan")
   }
 
+  test("decontaminate: both the gram match and the flag join broadcast the small side") {
+    val p = plan("q_text_decontaminate")
+    val n = p.split('\n').count(_.contains("BroadcastHashJoin"))
+    assert(n >= 2, s"expected 2 broadcast joins (bench grams, contaminated ids), got $n:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must never shuffle for the benchmark match:\n$p")
+  }
+
   test("variant min aggregates partially (map-side) before the group shuffle") {
     val p = plan("q_variant_min")
     val lines = p.split('\n').toSeq
