@@ -310,6 +310,35 @@ object TrainingCatalog {
              count(*) AS n_copies, min(doc_id) AS keep_id
       FROM documents GROUP BY 1 ORDER BY 1""")),
 
+    // ExactSubstr-style duplicated token spans (Lee et al. 2021): any
+    // 8-gram occurring >= 2x corpus-wide marks its positions; positions
+    // merge into maximal per-doc spans via a lag-gap island scan.
+    "q_dedup_spans" -> (q((s, dir) =>
+      Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", n = 8)
+        .withColumnRenamed("id", "doc_id")
+    ), Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      grams AS (
+        SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS g
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+              FROM toks WHERE len(t) >= 8)),
+      dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+      hit AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+      gaps AS (
+        SELECT doc_id, pos,
+          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+               THEN 0 ELSE 1 END AS gap
+        FROM hit),
+      isl AS (
+        SELECT doc_id, pos,
+          sum(gap) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        FROM gaps)
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) + 7 AS BIGINT) AS span_end, count(*) AS n_grams
+      FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""")),
+
     "q_dedup_jaccard" -> (q((s, dir) =>
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
     ), Some(JaccardOracleSql)),

@@ -42,6 +42,47 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
+  // -- duplicated-substring spans (ExactSubstr) ---------------------------
+
+  /**
+   * Token spans covered by any word n-gram occurring MORE THAN ONCE in
+   * the corpus (within or across documents), merged into maximal
+   * per-document spans — the fixed-gram-length equivalent of Lee et
+   * al. 2021's suffix-array ExactSubstr deduplication: a span flagged
+   * here is text a trainer should cut or down-weight.
+   *
+   * Returns (id, span_start, span_end, n_grams): 0-based token indices,
+   * inclusive; `n_grams` counts the duplicated grams merged into the span.
+   *
+   * Shape at 100 TB: explode to (doc, pos, gram) in the scan; ONE
+   * map-side-combined aggregate keeps grams seen ≥2 times; the join back
+   * shuffles on the gram key (both sides big — a genuine shuffle join,
+   * like the paper's sort over all suffixes); the interval merge is a
+   * per-doc window over only the SURVIVING positions (documents are small
+   * groups, and fixed n makes the merge a lag-gap island scan — no
+   * running-interval state). Production note: group on `xxhash64(gram)`
+   * instead of the string to keep the shuffle narrow; the string form is
+   * kept here so external oracles reproduce the output bit-for-bit.
+   */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+      posexplode(TextAnalysis.wordNgrams(col(textCol), n)).as(Seq("pos", "g")))
+    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= 2).select(col("g"))
+    val hitPos = grams.join(dup, "g").select(col("id"), col("pos"))
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val islands = hitPos
+      .withColumn("__gap",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= n, 0L).otherwise(1L))
+      .withColumn("__island", sum(col("__gap")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy(col("id"), col("__island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + n - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("__island")
+  }
+
   // -- word n-gram shingles ----------------------------------------------
 
   /** Distinct word n-gram shingles of the text as an array column. */

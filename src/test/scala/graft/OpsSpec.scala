@@ -34,6 +34,29 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(1L, 2L, 3L, 5L))
   }
 
+  test("duplicatedSpans merges overlapping dup grams into maximal spans") {
+    // doc 1 has 14 tokens (indices 0..13, 4-grams starting 0..10); doc 4
+    // lower/ws-normalizes to the SAME token stream, so all 11 of doc 1's
+    // grams duplicate -> one span [0, 13]. Doc 2 differs only at token 13,
+    // so its grams 0..9 duplicate doc 1's -> span [0, 12].
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 4)
+      .orderBy("id", "span_start")
+      .select("id", "span_start", "span_end", "n_grams")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(spans.filter(_._1 == 3L).isEmpty, "unique doc must have no spans")
+    assert(spans.filter(_._1 == 5L).isEmpty, "short doc has no 4-grams")
+    assert(spans.filter(_._1 == 1L) === Seq((1L, 0L, 13L, 11L)))
+    assert(spans.filter(_._1 == 2L) === Seq((2L, 0L, 12L, 10L)))
+    assert(spans.filter(_._1 == 4L) === Seq((4L, 0L, 13L, 11L)))
+    // within-doc repetition counts too (ExactSubstr semantics), and a gap
+    // wider than n splits islands: positions 0 and 5 -> [0,3] and [5,8]
+    val selfRep = Seq((9L, "alpha beta gamma delta x alpha beta gamma delta")).toDF("doc_id", "text")
+    val s9 = Dedup.duplicatedSpans(selfRep, "doc_id", "text", n = 4)
+      .orderBy("span_start")
+      .select("span_start", "span_end").as[(Long, Long)].collect().toSeq
+    assert(s9 === Seq((0L, 3L), (5L, 8L)), s"self-repeat spans: $s9")
+  }
+
   test("char-shingle LSH pairs EQUAL the exact inverted-index pairs on sf0.01") {
     // closes the probability argument with a measured equality: discovery
     // (LSH, r=6 banding) finds exactly the pairs the exact inverted index
