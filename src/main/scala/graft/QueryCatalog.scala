@@ -356,6 +356,69 @@ object QueryCatalog {
              event_id, CAST(b AS INT) AS b, n, s
       FROM r ORDER BY pos""")),
 
+    // NESTED cross-type sort — the full TYPE_ORDER (jx.py:614-627):
+    // bool < number < string < LIST < OBJECT < missing. Lists compare
+    // elementwise then by length (zip + len, jx.py:570-583); objects walk
+    // the sorted key union with absent keys reading missing-sorts-last
+    // (jx.py:596-604) — encoded per-row via the entry-list sentinel
+    // (TypedSlots.ObjSentinel), so the whole order is ONE sortable struct.
+    // Planted: floor(value) collides on purpose so list-length and
+    // object-key-presence comparisons actually decide.
+    "q_sort_cross_type_nested" -> (raw((s, dir) => {
+      import graft.jx.TypedSlots
+      import org.apache.spark.sql.functions._
+      val e = SparkEntry.loader(s, dir)("events")
+      val m = col("event_id") % 6
+      val half = (col("event_id") / 6).cast("long") % 2 === 0
+      val fv = floor(col("value")).cast("double")
+      val nElem = (x: org.apache.spark.sql.Column) => struct(
+        lit(null).cast("boolean").as("b"), x.cast("double").as("n"),
+        lit(null).cast("string").as("s"))
+      val sElem = (x: org.apache.spark.sql.Column) => struct(
+        lit(null).cast("boolean").as("b"), lit(null).cast("double").as("n"),
+        x.cast("string").as("s"))
+      val nv =
+        when(m === 0, TypedSlots.nvOfScalar(TypedSlots.ofBoolean(col("value") > 50)))
+          .when(m === 1, TypedSlots.nvOfScalar(TypedSlots.ofNumber(col("value"))))
+          .when(m === 2, TypedSlots.nvOfScalar(TypedSlots.ofString(col("event_type"))))
+          .when(m === 3, TypedSlots.nvOfList(
+            when(half, array(nElem(fv)))
+              .otherwise(array(nElem(fv), nElem(floor(col("value")) % 7)))))
+          .when(m === 4, TypedSlots.nvOfObject(
+            when(half, array(struct(lit("a").as("k"), nElem(fv).as("v"))))
+              .otherwise(array(
+                struct(lit("a").as("k"), nElem(fv).as("v")),
+                struct(lit("b").as("k"), sElem(col("event_type")).as("v"))))))
+          .otherwise(TypedSlots.nvMissing)
+      val keyed = e.select(col("event_id"), nv.as("v"))
+        .withColumn("__g", lit(0L))
+        .withColumn("__k", TypedSlots.sortKeyNested(col("v")))
+      graft.ops.Batching.rankWithinScaled(keyed, "__g", Seq(col("__k"), col("event_id")), out = "pos0")
+        .select((col("pos0") + 1L).as("pos"), col("event_id"),
+          TypedSlots.nvRank(col("v")).cast("int").as("tr"))
+    }), Some("""
+      WITH m AS (
+        SELECT event_id, event_id % 6 AS m, (event_id // 6) % 2 = 0 AS half,
+               value, event_type, floor(value) AS fv
+        FROM events),
+      r AS (
+        SELECT event_id,
+          CASE m WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+                 WHEN 3 THEN 3 WHEN 4 THEN 4 ELSE 9 END AS tr,
+          CASE WHEN m = 0 THEN (value > 50) END AS b,
+          CASE WHEN m = 1 THEN value END AS n,
+          CASE WHEN m = 2 THEN event_type END AS s,
+          CASE WHEN m = 3 THEN (CASE WHEN half THEN [fv]
+               ELSE [fv, CAST(CAST(fv AS BIGINT) % 7 AS DOUBLE)] END) END AS lst,
+          CASE WHEN m = 4 THEN fv END AS oa,
+          CASE WHEN m = 4 THEN (CASE WHEN half THEN 1 ELSE 0 END) END AS ob_pres,
+          CASE WHEN m = 4 AND NOT half THEN event_type END AS ob
+        FROM m)
+      SELECT CAST(row_number() OVER (
+               ORDER BY tr, b, n, s, lst, oa, ob_pres, ob, event_id) AS BIGINT) AS pos,
+             event_id, CAST(tr AS INT) AS tr
+      FROM r ORDER BY pos""")),
+
     // typed slots as FIRST-CLASS query values, not just a sort encoding
     // (vendor/jx_sqlite/expressions.py:32-79 compiles every expression to
     // per-slot fragments): grouping a mixed-type column — the slots

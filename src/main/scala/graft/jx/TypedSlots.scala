@@ -16,9 +16,10 @@ import org.apache.spark.sql.types._
  * order boolean < number < string < missing-last; [[sortKey]] compiles
  * that to a lexicographic struct key, so `orderBy(sortKey(v))` is one
  * ordinary sort — no UDF comparator, fully codegen'd, sortable at any
- * scale. (The reference also orders list < object after string; slots
- * carry scalars only — nested values stay typed DataFrame columns,
- * documented deviation SURVEY §7.4.7.)
+ * scale. The nested {b,n,s,l,o} encoding below extends this one nesting
+ * level to the reference's full TYPE_ORDER (list < object between
+ * string and missing) via [[sortKeyNested]]; deeper nesting stays a
+ * documented deviation (SURVEY §7.4.7).
  */
 object TypedSlots {
 
@@ -133,4 +134,98 @@ object TypedSlots {
     slots.getField("b").cast(IntegerType).as("b"),
     slots.getField("n").as("n"),
     slots.getField("s").as("s"))
+
+  // -- nested variants: {b, n, s, l, o} -----------------------------------
+  //
+  // One nesting level of the reference's full TYPE_ORDER
+  // (vendor/jx_python/jx.py:614-627): boolean 0 < number 1 < string 2 <
+  // list 3 < object 4 < missing 9. Lists hold scalar variants and compare
+  // elementwise then by length (jx.py:570-583 zip + len — Spark's array
+  // ordering is exactly that); objects compare over the sorted UNION of
+  // keys with an absent key reading as missing-sorts-last
+  // (jx.py:596-604). The union walk becomes a per-row encoding via the
+  // SENTINEL trick below — no pairwise logic, so the key is an ordinary
+  // sortable struct at any scale. Deeper nesting (lists of lists/objects)
+  // remains out of scope, documented in SURVEY §7.4.7.
+
+  private val ElemT = "array<struct<b:boolean,n:double,s:string>>"
+  private val EntryT = "array<struct<k:string,v:struct<b:boolean,n:double,s:string>>>"
+  private val NullL = lit(null).cast(ElemT)
+  private val NullO = lit(null).cast(EntryT)
+
+  private def mkNv(b: Column, n: Column, s: Column, l: Column, o: Column): Column =
+    struct(b.as("b"), n.as("n"), s.as("s"), l.as("l"), o.as("o"))
+
+  /** Lift a scalar {b,n,s} variant (including [[missing]]) into the
+    * nested encoding. */
+  def nvOfScalar(slots: Column): Column =
+    mkNv(slots.getField("b"), slots.getField("n"), slots.getField("s"), NullL, NullO)
+
+  /** List variant from an array of scalar {b,n,s} slot structs. */
+  def nvOfList(elems: Column): Column = mkNv(NullB, NullN, NullS, elems.cast(ElemT), NullO)
+
+  /** Object variant from an array of (k, v) entries — `v` a scalar slots
+    * struct. Entries MUST be sorted by `k` (the reference walks keys in
+    * sorted order); the encoder trusts the caller so the key stays a pure
+    * projection. */
+  def nvOfObject(entries: Column): Column =
+    mkNv(NullB, NullN, NullS, NullL, entries.cast(EntryT))
+
+  def nvMissing: Column = mkNv(NullB, NullN, NullS, NullL, NullO)
+
+  /** TYPE_ORDER rank of a nested variant (jx.py:614-627). */
+  def nvRank(v: Column): Column =
+    when(v.getField("b").isNotNull, 0)
+      .when(v.getField("n").isNotNull, 1)
+      .when(v.getField("s").isNotNull, 2)
+      .when(v.getField("l").isNotNull, 3)
+      .when(v.getField("o").isNotNull, 4)
+      .otherwise(9)
+
+  private def scalarRank(e: Column): Column =
+    when(e.getField("b").isNotNull, 0)
+      .when(e.getField("n").isNotNull, 1)
+      .when(e.getField("s").isNotNull, 2)
+      .otherwise(9)
+
+  private def elemKey(e: Column): Column = struct(
+    scalarRank(e).as("tr"), e.getField("b").cast(IntegerType).as("b"),
+    e.getField("n").as("n"), e.getField("s").as("s"))
+
+  /** Appended to every encoded object's entry list. Its key is above any
+    * real key, so when one side's entries run out first, the OTHER side's
+    * next real entry compares against the sentinel and loses — i.e. the
+    * side with the extra key is SMALLER, which is exactly the reference's
+    * union-key walk where the absent key reads as missing (rank 9,
+    * sorts last). Equal key sets meet sentinel-vs-sentinel: a tie. */
+  private val ObjSentinel = struct(
+    lit("￿￿").as("k"), lit(9).as("tr"),
+    lit(null).cast(IntegerType).as("b"), NullN.as("n"), NullS.as("s"))
+
+  /** Cross-type sort key for nested variants: lexicographic struct of
+    * (rank, scalar slots, list element keys, object entry keys +
+    * sentinel). `orderBy(sortKeyNested(v))` is one ordinary codegen'd
+    * sort — no UDF comparator — and range-partitions like any struct. */
+  def sortKeyNested(v: Column): Column = {
+    val lk = when(v.getField("l").isNotNull, transform(v.getField("l"), elemKey(_)))
+      .otherwise(array().cast("array<struct<tr:int,b:int,n:double,s:string>>"))
+    val ok = when(v.getField("o").isNotNull,
+        concat(
+          transform(v.getField("o"), e => struct(
+            e.getField("k").as("k"), scalarRank(e.getField("v")).as("tr"),
+            e.getField("v").getField("b").cast(IntegerType).as("b"),
+            e.getField("v").getField("n").as("n"),
+            e.getField("v").getField("s").as("s"))),
+          array(ObjSentinel)))
+      .otherwise(array().cast("array<struct<k:string,tr:int,b:int,n:double,s:string>>"))
+    struct(nvRank(v).as("tr"), v.getField("b").cast(IntegerType).as("b"),
+      v.getField("n").as("n"), v.getField("s").as("s"), lk.as("l"), ok.as("o"))
+  }
+
+  /** Decisive equality over nested variants — slot-wise null-safe
+    * equality; Spark's `<=>` on array/struct slots compares structurally,
+    * so lists match elementwise and objects match on their sorted
+    * entries. Missing == missing is TRUE; never null. */
+  def nvEq(a: Column, b: Column): Column =
+    Seq("b", "n", "s", "l", "o").map(f => a.getField(f) <=> b.getField(f)).reduce(_ && _)
 }

@@ -116,6 +116,54 @@ class VariantLawsSpec extends AnyFunSuite {
       assert(got(m) === (None, None, None), s"token '$m' should be missing")
   }
 
+  test("nested variants: sortKeyNested induces the full TYPE_ORDER incl. list/object laws") {
+    import org.apache.spark.sql.Column
+    def nEl(v: Double): Column = struct(
+      lit(null).cast("boolean").as("b"), lit(v).cast("double").as("n"),
+      lit(null).cast("string").as("s"))
+    def sEl(v: String): Column = struct(
+      lit(null).cast("boolean").as("b"), lit(null).cast("double").as("n"),
+      lit(v).cast("string").as("s"))
+    def ent(k: String, v: Column): Column = struct(lit(k).as("k"), v.as("v"))
+    // the domain, WRITTEN IN expected reference order (jx.py:614-627 +
+    // the list zip/len and object sorted-key-union walks):
+    val ordered: Seq[Column] = Seq(
+      TypedSlots.nvOfScalar(TypedSlots.ofBoolean(lit(false))),      // 0
+      TypedSlots.nvOfScalar(TypedSlots.ofBoolean(lit(true))),       // 1
+      TypedSlots.nvOfScalar(TypedSlots.ofNumber(lit(-3))),          // 2
+      TypedSlots.nvOfScalar(TypedSlots.ofNumber(lit(2))),           // 3
+      TypedSlots.nvOfScalar(TypedSlots.ofString(lit(""))),          // 4
+      TypedSlots.nvOfScalar(TypedSlots.ofString(lit("z"))),         // 5
+      TypedSlots.nvOfList(array()),                                 // 6: [] starts rank 3
+      TypedSlots.nvOfList(array(nEl(1))),                           // 7: [1]
+      TypedSlots.nvOfList(array(nEl(1), nEl(0))),                   // 8: [1,0] > [1] (prefix, longer)
+      TypedSlots.nvOfList(array(nEl(1), sEl("x"))),                 // 9: number elem < string elem
+      TypedSlots.nvOfList(array(nEl(2))),                           // 10: [2]
+      TypedSlots.nvOfObject(array(ent("a", nEl(1)), ent("b", sEl("x")))), // 11: {a:1,b:x} < {a:1}!
+      TypedSlots.nvOfObject(array(ent("a", nEl(1)))),               // 12: absent b = missing, sorts last
+      TypedSlots.nvOfObject(array(ent("a", nEl(2)))),               // 13
+      TypedSlots.nvOfObject(array(ent("b", nEl(0)))),               // 14: missing at key a > any a value
+      TypedSlots.nvOfObject(array()),                               // 15: {} missing at EVERY key
+      TypedSlots.nvMissing)                                         // 16
+    val byId = ordered.zipWithIndex.map { case (c, i) => (i, c) }
+    val df = spark.range(ordered.size).toDF("id")
+      .withColumn("v", byId.tail.foldLeft(when(col("id") === 0, byId.head._2)) {
+        case (acc, (i, c)) => acc.when(col("id") === i, c)
+      })
+    val got = df.orderBy(TypedSlots.sortKeyNested(col("v")))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got === (0L until ordered.size.toLong),
+      s"sortKeyNested must reproduce the reference order, got $got")
+    // nvEq: reflexive, and distinct domain values are pairwise unequal
+    // (incl. {} vs missing and [] vs missing)
+    val a = df.select(col("id").as("ia"), col("v").as("va"))
+    val b = df.select(col("id").as("ib"), col("v").as("vb"))
+    val eqs = a.crossJoin(b)
+      .select(col("ia"), col("ib"), TypedSlots.nvEq(col("va"), col("vb")).as("eq"))
+      .where(col("eq") =!= (col("ia") === col("ib"))).count()
+    assert(eqs === 0L, "nvEq must hold exactly on the diagonal")
+  }
+
   test("strict arithmetic: number iff both numbers; commutative; missing propagates") {
     val add = TypedSlots.addSlots(col("va"), col("vb"))
     val bothNum = col("va.n").isNotNull && col("vb.n").isNotNull
