@@ -424,6 +424,51 @@ object TrainingCatalog {
         FROM embeddings)
       SELECT label, vec_id FROM r WHERE rn < 5 ORDER BY label, vec_id""")),
 
+    // domain-mixture resampling: per-language quotas under the md5 order
+    "q_sample_mixture" -> (q((s, dir) =>
+      graft.ops.Sampling.mixtureTake(
+        docs(s, dir).select(col("doc_id"), col("lang")), "lang", "doc_id",
+        Map("en" -> 100L, "zh" -> 40L, "fr" -> 30L, "de" -> 20L, "es" -> 10L))
+    ), Some("""
+      WITH r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rn
+        FROM documents WHERE lang IN ('en','zh','fr','de','es'))
+      SELECT doc_id, lang FROM r
+      WHERE rn < CASE lang WHEN 'en' THEN 100 WHEN 'zh' THEN 40 WHEN 'fr' THEN 30
+                           WHEN 'de' THEN 20 WHEN 'es' THEN 10 END
+      ORDER BY doc_id""")),
+
+    // corpus-fitted char-bigram LM scoring (CCNet-flavored perplexity
+    // filter, self-contained); integer micro-log-prob outputs keep the
+    // hash compare float-order-proof
+    "q_text_lm_score" -> (q((s, dir) =>
+      TextAnalysis.bigramLmScores(docs(s, dir), "doc_id", "text")
+    ), Some("""
+      WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents WHERE text IS NOT NULL),
+      bg AS (
+        SELECT doc_id, substr(t, i, 2) AS g
+        FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 1)) AS i
+              FROM norm WHERE length(t) >= 2)),
+      cnt AS (SELECT g, count(*) AS c FROM bg GROUP BY g),
+      uni AS (SELECT substr(g, 1, 1) AS c1, sum(c) AS tot FROM cnt GROUP BY 1),
+      alpha AS (
+        SELECT count(DISTINCT substr(t, i, 1)) AS v
+        FROM (SELECT t, unnest(generate_series(1, length(t))) AS i
+              FROM norm WHERE length(t) >= 1)),
+      lp AS (
+        SELECT g, CAST(floor(ln((c + 1.0) / (tot + v)) * 1000000) AS BIGINT) AS lp
+        FROM cnt JOIN uni ON substr(g, 1, 1) = c1 CROSS JOIN alpha),
+      sc AS (
+        SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS logp_micro
+        FROM bg JOIN lp USING (g) GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+             coalesce(sc.logp_micro, 0) AS logp_micro
+      FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""")),
+
     "q_sample_hash" -> (q((s, dir) =>
       docs(s, dir).where(graft.ops.Sampling.sampleByHash(col("text"), 0.25))
         .select(col("doc_id"), graft.ops.Sampling.hashBucket(col("text")).as("bucket"))

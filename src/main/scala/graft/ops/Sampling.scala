@@ -51,6 +51,25 @@ object Sampling {
         Seq(md5(col(keyCol).cast("string")), col(keyCol)), out = "__r")
       .where(col("__r") < n).drop("__r")
 
+  /** Deterministic DOMAIN-MIXTURE take — the re-weighting step that hits
+    * a target domain mix (e.g. 50% en / 20% zh / …): the first
+    * `quotas(class)` rows of each class under the md5-hash order of the
+    * row key. Classes absent from `quotas` are dropped; a quota larger
+    * than a class keeps that whole class (the caller sees the shortfall
+    * in the output counts). Same engine-reproducibility and few-huge-
+    * strata scale shape as [[stratifiedTake]]. */
+  def mixtureTake(df: org.apache.spark.sql.DataFrame, classCol: String,
+                  keyCol: String, quotas: Map[String, Long]): org.apache.spark.sql.DataFrame = {
+    require(quotas.nonEmpty && quotas.values.forall(_ >= 0), s"quotas: $quotas")
+    val in = df.where(col(classCol).isin(quotas.keys.toSeq: _*))
+    val quota = quotas.foldLeft(lit(0L)) { case (acc, (k, n)) =>
+      when(col(classCol) === k, lit(n)).otherwise(acc)
+    }
+    Batching.rankWithinScaled(in, classCol,
+        Seq(md5(col(keyCol).cast("string")), col(keyCol)), out = "__r")
+      .where(col("__r") < quota).drop("__r")
+  }
+
   /** Train/val/test assignment from cumulative weight cutoffs over the
     * 256-bucket space, e.g. `splitAssign(col, Seq("train" -> 0.8,
     * "val" -> 0.1, "test" -> 0.1))`. Weights are normalized; cutoffs

@@ -168,6 +168,58 @@ object TextAnalysis {
         RedactEmail, "<EMAIL>"),
       RedactDigits, "<NUM>")
 
+  // -- corpus-fitted bigram LM scoring ------------------------------------
+
+  /**
+   * Corpus-fitted character-bigram language-model scores — the shape of
+   * CCNet's perplexity filtering, self-contained instead of an external
+   * KenLM: fit add-one-smoothed P(c2|c1) on the corpus's own normalized
+   * text, then score each document by the sum of its bigram log-probs
+   * (out-of-distribution text scores low).
+   *
+   * Outputs (id, n_bigrams, logp_micro) with `logp_micro = Σ
+   * floor(1e6·ln P)` as a LONG — integer outputs are reproducible
+   * bit-for-bit across engines regardless of float summation order.
+   * Mean log-prob = logp_micro / (1e6·n_bigrams); perplexity =
+   * exp(−mean).
+   *
+   * Shape at 100 TB: the model is three corpus-level aggregates (bigram
+   * counts, first-char totals, alphabet size) — all map-side combined,
+   * all alphabet²-bounded — broadcast back for scoring, so the corpus
+   * itself never shuffles: explode → broadcast join → per-doc partial
+   * aggregate. The alphabet size is ONE scalar collected to the driver.
+   */
+  def bigramLmScores(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = normText(col(textCol))
+    val base = df.select(col(idCol).as("__id"), t.as("__t"))
+      .where(length(col("__t")) >= 2)
+    val bg = base.select(col("__id"),
+      explode(transform(sequence(lit(1), length(col("__t")) - 1),
+        i => col("__t").substr(i, lit(2)))).as("__g"))
+    val cnt = bg.groupBy(col("__g")).agg(count(lit(1)).as("__c"))
+    val uni = cnt.groupBy(substring(col("__g"), 1, 1).as("__c1"))
+      .agg(sum(col("__c")).as("__tot"))
+    val alpha = df.select(t.as("__t")).where(length(col("__t")) >= 1)
+      .select(explode(transform(sequence(lit(1), length(col("__t"))),
+        i => col("__t").substr(i, lit(1)))).as("__ch"))
+      .agg(count_distinct(col("__ch"))).head().getLong(0)
+    val lp = cnt.join(broadcast(uni), substring(col("__g"), 1, 1) === col("__c1"))
+      .select(col("__g"),
+        floor(log((col("__c") + 1.0) / (col("__tot") + lit(alpha.toDouble))) * 1e6)
+          .cast("long").as("__lp"))
+    val scored = bg.join(broadcast(lp), "__g")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp")).as("logp_micro"))
+    // id-keyed left join restores sub-2-char docs with zero scores; the
+    // scored side is corpus-cardinality, so NO broadcast hint — at scale
+    // both sides shuffle on the id they are typically already bucketed by
+    df.join(scored, df(idCol) === scored("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logp_micro"), lit(0L)).as("logp_micro"))
+  }
+
   // -- benchmark decontamination ------------------------------------------
 
   /** Word n-grams of the lowercased whitespace-token stream, space-joined
