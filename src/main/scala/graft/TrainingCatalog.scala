@@ -190,6 +190,29 @@ object TrainingCatalog {
           '${TextAnalysis.RedactDigits}', '<NUM>', 'g') AS clean
       FROM documents ORDER BY doc_id""")),
 
+    // winnowing fingerprints (MOSS): window-min k-gram hashes, rightmost
+    // tie; the oracle replays window/min/rightmost with list lambdas
+    "q_text_winnow" -> (q((s, dir) =>
+      TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", "text", k = 4, w = 5)
+        .withColumnRenamed("id", "doc_id")
+    ), Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      g AS (
+        SELECT doc_id,
+          list_transform(generate_series(1, len(t) - 3),
+            i -> md5(array_to_string(t[i:i+3], ' '))) AS hs
+        FROM toks WHERE len(t) >= 4),
+      win AS (
+        SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 4)) AS i
+        FROM g WHERE len(hs) >= 5)
+      SELECT DISTINCT doc_id,
+        CAST(i + 4 - list_position(list_reverse(hs[i:i+4]),
+                                   list_aggregate(hs[i:i+4], 'min')) AS BIGINT) AS pos,
+        list_aggregate(hs[i:i+4], 'min') AS h
+      FROM win ORDER BY doc_id, pos""")),
+
     "q_text_fingerprint" -> (q((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),

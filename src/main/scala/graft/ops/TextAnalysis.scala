@@ -148,6 +148,36 @@ object TextAnalysis {
     aggregate(tokens(normText(text)), lit(0L),
       (acc, t) => acc * lit(1000003L) + xxhash64(t))
 
+  /**
+   * Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm):
+   * hash every word k-gram, slide a window of `w` hashes, select each
+   * window's minimum (rightmost on ties), emit the DISTINCT selected
+   * (position, hash) pairs. Guarantees: any shared substring of length
+   * ≥ w+k-1 tokens yields at least one shared fingerprint, and
+   * fingerprint density is ~2/(w+1) — robust span-level matching at a
+   * fraction of the full gram set.
+   *
+   * Hashes are md5 strings (engine-portable, unlike xxhash64) compared
+   * lexicographically; swap [[graft.functions.ShingleHashes]] in
+   * production for numeric hashes with no string materialization. Pure
+   * per-row array algebra until the final distinct — at 100 TB the
+   * fingerprinting itself is a free projection in the scan.
+   */
+  def winnowFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String, k: Int = 4, w: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && w >= 1, s"k=$k w=$w")
+    val hs = transform(wordNgrams(col(textCol), k), g => md5(g))
+    val base = df.select(col(idCol).as("id"), hs.as("hs")).where(size(col("hs")) >= w)
+    val wins = base.select(col("id"), col("hs"),
+      explode(sequence(lit(1), size(col("hs")) - (w - 1))).as("i"))
+    val win = slice(col("hs"), col("i"), lit(w))
+    val mn = array_min(win)
+    val r = array_position(reverse(win), mn) // 1-based, FIRST in reversed = rightmost tie
+    wins.select(col("id"),
+        (col("i") + (w - 1) - r).cast("long").as("pos"), mn.as("h"))
+      .distinct()
+  }
+
   /** Redaction patterns shared verbatim with SQL oracles: email
     * addresses, http(s) URLs, and long (7+) digit runs (phone/account
     * numbers). Kept deliberately simple and engine-portable — both RE2
