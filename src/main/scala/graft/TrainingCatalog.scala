@@ -447,6 +447,23 @@ object TrainingCatalog {
         FROM embeddings)
       SELECT label, vec_id FROM r WHERE rn < 5 ORDER BY label, vec_id""")),
 
+    // int8 storage quantization: engine-reproducible codes (both engines
+    // round half away from zero) + the per-vector scale
+    "q_embed_quantize" -> (q((s, dir) =>
+      embs(s, dir).select(col("vec_id"),
+        Similarity.int8QuantScale(col("embedding")).as("scale"),
+        Similarity.int8Quantize(col("embedding")).as("codes"))
+    ), Some("""
+      WITH m AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+          list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max')
+            / 127.0 AS scale
+        FROM embeddings)
+      SELECT vec_id, scale,
+        CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+             ELSE list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) END AS codes
+      FROM m ORDER BY vec_id""")),
+
     // domain-mixture resampling: per-language quotas under the md5 order
     "q_sample_mixture" -> (q((s, dir) =>
       graft.ops.Sampling.mixtureTake(

@@ -76,6 +76,28 @@ object Similarity {
       .select(col("g").as(groupCol), col("n_vecs"), col("centroid"))
   }
 
+  // -- int8 storage quantization ------------------------------------------
+
+  /** Symmetric per-vector int8 quantization (4× embedding storage
+    * compression, the standard serving trick): `scale = max|v|/127`,
+    * `code_i = round(v_i/scale) ∈ [-127, 127]`. A zero vector gets
+    * scale 0 and all-zero codes. Pure per-row array algebra in the
+    * scan; both engines round half away from zero, so codes are
+    * engine-reproducible. Dequantized values differ from the original
+    * by at most scale/2 per component. */
+  def int8QuantScale(vec: Column): Column =
+    array_max(transform(vecD(vec), x => abs(x))) / 127.0
+
+  def int8Quantize(vec: Column): Column = {
+    val v = vecD(vec)
+    val scale = int8QuantScale(vec)
+    when(scale === 0.0, transform(v, _ => lit(0)))
+      .otherwise(transform(v, x => round(x / scale).cast("int")))
+  }
+
+  def int8Dequantize(scale: Column, codes: Column): Column =
+    transform(codes, c => c.cast("double") * scale)
+
   /**
    * Exact cosine top-k: for each row of `queries`, the k most similar
    * corpus rows (excluding self-matches by id). Queries are broadcast —

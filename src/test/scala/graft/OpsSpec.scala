@@ -57,6 +57,26 @@ class OpsSpec extends AnyFunSuite {
     assert(s9 === Seq((0L, 3L), (5L, 8L)), s"self-repeat spans: $s9")
   }
 
+  test("int8 quantization: round-trip error bounded by scale/2, cosine preserved") {
+    import graft.ops.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val checked = e.select(
+      Similarity.int8QuantScale(col("embedding")).as("scale"),
+      Similarity.int8Quantize(col("embedding")).as("codes"),
+      Similarity.vecD(col("embedding")).as("v"))
+      .withColumn("deq", Similarity.int8Dequantize(col("scale"), col("codes")))
+      .select(
+        array_max(zip_with(col("v"), col("deq"), (a, b) => abs(a - b))).as("maxerr"),
+        (col("scale") / 2 + 1e-12).as("bound"),
+        Similarity.cosine(col("v"), col("deq")).as("cos"),
+        array_max(transform(col("codes"), c => abs(c))).as("maxcode"))
+    assert(checked.where(col("maxerr") > col("bound")).count() === 0L,
+      "per-component error must be <= scale/2")
+    assert(checked.where(col("maxcode") > 127).count() === 0L, "codes in [-127,127]")
+    assert(checked.agg(min(col("cos"))).head().getDouble(0) > 0.995,
+      "dequantized cosine must stay near 1")
+  }
+
   test("char-shingle LSH pairs EQUAL the exact inverted-index pairs on sf0.01") {
     // closes the probability argument with a measured equality: discovery
     // (LSH, r=6 banding) finds exactly the pairs the exact inverted index
