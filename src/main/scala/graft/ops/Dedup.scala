@@ -60,16 +60,25 @@ object Dedup {
    * like the paper's sort over all suffixes); the interval merge is a
    * per-doc window over only the SURVIVING positions (documents are small
    * groups, and fixed n makes the merge a lag-gap island scan — no
-   * running-interval state). Production note: group on `xxhash64(gram)`
-   * instead of the string to keep the shuffle narrow; the string form is
-   * kept here so external oracles reproduce the output bit-for-bit.
+   * running-interval state). The dup key is `xxhash64(gram)` — the
+   * output exposes only positions, so the 64-bit hash keeps the shuffle
+   * narrow with no observable difference short of a corpus-wide hash
+   * collision (~m²/2⁶⁵).
    */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val grams = df.select(col(idCol).as("id"),
-      posexplode(TextAnalysis.wordNgrams(col(textCol), n)).as(Seq("pos", "g")))
-    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("occ"))
-      .where(col("occ") >= 2).select(col("g"))
-    val hitPos = grams.join(dup, "g").select(col("id"), col("pos"))
+    // tokens materialize into an attribute FIRST (ngramsFromTokens rule):
+    // the gram subplan is evaluated on BOTH sides of the dup self-join,
+    // and inlining the tokenizer into the per-element lambda re-splits
+    // the text once per element reference (measured 2×28 s vs 1.4 s at
+    // sf0.1 for the same 235k grams)
+    val toked = df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(lower(col(textCol))).as("__t"))
+    val grams = toked.select(col("id"),
+        posexplode(TextAnalysis.ngramsFromTokens(col("__t"), n)).as(Seq("pos", "g")))
+      .select(col("id"), col("pos"), xxhash64(col("g")).as("gh"))
+    val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= 2).select(col("gh"))
+    val hitPos = grams.join(dup, "gh").select(col("id"), col("pos"))
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
     val islands = hitPos
       .withColumn("__gap",
