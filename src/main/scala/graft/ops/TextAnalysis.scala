@@ -122,12 +122,14 @@ object TextAnalysis {
     * count per (id, bigram) → max/sum per id. */
   def topBigramFraction(df: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String): org.apache.spark.sql.DataFrame = {
-    val t = tokens(col(textCol))
+    // tokens materialize first — the ngramsFromTokens attribute rule
+    val toked = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+    val t = col("__t")
     val bigrams = when(size(t) >= 2,
       transform(sequence(lit(0), size(t) - 2),
         i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
       .otherwise(array().cast("array<string>"))
-    val bg = df.select(col(idCol).as("id"), explode(bigrams).as("bg"))
+    val bg = toked.select(col("id"), explode(bigrams).as("bg"))
     bg.groupBy(col("id"), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col("id"))
       .agg((max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_bigram_frac"))
