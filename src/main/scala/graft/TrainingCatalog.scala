@@ -464,6 +464,29 @@ object TrainingCatalog {
              ELSE list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) END AS codes
       FROM m ORDER BY vec_id""")),
 
+    // sequence packing: head-to-tail token offsets in the md5 order +
+    // the fixed-size windows each doc starts/ends in (distributed
+    // prefix sum — no single-task window)
+    "q_pack_sequences" -> (q((s, dir) =>
+      graft.ops.Batching.packOffsets(docs(s, dir), "doc_id", "text", windowTokens = 512L)
+        .withColumnRenamed("id", "doc_id")
+    ), Some("""
+      WITH m AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+          md5(CAST(doc_id AS VARCHAR)) AS ord
+        FROM documents),
+      o AS (
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+          coalesce(sum(n_tok) OVER (ORDER BY ord, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+        FROM m)
+      SELECT doc_id, n_tok, "offset",
+        CAST("offset" // 512 AS BIGINT) AS window_start,
+        CAST((CASE WHEN n_tok > 0 THEN "offset" + n_tok - 1 ELSE "offset" END) // 512 AS BIGINT) AS window_end
+      FROM o ORDER BY doc_id""")),
+
     // domain-mixture resampling: per-language quotas under the md5 order
     "q_sample_mixture" -> (q((s, dir) =>
       graft.ops.Sampling.mixtureTake(

@@ -42,6 +42,65 @@ object Batching {
     df.sparkSession.createDataFrame(withChunk, schema)
   }
 
+  /** Distributed EXCLUSIVE prefix sum of a value column in a total
+    * order — `sum(value) OVER (ORDER BY order ROWS UNBOUNDED PRECEDING
+    * AND 1 PRECEDING)` with NO single-task window: range-partition on
+    * the order, one tiny action collects the per-partition sums, their
+    * running totals broadcast back as partition offsets, and a local
+    * scan adds offset + running local sum. Same two-pass
+    * shuffle-reuse shape as [[chunkBySizeScaled]] (both passes run over
+    * the SAME shuffled RDD, so sampled range boundaries cannot drift).
+    * Nulls in `valueCol` count as 0. The order must be total (end in a
+    * unique column) for deterministic offsets under fault replay. */
+  def prefixSumScaled(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+                      valueCol: org.apache.spark.sql.Column,
+                      out: String = "offset", parts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (parts > 0) parts else spark.sessionState.conf.numShufflePartitions
+    val withV = df.withColumn("__psv", coalesce(valueCol.cast("long"), lit(0L)))
+    val ranged = withV.repartitionByRange(n, order: _*).sortWithinPartitions(order: _*)
+    val vIdx = ranged.schema.fieldIndex("__psv")
+    val rdd = ranged.rdd
+    val sums = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = org.apache.spark.sql.types.StructType(
+      ranged.schema.fields :+
+        org.apache.spark.sql.types.StructField(out, org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bc.value(pid)
+      it.map { r =>
+        val v = r.getLong(vIdx)
+        val row = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+        acc += v; row
+      }
+    }
+    spark.createDataFrame(rows, schema).drop("__psv")
+  }
+
+  /** Sequence-packing offsets for training-batch assembly: order the
+    * corpus by the deterministic md5-hash of the id (engine-portable,
+    * growth-stable — same rationale as [[Sampling]]), lay documents
+    * head-to-tail in that order, and report each document's global
+    * token offset plus the fixed-size token windows it starts and ends
+    * in (a document may straddle windows; the trainer splits at the
+    * boundary). The offset is a [[prefixSumScaled]] — no single-task
+    * window at any corpus size. */
+  def packOffsets(df: DataFrame, idCol: String, textCol: String,
+                  windowTokens: Long): DataFrame = {
+    require(windowTokens > 0, s"windowTokens: $windowTokens")
+    val base = df.select(col(idCol).as("id"),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tok"),
+      md5(col(idCol).cast("string")).as("__ord"))
+    prefixSumScaled(base, Seq(col("__ord"), col("id")), col("n_tok"), out = "offset")
+      .select(col("id"), col("n_tok"), col("offset"),
+        (col("offset") / windowTokens).cast("long").as("window_start"),
+        (when(col("n_tok") > 0, (col("offset") + col("n_tok") - 1) / windowTokens)
+          .otherwise(col("offset") / windowTokens)).cast("long").as("window_end"))
+  }
+
   /** Distributed per-key rank: the 0-based position of each row within its
     * `keyCol` group under `order` — equal to
     * `row_number().over(Window.partitionBy(keyCol).orderBy(order)) - 1`,

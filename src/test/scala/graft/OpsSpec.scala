@@ -57,6 +57,20 @@ class OpsSpec extends AnyFunSuite {
     assert(s9 === Seq((0L, 3L), (5L, 8L)), s"self-repeat spans: $s9")
   }
 
+  test("prefixSumScaled equals the single-partition window prefix sum") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Batching
+    val rows = (1 to 997).map(i => ((i * 37) % 1000, i.toLong % 13))
+    val df = rows.toDF("key", "v").repartition(7)
+    val got = Batching.prefixSumScaled(df, Seq(col("key")), col("v"), out = "off")
+      .select("key", "off").as[(Int, Long)].collect().toMap
+    val want = df.withColumn("off",
+        coalesce(sum(col("v")).over(
+          Window.orderBy(col("key")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("key", "off").as[(Int, Long)].collect().toMap
+    assert(got === want)
+  }
+
   test("int8 quantization: round-trip error bounded by scale/2, cosine preserved") {
     import graft.ops.Similarity
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
