@@ -190,6 +190,24 @@ object TrainingCatalog {
           '${TextAnalysis.RedactDigits}', '<NUM>', 'g') AS clean
       FROM documents ORDER BY doc_id""")),
 
+    // sliding token-window chunking (RAG ingestion): 12-token windows,
+    // 4-token overlap; chunk counts are pure arithmetic
+    "q_text_chunk" -> (q((s, dir) =>
+      TextAnalysis.chunkText(docs(s, dir), "doc_id", "text", chunkTokens = 12, overlap = 4)
+        .withColumnRenamed("id", "doc_id")
+    ), Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE greatest(1, (len(regexp_split_to_array(trim(text), '\s+')) - 4 + 7) // 8) END AS nc
+        FROM documents),
+      ch AS (SELECT doc_id, t, len(t) AS m, unnest(generate_series(0, nc - 1)) AS k
+             FROM toks WHERE nc > 0)
+      SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+        array_to_string(t[k*8+1 : k*8+12], ' ') AS chunk_text,
+        CAST(least(m - k*8, 12) AS BIGINT) AS n_tok
+      FROM ch ORDER BY doc_id, chunk_id""")),
+
     // winnowing fingerprints (MOSS): window-min k-gram hashes, rightmost
     // tie; the oracle replays window/min/rightmost with list lambdas
     "q_text_winnow" -> (q((s, dir) =>
@@ -212,6 +230,29 @@ object TrainingCatalog {
                                    list_aggregate(hs[i:i+4], 'min')) AS BIGINT) AS pos,
         list_aggregate(hs[i:i+4], 'min') AS h
       FROM win ORDER BY doc_id, pos""")),
+
+    // winnow-fingerprint near-dup pairs (the MOSS match step): pairs
+    // sharing >= 3 selected hashes + the shared count
+    "q_dedup_winnow" -> (q((s, dir) =>
+      TextAnalysis.winnowPairs(docs(s, dir), "doc_id", "text", k = 4, w = 5, minShared = 3)
+    ), Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      g AS (
+        SELECT doc_id,
+          list_transform(generate_series(1, len(t) - 3),
+            i -> md5(array_to_string(t[i:i+3], ' '))) AS hs
+        FROM toks WHERE len(t) >= 4),
+      win AS (
+        SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 4)) AS i
+        FROM g WHERE len(hs) >= 5),
+      fp AS (
+        SELECT DISTINCT doc_id, list_aggregate(hs[i:i+4], 'min') AS h
+        FROM win)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2""")),
 
     "q_text_fingerprint" -> (q((s, dir) =>
       docs(s, dir).select(

@@ -192,6 +192,28 @@ object TextAnalysis {
       .distinct()
   }
 
+  /**
+   * Near-duplicate candidate pairs from shared winnowing fingerprints
+   * (how MOSS actually matches submissions): document pairs sharing at
+   * least `minShared` selected fingerprint hashes, with the shared
+   * count. The inverted index joins on the fingerprint hash — the same
+   * shape as the exact-Jaccard shingle index, but over the winnowed
+   * ~2/(w+1)-density selection, so the per-hash fan-out (docFreq²) is
+   * proportionally smaller. Like every inverted-index discovery path:
+   * candidate generation — verify candidates with an exact measure
+   * downstream.
+   */
+  def winnowPairs(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                  k: Int = 4, w: Int = 5, minShared: Int = 2): org.apache.spark.sql.DataFrame = {
+    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col("id"), col("h")).distinct()
+    fp.as("a").join(fp.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Redaction patterns shared verbatim with SQL oracles: email
     * addresses, http(s) URLs, and long (7+) digit runs (phone/account
     * numbers). Kept deliberately simple and engine-portable — both RE2
@@ -211,6 +233,38 @@ object TextAnalysis {
         regexp_replace(text, RedactUrl, "<URL>"),
         RedactEmail, "<EMAIL>"),
       RedactDigits, "<NUM>")
+
+  // -- sliding-window chunking --------------------------------------------
+
+  /**
+   * Sliding token-window chunking (RAG / context-window ingestion):
+   * split each document's token stream into windows of `chunkTokens`
+   * with `overlap` tokens carried between consecutive chunks (stride =
+   * chunkTokens − overlap). A document shorter than one window yields
+   * exactly one chunk; the last chunk may be short; empty docs yield no
+   * chunks. Returns (id, chunk_id, chunk_text, n_tok). Pure per-row
+   * array algebra + one explode — at 100 TB chunking rides the scan
+   * with zero shuffle, and chunk counts follow from arithmetic:
+   * ceil((len − overlap) / stride).
+   */
+  def chunkText(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"chunkTokens=$chunkTokens overlap=$overlap")
+    val stride = chunkTokens - overlap
+    val toked = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+    val t = col("__t")
+    val nChunks = when(size(t) === 0, lit(0))
+      .otherwise(greatest(lit(1),
+        floor((size(t) - overlap + (stride - 1)) / lit(stride)).cast("int")))
+    toked
+      .select(col("id"), t,
+        explode(when(nChunks > 0, sequence(lit(0), nChunks - 1))
+          .otherwise(array().cast("array<int>"))).as("chunk_id"))
+      .select(col("id"), col("chunk_id").cast("long").as("chunk_id"),
+        concat_ws(" ", slice(t, col("chunk_id") * stride + 1, lit(chunkTokens))).as("chunk_text"),
+        least(size(t) - col("chunk_id") * stride, lit(chunkTokens)).cast("long").as("n_tok"))
+  }
 
   // -- corpus-fitted bigram LM scoring ------------------------------------
 
