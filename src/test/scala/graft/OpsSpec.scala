@@ -57,6 +57,58 @@ class OpsSpec extends AnyFunSuite {
     assert(s9 === Seq((0L, 3L), (5L, 8L)), s"self-repeat spans: $s9")
   }
 
+  test("chunkText boundary math: overlap, short docs, exact multiples, empty") {
+    import graft.ops.TextAnalysis
+    val d = Seq(
+      (1L, (0 until 20).map(i => s"t$i").mkString(" ")), // 20 tokens
+      (2L, "a b c"),                                     // shorter than one chunk
+      (3L, (0 until 8).map(i => s"u$i").mkString(" ")),  // exactly one chunk
+      (4L, (0 until 9).map(i => s"v$i").mkString(" ")),  // one token past
+      (5L, "   ")                                        // empty -> no chunks
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkText(d, "doc_id", "text", chunkTokens = 8, overlap = 3)
+      .orderBy("id", "chunk_id")
+      .select("id", "chunk_id", "n_tok", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got.filter(_._1 == 1L).map(r => (r._2, r._3)) === Seq((0L, 8L), (1L, 8L), (2L, 8L), (3L, 5L)))
+    assert(got.filter(_._1 == 1L).last._4 === "t15 t16 t17 t18 t19")
+    // consecutive chunks share `overlap` tokens
+    val c1 = got.filter(_._1 == 1L).map(_._4.split(" ").toSeq)
+    assert(c1(0).takeRight(3) === c1(1).take(3))
+    assert(got.filter(_._1 == 2L) === Seq((2L, 0L, 3L, "a b c")))
+    assert(got.filter(_._1 == 3L).map(_._2) === Seq(0L), "exact multiple: one chunk only")
+    assert(got.filter(_._1 == 4L).map(r => (r._2, r._3)) === Seq((0L, 8L), (1L, 4L)))
+    assert(got.filter(_._1 == 5L).isEmpty)
+  }
+
+  test("decontaminate flags benchmark sources and their copies, not distinct docs") {
+    import graft.ops.TextAnalysis
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "PREFIX alpha beta gamma delta epsilon zeta eta theta SUFFIX"), // embeds doc 1's 8-gram
+      (3L, "totally unrelated content with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("alpha beta gamma delta epsilon zeta eta theta")).toDF("btext")
+    val got = TextAnalysis.decontaminate(corpus, "doc_id", "text", bench, "btext", 8)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> true, 2L -> true, 3L -> false))
+  }
+
+  test("mixtureTake: quota caps, over-quota keeps whole class, absent class dropped") {
+    import graft.ops.Sampling
+    val d = (1 to 30).map(i => (i.toLong, if (i <= 20) "big" else if (i <= 27) "mid" else "drop"))
+      .toDF("id", "cls")
+    val got = Sampling.mixtureTake(d, "cls", "id", Map("big" -> 5L, "mid" -> 100L))
+      .groupBy("cls").count().as[(String, Long)].collect().toMap
+    assert(got === Map("big" -> 5L, "mid" -> 7L))
+    // determinism: same members on rerun
+    val m1 = Sampling.mixtureTake(d, "cls", "id", Map("big" -> 5L, "mid" -> 100L))
+      .select("id").as[Long].collect().toSet
+    val m2 = Sampling.mixtureTake(d.repartition(13), "cls", "id", Map("big" -> 5L, "mid" -> 100L))
+      .select("id").as[Long].collect().toSet
+    assert(m1 === m2, "membership must be partitioning-independent")
+  }
+
   test("prefixSumScaled equals the single-partition window prefix sum") {
     import org.apache.spark.sql.expressions.Window
     import graft.ops.Batching

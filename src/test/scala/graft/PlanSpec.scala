@@ -101,6 +101,21 @@ class PlanSpec extends AnyFunSuite {
       s"corpus must never shuffle for the benchmark match:\n$p")
   }
 
+  test("chunking rides the scan: no Exchange in the q_text_chunk plan") {
+    val p = plan("q_text_chunk")
+    assert(!p.contains("Exchange"),
+      s"chunkText must be a zero-shuffle projection + generate:\n$p")
+  }
+
+  test("dedup spans: gram occurrence count partially aggregates before its shuffle") {
+    val p = plan("q_dedup_spans")
+    val lines = p.split('\n').toSeq
+    val exchange = lines.indexWhere(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchange >= 0)
+    assert(lines.drop(exchange).exists(_.contains("partial_count")),
+      s"no map-side partial count below the first shuffle:\n$p")
+  }
+
   test("variant min aggregates partially (map-side) before the group shuffle") {
     val p = plan("q_variant_min")
     val lines = p.split('\n').toSeq
