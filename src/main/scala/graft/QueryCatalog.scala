@@ -945,6 +945,31 @@ object QueryCatalog {
         sum(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS run3
       FROM events ORDER BY event_id LIMIT 10000""")),
 
+    // the reference's meta.columns schema-introspection surface
+    // (vendor/jx_python/meta.py:142-160, jx_base/__init__.py:244-264):
+    // every table's columns as a queryable DataFrame. Metadata is
+    // driver-resident by nature (the reference keeps a column store);
+    // the catalog here is the Spark schema of each registered table.
+    "q_meta_columns" -> (raw((s, dir) => {
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      val rows = tables.flatMap { t =>
+        SparkEntry.loader(s, dir)(t).schema.fields.map(f =>
+          (t, f.name, f.dataType.simpleString))
+      }
+      import s.implicits._
+      rows.toDF("table_name", "column_name", "col_type")
+    }), Some(
+      Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings").map(t =>
+        s"""SELECT '$t' AS table_name, column_name,
+          CASE column_type WHEN 'BIGINT' THEN 'bigint' WHEN 'INTEGER' THEN 'int'
+            WHEN 'DOUBLE' THEN 'double' WHEN 'VARCHAR' THEN 'string'
+            WHEN 'TIMESTAMP' THEN 'timestamp' WHEN 'FLOAT[]' THEN 'array<float>'
+            ELSE lower(column_type) END AS col_type
+        FROM (DESCRIBE SELECT * FROM $t)""").mkString("\nUNION ALL\n")
+        + "\nORDER BY table_name, column_name")),
+
     "q_select_star" -> (jx("""{
       "from": "part",
       "select": ["*"],
