@@ -403,6 +403,50 @@ object TrainingCatalog {
              CAST(max(pos) + 7 AS BIGINT) AS span_end, count(*) AS n_grams
       FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""")),
 
+    // the span-dedup ACTION: cut every duplicated span out of the
+    // normalized token stream (Lee et al. 2021 §4)
+    "q_dedup_spans_clean" -> (q((s, dir) =>
+      Dedup.removeDuplicatedSpans(docs(s, dir), "doc_id", "text", n = 8)
+        .withColumnRenamed("id", "doc_id")
+    ), Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      grams AS (
+        SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS g
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+              FROM toks WHERE len(t) >= 8)),
+      dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+      hit AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+      gaps AS (
+        SELECT doc_id, pos,
+          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+               THEN 0 ELSE 1 END AS gap
+        FROM hit),
+      isl AS (
+        SELECT doc_id, pos,
+          sum(gap) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        FROM gaps),
+      spans AS (
+        SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+        FROM isl GROUP BY doc_id, island),
+      tp AS (
+        SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)),
+      kept AS (
+        SELECT p.doc_id, p.pos, p.tok FROM tp p
+        WHERE NOT EXISTS (SELECT 1 FROM spans s
+          WHERE s.doc_id = p.doc_id AND p.pos BETWEEN s.s AND s.e)),
+      agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id),
+      tot AS (SELECT doc_id, len(t) AS total FROM toks)
+      SELECT tot.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+             coalesce(agg.n_kept, 0) AS n_kept,
+             CAST(tot.total - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+      FROM tot LEFT JOIN agg USING (doc_id) ORDER BY tot.doc_id""")),
+
     "q_dedup_jaccard" -> (q((s, dir) =>
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
     ), Some(JaccardOracleSql)),

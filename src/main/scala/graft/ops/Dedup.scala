@@ -92,6 +92,36 @@ object Dedup {
       .drop("__island")
   }
 
+  /**
+   * The dedup ACTION for [[duplicatedSpans]]: re-emit each document's
+   * normalized token stream with every duplicated span cut out (Lee et
+   * al. 2021 §4 removes the repeated substring occurrences themselves).
+   * Returns (id, clean_text, n_kept, n_removed); text is the
+   * lowercased/whitespace-normalized stream — span dedup operates on
+   * the normalized representation.
+   *
+   * The spans side aggregates to one small row per affected doc
+   * (documents have few spans), so the join back adds one id-keyed
+   * shuffle; the token filter is per-row array algebra.
+   */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, n)
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val toked = df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(lower(col(textCol))).as("__t"))
+    toked.join(spans, Seq("id"), "left")
+      .select(col("id"),
+        when(col("__spans").isNull, col("__t"))
+          .otherwise(filter(col("__t"), (_, i) =>
+            !exists(col("__spans"), sp =>
+              i >= sp.getField("span_start") && i <= sp.getField("span_end"))))
+          .as("__kept"), size(col("__t")).as("__total"))
+      .select(col("id"), concat_ws(" ", col("__kept")).as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (col("__total") - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
   // -- word n-gram shingles ----------------------------------------------
 
   /** Distinct word n-gram shingles of the text as an array column. */
