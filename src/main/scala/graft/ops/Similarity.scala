@@ -229,20 +229,37 @@ object Similarity {
               /** quantizer-training bound: the coarse centroids only need a
                 * representative sample, so the fit cost stays O(cap · iter)
                 * no matter how large the corpus is (standard IVF practice) */
-              fitSampleCap: Long = 65536L, fitMaxIter: Int = 10): DataFrame = {
-    val c0 = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_vec"))
-    // Coarse-quantizer fit is a DRIVER-side seeded Lloyd over a bounded
-    // sample: at most fitSampleCap vectors ever leave the executors, the
-    // fit costs milliseconds instead of a distributed job per iteration,
-    // and determinism is trivial. Cell ASSIGNMENT stays distributed —
-    // codegen'd dot products against broadcast centroid literals.
+              fitSampleCap: Long = 65536L, fitMaxIter: Int = 10): DataFrame =
+    ivfSearch(corpus, queries,
+      ivfFitCentroids(corpus, nlist, vecCol, seed, fitSampleCap, fitMaxIter),
+      k, nprobe, idCol, vecCol)
+
+  /** The IVF index build, separated so callers can FIT ONCE and search
+    * many times (how an IVF index is actually used — the quantizer is
+    * immutable once built). Coarse-quantizer fit is a DRIVER-side seeded
+    * Lloyd over a bounded sample: at most fitSampleCap vectors ever
+    * leave the executors, the fit costs milliseconds instead of a
+    * distributed job per iteration, and determinism is trivial. */
+  def ivfFitCentroids(corpus: DataFrame, nlist: Int = 16,
+                      vecCol: String = "embedding", seed: Long = 42L,
+                      fitSampleCap: Long = 65536L, fitMaxIter: Int = 10): Array[Array[Double]] = {
+    val c0 = corpus.select(vecD(col(vecCol)).as("n_vec"))
     val n = c0.count()
     val fitSet =
       if (n <= fitSampleCap) c0
       else c0.sample(withReplacement = false, fitSampleCap.toDouble / n, seed)
-    val samplePts = fitSet.select(col("n_vec")).limit(fitSampleCap.toInt)
+    val samplePts = fitSet.limit(fitSampleCap.toInt)
       .collect().map(_.getSeq[Double](0).toArray)
-    val centroids = lloyd(samplePts, nlist, fitMaxIter, seed)
+    lloyd(samplePts, nlist, fitMaxIter, seed)
+  }
+
+  /** IVF search against a prebuilt quantizer ([[ivfFitCentroids]]). Cell
+    * ASSIGNMENT stays distributed — codegen'd dot products against
+    * broadcast centroid literals. */
+  def ivfSearch(corpus: DataFrame, queries: DataFrame, centroids: Array[Array[Double]],
+                k: Int, nprobe: Int = 4, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_vec"))
     def assignCell(vec: Column): Column =
       element_at(array_sort(array(centroids.toSeq.zipWithIndex.map { case (ctr, i) =>
         struct((lit(ctr.map(x => x * x).sum) - lit(2.0) * dot(vec, typedlit(ctr.toSeq))).as("d"),
