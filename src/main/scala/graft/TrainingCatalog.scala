@@ -37,6 +37,13 @@ object TrainingCatalog {
   private val IvfSlot =
     new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, Array[Array[Double]])]()
 
+  /** One persisted synthetic-PNG payload corpus per (session, sf dir) —
+    * the ImageIO entry measures the DECODE tier; encoding the input
+    * corpus is scaffolding, so it is paid once (cold) and reused (warm),
+    * same convention as [[CuratedSlot]]. */
+  private val PngSlot =
+    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, DataFrame)]()
+
   private def ivfCentroidsFor(s: SparkSession, dir: String,
                               corpus: DataFrame, nlist: Int): Array[Array[Double]] =
     IvfSlot.get() match {
@@ -902,11 +909,21 @@ object TrainingCatalog {
     // dependent, so only the decoded dims/channels are oracle-stable.
     "q_multimodal_imageio" -> (q((s, dir) => {
       import s.implicits._
-      val mkPng = udf((id: Long) =>
-        Multimodal.syntheticPngPixels((id % 41 + 8).toInt, (id * 3 % 41 + 8).toInt, id))
-      val payloads = docs(s, dir)
-        .select(col("doc_id"), mkPng(col("doc_id")).as("png"))
-        .as[(Long, Array[Byte])]
+      val cached = PngSlot.synchronized {
+        Option(PngSlot.get()) match {
+          case Some((`s`, `dir`, df)) => df
+          case prev =>
+            val mkPng = udf((id: Long) =>
+              Multimodal.syntheticPngPixels((id % 41 + 8).toInt, (id * 3 % 41 + 8).toInt, id))
+            val fresh = docs(s, dir)
+              .select(col("doc_id"), mkPng(col("doc_id")).as("png"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            prev.foreach(_._3.unpersist())
+            PngSlot.set((s, dir, fresh))
+            fresh
+        }
+      }
+      val payloads = cached.as[(Long, Array[Byte])]
       Multimodal.decodePartitioned(payloads, Multimodal.orStub(Multimodal.ImageIoDecoder))
         .toDF()
         .select(col("id").as("doc_id"), col("width"), col("height"), col("channels"))
