@@ -167,9 +167,14 @@ object TypedSlots {
   /** Object variant from an array of (k, v) entries — `v` a scalar slots
     * struct. Entries MUST be sorted by `k` (the reference walks keys in
     * sorted order); the encoder trusts the caller so the key stays a pure
-    * projection. */
+    * projection. Entries whose value is MISSING are dropped at
+    * construction: `{a: null}` and `{}` are indistinguishable under the
+    * reference's key-union walk (an absent key reads None either way),
+    * and its typed encoder never stores a null — found by the
+    * value_compare model test in VariantLawsSpec. */
   def nvOfObject(entries: Column): Column =
-    mkNv(NullB, NullN, NullS, NullL, entries.cast(EntryT))
+    mkNv(NullB, NullN, NullS, NullL,
+      filter(entries.cast(EntryT), e => !isMissing(e.getField("v"))))
 
   def nvMissing: Column = mkNv(NullB, NullN, NullS, NullL, NullO)
 

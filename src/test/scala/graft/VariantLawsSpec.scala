@@ -164,6 +164,83 @@ class VariantLawsSpec extends AnyFunSuite {
     assert(eqs === 0L, "nvEq must hold exactly on the diagonal")
   }
 
+  test("nested sort order matches a direct value_compare model on random variants") {
+    import org.apache.spark.sql.Column
+    // reference comparator (jx.py:560-627 TYPE_ORDER + dict key-union
+    // walk; lists elementwise then by length) implemented directly
+    sealed trait V
+    case class VB(b: Boolean) extends V
+    case class VN(n: Double) extends V
+    case class VS(s: String) extends V
+    case class VL(xs: Seq[V]) extends V
+    case class VO(kv: Seq[(String, V)]) extends V
+    case object VM extends V
+    def rk(v: V): Int = v match {
+      case _: VB => 0; case _: VN => 1; case _: VS => 2
+      case _: VL => 3; case _: VO => 4; case VM => 9
+    }
+    def cmp(a: V, b: V): Int = {
+      val r = Integer.compare(rk(a), rk(b))
+      if (r != 0) r else (a, b) match {
+        case (VB(x), VB(y)) => x.compareTo(y)
+        case (VN(x), VN(y)) => x.compareTo(y)
+        case (VS(x), VS(y)) => x.compareTo(y)
+        case (VL(x), VL(y)) =>
+          x.zip(y).iterator.map { case (p, q) => cmp(p, q) }.find(_ != 0)
+            .getOrElse(Integer.compare(x.length, y.length))
+        case (VO(x), VO(y)) =>
+          val mx = x.toMap; val my = y.toMap
+          (mx.keySet ++ my.keySet).toSeq.sorted.iterator
+            .map(k => cmp(mx.getOrElse(k, VM), my.getOrElse(k, VM)))
+            .find(_ != 0).getOrElse(0)
+        case _ => 0
+      }
+    }
+    def scalarCol(v: V): Column = v match {
+      case VB(x) => TypedSlots.ofBoolean(lit(x))
+      case VN(x) => TypedSlots.ofNumber(lit(x))
+      case VS(x) => TypedSlots.ofString(lit(x))
+      case _     => TypedSlots.missing
+    }
+    def nvCol(v: V): Column = v match {
+      case VL(xs) => TypedSlots.nvOfList(
+        if (xs.isEmpty) array() else array(xs.map(scalarCol): _*))
+      case VO(kv) => TypedSlots.nvOfObject(
+        if (kv.isEmpty) array()
+        else array(kv.sortBy(_._1).map { case (k, x) =>
+          struct(lit(k).as("k"), scalarCol(x).as("v")) }: _*))
+      case other  => TypedSlots.nvOfScalar(scalarCol(other))
+    }
+    val rnd = new scala.util.Random(20260812L)
+    def randScalar(): V = rnd.nextInt(4) match {
+      case 0 => VB(rnd.nextBoolean())
+      case 1 => VN(rnd.nextInt(4).toDouble)
+      case 2 => VS(Seq("", "a", "b")(rnd.nextInt(3)))
+      case _ => VM
+    }
+    def randV(): V = rnd.nextInt(6) match {
+      case 0 => VB(rnd.nextBoolean())
+      case 1 => VN(rnd.nextInt(4).toDouble)
+      case 2 => VS(Seq("", "a", "b")(rnd.nextInt(3)))
+      case 3 => VL(Seq.fill(rnd.nextInt(4))(randScalar()))
+      case 4 => VO(Seq("a", "b", "c").filter(_ => rnd.nextBoolean()).map(_ -> randScalar()))
+      case _ => VM
+    }
+    val vs = Vector.fill(120)(randV())
+    val expected = vs.zipWithIndex
+      .sortWith { case ((a, i), (b, j)) =>
+        val c = cmp(a, b); if (c != 0) c < 0 else i < j }
+      .map(_._2.toLong)
+    val df = spark.range(vs.size).toDF("id")
+      .withColumn("v", vs.zipWithIndex.tail.foldLeft(
+        when(col("id") === 0, nvCol(vs.head))) {
+        case (acc, (v, i)) => acc.when(col("id") === i, nvCol(v))
+      })
+    val got = df.orderBy(TypedSlots.sortKeyNested(col("v")), col("id"))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got === expected, s"random-domain order mismatch")
+  }
+
   test("strict arithmetic: number iff both numbers; commutative; missing propagates") {
     val add = TypedSlots.addSlots(col("va"), col("vb"))
     val bothNum = col("va.n").isNotNull && col("vb.n").isNotNull
