@@ -239,6 +239,18 @@ class VariantLawsSpec extends AnyFunSuite {
     val got = df.orderBy(TypedSlots.sortKeyNested(col("v")), col("id"))
       .select("id").collect().map(_.getLong(0)).toSeq
     assert(got === expected, s"random-domain order mismatch")
+    // and equality agrees with the model: nvEq(a,b) ⟺ cmp(a,b) == 0
+    // (includes {} == {a: missing} after the encoder normalization)
+    val a = df.select(col("id").as("ia"), col("v").as("va"))
+    val b = df.select(col("id").as("ib"), col("v").as("vb"))
+    val eqGot = a.crossJoin(b)
+      .select(col("ia"), col("ib"), TypedSlots.nvEq(col("va"), col("vb")).as("eq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    for (i <- vs.indices; j <- vs.indices) {
+      val want = cmp(vs(i), vs(j)) == 0
+      assert(eqGot((i.toLong, j.toLong)) === want,
+        s"nvEq(${vs(i)}, ${vs(j)}) should be $want")
+    }
   }
 
   test("strict arithmetic: number iff both numbers; commutative; missing propagates") {
