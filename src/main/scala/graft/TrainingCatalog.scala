@@ -572,6 +572,33 @@ object TrainingCatalog {
              ELSE list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) END AS codes
       FROM m ORDER BY vec_id""")),
 
+    // skew tools, driver-checked: the salted join and the explicit
+    // two-phase aggregation must be RESULT-invariant vs their plain
+    // forms — salting only changes the physical distribution
+    "q_skew_salted_join" -> (q((s, dir) => {
+      val ev = SparkEntry.loader(s, dir)("events")
+      val dim = ev.select(col("user_id")).distinct()
+        .withColumn("user_bucket", col("user_id") % 10)
+      graft.ops.Skew.saltedJoin(
+          ev.select(col("event_id"), col("user_id"), col("value")), dim, "user_id", salts = 8)
+        .select(col("event_id"), col("user_id"), col("user_bucket"), col("value"))
+    }), Some("""
+      SELECT e.event_id, e.user_id, e.user_id % 10 AS user_bucket, e.value
+      FROM events e ORDER BY e.event_id""")),
+
+    "q_skew_two_phase" -> (q((s, dir) => {
+      import org.apache.spark.sql.Column
+      val ev = SparkEntry.loader(s, dir)("events")
+      graft.ops.Skew.twoPhaseAgg(ev.select(col("event_type"), col("value")),
+        "event_type", salts = 8,
+        partials = Map(
+          "total" -> ((sum(col("value")), (n: String) => sum(col(n)))),
+          "n" -> ((count(lit(1)), (n: String) => sum(col(n))))))
+        .select(col("event_type"), round(col("total"), 4).as("total"), col("n"))
+    }), Some("""
+      SELECT event_type, round(sum(value), 4) AS total, count(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // sequence packing: head-to-tail token offsets in the md5 order +
     // the fixed-size windows each doc starts/ends in (distributed
     // prefix sum — no single-task window)
