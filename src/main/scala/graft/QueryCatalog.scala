@@ -671,6 +671,30 @@ object QueryCatalog {
          AND (CASE WHEN event_id % 4 = 2 THEN event_type END) IS NULL) AS is_missing
       FROM events ORDER BY event_id""")),
 
+    // as-of alignment: every non-purchase event picks up the user's
+    // latest at-or-before purchase. graft.ops.AsofJoin: union + running
+    // last(ignoreNulls) window — ONE shuffle on the key, no range join.
+    // ts second-truncated on both sides (q_sessionize grain rationale).
+    "q_asof_join" -> (raw((s, dir) => {
+      import org.apache.spark.sql.functions.{col, date_trunc, max}
+      val e = SparkEntry.loader(s, dir)("events")
+        .withColumn("ts", date_trunc("second", col("ts")))
+      val left = e.where(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts")
+      val right = e.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("pvalue"))
+      graft.ops.AsofJoin.asofBackward(left, right, Seq("user_id"),
+        "ts", "ts", Seq("pvalue")).orderBy("event_id")
+    }), Some("""
+      WITH e AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts,
+                        event_type, value FROM events),
+      p AS (SELECT user_id, ts, max(value) AS pvalue FROM e
+            WHERE event_type = 'purchase' GROUP BY 1, 2),
+      l AS (SELECT event_id, user_id, ts FROM e WHERE event_type <> 'purchase')
+      SELECT l.event_id, l.user_id, l.ts, p.ts AS asof_ts, p.pvalue AS asof_pvalue
+      FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
+      ORDER BY l.event_id""")),
+
     // gap-based sessionization (30-min gap): ONE shuffle on the user
     // key, per-task working set bounded by per-user activity — see
     // graft.ops.Sessions for the scale notes and the streaming sibling.

@@ -109,6 +109,33 @@ class OpsSpec extends AnyFunSuite {
     assert(m1 === m2, "membership must be partitioning-independent")
   }
 
+  test("asof join backward/forward equal the brute-force nearest match") {
+    import graft.ops.AsofJoin
+    // ties included: left at t=20 must see right at t=20 in BOTH directions
+    val left = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 35L),
+      (4L, "b", 5L), (5L, "b", 50L), (6L, "c", 7L))
+      .toDF("id", "k", "t")
+    val right = Seq(("a", 20L, 2.0), ("a", 30L, 3.0), ("b", 5L, 5.0),
+      ("b", 60L, 6.0), ("d", 1L, 9.9))
+      .toDF("k", "t", "v")
+    val lrows = left.as[(Long, String, Long)].collect()
+    val rrows = right.as[(String, Long, Double)].collect()
+    def brute(fwd: Boolean) = lrows.map { case (id, k, t) =>
+      val cand = rrows.filter(r => r._1 == k && (if (fwd) r._2 >= t else r._2 <= t))
+      val pick = if (cand.isEmpty) None
+        else Some(if (fwd) cand.minBy(_._2) else cand.maxBy(_._2))
+      (id, pick.map(_._2), pick.map(_._3))
+    }.toSet
+    val back = AsofJoin.asofBackward(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select("id", "asof_t", "asof_v")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    assert(back === brute(fwd = false))
+    val fwd = AsofJoin.asofForward(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select("id", "asof_t", "asof_v")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    assert(fwd === brute(fwd = true))
+  }
+
   test("prefixSumScaled equals the single-partition window prefix sum") {
     import org.apache.spark.sql.expressions.Window
     import graft.ops.Batching

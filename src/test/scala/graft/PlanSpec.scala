@@ -70,6 +70,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(user_id"), "shuffle is not on the user key")
   }
 
+  test("asof join: window shuffle on the key, no range/theta join") {
+    val p = plan("q_asof_join")
+    // the asof core is ONE exchange (the user-key window); the entry adds
+    // one more for the right side's (user, ts) pre-aggregation
+    val exchanges = p.split('\n').count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 3, s"asof join shuffled too much ($exchanges):\n$p")
+    assert(p.contains("hashpartitioning(user_id"), "asof window is not keyed on user_id")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"asof join fell back to a product join:\n$p")
+  }
+
   test("centroids partial-aggregate before the (group, position) shuffle") {
     val p = plan("q_embed_centroid")
     // map-side combine: the plan prints top-down, so the partial sum must
