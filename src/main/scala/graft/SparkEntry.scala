@@ -12,11 +12,14 @@ import graft.jx.{JxQuery, QueryRunner}
   */
 object SparkEntry {
 
-  def loader(spark: SparkSession, dir: String): String => DataFrame = name => {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // Parquet TIMESTAMP(NANOS) is read as Long (spark.sql.legacy.parquet.
-    // nanosAsLong=true — Spark has no native nanos type); convert to a
-    // microsecond timestamp exactly like DuckDB's ns→µs truncation.
+  def loader(spark: SparkSession, dir: String): String => DataFrame = name =>
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Parquet TIMESTAMP(NANOS) is read as Long (spark.sql.legacy.parquet.
+    * nanosAsLong=true — Spark has no native nanos type); convert to a
+    * microsecond timestamp exactly like DuckDB's ns→µs truncation.
+    * Shared by the batch loader and the streaming reads. */
+  def normalizeTs(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) { (d, f) =>
       if (f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
         d.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
@@ -24,7 +27,6 @@ object SparkEntry {
             .cast(org.apache.spark.sql.types.LongType)))
       else d
     }
-  }
 
   /** Run a JX JSON query against the parquet tables in `dir`. */
   def jx(json: String): (SparkSession, String) => DataFrame = QueryCatalog.jx(json)
@@ -36,10 +38,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2, plus the
     * training-data pipeline operators (dedup/similarity/text/multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueryCatalog.queries ++ TrainingCatalog.queries ++ NestedCatalog.queries
+    QueryCatalog.queries ++ TrainingCatalog.queries ++ NestedCatalog.queries ++
+      StreamCatalog.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    QueryCatalog.oracles ++ TrainingCatalog.oracles ++ NestedCatalog.oracles
+    QueryCatalog.oracles ++ TrainingCatalog.oracles ++ NestedCatalog.oracles ++
+      StreamCatalog.oracles
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+
+/**
+ * Driver-checked STREAMING entries: each runs a real Structured
+ * Streaming query (readStream → transform → memory sink), drains the
+ * source (`processAllAvailable`), and returns the sink table — so the
+ * DuckDB oracle checks the streaming path end-to-end against batch SQL
+ * semantics, not just a spec on crafted rows.
+ *
+ * The file source is the same parquet the batch entries read; on a real
+ * cluster the identical code runs against an unbounded source (Kafka /
+ * file arrival) with the same watermark/state semantics — bounded-drain
+ * equivalence to the batch oracle is exactly the guarantee Structured
+ * Streaming's incrementalization contract makes.
+ */
+object StreamCatalog {
+  import QueryCatalog.{Q, raw}
+
+  /** Memory-sink names are single-use: verify and bench may run one
+    * entry several times in a JVM, and a reused name would read back a
+    * stale sink. */
+  private val seq = new java.util.concurrent.atomic.AtomicInteger()
+  private def sinkName(tag: String): String = s"graft_stream_${tag}_${seq.incrementAndGet()}"
+
+  /** Batch-infer the schema once, then stream-read the same file —
+    * streaming file sources require an explicit schema, and a brace-glob
+    * path so the source's basePath resolves to the directory (a bare
+    * file path is rejected). Applies the same ns→µs `ts` normalization
+    * as the batch loader. */
+  private def streamRead(s: SparkSession, dir: String, table: String): DataFrame = {
+    val sch = s.read.parquet(s"$dir/$table.parquet").schema
+    SparkEntry.normalizeTs(
+      s.readStream.schema(sch).parquet(s"$dir/{$table.parquet}"))
+  }
+
+  /** Run `df` to a memory sink, drain, stop, and hand back the table. */
+  private def drain(s: SparkSession, df: DataFrame, tag: String, mode: OutputMode): DataFrame = {
+    val name = sinkName(tag)
+    val q = Streams.runToMemory(df, name, mode)
+    q.stop()
+    s.table(name)
+  }
+
+  val catalog: Map[String, (Q, Option[String])] = Map(
+
+    // event-time tumbling window aggregation on a stream: 1-day windows,
+    // epoch-aligned (= UTC date_trunc). Complete mode so the bounded
+    // drain emits every window (append would hold back windows the final
+    // watermark has not passed — correct on an unbounded stream, vacuous
+    // on a drained one).
+    "q_stream_window" -> (raw((s, dir) => {
+      val events = streamRead(s, dir, "events")
+      val counts = Streams.windowedCounts(events, "ts", "value",
+        windowLen = "1 day", slide = "1 day", watermark = "1 hour")
+      drain(s, counts, "window", OutputMode.Complete())
+        .orderBy("window_start")
+    }), Some("""
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
+             count(*) AS n, sum(value) AS total
+      FROM events GROUP BY 1, 2 ORDER BY 1""")),
+
+    // exact-dedup ON INGEST: dropDuplicatesWithinWatermark keyed on the
+    // normalized content hash. Synthetic event time (doc_id seconds) +
+    // a 7-day delay: the corpus spans ~3 hours, so the watermark never
+    // evicts hash state during the drain and the stream's survivor set
+    // must equal the batch DISTINCT — which is what the oracle checks.
+    "q_stream_dedup" -> (raw((s, dir) => {
+      // the +1 day base keeps doc_id 0 off the epoch-0 initial watermark
+      // boundary (a row AT the initial watermark is dropped as late)
+      val docs = streamRead(s, dir, "documents")
+        .withColumn("ts", timestamp_seconds(col("doc_id") + lit(86400L)))
+      val kept = Streams.dedupStream(docs, "text", "ts", delay = "7 days")
+        .select(graft.ops.Dedup.contentHash(col("text")).as("content_hash"))
+      drain(s, kept, "dedup", OutputMode.Append())
+        .orderBy("content_hash")
+    }), Some("""
+      SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
+      FROM documents ORDER BY 1""")),
+
+    // gap-based session windows on a stream (session_window + watermark):
+    // 30-min gap, session_end = last event + gap (the built-in's close
+    // bound). Complete mode for the bounded drain; ts second-truncated on
+    // both sides (q_sessionize grain rationale). The batch sibling is
+    // q_sessionize — same gap rule, different end-bound convention.
+    "q_stream_sessions" -> (raw((s, dir) => {
+      val events = streamRead(s, dir, "events")
+        .withColumn("ts", date_trunc("second", col("ts")))
+      val sess = Streams.sessionWindowAgg(events, "ts", "value", "user_id",
+        gap = "30 minutes", watermark = "1 hour")
+      drain(s, sess, "sessions", OutputMode.Complete())
+        .orderBy("user_id", "session_start")
+    }), Some("""
+      WITH e AS (
+        SELECT user_id, date_trunc('second', ts) AS ts, value, event_id FROM events),
+      g AS (
+        SELECT user_id, ts, value, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s2 AS (
+        SELECT user_id, ts, value,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g)
+      SELECT user_id,
+             min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n, sum(value) AS total
+      FROM s2 GROUP BY user_id, sid ORDER BY 1, 2"""))
+  )
+
+  def queries: Map[String, Q] = catalog.map { case (k, (q, _)) => k -> q }
+  def oracles: Map[String, String] = catalog.collect { case (k, (_, Some(o))) => k -> o }
+}
