@@ -86,6 +86,41 @@ object TrainingCatalog {
         CASE WHEN n_tok > 0 THEN CAST(n_wordchars AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS avg_word_len
       FROM documents ORDER BY doc_id""")),
 
+    // per-language quality gate: keep the top half by quality score
+    // within each language — two-phase (exact percentile agg + broadcast
+    // threshold join), no per-lang window; see qualityFilterByLang's doc
+    "q_text_quality_filter" -> (q((s, dir) =>
+      TextAnalysis.qualityFilterByLang(docs(s, dir), "doc_id", "text",
+          "lang", keepFrac = 0.5)
+        .select(col("doc_id"), col("lang"), col("quality"), col("q_threshold"))
+        .orderBy("doc_id")
+    ), Some(s"""
+      WITH m AS (
+        SELECT doc_id, lang,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+          len(regexp_extract_all(lower(text), '${lexSql("en")}')) AS n_stop,
+          length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_wordchars,
+          length(text) AS n_chars
+        FROM documents),
+      sc AS (
+        SELECT doc_id, lang,
+          round(
+            least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.3
+            + (CASE WHEN n_tok > 0 AND CAST(n_wordchars AS DOUBLE) / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0
+                    THEN 1.0 ELSE 0.0 END) * 0.2
+            + least((CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0) * 0.3
+            + (1.0 - least((CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)) * 4.0, 1.0)) * 0.2,
+            6) AS quality
+        FROM m),
+      t AS (
+        SELECT lang, quantile_cont(quality, 0.5) AS q_threshold
+        FROM sc GROUP BY 1)
+      SELECT sc.doc_id, sc.lang, sc.quality, t.q_threshold
+      FROM sc JOIN t USING (lang)
+      WHERE sc.quality >= t.q_threshold ORDER BY sc.doc_id""")),
+
     "q_text_quality" -> (q((s, dir) => {
       val t = col("text")
       docs(s, dir).select(

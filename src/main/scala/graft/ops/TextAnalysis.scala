@@ -108,6 +108,29 @@ object TextAnalysis {
     round(lenScore * 0.3 + wordLenScore * 0.2 + stopScore * 0.3 + punctPenalty * 0.2, 6)
   }
 
+  /** Per-language quality gate: keep documents whose [[qualityScore]]
+    * is at or above their language's `1 - keepFrac` quantile — "top
+    * keepFrac by quality, per language". TWO-PHASE, deliberately not a
+    * language-partitioned window (|langs| is tiny, so a per-lang window
+    * would funnel whole languages through single tasks at corpus
+    * scale): (1) aggregate per-lang thresholds — partial-aggregating,
+    * O(|langs|) rows out; (2) broadcast the tiny threshold table back
+    * onto the scan and filter there. Exact `percentile` buffers each
+    * group's values in its agg buffer — right for oracle-checked
+    * correctness at test scale; at 100 TB swap in `approx_percentile`
+    * (t-digest, bounded memory) — the join/filter shape is unchanged.
+    * Null-language rows are dropped by the equality join, like the SQL
+    * inner join they mirror. */
+  def qualityFilterByLang(df: org.apache.spark.sql.DataFrame, idCol: String,
+                          textCol: String, langCol: String,
+                          keepFrac: Double): org.apache.spark.sql.DataFrame = {
+    val scored = df.withColumn("quality", qualityScore(col(textCol)))
+    val thr = scored.groupBy(col(langCol))
+      .agg(expr(s"percentile(quality, ${1.0 - keepFrac})").as("q_threshold"))
+    scored.join(broadcast(thr), langCol)
+      .where(col("quality") >= col("q_threshold"))
+  }
+
   // -- repetition signals (Gopher-rule flavored) --------------------------
 
   /** Fraction of tokens that are repeats: 1 - |distinct|/|tokens|. */

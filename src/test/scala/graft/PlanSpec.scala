@@ -70,6 +70,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(user_id"), "shuffle is not on the user key")
   }
 
+  test("quality filter: threshold table broadcasts, no per-lang window") {
+    val p = plan("q_text_quality_filter")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-lang thresholds should broadcast back onto the scan:\n$p")
+    assert(!p.contains("Window"), s"quality gate must not use a lang window:\n$p")
+  }
+
   test("asof join: window shuffle on the key, no range/theta join") {
     val p = plan("q_asof_join")
     // the asof core is ONE exchange (the user-key window); the entry adds
