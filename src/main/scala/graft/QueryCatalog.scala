@@ -969,6 +969,31 @@ object QueryCatalog {
         sum(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS run3
       FROM events ORDER BY event_id LIMIT 10000""")),
 
+    // event-TIME sliding window (rangeBetween on epoch seconds): each
+    // event's trailing-1-hour per-user count and sum. The rows-based
+    // sibling is q_window_sliding; range frames are the event-time form
+    // a feature pipeline needs (rate limits, rolling activity). Same
+    // one-shuffle-on-the-user-key shape as sessionization; ts truncated
+    // to seconds on both sides (q_sessionize grain rationale).
+    "q_window_time_range" -> (raw((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{col, count, date_trunc, lit, sum}
+      val e = SparkEntry.loader(s, dir)("events")
+        .withColumn("ts", date_trunc("second", col("ts")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").cast("long"))
+        .rangeBetween(-3599L, 0L)
+      e.select(col("event_id"), col("user_id"), col("ts"),
+          count(lit(1)).over(w).as("n_1h"), sum(col("value")).over(w).as("sum_1h"))
+        .orderBy("event_id")
+    }), Some("""
+      WITH e AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts, value FROM events)
+      SELECT event_id, user_id, ts,
+        count(*) OVER w AS n_1h, sum(value) OVER w AS sum_1h
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""")),
+
     // the reference's meta.columns schema-introspection surface
     // (vendor/jx_python/meta.py:142-160, jx_base/__init__.py:244-264):
     // every table's columns as a queryable DataFrame. Metadata is

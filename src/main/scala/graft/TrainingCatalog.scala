@@ -961,6 +961,33 @@ object TrainingCatalog {
              CAST(doc_id * 7 % 199 + 16 AS INT) AS png_h,
              CAST(3 AS INT) AS png_c
       FROM documents ORDER BY doc_id""")),
+    // REAL audio-header decode: canonical WAV payloads with planted
+    // rate/channels/bits/duration arithmetic, decoded by the pure
+    // Column-algebra wavMeta parser (the audio sibling of the BMP/PNG
+    // check above). data length = byteRate x whole seconds, so the
+    // duration division is exact in both engines.
+    "q_multimodal_wav" -> (q((s, dir) => {
+      val mkWav = udf((id: Long) => Multimodal.syntheticWav(
+        rate = (8000 + (id % 5) * 8000).toInt,
+        channels = (1 + id % 2).toShort,
+        bits = if (id % 3 == 0) 8.toShort else 16.toShort,
+        dataLen = ((8000 + (id % 5) * 8000) * (1 + id % 2) *
+          (if (id % 3 == 0) 1 else 2) * (1 + id % 3)).toInt))
+      val am = Multimodal.wavMeta(mkWav(col("doc_id")))
+      docs(s, dir).select(
+        col("doc_id"),
+        am.getField("sample_rate").as("sample_rate"),
+        am.getField("channels").as("channels"),
+        am.getField("bits_per_sample").as("bits_per_sample"),
+        am.getField("duration_sec").as("duration_sec"))
+    }), Some("""
+      SELECT doc_id,
+             CAST(8000 + (doc_id % 5) * 8000 AS INT) AS sample_rate,
+             CAST(1 + doc_id % 2 AS INT) AS channels,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INT) AS bits_per_sample,
+             CAST(1 + doc_id % 3 AS DOUBLE) AS duration_sec
+      FROM documents ORDER BY doc_id""")),
+
     // FULL-DECODE check: each document gets a REAL compressed PNG
     // (ImageIO.write of a BufferedImage with doc_id-derived dimensions
     // and deterministic pixel data), then [[Multimodal.ImageIoDecoder]]

@@ -197,6 +197,22 @@ object Multimodal {
     bb.array()
   }
 
+  /** Canonical 44-byte WAV header (RIFF/WAVE/fmt/data) + zeroed sample
+    * bytes — spec-compliant input for [[wavMeta]]'s planted-oracle
+    * entry; `dataLen` sample bytes give duration = dataLen / byteRate. */
+  def syntheticWav(rate: Int, channels: Short, bits: Short, dataLen: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(4, 36 + dataLen)
+    bb.position(8); bb.put("WAVEfmt ".getBytes("US-ASCII"))
+    bb.putInt(16, 16); bb.putShort(20, 1)
+    bb.putShort(22, channels); bb.putInt(24, rate)
+    bb.putInt(28, rate * channels * (bits / 8)) // byte rate
+    bb.putShort(32, (channels * (bits / 8)).toShort); bb.putShort(34, bits)
+    bb.position(36); bb.put("data".getBytes("US-ASCII")); bb.putInt(40, dataLen)
+    bb.array()
+  }
+
   /** JVM-side BMP decoder for the partition-batched path. */
   val BmpDecoder: Array[Byte] => Option[(Long, Int, Int, Int)] = bytes => {
     if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') None

@@ -14,10 +14,10 @@ class QueryRunnerSpec extends AnyFunSuite {
   }
 
   test("catalog merge shadows no entry and every oracle names a query") {
-    // SparkEntry merges three catalogs with ++ — a reused entry name
+    // SparkEntry merges four catalogs with ++ — a reused entry name
     // would silently DROP one implementation and weaken the gate
     val sizes = QueryCatalog.queries.size + TrainingCatalog.queries.size +
-      NestedCatalog.queries.size
+      NestedCatalog.queries.size + StreamCatalog.queries.size
     assert(SparkEntry.queries.size === sizes,
       "duplicate entry name across catalogs (one shadowed)")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
