@@ -87,7 +87,9 @@ object StreamCatalog {
     // 30-min gap, session_end = last event + gap (the built-in's close
     // bound). Complete mode for the bounded drain; ts second-truncated on
     // both sides (q_sessionize grain rationale). The batch sibling is
-    // q_sessionize — same gap rule, different end-bound convention.
+    // q_sessionize — SAME gap rule (a gap of exactly `gap` still merges;
+    // new session only when diff > gap — pinned by an exact-1800 s pair
+    // at sf0.1), different end-bound convention.
     "q_stream_sessions" -> (raw((s, dir) => {
       val events = streamRead(s, dir, "events")
         .withColumn("ts", date_trunc("second", col("ts")))
@@ -101,7 +103,7 @@ object StreamCatalog {
       g AS (
         SELECT user_id, ts, value, event_id,
           CASE WHEN lag(ts) OVER w IS NULL
-                 OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS is_new
+                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
         FROM e
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       s2 AS (
