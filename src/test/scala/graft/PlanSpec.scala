@@ -70,6 +70,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(user_id"), "shuffle is not on the user key")
   }
 
+  test("bucketed tables co-locate the join: zero Exchange") {
+    // the claim made throughout the scale notes — "pre-bucket by the key
+    // and the join shuffle becomes a no-op" — proven on the physical
+    // plan: both sides bucketed on user_id, sort-merge join, no Exchange
+    val e = SparkEntry.queries("q_select_star") // touch nothing; use loader directly
+    val ev = SparkEntry.loader(spark, dir)("events")
+    ev.write.mode("overwrite").bucketBy(8, "user_id")
+      .sortBy("user_id").saveAsTable("ev_bucketed")
+    ev.groupBy("user_id").count()
+      .write.mode("overwrite").bucketBy(8, "user_id")
+      .sortBy("user_id").saveAsTable("usr_bucketed")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val p = spark.table("ev_bucketed").join(spark.table("usr_bucketed"), "user_id")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed join still shuffled:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("time-range window shuffles once, on the user key") {
+    val p = plan("q_window_time_range")
+    // one hash exchange for the window; the trailing rangepartitioning is
+    // the entry's presentation orderBy, not operator cost
+    val hashEx = p.split('\n').count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx === 1, s"expected 1 hash exchange (user key), got $hashEx:\n$p")
+    assert(p.contains("hashpartitioning(user_id"), "range window is not keyed on user_id")
+  }
+
   test("quality filter: threshold table broadcasts, no per-lang window") {
     val p = plan("q_text_quality_filter")
     assert(p.contains("BroadcastHashJoin"),
