@@ -710,6 +710,48 @@ object TrainingCatalog {
       FROM documents WHERE substr(md5(text), 1, 2) < '40'
       ORDER BY doc_id""")),
 
+    // multilingual temperature resampling (τ=2): per-language keep
+    // probability sqrt(n_min/n_lang), realized deterministically through
+    // the md5 bucket — every arithmetic step is IEEE correctly-rounded,
+    // so the oracle reproduces the cuts bit-for-bit (see
+    // Sampling.temperatureResample for why τ=2 and not general pow)
+    "q_sample_temperature" -> (q((s, dir) =>
+      graft.ops.Sampling.temperatureResample(docs(s, dir), "lang", col("text"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    ), Some("""
+      WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      cut AS (
+        SELECT lang, CAST(ceil(sqrt(
+          CAST((SELECT min(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE)) * 256.0) AS INT) AS cut
+        FROM c)
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN cut USING (lang)
+      WHERE cut.cut >= 256 OR substr(md5(d.text), 1, 2) < printf('%02x', cut.cut)
+      ORDER BY d.doc_id""")),
+
+    // per-source token-budget take: keep each source's docs in doc_id
+    // order while the running token total stays within budget — the
+    // "fill a per-domain quota" step of corpus assembly
+    "q_budget_take" -> (q((s, dir) =>
+      graft.ops.Sampling.budgetTake(docs(s, dir), "source", "doc_id",
+          TextAnalysis.tokenCount(col("text")), budget = 500L)
+        .select(col("doc_id"), col("source"), col("running_tokens"))
+        .orderBy("doc_id")
+    ), Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
+        FROM documents),
+      r AS (
+        SELECT doc_id, source,
+          sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS running_tokens
+        FROM t)
+      SELECT doc_id, source, running_tokens FROM r
+      WHERE running_tokens <= 500 ORDER BY doc_id""")),
+
     // END-TO-END curation pipeline — the composition a training-data run
     // actually executes, as ONE oracle-checked query: language filter
     // (en) + quality floor, then near-dup discovery (MinHash-LSH) over

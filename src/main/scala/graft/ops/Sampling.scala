@@ -34,7 +34,51 @@ object Sampling {
   def sampleByHash(key: Column, fraction: Double): Column = {
     require(fraction >= 0 && fraction <= 1, s"fraction: $fraction")
     val cut = math.min(256, math.ceil(fraction * 256).toInt)
-    hashBucket(key) < lit(f"$cut%02x")
+    // cut = 256 formats as "100", which sorts BELOW "10".."ff" — the
+    // full-sample case must short-circuit, not compare
+    if (cut >= 256) lit(true) else hashBucket(key) < lit(f"$cut%02x")
+  }
+
+  /** Multilingual TEMPERATURE resampling (mT5/XLM-R style, fixed τ=2):
+    * downsample each class (language) with keep-probability
+    * `sqrt(n_min / n_class)` — head classes shrink toward the √ of
+    * their excess, the smallest class keeps everything. Deterministic
+    * via the md5 bucket of `key`, so reruns and engines agree row-for-
+    * row. τ=2 specifically because every step (count ratio, sqrt,
+    * ×256) is an IEEE correctly-rounded operation — bit-identical in
+    * any engine, so the per-class cut can be reproduced in oracle SQL.
+    * General-τ would need `pow`, whose last ULP is libm-dependent.
+    * Shape: tiny per-class count agg → broadcast cuts → filter in the
+    * scan. One partial-aggregating count pass; no window, no repartition
+    * of the corpus. */
+  def temperatureResample(df: org.apache.spark.sql.DataFrame, classCol: String,
+                          key: Column): org.apache.spark.sql.DataFrame = {
+    val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+    val nMin = min(col("__n")).over(org.apache.spark.sql.expressions.Window
+      .partitionBy())
+    // the all-rows window over the TINY counts frame, not the corpus
+    val cuts = counts.withColumn("__cut",
+      ceil(sqrt(nMin.cast("double") / col("__n").cast("double")) * 256.0).cast("int"))
+    df.join(broadcast(cuts.select(col(classCol), col("__cut"))), classCol)
+      .where(col("__cut") >= 256 ||
+        hashBucket(key) < format_string("%02x", col("__cut")))
+      .drop("__cut")
+  }
+
+  /** Per-group TOKEN-BUDGET take: walk each group in `orderCol` order
+    * and keep rows while the running token total stays within `budget`
+    * (the first over-budget row is excluded). One shuffle on the group
+    * key; rows of a group sort within their task. For FEW, HUGE groups
+    * prefer a two-level prefix sum (see Batching.prefixSumScaled) —
+    * this window form serializes each group through one task. */
+  def budgetTake(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                 orderCol: String, tokens: Column, budget: Long,
+                 out: String = "running_tokens"): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn(out, sum(tokens).over(w))
+      .where(col(out) <= budget)
   }
 
   /** Deterministic STRATIFIED take: the first `n` rows of each class

@@ -109,6 +109,25 @@ class OpsSpec extends AnyFunSuite {
     assert(m1 === m2, "membership must be partitioning-independent")
   }
 
+  test("sampleByHash keeps everything at fraction 1.0 and nothing at 0.0") {
+    // regression: cut=256 used to format as "100", which sorts below
+    // "10".."ff" and silently kept only the 00-0f buckets
+    val n = docs.count()
+    assert(docs.where(Sampling.sampleByHash(col("text"), 1.0)).count() === n)
+    assert(docs.where(Sampling.sampleByHash(col("text"), 0.0)).count() === 0)
+  }
+
+  test("temperature resample: smallest class keeps all rows, head shrinks") {
+    val df = (1 to 400).map(i => (i.toLong, s"text $i", if (i <= 320) "big" else "small"))
+      .toDF("id", "t", "cls")
+    val kept = Sampling.temperatureResample(df, "cls", col("t"))
+    val by = kept.groupBy("cls").count().as[(String, Long)].collect().toMap
+    assert(by("small") === 80L) // cut = 256 -> keep-all
+    // big: keep-prob sqrt(80/320) = 0.5 -> cut 128; md5 buckets spread
+    // uniformly, so the kept count sits near 160
+    assert(by("big") > 120L && by("big") < 200L, s"big kept ${by("big")}")
+  }
+
   test("asof join backward/forward equal the brute-force nearest match") {
     import graft.ops.AsofJoin
     // ties included: left at t=20 must see right at t=20 in BOTH directions
