@@ -695,6 +695,36 @@ object QueryCatalog {
       FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
       ORDER BY l.event_id""")),
 
+    // point-in-interval join: each error event paired with every
+    // purchase window [ts, ts+1h] of the same user containing it.
+    // graft.ops.RangeJoin: arithmetic bucketing → (key, bucket)
+    // equi-join, never a nested-loop theta join; pairs unique because
+    // only the interval side explodes.
+    "q_interval_join" -> (raw((s, dir) => {
+      import org.apache.spark.sql.functions.{col, date_trunc, expr}
+      val e = SparkEntry.loader(s, dir)("events")
+        .withColumn("ts", date_trunc("second", col("ts")))
+      val left = e.where(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      val right = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("win_id"), col("user_id"),
+          col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("win_end"))
+      graft.ops.RangeJoin.pointInInterval(left, right, Seq("user_id"),
+          "ts", "win_start", "win_end")
+        .orderBy("event_id", "win_id")
+    }), Some("""
+      WITH e AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts,
+                        event_type FROM events),
+      l AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'error'),
+      r AS (SELECT event_id AS win_id, user_id, ts AS win_start,
+                   ts + INTERVAL 1 HOUR AS win_end
+            FROM e WHERE event_type = 'purchase')
+      SELECT l.event_id, l.user_id, l.ts, r.win_id, r.win_start, r.win_end
+      FROM l JOIN r ON l.user_id = r.user_id
+                   AND l.ts >= r.win_start AND l.ts <= r.win_end
+      ORDER BY l.event_id, r.win_id""")),
+
     // gap-based sessionization (30-min gap): ONE shuffle on the user
     // key, per-task working set bounded by per-user activity — see
     // graft.ops.Sessions for the scale notes and the streaming sibling.

@@ -128,6 +128,30 @@ class OpsSpec extends AnyFunSuite {
     assert(by("big") > 120L && by("big") < 200L, s"big kept ${by("big")}")
   }
 
+  test("point-in-interval join equals brute force; spans and bounds inclusive") {
+    import graft.ops.RangeJoin
+    // intervals span 0-3 buckets at width 10; bounds are inclusive
+    val left = Seq((1L, "a", 5L), (2L, "a", 10L), (3L, "a", 29L),
+      (4L, "b", 100L), (5L, "c", 7L)).toDF("id", "k", "t")
+    val right = Seq((10L, "a", 0L, 10L), (11L, "a", 10L, 35L),
+      (12L, "b", 90L, 99L), (13L, "d", 0L, 50L)).toDF("win", "k", "s", "e")
+    val got = RangeJoin.pointInInterval(
+        left.withColumn("t", col("t").cast("timestamp")),
+        right.withColumn("s", col("s").cast("timestamp"))
+          .withColumn("e", col("e").cast("timestamp")),
+        Seq("k"), "t", "s", "e", bucketSec = 10L)
+      .select("id", "win").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (id, lk, t) <- Seq((1L, "a", 5L), (2L, "a", 10L), (3L, "a", 29L),
+        (4L, "b", 100L), (5L, "c", 7L))
+      (win, rk, s, e) <- Seq((10L, "a", 0L, 10L), (11L, "a", 10L, 35L),
+        (12L, "b", 90L, 99L), (13L, "d", 0L, 50L))
+      if lk == rk && t >= s && t <= e
+    } yield (id, win)).toSet
+    assert(got === want) // (2,10) and (2,11) both match at t=10; 4 matches nothing
+    assert(want.contains((2L, 10L)) && want.contains((2L, 11L)))
+  }
+
   test("asof join backward/forward equal the brute-force nearest match") {
     import graft.ops.AsofJoin
     // ties included: left at t=20 must see right at t=20 in BOTH directions

@@ -74,8 +74,21 @@ class PlanSpec extends AnyFunSuite {
     // the claim made throughout the scale notes — "pre-bucket by the key
     // and the join shuffle becomes a no-op" — proven on the physical
     // plan: both sides bucketed on user_id, sort-merge join, no Exchange
-    val e = SparkEntry.queries("q_select_star") // touch nothing; use loader directly
     val ev = SparkEntry.loader(spark, dir)("events")
+    // a fresh in-memory catalog doesn't know about last run's managed-
+    // table locations — clear them or CTAS refuses the name
+    for (t <- Seq("ev_bucketed", "usr_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(loc.toPath)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }
     ev.write.mode("overwrite").bucketBy(8, "user_id")
       .sortBy("user_id").saveAsTable("ev_bucketed")
     ev.groupBy("user_id").count()
@@ -89,6 +102,14 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
       assert(!p.contains("Exchange"), s"bucketed join still shuffled:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("interval join is an equi-join on (key, bucket), never a nested loop") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join fell back to a product join:\n$p")
+    assert(p.contains("Join") && p.contains("__bucket"),
+      s"expected the (key, bucket) equi-join:\n$p")
   }
 
   test("time-range window shuffles once, on the user key") {
