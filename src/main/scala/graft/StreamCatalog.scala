@@ -38,9 +38,17 @@ object StreamCatalog {
       s.readStream.schema(sch).parquet(s"$dir/{$table.parquet}"))
   }
 
-  /** Run `df` to a memory sink, drain, stop, and hand back the table. */
+  /** Run `df` to a memory sink, drain, stop, and hand back the table.
+    * Sinks from EARLIER invocations of the same tag are dropped first —
+    * memory-sink rows live on the driver, and a bench loop that drains
+    * q_stream_sessions repeatedly would otherwise pin every previous
+    * run's result table. The just-created sink stays registered (the
+    * caller's DataFrame reads it lazily). */
   private def drain(s: SparkSession, df: DataFrame, tag: String, mode: OutputMode): DataFrame = {
     val name = sinkName(tag)
+    val stale = s.catalog.listTables().collect()
+      .map(_.name).filter(t => t.startsWith(s"graft_stream_${tag}_") && t != name)
+    stale.foreach(t => s.catalog.dropTempView(t))
     val q = Streams.runToMemory(df, name, mode)
     q.stop()
     s.table(name)
