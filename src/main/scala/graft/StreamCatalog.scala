@@ -73,6 +73,27 @@ object StreamCatalog {
              count(*) AS n, sum(value) AS total
       FROM events GROUP BY 1, 2 ORDER BY 1""")),
 
+    // the same windowed aggregation in APPEND mode — the production
+    // output mode on an unbounded stream. Append emits a window only
+    // once the watermark passes its end, so the drained result is the
+    // PREFIX of finalized windows: every day window whose end <=
+    // max(event time) - 1h delay. That predicate IS the oracle — this
+    // entry checks the watermark-finalization contract itself, which
+    // Complete mode (above) deliberately bypasses.
+    "q_stream_window_append" -> (raw((s, dir) => {
+      val events = streamRead(s, dir, "events")
+      val counts = Streams.windowedCounts(events, "ts", "value",
+        windowLen = "1 day", slide = "1 day", watermark = "1 hour")
+      drain(s, counts, "window_append", OutputMode.Append())
+        .orderBy("window_start")
+    }), Some("""
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
+             count(*) AS n, sum(value) AS total
+      FROM events GROUP BY 1, 2
+      HAVING window_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+      ORDER BY 1""")),
+
     // exact-dedup ON INGEST: dropDuplicatesWithinWatermark keyed on the
     // normalized content hash. Synthetic event time (doc_id seconds) +
     // a 7-day delay: the corpus spans ~3 hours, so the watermark never
