@@ -54,7 +54,51 @@ object StreamCatalog {
     s.table(name)
   }
 
+  /** Pid+sequence-keyed scratch dir (same hygiene as NestedCatalog's
+    * extract scratch: no cross-JVM clobber, no tmpdir accumulation). */
+  private def scratchDir(tag: String): String = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_${tag}_${ProcessHandle.current().pid()}_${seq.incrementAndGet()}")
+    p.toString
+  }
+
   val catalog: Map[String, (Q, Option[String])] = Map(
+
+    // the ETL core operator's STREAMING form, end-to-end: orders arrive
+    // as a fact stream, each micro-batch is snowflake-assembled against
+    // the static customer/lineitem dims (broadcast lookups + child
+    // collect_list, the same DocAssembler the batch extract uses) and
+    // appended to a parquet sink; the drained sink's nested docs are
+    // then flattened and checked against a plain relational oracle.
+    "q_stream_extract" -> (raw((s, dir) => {
+      import graft.etl.{Child, Lookup, SnowflakePlan}
+      val plan = SnowflakePlan("orders", "o_orderkey",
+        lookups = Seq(Lookup("o_custkey", "customer",
+          SnowflakePlan("customer", "c_custkey"))),
+        children = Seq(Child("l_orderkey", "lineitems",
+          SnowflakePlan("lineitem", "l_orderkey"))))
+      val out = scratchDir("stream_extract")
+      val writer = Streams.extractStream(
+        streamRead(s, dir, "orders"), plan, SparkEntry.loader(s, dir)) {
+        (docs, _) => docs.write.mode("append").parquet(out)
+      }
+      val q = writer.start(); q.processAllAvailable(); q.stop()
+      val docs = s.read.parquet(out)
+      docs.select(col("o_orderkey"),
+          col("customer").getField("c_name").as("c_name"),
+          when(col("lineitems").isNull, lit(0L))
+            .otherwise(size(col("lineitems")).cast("long")).as("n_items"),
+          when(col("lineitems").isNull, lit(null).cast("double"))
+            .otherwise(aggregate(col("lineitems"), lit(0.0),
+              (acc, x) => acc + x.getField("l_quantity"))).as("sum_qty"))
+        .orderBy("o_orderkey")
+    }), Some("""
+      SELECT o.o_orderkey, c.c_name,
+             count(l.l_orderkey) AS n_items,
+             sum(l.l_quantity) AS sum_qty
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2 ORDER BY 1""")),
 
     // event-time tumbling window aggregation on a stream: 1-day windows,
     // epoch-aligned (= UTC date_trunc). Complete mode so the bounded
