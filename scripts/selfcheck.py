@@ -76,8 +76,38 @@ def main():
         if h1 != h2:
             diff = [(a, b) for a, b in zip(l1, l2) if a != b][:3]
             results[name] = f"HASH MISMATCH e.g. {diff}"
-        else:
-            results[name] = "OK"
+            continue
+        # The DRIVER's comparator goes through pandas and is dtype- and
+        # sortability-sensitive in ways fetchall() is not: DuckDB HUGEINT
+        # (integer sum()) becomes float64 while Spark emits int64, and
+        # array cells are unhashable in pandas sort_values. Flag both so
+        # a local pass predicts a driver pass.
+        got_df = con.execute(f"SELECT * FROM read_parquet('{pq}/*.parquet')").df()
+        want_df = con.execute(oracle[name]).df()
+
+        # integer WIDTH differences hash identically in the driver
+        # (int32 1 == int64 1); int-vs-float does not (500 != 500.0) —
+        # the HUGEINT→float64 sum() trap. Collapse widths, keep kinds.
+        def kind(t):
+            s = str(t)
+            if s.startswith(("int", "uint")):
+                return "int"
+            if s.startswith("float"):
+                return "float"
+            return s
+        dt1 = sorted((c, kind(t)) for c, t in got_df.dtypes.items())
+        dt2 = sorted((c, kind(t)) for c, t in want_df.dtypes.items())
+        if dt1 != dt2:
+            bad = [(a, b) for a, b in zip(dt1, dt2) if a != b]
+            results[name] = f"DTYPE MISMATCH (driver-red) spark-vs-duck {bad}"
+            continue
+        unsortable = [c for c in got_df.columns
+                      if len(got_df) and isinstance(got_df[c].iloc[0], (list, tuple))
+                      or len(got_df) and type(got_df[c].iloc[0]).__name__ == "ndarray"]
+        if unsortable:
+            results[name] = f"UNSORTABLE ARRAY COLS (driver-red): {unsortable}"
+            continue
+        results[name] = "OK"
 
     # queries with no oracle: rows-only check
     for d in sorted(glob.glob(f"{OUT}/*/")):

@@ -346,13 +346,17 @@ object Dedup {
    * smallest id of its component (deterministic survivor choice, same
    * convention as [[exactGroups]]'s keep_id).
    *
-   * PERSIST LIFECYCLE: the result depends on two small persisted RDDs
-   * (the pinned input pair list and the converged star set — each one
-   * (long, long) row per pair/non-root node) which stay cached so
-   * downstream actions don't re-run discovery or the iteration chain;
-   * Spark's LRU evicts them under pressure. Callers looping over MANY
-   * independent pair lists in one session should materialize the result
-   * and drop the reference between calls.
+   * PERSIST LIFECYCLE: the (node, rep) result is materialized EAGERLY
+   * into one persisted RDD before returning, and every intermediate pin
+   * (the input pair list, each round's edge set) is unpersisted on the
+   * way out — downstream actions read the one result RDD and never
+   * re-run discovery or the iteration chain. At most ONE result stays
+   * resident per JVM: a one-slot holder unpersists the previous
+   * invocation's result when a new one completes, so repeat invocations
+   * (benchmarks, notebook re-runs) don't accumulate pinned RDDs. An
+   * earlier keep-everything-cached variant showed up in driver benches
+   * as warm runs SLOWER than cold across the whole dedup family — LRU
+   * churn from accumulated pins.
    */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b", maxIter: Int = 50): DataFrame = {
@@ -373,7 +377,7 @@ object Dedup {
     // the most expensive stage of the whole pipeline, and both the
     // canonical edge set AND the node inventory read it — without the
     // pin, each reads means one full re-run of discovery
-    val (base, _) = pin(pairs
+    val (base, baseRdd) = pin(pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
     def checksum(df: DataFrame): (Long, Long) = {
       val row = df.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
@@ -405,12 +409,27 @@ object Dedup {
     var sig = checksum(cur)
     var it = 0
     var converged = false
+    // checksum probes run every SECOND round: each probe is a blocking
+    // driver action, and ~10 rounds × fixed scheduler overhead dominated
+    // the entry's wall time under contention. The star transform is a
+    // deterministic contraction with a strictly decreasing potential
+    // (Kiveris et al. §4), so state(k) == state(k-2) only at the
+    // fixpoint — a two-apart checksum match IS convergence (at most one
+    // redundant round runs). Unpersists of unprobed rounds are DEFERRED
+    // to the next probe: the probe's materialization is what caches the
+    // intermediate pins, and dropping an unmaterialized round's
+    // predecessor would cascade recomputation back to discovery.
+    var deferred = List.empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
     while (!converged && it < maxIter) {
       val (next, nextRdd) = pin(smallStar(largeStar(cur)))
-      val nextSig = checksum(next)
-      converged = nextSig == sig
-      curRdd.unpersist()
-      cur = next; curRdd = nextRdd; sig = nextSig; it += 1
+      deferred ::= curRdd
+      cur = next; curRdd = nextRdd; it += 1
+      if (it % 2 == 0 || it == maxIter) {
+        val nextSig = checksum(cur)
+        converged = nextSig == sig
+        sig = nextSig
+        deferred.foreach(_.unpersist()); deferred = Nil
+      }
     }
     if (!converged)
       throw new IllegalStateException(
@@ -419,15 +438,29 @@ object Dedup {
     // min. Roots themselves have no outgoing edge → rep = self.
     val nodes = base.select(col("u").as("node"))
       .union(base.select(col("v").as("node"))).distinct()
-    // the returned (lazy) frame reads the pinned input RDD (node
-    // inventory) and the FINAL star-edge RDD — both stay persisted: the
-    // star set is one (long, long) row per non-root node and the input
-    // is the pair list itself, both negligible beside the corpus, and
-    // unpersisting here would force every downstream action to re-run
-    // the discovery join and the whole iteration chain
-    nodes.join(cur.select(col("u").as("node"), col("v").as("rep")), Seq("node"), "left")
+    val result = nodes
+      .join(cur.select(col("u").as("node"), col("v").as("rep")), Seq("node"), "left")
       .select(col("node"), coalesce(col("rep"), col("node")).as("rep"))
+    // eager materialization while the input + star pins are still live,
+    // then release everything except the one result RDD (slot-bounded
+    // across invocations — see the PERSIST LIFECYCLE scaladoc)
+    val resSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rep", org.apache.spark.sql.types.LongType)))
+    val resRdd = result.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    resRdd.count()
+    baseRdd.unpersist()
+    curRdd.unpersist()
+    val prev = ccResultSlot.getAndSet(resRdd)
+    if (prev != null && (prev ne resRdd)) prev.unpersist()
+    spark.createDataFrame(resRdd, resSchema)
   }
+
+  /** One-slot holder for the last [[connectedComponents]] result RDD —
+    * bounds resident cache to a single live cluster map per JVM. */
+  private val ccResultSlot =
+    new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
 
   /** One row per duplicate CLUSTER (transitively closed): representative
     * id (min), member count, member list capped at `maxMembers` for

@@ -90,9 +90,14 @@ object Similarity {
 
   def int8Quantize(vec: Column): Column = {
     val v = vecD(vec)
-    val scale = int8QuantScale(vec)
-    when(scale === 0.0, transform(v, _ => lit(0)))
-      .otherwise(transform(v, x => round(x / scale).cast("int")))
+    // scale is bound ONCE per row as the single element of a 1-element
+    // array: inlining the array_max expression into the per-element
+    // lambda would re-evaluate it per component — O(d²) per row, the
+    // same inlined-subexpression trap ngramsFromTokens documents
+    element_at(
+      transform(array(int8QuantScale(vec)), s =>
+        when(s === 0.0, transform(v, _ => lit(0)))
+          .otherwise(transform(v, x => round(x / s).cast("int")))), 1)
   }
 
   def int8Dequantize(scale: Column, codes: Column): Column =

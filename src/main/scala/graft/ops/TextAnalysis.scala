@@ -298,11 +298,18 @@ object TextAnalysis {
    * text, then score each document by the sum of its bigram log-probs
    * (out-of-distribution text scores low).
    *
-   * Outputs (id, n_bigrams, logp_micro) with `logp_micro = Σ
-   * floor(1e6·ln P)` as a LONG — integer outputs are reproducible
-   * bit-for-bit across engines regardless of float summation order.
-   * Mean log-prob = logp_micro / (1e6·n_bigrams); perplexity =
-   * exp(−mean).
+   * Outputs (id, n_bigrams, sum_c, sum_tot, logp):
+   *   - `n_bigrams` — the document's bigram count;
+   *   - `sum_c` — Σ over the doc's bigrams of the corpus count c(g);
+   *   - `sum_tot` — Σ of the first-char totals tot(c1(g));
+   *   - `logp = Σ ln((c+1)/(tot+V))` — the doc's log-probability
+   *     (mean log-prob = logp/n_bigrams; perplexity = exp(−mean)).
+   * The three LONG columns pin every count the model is built from and
+   * are reproducible bit-for-bit across engines; `logp` involves a
+   * transcendental whose last ULP differs between libm implementations
+   * (an earlier `floor(1e6·ln)` encoding flipped at floor boundaries
+   * across engines), so cross-engine checks must hash ONLY the integer
+   * columns and bound `logp` with a tolerance.
    *
    * Shape at 100 TB: the model is three corpus-level aggregates (bigram
    * counts, first-char totals, alphabet size) — all map-side combined,
@@ -326,19 +333,21 @@ object TextAnalysis {
         i => col("__t").substr(i, lit(1)))).as("__ch"))
       .agg(count_distinct(col("__ch"))).head().getLong(0)
     val lp = cnt.join(broadcast(uni), substring(col("__g"), 1, 1) === col("__c1"))
-      .select(col("__g"),
-        floor(log((col("__c") + 1.0) / (col("__tot") + lit(alpha.toDouble))) * 1e6)
-          .cast("long").as("__lp"))
+      .select(col("__g"), col("__c"), col("__tot"),
+        log((col("__c") + 1.0) / (col("__tot") + lit(alpha.toDouble))).as("__lp"))
     val scored = bg.join(broadcast(lp), "__g")
       .groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp")).as("logp_micro"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__c")).as("sum_c"),
+        sum(col("__tot")).as("sum_tot"), sum(col("__lp")).as("logp"))
     // id-keyed left join restores sub-2-char docs with zero scores; the
     // scored side is corpus-cardinality, so NO broadcast hint — at scale
     // both sides shuffle on the id they are typically already bucketed by
     df.join(scored, df(idCol) === scored("__id"), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("logp_micro"), lit(0L)).as("logp_micro"))
+        coalesce(col("sum_c"), lit(0L)).as("sum_c"),
+        coalesce(col("sum_tot"), lit(0L)).as("sum_tot"),
+        coalesce(col("logp"), lit(0.0)).as("logp"))
   }
 
   // -- benchmark decontamination ------------------------------------------

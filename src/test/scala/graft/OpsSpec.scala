@@ -358,6 +358,28 @@ class OpsSpec extends AnyFunSuite {
     assert(r(1).isNullAt(2))
   }
 
+  test("bigramLmScores: integer aggregates exact, logp within tolerance of reference") {
+    val out = TextAnalysis.bigramLmScores(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val norm = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")).toMap
+    val corpus = norm.values.filter(_.length >= 2).toSeq.flatMap(_.sliding(2).toSeq)
+    val cnt = corpus.groupBy(identity).map { case (g, xs) => g -> xs.size.toLong }
+    val tot = cnt.toSeq.groupBy(_._1.charAt(0)).map { case (c1, m) => c1 -> m.map(_._2).sum }
+    val v = norm.values.filter(_.nonEmpty).flatMap(_.toSeq).toSet.size
+    assert(out.length === 5)
+    out.foreach { r =>
+      val grams = { val t = norm(r.getLong(0)); if (t.length >= 2) t.sliding(2).toSeq else Seq.empty }
+      assert(r.getLong(1) === grams.size.toLong)
+      assert(r.getLong(2) === grams.map(cnt).sum)
+      assert(r.getLong(3) === grams.map(g => tot(g.charAt(0))).sum)
+      val want = grams.map(g => math.log((cnt(g) + 1.0) / (tot(g.charAt(0)) + v.toDouble))).sum
+      assert(math.abs(r.getDouble(4) - want) <= 1e-9 * math.max(1.0, math.abs(want)))
+    }
+    // the exact-dup doc (4 ≡ 1 modulo case/whitespace) scores identically
+    assert(math.abs(out(0).getDouble(4) - out(3).getDouble(4)) <= 1e-12)
+  }
+
   test("langId picks the lexicon-majority language") {
     val df = Seq(
       "the cat and the dog in the house",
