@@ -144,23 +144,148 @@ class FactStore(val spark: SparkSession, val name: String, dir: Path) extends Co
     (x, y)
   }
 
-  /** Rows matching the JX where are rewritten with `set` columns
-    * (each a JX expression evaluated against the old row). Deep (nested
-    * array) updates are rejected, like the reference
-    * (insert_table.py:40-196). */
+  /** Rows matching the JX where are rewritten with `set` columns.
+    *
+    * Three set shapes, mirroring the reference's update command
+    * (insert_table.py:40-196):
+    *   - scalar column → JX expression evaluated against the old row
+    *     (a column absent from the schema is ADDED, null elsewhere —
+    *     insert_table.py:62-73's column creation);
+    *   - nested ARRAY column → JSON LITERAL (array of docs, one doc, or
+    *     null): the matching parents' children are replaced WHOLESALE —
+    *     the columnar equivalent of the reference's child-table DELETE
+    *     joined on parent PK + INSERT of the new docs
+    *     (insert_table.py:83-149). Fields the new docs introduce EXPAND
+    *     the child schema, null on every other row — the reference's
+    *     child-column add-back (insert_table.py:151-170);
+    *   - dot path `arr.field` → per-child FIELD rewrite on matching
+    *     parents, the JX value expression seeing the child's fields
+    *     (and parent columns as fallback); `struct.field` rewrites a
+    *     struct in place. A missing field is added to every element
+    *     (null where not set).
+    */
   def update(whereJson: String, set: Map[String, String]): this.type = {
     val df = dataFrame
     val pred = JxCompiler.truthy(JxExpr.parseJson(whereJson), ctx(df))
-    set.keys.find(_.contains(".")).foreach { k =>
-      throw new IllegalArgumentException(s"deep update not supported: $k")
-    }
     val updated = set.foldLeft(df) { case (d, (colName, exprJson)) =>
-      d.withColumn(colName,
-        when(pred, JxCompiler.compile(JxExpr.parseJson(exprJson), ctx(df)))
-          .otherwise(col(colName)))
+      val field = d.schema.fields.find(_.name == colName)
+      if (colName.contains(".")) deepFieldUpdate(d, pred, colName, exprJson)
+      else field.map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.ArrayType(_: org.apache.spark.sql.types.StructType, _)) =>
+          replaceChildren(d, pred, colName, exprJson)
+        case _ =>
+          val old = if (field.isDefined) col(colName) else lit(null)
+          d.withColumn(colName,
+            when(pred, JxCompiler.compile(JxExpr.parseJson(exprJson), ctx(d)))
+              .otherwise(old))
+      }
     }
     writeSnapshot(updated)
     this
+  }
+
+  /** Wholesale replacement of a nested array-of-docs column for rows
+    * matching `pred` — see [[update]]. The literal's schema is inferred
+    * with the JSON reader; new fields merge into the stored child
+    * schema (existing field types win on conflict) and the CURRENT
+    * children are re-parsed under the merged schema so both branches
+    * agree — old rows null-pad the new fields. */
+  private def replaceChildren(d: DataFrame, pred: org.apache.spark.sql.Column,
+                              colName: String, docsJson: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val existing = d.schema(colName).dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    val trimmed = docsJson.trim
+    if (trimmed == "null")
+      return d.withColumn(colName,
+        when(pred, lit(null).cast(ArrayType(existing))).otherwise(col(colName)))
+    // single doc → 1-element child set, like the reference's listwrap
+    val asArray = if (trimmed.startsWith("[")) trimmed else s"[$trimmed]"
+    import spark.implicits._
+    val inferred = spark.read.json(Seq(asArray).toDS()).schema
+    if (inferred.fieldNames.contains("_corrupt_record"))
+      throw new IllegalArgumentException(
+        s"deep update of '$colName' expects a JSON doc-list literal, got: $docsJson")
+    val merged = mergeStructs(existing, inferred)
+    val newArr = from_json(lit(asArray), ArrayType(merged))
+    val oldArr =
+      if (merged == existing) col(colName)
+      else from_json(to_json(col(colName)), ArrayType(merged))
+    d.withColumn(colName, when(pred, newArr).otherwise(oldArr))
+  }
+
+  /** Recursive field-union of two struct schemas: existing fields keep
+    * their position AND their type on conflict (the literal is parsed
+    * under the stored type; unparseable values null out in PERMISSIVE
+    * mode rather than corrupting the column), new fields append. */
+  private def mergeStructs(a: org.apache.spark.sql.types.StructType,
+                           b: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val aNames = a.fieldNames.toSet
+    val kept = a.fields.map { f =>
+      b.fields.find(_.name == f.name) match {
+        case Some(g) => (f.dataType, g.dataType) match {
+          case (x: StructType, y: StructType) =>
+            StructField(f.name, mergeStructs(x, y), nullable = true)
+          case (ArrayType(x: StructType, _), ArrayType(y: StructType, _)) =>
+            StructField(f.name, ArrayType(mergeStructs(x, y)), nullable = true)
+          case _ => f.copy(nullable = true)
+        }
+        case None => f.copy(nullable = true)
+      }
+    }
+    StructType(kept ++ b.fields.filterNot(f => aNames(f.name)).map(_.copy(nullable = true)))
+  }
+
+  /** Dot-path update `arr.field` / `struct.path...` — see [[update]].
+    * Inside an array the value expression is compiled per ELEMENT: its
+    * variables resolve to the child's fields first, parent columns as
+    * fallback, `.` to the whole child. */
+  private def deepFieldUpdate(d: DataFrame, pred: org.apache.spark.sql.Column,
+                              path: String, exprJson: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val Array(head, rest) = path.split("\\.", 2)
+    val top = d.schema.fields.find(_.name == head).getOrElse(
+      throw new IllegalArgumentException(s"deep update: no column '$head' in path '$path'"))
+    val jx = JxExpr.parseJson(exprJson)
+    top.dataType match {
+      case ArrayType(elem: StructType, _) =>
+        if (rest.contains("."))
+          throw new IllegalArgumentException(
+            s"deep update descends one field level inside a nested array (got '$path'); " +
+            "replace the whole array with a doc-list literal for deeper rewrites")
+        val names = elem.fieldNames
+        val updated = transform(col(head), c => {
+          val cctx = JxCompiler.Ctx(resolveVar = n =>
+            if (n == ".") c
+            else if (names.contains(n)) c.getField(n)
+            else col(n))
+          val old = if (names.contains(rest)) c.getField(rest) else lit(null)
+          val v = when(pred, JxCompiler.compile(jx, cctx)).otherwise(old)
+          val fields = names.map(fn => (if (fn == rest) v else c.getField(fn)).as(fn))
+          val all = if (names.contains(rest)) fields else fields :+ v.as(rest)
+          struct(all.toIndexedSeq: _*)
+        })
+        d.withColumn(head, updated)
+      case _: StructType =>
+        def walk(s: StructType, segs: List[String]): Boolean = segs match {
+          case last :: Nil => s.fieldNames.contains(last)
+          case h :: t => s.fields.find(_.name == h).map(_.dataType) match {
+            case Some(inner: StructType) => walk(inner, t)
+            case _ => false
+          }
+          case Nil => false
+        }
+        val exists = walk(top.dataType.asInstanceOf[StructType], rest.split("\\.").toList)
+        val old =
+          if (exists) rest.split("\\.").foldLeft(col(head))(_.getField(_)) else lit(null)
+        val v = when(pred, JxCompiler.compile(jx, ctx(d))).otherwise(old)
+        d.withColumn(head, col(head).withField(rest, v))
+      case other =>
+        throw new IllegalArgumentException(
+          s"deep update path '$path': column '$head' is $other, expected array<struct> or struct")
+    }
   }
 
   def delete(whereJson: String): this.type = {

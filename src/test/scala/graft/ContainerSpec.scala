@@ -4,6 +4,9 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.container.{Container, FactStore, ListContainer}
 
+case class DeepItem(sku: String, qty: Long)
+case class DeepDoc(id: Long, tag: String, items: Seq[DeepItem])
+
 /** Container API + FactStore mutation surface (reference
   * insert/update/upsert/delete, jx_sqlite/insert_table.py). */
 class ContainerSpec extends AnyFunSuite {
@@ -39,7 +42,7 @@ class ContainerSpec extends AnyFunSuite {
     assert(store.dataFrame.where(col("id") === 1).select("score").as[Double].head() === 20.0)
     assert(store.dataFrame.where(col("id") === 2).select("score").as[Double].head() === 20.0)
 
-    // deep updates rejected like the reference
+    // a dot path into a column that doesn't exist still errors clearly
     intercept[IllegalArgumentException] {
       store.update("""{"eq": {"tag": "a"}}""", Map("nested.x" -> "1"))
     }
@@ -63,6 +66,42 @@ class ContainerSpec extends AnyFunSuite {
     // snapshots are versioned: several v* dirs exist, marker points at last
     val versions = java.nio.file.Files.list(dir).filter(_.getFileName.toString.startsWith("v")).count()
     assert(versions >= 5)
+  }
+
+  test("deep update: child replacement, schema expansion, per-child field rewrite") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_deep")
+    val store = new FactStore(spark, "deep", dir)
+    store.insert(Seq(
+      DeepDoc(1L, "a", Seq(DeepItem("x", 1L), DeepItem("y", 2L))),
+      DeepDoc(2L, "b", Seq(DeepItem("z", 3L)))).toDF())
+
+    // wholesale child replacement on the matching parent (reference
+    // DELETE-children-joined-on-parent-PK + INSERT, insert_table.py:83-149);
+    // the new docs carry a field the stored child schema lacks → expands,
+    // null on the untouched parent's children
+    store.update("""{"eq": {"tag": "a"}}""",
+      Map("items" -> """[{"sku": "n1", "qty": 5, "price": 1.5}]"""))
+    val afterReplace = store.dataFrame.orderBy("id")
+      .select(col("id"), col("items")).collect()
+    val id1Items = afterReplace(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(id1Items.map(r => (r.getAs[String]("sku"), r.getAs[Long]("qty"),
+      r.getAs[Double]("price"))) === Seq(("n1", 5L, 1.5)))
+    val id2Items = afterReplace(1).getSeq[org.apache.spark.sql.Row](1)
+    assert(id2Items.map(r => (r.getAs[String]("sku"), r.getAs[Long]("qty"))) === Seq(("z", 3L)))
+    assert(id2Items.forall(_.isNullAt(id2Items.head.fieldIndex("price"))))
+
+    // per-child field rewrite: the JX value expression sees child fields
+    store.update("""{"eq": {"tag": "b"}}""",
+      Map("items.qty" -> """{"mul": ["qty", 10]}"""))
+    val qty = store.dataFrame.orderBy("id")
+      .select(explode(col("items.qty"))).as[Long].collect()
+    assert(qty.toSeq === Seq(5L, 30L))
+
+    // clearing: a null literal empties the matching parents' children
+    store.update("""{"eq": {"tag": "a"}}""", Map("items" -> "null"))
+    val cleared = store.dataFrame.orderBy("id").select(col("items").isNull).as[Boolean].collect()
+    assert(cleared.toSeq === Seq(true, false))
   }
 
   test("nest migration: a column seen as scalar then array is promoted") {
