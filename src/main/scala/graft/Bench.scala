@@ -46,7 +46,7 @@ object Bench {
       val load = SparkEntry.loader(spark, sfDir)
       val plan = graft.etl.SnowflakePlan("customer", "c_custkey",
         lookups = Seq(graft.etl.Lookup("c_nationkey", "nation",
-          graft.etl.SnowflakePlan("nation", "n_nationkey", referenceOnly = Some("n_name")))),
+          graft.etl.SnowflakePlan("nation", "n_nationkey", referenceOnly = Some("n_name"), showForeignKeys = false))),
         children = Seq(graft.etl.Child("o_custkey", "orders",
           graft.etl.SnowflakePlan("orders", "o_orderkey",
             children = Seq(graft.etl.Child("l_orderkey", "lineitems",

@@ -23,7 +23,7 @@ object NestedCatalog {
   /** customer docs with nation reference and orders⊃lineitems children. */
   private def customerPlan = SnowflakePlan("customer", "c_custkey",
     lookups = Seq(Lookup("c_nationkey", "nation",
-      SnowflakePlan("nation", "n_nationkey", referenceOnly = Some("n_name")))),
+      SnowflakePlan("nation", "n_nationkey", referenceOnly = Some("n_name"), showForeignKeys = false))),
     children = Seq(Child("o_custkey", "orders",
       SnowflakePlan("orders", "o_orderkey",
         children = Seq(Child("l_orderkey", "lineitems",

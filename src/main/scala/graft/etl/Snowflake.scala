@@ -85,7 +85,16 @@ object DocAssembler {
         else needed.map(_ ++ lk.plan.referenceOnly + lk.plan.key)
       val sub = assemble(lk.plan, load, subNeeded, whole)
       val docCols = sub.columns.filter(c => plan.showForeignKeys || c != lk.plan.key)
+      // reference_only semantics track show_foreign_keys (reference
+      // snowflake_schema.py:383-391, golden "inline" vs "lean_inline"):
+      // with FKs shown the designated field sits BESIDE the id
+      // ({id, value}); lean, the field REPLACES the whole object. The
+      // reference's setting is global; here the LOOKUP plan's flag
+      // decides, so a hand-built plan can inline a label table while
+      // keeping fks elsewhere (walk() propagates one flag everywhere).
       val payload: Column = lk.plan.referenceOnly match {
+        case Some(refCol) if lk.plan.showForeignKeys =>
+          struct(col(lk.plan.key), col(refCol))
         case Some(refCol) => col(refCol)
         case None         => struct(docCols.map(col).toIndexedSeq: _*)
       }

@@ -139,7 +139,7 @@ class EtlSpec extends AnyFunSuite {
     val load = SparkEntry.loader(spark, "/root/testdata/sf0.001")
     val plan = SnowflakePlan("customer", "c_custkey",
       lookups = Seq(Lookup("c_nationkey", "nation",
-        SnowflakePlan("nation", "n_nationkey", referenceOnly = Some("n_name")))))
+        SnowflakePlan("nation", "n_nationkey", referenceOnly = Some("n_name"), showForeignKeys = false))))
     val df = DocAssembler.assemble(plan, load)
     assert(df.schema("nation").dataType.typeName === "string")
     assert(df.where(col("nation").isNotNull).count() > 0)
@@ -240,7 +240,7 @@ class EtlSpec extends AnyFunSuite {
     val load = SparkEntry.loader(spark, "/root/testdata/sf0.001")
     val plan = SnowflakePlan("customer", "c_custkey",
       lookups = Seq(Lookup("c_nationkey", "nation",
-        SnowflakePlan("nation", "n_nationkey", referenceOnly = Some("n_name")))),
+        SnowflakePlan("nation", "n_nationkey", referenceOnly = Some("n_name"), showForeignKeys = false))),
       children = Seq(Child("o_custkey", "orders",
         SnowflakePlan("orders", "o_orderkey",
           children = Seq(Child("l_orderkey", "lineitems",

@@ -30,6 +30,10 @@ class SchemaWalkSpec extends AnyFunSuite {
          about INT, FOREIGN KEY (about) REFERENCES inner1 (id))""",
       "INSERT INTO fact_table VALUES (10, 'A', 1)", "INSERT INTO fact_table VALUES (11, 'B', 2)",
       "INSERT INTO fact_table VALUES (12, 'C', 3)", "INSERT INTO fact_table VALUES (13, 'D', NULL)",
+      "INSERT INTO fact_table VALUES (15, 'E', 1)", "INSERT INTO fact_table VALUES (16, 'F', 2)",
+      "INSERT INTO fact_table VALUES (17, 'G', 3)", "INSERT INTO fact_table VALUES (18, 'H', NULL)",
+      "INSERT INTO fact_table VALUES (19, 'I', 1)", "INSERT INTO fact_table VALUES (20, 'J', 2)",
+      "INSERT INTO fact_table VALUES (21, 'K', 3)", "INSERT INTO fact_table VALUES (22, 'L', NULL)",
       """CREATE TABLE nested1 (id INT NOT NULL PRIMARY KEY, ref INT,
          description VARCHAR(20), about INT,
          FOREIGN KEY (ref) REFERENCES fact_table (id),
@@ -38,6 +42,14 @@ class SchemaWalkSpec extends AnyFunSuite {
       "INSERT INTO nested1 VALUES (101, 11, 'bbb', -2)",
       "INSERT INTO nested1 VALUES (102, 12, 'ccc', NULL)",
       "INSERT INTO nested1 VALUES (103, 13, 'ddd', -1)",
+      "INSERT INTO nested1 VALUES (104, 15, 'eee', -1)",
+      "INSERT INTO nested1 VALUES (105, 15, 'fff', -1)",
+      "INSERT INTO nested1 VALUES (106, 16, 'ggg', -2)",
+      "INSERT INTO nested1 VALUES (107, 16, 'hhh', NULL)",
+      "INSERT INTO nested1 VALUES (108, 17, 'iii', -2)",
+      "INSERT INTO nested1 VALUES (109, 17, 'jjj', -2)",
+      "INSERT INTO nested1 VALUES (110, 18, 'kkk', NULL)",
+      "INSERT INTO nested1 VALUES (111, 18, 'lll', NULL)",
       """CREATE TABLE nested2 (id INT NOT NULL PRIMARY KEY, ref INT,
          minutia DOUBLE PRECISION, about INT,
          FOREIGN KEY (ref) REFERENCES nested1 (id),
@@ -85,7 +97,7 @@ class SchemaWalkSpec extends AnyFunSuite {
   test("golden doc assembly matches the reference fixture shapes") {
     val plan = SchemaWalk.walk(conn, refCfg)
     val docs = DocAssembler.assemble(plan, SchemaWalk.jdbcLoader(spark, url))
-    assert(docs.count() === 4)
+    assert(docs.count() === 12)
 
     val d10 = docs.where(col("id") === 10).select(
       col("name"), col("about.value").as("av"), col("about.time.value").as("atv"),
@@ -120,7 +132,7 @@ class SchemaWalkSpec extends AnyFunSuite {
 
     val single = DocAssembler.assemble(plan, SchemaWalk.jdbcLoader(spark, url))
     val parted = DocAssembler.assemble(plan, parLoad)
-    assert(parted.count() === 4)
+    assert(parted.count() === 12)
     // same docs regardless of read parallelism
     val flat = (df: org.apache.spark.sql.DataFrame) => df.select(
       col("id"), col("name"), col("about.value"),
@@ -134,13 +146,25 @@ class SchemaWalkSpec extends AnyFunSuite {
   }
 
   test("reference_only inlines the label column (reference test_inline)") {
+    // with FKs shown, the designated field sits BESIDE the id — golden
+    // "inline": about = {"id": 1, "value": "a"} (test_extract.py)
     val plan = SchemaWalk.walk(conn, WalkConfig("fact_table",
       referenceOnly = Map("inner1" -> "value", "inner2" -> "value")))
     val docs = DocAssembler.assemble(plan, SchemaWalk.jdbcLoader(spark, url))
-    val d10 = docs.where(col("id") === 10).select(col("about"),
-      col("nested1")(0).getField("about").as("n1a")).collect()(0)
-    assert(d10.getString(0) === "a") // whole object replaced by its label
-    assert(d10.getDate(1).toString === "1970-01-01")
+    val d10 = docs.where(col("id") === 10).select(
+      col("about.id"), col("about.value"),
+      col("nested1")(0).getField("about").getField("value").as("n1a")).collect()(0)
+    assert(d10.getInt(0) === 1)
+    assert(d10.getString(1) === "a")
+    assert(d10.getDate(2).toString === "1970-01-01")
+
+    // lean: the field REPLACES the object — golden "lean_inline"
+    val leanPlan = SchemaWalk.walk(conn, WalkConfig("fact_table",
+      referenceOnly = Map("inner1" -> "value", "inner2" -> "value"),
+      showForeignKeys = false))
+    val lean10 = DocAssembler.assemble(leanPlan, SchemaWalk.jdbcLoader(spark, url))
+      .where(col("id") === 10).select(col("about")).collect()(0)
+    assert(lean10.getString(0) === "a")
   }
 
   test("lean docs (show_foreign_keys=false) omit id/fk columns everywhere") {
@@ -158,6 +182,135 @@ class SchemaWalkSpec extends AnyFunSuite {
     assert(n1Type.contains("description"))
     val aboutType = docs.schema("about").dataType.simpleString
     assert(!aboutType.contains("id:"), aboutType)
+  }
+
+  // ---- FULL golden-document equality against the reference's own
+  // expected extracts (tests/test_extract.py expected_results) --------------
+
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  /** Normalize a JSON doc to the reference's output conventions (mo_json/
+    * mo_dots): null fields omitted, empty objects/arrays omitted, single-
+    * element arrays unwrapped to the element, whole doubles rendered as
+    * ints, dates as unix seconds (the loader applies datesToUnix); object
+    * keys sorted so equality is order-insensitive. */
+  private def canon(v: JValue): JValue = v match {
+    case JObject(fs) =>
+      val kept = fs.map { case (k, x) => (k, canon(x)) }
+        .filter { case (_, x) => x != JNull && x != JNothing }
+        .sortBy(_._1)
+      if (kept.isEmpty) JNothing else JObject(kept)
+    case JArray(xs) =>
+      xs.map(canon).filter(x => x != JNull && x != JNothing) match {
+        case Nil           => JNothing
+        case single :: Nil => single
+        case many          => JArray(many)
+      }
+    case JDouble(d) if d.isWhole && math.abs(d) < 1e15 => JInt(BigInt(d.toLong))
+    case x => x
+  }
+
+  private def docJson(df: org.apache.spark.sql.DataFrame, id: Int): JValue = {
+    val rows = df.where(col("id") === id).toJSON.collect()
+    assert(rows.length === 1, s"fact $id")
+    canon(JsonMethods.parse(rows(0)))
+  }
+
+  private def expect(json: String): JValue = canon(JsonMethods.parse(json))
+
+  private lazy val unixLoader: String => org.apache.spark.sql.DataFrame =
+    t => DocAssembler.datesToUnix(SchemaWalk.jdbcLoader(spark, url)(t))
+
+  test("golden equality: 'complex' and 'simple' docs (test_extract.py:184-186,223-252)") {
+    val docs = DocAssembler.assemble(SchemaWalk.walk(conn, refCfg), unixLoader)
+    assert(docJson(docs, 10) === expect("""{
+      "about": {"id": 1, "time": {"id": -1, "value": 0}, "value": "a"},
+      "id": 10, "name": "A",
+      "nested1": {
+        "about": {"id": -1, "value": 0},
+        "description": "aaa", "id": 100,
+        "nested2": [
+          {"about": {"id": 1, "time": {"id": -1, "value": 0}, "value": "a"},
+           "id": 1000, "minutia": 3.1415926539, "ref": 100},
+          {"about": {"id": 2, "time": {"id": -2}, "value": "b"},
+           "id": 1001, "minutia": 4, "ref": 100},
+          {"about": {"id": 3, "value": "c"}, "id": 1002, "minutia": 5.1, "ref": 100}
+        ],
+        "ref": 10
+      }
+    }"""))
+    // "simple" (data=[22]): a fact with no children and a null FK
+    assert(docJson(docs, 22) === expect("""{"id": 22, "name": "L"}"""))
+  }
+
+  test("golden equality: 'lean' doc (test_extract.py:203-222)") {
+    val plan = SchemaWalk.walk(conn, refCfg.copy(showForeignKeys = false))
+    val docs = DocAssembler.assemble(plan, unixLoader)
+    assert(docJson(docs, 10) === expect("""{
+      "about": {"value": "a", "time": {"value": 0}},
+      "id": 10, "name": "A",
+      "nested1": {
+        "about": {"value": 0},
+        "description": "aaa",
+        "nested2": [
+          {"about": {"value": "a", "time": {"value": 0}}, "minutia": 3.1415926539},
+          {"about": {"value": "b"}, "minutia": 4},
+          {"about": {"value": "c"}, "minutia": 5.1}
+        ]
+      }
+    }"""))
+  }
+
+  test("golden equality: 'inline' doc (test_extract.py:253-286)") {
+    val plan = SchemaWalk.walk(conn, WalkConfig("fact_table",
+      referenceOnly = Map("inner1" -> "value", "inner2" -> "value")))
+    val docs = DocAssembler.assemble(plan, unixLoader)
+    assert(docJson(docs, 10) === expect("""{
+      "about": {"id": 1, "value": "a"},
+      "id": 10, "name": "A",
+      "nested1": {
+        "about": {"id": -1, "value": 0},
+        "ref": 10, "description": "aaa",
+        "nested2": [
+          {"about": {"id": 1, "value": "a"}, "ref": 100, "id": 1000, "minutia": 3.1415926539},
+          {"about": {"id": 2, "value": "b"}, "ref": 100, "id": 1001, "minutia": 4},
+          {"about": {"id": 3, "value": "c"}, "ref": 100, "id": 1002, "minutia": 5.1}
+        ],
+        "id": 100
+      }
+    }"""))
+  }
+
+  test("golden equality: every 'lean_inline_all' doc (test_extract.py:287-351)") {
+    val plan = SchemaWalk.walk(conn, WalkConfig("fact_table",
+      referenceOnly = Map("inner1" -> "value", "inner2" -> "value"),
+      showForeignKeys = false))
+    val docs = DocAssembler.assemble(plan, unixLoader)
+    assert(docs.count() === 12)
+    val expected = Map(
+      10 -> """{"nested1": {"about": 0, "description": "aaa", "nested2": [
+                 {"about": "a", "minutia": 3.1415926539}, {"about": "b", "minutia": 4},
+                 {"about": "c", "minutia": 5.1}]}, "about": "a", "id": 10, "name": "A"}""",
+      11 -> """{"nested1": {"description": "bbb", "nested2": {"about": "a", "minutia": 6.2}},
+                 "about": "b", "id": 11, "name": "B"}""",
+      12 -> """{"nested1": {"description": "ccc", "nested2": {"about": "c", "minutia": 7.3}},
+                 "about": "c", "id": 12, "name": "C"}""",
+      13 -> """{"nested1": {"about": 0, "description": "ddd"}, "id": 13, "name": "D"}""",
+      15 -> """{"nested1": [{"about": 0, "description": "eee"}, {"about": 0, "description": "fff"}],
+                 "about": "a", "id": 15, "name": "E"}""",
+      16 -> """{"nested1": [{"description": "ggg"}, {"description": "hhh"}],
+                 "about": "b", "id": 16, "name": "F"}""",
+      17 -> """{"nested1": [{"description": "iii"}, {"description": "jjj"}],
+                 "about": "c", "id": 17, "name": "G"}""",
+      18 -> """{"nested1": [{"description": "kkk"}, {"description": "lll"}],
+                 "id": 18, "name": "H"}""",
+      19 -> """{"about": "a", "id": 19, "name": "I"}""",
+      20 -> """{"about": "b", "id": 20, "name": "J"}""",
+      21 -> """{"about": "c", "id": 21, "name": "K"}""",
+      22 -> """{"id": 22, "name": "L"}""")
+    for ((id, exp) <- expected.toSeq.sortBy(_._1))
+      assert(docJson(docs, id) === expect(exp), s"fact $id")
   }
 
   test("exclude prunes the walk") {
