@@ -419,6 +419,80 @@ object QueryCatalog {
              event_id, CAST(tr AS INT) AS tr
       FROM r ORDER BY pos""")),
 
+    // DEPTH-2 cross-type sort (TypedSlots.sortKeyNested2): lists of
+    // lists, lists of objects, and an object holding a list — the
+    // reference's recursive value_compare one level deeper than
+    // q_sort_cross_type_nested. The oracle flattens each deterministic
+    // shape into natively-comparable DuckDB columns: lists compare
+    // elementwise-then-by-length in both engines, the first element's
+    // TYPE_ORDER rank (l_er) separates the three list families, and the
+    // absent-key-sorts-last object law becomes the o_b_pres column.
+    "q_sort_cross_type_nested2" -> (raw((s, dir) => {
+      import graft.jx.TypedSlots
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.Column
+      val e = SparkEntry.loader(s, dir)("events")
+      val m = col("event_id") % 7
+      val half = (col("event_id") / 7).cast("long") % 2 === 0
+      val fv = floor(col("value")).cast("double")
+      val fv7 = (floor(col("value")) % 7).cast("double")
+      val nElem = (x: Column) => struct(
+        lit(null).cast("boolean").as("b"), x.cast("double").as("n"),
+        lit(null).cast("string").as("s"))
+      val n1 = (x: Column) => TypedSlots.nvOfScalar(TypedSlots.ofNumber(x))
+      val nList = (xs: Seq[Column]) => TypedSlots.nvOfList(array(xs.map(nElem): _*))
+      val nObj = (kvs: Seq[(String, Column)]) => TypedSlots.nvOfObject(
+        array(kvs.map { case (k, x) =>
+          struct(lit(k).as("k"), nElem(x).as("v")) }: _*))
+      val sV = (x: Column) => TypedSlots.nvOfScalar(TypedSlots.ofString(x))
+      val nv2 =
+        when(m === 0, TypedSlots.nv2OfScalar(TypedSlots.ofNumber(col("value"))))
+          .when(m === 1, TypedSlots.nv2OfScalar(TypedSlots.ofString(col("event_type"))))
+          .when(m === 2, TypedSlots.nv2OfList( // list of number scalars
+            when(half, array(n1(fv))).otherwise(array(n1(fv), n1(fv7)))))
+          .when(m === 3, TypedSlots.nv2OfList( // list of LISTS
+            when(half, array(nList(Seq(fv))))
+              .otherwise(array(nList(Seq(fv)), nList(Seq(fv, fv7))))))
+          .when(m === 4, TypedSlots.nv2OfList( // list of OBJECTS
+            when(half, array(nObj(Seq("a" -> fv))))
+              .otherwise(array(nObj(Seq("a" -> fv)), nObj(Seq("a" -> fv7))))))
+          .when(m === 5, TypedSlots.nv2OfObject( // object holding a LIST (+ string)
+            when(half, array(struct(lit("a").as("k"), nList(Seq(fv)).as("v"))))
+              .otherwise(array(
+                struct(lit("a").as("k"), nList(Seq(fv)).as("v")),
+                struct(lit("b").as("k"), sV(col("event_type")).as("v"))))))
+          .otherwise(TypedSlots.nv2Missing)
+      val keyed = e.select(col("event_id"), nv2.as("v"))
+        .withColumn("__g", lit(0L))
+        .withColumn("__k", TypedSlots.sortKeyNested2(col("v")))
+      graft.ops.Batching.rankWithinScaled(keyed, "__g", Seq(col("__k"), col("event_id")), out = "pos0")
+        .select((col("pos0") + 1L).as("pos"), col("event_id"),
+          TypedSlots.nvRank(col("v")).cast("int").as("tr"))
+    }), Some("""
+      WITH m AS (
+        SELECT event_id, event_id % 7 AS m, (event_id // 7) % 2 = 0 AS half,
+               value, event_type, floor(value) AS fv,
+               CAST(CAST(floor(value) AS BIGINT) % 7 AS DOUBLE) AS fv7
+        FROM events),
+      r AS (
+        SELECT event_id,
+          CASE m WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 WHEN 3 THEN 3
+                 WHEN 4 THEN 3 WHEN 5 THEN 4 ELSE 9 END AS tr,
+          CASE WHEN m = 0 THEN value END AS n,
+          CASE WHEN m = 1 THEN event_type END AS s,
+          CASE WHEN m = 2 THEN 1 WHEN m = 3 THEN 3 WHEN m = 4 THEN 4 END AS l_er,
+          CASE WHEN m = 2 THEN (CASE WHEN half THEN [fv] ELSE [fv, fv7] END) END AS l_n,
+          CASE WHEN m = 3 THEN (CASE WHEN half THEN [[fv]] ELSE [[fv], [fv, fv7]] END) END AS l_ll,
+          CASE WHEN m = 4 THEN (CASE WHEN half THEN [fv] ELSE [fv, fv7] END) END AS l_lo,
+          CASE WHEN m = 5 THEN [fv] END AS o_a,
+          CASE WHEN m = 5 THEN (CASE WHEN half THEN 1 ELSE 0 END) END AS o_b_pres,
+          CASE WHEN m = 5 AND NOT half THEN event_type END AS o_b
+        FROM m)
+      SELECT CAST(row_number() OVER (
+               ORDER BY tr, n, s, l_er, l_n, l_ll, l_lo, o_a, o_b_pres, o_b, event_id) AS BIGINT) AS pos,
+             event_id, CAST(tr AS INT) AS tr
+      FROM r ORDER BY pos""")),
+
     // typed slots as FIRST-CLASS query values, not just a sort encoding
     // (vendor/jx_sqlite/expressions.py:32-79 compiles every expression to
     // per-slot fragments): grouping a mixed-type column — the slots

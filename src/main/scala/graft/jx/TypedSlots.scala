@@ -16,10 +16,12 @@ import org.apache.spark.sql.types._
  * order boolean < number < string < missing-last; [[sortKey]] compiles
  * that to a lexicographic struct key, so `orderBy(sortKey(v))` is one
  * ordinary sort — no UDF comparator, fully codegen'd, sortable at any
- * scale. The nested {b,n,s,l,o} encoding below extends this one nesting
- * level to the reference's full TYPE_ORDER (list < object between
- * string and missing) via [[sortKeyNested]]; deeper nesting stays a
- * documented deviation (SURVEY §7.4.7).
+ * scale. The nested {b,n,s,l,o} encoding below extends this to the
+ * reference's full TYPE_ORDER (list < object between string and
+ * missing) via [[sortKeyNested]] at one nesting level and
+ * [[sortKeyNested2]] at two (lists of lists/objects, objects holding
+ * lists/objects); depth ≥3 stays a documented deviation (SURVEY
+ * §7.4.7).
  */
 object TypedSlots {
 
@@ -232,5 +234,75 @@ object TypedSlots {
     * so lists match elementwise and objects match on their sorted
     * entries. Missing == missing is TRUE; never null. */
   def nvEq(a: Column, b: Column): Column =
+    Seq("b", "n", "s", "l", "o").map(f => a.getField(f) <=> b.getField(f)).reduce(_ && _)
+
+  // -- depth-2 nested variants: {b, n, s, l:[nv1], o:[(k, nv1)]} ----------
+  //
+  // One MORE level of the reference's TYPE_ORDER (jx.py:560-627): list
+  // elements and object values are themselves depth-1 {b,n,s,l,o}
+  // variants, so lists of lists, lists of objects, and objects holding
+  // lists/objects (of scalars) order exactly as the reference's
+  // recursive value_compare. The construction COMPOSES: a depth-2
+  // element's key IS [[sortKeyNested]] of its depth-1 value, and
+  // Spark's lexicographic struct comparison recurses structurally, so
+  // the composed key remains one ordinary codegen'd sort column. Spark's
+  // type system has no recursive structs, so each additional depth
+  // repeats this construction; SURVEY §7.4.7 documents the boundary,
+  // which this moves from depth 1 to depth 2.
+
+  private val Nv1T = s"struct<b:boolean,n:double,s:string,l:$ElemT,o:$EntryT>"
+  private val Elem2T = s"array<$Nv1T>"
+  private val Entry2T = s"array<struct<k:string,v:$Nv1T>>"
+  private val NullL2 = lit(null).cast(Elem2T)
+  private val NullO2 = lit(null).cast(Entry2T)
+  private val Nv1KeyT = "struct<tr:int,b:int,n:double,s:string," +
+    "l:array<struct<tr:int,b:int,n:double,s:string>>," +
+    "o:array<struct<k:string,tr:int,b:int,n:double,s:string>>>"
+
+  /** A depth-1 variant is missing: all five slots null. Never null. */
+  def nvIsMissing(v: Column): Column =
+    Seq("b", "n", "s", "l", "o").map(f => v.getField(f).isNull).reduce(_ && _)
+
+  /** Lift a scalar {b,n,s} variant (including [[missing]]) to depth 2. */
+  def nv2OfScalar(slots: Column): Column =
+    struct(slots.getField("b").as("b"), slots.getField("n").as("n"),
+      slots.getField("s").as("s"), NullL2.as("l"), NullO2.as("o"))
+
+  /** List variant over DEPTH-1 variants (scalars, lists, objects). */
+  def nv2OfList(elems: Column): Column =
+    struct(NullB.as("b"), NullN.as("n"), NullS.as("s"),
+      elems.cast(Elem2T).as("l"), NullO2.as("o"))
+
+  /** Object variant over (k, depth-1 variant) entries sorted by `k`;
+    * missing-valued entries are dropped at construction — the same
+    * `{a: null} == {}` law as [[nvOfObject]]. */
+  def nv2OfObject(entries: Column): Column =
+    struct(NullB.as("b"), NullN.as("n"), NullS.as("s"), NullL2.as("l"),
+      filter(entries.cast(Entry2T), e => !nvIsMissing(e.getField("v"))).as("o"))
+
+  def nv2Missing: Column =
+    struct(NullB.as("b"), NullN.as("n"), NullS.as("s"), NullL2.as("l"), NullO2.as("o"))
+
+  /** Cross-type sort key for DEPTH-2 variants: same shape as
+    * [[sortKeyNested]], with each list element / object value keyed by
+    * the full depth-1 key. The object sentinel carries the missing
+    * key, preserving the union-walk law (absent key sorts last) one
+    * level down. */
+  def sortKeyNested2(v: Column): Column = {
+    val lk = when(v.getField("l").isNotNull,
+        transform(v.getField("l"), e => sortKeyNested(e)))
+      .otherwise(array().cast(s"array<$Nv1KeyT>"))
+    val ok = when(v.getField("o").isNotNull,
+        concat(
+          transform(v.getField("o"), e =>
+            struct(e.getField("k").as("k"), sortKeyNested(e.getField("v")).as("v"))),
+          array(struct(lit("￿￿").as("k"), sortKeyNested(nvMissing).as("v")))))
+      .otherwise(array().cast(s"array<struct<k:string,v:$Nv1KeyT>>"))
+    struct(nvRank(v).as("tr"), v.getField("b").cast(IntegerType).as("b"),
+      v.getField("n").as("n"), v.getField("s").as("s"), lk.as("l"), ok.as("o"))
+  }
+
+  /** Decisive equality over depth-2 variants; structural like [[nvEq]]. */
+  def nv2Eq(a: Column, b: Column): Column =
     Seq("b", "n", "s", "l", "o").map(f => a.getField(f) <=> b.getField(f)).reduce(_ && _)
 }

@@ -164,53 +164,65 @@ class VariantLawsSpec extends AnyFunSuite {
     assert(eqs === 0L, "nvEq must hold exactly on the diagonal")
   }
 
+  // reference comparator (jx.py:560-627 TYPE_ORDER + dict key-union
+  // walk; lists elementwise then by length) implemented directly — fully
+  // recursive, so it models depth-1 AND depth-2 variants
+  sealed trait V
+  case class VB(b: Boolean) extends V
+  case class VN(n: Double) extends V
+  case class VS(s: String) extends V
+  case class VL(xs: Seq[V]) extends V
+  case class VO(kv: Seq[(String, V)]) extends V
+  case object VM extends V
+  private def rk(v: V): Int = v match {
+    case _: VB => 0; case _: VN => 1; case _: VS => 2
+    case _: VL => 3; case _: VO => 4; case VM => 9
+  }
+  private def cmp(a: V, b: V): Int = {
+    val r = Integer.compare(rk(a), rk(b))
+    if (r != 0) r else (a, b) match {
+      case (VB(x), VB(y)) => x.compareTo(y)
+      case (VN(x), VN(y)) => x.compareTo(y)
+      case (VS(x), VS(y)) => x.compareTo(y)
+      case (VL(x), VL(y)) =>
+        x.zip(y).iterator.map { case (p, q) => cmp(p, q) }.find(_ != 0)
+          .getOrElse(Integer.compare(x.length, y.length))
+      case (VO(x), VO(y)) =>
+        val mx = x.toMap; val my = y.toMap
+        (mx.keySet ++ my.keySet).toSeq.sorted.iterator
+          .map(k => cmp(mx.getOrElse(k, VM), my.getOrElse(k, VM)))
+          .find(_ != 0).getOrElse(0)
+      case _ => 0
+    }
+  }
+  private def scalarCol(v: V): org.apache.spark.sql.Column = v match {
+    case VB(x) => TypedSlots.ofBoolean(lit(x))
+    case VN(x) => TypedSlots.ofNumber(lit(x))
+    case VS(x) => TypedSlots.ofString(lit(x))
+    case _     => TypedSlots.missing
+  }
+  /** Depth-1 encoder: lists/objects hold scalars. */
+  private def nvCol(v: V): org.apache.spark.sql.Column = v match {
+    case VL(xs) => TypedSlots.nvOfList(
+      if (xs.isEmpty) array() else array(xs.map(scalarCol): _*))
+    case VO(kv) => TypedSlots.nvOfObject(
+      if (kv.isEmpty) array()
+      else array(kv.sortBy(_._1).map { case (k, x) =>
+        struct(lit(k).as("k"), scalarCol(x).as("v")) }: _*))
+    case other  => TypedSlots.nvOfScalar(scalarCol(other))
+  }
+  /** Depth-2 encoder: lists/objects hold DEPTH-1 variants. */
+  private def nv2Col(v: V): org.apache.spark.sql.Column = v match {
+    case VL(xs) => TypedSlots.nv2OfList(
+      if (xs.isEmpty) array() else array(xs.map(nvCol): _*))
+    case VO(kv) => TypedSlots.nv2OfObject(
+      if (kv.isEmpty) array()
+      else array(kv.sortBy(_._1).map { case (k, x) =>
+        struct(lit(k).as("k"), nvCol(x).as("v")) }: _*))
+    case other  => TypedSlots.nv2OfScalar(scalarCol(other))
+  }
+
   test("nested sort order matches a direct value_compare model on random variants") {
-    import org.apache.spark.sql.Column
-    // reference comparator (jx.py:560-627 TYPE_ORDER + dict key-union
-    // walk; lists elementwise then by length) implemented directly
-    sealed trait V
-    case class VB(b: Boolean) extends V
-    case class VN(n: Double) extends V
-    case class VS(s: String) extends V
-    case class VL(xs: Seq[V]) extends V
-    case class VO(kv: Seq[(String, V)]) extends V
-    case object VM extends V
-    def rk(v: V): Int = v match {
-      case _: VB => 0; case _: VN => 1; case _: VS => 2
-      case _: VL => 3; case _: VO => 4; case VM => 9
-    }
-    def cmp(a: V, b: V): Int = {
-      val r = Integer.compare(rk(a), rk(b))
-      if (r != 0) r else (a, b) match {
-        case (VB(x), VB(y)) => x.compareTo(y)
-        case (VN(x), VN(y)) => x.compareTo(y)
-        case (VS(x), VS(y)) => x.compareTo(y)
-        case (VL(x), VL(y)) =>
-          x.zip(y).iterator.map { case (p, q) => cmp(p, q) }.find(_ != 0)
-            .getOrElse(Integer.compare(x.length, y.length))
-        case (VO(x), VO(y)) =>
-          val mx = x.toMap; val my = y.toMap
-          (mx.keySet ++ my.keySet).toSeq.sorted.iterator
-            .map(k => cmp(mx.getOrElse(k, VM), my.getOrElse(k, VM)))
-            .find(_ != 0).getOrElse(0)
-        case _ => 0
-      }
-    }
-    def scalarCol(v: V): Column = v match {
-      case VB(x) => TypedSlots.ofBoolean(lit(x))
-      case VN(x) => TypedSlots.ofNumber(lit(x))
-      case VS(x) => TypedSlots.ofString(lit(x))
-      case _     => TypedSlots.missing
-    }
-    def nvCol(v: V): Column = v match {
-      case VL(xs) => TypedSlots.nvOfList(
-        if (xs.isEmpty) array() else array(xs.map(scalarCol): _*))
-      case VO(kv) => TypedSlots.nvOfObject(
-        if (kv.isEmpty) array()
-        else array(kv.sortBy(_._1).map { case (k, x) =>
-          struct(lit(k).as("k"), scalarCol(x).as("v")) }: _*))
-      case other  => TypedSlots.nvOfScalar(scalarCol(other))
-    }
     val rnd = new scala.util.Random(20260812L)
     def randScalar(): V = rnd.nextInt(4) match {
       case 0 => VB(rnd.nextBoolean())
@@ -250,6 +262,59 @@ class VariantLawsSpec extends AnyFunSuite {
       val want = cmp(vs(i), vs(j)) == 0
       assert(eqGot((i.toLong, j.toLong)) === want,
         s"nvEq(${vs(i)}, ${vs(j)}) should be $want")
+    }
+  }
+
+  test("depth-2 nested sort and equality match the value_compare model") {
+    val rnd = new scala.util.Random(20260813L)
+    def randScalar(): V = rnd.nextInt(4) match {
+      case 0 => VB(rnd.nextBoolean())
+      case 1 => VN(rnd.nextInt(3).toDouble)
+      case 2 => VS(Seq("", "a", "b")(rnd.nextInt(3)))
+      case _ => VM
+    }
+    // depth-1 value: scalar, list of scalars, or object of scalars
+    def randV1(): V = rnd.nextInt(6) match {
+      case 0 => VB(rnd.nextBoolean())
+      case 1 => VN(rnd.nextInt(3).toDouble)
+      case 2 => VS(Seq("", "a", "b")(rnd.nextInt(3)))
+      case 3 => VL(Seq.fill(rnd.nextInt(3))(randScalar()))
+      case 4 => VO(Seq("a", "b").filter(_ => rnd.nextBoolean()).map(_ -> randScalar()))
+      case _ => VM
+    }
+    // depth-2 value: list/object members are depth-1 values
+    def randV2(): V = rnd.nextInt(6) match {
+      case 0 => VB(rnd.nextBoolean())
+      case 1 => VN(rnd.nextInt(3).toDouble)
+      case 2 => VS(Seq("", "a", "b")(rnd.nextInt(3)))
+      case 3 => VL(Seq.fill(rnd.nextInt(3))(randV1()))
+      case 4 => VO(Seq("a", "b", "c").filter(_ => rnd.nextBoolean()).map(_ -> randV1()))
+      case _ => VM
+    }
+    val vs = Vector.fill(110)(randV2())
+    val expected = vs.zipWithIndex
+      .sortWith { case ((a, i), (b, j)) =>
+        val c = cmp(a, b); if (c != 0) c < 0 else i < j }
+      .map(_._2.toLong)
+    val df = spark.range(vs.size).toDF("id")
+      .withColumn("v", vs.zipWithIndex.tail.foldLeft(
+        when(col("id") === 0, nv2Col(vs.head))) {
+        case (acc, (v, i)) => acc.when(col("id") === i, nv2Col(v))
+      })
+    val got = df.orderBy(TypedSlots.sortKeyNested2(col("v")), col("id"))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got === expected, "depth-2 random-domain order mismatch")
+    // equality agrees with the model one level down, including the
+    // {a: missing} == {} law applied to nested object VALUES
+    val a = df.select(col("id").as("ia"), col("v").as("va"))
+    val b = df.select(col("id").as("ib"), col("v").as("vb"))
+    val eqGot = a.crossJoin(b)
+      .select(col("ia"), col("ib"), TypedSlots.nv2Eq(col("va"), col("vb")).as("eq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    for (i <- vs.indices; j <- vs.indices) {
+      val want = cmp(vs(i), vs(j)) == 0
+      assert(eqGot((i.toLong, j.toLong)) === want,
+        s"nv2Eq(${vs(i)}, ${vs(j)}) should be $want")
     }
   }
 
