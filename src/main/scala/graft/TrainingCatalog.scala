@@ -760,6 +760,88 @@ object TrainingCatalog {
       WHERE cut.cut >= 256 OR substr(md5(d.text), 1, 2) < printf('%02x', cut.cut)
       ORDER BY d.doc_id""")),
 
+    // END-TO-END pretraining-corpus assembly — the second canonical
+    // composition (complementing q_pipeline_curate's near-dup path):
+    // exact dedup keep-min, benchmark decontamination (8-gram
+    // collision), quality floor, per-source token budget, then
+    // head-to-tail sequence packing over the survivors. Every stage
+    // reuses an independently-oracled operator; the oracle re-composes
+    // their SQL formulas over one CTE chain, and every hashed output
+    // column is integer (the round-4 encoding rules).
+    "q_pipeline_pretrain" -> (q((s, dir) => {
+      val d = docs(s, dir)
+      val deduped = Dedup.dropExactDuplicates(d, "doc_id", "text")
+      val bench = d.where(col("doc_id") % 50 === 0)
+        .select(concat_ws(" ",
+          slice(TextAnalysis.tokens(lower(col("text"))), 1, 8)).as("btext"))
+      val clean = TextAnalysis.decontaminate(deduped, "doc_id", "text", bench, "btext", 8)
+        .where(!col("contaminated"))
+      val good = clean.where(TextAnalysis.qualityScore(col("text")) >= 0.5)
+      val taken = graft.ops.Sampling.budgetTake(good, "source", "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget = 2000L)
+      graft.ops.Batching.packOffsets(taken, "doc_id", "text", windowTokens = 512L)
+        .withColumnRenamed("id", "doc_id")
+    }), Some(s"""
+      WITH ded AS (
+        SELECT min(doc_id) AS doc_id
+        FROM documents
+        GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+      toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      bench AS (
+        SELECT DISTINCT array_to_string(t[1:8], ' ') AS g
+        FROM toks WHERE doc_id % 50 = 0 AND len(t) >= 8),
+      grams AS (
+        SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+              FROM toks WHERE len(t) >= 8)),
+      contam AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (g)),
+      m AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+          len(regexp_extract_all(lower(text), '${lexSql("en")}')) AS n_stop,
+          length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_wordchars,
+          length(text) AS n_chars
+        FROM documents),
+      qual AS (
+        SELECT doc_id, n_tok,
+          round(
+            least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.3
+            + (CASE WHEN n_tok > 0 AND CAST(n_wordchars AS DOUBLE) / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0
+                    THEN 1.0 ELSE 0.0 END) * 0.2
+            + least((CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0) * 0.3
+            + (1.0 - least((CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)) * 4.0, 1.0)) * 0.2,
+            6) AS quality
+        FROM m),
+      good AS (
+        SELECT d.doc_id, d.source, qual.n_tok
+        FROM documents d
+        JOIN ded USING (doc_id)
+        JOIN qual ON qual.doc_id = d.doc_id
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM contam)
+          AND qual.quality >= 0.5),
+      bud AS (
+        SELECT doc_id, n_tok,
+          CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+        FROM good),
+      taken AS (
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS ord
+        FROM bud WHERE running <= 2000),
+      pack AS (
+        SELECT doc_id, n_tok,
+          CAST(coalesce(sum(n_tok) OVER (ORDER BY ord, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+        FROM taken)
+      SELECT doc_id, n_tok, "offset",
+        CAST("offset" // 512 AS BIGINT) AS window_start,
+        CAST((CASE WHEN n_tok > 0 THEN "offset" + n_tok - 1 ELSE "offset" END) // 512 AS BIGINT) AS window_end
+      FROM pack ORDER BY doc_id""")),
+
     // per-source token-budget take: keep each source's docs in doc_id
     // order while the running token total stays within budget — the
     // "fill a per-domain quota" step of corpus assembly. running_tokens

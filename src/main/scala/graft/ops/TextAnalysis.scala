@@ -387,9 +387,17 @@ object TextAnalysis {
   def decontaminate(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                     bench: org.apache.spark.sql.DataFrame, benchTextCol: String,
                     n: Int): org.apache.spark.sql.DataFrame = {
+    // tokens MATERIALIZE into an attribute before the gram lambda (the
+    // ngramsFromTokens rule): inlined, the per-element element_at
+    // references re-ran the tokenizer — fast over a bare scan where
+    // codegen's subexpression elimination caught it, but 29 s vs 0.3 s
+    // at sf0.1 the moment a window/join sat upstream
     val grams = docs.select(col(idCol).as("__id"),
-      explode(wordNgrams(col(textCol), n)).as("__g"))
-    val bgrams = bench.select(explode(wordNgrams(col(benchTextCol), n)).as("__g")).distinct()
+        tokens(lower(col(textCol))).as("__t"))
+      .select(col("__id"), explode(ngramsFromTokens(col("__t"), n)).as("__g"))
+    val bgrams = bench
+      .select(tokens(lower(col(benchTextCol))).as("__t"))
+      .select(explode(ngramsFromTokens(col("__t"), n)).as("__g")).distinct()
     val hits = grams.join(broadcast(bgrams), "__g")
       .groupBy(col("__id")).agg(count_distinct(col("__g")).as("n_hits"))
     docs.join(broadcast(hits), docs(idCol) === hits("__id"), "left")
