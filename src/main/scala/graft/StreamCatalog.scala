@@ -156,6 +156,43 @@ object StreamCatalog {
       SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
       FROM documents ORDER BY 1""")),
 
+    // STREAM-STREAM interval join: views and clicks are two unbounded
+    // streams (two streaming reads of the same event file, filtered to
+    // disjoint types); each view matches same-user clicks within the
+    // following 30 minutes. The watermark + two-sided time bound give
+    // Spark a state-eviction horizon — the production shape for
+    // attribution joins at scale (state ~ rate × (watermark + within),
+    // not stream history). Inner stream-stream joins emit on arrival
+    // (the watermark governs state cleanup, not emission), so the
+    // bounded drain must equal the batch inequality join the oracle
+    // runs. ts is second-truncated on both sides: the parquet carries
+    // µs timestamps, and DuckDB's INTERVAL arithmetic matches at the
+    // second grain.
+    "q_stream_join" -> (raw((s, dir) => {
+      def typed(t: String) = streamRead(s, dir, "events")
+        .where(col("event_type") === t)
+        .withColumn("ts", date_trunc("second", col("ts")))
+      val joined = Streams.intervalJoinStream(
+          typed("view").select(col("user_id"), col("ts"), col("event_id")),
+          typed("click").select(col("user_id"), col("ts"), col("event_id")),
+          "user_id", "ts", within = "30 minutes", watermark = "1 hour")
+        .select(col("l.user_id").as("user_id"),
+          col("l.event_id").as("view_id"), col("r.event_id").as("click_id"),
+          col("l.ts").as("view_ts"), col("r.ts").as("click_ts"))
+      drain(s, joined, "join", OutputMode.Append())
+        .orderBy("view_id", "click_id")
+    }), Some("""
+      SELECT v.user_id,
+             v.event_id AS view_id, c.event_id AS click_id,
+             date_trunc('second', v.ts) AS view_ts,
+             date_trunc('second', c.ts) AS click_ts
+      FROM events v JOIN events c
+        ON v.user_id = c.user_id
+       AND v.event_type = 'view' AND c.event_type = 'click'
+       AND date_trunc('second', c.ts) >= date_trunc('second', v.ts)
+       AND date_trunc('second', c.ts) <= date_trunc('second', v.ts) + INTERVAL 30 MINUTE
+      ORDER BY view_id, click_id""")),
+
     // gap-based session windows on a stream (session_window + watermark):
     // 30-min gap, session_end = last event + gap (the built-in's close
     // bound). Complete mode for the bounded drain; ts second-truncated on

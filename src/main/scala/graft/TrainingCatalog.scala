@@ -37,6 +37,20 @@ object TrainingCatalog {
   private val IvfSlot =
     new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, Array[Array[Double]])]()
 
+  /** One fitted PQ codebook set per (session, sf dir) — same build-once
+    * convention as [[IvfSlot]]. */
+  private val PqSlot =
+    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, Array[Array[Array[Double]]])]()
+
+  private def pqCodebooksFor(s: SparkSession, dir: String,
+                             corpus: DataFrame): Array[Array[Array[Double]]] =
+    PqSlot.get() match {
+      case (ss, d, c) if (ss eq s) && d == dir => c
+      case _ =>
+        val c = Similarity.pqFitCodebooks(corpus, m = 8, k = 16)
+        PqSlot.set((s, dir, c)); c
+    }
+
   /** One persisted synthetic-PNG payload corpus per (session, sf dir) —
     * the ImageIO entry measures the DECODE tier; encoding the input
     * corpus is scaffolding, so it is paid once (cold) and reused (warm),
@@ -1054,6 +1068,27 @@ object TrainingCatalog {
       val corpus = e.unionByName(planted)
       Similarity.ivfSearch(corpus, queries,
           ivfCentroidsFor(s, dir, corpus, nlist = 16), k = 5, nprobe = 8)
+        .groupBy(col("q_id"))
+        .agg(max(when(col("n_id") === col("q_id") + 1000000L, 1).otherwise(0)).as("found"),
+          round(max(col("sim")), 6).as("top_sim"))
+        .orderBy("q_id")
+    }), Some("""
+      SELECT vec_id AS q_id, 1 AS found, CAST(1.0 AS DOUBLE) AS top_sim
+      FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")),
+
+    // PQ ADC top-k, planted-copy oracle (same design as q_sim_ivf_topk):
+    // exact copies of the 20 query vectors are planted at vec_id+1e6; a
+    // copy's ADC distance is pure quantization error (the floor of the
+    // candidate set), so it must survive the shortlist, and the exact
+    // re-rank then pins found=1, top_sim=1.0. Codebooks are fit once per
+    // (session, dir) — a PQ index is built once and scanned many times.
+    "q_sim_pq_topk" -> (q((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val queries = e.where(col("vec_id") < 20)
+      val planted = queries.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = e.unionByName(planted)
+      Similarity.pqTopK(corpus, queries,
+          k = 5, codebooks = pqCodebooksFor(s, dir, corpus), shortlist = 32)
         .groupBy(col("q_id"))
         .agg(max(when(col("n_id") === col("q_id") + 1000000L, 1).otherwise(0)).as("found"),
           round(max(col("sim")), 6).as("top_sim"))

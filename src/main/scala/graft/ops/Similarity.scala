@@ -297,6 +297,109 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
   }
 
+  // -- product quantization (Jégou, Douze, Schmid: "Product Quantization
+  // for Nearest Neighbor Search", TPAMI 2011) ------------------------------
+
+  /**
+   * PQ codebook fit: the vector space is split into `m` contiguous
+   * subspaces of dim/m dims; each subspace gets its own `k`-centroid
+   * codebook via the SAME driver-side seeded Lloyd the IVF coarse
+   * quantizer uses ([[ivfFitCentroids]] rationale: a codebook needs a
+   * representative sample, not the corpus, so at most `fitSampleCap`
+   * vectors ever leave the executors and determinism is trivial).
+   * Returns codebooks(sub)(centroid)(dimWithinSub).
+   *
+   * A fitted vector compresses to m·log2(k) bits (m=8, k=16 → 4 bytes
+   * vs 256 bytes of float32 at dim 64) while distances stay computable
+   * FROM THE CODES — the storage/recall trade the int8 path
+   * ([[int8Quantize]]) can't reach below 1 byte/dim.
+   */
+  def pqFitCodebooks(corpus: DataFrame, m: Int = 8, k: Int = 16,
+                     vecCol: String = "embedding", seed: Long = 7L,
+                     fitSampleCap: Long = 65536L, fitMaxIter: Int = 10): Array[Array[Array[Double]]] = {
+    val c0 = corpus.select(vecD(col(vecCol)).as("v"))
+    val n = c0.count()
+    val fitSet =
+      if (n <= fitSampleCap) c0
+      else c0.sample(withReplacement = false, fitSampleCap.toDouble / n, seed)
+    val pts = fitSet.limit(fitSampleCap.toInt).collect().map(_.getSeq[Double](0).toArray)
+    val dim = pts(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    // per-subspace seeds differ so identical subspace distributions
+    // don't collapse to identical codebooks
+    Array.tabulate(m)(s =>
+      lloyd(pts.map(_.slice(s * dsub, s * dsub + dsub)), k, fitMaxIter, seed + s))
+  }
+
+  /** PQ encode as pure Column algebra: per subspace, the argmin-distance
+    * centroid index over `k` literal centroids (distance via the
+    * codegen'd dot kernel; |c|² folds to a constant) — a per-row
+    * projection in the scan, no shuffle, no UDF. Returns array<int>
+    * of length m. */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val dsub = codebooks(0)(0).length
+    val v = vecD(vec)
+    array(codebooks.indices.map { s =>
+      val subv = slice(v, s * dsub + 1, dsub)
+      element_at(array_sort(array(codebooks(s).zipWithIndex.map { case (ctr, ci) =>
+        struct(
+          (lit(ctr.map(x => x * x).sum) - lit(2.0) * dot(subv, typedlit(ctr.toSeq))).as("d"),
+          lit(ci).as("c"))
+      }.toSeq: _*)), 1).getField("c")
+    }: _*)
+  }
+
+  /**
+   * PQ ADC (asymmetric distance computation) top-k: the corpus is
+   * encoded to m-byte codes; each query precomputes one k-entry
+   * distance lookup table per subspace (query subvector vs that
+   * subspace's codebook), and a candidate's approximate distance is m
+   * ARRAY LOOKUPS + adds — no per-pair O(dim) arithmetic. The
+   * `shortlist` nearest-by-ADC candidates are then exactly re-ranked by
+   * cosine (the standard two-stage serving shape), so the emitted `sim`
+   * is exact while the scan cost rides the codes.
+   *
+   * Scale shape: queries (with their LUTs) broadcast; the corpus never
+   * shuffles — encode + ADC are per-row projections, and only the
+   * (queries × shortlist) survivor set reaches the re-rank window. At
+   * 100 TB you'd additionally gate the scan with an IVF cell filter
+   * ([[ivfSearch]]) — IVF×PQ composes: this operator IS the per-cell
+   * scan kernel of that index.
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             codebooks: Array[Array[Array[Double]]], shortlist: Int = 32,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val c = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_vec"))
+      .withColumn("codes", pqEncode(col("n_vec"), codebooks))
+    def lutFor(qvec: Column, s: Int): Column =
+      array(codebooks(s).map(ctr =>
+        lit(ctr.map(x => x * x).sum) -
+          lit(2.0) * dot(slice(qvec, s * dsub + 1, dsub), typedlit(ctr.toSeq))).toSeq: _*)
+    val q = broadcast(
+      queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_vec"))
+        .withColumn("luts", array((0 until m).map(s => lutFor(col("q_vec"), s)): _*)))
+    // |q_sub|² is omitted from the LUT entries: constant per (query,
+    // subspace), so the total offset is constant per query — ADC order
+    // is unchanged (same trick as ivfSearch's cell ranking)
+    val adc = (0 until m)
+      .map(s => element_at(element_at(col("luts"), s + 1), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val scored = c.crossJoin(q).where(col("q_id") =!= col("n_id"))
+      .withColumn("adc", adc)
+    val wShort = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id"))
+    val short = scored.withColumn("srank", row_number().over(wShort))
+      .where(col("srank") <= shortlist)
+    val den = sqrt(dot(col("q_vec"), col("q_vec"))) * sqrt(dot(col("n_vec"), col("n_vec")))
+    val reranked = short.select(col("q_id"), col("n_id"),
+      when(den =!= 0.0, dot(col("q_vec"), col("n_vec")) / den).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    reranked.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+  }
+
   /**
    * Multi-table LSH-bucketed ANN top-k. `tables` independent hash tables
    * of `planes` hyperplanes each (the standard recall amplifier: a true

@@ -93,6 +93,33 @@ object Streams {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("n"), col("total"))
 
+  /** STREAM-STREAM inner join within an event-time interval: each left
+    * row matches right rows with the same key whose timestamp falls in
+    * [left.ts, left.ts + `within`] — attribution-style enrichment
+    * (impression→click, order→payment) where BOTH sides are unbounded.
+    *
+    * The watermark + the two-sided time-range predicate are what make
+    * this run with BOUNDED state: Spark derives, from `watermark` and
+    * `within`, exactly how long each side's rows must be buffered before
+    * no future match is possible, then evicts (the state-cleanup
+    * contract stream-stream joins require — without the time bound the
+    * buffers grow with the stream). Matches emit as soon as both rows
+    * have arrived; the watermark governs eviction, not emission, so a
+    * bounded drain equals the batch interval join ([[graft.ops.RangeJoin]]
+    * is the batch sibling).
+    *
+    * Column names: left keeps its names, right's ts/id are suffixed so
+    * the joined row carries both event identities. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
+                         tsCol: String, within: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$tsCol") >= col(s"l.$tsCol") &&
+        col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $within"))
+  }
+
   // -- sessionization -----------------------------------------------------
 
   case class Event(userId: Long, ts: java.sql.Timestamp, value: Double)

@@ -32,6 +32,34 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq((2L, 3.0), (1L, 10.0)))
   }
 
+  test("intervalJoinStream: same-key matches inside [ts, ts+within] only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val joined = Streams.intervalJoinStream(
+        views.toDF().toDF("user_id", "ts", "event_id"),
+        clicks.toDF().toDF("user_id", "ts", "event_id"),
+        "user_id", "ts", within = "30 minutes", watermark = "1 hour")
+      .select(col("l.event_id").as("view_id"), col("r.event_id").as("click_id"))
+    val q = joined.writeStream.format("memory").queryName("sjoin")
+      .outputMode(OutputMode.Append).start()
+    views.addData(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (2L, ts("2024-01-01 10:00:00"), 101L))
+    clicks.addData(
+      (1L, ts("2024-01-01 10:10:00"), 200L), // in window → match
+      (1L, ts("2024-01-01 10:31:00"), 201L), // past ts+30min → no match
+      (1L, ts("2024-01-01 09:59:00"), 202L), // before the view → no match
+      (2L, ts("2024-01-01 10:30:00"), 203L), // boundary: exactly +30min → match
+      (3L, ts("2024-01-01 10:10:00"), 204L)) // key never viewed → no match
+    q.processAllAvailable()
+    val rows = spark.table("sjoin").select("view_id", "click_id")
+      .as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(rows === Set((100L, 200L), (101L, 203L)))
+  }
+
   test("dedupStream drops within-watermark exact duplicates, keeps first") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
