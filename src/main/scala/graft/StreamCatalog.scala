@@ -179,8 +179,19 @@ object StreamCatalog {
         .select(col("l.user_id").as("user_id"),
           col("l.event_id").as("view_id"), col("r.event_id").as("click_id"),
           col("l.ts").as("view_ts"), col("r.ts").as("click_ts"))
-      drain(s, joined, "join", OutputMode.Append())
+      // a stream-stream join keeps FOUR state stores per shuffle
+      // partition, each committing checkpoint files per micro-batch —
+      // at the session's 32 partitions that is ~128 file commits per
+      // batch for a few-thousand-row drain, pure fixed overhead. State
+      // partition count is a per-query throughput knob (it is frozen
+      // into the checkpoint at first start), so size it to THIS
+      // stream's volume the way a production job would; entries run
+      // sequentially, and the conf is restored after the drain.
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try drain(s, joined, "join", OutputMode.Append())
         .orderBy("view_id", "click_id")
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }), Some("""
       SELECT v.user_id,
              v.event_id AS view_id, c.event_id AS click_id,
