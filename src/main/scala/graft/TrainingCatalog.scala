@@ -1097,6 +1097,29 @@ object TrainingCatalog {
       SELECT vec_id AS q_id, 1 AS found, CAST(1.0 AS DOUBLE) AS top_sim
       FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")),
 
+    // IVF×PQ composed search (the billion-scale index shape): planted
+    // copy lands in the query's own cell (identical vector → identical
+    // nearest centroid, and the probe set always contains the query's
+    // cell), its ADC distance is the quantization-error floor, and the
+    // exact re-rank pins found=1 / top_sim=1.0 — so the composition's
+    // correctness is driver-checked end-to-end, not just each tier's.
+    "q_sim_ivfpq_topk" -> (q((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val queries = e.where(col("vec_id") < 20)
+      val planted = queries.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = e.unionByName(planted)
+      Similarity.ivfPqTopK(corpus, queries, k = 5,
+          centroids = ivfCentroidsFor(s, dir, corpus, nlist = 16),
+          codebooks = pqCodebooksFor(s, dir, corpus),
+          nprobe = 8, shortlist = 32)
+        .groupBy(col("q_id"))
+        .agg(max(when(col("n_id") === col("q_id") + 1000000L, 1).otherwise(0)).as("found"),
+          round(max(col("sim")), 6).as("top_sim"))
+        .orderBy("q_id")
+    }), Some("""
+      SELECT vec_id AS q_id, 1 AS found, CAST(1.0 AS DOUBLE) AS top_sim
+      FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")),
+
     // per-label centroids of the embedding corpus: one partial-aggregated
     // (label, position) shuffle, no window, no collect — see
     // Similarity.centroids for the scale shape. EXPLODED to one

@@ -265,12 +265,7 @@ object Similarity {
                 k: Int, nprobe: Int = 4, idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
     val c0 = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_vec"))
-    def assignCell(vec: Column): Column =
-      element_at(array_sort(array(centroids.toSeq.zipWithIndex.map { case (ctr, i) =>
-        struct((lit(ctr.map(x => x * x).sum) - lit(2.0) * dot(vec, typedlit(ctr.toSeq))).as("d"),
-          lit(i).as("cell"))
-      }: _*)), 1).getField("cell")
-    val c = c0.withColumn("cell", assignCell(col("n_vec")))
+    val c = c0.withColumn("cell", nearestCell(col("n_vec"), centroids))
     // nprobe nearest cells per query by EUCLIDEAN distance — KMeans
     // assigns corpus cells euclidean, so probing must match that
     // geometry (dist² = |q|² - 2q·c + |c|²; |q|² is rank-invariant)
@@ -399,6 +394,74 @@ object Similarity {
     reranked.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
   }
+
+  /**
+   * IVF×PQ composed ANN top-k — the standard billion-scale index shape
+   * (FAISS's IVFPQ): the IVF coarse quantizer restricts each query to
+   * `nprobe` of `nlist` cells, and WITHIN the candidate cells distances
+   * ride the PQ codes (ADC), so the scan does m array lookups per
+   * candidate instead of O(dim) arithmetic, and touches only
+   * ~corpus × nprobe/nlist candidates instead of the full corpus the
+   * flat [[pqTopK]] scans. Exact cosine re-rank of the shortlist, as in
+   * both parents.
+   *
+   * Everything per-row is a codegen'd projection (cell assignment + PQ
+   * encode in the scan); the only join is a broadcast equi-join on the
+   * cell id; the only shuffle is the per-query shortlist window over
+   * the surviving candidates. At 100 TB: corpus never shuffles, the
+   * index build is one pass, and both quantizers fit driver-side on
+   * bounded samples.
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                centroids: Array[Array[Double]],
+                codebooks: Array[Array[Array[Double]]],
+                nprobe: Int = 4, shortlist: Int = 32,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    // corpus side: one projection computes the IVF cell and the PQ codes
+    val c = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_vec"))
+      .withColumn("cell", nearestCell(col("n_vec"), centroids))
+      .withColumn("codes", pqEncode(col("n_vec"), codebooks))
+    // query side: nprobe nearest cells (euclidean, matching assignment
+    // geometry) + the per-subspace ADC lookup tables
+    def lutFor(qvec: Column, s: Int): Column =
+      array(codebooks(s).map(ctr =>
+        lit(ctr.map(x => x * x).sum) -
+          lit(2.0) * dot(slice(qvec, s * dsub + 1, dsub), typedlit(ctr.toSeq))).toSeq: _*)
+    val probeArr = slice(array_sort(array(centroids.toSeq.zipWithIndex.map { case (ctr, i) =>
+      struct((lit(ctr.map(x => x * x).sum) -
+        lit(2.0) * dot(col("q_vec"), typedlit(ctr.toSeq))).as("d"), lit(i).as("cell"))
+    }: _*)), 1, nprobe)
+    val q = broadcast(
+      queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_vec"))
+        .withColumn("luts", array((0 until m).map(s => lutFor(col("q_vec"), s)): _*))
+        .withColumn("probe", explode(probeArr))
+        .select(col("q_id"), col("q_vec"), col("luts"), col("probe.cell").as("cell")))
+    val adc = (0 until m)
+      .map(s => element_at(element_at(col("luts"), s + 1), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val scored = c.join(q, Seq("cell")).where(col("q_id") =!= col("n_id"))
+      .withColumn("adc", adc)
+    val wShort = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id"))
+    val short = scored.withColumn("srank", row_number().over(wShort))
+      .where(col("srank") <= shortlist)
+    val den = sqrt(dot(col("q_vec"), col("q_vec"))) * sqrt(dot(col("n_vec"), col("n_vec")))
+    val reranked = short.select(col("q_id"), col("n_id"),
+      when(den =!= 0.0, dot(col("q_vec"), col("n_vec")) / den).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    reranked.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+  }
+
+  /** Nearest coarse-quantizer cell by euclidean distance — the shared
+    * assignment kernel of [[ivfSearch]] and [[ivfPqTopK]] (|v|² is
+    * rank-invariant, so argmin(|c|² − 2v·c) suffices). */
+  private def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column =
+    element_at(array_sort(array(centroids.toSeq.zipWithIndex.map { case (ctr, i) =>
+      struct((lit(ctr.map(x => x * x).sum) - lit(2.0) * dot(vec, typedlit(ctr.toSeq))).as("d"),
+        lit(i).as("cell"))
+    }: _*)), 1).getField("cell")
 
   /**
    * Multi-table LSH-bucketed ANN top-k. `tables` independent hash tables

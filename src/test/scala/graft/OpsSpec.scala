@@ -369,6 +369,23 @@ class OpsSpec extends AnyFunSuite {
     assert(hits >= 6, s"PQ recall@1 too low: $hits/10")
   }
 
+  test("ivfPqTopK recall@1 vs brute force on sf0.001 (composed index)") {
+    import spark.implicits._
+    val e = SparkEntry.loader(spark, "/root/testdata/sf0.001")("embeddings")
+    val q = e.where($"vec_id" < 10)
+    val bf = Similarity.bruteForceTopK(e, q, k = 1)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    val cents = Similarity.ivfFitCentroids(e, nlist = 16)
+    val books = Similarity.pqFitCodebooks(e, m = 8, k = 16)
+    val ivfpq = Similarity.ivfPqTopK(e, q, k = 1, cents, books,
+        nprobe = 8, shortlist = 32)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    val hits = bf.count { case (qid, nid) => ivfpq.get(qid).contains(nid) }
+    // compounded approximation (cell miss ∪ ADC miss) on the
+    // uniform-random worst case; either tier alone holds ≥6-7/10 above
+    assert(hits >= 5, s"IVFPQ recall@1 too low: $hits/10")
+  }
+
   test("cosinePairs is symmetric-free (a<b) and thresholded") {
     val pairs = Similarity.cosinePairs(vecs, 0.9).select("id_a", "id_b").as[(Long, Long)].collect()
     assert(pairs.toSet === Set((0L, 1L)))

@@ -57,6 +57,23 @@ class PlanSpec extends AnyFunSuite {
       "domain densify join is not broadcast")
   }
 
+  test("ivfpq: cell join broadcasts the probe side; corpus side has no pre-join Exchange") {
+    val p = plan("q_sim_ivfpq_topk")
+    // candidates come from a broadcast equi-join on the cell id — the
+    // corpus must NOT shuffle to meet the (tiny, exploded) probe set
+    assert(p.contains("BroadcastHashJoin"), "cell join is not a broadcast hash join")
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val corpusSide = p.substring(joinIdx)
+    val embScan = corpusSide.indexOf("embeddings.parquet")
+    assert(embScan >= 0, "no embeddings scan under the join")
+    // between the join and the corpus scan: projections only, no Exchange
+    // (the only shuffles in the whole plan are the per-query windows)
+    val segment = p.substring(joinIdx, joinIdx + corpusSide.indexOf("embeddings.parquet"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(segment).length
+    assert(exchanges <= 1, // the probe side's own tiny broadcast prep may repartition
+      s"corpus path to the cell join shuffles:\n$segment")
+  }
+
   test("split assignment is a shuffle-free codegen'd projection") {
     val p = plan("q_split_assign")
     assert(!p.contains("Exchange"), s"split assignment should not shuffle:\n$p")
