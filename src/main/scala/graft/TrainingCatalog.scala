@@ -754,6 +754,29 @@ object TrainingCatalog {
       FROM documents WHERE substr(md5(text), 1, 2) < '40'
       ORDER BY doc_id""")),
 
+    // deterministic weighted source interleave (stride scheduling): the
+    // MIXING SCHEDULE of corpus assembly — 3:2:1 over three sources as
+    // one totally-ordered stream where every prefix holds the target
+    // mix. All-integer virtual times (rank+1)·(lcm/part), so the oracle
+    // replays the schedule exactly; the order column IS the hashed
+    // payload. A 6-long schedule period holds src0,src0,src0,src1,src1,
+    // src2 (by vt with ties broken by source) — asserted per-prefix in
+    // OpsSpec; the oracle checks the whole schedule at sf.
+    "q_sample_interleave" -> (q((s, dir) =>
+      graft.ops.Sampling.interleaveByStride(
+          docs(s, dir).select(col("doc_id"), col("source")), "source", "doc_id",
+          Map("src0" -> 3L, "src1" -> 2L, "src2" -> 1L))
+        .orderBy("mix_vt", "source", "doc_id")
+    ), Some("""
+      WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents WHERE source IN ('src0','src1','src2'))
+      SELECT doc_id, source,
+             CAST(rn * (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 3 ELSE 6 END) AS BIGINT) AS mix_vt
+      FROM r ORDER BY mix_vt, source, doc_id""")),
+
     // multilingual temperature resampling (τ=2): per-language keep
     // probability sqrt(n_min/n_lang), realized deterministically through
     // the md5 bucket — every arithmetic step is IEEE correctly-rounded,

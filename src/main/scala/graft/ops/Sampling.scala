@@ -114,6 +114,38 @@ object Sampling {
       .where(col("__r") < quota).drop("__r")
   }
 
+  /** Deterministic weighted source INTERLEAVE — the mixing SCHEDULE step
+    * of corpus assembly (a quota take fixes how much of each source; this
+    * fixes the ORDER the training run consumes them in, so every stretch
+    * of the stream holds the target mix): stride scheduling (Waldspurger
+    * & Weihl, OSDI '95). Source s with integer weight `parts(s)` emits
+    * its i-th row (0-based, md5 order of the row key) at virtual time
+    * `(i+1) · (L / parts(s))` with `L = lcm(parts)` — ALL integer
+    * arithmetic, so the schedule is engine-exact, partitioning-
+    * independent, and stable as the corpus grows (a row's slot depends
+    * only on its own per-source rank). Rows of sources absent from
+    * `parts` are dropped.
+    *
+    * Returns the input plus `mix_vt`; the materialized order is
+    * (mix_vt, source, key) — a range-partitioned sort, NOT a global
+    * row_number (which would serialize the corpus through one task).
+    * Per-source ranks ride [[Batching.rankWithinScaled]] (few huge
+    * sources = the per-key window's worst case). */
+  def interleaveByStride(df: org.apache.spark.sql.DataFrame, sourceCol: String,
+                         keyCol: String, parts: Map[String, Long]): org.apache.spark.sql.DataFrame = {
+    require(parts.nonEmpty && parts.values.forall(_ > 0), s"parts: $parts")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val l = parts.values.reduce((a, b) => a / gcd(a, b) * b)
+    val in = df.where(col(sourceCol).isin(parts.keys.toSeq: _*))
+    val stride = parts.foldLeft(lit(0L)) { case (acc, (k, p)) =>
+      when(col(sourceCol) === k, lit(l / p)).otherwise(acc)
+    }
+    Batching.rankWithinScaled(in, sourceCol,
+        Seq(md5(col(keyCol).cast("string")), col(keyCol)), out = "__r")
+      .withColumn("mix_vt", (col("__r") + lit(1L)) * stride)
+      .drop("__r")
+  }
+
   /** Train/val/test assignment from cumulative weight cutoffs over the
     * 256-bucket space, e.g. `splitAssign(col, Seq("train" -> 0.8,
     * "val" -> 0.1, "test" -> 0.1))`. Weights are normalized; cutoffs

@@ -117,6 +117,34 @@ class OpsSpec extends AnyFunSuite {
     assert(docs.where(Sampling.sampleByHash(col("text"), 0.0)).count() === 0)
   }
 
+  test("interleaveByStride: every schedule prefix holds the target mix") {
+    import spark.implicits._
+    // 12 rows of a, 8 of b, 4 of c at weights 3:2:1 (L=6, strides 2/3/6)
+    val rows = (0 until 12).map(i => (i.toLong, "a")) ++
+      (100 until 108).map(i => (i.toLong, "b")) ++
+      (200 until 204).map(i => (i.toLong, "c"))
+    val df = rows.toDF("id", "src")
+    val out = graft.ops.Sampling.interleaveByStride(df, "src", "id",
+        Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+      .orderBy("mix_vt", "src", "id")
+      .select("src", "mix_vt").as[(String, Long)].collect()
+    assert(out.length === 24)
+    // by virtual time T, source s has emitted floor(T / stride_s) rows
+    // (until exhausted) — the stride-scheduling invariant
+    for (t <- Seq(6L, 12L, 18L, 24L)) {
+      val counts = out.filter(_._2 <= t).groupBy(_._1).view.mapValues(_.length).toMap
+      assert(counts.getOrElse("a", 0) === math.min(12, t / 2).toInt, s"a at vt<=$t")
+      assert(counts.getOrElse("b", 0) === math.min(8, t / 3).toInt, s"b at vt<=$t")
+      assert(counts.getOrElse("c", 0) === math.min(4, t / 6).toInt, s"c at vt<=$t")
+    }
+    // absent source drops; determinism across invocations
+    val again = graft.ops.Sampling.interleaveByStride(df, "src", "id",
+        Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+      .orderBy("mix_vt", "src", "id")
+      .select("src", "mix_vt").as[(String, Long)].collect()
+    assert(out.toSeq === again.toSeq)
+  }
+
   test("temperature resample: smallest class keeps all rows, head shrinks") {
     val df = (1 to 400).map(i => (i.toLong, s"text $i", if (i <= 320) "big" else "small"))
       .toDF("id", "t", "cls")
