@@ -119,9 +119,7 @@ object Similarity {
     val scored = c.crossJoin(q).where(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         when(den =!= 0.0, dot(col("q_vec"), col("n_vec")) / den).as("sim"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+    topKBySim(scored, k)
   }
 
   /** All pairs (id_a < id_b) with cosine >= threshold. Exact; use the
@@ -283,13 +281,8 @@ object Similarity {
       queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_vec"))
         .withColumn("probe", explode(probeArr))
         .select(col("q_id"), col("q_vec"), col("probe.cell").as("cell")))
-    val den = sqrt(dot(col("q_vec"), col("q_vec"))) * sqrt(dot(col("n_vec"), col("n_vec")))
-    val scored = c.join(q, Seq("cell")).where(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        when(den =!= 0.0, dot(col("q_vec"), col("n_vec")) / den).as("sim"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+    topKBySim(cosineScored(
+      c.join(q, Seq("cell")).where(col("q_id") =!= col("n_id"))), k)
   }
 
   // -- product quantization (Jégou, Douze, Schmid: "Product Quantization
@@ -365,34 +358,13 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              codebooks: Array[Array[Array[Double]]], shortlist: Int = 32,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val m = codebooks.length
-    val dsub = codebooks(0)(0).length
     val c = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_vec"))
       .withColumn("codes", pqEncode(col("n_vec"), codebooks))
-    def lutFor(qvec: Column, s: Int): Column =
-      array(codebooks(s).map(ctr =>
-        lit(ctr.map(x => x * x).sum) -
-          lit(2.0) * dot(slice(qvec, s * dsub + 1, dsub), typedlit(ctr.toSeq))).toSeq: _*)
     val q = broadcast(
       queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_vec"))
-        .withColumn("luts", array((0 until m).map(s => lutFor(col("q_vec"), s)): _*)))
-    // |q_sub|² is omitted from the LUT entries: constant per (query,
-    // subspace), so the total offset is constant per query — ADC order
-    // is unchanged (same trick as ivfSearch's cell ranking)
-    val adc = (0 until m)
-      .map(s => element_at(element_at(col("luts"), s + 1), element_at(col("codes"), s + 1) + 1))
-      .reduce(_ + _)
-    val scored = c.crossJoin(q).where(col("q_id") =!= col("n_id"))
-      .withColumn("adc", adc)
-    val wShort = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id"))
-    val short = scored.withColumn("srank", row_number().over(wShort))
-      .where(col("srank") <= shortlist)
-    val den = sqrt(dot(col("q_vec"), col("q_vec"))) * sqrt(dot(col("n_vec"), col("n_vec")))
-    val reranked = short.select(col("q_id"), col("n_id"),
-      when(den =!= 0.0, dot(col("q_vec"), col("n_vec")) / den).as("sim"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    reranked.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+        .withColumn("luts", pqLuts(col("q_vec"), codebooks)))
+    val cand = c.crossJoin(q).where(col("q_id") =!= col("n_id"))
+    topKBySim(cosineScored(adcShortlist(cand, codebooks.length, shortlist)), k)
   }
 
   /**
@@ -417,41 +389,23 @@ object Similarity {
                 codebooks: Array[Array[Array[Double]]],
                 nprobe: Int = 4, shortlist: Int = 32,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val m = codebooks.length
-    val dsub = codebooks(0)(0).length
     // corpus side: one projection computes the IVF cell and the PQ codes
     val c = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_vec"))
       .withColumn("cell", nearestCell(col("n_vec"), centroids))
       .withColumn("codes", pqEncode(col("n_vec"), codebooks))
     // query side: nprobe nearest cells (euclidean, matching assignment
     // geometry) + the per-subspace ADC lookup tables
-    def lutFor(qvec: Column, s: Int): Column =
-      array(codebooks(s).map(ctr =>
-        lit(ctr.map(x => x * x).sum) -
-          lit(2.0) * dot(slice(qvec, s * dsub + 1, dsub), typedlit(ctr.toSeq))).toSeq: _*)
     val probeArr = slice(array_sort(array(centroids.toSeq.zipWithIndex.map { case (ctr, i) =>
       struct((lit(ctr.map(x => x * x).sum) -
         lit(2.0) * dot(col("q_vec"), typedlit(ctr.toSeq))).as("d"), lit(i).as("cell"))
     }: _*)), 1, nprobe)
     val q = broadcast(
       queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_vec"))
-        .withColumn("luts", array((0 until m).map(s => lutFor(col("q_vec"), s)): _*))
+        .withColumn("luts", pqLuts(col("q_vec"), codebooks))
         .withColumn("probe", explode(probeArr))
         .select(col("q_id"), col("q_vec"), col("luts"), col("probe.cell").as("cell")))
-    val adc = (0 until m)
-      .map(s => element_at(element_at(col("luts"), s + 1), element_at(col("codes"), s + 1) + 1))
-      .reduce(_ + _)
-    val scored = c.join(q, Seq("cell")).where(col("q_id") =!= col("n_id"))
-      .withColumn("adc", adc)
-    val wShort = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id"))
-    val short = scored.withColumn("srank", row_number().over(wShort))
-      .where(col("srank") <= shortlist)
-    val den = sqrt(dot(col("q_vec"), col("q_vec"))) * sqrt(dot(col("n_vec"), col("n_vec")))
-    val reranked = short.select(col("q_id"), col("n_id"),
-      when(den =!= 0.0, dot(col("q_vec"), col("n_vec")) / den).as("sim"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    reranked.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+    val cand = c.join(q, Seq("cell")).where(col("q_id") =!= col("n_id"))
+    topKBySim(cosineScored(adcShortlist(cand, codebooks.length, shortlist)), k)
   }
 
   /** Nearest coarse-quantizer cell by euclidean distance — the shared
@@ -462,6 +416,49 @@ object Similarity {
       struct((lit(ctr.map(x => x * x).sum) - lit(2.0) * dot(vec, typedlit(ctr.toSeq))).as("d"),
         lit(i).as("cell"))
     }: _*)), 1).getField("cell")
+
+  // -- shared ANN candidate-scoring tails ----------------------------------
+
+  /** Exact cosine over a (q_id, n_id, q_vec, n_vec) candidate set — the
+    * re-rank scoring every ANN variant ends with. */
+  private def cosineScored(cand: DataFrame): DataFrame = {
+    val den = sqrt(dot(col("q_vec"), col("q_vec"))) * sqrt(dot(col("n_vec"), col("n_vec")))
+    cand.select(col("q_id"), col("n_id"),
+      when(den =!= 0.0, dot(col("q_vec"), col("n_vec")) / den).as("sim"))
+  }
+
+  /** Final top-k: ONE per-query window over the scored candidates — the
+    * only shuffle any ANN variant pays after candidate generation. */
+  private def topKBySim(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+  }
+
+  /** Per-subspace ADC lookup tables for a query vector: luts[s][c] =
+    * |c|² − 2·q_s·c. |q_s|² is omitted — constant per (query, subspace),
+    * so the summed offset is constant per query and ADC order is
+    * unchanged (same trick as the cell ranking). */
+  private def pqLuts(qvec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val dsub = codebooks(0)(0).length
+    array(codebooks.indices.map { s =>
+      array(codebooks(s).map(ctr =>
+        lit(ctr.map(x => x * x).sum) -
+          lit(2.0) * dot(slice(qvec, s * dsub + 1, dsub), typedlit(ctr.toSeq))).toSeq: _*)
+    }: _*)
+  }
+
+  /** ADC shortlist shared by [[pqTopK]]/[[ivfPqTopK]]: approximate
+    * distance = m LUT lookups + adds per candidate, keep the `shortlist`
+    * nearest per query for exact re-ranking. */
+  private def adcShortlist(cand: DataFrame, m: Int, shortlist: Int): DataFrame = {
+    val adc = (0 until m)
+      .map(s => element_at(element_at(col("luts"), s + 1), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id"))
+    cand.withColumn("adc", adc).withColumn("srank", row_number().over(w))
+      .where(col("srank") <= shortlist)
+  }
 
   /**
    * Multi-table LSH-bucketed ANN top-k. `tables` independent hash tables
@@ -494,14 +491,9 @@ object Similarity {
     val q = broadcast(
       queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_vec"))
         .withColumn("probe", explode(array(probes: _*))))
-    val den = sqrt(dot(col("q_vec"), col("q_vec"))) * sqrt(dot(col("n_vec"), col("n_vec")))
-    val scored = c.join(q, col("bucket") === col("probe") && col("q_id") =!= col("n_id"))
+    val cand = c.join(q, col("bucket") === col("probe") && col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), col("q_vec"), col("n_vec"))
       .dropDuplicates("q_id", "n_id")
-      .select(col("q_id"), col("n_id"),
-        when(den =!= 0.0, dot(col("q_vec"), col("n_vec")) / den).as("sim"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+    topKBySim(cosineScored(cand), k)
   }
 }
