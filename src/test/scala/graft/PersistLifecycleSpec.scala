@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guard for the warm>cold bench pathology: repeat
+  * invocations of slot-cached / iterative entries must NOT grow the set
+  * of pinned RDDs. The round-4 driver bench showed warm runs SLOWER than
+  * cold across the dedup family because every connectedComponents call
+  * pinned fresh RDDs while prior pins stayed resident (LRU churn taxed
+  * every later query). The fix bounds residency with one-slot holders +
+  * eager materialization; this spec pins the bound itself: pinned-RDD
+  * count after run N+1 equals the count after run N, for the entries
+  * that persist anything. */
+class PersistLifecycleSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.get("4")
+  val dir = "/root/testdata/sf0.001"
+
+  private def pinned: Int = spark.sparkContext.getPersistentRDDs.size
+
+  private def runEntry(name: String): Unit =
+    SparkEntry.queries(name)(spark, dir).collect()
+
+  test("repeat invocations hold the pinned-RDD count flat (no accumulation)") {
+    // entries that persist: CC result slot + LSH pair slot
+    // (q_dedup_clusters), curated-corpus slot (q_pipeline_curate),
+    // extract increment (transient), resume scratch (q_etl_extract_resume)
+    val entries = Seq("q_dedup_clusters", "q_pipeline_curate", "q_etl_extract_resume")
+    entries.foreach(runEntry) // warm the slots
+    val afterFirst = pinned
+    entries.foreach(runEntry)
+    val afterSecond = pinned
+    entries.foreach(runEntry)
+    val afterThird = pinned
+    assert(afterSecond == afterFirst && afterThird == afterFirst,
+      s"pinned RDDs grew across repeat invocations: $afterFirst -> $afterSecond -> $afterThird")
+  }
+}
