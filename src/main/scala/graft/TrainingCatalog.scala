@@ -375,6 +375,36 @@ object TrainingCatalog {
              coalesce(h.n_hits, 0) > 0 AS contaminated
       FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""")),
 
+    // The SAME decontamination through the Bloom-prefiltered path — the
+    // exact confirm join makes false positives invisible, so this entry
+    // shares q_text_decontaminate's oracle verbatim: the driver gate
+    // itself proves the two variants equivalent (plus the crafted-FP
+    // spec in OpsSpec).
+    "q_text_decontaminate_bloom" -> (q((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val bench = d.where(col("doc_id") % 50 === 0)
+        .select(concat_ws(" ",
+          slice(TextAnalysis.tokens(lower(col("text"))), 1, 8)).as("btext"))
+      TextAnalysis.decontaminateBloom(d, "doc_id", "text", bench, "btext", 8)
+        .select(col("doc_id"), col("n_hits"), col("contaminated"))
+    }), Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      grams AS (
+        SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+              FROM toks WHERE len(t) >= 8)),
+      bench AS (
+        SELECT DISTINCT array_to_string(t[1:8], ' ') AS g
+        FROM toks WHERE doc_id % 50 = 0 AND len(t) >= 8),
+      hits AS (
+        SELECT g.doc_id, count(DISTINCT g.g) AS n_hits
+        FROM grams g JOIN bench b USING (g) GROUP BY g.doc_id)
+      SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+             coalesce(h.n_hits, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""")),
+
     // Gopher/C4 corpus filter rules over planted decorations: bullets,
     // ellipsis lines, lorem-ipsum, braces, and stopword boosts are mixed
     // in deterministically by doc_id so every rule fires both ways. The

@@ -406,6 +406,48 @@ object TextAnalysis {
         (coalesce(col("n_hits"), lit(0L)) > 0L).as("contaminated"): _*)
   }
 
+  /**
+   * [[decontaminate]] with a BLOOM-FILTER pre-filter on the corpus gram
+   * stream — the variant for when the benchmark gram set is too large
+   * to broadcast as rows (a full eval-suite union at 13-gram granularity
+   * reaches GBs; its Bloom filter at 1% FPP is ~1.2 bytes/gram). The
+   * filter is built in ONE distributed aggregate over the benchmark
+   * grams, broadcast once, and applied map-side inside the corpus scan,
+   * so ~99% of the exploded (doc, gram) stream dies before the join;
+   * the surviving grams still confirm against the exact gram table, so
+   * Bloom false positives cannot flag a clean document — output is
+   * IDENTICAL to [[decontaminate]] (same oracle, equivalence spec).
+   *
+   * The membership probe is a JVM UDF (Spark exposes its Bloom filter
+   * to SQL only as an internal runtime-filter expression) — acceptable
+   * here because it GATES the hot path rather than computing on it, and
+   * the gram explode it filters already bounds the stage's throughput.
+   */
+  def decontaminateBloom(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                         bench: org.apache.spark.sql.DataFrame, benchTextCol: String,
+                         n: Int, fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    val bgrams = bench
+      .select(tokens(lower(col(benchTextCol))).as("__t"))
+      .select(explode(ngramsFromTokens(col("__t"), n)).as("__g")).distinct()
+    // the filter build is an action over the (small) benchmark side; the
+    // confirm join re-derives bgrams lazily — a second pass over MBs, in
+    // exchange for pinning NOTHING across the call (persist-residency rule)
+    val nb = math.max(bgrams.count(), 1L)
+    val bf = bgrams.stat.bloomFilter("__g", nb, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((g: String) => g != null && bc.value.mightContainString(g))
+    val grams = docs.select(col(idCol).as("__id"),
+        tokens(lower(col(textCol))).as("__t"))
+      .select(col("__id"), explode(ngramsFromTokens(col("__t"), n)).as("__g"))
+      .where(mightContain(col("__g")))
+    val hits = grams.join(broadcast(bgrams), "__g")
+      .groupBy(col("__id")).agg(count_distinct(col("__g")).as("n_hits"))
+    docs.join(broadcast(hits), docs(idCol) === hits("__id"), "left")
+      .select(docs.columns.map(docs(_)) :+
+        coalesce(col("n_hits"), lit(0L)).as("n_hits") :+
+        (coalesce(col("n_hits"), lit(0L)) > 0L).as("contaminated"): _*)
+  }
+
   // -- corpus filter rules (Gopher/C4 flavored) ---------------------------
 
   /** Gopher's stopword-presence list (Rae et al. 2021, table A1 rule 8);

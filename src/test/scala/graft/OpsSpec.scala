@@ -117,6 +117,25 @@ class OpsSpec extends AnyFunSuite {
     assert(docs.where(Sampling.sampleByHash(col("text"), 0.0)).count() === 0)
   }
 
+  test("decontaminateBloom equals decontaminate (exact confirm kills Bloom FPs)") {
+    import spark.implicits._
+    // tiny fpp-hostile setup: high fpp forces false positives through the
+    // pre-filter, which the confirm join must then discard
+    val docsDf = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta trailing words"),
+      (2L, "totally unrelated text with many distinct tokens here now"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta copied prefix"))
+      .toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta epsilon zeta eta theta").toDF("btext")
+    val exact = TextAnalysis.decontaminate(docsDf, "doc_id", "text", bench, "btext", 8)
+      .select("doc_id", "n_hits", "contaminated").as[(Long, Long, Boolean)].collect().toSet
+    val bloom = TextAnalysis.decontaminateBloom(docsDf, "doc_id", "text", bench, "btext", 8,
+        fpp = 0.5)
+      .select("doc_id", "n_hits", "contaminated").as[(Long, Long, Boolean)].collect().toSet
+    assert(bloom === exact)
+    assert(exact === Set((1L, 1L, true), (2L, 0L, false), (3L, 1L, true)))
+  }
+
   test("interleaveByStride: every schedule prefix holds the target mix") {
     import spark.implicits._
     // 12 rows of a, 8 of b, 4 of c at weights 3:2:1 (L=6, strides 2/3/6)
