@@ -1129,6 +1129,25 @@ object TrainingCatalog {
       SELECT vec_id AS q_id, 1 AS found, CAST(1.0 AS DOUBLE) AS top_sim
       FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")),
 
+    // SemDeDup (cluster-scoped semantic dedup), planted-copy oracle: the
+    // corpus plus an exact copy of each of the 20 query vectors. A copy
+    // shares its original's cell (identical vector), pairs with it at
+    // cosine 1 ≥ 0.9, and loses the min-id survivor election; natural
+    // pairs in this synthetic corpus top out near cos 0.67 (max over
+    // ~2M uniform pairs), so the survivor set is EXACTLY the original
+    // corpus — which is what the oracle states. Same coarse quantizer
+    // (and slot) as the IVF entries.
+    "q_dedup_semantic" -> (q((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = e.where(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = e.unionByName(planted)
+      Similarity.semanticDedup(corpus, "vec_id", "embedding",
+          ivfCentroidsFor(s, dir, corpus, nlist = 16), threshold = 0.9)
+        .select(col("vec_id")).orderBy("vec_id")
+    }), Some("""
+      SELECT vec_id FROM embeddings ORDER BY vec_id""")),
+
     // PQ ADC top-k, planted-copy oracle (same design as q_sim_ivf_topk):
     // exact copies of the 20 query vectors are planted at vec_id+1e6; a
     // copy's ADC distance is pure quantization error (the floor of the

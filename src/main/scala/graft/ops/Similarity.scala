@@ -417,6 +417,37 @@ object Similarity {
         lit(i).as("cell"))
     }: _*)), 1).getField("cell")
 
+  /**
+   * Semantic deduplication (SemDeDup, Abbas et al. 2023): k-means
+   * clusters scope the pair search — cosine pairs are computed ONLY
+   * within a cluster, turning the corpus-quadratic all-pairs scan into
+   * per-cell quadratics bounded by corpus/nlist (the paper's core trade:
+   * semantic duplicates co-locate under the coarse quantizer, so
+   * cross-cell pairs are sacrificed for tractability). Pairs at cosine
+   * ≥ `threshold` are transitively closed ([[graft.ops.Dedup.connectedComponents]])
+   * and each component keeps its min-id representative — the same
+   * deterministic survivor convention as every dedup tier here.
+   *
+   * Returns the survivor rows of `df`. At 100 TB: cell assignment is a
+   * scan projection, the self-join shuffles on the cell id, CC shuffles
+   * on node ids, and the drop set broadcasts back — nothing quadratic
+   * beyond the intra-cell tier, nothing collected to the driver.
+   */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Array[Double]], threshold: Double): DataFrame = {
+    val c = df.select(col(idCol).as("__id"), vecD(col(vecCol)).as("__v"))
+      .withColumn("__cell", nearestCell(col("__v"), centroids))
+    val a = c.select(col("__cell"), col("__id").as("id_a"), col("__v").as("va"))
+    val b = c.select(col("__cell"), col("__id").as("id_b"), col("__v").as("vb"))
+    val den = sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb")))
+    val pairs = a.join(b, Seq("__cell")).where(col("id_a") < col("id_b"))
+      .where(den =!= 0.0 && dot(col("va"), col("vb")) / den >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val dropped = graft.ops.Dedup.connectedComponents(pairs)
+      .where(col("rep") =!= col("node")).select(col("node").as("__drop"))
+    df.join(broadcast(dropped), col(idCol) === col("__drop"), "left_anti")
+  }
+
   // -- shared ANN candidate-scoring tails ----------------------------------
 
   /** Exact cosine over a (q_id, n_id, q_vec, n_vec) candidate set — the

@@ -416,6 +416,27 @@ class OpsSpec extends AnyFunSuite {
     assert(hits >= 6, s"PQ recall@1 too low: $hits/10")
   }
 
+  test("semanticDedup: transitive within-cell dupes collapse to the min id") {
+    import spark.implicits._
+    // one cell (single centroid): a~b~c transitively at cos 1 (scaled
+    // copies), d orthogonal — survivors = min(a,b,c) + d
+    val vs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)), (3L, Seq(4.0f, 0.0f)),
+      (9L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array(0.0, 0.0))
+    val out = Similarity.semanticDedup(vs, "vec_id", "embedding", cents, 0.99)
+      .select("vec_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 9L))
+    // cells scope the pair search: same dupes in DIFFERENT cells survive
+    val cents2 = Array(Array(1.0, 0.0), Array(4.0, 0.0))
+    val out2 = Similarity.semanticDedup(vs, "vec_id", "embedding", cents2, 0.99)
+      .select("vec_id").as[Long].collect().sorted
+    // cell {1,2,9} drops 2; vector 3 sits alone in the second cell and
+    // survives even though it duplicates 1 and 2 semantically
+    assert(out2.toSeq === Seq(1L, 3L, 9L), s"cross-cell pairs must not form: ${out2.toSeq}")
+  }
+
   test("ivfPqTopK recall@1 vs brute force on sf0.001 (composed index)") {
     import spark.implicits._
     val e = SparkEntry.loader(spark, "/root/testdata/sf0.001")("embeddings")
