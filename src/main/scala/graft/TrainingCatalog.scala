@@ -909,6 +909,72 @@ object TrainingCatalog {
         CAST((CASE WHEN n_tok > 0 THEN "offset" + n_tok - 1 ELSE "offset" END) // 512 AS BIGINT) AS window_end
       FROM pack ORDER BY doc_id""")),
 
+    // CROSS-MODAL curation — the third pipeline composition, tying the
+    // text and embedding modalities in one oracle-checked query: docs
+    // restricted to the embedded subset (inner join on id), gated by
+    // language + the text quality floor, then SEMANTICALLY deduped on
+    // the embedding side (exact cosine pairs ≥ 0.45 over the GATED set
+    // only, transitively closed, min-id survivor). The 0.45 threshold
+    // sits far from any natural pair's ULP boundary (q_dedup_embedding
+    // pins the same comparison driver-green at the same threshold).
+    "q_pipeline_crossmodal" -> (q((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val gated = d.join(e, d("doc_id") === e("vec_id"))
+        .where(col("lang") === "en" && TextAnalysis.qualityScore(col("text")) >= 0.5)
+        .select(col("doc_id"), col("text"), col("embedding"))
+      val pairs = Similarity.cosinePairs(
+        gated.select(col("doc_id"), col("embedding")), threshold = 0.45,
+        idCol = "doc_id")
+      val dropped = Dedup.connectedComponents(pairs)
+        .where(col("rep") =!= col("node")).select(col("node").as("__drop"))
+      gated.join(broadcast(dropped), col("doc_id") === col("__drop"), "left_anti")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        .orderBy("doc_id")
+    }), Some(s"""
+      WITH RECURSIVE m AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+          len(regexp_extract_all(lower(text), '${lexSql("en")}')) AS n_stop,
+          length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_wordchars,
+          length(text) AS n_chars
+        FROM documents),
+      qual AS (
+        SELECT doc_id, n_tok,
+          round(
+            least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.3
+            + (CASE WHEN n_tok > 0 AND CAST(n_wordchars AS DOUBLE) / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0
+                    THEN 1.0 ELSE 0.0 END) * 0.2
+            + least((CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0) * 0.3
+            + (1.0 - least((CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)) * 4.0, 1.0)) * 0.2,
+            6) AS quality
+        FROM m),
+      gated AS (
+        SELECT d.doc_id, qual.n_tok, e.embedding
+        FROM documents d
+        JOIN embeddings e ON e.vec_id = d.doc_id
+        JOIN qual ON qual.doc_id = d.doc_id
+        WHERE d.lang = 'en' AND qual.quality >= 0.5),
+      p AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib
+        FROM gated a, gated b
+        WHERE a.doc_id < b.doc_id
+          AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.45),
+      edges AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+      dropped AS (
+        SELECT a AS doc_id FROM reach GROUP BY a HAVING least(a, min(b)) != a)
+      SELECT g.doc_id, CAST(g.n_tok AS BIGINT) AS n_tok
+      FROM gated g
+      WHERE g.doc_id NOT IN (SELECT doc_id FROM dropped)
+      ORDER BY g.doc_id""")),
+
     // per-source token-budget take: keep each source's docs in doc_id
     // order while the running token total stays within budget — the
     // "fill a per-domain quota" step of corpus assembly. running_tokens
