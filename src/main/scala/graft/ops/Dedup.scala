@@ -359,7 +359,18 @@ object Dedup {
    * churn from accumulated pins.
    */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-                          bCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+                          bCol: String = "id_b", maxIter: Int = 50,
+                          /** ≤ this many distinct edges AND nodes → close the
+                            * graph with ONE driver-side union-find instead of
+                            * the iterative star rounds. A post-LSH pair list
+                            * is millions of edges even at trillion-token
+                            * scale (it holds near-DUPLICATES, not the
+                            * corpus), so this is the common path — the
+                            * published pipelines union-find single-node for
+                            * the same reason; the distributed iteration
+                            * remains for graphs that outgrow the driver.
+                            * 2^20 edges ≈ 16 MB collected. */
+                          smallGraphThreshold: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
     import org.apache.spark.storage.StorageLevel
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -405,6 +416,46 @@ object Dedup {
       .where(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
+    val resSchemaS = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rep", org.apache.spark.sql.types.LongType)))
+    val nodesDf = base.select(col("u").as("node"))
+      .union(base.select(col("v").as("node"))).distinct()
+    // SMALL-GRAPH FAST PATH (see smallGraphThreshold): one bounded
+    // collect + union-find-by-min replaces ~log(n) rounds of two
+    // shuffles and a blocking probe each — the fixed scheduler overhead
+    // of those rounds dominated the entry cost on modest pair lists.
+    // Union-by-min (bigger root adopts the smaller) leaves each
+    // component's minimum as its own root, reproducing the iterative
+    // path's rep convention exactly (equivalence is spec-pinned both
+    // ways in OpsSpec).
+    if (canonical.count() <= smallGraphThreshold && nodesDf.count() <= smallGraphThreshold) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrDefault(x, x) != x) x = parent.getOrDefault(x, x)
+        var y = x0 // path-compress (iterative: a collected chain is deep)
+        while (parent.getOrDefault(y, y) != y) {
+          val nxt = parent.getOrDefault(y, y); parent.put(y, x); y = nxt
+        }
+        x
+      }
+      canonical.collect().foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val rows = nodesDf.collect().map { r =>
+        val n = r.getLong(0)
+        org.apache.spark.sql.Row(n, find(n))
+      }
+      baseRdd.unpersist()
+      val resRdd = spark.sparkContext.parallelize(rows.toIndexedSeq)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      resRdd.count()
+      val prevSmall = ccResultSlot.getAndSet(resRdd)
+      if (prevSmall != null && (prevSmall ne resRdd)) prevSmall.unpersist()
+      return spark.createDataFrame(resRdd, resSchemaS)
+    }
     var (cur, curRdd) = pin(canonical)
     var sig = checksum(cur)
     var it = 0
@@ -436,24 +487,19 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds (${sig._1} edges)")
     // at convergence the edges are min-rooted stars: u → its component's
     // min. Roots themselves have no outgoing edge → rep = self.
-    val nodes = base.select(col("u").as("node"))
-      .union(base.select(col("v").as("node"))).distinct()
-    val result = nodes
+    val result = nodesDf
       .join(cur.select(col("u").as("node"), col("v").as("rep")), Seq("node"), "left")
       .select(col("node"), coalesce(col("rep"), col("node")).as("rep"))
     // eager materialization while the input + star pins are still live,
     // then release everything except the one result RDD (slot-bounded
     // across invocations — see the PERSIST LIFECYCLE scaladoc)
-    val resSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("rep", org.apache.spark.sql.types.LongType)))
     val resRdd = result.rdd.persist(StorageLevel.MEMORY_AND_DISK)
     resRdd.count()
     baseRdd.unpersist()
     curRdd.unpersist()
     val prev = ccResultSlot.getAndSet(resRdd)
     if (prev != null && (prev ne resRdd)) prev.unpersist()
-    spark.createDataFrame(resRdd, resSchema)
+    spark.createDataFrame(resRdd, resSchemaS)
   }
 
   /** One-slot holder for the last [[connectedComponents]] result RDD —

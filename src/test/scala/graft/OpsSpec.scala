@@ -589,17 +589,26 @@ class OpsSpec extends AnyFunSuite {
     }
     val want = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
       .map(n => (n, find(n)))
+    // default = small-graph fast path (driver union-find)
     val got = Dedup.connectedComponents(df).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(got === want)
+    // threshold 0 forces the distributed star iteration — both paths
+    // must agree with the reference, edge for edge
+    val gotIter = Dedup.connectedComponents(df, smallGraphThreshold = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(gotIter === want)
   }
 
   test("connectedComponents closes a long chain (diameter >> rounds)") {
     import graft.ops.Dedup
     // a 2048-node path: naive min-propagation needs 2047 rounds; the
-    // star algorithm must finish inside the 50-round cap (O(log n))
+    // star algorithm must finish inside the 50-round cap (O(log n)).
+    // threshold 0 forces the ITERATIVE path — this is its regression
+    // test; the small path covers the same chain via the random-graph
+    // equivalence above
     val df = spark.range(2047).select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
-    val got = Dedup.connectedComponents(df)
+    val got = Dedup.connectedComponents(df, smallGraphThreshold = 0L)
     assert(got.where(col("rep") =!= 0L).count() === 0)
     assert(got.count() === 2048)
     // dupClusters rolls the same labels into a keep-one manifest
