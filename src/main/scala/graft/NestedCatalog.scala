@@ -466,7 +466,127 @@ object NestedCatalog {
                  FROM events)
       SELECT rn // 500 AS chunk, count(*) AS n,
              min(event_id) AS first_id, max(event_id) AS last_id
-      FROM r GROUP BY 1 ORDER BY 1"""))
+      FROM r GROUP BY 1 ORDER BY 1""")),
+
+    // FactStore lifecycle end-to-end (reference container.py insert /
+    // query_table.py:45-47 upsert / update+delete): insert the orders
+    // slice, shallow update adds a flag column under a predicate, delete
+    // by expression, upsert replaces matching keys and null-pads the
+    // replacement docs' missing columns. The oracle replays the same
+    // four steps relationally. Each invocation starts from a wiped
+    // per-pid scratch, so the store snapshots cannot accumulate across
+    // verify/bench repeats.
+    "q_container_lifecycle" -> (q((s, dir) => {
+      val tmp = freshScratch("graft_q_container")
+      val store = new graft.container.FactStore(s, "orders_facts", tmp)
+      val orders = SparkEntry.loader(s, dir)("orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      store.insert(orders)
+      store.update("""{"gt": {"o_totalprice": 300000}}""",
+        Map("size_flag" -> """{"literal": "BIG"}"""))
+      store.delete("""{"eq": [{"mod": ["o_orderkey", 7]}, 0]}""")
+      val replacements = orders.where(col("o_orderkey") <= 100)
+        .select(col("o_orderkey"), (-col("o_totalprice")).as("o_totalprice"))
+      store.upsert(replacements, "o_orderkey")
+      store.dataFrame
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "size_flag")
+        .orderBy("o_orderkey")
+    }), Some("""
+      WITH upd AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               CASE WHEN o_totalprice > 300000 THEN 'BIG' END AS size_flag
+        FROM orders),
+      del AS (SELECT * FROM upd WHERE NOT (o_orderkey % 7 = 0)),
+      news AS (SELECT o_orderkey, -o_totalprice AS o_totalprice
+               FROM orders WHERE o_orderkey <= 100)
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, size_flag
+      FROM del WHERE o_orderkey NOT IN (SELECT o_orderkey FROM news)
+      UNION ALL
+      SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+             o_totalprice, CAST(NULL AS VARCHAR)
+      FROM news
+      ORDER BY o_orderkey""")),
+
+    // deep (nested) update rewrite (reference insert_table.py:83-149):
+    // dot-path `lineitems.l_quantity` rewrites the child FIELD on
+    // matching parents (the expression sees the child's fields), then a
+    // doc-list literal replaces one parent's child set wholesale. The
+    // flattened final state is replayed as CASE WHEN + UNION in SQL.
+    "q_container_deep_update" -> (q((s, dir) => {
+      val tmp = freshScratch("graft_q_container_deep")
+      val store = new graft.container.FactStore(s, "order_docs", tmp)
+      val base = SparkEntry.loader(s, dir)
+      val docs = base("orders").where(col("o_orderkey") <= 5000)
+        .select("o_orderkey", "o_totalprice")
+        .join(base("lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_totalprice"))
+        .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity"))))
+          .as("lineitems"))
+      store.insert(docs)
+      store.update("""{"lte": {"o_orderkey": 2000}}""",
+        Map("lineitems.l_quantity" -> """{"add": ["l_quantity", 100]}"""))
+      store.update("""{"eq": {"o_orderkey": 7}}""",
+        Map("lineitems" -> """[{"l_linenumber": 99, "l_quantity": 1.0}]"""))
+      store.dataFrame
+        .select(col("o_orderkey"), explode(col("lineitems")).as("li"))
+        .select(col("o_orderkey"), col("li.l_linenumber").as("line"),
+          col("li.l_quantity").as("qty"))
+        .orderBy("o_orderkey", "line")
+    }), Some("""
+      SELECT o_orderkey, l_linenumber AS line,
+             CASE WHEN o_orderkey <= 2000 THEN l_quantity + 100
+                  ELSE l_quantity END AS qty
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_orderkey <= 5000 AND o_orderkey <> 7
+      UNION ALL
+      SELECT 7, 99, 1.0 WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = 7)
+      ORDER BY o_orderkey, line""")),
+
+    // JDBC scan through the schema walker (reference extract.py +
+    // snowflake_schema.py against live MySQL metadata): nation/region
+    // loaded into embedded Derby WITH a real FK constraint, relations
+    // discovered via DatabaseMetaData, docs assembled with region as a
+    // full inner object, flattened back out — vs the plain parquet join.
+    "q_jdbc_scan" -> (q((s, dir) => {
+      val url = s"jdbc:derby:memory:graftscan${ProcessHandle.current().pid()};create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        for (t <- Seq("nation", "region")) // re-entrant within one JVM
+          try st.executeUpdate(s"DROP TABLE $t")
+          catch { case _: java.sql.SQLException => () }
+        st.executeUpdate(
+          "CREATE TABLE region (r_regionkey INT NOT NULL PRIMARY KEY, r_name VARCHAR(64))")
+        st.executeUpdate(
+          """CREATE TABLE nation (n_nationkey INT NOT NULL PRIMARY KEY,
+             n_name VARCHAR(64), n_regionkey INT,
+             FOREIGN KEY (n_regionkey) REFERENCES region (r_regionkey))""")
+        val base = SparkEntry.loader(s, dir)
+        def intAt(r: org.apache.spark.sql.Row, i: Int): Int =
+          r.get(i).asInstanceOf[Number].intValue // parquet int32/int64 both
+        val rIns = conn.prepareStatement("INSERT INTO region VALUES (?, ?)")
+        for (r <- base("region").select("r_regionkey", "r_name").collect()) { // 5 rows
+          rIns.setInt(1, intAt(r, 0)); rIns.setString(2, r.getString(1))
+          rIns.executeUpdate()
+        }
+        val nIns = conn.prepareStatement("INSERT INTO nation VALUES (?, ?, ?)")
+        for (r <- base("nation").select("n_nationkey", "n_name", "n_regionkey").collect()) { // 25
+          nIns.setInt(1, intAt(r, 0)); nIns.setString(2, r.getString(1))
+          nIns.setInt(3, intAt(r, 2)); nIns.executeUpdate()
+        }
+        st.close(); rIns.close(); nIns.close()
+        val plan = graft.etl.SchemaWalk.walk(conn,
+          graft.etl.SchemaWalk.WalkConfig("nation", referenceAll = Set("region")))
+        DocAssembler.assemble(plan, graft.etl.SchemaWalk.jdbcLoader(s, url))
+          .select(col("n_nationkey"), col("n_name"),
+            col("n_region.r_name").as("region_name"))
+          .orderBy("n_nationkey")
+      } finally conn.close()
+    }), Some("""
+      SELECT n_nationkey, n_name, r_name AS region_name
+      FROM nation JOIN region ON r_regionkey = n_regionkey
+      ORDER BY n_nationkey"""))
   )
 
   def queries: Map[String, Q] = catalog.map { case (k, (f, _)) => k -> f }

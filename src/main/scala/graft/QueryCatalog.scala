@@ -866,6 +866,49 @@ object QueryCatalog {
         AND l_linestatus <> 'O'
       ORDER BY l_orderkey, l_linenumber LIMIT 10000""")),
 
+    // tuple-offset sort (reference _normalize_sort query.py:775: a bare
+    // integer in `sort` is an OffsetOp index into the select tuple; the
+    // object form {"value":{"offset":i}} is the same op spelled out).
+    // Offsets 2,3 = (l_orderkey, l_linenumber) make the order total.
+    "q_sort_tuple_offset" -> (jx("""{
+      "from": "lineitem",
+      "select": [
+        {"name": "flag", "value": "l_returnflag"},
+        {"name": "qty", "value": "l_quantity"},
+        {"name": "okey", "value": "l_orderkey"},
+        {"name": "line", "value": "l_linenumber"}
+      ],
+      "where": {"gte": {"l_quantity": 49}},
+      "sort": [{"value": {"offset": 1}, "sort": "desc"}, 2, 3],
+      "limit": 10000
+    }"""), Some("""
+      SELECT l_returnflag AS flag, l_quantity AS qty,
+             l_orderkey AS okey, l_linenumber AS line
+      FROM lineitem WHERE l_quantity >= 49
+      ORDER BY 2 DESC, 3, 4 LIMIT 10000""")),
+
+    // limit clamp, default side: a setop with NO limit returns 10 rows
+    // (reference query.py:35-36 DEFAULT_LIMIT); total sort keeps the
+    // prefix deterministic
+    "q_limit_default" -> (jx("""{
+      "from": "orders",
+      "select": ["o_orderkey", "o_totalprice"],
+      "sort": ["o_orderkey"]
+    }"""), Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_orderkey LIMIT 10""")),
+
+    // limit clamp, max side: limit 50000 clamps to 10,000 (MAX_LIMIT) —
+    // observable because orders has >10,000 rows at sf0.01 and sf0.1
+    "q_limit_clamp" -> (jx("""{
+      "from": "orders",
+      "select": ["o_orderkey", "o_custkey"],
+      "sort": ["o_orderkey"],
+      "limit": 50000
+    }"""), Some("""
+      SELECT o_orderkey, o_custkey FROM orders
+      ORDER BY o_orderkey LIMIT 10000""")),
+
     // =====================================================================
     // §2.7 expression operators
     // =====================================================================

@@ -212,6 +212,10 @@ object JxQuery {
 
   def parseSort(v: JValue): SortClause = v match {
     case JString(s) => SortClause(JxExpr.Variable(s), 1)
+    // bare integer = offset into the select tuple (reference
+    // _normalize_sort, query.py:775: Math.is_integer(s) → OffsetOp)
+    case JInt(n)  => SortClause(JxExpr.OffsetOp(n.toInt), 1)
+    case JLong(n) => SortClause(JxExpr.OffsetOp(n.toInt), 1)
     case JObject(fields) =>
       val m = fields.toMap
       val value = m.get("value").map(JxExpr.parse)

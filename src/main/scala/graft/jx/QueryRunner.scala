@@ -182,9 +182,22 @@ object QueryRunner {
   private def runSetop(q: JxQuery, df0: DataFrame, path: Seq[String], ctx: JxCompiler.Ctx): DataFrame = {
     var df = df0
     for (w <- q.windows) df = applyWindow(df, w, ctx)
+    // tuple-offset sorts (bare integers / {"offset": i}) index the select
+    // clause list; the sort runs pre-projection so substitute the i-th
+    // select VALUE expression (reference OffsetOp, expressions.py:284-299)
+    val sortClauses = q.sort.map { sc =>
+      sc.value match {
+        case OffsetOp(i) =>
+          if (i < 0 || i >= q.select.size)
+            throw new IllegalArgumentException(
+              s"sort offset $i out of range of the ${q.select.size}-column select tuple")
+          sc.copy(value = q.select(i).value)
+        case _ => sc
+      }
+    }
     val sorted =
-      if (q.sort.isEmpty) df
-      else df.orderBy(q.sort.map(sortCol(_, ctx)): _*)
+      if (sortClauses.isEmpty) df
+      else df.orderBy(sortClauses.map(sortCol(_, ctx)): _*)
     val selected =
       if (!q.selectGiven && q.select.isEmpty) {
         if (path.nonEmpty) sorted.select(col(path.last + ".*"))

@@ -219,4 +219,25 @@ class QueryRunnerSpec extends AnyFunSuite {
     val df = QueryRunner.run(spark, q, SparkEntry.loader(spark, dir))
     assert(df.count() === 10)
   }
+
+  test("tuple-offset sort: bare integer indexes the select tuple (query.py:775)") {
+    import graft.jx._
+    val s = spark
+    import s.implicits._
+    val df = Seq(("b", 2L), ("a", 3L), ("c", 1L)).toDF("name", "rank")
+    // sort [1] = second select column (rank); object form is the same op
+    val q = JxQuery.parse(
+      """{"from": "t", "select": [{"name": "n", "value": "name"},
+           {"name": "r", "value": "rank"}], "sort": [1], "limit": 10}""")
+    assert(q.sort.head.value === JxExpr.OffsetOp(1))
+    val got = QueryRunner.run(spark, q, _ => df).collect().map(_.getString(0)).toSeq
+    assert(got === Seq("c", "b", "a"))
+    // out of range: clear error, not a mis-sort
+    val bad = JxQuery.parse(
+      """{"from": "t", "select": [{"name": "n", "value": "name"}], "sort": [5], "limit": 10}""")
+    val ex = intercept[IllegalArgumentException] {
+      QueryRunner.run(spark, bad, _ => df)
+    }
+    assert(ex.getMessage.contains("offset 5 out of range"))
+  }
 }
