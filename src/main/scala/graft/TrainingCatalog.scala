@@ -827,6 +827,45 @@ object TrainingCatalog {
       WHERE cut.cut >= 256 OR substr(md5(d.text), 1, 2) < printf('%02x', cut.cut)
       ORDER BY d.doc_id""")),
 
+    // DSIR importance scoring (Xie et al. 2023): hashed unigram+bigram
+    // bucket models (md5-prefix buckets — engine-portable), target =
+    // the English slice, raw = the whole corpus. The oracle hashes the
+    // PURE-INTEGER model inputs (n_grams, sum_tgt, sum_raw — they pin
+    // feature hashing and both fitted models); the log-space score is a
+    // double column tolerance-tested in OpsSpec, never exact-hashed
+    // (libm ln ULP rule). Sums CAST to BIGINT: DuckDB sum() returns
+    // HUGEINT, which lands in pandas as float and breaks the dtype-
+    // sensitive hash.
+    "q_sample_dsir" -> (q((s, dir) =>
+      graft.ops.Sampling.dsirScores(
+          docs(s, dir), "doc_id", "text", col("lang") === "en")
+        .select(col("doc_id"), col("n_grams"), col("sum_tgt"), col("sum_raw"))
+        .orderBy("doc_id")
+    ), Some("""
+      WITH toks AS (
+        SELECT doc_id, (lang = 'en') AS tgt,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      grams AS (
+        SELECT doc_id, tgt, unnest(t) AS g FROM toks
+        UNION ALL
+        SELECT doc_id, tgt, array_to_string(t[i:i+1], ' ') AS g
+        FROM (SELECT doc_id, tgt, t, unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 2)),
+      hashed AS (SELECT doc_id, tgt, substr(md5(g), 1, 3) AS b FROM grams),
+      model AS (
+        SELECT b, count(*) FILTER (WHERE tgt) AS tgt_n, count(*) AS raw_n
+        FROM hashed GROUP BY b),
+      per AS (
+        SELECT doc_id, count(*) AS n_grams,
+               sum(m.tgt_n) AS sum_tgt, sum(m.raw_n) AS sum_raw
+        FROM hashed h JOIN model m USING (b) GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+             CAST(coalesce(p.sum_tgt, 0) AS BIGINT) AS sum_tgt,
+             CAST(coalesce(p.sum_raw, 0) AS BIGINT) AS sum_raw
+      FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""")),
+
     // END-TO-END pretraining-corpus assembly — the second canonical
     // composition (complementing q_pipeline_curate's near-dup path):
     // exact dedup keep-min, benchmark decontamination (8-gram

@@ -146,6 +146,83 @@ object Sampling {
       .drop("__r")
   }
 
+  /** DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every document by how target-like its
+    * hashed n-gram profile is,
+    *
+    *   log w(x) = Σ_g [ ln p̂_tgt(b(g)) − ln p̂_raw(b(g)) ]
+    *
+    * over word unigrams+bigrams of the lowercased token stream, each
+    * hashed to one of 16^`bucketHexLen` buckets by md5 prefix (the
+    * paper's hashed n-gram features; md5 so bucket assignment is
+    * engine-portable, like every hash in this file). Bucket
+    * probabilities are add-one smoothed: p̂(b) = (n_b + 1) / (N + B).
+    * `isTarget` marks the in-frame rows that act as the target corpus
+    * (a quality/language gate in practice); the raw model is the whole
+    * frame.
+    *
+    * Shape at 100 TB: both models fit in ONE pass as a ≤B-row aggregate
+    * (map-side combined) and come back as a BROADCAST join — the corpus
+    * explodes to (doc, gram) pairs only inside the scan stage and
+    * re-aggregates per doc, so the only corpus-sized shuffle is the
+    * per-doc combine on `idCol`. Nothing is collected to the driver.
+    *
+    * Returns one row per input doc: `n_grams`, `sum_tgt`, `sum_raw`
+    * (pure-integer model inputs — sums over the doc's gram instances of
+    * the matching bucket counts; these pin feature hashing AND both
+    * models, and are what an exact-hash oracle should compare) plus
+    * `dsir_score` = log w(x) (a double: libm `ln` differs by ULPs across
+    * engines, so it belongs in tolerance specs, never exact hashes). */
+  def dsirScores(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, isTarget: Column,
+                 bucketHexLen: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(bucketHexLen >= 1 && bucketHexLen <= 8, s"bucketHexLen: $bucketHexLen")
+    val buckets = math.pow(16.0, bucketHexLen.toDouble) // B in the smoothing
+    val toks = df.select(col(idCol), isTarget.as("__tgt"),
+        TextAnalysis.tokens(lower(col(textCol))).as("__t"))
+      // attribute-first (see ngramsFromTokens): __t is a materialized
+      // column, so the gram lambdas reference it instead of re-inlining
+      // the tokenizer per element
+      .withColumn("__grams",
+        concat(col("__t"), TextAnalysis.ngramsFromTokens(col("__t"), 2)))
+    val hashed = toks
+      .select(col(idCol), col("__tgt"), explode(col("__grams")).as("__g"))
+      .withColumn("__b", substring(md5(col("__g")), 1, bucketHexLen))
+    val model = hashed.groupBy(col("__b")).agg(
+      count(when(col("__tgt"), 1)).as("__tgt_n"),
+      count(lit(1)).as("__raw_n"))
+    val totals = model.agg(
+      sum(col("__tgt_n")).as("__tgt_total"), sum(col("__raw_n")).as("__raw_total"))
+    val perDoc = hashed
+      .join(broadcast(model), "__b")
+      .crossJoin(broadcast(totals)) // 1 row: the smoothing denominators
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(col("__tgt_n")).as("sum_tgt"),
+        sum(col("__raw_n")).as("sum_raw"),
+        sum(log((col("__tgt_n") + 1).cast("double") / (col("__tgt_total") + buckets))
+          - log((col("__raw_n") + 1).cast("double") / (col("__raw_total") + buckets)))
+          .as("dsir_score"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("sum_tgt"), lit(0L)).as("sum_tgt"),
+        coalesce(col("sum_raw"), lit(0L)).as("sum_raw"),
+        coalesce(col("dsir_score"), lit(0.0)).as("dsir_score"))
+  }
+
+  /** The RESAMPLE step of DSIR: top-`k` docs by importance score
+    * (deterministic tie-break on the id). Spark's sort+limit plans as a
+    * distributed TakeOrdered — per-partition top-k then a k-row merge,
+    * never a global sort of the corpus. */
+  def dsirTake(df: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, isTarget: Column, k: Int,
+               bucketHexLen: Int = 3): org.apache.spark.sql.DataFrame =
+    dsirScores(df, idCol, textCol, isTarget, bucketHexLen)
+      .orderBy(col("dsir_score").desc, col(idCol))
+      .limit(k)
+
   /** Train/val/test assignment from cumulative weight cutoffs over the
     * 256-bucket space, e.g. `splitAssign(col, Seq("train" -> 0.8,
     * "val" -> 0.1, "test" -> 0.1))`. Weights are normalized; cutoffs

@@ -637,6 +637,61 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(n - 20000.0 * 64 / 256) < 400)
   }
 
+  test("DSIR: score matches local model replay; target-like docs outrank junk; take is top-k") {
+    import graft.ops.Sampling
+    val s = spark
+    import s.implicits._
+    // 3 target docs share a vocabulary; 3 raw-only docs use disjoint
+    // junk words; one candidate doc in target vocab, one in junk vocab
+    val rows = Seq(
+      (0L, "good clean prose text", true),
+      (1L, "clean text good prose", true),
+      (2L, "prose text clean good", true),
+      (3L, "zxq wvu tsr qpo", false),
+      (4L, "wvu zxq qpo tsr", false),
+      (5L, "tsr qpo zxq wvu", false),
+      (6L, "good prose clean text", false), // target-like candidate
+      (7L, "qpo tsr wvu zxq", false),       // junk-like candidate
+      (8L, "   ", false))                   // zero-gram doc
+    val df = rows.toDF("id", "text", "is_tgt")
+    val got = Sampling.dsirScores(df, "id", "text", col("is_tgt"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+
+    // local replay of the model: same grams, same md5-prefix buckets
+    def toks(t: String) = t.trim.toLowerCase match {
+      case "" => Seq.empty[String]
+      case x  => x.split("\\s+").toSeq
+    }
+    def grams(t: String) = { val w = toks(t); w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" ")) }
+    def bucket(g: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(3)
+    val all = rows.flatMap { case (id, t, tgt) => grams(t).map(g => (id, bucket(g), tgt)) }
+    val tgtN = all.filter(_._3).groupBy(_._2).map { case (b, xs) => b -> xs.size.toLong }
+    val rawN = all.groupBy(_._2).map { case (b, xs) => b -> xs.size.toLong }
+    val (tgtT, rawT) = (tgtN.values.sum.toDouble, rawN.values.sum.toDouble)
+    val B = 4096.0
+    for ((id, t, _) <- rows) {
+      val gs = grams(t)
+      val (ng, st, sr, score) = got(id)
+      assert(ng === gs.size.toLong, s"n_grams of $id")
+      assert(st === gs.map(g => tgtN.getOrElse(bucket(g), 0L)).sum, s"sum_tgt of $id")
+      assert(sr === gs.map(g => rawN(bucket(g))).sum, s"sum_raw of $id")
+      val want = gs.map { g =>
+        math.log((tgtN.getOrElse(bucket(g), 0L) + 1) / (tgtT + B)) -
+          math.log((rawN(bucket(g)) + 1) / (rawT + B))
+      }.sum
+      assert(math.abs(score - want) < 1e-9, s"score of $id: $score vs $want")
+    }
+    // ranking: the target-vocab candidate must outscore the junk one,
+    // and the resample keeps the highest-scoring docs
+    assert(got(6L)._4 > got(7L)._4)
+    val kept = Sampling.dsirTake(df, "id", "text", col("is_tgt"), k = 4)
+      .select("id").as[Long].collect().toSet
+    val byScore = got.toSeq.sortBy { case (id, (_, _, _, sc)) => (-sc, id) }.map(_._1).take(4).toSet
+    assert(kept === byScore)
+  }
+
   test("sessionize splits on gap > threshold, 0-based per user") {
     import graft.ops.Sessions
     import java.sql.Timestamp
