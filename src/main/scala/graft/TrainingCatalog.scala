@@ -1197,6 +1197,28 @@ object TrainingCatalog {
       SELECT q_id, rank, n_id, round(sim, 6) AS sim FROM r WHERE rank <= 5
       ORDER BY q_id, rank""")),
 
+    // hard-negative mining (contrastive training data prep): per anchor,
+    // the top-k most-similar vectors with a DIFFERENT label — brute-force
+    // tier over the broadcast anchor set, label-mismatch filtered before
+    // the per-anchor window; oracle replays the same mismatch predicate
+    "q_sim_hard_negatives" -> (q((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.hardNegatives(e, e.where(col("vec_id") < 20), k = 5)
+        .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 6).as("sim"))
+    }), Some("""
+      WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec,
+                        label AS q_label
+                 FROM embeddings WHERE vec_id < 20),
+      c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_vec,
+                   label AS n_label FROM embeddings),
+      s AS (SELECT q_id, n_id, list_cosine_similarity(q_vec, n_vec) AS sim
+            FROM q, c WHERE q_id <> n_id AND q_label IS DISTINCT FROM n_label),
+      r AS (SELECT q_id, n_id, sim,
+                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
+            FROM s)
+      SELECT q_id, rank, n_id, round(sim, 6) AS sim FROM r WHERE rank <= 5
+      ORDER BY q_id, rank""")),
+
     // LSH-bucketed ANN: approximate (bucket recall measured in OpsSpec
     // against the brute-force baseline) → rows-only check.
     // deterministic-recall oracles for the approximate ANN paths: the

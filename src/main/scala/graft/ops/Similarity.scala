@@ -122,6 +122,28 @@ object Similarity {
     topKBySim(scored, k)
   }
 
+  /** Hard-NEGATIVE mining for contrastive training (DPR-style negative
+    * selection; Robinson et al. 2021 hard-negative sampling): for each
+    * anchor, the k most-similar corpus vectors with a DIFFERENT label —
+    * the near-boundary negatives that carry gradient signal, as opposed
+    * to uniformly-random negatives the model already separates. Same
+    * broadcast shape as [[bruteForceTopK]]: anchors broadcast, corpus
+    * never shuffles, one per-anchor window for the final top-k. This is
+    * the exact tier; with corpus-sized anchor sets, generate candidates
+    * from the IVF/LSH buckets instead and keep the same label-mismatch
+    * filter + window tail. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val a = broadcast(anchors.select(col(idCol).as("q_id"),
+      vecD(col(vecCol)).as("q_vec"), col(labelCol).as("q_label")))
+    val c = corpus.select(col(idCol).as("n_id"),
+      vecD(col(vecCol)).as("n_vec"), col(labelCol).as("n_label"))
+    val cand = c.crossJoin(a)
+      .where(col("q_id") =!= col("n_id") && !(col("q_label") <=> col("n_label")))
+    topKBySim(cosineScored(cand), k)
+  }
+
   /** All pairs (id_a < id_b) with cosine >= threshold. Exact; use the
     * LSH signature as a pre-filter when the corpus is large. */
   def cosinePairs(df: DataFrame, threshold: Double,

@@ -314,31 +314,40 @@ object TextAnalysis {
    * Shape at 100 TB: the model is three corpus-level aggregates (bigram
    * counts, first-char totals, alphabet size) — all map-side combined,
    * all alphabet²-bounded — broadcast back for scoring, so the corpus
-   * itself never shuffles: explode → broadcast join → per-doc partial
-   * aggregate. The alphabet size is ONE scalar collected to the driver.
+   * itself never shuffles beyond ONE per-(doc, bigram) combine. That
+   * combine's exchange subtree feeds BOTH the model fit and the scoring
+   * branch, so Spark's exchange reuse runs the corpus scan + explode
+   * once (the previous two-consumer form scanned twice); the alphabet
+   * size rides along as a broadcast 1-row frame instead of a separate
+   * blocking driver action.
    */
   def bigramLmScores(df: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String): org.apache.spark.sql.DataFrame = {
     val t = normText(col(textCol))
     val base = df.select(col(idCol).as("__id"), t.as("__t"))
       .where(length(col("__t")) >= 2)
-    val bg = base.select(col("__id"),
+    // per-(doc, bigram) counts: the one corpus-sized shuffle, shared by
+    // the model branch (cnt/uni) and the scoring branch (scored)
+    val docGram = base.select(col("__id"),
       explode(transform(sequence(lit(1), length(col("__t")) - 1),
         i => col("__t").substr(i, lit(2)))).as("__g"))
-    val cnt = bg.groupBy(col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__id"), col("__g")).agg(count(lit(1)).as("__k"))
+    val cnt = docGram.groupBy(col("__g")).agg(sum(col("__k")).as("__c"))
     val uni = cnt.groupBy(substring(col("__g"), 1, 1).as("__c1"))
       .agg(sum(col("__c")).as("__tot"))
     val alpha = df.select(t.as("__t")).where(length(col("__t")) >= 1)
       .select(explode(transform(sequence(lit(1), length(col("__t"))),
         i => col("__t").substr(i, lit(1)))).as("__ch"))
-      .agg(count_distinct(col("__ch"))).head().getLong(0)
+      .agg(count_distinct(col("__ch")).cast("double").as("__alpha"))
     val lp = cnt.join(broadcast(uni), substring(col("__g"), 1, 1) === col("__c1"))
+      .crossJoin(broadcast(alpha)) // 1 row: the smoothing denominator
       .select(col("__g"), col("__c"), col("__tot"),
-        log((col("__c") + 1.0) / (col("__tot") + lit(alpha.toDouble))).as("__lp"))
-    val scored = bg.join(broadcast(lp), "__g")
+        log((col("__c") + 1.0) / (col("__tot") + col("__alpha"))).as("__lp"))
+    val scored = docGram.join(broadcast(lp), "__g")
       .groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("__c")).as("sum_c"),
-        sum(col("__tot")).as("sum_tot"), sum(col("__lp")).as("logp"))
+      .agg(sum(col("__k")).as("n_bigrams"), sum(col("__k") * col("__c")).as("sum_c"),
+        sum(col("__k") * col("__tot")).as("sum_tot"),
+        sum(col("__k") * col("__lp")).as("logp"))
     // id-keyed left join restores sub-2-char docs with zero scores; the
     // scored side is corpus-cardinality, so NO broadcast hint — at scale
     // both sides shuffle on the id they are typically already bucketed by

@@ -960,6 +960,29 @@ class OpsSpec extends AnyFunSuite {
     assert(direct.toSeq === twoPhase.toSeq)
   }
 
+  test("hardNegatives: never a same-label neighbor, even when it is the nearest vector") {
+    import graft.ops.Similarity
+    val s = spark
+    import s.implicits._
+    // two tight clusters; each anchor's nearest vector shares its label,
+    // so a top-k WITHOUT the mismatch filter would return it first
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.99f, 0.1f), 0),
+      (2L, Array(0.95f, 0.2f), 1),
+      (10L, Array(0.0f, 1.0f), 2), (11L, Array(0.1f, 0.99f), 2),
+      (12L, Array(0.2f, 0.95f), 3))
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(e, e.where(col("vec_id").isin(0L, 10L)), k = 2)
+      .join(e.select(col("vec_id").as("n_id"), col("label").as("n_label")), "n_id")
+      .join(e.select(col("vec_id").as("q_id"), col("label").as("q_label")), "q_id")
+      .collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r.getAs[Int]("n_label") != r.getAs[Int]("q_label")))
+    // anchor 0 (label 0): nearest is 1 (label 0, excluded) → rank 1 = 2
+    val top0 = got.filter(r => r.getAs[Long]("q_id") == 0L && r.getAs[Int]("rank") == 1)
+    assert(top0.head.getAs[Long]("n_id") === 2L)
+  }
+
   test("fakeEmbedding has requested dim and deterministic values") {
     val e1 = Multimodal.withPayload(docs, "text")
       .select(Multimodal.fakeEmbedding(col("content"), 8)).as[Seq[Double]].collect()
