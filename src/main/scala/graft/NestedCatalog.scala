@@ -543,6 +543,39 @@ object NestedCatalog {
       SELECT 7, 99, 1.0 WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = 7)
       ORDER BY o_orderkey, line""")),
 
+    // format:"container" (reference query_table.py:97-100): a query
+    // result becomes a first-class queryable table. A groupby over
+    // lineitem materializes as a NEW FactStore, and the checked result
+    // is a second JX query (filter + sort) over THAT store — the oracle
+    // nests the same two queries in SQL.
+    "q_container_query_format" -> (q((s, dir) => {
+      val tmp = freshScratch("graft_q_qcontainer")
+      val base = new graft.container.ListContainer(s, "lineitem",
+        SparkEntry.loader(s, dir)("lineitem"))
+      val derived = base.queryContainer("""{
+        "from": "lineitem",
+        "groupby": ["l_returnflag", "l_linestatus"],
+        "select": [
+          {"name": "sum_qty", "value": "l_quantity", "aggregate": "sum"},
+          {"name": "n", "value": ".", "aggregate": "count"}
+        ]
+      }""", tmp, "flag_totals")
+      derived.query("""{
+        "from": "flag_totals",
+        "select": ["l_returnflag", "l_linestatus", "sum_qty", "n"],
+        "where": {"gt": {"n": 1000}},
+        "sort": ["l_returnflag", "l_linestatus"],
+        "limit": 10000
+      }""")
+    }), Some("""
+      WITH flag_totals AS (
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty, count(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus)
+      SELECT l_returnflag, l_linestatus, sum_qty, n
+      FROM flag_totals WHERE n > 1000
+      ORDER BY l_returnflag, l_linestatus LIMIT 10000""")),
+
     // JDBC scan through the schema walker (reference extract.py +
     // snowflake_schema.py against live MySQL metadata): nation/region
     // loaded into embedded Derby WITH a real FK constraint, relations
