@@ -210,4 +210,31 @@ class PlanSpec extends AnyFunSuite {
     assert(lines.drop(exchange).exists(_.contains("partial_min")),
       s"no map-side partial min below the shuffle:\n$p")
   }
+
+  test("DSIR: models broadcast back; no product join; bounded non-reused exchanges") {
+    val p = plan("q_sample_dsir")
+    // the ≤B-row bucket model and the 1-row totals both come back as
+    // broadcasts — the corpus side must never sort-merge against them
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"bucket model should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row totals frame must broadcast, not product-join:\n$p")
+    // corpus-sized shuffles: the per-(doc,gram) combine + per-doc agg +
+    // the id join back; everything else is model-sized. Reused exchanges
+    // (the shared docGram subtree) are free.
+    val exchanges = p.split('\n')
+      .count(l => l.contains("Exchange") && !l.contains("Reused") && !l.contains("Broadcast"))
+    assert(exchanges <= 6, s"DSIR shuffled too much ($exchanges):\n$p")
+  }
+
+  test("hard negatives: anchors broadcast; corpus side has no pre-join Exchange") {
+    val p = plan("q_sim_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"anchor set should broadcast:\n$p")
+    val lines = p.split('\n').toSeq
+    // the only non-broadcast exchange is the per-anchor top-k window
+    val shuffles = lines.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(shuffles <= 1, s"corpus shuffled before scoring ($shuffles):\n$p")
+  }
 }
