@@ -1219,6 +1219,40 @@ object TrainingCatalog {
       SELECT q_id, rank, n_id, round(sim, 6) AS sim FROM r WHERE rank <= 5
       ORDER BY q_id, rank""")),
 
+    // contrastive training-pair assembly: per anchor, its best same-label
+    // positive and top-2 different-label hard negatives in one manifest —
+    // the (anchor, positive, negatives) tuples a contrastive run consumes
+    "q_sim_contrastive_pairs" -> (q((s, dir) => {
+      val e = embs(s, dir)
+      val anchors = e.where(col("vec_id") < 20)
+      val pos = Similarity.positivePairs(e, anchors, k = 1).withColumn("role", lit("pos"))
+      val neg = Similarity.hardNegatives(e, anchors, k = 2).withColumn("role", lit("neg"))
+      pos.unionByName(neg)
+        .select(col("q_id"), col("role"), col("rank"), col("n_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("q_id", "role", "rank")
+    }), Some("""
+      WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec,
+                        label AS q_label
+                 FROM embeddings WHERE vec_id < 20),
+      c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_vec,
+                   label AS n_label FROM embeddings),
+      s AS (SELECT q_id, n_id, q_label, n_label,
+                   list_cosine_similarity(q_vec, n_vec) AS sim
+            FROM q, c WHERE q_id <> n_id),
+      pos AS (SELECT q_id, 'pos' AS role,
+                     CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank,
+                     n_id, sim
+              FROM s WHERE q_label IS NOT DISTINCT FROM n_label),
+      neg AS (SELECT q_id, 'neg' AS role,
+                     CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank,
+                     n_id, sim
+              FROM s WHERE q_label IS DISTINCT FROM n_label)
+      SELECT q_id, role, rank, n_id, round(sim, 6) AS sim FROM pos WHERE rank <= 1
+      UNION ALL
+      SELECT q_id, role, rank, n_id, round(sim, 6) AS sim FROM neg WHERE rank <= 2
+      ORDER BY q_id, role, rank""")),
+
     // LSH-bucketed ANN: approximate (bucket recall measured in OpsSpec
     // against the brute-force baseline) → rows-only check.
     // deterministic-recall oracles for the approximate ANN paths: the

@@ -134,13 +134,28 @@ object Similarity {
     * filter + window tail. */
   def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    labelCol: String = "label"): DataFrame = {
+                    labelCol: String = "label"): DataFrame =
+    labelFilteredTopK(corpus, anchors, k, sameLabel = false, idCol, vecCol, labelCol)
+
+  /** The POSITIVE side of contrastive pair mining: per anchor, the k
+    * most-similar corpus vectors SHARING its label (e.g. paraphrase /
+    * same-class positives). Same shape as [[hardNegatives]]. */
+  def positivePairs(corpus: DataFrame, anchors: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame =
+    labelFilteredTopK(corpus, anchors, k, sameLabel = true, idCol, vecCol, labelCol)
+
+  private def labelFilteredTopK(corpus: DataFrame, anchors: DataFrame, k: Int,
+                                sameLabel: Boolean, idCol: String, vecCol: String,
+                                labelCol: String): DataFrame = {
     val a = broadcast(anchors.select(col(idCol).as("q_id"),
       vecD(col(vecCol)).as("q_vec"), col(labelCol).as("q_label")))
     val c = corpus.select(col(idCol).as("n_id"),
       vecD(col(vecCol)).as("n_vec"), col(labelCol).as("n_label"))
-    val cand = c.crossJoin(a)
-      .where(col("q_id") =!= col("n_id") && !(col("q_label") <=> col("n_label")))
+    val labelPred =
+      if (sameLabel) col("q_label") <=> col("n_label")
+      else !(col("q_label") <=> col("n_label"))
+    val cand = c.crossJoin(a).where(col("q_id") =!= col("n_id") && labelPred)
     topKBySim(cosineScored(cand), k)
   }
 
