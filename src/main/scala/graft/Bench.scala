@@ -11,7 +11,11 @@ object Bench {
     // totals become order- and cache-state-dependent (round-2 driver run:
     // 36 s for a groupBy that runs warm in 1.7 s). Cold first-run times
     // are still reported, additively, as "queries_cold"/"total_cold".
+    // optional args(0): comma-separated entry names — builder-side
+    // iteration on a subset (same convention as Verify's 3rd arg)
+    val only = args.headOption.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val entries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // a failed run reports -1, NOT its time-to-failure: a broken entry
     // must be visible in the artifact, never mistaken for a fast one
     def timeOne(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

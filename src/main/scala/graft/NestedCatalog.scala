@@ -452,6 +452,53 @@ object NestedCatalog {
              count(*) AS n_docs, CAST(max(o_orderkey) AS BIGINT) AS last_id
       FROM f GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // SQS-notify contract through the oracle gate (reference
+    // extract.py:244-251): Extract.run with the NDJSON FileNotifier,
+    // then the MESSAGES file is read back — exactly ONE well-formed
+    // {bucket, key, timestamp} message per written batch object, with
+    // key = "t.b" matching the keyset batch arithmetic and bucket equal
+    // to the configured destination. The scratch path itself is
+    // nondeterministic, so bucket/timestamp are checked as a per-message
+    // well-formedness bit that the sum aggregates; the hashed columns
+    // are the parsed batch coordinates and that count.
+    "q_etl_notify" -> (q((s, dir) => {
+      val tmp = freshScratch("graft_q_etl_notify")
+      val base = SparkEntry.loader(s, dir)
+      val bounded: String => DataFrame = n =>
+        if (n == "orders") base(n).where(col("o_orderdate") < lit("1995-02-01")) else base(n)
+      val msgs = tmp.resolve("messages.ndjson")
+      val cfg = graft.etl.ExtractConfig(
+        ordersPlan, timeField = Some(("o_orderdate", graft.etl.DurationUnit.Month)),
+        idField = "o_orderkey", batchSize = 100,
+        start = java.time.Instant.parse("1995-01-01T00:00:00Z"),
+        destination = tmp.resolve("out").toString,
+        lastFile = tmp.resolve("last.json"),
+        notifier = new graft.etl.Notifier.FileNotifier(msgs))
+      graft.etl.Extract.run(s, cfg, bounded)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("bucket", org.apache.spark.sql.types.StringType)
+        .add("key", org.apache.spark.sql.types.StringType)
+        .add("timestamp", org.apache.spark.sql.types.LongType)
+      s.read.schema(schema).json(msgs.toString)
+        .select(
+          split(col("key"), "\\.").getItem(0).cast("long").as("batch_t"),
+          split(col("key"), "\\.").getItem(1).cast("long").as("batch_i"),
+          (col("bucket") === lit(cfg.destination) && col("timestamp") > 0L)
+            .cast("long").as("well_formed"))
+        .groupBy("batch_t", "batch_i")
+        .agg(sum(col("well_formed")).as("n_msgs"))
+        .orderBy("batch_t", "batch_i")
+    }), Some("""
+      WITH f AS (
+        SELECT (year(o_orderdate) * 12 + month(o_orderdate)) - (1995 * 12 + 1) AS bt,
+               row_number() OVER (
+                 PARTITION BY (year(o_orderdate) * 12 + month(o_orderdate))
+                 ORDER BY o_orderdate, o_orderkey) - 1 AS seq
+        FROM orders WHERE o_orderdate < DATE '1995-02-01')
+      SELECT CAST(bt AS BIGINT) AS batch_t, CAST(seq // 100 AS BIGINT) AS batch_i,
+             CAST(1 AS BIGINT) AS n_msgs
+      FROM f GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // fixed-size batch chunking (reference group_by.py:87-182) — the
     // DISTRIBUTED variant: per-range-partition ranks + broadcast offsets,
     // no single-partition window (oracle identical to the driver-side one)

@@ -1291,7 +1291,106 @@ object QueryCatalog {
       graft.ops.ListOps.intervals(s, 0, 23, 5)
     ), Some("""
       SELECT generate_series AS lo, least(generate_series + 5, 23) AS hi
-      FROM generate_series(0, 22, 5) ORDER BY lo"""))
+      FROM generate_series(0, 22, 5) ORDER BY lo""")),
+
+    // reversed per-user value list, posexploded to (user, pos, value)
+    // rows — the comparator can't hash array cells; the oracle replays
+    // the reversal as a DESC row_number
+    "q_list_reverse" -> (raw((s, dir) => {
+      import org.apache.spark.sql.functions.{col, posexplode}
+      graft.ops.ListOps.reversedList(
+        SparkEntry.loader(s, dir)("events"),
+        col("value"), Seq(col("user_id")), Seq(col("event_id")))
+        .select(col("user_id"), posexplode(col("reversed")))
+        .select(col("user_id"), col("pos").cast("long").as("pos"),
+          col("col").as("value"))
+        .orderBy(col("user_id"), col("pos"))
+    }), Some("""
+      SELECT user_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                  ORDER BY event_id DESC) - 1 AS BIGINT) AS pos,
+             value
+      FROM events ORDER BY user_id, pos""")),
+
+    // =====================================================================
+    // set operations over engine outputs (reference jx concat/union of
+    // result lists, jx_python/jx.py; Spark union/intersect/except are the
+    // pass-through — each side is a full JX query through QueryRunner)
+    // =====================================================================
+    // Each side sorts on its key BEFORE the 10,000-row MAX_LIMIT clamp —
+    // the filters match >10k orders at sf0.1, so an unsorted limit would
+    // be a nondeterministic subset. The oracle mirrors the per-side
+    // ORDER BY ... LIMIT in parenthesized subqueries.
+    // UNION ALL with a provenance tag: overlapping rows (urgent AND
+    // high-value) must appear once per side
+    "q_setop_union" -> (raw((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val urgent = jx("""{
+        "from": "orders",
+        "select": ["o_orderkey", "o_totalprice"],
+        "where": {"eq": {"o_orderpriority": "1-URGENT"}},
+        "sort": ["o_orderkey"], "limit": 10000
+      }""")(s, dir).withColumn("src", lit("urgent"))
+      val bigval = jx("""{
+        "from": "orders",
+        "select": ["o_orderkey", "o_totalprice"],
+        "where": {"gt": {"o_totalprice": 200000}},
+        "sort": ["o_orderkey"], "limit": 10000
+      }""")(s, dir).withColumn("src", lit("bigval"))
+      urgent.unionByName(bigval).orderBy(col("src"), col("o_orderkey"))
+    }), Some("""
+      (SELECT o_orderkey, o_totalprice, 'urgent' AS src
+       FROM orders WHERE o_orderpriority = '1-URGENT'
+       ORDER BY o_orderkey LIMIT 10000)
+      UNION ALL
+      (SELECT o_orderkey, o_totalprice, 'bigval' AS src
+       FROM orders WHERE o_totalprice > 200000
+       ORDER BY o_orderkey LIMIT 10000)
+      ORDER BY src, o_orderkey""")),
+
+    // INTERSECT (distinct semantics on both engines)
+    "q_setop_intersect" -> (raw((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val finished = jx("""{
+        "from": "orders", "select": ["o_orderkey"],
+        "where": {"eq": {"o_orderstatus": "F"}},
+        "sort": ["o_orderkey"], "limit": 10000
+      }""")(s, dir)
+      val urgent = jx("""{
+        "from": "orders", "select": ["o_orderkey"],
+        "where": {"eq": {"o_orderpriority": "1-URGENT"}},
+        "sort": ["o_orderkey"], "limit": 10000
+      }""")(s, dir)
+      finished.intersect(urgent).orderBy(col("o_orderkey"))
+    }), Some("""
+      (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+       ORDER BY o_orderkey LIMIT 10000)
+      INTERSECT
+      (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+       ORDER BY o_orderkey LIMIT 10000)
+      ORDER BY o_orderkey""")),
+
+    // EXCEPT (distinct semantics on both engines)
+    "q_setop_except" -> (raw((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val big = jx("""{
+        "from": "orders", "select": ["o_orderkey"],
+        "where": {"gt": {"o_totalprice": 150000}},
+        "sort": ["o_orderkey"], "limit": 10000
+      }""")(s, dir)
+      val open = jx("""{
+        "from": "orders", "select": ["o_orderkey"],
+        "where": {"eq": {"o_orderstatus": "O"}},
+        "sort": ["o_orderkey"], "limit": 10000
+      }""")(s, dir)
+      big.except(open).orderBy(col("o_orderkey"))
+    }), Some("""
+      (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+       ORDER BY o_orderkey LIMIT 10000)
+      EXCEPT
+      (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+       ORDER BY o_orderkey LIMIT 10000)
+      ORDER BY o_orderkey"""))
   )
 
   def queries: Map[String, Q] = catalog.map { case (k, (q, _)) => k -> q }

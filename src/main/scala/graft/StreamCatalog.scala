@@ -78,8 +78,15 @@ object StreamCatalog {
         children = Seq(Child("l_orderkey", "lineitems",
           SnowflakePlan("lineitem", "l_orderkey"))))
       val out = scratchDir("stream_extract")
+      // bounded to one year of orders (same rationale as q_etl_extract's
+      // one-month window): the entry measures the streaming assembly
+      // path — source filter pushdown, per-batch child semi-join,
+      // sink append, read-back — not bulk re-assembly volume, which at
+      // full width made this the bench's worst entry and GC-sensitive
+      // (warm>cold under whole-catalog memory pressure)
       val writer = Streams.extractStream(
-        streamRead(s, dir, "orders"), plan, SparkEntry.loader(s, dir)) {
+        streamRead(s, dir, "orders").where(col("o_orderdate") < lit("1996-01-01")),
+        plan, SparkEntry.loader(s, dir)) {
         (docs, _) => docs.write.mode("append").parquet(out)
       }
       val q = writer.start(); q.processAllAvailable(); q.stop()
@@ -98,6 +105,7 @@ object StreamCatalog {
              sum(l.l_quantity) AS sum_qty
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate < DATE '1996-01-01'
       GROUP BY 1, 2 ORDER BY 1""")),
 
     // event-time tumbling window aggregation on a stream: 1-day windows,

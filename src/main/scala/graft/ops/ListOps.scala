@@ -75,6 +75,26 @@ object ListOps {
     df.withColumn(name, count(lit(1)).over(w))
   }
 
+  /** Per-group values in REVERSED `order`, as one array row per group
+    * (reference jx.py:1084-1090 — reverse(values) materializes the
+    * reversed list; [[reversePos]] is the positional variant). One
+    * group shuffle; the sort happens inside the aggregated array
+    * (array_sort on the packed (order..., value) struct), so no extra
+    * per-group window or secondary exchange. */
+  def reversedList(df: DataFrame, value: Column,
+                   partition: Seq[Column], order: Seq[Column],
+                   name: String = "reversed"): DataFrame = {
+    if (partition.isEmpty)
+      log.warn("reversedList with no partition keys: single global list")
+    val packed = struct(
+      order.zipWithIndex.map { case (c, i) => c.as(s"__o$i") } :+
+        value.as("__v"): _*)
+    df.groupBy(partition: _*)
+      .agg(reverse(array_sort(collect_list(packed))).as("__r"))
+      .withColumn(name, col("__r").getField("__v"))
+      .drop("__r")
+  }
+
   /** Running prefix vals[0..i] as an array column (reference jx.py:1066-1072). */
   def prefixes(df: DataFrame, value: Column,
                partition: Seq[Column], order: Seq[Column],

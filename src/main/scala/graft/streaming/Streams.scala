@@ -58,8 +58,13 @@ object Streams {
                                loadStatic: String => DataFrame)(
                                sink: (Dataset[Row], DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     factStream.writeStream.foreachBatch { (batch: Dataset[Row], id: Long) =>
+      // restrictChildren: a micro-batch is an increment — child tables are
+      // semi-joined down to the batch's keys before their collect_list,
+      // same as the batch extract (a trigger touching 0.01% of parents
+      // must not re-aggregate 100% of children)
       val docs = DocAssembler.assemble(plan,
-        name => if (name == plan.table) batch.toDF() else loadStatic(name))
+        name => if (name == plan.table) batch.toDF() else loadStatic(name),
+        restrictChildren = true)
       sink(batch, docs, id)
     }
 
