@@ -108,6 +108,37 @@ object TrainingCatalog {
         CASE WHEN n_tok > 0 THEN CAST(n_wordchars AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS avg_word_len
       FROM documents ORDER BY doc_id""")),
 
+    // exact BPE tokenization (Tokenizer.bpeTokenCount, the vocab-driven
+    // merge loop — not the regex proxy) under a merge table crafted so the
+    // count is SQL-expressible: the three pairs (t,h) (e,r) (o,n) have
+    // pairwise-DISJOINT character sets, so merges can't interact, every
+    // occurrence inside an alphabetic run fires exactly once, and
+    //   n_tokens = chars-in-pretokens − Σ occurrences(pair).
+    // Apostrophes are spaced out on BOTH sides so the contraction branch
+    // ('t / 's …) never splits a pair across a pre-token boundary (that
+    // branch stays covered by OpsSpec). Corpus is verified printable
+    // ASCII (no tab/VT), so Java-\s vs RE2-\s cannot drift and
+    // "whitespace" is literally ' '. The udf broadcasts the vocab in its
+    // closure and runs inside the scan stage — no shuffle, no collect.
+    "q_tokenize_bpe" -> (q((s, dir) => {
+      val vocab = graft.ops.Tokenizer.parseMerges(
+        Seq("#version: 0.2", "t h", "e r", "o n"))
+      docs(s, dir).select(
+        col("doc_id"),
+        graft.ops.Tokenizer.bpeTokenCount(
+          translate(col("text"), "'", " "), vocab).as("n_tokens"))
+        .orderBy("doc_id")
+    }), Some("""
+      WITH s AS (
+        SELECT doc_id, replace(text, chr(39), ' ') AS t FROM documents)
+      SELECT doc_id,
+             CAST(length(replace(t, ' ', ''))
+                - (length(t) - length(replace(t, 'th', ''))) // 2
+                - (length(t) - length(replace(t, 'er', ''))) // 2
+                - (length(t) - length(replace(t, 'on', ''))) // 2
+               AS BIGINT) AS n_tokens
+      FROM s ORDER BY doc_id""")),
+
     // per-language quality gate: keep the top half by quality score
     // within each language — two-phase (exact percentile agg + broadcast
     // threshold join), no per-lang window; see qualityFilterByLang's doc
