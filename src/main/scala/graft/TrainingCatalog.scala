@@ -139,6 +139,40 @@ object TrainingCatalog {
                AS BIGINT) AS n_tokens
       FROM s ORDER BY doc_id""")),
 
+    // exact WordPiece tokenization (greedy longest-match-first) under a
+    // vocab crafted so the count is SQL-expressible: every printable
+    // ASCII char as both a word-initial piece and a "##" continuation
+    // (so no word is ever [UNK] and each unmatched char costs 1 token),
+    // plus ONE multi-char piece "the" — greedy longest-prefix then means
+    //   n_tokens(word) = len(word) − 2·[word starts with "the"]
+    // ("the" can only match at word start: "##the" is not in the vocab).
+    // Same apostrophe spacing + printable-ASCII guarantees as
+    // q_tokenize_bpe; the oracle explodes the same pre-token regex
+    // already precedented by q_text_stats.
+    "q_tokenize_wordpiece" -> (q((s, dir) => {
+      val singles = (33 to 126).map(_.toChar.toString)
+      val vocab = graft.ops.Tokenizer.WordPieceVocab(
+        (singles ++ singles.map("##" + _) :+ "the").toSet)
+      docs(s, dir).select(
+        col("doc_id"),
+        graft.ops.Tokenizer.wordPieceTokenCount(
+          translate(col("text"), "'", " "), vocab).as("n_tokens"))
+        .orderBy("doc_id")
+    }), Some(s"""
+      WITH src AS (
+        SELECT doc_id, replace(text, chr(39), ' ') AS t FROM documents),
+      tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(t, '$BpeSql')) AS w
+        FROM src),
+      agg AS (
+        SELECT doc_id,
+               sum(length(w) - CASE WHEN w LIKE 'the%' THEN 2 ELSE 0 END)
+                 AS n
+        FROM tok GROUP BY doc_id)
+      SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_tokens
+      FROM documents d LEFT JOIN agg USING (doc_id)
+      ORDER BY d.doc_id""")),
+
     // per-language quality gate: keep the top half by quality score
     // within each language — two-phase (exact percentile agg + broadcast
     // threshold join), no per-lang window; see qualityFilterByLang's doc
