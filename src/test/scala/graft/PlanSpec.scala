@@ -237,4 +237,26 @@ class PlanSpec extends AnyFunSuite {
       l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
     assert(shuffles <= 1, s"corpus shuffled before scoring ($shuffles):\n$p")
   }
+
+  test("tokenizer counts ride the scan: only the final sort exchanges") {
+    // the vocab-udf count is a per-row projection in the scan stage; the
+    // single rangepartitioning exchange is the entry's presentation sort
+    for (name <- Seq("q_tokenize_bpe", "q_tokenize_wordpiece")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name must not hash-shuffle — the count is scan-stage algebra:\n$p")
+    }
+  }
+
+  test("reversedList: one group shuffle, sort inside the aggregate") {
+    val p = plan("q_list_reverse")
+    val lines = p.split('\n').toSeq
+    val hashEx = lines.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hashEx == 1,
+      s"expected exactly the user_id group shuffle, got $hashEx:\n$p")
+    // no per-group window: the reversal happens via array_sort/reverse
+    // INSIDE the aggregated array, not a second ordering pass
+    assert(!p.contains("Window"), s"unexpected window operator:\n$p")
+  }
 }
