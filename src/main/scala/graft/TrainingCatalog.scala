@@ -173,6 +173,37 @@ object TrainingCatalog {
       FROM documents d LEFT JOIN agg USING (doc_id)
       ORDER BY d.doc_id""")),
 
+    // BPE TRAINING's counting kernel at corpus scale: the iteration-1
+    // adjacent-pair frequency table (empty vocab → tokens are single
+    // chars), top 20 by (count desc, pair) — pure integer aggregates.
+    // The multi-iteration merge loop is data-dependent (each argmax
+    // feeds the next re-tokenization), so fixed oracle SQL cannot replay
+    // it; the loop is pinned instead by OpsSpec against Sennrich et
+    // al.'s classic low/lower/newest/widest example. Same apostrophe
+    // spacing as the other tokenizer entries.
+    "q_tokenize_train" -> (q((s, dir) => {
+      val words = graft.ops.Tokenizer.distinctWords(
+        docs(s, dir).select(translate(col("text"), "'", " ").as("text")),
+        "text")
+      graft.ops.Tokenizer.pairCounts(words, graft.ops.Tokenizer.BpeVocab(Map.empty))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(20)
+    }), Some("""
+      WITH src AS (
+        SELECT replace(text, chr(39), ' ') AS t FROM documents),
+      w AS (
+        SELECT unnest(regexp_extract_all(t, '""" + BpeSql + """')) AS w
+        FROM src),
+      wf AS (SELECT w, count(*) AS freq FROM w GROUP BY w),
+      pos AS (
+        SELECT w, freq,
+               unnest(generate_series(1, length(w) - 1)) AS i
+        FROM wf WHERE length(w) >= 2)
+      SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b,
+             CAST(sum(freq) AS BIGINT) AS cnt
+      FROM pos GROUP BY 1, 2
+      ORDER BY cnt DESC, a, b LIMIT 20""")),
+
     // per-language quality gate: keep the top half by quality score
     // within each language — two-phase (exact percentile agg + broadcast
     // threshold join), no per-lang window; see qualityFilterByLang's doc

@@ -141,4 +141,67 @@ object Tokenizer {
     val f = udf((s: String) => if (s == null) null else vocab.encode(s))
     f(text)
   }
+
+  // -- BPE training (learning merges from a corpus) ------------------------
+
+  import org.apache.spark.sql.DataFrame
+
+  /** Distinct pre-token vocabulary with occurrence counts: (w, freq).
+    * THE scale trick of corpus BPE training — every later pass costs
+    * per-DISTINCT-word, not per-occurrence (Zipf: distinct words are
+    * orders of magnitude fewer than tokens at 100 TB). One map-side-
+    * combined aggregate. */
+  def distinctWords(df: DataFrame, textCol: String): DataFrame = {
+    val toks = udf((s: String) => if (s == null) Seq.empty[String] else preTokens(s))
+    df.select(explode(toks(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+  }
+
+  /** Adjacent-pair frequency table of the corpus under the CURRENT
+    * tokenization — the counting kernel of BPE training (Sennrich et
+    * al. 2016, "Neural Machine Translation of Rare Words with Subword
+    * Units", §3.2): encode each distinct word with the merges learned
+    * so far (vocab rides the udf closure — broadcast, no join), explode
+    * its adjacent token pairs weighted by word frequency, and aggregate
+    * with map-side combine. Returns (a, b, cnt). */
+  def pairCounts(words: DataFrame, vocab: BpeVocab): DataFrame = {
+    val enc = udf((w: String) => vocab.encodeWord(w))
+    words
+      .select(enc(col("w")).as("t"), col("freq"))
+      .where(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("t")) - 2), i =>
+        struct(element_at(col("t"), i + 1).as("a"),
+          element_at(col("t"), i + 2).as("b")))).as("p"), col("freq"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** Learn `nMerges` BPE merge rules from a corpus. Each iteration is
+    * ONE distributed pair-count aggregate plus a one-row argmax collect
+    * (count desc, then lexicographic — fully deterministic); the chosen
+    * rule joins the broadcast vocab for the next pass. Stops early when
+    * no pair repeats. The distinct-word table is pinned for the duration
+    * of the loop and released before returning — persist scope is
+    * contained, nothing stays resident. */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): BpeVocab = {
+    import org.apache.spark.storage.StorageLevel
+    val words = distinctWords(df, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var ranks = Map.empty[(String, String), Int]
+      var stop = false
+      var i = 0
+      while (i < nMerges && !stop) {
+        val top = pairCounts(words, BpeVocab(ranks))
+          .where(col("cnt") >= 2)
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty) stop = true
+        else {
+          ranks += ((top(0).getString(0), top(0).getString(1)) -> i)
+          i += 1
+        }
+      }
+      BpeVocab(ranks)
+    } finally words.unpersist()
+  }
 }

@@ -829,6 +829,26 @@ class OpsSpec extends AnyFunSuite {
     assert(toks === Seq("low", "lower"))
   }
 
+  test("BPE training: Sennrich low/lower/newest/widest learns es, est, lo") {
+    import graft.ops.Tokenizer
+    // the paper's own worked example (Sennrich et al. 2016 §3.2, fig. 1):
+    // freqs low:5 lower:2 newest:6 widest:3 → pair counts put (e,s) and
+    // (s,t) at 9 (lexicographic tie-break → es), then (es,t) at 9, then
+    // (l,o)/(o,w) at 7 (tie-break → lo)
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val df = Seq(corpus).toDF("text")
+    val learned = Tokenizer.bpeTrain(df, "text", nMerges = 3)
+    assert(learned.ranks === Map(
+      ("e", "s") -> 0, ("es", "t") -> 1, ("l", "o") -> 2))
+    // the learned vocab tokenizes the corpus words as the paper shows
+    assert(learned.encodeWord("newest") === Vector("n", "e", "w", "est"))
+    assert(learned.encodeWord("low") === Vector("lo", "w"))
+    // early stop: no pair repeats → fewer merges than asked
+    val tiny = Seq("ab cd").toDF("text")
+    assert(Tokenizer.bpeTrain(tiny, "text", nMerges = 5).ranks.isEmpty)
+  }
+
   test("WordPiece: greedy longest match with ## continuations, UNK fallback") {
     import graft.ops.Tokenizer
     // the canonical BERT docs example: un ##aff ##able
