@@ -564,4 +564,51 @@ object Similarity {
       .dropDuplicates("q_id", "n_id")
     topKBySim(cosineScored(cand), k)
   }
+
+  // -- index persistence ---------------------------------------------------
+  //
+  // At 100 TB an index is FIT ONCE in a batch job and reused by every
+  // search job; refitting per session wastes the k-means passes and
+  // silently changes results (different sample → different cells). The
+  // fitted artifacts are small (nlist×dim and m×k×dim/m doubles), so
+  // they serialize to one-file parquet tables; doubles round-trip parquet
+  // bit-exactly, so a loaded quantizer searches IDENTICALLY to the fit
+  // one. The ENCODED corpus (cell ids, PQ codes) is a regular DataFrame
+  // the caller persists like any table.
+
+  import org.apache.spark.sql.SparkSession
+
+  /** Save IVF coarse-quantizer centroids: one row per (list_id, centroid). */
+  def saveIvfCentroids(spark: SparkSession, path: String,
+                       centroids: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load centroids saved by [[saveIvfCentroids]], in list order. */
+  def loadIvfCentroids(spark: SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(path).orderBy(col("list_id"))
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  /** Save PQ codebooks: one row per (subspace, code, centroid). */
+  def savePqCodebooks(spark: SparkSession, path: String,
+                      codebooks: Array[Array[Array[Double]]]): Unit = {
+    import spark.implicits._
+    (for {
+      (sub, m) <- codebooks.zipWithIndex
+      (ctr, c) <- sub.zipWithIndex
+    } yield (m, c, ctr.toSeq)).toSeq
+      .toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load codebooks saved by [[savePqCodebooks]], in (subspace, code) order. */
+  def loadPqCodebooks(spark: SparkSession, path: String): Array[Array[Array[Double]]] =
+    spark.read.parquet(path).orderBy(col("subspace"), col("code"))
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.map(_.getSeq[Double](2).toArray) }
+      .toArray
 }

@@ -849,6 +849,35 @@ class OpsSpec extends AnyFunSuite {
     assert(Tokenizer.bpeTrain(tiny, "text", nMerges = 5).ranks.isEmpty)
   }
 
+  test("index persistence: IVF centroids and PQ codebooks round-trip parquet bit-exactly") {
+    import graft.ops.Similarity
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx").toString
+
+    val ivf = Similarity.ivfFitCentroids(embs, nlist = 4)
+    Similarity.saveIvfCentroids(spark, s"$tmp/ivf", ivf)
+    val ivfLoaded = Similarity.loadIvfCentroids(spark, s"$tmp/ivf")
+    assert(ivfLoaded.length === ivf.length)
+    assert(ivfLoaded.zip(ivf).forall { case (a, b) => a.sameElements(b) },
+      "IVF centroids changed across save/load")
+
+    val pq = Similarity.pqFitCodebooks(embs, m = 4, k = 8)
+    Similarity.savePqCodebooks(spark, s"$tmp/pq", pq)
+    val pqLoaded = Similarity.loadPqCodebooks(spark, s"$tmp/pq")
+    assert(pqLoaded.length === pq.length)
+    assert(pqLoaded.zip(pq).forall { case (subA, subB) =>
+      subA.length == subB.length &&
+        subA.zip(subB).forall { case (a, b) => a.sameElements(b) } },
+      "PQ codebooks changed across save/load")
+
+    // bit-exact arrays → a search against the loaded index is the SAME
+    // plan with the same literals: results are identical by construction
+    val q = embs.limit(3)
+    val fresh = Similarity.ivfSearch(embs, q, ivf, k = 2).orderBy("q_id", "n_id").collect()
+    val loaded = Similarity.ivfSearch(embs, q, ivfLoaded, k = 2).orderBy("q_id", "n_id").collect()
+    assert(fresh.sameElements(loaded))
+  }
+
   test("WordPiece: greedy longest match with ## continuations, UNK fallback") {
     import graft.ops.Tokenizer
     // the canonical BERT docs example: un ##aff ##able
