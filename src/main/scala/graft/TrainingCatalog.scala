@@ -1386,6 +1386,31 @@ object TrainingCatalog {
       SELECT vec_id AS q_id, 1 AS found, CAST(1.0 AS DOUBLE) AS top_sim
       FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")),
 
+    // the PERSISTED-index search path, driver-checked end to end: the
+    // session's fitted centroids are saved to parquet, loaded back, and
+    // the search runs against the LOADED copy — bit-exact round-trip
+    // means the planted-copy oracle of q_sim_ivf_topk holds verbatim.
+    // This is the production shape: fit once (batch), persist, search
+    // from the artifact in every later job.
+    "q_sim_ivf_saved" -> (q((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val queries = e.where(col("vec_id") < 20)
+      val planted = queries.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = e.unionByName(planted)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx")
+        .resolve("ivf").toString
+      Similarity.saveIvfCentroids(s, path,
+        ivfCentroidsFor(s, dir, corpus, nlist = 16))
+      Similarity.ivfSearch(corpus, queries,
+          Similarity.loadIvfCentroids(s, path), k = 5, nprobe = 8)
+        .groupBy(col("q_id"))
+        .agg(max(when(col("n_id") === col("q_id") + 1000000L, 1).otherwise(0)).as("found"),
+          round(max(col("sim")), 6).as("top_sim"))
+        .orderBy("q_id")
+    }), Some("""
+      SELECT vec_id AS q_id, 1 AS found, CAST(1.0 AS DOUBLE) AS top_sim
+      FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")),
+
     // SemDeDup (cluster-scoped semantic dedup), planted-copy oracle: the
     // corpus plus an exact copy of each of the 20 query vectors. A copy
     // shares its original's cell (identical vector), pairs with it at
