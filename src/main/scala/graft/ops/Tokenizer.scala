@@ -115,6 +115,16 @@ object Tokenizer {
     try parseMerges(src.getLines()) finally src.close()
   }
 
+  /** Write a vocab in the same merges.txt layout [[parseMerges]] reads
+    * (rank = line order) — the persistence half of [[bpeTrain]]: train
+    * once in a batch job, serve the file to every tokenize job. */
+  def saveMerges(path: String, vocab: BpeVocab): Unit = {
+    val lines = "#version: graft" +:
+      vocab.ranks.toSeq.sortBy(_._2).map { case ((a, b), _) => s"$a $b" }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+  }
+
   /** vocab.txt: one piece per line (BERT format). */
   def loadWordPiece(path: String, unk: String = "[UNK]"): WordPieceVocab = {
     val src = scala.io.Source.fromFile(path)

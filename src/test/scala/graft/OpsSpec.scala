@@ -847,6 +847,10 @@ class OpsSpec extends AnyFunSuite {
     // early stop: no pair repeats → fewer merges than asked
     val tiny = Seq("ab cd").toDF("text")
     assert(Tokenizer.bpeTrain(tiny, "text", nMerges = 5).ranks.isEmpty)
+    // train → save → load round-trips the merge table (merges.txt layout)
+    val f = java.nio.file.Files.createTempFile("graft_merges", ".txt").toString
+    Tokenizer.saveMerges(f, learned)
+    assert(Tokenizer.loadMerges(f).ranks === learned.ranks)
   }
 
   test("index persistence: IVF centroids and PQ codebooks round-trip parquet bit-exactly") {
