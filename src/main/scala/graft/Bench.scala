@@ -45,8 +45,9 @@ object Bench {
     val totalCold = r3(results.map(_._3).filter(_ >= 0).sum)
     // ETL assembly throughput: full 3-level snowflake (customer ⊃ orders
     // ⊃ lineitems + nation lookup) docs per second at this SF — same
-    // second-of-two-runs discipline
-    val etlDps = try {
+    // second-of-two-runs discipline. Skipped for subset runs (it is
+    // seconds of work unrelated to the entries under iteration).
+    val etlDps = if (only.isDefined) -1.0 else try {
       val load = SparkEntry.loader(spark, sfDir)
       val plan = graft.etl.SnowflakePlan("customer", "c_custkey",
         lookups = Seq(graft.etl.Lookup("c_nationkey", "nation",
@@ -72,10 +73,17 @@ object Bench {
     val line = s"""{"queries_cold":$qsCold,"errors":$errors,"etl_assemble_docs_per_sec":${etlDps.toLong},"sf":"$sfDir","queries":$qs,"bench_schema":2,"total_cold":$totalCold,"total_warm":$total,"metric":"total","value":$total,"unit":"sec"}"""
     // belt-and-braces: the FULL artifact also lands in the repo as
     // BENCH.json (the driver commits leftover files at round end), so the
-    // warm map survives even if the stdout tail is clipped
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH.json write failed: ${e.getMessage}") }
+    // warm map survives even if the stdout tail is clipped. A SUBSET run
+    // must never touch that path: a partial artifact is indistinguishable
+    // from a full one once committed (it has the same headline keys), so
+    // subset output goes only to an explicit SPARK_GRAFT_BENCH_OUT.
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("BENCH.json") else None)
+    outPath.foreach { pth =>
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(pth), line + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] $pth write failed: ${e.getMessage}") }
+    }
     println(line)
     spark.stop()
   }

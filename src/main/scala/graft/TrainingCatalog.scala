@@ -1397,8 +1397,12 @@ object TrainingCatalog {
       val queries = e.where(col("vec_id") < 20)
       val planted = queries.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       val corpus = e.unionByName(planted)
-      val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx")
-        .resolve("ivf").toString
+      // pid-keyed stable path, REUSED across invocations (save overwrites):
+      // a fresh tempdir per run would accumulate unboundedly over repeated
+      // verify/bench passes — same anti-accumulation convention as
+      // NestedCatalog.freshScratch
+      val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_ivf_idx_${ProcessHandle.current().pid()}", "ivf").toString
       Similarity.saveIvfCentroids(s, path,
         ivfCentroidsFor(s, dir, corpus, nlist = 16))
       Similarity.ivfSearch(corpus, queries,

@@ -85,6 +85,14 @@ case class DotProductDouble(left: Expression, right: Expression)
  * array. Coefficients derive deterministically from `seed`. Empty or
  * null input → null.
  */
+/** K-permutation MinHash over pre-hashed shingles: one multiply-shift
+  * permutation per (shingle, hash) — O(m·K) but branch-free and
+  * codegen'd. Known scale path beyond ~10⁹ docs: one-permutation
+  * hashing with optimal densification (Shrivastava & Li 2014;
+  * Shrivastava 2017) drops this to O(m) per row; the banding and
+  * exact-verification stages above it are unchanged. Not swapped in
+  * here because the catalog's candidate-set oracles were calibrated
+  * against K-permutation escape probabilities. */
 case class MinHashSigExpr(child: Expression, numHashes: Int, seed: Long)
     extends UnaryExpression {
 

@@ -80,7 +80,14 @@ object ListOps {
     * reversed list; [[reversePos]] is the positional variant). One
     * group shuffle; the sort happens inside the aggregated array
     * (array_sort on the packed (order..., value) struct), so no extra
-    * per-group window or secondary exchange. */
+    * per-group window or secondary exchange.
+    *
+    * `order` must TOTALLY order rows within a group for faithful
+    * reversal: because value rides the sort struct, rows tied on every
+    * order key come back sorted by value (descending after the
+    * reverse), not in input order — input order is not an observable a
+    * distributed reversal can honor anyway. Pass a unique key (an id,
+    * a (ts, id) pair) when tie order matters. */
   def reversedList(df: DataFrame, value: Column,
                    partition: Seq[Column], order: Seq[Column],
                    name: String = "reversed"): DataFrame = {
