@@ -853,6 +853,21 @@ class OpsSpec extends AnyFunSuite {
     assert(Tokenizer.loadMerges(f).ranks === learned.ranks)
   }
 
+  test("train-then-tokenize on real docs: learned merges shrink the token count") {
+    import graft.ops.Tokenizer
+    val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(translate(col("text"), "'", " ").as("text"))
+    val vocab = Tokenizer.bpeTrain(docsDf, "text", nMerges = 10)
+    assert(vocab.ranks.size === 10) // a 500-doc English corpus has ≥10 repeating pairs
+    val sums = docsDf.select(
+        Tokenizer.bpeTokenCount(col("text"), Tokenizer.BpeVocab(Map.empty)).as("chars"),
+        Tokenizer.bpeTokenCount(col("text"), vocab).as("merged"))
+      .agg(sum("chars").as("c"), sum("merged").as("m")).head()
+    // every learned merge fires somewhere, and fires only to SHRINK
+    assert(sums.getLong(1) < sums.getLong(0),
+      s"learned vocab did not compress: ${sums.getLong(1)} vs ${sums.getLong(0)}")
+  }
+
   test("index persistence: IVF centroids and PQ codebooks round-trip parquet bit-exactly") {
     import graft.ops.Similarity
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
