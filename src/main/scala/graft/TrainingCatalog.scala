@@ -827,6 +827,40 @@ object TrainingCatalog {
         CAST((CASE WHEN n_tok > 0 THEN "offset" + n_tok - 1 ELSE "offset" END) // 512 AS BIGINT) AS window_end
       FROM o ORDER BY doc_id""")),
 
+    // sequence packing under an EXACT BPE token budget — the composition
+    // a trainer actually runs (windows hold model tokens, not whitespace
+    // words): packOffsetsBy with Tokenizer.bpeTokenCount under the same
+    // disjoint-pair vocab as q_tokenize_bpe, so the oracle's n_tok is
+    // the same SQL-expressible formula feeding the same running-window
+    // arithmetic as q_pack_sequences.
+    "q_pack_bpe" -> (q((s, dir) => {
+      val vocab = graft.ops.Tokenizer.parseMerges(
+        Seq("#version: 0.2", "t h", "e r", "o n"))
+      graft.ops.Batching.packOffsetsBy(
+          docs(s, dir).withColumn("__sp", translate(col("text"), "'", " ")),
+          "doc_id",
+          graft.ops.Tokenizer.bpeTokenCount(col("__sp"), vocab),
+          windowTokens = 512L)
+        .withColumnRenamed("id", "doc_id")
+    }), Some("""
+      WITH m AS (
+        SELECT doc_id,
+          length(replace(t, ' ', ''))
+            - (length(t) - length(replace(t, 'th', ''))) // 2
+            - (length(t) - length(replace(t, 'er', ''))) // 2
+            - (length(t) - length(replace(t, 'on', ''))) // 2 AS n_tok,
+          md5(CAST(doc_id AS VARCHAR)) AS ord
+        FROM (SELECT doc_id, replace(text, chr(39), ' ') AS t FROM documents)),
+      o AS (
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+          CAST(coalesce(sum(n_tok) OVER (ORDER BY ord, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+        FROM m)
+      SELECT doc_id, n_tok, "offset",
+        CAST("offset" // 512 AS BIGINT) AS window_start,
+        CAST((CASE WHEN n_tok > 0 THEN "offset" + n_tok - 1 ELSE "offset" END) // 512 AS BIGINT) AS window_end
+      FROM o ORDER BY doc_id""")),
+
     // domain-mixture resampling: per-language quotas under the md5 order
     "q_sample_mixture" -> (q((s, dir) =>
       graft.ops.Sampling.mixtureTake(

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -89,10 +89,17 @@ object Batching {
     * boundary). The offset is a [[prefixSumScaled]] — no single-task
     * window at any corpus size. */
   def packOffsets(df: DataFrame, idCol: String, textCol: String,
-                  windowTokens: Long): DataFrame = {
+                  windowTokens: Long): DataFrame =
+    packOffsetsBy(df, idCol, TextAnalysis.tokenCount(col(textCol)), windowTokens)
+
+  /** [[packOffsets]] under an arbitrary per-doc token counter — e.g. an
+    * exact [[Tokenizer]] count, so windows budget REAL model tokens
+    * rather than whitespace words. Same distributed prefix-sum shape. */
+  def packOffsetsBy(df: DataFrame, idCol: String, tokenCount: Column,
+                    windowTokens: Long): DataFrame = {
     require(windowTokens > 0, s"windowTokens: $windowTokens")
     val base = df.select(col(idCol).as("id"),
-      TextAnalysis.tokenCount(col(textCol)).as("n_tok"),
+      tokenCount.as("n_tok"),
       md5(col(idCol).cast("string")).as("__ord"))
     prefixSumScaled(base, Seq(col("__ord"), col("id")), col("n_tok"), out = "offset")
       .select(col("id"), col("n_tok"), col("offset"),
