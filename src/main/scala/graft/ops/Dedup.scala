@@ -252,6 +252,15 @@ object Dedup {
                           threshold: Double = 0.6): DataFrame =
     minhashLshPairsBy(df, idCol, charShingleHashes(col(textCol), k), numHashes, bands, threshold)
 
+  /** MEASURED DEAD-ENDS (round 5, sf0.1, do not retry without new data):
+    * (a) restricting verification to candidate docs via a semi-join on
+    * ids re-executes the whole discovery pipeline (cand feeds two
+    * subtrees; ReuseExchange does not fire across the shapes) — warm
+    * 3.2→4.5 s even with the pair list pinned; (b) pinning the
+    * (id, shingle-set) projection so all three branches share one cache
+    * loses scan fusion and pays a ~60 MB cache write — cold 3.8→9.5 s.
+    * The 3×-projection shape below recomputes shingles inside fused
+    * scans, which is cheaper than either alternative on this kernel. */
   private def minhashLshPairsBy(df: DataFrame, idCol: String, shingles: Column,
                                 numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
