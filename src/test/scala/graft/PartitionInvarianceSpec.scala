@@ -44,4 +44,23 @@ class PartitionInvarianceSpec extends AnyFunSuite {
         s"partition-count-sensitive entries (driver-red risk): $drifted")
     } finally spark.conf.set(key, orig)
   }
+
+  test("EVERY catalog entry is row-identical across shuffle-partition counts") {
+    // the whole-catalog sweep: any entry here that drifts would selfcheck
+    // green locally and go red under the driver's partitioning.
+    // Exclusions are entries whose OUTPUT inventories scratch side
+    // effects that legitimately accumulate across invocations in one JVM
+    // (their cross-invocation stability is pinned by their own specs).
+    val excluded = Set("q_etl_extract_resume")
+    val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(excluded)
+    val key = "spark.sql.shuffle.partitions"
+    val orig = spark.conf.get(key)
+    try {
+      val base = names.map(n => n -> canonical(n)).toMap
+      spark.conf.set(key, "3")
+      val drifted = names.filter(n => canonical(n) != base(n))
+      assert(drifted.isEmpty,
+        s"partition-count-sensitive entries (driver-red risk): $drifted")
+    } finally spark.conf.set(key, orig)
+  }
 }
