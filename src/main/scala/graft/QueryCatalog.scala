@@ -1312,6 +1312,45 @@ object QueryCatalog {
              value
       FROM events ORDER BY user_id, pos""")),
 
+    // the reference ships one REALISTIC downstream analytics query as
+    // documentation of intent (tests/resources/example_TH_query.sql:1-18:
+    // fact filtered by class + 7-day window + segment exclusion, inner
+    // join to a map table, CONDITIONAL left join to a note table,
+    // count(1) over the fanned-out rows + conditional sum, group by the
+    // map key). Same shape over the TPC-H tables, with the date window
+    // PINNED (CURDATE() would be nondeterministic across engines). Scale
+    // shape: two key-equi joins — the windowed fact side prunes at the
+    // scan (PushedFilters), the conditional left join keeps its predicate
+    // IN the join condition (no post-join filter, preserving unmatched
+    // rows), and the group-by shuffles once on the map key.
+    "q_downstream_analytics" -> (raw((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit, count, sum, when}
+      val ld = SparkEntry.loader(s, dir)
+      val o = ld("orders").where(
+        col("o_orderstatus") === lit("F") &&
+          col("o_orderdate") >= lit("1995-06-01") &&
+          col("o_orderdate") < lit("1995-06-08"))
+      val c = ld("customer").where(col("c_mktsegment") =!= lit("BUILDING"))
+      val l = ld("lineitem")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(l, l("l_orderkey") === o("o_orderkey") &&
+          l("l_returnflag") === lit("R"), "left")
+        .groupBy(c("c_custkey").as("cust"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(l("l_returnflag") === lit("R"), 1).otherwise(0))
+            .cast("long").as("n_returned"))
+        .orderBy(col("cust"))
+    }), Some("""
+      SELECT c.c_custkey AS cust, count(1) AS n_rows,
+             CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      WHERE o.o_orderstatus = 'F'
+        AND o.o_orderdate >= DATE '1995-06-01' AND o.o_orderdate < DATE '1995-06-08'
+        AND c.c_mktsegment <> 'BUILDING'
+      GROUP BY 1 ORDER BY 1""")),
+
     // =====================================================================
     // set operations over engine outputs (reference jx concat/union of
     // result lists, jx_python/jx.py; Spark union/intersect/except are the
