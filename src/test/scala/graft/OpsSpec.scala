@@ -853,6 +853,28 @@ class OpsSpec extends AnyFunSuite {
     assert(Tokenizer.loadMerges(f).ranks === learned.ranks)
   }
 
+  test("BPE laws on real docs: lossless concatenation, count = chars - merges, proxy consistency") {
+    import graft.ops.{Tokenizer, TextAnalysis}
+    val vocab = Tokenizer.parseMerges(Seq("#version: 0.2", "t h", "e r", "o n"))
+    val texts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(translate(col("text"), "'", " ").as("t")).as[String].take(100)
+    for (t <- texts; w <- Tokenizer.preTokens(t)) {
+      val toks = vocab.encodeWord(w)
+      // losslessness: merges only JOIN adjacent pieces, never alter bytes
+      assert(toks.mkString === w, s"lossy encode of '$w'")
+      // every merge shrinks the piece count by exactly one
+      assert(toks.size <= w.length && toks.size >= 1)
+    }
+    // the regex proxy (count of pre-tokens... with no merges, count = chars
+    // in pre-tokens) and the vocab path must agree under the empty vocab:
+    // encode with NO merges yields one token per pre-token CHARACTER
+    val empty = Tokenizer.BpeVocab(Map.empty)
+    for (t <- texts.take(20)) {
+      val chars = Tokenizer.preTokens(t).map(_.length).sum
+      assert(empty.encode(t).size === chars, s"empty-vocab count mismatch")
+    }
+  }
+
   test("train-then-tokenize on real docs: learned merges shrink the token count") {
     import graft.ops.Tokenizer
     val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
