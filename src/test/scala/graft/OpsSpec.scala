@@ -875,6 +875,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("WordPiece laws on real docs: ## discipline and lossless reassembly") {
+    import graft.ops.Tokenizer
+    val singles = (33 to 126).map(_.toChar.toString)
+    val vocab = Tokenizer.WordPieceVocab(
+      (singles ++ singles.map("##" + _) :+ "the").toSet)
+    val texts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(translate(col("text"), "'", " ").as("t")).as[String].take(50)
+    for (t <- texts; w <- Tokenizer.preTokens(t)) {
+      val toks = vocab.encodeWord(w)
+      assert(toks.nonEmpty)
+      // with all-singles coverage nothing can fall to UNK
+      assert(!toks.contains("[UNK]"), s"UNK leaked for '$w'")
+      // greedy-match discipline: only the first piece is bare, the rest
+      // carry the ## continuation marker, and stripping markers
+      // reassembles the exact word
+      assert(!toks.head.startsWith("##") || w.startsWith("##"))
+      assert(toks.tail.forall(_.startsWith("##")), s"bare continuation in $toks")
+      val joined = toks.head + toks.tail.map(_.drop(2)).mkString
+      assert(joined === w, s"lossy wordpiece for '$w': $toks")
+    }
+  }
+
   test("train-then-tokenize on real docs: learned merges shrink the token count") {
     import graft.ops.Tokenizer
     val docsDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
