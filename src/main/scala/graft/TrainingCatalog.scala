@@ -1149,6 +1149,36 @@ object TrainingCatalog {
     // "fill a per-domain quota" step of corpus assembly. running_tokens
     // is CAST to BIGINT for the same HUGEINT→float64 driver-comparator
     // reason as q_pack_sequences.
+    // the same per-source budget fill, but in MODEL tokens: budgetTake
+    // composed with the vocab-driven BPE count under the disjoint-pair
+    // vocab — a training run budgets model tokens, not whitespace words.
+    // Budget scaled ~6x (chars-per-word) so the cut lands mid-source.
+    "q_budget_bpe" -> (q((s, dir) => {
+      val vocab = graft.ops.Tokenizer.parseMerges(
+        Seq("#version: 0.2", "t h", "e r", "o n"))
+      graft.ops.Sampling.budgetTake(
+          docs(s, dir).withColumn("__sp", translate(col("text"), "'", " ")),
+          "source", "doc_id",
+          graft.ops.Tokenizer.bpeTokenCount(col("__sp"), vocab), budget = 3000L)
+        .select(col("doc_id"), col("source"), col("running_tokens"))
+        .orderBy("doc_id")
+    }), Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+          length(replace(u, ' ', ''))
+            - (length(u) - length(replace(u, 'th', ''))) // 2
+            - (length(u) - length(replace(u, 'er', ''))) // 2
+            - (length(u) - length(replace(u, 'on', ''))) // 2 AS tok
+        FROM (SELECT doc_id, source, replace(text, chr(39), ' ') AS u
+              FROM documents)),
+      r AS (
+        SELECT doc_id, source,
+          CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_tokens
+        FROM t)
+      SELECT doc_id, source, running_tokens FROM r
+      WHERE running_tokens <= 3000 ORDER BY doc_id""")),
+
     "q_budget_take" -> (q((s, dir) =>
       graft.ops.Sampling.budgetTake(docs(s, dir), "source", "doc_id",
           TextAnalysis.tokenCount(col("text")), budget = 500L)
