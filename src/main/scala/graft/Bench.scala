@@ -25,9 +25,56 @@ object Bench {
         System.err.println(s"[bench] entry failed: ${e.getMessage}"); -1.0
       }
     }
+    // Per-entry session-state telemetry (VERDICT r5 "Next round" #1): the
+    // r5 driver bench showed entries whose back-to-back SECOND run was
+    // slower than the first — a session-residency signature, not a plan
+    // cost. Sample the counters that can only grow if something leaks:
+    // persisted RDDs (count + bytes), JVM heap/GC, loaded-class count
+    // (codegen class churn), and spark.local.dir scratch bytes (shuffle
+    // files awaiting ContextCleaner). Written per entry to
+    // BENCH_TELEMETRY.jsonl so the monotone counter is identifiable
+    // offline without inflating the byte-bounded stdout artifact.
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    val clBean = java.lang.management.ManagementFactory.getClassLoadingMXBean
+    val localDirs: Seq[java.io.File] =
+      spark.sparkContext.getConf.get("spark.local.dir", System.getProperty("java.io.tmpdir"))
+        .split(",").toSeq.map(new java.io.File(_))
+    def scratch(): (Long, Long) = {
+      var files = 0L; var bytes = 0L
+      def walk(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach { k =>
+          if (k.isDirectory) walk(k) else { files += 1; bytes += k.length() }
+        }
+      }
+      localDirs.foreach { d =>
+        val kids = d.listFiles()
+        if (kids != null)
+          kids.filter(k => k.isDirectory &&
+              (k.getName.startsWith("blockmgr") || k.getName.startsWith("spark")))
+            .foreach(walk)
+      }
+      (files, bytes)
+    }
+    val telemetryOut = new java.io.PrintWriter(new java.io.FileWriter("BENCH_TELEMETRY.jsonl"))
+    def telemetry(name: String, phase: String, sec: Double): Unit = try {
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory - rt.freeMemory) / (1 << 20)
+      var gcMs = 0L; gcBeans.forEach(b => gcMs += b.getCollectionTime)
+      val rdds = spark.sparkContext.getPersistentRDDs
+      val storage = spark.sparkContext.getRDDStorageInfo
+      val memUsed = storage.map(_.memSize).sum / (1 << 20)
+      val dskUsed = storage.map(_.diskSize).sum / (1 << 20)
+      val (sf2, sb) = scratch()
+      telemetryOut.println(
+        s"""{"entry":"$name","phase":"$phase","sec":${math.rint(sec * 1000) / 1000},"heap_mb":$heapMb,"gc_ms_cum":$gcMs,"classes":${clBean.getLoadedClassCount},"persistent_rdds":${rdds.size},"storage_mem_mb":$memUsed,"storage_disk_mb":$dskUsed,"scratch_files":$sf2,"scratch_mb":${sb / (1 << 20)}}""")
+      telemetryOut.flush()
+    } catch { case _: Throwable => () }
     val results = entries.map { case (name, fn) =>
       val cold = timeOne(fn)
+      telemetry(name, "cold", cold)
       val warm = timeOne(fn)
+      telemetry(name, "warm", warm)
       (name, warm, cold)
     }
     // millisecond precision keeps the one-line artifact small — the
