@@ -56,7 +56,23 @@ object Bench {
       }
       (files, bytes)
     }
-    val telemetryOut = new java.io.PrintWriter(new java.io.FileWriter("BENCH_TELEMETRY.jsonl"))
+    // Subset runs must not clobber the committed full-run telemetry (same
+    // rule as BENCH.json below): subset telemetry goes to a BENCH_OUT-
+    // derived path or nowhere. Writer creation is guarded — an unwritable
+    // cwd must not abort the bench — and falls back to a null sink.
+    val telemetryPath: Option[String] =
+      if (only.isEmpty) Some("BENCH_TELEMETRY.jsonl")
+      else sys.env.get("SPARK_GRAFT_BENCH_OUT").map(_ + ".telemetry.jsonl")
+    val telemetryOut: Option[java.io.PrintWriter] = telemetryPath.flatMap { p =>
+      try Some(new java.io.PrintWriter(new java.io.FileWriter(p)))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] telemetry disabled: ${e.getMessage}"); None
+      }
+    }
+    // entry names are code-defined identifiers; assert that before
+    // interpolating them into hand-built JSON
+    entries.foreach { case (n, _) =>
+      require(n.matches("[A-Za-z0-9_]+"), s"non-identifier entry name: $n") }
     def telemetry(name: String, phase: String, sec: Double): Unit = try {
       val rt = Runtime.getRuntime
       val heapMb = (rt.totalMemory - rt.freeMemory) / (1 << 20)
@@ -66,17 +82,19 @@ object Bench {
       val memUsed = storage.map(_.memSize).sum / (1 << 20)
       val dskUsed = storage.map(_.diskSize).sum / (1 << 20)
       val (sf2, sb) = scratch()
-      telemetryOut.println(
-        s"""{"entry":"$name","phase":"$phase","sec":${math.rint(sec * 1000) / 1000},"heap_mb":$heapMb,"gc_ms_cum":$gcMs,"classes":${clBean.getLoadedClassCount},"persistent_rdds":${rdds.size},"storage_mem_mb":$memUsed,"storage_disk_mb":$dskUsed,"scratch_files":$sf2,"scratch_mb":${sb / (1 << 20)}}""")
-      telemetryOut.flush()
+      telemetryOut.foreach { o =>
+        o.println(
+          s"""{"entry":"$name","phase":"$phase","sec":${math.rint(sec * 1000) / 1000},"heap_mb":$heapMb,"gc_ms_cum":$gcMs,"classes":${clBean.getLoadedClassCount},"persistent_rdds":${rdds.size},"storage_mem_mb":$memUsed,"storage_disk_mb":$dskUsed,"scratch_files":$sf2,"scratch_mb":${sb / (1 << 20)}}""")
+        o.flush()
+      }
     } catch { case _: Throwable => () }
-    val results = entries.map { case (name, fn) =>
+    val results = try entries.map { case (name, fn) =>
       val cold = timeOne(fn)
       telemetry(name, "cold", cold)
       val warm = timeOne(fn)
       telemetry(name, "warm", warm)
       (name, warm, cold)
-    }
+    } finally telemetryOut.foreach(_.close())
     // millisecond precision keeps the one-line artifact small — the
     // driver stores a byte-bounded TAIL of the line, so every byte of
     // per-query noise pushes the headline keys closer to the clip point

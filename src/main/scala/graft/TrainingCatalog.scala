@@ -836,10 +836,13 @@ object TrainingCatalog {
     "q_pack_bpe" -> (q((s, dir) => {
       val vocab = graft.ops.Tokenizer.parseMerges(
         Seq("#version: 0.2", "t h", "e r", "o n"))
-      graft.ops.Batching.packOffsetsBy(
-          docs(s, dir).withColumn("__sp", translate(col("text"), "'", " ")),
-          "doc_id",
-          graft.ops.Tokenizer.bpeTokenCount(col("__sp"), vocab),
+      // distinct-word encode + join (Tokenizer.bpeTokenCountsByDoc), NOT
+      // the per-row bpeTokenCount UDF: a full-corpus token-budget pass
+      // must pay the merge loop per DISTINCT word, not per occurrence
+      val counts = graft.ops.Tokenizer.bpeTokenCountsByDoc(
+        docs(s, dir).withColumn("__sp", translate(col("text"), "'", " ")),
+        "doc_id", col("__sp"), vocab)
+      graft.ops.Batching.packOffsetsFromCounts(counts, "doc_id", "n_tok",
           windowTokens = 512L)
         .withColumnRenamed("id", "doc_id")
     }), Some("""

@@ -96,10 +96,22 @@ object Batching {
     * exact [[Tokenizer]] count, so windows budget REAL model tokens
     * rather than whitespace words. Same distributed prefix-sum shape. */
   def packOffsetsBy(df: DataFrame, idCol: String, tokenCount: Column,
-                    windowTokens: Long): DataFrame = {
+                    windowTokens: Long): DataFrame =
+    packOffsetsFromCounts(
+      df.select(col(idCol).as("id"), tokenCount.as("n_tok")), "id", "n_tok",
+      windowTokens)
+
+  /** [[packOffsetsBy]] over PRE-COMPUTED per-doc token counts — the
+    * composition point for counters that are themselves distributed
+    * plans rather than per-row columns (e.g.
+    * [[Tokenizer.bpeTokenCountsByDoc]]'s distinct-word encode + join,
+    * where a per-row Column would re-run the merge loop per occurrence).
+    * `counts` must carry one row per document. */
+  def packOffsetsFromCounts(counts: DataFrame, idCol: String, nTokCol: String,
+                            windowTokens: Long): DataFrame = {
     require(windowTokens > 0, s"windowTokens: $windowTokens")
-    val base = df.select(col(idCol).as("id"),
-      tokenCount.as("n_tok"),
+    val base = counts.select(col(idCol).as("id"),
+      col(nTokCol).cast("long").as("n_tok"),
       md5(col(idCol).cast("string")).as("__ord"))
     prefixSumScaled(base, Seq(col("__ord"), col("id")), col("n_tok"), out = "offset")
       .select(col("id"), col("n_tok"), col("offset"),

@@ -156,6 +156,35 @@ object Tokenizer {
 
   import org.apache.spark.sql.DataFrame
 
+  /** Per-document EXACT BPE token counts at corpus scale: explode to
+    * pre-tokens, count occurrences per (doc, word), encode each DISTINCT
+    * word ONCE, join the piece counts back and take the per-doc weighted
+    * sum. Same Zipf trick as [[bpeTrain]]'s [[distinctWords]] — every
+    * merge-loop invocation costs per DISTINCT word, not per occurrence,
+    * which is the only shape that survives a token-budget pass over a
+    * pretraining corpus (per-row re-encoding via [[bpeTokenCount]] pays
+    * the O(word²) loop for every occurrence of "the"). Returns
+    * (`idCol`, `out`) with [[bpeTokenCount]]'s exact semantics: null
+    * text → null, token-free text → 0. */
+  def bpeTokenCountsByDoc(df: DataFrame, idCol: String, text: Column,
+                          vocab: BpeVocab, out: String = "n_tok"): DataFrame = {
+    val toks = udf((s: String) => if (s == null) null else preTokens(s))
+    val base = df.select(col(idCol).as("__id"), toks(text).as("__w"))
+    val perDocWord = base
+      .select(col("__id"), explode(col("__w")).as("w"))
+      .groupBy(col("__id"), col("w")).agg(count(lit(1)).as("c"))
+    val pieces = udf((w: String) => vocab.encodeWord(w).size.toLong)
+    val dist = perDocWord.select(col("w")).distinct()
+      .withColumn("np", pieces(col("w")))
+    val sums = perDocWord.join(dist, "w")
+      .groupBy(col("__id")).agg(sum(col("c") * col("np")).as("__n"))
+    base.select(col("__id"), col("__w").isNull.as("__isnull")).distinct()
+      .join(sums, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        when(col("__isnull"), lit(null)).otherwise(coalesce(col("__n"), lit(0L)))
+          .cast("long").as(out))
+  }
+
   /** Distinct pre-token vocabulary with occurrence counts: (w, freq).
     * THE scale trick of corpus BPE training — every later pass costs
     * per-DISTINCT-word, not per-occurrence (Zipf: distinct words are

@@ -829,6 +829,27 @@ class OpsSpec extends AnyFunSuite {
     assert(toks === Seq("low", "lower"))
   }
 
+  test("BPE distinct-word counts equal the per-row UDF, incl. null/empty") {
+    import graft.ops.Tokenizer
+    val vocab = Tokenizer.parseMerges(Seq("#version: 0.2", "t h", "e r", "o n"))
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), translate(col("text"), "'", " ").as("t"))
+      .limit(200)
+    val edge = Seq((-1L, null.asInstanceOf[String]), (-2L, ""), (-3L, "   "))
+      .toDF("doc_id", "t")
+    val df = real.unionByName(edge)
+    val perRow = df.select(col("doc_id"),
+        Tokenizer.bpeTokenCount(col("t"), vocab).as("n_tok"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val byDoc = Tokenizer.bpeTokenCountsByDoc(df, "doc_id", col("t"), vocab)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(byDoc.size === perRow.size)
+    assert(byDoc === perRow)
+    assert(byDoc(-1L) === None)     // null text → null count
+    assert(byDoc(-2L) === Some(0L)) // token-free text → 0
+    assert(byDoc(-3L) === Some(0L))
+  }
+
   test("BPE training: Sennrich low/lower/newest/widest learns es, est, lo") {
     import graft.ops.Tokenizer
     // the paper's own worked example (Sennrich et al. 2016 §3.2, fig. 1):
