@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Headroom for Janino-generated classes: the JDK default (240 MB) was
+  // 61% occupied after one 143-query bench run (146 MB peak); a longer
+  // production session would tip into code-cache flushing, which
+  // deoptimizes hot codegen'd loops. Reserved, not committed — costs
+  // address space only.
+  "-XX:ReservedCodeCacheSize=512m",
 )

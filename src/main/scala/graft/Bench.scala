@@ -36,6 +36,15 @@ object Bench {
     // offline without inflating the byte-bounded stdout artifact.
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
     val clBean = java.lang.management.ManagementFactory.getClassLoadingMXBean
+    // JIT + code-cache counters (round-6 follow-up): mid-session entries
+    // went 10-18x slower cold≈warm with no RDD/storage/scratch growth —
+    // the remaining suspects are compilation-side. compile_ms_cum names a
+    // Janino/JIT recompilation storm; codecache_mb pegged at the reserve
+    // (240 MB default) names JIT flush/disable.
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    val codeCachePools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .stream().filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+      .toArray.toSeq.map(_.asInstanceOf[java.lang.management.MemoryPoolMXBean])
     val localDirs: Seq[java.io.File] =
       spark.sparkContext.getConf.get("spark.local.dir", System.getProperty("java.io.tmpdir"))
         .split(",").toSeq.map(new java.io.File(_))
@@ -82,9 +91,12 @@ object Bench {
       val memUsed = storage.map(_.memSize).sum / (1 << 20)
       val dskUsed = storage.map(_.diskSize).sum / (1 << 20)
       val (sf2, sb) = scratch()
+      val jitMs = if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+        jitBean.getTotalCompilationTime else -1L
+      val ccMb = codeCachePools.map(_.getUsage.getUsed).sum / (1 << 20)
       telemetryOut.foreach { o =>
         o.println(
-          s"""{"entry":"$name","phase":"$phase","sec":${math.rint(sec * 1000) / 1000},"heap_mb":$heapMb,"gc_ms_cum":$gcMs,"classes":${clBean.getLoadedClassCount},"persistent_rdds":${rdds.size},"storage_mem_mb":$memUsed,"storage_disk_mb":$dskUsed,"scratch_files":$sf2,"scratch_mb":${sb / (1 << 20)}}""")
+          s"""{"entry":"$name","phase":"$phase","sec":${math.rint(sec * 1000) / 1000},"heap_mb":$heapMb,"gc_ms_cum":$gcMs,"classes":${clBean.getLoadedClassCount},"jit_ms_cum":$jitMs,"codecache_mb":$ccMb,"persistent_rdds":${rdds.size},"storage_mem_mb":$memUsed,"storage_disk_mb":$dskUsed,"scratch_files":$sf2,"scratch_mb":${sb / (1 << 20)}}""")
         o.flush()
       }
     } catch { case _: Throwable => () }

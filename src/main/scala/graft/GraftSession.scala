@@ -31,6 +31,18 @@ object GraftSession {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Generated-class cache sized for a production session, not a
+      // notebook: the default 100 entries is smaller than ONE complex
+      // query's codegen-unit count (the nested cross-type sorts emit
+      // enough units to evict themselves — their RE-runs burned ~9 s of
+      // JIT on freshly recompiled classes), and far smaller than this
+      // catalog's 143 queries. Misses cost a Janino compile + a new
+      // class + its JIT warmup; over a long session that churn competes
+      // with executor threads for CPU (round-7 telemetry: 313 s of
+      // cumulative JIT over one bench run at the default size). Entries
+      // are keyed by generated source and shared plan-wide; 4096 bounds
+      // the cache at tens of MB of metaspace.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
 
   def get(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {

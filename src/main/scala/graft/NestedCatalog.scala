@@ -502,8 +502,14 @@ object NestedCatalog {
     // fixed-size batch chunking (reference group_by.py:87-182) — the
     // DISTRIBUTED variant: per-range-partition ranks + broadcast offsets,
     // no single-partition window (oracle identical to the driver-side one)
+    // PRUNE BEFORE the RDD conversion: chunkBySizeScaled's two passes
+    // (count + index) each deserialize every row, and the conversion is
+    // an optimizer barrier — a projection AFTER it cannot reach the scan.
+    // This entry needs only event_id; carrying the 6-column events row
+    // (incl. the props payload) through both passes tripled the cost.
     "q_chunk_by_size" -> (q((s, dir) =>
-      Batching.chunkBySizeScaled(SparkEntry.loader(s, dir)("events"), "event_id", 500)
+      Batching.chunkBySizeScaled(
+          SparkEntry.loader(s, dir)("events").select("event_id"), "event_id", 500)
         .groupBy(col("chunk"))
         .agg(count(lit(1)).as("n"), min(col("event_id")).as("first_id"),
           max(col("event_id")).as("last_id"))

@@ -1545,6 +1545,37 @@ object TrainingCatalog {
       SELECT vec_id AS q_id, 1 AS found, CAST(1.0 AS DOUBLE) AS top_sim
       FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")),
 
+    // the PERSISTED IVF×PQ composed index (q_sim_ivf_saved's production
+    // shape applied to the billion-scale index): BOTH fitted artifacts —
+    // coarse centroids and PQ codebooks — are saved to parquet, loaded
+    // back, and the composed search runs entirely from the LOADED copies.
+    // Doubles round-trip parquet bit-exactly, so the planted-copy oracle
+    // of q_sim_ivfpq_topk holds verbatim against the artifact path.
+    "q_sim_ivfpq_saved" -> (q((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val queries = e.where(col("vec_id") < 20)
+      val planted = queries.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = e.unionByName(planted)
+      // pid-keyed stable paths, reused across invocations (overwrite) —
+      // same anti-accumulation convention as q_sim_ivf_saved
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_ivf_idx_${ProcessHandle.current().pid()}")
+      val cPath = base.resolve("ivfpq_centroids").toString
+      val cbPath = base.resolve("ivfpq_codebooks").toString
+      Similarity.saveIvfCentroids(s, cPath, ivfCentroidsFor(s, dir, corpus, nlist = 16))
+      Similarity.savePqCodebooks(s, cbPath, pqCodebooksFor(s, dir, corpus))
+      Similarity.ivfPqTopK(corpus, queries, k = 5,
+          centroids = Similarity.loadIvfCentroids(s, cPath),
+          codebooks = Similarity.loadPqCodebooks(s, cbPath),
+          nprobe = 8, shortlist = 32)
+        .groupBy(col("q_id"))
+        .agg(max(when(col("n_id") === col("q_id") + 1000000L, 1).otherwise(0)).as("found"),
+          round(max(col("sim")), 6).as("top_sim"))
+        .orderBy("q_id")
+    }), Some("""
+      SELECT vec_id AS q_id, 1 AS found, CAST(1.0 AS DOUBLE) AS top_sim
+      FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")),
+
     // per-label centroids of the embedding corpus: one partial-aggregated
     // (label, position) shuffle, no window, no collect — see
     // Similarity.centroids for the scale shape. EXPLODED to one

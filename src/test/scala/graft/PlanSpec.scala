@@ -248,6 +248,40 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted+limited JX queries plan as TakeOrderedAndProject") {
+    // the variance-proof form of the set-op/limit win: a JX query with
+    // sort + limit must never global-sort then limit (two exchanges and
+    // a full sort at 100 TB) — Spark's TakeOrderedAndProject keeps only
+    // the top-k per partition and merges k rows on one reducer
+    for (name <- Seq("q_limit_default", "q_setop_filter_sort", "q_null_semantics")) {
+      val p = plan(name)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name: sorted+limited query did not plan TakeOrderedAndProject:\n$p")
+      assert(!p.split('\n').exists(l => l.contains("Exchange rangepartitioning")),
+        s"$name: found a global-sort exchange alongside the limit:\n$p")
+    }
+  }
+
+  test("intersect/except: no extra Exchange beyond the set-op's own join") {
+    // INTERSECT/EXCEPT compile to (left-semi/anti) aggregated joins; the
+    // two sorted+clamped inputs arrive pre-limited (TakeOrdered above),
+    // so the only shuffles the set op may add are its join's two hash
+    // exchanges + the final distinct — anything more means a plan
+    // regression reintroduced a global sort or a re-partition
+    for (name <- Seq("q_setop_intersect", "q_setop_except")) {
+      val p = plan(name)
+      val lines = p.split('\n').toSeq
+      val hashEx = lines.count(l =>
+        l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+      assert(hashEx <= 3,
+        s"$name: expected ≤3 hash exchanges (join sides + distinct), got $hashEx:\n$p")
+      assert(!lines.exists(l => l.contains("Exchange rangepartitioning") && !l.contains("Reused")),
+        s"$name: set-op inputs re-sorted globally:\n$p")
+      assert(lines.exists(_.contains("TakeOrderedAndProject")),
+        s"$name: clamped inputs lost their top-k form:\n$p")
+    }
+  }
+
   test("reversedList: one group shuffle, sort inside the aggregate") {
     val p = plan("q_list_reverse")
     val lines = p.split('\n').toSeq
