@@ -1416,6 +1416,38 @@ object TrainingCatalog {
       SELECT q_id, role, rank, n_id, round(sim, 6) AS sim FROM neg WHERE rank <= 2
       ORDER BY q_id, role, rank""")),
 
+    // contrastive mining at scale: IVF-cell candidate generation (the
+    // swap the exact tier's scaladoc prescribes for corpus-sized anchor
+    // sets — candidates from ONE cell-id equi-join, no product join in
+    // the plan). Planted-copy oracle in BOTH roles: each anchor gets an
+    // exact same-label copy at +1e6 (best positive, own cell, cos 1)
+    // and an exact copy under a reserved distinct label at +2e6 (best
+    // hard negative, own cell, cos 1); natural pairs top out near cos
+    // 0.67 in this corpus, so found=1 / top_sim=1.0 is structural.
+    "q_sim_contrastive_ivf" -> (q((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"), col("label"))
+      val anchors = e.where(col("vec_id") < 20)
+      val posPlant = anchors.select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding"), col("label"))
+      val negPlant = anchors.select((col("vec_id") + 2000000L).as("vec_id"),
+        col("embedding"), lit("__neg__").as("label"))
+      val corpus = e.unionByName(posPlant).unionByName(negPlant)
+      val cents = ivfCentroidsFor(s, dir, corpus, nlist = 16)
+      val pos = Similarity.positivePairsIvf(corpus, anchors, k = 1, cents, nprobe = 8)
+        .select(col("q_id"), lit("pos").as("role"),
+          when(col("n_id") === col("q_id") + 1000000L, 1).otherwise(0).as("found"),
+          round(col("sim"), 6).as("top_sim"))
+      val neg = Similarity.hardNegativesIvf(corpus, anchors, k = 1, cents, nprobe = 8)
+        .select(col("q_id"), lit("neg").as("role"),
+          when(col("n_id") === col("q_id") + 2000000L, 1).otherwise(0).as("found"),
+          round(col("sim"), 6).as("top_sim"))
+      pos.unionByName(neg).orderBy("q_id", "role")
+    }), Some("""
+      WITH a AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 20)
+      SELECT q_id, role, 1 AS found, CAST(1.0 AS DOUBLE) AS top_sim
+      FROM a CROSS JOIN (SELECT unnest(['neg','pos']) AS role)
+      ORDER BY q_id, role""")),
+
     // LSH-bucketed ANN: approximate (bucket recall measured in OpsSpec
     // against the brute-force baseline) → rows-only check.
     // deterministic-recall oracles for the approximate ANN paths: the

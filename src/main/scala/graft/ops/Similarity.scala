@@ -301,25 +301,70 @@ object Similarity {
                 vecCol: String = "embedding"): DataFrame = {
     val c0 = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_vec"))
     val c = c0.withColumn("cell", nearestCell(col("n_vec"), centroids))
-    // nprobe nearest cells per query by EUCLIDEAN distance — KMeans
-    // assigns corpus cells euclidean, so probing must match that
-    // geometry (dist² = |q|² - 2q·c + |c|²; |q|² is rank-invariant)
-    def cellDists(vec: Column): Seq[(Int, Column)] =
-      centroids.toSeq.zipWithIndex.map { case (ctr, i) =>
-        i -> (lit(ctr.map(x => x * x).sum) - lit(2.0) * dot(vec, typedlit(ctr)))
-      }
-    val probeArr = {
-      val dists = cellDists(col("q_vec"))
-      // ascending by distance, take nprobe — a sorted struct array
-      slice(array_sort(array(dists.map { case (i, d) =>
-        struct(d.as("d"), lit(i).as("cell")) }: _*)), 1, nprobe)
-    }
     val q = broadcast(
       queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_vec"))
-        .withColumn("probe", explode(probeArr))
+        .withColumn("probe", explode(probeCells(col("q_vec"), centroids, nprobe)))
         .select(col("q_id"), col("q_vec"), col("probe.cell").as("cell")))
     topKBySim(cosineScored(
       c.join(q, Seq("cell")).where(col("q_id") =!= col("n_id"))), k)
+  }
+
+  /** The `nprobe` nearest cells of `vec` as a sorted (dist, cell) struct
+    * array — by EUCLIDEAN distance, because KMeans assigns corpus cells
+    * euclidean, so probing must match that geometry (dist² = |q|² -
+    * 2q·c + |c|²; |q|² is rank-invariant). Shared by [[ivfSearch]],
+    * [[ivfPqTopK]]'s probe stage, and the contrastive-mining variants. */
+  private def probeCells(vec: Column, centroids: Array[Array[Double]],
+                         nprobe: Int): Column = {
+    val dists = centroids.toSeq.zipWithIndex.map { case (ctr, i) =>
+      i -> (lit(ctr.map(x => x * x).sum) - lit(2.0) * dot(vec, typedlit(ctr)))
+    }
+    slice(array_sort(array(dists.map { case (i, d) =>
+      struct(d.as("d"), lit(i).as("cell")) }: _*)), 1, nprobe)
+  }
+
+  /** [[positivePairs]] with IVF-cell candidate mining — the scale path
+    * the exact tier's scaladoc prescribes for corpus-sized anchor sets:
+    * candidates come from ONE equi-join on the cell id (corpus never
+    * meets a product join), the same label predicate + per-anchor top-k
+    * tail applies. Approximate: a true positive outside the anchor's
+    * `nprobe` probed cells is missed; an identical vector always shares
+    * the anchor's own (first-probed) cell. */
+  def positivePairsIvf(corpus: DataFrame, anchors: DataFrame, k: Int,
+                       centroids: Array[Array[Double]], nprobe: Int = 4,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       labelCol: String = "label"): DataFrame =
+    labelFilteredTopKIvf(corpus, anchors, k, sameLabel = true, centroids,
+      nprobe, idCol, vecCol, labelCol)
+
+  /** [[hardNegatives]] with IVF-cell candidate mining (see
+    * [[positivePairsIvf]]) — near-boundary negatives live in the
+    * anchor's own coarse cells by construction, which is exactly the
+    * candidate set this probes. */
+  def hardNegativesIvf(corpus: DataFrame, anchors: DataFrame, k: Int,
+                       centroids: Array[Array[Double]], nprobe: Int = 4,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       labelCol: String = "label"): DataFrame =
+    labelFilteredTopKIvf(corpus, anchors, k, sameLabel = false, centroids,
+      nprobe, idCol, vecCol, labelCol)
+
+  private def labelFilteredTopKIvf(corpus: DataFrame, anchors: DataFrame, k: Int,
+                                   sameLabel: Boolean, centroids: Array[Array[Double]],
+                                   nprobe: Int, idCol: String, vecCol: String,
+                                   labelCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_vec"),
+        col(labelCol).as("n_label"))
+      .withColumn("cell", nearestCell(col("n_vec"), centroids))
+    val q = broadcast(
+      anchors.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_vec"),
+          col(labelCol).as("q_label"))
+        .withColumn("probe", explode(probeCells(col("q_vec"), centroids, nprobe)))
+        .select(col("q_id"), col("q_vec"), col("q_label"), col("probe.cell").as("cell")))
+    val labelPred =
+      if (sameLabel) col("q_label") <=> col("n_label")
+      else !(col("q_label") <=> col("n_label"))
+    topKBySim(cosineScored(
+      c.join(q, Seq("cell")).where(col("q_id") =!= col("n_id") && labelPred)), k)
   }
 
   // -- product quantization (Jégou, Douze, Schmid: "Product Quantization
@@ -430,16 +475,11 @@ object Similarity {
     val c = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_vec"))
       .withColumn("cell", nearestCell(col("n_vec"), centroids))
       .withColumn("codes", pqEncode(col("n_vec"), codebooks))
-    // query side: nprobe nearest cells (euclidean, matching assignment
-    // geometry) + the per-subspace ADC lookup tables
-    val probeArr = slice(array_sort(array(centroids.toSeq.zipWithIndex.map { case (ctr, i) =>
-      struct((lit(ctr.map(x => x * x).sum) -
-        lit(2.0) * dot(col("q_vec"), typedlit(ctr.toSeq))).as("d"), lit(i).as("cell"))
-    }: _*)), 1, nprobe)
+    // query side: nprobe nearest cells + the per-subspace ADC lookup tables
     val q = broadcast(
       queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_vec"))
         .withColumn("luts", pqLuts(col("q_vec"), codebooks))
-        .withColumn("probe", explode(probeArr))
+        .withColumn("probe", explode(probeCells(col("q_vec"), centroids, nprobe)))
         .select(col("q_id"), col("q_vec"), col("luts"), col("probe.cell").as("cell")))
     val cand = c.join(q, Seq("cell")).where(col("q_id") =!= col("n_id"))
     topKBySim(cosineScored(adcShortlist(cand, codebooks.length, shortlist)), k)

@@ -282,6 +282,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF contrastive mining: cell equi-join only, no product join") {
+    val p = plan("q_sim_contrastive_ivf")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"IVF-mined candidates must come from the cell-id equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"cell join should broadcast the anchors:\n$p")
+  }
+
   test("reversedList: one group shuffle, sort inside the aggregate") {
     val p = plan("q_list_reverse")
     val lines = p.split('\n').toSeq
