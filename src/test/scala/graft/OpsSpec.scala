@@ -373,6 +373,33 @@ class OpsSpec extends AnyFunSuite {
     assert(hits >= 7, s"IVF recall@1 too low: $hits/10")
   }
 
+  test("IVF contrastive mining ≡ exact tier when every cell is probed") {
+    // the law that makes the approximate path trustworthy: with
+    // nprobe = nlist the cell equi-join's candidate set IS the full
+    // corpus, so IVF-mined positives/negatives must EQUAL the exact
+    // broadcast tier row-for-row (same ids, same ranks, same sims)
+    val e = SparkEntry.loader(spark, "/root/testdata/sf0.001")("embeddings")
+    val anchors = e.where($"vec_id" < 10)
+    val cents = Similarity.ivfFitCentroids(e, nlist = 8)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "n_id", "sim")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    assert(key(Similarity.positivePairsIvf(e, anchors, 2, cents, nprobe = 8))
+      === key(Similarity.positivePairs(e, anchors, 2)))
+    assert(key(Similarity.hardNegativesIvf(e, anchors, 2, cents, nprobe = 8))
+      === key(Similarity.hardNegatives(e, anchors, 2)))
+    // partial probing is a subset relation: every mined pair is a real
+    // (q, n) candidate with the exact tier's own cosine — mined results
+    // can MISS neighbors outside the probed cells, never invent or
+    // mis-score one (k = corpus size makes the exact tier exhaustive)
+    val n = e.count().toInt
+    val exactAll = key(Similarity.hardNegatives(e, anchors, n))
+      .map { case (q, _, nid, s) => (q, nid, s) }
+    val mined = key(Similarity.hardNegativesIvf(e, anchors, 5, cents, nprobe = 2))
+    assert(mined.nonEmpty)
+    assert(mined.forall { case (q, _, nid, s) => exactAll.contains((q, nid, s)) })
+  }
+
   test("pqEncode: m codes per vector, each within the codebook range") {
     import spark.implicits._
     val e = SparkEntry.loader(spark, "/root/testdata/sf0.001")("embeddings")
