@@ -91,6 +91,27 @@ object TrainingCatalog {
     // =====================================================================
     // text analysis
     // =====================================================================
+    // corpus word census with BOUNDED sketch state: per-partition
+    // Misra-Gries summaries (k counters) + exact broadcast recount of
+    // the ≤ k·partitions candidates — the frequent-items pass a
+    // boilerplate/stopword miner runs, EXACT by the enforced
+    // minFreq > N/k pigeonhole bound (Sketches.heavyHitters), with the
+    // long tail of rare keys never entering a shuffle. minFreq=900
+    // discriminates at sf0.01 (17 of 31 vocabulary words qualify), so
+    // the exact recount filter is doing real work, not rubber-stamping.
+    "q_text_heavy_hitters" -> (q((s, dir) => {
+      val words = docs(s, dir)
+        .select(explode(split(col("text"), "\\s+")).as("word"))
+        .where(col("word") =!= "")
+      graft.ops.Sketches.heavyHitters(words, "word", k = 1024, minFreq = 900L)
+        .orderBy("word")
+    }), Some("""
+      WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+                 FROM documents)
+      SELECT word, count(*) AS freq FROM w
+      WHERE word <> '' GROUP BY word HAVING count(*) >= 900
+      ORDER BY word""")),
+
     "q_text_stats" -> (q((s, dir) => {
       val t = col("text")
       docs(s, dir).select(
@@ -470,6 +491,47 @@ object TrainingCatalog {
       SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
              coalesce(h.n_hits, 0) > 0 AS contaminated
       FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""")),
+
+    // END-TO-END split-leakage audit — the pre-training check a real run
+    // executes: assign deterministic splits BY DOC ID (id-keyed, so
+    // duplicated TEXT can land on both sides of the cut — exactly the
+    // leak this audit exists to catch; text-keyed assignment would send
+    // every duplicate to one split and mask it), take the test split's
+    // leading 8-grams as the benchmark set, and surface every TRAIN doc
+    // containing one. Composes two independently-oracled operators
+    // (splitAssign + decontaminate); 5 leaked docs surface at sf0.01.
+    "q_pipeline_leakage" -> (q((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"),
+        graft.ops.Sampling.splitAssign(col("doc_id").cast("string"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      val train = d.where(col("split") === "train").select(col("doc_id"), col("text"))
+      val bench = d.where(col("split") === "test")
+        .select(concat_ws(" ",
+          slice(TextAnalysis.tokens(lower(col("text"))), 1, 8)).as("btext"))
+      TextAnalysis.decontaminate(train, "doc_id", "text", bench, "btext", 8)
+        .where(col("contaminated"))
+        .select(col("doc_id"), col("n_hits"))
+        .orderBy("doc_id")
+    }), Some("""
+      WITH d AS (
+        SELECT doc_id, text,
+          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e7' THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents),
+      toks AS (
+        SELECT doc_id, split, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM d WHERE length(trim(text)) > 0),
+      grams AS (
+        SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+              FROM toks WHERE split = 'train' AND len(t) >= 8)),
+      bench AS (
+        SELECT DISTINCT array_to_string(t[1:8], ' ') AS g
+        FROM toks WHERE split = 'test' AND len(t) >= 8)
+      SELECT doc_id, count(DISTINCT g) AS n_hits
+      FROM grams JOIN bench USING (g)
+      GROUP BY doc_id ORDER BY doc_id""")),
 
     // The SAME decontamination through the Bloom-prefiltered path — the
     // exact confirm join makes false positives invisible, so this entry

@@ -828,6 +828,37 @@ class OpsSpec extends AnyFunSuite {
     assert(dec(1).width === ("junk".getBytes.length % 241 + 16))
   }
 
+  test("heavyHitters: exact above-threshold keys under aggressive MG eviction") {
+    import graft.ops.Sketches
+    // skewed synthetic stream: 3 heavy keys above the N/k bound, a
+    // 50-key tail below it (+ nulls), spread over 8 partitions so every
+    // partition's k=8 summary evicts constantly — the pigeonhole union
+    // guarantee is what's under test
+    val rows = Seq.fill(600)("hot1") ++ Seq.fill(400)("hot2") ++
+      Seq.fill(200)("hot3") ++
+      (0 until 50).flatMap(i => Seq.fill(5)(f"tail$i%02d")) ++
+      Seq(null.asInstanceOf[String], null.asInstanceOf[String])
+    val df = spark.createDataset(
+      new scala.util.Random(7).shuffle(rows).toSeq)(
+      org.apache.spark.sql.Encoders.STRING).repartition(8).toDF("key")
+    val n = rows.count(_ != null) // 1450
+    val k = 8
+    val minFreq = n / k + 1 // 182: hot1/hot2/hot3 qualify, the tail cannot
+    assert(minFreq > n / k)
+    val got = Sketches.heavyHitters(df, "key", k, minFreq)
+      .as[(String, Long)].collect().toMap
+    val want = rows.filter(_ != null).groupBy(identity).view
+      .mapValues(_.size.toLong).filter(_._2 >= minFreq).toMap
+    assert(got === want, s"minFreq=$minFreq n=$n")
+    // nulls never surface as a key
+    assert(!got.contains(null))
+    // the exactness guard refuses an unsafe threshold instead of
+    // silently under-reporting
+    intercept[IllegalArgumentException] {
+      Sketches.heavyHitters(df, "key", k, minFreq = 2).collect()
+    }
+  }
+
   test("BPE merges: classic 'lower' example, merge order, column counts") {
     import graft.ops.Tokenizer
     // fixture in the public merges.txt format (Sennrich BPE / GPT-2 file

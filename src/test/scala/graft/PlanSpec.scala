@@ -282,6 +282,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy hitters: candidates broadcast back; the tail never shuffles wide") {
+    val p = plan("q_text_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate recount must be a broadcast semi/inner join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle to meet the candidate set:\n$p")
+  }
+
   test("IVF contrastive mining: cell equi-join only, no product join") {
     val p = plan("q_sim_contrastive_ivf")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
