@@ -14,14 +14,18 @@ import org.apache.spark.sql.functions._
  * heavy ones. [[heavyHitters]] keeps the result EXACT while bounding
  * state and shuffle by construction:
  *
- *  1. one map-side pass runs a Misra-Gries summary (Misra & Gries 1982,
- *     "Finding repeated elements") of at most `k` counters per
- *     partition — any key with partition frequency > n_p/k survives its
- *     partition's summary, so by pigeonhole any key with GLOBAL
- *     frequency > N/k survives in at least one partition;
- *  2. the ≤ k·partitions surviving candidates broadcast back and only
- *     rows matching a candidate are counted exactly — the tail never
- *     shuffles, and false candidates die on the exact `minFreq` filter.
+ *  1. each partition feeds a Misra-Gries summary of at most `k`
+ *     counters (Misra & Gries 1982, "Finding repeated elements");
+ *  2. summaries MERGE pairwise up a treeAggregate without losing the
+ *     guarantee (mergeable summaries, Agarwal/Cormode/Huang/Phillips/
+ *     Wei/Yi 2012: combine counts, then subtract the (k+1)-th largest
+ *     and drop non-positives), so the driver receives ONE k-counter
+ *     summary no matter how many partitions ran — total undercount of
+ *     any key stays ≤ N/(k+1), hence any key with global frequency
+ *     > N/k survives as a candidate;
+ *  3. the ≤ k candidates broadcast back and only rows matching one are
+ *     counted exactly — the tail never shuffles, and false candidates
+ *     die on the exact `minFreq` filter.
  *
  * Exactness therefore requires `minFreq > N/k`; the operator counts N
  * during the sketch pass and REFUSES (IllegalArgumentException) rather
@@ -30,58 +34,78 @@ import org.apache.spark.sql.functions._
  */
 object Sketches {
 
-  /** Per-partition Misra-Gries summary: at most `k` counters. Returns
-    * the surviving keys (counter > 0) and the number of non-null rows
-    * seen. Package-private for the law tests. */
-  private[ops] def misraGries(it: Iterator[String], k: Int): (Long, Array[String]) = {
+  /** Mergeable Misra-Gries summary: at most `k` counters + the count of
+    * non-null elements seen. Package-private for the law tests. */
+  private[ops] final class MgSummary(val k: Int) extends Serializable {
     val counters = new java.util.HashMap[String, Long](k * 2)
     var n = 0L
-    it.foreach { s =>
+
+    def add(s: String): this.type = {
       if (s != null) {
         n += 1
         val cur = counters.getOrDefault(s, 0L)
         if (cur > 0L) counters.put(s, cur + 1L)
         else if (counters.size < k) counters.put(s, 1L)
-        else {
-          // table full and s absent: decrement every counter, drop zeros
-          // (the arriving element is absorbed by the group decrement)
-          val iter = counters.entrySet().iterator()
-          while (iter.hasNext) {
-            val e = iter.next()
-            if (e.getValue == 1L) iter.remove() else e.setValue(e.getValue - 1L)
-          }
-        }
+        else decrementAll(1L) // the arriving element is absorbed by the group decrement
+      }
+      this
+    }
+
+    /** Merge `o` in: sum shared counters, then reduce back to ≤ k by
+      * subtracting the (k+1)-th largest count (Agarwal et al. 2012 §3.1
+      * — the reduction that keeps the ≤ N/(k+1) undercount bound). */
+    def merge(o: MgSummary): this.type = {
+      n += o.n
+      val it = o.counters.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        counters.put(e.getKey, counters.getOrDefault(e.getKey, 0L) + e.getValue)
+      }
+      if (counters.size > k) {
+        val counts = new Array[Long](counters.size)
+        var i = 0
+        val vs = counters.values().iterator()
+        while (vs.hasNext) { counts(i) = vs.next(); i += 1 }
+        java.util.Arrays.sort(counts)
+        decrementAll(counts(counts.length - k - 1))
+      }
+      this
+    }
+
+    private def decrementAll(by: Long): Unit = {
+      val iter = counters.entrySet().iterator()
+      while (iter.hasNext) {
+        val e = iter.next()
+        if (e.getValue <= by) iter.remove() else e.setValue(e.getValue - by)
       }
     }
-    (n, counters.keySet.toArray(Array.empty[String]))
+
+    def keys: Array[String] = counters.keySet.toArray(Array.empty[String])
   }
 
   /** EXACT keys with frequency ≥ `minFreq`, computed with bounded state:
-    * per-partition Misra-Gries candidates (≤ k each), then an exact
-    * recount of candidate-matching rows behind a broadcast semi-join —
-    * the long tail of rare keys never shuffles. Null keys are ignored
-    * (JX missing semantics: a missing key has no frequency). Returns
-    * (`keyCol`, `out`) sorted nowhere — callers order. Requires
-    * `minFreq > N/k` (checked at runtime, see the object scaladoc);
-    * the candidate collect is bounded at k·partitions strings. */
+    * a tree-merged Misra-Gries sketch yields ≤ k candidates (the driver
+    * never holds more, at any partition count), then an exact recount of
+    * candidate-matching rows behind a broadcast semi-join — the long
+    * tail of rare keys never shuffles. Null keys are ignored (JX missing
+    * semantics: a missing key has no frequency). Returns
+    * (`keyCol`, `out`), unordered — callers order. Requires
+    * `minFreq > N/k` (checked at runtime, see the object scaladoc). */
   def heavyHitters(df: DataFrame, keyCol: String, k: Int, minFreq: Long,
                    out: String = "freq"): DataFrame = {
     require(k > 0, s"k: $k")
     require(minFreq > 0, s"minFreq: $minFreq")
     val spark = df.sparkSession
     val keys = df.select(col(keyCol).cast("string").as(keyCol))
-    val partials = keys.rdd
-      .mapPartitions { it => Iterator(misraGries(it.map(_.getString(0)), k)) }
-      .collect()
-    val total = partials.map(_._1).sum
-    if (minFreq.toDouble <= total.toDouble / k)
+    val summary = keys.rdd.treeAggregate(new MgSummary(k))(
+      (s, row) => s.add(row.getString(0)), (a, b) => a.merge(b))
+    if (minFreq.toDouble <= summary.n.toDouble / k)
       throw new IllegalArgumentException(
-        s"minFreq=$minFreq does not exceed N/k=$total/$k=${total / k}: " +
-          s"a key above the threshold could evade every partition summary; " +
-          s"raise k to at least ${total / minFreq + 1}")
-    val cands = partials.iterator.flatMap(_._2).toSeq.distinct
+        s"minFreq=$minFreq does not exceed N/k=${summary.n}/$k=${summary.n / k}: " +
+          s"a key above the threshold could evade the sketch; " +
+          s"raise k to at least ${summary.n / minFreq + 1}")
     val candDf = broadcast(
-      spark.createDataset(cands)(Encoders.STRING).toDF(keyCol))
+      spark.createDataset(summary.keys.toSeq)(Encoders.STRING).toDF(keyCol))
     keys.join(candDf, Seq(keyCol))
       .groupBy(col(keyCol)).agg(count(lit(1)).as(out))
       .where(col(out) >= minFreq)
