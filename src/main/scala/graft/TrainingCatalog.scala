@@ -850,6 +850,25 @@ object TrainingCatalog {
       SELECT e.event_id, e.user_id, e.user_id % 10 AS user_bucket, e.value
       FROM events e ORDER BY e.event_id""")),
 
+    // TARGETED salting: the heavy-hitters sketch detects the hot keys
+    // (every event_type qualifies at minFreq=1000 in this table — the
+    // uniform-hot extreme), only their rows take the salted path, and
+    // the result is the plain inner join the oracle replays. The
+    // mixed hot/cold split + equivalence law live in OpsSpec; here the
+    // driver gate proves the composed operator end-to-end.
+    "q_skew_salted_auto" -> (q((s, dir) => {
+      val ev = SparkEntry.loader(s, dir)("events")
+      val dim = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("type_n"))
+      graft.ops.Skew.saltedJoinAuto(
+          ev.select(col("event_id"), col("event_type"), col("value")), dim,
+          "event_type", salts = 8, hotMinFreq = 1000L)
+        .select(col("event_id"), col("event_type"), col("type_n"))
+    }), Some("""
+      WITH d AS (SELECT event_type, count(*) AS type_n FROM events GROUP BY 1)
+      SELECT e.event_id, e.event_type, d.type_n
+      FROM events e JOIN d USING (event_type) ORDER BY e.event_id""")),
+
     "q_skew_two_phase" -> (q((s, dir) => {
       import org.apache.spark.sql.Column
       val ev = SparkEntry.loader(s, dir)("events")

@@ -35,6 +35,28 @@ object Skew {
     b.join(s, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** [[saltedJoin]] with sketch-driven TARGETED salting — the production
+    * shape: full salting replicates the small side ×salts for EVERY key,
+    * paying shuffle width on the cold tail that never needed it. Here
+    * [[Sketches.heavyHitters]] detects the hot keys exactly (bounded
+    * tree-merged Misra-Gries state, ≤ k driver candidates at any
+    * partition count); only hot-key rows take the salted path, the cold
+    * tail joins plain, and the union is EQUIVALENT to the plain inner
+    * join (spec-pinned). `hotMinFreq` must exceed bigCount/k — the
+    * sketch enforces it. Inner joins only: splitting the probe side
+    * changes outer-join null production. */
+  def saltedJoinAuto(big: DataFrame, small: DataFrame, key: String, salts: Int,
+                     hotMinFreq: Long, k: Int = 4096): DataFrame = {
+    val keyType = big.schema(key).dataType
+    val hot = broadcast(
+      Sketches.heavyHitters(big, key, k, hotMinFreq)
+        .select(col(key).cast(keyType).as(key)))
+    val bigHot = big.join(hot, Seq(key))
+    val bigCold = big.join(hot, Seq(key), "left_anti")
+    saltedJoin(bigHot, small.join(hot, Seq(key)), key, salts)
+      .unionByName(bigCold.join(small, Seq(key)))
+  }
+
   /** Two-phase aggregation: sum-like aggregates on (key, salt) partials,
     * then re-aggregate by key. `partials` maps output column name →
     * (partial agg of input, final re-agg of the partial column). */

@@ -859,6 +859,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedJoinAuto ≡ plain inner join under a mixed hot/cold key split") {
+    import graft.ops.Skew
+    // 2 hot keys (1200/800 rows) over the N/k bound, 40 cold keys of 10
+    // — the hot rows take the salted path, the cold tail joins plain,
+    // and the union must be row-for-row the plain inner join
+    val rows = Seq.fill(1200)("hotA") ++ Seq.fill(800)("hotB") ++
+      (0 until 40).flatMap(i => Seq.fill(10)(f"cold$i%02d"))
+    val big = new scala.util.Random(11).shuffle(rows).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("row_id", "key").repartition(8)
+    val small = (Seq("hotA", "hotB") ++ (0 until 40).map(f => f"cold$f%02d") ++
+      Seq("unmatched")).zipWithIndex.map { case (k, i) => (k, i) }.toDF("key", "dim")
+    val n = rows.size
+    val minFreq = 500L // > N/k for k=16: 2440/16 = 152
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("row_id", "key", "dim").as[(Long, String, Int)].collect().sorted.toSeq
+    val auto = canon(Skew.saltedJoinAuto(big, small, "key", salts = 8,
+      hotMinFreq = minFreq, k = 16))
+    val plain = canon(big.join(small, Seq("key")))
+    assert(auto === plain && auto.size === n)
+  }
+
   test("BPE merges: classic 'lower' example, merge order, column counts") {
     import graft.ops.Tokenizer
     // fixture in the public merges.txt format (Sennrich BPE / GPT-2 file
