@@ -719,6 +719,18 @@ object TrainingCatalog {
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
     ), Some(JaccardOracleSql)),
 
+    // the SAME exact join through PPJoin-style prefix filtering
+    // (rarest-first global order; candidates only from each doc's
+    // |d| − ⌈t·|d|⌉ + 1 prefix; exact array-intersect verification) —
+    // shares q_dedup_jaccard's oracle verbatim, so the driver gate
+    // itself proves the two exact tiers equivalent. The prefix shape is
+    // the one a Zipf-tailed real corpus runs (frequent shingles never
+    // enter the self-join); this flat synthetic vocabulary is its
+    // worst case, which the bench reports honestly.
+    "q_dedup_jaccard_prefix" -> (q((s, dir) =>
+      Dedup.jaccardPairsPrefix(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
+    ), Some(JaccardOracleSql)),
+
     // char-shingle near-dups via MinHash-LSH (the exact char inverted
     // index is quadratic in per-shingle doc frequency — see Dedup docs);
     // verified candidates equal the exact result on this data (pairs at

@@ -18,7 +18,9 @@ import graft.functions.native
  *
  * Scale notes: `jaccardPairs` is exact but its shingle self-join is
  * quadratic in per-shingle document frequency — use it to verify, use
- * `minhashLshPairs` to discover. All signatures are pure Column algebra
+ * `minhashLshPairs` to discover, or `jaccardPairsPrefix` for an EXACT
+ * join on Zipf-tailed corpora (PPJoin prefix filtering keeps frequent
+ * shingles out of the self-join). All signatures are pure Column algebra
  * over engine-native xxhash64: no UDFs, no driver-side loops, and every
  * join key (band, hash) is a shuffle-friendly scalar.
  */
@@ -192,6 +194,63 @@ object Dedup {
     common
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** [[jaccardPairs]] via PREFIX FILTERING (Chaudhuri/Ganti/Kaushik
+    * SSJoin 2006; Xiao et al. PPJoin 2008) — the exact-join shape for
+    * ZIPFIAN corpora: under any global token order, J(A,B) ≥ t forces
+    * |A∩B| ≥ t·|A| (|A∩B| ≥ t/(1+t)·(|A|+|B|) and |B| ≥ t·|A| by the
+    * length filter), so qualifying docs must share a token among each
+    * one's FIRST |d| − ⌈t·|d|⌉ + 1 tokens. Ordering rarest-first makes
+    * those prefix tokens the low-docFreq ones, so the high-docFreq
+    * shingles whose docFreq² fan-out dominates [[jaccardPairs]]'s full
+    * inverted index never enter the self-join; survivors verify with one
+    * exact array_intersect per candidate. Costs two extra narrow
+    * shuffles (docFreq aggregate + per-doc rarity sort), which real
+    * Zipf-tailed corpora repay and this repo's flat synthetic vocabulary
+    * does not — both tiers are bench-visible, and the driver gate proves
+    * them equivalent (q_dedup_jaccard_prefix shares q_dedup_jaccard's
+    * oracle verbatim). */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.5): DataFrame =
+    jaccardPairsPrefixBy(df, idCol, shingleHashes(col(textCol), n), threshold)
+
+  /** Char-k-gram flavor of [[jaccardPairsPrefix]]. */
+  def jaccardPairsCharPrefix(df: DataFrame, idCol: String, textCol: String,
+                             k: Int = 5, threshold: Double = 0.6): DataFrame =
+    jaccardPairsPrefixBy(df, idCol, charShingleHashes(col(textCol), k), threshold)
+
+  private def jaccardPairsPrefixBy(df: DataFrame, idCol: String, shingles: Column,
+                                   threshold: Double): DataFrame = {
+    val arr = df.select(col(idCol).as("id"), shingles.as("arr"))
+      .withColumn("sz", size(col("arr")).cast("long"))
+    val sh = arr.select(col("id"), col("sz"), explode(col("arr")).as("sh"))
+    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val prefLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
+    val pref = sh.join(freq, "sh")
+      .groupBy(col("id"), col("sz"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ordered"))
+      .select(col("id"), col("sz"),
+        explode(slice(col("ordered"), lit(1), prefLen)).as("p"))
+      .select(col("id"), col("sz"), col("p.sh").as("sh"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+          col("a.sz") >= lit(threshold) * col("b.sz") &&
+          col("b.sz") >= lit(threshold) * col("a.sz"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // exact verification per surviving candidate: one array intersect
+    // over the full (distinct) hash sets — no per-shingle count shuffle
+    cand
+      .join(arr.select(col("id").as("id_a"), col("arr").as("arr_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(arr.select(col("id").as("id_b"), col("arr").as("arr_b"),
+        col("sz").as("sz_b")), "id_b")
+      .withColumn("common", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")).cast("double"))
       .where(col("jaccard") >= threshold)
