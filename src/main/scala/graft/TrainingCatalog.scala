@@ -957,6 +957,45 @@ object TrainingCatalog {
         CAST((CASE WHEN n_tok > 0 THEN "offset" + n_tok - 1 ELSE "offset" END) // 512 AS BIGINT) AS window_end
       FROM o ORDER BY doc_id""")),
 
+    // training-block materialization on top of the packing offsets: per
+    // fixed-size window, which docs feed it and how many tokens each
+    // contributes (straddling docs slice across the boundary). The
+    // invariant a trainer relies on — every block except the corpus
+    // tail holds EXACTLY windowTokens tokens — is stated by the oracle's
+    // identical slice arithmetic and checked by the hash gate.
+    "q_pack_blocks" -> (q((s, dir) =>
+      graft.ops.Batching.windowMembership(
+          graft.ops.Batching.packOffsets(docs(s, dir), "doc_id", "text",
+            windowTokens = 512L), windowTokens = 512L)
+        .groupBy(col("window"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok_in_window")).as("n_tok"),
+          min(col("id")).as("min_doc"), max(col("id")).as("max_doc"))
+        .orderBy("window")
+    ), Some("""
+      WITH m AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+          md5(CAST(doc_id AS VARCHAR)) AS ord
+        FROM documents),
+      o AS (
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+          CAST(coalesce(sum(n_tok) OVER (ORDER BY ord, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+        FROM m WHERE n_tok > 0),
+      w AS (
+        SELECT doc_id, n_tok, "offset",
+               unnest(generate_series("offset" // 512,
+                 ("offset" + n_tok - 1) // 512)) AS "window"
+        FROM o)
+      SELECT CAST("window" AS BIGINT) AS "window",
+             count(*) AS n_docs,
+             CAST(sum(least("offset" + n_tok, ("window" + 1) * 512)
+                      - greatest("offset", "window" * 512)) AS BIGINT) AS n_tok,
+             min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM w GROUP BY "window" ORDER BY "window"""")),
+
     // domain-mixture resampling: per-language quotas under the md5 order
     "q_sample_mixture" -> (q((s, dir) =>
       graft.ops.Sampling.mixtureTake(

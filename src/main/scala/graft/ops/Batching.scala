@@ -120,6 +120,25 @@ object Batching {
           .otherwise(col("offset") / windowTokens)).cast("long").as("window_end"))
   }
 
+  /** Trainer-facing window MEMBERSHIP from [[packOffsets]] output: one
+    * row per (window, doc) pair a document overlaps, with the token
+    * count it contributes to that window — the example-builder step
+    * that turns head-to-tail offsets into fixed-size training blocks
+    * (a straddling doc contributes its boundary slices to BOTH
+    * windows). Zero-token docs occupy no tokens and emit no rows. Pure
+    * arithmetic on the offsets frame — no extra shuffle beyond the
+    * caller's aggregation; every window except the corpus tail sums to
+    * exactly `windowTokens` by construction (the oracle states it). */
+  def windowMembership(offsets: DataFrame, windowTokens: Long): DataFrame = {
+    require(windowTokens > 0, s"windowTokens: $windowTokens")
+    offsets.where(col("n_tok") > 0)
+      .select(col("id"), col("n_tok"), col("offset"),
+        explode(sequence(col("window_start"), col("window_end"))).as("window"))
+      .withColumn("tok_in_window",
+        least(col("offset") + col("n_tok"), (col("window") + 1) * windowTokens)
+          - greatest(col("offset"), col("window") * windowTokens))
+  }
+
   /** Distributed per-key rank: the 0-based position of each row within its
     * `keyCol` group under `order` — equal to
     * `row_number().over(Window.partitionBy(keyCol).orderBy(order)) - 1`,

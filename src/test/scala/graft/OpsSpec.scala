@@ -859,6 +859,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("windowMembership: every block except the corpus tail holds exactly W tokens") {
+    import graft.ops.Batching
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val W = 512L
+    val m = Batching.windowMembership(
+      Batching.packOffsets(docs, "doc_id", "text", W), W)
+    val perWindow = m.groupBy(col("window"))
+      .agg(sum(col("tok_in_window")).as("t")).as[(Long, Long)].collect().toMap
+    assert(perWindow.nonEmpty)
+    val last = perWindow.keys.max
+    assert(perWindow.filter(_._1 != last).values.forall(_ == W),
+      "a non-tail block does not hold exactly W tokens")
+    assert(perWindow(last) <= W && perWindow(last) > 0)
+    // token conservation: window slices reassemble every doc exactly
+    val totalSliced = perWindow.values.sum
+    val totalDocs = m.select(col("id"), col("n_tok")).distinct()
+      .agg(sum(col("n_tok"))).head().getLong(0)
+    assert(totalSliced === totalDocs)
+  }
+
   test("saltedJoinAuto ≡ plain inner join under a mixed hot/cold key split") {
     import graft.ops.Skew
     // 2 hot keys (1200/800 rows) over the N/k bound, 40 cold keys of 10
