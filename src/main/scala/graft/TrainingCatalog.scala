@@ -112,6 +112,41 @@ object TrainingCatalog {
       WHERE word <> '' GROUP BY word HAVING count(*) >= 900
       ORDER BY word""")),
 
+    // the census→cleaning composition (C4's corpus-repeat removal at
+    // word granularity): heavy-hitter words mined exactly, then dropped
+    // by a zero-shuffle scan-stage filter; the oracle replays the same
+    // threshold and set membership relationally.
+    "q_text_strip_frequent" -> (q((s, dir) =>
+      TextAnalysis.stripCorpusFrequentWords(docs(s, dir), "doc_id", "text",
+          k = 1024, minFreq = 900L)
+        .orderBy("doc_id")
+    ), Some("""
+      WITH w AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        FROM documents),
+      hot AS (
+        SELECT word FROM w WHERE word <> ''
+        GROUP BY word HAVING count(*) >= 900),
+      toks AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        FROM documents),
+      tp AS (
+        SELECT doc_id, i AS pos, t[i] AS tok
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)),
+      kept AS (
+        SELECT doc_id, pos, tok FROM tp
+        WHERE tok NOT IN (SELECT word FROM hot)),
+      agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+      SELECT toks.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+             coalesce(agg.n_kept, 0) AS n_kept,
+             CAST(len(toks.t) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+      FROM toks LEFT JOIN agg USING (doc_id) ORDER BY toks.doc_id""")),
+
     "q_text_stats" -> (q((s, dir) => {
       val t = col("text")
       docs(s, dir).select(

@@ -257,6 +257,30 @@ object TextAnalysis {
         RedactEmail, "<EMAIL>"),
       RedactDigits, "<NUM>")
 
+  /** Strip corpus-frequent boilerplate words — the census→cleaning loop
+    * (C4 removes corpus-repeated lines; this is the word-level analog
+    * for line-free text): [[Sketches.heavyHitters]] mines the words with
+    * corpus frequency ≥ `minFreq` EXACTLY (bounded tree-merged state,
+    * ≤ k driver candidates), and a scan-stage array filter drops them
+    * from every document — the hot set rides the closure as a literal,
+    * so cleaning is a ZERO-SHUFFLE projection (for hot sets beyond a few
+    * thousand words, swap the literal for an explode + anti-join +
+    * ordered reassembly). Returns (idCol, clean_text, n_kept,
+    * n_removed). */
+  def stripCorpusFrequentWords(df: org.apache.spark.sql.DataFrame, idCol: String,
+                               textCol: String, k: Int, minFreq: Long): org.apache.spark.sql.DataFrame = {
+    val words = df.select(explode(tokens(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+    val hot = Sketches.heavyHitters(words, "word", k, minFreq)
+      .select("word").collect().map(_.getString(0)).sorted
+    val hotLit = typedlit(hot.toSeq)
+    val kept = filter(tokens(col(textCol)), w => !array_contains(hotLit, w))
+    df.select(col(idCol),
+      concat_ws(" ", kept).as("clean_text"),
+      size(kept).cast("long").as("n_kept"),
+      (tokenCount(col(textCol)) - size(kept)).cast("long").as("n_removed"))
+  }
+
   // -- sliding-window chunking --------------------------------------------
 
   /**
