@@ -326,20 +326,24 @@ object QueryCatalog {
       import org.apache.spark.sql.functions._
       val e = SparkEntry.loader(s, dir)("events")
       val m = col("event_id") % 4
-      val slots =
-        when(m === 0, TypedSlots.ofBoolean(col("value") > 50))
-          .when(m === 1, TypedSlots.ofNumber(col("value")))
-          .when(m === 2, TypedSlots.ofString(col("event_type")))
-          .otherwise(TypedSlots.missing)
+      // CODEGEN SURFACE (VERDICT r7 #1b): the type dispatch is applied
+      // ONCE, to the per-branch SORT KEYS — sortKey composed with each
+      // concrete constructor constant-folds (getField-of-struct), so no
+      // branch is re-expanded per key field, and the encoded value
+      // column is never built (the output b/n/s ARE key fields).
+      val k =
+        when(m === 0, TypedSlots.sortKey(TypedSlots.ofBoolean(col("value") > 50)))
+          .when(m === 1, TypedSlots.sortKey(TypedSlots.ofNumber(col("value"))))
+          .when(m === 2, TypedSlots.sortKey(TypedSlots.ofString(col("event_type"))))
+          .otherwise(TypedSlots.sortKey(TypedSlots.missing))
       // global rank WITHOUT a single-partition window: the cross-type key
       // is an ordinary sortable struct, so the distributed prefix-sum rank
       // (range partition + broadcast offsets) applies directly
-      val keyed = e.select(col("event_id"), slots.as("v"))
+      val keyed = e.select(col("event_id"), k.as("__k"))
         .withColumn("__g", lit(0L))
-        .withColumn("__k", TypedSlots.sortKey(col("v")))
       graft.ops.Batching.rankWithinScaled(keyed, "__g", Seq(col("__k"), col("event_id")), out = "pos0")
         .select((col("pos0") + 1L).as("pos"), col("event_id"),
-          col("v.b").cast("int").as("b"), col("v.n").as("n"), col("v.s").as("s"))
+          col("__k.b").as("b"), col("__k.n").as("n"), col("__k.s").as("s"))
     }), Some("""
       WITH m AS (
         SELECT event_id,
@@ -377,25 +381,34 @@ object QueryCatalog {
       val sElem = (x: org.apache.spark.sql.Column) => struct(
         lit(null).cast("boolean").as("b"), lit(null).cast("double").as("n"),
         x.cast("string").as("s"))
-      val nv =
-        when(m === 0, TypedSlots.nvOfScalar(TypedSlots.ofBoolean(col("value") > 50)))
-          .when(m === 1, TypedSlots.nvOfScalar(TypedSlots.ofNumber(col("value"))))
-          .when(m === 2, TypedSlots.nvOfScalar(TypedSlots.ofString(col("event_type"))))
-          .when(m === 3, TypedSlots.nvOfList(
+      // CODEGEN SURFACE (VERDICT r7 #1b): sortKeyNested is composed with
+      // each concrete branch CONSTRUCTOR, so every branch key
+      // constant-folds (getField-of-struct → the field expression,
+      // nvRank → a literal) and the type-dispatch when-chain appears
+      // exactly once. The r7 shape keyed the full when-chain ENCODING
+      // and re-expanded it per key field — enough generated code that
+      // its cold run queued ~23 s of C2 work that drained into
+      // neighboring bench entries. The output rank is the key's own
+      // leading field, so the encoded value column is never built.
+      val key = (nv: org.apache.spark.sql.Column) => TypedSlots.sortKeyNested(nv)
+      val k =
+        when(m === 0, key(TypedSlots.nvOfScalar(TypedSlots.ofBoolean(col("value") > 50))))
+          .when(m === 1, key(TypedSlots.nvOfScalar(TypedSlots.ofNumber(col("value")))))
+          .when(m === 2, key(TypedSlots.nvOfScalar(TypedSlots.ofString(col("event_type")))))
+          .when(m === 3, key(TypedSlots.nvOfList(
             when(half, array(nElem(fv)))
-              .otherwise(array(nElem(fv), nElem(floor(col("value")) % 7)))))
-          .when(m === 4, TypedSlots.nvOfObject(
+              .otherwise(array(nElem(fv), nElem(floor(col("value")) % 7))))))
+          .when(m === 4, key(TypedSlots.nvOfObject(
             when(half, array(struct(lit("a").as("k"), nElem(fv).as("v"))))
               .otherwise(array(
                 struct(lit("a").as("k"), nElem(fv).as("v")),
-                struct(lit("b").as("k"), sElem(col("event_type")).as("v"))))))
-          .otherwise(TypedSlots.nvMissing)
-      val keyed = e.select(col("event_id"), nv.as("v"))
+                struct(lit("b").as("k"), sElem(col("event_type")).as("v")))))))
+          .otherwise(key(TypedSlots.nvMissing))
+      val keyed = e.select(col("event_id"), k.as("__k"))
         .withColumn("__g", lit(0L))
-        .withColumn("__k", TypedSlots.sortKeyNested(col("v")))
       graft.ops.Batching.rankWithinScaled(keyed, "__g", Seq(col("__k"), col("event_id")), out = "pos0")
         .select((col("pos0") + 1L).as("pos"), col("event_id"),
-          TypedSlots.nvRank(col("v")).cast("int").as("tr"))
+          col("__k.tr").cast("int").as("tr"))
     }), Some("""
       WITH m AS (
         SELECT event_id, event_id % 6 AS m, (event_id // 6) % 2 = 0 AS half,
@@ -445,29 +458,34 @@ object QueryCatalog {
         array(kvs.map { case (k, x) =>
           struct(lit(k).as("k"), nElem(x).as("v")) }: _*))
       val sV = (x: Column) => TypedSlots.nvOfScalar(TypedSlots.ofString(x))
-      val nv2 =
-        when(m === 0, TypedSlots.nv2OfScalar(TypedSlots.ofNumber(col("value"))))
-          .when(m === 1, TypedSlots.nv2OfScalar(TypedSlots.ofString(col("event_type"))))
-          .when(m === 2, TypedSlots.nv2OfList( // list of number scalars
-            when(half, array(n1(fv))).otherwise(array(n1(fv), n1(fv7)))))
-          .when(m === 3, TypedSlots.nv2OfList( // list of LISTS
+      // CODEGEN SURFACE (VERDICT r7 #1b): same per-branch key
+      // composition as q_sort_cross_type_nested — sortKeyNested2 applied
+      // to each concrete constructor folds its outer getFields, leaving
+      // one generic depth-1 key lambda per list/object branch instead of
+      // the full depth-2 derivation re-expanded over the 7-way dispatch.
+      val k2 = (nv: Column) => TypedSlots.sortKeyNested2(nv)
+      val k =
+        when(m === 0, k2(TypedSlots.nv2OfScalar(TypedSlots.ofNumber(col("value")))))
+          .when(m === 1, k2(TypedSlots.nv2OfScalar(TypedSlots.ofString(col("event_type")))))
+          .when(m === 2, k2(TypedSlots.nv2OfList( // list of number scalars
+            when(half, array(n1(fv))).otherwise(array(n1(fv), n1(fv7))))))
+          .when(m === 3, k2(TypedSlots.nv2OfList( // list of LISTS
             when(half, array(nList(Seq(fv))))
-              .otherwise(array(nList(Seq(fv)), nList(Seq(fv, fv7))))))
-          .when(m === 4, TypedSlots.nv2OfList( // list of OBJECTS
+              .otherwise(array(nList(Seq(fv)), nList(Seq(fv, fv7)))))))
+          .when(m === 4, k2(TypedSlots.nv2OfList( // list of OBJECTS
             when(half, array(nObj(Seq("a" -> fv))))
-              .otherwise(array(nObj(Seq("a" -> fv)), nObj(Seq("a" -> fv7))))))
-          .when(m === 5, TypedSlots.nv2OfObject( // object holding a LIST (+ string)
+              .otherwise(array(nObj(Seq("a" -> fv)), nObj(Seq("a" -> fv7)))))))
+          .when(m === 5, k2(TypedSlots.nv2OfObject( // object holding a LIST (+ string)
             when(half, array(struct(lit("a").as("k"), nList(Seq(fv)).as("v"))))
               .otherwise(array(
                 struct(lit("a").as("k"), nList(Seq(fv)).as("v")),
-                struct(lit("b").as("k"), sV(col("event_type")).as("v"))))))
-          .otherwise(TypedSlots.nv2Missing)
-      val keyed = e.select(col("event_id"), nv2.as("v"))
+                struct(lit("b").as("k"), sV(col("event_type")).as("v")))))))
+          .otherwise(k2(TypedSlots.nv2Missing))
+      val keyed = e.select(col("event_id"), k.as("__k"))
         .withColumn("__g", lit(0L))
-        .withColumn("__k", TypedSlots.sortKeyNested2(col("v")))
       graft.ops.Batching.rankWithinScaled(keyed, "__g", Seq(col("__k"), col("event_id")), out = "pos0")
         .select((col("pos0") + 1L).as("pos"), col("event_id"),
-          TypedSlots.nvRank(col("v")).cast("int").as("tr"))
+          col("__k.tr").cast("int").as("tr"))
     }), Some("""
       WITH m AS (
         SELECT event_id, event_id % 7 AS m, (event_id // 7) % 2 = 0 AS half,
