@@ -103,7 +103,7 @@ object TrainingCatalog {
       val words = docs(s, dir)
         .select(explode(split(col("text"), "\\s+")).as("word"))
         .where(col("word") =!= "")
-      graft.ops.Sketches.heavyHitters(words, "word", k = 1024, minFreq = 900L)
+      graft.ops.Sketches.heavyHittersAuto(words, "word", minFreq = 900L)
         .orderBy("word")
     }), Some("""
       WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
@@ -118,7 +118,7 @@ object TrainingCatalog {
     // threshold and set membership relationally.
     "q_text_strip_frequent" -> (q((s, dir) =>
       TextAnalysis.stripCorpusFrequentWords(docs(s, dir), "doc_id", "text",
-          k = 1024, minFreq = 900L)
+          k = 0, minFreq = 900L)
         .orderBy("doc_id")
     ), Some("""
       WITH w AS (

@@ -128,12 +128,21 @@ object Batching {
     * windows). Zero-token docs occupy no tokens and emit no rows. Pure
     * arithmetic on the offsets frame — no extra shuffle beyond the
     * caller's aggregation; every window except the corpus tail sums to
-    * exactly `windowTokens` by construction (the oracle states it). */
+    * exactly `windowTokens` by construction (the oracle states it).
+    *
+    * Window bounds are RECOMPUTED here from (`offset`, `n_tok`) under
+    * THIS call's `windowTokens` — the producer's stored
+    * window_start/window_end columns are ignored, so a `windowTokens`
+    * that differs from the packOffsets call's cannot silently mix two
+    * window geometries (ADVICE r7); differing deliberately simply
+    * re-windows the same head-to-tail layout. */
   def windowMembership(offsets: DataFrame, windowTokens: Long): DataFrame = {
     require(windowTokens > 0, s"windowTokens: $windowTokens")
+    val ws = (col("offset") / windowTokens).cast("long")
+    val we = ((col("offset") + col("n_tok") - 1) / windowTokens).cast("long")
     offsets.where(col("n_tok") > 0)
       .select(col("id"), col("n_tok"), col("offset"),
-        explode(sequence(col("window_start"), col("window_end"))).as("window"))
+        explode(sequence(ws, we)).as("window"))
       .withColumn("tok_in_window",
         least(col("offset") + col("n_tok"), (col("window") + 1) * windowTokens)
           - greatest(col("offset"), col("window") * windowTokens))

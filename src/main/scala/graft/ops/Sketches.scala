@@ -89,15 +89,26 @@ object Sketches {
     * candidate-matching rows behind a broadcast semi-join — the long
     * tail of rare keys never shuffles. Null keys are ignored (JX missing
     * semantics: a missing key has no frequency). Returns
-    * (`keyCol`, `out`), unordered — callers order. Requires
-    * `minFreq > N/k` (checked at runtime, see the object scaladoc). */
+    * (`keyCol`, `out`) with `keyCol` in its ORIGINAL type — the sketch
+    * counters key on the string rendering, but the recount groups the
+    * original column, so joining the result back needs no cast.
+    * Unordered — callers order. Requires `minFreq > N/k` (checked at
+    * runtime, see the object scaladoc).
+    *
+    * INPUT DETERMINISM: `df` is scanned twice (sketch pass, exact
+    * recount) WITHOUT an intermediate materialization — persisting the
+    * key projection here would write the full corpus working set, which
+    * is exactly what the bounded-state design avoids at 100 TB. A
+    * non-deterministic input (unseeded sample/limit, a mutating view)
+    * can therefore make the two passes disagree, silently voiding the
+    * exactness claim — persist such inputs upstream first. */
   def heavyHitters(df: DataFrame, keyCol: String, k: Int, minFreq: Long,
                    out: String = "freq"): DataFrame = {
     require(k > 0, s"k: $k")
     require(minFreq > 0, s"minFreq: $minFreq")
     val spark = df.sparkSession
-    val keys = df.select(col(keyCol).cast("string").as(keyCol))
-    val summary = keys.rdd.treeAggregate(new MgSummary(k))(
+    val keys = df.select(col(keyCol)).where(col(keyCol).isNotNull)
+    val summary = keys.select(col(keyCol).cast("string")).rdd.treeAggregate(new MgSummary(k))(
       (s, row) => s.add(row.getString(0)), (a, b) => a.merge(b))
     if (minFreq.toDouble <= summary.n.toDouble / k)
       throw new IllegalArgumentException(
@@ -105,9 +116,26 @@ object Sketches {
           s"a key above the threshold could evade the sketch; " +
           s"raise k to at least ${summary.n / minFreq + 1}")
     val candDf = broadcast(
-      spark.createDataset(summary.keys.toSeq)(Encoders.STRING).toDF(keyCol))
-    keys.join(candDf, Seq(keyCol))
+      spark.createDataset(summary.keys.toSeq)(Encoders.STRING).toDF("__hh_cand"))
+    keys.join(candDf, col(keyCol).cast("string") === col("__hh_cand"))
       .groupBy(col(keyCol)).agg(count(lit(1)).as(out))
       .where(col(out) >= minFreq)
+  }
+
+  /** [[heavyHitters]] with `k` sized FROM the data: one cheap count of
+    * the non-null keys picks k = max(minK, N/minFreq + 1), so the
+    * exactness bound `minFreq > N/k` holds at ANY corpus size — a
+    * fixed-k call that is correct at one scale factor throws when the
+    * corpus grows past k·minFreq (ADVICE r7). Costs one extra
+    * column-pruned scan; the sketch state stays bounded at N/minFreq
+    * counters, which is exactly the information-theoretic floor for an
+    * exact ≥ minFreq census. */
+  def heavyHittersAuto(df: DataFrame, keyCol: String, minFreq: Long,
+                       out: String = "freq", minK: Int = 1024): DataFrame = {
+    require(minFreq > 0, s"minFreq: $minFreq")
+    val n = df.select(col(keyCol)).where(col(keyCol).isNotNull).count()
+    val kNeeded = n / minFreq + 1
+    require(kNeeded <= Int.MaxValue, s"N/minFreq=$kNeeded exceeds Int range — raise minFreq")
+    heavyHitters(df, keyCol, math.max(minK.toLong, kNeeded).toInt, minFreq, out)
   }
 }

@@ -42,15 +42,18 @@ object Skew {
     * tree-merged Misra-Gries state, ≤ k driver candidates at any
     * partition count); only hot-key rows take the salted path, the cold
     * tail joins plain, and the union is EQUIVALENT to the plain inner
-    * join (spec-pinned). `hotMinFreq` must exceed bigCount/k — the
-    * sketch enforces it. Inner joins only: splitting the probe side
-    * changes outer-join null production. */
+    * join (spec-pinned). `k = 0` (default) sizes the sketch from the
+    * data ([[Sketches.heavyHittersAuto]]) so the `hotMinFreq > N/k`
+    * exactness bound holds at any row count — one extra column-pruned
+    * count, trivial next to the join; a positive `k` pins the sketch
+    * size and throws when the table outgrows k·hotMinFreq. Inner joins
+    * only: splitting the probe side changes outer-join null
+    * production. */
   def saltedJoinAuto(big: DataFrame, small: DataFrame, key: String, salts: Int,
-                     hotMinFreq: Long, k: Int = 4096): DataFrame = {
-    val keyType = big.schema(key).dataType
+                     hotMinFreq: Long, k: Int = 0): DataFrame = {
     val hot = broadcast(
-      Sketches.heavyHitters(big, key, k, hotMinFreq)
-        .select(col(key).cast(keyType).as(key)))
+      (if (k > 0) Sketches.heavyHitters(big, key, k, hotMinFreq)
+       else Sketches.heavyHittersAuto(big, key, hotMinFreq)).select(col(key)))
     val bigHot = big.join(hot, Seq(key))
     val bigCold = big.join(hot, Seq(key), "left_anti")
     saltedJoin(bigHot, small.join(hot, Seq(key)), key, salts)

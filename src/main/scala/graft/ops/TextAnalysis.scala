@@ -266,13 +266,18 @@ object TextAnalysis {
     * so cleaning is a ZERO-SHUFFLE projection (for hot sets beyond a few
     * thousand words, swap the literal for an explode + anti-join +
     * ordered reassembly). Returns (idCol, clean_text, n_kept,
-    * n_removed). */
+    * n_removed). `k = 0` (the default-safe choice) sizes the sketch from
+    * the corpus ([[Sketches.heavyHittersAuto]]) so the exactness bound
+    * holds at any scale factor; a positive `k` pins it, and throws if
+    * the corpus outgrows k·minFreq. */
   def stripCorpusFrequentWords(df: org.apache.spark.sql.DataFrame, idCol: String,
                                textCol: String, k: Int, minFreq: Long): org.apache.spark.sql.DataFrame = {
     val words = df.select(explode(tokens(col(textCol))).as("word"))
       .where(col("word") =!= "")
-    val hot = Sketches.heavyHitters(words, "word", k, minFreq)
-      .select("word").collect().map(_.getString(0)).sorted
+    val hotDf =
+      if (k > 0) Sketches.heavyHitters(words, "word", k, minFreq)
+      else Sketches.heavyHittersAuto(words, "word", minFreq)
+    val hot = hotDf.select("word").collect().map(_.getString(0)).sorted
     val hotLit = typedlit(hot.toSeq)
     val kept = filter(tokens(col(textCol)), w => !array_contains(hotLit, w))
     df.select(col(idCol),

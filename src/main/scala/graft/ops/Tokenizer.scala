@@ -165,7 +165,14 @@ object Tokenizer {
     * pretraining corpus (per-row re-encoding via [[bpeTokenCount]] pays
     * the O(word²) loop for every occurrence of "the"). Returns
     * (`idCol`, `out`) with [[bpeTokenCount]]'s exact semantics: null
-    * text → null, token-free text → 0. */
+    * text → null, token-free text → 0.
+    *
+    * PRECONDITION: one row per `idCol` value — the same one-row-per-
+    * document contract as [[Batching.packOffsetsFromCounts]]. Duplicate
+    * ids would collapse to ONE output row whose count sums across the
+    * duplicates (the final distinct is on (id, isnull)), matching
+    * neither per-row [[bpeTokenCount]] semantics nor a per-doc
+    * contract (ADVICE r7). */
   def bpeTokenCountsByDoc(df: DataFrame, idCol: String, text: Column,
                           vocab: BpeVocab, out: String = "n_tok"): DataFrame = {
     val toks = udf((s: String) => if (s == null) null else preTokens(s))
