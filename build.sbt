@@ -3,6 +3,11 @@ ThisBuild / version := "0.1.0"
 name := "mysqltos3spark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
+// Optional extra driver jars (e.g. MySQL Connector/J for the
+// deploy/mysql harness — see deploy/mysql/README.md): drop them in
+// ./lib. Empty in the sandbox; unmanagedBase above repoints the
+// default lib lookup, so restore it explicitly.
+Compile / unmanagedJars ++= ((baseDirectory.value / "lib") * "*.jar").classpath
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
 libraryDependencies ++= Seq(

@@ -72,10 +72,19 @@ object SchemaWalk {
     * referenced > shortest). */
   def electKey(conn: Connection, table: String, relations: Seq[Relation]): String = {
     val md = conn.getMetaData
-    val pks = md.getPrimaryKeys(null, null, table.toUpperCase)
-    var pk: Option[String] = None
-    while (pks.next()) if (pks.getShort("KEY_SEQ") == 1) pk = Some(pks.getString("COLUMN_NAME").toLowerCase)
-    pks.close()
+    // identifier-case folding differs by engine: Derby folds unquoted
+    // names to UPPER, MySQL on Linux preserves the created case
+    // (typically lower, lower_case_table_names=0) — probe the name
+    // as-given then both foldings, first hit wins
+    def pkOf(name: String): Option[String] = {
+      val pks = md.getPrimaryKeys(null, null, name)
+      var pk: Option[String] = None
+      while (pks.next()) if (pks.getShort("KEY_SEQ") == 1) pk = Some(pks.getString("COLUMN_NAME").toLowerCase)
+      pks.close()
+      pk
+    }
+    val pk = Seq(table, table.toUpperCase, table.toLowerCase).distinct
+      .view.flatMap(pkOf).headOption
     pk.orElse(
       relations.filter(_.pkTable == table).groupBy(_.pkColumn)
         .toSeq.sortBy(-_._2.size).headOption.map(_._1))
@@ -129,7 +138,20 @@ object SchemaWalk {
     * (mysql_to_s3/extract.py:156-183). Without this every table arrives
     * through ONE connection on ONE task, the ingest-side scale killer.
     * Bounds come from one tiny MIN/MAX query per table; tables whose key
-    * isn't numeric (or that are empty) fall back to a single partition. */
+    * isn't numeric (or that are empty) fall back to a single partition.
+    *
+    * MYSQL URL PARAMS for reference-faithful ingest (Connector/J;
+    * deploy/mysql documents a runnable harness):
+    *  - `zeroDateTimeBehavior=convertToNull` — legacy zero dates
+    *    ('0000-00-00') load as NULL, matching the reference driver's
+    *    None, instead of aborting the read;
+    *  - `tinyInt1isBit=false` — tinyint(1) arrives as a NUMBER, the
+    *    reference's mysql_type_to_json_type mapping (pyLibrary/sql/
+    *    mysql.py:759 "tinyint": "number"), not Connector/J's default
+    *    BIT→boolean reinterpretation.
+    * UNSIGNED BIGINT columns load as DECIMAL(20,0) via Spark's own
+    * MySQL dialect; as partition keys they fall back to a single
+    * partition when the range exceeds Long (see [[numericBounds]]). */
   def jdbcLoader(spark: org.apache.spark.sql.SparkSession, url: String,
                  keyOf: String => Option[String] = _ => None,
                  numPartitions: Int = 1): String => org.apache.spark.sql.DataFrame =
@@ -174,12 +196,19 @@ object SchemaWalk {
           val rs = conn.createStatement().executeQuery(s"SELECT MIN($key), MAX($key) FROM $table")
           val out =
             if (rs.next()) {
-              val lo = rs.getLong(1)
-              if (rs.wasNull()) None else Some((key, lo, rs.getLong(2)))
+              // BigDecimal, not getLong: an UNSIGNED BIGINT key (MySQL)
+              // ranges past Long.MaxValue, where getLong silently wraps
+              // on some drivers — longValueExact throws instead, and the
+              // catch below falls back to the single-partition read
+              val lo = rs.getBigDecimal(1)
+              if (lo == null) None
+              else Some((key,
+                lo.setScale(0, java.math.RoundingMode.FLOOR).longValueExact,
+                rs.getBigDecimal(2).setScale(0, java.math.RoundingMode.CEILING).longValueExact))
             } else None
           rs.close()
           out
         }
       } finally conn.close()
-    } catch { case _: java.sql.SQLException => None }
+    } catch { case _: java.sql.SQLException | _: ArithmeticException => None }
 }
