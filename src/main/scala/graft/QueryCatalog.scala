@@ -511,6 +511,86 @@ object QueryCatalog {
              event_id, CAST(tr AS INT) AS tr
       FROM r ORDER BY pos""")),
 
+    // DEPTH-3 cross-type sort (TypedSlots.sortKeyNested3): lists of
+    // lists OF LISTS, lists of objects-holding-lists, and an object
+    // holding a list of lists — the reference's recursive value_compare
+    // one level beyond q_sort_cross_type_nested2 (r7's documented
+    // depth-2 boundary, moved to depth 3). Same per-branch key
+    // composition (codegen surface), same oracle-flattening strategy:
+    // each deterministic shape becomes a natively-comparable DuckDB
+    // column (nested DOUBLE[][]/[][][] lists compare elementwise-then-
+    // by-length in both engines; l_er = first element's TYPE_ORDER rank
+    // separates the three list families; o_b_pres restates the
+    // absent-key-sorts-last law).
+    "q_sort_cross_type_nested3" -> (raw((s, dir) => {
+      import graft.jx.TypedSlots
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.Column
+      val e = SparkEntry.loader(s, dir)("events")
+      val m = col("event_id") % 7
+      val half = (col("event_id") / 7).cast("long") % 2 === 0
+      val fv = floor(col("value")).cast("double")
+      val fv7 = (floor(col("value")) % 7).cast("double")
+      val nElem = (x: Column) => struct(
+        lit(null).cast("boolean").as("b"), x.cast("double").as("n"),
+        lit(null).cast("string").as("s"))
+      // depth-1 list of numbers; depth-2 wrappers over it
+      val l1 = (xs: Seq[Column]) => TypedSlots.nvOfList(array(xs.map(nElem): _*))
+      val n2 = (x: Column) => TypedSlots.nv2OfScalar(TypedSlots.ofNumber(x))
+      val l2of = (ls: Seq[Seq[Column]]) => TypedSlots.nv2OfList(array(ls.map(l1): _*))
+      val o2list = (kvs: Seq[(String, Seq[Column])]) => TypedSlots.nv2OfObject(
+        array(kvs.map { case (k, xs) =>
+          struct(lit(k).as("k"), l1(xs).as("v")) }: _*))
+      val s2 = (x: Column) => TypedSlots.nv2OfScalar(TypedSlots.ofString(x))
+      val k3 = (nv: Column) => TypedSlots.sortKeyNested3(nv)
+      val k =
+        when(m === 0, k3(TypedSlots.nv3OfScalar(TypedSlots.ofNumber(col("value")))))
+          .when(m === 1, k3(TypedSlots.nv3OfScalar(TypedSlots.ofString(col("event_type")))))
+          .when(m === 2, k3(TypedSlots.nv3OfList( // list of number scalars
+            when(half, array(n2(fv))).otherwise(array(n2(fv), n2(fv7))))))
+          .when(m === 3, k3(TypedSlots.nv3OfList( // list of LISTS of LISTS
+            when(half, array(l2of(Seq(Seq(fv)))))
+              .otherwise(array(l2of(Seq(Seq(fv))), l2of(Seq(Seq(fv), Seq(fv, fv7))))))))
+          .when(m === 4, k3(TypedSlots.nv3OfList( // list of OBJECTS holding lists
+            when(half, array(o2list(Seq("a" -> Seq(fv)))))
+              .otherwise(array(o2list(Seq("a" -> Seq(fv))), o2list(Seq("a" -> Seq(fv, fv7))))))))
+          .when(m === 5, k3(TypedSlots.nv3OfObject( // object holding a list of lists (+ string)
+            when(half, array(struct(lit("a").as("k"), l2of(Seq(Seq(fv))).as("v"))))
+              .otherwise(array(
+                struct(lit("a").as("k"), l2of(Seq(Seq(fv), Seq(fv7))).as("v")),
+                struct(lit("b").as("k"), s2(col("event_type")).as("v")))))))
+          .otherwise(k3(TypedSlots.nv3Missing))
+      val keyed = e.select(col("event_id"), k.as("__k"))
+        .withColumn("__g", lit(0L))
+      graft.ops.Batching.rankWithinScaled(keyed, "__g", Seq(col("__k"), col("event_id")), out = "pos0")
+        .select((col("pos0") + 1L).as("pos"), col("event_id"),
+          col("__k.tr").cast("int").as("tr"))
+    }), Some("""
+      WITH m AS (
+        SELECT event_id, event_id % 7 AS m, (event_id // 7) % 2 = 0 AS half,
+               value, event_type, floor(value) AS fv,
+               CAST(CAST(floor(value) AS BIGINT) % 7 AS DOUBLE) AS fv7
+        FROM events),
+      r AS (
+        SELECT event_id,
+          CASE m WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 WHEN 3 THEN 3
+                 WHEN 4 THEN 3 WHEN 5 THEN 4 ELSE 9 END AS tr,
+          CASE WHEN m = 0 THEN value END AS n,
+          CASE WHEN m = 1 THEN event_type END AS s,
+          CASE WHEN m = 2 THEN 1 WHEN m = 3 THEN 3 WHEN m = 4 THEN 4 END AS l_er,
+          CASE WHEN m = 2 THEN (CASE WHEN half THEN [fv] ELSE [fv, fv7] END) END AS l_n,
+          CASE WHEN m = 3 THEN (CASE WHEN half THEN [[[fv]]]
+               ELSE [[[fv]], [[fv], [fv, fv7]]] END) END AS l_lll,
+          CASE WHEN m = 4 THEN (CASE WHEN half THEN [[fv]] ELSE [[fv], [fv, fv7]] END) END AS l_lo,
+          CASE WHEN m = 5 THEN (CASE WHEN half THEN [[fv]] ELSE [[fv], [fv7]] END) END AS o_a,
+          CASE WHEN m = 5 THEN (CASE WHEN half THEN 1 ELSE 0 END) END AS o_b_pres,
+          CASE WHEN m = 5 AND NOT half THEN event_type END AS o_b
+        FROM m)
+      SELECT CAST(row_number() OVER (
+               ORDER BY tr, n, s, l_er, l_n, l_lll, l_lo, o_a, o_b_pres, o_b, event_id) AS BIGINT) AS pos,
+             event_id, CAST(tr AS INT) AS tr
+      FROM r ORDER BY pos""")),
+
     // typed slots as FIRST-CLASS query values, not just a sort encoding
     // (vendor/jx_sqlite/expressions.py:32-79 compiles every expression to
     // per-slot fragments): grouping a mixed-type column — the slots

@@ -96,7 +96,8 @@ object TrainingCatalog {
     // the ≤ k·partitions candidates — the frequent-items pass a
     // boilerplate/stopword miner runs, EXACT by the enforced
     // minFreq > N/k pigeonhole bound (Sketches.heavyHitters), with the
-    // long tail of rare keys never entering a shuffle. minFreq=900
+    // long tail of rare keys never entering a shuffle; heavyHittersAuto
+    // sizes k from the corpus so the bound holds at every SF. minFreq=900
     // discriminates at sf0.01 (17 of 31 vocabulary words qualify), so
     // the exact recount filter is doing real work, not rubber-stamping.
     "q_text_heavy_hitters" -> (q((s, dir) => {

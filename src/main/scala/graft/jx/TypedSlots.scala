@@ -305,4 +305,69 @@ object TypedSlots {
   /** Decisive equality over depth-2 variants; structural like [[nvEq]]. */
   def nv2Eq(a: Column, b: Column): Column =
     Seq("b", "n", "s", "l", "o").map(f => a.getField(f) <=> b.getField(f)).reduce(_ && _)
+
+  // -- depth-3 nested variants: {b, n, s, l:[nv2], o:[(k, nv2)]} ----------
+  //
+  // One more repetition of the same construction (Spark structs are not
+  // recursive, so each depth is spelled out): list elements and object
+  // values are depth-2 variants, covering lists of lists of lists,
+  // lists of objects-holding-lists, and objects holding lists of lists
+  // — the reference's recursive value_compare (jx.py:560-627) to depth
+  // 3. Each element key IS [[sortKeyNested2]] of its depth-2 value, and
+  // lexicographic struct comparison recurses structurally, so the key
+  // stays one ordinary codegen'd sort column. Depth ≥4 remains the
+  // documented boundary (README "Deviations", SURVEY §7.4.7).
+
+  private val Nv2T = s"struct<b:boolean,n:double,s:string,l:$Elem2T,o:$Entry2T>"
+  private val Elem3T = s"array<$Nv2T>"
+  private val Entry3T = s"array<struct<k:string,v:$Nv2T>>"
+  private val NullL3 = lit(null).cast(Elem3T)
+  private val NullO3 = lit(null).cast(Entry3T)
+  private val Nv2KeyT = s"struct<tr:int,b:int,n:double,s:string," +
+    s"l:array<$Nv1KeyT>,o:array<struct<k:string,v:$Nv1KeyT>>>"
+
+  /** A depth-2 variant is missing: all five slots null. Never null. */
+  def nv2IsMissing(v: Column): Column =
+    Seq("b", "n", "s", "l", "o").map(f => v.getField(f).isNull).reduce(_ && _)
+
+  /** Lift a scalar {b,n,s} variant (including [[missing]]) to depth 3. */
+  def nv3OfScalar(slots: Column): Column =
+    struct(slots.getField("b").as("b"), slots.getField("n").as("n"),
+      slots.getField("s").as("s"), NullL3.as("l"), NullO3.as("o"))
+
+  /** List variant over DEPTH-2 variants. */
+  def nv3OfList(elems: Column): Column =
+    struct(NullB.as("b"), NullN.as("n"), NullS.as("s"),
+      elems.cast(Elem3T).as("l"), NullO3.as("o"))
+
+  /** Object variant over (k, depth-2 variant) entries sorted by `k`;
+    * missing-valued entries are dropped — the `{a: null} == {}` law. */
+  def nv3OfObject(entries: Column): Column =
+    struct(NullB.as("b"), NullN.as("n"), NullS.as("s"), NullL3.as("l"),
+      filter(entries.cast(Entry3T), e => !nv2IsMissing(e.getField("v"))).as("o"))
+
+  def nv3Missing: Column =
+    struct(NullB.as("b"), NullN.as("n"), NullS.as("s"), NullL3.as("l"), NullO3.as("o"))
+
+  /** Cross-type sort key for DEPTH-3 variants: same shape as
+    * [[sortKeyNested2]], each list element / object value keyed by the
+    * full depth-2 key; the object sentinel preserves the
+    * absent-key-sorts-last union-walk law one more level down. */
+  def sortKeyNested3(v: Column): Column = {
+    val lk = when(v.getField("l").isNotNull,
+        transform(v.getField("l"), e => sortKeyNested2(e)))
+      .otherwise(array().cast(s"array<$Nv2KeyT>"))
+    val ok = when(v.getField("o").isNotNull,
+        concat(
+          transform(v.getField("o"), e =>
+            struct(e.getField("k").as("k"), sortKeyNested2(e.getField("v")).as("v"))),
+          array(struct(lit("￿￿").as("k"), sortKeyNested2(nv2Missing).as("v")))))
+      .otherwise(array().cast(s"array<struct<k:string,v:$Nv2KeyT>>"))
+    struct(nvRank(v).as("tr"), v.getField("b").cast(IntegerType).as("b"),
+      v.getField("n").as("n"), v.getField("s").as("s"), lk.as("l"), ok.as("o"))
+  }
+
+  /** Decisive equality over depth-3 variants; structural like [[nvEq]]. */
+  def nv3Eq(a: Column, b: Column): Column =
+    Seq("b", "n", "s", "l", "o").map(f => a.getField(f) <=> b.getField(f)).reduce(_ && _)
 }

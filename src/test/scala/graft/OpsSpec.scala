@@ -857,6 +857,37 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Sketches.heavyHitters(df, "key", k, minFreq = 2).collect()
     }
+    // heavyHittersAuto sizes k from the data: the SAME unsafe threshold
+    // succeeds (k grows to N/minFreq+1) and the result is the exact census
+    val auto = Sketches.heavyHittersAuto(df, "key", minFreq = 2, minK = 4)
+      .as[(String, Long)].collect().toMap
+    val wantAll = rows.filter(_ != null).groupBy(identity).view
+      .mapValues(_.size.toLong).filter(_._2 >= 2).toMap
+    assert(auto === wantAll)
+  }
+
+  test("heavyHitters preserves the key column's original type") {
+    import graft.ops.Sketches
+    val df = (Seq.fill(40)(7L) ++ Seq.fill(30)(9L) ++ (100L to 120L))
+      .toDF("key")
+    val hh = Sketches.heavyHitters(df, "key", k = 8, minFreq = 20L)
+    // long in → long out (r7 cast every key to string; joining back then
+    // needed a manual cast)
+    assert(hh.schema("key").dataType === org.apache.spark.sql.types.LongType)
+    assert(hh.as[(Long, Long)].collect().toMap === Map(7L -> 40L, 9L -> 30L))
+  }
+
+  test("windowMembership recomputes bounds under its own windowTokens") {
+    import graft.ops.Batching
+    // offsets laid out at W=10; membership asked at W=5 must re-window
+    // (not mix the stored W=10 window_start/window_end with W=5 math)
+    val counts = Seq(("a", 8L), ("b", 4L)).toDF("id", "n_tok")
+    val off = Batching.packOffsetsFromCounts(counts, "id", "n_tok", 10L)
+    val m = Batching.windowMembership(off, 5L)
+      .select(col("id"), col("window"), col("tok_in_window"))
+      .as[(String, Long, Long)].collect().toSet
+    // md5("a") < md5("b") is false: md5(a)=0cc175.., md5(b)=92eb5.. → a first
+    assert(m === Set(("a", 0L, 5L), ("a", 1L, 3L), ("b", 1L, 2L), ("b", 2L, 2L)))
   }
 
   test("windowMembership: every block except the corpus tail holds exactly W tokens") {

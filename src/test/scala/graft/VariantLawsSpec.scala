@@ -222,6 +222,17 @@ class VariantLawsSpec extends AnyFunSuite {
     case other  => TypedSlots.nv2OfScalar(scalarCol(other))
   }
 
+  /** Depth-3 encoder: lists/objects hold DEPTH-2 variants. */
+  private def nv3Col(v: V): org.apache.spark.sql.Column = v match {
+    case VL(xs) => TypedSlots.nv3OfList(
+      if (xs.isEmpty) array() else array(xs.map(nv2Col): _*))
+    case VO(kv) => TypedSlots.nv3OfObject(
+      if (kv.isEmpty) array()
+      else array(kv.sortBy(_._1).map { case (k, x) =>
+        struct(lit(k).as("k"), nv2Col(x).as("v")) }: _*))
+    case other  => TypedSlots.nv3OfScalar(scalarCol(other))
+  }
+
   test("nested sort order matches a direct value_compare model on random variants") {
     val rnd = new scala.util.Random(20260812L)
     def randScalar(): V = rnd.nextInt(4) match {
@@ -315,6 +326,66 @@ class VariantLawsSpec extends AnyFunSuite {
       val want = cmp(vs(i), vs(j)) == 0
       assert(eqGot((i.toLong, j.toLong)) === want,
         s"nv2Eq(${vs(i)}, ${vs(j)}) should be $want")
+    }
+  }
+
+  test("depth-3 nested sort and equality match the value_compare model") {
+    val rnd = new scala.util.Random(20260814L)
+    def randScalar(): V = rnd.nextInt(4) match {
+      case 0 => VB(rnd.nextBoolean())
+      case 1 => VN(rnd.nextInt(3).toDouble)
+      case 2 => VS(Seq("", "a", "b")(rnd.nextInt(3)))
+      case _ => VM
+    }
+    def randV1(): V = rnd.nextInt(6) match {
+      case 0 => VB(rnd.nextBoolean())
+      case 1 => VN(rnd.nextInt(3).toDouble)
+      case 2 => VS(Seq("", "a", "b")(rnd.nextInt(3)))
+      case 3 => VL(Seq.fill(rnd.nextInt(3))(randScalar()))
+      case 4 => VO(Seq("a", "b").filter(_ => rnd.nextBoolean()).map(_ -> randScalar()))
+      case _ => VM
+    }
+    def randV2(): V = rnd.nextInt(6) match {
+      case 0 => VN(rnd.nextInt(3).toDouble)
+      case 1 => VS(Seq("", "a")(rnd.nextInt(2)))
+      case 2 => VL(Seq.fill(rnd.nextInt(3))(randV1()))
+      case 3 => VL(Seq.fill(rnd.nextInt(2))(randV1()))
+      case 4 => VO(Seq("a", "b").filter(_ => rnd.nextBoolean()).map(_ -> randV1()))
+      case _ => VM
+    }
+    // depth-3 value: list/object members are depth-2 values (which may
+    // themselves hold depth-1 lists/objects) — lists of lists of lists,
+    // objects of lists of objects, etc.
+    def randV3(): V = rnd.nextInt(6) match {
+      case 0 => VB(rnd.nextBoolean())
+      case 1 => VN(rnd.nextInt(3).toDouble)
+      case 2 => VS(Seq("", "a", "b")(rnd.nextInt(3)))
+      case 3 => VL(Seq.fill(rnd.nextInt(3))(randV2()))
+      case 4 => VO(Seq("a", "b", "c").filter(_ => rnd.nextBoolean()).map(_ -> randV2()))
+      case _ => VM
+    }
+    val vs = Vector.fill(100)(randV3())
+    val expected = vs.zipWithIndex
+      .sortWith { case ((a, i), (b, j)) =>
+        val c = cmp(a, b); if (c != 0) c < 0 else i < j }
+      .map(_._2.toLong)
+    val df = spark.range(vs.size).toDF("id")
+      .withColumn("v", vs.zipWithIndex.tail.foldLeft(
+        when(col("id") === 0, nv3Col(vs.head))) {
+        case (acc, (v, i)) => acc.when(col("id") === i, nv3Col(v))
+      })
+    val got = df.orderBy(TypedSlots.sortKeyNested3(col("v")), col("id"))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got === expected, "depth-3 random-domain order mismatch")
+    val a = df.select(col("id").as("ia"), col("v").as("va"))
+    val b = df.select(col("id").as("ib"), col("v").as("vb"))
+    val eqGot = a.crossJoin(b)
+      .select(col("ia"), col("ib"), TypedSlots.nv3Eq(col("va"), col("vb")).as("eq"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    for (i <- vs.indices; j <- vs.indices) {
+      val want = cmp(vs(i), vs(j)) == 0
+      assert(eqGot((i.toLong, j.toLong)) === want,
+        s"nv3Eq(${vs(i)}, ${vs(j)}) should be $want")
     }
   }
 
