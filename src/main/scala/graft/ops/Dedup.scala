@@ -212,9 +212,10 @@ object Dedup {
     * exact array_intersect per candidate. Costs two extra narrow
     * shuffles (docFreq aggregate + per-doc rarity sort), which real
     * Zipf-tailed corpora repay and this repo's flat synthetic vocabulary
-    * does not — both tiers are bench-visible, and the driver gate proves
-    * them equivalent (q_dedup_jaccard_prefix shares q_dedup_jaccard's
-    * oracle verbatim). */
+    * does not. This is the tier the bench runs (q_dedup_jaccard); the
+    * naive inverted index stays oracle-gated under the SAME oracle as
+    * q_dedup_jaccard_naive (bench-excluded), so the driver gate itself
+    * proves the two exact tiers equivalent. */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, threshold: Double = 0.5): DataFrame =
     jaccardPairsPrefixBy(df, idCol, shingleHashes(col(textCol), n), threshold)

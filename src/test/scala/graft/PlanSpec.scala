@@ -290,6 +290,16 @@ class PlanSpec extends AnyFunSuite {
       s"the corpus must never shuffle to meet the candidate set:\n$p")
   }
 
+  test("PPJoin exact Jaccard: candidates from a shingle equi-join, never a product join") {
+    // the benched exact tier (q_dedup_jaccard → jaccardPairsPrefix):
+    // prefix-filtered candidates must come from the sh==sh equi-join
+    // (+ length-ratio post-filters), so the plan may not contain a
+    // cartesian/nested-loop join at any size
+    val p = plan("q_dedup_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "PPJoin candidate generation degenerated to a product join")
+  }
+
   test("IVF contrastive mining: cell equi-join only, no product join") {
     val p = plan("q_sim_contrastive_ivf")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
