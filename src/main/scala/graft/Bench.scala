@@ -23,9 +23,12 @@ object Bench {
     // optional args(0): comma-separated entry names — builder-side
     // iteration on a subset (same convention as Verify's 3rd arg)
     val only = args.headOption.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // benchExcluded applies to FULL runs (the grading artifact); an
+    // explicit subset naming an excluded entry still times it — that is
+    // how its documented worst case gets measured on purpose
     val entries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .filterNot { case (n, _) => SparkEntry.benchExcluded(n) }
+      .filterNot { case (n, _) => only.isEmpty && SparkEntry.benchExcluded(n) }
     // a failed run reports -1, NOT its time-to-failure: a broken entry
     // must be visible in the artifact, never mistaken for a fast one
     def timeOne(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
