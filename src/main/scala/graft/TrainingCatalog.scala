@@ -58,6 +58,27 @@ object TrainingCatalog {
   private val PngSlot =
     new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, DataFrame)]()
 
+  /** One persisted synthetic-PNG corpus per (session, sf dir), shared
+    * by the full-decode and real-resize entries: ImageIO.write of a
+    * BufferedImage per doc with doc_id-derived dims and deterministic
+    * pixels — built once, so the entries time decode/resize, not
+    * corpus synthesis. */
+  private def pngCorpus(s: SparkSession, dir: String): DataFrame =
+    PngSlot.synchronized {
+      Option(PngSlot.get()) match {
+        case Some((`s`, `dir`, df)) => df
+        case prev =>
+          val mkPng = udf((id: Long) =>
+            Multimodal.syntheticPngPixels((id % 41 + 8).toInt, (id * 3 % 41 + 8).toInt, id))
+          val fresh = docs(s, dir)
+            .select(col("doc_id"), mkPng(col("doc_id")).as("png"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          prev.foreach(_._3.unpersist())
+          PngSlot.set((s, dir, fresh))
+          fresh
+      }
+    }
+
   /** One persisted MinHash-LSH pair list per (session, sf dir) for the
     * cluster-resolution entry: discovery is the expensive stage and an
     * index a production run computes once, so warm bench timings measure
@@ -1880,21 +1901,7 @@ object TrainingCatalog {
     // dependent, so only the decoded dims/channels are oracle-stable.
     "q_multimodal_imageio" -> (q((s, dir) => {
       import s.implicits._
-      val cached = PngSlot.synchronized {
-        Option(PngSlot.get()) match {
-          case Some((`s`, `dir`, df)) => df
-          case prev =>
-            val mkPng = udf((id: Long) =>
-              Multimodal.syntheticPngPixels((id % 41 + 8).toInt, (id * 3 % 41 + 8).toInt, id))
-            val fresh = docs(s, dir)
-              .select(col("doc_id"), mkPng(col("doc_id")).as("png"))
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            prev.foreach(_._3.unpersist())
-            PngSlot.set((s, dir, fresh))
-            fresh
-        }
-      }
-      val payloads = cached.as[(Long, Array[Byte])]
+      val payloads = pngCorpus(s, dir).as[(Long, Array[Byte])]
       Multimodal.decodePartitioned(payloads, Multimodal.orStub(Multimodal.ImageIoDecoder))
         .toDF()
         .select(col("id").as("doc_id"), col("width"), col("height"), col("channels"))
@@ -1904,6 +1911,36 @@ object TrainingCatalog {
              CAST(doc_id * 3 % 41 + 8 AS INT) AS height,
              CAST(3 AS INT) AS channels
       FROM documents ORDER BY doc_id""")),
+
+    // REAL pixel resize end-to-end (Multimodal.resizePartitioned — pure
+    // JDK: ImageIO decode → Graphics2D bilinear scale → PNG re-encode,
+    // all inside mapPartitions with zero shuffle): the PNG corpus is
+    // resized to maxSide=24, then the RESIZED payloads are decoded
+    // AGAIN through ImageIoDecoder — so the oracle-checked dims prove
+    // the outputs are valid PNGs of exactly the contract size (floor
+    // division, never upscaling; within-bounds payloads pass through
+    // byte-identical and re-decode at their original dims).
+    "q_multimodal_resize" -> (q((s, dir) => {
+      import s.implicits._
+      val payloads = pngCorpus(s, dir).as[(Long, Array[Byte])]
+      val resized = Multimodal.resizePartitioned(payloads, maxSide = 24)
+      Multimodal.decodePartitioned(
+          resized.map(r => (r.id, r.payload)),
+          Multimodal.orStub(Multimodal.ImageIoDecoder))
+        .toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"))
+    }), Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(doc_id % 41 + 8 AS INT) AS w,
+               CAST(doc_id * 3 % 41 + 8 AS INT) AS h
+        FROM documents)
+      SELECT doc_id,
+             CAST(CASE WHEN greatest(w, h) <= 24 THEN w
+                  ELSE greatest(1, w * 24 // greatest(w, h)) END AS INT) AS width,
+             CAST(CASE WHEN greatest(w, h) <= 24 THEN h
+                  ELSE greatest(1, h * 24 // greatest(w, h)) END AS INT) AS height
+      FROM d ORDER BY doc_id""")),
 
     "q_multimodal_meta" -> (q((s, dir) => {
       val withBin = Multimodal.withPayload(docs(s, dir), "text")

@@ -261,6 +261,59 @@ object Multimodal {
   def orStub(d: Array[Byte] => Option[(Long, Int, Int, Int)]): Array[Byte] => (Long, Int, Int, Int) =
     bytes => d(bytes).getOrElse(StubDecoder(bytes))
 
+  /** REAL image resize, pure JDK (ImageIO decode → Graphics2D bilinear
+    * scale → PNG re-encode; no external codec): scale so the longest
+    * side equals `maxSide`, aspect preserved, NEVER upscaling — a
+    * payload already within bounds passes through byte-identical.
+    * Target dims use FLOOR division, `max(1, side' * maxSide / side)`,
+    * so the contract is integer arithmetic any engine can restate
+    * (Math.round would tie-break differently across engines). None when
+    * no installed ImageIO reader claims the payload — the caller
+    * decides the fallback, exactly like [[ImageIoDecoder]]. */
+  def imageIoResize(bytes: Array[Byte], maxSide: Int): Option[(Array[Byte], Int, Int)] = {
+    require(maxSide > 0, s"maxSide: $maxSide")
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val side = math.max(w, h)
+      if (side <= maxSide) Some((bytes, w, h))
+      else {
+        val rw = math.max(1, w * maxSide / side)
+        val rh = math.max(1, h * maxSide / side)
+        val out = new java.awt.image.BufferedImage(
+          rw, rh, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, rw, rh, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some((bos.toByteArray, rw, rh))
+      }
+    }
+  }
+
+  case class ResizedImage(id: Long, width: Int, height: Int, payload: Array[Byte])
+
+  /** Partition-batched REAL resize over (id, payload) — the same
+    * `mapPartitions` integration seam as [[decodePartitioned]] (codec
+    * state amortizes per partition; at 100 TB the resize rides the scan
+    * with zero shuffle). Unclaimed payloads are DROPPED (a training
+    * pipeline filters undecodable media; keep the meta tier for
+    * inventorying them). */
+  def resizePartitioned(ds: Dataset[(Long, Array[Byte])], maxSide: Int): Dataset[ResizedImage] = {
+    implicit val enc: Encoder[ResizedImage] = Encoders.product[ResizedImage]
+    ds.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        imageIoResize(bytes, maxSide).map { case (p, w, h) => ResizedImage(id, w, h, p) }
+      }
+    }
+  }
+
   /**
    * Partition-batched decode: the per-partition iterator shape a real
    * codec needs (amortized init, bounded memory). Input: (id, payload);

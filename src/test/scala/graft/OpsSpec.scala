@@ -828,6 +828,28 @@ class OpsSpec extends AnyFunSuite {
     assert(dec(1).width === ("junk".getBytes.length % 241 + 16))
   }
 
+  test("imageIoResize: bilinear downscale to floor-division dims; pass-through within bounds") {
+    import graft.ops.Multimodal
+    // 40x30 → maxSide 24: floor division gives (24, 30*24/40=18)
+    val png = Multimodal.syntheticPngPixels(40, 30, seed = 5L)
+    val Some((resized, rw, rh)) = Multimodal.imageIoResize(png, maxSide = 24)
+    assert((rw, rh) === ((24, 18)))
+    // the re-encoded payload is a REAL PNG that decodes at those dims
+    val Some((_, w2, h2, _)) = Multimodal.ImageIoDecoder(resized)
+    assert((w2, h2) === ((24, 18)))
+    // within bounds: byte-identical pass-through, no re-encode
+    val small = Multimodal.syntheticPngPixels(20, 10, seed = 6L)
+    val Some((same, sw, sh)) = Multimodal.imageIoResize(small, maxSide = 24)
+    assert(same eq small)
+    assert((sw, sh) === ((20, 10)))
+    // unclaimed payload → None (caller chooses the fallback)
+    assert(Multimodal.imageIoResize("junk".getBytes, 24).isEmpty)
+    // extreme aspect never collapses below 1px
+    val wide = Multimodal.syntheticPngPixels(400, 2, seed = 7L)
+    val Some((_, ww, wh)) = Multimodal.imageIoResize(wide, maxSide = 24)
+    assert((ww, wh) === ((24, 1)))
+  }
+
   test("heavyHitters: exact above-threshold keys under aggressive MG eviction") {
     import graft.ops.Sketches
     // skewed synthetic stream: 3 heavy keys above the N/k bound, a
