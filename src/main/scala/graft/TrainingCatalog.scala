@@ -1942,6 +1942,33 @@ object TrainingCatalog {
                   ELSE greatest(1, h * 24 // greatest(w, h)) END AS INT) AS height
       FROM d ORDER BY doc_id""")),
 
+    // REAL content-derived feature extraction (Multimodal.channelMeans
+    // — ImageIO decode → per-channel pixel means), oracle-checked
+    // BIT-EXACTLY via a planted solid-color corpus: a mean over w×h
+    // identical 8-bit samples is the sample value itself, exact in
+    // double arithmetic, so the oracle restates the planted color
+    // directly. This is the real tier next to the fakeEmbedding stub
+    // (which hashes bytes without decoding).
+    "q_multimodal_features" -> (q((s, dir) => {
+      val mk = udf((id: Long) => Multimodal.syntheticSolidPng(
+        w = (id % 13 + 4).toInt, h = (id % 7 + 4).toInt,
+        r = (id % 256).toInt, g = (id * 7 % 256).toInt, b = (id * 13 % 256).toInt))
+      val means = udf((bytes: Array[Byte]) =>
+        Multimodal.channelMeans(bytes).map { case (r, g, b) => Seq(r, g, b) }.orNull)
+      docs(s, dir)
+        .select(col("doc_id"), means(mk(col("doc_id"))).as("m"))
+        .select(col("doc_id"),
+          col("m").getItem(0).as("mean_r"),
+          col("m").getItem(1).as("mean_g"),
+          col("m").getItem(2).as("mean_b"))
+        .orderBy("doc_id")
+    }), Some("""
+      SELECT doc_id,
+             CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+             CAST(doc_id * 7 % 256 AS DOUBLE) AS mean_g,
+             CAST(doc_id * 13 % 256 AS DOUBLE) AS mean_b
+      FROM documents ORDER BY doc_id""")),
+
     "q_multimodal_meta" -> (q((s, dir) => {
       val withBin = Multimodal.withPayload(docs(s, dir), "text")
       val meta = Multimodal.imageMeta(col("content"))

@@ -297,6 +297,53 @@ object Multimodal {
     }
   }
 
+  /** REAL feature extraction, pure JDK: decode via ImageIO and compute
+    * per-channel (R, G, B) pixel means — the actual content-derived
+    * feature tier next to the [[fakeEmbedding]] stub (which hashes
+    * bytes without decoding). Means over integer-valued 8-bit samples
+    * are exact in double arithmetic, so a planted solid-color corpus
+    * makes this oracle-checkable bit-for-bit. None when no reader
+    * claims the payload. */
+  def channelMeans(bytes: Array[Byte]): Option[(Double, Double, Double)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else {
+      var r = 0L; var g = 0L; var b = 0L
+      val w = img.getWidth; val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      Some((r.toDouble / n, g.toDouble / n, b.toDouble / n))
+    }
+  }
+
+  /** Solid-color PNG (exact sRGB round-trip) — the planted corpus for
+    * the feature-extraction oracle. */
+  def syntheticSolidPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val rgb = ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   case class ResizedImage(id: Long, width: Int, height: Int, payload: Array[Byte])
 
   /** Partition-batched REAL resize over (id, payload) — the same

@@ -850,6 +850,22 @@ class OpsSpec extends AnyFunSuite {
     assert((ww, wh) === ((24, 1)))
   }
 
+  test("channelMeans: exact on solid color, weighted on a known mix, None on junk") {
+    import graft.ops.Multimodal
+    val solid = Multimodal.syntheticSolidPng(9, 5, r = 200, g = 30, b = 7)
+    assert(Multimodal.channelMeans(solid) === Some((200.0, 30.0, 7.0)))
+    // seeded random pixels: mean must match a direct recompute from the
+    // same decoded image (pins the channel order of the packed int)
+    val rnd = Multimodal.syntheticPngPixels(11, 6, seed = 9L)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rnd))
+    var r = 0L; var n = 0L
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      r += (img.getRGB(x, y) >> 16) & 0xff; n += 1
+    }
+    assert(Multimodal.channelMeans(rnd).get._1 === r.toDouble / n)
+    assert(Multimodal.channelMeans("junk".getBytes).isEmpty)
+  }
+
   test("heavyHitters: exact above-threshold keys under aggressive MG eviction") {
     import graft.ops.Sketches
     // skewed synthetic stream: 3 heavy keys above the N/k bound, a
