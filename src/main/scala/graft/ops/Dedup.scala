@@ -236,12 +236,26 @@ object Dedup {
       .groupBy(col("id"), col("sz"))
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ordered"))
       .select(col("id"), col("sz"),
-        explode(slice(col("ordered"), lit(1), prefLen)).as("p"))
-      .select(col("id"), col("sz"), col("p.sh").as("sh"))
+        posexplode(slice(col("ordered"), lit(1), prefLen)).as(Seq("pos", "p")))
+      .select(col("id"), col("sz"), col("pos"), col("p.sh").as("sh"))
+    // POSITIONAL filter (PPJoin proper, Xiao et al. 2008 §3.2): a match
+    // at 0-based rarity-order positions (i, j) bounds the pair's total
+    // overlap by 1 + min(sz_a−i−1, sz_b−j−1) — valid here in OR-across-
+    // matches form because both lists share ONE global rarity order, so
+    // the pair's globally-first common shingle (which the prefix
+    // property puts inside both prefixes) has every other common
+    // shingle after it on BOTH sides, making its bound ≥ the true
+    // overlap ≥ α = ceil(t/(1+t)·(sz_a+sz_b)); the distinct() keeps a
+    // pair if ANY match passes, so true pairs always survive and only
+    // candidate fan-out is pruned before the exact verification.
+    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("a.sz") + col("b.sz")))
+    val ubound = lit(1) +
+      least(col("a.sz") - col("a.pos") - 1, col("b.sz") - col("b.pos") - 1)
     val cand = pref.as("a").join(pref.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
           col("a.sz") >= lit(threshold) * col("b.sz") &&
-          col("b.sz") >= lit(threshold) * col("a.sz"))
+          col("b.sz") >= lit(threshold) * col("a.sz") &&
+          ubound >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // exact verification per surviving candidate: one array intersect
