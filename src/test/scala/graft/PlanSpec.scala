@@ -193,6 +193,32 @@ class PlanSpec extends AnyFunSuite {
       s"chunkText must be a zero-shuffle projection + generate:\n$p")
   }
 
+  test("real image resize + re-decode ride the scan: no Exchange") {
+    // decode → scale → re-encode → re-decode is mapPartitions all the
+    // way down; at 100 TB the resize must never shuffle payloads
+    val p = plan("q_multimodal_resize")
+    assert(!p.contains("Exchange"),
+      s"resizePartitioned chain must be shuffle-free:\n$p")
+  }
+
+  test("image feature extraction rides the scan except its output sort") {
+    val p = plan("q_multimodal_features")
+    val shuffles = p.split('\n')
+      .count(l => l.contains("Exchange") && !l.contains("Reused") && !l.contains("Broadcast"))
+    // exactly the orderBy's range partition — decode + means are per-row
+    assert(shuffles <= 1, s"feature extraction shuffled beyond its sort:\n$p")
+  }
+
+  test("corpus-frequent stripping: the CLEANING pass is a shuffle-free projection") {
+    // the census (heavyHittersAuto) runs its own bounded actions during
+    // plan construction; the returned frame — what actually scans the
+    // corpus at 100 TB — must be scan + filter/transform + sort only
+    val p = plan("q_text_strip_frequent")
+    val shuffles = p.split('\n')
+      .count(l => l.contains("Exchange") && !l.contains("Reused") && !l.contains("Broadcast"))
+    assert(shuffles <= 1, s"cleaning pass should only shuffle for its output sort:\n$p")
+  }
+
   test("dedup spans: gram occurrence count partially aggregates before its shuffle") {
     val p = plan("q_dedup_spans")
     val lines = p.split('\n').toSeq
