@@ -39,6 +39,11 @@ object native {
   /** Sorted-distinct n-gram shingle hashes over a token array. */
   def shingleHashes(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(tokens), n))
+
+  /** |A ∩ B| over two SORTED-DISTINCT array<long> columns. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedIntersectCount(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }
 
 /** Ordered (index-parallel) dot product of two double arrays. */
@@ -229,6 +234,67 @@ case class SimHash64Expr(child: Expression)
     })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * Intersection SIZE of two sorted-distinct long arrays — the exact-
+ * verification kernel of the set-similarity joins: every surviving
+ * candidate pair pays one |A∩B|, and `size(array_intersect(a, b))`
+ * pays a per-row hash-set build plus a materialized result array the
+ * caller immediately reduces to its length. This is one allocation-free
+ * two-pointer sweep inside whole-stage codegen.
+ *
+ * PRECONDITION: both inputs ascending-sorted and duplicate-free — the
+ * representation [[ShingleHashes]] emits. Unsorted input UNDERCOUNTS
+ * silently; the OpsSpec law pins equality with array_intersect on the
+ * real producer.
+ */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true; case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects two array<long> args")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1L; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; }
+         |  else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /**

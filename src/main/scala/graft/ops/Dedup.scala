@@ -258,14 +258,16 @@ object Dedup {
           ubound >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // exact verification per surviving candidate: one array intersect
-    // over the full (distinct) hash sets — no per-shingle count shuffle
+    // exact verification per surviving candidate: one allocation-free
+    // two-pointer sweep over the sorted-distinct hash sets (native
+    // SortedIntersectCount — ShingleHashes emits them sorted), no
+    // per-shingle count shuffle
     cand
       .join(arr.select(col("id").as("id_a"), col("arr").as("arr_a"),
         col("sz").as("sz_a")), "id_a")
       .join(arr.select(col("id").as("id_b"), col("arr").as("arr_b"),
         col("sz").as("sz_b")), "id_b")
-      .withColumn("common", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("common", native.sortedIntersectCount(col("arr_a"), col("arr_b")))
       .withColumn("jaccard",
         col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")).cast("double"))
       .where(col("jaccard") >= threshold)
@@ -359,7 +361,7 @@ object Dedup {
     cand
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("common", native.sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("common").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"))
       .where(col("jaccard") >= threshold)

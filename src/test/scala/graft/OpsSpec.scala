@@ -275,6 +275,24 @@ class OpsSpec extends AnyFunSuite {
 
   // -- jaccard ------------------------------------------------------------
 
+  test("sortedIntersectCount equals array_intersect size on the real shingle producer") {
+    import graft.functions.native
+    // the law over ShingleHashes output (sorted-distinct by contract) —
+    // cross-join of document shingle sets, both kernels side by side
+    val sh = docs.select(Dedup.shingleHashes(col("text"), 3).as("a"))
+    val pairs = sh.crossJoin(docs.select(Dedup.shingleHashes(col("text"), 3).as("b")))
+    val bad = pairs.where(
+      native.sortedIntersectCount(col("a"), col("b")) =!=
+        size(array_intersect(col("a"), col("b"))).cast("long")).count()
+    assert(bad === 0L)
+    // null propagation
+    val r = docs.limit(1).select(
+      native.sortedIntersectCount(lit(null).cast("array<bigint>"),
+        Dedup.shingleHashes(col("text"), 3)).isNull.as("n"))
+      .head().getBoolean(0)
+    assert(r)
+  }
+
   test("jaccardPairs finds the near-dup and the exact-dup pair") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
