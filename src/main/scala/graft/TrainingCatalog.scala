@@ -169,6 +169,78 @@ object TrainingCatalog {
              CAST(len(toks.t) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
       FROM toks LEFT JOIN agg USING (doc_id) ORDER BY toks.doc_id""")),
 
+    // LINE-level boilerplate removal (CCNet §3.1 / RefinedWeb §3.4): a
+    // line repeated across >= 5 distinct documents is boilerplate and is
+    // cut from every document. The corpus has single-line texts, so the
+    // entry lays each doc out as three lines (varying 40-char head, a
+    // planted promo line shared by doc_id%7, the tail) IN BOTH ENGINES —
+    // scaffolding only; the operator is general. The planted lines are
+    // removed everywhere; heads/tails survive unless genuinely repeated.
+    "q_text_dedup_lines" -> (q((s, dir) => {
+      val threeLine = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          substring(col("text"), 1, 40),
+          concat(lit("promo line "), (col("doc_id") % 7).cast("string")),
+          substring(col("text"), 41, 1000000)).as("text"))
+      TextAnalysis.dedupLines(threeLine, "doc_id", "text", minDocs = 5L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }), Some("""
+      WITH d AS (
+        SELECT doc_id,
+          substr(text, 1, 40) || chr(10) || 'promo line ' || (doc_id % 7)
+            || chr(10) || substr(text, 41) AS text3
+        FROM documents),
+      ln0 AS (SELECT doc_id, string_split(text3, chr(10)) AS L FROM d),
+      ln AS (
+        SELECT doc_id, i - 1 AS pos, L[i] AS line,
+               regexp_replace(lower(trim(L[i])), '\s+', ' ', 'g') AS norm
+        FROM (SELECT doc_id, L, unnest(generate_series(1, len(L))) AS i FROM ln0)),
+      hot AS (SELECT norm FROM ln WHERE norm <> ''
+              GROUP BY norm HAVING count(DISTINCT doc_id) >= 5),
+      kept AS (SELECT doc_id, pos, line FROM ln
+               WHERE norm = '' OR norm NOT IN (SELECT norm FROM hot)),
+      agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id),
+      tot AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY doc_id)
+      SELECT tot.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+             CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+             CAST(tot.n_lines - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+      FROM tot LEFT JOIN agg USING (doc_id) ORDER BY tot.doc_id""")),
+
+    // per-source lexical diversity: type-token ratio — the vocabulary
+    // coverage signal a mixture designer weighs sources by
+    "q_text_type_token" -> (q((s, dir) =>
+      TextAnalysis.typeTokenRatio(docs(s, dir), "source", "text")
+        .orderBy("grp")
+    ), Some("""
+      WITH t AS (
+        SELECT source AS grp,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0)
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT w) AS BIGINT) AS n_distinct,
+             round(count(DISTINCT w)::DOUBLE / count(*), 6) AS ttr
+      FROM t GROUP BY grp ORDER BY grp""")),
+
+    // per-language tokenizer fertility (regex-BPE tokens per whitespace
+    // word): the budgeting metric for multilingual mixtures — CJK text
+    // segments per character under the byte-ish pattern, so zh sits at
+    // chars/word while Latin scripts sit near 1
+    "q_tokenize_fertility" -> (q((s, dir) =>
+      TextAnalysis.tokenizerFertility(docs(s, dir), "lang", "text")
+        .orderBy("grp")
+    ), Some(s"""
+      SELECT lang AS grp,
+             CAST(sum(len(regexp_extract_all(text, '$BpeSql'))) AS BIGINT) AS bpe_tokens,
+             CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS words,
+             round(sum(len(regexp_extract_all(text, '$BpeSql')))::DOUBLE
+                   / sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 6) AS fertility
+      FROM documents GROUP BY lang ORDER BY grp""")),
+
     "q_text_stats" -> (q((s, dir) => {
       val t = col("text")
       docs(s, dir).select(
@@ -1060,6 +1132,26 @@ object TrainingCatalog {
              min(doc_id) AS min_doc, max(doc_id) AS max_doc
       FROM w GROUP BY "window" ORDER BY "window"""")),
 
+    // deterministic EPOCH SHUFFLE: each epoch orders the corpus by
+    // md5(seed:epoch:id) — independent permutations per epoch with no
+    // RNG state, stable as the corpus grows; ranks come from the
+    // distributed two-pass prefix-sum (no single-task window). The entry
+    // runs two epochs and the oracle replays both permutations exactly.
+    "q_pack_epoch_shuffle" -> (q((s, dir) => {
+      val d = docs(s, dir).select("doc_id")
+      graft.ops.Batching.epochShuffle(d, "doc_id", "s42", 0)
+        .unionByName(graft.ops.Batching.epochShuffle(d, "doc_id", "s42", 1))
+        .select(col("doc_id"), col("epoch"), col("shuffle_key"), col("shuffle_rank"))
+        .orderBy("epoch", "shuffle_rank")
+    }), Some("""
+      WITH e AS (SELECT doc_id, ep.epoch FROM documents, (VALUES (0), (1)) AS ep(epoch)),
+      k AS (SELECT doc_id, epoch,
+                   md5('s42:' || epoch || ':' || doc_id) AS shuffle_key FROM e)
+      SELECT doc_id, epoch, shuffle_key,
+             CAST(row_number() OVER (PARTITION BY epoch
+               ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS shuffle_rank
+      FROM k ORDER BY epoch, shuffle_rank""")),
+
     // domain-mixture resampling: per-language quotas under the md5 order
     "q_sample_mixture" -> (q((s, dir) =>
       graft.ops.Sampling.mixtureTake(
@@ -1555,6 +1647,22 @@ object TrainingCatalog {
             FROM s)
       SELECT q_id, rank, n_id, round(sim, 6) AS sim FROM r WHERE rank <= 5
       ORDER BY q_id, rank""")),
+
+    // exact cosine RADIUS search (ε-NN range query): all corpus vectors
+    // within a similarity threshold of each query — broadcast queries,
+    // corpus never shuffles, threshold prunes in the scan stage
+    "q_sim_radius" -> (q((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.radiusSearch(e, e.where(col("vec_id") < 20), minSim = 0.30)
+        .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("q_id", "n_id")
+    }), Some("""
+      WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings WHERE vec_id < 20),
+      c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_vec FROM embeddings),
+      s AS (SELECT q_id, n_id, list_cosine_similarity(q_vec, n_vec) AS sim
+            FROM q, c WHERE q_id <> n_id)
+      SELECT q_id, n_id, round(sim, 6) AS sim FROM s WHERE sim >= 0.30
+      ORDER BY q_id, n_id""")),
 
     // hard-negative mining (contrastive training data prep): per anchor,
     // the top-k most-similar vectors with a DIFFERENT label — brute-force

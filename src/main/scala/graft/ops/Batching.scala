@@ -80,6 +80,24 @@ object Batching {
     spark.createDataFrame(rows, schema).drop("__psv")
   }
 
+  /** Deterministic EPOCH SHUFFLE for training-data ordering: epoch `e`'s
+    * permutation orders rows by `md5("{seed}:{e}:{id}")` —
+    * engine-portable, RNG-state-free, and each epoch an independent
+    * pseudo-random permutation (changing `e` rehashes every key). The
+    * 0-based `shuffle_rank` is a [[prefixSumScaled]] of ones over the
+    * key order — range-partitioned two-pass rank, no single-task window
+    * at any corpus size. Trainers that only need the ORDER (not the
+    * ordinal) can sort by `shuffle_key` directly and skip the rank
+    * pass. */
+  def epochShuffle(df: DataFrame, idCol: String, seed: String, epoch: Int): DataFrame = {
+    val keyed = df
+      .withColumn("epoch", lit(epoch))
+      .withColumn("shuffle_key",
+        md5(concat_ws(":", lit(seed), lit(epoch.toString), col(idCol).cast("string"))))
+    prefixSumScaled(keyed, Seq(col("shuffle_key"), col(idCol)), lit(1L),
+      out = "shuffle_rank")
+  }
+
   /** Sequence-packing offsets for training-batch assembly: order the
     * corpus by the deterministic md5-hash of the id (engine-portable,
     * growth-stable — same rationale as [[Sampling]]), lay documents

@@ -122,6 +122,28 @@ object Similarity {
     topKBySim(scored, k)
   }
 
+  /** Exact cosine RADIUS search (range query): every corpus row whose
+    * cosine similarity to a query row is at least `minSim` — the
+    * "all neighbors within a threshold" companion to [[bruteForceTopK]]
+    * (ε-NN). Same broadcast shape: queries broadcast, the corpus never
+    * shuffles, each pair costs one codegen'd dot product, and the
+    * threshold prunes inside the scan stage so output size tracks the
+    * neighborhood density rather than the corpus. For corpus-sized query
+    * sets, generate candidates from the LSH/IVF buckets instead and keep
+    * the same threshold filter as the verification tier. */
+  def radiusSearch(corpus: DataFrame, queries: DataFrame, minSim: Double,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", sqrt(dot(col("q_vec"), col("q_vec")))))
+    val c = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_vec"))
+      .withColumn("n_norm", sqrt(dot(col("n_vec"), col("n_vec"))))
+    val den = col("q_norm") * col("n_norm")
+    c.crossJoin(q).where(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        when(den =!= 0.0, dot(col("q_vec"), col("n_vec")) / den).as("sim"))
+      .where(col("sim") >= minSim)
+  }
+
   /** Hard-NEGATIVE mining for contrastive training (DPR-style negative
     * selection; Robinson et al. 2021 hard-negative sampling): for each
     * anchor, the k most-similar corpus vectors with a DIFFERENT label —

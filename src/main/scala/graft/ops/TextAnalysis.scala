@@ -495,6 +495,74 @@ object TextAnalysis {
 
   def lines(text: Column): Column = split(text, "\n")
 
+  /** Line-level boilerplate removal (the line-dedup pass of CCNet,
+    * Wenzek et al. 2020 §3.1, and RefinedWeb, Penedo et al. 2023 §3.4):
+    * a non-blank line whose whitespace-normalized lowercase form occurs
+    * in at least `minDocs` DISTINCT documents is boilerplate (headers,
+    * cookie banners, promo footers) and is removed from EVERY document;
+    * surviving lines reassemble in their original order. Blank lines are
+    * never counted or removed (document structure is preserved).
+    * Output: (id, clean_text, n_kept, n_removed).
+    *
+    * Scale: lines explode inside the scan; the census is a distinct on
+    * (line, doc) + one map-side-combined count, both shuffles keyed on
+    * the line; removal is a left_anti join against the hot-line set (AQE
+    * broadcasts it when small — the common case, hot lines are by
+    * definition few — and falls back to a keyed shuffle join otherwise);
+    * reassembly is one groupBy on the doc id. No driver-side state. */
+  def dedupLines(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                 minDocs: Long): org.apache.spark.sql.DataFrame = {
+    require(minDocs >= 2, s"minDocs: $minDocs")
+    val ln = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("norm", regexp_replace(lower(trim(col("line"))), "\\s+", " "))
+    val hot = ln.where(col("norm") =!= "")
+      .select("norm", "id").distinct()
+      .groupBy("norm").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("norm").as("__hot"))
+    val kept = ln.join(hot, col("norm") === col("__hot"), "left_anti")
+    val agg = kept.groupBy("id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x("line"))).as("clean_text"))
+    ln.groupBy("id").agg(count(lit(1)).as("__n_lines"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Corpus lexical diversity per group: type-token ratio (distinct
+    * words / total words, lowercased) — the vocabulary-coverage metric a
+    * data-mixing run compares across sources. One distinct + one count
+    * aggregate, both keyed on the group and map-side combined; blank
+    * documents contribute nothing. */
+  def typeTokenRatio(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = df.where(length(trim(col(textCol))) > 0)
+      .select(col(groupCol).as("grp"), explode(tokens(lower(col(textCol)))).as("w"))
+    t.groupBy("grp").agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("w")).as("n_distinct"))
+      .select(col("grp"), col("n_tokens"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6).as("ttr"))
+  }
+
+  /** Tokenizer fertility per group: regex-BPE tokens per whitespace word
+    * — the tokenizer-efficiency metric a multilingual mixture is budgeted
+    * by (CJK text segments per CHARACTER under the byte-ish pattern, so
+    * zh fertility ≈ chars/word while Latin scripts sit near 1). Pure
+    * column algebra in the scan + one keyed aggregate. */
+  def tokenizerFertility(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                         textCol: String): org.apache.spark.sql.DataFrame =
+    df.groupBy(col(groupCol).as("grp"))
+      .agg(sum(bpeTokenCount(col(textCol))).as("bpe_tokens"),
+        sum(tokenCount(col(textCol))).as("words"))
+      .select(col("grp"), col("bpe_tokens"), col("words"),
+        round(col("bpe_tokens").cast("double") / col("words"), 6).as("fertility"))
+
   /** Fraction of lines that start with a bullet marker (`-` or `*`). */
   def bulletLineFraction(text: Column): Column = {
     val ls = lines(text)

@@ -1308,4 +1308,87 @@ class OpsSpec extends AnyFunSuite {
     assert(e1.forall(_.length == 8))
     assert(e1.forall(_.forall(v => v >= 0.0 && v < 1.0)))
   }
+
+  test("dedupLines removes cross-doc boilerplate, keeps blanks and rare lines") {
+    val corpus = Seq(
+      (1L, "unique opening one\nSubscribe   to our newsletter\n\nbody text one"),
+      (2L, "unique opening two\nsubscribe to our newsletter\nbody text two"),
+      (3L, "subscribe to  our   newsletter\nunique closing three"),
+      (4L, "subscribe to our newsletter"), // ALL lines boilerplate
+      (5L, "nothing shared here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(corpus, "doc_id", "text", minDocs = 3L)
+      .orderBy("id")
+      .select("id", "clean_text", "n_kept", "n_removed")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // the newsletter line normalizes identically (case + ws collapse) in
+    // docs 1-4 -> 4 distinct docs >= 3 -> removed everywhere; blank line
+    // in doc 1 survives (blanks are never censused)
+    assert(out(0) === ((1L, "unique opening one\n\nbody text one", 3L, 1L)))
+    assert(out(1) === ((2L, "unique opening two\nbody text two", 2L, 1L)))
+    assert(out(2) === ((3L, "unique closing three", 1L, 1L)))
+    assert(out(3) === ((4L, "", 0L, 1L)), "fully-boilerplate doc -> empty, still present")
+    assert(out(4) === ((5L, "nothing shared here", 1L, 0L)))
+    // below threshold nothing is removed
+    val none = TextAnalysis.dedupLines(corpus, "doc_id", "text", minDocs = 5L)
+      .agg(sum("n_removed")).as[Long].collect().head
+    assert(none === 0L)
+  }
+
+  test("epochShuffle: each epoch a deterministic permutation, epochs independent") {
+    val ids = (0L until 100L).toDF("id")
+    val e0 = Batching.epochShuffle(ids, "id", "seed", 0)
+      .select("id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    val e0again = Batching.epochShuffle(ids, "id", "seed", 0)
+      .select("id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    val e1 = Batching.epochShuffle(ids, "id", "seed", 1)
+      .select("id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    assert(e0.values.toSeq.sorted === (0L until 100L), "ranks are a permutation")
+    assert(e1.values.toSeq.sorted === (0L until 100L))
+    assert(e0 === e0again, "same (seed, epoch) -> same permutation")
+    assert(e0 !== e1, "different epochs -> different permutations")
+    // growth stability: adding a new id preserves the RELATIVE order of
+    // the existing ids (their keys are unchanged; the insert just shifts
+    // ranks) — the property that lets an epoch plan survive corpus growth
+    val grown = Batching.epochShuffle((0L until 101L).toDF("id"), "id", "seed", 0)
+      .select("id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    val oldOrder = e0.toSeq.sortBy(_._2).map(_._1)
+    val grownOrder = grown.toSeq.sortBy(_._2).map(_._1).filter(_ < 100L)
+    assert(oldOrder === grownOrder)
+  }
+
+  test("radiusSearch: threshold semantics, self-exclusion, agrees with bruteForceTopK") {
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.9, 0.1)), (2L, Array(0.0, 1.0)),
+      (3L, Array(-1.0, 0.0)), (4L, Array(0.7, 0.7))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.radiusSearch(vecs, vecs.where($"vec_id" === 0L), minSim = 0.5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    // cos(0,1)=0.9939, cos(0,4)=0.7071, cos(0,2)=0, cos(0,3)=-1
+    assert(got === Set((0L, 1L), (0L, 4L)))
+    // every radius hit at the top-k cutoff's sim appears in top-k and vice versa
+    val topk = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" === 0L), k = 2)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(topk === got, "k=2 neighbors of q0 are exactly its sim>=0.5 neighborhood")
+  }
+
+  test("typeTokenRatio and tokenizerFertility on crafted groups") {
+    val d = Seq(
+      ("a", "x y x y"), ("a", "x z"), ("b", "w w w w"), ("b", "   "),
+      ("c", "it's 42 ok"), ("zh", "中文 文本")
+    ).toDF("grp0", "text")
+    val ttr = TextAnalysis.typeTokenRatio(d, "grp0", "text")
+      .select("grp", "n_tokens", "n_distinct").as[(String, Long, Long)]
+      .collect().toSet
+    // a: 6 tokens {x,y,z}=3; b: 4 tokens {w}=1 (blank doc contributes 0)
+    assert(ttr.contains(("a", 6L, 3L)) && ttr.contains(("b", 4L, 1L)))
+    val fm = TextAnalysis.tokenizerFertility(d, "grp0", "text")
+      .select("grp", "bpe_tokens", "words").as[(String, Long, Long)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // "it's 42 ok" -> [it, 's, 42, ok] = 4 bpe tokens over 3 words;
+    // CJK: every char its own token -> 4 bpe tokens over 2 words
+    assert(fm("c") === ((4L, 3L)))
+    assert(fm("zh") === ((4L, 2L)))
+    assert(fm("b") === ((4L, 4L)))
+  }
 }
