@@ -1264,6 +1264,40 @@ object QueryCatalog {
         FROM (DESCRIBE SELECT * FROM $t)""").mkString("\nUNION ALL\n")
         + "\nORDER BY table_name, column_name")),
 
+    // =====================================================================
+    // co-located (bucketed) join — the physical design for a REPEATED
+    // fact⋈fact equi-join at 100 TB (pay the shuffle once, at write)
+    // =====================================================================
+    // orders and lineitem are written once per (session, sf dir) as
+    // 16-bucket in-bucket-sorted tables on the order key — the one paid
+    // shuffle; the timed query then joins them with NO Exchange on the
+    // join keys (merge-hinted SortMergeJoin over co-located scans;
+    // PlanSpec pins the contract) and aggregates. The oracle is the
+    // plain relational join — bucketing must not change a single row.
+    "q_bucketed_join" -> (raw((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.ops.Bucketing
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (ot, lt) = (s"graft_buckets.orders_$suffix", s"graft_buckets.lineitem_$suffix")
+      Bucketing.ensureDatabase(s, "graft_buckets", "/tmp/graft_bucketed")
+      if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(lt)) {
+        val load = SparkEntry.loader(s, dir)
+        Bucketing.writeBucketed(load("orders")
+          .select(col("o_orderkey"), col("o_orderpriority")), ot, "o_orderkey", 16)
+        Bucketing.writeBucketed(load("lineitem")
+          .select(col("l_orderkey"), col("l_quantity")), lt, "l_orderkey", 16)
+      }
+      Bucketing.bucketedJoin(s, ot, lt, "o_orderkey", "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }), Some("""
+      SELECT o_orderpriority, count(*) AS n_items,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1 ORDER BY 1""")),
+
     "q_select_star" -> (jx("""{
       "from": "part",
       "select": ["*"],

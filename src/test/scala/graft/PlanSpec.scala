@@ -121,6 +121,18 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_bucketed_join: no Exchange on the join keys; SMJ over co-located scans") {
+    val p = plan("q_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+    // the only allowed exchange is the final groupBy(o_orderpriority)
+    // aggregation; the join keys must never shuffle
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey")
+        && !p.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed join shuffled a join key:\n$p")
+    val exchanges = p.split('\n').count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"expected only the aggregation exchange(s):\n$p")
+  }
+
   test("interval join is an equi-join on (key, bucket), never a nested loop") {
     val p = plan("q_interval_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
