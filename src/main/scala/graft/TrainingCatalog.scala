@@ -800,6 +800,48 @@ object TrainingCatalog {
              CAST(max(pos) + 7 AS BIGINT) AS span_end, count(*) AS n_grams
       FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""")),
 
+    // PASSAGE-level duplication audit: non-overlapping 12-token chunks,
+    // per-doc count of non-canonical duplicated chunks — the fraction a
+    // keep-one passage dedup would cut. Planted-copy oracle: docs < 20
+    // cloned at +100000, so every cloned chunk duplicates (keeper = the
+    // lexicographically-min occurrence) while the base corpus's word
+    // salad contributes whatever genuine repeats it has; the oracle
+    // replays chunking, canonical election, and the per-doc fractions.
+    "q_dedup_passages" -> (q((s, dir) => {
+      val d0 = docs(s, dir).select(col("doc_id"), col("text"))
+      val planted = d0.unionByName(
+        d0.where(col("doc_id") < 20).withColumn("doc_id", col("doc_id") + 100000L))
+      Dedup.passageDupStats(planted, "doc_id", "text", chunkTokens = 12)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }), Some("""
+      WITH d AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
+      toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE greatest(1, (len(regexp_split_to_array(trim(text), '\s+')) + 11) // 12) END AS nc
+        FROM d),
+      ch AS (SELECT doc_id, t, unnest(generate_series(0, nc - 1)) AS k
+             FROM toks WHERE nc > 0),
+      cc AS (SELECT doc_id, k AS chunk_id,
+               regexp_replace(lower(trim(array_to_string(t[k*12+1 : k*12+12], ' '))),
+                              '\s+', ' ', 'g') AS norm
+             FROM ch),
+      g AS (SELECT norm, count(*) AS n_occ, min(doc_id) AS kd FROM cc GROUP BY norm),
+      g2 AS (SELECT cc.norm, min(cc.chunk_id) AS kc
+             FROM cc JOIN g ON cc.norm = g.norm AND cc.doc_id = g.kd
+             GROUP BY cc.norm),
+      mk AS (SELECT cc.doc_id, cc.chunk_id,
+               (g.n_occ > 1 AND NOT (cc.doc_id = g.kd AND cc.chunk_id = g2.kc)) AS dup
+             FROM cc JOIN g ON cc.norm = g.norm JOIN g2 ON cc.norm = g2.norm)
+      SELECT doc_id, count(*) AS n_chunks,
+             CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             round(sum(CASE WHEN dup THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_frac
+      FROM mk GROUP BY doc_id ORDER BY doc_id""")),
+
     // the span-dedup ACTION: cut every duplicated span out of the
     // normalized token stream (Lee et al. 2021 §4)
     "q_dedup_spans_clean" -> (q((s, dir) =>
@@ -1151,6 +1193,29 @@ object TrainingCatalog {
              CAST(row_number() OVER (PARTITION BY epoch
                ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS shuffle_rank
       FROM k ORDER BY epoch, shuffle_rank""")),
+
+    // length-bucketed dynamic batching: power-of-two token-length
+    // buckets (bit-length arithmetic, engine-exact), md5-ordered batches
+    // of 32 within each bucket, per-batch padding-waste accounting —
+    // the batch-assembly shape that bounds padding at 2× per batch
+    "q_pack_length_buckets" -> (q((s, dir) =>
+      graft.ops.Batching.lengthBucketBatches(docs(s, dir), "doc_id", "text",
+          batchSize = 32)
+        .orderBy("bucket", "batch")
+    ), Some("""
+      WITH m AS (
+        SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS ord
+        FROM documents WHERE length(trim(text)) > 0),
+      b AS (SELECT doc_id, n_tok, len(bin(n_tok)) - 1 AS bucket, ord
+            FROM m WHERE n_tok > 0),
+      r AS (SELECT *, row_number() OVER (PARTITION BY bucket
+                        ORDER BY ord, doc_id) - 1 AS rk FROM b)
+      SELECT CAST(bucket AS BIGINT) AS bucket, CAST(rk // 32 AS BIGINT) AS batch,
+             count(*) AS n_docs, CAST(max(n_tok) AS BIGINT) AS max_tok,
+             CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+             CAST(max(n_tok) * count(*) - sum(n_tok) AS BIGINT) AS pad_tok
+      FROM r GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // domain-mixture resampling: per-language quotas under the md5 order
     "q_sample_mixture" -> (q((s, dir) =>

@@ -80,6 +80,35 @@ object Batching {
     spark.createDataFrame(rows, schema).drop("__psv")
   }
 
+  /** Length-bucketed batch assembly ("dynamic batching"): documents are
+    * assigned to power-of-two token-length buckets (bucket =
+    * bit-length(n_tok) − 1 — pure integer arithmetic, engine-portable,
+    * no libm log2), then batched WITHIN each bucket in the deterministic
+    * md5 order, so every batch holds same-magnitude sequences and its
+    * padding waste (n_docs·max − Σ n_tok, padding to the batch max) is
+    * bounded by the bucket's 2× length spread. Returns one row per
+    * BATCH: (bucket, batch, n_docs, max_tok, sum_tok, pad_tok).
+    * Per-bucket ranks come from [[rankWithinScaled]] — no single-task
+    * per-bucket window at any corpus size (≤ ~64 power-of-two buckets,
+    * each potentially huge: exactly the regime the distributed rank
+    * exists for) — followed by one (bucket, batch) aggregate.
+    * Zero-token docs contribute nothing and are excluded. */
+  def lengthBucketBatches(df: DataFrame, idCol: String, textCol: String,
+                          batchSize: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize: $batchSize")
+    val base = df.select(col(idCol).as("id"),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tok"),
+        md5(col(idCol).cast("string")).as("__ord"))
+      .where(col("n_tok") > 0)
+      .withColumn("bucket", (length(bin(col("n_tok"))) - 1).cast("long"))
+    rankWithinScaled(base, "bucket", Seq(col("__ord"), col("id")), out = "__rank")
+      .withColumn("batch", (col("__rank") / batchSize).cast("long"))
+      .groupBy("bucket", "batch")
+      .agg(count(lit(1)).as("n_docs"), max("n_tok").as("max_tok"),
+        sum("n_tok").as("sum_tok"))
+      .withColumn("pad_tok", col("max_tok") * col("n_docs") - col("sum_tok"))
+  }
+
   /** Deterministic EPOCH SHUFFLE for training-data ordering: epoch `e`'s
     * permutation orders rows by `md5("{seed}:{e}:{id}")` —
     * engine-portable, RNG-state-free, and each epoch an independent

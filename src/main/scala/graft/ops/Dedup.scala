@@ -44,6 +44,36 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
+  /** PASSAGE-level duplication audit: chunk each document into fixed
+    * non-overlapping token windows ([[TextAnalysis.chunkText]]), normalize
+    * each chunk, and count — per document — the chunks whose text also
+    * occurs elsewhere in the corpus AND whose occurrence is not the
+    * canonical (lexicographically minimum (id, chunk_id)) copy. `dup_frac`
+    * is exactly the fraction a keep-one passage-dedup pass would cut —
+    * the doc-level statistic repetition filters threshold on.
+    * Output: (id, n_chunks, n_dup, dup_frac).
+    *
+    * Shape at 100 TB: chunks explode inside the scan; ONE map-side-
+    * combined aggregate per normalized chunk (count + lexicographic-min
+    * keeper via min(struct)); the join back shuffles on the chunk text
+    * (AQE handles hot boilerplate chunks); one doc-keyed aggregate
+    * closes. No driver-side state. */
+  def passageDupStats(df: DataFrame, idCol: String, textCol: String,
+                      chunkTokens: Int): DataFrame = {
+    val ch = TextAnalysis.chunkText(df, idCol, textCol, chunkTokens, overlap = 0)
+      .withColumn("norm", regexp_replace(lower(trim(col("chunk_text"))), "\\s+", " "))
+    val groups = ch.groupBy("norm").agg(count(lit(1)).as("n_occ"),
+      min(struct(col("id"), col("chunk_id"))).as("__keep"))
+    ch.join(groups, "norm")
+      .withColumn("__dup", col("n_occ") > 1 &&
+        !(col("__keep.id") === col("id") && col("__keep.chunk_id") === col("chunk_id")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_chunks"), 6))
+  }
+
   // -- duplicated-substring spans (ExactSubstr) ---------------------------
 
   /**

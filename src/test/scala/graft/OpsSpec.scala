@@ -1372,6 +1372,45 @@ class OpsSpec extends AnyFunSuite {
     assert(topk === got, "k=2 neighbors of q0 are exactly its sim>=0.5 neighborhood")
   }
 
+  test("lengthBucketBatches: power-of-two buckets, batch math, padding accounting") {
+    // token counts: 1 -> bucket 0; 2,3 -> bucket 1; 4..7 -> bucket 2
+    val d = Seq(
+      (1L, "a"), (2L, "a b"), (3L, "a b c"),
+      (4L, "a b c d"), (5L, "a b c d e"), (6L, "a b c d e f g"),
+      (7L, ""), (8L, "   ") // zero-token docs excluded
+    ).toDF("doc_id", "text")
+    val out = Batching.lengthBucketBatches(d, "doc_id", "text", batchSize = 2)
+      .orderBy("bucket", "batch")
+      .select("bucket", "batch", "n_docs", "max_tok", "sum_tok", "pad_tok")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(r => (r._1, r._3)).groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      === Map(0L -> 1L, 1L -> 2L, 2L -> 3L))
+    // bucket 2 has 3 docs -> batches of 2 + 1; every batch's padding =
+    // n_docs*max - sum and is < batch max (same power-of-two magnitude)
+    assert(out.count(_._1 == 2L) === 2)
+    out.foreach { case (_, _, n, mx, sm, pad) =>
+      assert(pad === n * mx - sm)
+      assert(pad < mx, s"padding $pad must be below the batch max $mx")
+    }
+  }
+
+  test("passageDupStats: planted chunk copies count against the non-canonical doc") {
+    val w = (1 to 12).map("w" + _).mkString(" ")   // one full 12-token chunk
+    val u = (1 to 12).map("u" + _).mkString(" ")
+    val v = (1 to 12).map("v" + _).mkString(" ")
+    val corpus = Seq(
+      (10L, s"$w $u"),  // chunks: w, u
+      (20L, s"$w $v"),  // w duplicates doc 10's; v unique
+      (30L, v)          // v duplicates doc 20's chunk 1
+    ).toDF("doc_id", "text")
+    val out = Dedup.passageDupStats(corpus, "doc_id", "text", chunkTokens = 12)
+      .orderBy("id").select("id", "n_chunks", "n_dup")
+      .as[(Long, Long, Long)].collect().toSeq
+    // canonical copies: w -> (10,0); v -> (20,1); so doc 10 has 0 dups,
+    // doc 20 one (its w), doc 30 one (its v)
+    assert(out === Seq((10L, 2L, 0L), (20L, 2L, 1L), (30L, 1L, 1L)))
+  }
+
   test("typeTokenRatio and tokenizerFertility on crafted groups") {
     val d = Seq(
       ("a", "x y x y"), ("a", "x z"), ("b", "w w w w"), ("b", "   "),
