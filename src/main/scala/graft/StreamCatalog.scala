@@ -164,6 +164,28 @@ object StreamCatalog {
       SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
       FROM documents ORDER BY 1""")),
 
+    // windowed frequent-items on a stream (the streaming sibling of the
+    // batch heavy-hitters census): per finalized day window, the event
+    // types with >= 60 arrivals. Append mode — a window's counters emit
+    // when the watermark passes its end and are then evicted, so state
+    // is bounded by (open windows × key cardinality) however long the
+    // stream runs; the drained result is the finalized-window prefix,
+    // which is exactly the oracle's HAVING predicate.
+    "q_stream_frequent" -> (raw((s, dir) => {
+      val events = streamRead(s, dir, "events")
+      val freq = Streams.windowedFrequentItems(events, "ts", "event_type",
+        windowLen = "1 day", watermark = "1 hour", minCount = 60L)
+      drain(s, freq, "frequent", OutputMode.Append())
+        .orderBy("window_start", "event_type")
+    }), Some("""
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+      HAVING count(*) >= 60
+         AND window_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+      ORDER BY window_start, event_type""")),
+
     // STREAM-STREAM interval join: views and clicks are two unbounded
     // streams (two streaming reads of the same event file, filtered to
     // disjoint types); each view matches same-user clicks within the

@@ -98,6 +98,25 @@ object Streams {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("n"), col("total"))
 
+  /** Windowed FREQUENT-ITEMS on a stream: per (tumbling event-time
+    * window, key), the arrival count, filtered to the support threshold
+    * `minCount` — the streaming sibling of the batch heavy-hitters
+    * census (`Sketches.heavyHitters`). In Append mode a window's rows
+    * emit once the watermark passes its end, and its counters are then
+    * EVICTED — so state is bounded by (open windows × key cardinality)
+    * however long the stream runs, the property that makes a frequency
+    * census feasible on an unbounded source at all. */
+  def windowedFrequentItems(events: DataFrame, tsCol: String, keyCol: String,
+                            windowLen: String, watermark: String,
+                            minCount: Long): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col(keyCol), col("n"))
+
   /** STREAM-STREAM inner join within an event-time interval: each left
     * row matches right rows with the same key whose timestamp falls in
     * [left.ts, left.ts + `within`] — attribution-style enrichment
