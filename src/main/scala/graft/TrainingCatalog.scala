@@ -800,6 +800,44 @@ object TrainingCatalog {
              CAST(max(pos) + 7 AS BIGINT) AS span_end, count(*) AS n_grams
       FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""")),
 
+    // INCREMENTAL exact dedup: a delta batch deduped against the
+    // existing corpus's content-hash index only (history never
+    // re-scanned — the growing-corpus production shape). The delta
+    // plants both failure modes: clones of indexed docs (+100000 —
+    // caught by the index) and clones of other delta docs (+200000 —
+    // caught by within-delta keep-one); the genuinely-new docs >= 400
+    // survive unless their word-salad content naturally collides.
+    "q_dedup_incremental" -> (q((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val existing = d.where(col("doc_id") < 400)
+      val delta = d.where(col("doc_id") >= 400)
+        .unionByName(d.where(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+        .unionByName(d.where(col("doc_id") >= 400 && col("doc_id") < 410)
+          .withColumn("doc_id", col("doc_id") + 200000L))
+      Dedup.dedupDeltaAgainstIndex(delta, "doc_id", "text",
+          Dedup.hashIndex(existing, "text"))
+        .select(col("doc_id"), col("content_hash"))
+        .orderBy("doc_id")
+    }), Some("""
+      WITH ex AS (
+        SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        FROM documents WHERE doc_id < 400),
+      delta AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= 400
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10
+        UNION ALL
+        SELECT doc_id + 200000, text FROM documents WHERE doc_id >= 400 AND doc_id < 410),
+      dh AS (
+        SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
+        FROM delta),
+      novel AS (
+        SELECT * FROM dh WHERE content_hash NOT IN (SELECT h FROM ex)),
+      keep AS (
+        SELECT content_hash, min(doc_id) AS doc_id FROM novel GROUP BY 1)
+      SELECT doc_id, content_hash FROM keep ORDER BY doc_id""")),
+
     // PASSAGE-level duplication audit: non-overlapping 12-token chunks,
     // per-doc count of non-canonical duplicated chunks — the fraction a
     // keep-one passage dedup would cut. Planted-copy oracle: docs < 20

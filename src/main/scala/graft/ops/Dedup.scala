@@ -44,6 +44,37 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
+  /** Content-hash INDEX of a corpus: one narrow row per distinct
+    * normalized content — the only state incremental dedup carries
+    * between increments (persist/load it like the ANN indexes: a
+    * parquet round-trip of md5 strings is exact). */
+  def hashIndex(df: DataFrame, textCol: String): DataFrame =
+    df.select(contentHash(col(textCol)).as("content_hash")).distinct()
+
+  /** INCREMENTAL exact dedup: dedup a new DELTA batch against an
+    * existing corpus using only its [[hashIndex]] — the production shape
+    * for a continuously-growing corpus, where re-deduping 100 TB of
+    * history per increment is not on the table. A delta row survives iff
+    * its content is novel to the index AND it is the keep-one (minimum
+    * id) copy within the delta itself. Cost tracks the DELTA: one
+    * left_anti join on the hash (the index side is narrow — AQE
+    * broadcasts it while it fits, shuffles it when the corpus has grown
+    * past that) + one keep-one window over delta-only groups. Feed the
+    * survivors through [[extendHashIndex]] for the next increment. */
+  def dedupDeltaAgainstIndex(delta: DataFrame, idCol: String, textCol: String,
+                             index: DataFrame): DataFrame = {
+    val hashed = delta.withColumn("content_hash", contentHash(col(textCol)))
+    val novel = hashed.join(index.select("content_hash"), Seq("content_hash"), "left_anti")
+    val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
+    novel.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** The index after an increment: previous index ∪ the survivors'
+    * hashes (already distinct by keep-one construction). */
+  def extendHashIndex(index: DataFrame, survivors: DataFrame): DataFrame =
+    index.select("content_hash")
+      .unionByName(survivors.select("content_hash")).distinct()
+
   /** PASSAGE-level duplication audit: chunk each document into fixed
     * non-overlapping token windows ([[TextAnalysis.chunkText]]), normalize
     * each chunk, and count — per document — the chunks whose text also

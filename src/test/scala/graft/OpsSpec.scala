@@ -1411,6 +1411,28 @@ class OpsSpec extends AnyFunSuite {
     assert(out === Seq((10L, 2L, 0L), (20L, 2L, 1L), (30L, 1L, 1L)))
   }
 
+  test("incremental dedup: index novelty + within-delta keep-one; index extension") {
+    val existing = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val idx = Dedup.hashIndex(existing, "text")
+    val delta = Seq(
+      (10L, "ALPHA   beta"),   // dup of indexed content (normalized) -> dropped
+      (11L, "epsilon zeta"),   // novel -> survives
+      (12L, "epsilon  ZETA"),  // within-delta dup of 11 -> keep-one drops it
+      (13L, "eta theta")       // novel -> survives
+    ).toDF("doc_id", "text")
+    val surv = Dedup.dedupDeltaAgainstIndex(delta, "doc_id", "text", idx)
+    assert(surv.select("doc_id").as[Long].collect().sorted.toSeq === Seq(11L, 13L))
+    // extending the index makes a re-run of the same delta fully duplicate
+    val idx2 = Dedup.extendHashIndex(idx, surv)
+    assert(idx2.count() === 4)
+    assert(Dedup.dedupDeltaAgainstIndex(delta, "doc_id", "text", idx2).count() === 0)
+    // and the index round-trips parquet exactly (the persistence story)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hidx").toString
+    idx2.write.mode("overwrite").parquet(tmp)
+    val loaded = spark.read.parquet(tmp)
+    assert(Dedup.dedupDeltaAgainstIndex(delta, "doc_id", "text", loaded).count() === 0)
+  }
+
   test("typeTokenRatio and tokenizerFertility on crafted groups") {
     val d = Seq(
       ("a", "x y x y"), ("a", "x z"), ("b", "w w w w"), ("b", "   "),
