@@ -1279,8 +1279,14 @@ object QueryCatalog {
       import graft.ops.Bucketing
       val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
       val (ot, lt) = (s"graft_buckets.orders_$suffix", s"graft_buckets.lineitem_$suffix")
-      Bucketing.ensureDatabase(s, "graft_buckets", "/tmp/graft_bucketed")
+      // pid-keyed DB location + stale-dir sweep: an in-memory catalog
+      // dies with its JVM but managed files do not, and CTAS refuses an
+      // existing location (full-suite JVMs surfaced exactly that)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_bucketed_${ProcessHandle.current().pid()}"
+      Bucketing.ensureDatabase(s, "graft_buckets", root)
       if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(lt)) {
+        Bucketing.clearStaleLocation(s"$root/orders_$suffix")
+        Bucketing.clearStaleLocation(s"$root/lineitem_$suffix")
         val load = SparkEntry.loader(s, dir)
         Bucketing.writeBucketed(load("orders")
           .select(col("o_orderkey"), col("o_orderpriority")), ot, "o_orderkey", 16)

@@ -166,7 +166,8 @@ object StreamCatalog {
 
     // windowed frequent-items on a stream (the streaming sibling of the
     // batch heavy-hitters census): per finalized day window, the event
-    // types with >= 60 arrivals. Append mode — a window's counters emit
+    // types with >= 5 arrivals (a support count that discriminates at
+    // sf0.001, where type-days run 2-15). Append mode — a window's counters emit
     // when the watermark passes its end and are then evicted, so state
     // is bounded by (open windows × key cardinality) however long the
     // stream runs; the drained result is the finalized-window prefix,
@@ -174,7 +175,7 @@ object StreamCatalog {
     "q_stream_frequent" -> (raw((s, dir) => {
       val events = streamRead(s, dir, "events")
       val freq = Streams.windowedFrequentItems(events, "ts", "event_type",
-        windowLen = "1 day", watermark = "1 hour", minCount = 60L)
+        windowLen = "1 day", watermark = "1 hour", minCount = 5L)
       drain(s, freq, "frequent", OutputMode.Append())
         .orderBy("window_start", "event_type")
     }), Some("""
@@ -182,7 +183,7 @@ object StreamCatalog {
              CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
              event_type, count(*) AS n
       FROM events GROUP BY 1, 2, 3
-      HAVING count(*) >= 60
+      HAVING count(*) >= 5
          AND window_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
       ORDER BY window_start, event_type""")),
 

@@ -838,6 +838,53 @@ object TrainingCatalog {
         SELECT content_hash, min(doc_id) AS doc_id FROM novel GROUP BY 1)
       SELECT doc_id, content_hash FROM keep ORDER BY doc_id""")),
 
+    // INCREMENTAL near-dup: the LSH sibling of q_dedup_incremental — a
+    // delta batch's verified near-dup matches against a corpus carried
+    // ONLY as its (band index, shingle sets) state; history text is
+    // never re-scanned. Planted exact copies (+100000, jaccard 1.0)
+    // guarantee cross-boundary matches; the oracle replays the full
+    // exact trigram-Jaccard delta-vs-(index ∪ earlier-delta) pair set
+    // at the 0.5 threshold — the same LSH≡exact recall equality the
+    // batch entry q_dedup_minhash_lsh pins (measured 256/256 at sf0.1).
+    "q_dedup_incremental_lsh" -> (q((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val existing = d.where(col("doc_id") < 300)
+      val delta = d.where(col("doc_id") >= 300)
+        .unionByName(d.where(col("doc_id") < 5)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+      Dedup.nearDupDeltaLsh(delta, "doc_id", "text",
+          Dedup.lshBandIndex(existing, "doc_id", "text"),
+          Dedup.shingleSets(existing, "doc_id", "text"))
+        .orderBy("delta_id", "match_id")
+    }), Some("""
+      WITH d AS (
+        SELECT doc_id, text,
+               CASE WHEN doc_id < 300 THEN 'idx' ELSE 'delta' END AS src
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text, 'delta' FROM documents WHERE doc_id < 5),
+      toks AS (
+        SELECT doc_id, src, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM d WHERE length(trim(text)) > 0),
+      sh AS (
+        SELECT doc_id, src, unnest(list_distinct(
+          [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) AS s
+        FROM toks WHERE len(t) >= 3),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      cop AS (
+        SELECT a.doc_id AS delta_id, b.doc_id AS match_id, count(*) AS common
+        FROM sh a JOIN sh b ON a.s = b.s
+        WHERE a.src = 'delta'
+          AND (b.src = 'idx' OR b.doc_id < a.doc_id)
+        GROUP BY 1, 2)
+      SELECT delta_id, match_id,
+             CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
+      FROM cop
+      JOIN sizes sa ON sa.doc_id = delta_id
+      JOIN sizes sb ON sb.doc_id = match_id
+      WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.5
+      ORDER BY delta_id, match_id""")),
+
     // PASSAGE-level duplication audit: non-overlapping 12-token chunks,
     // per-doc count of non-canonical duplicated chunks — the fraction a
     // keep-one passage dedup would cut. Planted-copy oracle: docs < 20

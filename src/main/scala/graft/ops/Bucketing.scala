@@ -30,6 +30,22 @@ object Bucketing {
   def ensureDatabase(spark: SparkSession, db: String, location: String): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db` LOCATION '$location'")
 
+  /** Remove a stale on-disk managed-table location left behind by an
+    * earlier JVM: an in-memory catalog dies with its session but its
+    * managed files do not, and CTAS refuses to reuse an existing
+    * location. Call when the catalog does NOT know the table but its
+    * location may still hold files. */
+  def clearStaleLocation(path: String): Unit = {
+    val f = new java.io.File(path)
+    if (f.exists()) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(f.toPath)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   /** Persist `df` as a bucketed + in-bucket-sorted parquet table. The
     * repartition aligns task boundaries with bucket boundaries (same
     * Murmur3 hash), so each bucket is exactly one file — the layout the

@@ -398,20 +398,81 @@ object Dedup {
     * loses scan fusion and pays a ~60 MB cache write — cold 3.8→9.5 s.
     * The 3×-projection shape below recomputes shingles inside fused
     * scans, which is cheaper than either alternative on this kernel. */
+  /** (id, band, bh) band-hash rows from an (id, sh) shingle-hash frame —
+    * the narrow banding step shared by the batch pair miners and the
+    * incremental index. */
+  private def bandedSignatures(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    docs.withColumn("sig", native.minhashSig(col("sh"), numHashes, 77L))
+      .select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), j =>
+          struct(j.as("band"), xxhash64(slice(col("sig"), j * r + 1, lit(r))).as("bh")))).as("b"))
+      .select(col("id"), col("b.band"), col("b.bh"))
+  }
+
+  /** (id, sh) word-`n`-gram shingle-hash sets — the verification-side
+    * state of the incremental LSH index (parquet round-trips the long
+    * arrays exactly). */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+
+  /** (id, band, bh) LSH band index of a corpus — with [[shingleSets]],
+    * the complete state incremental NEAR-dup carries between increments
+    * (both persist as parquet; band rows are 3 scalars/row × bands). */
+  def lshBandIndex(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+                   numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    bandedSignatures(shingleSets(df, idCol, textCol, n), numHashes, bands)
+  }
+
+  /** INCREMENTAL near-dup: verified near-duplicate matches of a new
+    * DELTA batch against a corpus carried only as its LSH index
+    * ([[lshBandIndex]] + [[shingleSets]]) — the near-dup sibling of
+    * [[dedupDeltaAgainstIndex]], same production shape: per increment,
+    * history contributes index rows, never a re-scan of its text.
+    *
+    * Returns (delta_id, match_id, jaccard): every delta doc's verified
+    * matches at `threshold`, where a match is any indexed doc or an
+    * EARLIER (smaller-id) delta doc. Delta docs with no row survive;
+    * extend the index with the survivors' band/shingle rows for the next
+    * increment. Candidates meet in ≥1 band bucket (one (band, bh)
+    * shuffle over index ∪ delta bands); only candidates pay the exact
+    * shingle-intersection verification, via the STORED shingle sets. */
+  def nearDupDeltaLsh(delta: DataFrame, idCol: String, textCol: String,
+                      indexBands: DataFrame, indexShingles: DataFrame,
+                      n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val dDocs = shingleSets(delta, idCol, textCol, n)
+    val dBands = bandedSignatures(dDocs, numHashes, bands).withColumn("src", lit("delta"))
+    val allBands = indexBands.select("id", "band", "bh").withColumn("src", lit("idx"))
+      .unionByName(dBands)
+    val cand = dBands.as("a").join(allBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          (col("b.src") === "idx" || col("b.id") < col("a.id")))
+      .select(col("a.id").as("delta_id"), col("b.id").as("match_id"))
+      .dropDuplicates("delta_id", "match_id")
+    val allSh = indexShingles.select("id", "sh").unionByName(dDocs)
+    cand
+      .join(allSh.select(col("id").as("delta_id"), col("sh").as("sh_a")), "delta_id")
+      .join(allSh.select(col("id").as("match_id"), col("sh").as("sh_b")), "match_id")
+      .withColumn("common", native.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("delta_id"), col("match_id"), col("jaccard"))
+  }
+
   private def minhashLshPairsBy(df: DataFrame, idCol: String, shingles: Column,
                                 numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     val docs = df.select(col(idCol).as("id"), shingles.as("sh"))
       .where(size(col("sh")) > 0)
 
     // banding stays NARROW (id, band, bh): the ×bands explosion and the
     // candidate shuffle never carry the shingle arrays
-    val banded = docs.withColumn("sig", native.minhashSig(col("sh"), numHashes, 77L))
-      .select(col("id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)), j =>
-          struct(j.as("band"), xxhash64(slice(col("sig"), j * r + 1, lit(r))).as("bh")))).as("b"))
-      .select(col("id"), col("b.band"), col("b.bh"))
+    val banded = bandedSignatures(docs, numHashes, bands)
 
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
