@@ -560,6 +560,39 @@ object NestedCatalog {
       FROM news
       ORDER BY o_orderkey""")),
 
+    // TIME TRAVEL over the FactStore's copy-on-write snapshots: insert
+    // (v1) → predicate update adds a column (v2) → delete (v3); the
+    // entry reads v1 AND the current version side by side — historical
+    // snapshots stay intact because mutations never write in place (the
+    // VERSION AS OF contract). The oracle replays both states.
+    "q_container_time_travel" -> (q((s, dir) => {
+      val tmp = freshScratch("graft_q_container_tt")
+      val store = new graft.container.FactStore(s, "orders_tt", tmp)
+      val orders = SparkEntry.loader(s, dir)("orders")
+        .select("o_orderkey", "o_totalprice").where(col("o_orderkey") <= 2000)
+      store.insert(orders)
+      store.update("""{"gt": {"o_totalprice": 300000}}""",
+        Map("size_flag" -> """{"literal": "BIG"}"""))
+      store.delete("""{"eq": [{"mod": ["o_orderkey", 7]}, 0]}""")
+      val v1 = store.dataFrameAt(1).withColumn("version", lit(1))
+        .withColumn("size_flag", lit(null).cast("string"))
+      val vN = store.dataFrameAt(store.versions.max).withColumn("version", lit(3))
+      v1.unionByName(vN)
+        .select("version", "o_orderkey", "o_totalprice", "size_flag")
+        .orderBy("version", "o_orderkey")
+    }), Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 2000),
+      v3 AS (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_totalprice > 300000 THEN 'BIG' END AS size_flag
+        FROM base WHERE NOT (o_orderkey % 7 = 0))
+      SELECT 1 AS version, o_orderkey, o_totalprice,
+             CAST(NULL AS VARCHAR) AS size_flag FROM base
+      UNION ALL
+      SELECT 3, o_orderkey, o_totalprice, size_flag FROM v3
+      ORDER BY version, o_orderkey""")),
+
     // deep (nested) update rewrite (reference insert_table.py:83-149):
     // dot-path `lineitems.l_quantity` rewrites the child FIELD on
     // matching parents (the expression sees the child's fields), then a

@@ -87,6 +87,21 @@ class FactStore(val spark: SparkSession, val name: String, dir: Path) extends Co
 
   def isEmpty: Boolean = currentVersion == 0
 
+  /** Snapshot versions on disk, ascending — mutations never delete
+    * prior snapshots, so the full history is addressable. */
+  def versions: Seq[Int] = 1 to currentVersion
+
+  /** TIME TRAVEL: read snapshot `v` exactly as written. Every mutation
+    * is copy-on-write (a new `v{n}` dir + marker advance), so historical
+    * versions stay intact and readable — the `VERSION AS OF` contract
+    * Delta/Iceberg formalize, available here because the store never
+    * mutates in place. */
+  def dataFrameAt(v: Int): DataFrame = {
+    require(v >= 1 && v <= currentVersion,
+      s"version $v out of range 1..$currentVersion")
+    spark.read.parquet(dir.resolve(s"v$v").toString)
+  }
+
   private def writeSnapshot(df: DataFrame): Unit = {
     val next = currentVersion + 1
     df.write.mode("overwrite").parquet(dir.resolve(s"v$next").toString)

@@ -513,8 +513,10 @@ object TextAnalysis {
   def dedupLines(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                  minDocs: Long): org.apache.spark.sql.DataFrame = {
     require(minDocs >= 2, s"minDocs: $minDocs")
+    // null text normalizes to "" (a generator over null would emit no
+    // rows and silently DROP the document from the output)
     val ln = df.select(col(idCol).as("id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+        posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "line")))
       .withColumn("norm", regexp_replace(lower(trim(col("line"))), "\\s+", " "))
     val hot = ln.where(col("norm") =!= "")
       .select("norm", "id").distinct()

@@ -104,6 +104,26 @@ class ContainerSpec extends AnyFunSuite {
     assert(cleared.toSeq === Seq(true, false))
   }
 
+  test("time travel: every snapshot stays readable exactly as written") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_tt")
+    val store = new FactStore(spark, "tt", dir)
+    store.insert(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "score"))     // v1
+    store.update("""{"eq": {"id": 1}}""",
+      Map("score" -> """{"literal": 99.0}"""))                        // v2
+    store.delete("""{"eq": {"id": 2}}""")                             // v3
+    assert(store.versions === (1 to 3))
+    assert(store.dataFrameAt(1).orderBy("id").as[(Long, Double)].collect().toSeq
+      === Seq((1L, 10.0), (2L, 20.0)))
+    assert(store.dataFrameAt(2).orderBy("id").as[(Long, Double)].collect().toSeq
+      === Seq((1L, 99.0), (2L, 20.0)))
+    assert(store.dataFrameAt(3).as[(Long, Double)].collect().toSeq === Seq((1L, 99.0)))
+    assert(store.dataFrame.as[(Long, Double)].collect().toSeq === Seq((1L, 99.0)),
+      "current = latest snapshot")
+    intercept[IllegalArgumentException] { store.dataFrameAt(0) }
+    intercept[IllegalArgumentException] { store.dataFrameAt(4) }
+  }
+
   test("nest migration: a column seen as scalar then array is promoted") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_nest")
