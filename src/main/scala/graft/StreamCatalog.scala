@@ -164,6 +164,33 @@ object StreamCatalog {
       SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
       FROM documents ORDER BY 1""")),
 
+    // exact-dedup on ingest AGAINST AN EXISTING CORPUS: the streaming
+    // form of the incremental-dedup production shape — the static
+    // content-hash index (docs < 300) drops already-known arrivals via
+    // a stream-static left_anti, then watermark-bounded state drops
+    // within-stream repeats. The drained survivor set must equal the
+    // batch replay: distinct delta hashes not in the index.
+    "q_stream_dedup_incremental" -> (raw((s, dir) => {
+      val base = SparkEntry.loader(s, dir)("documents")
+      val index = graft.ops.Dedup.hashIndex(base.where(col("doc_id") < 300), "text")
+      val delta = streamRead(s, dir, "documents")
+        .where(col("doc_id") >= 300)
+        .withColumn("ts", timestamp_seconds(col("doc_id") + lit(86400L)))
+      val kept = Streams.dedupStreamAgainstIndex(delta, "text", "ts",
+          delay = "7 days", index = index)
+        .select(col("content_hash"))
+      drain(s, kept, "dedup_incr", OutputMode.Append())
+        .orderBy("content_hash")
+    }), Some("""
+      WITH idx AS (
+        SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        FROM documents WHERE doc_id < 300)
+      SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
+      FROM documents
+      WHERE doc_id >= 300
+        AND md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) NOT IN (SELECT h FROM idx)
+      ORDER BY 1""")),
+
     // windowed frequent-items on a stream (the streaming sibling of the
     // batch heavy-hitters census): per finalized day window, the event
     // types with >= 5 arrivals (a support count that discriminates at

@@ -43,6 +43,20 @@ object Streams {
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
 
+  /** Exact-dedup ON INGEST against an existing corpus: the streaming
+    * form of `Dedup.dedupDeltaAgainstIndex` — arriving docs drop when
+    * their content hash is already in the STATIC index (stream-static
+    * left_anti, the index re-read per micro-batch so a growing index
+    * file is picked up), then within-stream duplicates drop via
+    * watermark-bounded hash state. History is never re-scanned; state
+    * is the index (disk) + the watermark horizon's hashes (memory). */
+  def dedupStreamAgainstIndex(docs: DataFrame, textCol: String, tsCol: String,
+                              delay: String, index: DataFrame): DataFrame =
+    docs.withColumn("content_hash", graft.ops.Dedup.contentHash(col(textCol)))
+      .join(index.select("content_hash"), Seq("content_hash"), "left_anti")
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Micro-batch snowflake assembly: the fact stream is joined/nested
     * against static dimension tables per `plan` and handed to `sink`
     * (e.g. a partitioned NDJSON writer + notification). */
