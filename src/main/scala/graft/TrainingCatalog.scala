@@ -885,6 +885,79 @@ object TrainingCatalog {
       WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.5
       ORDER BY delta_id, match_id""")),
 
+    // the INCREMENTAL ingestion pipeline, end to end: a delta batch
+    // passes (1) exact dedup against the corpus's content-hash index
+    // (catches the planted +100000 clones-of-indexed and +200000
+    // within-delta clones), then (2) near-dup dedup against the LSH
+    // index (catches the corpus's natural non-exact near-dups), then
+    // (3) BPE token accounting for the budget ledger — the
+    // continuous-ingestion production shape: per increment, history
+    // contributes only its indexes, never a re-scan. The oracle replays
+    // all three stages relationally.
+    "q_pipeline_incremental" -> (q((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val existing = d.where(col("doc_id") < 300)
+      val delta = d.where(col("doc_id") >= 300)
+        .unionByName(d.where(col("doc_id") < 5)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+        .unionByName(d.where(col("doc_id") >= 300 && col("doc_id") < 305)
+          .withColumn("doc_id", col("doc_id") + 200000L))
+      val surv1 = Dedup.dedupDeltaAgainstIndex(delta, "doc_id", "text",
+        Dedup.hashIndex(existing, "text"))
+      val dropped = Dedup.nearDupDeltaLsh(surv1.select("doc_id", "text"),
+          "doc_id", "text",
+          Dedup.lshBandIndex(existing, "doc_id", "text"),
+          Dedup.shingleSets(existing, "doc_id", "text"))
+        .select(col("delta_id").as("doc_id")).distinct()
+      surv1.join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("content_hash"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id")
+    }), Some("""
+      WITH ex AS (
+        SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        FROM documents WHERE doc_id < 300),
+      delta AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= 300
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id < 5
+        UNION ALL
+        SELECT doc_id + 200000, text FROM documents WHERE doc_id >= 300 AND doc_id < 305),
+      dh AS (
+        SELECT doc_id, text,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
+        FROM delta),
+      novel AS (SELECT * FROM dh WHERE content_hash NOT IN (SELECT h FROM ex)),
+      keep AS (SELECT content_hash, min(doc_id) AS doc_id FROM novel GROUP BY 1),
+      surv1 AS (
+        SELECT k.doc_id, k.content_hash, n.text
+        FROM keep k JOIN novel n ON n.doc_id = k.doc_id AND n.content_hash = k.content_hash),
+      side AS (
+        SELECT doc_id, text, 'idx' AS src FROM documents WHERE doc_id < 300
+        UNION ALL SELECT doc_id, text, 'delta' FROM surv1),
+      toks AS (
+        SELECT doc_id, src, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM side WHERE length(trim(text)) > 0),
+      sh AS (
+        SELECT doc_id, src, unnest(list_distinct(
+          [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) AS s
+        FROM toks WHERE len(t) >= 3),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      cop AS (
+        SELECT a.doc_id AS delta_id, b.doc_id AS match_id, count(*) AS common
+        FROM sh a JOIN sh b ON a.s = b.s
+        WHERE a.src = 'delta' AND (b.src = 'idx' OR b.doc_id < a.doc_id)
+        GROUP BY 1, 2),
+      dropped AS (
+        SELECT DISTINCT delta_id FROM cop
+        JOIN sizes sa ON sa.doc_id = delta_id
+        JOIN sizes sb ON sb.doc_id = match_id
+        WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.5)
+      SELECT doc_id, content_hash,
+             CAST(len(regexp_extract_all(text, '__BPE__')) AS BIGINT) AS n_bpe
+      FROM surv1 WHERE doc_id NOT IN (SELECT delta_id FROM dropped)
+      ORDER BY doc_id""".replace("__BPE__", BpeSql))),
+
     // PASSAGE-level duplication audit: non-overlapping 12-token chunks,
     // per-doc count of non-canonical duplicated chunks — the fraction a
     // keep-one passage dedup would cut. Planted-copy oracle: docs < 20
