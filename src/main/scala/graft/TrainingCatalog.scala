@@ -2200,6 +2200,30 @@ object TrainingCatalog {
     // Column-algebra wavMeta parser (the audio sibling of the BMP/PNG
     // check above). data length = byteRate x whole seconds, so the
     // duration division is exact in both engines.
+    // REAL audio SAMPLE parse (not just the header): 16-bit PCM square
+    // waves with doc_id-derived amplitude; pcm16Stats reads the actual
+    // sample bytes and the oracle pins peak and rms to the planted
+    // amplitude EXACTLY (every sample is ±A, and sqrt(A²) is correctly
+    // rounded) — a wrong byte order, offset, or width cannot pass.
+    "q_multimodal_audio" -> (q((s, dir) => {
+      import s.implicits._
+      val mkWav = udf((id: Long) => Multimodal.syntheticWavSquare(
+        rate = 16000, amplitude = (1000 + (id % 7) * 2000).toShort,
+        halfPeriod = (1 + id % 4).toInt, nSamples = 4800))
+      val payload = docs(s, dir)
+        .select(col("doc_id"), mkWav(col("doc_id")).as("wav"))
+        .as[(Long, Array[Byte])]
+      Multimodal.pcmStatsPartitioned(payload).toDF()
+        .select(col("id").as("doc_id"), col("nSamples").as("n_samples"),
+          col("peakAbs").as("peak_abs"),
+          sqrt(col("sumSq").cast("double") / col("nSamples")).as("rms"))
+        .orderBy("doc_id")
+    }), Some("""
+      SELECT doc_id, CAST(4800 AS BIGINT) AS n_samples,
+             CAST(1000 + (doc_id % 7) * 2000 AS INT) AS peak_abs,
+             CAST(1000 + (doc_id % 7) * 2000 AS DOUBLE) AS rms
+      FROM documents ORDER BY doc_id""")),
+
     "q_multimodal_wav" -> (q((s, dir) => {
       val mkWav = udf((id: Long) => Multimodal.syntheticWav(
         rate = (8000 + (id % 5) * 8000).toInt,

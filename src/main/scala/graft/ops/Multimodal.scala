@@ -213,6 +213,60 @@ object Multimodal {
     bb.array()
   }
 
+  /** 16-bit mono square-wave WAV (±amplitude alternating every
+    * `halfPeriod` samples) — the content-derived planted corpus for the
+    * sample-parse oracle: every sample is ±A, so peak = A and
+    * rms = sqrt(Σs²/n) = A exactly (A² is integer-exact in a double and
+    * sqrt is correctly rounded). */
+  def syntheticWavSquare(rate: Int, amplitude: Short, halfPeriod: Int,
+                         nSamples: Int): Array[Byte] = {
+    val wav = syntheticWav(rate, 1, 16, nSamples * 2)
+    val bb = java.nio.ByteBuffer.wrap(wav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < nSamples) {
+      val v: Short = if ((i / halfPeriod) % 2 == 0) amplitude else (-amplitude).toShort
+      bb.putShort(44 + 2 * i, v); i += 1
+    }
+    wav
+  }
+
+  /** REAL 16-bit-PCM sample parse of a canonical WAV's data chunk:
+    * (sample count, peak |amplitude|, Σ sample²) — the integer moments
+    * loudness features derive from (rms = sqrt(sumSq/n)). None for
+    * non-WAV or non-16-bit payloads. The audio analogue of
+    * [[channelMeans]]: features read from CONTENT bytes, not the
+    * header. */
+  def pcm16Stats(bytes: Array[Byte]): Option[(Long, Int, Long)] = {
+    if (bytes.length < 44 ||
+        !(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')) None
+    else {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (bb.getShort(34) != 16) None
+      else {
+        val n = math.min(bb.getInt(40), bytes.length - 44) / 2
+        var i = 0; var peak = 0; var ss = 0L
+        while (i < n) {
+          val s = bb.getShort(44 + 2 * i).toInt
+          val a = math.abs(s); if (a > peak) peak = a
+          ss += s.toLong * s; i += 1
+        }
+        Some((n.toLong, peak, ss))
+      }
+    }
+  }
+
+  case class PcmStats(id: Long, nSamples: Long, peakAbs: Int, sumSq: Long)
+
+  /** Partition-batched PCM stats — same iterator shape as
+    * [[decodePartitioned]] (payloads never shuffle; stats project out
+    * inside the scan stage's tasks). */
+  def pcmStatsPartitioned(ds: Dataset[(Long, Array[Byte])]): Dataset[PcmStats] = {
+    implicit val enc: Encoder[PcmStats] = Encoders.product[PcmStats]
+    ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      pcm16Stats(bytes).map { case (n, p, ss) => PcmStats(id, n, p, ss) }
+    })
+  }
+
   /** JVM-side BMP decoder for the partition-batched path. */
   val BmpDecoder: Array[Byte] => Option[(Long, Int, Int, Int)] = bytes => {
     if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') None

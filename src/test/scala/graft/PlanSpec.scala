@@ -133,6 +133,12 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected only the aggregation exchange(s):\n$p")
   }
 
+  test("incremental near-dup: band candidates via equi-join, never a product join") {
+    val p = plan("q_pipeline_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental near-dup fell back to a product join:\n$p")
+  }
+
   test("interval join is an equi-join on (key, bucket), never a nested loop") {
     val p = plan("q_interval_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
