@@ -203,8 +203,15 @@ object StreamCatalog {
       val events = streamRead(s, dir, "events")
       val freq = Streams.windowedFrequentItems(events, "ts", "event_type",
         windowLen = "1 day", watermark = "1 hour", minCount = 5L)
-      drain(s, freq, "frequent", OutputMode.Append())
+      // (window, key) cardinality is tiny — state partition count is a
+      // per-query knob (frozen into the checkpoint); size it to the
+      // stream like q_stream_join does instead of paying 32 partitions
+      // of state-store commits per micro-batch
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try drain(s, freq, "frequent", OutputMode.Append())
         .orderBy("window_start", "event_type")
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }), Some("""
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
              CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
