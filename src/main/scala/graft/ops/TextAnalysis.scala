@@ -495,6 +495,20 @@ object TextAnalysis {
 
   def lines(text: Column): Column = split(text, "\n")
 
+  /** Unicode NFC normalization (canonical composition) — the
+    * preprocessing step a multilingual corpus needs BEFORE any
+    * hash-keyed operator above: the same text arrives composed and
+    * decomposed from different sources, and every content hash, shingle
+    * set, and census key treats the two encodings as different
+    * documents. A UDF by necessity (Spark has no normalization
+    * built-in — the same justification tier as the BPE encoder);
+    * java.text.Normalizer is JDK-standard, locale-independent, and
+    * engine-agrees with DuckDB's nfc_normalize. */
+  val nfcNormalize: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+
   /** Line-level boilerplate removal (the line-dedup pass of CCNet,
     * Wenzek et al. 2020 §3.1, and RefinedWeb, Penedo et al. 2023 §3.4):
     * a non-blank line whose whitespace-normalized lowercase form occurs

@@ -1433,6 +1433,33 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.dedupDeltaAgainstIndex(delta, "doc_id", "text", loaded).count() === 0)
   }
 
+  test("nearDupDeltaLsh ≡ batch LSH pairs restricted to delta-involving pairs") {
+    def doc(id: Long, words: Seq[String]) = (id, words.mkString(" "))
+    val a = Seq.tabulate(14)(i => s"a$i")
+    val existing = Seq(
+      doc(1L, a), doc(2L, Seq.tabulate(14)(i => s"b$i")),
+      doc(3L, Seq.tabulate(14)(i => s"c$i"))).toDF("doc_id", "text")
+    val delta = Seq(
+      doc(10L, a.updated(13, "zz")),              // near-dup of 1 (j=10/14)
+      doc(12L, a.updated(13, "zz").updated(12, "yy")), // near-dup of 1 AND 10
+      doc(13L, Seq.tabulate(14)(i => s"d$i"))     // unique
+    ).toDF("doc_id", "text")
+    val got = Dedup.nearDupDeltaLsh(delta, "doc_id", "text",
+        Dedup.lshBandIndex(existing, "doc_id", "text"),
+        Dedup.shingleSets(existing, "doc_id", "text"))
+      .select("delta_id", "match_id").as[(Long, Long)].collect().toSet
+    // the batch miner over existing ∪ delta, restricted to pairs with a
+    // delta member, normalized to (delta-or-larger id, other id)
+    val deltaIds = Set(10L, 12L, 13L)
+    val want = Dedup.minhashLshPairs(existing.unionByName(delta), "doc_id", "text",
+        n = 3, numHashes = 128, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .filter { case (x, y) => deltaIds(x) || deltaIds(y) }
+      .map { case (x, y) => if (deltaIds(y)) (y, x) else (x, y) }.toSet
+    assert(got === want)
+    assert(got === Set((10L, 1L), (12L, 1L), (12L, 10L)))
+  }
+
   test("typeTokenRatio and tokenizerFertility on crafted groups") {
     val d = Seq(
       ("a", "x y x y"), ("a", "x z"), ("b", "w w w w"), ("b", "   "),
