@@ -391,6 +391,48 @@ object NestedCatalog {
              count(*) AS n_docs, CAST(max(o_orderkey) AS BIGINT) AS last_id
       FROM f GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // CONTENT round-trip of the NDJSON sink: the nested docs the extract
+    // wrote are read back IN FULL (gzip NDJSON → explicit nested schema)
+    // and flattened — every parent field and child row must survive the
+    // write/read cycle, the consumer-side fidelity check q_etl_extract's
+    // id-only inventory doesn't make. Doubles round-trip because Spark's
+    // JSON writer emits shortest-round-trip representations.
+    "q_etl_roundtrip" -> (q((s, dir) => {
+      import org.apache.spark.sql.types._
+      val tmp = freshScratch("graft_q_etl_rt")
+      val base = SparkEntry.loader(s, dir)
+      val bounded: String => DataFrame = n =>
+        if (n == "orders") base(n).where(col("o_orderdate") < lit("1995-02-01")) else base(n)
+      val cfg = graft.etl.ExtractConfig(
+        ordersPlan, timeField = Some(("o_orderdate", graft.etl.DurationUnit.Month)),
+        idField = "o_orderkey", batchSize = 100,
+        start = java.time.Instant.parse("1995-01-01T00:00:00Z"),
+        destination = tmp.resolve("out").toString,
+        lastFile = tmp.resolve("last.json"))
+      graft.etl.Extract.run(s, cfg, bounded)
+      val schema = new StructType()
+        .add("orders", new StructType()
+          .add("o_orderkey", LongType).add("o_custkey", LongType)
+          .add("o_orderstatus", StringType).add("o_totalprice", DoubleType)
+          .add("lineitems", ArrayType(new StructType()
+            .add("l_linenumber", IntegerType).add("l_quantity", DoubleType))))
+      s.read.schema(schema).json(cfg.destination)
+        .select(col("orders.o_orderkey").as("o_orderkey"),
+          col("orders.o_custkey").as("o_custkey"),
+          col("orders.o_orderstatus").as("o_orderstatus"),
+          col("orders.o_totalprice").as("o_totalprice"),
+          explode_outer(col("orders.lineitems")).as("li"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("li.l_linenumber").cast("long").as("line"),
+          col("li.l_quantity").as("qty"))
+        .orderBy("o_orderkey", "line")
+    }), Some("""
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+             CAST(l.l_linenumber AS BIGINT) AS line, l.l_quantity AS qty
+      FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate < DATE '1995-02-01'
+      ORDER BY o_orderkey, line""")),
+
     // RESUME through the oracle gate: TWO sequential one-month extracts
     // into the SAME destination + watermark file — the second run's
     // keyset filter starts from the recorded watermark, its Feb bucket
