@@ -2247,6 +2247,34 @@ object TrainingCatalog {
     // Column-algebra wavMeta parser (the audio sibling of the BMP/PNG
     // check above). data length = byteRate x whole seconds, so the
     // duration division is exact in both engines.
+    // PERCEPTUAL image hash (aHash) with REAL decode: two-tone and
+    // solid PNGs whose 8×8 area-averages are exactly one tone per cell,
+    // so the 64-bit hashes are hand-derived constants (bright-left →
+    // rows of 0xF0, bright-right → rows of 0x0F, solid → 0: nothing
+    // exceeds the strict mean) — a wrong cell order, threshold, or
+    // grayscale formula cannot pass. Near-dup pairing composes with the
+    // same Hamming banding the SimHash text tier uses.
+    "q_multimodal_phash" -> (q((s, dir) => {
+      import s.implicits._
+      val mkImg = udf((id: Long) => (id % 3) match {
+        case 0 => Multimodal.syntheticHalfPng(16, 16, 200, 200, 200, 50, 50, 50)
+        case 1 => Multimodal.syntheticHalfPng(16, 16, 50, 50, 50, 200, 200, 200)
+        case _ => Multimodal.syntheticSolidPng(16, 16, 120, 120, 120)
+      })
+      val payload = docs(s, dir)
+        .select(col("doc_id"), mkImg(col("doc_id")).as("png"))
+        .as[(Long, Array[Byte])]
+      Multimodal.aHashPartitioned(payload).toDF()
+        .select(col("id").as("doc_id"), col("ahash"))
+        .orderBy("doc_id")
+    }), Some("""
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN CAST(-1085102592571150096 AS BIGINT)
+               WHEN 1 THEN CAST(1085102592571150095 AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS ahash
+      FROM documents ORDER BY doc_id""")),
+
     // REAL audio SAMPLE parse (not just the header): 16-bit PCM square
     // waves with doc_id-derived amplitude; pcm16Stats reads the actual
     // sample bytes and the oracle pins peak and rms to the planted

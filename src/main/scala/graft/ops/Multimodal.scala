@@ -255,6 +255,83 @@ object Multimodal {
     }
   }
 
+  /** PERCEPTUAL image hash (average hash): decode, area-average to an
+    * 8×8 grayscale grid (explicit integer block means — deterministic
+    * and engine-free, unlike interpolated scaling), threshold each cell
+    * against the grid mean (strict >), bit 0 = MSB in row-major order.
+    * Near-duplicate images differ in few bits; pair them with the same
+    * Hamming banding [[graft.ops.Dedup.simhashPairs]] uses for text.
+    * None for undecodable or sub-8×8 payloads. */
+  def aHash64(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val cells = new Array[Long](64)
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          val x0 = cx * w / 8; val x1 = (cx + 1) * w / 8
+          val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+          var sum = 0L; var n = 0L; var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val p = img.getRGB(x, y)
+              sum += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          cells(cy * 8 + cx) = sum / n
+          cx += 1
+        }
+        cy += 1
+      }
+      val mean = cells.sum / 64
+      var hash = 0L; var i = 0
+      while (i < 64) { if (cells(i) > mean) hash |= (1L << (63 - i)); i += 1 }
+      Some(hash)
+    }
+  }
+
+  case class AHash(id: Long, ahash: Long)
+
+  /** Partition-batched perceptual hashing — same iterator shape as
+    * [[decodePartitioned]]. */
+  def aHashPartitioned(ds: Dataset[(Long, Array[Byte])]): Dataset[AHash] = {
+    implicit val enc: Encoder[AHash] = Encoders.product[AHash]
+    ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      aHash64(bytes).map(AHash(id, _))
+    })
+  }
+
+  /** Two-tone PNG (left half one color, right half another) — the
+    * planted corpus for the perceptual-hash oracle: clean 8-column
+    * halves make every aHash cell exactly one tone, so the 64-bit hash
+    * is a hand-derivable constant. */
+  def syntheticHalfPng(w: Int, h: Int, lr: Int, lg: Int, lb: Int,
+                       rr: Int, rg: Int, rb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = if (x < w / 2) (lr, lg, lb) else (rr, rg, rb)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   case class PcmStats(id: Long, nSamples: Long, peakAbs: Int, sumSq: Long)
 
   /** Partition-batched PCM stats — same iterator shape as

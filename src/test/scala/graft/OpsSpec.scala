@@ -1460,6 +1460,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Set((10L, 1L), (12L, 1L), (12L, 10L)))
   }
 
+  test("aHash64: scale invariance, inversion distance, corruption tolerance") {
+    val base = Multimodal.syntheticHalfPng(16, 16, 200, 200, 200, 50, 50, 50)
+    val big = Multimodal.syntheticHalfPng(64, 64, 200, 200, 200, 50, 50, 50)
+    val inv = Multimodal.syntheticHalfPng(16, 16, 50, 50, 50, 200, 200, 200)
+    val h0 = Multimodal.aHash64(base).get
+    assert(Multimodal.aHash64(big).get === h0, "same image at 4x scale -> same hash")
+    assert(java.lang.Long.bitCount(h0 ^ Multimodal.aHash64(inv).get) === 64,
+      "inverted halves -> all 64 bits flip")
+    // perturbing one 2x2 source block shifts at most its own cell
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0x000000)
+    img.setRGB(0, 1, 0x000000); img.setRGB(1, 1, 0x000000)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val hp = Multimodal.aHash64(out.toByteArray).get
+    assert(java.lang.Long.bitCount(h0 ^ hp) <= 1, "local edit -> near-dup distance")
+    assert(Multimodal.aHash64(Array[Byte](1, 2, 3)).isEmpty, "garbage -> None")
+  }
+
   test("typeTokenRatio and tokenizerFertility on crafted groups") {
     val d = Seq(
       ("a", "x y x y"), ("a", "x z"), ("b", "w w w w"), ("b", "   "),
