@@ -510,11 +510,21 @@ object Dedup {
    * 4×16 suits discovery; 8×8 buys a ≤7 guarantee for verification.
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+                   maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    hammingPairs64(df.select(col(idCol), simhash64(col(textCol)).as("__h64")),
+      idCol, "__h64", maxHamming, bands)
+
+  /** Near-dup pairs of ANY 64-bit locality-sensitive hash column
+    * (SimHash text sketches, aHash image sketches, …) with Hamming
+    * distance <= maxHamming — the banding engine [[simhashPairs]] is
+    * built on, exposed generically. Same pigeonhole guarantee: recall
+    * is exact for maxHamming <= bands-1. */
+  def hammingPairs64(df: DataFrame, idCol: String, hashCol: String,
+                     maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64: $bands")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val docs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val docs = df.select(col(idCol).as("id"), col(hashCol).as("sh"))
     val banded = docs.select(col("id"), col("sh"),
       explode(array((0 until bands).map(j => struct(lit(j).as("band"),
         shiftrightunsigned(col("sh"), width * j).bitwiseAND(lit(mask)).as("key"))): _*)).as("b"))

@@ -1479,6 +1479,19 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.aHash64(Array[Byte](1, 2, 3)).isEmpty, "garbage -> None")
   }
 
+  test("hammingPairs64 pairs aHash images: near-dups meet, opposites never") {
+    def png(l: Int, r: Int) = Multimodal.syntheticHalfPng(16, 16, l, l, l, r, r, r)
+    val imgs = Seq(
+      (1L, png(200, 50)), (2L, png(200, 50)),       // identical -> hamming 0
+      (3L, png(50, 200)),                           // inverted  -> hamming 64
+      (4L, png(120, 120))                           // solid     -> hash 0
+    ).toDF("doc_id", "png").as[(Long, Array[Byte])]
+    val hashed = Multimodal.aHashPartitioned(imgs).toDF()
+    val pairs = Dedup.hammingPairs64(hashed, "id", "ahash", maxHamming = 3, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("typeTokenRatio and tokenizerFertility on crafted groups") {
     val d = Seq(
       ("a", "x y x y"), ("a", "x z"), ("b", "w w w w"), ("b", "   "),
