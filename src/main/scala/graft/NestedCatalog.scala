@@ -635,6 +635,31 @@ object NestedCatalog {
       SELECT 3, o_orderkey, o_totalprice, size_flag FROM v3
       ORDER BY version, o_orderkey""")),
 
+    // CDC view of the snapshot history: diff(v1, v3) after
+    // insert → predicate update (adds a column) → delete. Deleted keys
+    // surface as 'removed', rows whose new flag is non-null as
+    // 'changed' (to_json omits nulls, so the schema-widening itself is
+    // not a change); nothing is 'added'. Oracle replays both states.
+    "q_container_diff" -> (q((s, dir) => {
+      val tmp = freshScratch("graft_q_container_diff")
+      val store = new graft.container.FactStore(s, "orders_diff", tmp)
+      val orders = SparkEntry.loader(s, dir)("orders")
+        .select("o_orderkey", "o_totalprice").where(col("o_orderkey") <= 2000)
+      store.insert(orders)
+      store.update("""{"gt": {"o_totalprice": 300000}}""",
+        Map("size_flag" -> """{"literal": "BIG"}"""))
+      store.delete("""{"eq": [{"mod": ["o_orderkey", 7]}, 0]}""")
+      store.diff(1, 3, "o_orderkey")
+        .orderBy("change", "o_orderkey")
+    }), Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 2000)
+      SELECT 'removed' AS change, o_orderkey FROM base WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT 'changed', o_orderkey FROM base
+      WHERE NOT (o_orderkey % 7 = 0) AND o_totalprice > 300000
+      ORDER BY change, o_orderkey""")),
+
     // deep (nested) update rewrite (reference insert_table.py:83-149):
     // dot-path `lineitems.l_quantity` rewrites the child FIELD on
     // matching parents (the expression sees the child's fields), then a

@@ -91,6 +91,36 @@ class FactStore(val spark: SparkSession, val name: String, dir: Path) extends Co
     * prior snapshots, so the full history is addressable. */
   def versions: Seq[Int] = 1 to currentVersion
 
+  /** SNAPSHOT DIFF between two versions, keyed by `key`: one row per
+    * entity that changed — 'added' (in `vB` only), 'removed' (in `vA`
+    * only), 'changed' (in both, any non-key field differs) — the CDC
+    * view of the copy-on-write history. Schemas may differ across
+    * versions (evolution): missing columns null-pad before comparison,
+    * and the row fingerprint is to_json of the non-key struct (null
+    * fields are omitted, so a column added later changes only rows
+    * where it is non-null). One key-hash shuffle per side. */
+  def diff(vA: Int, vB: Int, key: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = dataFrameAt(vA); val b = dataFrameAt(vB)
+    val cols = (a.columns ++ b.columns).distinct.sorted
+    val dtypes = (b.schema.fields ++ a.schema.fields).map(f => f.name -> f.dataType).toMap
+    def aligned(df: DataFrame) = cols.foldLeft(df)((d, c) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(dtypes(c))))
+      .select(cols.map(col): _*)
+    val nonKey = cols.filterNot(_ == key)
+    def keyed(df: DataFrame) = aligned(df)
+      .select(col(key), to_json(struct(nonKey.map(col): _*)).as("__fp"))
+    val ka = keyed(a); val kb = keyed(b)
+    val added = kb.join(ka.select(key), Seq(key), "left_anti")
+      .select(lit("added").as("change"), col(key))
+    val removed = ka.join(kb.select(key), Seq(key), "left_anti")
+      .select(lit("removed").as("change"), col(key))
+    val changed = ka.as("a").join(kb.as("b"), key)
+      .where(col("a.__fp") =!= col("b.__fp"))
+      .select(lit("changed").as("change"), col(key))
+    added.unionByName(removed).unionByName(changed)
+  }
+
   /** TIME TRAVEL: read snapshot `v` exactly as written. Every mutation
     * is copy-on-write (a new `v{n}` dir + marker advance), so historical
     * versions stay intact and readable — the `VERSION AS OF` contract

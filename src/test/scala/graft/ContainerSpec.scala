@@ -124,6 +124,23 @@ class ContainerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { store.dataFrameAt(4) }
   }
 
+  test("snapshot diff: added/removed/changed across schema evolution") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_diff")
+    val store = new FactStore(spark, "d", dir)
+    store.insert(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "score")) // v1
+    store.delete("""{"eq": {"id": 3}}""")                                     // v2
+    store.insert(Seq((4L, 40.0)).toDF("id", "score"))                         // v3
+    store.update("""{"eq": {"id": 1}}""",
+      Map("flag" -> """{"literal": "X"}"""))                                  // v4 (new col)
+    val d = store.diff(1, 4, "id")
+      .as[(String, Long)].collect().toSet
+    assert(d === Set(("removed", 3L), ("added", 4L), ("changed", 1L)),
+      s"got $d")
+    // id 2 untouched: the schema-widening null flag is NOT a change
+    assert(store.diff(1, 1, "id").count() === 0, "self-diff is empty")
+  }
+
   test("nest migration: a column seen as scalar then array is promoted") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_nest")
