@@ -1,6 +1,7 @@
 package graft.container
 
 import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.jx.{Formats, JxCompiler, JxExpr, JxQuery, QueryRunner}
@@ -88,8 +89,35 @@ class FactStore(val spark: SparkSession, val name: String, dir: Path) extends Co
   def isEmpty: Boolean = currentVersion == 0
 
   /** Snapshot versions on disk, ascending — mutations never delete
-    * prior snapshots, so the full history is addressable. */
-  def versions: Seq[Int] = 1 to currentVersion
+    * prior snapshots (only [[vacuum]] does), so the surviving history
+    * is addressable. */
+  def versions: Seq[Int] =
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val it = Files.list(dir)
+      try it.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.matches("v\\d+") => s.drop(1).toInt }
+        .toSeq.sorted
+      finally it.close()
+    }
+
+  /** Retention: delete all but the last `keepLast` snapshots (the
+    * current version always survives). Old readers pinned to a
+    * vacuumed snapshot fail on their next read — the same contract
+    * Delta's VACUUM documents. Returns the removed versions. */
+  def vacuum(keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"keepLast: $keepLast")
+    val vs = versions
+    val drop = vs.dropRight(keepLast).filterNot(_ == currentVersion)
+    drop.foreach { v =>
+      val p = dir.resolve(s"v$v")
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+    drop
+  }
 
   /** SNAPSHOT DIFF between two versions, keyed by `key`: one row per
     * entity that changed — 'added' (in `vB` only), 'removed' (in `vA`
@@ -127,8 +155,8 @@ class FactStore(val spark: SparkSession, val name: String, dir: Path) extends Co
     * Delta/Iceberg formalize, available here because the store never
     * mutates in place. */
   def dataFrameAt(v: Int): DataFrame = {
-    require(v >= 1 && v <= currentVersion,
-      s"version $v out of range 1..$currentVersion")
+    require(v >= 1 && v <= currentVersion && Files.exists(dir.resolve(s"v$v")),
+      s"version $v not on disk (have ${versions.mkString(",")})")
     spark.read.parquet(dir.resolve(s"v$v").toString)
   }
 

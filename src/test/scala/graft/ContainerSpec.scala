@@ -122,6 +122,12 @@ class ContainerSpec extends AnyFunSuite {
       "current = latest snapshot")
     intercept[IllegalArgumentException] { store.dataFrameAt(0) }
     intercept[IllegalArgumentException] { store.dataFrameAt(4) }
+    // retention: vacuum keeps the last 2, current stays readable,
+    // vacuumed versions fail cleanly
+    assert(store.vacuum(keepLast = 2) === Seq(1))
+    assert(store.versions === Seq(2, 3))
+    assert(store.dataFrame.count() === 1)
+    intercept[IllegalArgumentException] { store.dataFrameAt(1) }
   }
 
   test("snapshot diff: added/removed/changed across schema evolution") {

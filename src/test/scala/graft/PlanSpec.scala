@@ -133,6 +133,20 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected only the aggregation exchange(s):\n$p")
   }
 
+  test("line dedup: census + removal joins are keyed, never a product join") {
+    val p = plan("q_text_dedup_lines")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"line dedup fell back to a product join:\n$p")
+  }
+
+  test("length-bucketed batching: distributed rank, no single-partition Window") {
+    val p = plan("q_pack_length_buckets")
+    // the per-bucket rank takes the prefix-sum RDD path (few huge
+    // buckets is exactly its regime) — a Window operator here would be
+    // the single-task-per-bucket shape the op exists to avoid
+    assert(!p.contains("Window"), s"expected the distributed rank path:\n$p")
+  }
+
   test("incremental near-dup: band candidates via equi-join, never a product join") {
     val p = plan("q_pipeline_incremental")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
