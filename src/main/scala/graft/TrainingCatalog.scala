@@ -849,6 +849,25 @@ object TrainingCatalog {
              CAST(max(pos) + 7 AS BIGINT) AS span_end, count(*) AS n_grams
       FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""")),
 
+    // Morton (Z-order) key for multi-dimensional layout: the interleave
+    // arithmetic the zOrderWrite layout tool sorts by, replayed bit-for
+    // bit by the oracle's shift arithmetic (the pruning property itself
+    // — every z-sorted file covers a compact 2-D box — is asserted in
+    // OpsSpec, where per-file min/max stats are observable)
+    "q_layout_zvalue" -> (q((s, dir) =>
+      SparkEntry.loader(s, dir)("events")
+        .select(col("event_id"),
+          graft.ops.Layout.zValue(col("event_id") % 1024, col("user_id") % 1024,
+            bits = 10).as("z"))
+        .orderBy("event_id")
+    ), Some("""
+      SELECT event_id,
+             CAST(list_sum([
+               (((event_id % 1024) >> i) & 1) * (1 << (2*i + 1))
+               + (((user_id % 1024) >> i) & 1) * (1 << (2*i))
+               for i in range(0, 10)]) AS BIGINT) AS z
+      FROM events ORDER BY event_id""")),
+
     // INCREMENTAL exact dedup: a delta batch deduped against the
     // existing corpus's content-hash index only (history never
     // re-scanned — the growing-corpus production shape). The delta

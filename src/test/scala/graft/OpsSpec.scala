@@ -1492,6 +1492,30 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("zOrderWrite: every file covers a compact 2-D box; pruning beats a 1-D sort") {
+    val grid = (for (a <- 0 until 64; b <- 0 until 64) yield (a, b)).toDF("a", "b")
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val xDir = java.nio.file.Files.createTempDirectory("graft_xsort").toString
+    Layout.zOrderWrite(grid, "a", "b", zDir, files = 8, bits = 6)
+    grid.repartitionByRange(8, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(xDir)
+    def filesContaining(dir: String, colName: String, v: Int): Long =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name()).agg(min(colName).as("lo"), max(colName).as("hi"))
+        .where(col("lo") <= v && col("hi") >= v).count()
+    // predicate on b: the a-sorted layout cannot prune (every file spans
+    // all of b); the z-ordered layout confines b to per-file boxes
+    val zHit = filesContaining(zDir, "b", 5)
+    val xHit = filesContaining(xDir, "b", 5)
+    assert(xHit === 8L, s"a-sorted baseline should span b everywhere: $xHit")
+    assert(zHit < xHit && zHit <= 5L, s"z-order should prune on b: $zHit of 8")
+    // and the key itself is the textbook interleave
+    val z = grid.select(Layout.zValue(col("a"), col("b"), 6).as("z"))
+      .as[Long].collect()
+    assert(z.min === 0L && z.max === 4095L && z.distinct.length === 4096,
+      "6+6-bit interleave is a bijection onto 0..4095")
+  }
+
   test("typeTokenRatio and tokenizerFertility on crafted groups") {
     val d = Seq(
       ("a", "x y x y"), ("a", "x z"), ("b", "w w w w"), ("b", "   "),
