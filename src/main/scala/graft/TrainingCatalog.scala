@@ -2294,6 +2294,41 @@ object TrainingCatalog {
                ELSE CAST(0 AS BIGINT) END AS ahash
       FROM documents ORDER BY doc_id""")),
 
+    // image NEAR-DUP pairing end to end with REAL decode: per-id noise
+    // PNGs (independent per-pixel hashes — cross-id aHash collisions
+    // are 2^-64-scale) + planted near-copies for doc_id < 12 (two
+    // pixels of one aHash cell swapped AFTER decode: different bytes,
+    // identical cell means — the perceptual-equivalence class the hash
+    // exists to capture; a blunt blackout instead shifts the GLOBAL
+    // mean threshold and flips distant bits), hashed by aHash64 and
+    // paired by the Hamming banding. The oracle is exactly the planted
+    // pair list — an accidental collision or a missed plant both fail
+    // the hash gate.
+    "q_dedup_image_pairs" -> (q((s, dir) => {
+      import s.implicits._
+      val mkImg = udf((id: Long) =>
+        if (id >= 100000L) {
+          val bytes = Multimodal.syntheticNoisePng(16, 16, id - 100000L)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val (p0, p1) = (img.getRGB(0, 0), img.getRGB(1, 1))
+          img.setRGB(0, 0, p1); img.setRGB(1, 1, p0)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          out.toByteArray
+        } else Multimodal.syntheticNoisePng(16, 16, id))
+      val base = docs(s, dir).select(col("doc_id"))
+      val ids = base.unionByName(base.where(col("doc_id") < 12)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      val payload = ids.select(col("doc_id"), mkImg(col("doc_id")).as("png"))
+        .as[(Long, Array[Byte])]
+      val hashed = Multimodal.aHashPartitioned(payload).toDF()
+      Dedup.hammingPairs64(hashed, "id", "ahash", maxHamming = 3, bands = 4)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }), Some("""
+      SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+      FROM documents WHERE doc_id < 12 ORDER BY 1, 2""")),
+
     // REAL audio SAMPLE parse (not just the header): 16-bit PCM square
     // waves with doc_id-derived amplitude; pcm16Stats reads the actual
     // sample bytes and the oracle pins peak and rms to the planted

@@ -184,6 +184,33 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Per-pixel-mixed noise PNG: every pixel is an independent hash of
+    * (seed, x, y) — unlike [[syntheticPngPixels]]'s XOR gradient (whose
+    * images differ by a constant XOR across seeds, leaving their aHash
+    * cells correlated), noise images from different seeds have
+    * independent hashes, so accidental near-dup collisions are
+    * 2^-64-scale. The planted-corpus generator for hash-pairing
+    * entries. */
+  def syntheticNoisePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val m = seed * 0x9E3779B97F4A7C15L + x * 0xC2B2AE3D27D4EB4FL +
+          y * 0x165667B19E3779F9L
+        val v = (m ^ (m >>> 29)) * 0xBF58476D1CE4E5B9L
+        img.setRGB(x, y, ((v >>> 24) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** PNG signature + IHDR chunk (33 bytes, truecolor 8-bit; CRC zeroed —
     * header decoders don't verify it). */
   def syntheticPng(w: Int, h: Int): Array[Byte] = {
