@@ -149,9 +149,11 @@ object Bench {
         telemetry(name, "warmup", -1.0)
       }
     }
+    // warmup_sec ends BEFORE the drain: the post-warmup JIT quiesce is
+    // accounted once, in quiesce_sec (it was previously inside both)
+    val warmupSec = (System.nanoTime() - tWarmup0) / 1e9
     // long drain after the bulk compile mass; short settle per timed run
     val warmupQuiesce = if (warmupDir.isDefined) quiesce(500, 120000) else 0.0
-    val warmupSec = (System.nanoTime() - tWarmup0) / 1e9
     var quiesceSec = warmupQuiesce
     val results = try entries.map { case (name, fn) =>
       quiesceSec += quiesce(250, 5000)

@@ -110,12 +110,7 @@ class FactStore(val spark: SparkSession, val name: String, dir: Path) extends Co
     require(keepLast >= 1, s"keepLast: $keepLast")
     val vs = versions
     val drop = vs.dropRight(keepLast).filterNot(_ == currentVersion)
-    drop.foreach { v =>
-      val p = dir.resolve(s"v$v")
-      val walk = Files.walk(p)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally walk.close()
-    }
+    drop.foreach(v => graft.util.Fs.deleteRecursively(dir.resolve(s"v$v")))
     drop
   }
 

@@ -35,16 +35,8 @@ object Bucketing {
     * managed files do not, and CTAS refuses to reuse an existing
     * location. Call when the catalog does NOT know the table but its
     * location may still hold files. */
-  def clearStaleLocation(path: String): Unit = {
-    val f = new java.io.File(path)
-    if (f.exists()) {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(f.toPath)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
-  }
+  def clearStaleLocation(path: String): Unit =
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(path))
 
   /** Persist `df` as a bucketed + in-bucket-sorted parquet table. The
     * repartition aligns task boundaries with bucket boundaries (same

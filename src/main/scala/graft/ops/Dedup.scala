@@ -64,7 +64,12 @@ object Dedup {
   def dedupDeltaAgainstIndex(delta: DataFrame, idCol: String, textCol: String,
                              index: DataFrame): DataFrame = {
     val hashed = delta.withColumn("content_hash", contentHash(col(textCol)))
-    val novel = hashed.join(index.select("content_hash"), Seq("content_hash"), "left_anti")
+    // null-SAFE anti-join: a null-text doc hashes to null, and a plain
+    // anti-join would let one survive EVERY increment (null never
+    // equals null) — inconsistent with batch exactGroups, which groups
+    // null hashes like any other key
+    val novel = hashed.join(index.select(col("content_hash").as("__idx_hash")),
+      col("content_hash") <=> col("__idx_hash"), "left_anti")
     val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
     novel.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
@@ -92,7 +97,7 @@ object Dedup {
   def passageDupStats(df: DataFrame, idCol: String, textCol: String,
                       chunkTokens: Int): DataFrame = {
     val ch = TextAnalysis.chunkText(df, idCol, textCol, chunkTokens, overlap = 0)
-      .withColumn("norm", regexp_replace(lower(trim(col("chunk_text"))), "\\s+", " "))
+      .withColumn("norm", normText(col("chunk_text")))
     val groups = ch.groupBy("norm").agg(count(lit(1)).as("n_occ"),
       min(struct(col("id"), col("chunk_id"))).as("__keep"))
     ch.join(groups, "norm")

@@ -22,9 +22,19 @@ object Layout {
     * (the oracle replays it with shifts in SQL). */
   def zValue(a: Column, b: Column, bits: Int = 21): Column = {
     require(bits >= 1 && bits <= 31, s"bits: $bits")
+    val lim = 1L << bits
+    def checked(c: Column) =
+      // a value outside [0, 2^bits) would interleave only its low bits
+      // — distinct coordinates would collide and every file's box would
+      // silently stop being compact, which is the one property this op
+      // exists for. Fail the job loudly instead (codegen'd row check).
+      when(c.cast("long") >= 0 && c.cast("long") < lim, c.cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"zValue: input out of [0, $lim): "), c.cast("string"))))
+    val (al, bl) = (checked(a), checked(b))
     (0 until bits).map { i =>
-      shiftright(a.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
-        shiftright(b.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
+      shiftright(al, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+        shiftright(bl, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
     }.reduce(_ + _)
   }
 

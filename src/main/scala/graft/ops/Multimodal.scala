@@ -264,11 +264,17 @@ object Multimodal {
     * [[channelMeans]]: features read from CONTENT bytes, not the
     * header. */
   def pcm16Stats(bytes: Array[Byte]): Option[(Long, Int, Long)] = {
-    if (bytes.length < 44 ||
-        !(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')) None
+    def magic(off: Int, s: String): Boolean =
+      s.indices.forall(i => bytes(off + i) == s.charAt(i).toByte)
+    // CANONICAL layout only, and actually verified as such: RIFF/WAVE
+    // magics, a 16-byte PCM fmt chunk at 12, audioFormat 1, 16-bit,
+    // and the data chunk at 36 — a WAV with extra chunks (LIST/INFO)
+    // returns None rather than reading garbage at fixed offsets
+    if (bytes.length < 44 || !magic(0, "RIFF") || !magic(8, "WAVE") ||
+        !magic(12, "fmt ") || !magic(36, "data")) None
     else {
       val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      if (bb.getShort(34) != 16) None
+      if (bb.getInt(16) != 16 || bb.getShort(20) != 1 || bb.getShort(34) != 16) None
       else {
         val n = math.min(bb.getInt(40), bytes.length - 44) / 2
         var i = 0; var peak = 0; var ss = 0L
@@ -289,10 +295,15 @@ object Multimodal {
     * Near-duplicate images differ in few bits; pair them with the same
     * Hamming banding [[graft.ops.Dedup.simhashPairs]] uses for text.
     * None for undecodable or sub-8×8 payloads. */
+  /** The shared ImageIO decode prelude: a payload no reader claims (or
+    * a plugin that throws) yields null, mapped to None by every caller
+    * — one place to extend error handling for all four decode tiers. */
+  private def decodeImageOrNull(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case scala.util.control.NonFatal(_) => null }
+
   def aHash64(bytes: Array[Byte]): Option[Long] = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case scala.util.control.NonFatal(_) => null }
+    val img = decodeImageOrNull(bytes)
     if (img == null || img.getWidth < 8 || img.getHeight < 8) None
     else {
       val w = img.getWidth; val h = img.getHeight
@@ -406,9 +417,7 @@ object Multimodal {
     * are correct answers to different questions; pick the tier matching
     * whether downstream wants storage layout or pixel semantics. */
   val ImageIoDecoder: Array[Byte] => Option[(Long, Int, Int, Int)] = bytes => {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case scala.util.control.NonFatal(_) => null }
+    val img = decodeImageOrNull(bytes)
     if (img == null) None
     else Some((bytes.length.toLong, img.getWidth, img.getHeight,
       img.getColorModel.getNumComponents))
@@ -430,9 +439,7 @@ object Multimodal {
     * decides the fallback, exactly like [[ImageIoDecoder]]. */
   def imageIoResize(bytes: Array[Byte], maxSide: Int): Option[(Array[Byte], Int, Int)] = {
     require(maxSide > 0, s"maxSide: $maxSide")
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case scala.util.control.NonFatal(_) => null }
+    val img = decodeImageOrNull(bytes)
     if (img == null) None
     else {
       val w = img.getWidth; val h = img.getHeight
@@ -463,9 +470,7 @@ object Multimodal {
     * makes this oracle-checkable bit-for-bit. None when no reader
     * claims the payload. */
   def channelMeans(bytes: Array[Byte]): Option[(Double, Double, Double)] = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case scala.util.control.NonFatal(_) => null }
+    val img = decodeImageOrNull(bytes)
     if (img == null) None
     else {
       var r = 0L; var g = 0L; var b = 0L

@@ -110,16 +110,22 @@ object Similarity {
    * so each pair costs exactly one codegen'd dot product.
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    topKBySim(cosineScored(corpus, queries, idCol, vecCol), k)
+
+  /** Shared exact-cosine scoring kernel: broadcast queries × corpus
+    * pairs (self-matches excluded) with one codegen'd dot product each
+    * — [[bruteForceTopK]] windows it, [[radiusSearch]] thresholds it. */
+  private def cosineScored(corpus: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_vec"))
       .withColumn("q_norm", sqrt(dot(col("q_vec"), col("q_vec")))))
     val c = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_vec"))
       .withColumn("n_norm", sqrt(dot(col("n_vec"), col("n_vec"))))
     val den = col("q_norm") * col("n_norm")
-    val scored = c.crossJoin(q).where(col("q_id") =!= col("n_id"))
+    c.crossJoin(q).where(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         when(den =!= 0.0, dot(col("q_vec"), col("n_vec")) / den).as("sim"))
-    topKBySim(scored, k)
   }
 
   /** Exact cosine RADIUS search (range query): every corpus row whose
@@ -132,17 +138,8 @@ object Similarity {
     * sets, generate candidates from the LSH/IVF buckets instead and keep
     * the same threshold filter as the verification tier. */
   def radiusSearch(corpus: DataFrame, queries: DataFrame, minSim: Double,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_vec"))
-      .withColumn("q_norm", sqrt(dot(col("q_vec"), col("q_vec")))))
-    val c = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_vec"))
-      .withColumn("n_norm", sqrt(dot(col("n_vec"), col("n_vec"))))
-    val den = col("q_norm") * col("n_norm")
-    c.crossJoin(q).where(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        when(den =!= 0.0, dot(col("q_vec"), col("n_vec")) / den).as("sim"))
-      .where(col("sim") >= minSim)
-  }
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    cosineScored(corpus, queries, idCol, vecCol).where(col("sim") >= minSim)
 
   /** Hard-NEGATIVE mining for contrastive training (DPR-style negative
     * selection; Robinson et al. 2021 hard-negative sampling): for each

@@ -529,9 +529,11 @@ object TextAnalysis {
     require(minDocs >= 2, s"minDocs: $minDocs")
     // null text normalizes to "" (a generator over null would emit no
     // rows and silently DROP the document from the output)
+    // normText: the SAME normalization the content-hash dedup family
+    // keys on — line keys must not drift from document keys
     val ln = df.select(col(idCol).as("id"),
         posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "line")))
-      .withColumn("norm", regexp_replace(lower(trim(col("line"))), "\\s+", " "))
+      .withColumn("norm", normText(col("line")))
     val hot = ln.where(col("norm") =!= "")
       .select("norm", "id").distinct()
       .groupBy("norm").agg(count(lit(1)).as("n_docs"))

@@ -53,7 +53,10 @@ object Streams {
   def dedupStreamAgainstIndex(docs: DataFrame, textCol: String, tsCol: String,
                               delay: String, index: DataFrame): DataFrame =
     docs.withColumn("content_hash", graft.ops.Dedup.contentHash(col(textCol)))
-      .join(index.select("content_hash"), Seq("content_hash"), "left_anti")
+      // null-safe anti (same rationale as Dedup.dedupDeltaAgainstIndex:
+      // an indexed null hash must drop arriving null-text docs)
+      .join(index.select(col("content_hash").as("__idx_hash")),
+        col("content_hash") <=> col("__idx_hash"), "left_anti")
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("content_hash")
 

@@ -1411,6 +1411,36 @@ class OpsSpec extends AnyFunSuite {
     assert(out === Seq((10L, 2L, 0L), (20L, 2L, 1L), (30L, 1L, 1L)))
   }
 
+  test("pcm16Stats refuses non-canonical WAVs instead of reading fixed offsets") {
+    val ok = Multimodal.syntheticWavSquare(8000, 500, 2, 16)
+    assert(Multimodal.pcm16Stats(ok).contains((16L, 500, 16L * 500 * 500)))
+    // same bytes but a LIST chunk where canonical layout puts data:
+    // a real encoder's extra chunk must yield None, not garbage stats
+    val listed = ok.clone()
+    listed(36) = 'L'; listed(37) = 'I'; listed(38) = 'S'; listed(39) = 'T'
+    assert(Multimodal.pcm16Stats(listed).isEmpty)
+    // non-PCM audioFormat refused too
+    val nonPcm = ok.clone(); nonPcm(20) = 3
+    assert(Multimodal.pcm16Stats(nonPcm).isEmpty)
+  }
+
+  test("incremental dedup handles null text: indexed null drops arriving nulls") {
+    val existing = Seq((1L, "alpha"), (2L, null: String)).toDF("doc_id", "text")
+    val idx = Dedup.hashIndex(existing, "text")
+    val delta = Seq((10L, null: String), (11L, "beta")).toDF("doc_id", "text")
+    val surv = Dedup.dedupDeltaAgainstIndex(delta, "doc_id", "text", idx)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(surv === Seq(11L), s"null-text doc must match the indexed null hash: $surv")
+  }
+
+  test("zValue fails loudly on out-of-range coordinates") {
+    val bad = Seq((5, 70)).toDF("a", "b") // 70 >= 2^6
+    val e = intercept[Exception] {
+      bad.select(Layout.zValue(col("a"), col("b"), 6)).collect()
+    }
+    assert(e.getMessage.contains("zValue: input out of"), e.getMessage)
+  }
+
   test("incremental dedup: index novelty + within-delta keep-one; index extension") {
     val existing = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
     val idx = Dedup.hashIndex(existing, "text")
