@@ -372,6 +372,47 @@ object TrainingCatalog {
       FROM documents d LEFT JOIN agg USING (doc_id)
       ORDER BY d.doc_id""")),
 
+    // exact Unigram-LM (SentencePiece) tokenization: Viterbi decode over
+    // piece log-probs (Tokenizer.UnigramVocab — Kudo 2018), completing
+    // the BPE/WordPiece/Unigram tokenizer trio. Vocab crafted so the
+    // count is SQL-expressible AND discriminates Viterbi from greedy:
+    // every printable ASCII char at logp −10, plus ONE multi-char piece
+    // "the" at logp −25 — using "the" beats its three singles (−25 >
+    // −30) so the optimum maximizes DISJOINT "the" occurrences anywhere
+    // in the word (fixed-length patterns: left-to-right greedy is the
+    // interval-scheduling optimum, which is exactly what SQL replace()
+    // counts), hence
+    //   n_tokens(word) = len(word) − 2·((len − len(replace(w,'the','')))/3).
+    // A greedy longest-PREFIX implementation (WordPiece semantics) fails
+    // this oracle on any mid-word "the" ("athe" → 2 here, 4 under
+    // greedy). Same apostrophe spacing + printable-ASCII guarantees as
+    // q_tokenize_bpe; the udf broadcasts the vocab in its closure and
+    // runs inside the scan stage — no shuffle, no collect.
+    "q_tokenize_unigram" -> (q((s, dir) => {
+      val singles = (33 to 126).map(c => c.toChar.toString -> -10.0)
+      val vocab = graft.ops.Tokenizer.UnigramVocab(
+        (singles :+ ("the" -> -25.0)).toMap)
+      docs(s, dir).select(
+        col("doc_id"),
+        graft.ops.Tokenizer.unigramTokenCount(
+          translate(col("text"), "'", " "), vocab).as("n_tokens"))
+        .orderBy("doc_id")
+    }), Some(s"""
+      WITH src AS (
+        SELECT doc_id, replace(text, chr(39), ' ') AS t FROM documents),
+      tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(t, '$BpeSql')) AS w
+        FROM src),
+      agg AS (
+        SELECT doc_id,
+               sum(length(w)
+                   - 2 * ((length(w) - length(replace(w, 'the', ''))) // 3))
+                 AS n
+        FROM tok GROUP BY doc_id)
+      SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_tokens
+      FROM documents d LEFT JOIN agg USING (doc_id)
+      ORDER BY d.doc_id""")),
+
     // BPE TRAINING's counting kernel at corpus scale: the iteration-1
     // adjacent-pair frequency table (empty vocab → tokens are single
     // chars), top 20 by (count desc, pair) — pure integer aggregates.
@@ -565,6 +606,49 @@ object TrainingCatalog {
           '${TextAnalysis.RedactDigits}', '<NUM>', 'g') AS clean
       FROM documents ORDER BY doc_id""")),
 
+    // HTML markup stripping (web-corpus first pass): every document is
+    // wrapped in a deterministic full-page skeleton so each rule class
+    // provably fires — a <style> element with CSS content, a comment, a
+    // <script> whose BODY contains bare < and > (content-drop semantics:
+    // a naive tag stripper leaks "var x = 1  0;" into the text), named
+    // entities, and the double-escaped &amp;amp; pinning the single-pass
+    // decode order (must yield the literal "&amp;", not "&"). Oracle
+    // replays the identical RE2-∩-Java regex chain
+    "q_text_strip_html" -> (q((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>t</title><style type=\"text/css\">p { color: red; }</style></head>"),
+        lit("<body class=\"doc\"><!-- id "), col("doc_id"),
+        lit(" --><h1>Doc "), col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><script type=\"text/javascript\">var x = 1 < 2 && y > 0;</script>"),
+        lit("<br/>&amp;amp; &lt;tail&gt; &quot;q&quot; &#39;a&#39;&nbsp;end</body></html>"))
+      docs(s, dir).select(col("doc_id"), TextAnalysis.stripHtml(html).as("clean"))
+    }), Some("""
+      WITH h AS (
+        SELECT doc_id,
+          '<html><head><title>t</title><style type="text/css">p { color: red; }</style></head>'
+          || '<body class="doc"><!-- id ' || doc_id || ' --><h1>Doc ' || doc_id
+          || '</h1><p>' || text
+          || '</p><script type="text/javascript">var x = 1 < 2 && y > 0;</script>'
+          || '<br/>&amp;amp; &lt;tail&gt; &quot;q&quot; &#39;a&#39;&nbsp;end</body></html>'
+          AS html
+        FROM documents)
+      SELECT doc_id, trim(regexp_replace(
+        replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                  '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                '(?s)<!--.*?-->', ' ', 'g'),
+              '(?s)<[^>]*>', ' ', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+            '&#39;', ''''), '&nbsp;', ' '),
+          '&amp;', '&'),
+        '\s+', ' ', 'g')) AS clean
+      FROM h ORDER BY doc_id""")),
+
     // sliding token-window chunking (RAG ingestion): 12-token windows,
     // 4-token overlap; chunk counts are pure arithmetic
     "q_text_chunk" -> (q((s, dir) =>
@@ -669,6 +753,43 @@ object TrainingCatalog {
       SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
              coalesce(h.n_hits, 0) > 0 AS contaminated
       FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""")),
+
+    // n-gram NOVELTY vs a reference corpus — decontaminate's dual as a
+    // per-doc quality signal: the fraction of each scored doc's distinct
+    // trigrams absent from the reference half (doc_id < 300). Shared
+    // boilerplate phrases across the synthetic corpus make n_known
+    // nontrivial; novelty is an exact small-int division (IEEE
+    // correctly-rounded in both engines, same tier as avg_word_len)
+    "q_text_novelty" -> (q((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.ngramNovelty(
+          d.where(col("doc_id") >= 300), "doc_id", "text",
+          d.where(col("doc_id") < 300).select(col("text")), "text", n = 3)
+        .orderBy("doc_id")
+    }), Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      g AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+              FROM toks WHERE len(t) >= 3)),
+      ref AS (SELECT DISTINCT g FROM g WHERE doc_id < 300),
+      sc AS (
+        SELECT g.doc_id, count(*) AS n_grams,
+               sum(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END) AS n_known
+        FROM g LEFT JOIN ref r USING (g)
+        WHERE g.doc_id >= 300
+        GROUP BY g.doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+        CAST(coalesce(sc.n_known, 0) AS BIGINT) AS n_known,
+        CASE WHEN sc.n_grams > 0
+             THEN CAST(sc.n_grams - sc.n_known AS DOUBLE) / sc.n_grams
+        END AS novelty
+      FROM documents d LEFT JOIN sc USING (doc_id)
+      WHERE d.doc_id >= 300
+      ORDER BY d.doc_id""")),
 
     // END-TO-END split-leakage audit — the pre-training check a real run
     // executes: assign deterministic splits BY DOC ID (id-keyed, so
@@ -1417,6 +1538,57 @@ object TrainingCatalog {
              CAST(row_number() OVER (PARTITION BY epoch
                ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS shuffle_rank
       FROM k ORDER BY epoch, shuffle_rank""")),
+
+    // CURRICULUM ordering: the classic short-to-long schedule (Bengio et
+    // al. 2009) — global rank by ascending whitespace token count, md5
+    // tie-break within equal difficulty; the rank rides the distributed
+    // two-pass prefix sum, replayed by the oracle's row_number
+    "q_pack_curriculum" -> (q((s, dir) =>
+      graft.ops.Batching.curriculumOrder(
+          docs(s, dir).select("doc_id", "text"), "doc_id",
+          TextAnalysis.tokenCount(col("text")))
+        .select(col("doc_id"), col("difficulty"), col("curriculum_rank"))
+        .orderBy("curriculum_rank")
+    ), Some("""
+      WITH m AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS difficulty,
+          md5(CAST(doc_id AS VARCHAR)) AS tie
+        FROM documents)
+      SELECT doc_id, CAST(difficulty AS BIGINT) AS difficulty,
+             CAST(row_number() OVER (ORDER BY difficulty, tie, doc_id) - 1
+               AS BIGINT) AS curriculum_rank
+      FROM m ORDER BY curriculum_rank""")),
+
+    // PREFERENCE-PAIR assembly (DPO/RLHF data prep): per source group,
+    // ONE (chosen, rejected) pair = the length-score argmax/argmin with
+    // deterministic id tie-breaks — struct-ordered max/min aggregates
+    // (partial-aggregatable, one keyed shuffle, no window/self-join);
+    // oracle replays both argmaxes with dual row_number windows
+    "q_pipeline_preference" -> (q((s, dir) =>
+      graft.ops.Sampling.preferencePairs(
+          docs(s, dir), "source", "doc_id", length(col("text")).cast("long"))
+        .orderBy("source")
+    ), Some("""
+      WITH sc AS (
+        SELECT source, doc_id, length(text) AS s
+        FROM documents WHERE text IS NOT NULL),
+      hi AS (
+        SELECT source, doc_id AS chosen_id, s AS chosen_score,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY s DESC, doc_id DESC) AS r
+        FROM sc),
+      lo AS (
+        SELECT source, doc_id AS rejected_id, s AS rejected_score,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY s ASC, doc_id ASC) AS r
+        FROM sc)
+      SELECT h.source, h.chosen_id, CAST(h.chosen_score AS BIGINT) AS chosen_score,
+             l.rejected_id, CAST(l.rejected_score AS BIGINT) AS rejected_score
+      FROM hi h JOIN lo l ON h.source = l.source AND h.r = 1 AND l.r = 1
+      WHERE h.chosen_id <> l.rejected_id
+      ORDER BY h.source""")),
 
     // length-bucketed dynamic batching: power-of-two token-length
     // buckets (bit-length arithmetic, engine-exact), md5-ordered batches

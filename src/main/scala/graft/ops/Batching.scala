@@ -109,6 +109,28 @@ object Batching {
       .withColumn("pad_tok", col("max_tok") * col("n_docs") - col("sum_tok"))
   }
 
+  /** CURRICULUM ordering (Bengio et al. 2009): a global training order
+    * by ascending difficulty, deterministic within equal difficulty via
+    * the md5 key (engine-portable, growth-stable — the same tie
+    * discipline as [[epochShuffle]]). `difficulty` is caller-supplied
+    * (token count for the classic short-to-long curriculum, a model
+    * loss for loss-ordered replays) and should be engine-exact if the
+    * rank feeds an oracle. The 0-based `curriculum_rank` rides
+    * [[prefixSumScaled]]'s range-partitioned two-pass rank — no
+    * single-task window at any corpus size; trainers that only need the
+    * ORDER can sort by (difficulty, tie key) directly and skip the rank
+    * pass. */
+  def curriculumOrder(df: DataFrame, idCol: String,
+                      difficulty: org.apache.spark.sql.Column): DataFrame = {
+    val keyed = df
+      .withColumn("__difficulty", difficulty)
+      .withColumn("__tie", md5(col(idCol).cast("string")))
+    prefixSumScaled(keyed,
+      Seq(col("__difficulty"), col("__tie"), col(idCol)), lit(1L),
+      out = "curriculum_rank")
+      .drop("__tie").withColumnRenamed("__difficulty", "difficulty")
+  }
+
   /** Deterministic EPOCH SHUFFLE for training-data ordering: epoch `e`'s
     * permutation orders rows by `md5("{seed}:{e}:{id}")` —
     * engine-portable, RNG-state-free, and each epoch an independent

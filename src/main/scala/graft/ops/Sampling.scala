@@ -114,6 +114,32 @@ object Sampling {
       .where(col("__r") < quota).drop("__r")
   }
 
+  /** PREFERENCE-PAIR assembly — the data-prep step of preference-based
+    * tuning (DPO/RLHF reward modeling): per group (prompt id, or any
+    * partition of candidate responses), emit ONE (chosen, rejected)
+    * pair — the argmax and argmin of `score`, ties broken by the
+    * largest/smallest id so the pair is deterministic. Groups where
+    * chosen == rejected (a single candidate, or all scores+ids equal)
+    * produce no pair.
+    *
+    * One groupBy on the group key carrying two struct-ordered
+    * aggregates (max/min of (score, id) — lexicographic struct
+    * comparison gives score-then-id argmax with partial aggregation,
+    * so the map side combines before the shuffle). At 100 TB this is
+    * a single keyed shuffle of small aggregate state; no window, no
+    * self-join. */
+  def preferencePairs(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                      idCol: String, score: Column): org.apache.spark.sql.DataFrame =
+    df.select(col(groupCol).as("__g"), col(idCol).as("__id"), score.as("__s"))
+      .where(col("__s").isNotNull)
+      .groupBy(col("__g"))
+      .agg(max(struct(col("__s"), col("__id"))).as("__hi"),
+        min(struct(col("__s"), col("__id"))).as("__lo"))
+      .where(col("__hi.__id") =!= col("__lo.__id"))
+      .select(col("__g").as(groupCol),
+        col("__hi.__id").as("chosen_id"), col("__hi.__s").as("chosen_score"),
+        col("__lo.__id").as("rejected_id"), col("__lo.__s").as("rejected_score"))
+
   /** Deterministic weighted source INTERLEAVE — the mixing SCHEDULE step
     * of corpus assembly (a quota take fixes how much of each source; this
     * fixes the ORDER the training run consumes them in, so every stretch

@@ -257,6 +257,31 @@ object TextAnalysis {
         RedactEmail, "<EMAIL>"),
       RedactDigits, "<NUM>")
 
+  /** HTML markup stripping — the first cleaning pass of every
+    * web-corpus pipeline (C4/RefinedWeb run full DOM extractors like
+    * trafilatura; this is the regex tier for payloads that are already
+    * mostly text): (1) `<script>`/`<style>` ELEMENTS drop with their
+    * content (a bare tag-stripper would leak javascript/CSS into the
+    * training text), (2) comments and every remaining tag become a
+    * space, (3) the standard named entities + the ubiquitous `&#39;`
+    * reference decode — `&amp;` LAST, so `&amp;lt;` correctly yields
+    * the literal `&lt;` (single-pass decode, the HTML5 rule), (4)
+    * whitespace runs collapse. Pure codegen'd regexp_replace/replace
+    * chain in the scan stage — zero shuffle at any corpus size. The
+    * patterns avoid backreferences and stay inside the
+    * RE2-∩-java.util.regex dialect, so SQL oracles replay them
+    * verbatim (same portability contract as [[redact]]). */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val named = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&apos;" -> "'", "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
+    trim(regexp_replace(replace(named, lit("&amp;"), lit("&")), "\\s+", " "))
+  }
+
   /** Strip corpus-frequent boilerplate words — the census→cleaning loop
     * (C4 removes corpus-repeated lines; this is the word-level analog
     * for line-free text): [[Sketches.heavyHitters]] mines the words with
@@ -442,6 +467,47 @@ object TextAnalysis {
       .select(docs.columns.map(docs(_)) :+
         coalesce(col("n_hits"), lit(0L)).as("n_hits") :+
         (coalesce(col("n_hits"), lit(0L)) > 0L).as("contaminated"): _*)
+  }
+
+  /**
+   * N-gram NOVELTY against a reference corpus — the quality/diversity
+   * signal dual to [[decontaminate]]'s contamination flag: for each
+   * document, the fraction of its DISTINCT word n-grams that never
+   * occur in the reference corpus (high novelty = new content worth
+   * keeping; near-zero novelty = paraphrase/boilerplate of what the
+   * model has already seen — the n-gram-overlap pruning signal of the
+   * data-mixing literature). Returns (`idCol`, n_grams, n_known,
+   * novelty) with novelty = (n_grams − n_known)/n_grams, null for
+   * gram-free docs.
+   *
+   * Shape at 100 TB: the reference side reduces to DISTINCT grams once
+   * (shuffle keyed on the gram); the scored corpus explodes inside the
+   * scan, distincts per (doc, gram), and LEFT-joins the reference —
+   * when the reference fits the broadcast threshold AQE broadcasts it,
+   * otherwise the join shuffles on the gram key, which both sides
+   * already produce. Nothing driver-side either way.
+   */
+  def ngramNovelty(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                   ref: org.apache.spark.sql.DataFrame, refTextCol: String,
+                   n: Int): org.apache.spark.sql.DataFrame = {
+    val grams = docs.select(col(idCol).as("__id"),
+        tokens(lower(col(textCol))).as("__t"))
+      .select(col("__id"), explode(ngramsFromTokens(col("__t"), n)).as("__g"))
+      .distinct()
+    val rgrams = ref.select(tokens(lower(col(refTextCol))).as("__t"))
+      .select(explode(ngramsFromTokens(col("__t"), n)).as("__g")).distinct()
+      .withColumn("__hit", lit(1L))
+    val scored = grams.join(rgrams, Seq("__g"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_known"))
+    docs.select(col(idCol)).join(scored, docs(idCol) === scored("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        when(col("n_grams") > 0L,
+          (col("n_grams") - col("n_known")).cast("double") / col("n_grams"))
+          .as("novelty"))
   }
 
   /**

@@ -89,6 +89,65 @@ object Tokenizer {
       preTokens(text).flatMap(encodeWord)
   }
 
+  /** Unigram-LM vocabulary (Kudo 2018, "Subword Regularization" §3 —
+    * the SentencePiece unigram model): piece → log-probability.
+    * [[encodeWord]] is the Viterbi decode: the segmentation maximizing
+    * the sum of piece log-probs over ALL positions — unlike WordPiece's
+    * greedy longest-prefix, a high-probability piece is found anywhere
+    * in the word ("athe" under singles+{the} → [a, the], where greedy
+    * prefix matching yields 4 singles). Ties (equal score) break
+    * deterministically: fewer pieces, then the longest final piece. */
+  final case class UnigramVocab(logProbs: Map[String, Double],
+                                unk: String = "[UNK]") {
+    private val maxLen =
+      if (logProbs.isEmpty) 1 else logProbs.keysIterator.map(_.length).max
+
+    /** Viterbi over end positions: O(len · maxPieceLen) map probes.
+      * A word with any uncovered position is a single `unk` (same
+      * whole-word-unk convention as [[WordPieceVocab]]). */
+    def encodeWord(word: String): Vector[String] = {
+      val n = word.length
+      if (n == 0) return Vector.empty
+      val score = Array.fill(n + 1)(Double.NegativeInfinity)
+      val nPieces = Array.fill(n + 1)(Int.MaxValue)
+      val back = Array.fill(n + 1)(-1) // start index of the piece ending at i
+      score(0) = 0.0
+      nPieces(0) = 0
+      var i = 1
+      while (i <= n) {
+        var j = math.max(0, i - maxLen)
+        while (j < i) {
+          if (score(j) != Double.NegativeInfinity) {
+            logProbs.get(word.substring(j, i)) match {
+              case Some(lp) =>
+                val s = score(j) + lp
+                val np = nPieces(j) + 1
+                val better = s > score(i) ||
+                  (s == score(i) && (np < nPieces(i) ||
+                    (np == nPieces(i) && (back(i) < 0 || j < back(i)))))
+                if (better) { score(i) = s; nPieces(i) = np; back(i) = j }
+              case None =>
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      if (score(n) == Double.NegativeInfinity) return Vector(unk)
+      var out = List.empty[String]
+      var end = n
+      while (end > 0) {
+        val start = back(end)
+        out = word.substring(start, end) :: out
+        end = start
+      }
+      out.toVector
+    }
+
+    def encode(text: String): Seq[String] =
+      preTokens(text).flatMap(encodeWord)
+  }
+
   /** GPT-2-style pre-tokenization (same pattern as the regex proxy). */
   private val Pre = TextAnalysis.BpeTokenPattern.r
   def preTokens(text: String): Seq[String] =
@@ -125,6 +184,24 @@ object Tokenizer {
       lines.mkString("", "\n", "\n").getBytes("UTF-8"))
   }
 
+  /** Parse a SentencePiece-style unigram vocab dump: one
+    * `piece<TAB>log_prob` per line (the `spm_export_vocab` layout).
+    * Malformed lines are skipped, like [[parseMerges]]. */
+  def parseUnigram(lines: IterableOnce[String],
+                   unk: String = "[UNK]"): UnigramVocab =
+    UnigramVocab(lines.iterator.map(_.trim).filter(_.nonEmpty)
+      .flatMap { l =>
+        l.split('\t') match {
+          case Array(p, lp) => scala.util.Try(p -> lp.toDouble).toOption
+          case _            => None
+        }
+      }.toMap, unk)
+
+  def loadUnigram(path: String, unk: String = "[UNK]"): UnigramVocab = {
+    val src = scala.io.Source.fromFile(path)
+    try parseUnigram(src.getLines(), unk) finally src.close()
+  }
+
   /** vocab.txt: one piece per line (BERT format). */
   def loadWordPiece(path: String, unk: String = "[UNK]"): WordPieceVocab = {
     val src = scala.io.Source.fromFile(path)
@@ -143,6 +220,18 @@ object Tokenizer {
   /** Exact WordPiece token count of `text` under `vocab` (null → null). */
   def wordPieceTokenCount(text: Column, vocab: WordPieceVocab): Column = {
     val f = udf((s: String) => if (s == null) null else java.lang.Long.valueOf(vocab.encode(s).size.toLong))
+    f(text)
+  }
+
+  /** Exact Unigram-LM (Viterbi) token count under `vocab` (null → null). */
+  def unigramTokenCount(text: Column, vocab: UnigramVocab): Column = {
+    val f = udf((s: String) => if (s == null) null else java.lang.Long.valueOf(vocab.encode(s).size.toLong))
+    f(text)
+  }
+
+  /** Unigram-LM tokens as an array column. */
+  def unigramTokens(text: Column, vocab: UnigramVocab): Column = {
+    val f = udf((s: String) => if (s == null) null else vocab.encode(s))
     f(text)
   }
 

@@ -1161,6 +1161,134 @@ class OpsSpec extends AnyFunSuite {
       .as[Long].head() === 4L)
   }
 
+  test("curriculumOrder: ascending difficulty, md5 tie-break, dense 0-based rank") {
+    import graft.ops.Batching
+    val df = Seq((1L, 5L), (2L, 3L), (3L, 5L), (4L, 1L)).toDF("id", "d")
+    val out = Batching.curriculumOrder(df, "id", col("d"))
+      .orderBy("curriculum_rank").collect()
+    // rank is dense 0..n-1 and difficulty is non-decreasing along it
+    assert(out.map(_.getLong(out.head.fieldIndex("curriculum_rank"))).toSeq === Seq(0L, 1L, 2L, 3L))
+    val diffs = out.map(_.getLong(out.head.fieldIndex("difficulty"))).toSeq
+    assert(diffs === diffs.sorted)
+    assert(diffs.head === 1L && diffs(1) === 3L) // easiest first
+    // equal difficulty (ids 1,3) ordered by md5(id) — deterministic
+    val tieOrder = out.filter(_.getLong(out.head.fieldIndex("difficulty")) == 5L)
+      .map(_.getLong(out.head.fieldIndex("id"))).toSeq
+    val expected = Seq(1L, 3L).sortBy(i =>
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map("%02x".format(_)).mkString, i))
+    assert(tieOrder === expected)
+  }
+
+  test("preferencePairs: argmax/argmin per group, tie-breaks, degenerate groups drop") {
+    import graft.ops.Sampling
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 20L), // clear max/min
+      ("b", 4L, 7L), ("b", 5L, 7L),                   // tied score → id break
+      ("c", 6L, 1L)                                   // single candidate → no pair
+    ).toDF("g", "id", "s")
+    val out = Sampling.preferencePairs(df, "g", "id", col("s"))
+      .orderBy("g").collect()
+    assert(out.length === 2)
+    assert(out(0).getString(0) === "a" && out(0).getLong(1) === 2L && out(0).getLong(3) === 1L)
+    // tied scores: chosen = larger id, rejected = smaller id
+    assert(out(1).getString(0) === "b" && out(1).getLong(1) === 5L && out(1).getLong(3) === 4L)
+    // null scores are excluded before pairing
+    val withNull = Seq(("d", 1L, Some(5L)), ("d", 2L, None), ("d", 3L, Some(9L)))
+      .toDF("g", "id", "s")
+    val p = Sampling.preferencePairs(withNull, "g", "id", col("s")).collect()
+    assert(p.length === 1 && p(0).getLong(1) === 3L && p(0).getLong(3) === 1L)
+  }
+
+  test("stripHtml: element-content drop, tag strip, single-pass entity decode") {
+    import graft.ops.TextAnalysis
+    def strip(s: String): String =
+      Seq(s).toDF("t").select(TextAnalysis.stripHtml(col("t"))).as[String].head()
+    // script/style drop WITH content — a bare tag-stripper would leak "1 < 2"
+    assert(strip("a<script>var x = 1 < 2;</script>b") === "a b")
+    assert(strip("a<style media=\"all\">p{x:1}</style>b") === "a b")
+    assert(strip("a<SCRIPT>x</SCRIPT>b") === "a b") // case-insensitive
+    assert(strip("a<script>\nmulti\nline\n</script>b") === "a b") // DOTALL
+    // comments and tags (with attributes, self-closing, across lines)
+    assert(strip("<!-- note -->x<p class=\"y\">z</p><br/>") === "x z")
+    assert(strip("<a\nhref=\"u\">link</a>") === "link")
+    // entity decode, &amp; LAST: &amp;lt; yields the LITERAL "&lt;"
+    assert(strip("&lt;b&gt; &quot;q&quot; &#39;a&#39; &amp;") === "<b> \"q\" 'a' &")
+    assert(strip("&amp;lt;") === "&lt;")
+    // whitespace collapse + trim
+    assert(strip("  a   b  ") === "a b")
+    // plain text passes through
+    assert(strip("no markup here") === "no markup here")
+  }
+
+  test("ngramNovelty: known grams counted, novel fraction, gram-free docs null") {
+    import graft.ops.TextAnalysis
+    val ref = Seq("the quick brown fox").toDF("text")
+    val docs = Seq(
+      (1L, "the quick brown fox"),        // all 2 trigrams known
+      (2L, "the quick brown elephant"),   // 1 of 2 known
+      (3L, "completely novel words here"),// 0 of 2 known
+      (4L, "too short")                   // no trigrams
+    ).toDF("id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "id", "text", ref, "text", 3)
+      .orderBy("id").collect()
+    assert(out(0).getLong(1) === 2L && out(0).getLong(2) === 2L && out(0).getDouble(3) === 0.0)
+    assert(out(1).getLong(1) === 2L && out(1).getLong(2) === 1L && out(1).getDouble(3) === 0.5)
+    assert(out(2).getLong(1) === 2L && out(2).getLong(2) === 0L && out(2).getDouble(3) === 1.0)
+    assert(out(3).getLong(1) === 0L && out(3).isNullAt(3))
+  }
+
+  test("Unigram LM: Viterbi beats greedy prefix, tie-break deterministic, UNK") {
+    import graft.ops.Tokenizer
+    val singles = (33 to 126).map(c => c.toChar.toString -> -10.0)
+    val vocab = Tokenizer.UnigramVocab((singles :+ ("the" -> -25.0)).toMap)
+    // Viterbi finds "the" MID-WORD — greedy longest-prefix (WordPiece
+    // semantics) would emit 4 singles here
+    assert(vocab.encodeWord("athe") === Vector("a", "the"))
+    assert(vocab.encodeWord("theathe") === Vector("the", "a", "the"))
+    // overlapping occurrences: only disjoint uses count (thethe → 2,
+    // ththe → th + the chosen over t+h+t+h+e)
+    assert(vocab.encodeWord("thethe") === Vector("the", "the"))
+    assert(vocab.encodeWord("ththe").count(_ == "the") === 1)
+    // segmentation is lossless
+    for (w <- Seq("weather", "theorythe", "xyz"))
+      assert(vocab.encodeWord(w).mkString === w, s"lossy for '$w'")
+    // score dominates: "hello" as one piece beats cheaper-per-piece splits
+    val v2 = Tokenizer.UnigramVocab(Map(
+      "h" -> -3.0, "e" -> -3.0, "ll" -> -4.0, "o" -> -3.0, "hello" -> -9.0))
+    assert(v2.encodeWord("hello") === Vector("hello"))
+    // equal score → fewer pieces wins
+    val v3 = Tokenizer.UnigramVocab(Map("a" -> -2.0, "aa" -> -4.0, "aaaa" -> -8.0))
+    assert(v3.encodeWord("aaaa") === Vector("aaaa"))
+    // uncovered position → whole-word UNK (WordPiece convention)
+    assert(Tokenizer.UnigramVocab(Map("a" -> -1.0)).encodeWord("ab")
+      === Vector("[UNK]"))
+    // TSV round-trip: spm_export_vocab layout
+    val parsed = Tokenizer.parseUnigram(Seq("the\t-25.0", "a\t-10.0", "junk"))
+    assert(parsed.logProbs === Map("the" -> -25.0, "a" -> -10.0))
+    // column API
+    val df = Seq("athe hello", null).toDF("text")
+    val counts = df.select(Tokenizer.unigramTokenCount(col("text"), vocab))
+      .as[java.lang.Long].collect()
+    assert(counts(0) === 7L) // a,the + h,e,l,l,o
+    assert(counts(1) === null)
+  }
+
+  test("Unigram LM law on real docs: count equals the disjoint-'the' formula") {
+    import graft.ops.Tokenizer
+    val singles = (33 to 126).map(c => c.toChar.toString -> -10.0)
+    val vocab = Tokenizer.UnigramVocab((singles :+ ("the" -> -25.0)).toMap)
+    val texts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(translate(col("text"), "'", " ").as("t")).as[String].take(50)
+    for (t <- texts; w <- Tokenizer.preTokens(t)) {
+      // left-to-right disjoint occurrence count == interval-scheduling
+      // optimum for a fixed-length pattern (the oracle's replace() trick)
+      val disjoint = (w.length - w.replace("the", "").length) / 3
+      assert(vocab.encodeWord(w).size === w.length - 2 * disjoint,
+        s"formula mismatch for '$w'")
+    }
+  }
+
   test("ListOps: pairwise/accumulate/countdown/reversePos/prefixes/intervals") {
     import graft.ops.ListOps
     val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("i", "v")
