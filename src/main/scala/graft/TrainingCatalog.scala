@@ -989,6 +989,25 @@ object TrainingCatalog {
                for i in range(0, 10)]) AS BIGINT) AS z
       FROM events ORDER BY event_id""")),
 
+    // SMALL-FILE COMPACTION (lakehouse OPTIMIZE): a 64-file fragmented
+    // copy of documents rewrites into ⌈bytes/target⌉ sorted files; the
+    // entry runtime-enforces that the file count actually shrank, so
+    // the oracle's content check rides a genuinely compacted directory
+    // (content must be byte-identical — only the layout changes).
+    // Per-file row-group stats and ordered-rewrite laws live in OpsSpec
+    "q_layout_compact" -> (q((s, dir) => {
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"${sys.props("java.io.tmpdir")}/graft_compact_${ProcessHandle.current().pid()}_$suffix"
+      docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartition(64).write.mode("overwrite").parquet(s"$root/frag")
+      val stats = graft.ops.Layout.compact(s, s"$root/frag", s"$root/out",
+        targetFileBytes = 64L << 20, order = Seq("doc_id"))
+      require(stats.filesAfter < stats.filesBefore,
+        s"compaction did not shrink the layout: $stats")
+      s.read.parquet(s"$root/out").orderBy("doc_id")
+    }), Some("""
+      SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""")),
+
     // INCREMENTAL exact dedup: a delta batch deduped against the
     // existing corpus's content-hash index only (history never
     // re-scanned — the growing-corpus production shape). The delta
@@ -2523,6 +2542,60 @@ object TrainingCatalog {
       SELECT doc_id, CAST(4800 AS BIGINT) AS n_samples,
              CAST(1000 + (doc_id % 7) * 2000 AS INT) AS peak_abs,
              CAST(1000 + (doc_id % 7) * 2000 AS DOUBLE) AS rms
+      FROM documents ORDER BY doc_id""")),
+
+    // REAL PCM RESAMPLE (not just a parse): 16 kHz square waves
+    // linear-interpolated down to 8 kHz — the 2:1 ratio lands every
+    // output position exactly on a source sample, and an even planted
+    // half-period keeps the decimated stream a full-scale square wave,
+    // so count/peak/rms pin EXACTLY to the planted parameters (a wrong
+    // position map, interpolation weight, or output length cannot
+    // pass). The fractional-weight interpolation path (rem ≠ 0) is
+    // law-tested in OpsSpec on a ramp upsample where midpoints are
+    // integer-exact.
+    "q_multimodal_audio_resample" -> (q((s, dir) => {
+      import s.implicits._
+      val mkWav = udf((id: Long) => Multimodal.syntheticWavSquare(
+        rate = 16000, amplitude = (1000 + (id % 7) * 2000).toShort,
+        halfPeriod = (2 * (1 + id % 4)).toInt, nSamples = 4800))
+      val payload = docs(s, dir)
+        .select(col("doc_id"), mkWav(col("doc_id")).as("wav"))
+        .as[(Long, Array[Byte])]
+      Multimodal.pcmResamplePartitioned(payload, srcRate = 16000, dstRate = 8000)
+        .toDF()
+        .select(col("id").as("doc_id"), col("nOut").as("n_samples"),
+          col("peakAbs").as("peak_abs"),
+          sqrt(col("sumSq").cast("double") / col("nOut")).as("rms"))
+        .orderBy("doc_id")
+    }), Some("""
+      SELECT doc_id, CAST(2400 AS BIGINT) AS n_samples,
+             CAST(1000 + (doc_id % 7) * 2000 AS INT) AS peak_abs,
+             CAST(1000 + (doc_id % 7) * 2000 AS DOUBLE) AS rms
+      FROM documents ORDER BY doc_id""")),
+
+    // REAL MP4 container parse (ISO-BMFF box walk, pure JDK): each doc
+    // gets a well-formed ftyp+moov stream with doc_id-derived movie
+    // header and track list; mp4Parse walks the box structure and the
+    // oracle pins brand/timescale/duration/track-count arithmetic —
+    // closing the "MP4 = stub" caveat for container METADATA (sample
+    // decode still needs a codec and stays behind the stub seam)
+    "q_multimodal_mp4" -> (q((s, dir) => {
+      import s.implicits._
+      val mkMp4 = udf((id: Long) => Multimodal.syntheticMp4(
+        brand = "isom", timescale = 600,
+        durationTicks = (((id % 1000) + 1) * 600).toInt,
+        nTracks = (id % 3 + 1).toInt))
+      val payload = docs(s, dir)
+        .select(col("doc_id"), mkMp4(col("doc_id")).as("mp4"))
+        .as[(Long, Array[Byte])]
+      Multimodal.mp4MetaPartitioned(payload).toDF()
+        .select(col("id").as("doc_id"), col("brand"), col("timescale"),
+          col("durationMs").as("duration_ms"), col("nTracks").as("n_tracks"))
+        .orderBy("doc_id")
+    }), Some("""
+      SELECT doc_id, 'isom' AS brand, CAST(600 AS BIGINT) AS timescale,
+             CAST(((doc_id % 1000) + 1) * 1000 AS BIGINT) AS duration_ms,
+             CAST(doc_id % 3 + 1 AS INT) AS n_tracks
       FROM documents ORDER BY doc_id""")),
 
     "q_multimodal_wav" -> (q((s, dir) => {

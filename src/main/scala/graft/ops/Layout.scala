@@ -49,4 +49,52 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** File count + total bytes of a directory's parquet files (recursive
+    * Hadoop FS listing — works on any FileSystem scheme, local or
+    * object store). */
+  def parquetFootprint(spark: org.apache.spark.sql.SparkSession,
+                       path: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    var n = 0L; var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) { n += 1; bytes += f.getLen }
+    }
+    (n, bytes)
+  }
+
+  final case class CompactStats(filesBefore: Long, bytesBefore: Long,
+                                filesAfter: Long)
+
+  /** SMALL-FILE COMPACTION — the lakehouse OPTIMIZE shape. Streaming
+    * sinks, per-batch incremental writes, and over-partitioned jobs
+    * leave thousands of KB-scale files behind; at 100 TB the metadata
+    * and open-file overhead of a scan then dominates the read (every
+    * file costs a task, a footer fetch, and an object-store request).
+    * Rewrite the directory into ⌈bytes / targetFileBytes⌉ files: a
+    * plain round-robin repartition when no order is given (pure
+    * coalescing), or a range-partitioned sorted rewrite when `order`
+    * is — compaction is the natural moment to (re)establish a
+    * clustering, since the data is being rewritten anyway (the
+    * OPTIMIZE ... ZORDER composition; [[zOrderWrite]] is the
+    * 2-dimensional sibling). Content is byte-identical either way —
+    * only the file layout changes. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+              outPath: String, targetFileBytes: Long,
+              order: Seq[String] = Nil): CompactStats = {
+    require(targetFileBytes > 0, s"targetFileBytes: $targetFileBytes")
+    val (n0, bytes) = parquetFootprint(spark, inPath)
+    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(inPath)
+    val laid =
+      if (order.isEmpty) df.repartition(nOut)
+      else df.repartitionByRange(nOut, order.map(col): _*)
+        .sortWithinPartitions(order.map(col): _*)
+    laid.write.mode("overwrite").parquet(outPath)
+    val (n1, _) = parquetFootprint(spark, outPath)
+    CompactStats(n0, bytes, n1)
+  }
 }

@@ -288,6 +288,162 @@ object Multimodal {
     }
   }
 
+  /** REAL ISO-BMFF (MP4) container parse — pure box-structure walk, no
+    * codec (ISO/IEC 14496-12 §4.2): a box stream is [size: BE u32]
+    * [type: 4 ascii] (size 1 = 64-bit largesize follows, size 0 = box
+    * extends to EOF); the movie header is `moov`/`mvhd` (version 0:
+    * 32-bit timescale/duration at payload +12/+16; version 1: 64-bit
+    * times, timescale/duration at +20/+24), tracks are `moov`/`trak`
+    * children. Returns (major brand, timescale, duration ms, track
+    * count); None for anything that is not a well-formed box stream
+    * with ftyp + moov/mvhd. This closes the "MP4 = stub" caveat for
+    * container METADATA — frame/sample decode still needs a codec and
+    * stays behind the [[StubDecoder]] seam. */
+  def mp4Parse(bytes: Array[Byte]): Option[(String, Long, Long, Int)] = {
+    def beU32(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def beU64(off: Int): Long = (beU32(off) << 32) | beU32(off + 4)
+    def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
+    def walk(from: Long, to: Long): Option[List[(String, Long, Long)]] = {
+      val out = List.newBuilder[(String, Long, Long)]
+      var p = from
+      while (p < to) {
+        if (p + 8 > to) return None
+        var size = beU32(p.toInt)
+        var hdr = 8L
+        if (size == 1L) {
+          if (p + 16 > to) return None
+          size = beU64(p.toInt + 8); hdr = 16L
+        } else if (size == 0L) size = to - p
+        if (size < hdr || p + size > to) return None
+        out += ((ascii(p.toInt + 4, 4), p + hdr, p + size))
+        p += size
+      }
+      Some(out.result())
+    }
+    if (bytes.length < 8) return None
+    walk(0, bytes.length.toLong).flatMap { top =>
+      for {
+        ftyp <- top.find(_._1 == "ftyp")
+        moov <- top.find(_._1 == "moov")
+        kids <- walk(moov._2, moov._3)
+        mvhd <- kids.find(_._1 == "mvhd")
+        tsDur <- {
+          val off = mvhd._2.toInt
+          val payload = mvhd._3 - mvhd._2
+          val version = if (payload >= 1) bytes(off) & 0xff else -1
+          if (version == 0 && payload >= 20)
+            Some((beU32(off + 12), beU32(off + 16)))
+          else if (version == 1 && payload >= 32)
+            Some((beU32(off + 20), beU64(off + 24)))
+          else None
+        }
+      } yield {
+        val (ts, dur) = tsDur
+        val durMs = if (ts > 0) dur * 1000L / ts else 0L
+        (ascii(ftyp._2.toInt, 4), ts, durMs, kids.count(_._1 == "trak"))
+      }
+    }
+  }
+
+  /** Minimal well-formed MP4 box stream for the parse oracle: ftyp
+    * (major brand, minor 0) + moov holding a version-0 mvhd (100-byte
+    * payload, zeros outside timescale/duration) and `nTracks` empty
+    * trak boxes. Structurally valid for the box WALK under test — a
+    * playable file additionally needs tkhd/mdia children, which the
+    * walk does not require. */
+  def syntheticMp4(brand: String, timescale: Int, durationTicks: Int,
+                   nTracks: Int): Array[Byte] = {
+    require(brand.length == 4, s"brand must be 4 ascii chars: $brand")
+    require(nTracks >= 0 && timescale > 0)
+    val mvhdLen = 8 + 100
+    val moovLen = 8 + mvhdLen + nTracks * 8
+    val bb = java.nio.ByteBuffer.allocate(16 + moovLen) // BE by default
+    bb.putInt(16); bb.put("ftyp".getBytes("US-ASCII"))
+    bb.put(brand.getBytes("US-ASCII")); bb.putInt(0)
+    bb.putInt(moovLen); bb.put("moov".getBytes("US-ASCII"))
+    bb.putInt(mvhdLen); bb.put("mvhd".getBytes("US-ASCII"))
+    bb.putInt(0)          // version 0 + flags
+    bb.putInt(0); bb.putInt(0) // creation, modification
+    bb.putInt(timescale); bb.putInt(durationTicks)
+    bb.position(bb.position() + 80) // rate/volume/matrix/… zeroed
+    (0 until nTracks).foreach { _ =>
+      bb.putInt(8); bb.put("trak".getBytes("US-ASCII"))
+    }
+    bb.array()
+  }
+
+  case class Mp4Meta(id: Long, brand: String, timescale: Long,
+                     durationMs: Long, nTracks: Int)
+
+  /** [[mp4Parse]] through the partition-batched seam (payloads never
+    * shuffle — same shape as [[pcmStatsPartitioned]]); unparseable
+    * payloads drop. */
+  def mp4MetaPartitioned(ds: Dataset[(Long, Array[Byte])]): Dataset[Mp4Meta] = {
+    implicit val enc: Encoder[Mp4Meta] = Encoders.product[Mp4Meta]
+    ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      mp4Parse(bytes).map { case (b, ts, ms, nt) => Mp4Meta(id, b, ts, ms, nt) }
+    })
+  }
+
+  /** REAL 16-bit PCM linear-interpolation resample over a canonical
+    * WAV's data chunk, reported as the resampled stream's integer
+    * moments (count, peak |amplitude|, Σ sample²) — the same
+    * feature shape as [[pcm16Stats]]. Output sample i sits at source
+    * position i·srcRate/dstRate (rational, never floated): idx =
+    * ⌊i·src/dst⌋, rem = i·src mod dst, value = ((dst−rem)·s[idx] +
+    * rem·s[idx+1]) / dst truncated toward zero — EXACT integer
+    * arithmetic, so results are engine-reproducible at any rate pair.
+    * Output length = ⌊(n−1)·dst/src⌋ + 1 (both endpoints land on
+    * source samples when the ratio divides evenly). None for non-WAV /
+    * non-16-bit payloads, Some((0,0,0)) for an empty data chunk. */
+  def pcm16Resample(bytes: Array[Byte], srcRate: Int, dstRate: Int): Option[(Long, Int, Long)] = {
+    require(srcRate > 0 && dstRate > 0)
+    def magic(off: Int, s: String): Boolean =
+      s.indices.forall(i => bytes(off + i) == s.charAt(i).toByte)
+    if (bytes.length < 44 || !magic(0, "RIFF") || !magic(8, "WAVE") ||
+        !magic(12, "fmt ") || !magic(36, "data")) None
+    else {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (bb.getInt(16) != 16 || bb.getShort(20) != 1 || bb.getShort(34) != 16) None
+      else {
+        val n = math.min(bb.getInt(40), bytes.length - 44) / 2
+        if (n <= 0) Some((0L, 0, 0L))
+        else {
+          def s(i: Int): Int = bb.getShort(44 + 2 * i).toInt
+          val m = ((n - 1).toLong * dstRate / srcRate + 1L).toInt
+          var i = 0; var peak = 0; var ss = 0L
+          while (i < m) {
+            val posNum = i.toLong * srcRate
+            val idx = (posNum / dstRate).toInt
+            val rem = (posNum % dstRate).toInt
+            val v =
+              if (rem == 0) s(idx)
+              else (((dstRate - rem).toLong * s(idx) + rem.toLong * s(idx + 1)) / dstRate).toInt
+            val a = math.abs(v); if (a > peak) peak = a
+            ss += v.toLong * v
+            i += 1
+          }
+          Some((m.toLong, peak, ss))
+        }
+      }
+    }
+  }
+
+  case class ResampledPcm(id: Long, nOut: Long, peakAbs: Int, sumSq: Long)
+
+  /** [[pcm16Resample]] through the partition-batched seam. */
+  def pcmResamplePartitioned(ds: Dataset[(Long, Array[Byte])], srcRate: Int,
+                             dstRate: Int): Dataset[ResampledPcm] = {
+    implicit val enc: Encoder[ResampledPcm] = Encoders.product[ResampledPcm]
+    ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      pcm16Resample(bytes, srcRate, dstRate).map { case (n, p, ss) =>
+        ResampledPcm(id, n, p, ss)
+      }
+    })
+  }
+
   /** PERCEPTUAL image hash (average hash): decode, area-average to an
     * 8×8 grayscale grid (explicit integer block means — deterministic
     * and engine-free, unlike interpolated scaling), threshold each cell

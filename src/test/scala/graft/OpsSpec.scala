@@ -1161,6 +1161,97 @@ class OpsSpec extends AnyFunSuite {
       .as[Long].head() === 4L)
   }
 
+  test("mp4Parse: box walk, v0/v1 mvhd, largesize, track count, malformed → None") {
+    import graft.ops.Multimodal
+    // v0 synthetic: brand/timescale/duration/tracks round-trip
+    val m = Multimodal.mp4Parse(Multimodal.syntheticMp4("isom", 600, 1800, 2))
+    assert(m === Some(("isom", 600L, 3000L, 2))) // 1800 ticks @600 = 3s
+    assert(Multimodal.mp4Parse(Multimodal.syntheticMp4("mp42", 1000, 1500, 0))
+      === Some(("mp42", 1000L, 1500L, 0)))
+    // version-1 mvhd: 64-bit times, timescale@+20, duration@+24
+    val v1 = {
+      val mvhdLen = 8 + 112 // v1 payload: 4 + 8 + 8 + 4 + 8 + 80
+      val moovLen = 8 + mvhdLen + 8
+      val bb = java.nio.ByteBuffer.allocate(16 + moovLen)
+      bb.putInt(16); bb.put("ftyp".getBytes); bb.put("isom".getBytes); bb.putInt(0)
+      bb.putInt(moovLen); bb.put("moov".getBytes)
+      bb.putInt(mvhdLen); bb.put("mvhd".getBytes)
+      bb.putInt(0x01000000) // version 1, flags 0
+      bb.putLong(0L); bb.putLong(0L) // creation, modification (64-bit)
+      bb.putInt(90000); bb.putLong(450000L) // timescale, duration → 5s
+      bb.position(bb.position() + 80)
+      bb.putInt(8); bb.put("trak".getBytes)
+      bb.array()
+    }
+    assert(Multimodal.mp4Parse(v1) === Some(("isom", 90000L, 5000L, 1)))
+    // 64-bit largesize header on a top-level box is walked correctly
+    val large = {
+      val inner = Multimodal.syntheticMp4("isom", 600, 600, 1)
+      val free = java.nio.ByteBuffer.allocate(16 + 4)
+      free.putInt(1); free.put("free".getBytes); free.putLong(20L); free.putInt(0)
+      free.array() ++ inner
+    }
+    assert(Multimodal.mp4Parse(large) === Some(("isom", 600L, 1000L, 1)))
+    // malformed: truncated, overlong box, not a box stream
+    assert(Multimodal.mp4Parse(Multimodal.syntheticMp4("isom", 600, 600, 1)
+      .dropRight(5)) === None)
+    assert(Multimodal.mp4Parse("not an mp4 file at all".getBytes) === None)
+    assert(Multimodal.mp4Parse(Array.empty[Byte]) === None)
+  }
+
+  test("pcm16Resample: identity = stats, 2:1 exact decimation, interpolated upsample") {
+    import graft.ops.Multimodal
+    val wav = Multimodal.syntheticWavSquare(16000, 5000, 4, 480)
+    // identity resample reproduces pcm16Stats' moments exactly
+    assert(Multimodal.pcm16Resample(wav, 16000, 16000)
+      === Multimodal.pcm16Stats(wav))
+    // 2:1 on an even half-period square: still a full-scale square
+    val Some((n2, p2, ss2)) = Multimodal.pcm16Resample(wav, 16000, 8000)
+    assert(n2 === 240L && p2 === 5000)
+    assert(ss2 === 5000L * 5000L * 240L)
+    // 1:2 upsample of a linear ramp: odd outputs are exact midpoints
+    val ramp = Multimodal.syntheticWav(8000, 1, 16, 8)
+    val bb = java.nio.ByteBuffer.wrap(ramp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(0, 10, 20, 30).zipWithIndex.foreach { case (v, i) =>
+      bb.putShort(44 + 2 * i, v.toShort) }
+    val Some((n3, p3, ss3)) = Multimodal.pcm16Resample(ramp, 8000, 16000)
+    // out = 0,5,10,15,20,25,30 (m = (4-1)*2+1 = 7)
+    assert(n3 === 7L && p3 === 30)
+    assert(ss3 === Seq(0, 5, 10, 15, 20, 25, 30).map(v => v.toLong * v).sum)
+    // non-WAV → None
+    assert(Multimodal.pcm16Resample("junk".getBytes, 16000, 8000) === None)
+  }
+
+  test("Layout.compact: fewer files, identical content, ordered rewrite clusters") {
+    import graft.ops.Layout
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val src = spark.range(0, 2000).select(col("id"), (col("id") % 7).as("k"))
+    src.repartition(32).write.mode("overwrite").parquet(s"$tmp/frag")
+    val (n0, bytes0) = Layout.parquetFootprint(spark, s"$tmp/frag")
+    assert(n0 === 32L && bytes0 > 0L)
+    // unordered coalesce: fewer files, same rows
+    val st = Layout.compact(spark, s"$tmp/frag", s"$tmp/out", 1L << 30)
+    assert(st.filesBefore === 32L && st.filesAfter === 1L)
+    assert(spark.read.parquet(s"$tmp/out").orderBy("id").collect()
+      === src.orderBy("id").collect())
+    // ordered rewrite into 4 files: content equal AND id-ranges disjoint
+    // across files (the clustering a sorted compaction exists for)
+    val st2 = Layout.compact(spark, s"$tmp/frag", s"$tmp/out2",
+      math.max(1L, bytes0 / 4), order = Seq("id"))
+    assert(st2.filesAfter >= 2L && st2.filesAfter < 32L)
+    assert(spark.read.parquet(s"$tmp/out2").orderBy("id").collect()
+      === src.orderBy("id").collect())
+    import org.apache.spark.sql.functions.{input_file_name, min => smin, max => smax}
+    val ranges = spark.read.parquet(s"$tmp/out2")
+      .groupBy(input_file_name().as("f"))
+      .agg(smin("id").as("lo"), smax("id").as("hi"))
+      .orderBy("lo").collect()
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) < b.getLong(1), "file id-ranges overlap")
+      case _ =>
+    }
+  }
+
   test("curriculumOrder: ascending difficulty, md5 tie-break, dense 0-based rank") {
     import graft.ops.Batching
     val df = Seq((1L, 5L), (2L, 3L), (3L, 5L), (4L, 1L)).toDF("id", "d")
