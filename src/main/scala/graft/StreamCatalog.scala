@@ -191,6 +191,41 @@ object StreamCatalog {
         AND md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) NOT IN (SELECT h FROM idx)
       ORDER BY 1""")),
 
+    // benchmark decontamination ON INGEST: the stateless streaming form
+    // of q_text_decontaminate — every arriving doc is flagged against
+    // the static benchmark gram set (leading 8-grams of every 50th doc,
+    // same benchmark as the batch entry) map-side, no watermark, no
+    // state store; the drained stream must reproduce the batch
+    // operator's (n_hits, contaminated) verdict for every document,
+    // which is the batch entry's oracle verbatim.
+    "q_stream_decontaminate" -> (raw((s, dir) => {
+      val bench = SparkEntry.loader(s, dir)("documents")
+        .where(col("doc_id") % 50 === 0)
+        .select(concat_ws(" ",
+          slice(graft.ops.TextAnalysis.tokens(lower(col("text"))), 1, 8)).as("btext"))
+      val docs = streamRead(s, dir, "documents")
+      val flagged = Streams.decontaminateStream(docs, "text", bench, "btext", n = 8)
+        .select(col("doc_id"), col("n_hits"), col("contaminated"))
+      drain(s, flagged, "decontam", OutputMode.Append())
+        .orderBy("doc_id")
+    }), Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      grams AS (
+        SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+              FROM toks WHERE len(t) >= 8)),
+      bench AS (
+        SELECT DISTINCT array_to_string(t[1:8], ' ') AS g
+        FROM toks WHERE doc_id % 50 = 0 AND len(t) >= 8),
+      hits AS (
+        SELECT g.doc_id, count(DISTINCT g.g) AS n_hits
+        FROM grams g JOIN bench b USING (g) GROUP BY g.doc_id)
+      SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+             coalesce(h.n_hits, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""")),
+
     // windowed frequent-items on a stream (the streaming sibling of the
     // batch heavy-hitters census): per finalized day window, the event
     // types with >= 5 arrivals (a support count that discriminates at

@@ -1390,6 +1390,37 @@ object TrainingCatalog {
              CAST(unnest(codes) AS BIGINT) AS code, scale
       FROM c ORDER BY vec_id, pos""")),
 
+    // PCA fit statistics, EXACT: the upper-triangle scatter matrix
+    // Σ codeᵢ·codeⱼ over int8-QUANTIZED embeddings (quantize first →
+    // every statistic is an integer sum: engine-reproducible and
+    // partitioning-invariant, which float accumulation is not). One
+    // treeAggregate — the driver receives d(d+1)/2 longs at any corpus
+    // size. The eigensolve + projection consume these via pcaFit /
+    // pcaProject, law-tested in OpsSpec (orthonormality, variance
+    // ordering, known-direction recovery) — doubles, so spec-tier.
+    "q_embed_pca_scatter" -> (q((s, dir) =>
+      Similarity.int8ScatterMatrix(
+        embs(s, dir).select(Similarity.int8Quantize(col("embedding")).as("codes")),
+        "codes", dim = 64)
+        .orderBy("i", "j")
+    ), Some("""
+      WITH m AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS v,
+          list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max')
+            / 127.0 AS scale
+        FROM embeddings),
+      c AS (
+        SELECT CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+               ELSE list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) END AS codes
+        FROM m),
+      ij AS (
+        SELECT i, j
+        FROM generate_series(1, 64) g1(i), generate_series(1, 64) g2(j)
+        WHERE j >= i)
+      SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
+             CAST(sum(codes[i] * codes[j]) AS BIGINT) AS s
+      FROM c, ij GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // skew tools, driver-checked: the salted join and the explicit
     // two-phase aggregation must be RESULT-invariant vs their plain
     // forms — salting only changes the physical distribution
@@ -1608,6 +1639,62 @@ object TrainingCatalog {
       FROM hi h JOIN lo l ON h.source = l.source AND h.r = 1 AND l.r = 1
       WHERE h.chosen_id <> l.rejected_id
       ORDER BY h.source""")),
+
+    // per-source DATA-CARD report (datasheets practice): doc count,
+    // token total, exact-duplicate membership count and fraction per
+    // source — two map-side-combined keyed aggregates, all-integer
+    // except the final exact division
+    "q_pipeline_datacard" -> (q((s, dir) =>
+      TextAnalysis.corpusReport(docs(s, dir), "source", "text")
+        .orderBy("source")
+    ), Some("""
+      WITH m AS (
+        SELECT source,
+          coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 0) AS n_tok,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents),
+      fpg AS (SELECT source, fp, count(*) AS cnt, sum(n_tok) AS tok
+              FROM m GROUP BY 1, 2)
+      SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS n_tok,
+             CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_docs,
+             CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+               / sum(cnt) AS dup_frac
+      FROM fpg GROUP BY source ORDER BY source""")),
+
+    // corpus MIX-DRIFT between two snapshots: the doc_id<300 "previous
+    // release" vs the full corpus — per source, counts in each and the
+    // token-share delta (did ingestion shift the mix?); exact integers
+    // + single exact divisions, full-outer on the small class domain
+    "q_pipeline_drift" -> (q((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.mixDrift(d.where(col("doc_id") < 300), d, "source", "text")
+        .orderBy("source")
+    }), Some("""
+      WITH m AS (
+        SELECT doc_id, source,
+          coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 0) AS n
+        FROM documents),
+      aa AS (SELECT source, count(*) AS n_docs_a, sum(n) AS n_tok_a
+             FROM m WHERE doc_id < 300 GROUP BY 1),
+      bb AS (SELECT source, count(*) AS n_docs_b, sum(n) AS n_tok_b
+             FROM m GROUP BY 1),
+      j AS (
+        SELECT source,
+               coalesce(n_docs_a, 0) AS n_docs_a, coalesce(n_tok_a, 0) AS n_tok_a,
+               coalesce(n_docs_b, 0) AS n_docs_b, coalesce(n_tok_b, 0) AS n_tok_b
+        FROM aa FULL OUTER JOIN bb USING (source)),
+      t AS (SELECT sum(n_tok_a) AS ta, sum(n_tok_b) AS tb FROM j)
+      SELECT source,
+             CAST(n_docs_a AS BIGINT) AS n_docs_a, CAST(n_tok_a AS BIGINT) AS n_tok_a,
+             CAST(n_docs_b AS BIGINT) AS n_docs_b, CAST(n_tok_b AS BIGINT) AS n_tok_b,
+             CASE WHEN ta > 0 THEN CAST(n_tok_a AS DOUBLE) / ta END AS share_a,
+             CASE WHEN tb > 0 THEN CAST(n_tok_b AS DOUBLE) / tb END AS share_b,
+             (CASE WHEN tb > 0 THEN CAST(n_tok_b AS DOUBLE) / tb END)
+               - (CASE WHEN ta > 0 THEN CAST(n_tok_a AS DOUBLE) / ta END) AS share_delta
+      FROM j, t ORDER BY source""")),
 
     // length-bucketed dynamic batching: power-of-two token-length
     // buckets (bit-length arithmetic, engine-exact), md5-ordered batches

@@ -651,6 +651,154 @@ object Similarity {
     spark.read.parquet(path).orderBy(col("list_id"))
       .collect().map(_.getSeq[Double](1).toArray)
 
+  // -- PCA / whitening ----------------------------------------------------
+
+  /** Packed second-moment statistics via ONE treeAggregate: upper-
+    * triangle Σ vᵢvⱼ products, per-dimension sums, and the row count.
+    * Full map-side combine — the driver receives d(d+1)/2 + d numbers
+    * regardless of corpus size; nothing else leaves the executors. */
+  private def scatterAgg[T](rows: org.apache.spark.rdd.RDD[Seq[T]], dim: Int)
+                           (implicit num: Numeric[T]): (Array[Double], Array[Double], Long) = {
+    val nUT = dim * (dim + 1) / 2
+    val zero = (new Array[Double](nUT), new Array[Double](dim), 0L)
+    rows.treeAggregate(zero)(
+      seqOp = { case ((p, s, n), v) =>
+        if (v == null || v.length != dim) (p, s, n)
+        else {
+          val a = v.iterator.map(num.toDouble).toArray
+          var k = 0; var i = 0
+          while (i < dim) {
+            s(i) += a(i)
+            var j = i
+            while (j < dim) { p(k) += a(i) * a(j); k += 1; j += 1 }
+            i += 1
+          }
+          (p, s, n + 1)
+        }
+      },
+      combOp = { case ((p1, s1, n1), (p2, s2, n2)) =>
+        var k = 0; while (k < nUT) { p1(k) += p2(k); k += 1 }
+        var i = 0; while (i < dim) { s1(i) += s2(i); i += 1 }
+        (p1, s1, n1 + n2)
+      })
+  }
+
+  /** EXACT-integer scatter matrix of int8-quantized vectors: one row
+    * per upper-triangle cell (i, j, Σ codeᵢ·codeⱼ). Quantized codes
+    * make every statistic an integer sum — engine-reproducible and
+    * partitioning-invariant, unlike float accumulation (the reason the
+    * ORACLE pins this surface while [[pcaFit]] consumes the double
+    * path). Products are exact in doubles far beyond any real corpus
+    * (|code| ≤ 127 → each product ≤ 16129; 2^53 headroom ≈ 5·10¹¹
+    * rows). */
+  def int8ScatterMatrix(df: DataFrame, codesCol: String, dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (p, _, _) = scatterAgg(
+      df.select(col(codesCol)).rdd.map(r => r.getSeq[Int](0)), dim)
+    val rows = for {
+      i <- 0 until dim
+      j <- i until dim
+    } yield (i, j, p(i * dim - i * (i - 1) / 2 + (j - i)).toLong)
+    rows.toDF("i", "j", "s")
+  }
+
+  /** Fitted PCA: per-dimension means, orthonormal components (rows,
+    * eigenvalue-descending), and the eigenvalues (= variance captured
+    * per component). */
+  final case class PcaModel(means: Array[Double], components: Array[Array[Double]],
+                            eigenvalues: Array[Double])
+
+  /** PCA fit — distributed second moments ([[scatterAgg]]: one
+    * treeAggregate, d² driver numbers), then a DRIVER-side cyclic
+    * Jacobi eigendecomposition of the d×d covariance (d is an
+    * embedding dimension — 64 here, ≤ a few thousand anywhere — so the
+    * O(d³) eigensolve is microseconds; the corpus-sized work is all in
+    * the one aggregate). Components are sign-canonicalized (largest-
+    * magnitude entry positive) so the fit is deterministic up to the
+    * float-sum ulps of the aggregate. */
+  def pcaFit(df: DataFrame, vecCol: String, k: Int): PcaModel = {
+    val first = df.select(vecD(col(vecCol))).head().getSeq[Double](0)
+    val dim = first.length
+    require(k >= 1 && k <= dim, s"k: $k, dim: $dim")
+    val (p, s, n) = scatterAgg(
+      df.select(vecD(col(vecCol))).rdd.map(r => r.getSeq[Double](0)), dim)
+    require(n > 1, s"need >1 vectors, got $n")
+    val mean = s.map(_ / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var k0 = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      val c = p(k0) / n - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c; k0 += 1
+    }
+    val (evals, evecs) = jacobiEigen(cov)
+    val order = evals.indices.sortBy(i => -evals(i)).take(k)
+    val comps = order.map { ci =>
+      val v = Array.tabulate(dim)(r => evecs(r)(ci))
+      val m = v.maxBy(math.abs)
+      if (m < 0) v.map(-_) else v
+    }.toArray
+    PcaModel(mean, comps, order.map(evals).toArray)
+  }
+
+  /** Cyclic Jacobi for a symmetric matrix: returns (eigenvalues,
+    * eigenvector matrix with eigenvectors as COLUMNS). Textbook
+    * two-sided rotations (Golub & Van Loan §8.5) to off-diagonal
+    * stillness. */
+  private def jacobiEigen(a0: Array[Array[Double]],
+                          maxSweeps: Int = 64, tol: Double = 1e-12): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < maxSweeps && off > tol) {
+      off = 0.0
+      for (pI <- 0 until d - 1; q <- pI + 1 until d) {
+        off = math.max(off, math.abs(a(pI)(q)))
+        if (math.abs(a(pI)(q)) > tol) {
+          val theta = (a(q)(q) - a(pI)(pI)) / (2.0 * a(pI)(q))
+          val t =
+            if (theta == 0.0) 1.0 // equal diagonal: 45° rotation
+            else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val sn = t * c
+          for (r <- 0 until d) {
+            val arp = a(r)(pI); val arq = a(r)(q)
+            a(r)(pI) = c * arp - sn * arq
+            a(r)(q) = sn * arp + c * arq
+          }
+          for (r <- 0 until d) {
+            val apr = a(pI)(r); val aqr = a(q)(r)
+            a(pI)(r) = c * apr - sn * aqr
+            a(q)(r) = sn * apr + c * aqr
+          }
+          for (r <- 0 until d) {
+            val vrp = v(r)(pI); val vrq = v(r)(q)
+            v(r)(pI) = c * vrp - sn * vrq
+            v(r)(q) = sn * vrp + c * vrq
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Project `vec` onto a fitted model's top-k components (mean-
+    * centered): a k-element array column, each element one codegen'd
+    * dot product against a literal component — pure Column algebra in
+    * the scan stage, zero shuffle at any corpus size. */
+  def pcaProject(vec: Column, model: PcaModel): Column = {
+    val centered = zip_with(vecD(vec), typedlit(model.means.toSeq),
+      (x, m) => x - m)
+    array(model.components.map { comp =>
+      aggregate(
+        zip_with(centered, typedlit(comp.toSeq), (x, c) => x * c),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+  }
+
   /** Save PQ codebooks: one row per (subspace, code, centroid). */
   def savePqCodebooks(spark: SparkSession, path: String,
                       codebooks: Array[Array[Array[Double]]]): Unit = {

@@ -257,6 +257,64 @@ object TextAnalysis {
         RedactEmail, "<EMAIL>"),
       RedactDigits, "<NUM>")
 
+  /** Per-class corpus DATA-CARD report — the summary table a dataset
+    * release ships (datasheets/data-statements practice): per class
+    * (source, language, …) the document count, total whitespace
+    * tokens, exact-duplicate document count (members of any
+    * same-fingerprint group within the class), and the duplicate
+    * fraction. All integer aggregates except the final exact division,
+    * so the report is engine-reproducible. Two keyed aggregates —
+    * (class, fingerprint) then class — both map-side combined; nothing
+    * driver-side at any corpus size. */
+  def corpusReport(df: org.apache.spark.sql.DataFrame, classCol: String,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    val perFp = df
+      .select(col(classCol).as("__c"),
+        tokenCount(col(textCol)).as("__n"),
+        fingerprint(col(textCol)).as("__fp"))
+      .groupBy(col("__c"), col("__fp"))
+      .agg(count(lit(1)).as("cnt"), sum(coalesce(col("__n"), lit(0L))).as("tok"))
+    perFp.groupBy(col("__c"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        sum(col("tok")).as("n_tok"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("n_dup_docs"))
+      .select(col("__c").as(classCol), col("n_docs"), col("n_tok"),
+        col("n_dup_docs"),
+        (col("n_dup_docs").cast("double") / col("n_docs")).as("dup_frac"))
+  }
+
+  /** Corpus MIX-DRIFT between two snapshots — the composition audit a
+    * continuously-ingesting corpus runs per release (did the crawl
+    * shift the source/language mix?): per class, document and token
+    * counts in each snapshot, each snapshot's token SHARE of its
+    * corpus, and the share delta. Counts are exact integers; shares
+    * are single exact divisions (engine-reproducible). Shape: one
+    * keyed aggregate per side, a full outer join on the (small) class
+    * domain, totals via a broadcast 1-row cross join — the big sides
+    * never shuffle twice. */
+  def mixDrift(va: org.apache.spark.sql.DataFrame, vb: org.apache.spark.sql.DataFrame,
+               classCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    def agg(df: org.apache.spark.sql.DataFrame, suffix: String) =
+      df.select(col(classCol).as("__c"),
+          coalesce(tokenCount(col(textCol)), lit(0L)).as("__n"))
+        .groupBy(col("__c"))
+        .agg(count(lit(1)).as(s"n_docs_$suffix"), sum(col("__n")).as(s"n_tok_$suffix"))
+    val a = agg(va, "a"); val b = agg(vb, "b")
+    val joined = a.join(b, Seq("__c"), "full_outer")
+      .select(col("__c"),
+        coalesce(col("n_docs_a"), lit(0L)).as("n_docs_a"),
+        coalesce(col("n_tok_a"), lit(0L)).as("n_tok_a"),
+        coalesce(col("n_docs_b"), lit(0L)).as("n_docs_b"),
+        coalesce(col("n_tok_b"), lit(0L)).as("n_tok_b"))
+    val totals = joined.agg(sum("n_tok_a").as("__ta"), sum("n_tok_b").as("__tb"))
+    joined.join(broadcast(totals))
+      .select(col("__c").as(classCol),
+        col("n_docs_a"), col("n_tok_a"), col("n_docs_b"), col("n_tok_b"),
+        when(col("__ta") > 0, col("n_tok_a").cast("double") / col("__ta")).as("share_a"),
+        when(col("__tb") > 0, col("n_tok_b").cast("double") / col("__tb")).as("share_b"))
+      .withColumn("share_delta", col("share_b") - col("share_a"))
+  }
+
   /** HTML markup stripping — the first cleaning pass of every
     * web-corpus pipeline (C4/RefinedWeb run full DOM extractors like
     * trafilatura; this is the regex tier for payloads that are already

@@ -60,6 +60,40 @@ object Streams {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Benchmark decontamination ON INGEST: the streaming form of
+    * `TextAnalysis.decontaminate` — every arriving document is flagged
+    * when any of its word n-grams collides with the STATIC benchmark
+    * gram set. STATELESS by construction: the verdict depends only on
+    * the row's own content and the fixed benchmark, so there is no
+    * watermark, no state store, and Append mode emits every row on
+    * arrival — the shape that gates an ingest firehose before it ever
+    * lands in the corpus. The benchmark grams are collected ONCE at
+    * query definition and broadcast (eval sets are MBs — the same
+    * bound the batch operator's broadcast join rides; for eval-suite
+    * unions beyond that, build the set from
+    * `TextAnalysis.decontaminateBloom`'s filter instead). Gram
+    * construction stays in Column space (identical tokenization to the
+    * batch op); only the set membership is a JVM udf over the
+    * broadcast. Returns the stream plus (n_hits, contaminated) with
+    * the batch operator's exact semantics (distinct colliding grams). */
+  def decontaminateStream(docs: DataFrame, textCol: String,
+                          bench: DataFrame, benchTextCol: String,
+                          n: Int): DataFrame = {
+    import graft.ops.TextAnalysis
+    val grams = bench
+      .select(TextAnalysis.tokens(lower(col(benchTextCol))).as("__t"))
+      .select(explode(TextAnalysis.ngramsFromTokens(col("__t"), n)).as("__g"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val bc = docs.sparkSession.sparkContext.broadcast(grams)
+    val hits = udf((gs: Seq[String]) =>
+      if (gs == null) 0L else gs.distinct.count(bc.value.contains).toLong)
+    docs
+      .withColumn("__t", TextAnalysis.tokens(lower(col(textCol))))
+      .withColumn("n_hits", hits(TextAnalysis.ngramsFromTokens(col("__t"), n)))
+      .drop("__t")
+      .withColumn("contaminated", col("n_hits") > 0L)
+  }
+
   /** Micro-batch snowflake assembly: the fact stream is joined/nested
     * against static dimension tables per `plan` and handed to `sink`
     * (e.g. a partitioned NDJSON writer + notification). */

@@ -1161,6 +1161,51 @@ class OpsSpec extends AnyFunSuite {
       .as[Long].head() === 4L)
   }
 
+  test("PCA: scatter matrix exact, known direction recovered, orthonormal, variance-ordered") {
+    import graft.ops.Similarity
+    // exact integer scatter vs brute force on crafted codes
+    val codes = Seq(Seq(1, 2, 3), Seq(-1, 0, 4), Seq(2, 2, 2), Seq(0, -3, 1))
+    val sc = Similarity.int8ScatterMatrix(
+      codes.toDF("codes"), "codes", dim = 3).orderBy("i", "j").collect()
+    for (r <- sc) {
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val want = codes.map(v => v(i).toLong * v(j)).sum
+      assert(r.getLong(2) === want, s"scatter[$i][$j]")
+    }
+    // fit on points along a known direction (1,2,0)/√5 with tiny
+    // orthogonal jitter: first component recovers the direction
+    val dirV = Array(1.0, 2.0, 0.0).map(_ / math.sqrt(5.0))
+    val pts = (0 until 200).map { i =>
+      val t = (i % 41) - 20.0
+      val eps = ((i * 7) % 11 - 5) * 0.01
+      Seq(dirV(0) * t - eps * dirV(1), dirV(1) * t + eps * dirV(0), eps * 0.5)
+    }
+    val model = Similarity.pcaFit(pts.toDF("v"), "v", k = 3)
+    val c0 = model.components(0)
+    val align = math.abs(c0.zip(dirV).map { case (a, b) => a * b }.sum)
+    assert(align > 0.999, s"first component misaligned: $align")
+    // orthonormal
+    for (a <- model.components; b <- model.components) {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val want = if (a eq b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"orthonormality: $dot vs $want")
+    }
+    // eigenvalues descending, and projections carry that variance order
+    assert(model.eigenvalues.sliding(2).forall { case Array(x, y) => x >= y - 1e-12; case _ => true })
+    val proj = pts.toDF("v")
+      .select(Similarity.pcaProject(col("v"), model).as("p"))
+      .collect().map(_.getSeq[Double](0))
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val vars = (0 until 3).map(d => variance(proj.map(_(d)).toSeq))
+    assert(vars(0) >= vars(1) && vars(1) >= vars(2), s"variance order: $vars")
+    // per-component projection variance equals the eigenvalue
+    vars.zip(model.eigenvalues).foreach { case (v, e) =>
+      assert(math.abs(v - e) < 1e-6 * math.max(1.0, e), s"var $v != eig $e") }
+  }
+
   test("mp4Parse: box walk, v0/v1 mvhd, largesize, track count, malformed → None") {
     import graft.ops.Multimodal
     // v0 synthetic: brand/timescale/duration/tracks round-trip
