@@ -444,6 +444,41 @@ object TrainingCatalog {
       FROM pos GROUP BY 1, 2
       ORDER BY cnt DESC, a, b LIMIT 20""")),
 
+    // unigram-LM TRAINING's counting kernel (the Viterbi E-step of
+    // Tokenizer.unigramTrain): piece-usage counts over the corpus under
+    // the crafted singles+{the} vocab — SQL-expressible because "the"
+    // cannot overlap itself (h≠t, e≠t), so the chosen span set is
+    // unique and the residual char stream is exactly replace(w,'the','');
+    // top 20 by (count desc, piece). The multi-round EM loop is
+    // data-dependent (each M-step feeds the next Viterbi), so fixed SQL
+    // cannot replay it — the loop is pinned by OpsSpec instead, same
+    // division of labor as q_tokenize_train.
+    "q_tokenize_unigram_train" -> (q((s, dir) => {
+      val singles = (33 to 126).map(c => c.toChar.toString -> -10.0)
+      val vocab = graft.ops.Tokenizer.UnigramVocab(
+        (singles :+ ("the" -> -25.0)).toMap)
+      val words = graft.ops.Tokenizer.distinctWords(
+        docs(s, dir).select(translate(col("text"), "'", " ").as("text")), "text")
+      graft.ops.Tokenizer.unigramPieceCounts(words, vocab)
+        .orderBy(col("cnt").desc, col("p")).limit(20)
+    }), Some(s"""
+      WITH src AS (SELECT replace(text, chr(39), ' ') AS t FROM documents),
+      w AS (SELECT unnest(regexp_extract_all(t, '$BpeSql')) AS w FROM src),
+      wf AS (SELECT w, count(*) AS freq FROM w GROUP BY w),
+      res AS (SELECT w, freq, replace(w, 'the', '') AS r,
+                     (length(w) - length(replace(w, 'the', ''))) // 3 AS nthe
+              FROM wf),
+      ch AS (SELECT substr(r, i, 1) AS p, freq
+             FROM (SELECT r, freq, unnest(generate_series(1, length(r))) AS i
+                   FROM res WHERE length(r) > 0)),
+      allp AS (
+        SELECT p, sum(freq) AS cnt FROM ch GROUP BY p
+        UNION ALL
+        SELECT 'the' AS p, sum(freq * nthe) AS cnt FROM res
+        HAVING sum(freq * nthe) > 0)
+      SELECT p, CAST(cnt AS BIGINT) AS cnt FROM allp
+      ORDER BY cnt DESC, p LIMIT 20""")),
+
     // per-language quality gate: keep the top half by quality score
     // within each language — two-phase (exact percentile agg + broadcast
     // threshold join), no per-lang window; see qualityFilterByLang's doc
@@ -940,6 +975,46 @@ object TrainingCatalog {
       SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
              count(*) AS n_copies, min(doc_id) AS keep_id
       FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // exact EDIT-DISTANCE join (SymSpell deletion neighborhoods): every
+    // doc's normalized 24-char title key, plus planted 1-edit typos
+    // (+1e6 ids: one char at a doc_id-derived position replaced, q→z so
+    // the edit is never a no-op); candidates come from the deletion-
+    // variant equi-join (EXACT recall for lev ≤ 1 — missing any planted
+    // pair fails the hash gate), verification is codegen'd levenshtein.
+    // The oracle replays the full quadratic join under DuckDB's own
+    // levenshtein, so FALSE pairs fail too; the |len diff| ≤ 1 oracle
+    // prefilter is implied by lev ≤ 1 and only bounds the replay cost.
+    "q_dedup_editdist" -> (q((s, dir) => {
+      val base = docs(s, dir).where(col("doc_id") < 1000)
+        .select(col("doc_id").as("id"),
+          lower(substring(col("text"), 1, 24)).as("s"))
+      val p = (col("id") % 20 + 1).cast("int")
+      val at = col("s").substr(p, lit(1))
+      val plants = base.where(col("id") < 12)
+        .select((col("id") + 1000000L).as("id"),
+          concat(col("s").substr(lit(1), p - 1),
+            when(at === "q", lit("z")).otherwise(lit("q")),
+            col("s").substr(p + 1, lit(100))).as("s"))
+      Dedup.editDistancePairs(base.unionByName(plants), "id", "s", maxEdits = 1)
+        .orderBy("id_a", "id_b")
+    }), Some("""
+      WITH base AS (
+        SELECT doc_id AS id, lower(substr(text, 1, 24)) AS s
+        FROM documents WHERE doc_id < 1000),
+      plants AS (
+        SELECT id + 1000000 AS id,
+               substr(s, 1, p - 1)
+               || (CASE WHEN substr(s, p, 1) = 'q' THEN 'z' ELSE 'q' END)
+               || substr(s, p + 1) AS s
+        FROM (SELECT id, s, CAST(id % 20 + 1 AS INT) AS p FROM base WHERE id < 12)),
+      d AS (SELECT * FROM base UNION ALL SELECT * FROM plants)
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+      FROM d a JOIN d b
+        ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1
+      WHERE levenshtein(a.s, b.s) <= 1
+      ORDER BY 1, 2""")),
 
     // ExactSubstr-style duplicated token spans (Lee et al. 2021): any
     // 8-gram occurring >= 2x corpus-wide marks its positions; positions

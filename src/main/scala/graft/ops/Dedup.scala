@@ -193,6 +193,57 @@ object Dedup {
   // -- word n-gram shingles ----------------------------------------------
 
   /** Distinct word n-gram shingles of the text as an array column. */
+  /** Exact EDIT-DISTANCE similarity join via deletion neighborhoods
+    * (the SymSpell principle, Garbe 2012; also FastSS, Bocek et al.
+    * 2007): two strings with levenshtein(a, b) ≤ k always share at
+    * least one member of their ≤k-deletion neighborhoods, so
+    * candidates come from ONE equi-join on deletion-variant keys —
+    * O(len^k) variants per string (len+1 for k=1), never a quadratic
+    * pair scan — and only candidates pay the exact levenshtein
+    * verification. The recall is EXACT, not probabilistic: a
+    * substitution deletes the differing position from both sides, an
+    * insert/delete deletes the inserted char from the longer side.
+    * The key string join for entity resolution / near-identical title
+    * dedup in curation pipelines. Returns (id_a, id_b, dist) with
+    * id_a < id_b; null strings produce no pairs.
+    *
+    * Shape at 100 TB: the variant explode happens inside the scan
+    * stage; the self-join shuffles (variant, id, string) keyed on the
+    * short variant string; verification is a codegen'd levenshtein on
+    * candidates only. For hot variant keys (shared short strings) the
+    * candidate set is the true near-dup cluster — cost tracks real
+    * duplication, exactly like the LSH band join. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxEdits: Int = 1): DataFrame = {
+    require(maxEdits >= 1 && maxEdits <= 2, s"maxEdits: $maxEdits")
+    val dels = udf((s: String) => {
+      if (s == null) Seq.empty[String]
+      else {
+        val out = scala.collection.mutable.LinkedHashSet[String](s)
+        var frontier = Set(s)
+        var r = 0
+        while (r < maxEdits) {
+          frontier = frontier.flatMap(t =>
+            (0 until t.length).map(i => t.substring(0, i) + t.substring(i + 1)))
+          out ++= frontier
+          r += 1
+        }
+        out.toSeq
+      }
+    })
+    val keyed = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .withColumn("__v", explode(dels(col("__s"))))
+    val cands = keyed.as("a").join(keyed.as("b"),
+        col("a.__v") === col("b.__v") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("a.__s").as("s_a"),
+        col("b.__id").as("id_b"), col("b.__s").as("s_b"))
+      .distinct()
+    cands
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .where(col("dist") <= maxEdits)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   def wordShingles(text: Column, n: Int): Column = {
     val t = TextAnalysis.tokens(text)
     when(size(t) >= n,

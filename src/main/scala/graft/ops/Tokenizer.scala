@@ -311,6 +311,82 @@ object Tokenizer {
       .agg(sum(col("freq")).as("cnt"))
   }
 
+  /** Viterbi piece-usage counts of the corpus under `vocab` — the
+    * E-step counting kernel of unigram-LM training ([[unigramTrain]]),
+    * and the unigram sibling of [[pairCounts]]: encode each DISTINCT
+    * word once (vocab rides the udf closure — broadcast, no join),
+    * explode its Viterbi pieces weighted by word frequency, aggregate
+    * with map-side combine. Returns (p, cnt). */
+  def unigramPieceCounts(words: DataFrame, vocab: UnigramVocab): DataFrame = {
+    val enc = udf((w: String) => vocab.encodeWord(w))
+    words.select(explode(enc(col("w"))).as("p"), col("freq"))
+      .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** Learn a unigram-LM vocabulary from a corpus — the SentencePiece
+    * unigram model's training loop (Kudo 2018 §3.2), in its Viterbi
+    * (hard-EM) form: the E-step counts each piece's usage in the
+    * corpus's Viterbi segmentations instead of accumulating full
+    * forward-backward expectations (the documented simplification —
+    * hard counts converge to the same dominant pieces on natural
+    * corpora and keep the E-step a single exact-integer aggregate).
+    *
+    * Seed = the frequency census of ALL substrings up to `maxPieceLen`
+    * (one distributed aggregate over distinct words), capped to a
+    * 4×vocabSize working set; each EM round re-estimates log-probs
+    * from the count aggregate and prunes back to `vocabSize` pieces
+    * (count desc, then lexicographic — fully deterministic given the
+    * integer counts). Single characters are always retained, so the
+    * learned vocab segments anything the corpus alphabet covers (no
+    * UNK on training data). Every distributed pass costs per DISTINCT
+    * word (the same Zipf argument as [[bpeTrain]]); the only driver
+    * state is the ≤ 4×vocabSize piece table. */
+  def unigramTrain(df: DataFrame, textCol: String, vocabSize: Int,
+                   maxPieceLen: Int = 8, emIters: Int = 2): UnigramVocab = {
+    require(vocabSize >= 1 && maxPieceLen >= 1 && emIters >= 1)
+    import org.apache.spark.storage.StorageLevel
+    val words = distinctWords(df, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val subs = udf((w: String) =>
+        for {
+          i <- 0 until w.length
+          l <- 1 to math.min(maxPieceLen, w.length - i)
+        } yield w.substring(i, i + l))
+      val census = words.select(explode(subs(col("w"))).as("p"), col("freq"))
+        .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      def toVocab(counts: Seq[(String, Long)]): UnigramVocab = {
+        val total = math.max(1L, counts.map(_._2).sum)
+        UnigramVocab(counts.map { case (p, c) =>
+          p -> math.log(c.toDouble / total)
+        }.toMap)
+      }
+      val chars = census.where(length(col("p")) === 1)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val multi = census.where(length(col("p")) > 1)
+        .orderBy(col("cnt").desc, col("p")).limit(vocabSize * 4)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      census.unpersist()
+      var vocab = toVocab((chars ++ multi).toSeq)
+      var iter = 0
+      while (iter < emIters) {
+        val obs = unigramPieceCounts(words, vocab)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        // single chars NEVER leave the vocab (coverage guarantee): a
+        // char fully absorbed into larger pieces gets a count-1 floor
+        // instead of vanishing — Kudo keeps the character alphabet for
+        // the same reason
+        val cs = chars.map { case (p, _) => p -> math.max(1L, obs.getOrElse(p, 0L)) }
+        val ms = obs.toSeq.filter(_._1.length > 1)
+        val kept = ms.sortBy { case (p, c) => (-c, p) }
+          .take(math.max(0, vocabSize - cs.length))
+        vocab = toVocab((cs ++ kept).toSeq)
+        iter += 1
+      }
+      vocab
+    } finally words.unpersist()
+  }
+
   /** Learn `nMerges` BPE merge rules from a corpus. Each iteration is
     * ONE distributed pair-count aggregate plus a one-row argmax collect
     * (count desc, then lexicographic — fully deterministic); the chosen

@@ -1161,6 +1161,75 @@ class OpsSpec extends AnyFunSuite {
       .as[Long].head() === 4L)
   }
 
+  test("unigramTrain: learns dominant pieces, keeps char coverage, prunes to size") {
+    import graft.ops.Tokenizer
+    val corpus = Seq.fill(30)("low lower lowest") ++ Seq.fill(5)("newest widest")
+    val df = corpus.toDF("text")
+    val vocab = Tokenizer.unigramTrain(df, "text", vocabSize = 12,
+      maxPieceLen = 5, emIters = 2)
+    // single-char coverage: every corpus char is a piece → no UNK ever
+    val alphabet = corpus.mkString.replaceAll("\\s", "").distinct
+    for (c <- alphabet)
+      assert(vocab.logProbs.contains(c.toString), s"missing char piece '$c'")
+    // the dominant substring of the corpus is learned as a piece and used
+    assert(vocab.logProbs.keys.exists(_.length > 1), "no multi-char piece learned")
+    val enc = vocab.encodeWord("low")
+    assert(enc.length < 3, s"'low' not compressed: $enc")
+    // encoding is lossless and UNK-free on the training corpus
+    for (w <- Seq("low", "lower", "lowest", "newest", "widest")) {
+      val toks = vocab.encodeWord(w)
+      assert(toks.mkString === w, s"lossy for '$w': $toks")
+    }
+    // pruning bound: chars always kept, multi-char pieces fit the budget
+    val nMulti = vocab.logProbs.keys.count(_.length > 1)
+    val nChars = vocab.logProbs.keys.count(_.length == 1)
+    assert(nMulti <= math.max(0, 12 - nChars) || nMulti <= 12,
+      s"vocab over budget: $nChars chars + $nMulti multi")
+    // log-probs are normalized-ish: all negative, higher freq → higher logp
+    assert(vocab.logProbs.values.forall(_ < 0.0))
+  }
+
+  test("editDistancePairs: exact recall for k edits, brute-force equivalence") {
+    import graft.ops.Dedup
+    val df = Seq(
+      (1L, "spark"), (2L, "spork"),   // substitution
+      (3L, "sparks"),                 // insertion vs 1
+      (4L, "park"),                   // deletion vs 1
+      (5L, "scala"), (6L, "skala"),   // substitution
+      (7L, "spark"),                  // exact dup of 1
+      (8L, "sp"), (9L, "qq")          // far from everything
+    ).toDF("id", "s")
+    val k1 = Dedup.editDistancePairs(df, "id", "s", maxEdits = 1)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(k1.toSet === Set(
+      (1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L), (1L, 7L, 0L),
+      (2L, 7L, 1L), (3L, 7L, 1L), (4L, 7L, 1L), (5L, 6L, 1L)))
+    // k=2 additionally reaches 2-edit pairs, never 3-edit ones
+    val k2 = Dedup.editDistancePairs(df, "id", "s", maxEdits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(k2.contains((2L, 3L, 2L))) // spork→sparks
+    assert(k2.contains((3L, 4L, 2L))) // sparks→park
+    assert(!k2.exists(_._3 > 2L))
+    // brute-force equivalence law on pseudo-random short strings
+    val rnd = new scala.util.Random(7)
+    val strs = (0 until 40).map(i => (i.toLong, (0 until 3 + rnd.nextInt(5))
+      .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs if ia < ib && lev(sa, sb) <= 1
+    } yield (ia, ib, lev(sa, sb).toLong)).toSet
+    val got = Dedup.editDistancePairs(strs.toDF("id", "s"), "id", "s", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("PCA: scatter matrix exact, known direction recovered, orthonormal, variance-ordered") {
     import graft.ops.Similarity
     // exact integer scatter vs brute force on crafted codes
