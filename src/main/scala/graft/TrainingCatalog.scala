@@ -702,6 +702,37 @@ object TrainingCatalog {
         CAST(least(m - k*8, 12) AS BIGINT) AS n_tok
       FROM ch ORDER BY doc_id, chunk_id""")),
 
+    // CONTENT-DEFINED chunking (LBFS/restic boundaries at token
+    // granularity): boundary after token i when the first md5 hex char
+    // of the trailing 4-token window ∈ {0, 8} (≈ 8-token chunks) — the
+    // insertion-robust alternative to fixed windows (the invariance law
+    // lives in OpsSpec); oracle replays the hash predicate + running
+    // boundary count with a window function
+    "q_text_cdc_chunks" -> (q((s, dir) =>
+      TextAnalysis.cdcChunks(docs(s, dir), "doc_id", "text",
+          w = 4, boundaryHexChars = Seq("0", "8"))
+        .orderBy("doc_id", "chunk_id")
+    ), Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      p AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks),
+      b AS (
+        SELECT doc_id, i, t[i] AS tok,
+          CASE WHEN i >= 4 AND substr(md5(array_to_string(t[i-3:i], ' ')), 1, 1)
+                   IN ('0', '8')
+               THEN 1 ELSE 0 END AS boundary
+        FROM p),
+      c AS (
+        SELECT doc_id, i, tok,
+          coalesce(sum(boundary) OVER (PARTITION BY doc_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+        FROM b)
+      SELECT doc_id, CAST(chunk AS BIGINT) AS chunk_id, count(*) AS n_tok,
+             string_agg(tok, ' ' ORDER BY i) AS chunk_text
+      FROM c GROUP BY doc_id, chunk ORDER BY doc_id, chunk_id""")),
+
     // winnowing fingerprints (MOSS): window-min k-gram hashes, rightmost
     // tie; the oracle replays window/min/rightmost with list lambdas
     "q_text_winnow" -> (q((s, dir) =>
@@ -788,6 +819,35 @@ object TrainingCatalog {
       SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
              coalesce(h.n_hits, 0) > 0 AS contaminated
       FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""")),
+
+    // cross-source n-gram OVERLAP matrix: for every unordered source
+    // pair, shared distinct trigrams + per-source totals + Jaccard —
+    // the pairwise redundancy audit of a mixture design. Pairs only
+    // from the gram-keyed self-join of each source's distinct gram set
+    "q_pipeline_overlap_matrix" -> (q((s, dir) =>
+      TextAnalysis.sourceOverlapMatrix(docs(s, dir), "source", "text", n = 3)
+        .orderBy("class_a", "class_b")
+    ), Some("""
+      WITH toks AS (
+        SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      g AS (
+        SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS g
+        FROM (SELECT source, t, unnest(generate_series(1, len(t) - 2)) AS i
+              FROM toks WHERE len(t) >= 3)),
+      tot AS (SELECT source, count(*) AS tot FROM g GROUP BY 1),
+      sh AS (
+        SELECT a.source AS class_a, b.source AS class_b, count(*) AS shared_grams
+        FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT class_a, class_b,
+             CAST(ta.tot AS BIGINT) AS grams_a, CAST(tb.tot AS BIGINT) AS grams_b,
+             CAST(shared_grams AS BIGINT) AS shared_grams,
+             CAST(shared_grams AS DOUBLE) / (ta.tot + tb.tot - shared_grams)
+               AS jaccard
+      FROM sh JOIN tot ta ON ta.source = sh.class_a
+              JOIN tot tb ON tb.source = sh.class_b
+      ORDER BY class_a, class_b""")),
 
     // n-gram NOVELTY vs a reference corpus — decontaminate's dual as a
     // per-doc quality signal: the fraction of each scored doc's distinct

@@ -257,6 +257,51 @@ object TextAnalysis {
         RedactEmail, "<EMAIL>"),
       RedactDigits, "<NUM>")
 
+  /** CONTENT-DEFINED chunking (the LBFS/rsync/restic boundary trick at
+    * token granularity): a chunk boundary falls after token i whenever
+    * the hash of the trailing `w`-token window lands in the boundary
+    * set — so boundaries are functions of LOCAL content only, and an
+    * insertion/deletion re-chunks just its neighborhood while every
+    * downstream chunk survives byte-identical (the invariance fixed
+    * windows fundamentally lack — [[chunkText]] shifts every
+    * subsequent chunk; the law spec pins this). The robust form of
+    * passage-level dedup keys.
+    *
+    * The boundary predicate is the first hex char of md5(window) ∈
+    * `boundaryHexChars` (k chars → expected chunk ≈ 16/k tokens) —
+    * string compare, no hex parse, engine-portable like
+    * [[graft.ops.Sampling.hashBucket]]. One doc-keyed window for the
+    * running chunk id + one (doc, chunk) aggregate; the hash is
+    * codegen'd in the scan. Returns (`idCol`, chunk_id, n_tok,
+    * chunk_text). */
+  def cdcChunks(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                w: Int = 4, boundaryHexChars: Seq[String] = Seq("0", "8")): org.apache.spark.sql.DataFrame = {
+    require(w >= 1 && boundaryHexChars.nonEmpty)
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) > 0)
+    val pos = base
+      .select(col("__id"), col("__t"), posexplode(col("__t")).as(Seq("__pos", "__tok")))
+      .withColumn("__boundary",
+        when(col("__pos") >= w - 1,
+          substring(md5(concat_ws(" ",
+            slice(col("__t"), col("__pos") - (w - 2), lit(w)))), 1, 1)
+            .isin(boundaryHexChars: _*).cast("long"))
+          .otherwise(0L))
+      .drop("__t")
+    val win = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pos
+      .withColumn("__chunk", coalesce(sum(col("__boundary")).over(win), lit(0L)))
+      .groupBy(col("__id"), col("__chunk"))
+      .agg(count(lit(1)).as("n_tok"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("__pos"), col("__tok")))),
+          s => s.getField("__tok"))).as("chunk_text"))
+      .select(col("__id").as(idCol), col("__chunk").as("chunk_id"),
+        col("n_tok"), col("chunk_text"))
+  }
+
   /** Per-class corpus DATA-CARD report — the summary table a dataset
     * release ships (datasheets/data-statements practice): per class
     * (source, language, …) the document count, total whitespace
@@ -281,6 +326,37 @@ object TextAnalysis {
       .select(col("__c").as(classCol), col("n_docs"), col("n_tok"),
         col("n_dup_docs"),
         (col("n_dup_docs").cast("double") / col("n_docs")).as("dup_frac"))
+  }
+
+  /** Cross-class n-gram OVERLAP matrix — the pairwise contamination /
+    * redundancy audit of a source mix (how much of source A's content
+    * already lives in source B?): for every unordered class pair, the
+    * count of shared DISTINCT word n-grams plus each side's total and
+    * the resulting Jaccard. Distinct (class, gram) reduces each class
+    * to its gram set ONCE; the pair counts come from a gram-keyed
+    * self-join — per gram the fan-out is bounded by (classes sharing
+    * it)², and the class count is small by construction (sources,
+    * languages). All integers except the final exact division. */
+  def sourceOverlapMatrix(df: org.apache.spark.sql.DataFrame, classCol: String,
+                          textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val grams = df
+      .select(col(classCol).as("__c"), tokens(lower(col(textCol))).as("__t"))
+      .select(col("__c"), explode(ngramsFromTokens(col("__t"), n)).as("__g"))
+      .distinct()
+    val totals = grams.groupBy(col("__c")).agg(count(lit(1)).as("__tot"))
+    val shared = grams.as("a").join(grams.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__c") < col("b.__c"))
+      .groupBy(col("a.__c").as("class_a"), col("b.__c").as("class_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    shared
+      .join(broadcast(totals).withColumnRenamed("__c", "class_a")
+        .withColumnRenamed("__tot", "grams_a"), Seq("class_a"))
+      .join(broadcast(totals).withColumnRenamed("__c", "class_b")
+        .withColumnRenamed("__tot", "grams_b"), Seq("class_b"))
+      .select(col("class_a"), col("class_b"), col("grams_a"), col("grams_b"),
+        col("shared_grams"),
+        (col("shared_grams").cast("double") /
+          (col("grams_a") + col("grams_b") - col("shared_grams"))).as("jaccard"))
   }
 
   /** Corpus MIX-DRIFT between two snapshots — the composition audit a

@@ -1161,6 +1161,32 @@ class OpsSpec extends AnyFunSuite {
       .as[Long].head() === 4L)
   }
 
+  test("cdcChunks: token conservation, boundary determinism, insertion invariance") {
+    import graft.ops.TextAnalysis
+    val text = (1 to 120).map(i => s"tok${i % 37}").mkString(" ")
+    def chunksOf(t: String): Seq[(Long, Long, String)] =
+      TextAnalysis.cdcChunks(Seq((1L, t)).toDF("id", "text"), "id", "text")
+        .orderBy("chunk_id").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val orig = chunksOf(text)
+    // tokens are conserved and chunk ids dense from 0
+    assert(orig.map(_._2).sum === 120L)
+    assert(orig.map(_._1) === orig.indices.map(_.toLong))
+    assert(orig.map(_._3).mkString(" ") === text)
+    // boundaries are content-defined → deterministic across invocations
+    assert(chunksOf(text) === orig)
+    // INSERTION INVARIANCE (the CDC property): prepending a token can
+    // only re-chunk the prefix — every chunk after the first original
+    // boundary survives byte-identical, so the original tail is a
+    // suffix of the edited chunk sequence. A fixed-window chunker
+    // shifts EVERY chunk here.
+    val edited = chunksOf("inserted " + text)
+    assert(edited.map(_._3).takeRight(orig.size - 1) === orig.map(_._3).drop(1),
+      "CDC tail not invariant under prepend")
+    // multiple chunks actually formed (the predicate fires at ~2/16)
+    assert(orig.size >= 3, s"only ${orig.size} chunks")
+  }
+
   test("unigramTrain: learns dominant pieces, keeps char coverage, prunes to size") {
     import graft.ops.Tokenizer
     val corpus = Seq.fill(30)("low lower lowest") ++ Seq.fill(5)("newest widest")
@@ -1441,6 +1467,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1).getLong(1) === 2L && out(1).getLong(2) === 1L && out(1).getDouble(3) === 0.5)
     assert(out(2).getLong(1) === 2L && out(2).getLong(2) === 0L && out(2).getDouble(3) === 1.0)
     assert(out(3).getLong(1) === 0L && out(3).isNullAt(3))
+  }
+
+  test("sourceOverlapMatrix: shared gram counts, totals, jaccard, ordering") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      ("a", "x y z w"),      // grams: {x y z, y z w}
+      ("b", "x y z"),        // grams: {x y z}
+      ("c", "p q r")         // grams: {p q r}
+    ).toDF("source", "text")
+    val out = TextAnalysis.sourceOverlapMatrix(df, "source", "text", 3)
+      .orderBy("class_a", "class_b").collect()
+    // only (a, b) share a gram; (a,c)/(b,c) produce no row (inner join)
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getString(0) === "a" && r.getString(1) === "b")
+    assert(r.getLong(2) === 2L && r.getLong(3) === 1L && r.getLong(4) === 1L)
+    assert(r.getDouble(5) === 0.5) // 1 / (2 + 1 - 1)
   }
 
   test("Unigram LM: Viterbi beats greedy prefix, tie-break deterministic, UNK") {
