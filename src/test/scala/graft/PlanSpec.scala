@@ -306,6 +306,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("edit-distance join: candidates via equi-join on variant keys, never a product join") {
+    val p = plan("q_dedup_editdist")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "edit-distance candidates must come from the deletion-variant equi-join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "no equi-join in the edit-distance plan")
+  }
+
+  test("novelty: reference gram set joins keyed, never a product join") {
+    val p = plan("q_text_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "novelty reference match must be a keyed join")
+  }
+
+  test("CDC chunking: one doc-keyed shuffle feeds the boundary window") {
+    val p = plan("q_text_cdc_chunks")
+    // the running boundary count partitions by doc id — never a global
+    // single-partition window
+    assert(!p.contains("SinglePartition"), s"global window in CDC plan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("preference pairs: struct argmax partially aggregates before its one shuffle") {
+    val p = plan("q_pipeline_preference")
+    assert(p.contains("partial_max") || p.contains("partial_min") ||
+      p.split('\n').count(_.contains("HashAggregate")) >= 2,
+      "preference argmax must map-side combine")
+    assert(!p.contains("Window"), "no window function expected in the pair plan")
+  }
+
   test("sorted+limited JX queries plan as TakeOrderedAndProject") {
     // the variance-proof form of the set-op/limit win: a JX query with
     // sort + limit must never global-sort then limit (two exchanges and
