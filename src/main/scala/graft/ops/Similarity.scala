@@ -799,6 +799,25 @@ object Similarity {
     }: _*)
   }
 
+  /** WHITENED projection: [[pcaProject]] with each component's
+    * coordinate divided by √eigenvalue, so every output dimension has
+    * unit variance (the decorrelate-and-equalize preprocessing of
+    * embedding-similarity pipelines — raw cosine over anisotropic
+    * embeddings over-weights the dominant directions). Components with
+    * eigenvalue ≤ `eps` are dropped rather than amplified (dividing by
+    * a vanishing √λ turns numerical noise into the LARGEST output
+    * dimension). Same zero-shuffle Column algebra as [[pcaProject]]. */
+  def pcaWhiten(vec: Column, model: PcaModel, eps: Double = 1e-9): Column = {
+    val keep = model.components.zip(model.eigenvalues).filter(_._2 > eps)
+    val centered = zip_with(vecD(vec), typedlit(model.means.toSeq),
+      (x, m) => x - m)
+    array(keep.map { case (comp, ev) =>
+      aggregate(
+        zip_with(centered, typedlit(comp.toSeq), (x, c) => x * c),
+        lit(0.0), (acc, x) => acc + x) / math.sqrt(ev)
+    }: _*)
+  }
+
   /** Save PQ codebooks: one row per (subspace, code, centroid). */
   def savePqCodebooks(spark: SparkSession, path: String,
                       codebooks: Array[Array[Array[Double]]]): Unit = {

@@ -1299,6 +1299,16 @@ class OpsSpec extends AnyFunSuite {
     // per-component projection variance equals the eigenvalue
     vars.zip(model.eigenvalues).foreach { case (v, e) =>
       assert(math.abs(v - e) < 1e-6 * math.max(1.0, e), s"var $v != eig $e") }
+    // whitening: every kept output dimension has UNIT variance, and
+    // vanishing-eigenvalue directions are dropped, not amplified
+    val white = pts.toDF("v")
+      .select(Similarity.pcaWhiten(col("v"), model).as("p"))
+      .collect().map(_.getSeq[Double](0))
+    assert(white.head.length <= 3)
+    for (d <- white.head.indices) {
+      val v = variance(white.map(_(d)).toSeq)
+      assert(math.abs(v - 1.0) < 1e-6, s"whitened dim $d variance $v")
+    }
   }
 
   test("mp4Parse: box walk, v0/v1 mvhd, largesize, track count, malformed → None") {
