@@ -635,6 +635,29 @@ object NestedCatalog {
       SELECT 3, o_orderkey, o_totalprice, size_flag FROM v3
       ORDER BY version, o_orderkey""")),
 
+    // OPTIMIZE as a snapshot version (Delta's OPTIMIZE semantics): a
+    // deliberately fragmented insert (32-partition write → 32 files in
+    // v1) compacts into v2 — content byte-identical (the oracle), file
+    // count runtime-enforced to shrink, the fragmented v1 still
+    // time-travel-readable (runtime-asserted row count), the sorted
+    // rewrite clustering on the order key
+    "q_container_optimize" -> (q((s, dir) => {
+      val tmp = freshScratch("graft_q_container_opt")
+      val store = new graft.container.FactStore(s, "orders_opt", tmp)
+      val orders = SparkEntry.loader(s, dir)("orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .where(col("o_orderkey") <= 2000)
+      store.insert(orders.repartition(32))
+      val (before, after) = store.optimize(64L << 20, order = Seq("o_orderkey"))
+      require(after < before, s"optimize did not shrink: $before -> $after")
+      require(store.versions == Seq(1, 2), s"versions: ${store.versions}")
+      require(store.dataFrameAt(1).count() == store.dataFrame.count(),
+        "fragmented v1 no longer readable after optimize")
+      store.dataFrame.orderBy("o_orderkey")
+    }), Some("""
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""")),
+
     // CDC view of the snapshot history: diff(v1, v3) after
     // insert → predicate update (adds a column) → delete. Deleted keys
     // surface as 'removed', rows whose new flag is non-null as

@@ -702,6 +702,28 @@ object TrainingCatalog {
         CAST(least(m - k*8, 12) AS BIGINT) AS n_tok
       FROM ch ORDER BY doc_id, chunk_id""")),
 
+    // rule-based SENTENCE segmentation (RAG semantic units): boundary =
+    // [.!?] + whitespace via mark-then-split (lookbehind split is not
+    // in the RE2 dialect; the mark form replays verbatim), sent_id =
+    // raw split position, empties dropped
+    "q_text_sentences" -> (q((s, dir) =>
+      TextAnalysis.sentenceSplit(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id", "sent_id")
+    ), Some("""
+      WITH m AS (
+        SELECT doc_id,
+          string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'),
+                       chr(1)) AS ss
+        FROM documents),
+      e AS (
+        SELECT doc_id, i - 1 AS sent_id, trim(ss[i]) AS sentence
+        FROM (SELECT doc_id, ss, unnest(generate_series(1, len(ss))) AS i
+              FROM m))
+      SELECT doc_id, CAST(sent_id AS BIGINT) AS sent_id, sentence,
+             CAST(len(regexp_split_to_array(sentence, '\s+')) AS BIGINT) AS n_tok
+      FROM e WHERE length(sentence) > 0
+      ORDER BY doc_id, sent_id""")),
+
     // CONTENT-DEFINED chunking (LBFS/restic boundaries at token
     // granularity): boundary after token i when the first md5 hex char
     // of the trailing 4-token window ∈ {0, 8} (≈ 8-token chunks) — the

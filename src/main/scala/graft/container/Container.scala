@@ -155,6 +155,32 @@ class FactStore(val spark: SparkSession, val name: String, dir: Path) extends Co
     spark.read.parquet(dir.resolve(s"v$v").toString)
   }
 
+  /** OPTIMIZE: rewrite the CURRENT snapshot's file layout as a new
+    * version — content byte-identical, files coalesced to
+    * ⌈bytes / targetFileBytes⌉ and optionally range-sorted on `order`
+    * (the compaction moment is the natural time to establish a
+    * clustering; [[graft.ops.Layout.compact]] is the directory-level
+    * sibling, this is its snapshot-versioned form: history keeps the
+    * fragmented version addressable, readers pinned to it are
+    * untouched, and [[vacuum]] reclaims it later — exactly Delta's
+    * OPTIMIZE semantics). Incremental stores need this: every
+    * [[insert]]/[[update]] pays a full snapshot write, but a store fed
+    * by many small increments would otherwise accumulate the
+    * micro-batch file layout of its LAST write forever. Returns
+    * (filesBefore, filesAfter). */
+  def optimize(targetFileBytes: Long, order: Seq[String] = Nil): (Long, Long) = {
+    val v = currentVersion
+    require(v > 0, s"FactStore $name is empty — nothing to optimize")
+    val stats = graft.ops.Layout.compact(spark,
+      dir.resolve(s"v$v").toString, dir.resolve(s"v${v + 1}").toString,
+      targetFileBytes, order)
+    val tmp = dir.resolve("_CURRENT.tmp")
+    Files.writeString(tmp, (v + 1).toString)
+    Files.move(tmp, marker, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    (stats.filesBefore, stats.filesAfter)
+  }
+
   private def writeSnapshot(df: DataFrame): Unit = {
     val next = currentVersion + 1
     df.write.mode("overwrite").parquet(dir.resolve(s"v$next").toString)

@@ -257,6 +257,36 @@ object TextAnalysis {
         RedactEmail, "<EMAIL>"),
       RedactDigits, "<NUM>")
 
+  /** Rule-based SENTENCE segmentation — the RAG-ingestion sibling of
+    * token chunking ([[chunkText]] cuts mid-sentence; retrieval wants
+    * semantic units): a sentence ends at [.!?] followed by whitespace.
+    * Implemented as mark-then-split (replace the boundary with the
+    * terminator + a control-char separator, then split) because the
+    * natural lookbehind split is NOT in the RE2 dialect — the
+    * mark-then-split form replays verbatim in SQL, same portability
+    * contract as [[redact]]. `sent_id` is the RAW split position
+    * (gaps where a split produced an empty fragment), so ids are
+    * stable under filtering. Zero shuffle — explode rides the scan.
+    * Returns (`idCol`, sent_id, sentence, n_tok). Abbreviation-aware
+    * segmentation ("Dr. Smith") needs a lexicon pass; this is the
+    * deterministic baseline tier. */
+  /** The boundary separator is U+0001 — outside any printable corpus.
+    * Built programmatically: in a java.util.regex REPLACEMENT string a
+    * backslash-u escape is NOT an escape (Matcher treats `\\u` as a
+    * literal 'u'), so the char itself must ride the string. */
+  private val SentSep: String = 1.toChar.toString
+
+  def sentenceSplit(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
+        posexplode(split(
+          regexp_replace(col(textCol), "([.!?])\\s+", "$1" + SentSep),
+          java.util.regex.Pattern.quote(SentSep))).as(Seq("sent_id", "__s")))
+      .where(length(trim(col("__s"))) > 0)
+      .select(col(idCol), col("sent_id").cast("long").as("sent_id"),
+        trim(col("__s")).as("sentence"),
+        tokenCount(trim(col("__s"))).as("n_tok"))
+
   /** CONTENT-DEFINED chunking (the LBFS/rsync/restic boundary trick at
     * token granularity): a chunk boundary falls after token i whenever
     * the hash of the trailing `w`-token window lands in the boundary

@@ -1161,6 +1161,48 @@ class OpsSpec extends AnyFunSuite {
       .as[Long].head() === 4L)
   }
 
+  test("sentenceSplit: terminator boundaries, ids stable under empty drops, n_tok") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "One two. Three! Four five?  Six"),
+      (2L, "No terminator here"),
+      (3L, "Trailing dot."),
+      (4L, "a.b stays one sentence. next")  // no whitespace after first dot
+    ).toDF("id", "text")
+    val out = TextAnalysis.sentenceSplit(df, "id", "text")
+      .orderBy("id", "sent_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.filter(_._1 == 1L).map(x => (x._3, x._4)).toSeq ===
+      Seq(("One two.", 2L), ("Three!", 1L), ("Four five?", 2L), ("Six", 1L)))
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq === Seq("No terminator here"))
+    assert(out.filter(_._1 == 3L).map(_._3).toSeq === Seq("Trailing dot."))
+    // mid-token dot (a.b) is not a boundary; the later ". " is
+    assert(out.filter(_._1 == 4L).map(_._3).toSeq ===
+      Seq("a.b stays one sentence.", "next"))
+    // reassembly: sentences joined with a space reproduce the collapsed text
+    for (id <- Seq(1L, 4L)) {
+      val orig = df.where(col("id") === id).as[(Long, String)].head()._2
+      val joined = out.filter(_._1 == id).map(_._3).mkString(" ")
+      assert(joined === orig.replaceAll("\\s+", " ").trim)
+    }
+  }
+
+  test("FactStore.optimize: new compacted version, history intact, content identical") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_opt")
+    val store = new graft.container.FactStore(spark, "opt_spec", tmp)
+    val data = spark.range(0, 500).selectExpr("id", "id * 2 AS v")
+    store.insert(data.repartition(16))
+    val before = store.dataFrame.orderBy("id").collect()
+    val (f0, f1) = store.optimize(1L << 30, order = Seq("id"))
+    assert(f0 === 16L && f1 === 1L)
+    assert(store.versions === Seq(1, 2))
+    // content identical, v1 still addressable, vacuum reclaims it
+    assert(store.dataFrame.orderBy("id").collect() === before)
+    assert(store.dataFrameAt(1).count() === 500L)
+    assert(store.vacuum(keepLast = 1) === Seq(1))
+    assert(store.dataFrame.count() === 500L)
+  }
+
   test("cdcChunks: token conservation, boundary determinism, insertion invariance") {
     import graft.ops.TextAnalysis
     val text = (1 to 120).map(i => s"tok${i % 37}").mkString(" ")
