@@ -1797,6 +1797,45 @@ object TrainingCatalog {
       WHERE h.chosen_id <> l.rejected_id
       ORDER BY h.source""")),
 
+    // DEAD-LETTER JSON ingestion: every 37th payload is truncated mid-
+    // string (unparseable), the parse routes it to quarantine with its
+    // RAW payload preserved while valid rows surface their fields —
+    // from_json's null-struct-on-malformed contract vs DuckDB's
+    // json_valid/json_extract replay. Zero shuffle; both routes are
+    // filters over one scan.
+    "q_pipeline_deadletter" -> (q((s, dir) => {
+      val js = concat(lit("{\"k\": "), col("doc_id"),
+        lit(", \"s\": \"v"), col("doc_id"), lit("\"}"))
+      val payload = when(col("doc_id") % 37 === 0,
+        expr("substring(__js, 1, length(__js) - 2)")).otherwise(col("__js"))
+      val raw = docs(s, dir).select(col("doc_id"), js.as("__js"))
+        .select(col("doc_id"), payload.as("payload"))
+      val parsed = graft.etl.DeadLetter.parse(raw, "payload", "k LONG, s STRING")
+      parsed.select(col("doc_id"), col("ok"), col("route"),
+          when(col("ok"), col("parsed.k")).as("k"),
+          when(col("ok"), col("parsed.s")).as("s"),
+          when(!col("ok"), col("payload")).as("quarantined_payload"))
+        .orderBy("doc_id")
+    }), Some("""
+      WITH j AS (
+        SELECT doc_id,
+          '{"k": ' || doc_id || ', "s": "v' || doc_id || '"}' AS js
+        FROM documents),
+      p AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 37 = 0 THEN substr(js, 1, length(js) - 2)
+               ELSE js END AS payload
+        FROM j)
+      SELECT doc_id, json_valid(payload) AS ok,
+             CASE WHEN json_valid(payload) THEN 'main' ELSE 'dead_letter' END AS route,
+             CASE WHEN json_valid(payload)
+                  THEN CAST(json_extract(payload, '$.k') AS BIGINT) END AS k,
+             CASE WHEN json_valid(payload)
+                  THEN json_extract_string(payload, '$.s') END AS s,
+             CASE WHEN NOT json_valid(payload) THEN payload END
+               AS quarantined_payload
+      FROM p ORDER BY doc_id""")),
+
     // per-source DATA-CARD report (datasheets practice): doc count,
     // token total, exact-duplicate membership count and fraction per
     // source — two map-side-combined keyed aggregates, all-integer

@@ -1161,6 +1161,32 @@ class OpsSpec extends AnyFunSuite {
       .as[Long].head() === 4L)
   }
 
+  test("DeadLetter.parse: corrupt-record detection, salvage trap, raw payload kept") {
+    import graft.etl.DeadLetter
+    val df = Seq(
+      (1L, """{"k": 1, "s": "good"}"""),
+      (2L, """{"k": 2, "s": "trunca"""),  // truncated mid-string
+      (3L, """not json at all"""),
+      (4L, """{"k": "wrongtype", "s": "x"}"""), // k fails LONG coercion
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "payload")
+    val out = DeadLetter.parse(df, "payload", "k LONG, s STRING")
+    val routes = out.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("route"))).toMap
+    assert(routes(1L) === "main")
+    // PERMISSIVE salvages truncated JSON into a NON-null struct — the
+    // corrupt-record check must still quarantine it
+    assert(routes(2L) === "dead_letter")
+    assert(routes(3L) === "dead_letter")
+    assert(routes(4L) === "dead_letter") // type mismatch = corrupt too
+    assert(routes(5L) === "dead_letter") // null payload
+    // dead letters keep the raw payload for replay
+    val dl = DeadLetter.deadLetters(out).orderBy("id").collect()
+    assert(dl.map(_.getLong(0)).toSeq === Seq(2L, 3L, 4L, 5L))
+    assert(dl.head.getAs[String]("payload").startsWith("""{"k": 2"""))
+    assert(DeadLetter.mainRoute(out).count() === 1L)
+  }
+
   test("sentenceSplit: terminator boundaries, ids stable under empty drops, n_tok") {
     import graft.ops.TextAnalysis
     val df = Seq(
