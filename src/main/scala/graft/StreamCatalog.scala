@@ -256,6 +256,31 @@ object StreamCatalog {
          AND window_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
       ORDER BY window_start, event_type""")),
 
+    // windowed per-class MIX MONITOR (streaming sibling of mixDrift):
+    // per finalized day window, each event type's row count and integer
+    // byte weight — watching feed composition drift in flight. Append
+    // mode: totals emit once at watermark finalization, counters evict;
+    // the drained result is the finalized-window prefix (same oracle
+    // discipline as q_stream_frequent)
+    "q_stream_mix" -> (raw((s, dir) => {
+      val events = streamRead(s, dir, "events")
+      val mix = Streams.windowedMix(events, "ts", "event_type",
+        length(col("props")).cast("long"),
+        windowLen = "1 day", watermark = "1 hour")
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try drain(s, mix, "mix", OutputMode.Append())
+        .orderBy("window_start", "event_type")
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }), Some("""
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
+             event_type, count(*) AS n_rows,
+             CAST(sum(coalesce(length(props), 0)) AS BIGINT) AS weight
+      FROM events GROUP BY 1, 2, 3
+      HAVING window_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+      ORDER BY window_start, event_type""")),
+
     // STREAM-STREAM interval join: views and clicks are two unbounded
     // streams (two streaming reads of the same event file, filtered to
     // disjoint types); each view matches same-user clicks within the

@@ -1098,6 +1098,53 @@ object TrainingCatalog {
       WHERE levenshtein(a.s, b.s) <= 1
       ORDER BY 1, 2""")),
 
+    // TITLE-CLUSTER resolution: the SymSpell edit-distance join's pairs
+    // closed into components (editDistancePairs ∘ connectedComponents —
+    // both independently oracled; entity resolution's merge step).
+    // Same corpus + plants as q_dedup_editdist; the oracle closes the
+    // levenshtein pair list with a recursive CTE, the engine with
+    // alternating large/small-star rounds
+    "q_dedup_title_clusters" -> (q((s, dir) => {
+      val base = docs(s, dir).where(col("doc_id") < 1000)
+        .select(col("doc_id").as("id"),
+          lower(substring(col("text"), 1, 24)).as("s"))
+      val p = (col("id") % 20 + 1).cast("int")
+      val at = col("s").substr(p, lit(1))
+      val plants = base.where(col("id") < 12)
+        .select((col("id") + 1000000L).as("id"),
+          concat(col("s").substr(lit(1), p - 1),
+            when(at === "q", lit("z")).otherwise(lit("q")),
+            col("s").substr(p + 1, lit(100))).as("s"))
+      val pairs = Dedup.editDistancePairs(
+        base.unionByName(plants), "id", "s", maxEdits = 1)
+      Dedup.connectedComponents(pairs)
+        .select(col("node").as("id"), col("rep"))
+        .orderBy("id")
+    }), Some("""
+      WITH RECURSIVE base AS (
+        SELECT doc_id AS id, lower(substr(text, 1, 24)) AS s
+        FROM documents WHERE doc_id < 1000),
+      plants AS (
+        SELECT id + 1000000 AS id,
+               substr(s, 1, p - 1)
+               || (CASE WHEN substr(s, p, 1) = 'q' THEN 'z' ELSE 'q' END)
+               || substr(s, p + 1) AS s
+        FROM (SELECT id, s, CAST(id % 20 + 1 AS INT) AS p FROM base WHERE id < 12)),
+      d AS (SELECT * FROM base UNION ALL SELECT * FROM plants),
+      jp AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM d a JOIN d b
+          ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1
+        WHERE levenshtein(a.s, b.s) <= 1),
+      edges AS (SELECT id_a AS a, id_b AS b FROM jp
+                UNION SELECT id_b, id_a FROM jp),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      SELECT a AS id, least(a, min(b)) AS rep
+      FROM reach GROUP BY a ORDER BY id""")),
+
     // ExactSubstr-style duplicated token spans (Lee et al. 2021): any
     // 8-gram occurring >= 2x corpus-wide marks its positions; positions
     // merge into maximal per-doc spans via a lag-gap island scan.

@@ -168,6 +168,27 @@ object Streams {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col(keyCol), col("n"))
 
+  /** Windowed per-class MIX MONITOR: per finalized tumbling window,
+    * each class's row count and weight sum (tokens, bytes) — the
+    * streaming sibling of `TextAnalysis.mixDrift`, watching the
+    * source/language composition of an ingest feed drift in flight
+    * instead of between releases. Append mode: a window's totals emit
+    * exactly once at watermark finalization and its counters evict, so
+    * state is bounded by (open windows × class cardinality) on an
+    * unbounded feed. Share-of-window math is left to the consumer (it
+    * needs the window total, a second tiny aggregate over this
+    * output). */
+  def windowedMix(events: DataFrame, tsCol: String, classCol: String,
+                  weight: org.apache.spark.sql.Column,
+                  windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("w"), col(classCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(weight, lit(0L))).as("weight"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col(classCol), col("n_rows"), col("weight"))
+
   /** STREAM-STREAM inner join within an event-time interval: each left
     * row matches right rows with the same key whose timestamp falls in
     * [left.ts, left.ts + `within`] — attribution-style enrichment
