@@ -979,6 +979,42 @@ object TrainingCatalog {
              coalesce(h.n_hits, 0) > 0 AS contaminated
       FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""")),
 
+    // Aho-Corasick blocklist screen (C4's badwords filter shape): all
+    // patterns matched in ONE automaton pass per doc (a regex
+    // alternation over thousands of phrases recompiles per position;
+    // AC is O(text+matches) at any blocklist size). Patterns are
+    // border-free (no proper prefix = suffix), so occurrences cannot
+    // self-overlap and the oracle's non-overlapping replace() count is
+    // the total occurrence count; every 23rd doc gets both planted
+    // phrases appended so the screen provably fires
+    "q_text_blocklist" -> (q((s, dir) => {
+      val planted = concat(lower(col("text")),
+        when(col("doc_id") % 23 === 0, lit(" free money click here"))
+          .otherwise(lit("")))
+      graft.ops.AhoCorasick.screen(
+          docs(s, dir).select(col("doc_id"), planted.as("t")), "t",
+          Seq("the", "and", "free money", "click here"))
+        .select(col("doc_id"), col("blocklist_hits"), col("blocked"))
+        .orderBy("doc_id")
+    }), Some("""
+      WITH t AS (
+        SELECT doc_id,
+          lower(text) || CASE WHEN doc_id % 23 = 0
+                              THEN ' free money click here' ELSE '' END AS t
+        FROM documents)
+      SELECT doc_id,
+        CAST((length(t) - length(replace(t, 'the', ''))) // 3
+           + (length(t) - length(replace(t, 'and', ''))) // 3
+           + (length(t) - length(replace(t, 'free money', ''))) // 10
+           + (length(t) - length(replace(t, 'click here', ''))) // 10
+          AS BIGINT) AS blocklist_hits,
+        ((length(t) - length(replace(t, 'the', ''))) // 3
+           + (length(t) - length(replace(t, 'and', ''))) // 3
+           + (length(t) - length(replace(t, 'free money', ''))) // 10
+           + (length(t) - length(replace(t, 'click here', ''))) // 10) > 0
+          AS blocked
+      FROM t ORDER BY doc_id""")),
+
     // Gopher/C4 corpus filter rules over planted decorations: bullets,
     // ellipsis lines, lorem-ipsum, braces, and stopword boosts are mixed
     // in deterministically by doc_id so every rule fires both ways. The

@@ -1161,6 +1161,34 @@ class OpsSpec extends AnyFunSuite {
       .as[Long].head() === 4L)
   }
 
+  test("AhoCorasick: classic overlap set, suffix outputs, brute-force law, screen") {
+    import graft.ops.AhoCorasick
+    // the canonical he/she/his/hers automaton: "ushers" contains
+    // she, he, hers (he inside she via suffix output, hers overlapping)
+    val m = AhoCorasick.build(Seq("he", "she", "his", "hers"))
+    assert(m.count("ushers") === 3L)
+    assert(m.matchedPatterns("ushers").toSet === Set("she", "he", "hers"))
+    assert(m.count("his house") === 1L) // just "his"
+    // brute-force law on random lowercase strings
+    val pats = Seq("ab", "aba", "bb", "aab")
+    val m2 = AhoCorasick.build(pats)
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 200) {
+      val s = (0 until 1 + rnd.nextInt(20)).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString
+      val want = pats.map(p =>
+        (0 to s.length - p.length).count(i => s.regionMatches(i, p, 0, p.length)).toLong).sum
+      assert(m2.count(s) === want, s"count mismatch on '$s'")
+    }
+    // screen: lowercasing + flag + null
+    val df = Seq((1L, "Free MONEY here"), (2L, "clean"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = AhoCorasick.screen(df, "text", Seq("free money")).orderBy("id").collect()
+    assert(out(0).getLong(out(0).fieldIndex("blocklist_hits")) === 1L)
+    assert(out(0).getBoolean(out(0).fieldIndex("blocked")))
+    assert(out(1).getLong(2) === 0L && !out(1).getBoolean(3))
+    assert(out(2).getLong(2) === 0L)
+  }
+
   test("DeadLetter.parse: corrupt-record detection, salvage trap, raw payload kept") {
     import graft.etl.DeadLetter
     val df = Seq(
