@@ -1919,6 +1919,29 @@ object TrainingCatalog {
                AS quarantined_payload
       FROM p ORDER BY doc_id""")),
 
+    // robust per-source length outliers (median ± 3·MAD, the robust
+    // z-score): integer token counts keep both percentile
+    // interpolations exact (halves/quarters), so the verdict
+    // hash-matches quantile_cont; two broadcast threshold joins, no
+    // per-class window
+    "q_text_outliers" -> (q((s, dir) =>
+      TextAnalysis.lengthOutliers(docs(s, dir), "doc_id", "text", "source", k = 3.0)
+        .orderBy("doc_id")
+    ), Some("""
+      WITH lens AS (
+        SELECT source, doc_id,
+          coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 0) AS n
+        FROM documents),
+      med AS (SELECT source, quantile_cont(n, 0.5) AS med FROM lens GROUP BY 1),
+      dev AS (SELECT l.source, l.doc_id, l.n, m.med, abs(l.n - m.med) AS dev
+              FROM lens l JOIN med m USING (source)),
+      mad AS (SELECT source, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1)
+      SELECT d.doc_id, d.source, CAST(d.n AS BIGINT) AS n_tok,
+             d.med AS median_tok, a.mad AS mad_tok,
+             d.dev > 3.0 * a.mad AS outlier
+      FROM dev d JOIN mad a USING (source) ORDER BY d.doc_id""")),
+
     // per-source DATA-CARD report (datasheets practice): doc count,
     // token total, exact-duplicate membership count and fraction per
     // source — two map-side-combined keyed aggregates, all-integer

@@ -332,6 +332,35 @@ object TextAnalysis {
         col("n_tok"), col("chunk_text"))
   }
 
+  /** Robust per-class LENGTH-OUTLIER detection: flag documents whose
+    * token count deviates from their class's median by more than
+    * k × MAD (median absolute deviation) — the robust z-score of data
+    * validation, immune to the heavy tails that wreck mean/σ cuts on
+    * web corpora. Two two-phase percentile aggregates (median, then
+    * MAD) broadcast back onto the scan — no per-class window, the same
+    * shape as [[qualityFilterByLang]]; swap `percentile` for
+    * `approx_percentile` at 100 TB. Integer inputs keep every
+    * interpolation exact (halves/quarters), so the verdict is
+    * engine-reproducible. Returns (idCol, classCol, n_tok, median_tok,
+    * mad_tok, outlier). */
+  def lengthOutliers(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, classCol: String,
+                     k: Double = 3.0): org.apache.spark.sql.DataFrame = {
+    val lens = df.select(col(classCol).as("__c"), col(idCol).as("__id"),
+      tokenCount(col(textCol)).as("__n"))
+    val med = lens.groupBy(col("__c"))
+      .agg(expr("percentile(__n, 0.5)").as("__med"))
+    val dev = lens.join(broadcast(med), "__c")
+      .withColumn("__dev", abs(col("__n") - col("__med")))
+    val mad = dev.groupBy(col("__c"))
+      .agg(expr("percentile(__dev, 0.5)").as("__mad"))
+    dev.join(broadcast(mad), "__c")
+      .select(col("__id").as(idCol), col("__c").as(classCol),
+        col("__n").as("n_tok"), col("__med").as("median_tok"),
+        col("__mad").as("mad_tok"),
+        (col("__dev") > lit(k) * col("__mad")).as("outlier"))
+  }
+
   /** Per-class corpus DATA-CARD report — the summary table a dataset
     * release ships (datasheets/data-statements practice): per class
     * (source, language, …) the document count, total whitespace
