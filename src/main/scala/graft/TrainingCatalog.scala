@@ -1248,6 +1248,43 @@ object TrainingCatalog {
     }), Some("""
       SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""")),
 
+    // LATEST-BY-KEY compaction (the CDC/upsert-feed dedup): per user,
+    // the most recent event (ts desc, event_id tie) via ONE
+    // struct-ordered max aggregate — partial-aggregatable, unlike the
+    // row_number window the oracle replays it with
+    "q_dedup_latest" -> (q((s, dir) =>
+      Dedup.latestByKey(
+          SparkEntry.loader(s, dir)("events")
+            .select("user_id", "ts", "event_id", "event_type", "value"),
+          "user_id", "ts", "event_id")
+        .orderBy("user_id")
+    ), Some("""
+      WITH r AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, ts, event_id, event_type, value
+      FROM r WHERE rn = 1 ORDER BY user_id""")),
+
+    // 3-column Morton key (zValueN — OPTIMIZE ZORDER takes arbitrarily
+    // many columns); the oracle replays the 3-way bit interleave
+    "q_layout_zvalue3" -> (q((s, dir) =>
+      SparkEntry.loader(s, dir)("events")
+        .select(col("event_id"),
+          graft.ops.Layout.zValueN(Seq(
+            col("event_id") % 256, col("user_id") % 256,
+            (col("event_id") * 13) % 256), bits = 8).as("z"))
+        .orderBy("event_id")
+    ), Some("""
+      SELECT event_id,
+             CAST(list_sum([
+               (((event_id % 256) >> i) & 1) * (1 << (3*i + 2))
+               + (((user_id % 256) >> i) & 1) * (1 << (3*i + 1))
+               + ((((event_id * 13) % 256) >> i) & 1) * (1 << (3*i))
+               for i in range(0, 8)]) AS BIGINT) AS z
+      FROM events ORDER BY event_id""")),
+
     // INCREMENTAL exact dedup: a delta batch deduped against the
     // existing corpus's content-hash index only (history never
     // re-scanned — the growing-corpus production shape). The delta

@@ -193,6 +193,25 @@ object Dedup {
   // -- word n-gram shingles ----------------------------------------------
 
   /** Distinct word n-gram shingles of the text as an array column. */
+  /** LATEST-BY-KEY compaction — the CDC/upsert-feed dedup: from a
+    * stream of row versions keep each key's most recent one (highest
+    * event time, ties broken by the highest `tieCol` — a sequence
+    * number or file offset — so the survivor is deterministic even
+    * when a producer emits two versions in the same instant).
+    * ONE struct-ordered max aggregate per key (lexicographic struct
+    * comparison gives ts-then-tie argmax with partial aggregation —
+    * the map side combines before the shuffle; a row_number window
+    * would buffer each key's history instead). The batch compaction
+    * step of every log-ingestion pipeline. */
+  def latestByKey(df: DataFrame, keyCol: String, tsCol: String,
+                  tieCol: String): DataFrame = {
+    val others = df.columns.filter(c => c != keyCol).toSeq
+    df.groupBy(col(keyCol))
+      .agg(max(struct((Seq(tsCol, tieCol) ++
+        others.filterNot(Seq(tsCol, tieCol).contains)).map(col): _*)).as("__r"))
+      .select(col(keyCol) +: others.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
   /** Exact EDIT-DISTANCE similarity join via deletion neighborhoods
     * (the SymSpell principle, Garbe 2012; also FastSS, Bocek et al.
     * 2007): two strings with levenshtein(a, b) ≤ k always share at

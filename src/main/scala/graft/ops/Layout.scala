@@ -38,6 +38,30 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** N-COLUMN Morton interleave — [[zValue]] generalized to any
+    * dimension count (OPTIMIZE ZORDER takes arbitrarily many columns):
+    * bit i of column k lands at position i·n + (n−1−k), so earlier
+    * columns take the higher bit within each group. n·bits must fit a
+    * signed long (≤ 62). Same checked-range contract and pure integer
+    * Column arithmetic as the 2-D form. */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.length
+    require(n >= 2, s"need >= 2 columns, got $n")
+    require(bits >= 1 && n * bits <= 62, s"n*bits must be <= 62: $n x $bits")
+    val lim = 1L << bits
+    def checked(c: Column) =
+      when(c.cast("long") >= 0 && c.cast("long") < lim, c.cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"zValueN: input out of [0, $lim): "), c.cast("string"))))
+    val longs = cols.map(checked)
+    (for {
+      i <- 0 until bits
+      (c, k) <- longs.zipWithIndex
+    } yield shiftright(c, i).bitwiseAND(lit(1L)) *
+        lit(1L << (i * n + (n - 1 - k)))
+    ).reduce(_ + _)
+  }
+
   /** Write `df` Z-ORDERED on (aCol, bCol): range-partition on the
     * Morton key into `files` output files, sort within each — every
     * file covers a compact (a, b) box, so row-group stats prune on BOTH

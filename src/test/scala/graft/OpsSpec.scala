@@ -1161,6 +1161,33 @@ class OpsSpec extends AnyFunSuite {
       .as[Long].head() === 4L)
   }
 
+  test("latestByKey: ts argmax, tie by sequence, all columns survive") {
+    import graft.ops.Dedup
+    val df = Seq(
+      (1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"),  // later ts wins
+      (2L, 30L, 200L, "c"), (2L, 30L, 201L, "d"),  // tie → higher seq wins
+      (3L, 5L, 300L, "e")
+    ).toDF("k", "ts", "seq", "payload")
+    val out = Dedup.latestByKey(df, "k", "ts", "seq").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq((1L, 20L, 101L, "b"), (2L, 30L, 201L, "d"), (3L, 5L, 300L, "e")))
+  }
+
+  test("zValueN: 2-col form equals zValue, 3-col bijective on a small grid") {
+    import graft.ops.Layout
+    val df = spark.range(0, 64).select((col("id") % 8).as("a"), (col("id") / 8).as("b"))
+    val both = df.select(
+      Layout.zValue(col("a"), col("b"), bits = 3).as("z2"),
+      Layout.zValueN(Seq(col("a"), col("b")), bits = 3).as("zn")).collect()
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)), "zValueN(2) != zValue")
+    // 3 columns, 2 bits each: 64 distinct inputs → 64 distinct keys in [0, 64)
+    val g = spark.range(0, 64).select(
+      (col("id") % 4).as("a"), ((col("id") / 4) % 4).as("b"), (col("id") / 16).as("c"))
+    val zs = g.select(Layout.zValueN(Seq(col("a"), col("b"), col("c")), bits = 2).as("z"))
+      .collect().map(_.getLong(0))
+    assert(zs.distinct.length === 64 && zs.forall(z => z >= 0 && z < 64))
+  }
+
   test("AhoCorasick: classic overlap set, suffix outputs, brute-force law, screen") {
     import graft.ops.AhoCorasick
     // the canonical he/she/his/hers automaton: "ushers" contains
