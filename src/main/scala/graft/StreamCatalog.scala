@@ -108,6 +108,36 @@ object StreamCatalog {
       WHERE o.o_orderdate < DATE '1996-01-01'
       GROUP BY 1, 2 ORDER BY 1""")),
 
+    // STREAMING CDC APPLY: the event feed upserts into a FactStore per
+    // micro-batch with EVENT-TIME conflict resolution
+    // (upsertLatest — max is associative, so the final store state is
+    // independent of micro-batch boundaries; a late old version can
+    // never clobber a newer row). The drained store must equal the
+    // batch latest-by-key replay — q_dedup_latest's oracle verbatim.
+    "q_stream_upsert" -> (raw((s, dir) => {
+      val tmp = scratchDir("stream_upsert")
+      val store = new graft.container.FactStore(s, "cdc_events",
+        java.nio.file.Paths.get(tmp, "store"))
+      val events = streamRead(s, dir, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+      val q = events.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          store.upsertLatest(batch, "user_id", "ts", "event_id"); ()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Paths.get(tmp, "ckpt").toString)
+        .start()
+      q.processAllAvailable(); q.stop()
+      store.dataFrame.orderBy("user_id")
+    }), Some("""
+      WITH r AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, ts, event_id, event_type, value
+      FROM r WHERE rn = 1 ORDER BY user_id""")),
+
     // event-time tumbling window aggregation on a stream: 1-day windows,
     // epoch-aligned (= UTC date_trunc). Complete mode so the bounded
     // drain emits every window (append would hold back windows the final

@@ -401,6 +401,28 @@ class FactStore(val spark: SparkSession, val name: String, dir: Path) extends Co
     }
   }
 
+  /** UPSERT-LATEST: merge an incoming batch of row VERSIONS, keeping
+    * per key the most recent version by (tsCol, tieCol) across store ∪
+    * batch — event-time conflict resolution instead of [[upsert]]'s
+    * batch-wins rule. Because max is associative and commutative, the
+    * final state is independent of HOW the feed was batched — the
+    * property a streaming CDC apply needs (micro-batch boundaries are
+    * an accident of arrival, and a late-arriving old version must
+    * never clobber a newer row). One keyed aggregate per merge
+    * ([[graft.ops.Dedup.latestByKey]]); schema evolution as in
+    * [[insert]]. */
+  def upsertLatest(docs: DataFrame, key: String, tsCol: String,
+                   tieCol: String): this.type = {
+    val inc = graft.ops.Dedup.latestByKey(docs, key, tsCol, tieCol)
+    if (isEmpty) { writeSnapshot(inc); this }
+    else {
+      val (cur, inc2) = migrateNesting(dataFrame, inc)
+      writeSnapshot(graft.ops.Dedup.latestByKey(
+        cur.unionByName(inc2, allowMissingColumns = true), key, tsCol, tieCol))
+      this
+    }
+  }
+
   private def ctx(df: DataFrame): JxCompiler.Ctx =
     JxCompiler.Ctx(resolveVar = n =>
       if (n == ".") struct(df.columns.map(col).toIndexedSeq: _*) else col(n))

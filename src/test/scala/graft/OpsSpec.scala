@@ -1161,6 +1161,28 @@ class OpsSpec extends AnyFunSuite {
       .as[Long].head() === 4L)
   }
 
+  test("upsertLatest: batch-boundary independence, late old versions never clobber") {
+    val data = Seq(
+      (1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"),
+      (2L, 30L, 200L, "c"), (2L, 30L, 201L, "d"),
+      (3L, 5L, 300L, "e"))
+    def applyIn(splits: Seq[Seq[(Long, Long, Long, String)]]): Seq[(Long, Long, Long, String)] = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ul")
+      val store = new graft.container.FactStore(spark, "ul_spec", tmp)
+      splits.foreach(b =>
+        store.upsertLatest(b.toDF("k", "ts", "seq", "p"), "k", "ts", "seq"))
+      store.dataFrame.orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    }
+    val want = Seq((1L, 20L, 101L, "b"), (2L, 30L, 201L, "d"), (3L, 5L, 300L, "e"))
+    // one batch, row-wise batches, and REVERSED order (late-arriving old
+    // versions) all converge to the same state — max is associative
+    assert(applyIn(Seq(data)) === want)
+    assert(applyIn(data.map(Seq(_))) === want)
+    assert(applyIn(data.reverse.map(Seq(_))) === want)
+    assert(applyIn(Seq(data.take(2), data.drop(2))) === want)
+  }
+
   test("latestByKey: ts argmax, tie by sequence, all columns survive") {
     import graft.ops.Dedup
     val df = Seq(
