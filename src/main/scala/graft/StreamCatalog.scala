@@ -359,6 +359,56 @@ object StreamCatalog {
        AND date_trunc('second', c.ts) <= date_trunc('second', v.ts) + INTERVAL 30 MINUTE
       ORDER BY view_id, click_id""")),
 
+    // LEFT-OUTER stream-stream interval join: views that never
+    // converted surface with null click columns — but only once the
+    // watermark proves completeness (an unmatched view emits when its
+    // 30-min match window falls entirely behind the global watermark =
+    // min of both streams' watermarks − 1h, and its state evicts).
+    // The drained result = inner matches + exactly the
+    // watermark-finalized unmatched prefix, which is what the oracle
+    // states — the outer-emission contract itself, which the inner
+    // entry (q_stream_join) cannot check.
+    "q_stream_join_outer" -> (raw((s, dir) => {
+      def typed(t: String) = streamRead(s, dir, "events")
+        .where(col("event_type") === t)
+        .withColumn("ts", date_trunc("second", col("ts")))
+      val joined = Streams.intervalJoinStreamLeftOuter(
+          typed("view").select(col("user_id"), col("ts"), col("event_id")),
+          typed("click").select(col("user_id"), col("ts"), col("event_id")),
+          "user_id", "ts", within = "30 minutes", watermark = "1 hour")
+        .select(col("l.user_id").as("user_id"),
+          col("l.event_id").as("view_id"), col("r.event_id").as("click_id"),
+          col("l.ts").as("view_ts"), col("r.ts").as("click_ts"))
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try drain(s, joined, "join_outer", OutputMode.Append())
+        .orderBy("view_id", "click_id")
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }), Some("""
+      WITH v AS (
+        SELECT user_id, event_id, date_trunc('second', ts) AS ts
+        FROM events WHERE event_type = 'view'),
+      c AS (
+        SELECT user_id, event_id, date_trunc('second', ts) AS ts
+        FROM events WHERE event_type = 'click'),
+      wm AS (
+        SELECT least((SELECT max(date_trunc('second', ts)) FROM events WHERE event_type = 'view'),
+                     (SELECT max(date_trunc('second', ts)) FROM events WHERE event_type = 'click'))
+               - INTERVAL 1 HOUR AS w),
+      matched AS (
+        SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+               v.ts AS view_ts, c.ts AS click_ts
+        FROM v JOIN c ON v.user_id = c.user_id
+          AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE)
+      SELECT * FROM matched
+      UNION ALL
+      SELECT v.user_id, v.event_id, CAST(NULL AS BIGINT),
+             v.ts, CAST(NULL AS TIMESTAMP)
+      FROM v, wm
+      WHERE v.ts + INTERVAL 30 MINUTE < wm.w
+        AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.view_id = v.event_id)
+      ORDER BY view_id, click_id""")),
+
     // gap-based session windows on a stream (session_window + watermark):
     // 30-min gap, session_end = last event + gap (the built-in's close
     // bound). Complete mode for the bounded drain; ts second-truncated on

@@ -216,6 +216,26 @@ object Streams {
         col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $within"))
   }
 
+  /** LEFT-OUTER stream-stream interval join: like [[intervalJoinStream]],
+    * but an unmatched left row EMITS (with nulls on the right) once the
+    * watermark proves no future match can arrive — i.e. when its match
+    * window `[ts, ts+within]` falls entirely behind the global watermark
+    * (min of both streams' watermarks) and its state evicts. The
+    * attribution-funnel shape ("views that never converted") that an
+    * inner join cannot express on unbounded streams: the null verdict
+    * is only safe once eviction guarantees completeness, which is
+    * exactly when Spark emits it. */
+  def intervalJoinStreamLeftOuter(left: DataFrame, right: DataFrame, keyCol: String,
+                                  tsCol: String, within: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$tsCol") >= col(s"l.$tsCol") &&
+        col(s"r.$tsCol") <= col(s"l.$tsCol") + expr(s"INTERVAL $within"),
+      "left_outer")
+  }
+
   // -- sessionization -----------------------------------------------------
 
   case class Event(userId: Long, ts: java.sql.Timestamp, value: Double)
