@@ -1264,6 +1264,25 @@ object QueryCatalog {
         FROM (DESCRIBE SELECT * FROM $t)""").mkString("\nUNION ALL\n")
         + "\nORDER BY table_name, column_name")),
 
+    // column-level data profiling (the validation report of data-quality
+    // tooling): ONE pass computes every column's row/null/distinct/range
+    // stats, then the single result row pivots to one row per column;
+    // min/max render as strings so one schema covers all types
+    "q_meta_profile" -> (raw((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.ops.Profiling.profile(
+          SparkEntry.loader(s, dir)("lineitem"),
+          Seq("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag", "l_linestatus"))
+        .orderBy(col("column_name"))
+    }), Some(
+      Seq("l_orderkey", "l_partkey", "l_linenumber", "l_returnflag", "l_linestatus")
+        .map(c => s"""
+          SELECT '$c' AS column_name, count(*) AS n_rows,
+                 count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+                 CAST(min($c) AS VARCHAR) AS min_value,
+                 CAST(max($c) AS VARCHAR) AS max_value
+          FROM lineitem""").mkString("\nUNION ALL\n") + "\nORDER BY column_name")),
+
     // =====================================================================
     // co-located (bucketed) join — the physical design for a REPEATED
     // fact⋈fact equi-join at 100 TB (pay the shuffle once, at write)

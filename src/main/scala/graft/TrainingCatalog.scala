@@ -1550,6 +1550,50 @@ object TrainingCatalog {
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
     ), Some(JaccardOracleSql)),
 
+    // CONTAINMENT join (Broder's asymmetric measure): planted
+    // sub-documents (+1e6 ids = each base doc's first 15 tokens) have
+    // containment 1.0 in their parents while their Jaccard is tiny —
+    // the small-doc-inside-big-doc case a Jaccard threshold
+    // structurally misses; full inverted-index replay oracle
+    "q_dedup_containment" -> (q((s, dir) => {
+      val base = docs(s, dir).where(col("doc_id") < 400)
+        .select(col("doc_id"), col("text"))
+      val plants = base.where(col("doc_id") < 12)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 15)).as("text"))
+      Dedup.containmentPairs(base.unionByName(plants), "doc_id", "text",
+          n = 3, threshold = 0.9)
+        .orderBy("id_a", "id_b")
+    }), Some("""
+      WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 400),
+      pl AS (
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(regexp_split_to_array(trim(text), '\s+')[1:15], ' ') AS text
+        FROM base WHERE doc_id < 12),
+      d AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
+      toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM d WHERE length(trim(text)) > 0),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(
+          [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])) AS g
+        FROM toks WHERE len(t) >= 3),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+             CAST(common AS BIGINT) AS common,
+             CAST(common AS DOUBLE) / sa.sz AS c_ab,
+             CAST(common AS DOUBLE) / sb.sz AS c_ba
+      FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+      WHERE greatest(CAST(common AS DOUBLE) / sa.sz,
+                     CAST(common AS DOUBLE) / sb.sz) >= 0.9
+      ORDER BY id_a, id_b""")),
+
     // char-shingle near-dups via MinHash-LSH (the exact char inverted
     // index is quadratic in per-shingle doc frequency — see Dedup docs);
     // verified candidates equal the exact result on this data (pairs at

@@ -336,6 +336,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** CONTAINMENT similarity join (Broder 1997's asymmetric companion
+    * to resemblance): c(A→B) = |A∩B| / |A| — the measure that catches
+    * a SMALL document contained in a big one (quote extraction,
+    * article-in-digest, chunk-of-corpus), which Jaccard structurally
+    * cannot (J ≤ |A|/|B| vanishes as sizes diverge). Keeps pairs whose
+    * larger-direction containment meets `threshold`. Same inverted-
+    * index shape as [[jaccardPairs]] but deliberately NO size-ratio
+    * prune — asymmetric pairs are exactly the point. Returns
+    * (id_a, id_b, sz_a, sz_b, common, c_ab, c_ba). Verification-grade
+    * fan-out (per-shingle docFreq²); for discovery over a Zipf corpus
+    * run [[minhashLshPairs]] first and verify candidates here. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val arr = df.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("arr"))
+      .withColumn("sz", size(col("arr")).cast("long"))
+    val sh = arr.select(col("id"), col("sz"), explode(col("arr")).as("sh"))
+    val sizes = arr.select(col("id"), col("sz"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("c_ab", col("common").cast("double") / col("sz_a"))
+      .withColumn("c_ba", col("common").cast("double") / col("sz_b"))
+      .where(greatest(col("c_ab"), col("c_ba")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
+        col("common"), col("c_ab"), col("c_ba"))
+  }
+
   /** [[jaccardPairs]] via PREFIX FILTERING (Chaudhuri/Ganti/Kaushik
     * SSJoin 2006; Xiao et al. PPJoin 2008) — the exact-join shape for
     * ZIPFIAN corpora: under any global token order, J(A,B) ≥ t forces

@@ -1161,6 +1161,29 @@ class OpsSpec extends AnyFunSuite {
       .as[Long].head() === 4L)
   }
 
+  test("containmentPairs: subset containment 1.0 where Jaccard vanishes") {
+    import graft.ops.Dedup
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val small = (1 to 12).map(i => s"w$i").mkString(" ") // prefix subset
+    val other = (100 to 160).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, big), (2L, small), (3L, other)).toDF("id", "text")
+    val out = Dedup.containmentPairs(df, "id", "text", n = 3, threshold = 0.9)
+      .collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getLong(0) === 1L && r.getLong(1) === 2L)
+    // the small doc is fully contained: c(small→big) = 1.0 exactly
+    assert(r.getDouble(r.fieldIndex("c_ba")) === 1.0)
+    // while its Jaccard (10/58) is far below any dedup threshold —
+    // the asymmetric case this operator exists for
+    val j = r.getLong(r.fieldIndex("common")).toDouble /
+      (r.getLong(r.fieldIndex("sz_a")) + r.getLong(r.fieldIndex("sz_b")) -
+        r.getLong(r.fieldIndex("common")))
+    assert(j < 0.25, s"jaccard unexpectedly high: $j")
+    // jaccardPairs at 0.5 misses this pair entirely
+    assert(Dedup.jaccardPairs(df, "id", "text", n = 3, threshold = 0.5).count() === 0L)
+  }
+
   test("upsertLatest: batch-boundary independence, late old versions never clobber") {
     val data = Seq(
       (1L, 10L, 100L, "a"), (1L, 20L, 101L, "b"),
