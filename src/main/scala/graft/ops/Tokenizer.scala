@@ -323,6 +323,126 @@ object Tokenizer {
       .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
   }
 
+  /** Forward-backward EXPECTED piece counts of one word — the TRUE
+    * E-step of Kudo's unigram EM ([[unigramPieceCounts]]'s Viterbi
+    * counts are the hard-EM simplification): with α(i) = total
+    * probability of all segmentations of the length-i prefix and β(i)
+    * of the suffix, the expected count of piece p spanning [j, i) is
+    * α(j)·P(p)·β(i) / α(n). Computed in log space (logsumexp over the
+    * ≤ maxPieceLen incoming arcs — a 30-char word at logp −10/char
+    * underflows raw doubles), fixed iteration order so results are
+    * deterministic. Returns (piece → expected count); empty map for a
+    * word the vocab cannot segment. Invariant (law-tested):
+    * Σ_p E[p]·len(p) = len(word) — every position is covered exactly
+    * once in every segmentation. */
+  def expectedPieceCounts(word: String, vocab: UnigramVocab): Map[String, Double] = {
+    val n = word.length
+    if (n == 0) return Map.empty
+    val lp = vocab.logProbs
+    val maxLen = if (lp.isEmpty) 1 else lp.keysIterator.map(_.length).max
+    def lse(xs: Seq[Double]): Double = {
+      val m = xs.max
+      if (m == Double.NegativeInfinity) m
+      else m + math.log(xs.iterator.map(x => math.exp(x - m)).sum)
+    }
+    val la = Array.fill(n + 1)(Double.NegativeInfinity)
+    la(0) = 0.0
+    for (i <- 1 to n) {
+      val terms = for {
+        j <- math.max(0, i - maxLen) until i
+        l <- lp.get(word.substring(j, i))
+        if la(j) != Double.NegativeInfinity
+      } yield la(j) + l
+      if (terms.nonEmpty) la(i) = lse(terms)
+    }
+    if (la(n) == Double.NegativeInfinity) return Map.empty
+    val lb = Array.fill(n + 1)(Double.NegativeInfinity)
+    lb(n) = 0.0
+    for (i <- n - 1 to 0 by -1) {
+      val terms = for {
+        j <- i + 1 to math.min(n, i + maxLen)
+        l <- lp.get(word.substring(i, j))
+        if lb(j) != Double.NegativeInfinity
+      } yield l + lb(j)
+      if (terms.nonEmpty) lb(i) = lse(terms)
+    }
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for {
+      j <- 0 until n
+      i <- j + 1 to math.min(n, j + maxLen)
+      l <- lp.get(word.substring(j, i))
+      if la(j) != Double.NegativeInfinity && lb(i) != Double.NegativeInfinity
+    } {
+      val p = word.substring(j, i)
+      out(p) = out.getOrElse(p, 0.0) + math.exp(la(j) + l + lb(i) - la(n))
+    }
+    out.toMap
+  }
+
+  /** Corpus-wide expected piece counts (the distributed soft E-step):
+    * each DISTINCT word's forward-backward expectations, weighted by
+    * word frequency, aggregated map-side. Returns (p, cnt: double). */
+  def unigramExpectedCounts(words: DataFrame, vocab: UnigramVocab): DataFrame = {
+    val exp = udf((w: String, freq: Long) =>
+      expectedPieceCounts(w, vocab).toSeq.map { case (p, c) => (p, c * freq) })
+    words.select(explode(exp(col("w"), col("freq"))).as("pc"))
+      .select(col("pc._1").as("p"), col("pc._2").as("c"))
+      .groupBy(col("p")).agg(sum(col("c")).as("cnt"))
+  }
+
+  /** [[unigramTrain]] with the TRUE (forward-backward) E-step — full
+    * soft EM instead of Viterbi hard counts: expected counts credit
+    * every segmentation in proportion to its probability, so
+    * marginally-useful pieces decay smoothly rather than flipping in
+    * and out of the argmax path (Kudo 2018 §3.2's actual procedure).
+    * Costs one extra O(maxPieceLen) logsumexp per word position; the
+    * prune discipline (top-vocabSize by count, chars floored) and the
+    * distributed shape match [[unigramTrain]] exactly. Counts are
+    * doubles, so ties break (count desc, piece asc) on values that are
+    * deterministic but not integer — the hard-EM trainer remains the
+    * oracle-checked tier. */
+  def unigramTrainEM(df: DataFrame, textCol: String, vocabSize: Int,
+                     maxPieceLen: Int = 8, emIters: Int = 2): UnigramVocab = {
+    require(vocabSize >= 1 && maxPieceLen >= 1 && emIters >= 1)
+    import org.apache.spark.storage.StorageLevel
+    val words = distinctWords(df, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val subs = udf((w: String) =>
+        for {
+          i <- 0 until w.length
+          l <- 1 to math.min(maxPieceLen, w.length - i)
+        } yield w.substring(i, i + l))
+      val census = words.select(explode(subs(col("w"))).as("p"), col("freq"))
+        .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      def toVocab(counts: Seq[(String, Double)]): UnigramVocab = {
+        val total = math.max(java.lang.Double.MIN_VALUE, counts.map(_._2).sum)
+        UnigramVocab(counts.map { case (p, c) =>
+          p -> math.log(c / total)
+        }.toMap)
+      }
+      val chars = census.where(length(col("p")) === 1)
+        .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
+      val multi = census.where(length(col("p")) > 1)
+        .orderBy(col("cnt").desc, col("p")).limit(vocabSize * 4)
+        .collect().map(r => (r.getString(0), r.getLong(1).toDouble))
+      census.unpersist()
+      var vocab = toVocab((chars ++ multi).toSeq)
+      var iter = 0
+      while (iter < emIters) {
+        val obs = unigramExpectedCounts(words, vocab)
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+        val cs = chars.map { case (p, _) => p -> math.max(1e-3, obs.getOrElse(p, 0.0)) }
+        val ms = obs.toSeq.filter(_._1.length > 1)
+        val kept = ms.sortBy { case (p, c) => (-c, p) }
+          .take(math.max(0, vocabSize - cs.length))
+        vocab = toVocab((cs ++ kept).toSeq)
+        iter += 1
+      }
+      vocab
+    } finally words.unpersist()
+  }
+
   /** Learn a unigram-LM vocabulary from a corpus — the SentencePiece
     * unigram model's training loop (Kudo 2018 §3.2), in its Viterbi
     * (hard-EM) form: the E-step counts each piece's usage in the

@@ -1355,6 +1355,41 @@ class OpsSpec extends AnyFunSuite {
     assert(orig.size >= 3, s"only ${orig.size} chunks")
   }
 
+  test("expectedPieceCounts: closed form, coverage invariant, soft EM trains") {
+    import graft.ops.Tokenizer
+    // "aa" under {a: e^-1-weight -1.0, aa: -1.0}: P([aa]) = e^-1,
+    // P([a,a]) = e^-2; E[aa] = e^-1/Z, E[a] = 2 e^-2/Z with Z their sum
+    val v = Tokenizer.UnigramVocab(Map("a" -> -1.0, "aa" -> -1.0))
+    val e = Tokenizer.expectedPieceCounts("aa", v)
+    val z = math.exp(-1.0) + math.exp(-2.0)
+    assert(math.abs(e("aa") - math.exp(-1.0) / z) < 1e-12)
+    assert(math.abs(e("a") - 2.0 * math.exp(-2.0) / z) < 1e-12)
+    // coverage invariant: sum of E[p]*len(p) = len(word), any vocab/word
+    val v2 = Tokenizer.UnigramVocab(Map("l" -> -3.0, "o" -> -3.0, "w" -> -3.0,
+      "lo" -> -2.5, "ow" -> -2.5, "low" -> -4.0, "e" -> -3.0, "r" -> -3.0))
+    for (w <- Seq("low", "lower", "lowlow", "wool")) {
+      val ec = Tokenizer.expectedPieceCounts(w, v2)
+      if (ec.nonEmpty) {
+        val mass = ec.map { case (p, c) => c * p.length }.sum
+        assert(math.abs(mass - w.length) < 1e-9, s"coverage broken for '$w': $mass")
+      }
+    }
+    // unsegmentable → empty
+    assert(Tokenizer.expectedPieceCounts("xyz", v) === Map.empty)
+    // long-word underflow guard: 60 chars at logp -10 each still finite
+    val v3 = Tokenizer.UnigramVocab(Map("a" -> -10.0, "aa" -> -15.0))
+    val long = Tokenizer.expectedPieceCounts("a" * 60, v3)
+    assert(long.values.forall(c => !c.isNaN && !c.isInfinite && c > 0.0))
+    // soft EM end-to-end: same coverage + compression laws as hard EM
+    val corpus = Seq.fill(30)("low lower lowest") ++ Seq.fill(5)("newest widest")
+    val vocab = Tokenizer.unigramTrainEM(corpus.toDF("text"), "text",
+      vocabSize = 12, maxPieceLen = 5, emIters = 2)
+    val alphabet = corpus.mkString.replaceAll("\\s", "").distinct
+    for (c <- alphabet)
+      assert(vocab.logProbs.contains(c.toString), s"missing char piece '$c'")
+    assert(vocab.encodeWord("low").length < 3, "soft EM did not compress 'low'")
+  }
+
   test("unigramTrain: learns dominant pieces, keeps char coverage, prunes to size") {
     import graft.ops.Tokenizer
     val corpus = Seq.fill(30)("low lower lowest") ++ Seq.fill(5)("newest widest")
