@@ -1248,6 +1248,39 @@ object TrainingCatalog {
     }), Some("""
       SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""")),
 
+    // ordered FUNNEL analysis (view → click → purchase): per user the
+    // earliest strictly-ordered stage completions + depth reached —
+    // greedy-earliest is provably optimal, so each stage is one
+    // min-aggregate over events after the previous stage's time (no
+    // per-user history collection); oracle replays the stage chain
+    "q_events_funnel" -> (q((s, dir) =>
+      graft.ops.Funnel.funnel(
+          SparkEntry.loader(s, dir)("events"), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .orderBy("user_id")
+    ), Some("""
+      WITH s1 AS (
+        SELECT user_id, min(ts) AS view_ts FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (
+        SELECT e.user_id, min(e.ts) AS click_ts
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > s1.view_ts GROUP BY 1),
+      s3 AS (
+        SELECT e.user_id, min(e.ts) AS purchase_ts
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s2.click_ts GROUP BY 1)
+      SELECT u.user_id, s1.view_ts, s2.click_ts, s3.purchase_ts,
+             CAST((CASE WHEN s1.view_ts IS NOT NULL THEN 1 ELSE 0 END)
+                + (CASE WHEN s2.click_ts IS NOT NULL THEN 1 ELSE 0 END)
+                + (CASE WHEN s3.purchase_ts IS NOT NULL THEN 1 ELSE 0 END)
+               AS INT) AS stages_completed
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN s1 USING (user_id)
+      LEFT JOIN s2 USING (user_id)
+      LEFT JOIN s3 USING (user_id)
+      ORDER BY u.user_id""")),
+
     // LATEST-BY-KEY compaction (the CDC/upsert-feed dedup): per user,
     // the most recent event (ts desc, event_id tie) via ONE
     // struct-ordered max aggregate — partial-aggregatable, unlike the

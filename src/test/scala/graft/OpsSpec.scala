@@ -1161,6 +1161,31 @@ class OpsSpec extends AnyFunSuite {
       .as[Long].head() === 4L)
   }
 
+  test("funnel: strict ordering, greedy-earliest, partial prefixes, ties don't advance") {
+    import graft.ops.Funnel
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val events = Seq(
+      // u1: complete funnel, with a decoy early click BEFORE the view
+      (1L, "click", ts(5)), (1L, "view", ts(10)), (1L, "click", ts(20)), (1L, "purchase", ts(30)),
+      // u2: purchase before click → depth 2 only
+      (2L, "view", ts(10)), (2L, "purchase", ts(15)), (2L, "click", ts(20)),
+      // u3: tie — click at the SAME instant as view does not advance
+      (3L, "view", ts(10)), (3L, "click", ts(10)),
+      // u4: no funnel events at all (only errors) → depth 0
+      (4L, "error", ts(1))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Funnel.funnel(events, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect()
+    def row(i: Int) = (out(i).getLong(0), out(i).getInt(4))
+    assert(row(0) === (1L, 3))
+    // greedy takes the ADMISSIBLE earliest click (t=20), not the decoy t=5
+    assert(out(0).getTimestamp(2) === ts(20))
+    assert(row(1) === (2L, 2)) // purchase at 15 < click at 20 → never reached
+    assert(row(2) === (3L, 1)) // strict >: the tied click does not count
+    assert(row(3) === (4L, 0) && out(3).isNullAt(1))
+  }
+
   test("containmentPairs: subset containment 1.0 where Jaccard vanishes") {
     import graft.ops.Dedup
     val big = (1 to 60).map(i => s"w$i").mkString(" ")
