@@ -571,6 +571,35 @@ object TrainingCatalog {
              ELSE 'de' END AS lang_pred
       FROM m ORDER BY doc_id""")),
 
+    // language-ID confidence margin: top evidence score minus the
+    // runner-up (second max = max over pairs of min — integer algebra
+    // both engines replay identically); low-margin docs are the ones
+    // a production router sends to a heavier classifier
+    "q_text_langid_margin" -> (q((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.langIdMargin(col("text")).as("margin"),
+        (TextAnalysis.langIdMargin(col("text")) >= 3L).as("confident"))
+    ), Some(s"""
+      WITH m AS (
+        SELECT doc_id,
+          len(regexp_extract_all(lower(text), '${lexSql("en")}')) AS a,
+          len(regexp_extract_all(lower(text), '${lexSql("fr")}')) AS b,
+          len(regexp_extract_all(lower(text), '${lexSql("es")}')) AS c,
+          len(regexp_extract_all(lower(text), '${lexSql("de")}')) AS d,
+          len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS e
+        FROM documents)
+      SELECT doc_id,
+        CAST(greatest(a, b, c, d, e)
+           - greatest(least(a,b), least(a,c), least(a,d), least(a,e),
+                      least(b,c), least(b,d), least(b,e),
+                      least(c,d), least(c,e), least(d,e)) AS BIGINT) AS margin,
+        (greatest(a, b, c, d, e)
+           - greatest(least(a,b), least(a,c), least(a,d), least(a,e),
+                      least(b,c), least(b,d), least(b,e),
+                      least(c,d), least(c,e), least(d,e))) >= 3 AS confident
+      FROM m ORDER BY doc_id""")),
+
     "q_text_repetition" -> (q((s, dir) => {
       val d = docs(s, dir)
       val rep = d.select(col("doc_id"),

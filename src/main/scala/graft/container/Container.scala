@@ -144,6 +144,23 @@ class FactStore(val spark: SparkSession, val name: String, dir: Path) extends Co
     added.unionByName(removed).unionByName(changed)
   }
 
+  /** SCHEMA DIFF between two snapshots — the evolution audit beside
+    * [[diff]]'s row-level CDC: which columns were added, removed, or
+    * retyped between versions (a consumer pinning `VERSION AS OF`
+    * wants to know why its reads changed shape). Pure metadata — two
+    * footer reads, no data scan. Returns (change, column_name,
+    * type_a, type_b) rows, 'added'/'removed'/'retyped'. */
+  def schemaDiff(vA: Int, vB: Int): Seq[(String, String, String, String)] = {
+    val a = dataFrameAt(vA).schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val b = dataFrameAt(vB).schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val added = (b.keySet -- a.keySet).toSeq.sorted.map(c => ("added", c, null: String, b(c)))
+    val removed = (a.keySet -- b.keySet).toSeq.sorted.map(c => ("removed", c, a(c), null: String))
+    val retyped = (a.keySet & b.keySet).toSeq.sorted.collect {
+      case c if a(c) != b(c) => ("retyped", c, a(c), b(c))
+    }
+    added ++ removed ++ retyped
+  }
+
   /** TIME TRAVEL: read snapshot `v` exactly as written. Every mutation
     * is copy-on-write (a new `v{n}` dir + marker advance), so historical
     * versions stay intact and readable — the `VERSION AS OF` contract

@@ -87,6 +87,21 @@ object TextAnalysis {
       .otherwise(lit("de"))
   }
 
+  /** Confidence MARGIN of the language-ID decision: top evidence score
+    * minus the runner-up across the five channels (four lexicons +
+    * CJK) — the routing gate for low-confidence docs (margin 0 = a
+    * tie the fixed tie-break order resolved arbitrarily). Second-max
+    * as max-over-pairs-of-min: pure integer Column algebra, replayed
+    * verbatim in SQL. */
+  def langIdMargin(text: Column): Column = {
+    val xs = Seq(langScore(text, "en"), langScore(text, "fr"),
+      langScore(text, "es"), langScore(text, "de"), cjkCount(text))
+    val second = greatest((for {
+      i <- xs.indices; j <- i + 1 until xs.size
+    } yield least(xs(i), xs(j))): _*)
+    greatest(xs: _*) - second
+  }
+
   /** Ratio of (per-language) stopwords to tokens. */
   def stopwordRatio(text: Column, lang: String = "en"): Column = {
     val n = tokenCount(text)

@@ -1338,6 +1338,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("FactStore.schemaDiff: added/removed/retyped columns across versions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sd")
+    val store = new graft.container.FactStore(spark, "sd_spec", tmp)
+    store.insert(Seq((1L, "x", 10)).toDF("id", "a", "b"))                 // v1
+    store.insert(Seq((2L, 1.5, 20L, "new")).toDF("id", "a", "b", "c"))    // v2:
+    // b WIDENS int→bigint, c is added; a stays string (the merge
+    // coerces the incoming double to v1's string — evolution never
+    // narrows an existing column, so no retype on a)
+    val d = store.schemaDiff(1, 2)
+    assert(d.contains(("added", "c", null, "string")))
+    assert(d.contains(("retyped", "b", "int", "bigint")))
+    assert(!d.exists { case (_, c, _, _) => c == "a" })
+    assert(store.schemaDiff(2, 2) === Seq.empty)
+    // reversed direction mirrors
+    assert(store.schemaDiff(2, 1).contains(("removed", "c", "string", null)))
+  }
+
   test("FactStore.optimize: new compacted version, history intact, content identical") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_opt")
     val store = new graft.container.FactStore(spark, "opt_spec", tmp)
