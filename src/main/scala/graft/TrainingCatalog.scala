@@ -1972,6 +1972,41 @@ object TrainingCatalog {
                ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS shuffle_rank
       FROM k ORDER BY epoch, shuffle_rank""")),
 
+    // Reciprocal Rank Fusion (Cormack et al. 2009): three scale-free
+    // integer signals (token/char/digit counts) fuse via Σ 1/(60+rank)
+    // — per-signal dense ranks from the distributed prefix-sum with md5
+    // tie-breaks, replayed by row_number windows; the fused double is a
+    // fixed-order sum of exact reciprocals, identical in both engines
+    "q_sample_rrf" -> (q((s, dir) =>
+      graft.ops.Fusion.reciprocalRankFusion(
+          docs(s, dir), "doc_id",
+          Seq("tok" -> coalesce(TextAnalysis.tokenCount(col("text")), lit(0L)),
+            "chars" -> coalesce(TextAnalysis.charCount(col("text")), lit(0L)),
+            "digits" -> coalesce(TextAnalysis.digitCount(col("text")), lit(0L))))
+        .orderBy("doc_id")
+    ), Some("""
+      WITH m AS (
+        SELECT doc_id,
+          coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 0) AS s_tok,
+          coalesce(length(text), 0) AS s_chars,
+          coalesce(len(regexp_extract_all(text, '[0-9]')), 0) AS s_digits,
+          md5(CAST(doc_id AS VARCHAR)) AS tie
+        FROM documents),
+      r AS (
+        SELECT doc_id,
+          row_number() OVER (ORDER BY s_tok DESC, tie, doc_id) - 1 AS rank_tok,
+          row_number() OVER (ORDER BY s_chars DESC, tie, doc_id) - 1 AS rank_chars,
+          row_number() OVER (ORDER BY s_digits DESC, tie, doc_id) - 1 AS rank_digits
+        FROM m)
+      SELECT doc_id,
+             CAST(rank_tok AS BIGINT) AS rank_tok,
+             CAST(rank_chars AS BIGINT) AS rank_chars,
+             CAST(rank_digits AS BIGINT) AS rank_digits,
+             1.0 / (60.0 + rank_tok) + 1.0 / (60.0 + rank_chars)
+               + 1.0 / (60.0 + rank_digits) AS rrf
+      FROM r ORDER BY doc_id""")),
+
     // CURRICULUM ordering: the classic short-to-long schedule (Bengio et
     // al. 2009) — global rank by ascending whitespace token count, md5
     // tie-break within equal difficulty; the rank rides the distributed
