@@ -1008,6 +1008,40 @@ object TrainingCatalog {
              coalesce(h.n_hits, 0) > 0 AS contaminated
       FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""")),
 
+    // the SAME Bloom decontamination with the filter PERSISTED and
+    // RELOADED mid-query — the fit-once/screen-many artifact shape (an
+    // eval-suite filter built in one batch job, shipped to every ingest
+    // job); sketch serialization round-trips exactly, so this shares
+    // the exact-path oracle like the other Bloom entry
+    "q_text_decontaminate_bloom_saved" -> (q((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val bench = d.where(col("doc_id") % 50 === 0)
+        .select(concat_ws(" ",
+          slice(TextAnalysis.tokens(lower(col("text"))), 1, 8)).as("btext"))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_bloom_${ProcessHandle.current().pid()}"
+      TextAnalysis.saveBloom(s, path,
+        TextAnalysis.benchBloomFilter(bench, "btext", 8))
+      TextAnalysis.decontaminateBloomWith(d, "doc_id", "text", bench, "btext", 8,
+          TextAnalysis.loadBloom(s, path))
+        .select(col("doc_id"), col("n_hits"), col("contaminated"))
+    }), Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      grams AS (
+        SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+              FROM toks WHERE len(t) >= 8)),
+      bench AS (
+        SELECT DISTINCT array_to_string(t[1:8], ' ') AS g
+        FROM toks WHERE doc_id % 50 = 0 AND len(t) >= 8),
+      hits AS (
+        SELECT g.doc_id, count(DISTINCT g.g) AS n_hits
+        FROM grams g JOIN bench b USING (g) GROUP BY g.doc_id)
+      SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+             coalesce(h.n_hits, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""")),
+
     // Aho-Corasick blocklist screen (C4's badwords filter shape): all
     // patterns matched in ONE automaton pass per doc (a regex
     // alternation over thousands of phrases recompiles per position;

@@ -737,15 +737,49 @@ object TextAnalysis {
    */
   def decontaminateBloom(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                          bench: org.apache.spark.sql.DataFrame, benchTextCol: String,
-                         n: Int, fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
+                         n: Int, fpp: Double = 0.01): org.apache.spark.sql.DataFrame =
+    decontaminateBloomWith(docs, idCol, textCol, bench, benchTextCol, n,
+      benchBloomFilter(bench, benchTextCol, n, fpp))
+
+  /** Build the benchmark-gram Bloom filter alone — the FIT half of the
+    * fit-once/screen-many production shape (an eval-suite filter is an
+    * artifact: built in one batch job, shipped to every ingest job via
+    * [[saveBloom]]/[[loadBloom]]). */
+  def benchBloomFilter(bench: org.apache.spark.sql.DataFrame, benchTextCol: String,
+                       n: Int, fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
     val bgrams = bench
       .select(tokens(lower(col(benchTextCol))).as("__t"))
       .select(explode(ngramsFromTokens(col("__t"), n)).as("__g")).distinct()
-    // the filter build is an action over the (small) benchmark side; the
-    // confirm join re-derives bgrams lazily — a second pass over MBs, in
-    // exchange for pinning NOTHING across the call (persist-residency rule)
     val nb = math.max(bgrams.count(), 1L)
-    val bf = bgrams.stat.bloomFilter("__g", nb, fpp)
+    bgrams.stat.bloomFilter("__g", nb, fpp)
+  }
+
+  /** Persist a Bloom filter as a one-row binary parquet. Spark's sketch
+    * serialization round-trips exactly, so a loaded filter answers
+    * mightContain bit-identically (law-tested). */
+  def saveBloom(spark: org.apache.spark.sql.SparkSession, path: String,
+                bf: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    import spark.implicits._
+    Seq(bos.toByteArray).toDF("bloom").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadBloom(spark: org.apache.spark.sql.SparkSession,
+                path: String): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(
+        spark.read.parquet(path).head().getAs[Array[Byte]]("bloom")))
+
+  /** [[decontaminateBloom]] against a PREBUILT filter (fresh or
+    * [[loadBloom]]-ed) — the screen half of fit-once/screen-many. */
+  def decontaminateBloomWith(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                             bench: org.apache.spark.sql.DataFrame, benchTextCol: String,
+                             n: Int, bf: org.apache.spark.util.sketch.BloomFilter): org.apache.spark.sql.DataFrame = {
+    val bgrams = bench
+      .select(tokens(lower(col(benchTextCol))).as("__t"))
+      .select(explode(ngramsFromTokens(col("__t"), n)).as("__g")).distinct()
     val bc = docs.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((g: String) => g != null && bc.value.mightContainString(g))
     val grams = docs.select(col(idCol).as("__id"),

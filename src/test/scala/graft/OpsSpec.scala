@@ -1161,6 +1161,21 @@ class OpsSpec extends AnyFunSuite {
       .as[Long].head() === 4L)
   }
 
+  test("Bloom save/load: round-trip answers mightContain bit-identically") {
+    import graft.ops.TextAnalysis
+    val bench = Seq("alpha beta gamma delta", "epsilon zeta eta theta").toDF("t")
+    val bf = TextAnalysis.benchBloomFilter(bench, "t", n = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    TextAnalysis.saveBloom(spark, s"$tmp/bf", bf)
+    val loaded = TextAnalysis.loadBloom(spark, s"$tmp/bf")
+    // identical verdicts on members, non-members, and random probes
+    val probes = Seq("alpha beta", "beta gamma", "eta theta", "nope nada",
+      "alpha gamma", "") ++ (0 until 200).map(i => s"p$i q${i * 7}")
+    for (p <- probes)
+      assert(loaded.mightContainString(p) === bf.mightContainString(p), s"probe '$p'")
+    assert(bf.mightContainString("alpha beta")) // real member never FN
+  }
+
   test("funnel: strict ordering, greedy-earliest, partial prefixes, ties don't advance") {
     import graft.ops.Funnel
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
