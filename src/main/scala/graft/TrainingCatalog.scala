@@ -120,6 +120,21 @@ object TrainingCatalog {
         IvfSlot.set((s, dir, c)); c
     }
 
+  /** One RESIDUAL PQ codebook set per (session, sf dir) — the residual
+    * sibling of [[PqSlot]] (fit depends on the coarse centroids, so it
+    * caches beside them). */
+  private val PqResSlot =
+    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, Array[Array[Array[Double]]])]()
+
+  private def pqResidualCodebooksFor(s: SparkSession, dir: String, corpus: DataFrame,
+                                     cents: Array[Array[Double]]): Array[Array[Array[Double]]] =
+    PqResSlot.get() match {
+      case (ss, d, c) if (ss eq s) && d == dir => c
+      case _ =>
+        val c = Similarity.pqFitResidualCodebooks(corpus, cents, m = 8, k = 16)
+        PqResSlot.set((s, dir, c)); c
+    }
+
   private def docs(spark: SparkSession, dir: String): DataFrame =
     SparkEntry.loader(spark, dir)("documents")
   private def embs(spark: SparkSession, dir: String): DataFrame =
@@ -2953,6 +2968,31 @@ object TrainingCatalog {
       Similarity.ivfPqTopK(corpus, queries, k = 5,
           centroids = ivfCentroidsFor(s, dir, corpus, nlist = 16),
           codebooks = pqCodebooksFor(s, dir, corpus),
+          nprobe = 8, shortlist = 32)
+        .groupBy(col("q_id"))
+        .agg(max(when(col("n_id") === col("q_id") + 1000000L, 1).otherwise(0)).as("found"),
+          round(max(col("sim")), 6).as("top_sim"))
+        .orderBy("q_id")
+    }), Some("""
+      SELECT vec_id AS q_id, 1 AS found, CAST(1.0 AS DOUBLE) AS top_sim
+      FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")),
+
+    // IVF×PQ with RESIDUAL encoding — true IVFADC (Jégou et al. 2011):
+    // codes are PQ(v − cell centroid) and the ADC tables rebuild per
+    // probed cell from the query's residual — the FAISS-faithful form
+    // (raw-coordinate codebooks waste k centroids re-encoding cell
+    // means in every subspace). Same planted-copy oracle as the
+    // raw-coordinate entry: an identical vector shares the query's
+    // cell with residual 0 and re-ranks to cosine 1.0 at rank 1.
+    "q_sim_ivfpq_residual" -> (q((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val queries = e.where(col("vec_id") < 20)
+      val planted = queries.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = e.unionByName(planted)
+      val cents = ivfCentroidsFor(s, dir, corpus, nlist = 16)
+      Similarity.ivfPqResidualTopK(corpus, queries, k = 5,
+          centroids = cents,
+          codebooks = pqResidualCodebooksFor(s, dir, corpus, cents),
           nprobe = 8, shortlist = 32)
         .groupBy(col("q_id"))
         .agg(max(when(col("n_id") === col("q_id") + 1000000L, 1).otherwise(0)).as("found"),

@@ -504,6 +504,76 @@ object Similarity {
     topKBySim(cosineScored(adcShortlist(cand, codebooks.length, shortlist)), k)
   }
 
+  /** Fit PQ codebooks over IVF RESIDUALS v − centroid(cell(v)) — the
+    * FAISS IVFPQ training procedure: once the coarse quantizer has
+    * absorbed each cell's mean, the residual is all PQ has left to
+    * encode; codebooks fitted on RAW coordinates spend their k
+    * centroids re-encoding cell means in every subspace (wasted bits —
+    * the reason FAISS encodes residuals). Driver-side Lloyd on the
+    * bounded sample, per-cell assignment computed locally against the
+    * (driver-resident) coarse centroids — same fit discipline as
+    * [[pqFitCodebooks]]. */
+  def pqFitResidualCodebooks(corpus: DataFrame, centroids: Array[Array[Double]],
+                             m: Int = 8, k: Int = 16, vecCol: String = "embedding",
+                             seed: Long = 7L, fitSampleCap: Long = 65536L,
+                             fitMaxIter: Int = 10): Array[Array[Array[Double]]] = {
+    val c0 = corpus.select(vecD(col(vecCol)).as("v"))
+    val n = c0.count()
+    val fitSet =
+      if (n <= fitSampleCap) c0
+      else c0.sample(withReplacement = false, fitSampleCap.toDouble / n, seed)
+    val pts = fitSet.limit(fitSampleCap.toInt).collect().map(_.getSeq[Double](0).toArray)
+    val res = pts.map { v =>
+      val c = centroids(nearestCellLocal(v, centroids))
+      Array.tabulate(v.length)(i => v(i) - c(i))
+    }
+    val dim = res(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m)(s =>
+      lloyd(res.map(_.slice(s * dsub, s * dsub + dsub)), k, fitMaxIter, seed + s))
+  }
+
+  private def nearestCellLocal(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var i = 0
+    while (i < cents.length) {
+      var d = 0.0; var j = 0
+      while (j < v.length) { val x = v(j) - cents(i)(j); d += x * x; j += 1 }
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** IVF×PQ with RESIDUAL encoding — true IVFADC (Jégou, Douze &
+    * Schmid, TPAMI 2011 §III): corpus codes are PQ(v − c_cell), and
+    * each query builds its ADC lookup tables PER PROBED CELL from
+    * (q − c_cell), so approximate distances compare residuals against
+    * residual codebooks. Same plan shape as [[ivfPqTopK]] — cell
+    * assignment, residual subtraction, and encoding are all codegen'd
+    * scan projections (the cell's centroid comes from ONE literal
+    * 2-D array lookup, not a 16-way CASE); the broadcast query side
+    * carries (cell, per-cell LUTs); exact cosine re-rank unchanged. */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        centroids: Array[Array[Double]],
+                        codebooks: Array[Array[Array[Double]]],
+                        nprobe: Int = 4, shortlist: Int = 32,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents2d = typedlit(centroids.map(_.toSeq).toSeq)
+    def residual(vec: Column, cell: Column): Column =
+      zip_with(vec, element_at(cents2d, cell + 1), (x, mu) => x - mu)
+    val c = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_vec"))
+      .withColumn("cell", nearestCell(col("n_vec"), centroids))
+      .withColumn("codes", pqEncode(residual(col("n_vec"), col("cell")), codebooks))
+    val q = broadcast(
+      queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_vec"))
+        .withColumn("probe", explode(probeCells(col("q_vec"), centroids, nprobe)))
+        .select(col("q_id"), col("q_vec"), col("probe.cell").as("cell"))
+        .withColumn("luts", pqLuts(residual(col("q_vec"), col("cell")), codebooks)))
+    val cand = c.join(q, Seq("cell")).where(col("q_id") =!= col("n_id"))
+    topKBySim(cosineScored(adcShortlist(cand, codebooks.length, shortlist)), k)
+  }
+
   /** Nearest coarse-quantizer cell by euclidean distance — the shared
     * assignment kernel of [[ivfSearch]] and [[ivfPqTopK]] (|v|² is
     * rank-invariant, so argmin(|c|² − 2v·c) suffices). */
