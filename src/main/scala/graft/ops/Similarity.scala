@@ -562,14 +562,25 @@ object Similarity {
     val cents2d = typedlit(centroids.map(_.toSeq).toSeq)
     def residual(vec: Column, cell: Column): Column =
       zip_with(vec, element_at(cents2d, cell + 1), (x, mu) => x - mu)
+    // the residual MATERIALIZES into an attribute before pqEncode/pqLuts
+    // slice it per (subspace × centroid) — inlined, the 64-wide zip_with
+    // re-evaluates m·k times per row (the ngramsFromTokens /
+    // int8Quantize inlined-subexpression trap; measured 7.2 s → the
+    // raw variant's band when materialized)
     val c = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_vec"))
       .withColumn("cell", nearestCell(col("n_vec"), centroids))
-      .withColumn("codes", pqEncode(residual(col("n_vec"), col("cell")), codebooks))
+      .select(col("n_id"), col("n_vec"), col("cell"),
+        residual(col("n_vec"), col("cell")).as("__res"))
+      .select(col("n_id"), col("n_vec"), col("cell"),
+        pqEncode(col("__res"), codebooks).as("codes"))
     val q = broadcast(
       queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_vec"))
         .withColumn("probe", explode(probeCells(col("q_vec"), centroids, nprobe)))
         .select(col("q_id"), col("q_vec"), col("probe.cell").as("cell"))
-        .withColumn("luts", pqLuts(residual(col("q_vec"), col("cell")), codebooks)))
+        .select(col("q_id"), col("q_vec"), col("cell"),
+          residual(col("q_vec"), col("cell")).as("__qres"))
+        .select(col("q_id"), col("q_vec"), col("cell"),
+          pqLuts(col("__qres"), codebooks).as("luts")))
     val cand = c.join(q, Seq("cell")).where(col("q_id") =!= col("n_id"))
     topKBySim(cosineScored(adcShortlist(cand, codebooks.length, shortlist)), k)
   }
