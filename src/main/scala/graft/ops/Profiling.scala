@@ -20,6 +20,28 @@ import org.apache.spark.sql.functions._
   */
 object Profiling {
 
+  /** In-flight pipeline COUNTERS via Spark's Observation API — the
+    * monitoring half of data validation: [[profile]] answers "what is
+    * in this table" with its own scan, `observed` answers "what just
+    * flowed through this pipeline" for FREE (metrics accumulate inside
+    * the existing action's tasks — no second job, no cached
+    * intermediate). The production use: every ingest batch reports
+    * rows/nulls/violations as a side effect of the write that was
+    * happening anyway.
+    *
+    * Returns the instrumented frame and the Observation handle;
+    * `Observation.get` blocks until the NEXT action on that frame
+    * completes. Metrics must be aggregates over the observed rows. */
+  def observed(df: DataFrame, name: String,
+               metrics: Seq[(String, org.apache.spark.sql.Column)]): (DataFrame, org.apache.spark.sql.Observation) = {
+    require(metrics.nonEmpty)
+    val obs = org.apache.spark.sql.Observation(name)
+    val instrumented = df.observe(obs,
+      metrics.head._2.as(metrics.head._1),
+      metrics.tail.map { case (n, c) => c.as(n) }: _*)
+    (instrumented, obs)
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty && cols.forall(df.columns.contains),
       s"columns must exist: $cols")

@@ -1161,6 +1161,22 @@ class OpsSpec extends AnyFunSuite {
       .as[Long].head() === 4L)
   }
 
+  test("Profiling.observed: metrics accumulate inside the action, no extra job") {
+    import graft.ops.Profiling
+    val df = Seq((1L, 10.0), (2L, -3.0), (3L, 7.0), (4L, -1.0)).toDF("id", "v")
+    val (instrumented, obs) = Profiling.observed(df, "ingest_batch", Seq(
+      "n_rows" -> count(lit(1)),
+      "n_negative" -> sum(when(col("v") < 0, 1L).otherwise(0L)),
+      "sum_v" -> sum(col("v"))))
+    // the observation piggybacks on whatever action runs next
+    val written = instrumented.where(col("v") > -100).count()
+    assert(written === 4L)
+    val m = obs.get
+    assert(m("n_rows") === 4L)
+    assert(m("n_negative") === 2L)
+    assert(m("sum_v") === 13.0)
+  }
+
   test("residual PQ: quantization error no worse than raw-coordinate PQ") {
     import graft.ops.Similarity
     val embsDF = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
