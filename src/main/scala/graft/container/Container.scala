@@ -144,6 +144,23 @@ class FactStore(val spark: SparkSession, val name: String, dir: Path) extends Co
     added.unionByName(removed).unionByName(changed)
   }
 
+  /** Content FINGERPRINT of a snapshot — the integrity check of
+    * replication/backup tooling: a 64-bit digest of the full content
+    * that is PARTITIONING-INVARIANT (xor of per-row hashes — xor is
+    * commutative/associative, so file layout, shuffle width, and row
+    * order cannot change it; [[optimize]] provably preserves it while
+    * any row mutation flips it). Row hash = xxhash64 of the to_json
+    * rendering under the SORTED column list, so two snapshots with
+    * the same rows in different column orders fingerprint equal. One
+    * scan, one 8-byte aggregate. */
+  def contentFingerprint(v: Int): Long = {
+    import org.apache.spark.sql.functions._
+    val df = dataFrameAt(v)
+    val cols = df.columns.sorted.toSeq
+    df.select(xxhash64(to_json(struct(cols.map(col): _*))).as("__h"))
+      .agg(expr("bit_xor(__h)")).head().getLong(0)
+  }
+
   /** SCHEMA DIFF between two snapshots — the evolution audit beside
     * [[diff]]'s row-level CDC: which columns were added, removed, or
     * retyped between versions (a consumer pinning `VERSION AS OF`

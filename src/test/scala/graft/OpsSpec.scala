@@ -1401,6 +1401,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("FactStore.contentFingerprint: layout-invariant, mutation-sensitive") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fp")
+    val store = new graft.container.FactStore(spark, "fp_spec", tmp)
+    val data = spark.range(0, 300).selectExpr("id", "id * 3 AS v")
+    store.insert(data.repartition(13))
+    val fp1 = store.contentFingerprint(1)
+    // OPTIMIZE rewrites the layout but not the content → same digest
+    store.optimize(1L << 30, order = Seq("id"))
+    assert(store.contentFingerprint(2) === fp1, "layout change altered the digest")
+    // any row mutation flips it
+    store.delete("""{"eq": {"id": 7}}""")
+    assert(store.contentFingerprint(3) !== fp1)
+    // equal content in a DIFFERENT store (different partitioning,
+    // different column order) fingerprints equal
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_fp2")
+    val store2 = new graft.container.FactStore(spark, "fp2_spec", tmp2)
+    store2.insert(data.selectExpr("v", "id").repartition(3))
+    assert(store2.contentFingerprint(1) === fp1)
+  }
+
   test("FactStore.schemaDiff: added/removed/retyped columns across versions") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sd")
     val store = new graft.container.FactStore(spark, "sd_spec", tmp)
