@@ -2293,6 +2293,42 @@ object TrainingCatalog {
              CAST(coalesce(sc.sum_tot, 0) AS BIGINT) AS sum_tot
       FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""")),
 
+    // model-based quality filter (fastText-style linear bag-of-words,
+    // the CCNet/GPT-3 crawl gate): closed-form multinomial Naive Bayes
+    // fit on the lang='en' slice and scored over the whole corpus —
+    // train = ONE token-keyed count shuffle, score = broadcast weight
+    // join + one doc-keyed sum (Classifier.nbTrainScore; the
+    // gradient-descent path trainLogReg/scoreLogReg is spec-covered —
+    // its learned weights are float-iteration artifacts with no SQL
+    // oracle). Oracle replays counts → smoothed log-odds → per-doc sum.
+    "q_quality_nb" -> (q((s, dir) =>
+      graft.ops.Classifier.nbTrainScore(docs(s, dir), "doc_id", "text",
+        col("lang") === "en")
+    ), Some("""
+      WITH d AS (
+        SELECT doc_id, lower(trim(text)) AS t,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents),
+      toks AS (
+        SELECT doc_id, y, unnest(regexp_split_to_array(t, '\s+')) AS tok
+        FROM d WHERE length(t) > 0),
+      cnt AS (
+        SELECT tok, sum(y) AS c1, sum(1 - y) AS c0 FROM toks GROUP BY 1),
+      tot AS (
+        SELECT sum(c1) AS t1, sum(c0) AS t0, count(*) AS v FROM cnt),
+      pri AS (
+        SELECT ln((sum(y) + 1.0) / (sum(1 - y) + 1.0)) AS b FROM d),
+      w AS (
+        SELECT tok, ln((c1 + 1.0) / (t1 + v)) - ln((c0 + 1.0) / (t0 + v)) AS w
+        FROM cnt CROSS JOIN tot),
+      sc AS (
+        SELECT doc_id, sum(w.w) AS s FROM toks JOIN w USING (tok) GROUP BY 1)
+      SELECT d.doc_id,
+             round(pri.b + coalesce(sc.s, 0.0), 6) AS score,
+             round(pri.b + coalesce(sc.s, 0.0), 6) > 0 AS pred
+      FROM d LEFT JOIN sc USING (doc_id) CROSS JOIN pri
+      ORDER BY d.doc_id""")),
+
     "q_sample_hash" -> (q((s, dir) =>
       docs(s, dir).where(graft.ops.Sampling.sampleByHash(col("text"), 0.25))
         .select(col("doc_id"), graft.ops.Sampling.hashBucket(col("text")).as("bucket"))

@@ -2279,4 +2279,53 @@ class OpsSpec extends AnyFunSuite {
     assert(fm("zh") === ((4L, 2L)))
     assert(fm("b") === ((4L, 4L)))
   }
+
+  test("Classifier.nbTrainScore: hand-computed log-odds on a 2-doc corpus") {
+    val d = Seq((1L, "good good", 1), (2L, "bad", 0), (3L, "good bad", 1))
+      .toDF("doc_id", "text", "y")
+    val out = Classifier.nbTrainScore(d, "doc_id", "text", col("y") === 1)
+      .orderBy("doc_id").collect()
+    // counts: good c1=3 c0=0, bad c1=1 c0=1; T1=4 T0=1 V=2
+    // w(good)=ln(4/6)-ln(1/3); w(bad)=ln(2/6)-ln(2/3); b=ln(3/2)
+    val wGood = math.log(4.0 / 6) - math.log(1.0 / 3)
+    val wBad = math.log(2.0 / 6) - math.log(2.0 / 3)
+    val b = math.log(3.0 / 2)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(0).getDouble(1) === r6(b + 2 * wGood))
+    assert(out(1).getDouble(1) === r6(b + wBad))
+    assert(out(2).getDouble(1) === r6(b + wGood + wBad))
+    assert(out(0).getBoolean(2) === (r6(b + 2 * wGood) > 0))
+  }
+
+  test("Classifier.nbTrainScore: blank doc scores the bare prior") {
+    val d = Seq((1L, "alpha", 1), (2L, "  ", 0), (3L, "beta", 0))
+      .toDF("doc_id", "text", "y")
+    val out = Classifier.nbTrainScore(d, "doc_id", "text", col("y") === 1)
+      .orderBy("doc_id").collect()
+    val b = math.log(2.0 / 3) // (1+1)/(2+1)
+    assert(out(1).getDouble(1) === math.rint(b * 1e6) / 1e6)
+  }
+
+  test("Classifier LR: hashedTf + trainLogReg separates a crafted corpus") {
+    // 40 docs, two disjoint vocabularies — linearly separable in any
+    // hashed space (buckets of the two vocabs only collide with 5/64
+    // ~ tolerable probability per token; accuracy bar leaves headroom)
+    val good = (0 until 20).map(i => (i.toLong, s"fresh prose ok w${i % 5}", 1.0))
+    val bad = (0 until 20).map(i => ((i + 20).toLong, s"spam junk zz q${i % 5}", 0.0))
+    val d = (good ++ bad).toDF("doc_id", "text", "label")
+    val feats = Classifier.hashedTf(d, "doc_id", "text", dim = 64)
+      .join(d.select("doc_id", "label"), "doc_id")
+    val w = Classifier.trainLogReg(feats, "features", "label", dim = 64,
+      epochs = 60, lr = 1.0)
+    assert(w.length === 65)
+    val scored = feats.select(col("doc_id"), col("label"),
+      Classifier.scoreLogReg(col("features"), w).as("p"))
+    val acc = scored.where((col("p") > 0.5) === (col("label") === 1.0)).count() / 40.0
+    assert(acc >= 0.95, s"LR failed to separate disjoint vocabularies: acc=$acc")
+    // scoreLogReg's Column-algebra dot product matches a driver-side dot
+    val row = feats.where(col("doc_id") === 0L).select("features").as[Array[Double]].head()
+    val z = row.zipWithIndex.map { case (v, i) => v * w(i) }.sum + w.last
+    val p = scored.where(col("doc_id") === 0L).select("p").as[Double].head()
+    assert(math.abs(p - 1.0 / (1.0 + math.exp(-z))) < 1e-12)
+  }
 }

@@ -406,4 +406,14 @@ class PlanSpec extends AnyFunSuite {
     // INSIDE the aggregated array, not a second ordering pass
     assert(!p.contains("Window"), s"unexpected window operator:\n$p")
   }
+
+  test("NB quality filter: weight table broadcasts onto tokens, no product join") {
+    val p = plan("q_quality_nb")
+    // the vocab-sized weight table must reach the exploded-token stream
+    // as a broadcast hash join (a shuffle join there re-shuffles the
+    // whole corpus on token); the 1-row totals/prior denominators ride
+    // broadcast nested loops by design
+    assert(p.contains("BroadcastHashJoin"), s"weight join is not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"product join in NB plan:\n$p")
+  }
 }
