@@ -51,6 +51,27 @@ object TrainingCatalog {
         PqSlot.set((s, dir, c)); c
     }
 
+  /** One persisted co-purchase edge list per (session, sf dir) — the
+    * graph STRUCTURE is static while ranks are recomputed per run
+    * (build-once/query-many, the [[IvfSlot]] convention): cold carries
+    * the bounded self-join + distinct, warm measures rank iteration. */
+  private val EdgeSlot =
+    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, DataFrame)]()
+
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    EdgeSlot.synchronized {
+      Option(EdgeSlot.get()) match {
+        case Some((`s`, `dir`, df)) => df
+        case prev =>
+          val li = SparkEntry.loader(s, dir)("lineitem")
+          val fresh = graft.ops.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          prev.foreach(_._3.unpersist())
+          EdgeSlot.set((s, dir, fresh))
+          fresh
+      }
+    }
+
   /** One persisted synthetic-PNG payload corpus per (session, sf dir) —
     * the ImageIO entry measures the DECODE tier; encoding the input
     * corpus is scaffolding, so it is paid once (cold) and reused (warm),
@@ -664,6 +685,93 @@ object TrainingCatalog {
         FROM sc)
       SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, score
       FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // skip-gram (center, context) pair counts at ±2 — the word2vec
+    // training-pair generator. Pair enumeration is Column-HOF algebra
+    // in the scan stage (O(len·window) per doc, no self-join); the
+    // only shuffle is the final pair count. Oracle replays via two
+    // chained unnest(generate_series) position expansions.
+    "q_embed_skipgram" -> (q((s, dir) =>
+      TextAnalysis.skipGramPairs(docs(s, dir), "doc_id", "text", window = 2)
+        .orderBy("center", "context")
+    ), Some("""
+      WITH toks AS (
+        SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      pos AS (SELECT t, unnest(generate_series(1, len(t))) AS i FROM toks),
+      nb AS (SELECT t, i,
+                    unnest(generate_series(greatest(i - 2, 1), least(i + 2, len(t)))) AS j
+             FROM pos),
+      pair AS (SELECT t[i] AS center, t[j] AS context FROM nb WHERE j <> i)
+      SELECT center, context, count(*) AS cnt
+      FROM pair GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // PMI bigram collocations (multi-word-unit mining): top-50 by
+    // rounded pmi among bigrams with count ≥ 5; unigram tables join
+    // broadcast, totals ride 1-row broadcasts, the rank window runs
+    // over the minCount-bounded survivor set only. Oracle replays the
+    // same ln-ratio with DuckDB float division.
+    "q_text_pmi" -> (q((s, dir) =>
+      TextAnalysis.pmiCollocations(docs(s, dir), "doc_id", "text",
+        minCount = 5, k = 50)
+    ), Some("""
+      WITH toks AS (
+        SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      uni AS (SELECT w, count(*) AS cw
+              FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+      bi AS (SELECT t[i] AS a, t[i + 1] AS b, count(*) AS c
+             FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                   FROM toks WHERE len(t) >= 2)
+             GROUP BY 1, 2),
+      tot AS (SELECT sum(cw) AS t FROM uni),
+      btot AS (SELECT sum(c) AS bt FROM bi),
+      sc AS (SELECT a, b, c,
+               round(ln((c / bt) / ((ca.cw / tot.t) * (cb.cw / tot.t))), 6) AS pmi
+             FROM bi JOIN uni ca ON bi.a = ca.w JOIN uni cb ON bi.b = cb.w
+             CROSS JOIN tot CROSS JOIN btot WHERE c >= 5),
+      r AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, a, b) AS rank FROM sc)
+      SELECT CAST(rank AS INT) AS rank, a, b, c, pmi
+      FROM r WHERE rank <= 50 ORDER BY rank""")),
+
+    // BM25 top-k retrieval for three fixed keyword queries — the
+    // lexical-search baseline beside the ANN stack. Corpus never
+    // shuffles toward the queries: the query-term list joins broadcast
+    // (inverted-index probe), ranking is on the rounded score with id
+    // tiebreak (TF-IDF reproducibility convention). Oracle replays
+    // Lucene-idf Okapi BM25 with identical literals.
+    "q_text_bm25" -> (q((s, dir) =>
+      TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("spark_join" -> Seq("spark", "join"),
+            "hash_scan" -> Seq("hash", "table", "scan"),
+            "stream_win" -> Seq("stream", "window")),
+        k = 20)
+    ), Some("""
+      WITH toks AS (
+        SELECT doc_id AS id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0),
+      tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY 1),
+      stats AS (
+        SELECT count(*) AS n, avg(coalesce(dl, 0)) AS avgdl
+        FROM documents LEFT JOIN dl ON documents.doc_id = dl.id),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      q AS (SELECT * FROM (VALUES
+        ('spark_join', 'spark'), ('spark_join', 'join'),
+        ('hash_scan', 'hash'), ('hash_scan', 'table'), ('hash_scan', 'scan'),
+        ('stream_win', 'stream'), ('stream_win', 'window')) AS t(qid, term)),
+      sc AS (
+        SELECT qid, id,
+               ln(1 + (n - df + 0.5) / (df + 0.5)) *
+               (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+        FROM tf JOIN q USING (term) JOIN dl USING (id)
+                JOIN dfreq USING (term) CROSS JOIN stats),
+      sums AS (SELECT qid, id, round(sum(s), 6) AS score FROM sc GROUP BY 1, 2),
+      r AS (SELECT qid, id, score,
+                   row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+            FROM sums)
+      SELECT qid, CAST(rank AS INT) AS rank, id, score
+      FROM r WHERE rank <= 20 ORDER BY qid, rank""")),
 
     // content scrubbing: emails / URLs / long digit runs → type tags,
     // planted onto every document from its doc_id so the replace chain
@@ -2292,6 +2400,43 @@ object TrainingCatalog {
              CAST(coalesce(sc.sum_c, 0) AS BIGINT) AS sum_c,
              CAST(coalesce(sc.sum_tot, 0) AS BIGINT) AS sum_tot
       FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""")),
+
+    // PageRank quality propagation over the part co-purchase graph
+    // (Common-Crawl-lineage curation signal: importance flows along
+    // links). Edges = distinct part pairs sharing an order (bounded
+    // ≤7-item self-join, never a product); 3 rank iterations, each ONE
+    // dst-keyed shuffle + a 1-row broadcast denominator; top-100 by
+    // rounded rank with id tiebreak. Oracle replays the iterations as
+    // chained CTEs with identical literals.
+    "q_graph_pagerank" -> (q((s, dir) => {
+      val edges = coPurchaseEdges(s, dir)
+      graft.ops.Graph.pageRank(edges, iters = 3)
+        .orderBy(col("rank").desc, col("id"))
+        .limit(100)
+        .select(col("id").as("part"), col("rank"))
+    }), Some("""
+      WITH e AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      n AS (SELECT count(*) AS n FROM v),
+      deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      r0 AS (SELECT id, 1.0 / n.n AS r FROM v CROSS JOIN n),
+      c1 AS (SELECT e.dst AS id, sum(r0.r / deg.deg) AS s
+             FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src GROUP BY 1),
+      r1 AS (SELECT v.id, (1 - 0.85) / n.n + 0.85 * coalesce(c1.s, 0.0) AS r
+             FROM v LEFT JOIN c1 ON v.id = c1.id CROSS JOIN n),
+      c2 AS (SELECT e.dst AS id, sum(r1.r / deg.deg) AS s
+             FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src GROUP BY 1),
+      r2 AS (SELECT v.id, (1 - 0.85) / n.n + 0.85 * coalesce(c2.s, 0.0) AS r
+             FROM v LEFT JOIN c2 ON v.id = c2.id CROSS JOIN n),
+      c3 AS (SELECT e.dst AS id, sum(r2.r / deg.deg) AS s
+             FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src GROUP BY 1),
+      r3 AS (SELECT v.id, (1 - 0.85) / n.n + 0.85 * coalesce(c3.s, 0.0) AS r
+             FROM v LEFT JOIN c3 ON v.id = c3.id CROSS JOIN n)
+      SELECT id AS part, round(r, 6) AS rank
+      FROM r3 ORDER BY round(r, 6) DESC, id LIMIT 100""")),
 
     // model-based quality filter (fastText-style linear bag-of-words,
     // the CCNet/GPT-3 crawl gate): closed-form multinomial Naive Bayes

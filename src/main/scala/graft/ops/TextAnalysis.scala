@@ -977,4 +977,119 @@ object TextAnalysis {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
   }
+
+  /** Corpus-wide skip-gram (center, context) pair counts within a
+    * ±`window` token radius — the training-pair generator for
+    * word2vec-family embedding runs. Pair enumeration stays INSIDE the
+    * scan stage with zero self-join: posexplode positions, then two
+    * `slice` calls cut each center's left/right neighbor windows
+    * (plain codegen'd collection functions — an earlier lambda-HOF
+    * formulation ran ~30× slower because nested lambda functions
+    * evaluate interpreted, per pair). O(len·window) per doc; the only
+    * shuffle is the final (center, context) count. Returns
+    * (center, context, cnt) — sort is the caller's. */
+  def skipGramPairs(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, window: Int): org.apache.spark.sql.DataFrame = {
+    require(window > 0)
+    val t = tokens(lower(col(textCol)))
+    val pos = df.select(t.as("__t")).where(size(col("__t")) >= 2)
+      .select(col("__t"), posexplode(col("__t")).as(Seq("__i", "center")))
+    // __i is 0-based; slice() is 1-based. Left neighbors: the
+    // min(window, __i) tokens ending just before the center; right
+    // neighbors: up to `window` tokens after it (slice clips at the
+    // array end).
+    val nLeft = least(lit(window), col("__i"))
+    val ctx = pos.select(col("center"),
+      explode(concat(
+        slice(col("__t"), col("__i") + 1 - nLeft, nLeft),
+        slice(col("__t"), col("__i") + 2, lit(window)))).as("context"))
+    ctx.groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Pointwise-mutual-information bigram collocations — the corpus
+    * analysis that surfaces multi-word units ("new york") worth
+    * treating as single tokens. PMI = ln((c/B) / ((c_a/T)·(c_b/T)))
+    * over adjacent-token bigrams with count ≥ `minCount`; top `k` by
+    * ROUNDED (6 dp) pmi with (a, b) tiebreak. Unigram tables join
+    * broadcast (vocab-sized); totals ride a 1-row broadcast. */
+  def pmiCollocations(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, minCount: Long, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens(lower(col(textCol)))
+    val toks = df.select(t.as("__t")).where(size(col("__t")) > 0)
+    val uni = toks.select(explode(col("__t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val bi = toks.where(size(col("__t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("a"),
+                    element_at(col("__t"), i + 1).as("b")))).as("__g"))
+      .groupBy(col("__g.a").as("a"), col("__g.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum("cw").as("t"))
+    val btot = bi.agg(sum("c").as("bt"))
+    val scored = bi.where(col("c") >= minCount)
+      .join(broadcast(uni.withColumnRenamed("w", "a").withColumnRenamed("cw", "ca")), Seq("a"))
+      .join(broadcast(uni.withColumnRenamed("w", "b").withColumnRenamed("cw", "cb")), Seq("b"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+      .select(col("a"), col("b"), col("c"),
+        round(log((col("c") / col("bt")) /
+          ((col("ca") / col("t")) * (col("cb") / col("t")))), 6).as("pmi"))
+    val w = Window.orderBy(col("pmi").desc, col("a"), col("b"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("rank"), col("a"), col("b"), col("c"), col("pmi"))
+  }
+
+  /** BM25 top-k retrieval over the corpus for a fixed set of keyword
+    * queries — the LEXICAL retrieval baseline beside the embedding ANN
+    * stack (eval-set mining, dedup audits, RAG ground truth all start
+    * here). Okapi BM25 with the Lucene idf
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))` (always ≥ 0) and the standard
+    * tf saturation `tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))`.
+    *
+    * Ranking is on the ROUNDED (6 dp) score with id tiebreak — the
+    * [[topTfIdfTerms]] reproducibility convention. Returns
+    * (qid, rank, id, score).
+    *
+    * Plan at scale: one (id, term) count shuffle builds tf + dl; df
+    * reuses the tf frame with a map-side partial aggregate; the query
+    * term list is a literal BROADCAST join (an inverted-index probe —
+    * the corpus never shuffles to meet the queries); one (qid, id) sum
+    * and a per-query top-k window (|queries| partitions, each bounded
+    * by the matching-doc count) finish it. N and avgdl ride a 1-row
+    * broadcast denominator. */
+  def bm25TopK(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+               queries: Seq[(String, Seq[String])], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queries.nonEmpty && k > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("id")).agg(sum("tf").as("dl"))
+    val stats = df.select(col(idCol).as("id"))
+      .join(dl, Seq("id"), "left")
+      .select(count(lit(1)).as("n"),
+        avg(coalesce(col("dl"), lit(0L))).as("avgdl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = queries.flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("qid", "term")
+    val scored = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("id"))
+      .join(broadcast(dfreq.join(broadcast(qterms.select("term").distinct()), Seq("term"))),
+        Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("id"),
+        (log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))).as("s"))
+    val sums = scored.groupBy("qid", "id")
+      .agg(round(sum("s"), 6).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
+    sums.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("score"))
+  }
 }

@@ -2280,6 +2280,77 @@ class OpsSpec extends AnyFunSuite {
     assert(fm("b") === ((4L, 4L)))
   }
 
+  test("skipGramPairs: exact pair multiset on a 3-token doc") {
+    val d = Seq((1L, "a b c"), (2L, " ")).toDF("doc_id", "text")
+    val w1 = TextAnalysis.skipGramPairs(d, "doc_id", "text", window = 1)
+      .as[(String, String, Long)].collect().toSet
+    assert(w1 === Set(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 1L), ("c", "b", 1L)))
+    val w2 = TextAnalysis.skipGramPairs(d, "doc_id", "text", window = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(w2 === w1 ++ Set(("a", "c", 1L), ("c", "a", 1L)))
+  }
+
+  test("pmiCollocations: a glued bigram outranks independent co-occurrences") {
+    // "new york" always adjacent (PMI high); "the" pairs with everything
+    val rows = (0 until 20).map(i => (i.toLong, s"the new york office w${i % 4} the end"))
+    val d = rows.toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(d, "doc_id", "text", minCount = 5, k = 10)
+      .collect()
+    assert(out.head.getString(1) === "new" && out.head.getString(2) === "york")
+    // pmi(new york): c=20, ca=cb=20; hand-check against the formula
+    val total = 20.0 * 7; val btotal = 20.0 * 6
+    val pmi = math.log((20 / btotal) / ((20 / total) * (20 / total)))
+    assert(out.head.getDouble(4) === math.rint(pmi * 1e6) / 1e6)
+    // ranks are 1..n with no gaps
+    assert(out.map(_.getInt(0)).toSeq === (1 to out.length).toSeq)
+  }
+
+  test("Graph.pageRank: one hand-computed iteration on a 3-node graph") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRank(e, iters = 1).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // r0=1/3 each; deg 1:2, 2:1, 3:1 → r1(1)=.05+.85/3, r1(2)=.05+.85/6, r1(3)=.05+.85/2
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(r(1L) === r6(0.05 + 0.85 / 3))
+    assert(r(2L) === r6(0.05 + 0.85 / 6))
+    assert(r(3L) === r6(0.05 + 0.85 / 2))
+  }
+
+  test("Graph.coOccurrenceEdges + pageRank: the hub item of every basket ranks first") {
+    val baskets = Seq(
+      (10L, 99L), (10L, 1L), (10L, 2L),
+      (11L, 99L), (11L, 3L),
+      (12L, 99L), (12L, 4L), (12L, 5L)
+    ).toDF("order_id", "item")
+    val edges = Graph.coOccurrenceEdges(baskets, "order_id", "item")
+    // symmetric, no self-loops
+    assert(edges.where(col("src") === col("dst")).count() === 0)
+    val pairs = edges.as[(Long, Long)].collect().toSet
+    assert(pairs.contains((99L, 1L)) && pairs.contains((1L, 99L)))
+    assert(!pairs.contains((1L, 3L))) // different baskets never pair
+    val top = Graph.pageRank(edges, iters = 3)
+      .orderBy(col("rank").desc, col("id")).head()
+    assert(top.getLong(0) === 99L, s"hub item should rank first: $top")
+  }
+
+  test("bm25TopK: tf saturation and length normalization order as expected") {
+    val d = Seq(
+      (1L, "cat cat dog bird"),  // tf(cat)=2, dl=4
+      (2L, "cat dog bird fish"), // tf(cat)=1, dl=4
+      (3L, "cat dog"),           // tf(cat)=1, dl=2 (shorter → higher)
+      (4L, "dog bird fish eel")  // no match
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(d, "doc_id", "text",
+      Seq("q" -> Seq("cat")), k = 10).orderBy("rank").collect()
+    // only matching docs appear, ranked: tf=2 first, then short tf=1, then long tf=1
+    assert(out.map(_.getLong(2)).toSeq === Seq(1L, 3L, 2L))
+    assert(out.map(_.getInt(1)).toSeq === Seq(1, 2, 3))
+    // hand-check doc 3: idf=ln(1+(4-3+0.5)/3.5), tf-part=2.2/(1+1.2*(0.25+0.75*2/3.5))
+    val idf = math.log(1 + 1.5 / 3.5)
+    val s3 = idf * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 2 / 3.5))
+    assert(out(1).getDouble(3) === math.rint(s3 * 1e6) / 1e6)
+  }
+
   test("Classifier.nbTrainScore: hand-computed log-odds on a 2-doc corpus") {
     val d = Seq((1L, "good good", 1), (2L, "bad", 0), (3L, "good bad", 1))
       .toDF("doc_id", "text", "y")
