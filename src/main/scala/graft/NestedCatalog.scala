@@ -571,6 +571,42 @@ object NestedCatalog {
     // four steps relationally. Each invocation starts from a wiped
     // per-pid scratch, so the store snapshots cannot accumulate across
     // verify/bench repeats.
+    // write-time data-quality gates (Delta-expectations analog): three
+    // JX-predicate rules over a lineitem insert in "drop" mode — two
+    // hold, one (l_tax < 0.05) fails on ~44% of rows, which are
+    // excluded from the written snapshot. Output = the audit report
+    // (per-rule violations from ONE aggregate pass) plus the stored
+    // row count proving the drop actually bound. Oracle replays the
+    // rule counts and the surviving-row count in SQL.
+    "q_container_expectations" -> (q((s, dir) => {
+      val tmp = freshScratch("graft_q_container_exp")
+      val store = new graft.container.FactStore(s, "lineitem_gated", tmp)
+      val li = SparkEntry.loader(s, dir)("lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+      val report = store.insertWithExpectations(li, Seq(
+        "qty_range" -> """{"and": [{"gte": {"l_quantity": 1}}, {"lte": {"l_quantity": 50}}]}""",
+        "disc_nonneg" -> """{"gte": {"l_discount": 0}}""",
+        "tax_low" -> """{"lt": {"l_tax": 0.05}}"""), mode = "drop")
+      report.crossJoin(broadcast(
+          store.dataFrame.agg(count(lit(1)).as("rows_stored"))))
+        .orderBy("expectation")
+    }), Some("""
+      WITH agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS rows_in,
+               CAST(sum(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50) THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+               CAST(sum(CASE WHEN NOT (l_discount >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+               CAST(sum(CASE WHEN NOT (l_tax < 0.05) THEN 1 ELSE 0 END) AS BIGINT) AS v_tax,
+               CAST(sum(CASE WHEN (l_quantity >= 1 AND l_quantity <= 50)
+                         AND (l_discount >= 0) AND (l_tax < 0.05) THEN 1 ELSE 0 END) AS BIGINT) AS clean
+        FROM lineitem),
+      rules AS (
+        SELECT 'qty_range' AS expectation, v_qty AS violations, rows_in, clean FROM agg
+        UNION ALL SELECT 'disc_nonneg', v_disc, rows_in, clean FROM agg
+        UNION ALL SELECT 'tax_low', v_tax, rows_in, clean FROM agg)
+      SELECT expectation, violations, rows_in, clean AS rows_written,
+             clean AS rows_stored
+      FROM rules ORDER BY expectation""")),
+
     "q_container_lifecycle" -> (q((s, dir) => {
       val tmp = freshScratch("graft_q_container")
       val store = new graft.container.FactStore(s, "orders_facts", tmp)

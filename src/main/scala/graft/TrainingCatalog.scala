@@ -2925,6 +2925,37 @@ object TrainingCatalog {
       SELECT q_id, rank, n_id, round(sim, 6) AS sim FROM r WHERE rank <= 5
       ORDER BY q_id, rank""")),
 
+    // margin-based bitext mining (CCMatrix extractor): labels 0/1 act
+    // as the two languages; for each A-vector the best B-vector by
+    // ratio margin over k=4 cross-lingual neighborhoods, kept at
+    // margin ≥ 1.0. ONE broadcast cross-score feeds pair scores and
+    // both directional top-k averages; ranking on the rounded margin.
+    "q_sim_bitext" -> (q((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bitextMine(e.where(col("label") === 0), e.where(col("label") === 1),
+        k = 4, threshold = 1.0).orderBy("x_id")
+    }), Some("""
+      WITH x AS (SELECT vec_id AS x_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE label = 0),
+      y AS (SELECT vec_id AS y_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE label = 1),
+      s AS (SELECT x_id, y_id, list_cosine_similarity(x.v, y.v) AS sim FROM x, y),
+      rx AS (SELECT x_id, y_id, sim,
+                    row_number() OVER (PARTITION BY x_id ORDER BY sim DESC, y_id) AS rk
+             FROM s),
+      ax AS (SELECT x_id, avg(sim) AS ax FROM rx WHERE rk <= 4 GROUP BY 1),
+      ry AS (SELECT x_id, y_id, sim,
+                    row_number() OVER (PARTITION BY y_id ORDER BY sim DESC, x_id) AS rk
+             FROM s),
+      ay AS (SELECT y_id, avg(sim) AS ay FROM ry WHERE rk <= 4 GROUP BY 1),
+      m AS (SELECT s.x_id, s.y_id, round(sim / ((ax + ay) / 2), 6) AS margin
+            FROM s JOIN ax USING (x_id) JOIN ay USING (y_id)),
+      r AS (SELECT x_id, y_id, margin,
+                   row_number() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS rk
+            FROM m)
+      SELECT x_id, y_id, margin FROM r WHERE rk = 1 AND margin >= 1.0
+      ORDER BY x_id""")),
+
     // exact cosine RADIUS search (ε-NN range query): all corpus vectors
     // within a similarity threshold of each query — broadcast queries,
     // corpus never shuffles, threshold prunes in the scan stage

@@ -235,6 +235,46 @@ class FactStore(val spark: SparkSession, val name: String, dir: Path) extends Co
     this
   }
 
+  /** Write-time DATA-QUALITY GATES (the Delta-expectations / CHECK-
+    * constraint analog): each expectation is (name, JX predicate) over
+    * the incoming rows — the same expression language as [[update]]'s
+    * where. `mode`:
+    *   - `"fail"`: any violation aborts, nothing is written (CHECK
+    *     constraint semantics);
+    *   - `"drop"`: rows violating ANY expectation (false or null) are
+    *     excluded, clean rows insert;
+    *   - `"track"`: everything inserts, violations only reported.
+    * All per-rule violation counts, the any-rule count, and rows_in
+    * come from ONE aggregate pass over the increment (no per-rule
+    * scan); `"drop"` evaluates the predicates a second time inside the
+    * insert's write — still one write pass. Returns the audit report:
+    * (expectation, violations, rows_in, rows_written). */
+  def insertWithExpectations(docs: DataFrame, expectations: Seq[(String, String)],
+                             mode: String = "fail"): DataFrame = {
+    require(Set("fail", "drop", "track")(mode), s"unknown mode: $mode")
+    require(expectations.nonEmpty, "no expectations given")
+    val c = ctx(docs)
+    val preds = expectations.map { case (n, json) =>
+      n -> JxCompiler.truthy(JxExpr.parseJson(json), c) }
+    val allPass = preds.map(_._2).reduce(_ && _)
+    val aggs = preds.map { case (n, p) =>
+      sum(when(!coalesce(p, lit(false)), 1L).otherwise(0L)).as(s"__v_$n") } ++
+      Seq(sum(when(!coalesce(allPass, lit(false)), 1L).otherwise(0L)).as("__any"),
+          count(lit(1)).as("__rows_in"))
+    val row = docs.agg(aggs.head, aggs.tail: _*).head()
+    val viol = preds.indices.map(i => expectations(i)._1 -> row.getLong(i))
+    val anyViol = row.getLong(preds.size)
+    val rowsIn = row.getLong(preds.size + 1)
+    if (mode == "fail" && anyViol > 0)
+      throw new IllegalStateException("expectations violated, nothing written: " +
+        viol.filter(_._2 > 0).map { case (n, v) => s"$n=$v" }.mkString(", "))
+    insert(if (mode == "drop") docs.where(allPass) else docs)
+    val rowsWritten = if (mode == "drop") rowsIn - anyViol else rowsIn
+    import spark.implicits._
+    viol.map { case (n, v) => (n, v, rowsIn, rowsWritten) }
+      .toDF("expectation", "violations", "rows_in", "rows_written")
+  }
+
   /** Scalar→array nest migration (reference snowflake.py:117-202): when a
     * column is T on one side and ARRAY&lt;T&gt; on the other, the scalar
     * side is promoted to a 1-element array (null stays null, matching the

@@ -141,6 +141,49 @@ object Similarity {
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     cosineScored(corpus, queries, idCol, vecCol).where(col("sim") >= minSim)
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019 ratio margin —
+    * the CCMatrix/WikiMatrix parallel-corpus extractor): for each x in
+    * `xs` (language A) the best y in `ys` (language B) by
+    * margin(x,y) = cos(x,y) / ((avgK(x) + avgK(y)) / 2), where avgK is
+    * the mean cosine of a side's k nearest cross-lingual neighbors —
+    * normalizing by neighborhood density kills the hubness failure of
+    * raw-cosine mining. Pairs below `threshold` are dropped (published
+    * pipelines use ≈1.06).
+    *
+    * Exact tier: ONE broadcast cross-score of X×Y feeds all three
+    * consumers (pair scores, both directional top-k averages) — the
+    * corpus side never shuffles, each pair is one codegen'd dot
+    * product. Ranking and filtering use the ROUNDED (6 dp) margin with
+    * id tiebreak (the [[bruteForceTopK]] reproducibility convention).
+    * For corpus-sized sides, mine candidates from shared IVF cells
+    * (same cell equi-join as [[positivePairsIvf]]) and keep this exact
+    * margin as the verification tier. Returns (x_id, y_id, margin). */
+  def bitextMine(xs: DataFrame, ys: DataFrame, k: Int, threshold: Double,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = xs.select(col(idCol).as("x_id"), vecD(col(vecCol)).as("x_vec"))
+      .withColumn("x_norm", sqrt(dot(col("x_vec"), col("x_vec"))))
+    val y = ys.select(col(idCol).as("y_id"), vecD(col(vecCol)).as("y_vec"))
+      .withColumn("y_norm", sqrt(dot(col("y_vec"), col("y_vec"))))
+    val den = col("x_norm") * col("y_norm")
+    val scored = x.crossJoin(broadcast(y))
+      .select(col("x_id"), col("y_id"),
+        when(den =!= 0.0, dot(col("x_vec"), col("y_vec")) / den).as("sim"))
+    val wx = Window.partitionBy("x_id").orderBy(col("sim").desc, col("y_id"))
+    val ax = scored.withColumn("__rk", row_number().over(wx)).where(col("__rk") <= k)
+      .groupBy("x_id").agg(avg("sim").as("__ax"))
+    val wy = Window.partitionBy("y_id").orderBy(col("sim").desc, col("x_id"))
+    val ay = scored.withColumn("__rk", row_number().over(wy)).where(col("__rk") <= k)
+      .groupBy("y_id").agg(avg("sim").as("__ay"))
+    val margins = scored.join(ax, Seq("x_id")).join(ay, Seq("y_id"))
+      .select(col("x_id"), col("y_id"),
+        round(col("sim") / ((col("__ax") + col("__ay")) / 2.0), 6).as("margin"))
+    val wBest = Window.partitionBy("x_id").orderBy(col("margin").desc, col("y_id"))
+    margins.withColumn("__rk", row_number().over(wBest))
+      .where(col("__rk") === 1 && col("margin") >= threshold)
+      .select("x_id", "y_id", "margin")
+  }
+
   /** Hard-NEGATIVE mining for contrastive training (DPR-style negative
     * selection; Robinson et al. 2021 hard-negative sampling): for each
     * anchor, the k most-similar corpus vectors with a DIFFERENT label —

@@ -1401,6 +1401,37 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("FactStore.insertWithExpectations: fail aborts, drop filters, track reports") {
+    val d = Seq((1L, 10.0), (2L, -5.0), (3L, 20.0)).toDF("id", "v")
+    val rules = Seq("v_pos" -> """{"gte": {"v": 0}}""")
+    // fail: nothing written
+    val s1 = new graft.container.FactStore(spark, "exp_fail",
+      java.nio.file.Files.createTempDirectory("graft_exp1"))
+    val ex = intercept[IllegalStateException] {
+      s1.insertWithExpectations(d, rules, mode = "fail") }
+    assert(ex.getMessage.contains("v_pos=1") && s1.isEmpty)
+    // drop: clean rows only
+    val s2 = new graft.container.FactStore(spark, "exp_drop",
+      java.nio.file.Files.createTempDirectory("graft_exp2"))
+    val rep2 = s2.insertWithExpectations(d, rules, mode = "drop").collect()
+    assert(rep2.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq(("v_pos", 1L, 3L, 2L)))
+    assert(s2.dataFrame.count() === 2 &&
+      s2.dataFrame.where(col("id") === 2L).count() === 0)
+    // track: everything written, violation still reported
+    val s3 = new graft.container.FactStore(spark, "exp_track",
+      java.nio.file.Files.createTempDirectory("graft_exp3"))
+    val rep3 = s3.insertWithExpectations(d, rules, mode = "track").collect()
+    assert(rep3.head.getLong(1) === 1L && rep3.head.getLong(3) === 3L)
+    assert(s3.dataFrame.count() === 3)
+    // a null predicate value counts as a violation (JX missing ≠ pass)
+    val dn = Seq((1L, Some(1.0)), (2L, None)).toDF("id", "v")
+    val s4 = new graft.container.FactStore(spark, "exp_null",
+      java.nio.file.Files.createTempDirectory("graft_exp4"))
+    val rep4 = s4.insertWithExpectations(dn, rules, mode = "drop").collect()
+    assert(rep4.head.getLong(1) === 1L && s4.dataFrame.count() === 1)
+  }
+
   test("FactStore.contentFingerprint: layout-invariant, mutation-sensitive") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_fp")
     val store = new graft.container.FactStore(spark, "fp_spec", tmp)
@@ -2278,6 +2309,20 @@ class OpsSpec extends AnyFunSuite {
     assert(fm("c") === ((4L, 3L)))
     assert(fm("zh") === ((4L, 2L)))
     assert(fm("b") === ((4L, 4L)))
+  }
+
+  test("bitextMine: planted translation pairs mine at the hand-computed margin") {
+    val xs = Seq((1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val ys = Seq((11L, Array(1f, 0f, 0f, 0f)),       // exact copy of x1
+                 (12L, Array(0f, 0.9f, 0.1f, 0f)),   // near-copy of x2
+                 (13L, Array(0f, 0f, 0f, 1f))        // orthogonal to both
+      ).toDF("vec_id", "embedding")
+    val out = Similarity.bitextMine(xs, ys, k = 2, threshold = 1.0)
+      .orderBy("x_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 11L), (2L, 12L)))
+    // x1↔y1: cos=1; avgK(x1)=(1+0)/2, avgK(y1)=(1+0)/2 → margin = 1/0.5 = 2
+    assert(out(0).getDouble(2) === 2.0)
   }
 
   test("skipGramPairs: exact pair multiset on a 3-token doc") {
