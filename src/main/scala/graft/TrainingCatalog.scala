@@ -1467,6 +1467,83 @@ object TrainingCatalog {
       LEFT JOIN s3 USING (user_id)
       ORDER BY u.user_id""")),
 
+    // deterministic Poisson-bootstrap CI for a corpus statistic (the
+    // eval-metric error bar): 40 resamples, multiplicities from
+    // md5(id:b) hex cutoffs (engine-portable), ONE (b)-keyed aggregate,
+    // percentile-disc interval on the rounded resample means. Oracle
+    // replays draw, weights, and order statistics exactly.
+    "q_stats_bootstrap" -> (q((s, dir) =>
+      graft.ops.Profiling.bootstrapMeanCI(docs(s, dir), "doc_id", "n_chars",
+        b = 40, q = 0.025)
+    ), Some("""
+      WITH bs AS (SELECT unnest(generate_series(1, 40)) AS b),
+      r AS (
+        SELECT bs.b, CAST(d.n_chars AS DOUBLE) AS x,
+               substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(bs.b AS VARCHAR)), 1, 8) AS h
+        FROM documents d CROSS JOIN bs),
+      wgt AS (
+        SELECT b, x,
+               CASE WHEN h < '5e2d58d8' THEN 0 WHEN h < 'bc5ab1b1' THEN 1
+                    WHEN h < 'eb715e1d' THEN 2 WHEN h < 'fb239797' THEN 3
+                    WHEN h < 'ff1025f5' THEN 4 ELSE 5 END AS w
+        FROM r),
+      means AS (SELECT b, round(sum(w * x) / sum(w), 6) AS m FROM wgt GROUP BY 1),
+      ranked AS (SELECT b, m, row_number() OVER (ORDER BY m, b) AS rk FROM means),
+      pt AS (SELECT round(avg(CAST(n_chars AS DOUBLE)), 6) AS mean FROM documents)
+      SELECT CAST(40 AS BIGINT) AS b_count, pt.mean, lo.m AS ci_lo, hi.m AS ci_hi
+      FROM pt,
+           (SELECT m FROM ranked WHERE rk = 1) lo,
+           (SELECT m FROM ranked WHERE rk = 39) hi""")),
+
+    // weekly COHORT RETENTION matrix: users by first-activity week,
+    // per-offset distinct active count + rate vs the cohort's own
+    // week-0 size. Two keyed shuffles + one cohort window; Monday
+    // truncation and exact 7-day offsets in both engines.
+    "q_events_retention" -> (q((s, dir) =>
+      graft.ops.Funnel.cohortRetention(
+          SparkEntry.loader(s, dir)("events"), "user_id", "ts")
+        .orderBy("cohort", "offset_w")
+    ), Some("""
+      WITH fw AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort
+        FROM events GROUP BY 1),
+      act AS (
+        SELECT DISTINCT e.user_id, fw.cohort,
+               CAST(datediff('day', fw.cohort, date_trunc('week', e.ts)) / 7 AS INT) AS offset_w
+        FROM events e JOIN fw USING (user_id)),
+      cnt AS (
+        SELECT cohort, offset_w, CAST(count(*) AS BIGINT) AS users
+        FROM act GROUP BY 1, 2)
+      SELECT CAST(cohort AS DATE) AS cohort, offset_w, users,
+             round(users / max(CASE WHEN offset_w = 0 THEN users END)
+                             OVER (PARTITION BY cohort), 6) AS rate
+      FROM cnt ORDER BY cohort, offset_w""")),
+
+    // Zipf-law fit (corpus-health diagnostic): OLS slope/intercept of
+    // ln(count) on ln(rank) over the top-25 terms, closed form from
+    // ONE aggregate; the rank window runs over the vocab-sized count
+    // table, never the corpus. Oracle replays the same normal-equation
+    // arithmetic.
+    "q_text_zipf" -> (q((s, dir) =>
+      TextAnalysis.zipfFit(docs(s, dir), "doc_id", "text", topN = 25)
+    ), Some("""
+      WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0),
+      cnt AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+      ranked AS (
+        SELECT ln(row_number() OVER (ORDER BY cnt DESC, term)) AS x, ln(cnt) AS y,
+               row_number() OVER (ORDER BY cnt DESC, term) AS rank
+        FROM cnt QUALIFY rank <= 25),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM ranked)
+      SELECT n AS n_terms,
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+             round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+      FROM agg""")),
+
     // LATEST-BY-KEY compaction (the CDC/upsert-feed dedup): per user,
     // the most recent event (ts desc, event_id tie) via ONE
     // struct-ordered max aggregate — partial-aggregatable, unlike the

@@ -50,4 +50,32 @@ object Funnel {
         stages.map(st => when(col(s"${st}_ts").isNotNull, 1).otherwise(0))
           .reduce(_ + _).cast("int").as("stages_completed"): _*)
   }
+
+  /** Weekly COHORT RETENTION — the other canonical product-analytics
+    * matrix: users grouped by first-activity week (the cohort), and for
+    * each week offset the count of that cohort still active, plus the
+    * rate against the cohort's own week-0 size. Two keyed shuffles
+    * (per-user first week, then the (cohort, offset) distinct-count) +
+    * one cohort-partitioned window for the rate — no per-user history
+    * collection, so the shape holds at any event volume. Weeks truncate
+    * to Monday (`date_trunc`), offsets are exact multiples of 7 days.
+    * Returns (cohort, offset_w, users, rate). */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(col(userCol).as("__u"),
+      date_trunc("week", col(tsCol)).as("__w"))
+    val firstWeek = base.groupBy("__u").agg(min("__w").as("cohort"))
+    val active = base.join(firstWeek, Seq("__u"))
+      .select(col("__u"), col("cohort"),
+        (datediff(col("__w"), col("cohort")) / 7).cast("int").as("offset_w"))
+      .distinct()
+    val counts = active.groupBy("cohort", "offset_w")
+      .agg(count(lit(1)).as("users"))
+    val w = Window.partitionBy("cohort")
+    counts
+      .withColumn("rate", round(col("users") /
+        max(when(col("offset_w") === 0, col("users"))).over(w), 6))
+      .select(col("cohort").cast("date").as("cohort"),
+        col("offset_w"), col("users"), col("rate"))
+  }
 }

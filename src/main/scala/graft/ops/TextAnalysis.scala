@@ -978,6 +978,34 @@ object TextAnalysis {
       .select(col("id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Zipf-law fit over the corpus word-frequency distribution — the
+    * corpus-health diagnostic (natural text slopes ≈ −1; synthetic or
+    * template-heavy corpora deviate hard): OLS of ln(count) on
+    * ln(rank) over the top-`topN` terms. Closed form from ONE aggregate
+    * over the (vocab-bounded) ranked counts — slope, intercept rounded
+    * to 6 dp. The rank window is global but runs over the term-count
+    * table (vocab-sized by Heaps' law), never the corpus. Returns one
+    * row (n_terms, slope, intercept). */
+  def zipfFit(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+              topN: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val ranked = counts
+      .withColumn("rank", row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+      .where(col("rank") <= topN)
+      .select(log(col("rank")).as("x"), log(col("cnt")).as("y"))
+    val agg = ranked.agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    agg.select(col("n").as("n_terms"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+      round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 6)
+        .as("intercept"))
+  }
+
   /** Corpus-wide skip-gram (center, context) pair counts within a
     * ±`window` token radius — the training-pair generator for
     * word2vec-family embedding runs. Pair enumeration stays INSIDE the

@@ -2311,6 +2311,44 @@ class OpsSpec extends AnyFunSuite {
     assert(fm("b") === ((4L, 4L)))
   }
 
+  test("bootstrapMeanCI: interval brackets the mean, invariant to partitioning") {
+    val d = spark.range(1, 1001).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    val r = Profiling.bootstrapMeanCI(d, "id", "v", b = 40).head()
+    assert(r.getLong(0) === 40L)
+    val (mean, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(mean === 500.5)
+    assert(lo < mean && mean < hi, s"CI [$lo, $hi] must bracket $mean")
+    // n=1000 uniform[1,1000]: se ≈ 9.1 → a 95% CI within ±40 of the mean
+    assert(hi - lo < 80, s"CI implausibly wide: [$lo, $hi]")
+    // deterministic draw: a different partitioning yields identical rows
+    val r2 = Profiling.bootstrapMeanCI(d.repartition(13), "id", "v", b = 40).head()
+    assert(r2.getDouble(2) === lo && r2.getDouble(3) === hi)
+  }
+
+  test("cohortRetention: hand-built weekly matrix with per-cohort rates") {
+    val e = Seq(
+      ("A", "2024-01-02 10:00:00"), ("A", "2024-01-09 10:00:00"),
+      ("B", "2024-01-03 10:00:00"),
+      ("C", "2024-01-10 10:00:00")
+    ).toDF("user_id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val m = Funnel.cohortRetention(e, "user_id", "ts")
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("c"),
+        col("offset_w"), col("users"), col("rate"))
+      .as[(String, Int, Long, Double)].collect().toSet
+    assert(m === Set(
+      ("2024-01-01", 0, 2L, 1.0), ("2024-01-01", 1, 1L, 0.5),
+      ("2024-01-08", 0, 1L, 1.0)))
+  }
+
+  test("zipfFit: an exact 1/rank law recovers slope -1") {
+    val words = Seq.fill(12)("a") ++ Seq.fill(6)("b") ++ Seq.fill(4)("c") ++ Seq.fill(3)("d")
+    val d = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfFit(d, "doc_id", "text", topN = 4).head()
+    assert(r.getLong(0) === 4L)
+    assert(r.getDouble(1) === -1.0) // counts 12/rank → ln(c) = ln 12 − ln(rank)
+    assert(r.getDouble(2) === math.rint(math.log(12.0) * 1e6) / 1e6)
+  }
+
   test("bitextMine: planted translation pairs mine at the hand-computed margin") {
     val xs = Seq((1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)))
       .toDF("vec_id", "embedding")
