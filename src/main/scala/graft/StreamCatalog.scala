@@ -228,6 +228,46 @@ object StreamCatalog {
     // state store; the drained stream must reproduce the batch
     // operator's (n_hits, contaminated) verdict for every document,
     // which is the batch entry's oracle verbatim.
+    // batch-train / stream-serve quality filtering: the NB model fits
+    // on the static corpus (one token-keyed shuffle, vocab-sized
+    // export), then scores the STREAM as pure map-side Column algebra —
+    // broadcast map literal, no aggregation, no watermark, no state.
+    // The drained scores must equal the batch scorer's output for
+    // every document: the oracle is q_quality_nb's verbatim.
+    "q_stream_quality" -> (raw((s, dir) => {
+      val model = graft.ops.Classifier.nbFit(
+        SparkEntry.loader(s, dir)("documents"), "text", col("lang") === "en")
+      val docs = streamRead(s, dir, "documents")
+      val scored = docs.select(col("doc_id"),
+          graft.ops.Classifier.nbScoreColumn(col("text"), model).as("score"))
+        .withColumn("pred", col("score") > 0.0)
+      drain(s, scored, "quality", OutputMode.Append())
+        .orderBy("doc_id")
+    }), Some("""
+      WITH d AS (
+        SELECT doc_id, lower(trim(text)) AS t,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents),
+      toks AS (
+        SELECT doc_id, y, unnest(regexp_split_to_array(t, '\s+')) AS tok
+        FROM d WHERE length(t) > 0),
+      cnt AS (
+        SELECT tok, sum(y) AS c1, sum(1 - y) AS c0 FROM toks GROUP BY 1),
+      tot AS (
+        SELECT sum(c1) AS t1, sum(c0) AS t0, count(*) AS v FROM cnt),
+      pri AS (
+        SELECT ln((sum(y) + 1.0) / (sum(1 - y) + 1.0)) AS b FROM d),
+      w AS (
+        SELECT tok, ln((c1 + 1.0) / (t1 + v)) - ln((c0 + 1.0) / (t0 + v)) AS w
+        FROM cnt CROSS JOIN tot),
+      sc AS (
+        SELECT doc_id, sum(w.w) AS s FROM toks JOIN w USING (tok) GROUP BY 1)
+      SELECT d.doc_id,
+             round(pri.b + coalesce(sc.s, 0.0), 6) AS score,
+             round(pri.b + coalesce(sc.s, 0.0), 6) > 0 AS pred
+      FROM d LEFT JOIN sc USING (doc_id) CROSS JOIN pri
+      ORDER BY d.doc_id""")),
+
     "q_stream_decontaminate" -> (raw((s, dir) => {
       val bench = SparkEntry.loader(s, dir)("documents")
         .where(col("doc_id") % 50 === 0)

@@ -76,6 +76,52 @@ object Classifier {
       .withColumn("pred", col("score") > 0.0)
   }
 
+  /** A fitted NB model exported for SERVING: per-token log-odds +
+    * log-prior-odds. Vocab-bounded (small by Heaps' law) — the shape a
+    * stream scorer broadcasts. */
+  final case class NbModel(weights: Map[String, Double], prior: Double)
+
+  /** Fit the same multinomial NB as [[nbTrainScore]] and COLLECT the
+    * (vocab-sized) weight table to the driver — the model-export path
+    * for serving (train batch-side once, broadcast into a stream).
+    * Same one-shuffle training plan; only the vocab-bounded weights
+    * ever reach the driver. */
+  def nbFit(df: DataFrame, textCol: String, labelCol: Column): NbModel = {
+    val toks = df
+      .select(labelCol.cast("int").as("__y"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("__tok"))
+    val cnt = toks.groupBy("__tok").agg(
+      sum(col("__y")).as("__c1"), sum(lit(1) - col("__y")).as("__c0"))
+    val tot = cnt.agg(sum("__c1").as("__t1"), sum("__c0").as("__t0"),
+      count(lit(1)).as("__v"))
+    val w = cnt.crossJoin(broadcast(tot)).select(col("__tok"),
+      (log((col("__c1") + 1.0) / (col("__t1") + col("__v"))) -
+       log((col("__c0") + 1.0) / (col("__t0") + col("__v")))).as("__w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = df.agg(
+      log((sum(labelCol.cast("int")) + 1.0) /
+          (sum(lit(1) - labelCol.cast("int")) + 1.0)).as("__b"))
+      .head().getDouble(0)
+    NbModel(w, b)
+  }
+
+  /** Score text under an exported [[NbModel]] as pure Column algebra —
+    * stateless and map-side, so it runs unchanged inside a streaming
+    * micro-batch (no aggregation, no watermark): prior + Σ per-token
+    * weight via a broadcast map literal, rounded to 6 dp (the
+    * [[nbTrainScore]] output convention). Tokens outside the model
+    * contribute 0 — mirroring the batch scorer's inner weight join. */
+  def nbScoreColumn(text: Column, model: NbModel): Column = {
+    val keys = model.weights.keys.toSeq
+    val m = map_from_arrays(
+      array(keys.map(lit(_)): _*),
+      array(keys.map(k => lit(model.weights(k))): _*))
+    val toks = TextAnalysis.tokens(lower(text))
+    val s = aggregate(coalesce(toks, array().cast("array<string>")), lit(0.0),
+      (acc, t) => acc + coalesce(element_at(m, t), lit(0.0)))
+    round(lit(model.prior) + s, 6)
+  }
+
   // -------------------------------------------------- hashed features --
 
   /** Feature-hashed term-frequency vectors: token → bucket

@@ -978,6 +978,32 @@ object TextAnalysis {
       .select(col("id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Compression-ratio quality signal (RefinedWeb/Dolma heuristic):
+    * deflate(level 6) bytes ÷ UTF-8 bytes — templated/boilerplate text
+    * compresses far below natural prose, repeated crawls of one page
+    * collapse, and random noise sits near 1. A per-row JDK Deflater
+    * UDF — like the ImageIO decode tier, there is no vectorized
+    * built-in; still map-side, zero shuffle. No SQL oracle (DuckDB
+    * cannot replay deflate) — spec-covered. Null/empty → null. */
+  def compressionRatio(text: Column): Column = {
+    val f = udf { (s: String) =>
+      if (s == null || s.isEmpty) None
+      else {
+        val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(6)
+        d.setInput(raw); d.finish()
+        // incompressible input inflates past raw.length (~5 B/16 KiB
+        // block + header) — accumulate in chunks, never assume a bound
+        val chunk = new Array[Byte](8192)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(chunk)
+        d.end()
+        Some(n.toDouble / raw.length)
+      }
+    }
+    f(text)
+  }
+
   /** Zipf-law fit over the corpus word-frequency distribution — the
     * corpus-health diagnostic (natural text slopes ≈ −1; synthetic or
     * template-heavy corpora deviate hard): OLS of ln(count) on

@@ -2311,6 +2311,29 @@ class OpsSpec extends AnyFunSuite {
     assert(fm("b") === ((4L, 4L)))
   }
 
+  test("compressionRatio: boilerplate compresses far below varied prose") {
+    val rep = ("lorem ipsum " * 200).trim
+    val varied = (1 to 200).map(i => s"w${i * 7919 % 9973}x${i * 31 % 101}").mkString(" ")
+    val d = Seq((1L, rep), (2L, varied), (3L, ""), (4L, null)).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"), TextAnalysis.compressionRatio(col("text")).as("cr"))
+      .collect().map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1.0 else x.getDouble(1))).toMap
+    assert(r(1L) < 0.05, s"repetitive text should crush: ${r(1L)}")
+    assert(r(2L) > 3 * r(1L), s"varied text should compress far less: ${r(2L)} vs ${r(1L)}")
+    assert(r(3L) === -1.0 && r(4L) === -1.0) // empty/null → null
+  }
+
+  test("nbFit + nbScoreColumn: stream-serving scorer matches nbTrainScore") {
+    val d = Seq((1L, "good good fine", 1), (2L, "bad awful", 0), (3L, "good bad", 1),
+      (4L, " ", 0)).toDF("doc_id", "text", "y")
+    val batch = Classifier.nbTrainScore(d, "doc_id", "text", col("y") === 1)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val model = Classifier.nbFit(d, "text", col("y") === 1)
+    val served = d.select(col("doc_id"),
+        Classifier.nbScoreColumn(col("text"), model).as("score"))
+      .as[(Long, Double)].collect().toMap
+    assert(served === batch)
+  }
+
   test("bootstrapMeanCI: interval brackets the mean, invariant to partitioning") {
     val d = spark.range(1, 1001).selectExpr("id", "CAST(id AS DOUBLE) AS v")
     val r = Profiling.bootstrapMeanCI(d, "id", "v", b = 40).head()
