@@ -1467,6 +1467,61 @@ object TrainingCatalog {
       LEFT JOIN s3 USING (user_id)
       ORDER BY u.user_id""")),
 
+    // per-doc character Shannon entropy (bits/char) — the oracle-able
+    // sibling of the deflate compression-ratio signal: one (id, char)
+    // count shuffle + one per-doc reduce in the log2(n) − Σ c·log2 c/n
+    // algebraic form. Oracle chars via substr(generate_series).
+    "q_text_entropy" -> (q((s, dir) =>
+      TextAnalysis.charEntropy(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")
+    ), Some("""
+      WITH ch AS (
+        SELECT doc_id, substr(text, i, 1) AS ch
+        FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+              FROM documents WHERE text IS NOT NULL AND length(text) > 0)),
+      cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2)
+      SELECT doc_id,
+             round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy_bits
+      FROM cnt GROUP BY doc_id ORDER BY doc_id""")),
+
+    // classifier CALIBRATION audit (reliability table): NB scores from
+    // q_quality_nb's model bucketed into fixed-width bins (no global
+    // sort — bin = clamped floor(score/2)·2), per bin the doc count,
+    // mean rounded score, and observed 'en' fraction. The eval-rigor
+    // companion to the filter itself. Oracle replays scorer + binning.
+    "q_quality_calibration" -> (q((s, dir) => {
+      val scored = graft.ops.Classifier.nbTrainScore(docs(s, dir), "doc_id", "text",
+          col("lang") === "en")
+        .join(docs(s, dir).select(col("doc_id"),
+          (col("lang") === "en").cast("int").as("is_en")), Seq("doc_id"))
+      val bin = least(greatest(floor(col("score") / 2.0) * 2.0, lit(-10.0)), lit(8.0))
+      scored.groupBy(bin.as("bin"))
+        .agg(count(lit(1)).as("n"), round(avg("score"), 6).as("mean_score"),
+          round(avg("is_en"), 6).as("frac_en"))
+        .orderBy("bin")
+    }), Some("""
+      WITH d AS (
+        SELECT doc_id, lower(trim(text)) AS t,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents),
+      toks AS (
+        SELECT doc_id, y, unnest(regexp_split_to_array(t, '\s+')) AS tok
+        FROM d WHERE length(t) > 0),
+      cnt AS (SELECT tok, sum(y) AS c1, sum(1 - y) AS c0 FROM toks GROUP BY 1),
+      tot AS (SELECT sum(c1) AS t1, sum(c0) AS t0, count(*) AS v FROM cnt),
+      pri AS (SELECT ln((sum(y) + 1.0) / (sum(1 - y) + 1.0)) AS b FROM d),
+      w AS (SELECT tok, ln((c1 + 1.0) / (t1 + v)) - ln((c0 + 1.0) / (t0 + v)) AS w
+            FROM cnt CROSS JOIN tot),
+      sc AS (SELECT doc_id, sum(w.w) AS s FROM toks JOIN w USING (tok) GROUP BY 1),
+      scored AS (
+        SELECT d.doc_id, round(pri.b + coalesce(sc.s, 0.0), 6) AS score, d.y AS is_en
+        FROM d LEFT JOIN sc USING (doc_id) CROSS JOIN pri)
+      SELECT least(greatest(floor(score / 2.0) * 2.0, -10.0), 8.0) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             round(avg(score), 6) AS mean_score,
+             round(avg(CAST(is_en AS DOUBLE)), 6) AS frac_en
+      FROM scored GROUP BY 1 ORDER BY 1""")),
+
     // deterministic Poisson-bootstrap CI for a corpus statistic (the
     // eval-metric error bar): 40 resamples, multiplicities from
     // md5(id:b) hex cutoffs (engine-portable), ONE (b)-keyed aggregate,

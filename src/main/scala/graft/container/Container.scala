@@ -235,6 +235,43 @@ class FactStore(val spark: SparkSession, val name: String, dir: Path) extends Co
     this
   }
 
+  /** Named TAGS over the version history — the reproducibility pin of
+    * lakeFS/Delta-style data versioning: a training run records
+    * `tag("run-2024-06", v)` and re-reads that exact snapshot forever
+    * (subject to [[vacuum]] retention — a tag is a pointer, not a
+    * keep-alive; reading a vacuumed tag fails like any pinned read).
+    * One file per tag under `tags/`, written atomically (tmp + move),
+    * re-tagging moves the pointer. */
+  def tag(name: String, v: Int): this.type = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"tag name: $name")
+    require(versions.contains(v), s"no snapshot v$v to tag (have: $versions)")
+    val td = dir.resolve("tags")
+    Files.createDirectories(td)
+    val tmp = td.resolve(s".$name.tmp")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, td.resolve(name),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    this
+  }
+
+  def tags: Map[String, Int] = {
+    val td = dir.resolve("tags")
+    if (!Files.isDirectory(td)) Map.empty
+    else {
+      val it = Files.list(td)
+      try it.iterator().asScala
+        .filterNot(_.getFileName.toString.startsWith("."))
+        .map(p => p.getFileName.toString -> Files.readString(p).trim.toInt)
+        .toMap
+      finally it.close()
+    }
+  }
+
+  def dataFrameAtTag(name: String): DataFrame =
+    dataFrameAt(tags.getOrElse(name,
+      throw new NoSuchElementException(s"no tag '$name' (have: ${tags.keys.toSeq.sorted})")))
+
   /** Write-time DATA-QUALITY GATES (the Delta-expectations / CHECK-
     * constraint analog): each expectation is (name, JX predicate) over
     * the incoming rows — the same expression language as [[update]]'s

@@ -978,6 +978,24 @@ object TextAnalysis {
       .select(col("id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Character-level Shannon entropy per document (bits/char) — the
+    * oracle-checkable sibling of [[compressionRatio]]: near-zero for
+    * repeated filler, ~4+ for natural prose, maximal for noise. One
+    * (id, char) count shuffle + one per-doc reduce; entropy =
+    * log2(n) − Σc·log2(c)/n over the per-char counts (the algebraic
+    * form that needs no per-row probability division). Rounded 6 dp;
+    * empty/null docs are absent from the output. */
+  def charEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    val chars = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), "")).as("ch"))
+      .where(length(col("ch")) > 0)
+    val cnt = chars.groupBy("id", "ch").agg(count(lit(1)).as("c"))
+    cnt.groupBy("id").agg(
+      round((log2(sum("c")) -
+        sum(col("c") * log2(col("c"))) / sum("c")), 6).as("entropy_bits"))
+  }
+
   /** Compression-ratio quality signal (RefinedWeb/Dolma heuristic):
     * deflate(level 6) bytes ÷ UTF-8 bytes — templated/boilerplate text
     * compresses far below natural prose, repeated crawls of one page

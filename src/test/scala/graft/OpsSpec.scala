@@ -1432,6 +1432,22 @@ class OpsSpec extends AnyFunSuite {
     assert(rep4.head.getLong(1) === 1L && s4.dataFrame.count() === 1)
   }
 
+  test("FactStore.tag: pins survive mutations, re-tag moves, bad refs reject") {
+    val store = new graft.container.FactStore(spark, "tag_spec",
+      java.nio.file.Files.createTempDirectory("graft_tag"))
+    store.insert(spark.range(0, 10).toDF("id"))
+    store.tag("baseline", 1)
+    store.delete("""{"lt": {"id": 5}}""") // v2
+    assert(store.dataFrameAtTag("baseline").count() === 10)
+    assert(store.dataFrame.count() === 5)
+    store.tag("baseline", 2) // re-tag moves the pointer
+    assert(store.dataFrameAtTag("baseline").count() === 5)
+    assert(store.tags === Map("baseline" -> 2))
+    intercept[IllegalArgumentException] { store.tag("nope", 99) }
+    intercept[IllegalArgumentException] { store.tag("bad/name", 1) }
+    intercept[NoSuchElementException] { store.dataFrameAtTag("ghost") }
+  }
+
   test("FactStore.contentFingerprint: layout-invariant, mutation-sensitive") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_fp")
     val store = new graft.container.FactStore(spark, "fp_spec", tmp)
@@ -2309,6 +2325,16 @@ class OpsSpec extends AnyFunSuite {
     assert(fm("c") === ((4L, 3L)))
     assert(fm("zh") === ((4L, 2L)))
     assert(fm("b") === ((4L, 4L)))
+  }
+
+  test("charEntropy: hand-computed bits on tiny alphabets") {
+    val d = Seq((1L, "aabb"), (2L, "aaaa"), (3L, "abcd"), (4L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.charEntropy(d, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(r(1L) === 1.0) // two symbols, equal counts → 1 bit
+    assert(r(2L) === 0.0)
+    assert(r(3L) === 2.0)
+    assert(!r.contains(4L)) // empty doc absent
   }
 
   test("compressionRatio: boilerplate compresses far below varied prose") {
