@@ -181,12 +181,15 @@ object Bench {
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, w, c, _, _) if w < 0 || c < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    // warm > 1.5× cold on a non-trivial entry is the r7 backlog
-    // signature — with the warmup + quiesce discipline this list is
-    // asserted EMPTY by eye in review; it is the artifact's own
-    // methodology check, not a per-entry grade
+    // warm > 1.5× cold with ≥1 s of absolute excess is the r7 backlog
+    // signature (34 s warm vs 15 s cold) — with the warmup + quiesce
+    // discipline this list is asserted EMPTY by eye in review; it is
+    // the artifact's own methodology check, not a per-entry grade. The
+    // absolute-excess term keeps sub-second scheduling blips (1.0 s vs
+    // 0.65 s) from false-flagging: the signature being hunted costs
+    // whole seconds, not tenths.
     val inversions = results.collect {
-      case (k, w, c, _, _) if w > 0.5 && c > 0 && w > 1.5 * c => "\"" + k + "\""
+      case (k, w, c, _, _) if c > 0 && w > 1.5 * c && w - c > 1.0 => "\"" + k + "\""
     }.mkString("[", ",", "]")
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val totalCold = r3(results.map(_._3).filter(_ >= 0).sum)

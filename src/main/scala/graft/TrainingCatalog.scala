@@ -692,7 +692,7 @@ object TrainingCatalog {
     // only shuffle is the final pair count. Oracle replays via two
     // chained unnest(generate_series) position expansions.
     "q_embed_skipgram" -> (q((s, dir) =>
-      TextAnalysis.skipGramPairs(docs(s, dir), "doc_id", "text", window = 2)
+      TextAnalysis.skipGramPairs(docs(s, dir), "text", window = 2)
         .orderBy("center", "context")
     ), Some("""
       WITH toks AS (
@@ -712,8 +712,7 @@ object TrainingCatalog {
     // over the minCount-bounded survivor set only. Oracle replays the
     // same ln-ratio with DuckDB float division.
     "q_text_pmi" -> (q((s, dir) =>
-      TextAnalysis.pmiCollocations(docs(s, dir), "doc_id", "text",
-        minCount = 5, k = 50)
+      TextAnalysis.pmiCollocations(docs(s, dir), "text", minCount = 5, k = 50)
     ), Some("""
       WITH toks AS (
         SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
@@ -1580,7 +1579,7 @@ object TrainingCatalog {
     // table, never the corpus. Oracle replays the same normal-equation
     // arithmetic.
     "q_text_zipf" -> (q((s, dir) =>
-      TextAnalysis.zipfFit(docs(s, dir), "doc_id", "text", topN = 25)
+      TextAnalysis.zipfFit(docs(s, dir), "text", topN = 25)
     ), Some("""
       WITH toks AS (
         SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term

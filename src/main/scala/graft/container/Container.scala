@@ -146,19 +146,24 @@ class FactStore(val spark: SparkSession, val name: String, dir: Path) extends Co
 
   /** Content FINGERPRINT of a snapshot — the integrity check of
     * replication/backup tooling: a 64-bit digest of the full content
-    * that is PARTITIONING-INVARIANT (xor of per-row hashes — xor is
-    * commutative/associative, so file layout, shuffle width, and row
-    * order cannot change it; [[optimize]] provably preserves it while
-    * any row mutation flips it). Row hash = xxhash64 of the to_json
-    * rendering under the SORTED column list, so two snapshots with
-    * the same rows in different column orders fingerprint equal. One
-    * scan, one 8-byte aggregate. */
+    * that is PARTITIONING-INVARIANT (SUM of per-row hashes mod 2⁶⁴ —
+    * addition is commutative/associative, so file layout, shuffle
+    * width, and row order cannot change it; [[optimize]] provably
+    * preserves it while any row mutation flips it). Sum, not xor: xor
+    * cancels even-multiplicity rows ({A,A,B} would digest equal to
+    * {B}), and inserts carry no key constraint, so duplicate rows are
+    * legal content that must count — the standard multiset digest.
+    * (Non-ANSI long overflow wraps two's-complement = the mod 2⁶⁴
+    * intended here.) Row hash = xxhash64 of the to_json rendering
+    * under the SORTED column list, so two snapshots with the same rows
+    * in different column orders fingerprint equal; an empty snapshot
+    * digests 0. One scan, one 8-byte aggregate. */
   def contentFingerprint(v: Int): Long = {
     import org.apache.spark.sql.functions._
     val df = dataFrameAt(v)
     val cols = df.columns.sorted.toSeq
     df.select(xxhash64(to_json(struct(cols.map(col): _*))).as("__h"))
-      .agg(expr("bit_xor(__h)")).head().getLong(0)
+      .agg(coalesce(sum("__h"), lit(0L))).head().getLong(0)
   }
 
   /** SCHEMA DIFF between two snapshots — the evolution audit beside
@@ -294,9 +299,14 @@ class FactStore(val spark: SparkSession, val name: String, dir: Path) extends Co
     val preds = expectations.map { case (n, json) =>
       n -> JxCompiler.truthy(JxExpr.parseJson(json), c) }
     val allPass = preds.map(_._2).reduce(_ && _)
+    // coalesce each sum: over an EMPTY increment (routine in incremental
+    // pipelines) sum() is null and getLong would NPE — the right answer
+    // is a zero-violation report and an empty insert
     val aggs = preds.map { case (n, p) =>
-      sum(when(!coalesce(p, lit(false)), 1L).otherwise(0L)).as(s"__v_$n") } ++
-      Seq(sum(when(!coalesce(allPass, lit(false)), 1L).otherwise(0L)).as("__any"),
+      coalesce(sum(when(!coalesce(p, lit(false)), 1L).otherwise(0L)), lit(0L))
+        .as(s"__v_$n") } ++
+      Seq(coalesce(sum(when(!coalesce(allPass, lit(false)), 1L).otherwise(0L)), lit(0L))
+            .as("__any"),
           count(lit(1)).as("__rows_in"))
     val row = docs.agg(aggs.head, aggs.tail: _*).head()
     val viol = preds.indices.map(i => expectations(i)._1 -> row.getLong(i))

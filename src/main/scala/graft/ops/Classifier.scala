@@ -49,10 +49,32 @@ object Classifier {
     * Heaps' law; for unbounded vocab swap [[hashedTf]] + [[trainLogReg]]. */
   def nbTrainScore(df: DataFrame, idCol: String, textCol: String,
                    labelCol: Column): DataFrame = {
-    val toks = df
-      .select(col(idCol), labelCol.cast("int").as("__y"),
+    val (w, pri) = nbWeights(df, textCol, labelCol)
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("__tok"))
+    val sums = toks.join(broadcast(w), Seq("__tok"))
+      .groupBy(idCol).agg(sum("__w").as("__s"))
+    df.select(col(idCol))
+      .join(sums, Seq(idCol), "left")
+      .crossJoin(broadcast(pri))
+      .select(col(idCol),
+        round(col("__b") + coalesce(col("__s"), lit(0.0)), 6).as("score"))
+      .withColumn("pred", col("score") > 0.0)
+  }
+
+  /** Shared NB training kernel — ONE definition of the smoothing
+    * formula so batch scoring ([[nbTrainScore]]) and the serving
+    * export ([[nbFit]]) can never desynchronize (q_stream_quality
+    * asserts their outputs byte-equal). A null label counts as class 0
+    * (matching the oracle's CASE WHEN ... ELSE 0 — an unknown label is
+    * a non-match, not a skipped row). Returns the (token, __w) weight
+    * table and the 1-row prior frame (__b). */
+  private def nbWeights(df: DataFrame, textCol: String,
+                        labelCol: Column): (DataFrame, DataFrame) = {
+    val y = coalesce(labelCol.cast("int"), lit(0))
+    val toks = df.select(y.as("__y"),
         TextAnalysis.tokens(lower(col(textCol))).as("__t"))
-      .select(col(idCol), col("__y"), explode(col("__t")).as("__tok"))
+      .select(col("__y"), explode(col("__t")).as("__tok"))
     val cnt = toks.groupBy("__tok").agg(
       sum(col("__y")).as("__c1"),
       sum(lit(1) - col("__y")).as("__c0"))
@@ -64,16 +86,8 @@ object Classifier {
       (log((col("__c1") + 1.0) / (col("__t1") + col("__v"))) -
        log((col("__c0") + 1.0) / (col("__t0") + col("__v")))).as("__w"))
     val pri = df.agg(
-      log((sum(labelCol.cast("int")) + 1.0) /
-          (sum(lit(1) - labelCol.cast("int")) + 1.0)).as("__b"))
-    val sums = toks.join(broadcast(w), Seq("__tok"))
-      .groupBy(idCol).agg(sum("__w").as("__s"))
-    df.select(col(idCol))
-      .join(sums, Seq(idCol), "left")
-      .crossJoin(broadcast(pri))
-      .select(col(idCol),
-        round(col("__b") + coalesce(col("__s"), lit(0.0)), 6).as("score"))
-      .withColumn("pred", col("score") > 0.0)
+      log((sum(y) + 1.0) / (sum(lit(1) - y) + 1.0)).as("__b"))
+    (w, pri)
   }
 
   /** A fitted NB model exported for SERVING: per-token log-odds +
@@ -87,22 +101,10 @@ object Classifier {
     * Same one-shuffle training plan; only the vocab-bounded weights
     * ever reach the driver. */
   def nbFit(df: DataFrame, textCol: String, labelCol: Column): NbModel = {
-    val toks = df
-      .select(labelCol.cast("int").as("__y"),
-        explode(TextAnalysis.tokens(lower(col(textCol)))).as("__tok"))
-    val cnt = toks.groupBy("__tok").agg(
-      sum(col("__y")).as("__c1"), sum(lit(1) - col("__y")).as("__c0"))
-    val tot = cnt.agg(sum("__c1").as("__t1"), sum("__c0").as("__t0"),
-      count(lit(1)).as("__v"))
-    val w = cnt.crossJoin(broadcast(tot)).select(col("__tok"),
-      (log((col("__c1") + 1.0) / (col("__t1") + col("__v"))) -
-       log((col("__c0") + 1.0) / (col("__t0") + col("__v")))).as("__w"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val b = df.agg(
-      log((sum(labelCol.cast("int")) + 1.0) /
-          (sum(lit(1) - labelCol.cast("int")) + 1.0)).as("__b"))
-      .head().getDouble(0)
-    NbModel(w, b)
+    val (w, pri) = nbWeights(df, textCol, labelCol)
+    NbModel(
+      w.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap,
+      pri.head().getDouble(0))
   }
 
   /** Score text under an exported [[NbModel]] as pure Column algebra —

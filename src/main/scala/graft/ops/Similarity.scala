@@ -166,9 +166,15 @@ object Similarity {
     val y = ys.select(col(idCol).as("y_id"), vecD(col(vecCol)).as("y_vec"))
       .withColumn("y_norm", sqrt(dot(col("y_vec"), col("y_vec"))))
     val den = col("x_norm") * col("y_norm")
+    // localCheckpoint: three consumers (pair scores + both directional
+    // top-k averages) read this frame, and Spark does no cross-branch
+    // common-subplan elimination — lazily every pairwise dot product
+    // would run 3×. Same materialization rationale (and same
+    // CacheManager-identity avoidance) as Graph.pageRank.
     val scored = x.crossJoin(broadcast(y))
       .select(col("x_id"), col("y_id"),
         when(den =!= 0.0, dot(col("x_vec"), col("y_vec")) / den).as("sim"))
+      .localCheckpoint()
     val wx = Window.partitionBy("x_id").orderBy(col("sim").desc, col("y_id"))
     val ax = scored.withColumn("__rk", row_number().over(wx)).where(col("__rk") <= k)
       .groupBy("x_id").agg(avg("sim").as("__ax"))

@@ -984,12 +984,15 @@ object TextAnalysis {
     * (id, char) count shuffle + one per-doc reduce; entropy =
     * log2(n) − Σc·log2(c)/n over the per-char counts (the algebraic
     * form that needs no per-row probability division). Rounded 6 dp;
-    * empty/null docs are absent from the output. */
+    * empty/null docs are absent from the output. Chars are CODE
+    * POINTS — `regexp_extract_all` with `(?s).` (a Java regex dot
+    * matches one code point, keeping surrogate pairs whole), the same
+    * unit DuckDB's substr iterates; a split-on-empty draft counted
+    * UTF-16 units and diverged on any astral-plane character. */
   def charEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
                   textCol: String): org.apache.spark.sql.DataFrame = {
     val chars = df.select(col(idCol).as("id"),
-        explode(split(col(textCol), "")).as("ch"))
-      .where(length(col("ch")) > 0)
+        explode(regexp_extract_all(col(textCol), lit("(?s)."), lit(0))).as("ch"))
     val cnt = chars.groupBy("id", "ch").agg(count(lit(1)).as("c"))
     cnt.groupBy("id").agg(
       round((log2(sum("c")) -
@@ -1030,7 +1033,7 @@ object TextAnalysis {
     * to 6 dp. The rank window is global but runs over the term-count
     * table (vocab-sized by Heaps' law), never the corpus. Returns one
     * row (n_terms, slope, intercept). */
-  def zipfFit(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+  def zipfFit(df: org.apache.spark.sql.DataFrame, textCol: String,
               topN: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.select(explode(tokens(lower(col(textCol)))).as("term"))
@@ -1060,7 +1063,7 @@ object TextAnalysis {
     * evaluate interpreted, per pair). O(len·window) per doc; the only
     * shuffle is the final (center, context) count. Returns
     * (center, context, cnt) — sort is the caller's. */
-  def skipGramPairs(df: org.apache.spark.sql.DataFrame, idCol: String,
+  def skipGramPairs(df: org.apache.spark.sql.DataFrame,
                     textCol: String, window: Int): org.apache.spark.sql.DataFrame = {
     require(window > 0)
     val t = tokens(lower(col(textCol)))
@@ -1084,7 +1087,7 @@ object TextAnalysis {
     * over adjacent-token bigrams with count ≥ `minCount`; top `k` by
     * ROUNDED (6 dp) pmi with (a, b) tiebreak. Unigram tables join
     * broadcast (vocab-sized); totals ride a 1-row broadcast. */
-  def pmiCollocations(df: org.apache.spark.sql.DataFrame, idCol: String,
+  def pmiCollocations(df: org.apache.spark.sql.DataFrame,
                       textCol: String, minCount: Long, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = tokens(lower(col(textCol)))

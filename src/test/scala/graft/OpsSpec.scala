@@ -1430,6 +1430,12 @@ class OpsSpec extends AnyFunSuite {
       java.nio.file.Files.createTempDirectory("graft_exp4"))
     val rep4 = s4.insertWithExpectations(dn, rules, mode = "drop").collect()
     assert(rep4.head.getLong(1) === 1L && s4.dataFrame.count() === 1)
+    // an EMPTY increment (routine in incremental pipelines) reports
+    // zero violations instead of NPEing on the null aggregate
+    val rep5 = s4.insertWithExpectations(d.where(col("id") < 0), rules, mode = "fail")
+      .collect()
+    assert(rep5.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq((0L, 0L, 0L)))
   }
 
   test("FactStore.tag: pins survive mutations, re-tag moves, bad refs reject") {
@@ -1466,6 +1472,12 @@ class OpsSpec extends AnyFunSuite {
     val store2 = new graft.container.FactStore(spark, "fp2_spec", tmp2)
     store2.insert(data.selectExpr("v", "id").repartition(3))
     assert(store2.contentFingerprint(1) === fp1)
+    // duplicate rows COUNT (sum digest, not xor: {A,A,B} ≠ {B})
+    store2.insert(data.selectExpr("v", "id").limit(1))
+    assert(store2.contentFingerprint(2) !== fp1)
+    // an empty snapshot digests 0, not NPE
+    store2.delete("""{"gte": {"id": 0}}""")
+    assert(store2.contentFingerprint(3) === 0L)
   }
 
   test("FactStore.schemaDiff: added/removed/retyped columns across versions") {
@@ -2335,6 +2347,12 @@ class OpsSpec extends AnyFunSuite {
     assert(r(2L) === 0.0)
     assert(r(3L) === 2.0)
     assert(!r.contains(4L)) // empty doc absent
+    // astral-plane chars count as ONE symbol (code points, not UTF-16
+    // units — a surrogate-splitting tokenizer would report 1 bit here)
+    val emoji = Seq((9L, "😀😀")).toDF("doc_id", "text")
+    val re = TextAnalysis.charEntropy(emoji, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(re(9L) === 0.0)
   }
 
   test("compressionRatio: boilerplate compresses far below varied prose") {
@@ -2392,7 +2410,7 @@ class OpsSpec extends AnyFunSuite {
   test("zipfFit: an exact 1/rank law recovers slope -1") {
     val words = Seq.fill(12)("a") ++ Seq.fill(6)("b") ++ Seq.fill(4)("c") ++ Seq.fill(3)("d")
     val d = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
-    val r = TextAnalysis.zipfFit(d, "doc_id", "text", topN = 4).head()
+    val r = TextAnalysis.zipfFit(d, "text", topN = 4).head()
     assert(r.getLong(0) === 4L)
     assert(r.getDouble(1) === -1.0) // counts 12/rank → ln(c) = ln 12 − ln(rank)
     assert(r.getDouble(2) === math.rint(math.log(12.0) * 1e6) / 1e6)
@@ -2414,10 +2432,10 @@ class OpsSpec extends AnyFunSuite {
 
   test("skipGramPairs: exact pair multiset on a 3-token doc") {
     val d = Seq((1L, "a b c"), (2L, " ")).toDF("doc_id", "text")
-    val w1 = TextAnalysis.skipGramPairs(d, "doc_id", "text", window = 1)
+    val w1 = TextAnalysis.skipGramPairs(d, "text", window = 1)
       .as[(String, String, Long)].collect().toSet
     assert(w1 === Set(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 1L), ("c", "b", 1L)))
-    val w2 = TextAnalysis.skipGramPairs(d, "doc_id", "text", window = 2)
+    val w2 = TextAnalysis.skipGramPairs(d, "text", window = 2)
       .as[(String, String, Long)].collect().toSet
     assert(w2 === w1 ++ Set(("a", "c", 1L), ("c", "a", 1L)))
   }
@@ -2426,7 +2444,7 @@ class OpsSpec extends AnyFunSuite {
     // "new york" always adjacent (PMI high); "the" pairs with everything
     val rows = (0 until 20).map(i => (i.toLong, s"the new york office w${i % 4} the end"))
     val d = rows.toDF("doc_id", "text")
-    val out = TextAnalysis.pmiCollocations(d, "doc_id", "text", minCount = 5, k = 10)
+    val out = TextAnalysis.pmiCollocations(d, "text", minCount = 5, k = 10)
       .collect()
     assert(out.head.getString(1) === "new" && out.head.getString(2) === "york")
     // pmi(new york): c=20, ca=cb=20; hand-check against the formula
