@@ -228,6 +228,41 @@ object StreamCatalog {
     // state store; the drained stream must reproduce the batch
     // operator's (n_hits, contaminated) verdict for every document,
     // which is the batch entry's oracle verbatim.
+    // batch-fit / stream-route cluster assignment: exact per-label
+    // centroids (rounded means — engine-reproducible) fit batch-side,
+    // the embedding STREAM routes to its nearest centroid as stateless
+    // map-side Column algebra (greatest over (sim, label) structs, no
+    // shuffle, no state). Oracle rebuilds the rounded centroids and
+    // replays the argmax with list_cosine_similarity.
+    "q_stream_route" -> (raw((s, dir) => {
+      val cents = graft.ops.Similarity.centroids(
+          SparkEntry.loader(s, dir)("embeddings"), "label")
+        .collect().map(r => (r.getInt(0).toLong,
+          r.getSeq[Double](2).toArray)).toSeq.sortBy(_._1)
+      val vecs = streamRead(s, dir, "embeddings")
+      val routed = graft.ops.Similarity.routeToCentroids(vecs, "embedding", cents)
+        .select(col("vec_id"), col("label"), col("route_label"), col("route_sim"))
+      drain(s, routed, "route", OutputMode.Append())
+        .orderBy("vec_id")
+    }), Some("""
+      WITH ex AS (
+        SELECT label AS g, v, unnest(generate_series(1, len(v))) AS i
+        FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+      cent AS (
+        SELECT g, i, round(sum(v[i]) / count(*), 6) AS m
+        FROM ex GROUP BY 1, 2),
+      cvec AS (SELECT g, list(m ORDER BY i) AS c FROM cent GROUP BY 1),
+      scored AS (
+        SELECT e.vec_id, e.label, cvec.g,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cvec.c), 6) AS sim
+        FROM embeddings e CROSS JOIN cvec),
+      best AS (
+        SELECT vec_id, label, g, sim,
+               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, g DESC) AS rk
+        FROM scored)
+      SELECT vec_id, label, CAST(g AS BIGINT) AS route_label, sim AS route_sim
+      FROM best WHERE rk = 1 ORDER BY vec_id""")),
+
     // batch-train / stream-serve quality filtering: the NB model fits
     // on the static corpus (one token-keyed shuffle, vocab-sized
     // export), then scores the STREAM as pure map-side Column algebra —

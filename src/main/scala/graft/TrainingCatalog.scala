@@ -1549,6 +1549,41 @@ object TrainingCatalog {
            (SELECT m FROM ranked WHERE rk = 1) lo,
            (SELECT m FROM ranked WHERE rk = 39) hi""")),
 
+    // regular-grid RESAMPLE + LOCF gap fill (irregular events → dense
+    // hourly per-user series): per-bucket last observation under a
+    // fully deterministic (ts desc, value desc) tie order, grids
+    // generated arithmetically per key (no calendar table), forward
+    // fill via last(ignoreNulls). First week only — grid size is
+    // keys × span/step by design, the entry bounds the span.
+    "q_events_locf" -> (q((s, dir) =>
+      graft.ops.Sessions.resampleLocf(
+          SparkEntry.loader(s, dir)("events")
+            .where(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp")),
+          "user_id", "ts", "value", stepSec = 3600)
+        .orderBy("key", "bucket")
+    ), Some("""
+      WITH ev AS (
+        SELECT user_id AS key,
+               CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS bucket,
+               ts, value
+        FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
+      pick AS (
+        SELECT key, bucket, value
+        FROM (SELECT key, bucket, value,
+                     row_number() OVER (PARTITION BY key, bucket
+                                        ORDER BY ts DESC, value DESC) AS rn
+              FROM ev)
+        WHERE rn = 1),
+      grid AS (
+        SELECT key, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+        FROM (SELECT key, min(bucket) AS lo, max(bucket) AS hi FROM pick GROUP BY 1))
+      SELECT g.key, g.bucket, p.value,
+             last_value(p.value IGNORE NULLS) OVER (
+               PARTITION BY g.key ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      FROM grid g LEFT JOIN pick p USING (key, bucket)
+      ORDER BY g.key, g.bucket""")),
+
     // weekly COHORT RETENTION matrix: users by first-activity week,
     // per-offset distinct active count + rate vs the cohort's own
     // week-0 size. Two keyed shuffles + one cohort window; Monday
@@ -3190,6 +3225,36 @@ object TrainingCatalog {
       SELECT q_id, role, 1 AS found, CAST(1.0 AS DOUBLE) AS top_sim
       FROM a CROSS JOIN (SELECT unnest(['neg','pos']) AS role)
       ORDER BY q_id, role""")),
+
+    // corpus-wide k-NN JOIN via shared IVF cells (the SemDeDup/kNN-LM
+    // all-pairs primitive): nothing broadcasts — query side IS the
+    // corpus, both sides shuffle once on the cell id, candidates meet
+    // in a keyed equi-join bounded by cell occupancy. Planted exact
+    // copies of every 25th vector must be each other's rank-1 in BOTH
+    // directions at cos 1.0 (same cell by construction) — the
+    // deterministic-recall oracle pattern of the ANN family.
+    "q_sim_knn_join" -> (q((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val anchors = e.where(col("vec_id") % 25 === 0)
+      val planted = anchors.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = e.unionByName(planted)
+      val cents = ivfCentroidsFor(s, dir, corpus, nlist = 16)
+      val knn = Similarity.knnJoinIvf(corpus, k = 3, cents, nprobe = 8)
+        .where(col("rank") === 1)
+      val fwd = knn.where(col("q_id") < 1000000L && col("q_id") % 25 === 0)
+        .select(col("q_id"), lit("fwd").as("dir"),
+          when(col("n_id") === col("q_id") + 1000000L, 1).otherwise(0).as("found"),
+          round(col("sim"), 6).as("top_sim"))
+      val bwd = knn.where(col("q_id") >= 1000000L)
+        .select((col("q_id") - 1000000L).as("q_id"), lit("bwd").as("dir"),
+          when(col("n_id") === col("q_id") - 1000000L, 1).otherwise(0).as("found"),
+          round(col("sim"), 6).as("top_sim"))
+      fwd.unionByName(bwd).orderBy("q_id", "dir")
+    }), Some("""
+      WITH a AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id % 25 = 0)
+      SELECT q_id, dir, 1 AS found, CAST(1.0 AS DOUBLE) AS top_sim
+      FROM a CROSS JOIN (SELECT unnest(['bwd', 'fwd']) AS dir)
+      ORDER BY q_id, dir""")),
 
     // LSH-bucketed ANN: approximate (bucket recall measured in OpsSpec
     // against the brute-force baseline) → rows-only check.

@@ -43,4 +43,38 @@ object Sessions {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
         (max(col(tsCol)).cast("double") - min(col(tsCol)).cast("double")).as("duration_sec"))
+
+  /** Regular-grid RESAMPLE with last-observation-carried-forward — the
+    * gap-fill that turns an irregular event stream into the dense
+    * per-key time series feature pipelines join against. Per key: a
+    * `stepSec`-spaced bucket grid spans its own [min, max] activity
+    * (generated arithmetically with `sequence` — never a calendar
+    * table join), each bucket takes its LAST observation (ts desc,
+    * value desc — fully deterministic tie order), and empty buckets
+    * forward-fill via `last(ignoreNulls)` over an unbounded-preceding
+    * frame. Two shuffles (bucket dedup, per-key window); grid size is
+    * keys × span/step, independent of event volume. Returns
+    * (key, bucket, value, filled) — `value` null on gap rows, `filled`
+    * the LOCF series (null only before a key's first observation,
+    * impossible here since grids start at each key's min). */
+  def resampleLocf(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+                   stepSec: Long): DataFrame = {
+    require(stepSec > 0)
+    val bucket = timestamp_seconds(
+      floor(col(tsCol).cast("double") / stepSec) * stepSec)
+    val obs = df.select(col(keyCol).as("key"), bucket.as("bucket"),
+        col(tsCol).as("__ts"), col(valCol).as("value"))
+    val wPick = Window.partitionBy("key", "bucket")
+      .orderBy(col("__ts").desc, col("value").desc)
+    val perBucket = obs.withColumn("__rn", row_number().over(wPick))
+      .where(col("__rn") === 1).select("key", "bucket", "value")
+    val grid = perBucket.groupBy("key")
+      .agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
+      .select(col("key"), explode(sequence(col("__lo"), col("__hi"),
+        expr(s"INTERVAL $stepSec SECONDS"))).as("bucket"))
+    val wFill = Window.partitionBy("key").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perBucket, Seq("key", "bucket"), "left")
+      .withColumn("filled", last("value", ignoreNulls = true).over(wFill))
+  }
 }

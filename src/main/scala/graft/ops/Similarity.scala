@@ -76,6 +76,32 @@ object Similarity {
       .select(col("g").as(groupCol), col("n_vecs"), col("centroid"))
   }
 
+  /** Route vectors to their nearest centroid — the online SERVING side
+    * of cluster assignment (mixture routing, shard selection, online
+    * SemDeDup cell assignment): centroids are a driver-resident literal
+    * list (fit batch-side, e.g. [[centroids]]' rounded means), scoring
+    * is pure Column algebra per centroid — stateless and map-side, so
+    * it runs unchanged inside a streaming micro-batch. Argmax on the
+    * ROUNDED (6 dp) cosine with larger-label tiebreak (a `greatest`
+    * over (sim, label) structs — no explode, no shuffle). Adds
+    * (route_label, route_sim). */
+  def routeToCentroids(df: DataFrame, vecCol: String,
+                       cents: Seq[(Long, Array[Double])]): DataFrame = {
+    require(cents.nonEmpty)
+    val v = vecD(col(vecCol))
+    val vn = sqrt(dot(v, v))
+    val scored = cents.map { case (lbl, c) =>
+      val cl = array(c.toSeq.map(lit(_)): _*)
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      val sim = when(vn * cn =!= 0.0, dot(v, cl) / (vn * lit(cn))).otherwise(lit(-2.0))
+      struct(round(sim, 6).as("sim"), lit(lbl).as("lbl"))
+    }
+    df.withColumn("__best", greatest(scored: _*))
+      .withColumn("route_label", col("__best.lbl"))
+      .withColumn("route_sim", col("__best.sim"))
+      .drop("__best")
+  }
+
   // -- int8 storage quantization ------------------------------------------
 
   /** Symmetric per-vector int8 quantization (4× embedding storage
@@ -415,6 +441,28 @@ object Similarity {
                        labelCol: String = "label"): DataFrame =
     labelFilteredTopKIvf(corpus, anchors, k, sameLabel = false, centroids,
       nprobe, idCol, vecCol, labelCol)
+
+  /** Corpus-wide k-NN JOIN via shared IVF cells — every vector gets its
+    * top-k neighbors, the all-pairs primitive behind SemDeDup, kNN-LM
+    * datastores, and graph-based dedup. Unlike the query-set searches
+    * ([[ivfSearch]], [[labelFilteredTopKIvf]]) nothing broadcasts: the
+    * query side IS the corpus, so both sides shuffle ONCE on the coarse
+    * cell id (each vector probes its `nprobe` nearest cells) and
+    * candidates meet in a keyed equi-join — per-cell work is bounded by
+    * cell occupancy (corpus/nlist expected), never corpus². One
+    * per-query window finishes the top-k; recall follows IVF cell
+    * recall (planted exact copies share cell 1 by construction). */
+  def knnJoinIvf(corpus: DataFrame, k: Int, centroids: Array[Array[Double]],
+                 nprobe: Int = 4, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), vecD(col(vecCol)).as("n_vec"))
+      .withColumn("cell", nearestCell(col("n_vec"), centroids))
+    val q = corpus.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_vec"))
+      .withColumn("probe", explode(probeCells(col("q_vec"), centroids, nprobe)))
+      .select(col("q_id"), col("q_vec"), col("probe.cell").as("cell"))
+    topKBySim(cosineScored(
+      c.join(q, Seq("cell")).where(col("q_id") =!= col("n_id"))), k)
+  }
 
   private def labelFilteredTopKIvf(corpus: DataFrame, anchors: DataFrame, k: Int,
                                    sameLabel: Boolean, centroids: Array[Array[Double]],

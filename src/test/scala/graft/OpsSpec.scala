@@ -2392,6 +2392,23 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.getDouble(2) === lo && r2.getDouble(3) === hi)
   }
 
+  test("resampleLocf: gaps fill forward, grid spans each key's own range") {
+    val e = Seq(
+      ("u1", "2024-01-01 00:10:00", 1.0),
+      ("u1", "2024-01-01 00:40:00", 2.0),   // same bucket, later ts wins
+      ("u1", "2024-01-01 03:05:00", 9.0),   // 2-hour gap → two filled rows
+      ("u2", "2024-01-01 05:00:00", 7.0)    // independent grid
+    ).toDF("user_id", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val out = Sessions.resampleLocf(e, "user_id", "ts", "v", stepSec = 3600)
+      .select(col("key"), date_format(col("bucket"), "HH").as("h"),
+        col("value"), col("filled"))
+      .as[(String, String, Option[Double], Double)].collect().toSet
+    assert(out === Set(
+      ("u1", "00", Some(2.0), 2.0), ("u1", "01", None, 2.0),
+      ("u1", "02", None, 2.0), ("u1", "03", Some(9.0), 9.0),
+      ("u2", "05", Some(7.0), 7.0)))
+  }
+
   test("cohortRetention: hand-built weekly matrix with per-cohort rates") {
     val e = Seq(
       ("A", "2024-01-02 10:00:00"), ("A", "2024-01-09 10:00:00"),
@@ -2414,6 +2431,38 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getLong(0) === 4L)
     assert(r.getDouble(1) === -1.0) // counts 12/rank → ln(c) = ln 12 − ln(rank)
     assert(r.getDouble(2) === math.rint(math.log(12.0) * 1e6) / 1e6)
+  }
+
+  test("routeToCentroids: axis geometry, rounded sims, larger-label tiebreak") {
+    val d = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(0.6f, 0.8f)), (4L, Array(1f, 1f))).toDF("vec_id", "embedding")
+    val cents = Seq(0L -> Array(1.0, 0.0), 1L -> Array(0.0, 1.0))
+    val r = Similarity.routeToCentroids(d, "embedding", cents)
+      .select("vec_id", "route_label", "route_sim")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(1L) === ((0L, 1.0)) && r(2L) === ((1L, 1.0)))
+    assert(r(3L) === ((1L, 0.8)))
+    assert(r(4L)._1 === 1L) // exact tie on rounded sim → larger label
+  }
+
+  test("knnJoinIvf: full-probe join equals brute force; partial probe keeps recall") {
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 37 + d * 11).toFloat))
+    }
+    val e = vecs.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfFitCentroids(e, nlist = 6)
+    val brute = Similarity.bruteForceTopK(e, e, k = 1)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    // nprobe = nlist probes every cell → candidates are the whole
+    // corpus and the join must reproduce brute force exactly
+    val full = Similarity.knnJoinIvf(e, k = 1, cents, nprobe = 6)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    assert(full === brute)
+    // partial probe: approximate, but most top-1s survive
+    val part = Similarity.knnJoinIvf(e, k = 1, cents, nprobe = 2)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    val recall = part.count { case (q, n) => brute.get(q).contains(n) } / 120.0
+    assert(recall >= 0.6, s"nprobe=2 top-1 recall collapsed: $recall")
   }
 
   test("bitextMine: planted translation pairs mine at the hand-computed margin") {
