@@ -407,6 +407,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"unexpected window operator:\n$p")
   }
 
+  test("kNN join: candidates from the cell equi-join, never a product join") {
+    val p = plan("q_sim_knn_join")
+    assert(!p.contains("CartesianProduct"), s"product join in kNN-join plan:\n$p")
+    // the corpus meets itself keyed on the cell id, not pairwise
+    assert(p.contains("cell"), s"no cell-keyed join in plan:\n$p")
+  }
+
+  test("BM25: query-term list broadcasts onto the tf table") {
+    val p = plan("q_text_bm25")
+    assert(p.contains("BroadcastHashJoin"), s"query probe is not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"product join in BM25 plan:\n$p")
+  }
+
+  test("LOCF resample: arithmetic grid, no calendar-table product join") {
+    val p = plan("q_events_locf")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"grid joined as a product:\n$p")
+    assert(p.contains("Generate explode"), s"grid is not sequence-generated:\n$p")
+  }
+
   test("NB quality filter: weight table broadcasts onto tokens, no product join") {
     val p = plan("q_quality_nb")
     // the vocab-sized weight table must reach the exploded-token stream
