@@ -1521,6 +1521,65 @@ object TrainingCatalog {
              round(avg(CAST(is_en AS DOUBLE)), 6) AS frac_en
       FROM scored GROUP BY 1 ORDER BY 1""")),
 
+    // token-budget WATER FILLING across sources (the mixture-design
+    // "epochs per source" recipe arithmetic): weights derived from the
+    // source index, budget = ⌊2.2 × corpus tokens⌋ with a 3-epoch cap
+    // so heavy-weight sources genuinely cap and redistribute at every
+    // SF. All-long allocation arithmetic; oracle replays 3 rounds as
+    // chained CTEs.
+    "q_budget_mix" -> (q((s, dir) => {
+      val counts = docs(s, dir).groupBy("source")
+        .agg(sum(TextAnalysis.tokenCount(col("text"))).as("tokens"))
+        .withColumn("weight",
+          (substring(col("source"), 4, 10).cast("int") % 4 + 1).cast("double"))
+      val total = counts.agg(sum("tokens")).head().getLong(0)
+      graft.ops.Sampling.budgetAllocate(counts,
+          budget = math.floor(2.2 * total).toLong, maxEpochs = 3.0)
+        .orderBy("source")
+    }), Some("""
+      WITH base AS (
+        SELECT source,
+               CAST(sum(CASE WHEN length(trim(text)) > 0
+                             THEN len(regexp_split_to_array(trim(text), '\s+'))
+                             ELSE 0 END) AS BIGINT) AS tokens,
+               CAST((CAST(substr(source, 4) AS INT) % 4) + 1 AS DOUBLE) AS weight
+        FROM documents GROUP BY source),
+      p AS (SELECT CAST(floor(2.2 * sum(tokens)) AS BIGINT) AS budget FROM base),
+      r0 AS (SELECT source, tokens, weight,
+                    CAST(floor(tokens * 3.0) AS BIGINT) AS cap,
+                    CAST(0 AS BIGINT) AS alloc
+             FROM base),
+      t1 AS (SELECT sum(CASE WHEN alloc < cap THEN weight END) AS wsum,
+                    budget - sum(alloc) AS rem
+             FROM r0 CROSS JOIN p GROUP BY budget),
+      r1 AS (SELECT source, tokens, weight, cap,
+                    alloc + CASE WHEN alloc < cap AND wsum > 0
+                                 THEN least(cap - alloc,
+                                      CAST(floor(rem * weight / wsum) AS BIGINT))
+                                 ELSE 0 END AS alloc
+             FROM r0 CROSS JOIN t1),
+      t2 AS (SELECT sum(CASE WHEN alloc < cap THEN weight END) AS wsum,
+                    budget - sum(alloc) AS rem
+             FROM r1 CROSS JOIN p GROUP BY budget),
+      r2 AS (SELECT source, tokens, weight, cap,
+                    alloc + CASE WHEN alloc < cap AND wsum > 0
+                                 THEN least(cap - alloc,
+                                      CAST(floor(rem * weight / wsum) AS BIGINT))
+                                 ELSE 0 END AS alloc
+             FROM r1 CROSS JOIN t2),
+      t3 AS (SELECT sum(CASE WHEN alloc < cap THEN weight END) AS wsum,
+                    budget - sum(alloc) AS rem
+             FROM r2 CROSS JOIN p GROUP BY budget),
+      r3 AS (SELECT source, tokens, weight, cap,
+                    alloc + CASE WHEN alloc < cap AND wsum > 0
+                                 THEN least(cap - alloc,
+                                      CAST(floor(rem * weight / wsum) AS BIGINT))
+                                 ELSE 0 END AS alloc
+             FROM r2 CROSS JOIN t3)
+      SELECT source, tokens, cap, CAST(alloc AS BIGINT) AS alloc,
+             round(alloc / tokens, 6) AS epochs
+      FROM r3 ORDER BY source""")),
+
     // deterministic Poisson-bootstrap CI for a corpus statistic (the
     // eval-metric error bar): 40 resamples, multiplicities from
     // md5(id:b) hex cutoffs (engine-portable), ONE (b)-keyed aggregate,
@@ -3314,6 +3373,31 @@ object TrainingCatalog {
         ivfCentroidsFor(s, dir, corpus, nlist = 16))
       Similarity.ivfSearch(corpus, queries,
           Similarity.loadIvfCentroids(s, path), k = 5, nprobe = 8)
+        .groupBy(col("q_id"))
+        .agg(max(when(col("n_id") === col("q_id") + 1000000L, 1).otherwise(0)).as("found"),
+          round(max(col("sim")), 6).as("top_sim"))
+        .orderBy("q_id")
+    }), Some("""
+      SELECT vec_id AS q_id, 1 AS found, CAST(1.0 AS DOUBLE) AS top_sim
+      FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")),
+
+    // MATERIALIZED inverted lists + incremental ingest: the corpus is
+    // saved CELL-PARTITIONED (the on-disk shape of a real IVF index),
+    // planted query copies arrive via APPEND against the fixed
+    // quantizer (no re-assignment of the existing corpus), and the
+    // search reads only the probed partitions (static
+    // PartitionFilters, PlanSpec-pinned). Found=1 at cos 1.0 proves
+    // the appended rows are live in the index.
+    "q_sim_ivf_append" -> (q((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val queries = e.where(col("vec_id") < 20)
+      val planted = queries.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_ivf_lists_${ProcessHandle.current().pid()}", "lists").toString
+      val cents = ivfCentroidsFor(s, dir, e, nlist = 16)
+      Similarity.ivfSaveAssignments(path, e, cents)
+      Similarity.ivfAppendAssignments(path, planted, cents)
+      Similarity.ivfSearchSaved(s, path, queries, cents, k = 5, nprobe = 8)
         .groupBy(col("q_id"))
         .agg(max(when(col("n_id") === col("q_id") + 1000000L, 1).otherwise(0)).as("found"),
           round(max(col("sim")), 6).as("top_sim"))

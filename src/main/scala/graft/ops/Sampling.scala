@@ -266,4 +266,44 @@ object Sampling {
       when(bucket < lit(hex), name).otherwise(rest)
     }
   }
+
+  /** Token-BUDGET allocation across sources under an epoch cap — the
+    * mixture-design arithmetic of corpus recipes ("how many epochs of
+    * each source fill the budget"): proportional-to-weight WATER
+    * FILLING. Each round gives every uncapped source
+    * `floor(budget_remaining · w / Σ_uncapped w)` more tokens, clamped
+    * at its cap (`tokens · maxEpochs`); sources that hit their cap
+    * drop out and their share redistributes next round. `rounds`
+    * bounds the iteration (each round retires ≥1 capped source or
+    * terminates, so `rounds` = expected distinct cap tiers; leftover
+    * from floor rounding / all-capped states is reported, not lost).
+    * All long arithmetic except the weight shares — deterministic and
+    * SQL-replayable. Input: (source, tokens, weight) rows. Output:
+    * (source, tokens, cap, alloc, epochs 6 dp). Sources×rounds frame
+    * sizes — driver-free but trivially small; the point is the
+    * deterministic recipe, not scale. */
+  def budgetAllocate(counts: org.apache.spark.sql.DataFrame, budget: Long,
+                     maxEpochs: Double, rounds: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(budget >= 0 && maxEpochs > 0 && rounds >= 1)
+    var cur = counts.select(col("source"), col("tokens").cast("long").as("tokens"),
+      col("weight").cast("double").as("weight"),
+      floor(col("tokens") * maxEpochs).cast("long").as("cap"),
+      lit(0L).as("alloc"))
+    var remaining: Column = lit(budget)
+    for (_ <- 1 to rounds) {
+      val tot = cur.agg(
+        sum(when(col("alloc") < col("cap"), col("weight"))).as("__wsum"),
+        (lit(budget) - sum("alloc")).as("__rem"))
+      cur = cur.crossJoin(broadcast(tot))
+        .withColumn("__add",
+          when(col("alloc") < col("cap") && col("__wsum") > 0.0,
+            least(col("cap") - col("alloc"),
+              floor(col("__rem") * col("weight") / col("__wsum")).cast("long")))
+            .otherwise(0L))
+        .select(col("source"), col("tokens"), col("weight"), col("cap"),
+          (col("alloc") + col("__add")).as("alloc"))
+    }
+    cur.select(col("source"), col("tokens"), col("cap"), col("alloc"),
+      round(col("alloc") / col("tokens"), 6).as("epochs"))
+  }
 }

@@ -829,6 +829,50 @@ object Similarity {
     spark.read.parquet(path).orderBy(col("list_id"))
       .collect().map(_.getSeq[Double](1).toArray)
 
+  /** MATERIALIZED inverted lists: the corpus assigned to its coarse
+    * cells and written CELL-PARTITIONED — the on-disk shape of a real
+    * IVF index, where a probe reads only its lists. [[ivfSearchSaved]]
+    * then scans just the probed partitions (static PartitionFilters —
+    * a 16-cell nprobe=4 probe reads 1/4 of the index, and the fraction
+    * shrinks with nlist at scale); [[ivfAppendAssignments]] grows the
+    * index incrementally — new vectors are assigned against the FIXED
+    * quantizer and appended to their lists, no re-assignment of the
+    * existing corpus (the standard online-ingest contract; re-fit the
+    * quantizer offline when drift warrants a rebuild). */
+  def ivfSaveAssignments(path: String, corpus: DataFrame,
+                         centroids: Array[Array[Double]],
+                         idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .withColumn("cell", nearestCell(vecD(col("embedding")), centroids))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Append new vectors to a saved index (see [[ivfSaveAssignments]]). */
+  def ivfAppendAssignments(path: String, newVecs: DataFrame,
+                           centroids: Array[Array[Double]],
+                           idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    newVecs.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .withColumn("cell", nearestCell(vecD(col("embedding")), centroids))
+      .write.partitionBy("cell").mode("append").parquet(path)
+
+  /** Search a saved cell-partitioned index: each query probes its
+    * `nprobe` nearest cells; the union of probed cells (queries ×
+    * nprobe ids — driver-trivial) becomes a STATIC partition filter, so
+    * the scan reads only the probed lists, then candidates meet the
+    * broadcast queries in a cell equi-join. */
+  def ivfSearchSaved(spark: SparkSession, path: String, queries: DataFrame,
+                     centroids: Array[Array[Double]], k: Int, nprobe: Int = 4,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), vecD(col(vecCol)).as("q_vec"))
+      .withColumn("probe", explode(probeCells(col("q_vec"), centroids, nprobe)))
+      .select(col("q_id"), col("q_vec"), col("probe.cell").as("cell"))
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val idx = spark.read.parquet(path)
+      .where(col("cell").isin(probed.map(_.asInstanceOf[Any]): _*))
+      .select(col("vec_id").as("n_id"), vecD(col("embedding")).as("n_vec"), col("cell"))
+    topKBySim(cosineScored(
+      idx.join(broadcast(q), Seq("cell")).where(col("q_id") =!= col("n_id"))), k)
+  }
+
   // -- PCA / whitening ----------------------------------------------------
 
   /** Packed second-moment statistics via ONE treeAggregate: upper-

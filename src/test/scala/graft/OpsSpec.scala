@@ -2392,6 +2392,21 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.getDouble(2) === lo && r2.getDouble(3) === hi)
   }
 
+  test("budgetAllocate: capped source redistributes its share by water filling") {
+    // caps: a=300·2=600, b=1000·2=2000, c=1000·2=2000; budget 3000
+    // round 1 (w 2:1:1): a +1500→cap 600, b +750, c +750 → spent 2100
+    // round 2 (uncapped w 1:1, rem 900): b +450, c +450 → 600/1200/1200
+    val counts = Seq(("a", 300L, 2.0), ("b", 1000L, 1.0), ("c", 1000L, 1.0))
+      .toDF("source", "tokens", "weight")
+    val out = Sampling.budgetAllocate(counts, budget = 3000L, maxEpochs = 2.0)
+      .select("source", "cap", "alloc", "epochs")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("a") === ((600L, 600L, 2.0)))
+    assert(out("b") === ((2000L, 1200L, 1.2)))
+    assert(out("c") === ((2000L, 1200L, 1.2)))
+  }
+
   test("resampleLocf: gaps fill forward, grid spans each key's own range") {
     val e = Seq(
       ("u1", "2024-01-01 00:10:00", 1.0),

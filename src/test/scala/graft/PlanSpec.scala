@@ -427,6 +427,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), s"grid is not sequence-generated:\n$p")
   }
 
+  test("saved IVF lists: the index scan carries a cell partition filter") {
+    val p = plan("q_sim_ivf_append")
+    val idxScan = p.split('\n').map(_.trim)
+      .find(l => l.contains("FileScan parquet") && l.contains("graft_ivf_lists"))
+    assert(idxScan.isDefined, s"no saved-index scan in plan:\n$p")
+    // probed cells prune partitions BEFORE the scan — the whole point
+    // of materializing cell-partitioned inverted lists
+    assert(idxScan.get.contains("PartitionFilters: [cell"),
+      s"index scan reads every cell partition: ${idxScan.get}")
+  }
+
   test("NB quality filter: weight table broadcasts onto tokens, no product join") {
     val p = plan("q_quality_nb")
     // the vocab-sized weight table must reach the exploded-token stream
