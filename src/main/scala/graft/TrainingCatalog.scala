@@ -1643,6 +1643,104 @@ object TrainingCatalog {
       FROM grid g LEFT JOIN pick p USING (key, bucket)
       ORDER BY g.key, g.bucket""")),
 
+    // HYBRID retrieval (the RAG stack end to end): BM25 lexical lists
+    // and exact-cosine semantic lists (query vectors = the embedding
+    // rows sharing the doc ids), fused per query with reciprocal-rank
+    // 1/(60+rank) — the Cormack RRF the Fusion op documents, here in
+    // its per-query retrieval form. Self-matches are absent from the
+    // semantic side by the ANN kernel's q≠n contract; fusion is a
+    // full-outer on (query, doc) so either signal alone still ranks.
+    // Top-10 per query on the rounded fused score with id tiebreak.
+    "q_pipeline_hybrid" -> (q((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("spark_join" -> Seq("spark", "join"),
+            "hash_scan" -> Seq("hash", "table", "scan"),
+            "stream_win" -> Seq("stream", "window")),
+        k = 50).select(col("qid"), col("id"), col("rank").as("lex_rank"))
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val sem = Similarity.bruteForceTopK(e, e.where(col("vec_id") < 3), k = 50)
+        .select(
+          when(col("q_id") === 0, "spark_join").when(col("q_id") === 1, "hash_scan")
+            .otherwise("stream_win").as("qid"),
+          col("n_id").as("id"), col("rank").as("sem_rank"))
+      val fused = lex.join(sem, Seq("qid", "id"), "full_outer")
+        .select(col("qid"), col("id"),
+          round(coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)), 6).as("rrf"))
+      val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("id"))
+      fused.withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("id"), col("rrf"))
+        .orderBy("qid", "rank")
+    }), Some("""
+      WITH toks AS (
+        SELECT doc_id AS id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0),
+      tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY 1),
+      stats AS (
+        SELECT count(*) AS n, avg(coalesce(dl, 0)) AS avgdl
+        FROM documents LEFT JOIN dl ON documents.doc_id = dl.id),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      qq AS (SELECT * FROM (VALUES
+        ('spark_join', 'spark'), ('spark_join', 'join'),
+        ('hash_scan', 'hash'), ('hash_scan', 'table'), ('hash_scan', 'scan'),
+        ('stream_win', 'stream'), ('stream_win', 'window')) AS t(qid, term)),
+      sc AS (
+        SELECT qid, id,
+               ln(1 + (n - df + 0.5) / (df + 0.5)) *
+               (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+        FROM tf JOIN qq USING (term) JOIN dl USING (id)
+                JOIN dfreq USING (term) CROSS JOIN stats),
+      lsums AS (SELECT qid, id, round(sum(s), 6) AS score FROM sc GROUP BY 1, 2),
+      lex AS (SELECT qid, id,
+                     row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS lex_rank
+              FROM lsums QUALIFY lex_rank <= 50),
+      qv AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id < 3),
+      cv AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      sims AS (SELECT q_id, n_id, list_cosine_similarity(qv.v, cv.v) AS sim
+               FROM qv, cv WHERE q_id <> n_id),
+      sem AS (SELECT CASE q_id WHEN 0 THEN 'spark_join' WHEN 1 THEN 'hash_scan'
+                               ELSE 'stream_win' END AS qid,
+                     n_id AS id,
+                     row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS sem_rank
+              FROM sims QUALIFY sem_rank <= 50),
+      fused AS (
+        SELECT coalesce(lex.qid, sem.qid) AS qid, coalesce(lex.id, sem.id) AS id,
+               round(coalesce(1.0 / (60 + lex_rank), 0.0) +
+                     coalesce(1.0 / (60 + sem_rank), 0.0), 6) AS rrf
+        FROM lex FULL OUTER JOIN sem ON lex.qid = sem.qid AND lex.id = sem.id)
+      SELECT qid, CAST(rank AS INT) AS rank, id, rrf
+      FROM (SELECT qid, id, rrf,
+                   row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS rank
+            FROM fused)
+      WHERE rank <= 10 ORDER BY qid, rank""")),
+
+    // incremental ROLLUP maintenance (IVM for distributive aggregates):
+    // three event increments chain through aggDelta+merge and the
+    // result must equal the batch aggregate over the whole table —
+    // maintenance cost tracks the increment, never the history. The
+    // oracle IS the batch path (sums rounded: increment-order float
+    // summation differs from batch in the far decimals).
+    "q_pipeline_rollup" -> (q((s, dir) => {
+      val ev = SparkEntry.loader(s, dir)("events")
+      val parts = (0 to 2).map(i => ev.where(pmod(col("event_id"), lit(3)) === i))
+      val keys = Seq("event_type")
+      val state = parts.tail.foldLeft(
+          graft.ops.Rollup.aggDelta(parts.head, keys, "value")) {
+        (st, p) => graft.ops.Rollup.merge(st, graft.ops.Rollup.aggDelta(p, keys, "value"), keys)
+      }
+      state.select(col("event_type"), col("cnt"),
+          round(col("sum_v"), 6).as("sum_v"), col("min_v"), col("max_v"),
+          round(col("sum_v") / col("cnt"), 6).as("avg_v"))
+        .orderBy("event_type")
+    }), Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+             round(sum(value), 6) AS sum_v, min(value) AS min_v,
+             max(value) AS max_v, round(sum(value) / count(*), 6) AS avg_v
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // weekly COHORT RETENTION matrix: users by first-activity week,
     // per-offset distinct active count + rate vs the cohort's own
     // week-0 size. Two keyed shuffles + one cohort window; Monday

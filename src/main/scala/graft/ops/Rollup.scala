@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Incremental view maintenance (IVM) for DISTRIBUTIVE aggregates — the
+ * rollup-table pattern of every serving layer: a keyed summary
+ * (count / sum / min / max, and anything derivable like avg) is kept
+ * current by merging each increment's OWN aggregate into the state,
+ * never re-scanning history. Correctness rests on distributivity:
+ * agg(A ∪ Δ) = combine(agg(A), agg(Δ)) — so maintenance cost tracks
+ * the increment, not the accumulated corpus (the same contract as
+ * [[Dedup.incremental]]'s index). Non-distributive measures (exact
+ * distinct, exact percentile) are out of contract — use sketches
+ * ([[Sketches]]) or recompute.
+ *
+ * Both steps are one keyed shuffle each: [[aggDelta]] partial-
+ * aggregates map-side; [[merge]] is a key-equi full-outer join of two
+ * rollup-sized (small) frames.
+ */
+object Rollup {
+
+  private val Measures = Seq("cnt", "sum_v", "min_v", "max_v")
+
+  /** Aggregate one increment into rollup shape:
+    * (keys..., cnt, sum_v, min_v, max_v). */
+  def aggDelta(delta: DataFrame, keys: Seq[String], valCol: String): DataFrame = {
+    require(keys.nonEmpty)
+    delta.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("cnt"),
+      sum(col(valCol).cast("double")).as("sum_v"),
+      min(col(valCol).cast("double")).as("min_v"),
+      max(col(valCol).cast("double")).as("max_v"))
+  }
+
+  /** Merge an increment's rollup into the state: full-outer on the
+    * keys, counts/sums add, min/max fold — a key appearing in either
+    * side survives. Output schema = rollup shape (merge-closed, so
+    * merges chain). */
+  def merge(state: DataFrame, deltaAgg: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty)
+    val a = Measures.foldLeft(state)((d, m) => d.withColumnRenamed(m, s"__a_$m"))
+    val b = Measures.foldLeft(deltaAgg)((d, m) => d.withColumnRenamed(m, s"__b_$m"))
+    a.join(b, keys, "full_outer").select(
+      keys.map(col) ++ Seq(
+        (coalesce(col("__a_cnt"), lit(0L)) + coalesce(col("__b_cnt"), lit(0L))).as("cnt"),
+        (coalesce(col("__a_sum_v"), lit(0.0)) + coalesce(col("__b_sum_v"), lit(0.0))).as("sum_v"),
+        least(col("__a_min_v"), col("__b_min_v")).as("min_v"),
+        greatest(col("__a_max_v"), col("__b_max_v")).as("max_v")): _*)
+  }
+}

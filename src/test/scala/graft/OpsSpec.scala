@@ -2392,6 +2392,24 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.getDouble(2) === lo && r2.getDouble(3) === hi)
   }
 
+  test("Rollup: chained increment merges equal the batch aggregate; new keys survive") {
+    val all = Seq(("a", 1.0), ("a", 5.0), ("b", 2.0), ("c", -3.0), ("b", 4.0))
+      .toDF("k", "v")
+    val batch = Rollup.aggDelta(all, Seq("k"), "v")
+      .as[(String, Long, Double, Double, Double)].collect().toSet
+    val inc = Rollup.merge(
+      Rollup.aggDelta(all.limit(2), Seq("k"), "v"),
+      Rollup.aggDelta(all.except(all.limit(2)), Seq("k"), "v"), Seq("k"))
+      .as[(String, Long, Double, Double, Double)].collect().toSet
+    assert(inc === batch)
+    // a key present in only one side of the merge survives with its own stats
+    val m = Rollup.merge(
+      Rollup.aggDelta(Seq(("x", 1.0)).toDF("k", "v"), Seq("k"), "v"),
+      Rollup.aggDelta(Seq(("y", 9.0)).toDF("k", "v"), Seq("k"), "v"), Seq("k"))
+      .as[(String, Long, Double, Double, Double)].collect().toSet
+    assert(m === Set(("x", 1L, 1.0, 1.0, 1.0), ("y", 1L, 9.0, 9.0, 9.0)))
+  }
+
   test("budgetAllocate: capped source redistributes its share by water filling") {
     // caps: a=300·2=600, b=1000·2=2000, c=1000·2=2000; budget 3000
     // round 1 (w 2:1:1): a +1500→cap 600, b +750, c +750 → spent 2100
