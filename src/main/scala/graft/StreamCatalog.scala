@@ -138,6 +138,41 @@ object StreamCatalog {
       SELECT user_id, ts, event_id, event_type, value
       FROM r WHERE rn = 1 ORDER BY user_id""")),
 
+    // STREAMING rollup maintenance (the silver→gold incremental
+    // aggregate): each micro-batch aggregates once (Rollup.aggDelta)
+    // and merges into a FactStore state via upsert — history is never
+    // re-scanned, state is rollup-sized. The drained state must equal
+    // the batch aggregate (the q_pipeline_rollup oracle verbatim) —
+    // micro-batch boundaries cannot show through because merge is
+    // associative.
+    "q_stream_rollup" -> (raw((s, dir) => {
+      val tmp = scratchDir("stream_rollup")
+      val store = new graft.container.FactStore(s, "rollup_state",
+        java.nio.file.Paths.get(tmp, "store"))
+      val keys = Seq("event_type")
+      val events = streamRead(s, dir, "events").select("event_type", "value")
+      val q = events.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val delta = graft.ops.Rollup.aggDelta(batch, keys, "value")
+          if (store.isEmpty) store.insert(delta)
+          else store.upsert(graft.ops.Rollup.merge(store.dataFrame, delta, keys),
+            "event_type")
+          ()
+        }
+        .option("checkpointLocation",
+          java.nio.file.Paths.get(tmp, "ckpt").toString)
+        .start()
+      q.processAllAvailable(); q.stop()
+      store.dataFrame.select(col("event_type"), col("cnt"),
+          round(col("sum_v"), 6).as("sum_v"), col("min_v"), col("max_v"),
+          round(col("sum_v") / col("cnt"), 6).as("avg_v"))
+        .orderBy("event_type")
+    }), Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+             round(sum(value), 6) AS sum_v, min(value) AS min_v,
+             max(value) AS max_v, round(sum(value) / count(*), 6) AS avg_v
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // event-time tumbling window aggregation on a stream: 1-day windows,
     // epoch-aligned (= UTC date_trunc). Complete mode so the bounded
     // drain emits every window (append would hold back windows the final

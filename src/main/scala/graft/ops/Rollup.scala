@@ -49,4 +49,25 @@ object Rollup {
         least(col("__a_min_v"), col("__b_min_v")).as("min_v"),
         greatest(col("__a_max_v"), col("__b_max_v")).as("max_v")): _*)
   }
+
+  /** RETRACT a previously-merged increment (CDC deletes, restatements).
+    * Only count and sum are retractable — min/max are NOT (removing the
+    * minimum leaves no way to know the runner-up), which is why the
+    * output deliberately NARROWS to (keys..., cnt, sum_v): a caller
+    * needing min/max after deletes must recompute that column or keep a
+    * sketch. Keys whose count reaches 0 drop out; a negative count
+    * (retracting rows never merged) fails fast. */
+  def retract(state: DataFrame, goneAgg: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty)
+    val a = Measures.foldLeft(state)((d, m) => d.withColumnRenamed(m, s"__a_$m"))
+    val b = Measures.foldLeft(goneAgg)((d, m) => d.withColumnRenamed(m, s"__b_$m"))
+    val merged = a.join(b, keys, "full_outer").select(
+      keys.map(col) ++ Seq(
+        (coalesce(col("__a_cnt"), lit(0L)) - coalesce(col("__b_cnt"), lit(0L))).as("cnt"),
+        (coalesce(col("__a_sum_v"), lit(0.0)) - coalesce(col("__b_sum_v"), lit(0.0))).as("sum_v")): _*)
+    merged.withColumn("cnt",
+        when(col("cnt") < 0, raise_error(concat(lit("Rollup.retract: negative count for key "),
+          concat_ws("/", keys.map(k => col(k).cast("string")): _*)))).otherwise(col("cnt")))
+      .where(col("cnt") > 0)
+  }
 }

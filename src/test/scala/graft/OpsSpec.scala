@@ -2410,6 +2410,25 @@ class OpsSpec extends AnyFunSuite {
     assert(m === Set(("x", 1L, 1.0, 1.0, 1.0), ("y", 1L, 9.0, 9.0, 9.0)))
   }
 
+  test("Rollup.retract: undoes a merge on cnt/sum, drops emptied keys, rejects overdrafts") {
+    val first = Rollup.aggDelta(Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("k", "v"), Seq("k"), "v")
+    val second = Rollup.aggDelta(Seq(("a", 4.0)).toDF("k", "v"), Seq("k"), "v")
+    val state = Rollup.merge(first, second, Seq("k"))
+    val undone = Rollup.retract(state, second, Seq("k"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(undone === Set(("a", 2L, 3.0), ("b", 1L, 5.0)))
+    // retracting everything under a key drops the key
+    val gone = Rollup.retract(undone.toSeq.toDF("k", "cnt", "sum_v")
+        .withColumn("min_v", lit(null).cast("double"))
+        .withColumn("max_v", lit(null).cast("double")),
+      first, Seq("k")).count()
+    assert(gone === 0)
+    // over-retraction fails fast rather than going negative
+    intercept[Exception] {
+      Rollup.retract(state, Rollup.merge(state, second, Seq("k")), Seq("k")).collect()
+    }
+  }
+
   test("budgetAllocate: capped source redistributes its share by water filling") {
     // caps: a=300·2=600, b=1000·2=2000, c=1000·2=2000; budget 3000
     // round 1 (w 2:1:1): a +1500→cap 600, b +750, c +750 → spent 2100
