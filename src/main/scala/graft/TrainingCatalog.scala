@@ -1643,6 +1643,103 @@ object TrainingCatalog {
       FROM grid g LEFT JOIN pick p USING (key, bucket)
       ORDER BY g.key, g.bucket""")),
 
+    // retrieval EVALUATION: recall@20 / MRR@20 / nDCG@20 of the BM25
+    // runs against a deterministic relevance set (docs containing ALL
+    // the query's terms — strict AND match, derivable in both
+    // engines). One rank-keyed judged join + one per-query aggregate;
+    // IDCG from the capped relevance count alone (binary gains).
+    "q_eval_retrieval" -> (q((s, dir) => {
+      val queries = Seq(
+        "spark_join" -> Seq("spark", "join"),
+        "hash_scan" -> Seq("hash", "table", "scan"),
+        "stream_win" -> Seq("stream", "window"))
+      val runs = TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text", queries, k = 20)
+      val d = docs(s, dir).select(col("doc_id").as("id"),
+        TextAnalysis.tokens(lower(col("text"))).as("t"))
+      val rel = queries.map { case (qid, ts) =>
+        d.where(ts.map(t => array_contains(col("t"), t)).reduce(_ && _))
+          .select(lit(qid).as("qid"), col("id"))
+      }.reduce(_ unionByName _)
+      graft.ops.Evaluation.rankingMetrics(runs, rel, k = 20).orderBy("qid")
+    }), Some("""
+      WITH toks AS (
+        SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      tf AS (SELECT id, unnest(t) AS term FROM toks),
+      tfc AS (SELECT id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+      dl AS (SELECT id, sum(tf) AS dl FROM tfc GROUP BY 1),
+      stats AS (
+        SELECT count(*) AS n, avg(coalesce(dl, 0)) AS avgdl
+        FROM documents LEFT JOIN dl ON documents.doc_id = dl.id),
+      dfreq AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+      qq AS (SELECT * FROM (VALUES
+        ('spark_join', 'spark'), ('spark_join', 'join'),
+        ('hash_scan', 'hash'), ('hash_scan', 'table'), ('hash_scan', 'scan'),
+        ('stream_win', 'stream'), ('stream_win', 'window')) AS t(qid, term)),
+      sc AS (
+        SELECT qid, id,
+               ln(1 + (n - df + 0.5) / (df + 0.5)) *
+               (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+        FROM tfc JOIN qq USING (term) JOIN dl USING (id)
+                 JOIN dfreq USING (term) CROSS JOIN stats),
+      sums AS (SELECT qid, id, round(sum(s), 6) AS score FROM sc GROUP BY 1, 2),
+      runs AS (SELECT qid, id,
+                      row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+               FROM sums QUALIFY rank <= 20),
+      rel AS (
+        SELECT 'spark_join' AS qid, id FROM toks
+        WHERE list_contains(t, 'spark') AND list_contains(t, 'join')
+        UNION ALL
+        SELECT 'hash_scan', id FROM toks
+        WHERE list_contains(t, 'hash') AND list_contains(t, 'table') AND list_contains(t, 'scan')
+        UNION ALL
+        SELECT 'stream_win', id FROM toks
+        WHERE list_contains(t, 'stream') AND list_contains(t, 'window')),
+      relc AS (SELECT qid, count(*) AS n_rel FROM rel GROUP BY 1),
+      judged AS (
+        SELECT r.qid,
+               sum(CASE WHEN rel.id IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+               min(CASE WHEN rel.id IS NOT NULL THEN r.rank END) AS first_rel,
+               sum(CASE WHEN rel.id IS NOT NULL THEN 1.0 / log2(r.rank + 1.0) ELSE 0.0 END) AS dcg
+        FROM runs r LEFT JOIN rel ON r.qid = rel.qid AND r.id = rel.id
+        GROUP BY 1),
+      ser AS (SELECT unnest(generate_series(1, 20)) AS i),
+      idcgt AS (
+        SELECT relc.qid, sum(1.0 / log2(ser.i + 1.0)) AS idcg
+        FROM relc JOIN ser ON ser.i <= least(relc.n_rel, 20)
+        GROUP BY 1)
+      SELECT relc.qid,
+             round(coalesce(j.hits, 0) / CAST(relc.n_rel AS DOUBLE), 6) AS recall_20,
+             round(coalesce(1.0 / j.first_rel, 0.0), 6) AS mrr_20,
+             round(coalesce(j.dcg, 0.0) / idcgt.idcg, 6) AS ndcg_20
+      FROM relc LEFT JOIN judged j USING (qid) JOIN idcgt USING (qid)
+      ORDER BY relc.qid""")),
+
+    // unbiased pass@k estimator (Chen et al. 2021 eq. 1, telescoped
+    // product — no factorials): tasks = event types, n = trials,
+    // c = successes (value > 50). n < k rows excluded (estimator
+    // undefined); n − c < k forces 1 through the zero factor in both
+    // engines identically.
+    "q_eval_passk" -> (q((s, dir) =>
+      graft.ops.Evaluation.passAtK(
+        SparkEntry.loader(s, dir)("events").groupBy(col("event_type").as("task"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") > 50.0, 1L).otherwise(0L)).as("c")),
+        k = 5).orderBy("task")
+    ), Some("""
+      WITH cnts AS (
+        SELECT event_type AS task, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      p AS (
+        SELECT task, n, c,
+               product((n - c - j) / CAST(n - j AS DOUBLE)) AS pr
+        FROM cnts CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS j)
+        GROUP BY 1, 2, 3)
+      SELECT task, n, c,
+             round(CASE WHEN n - c < 5 THEN 1.0 ELSE 1.0 - pr END, 6) AS pass_at_k
+      FROM p WHERE n >= 5 ORDER BY task""")),
+
     // HYBRID retrieval (the RAG stack end to end): BM25 lexical lists
     // and exact-cosine semantic lists (query vectors = the embedding
     // rows sharing the doc ids), fused per query with reciprocal-rank

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Offline evaluation metrics — the measurement layer between a curated
+ * corpus / retriever / model and a ship decision. Everything here is
+ * deterministic Column algebra over ranked or counted frames (no
+ * sampling, no RNG): metrics round to 6 dp where a transcendental
+ * (log2) enters, the library-wide engine-reproducibility convention.
+ */
+object Evaluation {
+
+  /** Binary-relevance ranking metrics per query — recall@k, MRR@k, and
+    * nDCG@k — for a run table (qid, rank, id) against a relevance set
+    * (qid, id). The judged join is rank-keyed (runs are ≤k rows per
+    * query by construction, relevance sets are eval-sized), one
+    * (qid)-keyed aggregate computes all three, and IDCG comes from the
+    * relevance COUNT alone (binary gains: the ideal list is any
+    * permutation of the relevant docs). Queries with empty relevance
+    * sets are excluded (all three metrics are undefined), queries with
+    * relevance but an empty run score 0. */
+  def rankingMetrics(runs: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    require(k > 0)
+    val rel = relevant.select(col("qid"), col("id"), lit(1).as("__rel"))
+    val relCounts = rel.groupBy("qid").agg(count(lit(1)).as("__n_rel"))
+    val judged = runs.where(col("rank") <= k)
+      .join(rel, Seq("qid", "id"), "left")
+      .groupBy("qid").agg(
+        sum(coalesce(col("__rel"), lit(0))).as("__hits"),
+        min(when(col("__rel") === 1, col("rank"))).as("__first"),
+        sum(when(col("__rel") === 1, lit(1.0) / log2(col("rank") + 1.0))
+          .otherwise(0.0)).as("__dcg"))
+    // IDCG_n = Σ_{i=1..min(n_rel,k)} 1/log2(i+1) — a k-term literal
+    // lookup indexed by the (capped) relevant count
+    val idcgTable = (1 to k).scanLeft(0.0)((acc, i) => acc + 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    val idcg = element_at(
+      array(idcgTable.map(lit(_)): _*),
+      (least(col("__n_rel"), lit(k.toLong)) + 1).cast("int"))
+    relCounts.join(judged, Seq("qid"), "left")
+      .select(col("qid"),
+        round(coalesce(col("__hits"), lit(0L)) / col("__n_rel"), 6).as(s"recall_$k"),
+        round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 6).as(s"mrr_$k"),
+        round(coalesce(col("__dcg"), lit(0.0)) / idcg, 6).as(s"ndcg_$k"))
+  }
+
+  /** Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language
+    * Models Trained on Code", eq. 1): given n samples per task with c
+    * successes, pass@k = 1 − C(n−c, k)/C(n, k), computed as the
+    * telescoped product Π_{j=0..k−1} (n−c−j)/(n−j) — numerically exact
+    * for the integer counts it sees, no factorials. Rows with n < k
+    * are excluded (the estimator is undefined); c = 0 gives 0,
+    * n − c < k gives 1 (some success guaranteed in every k-subset).
+    * Input (task, n, c) → (task, n, c, pass_at_k). */
+  def passAtK(counts: DataFrame, k: Int): DataFrame = {
+    require(k > 0)
+    val prod = aggregate(
+      sequence(lit(0), lit(k - 1)),
+      lit(1.0),
+      (acc, j) => acc * (col("n") - col("c") - j).cast("double") / (col("n") - j))
+    counts.where(col("n") >= k)
+      .select(col("task"), col("n"), col("c"),
+        round(when(col("n") - col("c") < k, 1.0).otherwise(lit(1.0) - prod), 6)
+          .as("pass_at_k"))
+  }
+}

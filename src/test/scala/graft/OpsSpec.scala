@@ -2392,6 +2392,34 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.getDouble(2) === lo && r2.getDouble(3) === hi)
   }
 
+  test("rankingMetrics: hand-computed recall/MRR/nDCG on a 3-doc run") {
+    val runs = Seq(("q1", 1, 10L), ("q1", 2, 99L), ("q1", 3, 11L)).toDF("qid", "rank", "id")
+    val rel = Seq(("q1", 10L), ("q1", 11L), ("q1", 12L), ("q2", 50L)).toDF("qid", "id")
+    val out = Evaluation.rankingMetrics(runs, rel, k = 3)
+      .orderBy("qid").collect()
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val l2 = (x: Double) => math.log(x) / math.log(2.0)
+    // q1: hits at ranks 1, 3 → recall 2/3, mrr 1, dcg 1 + 1/log2(4)
+    assert(out(0).getDouble(1) === r6(2.0 / 3))
+    assert(out(0).getDouble(2) === 1.0)
+    val idcg3 = 1.0 + 1.0 / l2(3) + 1.0 / l2(4)
+    assert(out(0).getDouble(3) === r6((1.0 + 0.5) / idcg3))
+    // q2 has relevance but no run rows → all zeros (not excluded)
+    assert(out(1).getDouble(1) === 0.0 && out(1).getDouble(2) === 0.0 &&
+      out(1).getDouble(3) === 0.0)
+  }
+
+  test("passAtK: telescoped product matches the combinatorial formula") {
+    val d = Seq(("t1", 10L, 3L), ("t2", 10L, 7L), ("t3", 3L, 1L), ("t4", 8L, 0L))
+      .toDF("task", "n", "c")
+    val out = Evaluation.passAtK(d, k = 5)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(out("t1") === math.rint((1.0 - 2520.0 / 30240.0) * 1e6) / 1e6) // 1 − C(7,5)/C(10,5)
+    assert(out("t2") === 1.0) // n − c = 3 < 5 → some success guaranteed
+    assert(out("t4") === 0.0) // zero successes
+    assert(!out.contains("t3")) // n < k → estimator undefined, excluded
+  }
+
   test("Rollup: chained increment merges equal the batch aggregate; new keys survive") {
     val all = Seq(("a", 1.0), ("a", 5.0), ("b", 2.0), ("c", -3.0), ("b", 4.0))
       .toDF("k", "v")
