@@ -1715,6 +1715,73 @@ object TrainingCatalog {
       FROM relc LEFT JOIN judged j USING (qid) JOIN idcgt USING (qid)
       ORDER BY relc.qid""")),
 
+    // ROC-AUC of the NB quality scores against the true label —
+    // Mann-Whitney with midrank ties: one score-keyed aggregate, the
+    // cumulative window runs over DISTINCT scores only. Closes the
+    // classifier-eval trio (scores → calibration → AUC).
+    "q_eval_auc" -> (q((s, dir) => {
+      val scored = graft.ops.Classifier.nbTrainScore(docs(s, dir), "doc_id", "text",
+          col("lang") === "en")
+        .join(docs(s, dir).select(col("doc_id"),
+          (col("lang") === "en").cast("int").as("is_en")), Seq("doc_id"))
+      graft.ops.Evaluation.binaryAuc(scored, "score", "is_en")
+    }), Some("""
+      WITH d AS (
+        SELECT doc_id, lower(trim(text)) AS t,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents),
+      toks AS (
+        SELECT doc_id, y, unnest(regexp_split_to_array(t, '\s+')) AS tok
+        FROM d WHERE length(t) > 0),
+      cnt AS (SELECT tok, sum(y) AS c1, sum(1 - y) AS c0 FROM toks GROUP BY 1),
+      tot AS (SELECT sum(c1) AS t1, sum(c0) AS t0, count(*) AS v FROM cnt),
+      pri AS (SELECT ln((sum(y) + 1.0) / (sum(1 - y) + 1.0)) AS b FROM d),
+      w AS (SELECT tok, ln((c1 + 1.0) / (t1 + v)) - ln((c0 + 1.0) / (t0 + v)) AS w
+            FROM cnt CROSS JOIN tot),
+      sc AS (SELECT doc_id, sum(w.w) AS s FROM toks JOIN w USING (tok) GROUP BY 1),
+      scored AS (
+        SELECT round(pri.b + coalesce(sc.s, 0.0), 6) AS score, d.y
+        FROM d LEFT JOIN sc USING (doc_id) CROSS JOIN pri),
+      groups AS (
+        SELECT score, sum(y) AS pos, sum(1 - y) AS neg FROM scored GROUP BY 1),
+      cum AS (
+        SELECT pos, neg,
+               coalesce(sum(neg) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+        FROM groups)
+      SELECT CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg,
+             round(sum(pos * (neg_below + neg / 2.0)) / (sum(pos) * sum(neg)), 6) AS auc
+      FROM cum""")),
+
+    // Cohen's kappa between two rule-based quality raters — the
+    // inter-signal agreement audit run before trusting either gate:
+    // 2×2 confusion from ONE aggregate pass, exact rational p_o/p_e.
+    "q_eval_kappa" -> (q((s, dir) =>
+      graft.ops.Evaluation.cohensKappa(
+        docs(s, dir).select(
+          (TextAnalysis.tokenCount(col("text")) >= 25).as("rater_a"),
+          (col("n_chars") >= 135).as("rater_b")),
+        "rater_a", "rater_b")
+    ), Some("""
+      WITH r AS (
+        SELECT CASE WHEN (CASE WHEN length(trim(text)) > 0
+                          THEN len(regexp_split_to_array(trim(text), '\s+'))
+                          ELSE 0 END) >= 25 THEN 1 ELSE 0 END AS a,
+               CASE WHEN n_chars >= 135 THEN 1 ELSE 0 END AS b
+        FROM documents),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree,
+               sum(a) AS a1, sum(b) AS b1
+        FROM r)
+      SELECT n, round(agree / CAST(n AS DOUBLE), 6) AS p_o,
+             round((agree / CAST(n AS DOUBLE) -
+                    ((a1 / CAST(n AS DOUBLE)) * (b1 / CAST(n AS DOUBLE)) +
+                     ((n - a1) / CAST(n AS DOUBLE)) * ((n - b1) / CAST(n AS DOUBLE)))) /
+                   (1.0 - ((a1 / CAST(n AS DOUBLE)) * (b1 / CAST(n AS DOUBLE)) +
+                     ((n - a1) / CAST(n AS DOUBLE)) * ((n - b1) / CAST(n AS DOUBLE)))), 6) AS kappa
+      FROM agg""")),
+
     // unbiased pass@k estimator (Chen et al. 2021 eq. 1, telescoped
     // product — no factorials): tasks = event types, n = trials,
     // c = successes (value > 50). n < k rows excluded (estimator
@@ -2857,6 +2924,47 @@ object TrainingCatalog {
              FROM v LEFT JOIN c3 ON v.id = c3.id CROSS JOIN n)
       SELECT id AS part, round(r, 6) AS rank
       FROM r3 ORDER BY round(r, 6) DESC, id LIMIT 100""")),
+
+    // label-propagation communities over the co-purchase graph (LPA,
+    // deterministic sync variant: most-frequent neighbor label, ties →
+    // smallest): ALL-INTEGER rounds — one (dst, label) count shuffle +
+    // one argmax window each — over the slot-pinned edge list. Output:
+    // community size distribution (top-50). Oracle replays 3 rounds as
+    // chained CTEs.
+    "q_graph_communities" -> (q((s, dir) => {
+      val labels = graft.ops.Graph.labelPropagation(coPurchaseEdges(s, dir), iters = 3)
+      labels.groupBy(col("community")).agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc, col("community")).limit(50)
+    }), Some("""
+      WITH e AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      l0 AS (SELECT id, id AS lbl FROM v),
+      c1 AS (SELECT e.dst AS id, l0.lbl, count(*) AS c
+             FROM e JOIN l0 ON e.src = l0.id GROUP BY 1, 2),
+      n1 AS (SELECT id, lbl FROM (
+               SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rk
+               FROM c1) WHERE rk = 1),
+      l1 AS (SELECT l0.id, coalesce(n1.lbl, l0.lbl) AS lbl
+             FROM l0 LEFT JOIN n1 USING (id)),
+      c2 AS (SELECT e.dst AS id, l1.lbl, count(*) AS c
+             FROM e JOIN l1 ON e.src = l1.id GROUP BY 1, 2),
+      n2 AS (SELECT id, lbl FROM (
+               SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rk
+               FROM c2) WHERE rk = 1),
+      l2 AS (SELECT l1.id, coalesce(n2.lbl, l1.lbl) AS lbl
+             FROM l1 LEFT JOIN n2 USING (id)),
+      c3 AS (SELECT e.dst AS id, l2.lbl, count(*) AS c
+             FROM e JOIN l2 ON e.src = l2.id GROUP BY 1, 2),
+      n3 AS (SELECT id, lbl FROM (
+               SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rk
+               FROM c3) WHERE rk = 1),
+      l3 AS (SELECT l2.id, coalesce(n3.lbl, l2.lbl) AS lbl
+             FROM l2 LEFT JOIN n3 USING (id))
+      SELECT lbl AS community, CAST(count(*) AS BIGINT) AS size
+      FROM l3 GROUP BY 1 ORDER BY size DESC, community LIMIT 50""")),
 
     // model-based quality filter (fastText-style linear bag-of-words,
     // the CCNet/GPT-3 crawl gate): closed-form multinomial Naive Bayes

@@ -45,6 +45,51 @@ object Evaluation {
         round(coalesce(col("__dcg"), lit(0.0)) / idcg, 6).as(s"ndcg_$k"))
   }
 
+  /** ROC-AUC of a score against a binary label — the Mann-Whitney U
+    * form with midrank tie handling: group by DISTINCT score (bounded
+    * far below the corpus: scores here are rounded to 6 dp), take one
+    * cumulative window over the score groups (never the rows), and
+    * U = Σ_g pos_g · (neg_below_g + neg_g/2). The corpus pays one
+    * score-keyed aggregate; the window runs over score cardinality.
+    * Returns one row (n_pos, n_neg, auc 6 dp); degenerate inputs
+    * (single-class) yield a null auc rather than a division crash. */
+  def binaryAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val groups = df.select(col(scoreCol).as("__s"),
+        col(labelCol).cast("int").as("__y"))
+      .groupBy("__s").agg(
+        sum(col("__y")).as("__pos"),
+        sum(lit(1) - col("__y")).as("__neg"))
+    val w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    val u = groups
+      .withColumn("__negBelow", coalesce(sum("__neg").over(w), lit(0L)))
+      .agg(
+        sum(col("__pos") * (col("__negBelow") + col("__neg") / lit(2.0))).as("__u"),
+        sum("__pos").as("n_pos"), sum("__neg").as("n_neg"))
+    u.select(col("n_pos"), col("n_neg"),
+      round(col("__u") / (col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
+  /** Cohen's kappa between two binary raters — the agreement check run
+    * on preference/label pipelines before trusting either signal:
+    * κ = (p_o − p_e)/(1 − p_e) over the 2×2 confusion counts, from ONE
+    * aggregate pass. Perfect chance agreement (p_e = 1: both raters
+    * constant) yields null. Returns
+    * (n, p_o, kappa), rates 6 dp. */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val agg = df.select(col(aCol).cast("int").as("__a"), col(bCol).cast("int").as("__b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__a") === col("__b"), 1L).otherwise(0L)).as("__agree"),
+        sum("__a").as("__a1"), sum("__b").as("__b1"))
+    agg.select(col("n"),
+        (col("__agree") / col("n")).as("__po"),
+        ((col("__a1") / col("n")) * (col("__b1") / col("n")) +
+          ((col("n") - col("__a1")) / col("n")) * ((col("n") - col("__b1")) / col("n")))
+          .as("__pe"))
+      .select(col("n"), round(col("__po"), 6).as("p_o"),
+        round((col("__po") - col("__pe")) / (lit(1.0) - col("__pe")), 6).as("kappa"))
+  }
+
   /** Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language
     * Models Trained on Code", eq. 1): given n samples per task with c
     * successes, pass@k = 1 − C(n−c, k)/C(n, k), computed as the

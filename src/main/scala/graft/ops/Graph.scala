@@ -33,6 +33,45 @@ object Graph {
       .select("src", "dst").distinct()
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection where [[Dedup.connectedComponents]] is too coarse (it
+    * merges anything touching; LPA splits a component along its dense
+    * regions): every node starts as its own label, each round adopts
+    * its neighbors' MOST FREQUENT label (ties → smallest label — the
+    * determinism the async original lacks), isolated nodes keep their
+    * own. ALL-INTEGER arithmetic (no float anywhere): one (dst, label)
+    * count shuffle + one per-node argmax window per round; the static
+    * structure is localCheckpoint'd once (the [[pageRank]] rationale).
+    * Returns (id, community) after `iters` rounds. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0)
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
+    var labels = verts.select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to iters) {
+      // labels are vertex-sized (≪ edges) → broadcast them onto the
+      // edge stream so the edges never shuffle for the lookup; the
+      // round's one wide shuffle is the (dst, lbl) count. The argmax
+      // is a per-dst window over the POST-AGGREGATION pairs (bounded
+      // by distinct neighbor labels, not edges). On graphs whose
+      // vertex set outgrows a broadcast, drop the hint — the same
+      // plan runs as a keyed join.
+      val counts = e.join(broadcast(labels), e("src") === labels("id"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy("dst").orderBy(col("__c").desc, col("lbl"))
+      val next = counts.withColumn("__rk", row_number().over(w))
+        .where(col("__rk") === 1)
+        .select(col("dst").as("id"), col("lbl").as("__new"))
+        .localCheckpoint()
+      labels = labels.join(next, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__new"), col("lbl")).as("lbl"))
+    }
+    labels.select(col("id"), col("lbl").as("community"))
+  }
+
   /** PageRank over a directed edge list (src, dst): `iters` rounds of
     * r(v) = (1−d)/N + d·Σ_{u→v} r(u)/outdeg(u), uniform start 1/N.
     * Vertices = nodes appearing on either side; dangling mass (nodes

@@ -2409,6 +2409,24 @@ class OpsSpec extends AnyFunSuite {
       out(1).getDouble(3) === 0.0)
   }
 
+  test("binaryAuc: midrank tie handling matches the hand-computed U") {
+    val d = Seq((0.9, 1), (0.8, 1), (0.8, 0), (0.3, 0)).toDF("score", "y")
+    val r = Evaluation.binaryAuc(d, "score", "y").head()
+    // U = 1·(1 + 0.5) + 1·(2 + 0) = 3.5 → AUC = 3.5/4
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) === ((2L, 2L, 0.875)))
+    // perfect separation → 1.0
+    val p = Seq((0.9, 1), (0.1, 0)).toDF("score", "y")
+    assert(Evaluation.binaryAuc(p, "score", "y").head().getDouble(2) === 1.0)
+  }
+
+  test("cohensKappa: hand-computed 2x2 agreement") {
+    val d = Seq((true, true), (true, false), (false, false), (false, false))
+      .toDF("a", "b")
+    val r = Evaluation.cohensKappa(d, "a", "b").head()
+    // po = 3/4; pe = 0.5·0.25 + 0.5·0.75 = 0.5 → kappa = 0.5
+    assert((r.getLong(0), r.getDouble(1), r.getDouble(2)) === ((4L, 0.75, 0.5)))
+  }
+
   test("passAtK: telescoped product matches the combinatorial formula") {
     val d = Seq(("t1", 10L, 3L), ("t2", 10L, 7L), ("t3", 3L, 1L), ("t4", 8L, 0L))
       .toDF("task", "n", "c")
@@ -2582,6 +2600,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out.head.getDouble(4) === math.rint(pmi * 1e6) / 1e6)
     // ranks are 1..n with no gaps
     assert(out.map(_.getInt(0)).toSeq === (1 to out.length).toSeq)
+  }
+
+  test("labelPropagation: two cliques joined by one bridge edge split into two communities") {
+    // cliques {1,2,3} and {10,11,12}, bridge 3–10
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a != b) yield (a, b)
+    val e = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L)) ++
+      Seq((3L, 10L), (10L, 3L))).toDF("src", "dst")
+    val out = Graph.labelPropagation(e, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) === 1L && out(2L) === 1L && out(3L) === 1L)
+    assert(Set(10L, 11L, 12L).map(out).size === 1, "right clique fragmented")
+    assert(out(11L) !== out(1L), "bridge merged the cliques")
+    // an isolated self-pair keeps its own smaller label
+    val iso = Graph.labelPropagation(Seq((100L, 101L), (101L, 100L)).toDF("src", "dst"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(iso(100L) === 100L || iso(100L) === 101L)
   }
 
   test("Graph.pageRank: one hand-computed iteration on a 3-node graph") {
