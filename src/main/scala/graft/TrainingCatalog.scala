@@ -1753,6 +1753,44 @@ object TrainingCatalog {
              round(sum(pos * (neg_below + neg / 2.0)) / (sum(pos) * sum(neg)), 6) AS auc
       FROM cum""")),
 
+    // calibration scalars (ECE + Brier) of the NB filter: confidence =
+    // sigmoid of the rounded log-odds score, 10 equal-width bins, both
+    // scalars from ONE aggregate over the binned scores. The summary
+    // numbers beside q_quality_calibration's full reliability table.
+    "q_eval_ece" -> (q((s, dir) => {
+      val scored = graft.ops.Classifier.nbTrainScore(docs(s, dir), "doc_id", "text",
+          col("lang") === "en")
+        .join(docs(s, dir).select(col("doc_id"),
+          (col("lang") === "en").cast("int").as("is_en")), Seq("doc_id"))
+        .select((lit(1.0) / (lit(1.0) + exp(-col("score")))).as("prob"), col("is_en"))
+      graft.ops.Evaluation.calibrationError(scored, "prob", "is_en", bins = 10)
+    }), Some("""
+      WITH d AS (
+        SELECT doc_id, lower(trim(text)) AS t,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents),
+      toks AS (
+        SELECT doc_id, y, unnest(regexp_split_to_array(t, '\s+')) AS tok
+        FROM d WHERE length(t) > 0),
+      cnt AS (SELECT tok, sum(y) AS c1, sum(1 - y) AS c0 FROM toks GROUP BY 1),
+      tot AS (SELECT sum(c1) AS t1, sum(c0) AS t0, count(*) AS v FROM cnt),
+      pri AS (SELECT ln((sum(y) + 1.0) / (sum(1 - y) + 1.0)) AS b FROM d),
+      w AS (SELECT tok, ln((c1 + 1.0) / (t1 + v)) - ln((c0 + 1.0) / (t0 + v)) AS w
+            FROM cnt CROSS JOIN tot),
+      sc AS (SELECT doc_id, sum(w.w) AS s FROM toks JOIN w USING (tok) GROUP BY 1),
+      scored AS (
+        SELECT 1.0 / (1.0 + exp(-round(pri.b + coalesce(sc.s, 0.0), 6))) AS p, d.y
+        FROM d LEFT JOIN sc USING (doc_id) CROSS JOIN pri),
+      binned AS (
+        SELECT least(floor(p * 10), 9) AS b, count(*) AS n,
+               avg(CAST(y AS DOUBLE)) AS acc, avg(p) AS conf,
+               sum((p - y) * (p - y)) AS se
+        FROM scored GROUP BY 1)
+      SELECT CAST(sum(n) AS BIGINT) AS n,
+             round(sum(abs(acc - conf) * n) / sum(n), 6) AS ece,
+             round(sum(se) / sum(n), 6) AS brier
+      FROM binned""")),
+
     // Cohen's kappa between two rule-based quality raters — the
     // inter-signal agreement audit run before trusting either gate:
     // 2×2 confusion from ONE aggregate pass, exact rational p_o/p_e.
@@ -2924,6 +2962,33 @@ object TrainingCatalog {
              FROM v LEFT JOIN c3 ON v.id = c3.id CROSS JOIN n)
       SELECT id AS part, round(r, 6) AS rank
       FROM r3 ORDER BY round(r, 6) DESC, id LIMIT 100""")),
+
+    // market-basket association rules (support / confidence / lift)
+    // over order baskets: bounded self-join pair counts, item counts
+    // join back broadcast, basket total on a 1-row broadcast; ratios
+    // from exact integer counts. minPairCount 3 prunes the tail
+    // before any ratio work.
+    "q_graph_lift" -> (q((s, dir) =>
+      graft.ops.Graph.associationRules(
+          SparkEntry.loader(s, dir)("lineitem"), "l_orderkey", "l_partkey",
+          minPairCount = 3L)
+        .orderBy("a", "b")
+    ), Some("""
+      WITH g AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
+      n AS (SELECT count(DISTINCT grp) AS n FROM g),
+      ic AS (SELECT item, count(*) AS ci FROM g GROUP BY 1),
+      pairs AS (
+        SELECT x.item AS a, y.item AS b, count(*) AS pair_cnt
+        FROM g x JOIN g y ON x.grp = y.grp AND x.item <> y.item
+        GROUP BY 1, 2 HAVING count(*) >= 3)
+      SELECT a, b, pair_cnt,
+             round(pair_cnt / CAST(n.n AS DOUBLE), 6) AS support,
+             round(pair_cnt / CAST(ca.ci AS DOUBLE), 6) AS confidence,
+             round((pair_cnt / CAST(ca.ci AS DOUBLE)) / (cb.ci / CAST(n.n AS DOUBLE)), 6) AS lift
+      FROM pairs JOIN ic ca ON pairs.a = ca.item
+                 JOIN ic cb ON pairs.b = cb.item
+                 CROSS JOIN n
+      ORDER BY a, b""")),
 
     // label-propagation communities over the co-purchase graph (LPA,
     // deterministic sync variant: most-frequent neighbor label, ties →

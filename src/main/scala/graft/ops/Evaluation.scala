@@ -90,6 +90,31 @@ object Evaluation {
         round((col("__po") - col("__pe")) / (lit(1.0) - col("__pe")), 6).as("kappa"))
   }
 
+  /** Calibration SCALARS for a probabilistic binary classifier —
+    * expected calibration error (Naeini et al. 2015: Σ_bins
+    * |acc_b − conf_b| · n_b/N over equal-width probability bins) and
+    * the Brier score (mean (p − y)²) — from ONE aggregate over the
+    * binned scores. `probCol` must be a probability in [0, 1] (e.g.
+    * a sigmoid of a log-odds score); bin = ⌊p·bins⌋ clamped so p = 1
+    * lands in the top bin. Returns (n, ece, brier) at 6 dp. */
+  def calibrationError(df: DataFrame, probCol: String, labelCol: String,
+                       bins: Int = 10): DataFrame = {
+    require(bins > 0)
+    val p = col(probCol).cast("double")
+    val y = col(labelCol).cast("int")
+    val bin = least(floor(p * bins), lit(bins - 1))
+    val perBin = df.select(p.as("__p"), y.as("__y"), bin.as("__b"))
+      .groupBy("__b").agg(
+        count(lit(1)).as("__n"),
+        avg("__y").as("__acc"),
+        avg("__p").as("__conf"),
+        sum((col("__p") - col("__y")) * (col("__p") - col("__y"))).as("__se"))
+    perBin.agg(
+      sum("__n").as("n"),
+      round(sum(abs(col("__acc") - col("__conf")) * col("__n")) / sum("__n"), 6).as("ece"),
+      round(sum("__se") / sum("__n"), 6).as("brier"))
+  }
+
   /** Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language
     * Models Trained on Code", eq. 1): given n samples per task with c
     * successes, pass@k = 1 − C(n−c, k)/C(n, k), computed as the

@@ -33,6 +33,34 @@ object Graph {
       .select("src", "dst").distinct()
   }
 
+  /** Association rules over co-occurrence groups — the market-basket
+    * classic (support / confidence / lift for directed item pairs
+    * sharing a group): one bounded self-join builds pair counts
+    * ([[coOccurrenceEdges]]' fan-out argument), item counts join back
+    * BROADCAST (item dictionary ≪ pair table), the group total rides a
+    * 1-row broadcast. `minPairCount` prunes the tail before the
+    * ratios. All ratios from exact integer counts, rounded 6 dp.
+    * Returns (a, b, pair_cnt, support, confidence, lift). */
+  def associationRules(df: DataFrame, groupCol: String, itemCol: String,
+                       minPairCount: Long): DataFrame = {
+    val g = df.select(col(groupCol).as("__g"), col(itemCol).as("__i")).distinct()
+    val nGroups = g.agg(countDistinct("__g").as("__n"))
+    val itemCnt = g.groupBy("__i").agg(count(lit(1)).as("__ci"))
+    val pairs = g.alias("x").join(g.alias("y"), Seq("__g"))
+      .where(col("x.__i") =!= col("y.__i"))
+      .select(col("x.__i").as("a"), col("y.__i").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("pair_cnt"))
+      .where(col("pair_cnt") >= minPairCount)
+    pairs
+      .join(broadcast(itemCnt.select(col("__i").as("a"), col("__ci").as("__ca"))), Seq("a"))
+      .join(broadcast(itemCnt.select(col("__i").as("b"), col("__ci").as("__cb"))), Seq("b"))
+      .crossJoin(broadcast(nGroups))
+      .select(col("a"), col("b"), col("pair_cnt"),
+        round(col("pair_cnt") / col("__n"), 6).as("support"),
+        round(col("pair_cnt") / col("__ca"), 6).as("confidence"),
+        round((col("pair_cnt") / col("__ca")) / (col("__cb") / col("__n")), 6).as("lift"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) — community
     * detection where [[Dedup.connectedComponents]] is too coarse (it
     * merges anything touching; LPA splits a component along its dense

@@ -2409,6 +2409,35 @@ class OpsSpec extends AnyFunSuite {
       out(1).getDouble(3) === 0.0)
   }
 
+  test("calibrationError: hand-computed ECE and Brier on two bins") {
+    // bin 0 (p<0.1? no — bins of width .1): p=.05 y=0; p=.95,.95 y=1,0
+    val d = Seq((0.05, 0), (0.95, 1), (0.95, 0)).toDF("p", "y")
+    val r = Evaluation.calibrationError(d, "p", "y", bins = 10).head()
+    // bin0: n=1 acc=0 conf=.05 |d|=.05; bin9: n=2 acc=.5 conf=.95 |d|=.45
+    val ece = (0.05 * 1 + 0.45 * 2) / 3
+    val brier = (0.05 * 0.05 + 0.05 * 0.05 + 0.95 * 0.95) / 3
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(r.getLong(0) === 3L)
+    assert(r.getDouble(1) === r6(ece))
+    assert(r.getDouble(2) === r6(brier))
+    // p = 1.0 lands in the top bin, not bin 10
+    val edge = Seq((1.0, 1)).toDF("p", "y")
+    assert(Evaluation.calibrationError(edge, "p", "y").head().getDouble(1) === 0.0)
+  }
+
+  test("associationRules: hand-computed lift on three baskets") {
+    val baskets = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"), (3L, "z"))
+      .toDF("order_id", "item")
+    val out = Graph.associationRules(baskets, "order_id", "item", minPairCount = 2L)
+      .as[(String, String, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // x,y co-occur in 2 of 3 baskets; cx=3, cy=2
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(("x", "y")) === ((2L, r6(2.0 / 3), r6(2.0 / 3), 1.0)))
+    assert(out(("y", "x")) === ((2L, r6(2.0 / 3), 1.0, 1.0)))
+    assert(!out.contains(("x", "z"))) // pair count 1 < minPairCount
+  }
+
   test("binaryAuc: midrank tie handling matches the hand-computed U") {
     val d = Seq((0.9, 1), (0.8, 1), (0.8, 0), (0.3, 0)).toDF("score", "y")
     val r = Evaluation.binaryAuc(d, "score", "y").head()
