@@ -256,13 +256,6 @@ object StreamCatalog {
         AND md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) NOT IN (SELECT h FROM idx)
       ORDER BY 1""")),
 
-    // benchmark decontamination ON INGEST: the stateless streaming form
-    // of q_text_decontaminate — every arriving doc is flagged against
-    // the static benchmark gram set (leading 8-grams of every 50th doc,
-    // same benchmark as the batch entry) map-side, no watermark, no
-    // state store; the drained stream must reproduce the batch
-    // operator's (n_hits, contaminated) verdict for every document,
-    // which is the batch entry's oracle verbatim.
     // batch-fit / stream-route cluster assignment: exact per-label
     // centroids (rounded means — engine-reproducible) fit batch-side,
     // the embedding STREAM routes to its nearest centroid as stateless
@@ -338,6 +331,13 @@ object StreamCatalog {
       FROM d LEFT JOIN sc USING (doc_id) CROSS JOIN pri
       ORDER BY d.doc_id""")),
 
+    // benchmark decontamination ON INGEST: the stateless streaming form
+    // of q_text_decontaminate — every arriving doc is flagged against
+    // the static benchmark gram set (leading 8-grams of every 50th doc,
+    // same benchmark as the batch entry) map-side, no watermark, no
+    // state store; the drained stream must reproduce the batch
+    // operator's (n_hits, contaminated) verdict for every document,
+    // which is the batch entry's oracle verbatim.
     "q_stream_decontaminate" -> (raw((s, dir) => {
       val bench = SparkEntry.loader(s, dir)("documents")
         .where(col("doc_id") % 50 === 0)

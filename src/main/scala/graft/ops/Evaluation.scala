@@ -23,7 +23,11 @@ object Evaluation {
     * relevance but an empty run score 0. */
   def rankingMetrics(runs: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
     require(k > 0)
-    val rel = relevant.select(col("qid"), col("id"), lit(1).as("__rel"))
+    // dedup defensively: a duplicated (qid, id) relevance row would fan
+    // out the judged join and inflate hits/DCG past their bounds
+    // (nDCG > 1)
+    val rel = relevant.select(col("qid"), col("id")).distinct()
+      .withColumn("__rel", lit(1))
     val relCounts = rel.groupBy("qid").agg(count(lit(1)).as("__n_rel"))
     val judged = runs.where(col("rank") <= k)
       .join(rel, Seq("qid", "id"), "left")

@@ -285,11 +285,21 @@ object Sampling {
   def budgetAllocate(counts: org.apache.spark.sql.DataFrame, budget: Long,
                      maxEpochs: Double, rounds: Int = 3): org.apache.spark.sql.DataFrame = {
     require(budget >= 0 && maxEpochs > 0 && rounds >= 1)
+    // a null or non-positive weight must fail fast: Spark's least() SKIPS
+    // nulls, so a null share would silently hand the source its FULL
+    // cap and blow the budget
+    val w0 = col("weight").cast("double")
     var cur = counts.select(col("source"), col("tokens").cast("long").as("tokens"),
-      col("weight").cast("double").as("weight"),
+      when(w0.isNull || w0 <= 0.0,
+        raise_error(concat(lit("budgetAllocate: non-positive weight for source "),
+          col("source").cast("string")))).otherwise(w0).as("weight"),
       floor(col("tokens") * maxEpochs).cast("long").as("cap"),
       lit(0L).as("alloc"))
-    var remaining: Column = lit(budget)
+      // per-round localCheckpoint (the Graph.pageRank rationale): each
+      // round embeds the previous frame TWICE (totals + crossJoin), so
+      // lazily the input lineage re-executes up to 2^rounds times —
+      // q_budget_mix's input is a corpus-wide token count
+      .localCheckpoint()
     for (_ <- 1 to rounds) {
       val tot = cur.agg(
         sum(when(col("alloc") < col("cap"), col("weight"))).as("__wsum"),
@@ -302,6 +312,7 @@ object Sampling {
             .otherwise(0L))
         .select(col("source"), col("tokens"), col("weight"), col("cap"),
           (col("alloc") + col("__add")).as("alloc"))
+        .localCheckpoint()
     }
     cur.select(col("source"), col("tokens"), col("cap"), col("alloc"),
       round(col("alloc") / col("tokens"), 6).as("epochs"))

@@ -96,7 +96,10 @@ object Similarity {
       val sim = when(vn * cn =!= 0.0, dot(v, cl) / (vn * lit(cn))).otherwise(lit(-2.0))
       struct(round(sim, 6).as("sim"), lit(lbl).as("lbl"))
     }
-    df.withColumn("__best", greatest(scored: _*))
+    // greatest() demands ≥2 args — a one-centroid deployment (legal:
+    // route-everything-here) short-circuits to its single struct
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+    df.withColumn("__best", best)
       .withColumn("route_label", col("__best.lbl"))
       .withColumn("route_sim", col("__best.sim"))
       .drop("__best")

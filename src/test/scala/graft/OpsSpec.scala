@@ -2407,6 +2407,11 @@ class OpsSpec extends AnyFunSuite {
     // q2 has relevance but no run rows → all zeros (not excluded)
     assert(out(1).getDouble(1) === 0.0 && out(1).getDouble(2) === 0.0 &&
       out(1).getDouble(3) === 0.0)
+    // duplicated relevance rows must not inflate hits/DCG (nDCG ≤ 1)
+    val dupRel = rel.union(rel)
+    val out2 = Evaluation.rankingMetrics(runs, dupRel, k = 3).orderBy("qid").collect()
+    assert(out2(0).getDouble(1) === out(0).getDouble(1) &&
+      out2(0).getDouble(3) === out(0).getDouble(3))
   }
 
   test("calibrationError: hand-computed ECE and Brier on two bins") {
@@ -2517,6 +2522,12 @@ class OpsSpec extends AnyFunSuite {
     assert(out("a") === ((600L, 600L, 2.0)))
     assert(out("b") === ((2000L, 1200L, 1.2)))
     assert(out("c") === ((2000L, 1200L, 1.2)))
+    // a null weight fails fast instead of silently taking its full cap
+    val bad = Seq(("a", 300L, Some(2.0)), ("b", 1000L, None))
+      .toDF("source", "tokens", "weight")
+    intercept[Exception] {
+      Sampling.budgetAllocate(bad, budget = 1000L, maxEpochs = 2.0).collect()
+    }
   }
 
   test("resampleLocf: gaps fill forward, grid spans each key's own range") {
@@ -2570,6 +2581,11 @@ class OpsSpec extends AnyFunSuite {
     assert(r(1L) === ((0L, 1.0)) && r(2L) === ((1L, 1.0)))
     assert(r(3L) === ((1L, 0.8)))
     assert(r(4L)._1 === 1L) // exact tie on rounded sim → larger label
+    // a single-centroid deployment routes everything there (greatest()
+    // needs two args — the one-arm case must short-circuit)
+    val one = Similarity.routeToCentroids(d, "embedding", Seq(7L -> Array(1.0, 0.0)))
+      .select("route_label").distinct().as[Long].collect()
+    assert(one.toSeq === Seq(7L))
   }
 
   test("knnJoinIvf: full-probe join equals brute force; partial probe keeps recall") {
