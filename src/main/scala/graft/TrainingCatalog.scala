@@ -1753,6 +1753,47 @@ object TrainingCatalog {
              round(sum(pos * (neg_below + neg / 2.0)) / (sum(pos) * sum(neg)), 6) AS auc
       FROM cum""")),
 
+    // average precision (PR-AUC by the step rule) of the NB scores —
+    // the imbalance-honest companion to q_eval_auc: tied score groups
+    // enter whole (precision at group end), one score-keyed aggregate,
+    // cumulative window over DISTINCT scores only.
+    "q_eval_ap" -> (q((s, dir) => {
+      val scored = graft.ops.Classifier.nbTrainScore(docs(s, dir), "doc_id", "text",
+          col("lang") === "en")
+        .join(docs(s, dir).select(col("doc_id"),
+          (col("lang") === "en").cast("int").as("is_en")), Seq("doc_id"))
+      graft.ops.Evaluation.averagePrecision(scored, "score", "is_en")
+    }), Some("""
+      WITH d AS (
+        SELECT doc_id, lower(trim(text)) AS t,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents),
+      toks AS (
+        SELECT doc_id, y, unnest(regexp_split_to_array(t, '\s+')) AS tok
+        FROM d WHERE length(t) > 0),
+      cnt AS (SELECT tok, sum(y) AS c1, sum(1 - y) AS c0 FROM toks GROUP BY 1),
+      tot AS (SELECT sum(c1) AS t1, sum(c0) AS t0, count(*) AS v FROM cnt),
+      pri AS (SELECT ln((sum(y) + 1.0) / (sum(1 - y) + 1.0)) AS b FROM d),
+      w AS (SELECT tok, ln((c1 + 1.0) / (t1 + v)) - ln((c0 + 1.0) / (t0 + v)) AS w
+            FROM cnt CROSS JOIN tot),
+      sc AS (SELECT doc_id, sum(w.w) AS s FROM toks JOIN w USING (tok) GROUP BY 1),
+      scored AS (
+        SELECT round(pri.b + coalesce(sc.s, 0.0), 6) AS score, d.y
+        FROM d LEFT JOIN sc USING (doc_id) CROSS JOIN pri),
+      groups AS (
+        SELECT score, sum(y) AS pos, count(*) AS n FROM scored GROUP BY 1),
+      cum AS (
+        SELECT pos, n,
+               sum(pos) OVER (ORDER BY score DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+               sum(n) OVER (ORDER BY score DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+        FROM groups)
+      SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(n) - sum(pos) AS BIGINT) AS n_neg,
+             round(sum(pos * (cum_pos / CAST(cum_n AS DOUBLE))) / sum(pos), 6) AS ap
+      FROM cum""")),
+
     // calibration scalars (ECE + Brier) of the NB filter: confidence =
     // sigmoid of the rounded log-odds score, 10 equal-width bins, both
     // scalars from ONE aggregate over the binned scores. The summary

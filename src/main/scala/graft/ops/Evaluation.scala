@@ -94,6 +94,35 @@ object Evaluation {
         round((col("__po") - col("__pe")) / (lit(1.0) - col("__pe")), 6).as("kappa"))
   }
 
+  /** Average precision (the area under the precision-recall curve by
+    * the step rule — sklearn's `average_precision_score`): descending
+    * over DISTINCT scores, AP = Σ_g (Δrecall_g · precision_g) with
+    * whole tied GROUPS entering together (precision measured at the
+    * group's end — the deterministic tie treatment; interpolation-free
+    * so engines agree exactly). Same scale shape as [[binaryAuc]]: one
+    * score-keyed aggregate, the cumulative window runs over score
+    * cardinality. Returns (n_pos, n_neg, ap 6 dp); single-class input
+    * yields null ap. */
+  def averagePrecision(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val groups = df.select(col(scoreCol).as("__s"),
+        col(labelCol).cast("int").as("__y"))
+      .groupBy("__s").agg(
+        sum(col("__y")).as("__pos"),
+        count(lit(1)).as("__n"))
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = groups
+      .withColumn("__cumPos", sum("__pos").over(w))
+      .withColumn("__cumN", sum("__n").over(w))
+    val ap = cum.agg(
+      sum(col("__pos") * (col("__cumPos") / col("__cumN"))).as("__num"),
+      sum("__pos").as("n_pos"),
+      (sum("__n") - sum("__pos")).as("n_neg"))
+    ap.select(col("n_pos"), col("n_neg"),
+      round(col("__num") / col("n_pos"), 6).as("ap"))
+  }
+
   /** Calibration SCALARS for a probabilistic binary classifier —
     * expected calibration error (Naeini et al. 2015: Σ_bins
     * |acc_b − conf_b| · n_b/N over equal-width probability bins) and

@@ -2453,6 +2453,19 @@ class OpsSpec extends AnyFunSuite {
     assert(Evaluation.binaryAuc(p, "score", "y").head().getDouble(2) === 1.0)
   }
 
+  test("averagePrecision: step-rule AP with a tied group") {
+    // desc: 0.9 (pos) → precision 1, ΔR = 1/2; tied 0.5 group
+    // (1 pos, 1 neg) → precision at group end = 2 pos of 3 seen = 2/3
+    val d = Seq((0.9, 1), (0.5, 1), (0.5, 0), (0.1, 0)).toDF("score", "y")
+    val r = Evaluation.averagePrecision(d, "score", "y").head()
+    val ap = (1.0 * 1.0 + 1.0 * (2.0 / 3)) / 2
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 2L)))
+    assert(r.getDouble(2) === math.rint(ap * 1e6) / 1e6)
+    // perfect ranking → AP = 1
+    val p = Seq((0.9, 1), (0.1, 0)).toDF("score", "y")
+    assert(Evaluation.averagePrecision(p, "score", "y").head().getDouble(2) === 1.0)
+  }
+
   test("cohensKappa: hand-computed 2x2 agreement") {
     val d = Seq((true, true), (true, false), (false, false), (false, false))
       .toDF("a", "b")
