@@ -1753,6 +1753,57 @@ object TrainingCatalog {
              round(sum(pos * (neg_below + neg / 2.0)) / (sum(pos) * sum(neg)), 6) AS auc
       FROM cum""")),
 
+    // two-sample KS statistic between sources' length distributions —
+    // the numeric drift test beside q_pipeline_drift's class-mix view:
+    // one value-keyed count aggregate + cumulative windows over
+    // DISTINCT values, exact counts into one rounded ratio.
+    "q_eval_ks" -> (q((s, dir) =>
+      graft.ops.Evaluation.ksStatistic(docs(s, dir), "source", "n_chars",
+        "src0", "src1")
+    ), Some("""
+      WITH base AS (
+        SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
+        FROM documents WHERE source IN ('src0', 'src1')),
+      counts AS (
+        SELECT v,
+               sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS cb
+        FROM base GROUP BY 1),
+      cum AS (
+        SELECT sum(ca) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+               sum(cb) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+               sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+        FROM counts)
+      SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+             round(max(abs(cum_a / CAST(na AS DOUBLE) - cum_b / CAST(nb AS DOUBLE))), 6) AS ks
+      FROM cum""")),
+
+    // chi-square independence of (source, lang) — "does language
+    // depend on source": χ² from exact integer marginals, e = r·c/n;
+    // statistic + dof only (p-values need the incomplete gamma and
+    // belong to lookup tables).
+    "q_eval_chi2" -> (q((s, dir) =>
+      graft.ops.Evaluation.chiSquareIndependence(docs(s, dir), "source", "lang")
+    ), Some("""
+      WITH obs AS (SELECT source AS a, lang AS b, count(*) AS o
+                   FROM documents GROUP BY 1, 2),
+      ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY 1),
+      cbt AS (SELECT b, sum(o) AS cb FROM obs GROUP BY 1),
+      nn AS (SELECT sum(o) AS n FROM obs),
+      cells AS (
+        SELECT coalesce(obs.o, 0) AS o, nn.n,
+               ra.ra * cbt.cb / CAST(nn.n AS DOUBLE) AS e
+        FROM ra CROSS JOIN cbt
+        LEFT JOIN obs ON obs.a = ra.a AND obs.b = cbt.b
+        CROSS JOIN nn),
+      dims AS (SELECT count(DISTINCT a) AS na, count(DISTINCT b) AS nb FROM obs)
+      SELECT CAST(max(n) AS BIGINT) AS n,
+             CAST((max(dims.na) - 1) * (max(dims.nb) - 1) AS BIGINT) AS dof,
+             round(sum((o - e) * (o - e) / e), 6) AS chi2
+      FROM cells CROSS JOIN dims""")),
+
     // average precision (PR-AUC by the step rule) of the NB scores —
     // the imbalance-honest companion to q_eval_auc: tied score groups
     // enter whole (precision at group end), one score-keyed aggregate,

@@ -94,6 +94,67 @@ object Evaluation {
         round((col("__po") - col("__pe")) / (lit(1.0) - col("__pe")), 6).as("kappa"))
   }
 
+  /** Two-sample Kolmogorov-Smirnov statistic — the distribution-drift
+    * test between two slices of a numeric column (new crawl vs old,
+    * source A vs B): KS = max over observed values of
+    * |ECDF_a − ECDF_b|. One (value)-keyed aggregate with per-group
+    * counts, one cumulative window over DISTINCT values (bounded by
+    * value cardinality, never the corpus), exact integer counts into
+    * one rounded ratio. Returns (n_a, n_b, ks 6 dp). */
+  def ksStatistic(df: DataFrame, groupCol: String, valCol: String,
+                  a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.where(col(groupCol).isin(a, b))
+      .select(col(groupCol).as("__g"), col(valCol).cast("double").as("__v"))
+    val counts = base.groupBy("__v").agg(
+      sum(when(col("__g") === a, 1L).otherwise(0L)).as("__ca"),
+      sum(when(col("__g") === b, 1L).otherwise(0L)).as("__cb"))
+    val w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("__cumA", sum("__ca").over(w))
+      .withColumn("__cumB", sum("__cb").over(w))
+      // the all-rows totals window runs over the DISTINCT-value frame
+      .withColumn("__na", sum("__ca").over(Window.partitionBy()))
+      .withColumn("__nb", sum("__cb").over(Window.partitionBy()))
+    cum.agg(
+      max("__na").as("n_a"), max("__nb").as("n_b"),
+      round(max(abs(col("__cumA") / col("__na") -
+                    col("__cumB") / col("__nb"))), 6).as("ks"))
+  }
+
+  /** Pearson chi-square INDEPENDENCE statistic over a two-column
+    * contingency (is `bCol` distributed independently of `aCol` — the
+    * corpus-audit question "does language depend on source"): χ² =
+    * Σ (o − e)²/e with e = row·col/n, from exact integer marginals.
+    * One (a, b) count shuffle; marginals broadcast back. Returns
+    * (n, dof, chi2 6 dp) — the statistic and degrees of freedom; p
+    * needs the incomplete gamma and belongs to the caller's tables. */
+  def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowTot = obs.groupBy("__a").agg(sum("__o").as("__ra"))
+    val colTot = obs.groupBy("__b").agg(sum("__o").as("__cb"))
+    val n = obs.agg(sum("__o").as("__n"))
+    // DENSIFY before summing: an unobserved (a, b) combination is a
+    // zero CELL contributing (0 − e)²/e = e — dropping it understates
+    // χ² exactly when association is strongest. Marginal × marginal is
+    // the (small) full grid; observed counts left-join on.
+    val cells = rowTot.crossJoin(colTot)
+      .join(obs, Seq("__a", "__b"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .select(col("__o"), col("__n"),
+        (col("__ra") * col("__cb") / col("__n")).as("__e"))
+    val dims = obs.agg(
+      countDistinct("__a").as("__na"), countDistinct("__b").as("__nb"))
+    cells.agg(max("__n").as("n"),
+        sum((col("__o") - col("__e")) * (col("__o") - col("__e")) / col("__e")).as("__chi2"))
+      .crossJoin(broadcast(dims))
+      .select(col("n"),
+        ((col("__na") - 1) * (col("__nb") - 1)).as("dof"),
+        round(col("__chi2"), 6).as("chi2"))
+  }
+
   /** Average precision (the area under the precision-recall curve by
     * the step rule — sklearn's `average_precision_score`): descending
     * over DISTINCT scores, AP = Σ_g (Δrecall_g · precision_g) with

@@ -2453,6 +2453,25 @@ class OpsSpec extends AnyFunSuite {
     assert(Evaluation.binaryAuc(p, "score", "y").head().getDouble(2) === 1.0)
   }
 
+  test("ksStatistic: hand-computed max ECDF gap; identical slices give 0") {
+    val d = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v")
+    val r = Evaluation.ksStatistic(d, "g", "v", "a", "b").head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) === ((2L, 2L, 0.5)))
+    val same = Seq(("a", 1.0), ("a", 5.0), ("b", 1.0), ("b", 5.0)).toDF("g", "v")
+    assert(Evaluation.ksStatistic(same, "g", "v", "a", "b").head().getDouble(2) === 0.0)
+  }
+
+  test("chiSquareIndependence: perfect association on a 2x2 diagonal") {
+    val rows = Seq.fill(10)(("s1", "en")) ++ Seq.fill(10)(("s2", "fr"))
+    val r = Evaluation.chiSquareIndependence(rows.toDF("src", "lg"), "src", "lg").head()
+    // e = 5 everywhere → χ² = 4·(5²/5) = 20, dof = 1
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) === ((20L, 1L, 20.0)))
+    // independence → 0
+    val ind = Seq(("s1", "en"), ("s1", "fr"), ("s2", "en"), ("s2", "fr"))
+    assert(Evaluation.chiSquareIndependence(ind.toDF("src", "lg"), "src", "lg")
+      .head().getDouble(2) === 0.0)
+  }
+
   test("averagePrecision: step-rule AP with a tied group") {
     // desc: 0.9 (pos) → precision 1, ΔR = 1/2; tied 0.5 group
     // (1 pos, 1 neg) → precision at group end = 2 pos of 3 seen = 2/3
