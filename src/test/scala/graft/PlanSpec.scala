@@ -427,6 +427,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), s"grid is not sequence-generated:\n$p")
   }
 
+  test("association rules: item counts broadcast back; no product join") {
+    val p = plan("q_graph_lift")
+    assert(p.contains("BroadcastHashJoin"), s"item-count join is not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"product join in lift plan:\n$p")
+  }
+
+  test("rollup IVM: merge is a keyed join, never a window or product") {
+    val p = plan("q_pipeline_rollup")
+    assert(!p.contains("Window"), s"unexpected window in rollup plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"product join in rollup plan:\n$p")
+  }
+
+  test("AUC/AP: the cumulative window runs over the aggregated score groups") {
+    for (name <- Seq("q_eval_auc", "q_eval_ap")) {
+      val p = plan(name)
+      // the corpus-side aggregate must come BEFORE the single-partition
+      // window — the window's input is score-cardinality, not rows
+      val aggIdx = p.indexOf("HashAggregate")
+      val winIdx = p.indexOf("Window")
+      assert(aggIdx >= 0 && winIdx >= 0 && winIdx < p.lastIndexOf("HashAggregate"),
+        s"$name: window does not sit above an aggregate:\n$p")
+    }
+  }
+
   test("saved IVF lists: the index scan carries a cell partition filter") {
     val p = plan("q_sim_ivf_append")
     val idxScan = p.split('\n').map(_.trim)
