@@ -72,6 +72,17 @@ object TrainingCatalog {
       }
     }
 
+  /** Recent-slice co-purchase graph (ships ≥ 1999) for the DENSITY
+    * analytics (triangles, Adamic–Adar): the full 6-year graph's avg
+    * degree ~120 puts Σdeg² near 300M — a density census runs on a
+    * cohort slice, and the shipdate predicate pushes down to the scan.
+    * Small enough that rebuilding per invocation is cheap; no slot. */
+  private def recentCoPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = SparkEntry.loader(s, dir)("lineitem")
+      .where(col("l_shipdate") >= lit("1999-01-01").cast("date"))
+    graft.ops.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+  }
+
   /** One persisted synthetic-PNG payload corpus per (session, sf dir) —
     * the ImageIO entry measures the DECODE tier; encoding the input
     * corpus is scaffolding, so it is paid once (cold) and reused (warm),
@@ -3122,6 +3133,76 @@ object TrainingCatalog {
              FROM l2 LEFT JOIN n3 USING (id))
       SELECT lbl AS community, CAST(count(*) AS BIGINT) AS size
       FROM l3 GROUP BY 1 ORDER BY size DESC, community LIMIT 50""")),
+
+    // per-vertex triangle counts + local clustering coefficient over
+    // the RECENT co-purchase graph (ships ≥ 1999 — the full 6-year
+    // graph has avg degree ~120 and 300M wedges: a density census runs
+    // on a cohort slice, and the slice is the predicate-pushdown win).
+    // Degree-ordered orientation: each triangle enumerated once, wedge
+    // fan-out bounded by the O(√m) oriented out-degree, so hubs can't
+    // explode the self-join. Output: top-50 densest vertices. Oracle
+    // enumerates triangles a<b<c directly — a DIFFERENT enumeration
+    // order proving the same counts.
+    "q_graph_triangles" -> (q((s, dir) =>
+      graft.ops.Graph.triangleCounts(recentCoPurchaseEdges(s, dir))
+        .orderBy(col("tri").desc, col("id"))
+        .limit(50)
+    ), Some("""
+      WITH li AS (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1999-01-01'),
+      e0 AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e0),
+      deg AS (SELECT id, count(*) AS deg FROM (
+                SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+      tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      credit AS (SELECT id, count(*) AS tri FROM (
+                   SELECT x AS id FROM tri UNION ALL
+                   SELECT y FROM tri UNION ALL
+                   SELECT z FROM tri) GROUP BY 1)
+      SELECT d.id, d.deg, CAST(coalesce(c.tri, 0) AS BIGINT) AS tri,
+             CASE WHEN d.deg >= 2
+                  THEN round(2.0 * coalesce(c.tri, 0) / (d.deg * (d.deg - 1)), 6)
+                  ELSE 0.0 END AS coeff
+      FROM deg d LEFT JOIN credit c USING (id)
+      ORDER BY tri DESC, id LIMIT 50""")),
+
+    // Adamic–Adar link prediction over the recent co-purchase graph
+    // (same ≥1999 slice + rationale as q_graph_triangles — exact
+    // common-neighbor scoring is Σdeg², which the slice bounds at ~10M
+    // wedges): score non-adjacent part pairs by Σ 1/ln(deg) over shared
+    // neighbors (candidate generation for recommendation / retrieval
+    // training pairs). Wedge self-join through each center + anti-join
+    // against the edge set; top-100 predicted links.
+    "q_graph_adamic_adar" -> (q((s, dir) =>
+      graft.ops.Graph.adamicAdar(recentCoPurchaseEdges(s, dir))
+        .orderBy(col("aa").desc, col("x"), col("y"))
+        .limit(100)
+    ), Some("""
+      WITH li AS (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1999-01-01'),
+      e0 AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e0),
+      deg AS (SELECT id, count(*) AS deg FROM (
+                SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+      adj AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e),
+      wadj AS (SELECT adj.z, adj.n, 1.0 / ln(deg.deg) AS w
+               FROM adj JOIN deg ON adj.z = deg.id),
+      sc AS (
+        SELECT l.n AS x, r.n AS y, count(*) AS cn, round(sum(l.w), 6) AS aa
+        FROM wadj l JOIN wadj r ON l.z = r.z AND l.n < r.n
+        GROUP BY 1, 2),
+      pred AS (
+        SELECT * FROM sc
+        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = sc.x AND e.b = sc.y))
+      SELECT x, y, CAST(cn AS BIGINT) AS cn, aa
+      FROM pred ORDER BY aa DESC, x, y LIMIT 100""")),
 
     // model-based quality filter (fastText-style linear bag-of-words,
     // the CCNet/GPT-3 crawl gate): closed-form multinomial Naive Bayes

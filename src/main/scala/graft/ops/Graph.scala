@@ -146,4 +146,101 @@ object Graph {
     }
     ranks.select(col("id"), round(col("r"), 6).as("rank"))
   }
+
+  /** Per-vertex triangle counts + local clustering coefficient over an
+    * undirected edge list (either direction, self-loops ignored) — the
+    * community-density signal that complements [[labelPropagation]]
+    * (LPA says WHICH cluster, the coefficient says HOW dense).
+    *
+    * Algorithm: degree-ordered orientation (Schank & Wagner 2005 /
+    * Latapy's compact-forward) — every edge is directed from its
+    * lower-(degree, id) endpoint to the higher, so each triangle is
+    * enumerated exactly once AND the wedge join's fan-out is bounded by
+    * the ORIENTED out-degree, which is O(√m) regardless of hub size.
+    * That bound is the 100-TB argument: a naive neighbor self-join
+    * explodes as Σdeg² on hubs; the oriented join is Σoutdeg² ≤ m·√m
+    * worst case and in practice far below. Three shuffles total:
+    * the wedge self-join on u, the closing-edge join on (v, w), and
+    * the per-vertex credit count. The static oriented edge list is
+    * snapshotted once ([[pageRank]]'s localCheckpoint rationale).
+    *
+    * Returns (id, deg, tri, coeff) with coeff = 2·tri / (deg·(deg−1))
+    * rounded 6 dp (0 for deg < 2). */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // (deg, id) as a struct gives the total order the orientation needs;
+    // struct comparison is codegen'd lexicographic, no UDF.
+    val ra = deg.select(col("id").as("a"), struct(col("deg"), col("id")).as("__ra"))
+    val rb = deg.select(col("id").as("b"), struct(col("deg"), col("id")).as("__rb"))
+    val oriented = und.join(ra, Seq("a")).join(rb, Seq("b"))
+      .select(
+        when(col("__ra") < col("__rb"), col("a")).otherwise(col("b")).as("u"),
+        when(col("__ra") < col("__rb"), col("b")).otherwise(col("a")).as("v"),
+        when(col("__ra") < col("__rb"), col("__rb")).otherwise(col("__ra")).as("__rv"))
+      .localCheckpoint()
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.u") === col("y.u") && col("x.__rv") < col("y.__rv"))
+      .select(col("x.u").as("u"), col("x.v").as("v"), col("y.v").as("w"))
+    // the closing edge must itself be oriented v→w: rank(v) < rank(w)
+    // by construction of the wedge, so membership in `oriented` is the
+    // exact test — one equi-join, no rank recomputation.
+    val tris = wedges.join(
+      oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+    val credit = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("tri"))
+    deg.join(credit, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("tri"), lit(0L)) /
+            (col("deg") * (col("deg") - lit(1))), 6))
+          .otherwise(lit(0.0)).as("coeff"))
+  }
+
+  /** Adamic–Adar link prediction over an undirected edge list: for every
+    * NON-adjacent pair (x, y) sharing ≥1 neighbor, score =
+    * Σ_{z ∈ N(x)∩N(y)} 1/ln(deg(z)) (Adamic & Adar 2003) — rare shared
+    * neighbors weigh more than hubs. The co-purchase reading: parts
+    * never bought together whose shared-basket structure says they
+    * belong together (a candidate-generation primitive for
+    * recommendation / retrieval training pairs).
+    *
+    * Plan: wedges through each center z (symmetric adjacency self-join,
+    * x < y kills the mirror), aggregated by (x, y) summing the
+    * broadcast-joined 1/ln(deg(z)) weight, then one LEFT ANTI join
+    * against the edge set drops already-adjacent pairs. The wedge join
+    * is Σdeg² — the inherent cost of exact common-neighbor scoring; on
+    * hub-heavy graphs cap the candidate set upstream (degree filter on
+    * z) or swap in the MinHash neighborhood sketch from [[Dedup]] — the
+    * exact tier here mirrors the dedup family's tiering convention.
+    * Returns (x, y, cn, aa): common-neighbor count and the rounded
+    * score. deg(z) ≥ 2 for any wedge center, so ln(deg) > 0. */
+  def adamicAdar(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val adj = und.select(col("a").as("z"), col("b").as("n"))
+      .union(und.select(col("b").as("z"), col("a").as("n")))
+    val weighted = adj.join(broadcast(deg.select(col("id").as("z"),
+      (lit(1.0) / log(col("deg"))).as("__w"))), Seq("z"))
+    val scores = weighted.as("l").join(weighted.as("r"),
+        col("l.z") === col("r.z") && col("l.n") < col("r.n"))
+      .select(col("l.n").as("x"), col("r.n").as("y"), col("l.__w").as("__w"))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("cn"), round(sum(col("__w")), 6).as("aa"))
+    scores.join(und,
+        scores("x") === und("a") && scores("y") === und("b"), "left_anti")
+      .select(col("x"), col("y"), col("cn"), col("aa"))
+  }
 }

@@ -2724,6 +2724,41 @@ class OpsSpec extends AnyFunSuite {
     assert(top.getLong(0) === 99L, s"hub item should rank first: $top")
   }
 
+  test("Graph.triangleCounts: clique, bridge, and path counted by hand") {
+    // triangle {1,2,3}, plus a path 3–4–5 (no further triangles);
+    // edges given in MIXED directions with duplicates — canonicalization
+    // must absorb both.
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 4L))
+      .toDF("src", "dst")
+    val out = Graph.triangleCounts(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((2L, 1L, 1.0)))        // deg 2, 1 triangle, coeff 1
+    assert(out(2L) === ((2L, 1L, 1.0)))
+    assert(out(3L)._1 === 3L && out(3L)._2 === 1L) // deg 3, coeff 2/(3·2)
+    assert(out(3L)._3 === math.rint(1.0 / 3 * 1e6) / 1e6)
+    assert(out(4L) === ((2L, 0L, 0.0)))        // path center: wedge, no closure
+    assert(out(5L) === ((1L, 0L, 0.0)))        // leaf: deg < 2 → coeff 0
+    // K4 has C(4,3)=4 triangles, every vertex in 3 of them, coeff 1
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b))
+      .toDF("src", "dst")
+    val k4out = Graph.triangleCounts(k4).collect()
+    assert(k4out.forall(r => r.getLong(2) === 3L && r.getDouble(3) === 1.0))
+  }
+
+  test("Graph.adamicAdar: shared-neighbor score excludes adjacent pairs") {
+    // star center 0 with leaves 1,2,3 plus edge 1–2: pairs (1,3),(2,3)
+    // share only the center (deg 4... deg(0)=3); (1,2) is ADJACENT so
+    // excluded even though it shares 0.
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L)).toDF("src", "dst")
+    val out = Graph.adamicAdar(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(!out.contains((1L, 2L)), "adjacent pair must be anti-joined away")
+    assert(out((1L, 3L)) === ((1L, r6(1.0 / math.log(3.0)))))
+    assert(out((2L, 3L)) === ((1L, r6(1.0 / math.log(3.0)))))
+    assert(out.size === 2)
+  }
+
   test("bm25TopK: tf saturation and length normalization order as expected") {
     val d = Seq(
       (1L, "cat cat dog bird"),  // tf(cat)=2, dl=4
