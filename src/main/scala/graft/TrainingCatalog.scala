@@ -2070,6 +2070,61 @@ object TrainingCatalog {
                              OVER (PARTITION BY cohort), 6) AS rate
       FROM cnt ORDER BY cohort, offset_w""")),
 
+    // Kaplan–Meier churn risk table with right-censoring: lifetime =
+    // first→last event days; churned only if the last event predates
+    // the observation end by >7 days, censored otherwise (alive for
+    // all we know — leaves the risk set without a death). Exact
+    // integers + one rounded ratio per row; the float survival
+    // PRODUCT is deliberately left to the caller (the one
+    // cross-engine-fragile piece). Risk-set suffix sum runs over
+    // ≤ span-days aggregated rows.
+    "q_events_survival" -> (q((s, dir) =>
+      graft.ops.Funnel.kaplanMeier(
+        SparkEntry.loader(s, dir)("events"), "user_id", "ts", horizonDays = 7)
+    ), Some("""
+      WITH spans AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l
+        FROM events GROUP BY 1),
+      obs AS (SELECT max(CAST(ts AS DATE)) AS e FROM events),
+      lt AS (
+        SELECT datediff('day', f, l) AS t_days,
+               CASE WHEN datediff('day', l, obs.e) > 7 THEN 1 ELSE 0 END AS churn
+        FROM spans CROSS JOIN obs),
+      perdur AS (
+        SELECT t_days, count(*) AS n, CAST(sum(churn) AS BIGINT) AS n_events
+        FROM lt GROUP BY 1)
+      SELECT t_days,
+             CAST(sum(n) OVER (ORDER BY t_days DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk,
+             n_events,
+             round(1.0 - n_events / CAST(sum(n) OVER (ORDER BY t_days DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS km_factor
+      FROM perdur QUALIFY n_events > 0 ORDER BY t_days""")),
+
+    // first-order Markov transition matrix over per-user event
+    // sequences (ts, event_id ordered): P(next | current) from
+    // consecutive pairs — the behavioral fingerprint for session
+    // simulation and improbable-transition anomaly scoring. One
+    // per-user lead window + one (from, to) count; matrix rows
+    // bounded by |types|², never event volume.
+    "q_events_markov" -> (q((s, dir) =>
+      graft.ops.Funnel.markovTransitions(
+          SparkEntry.loader(s, dir)("events"), "user_id", "event_type",
+          "ts", "event_id")
+        .orderBy("from_type", "to_type")
+    ), Some("""
+      WITH seq AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS to_type
+        FROM events),
+      cnt AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+        FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, cnt,
+             round(cnt / CAST(sum(cnt) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+      FROM cnt ORDER BY from_type, to_type""")),
+
     // Zipf-law fit (corpus-health diagnostic): OLS slope/intercept of
     // ln(count) on ln(rank) over the top-25 terms, closed form from
     // ONE aggregate; the rank window runs over the vocab-sized count

@@ -78,4 +78,75 @@ object Funnel {
       .select(col("cohort").cast("date").as("cohort"),
         col("offset_w"), col("users"), col("rate"))
   }
+
+  /** Kaplan–Meier RISK TABLE over per-entity lifetimes (Kaplan & Meier
+    * 1958) — churn analysis with right-censoring done honestly: an
+    * entity's lifetime runs first event → last event (whole days); it
+    * COUNTS as churned only when its last event predates the
+    * observation end by more than `horizonDays` (otherwise it is
+    * censored — still alive for all we know, so it leaves the risk set
+    * without registering a death). For each churn duration t:
+    * n_risk = entities with lifetime ≥ t, n_events = churns AT t, and
+    * the KM factor (1 − d/n) whose running product is the survival
+    * curve (left to the caller/plot layer: a cross-engine float
+    * product is the one non-reproducible piece, while this table is
+    * exact integers + one rounded ratio).
+    *
+    * Shape: one per-entity min/max aggregate, a 1-row broadcast of the
+    * observation end, then a second aggregate to per-DURATION rows —
+    * after which the cumulative risk-set window runs over ≤ span-days
+    * rows, so its single partition is a non-issue at any event volume.
+    * Returns (t_days, n_risk, n_events, km_factor) for durations with
+    * ≥1 churn, ordered by t_days. */
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
+                  horizonDays: Int): DataFrame = {
+    require(horizonDays >= 0, s"horizonDays: $horizonDays")
+    import org.apache.spark.sql.expressions.Window
+    val spans = events.groupBy(col(userCol).as("__u"))
+      .agg(min(col(tsCol).cast("date")).as("__first"),
+           max(col(tsCol).cast("date")).as("__last"))
+    val end = events.agg(max(col(tsCol).cast("date")).as("__end"))
+    val lifetimes = spans.crossJoin(broadcast(end))
+      .select(datediff(col("__last"), col("__first")).as("t_days"),
+        when(datediff(col("__end"), col("__last")) > horizonDays, 1L)
+          .otherwise(0L).as("__churn"))
+    val perDur = lifetimes.groupBy("t_days")
+      .agg(count(lit(1)).as("__n"), sum("__churn").as("n_events"))
+    // risk set at t = everyone whose lifetime reached t: suffix sum over
+    // the per-duration counts (descending-order running total).
+    val w = Window.orderBy(col("t_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDur.withColumn("n_risk", sum(col("__n")).over(w))
+      .where(col("n_events") > 0)
+      .select(col("t_days"), col("n_risk"), col("n_events"),
+        round(lit(1.0) - col("n_events") / col("n_risk"), 6).as("km_factor"))
+      .orderBy("t_days")
+  }
+
+  /** First-order MARKOV TRANSITION MATRIX over per-entity event
+    * sequences: P(next = b | current = a), estimated from every
+    * consecutive pair in each entity's (ts, id)-ordered history —
+    * the behavioral fingerprint behind session simulation, anomaly
+    * scoring (improbable transitions), and next-event models. One
+    * per-entity window (lead) + one (from, to) count shuffle; the
+    * row-normalizing total joins back per `from` — aggregate rows are
+    * bounded by |event types|², never by event volume. `idCol` breaks
+    * same-timestamp ties so the sequence — and thus the matrix — is
+    * deterministic. Returns (from_type, to_type, cnt, p) with p
+    * rounded 6 dp. */
+  def markovTransitions(events: DataFrame, userCol: String, typeCol: String,
+                        tsCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("from_type"),
+        col(tsCol), col(idCol))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+    val cnt = pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("cnt"))
+    val tot = cnt.groupBy("from_type").agg(sum("cnt").as("__tot"))
+    cnt.join(broadcast(tot), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        round(col("cnt") / col("__tot"), 6).as("p"))
+  }
 }

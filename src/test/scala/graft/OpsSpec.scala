@@ -2724,6 +2724,44 @@ class OpsSpec extends AnyFunSuite {
     assert(top.getLong(0) === 99L, s"hub item should rank first: $top")
   }
 
+  test("Funnel.kaplanMeier: churn vs censoring on a hand-built cohort") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")
+    // A lives days 0–2 (churned: 8 > 3 before obs end), B day 0 only
+    // (churned), C days 0–10 (ends AT obs end → censored)
+    val ev = Seq(
+      (1L, "A", ts(0)), (2L, "A", ts(1)), (3L, "A", ts(2)),
+      (4L, "B", ts(0)),
+      (5L, "C", ts(0)), (6L, "C", ts(10))
+    ).toDF("event_id", "user_id", "ts")
+    val out = Funnel.kaplanMeier(ev, "user_id", "ts", horizonDays = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (0, 3L, 1L, math.rint((1.0 - 1.0 / 3) * 1e6) / 1e6), // all 3 at risk at t=0
+      (2, 2L, 1L, 0.5)))                                   // C + A still at risk at t=2
+    // censored C contributes to n_risk but emits no row (no churn at 10)
+    assert(!out.exists(_._1 == 10))
+  }
+
+  test("Funnel.markovTransitions: row-normalized pair counts with id tie-break") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 1L, "a", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "b", ts("2024-01-01 11:00:00")),
+      (3L, 1L, "a", ts("2024-01-01 12:00:00")),
+      (4L, 2L, "a", ts("2024-01-01 10:00:00")),
+      // same-timestamp pair for user 2: event_id order ⇒ b then c
+      (5L, 2L, "b", ts("2024-01-01 11:00:00")),
+      (6L, 2L, "c", ts("2024-01-01 11:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Funnel.markovTransitions(ev, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(("a", "b")) === ((2L, 1.0)))  // both users a→b; a row sums to 1
+    assert(out(("b", "a")) === ((1L, 0.5)))
+    assert(out(("b", "c")) === ((1L, 0.5)))  // the tie resolved by event_id
+    assert(out.size === 3)
+  }
+
   test("Graph.triangleCounts: clique, bridge, and path counted by hand") {
     // triangle {1,2,3}, plus a path 3–4–5 (no further triangles);
     // edges given in MIXED directions with duplicates — canonicalization
