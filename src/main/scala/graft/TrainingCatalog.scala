@@ -744,6 +744,36 @@ object TrainingCatalog {
       SELECT CAST(rank AS INT) AS rank, a, b, c, pmi
       FROM r WHERE rank <= 50 ORDER BY rank""")),
 
+    // interpolated Kneser–Ney bigram LM trained distributed — the
+    // n-gram model behind perplexity quality gates, with the
+    // continuation-count insight ("francisco" is frequent but only
+    // follows "san"). One corpus-sized bigram count; context totals /
+    // follower / preceder type counts are vocab-sized broadcasts.
+    // Top-100 by rounded probability. Oracle replays the identical
+    // discount arithmetic.
+    "q_text_kn_ngram" -> (q((s, dir) =>
+      TextAnalysis.kneserNeyBigrams(docs(s, dir), "text",
+        discount = 0.75, minCount = 5, k = 100)
+    ), Some("""
+      WITH toks AS (
+        SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0),
+      bi AS (SELECT t[i] AS a, t[i + 1] AS b, count(*) AS c
+             FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                   FROM toks WHERE len(t) >= 2)
+             GROUP BY 1, 2),
+      ctx AS (SELECT a, sum(c) AS ca, count(*) AS fa FROM bi GROUP BY 1),
+      prec AS (SELECT b, count(*) AS pb FROM bi GROUP BY 1),
+      types AS (SELECT count(*) AS bt FROM bi),
+      sc AS (SELECT bi.a, bi.b, bi.c,
+               round(greatest(bi.c - 0.75, 0.0) / ctx.ca +
+                     0.75 * ctx.fa / ctx.ca * (prec.pb / CAST(types.bt AS DOUBLE)), 6) AS p
+             FROM bi JOIN ctx ON bi.a = ctx.a JOIN prec ON bi.b = prec.b
+             CROSS JOIN types WHERE bi.c >= 5),
+      r AS (SELECT *, row_number() OVER (ORDER BY p DESC, a, b) AS rank FROM sc)
+      SELECT CAST(rank AS INT) AS rank, a, b, c, p
+      FROM r WHERE rank <= 100 ORDER BY rank""")),
+
     // BM25 top-k retrieval for three fixed keyword queries — the
     // lexical-search baseline beside the ANN stack. Corpus never
     // shuffles toward the queries: the query-term list joins broadcast
@@ -1596,6 +1626,22 @@ object TrainingCatalog {
     // md5(id:b) hex cutoffs (engine-portable), ONE (b)-keyed aggregate,
     // percentile-disc interval on the rounded resample means. Oracle
     // replays draw, weights, and order statistics exactly.
+    // EXACT median via iterative histogram refinement — no global
+    // sort, no approx_percentile error bar: each round is one
+    // full-scan histogram (≤2048 driver-side counters, the bounded-
+    // metadata class) narrowing the range ~2000×, so 10¹² rows resolve
+    // in ~3 scans + one ≤64Ki-value collect. Oracle: DuckDB's exact
+    // median over the same filter.
+    "q_stats_median" -> (q((s, dir) => {
+      val (n, med) = graft.ops.Sketches.exactMedianTwoPass(
+        SparkEntry.loader(s, dir)("events"), "value")
+      import s.implicits._
+      Seq((n, math.rint(med * 1e6) / 1e6)).toDF("n", "median_value")
+    }), Some("""
+      SELECT CAST(count(value) AS BIGINT) AS n,
+             round(median(value), 6) AS median_value
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)""")),
+
     "q_stats_bootstrap" -> (q((s, dir) =>
       graft.ops.Profiling.bootstrapMeanCI(docs(s, dir), "doc_id", "n_chars",
         b = 40, q = 0.025)

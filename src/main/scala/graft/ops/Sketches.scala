@@ -138,4 +138,88 @@ object Sketches {
     require(kNeeded <= Int.MaxValue, s"N/minFreq=$kNeeded exceeds Int range — raise minFreq")
     heavyHitters(df, keyCol, math.max(minK.toLong, kNeeded).toInt, minFreq, out)
   }
+
+  /** EXACT median without a global sort — the scale answer to "what's
+    * the true p50 of 10¹² rows" that `approx_percentile` only
+    * approximates and `sort().limit()` can't reach: iterative histogram
+    * refinement (the classic distributed selection / BFPRT-by-buckets
+    * scheme). Each round is ONE full-scan aggregate producing a
+    * `buckets`-row histogram of the current value range; the bucket(s)
+    * holding the two middle order statistics narrow the range by
+    * ~1/buckets, so 10¹² rows need ⌈log_{2048}(10¹²/collectLimit)⌉ ≈ 3
+    * scans before the survivors fit `collectLimit` and one bounded
+    * collect finishes exactly. Driver state per round is the histogram
+    * (≤ `buckets` counters — the [[heavyHitters]] bounded-metadata
+    * class), never data.
+    *
+    * Median semantics = mean of the two middle order statistics for
+    * even N (DuckDB/NumPy `median`). Nulls and NaNs are excluded.
+    * Heavy duplication is safe: a range whose width underflows is all
+    * one value and resolves immediately. Returns (n, median). */
+  def exactMedianTwoPass(df: DataFrame, valCol: String,
+                         buckets: Int = 2048,
+                         collectLimit: Int = 1 << 16): (Long, Double) = {
+    require(buckets >= 2, s"buckets: $buckets")
+    val vals = df.select(col(valCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull && !isnan(col("__v")))
+    val stats = vals.agg(count(lit(1)), min("__v"), max("__v")).head()
+    val n = stats.getLong(0)
+    require(n > 0, s"exactMedianTwoPass: no non-null values in $valCol")
+    // 0-based ranks of the two middle order statistics (equal for odd N)
+    val kLo = (n - 1) / 2
+    val kHi = n / 2
+    var lo = stats.getDouble(1)
+    var hi = stats.getDouble(2)
+    var cumBase = 0L    // count of values strictly below `lo` (histogram-consistent)
+    var rangeCount = n  // values in [lo, hi]
+    var slack = 0.0     // last bucket width — final FP-safety margin
+    var guard = 0
+    while (rangeCount > collectLimit && hi > lo && guard < 64) {
+      guard += 1
+      val width = (hi - lo) / buckets
+      if (width <= 0 || width.isInfinity) { hi = lo } // underflow: all equal
+      else {
+        slack = width
+        val idx = least(floor((col("__v") - lit(lo)) / lit(width)),
+          lit(buckets - 1)).cast("int")
+        val histRows = vals.where(col("__v") >= lo && col("__v") <= hi)
+          .groupBy(idx.as("__b")).agg(count(lit(1)).as("__c"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val counts = Array.tabulate(buckets)(i => histRows.getOrElse(i, 0L))
+        // smallest bucket span covering BOTH target ranks
+        var cum = cumBase; var b0 = -1; var b1 = -1
+        var i = 0
+        while (i < buckets) {
+          val next = cum + counts(i)
+          if (b0 < 0 && kLo < next) b0 = i
+          if (b1 < 0 && kHi < next) b1 = i
+          if (b1 < 0) cum = next
+          i += 1
+        }
+        // recompute cumBase = count below bucket b0
+        var below = cumBase; i = 0
+        while (i < b0) { below += counts(i); i += 1 }
+        cumBase = below
+        rangeCount = (b0 to b1).map(counts).sum
+        val newLo = lo + b0 * width
+        val newHi = if (b1 == buckets - 1) hi else lo + (b1 + 1) * width
+        lo = newLo; hi = newHi
+      }
+    }
+    val med =
+      if (hi <= lo) lo
+      else {
+        // widen by one bucket width on both ends (floor()'s FP rounding at
+        // a boundary could strand a target value just outside [lo, hi])
+        // and re-derive the rank base EXACTLY for the widened range — the
+        // loop's cumBase is only histogram-self-consistent.
+        val lo2 = lo - slack
+        val hi2 = hi + slack
+        val below = vals.where(col("__v") < lo2).count()
+        val sorted = vals.where(col("__v") >= lo2 && col("__v") <= hi2)
+          .collect().map(_.getDouble(0)).sorted
+        (sorted((kLo - below).toInt) + sorted((kHi - below).toInt)) / 2.0
+      }
+    (n, med)
+  }
 }

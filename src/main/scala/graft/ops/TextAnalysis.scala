@@ -1115,6 +1115,57 @@ object TextAnalysis {
       .select(col("rank"), col("a"), col("b"), col("c"), col("pmi"))
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1999's interpolated form) — the n-gram LM behind
+    * perplexity-based quality filtering (CCNet/Wikipedia-LM gates)
+    * trained DISTRIBUTED, no external toolkit:
+    *
+    *   P(b|a) = max(c(a,b) − D, 0)/c(a·) + D·N₁₊(a,·)/c(a·) · P_cont(b)
+    *   P_cont(b) = N₁₊(·,b) / |bigram types|
+    *
+    * The continuation count N₁₊(·,b) — "how many contexts has b
+    * followed" — is the insight that separates KN from plain absolute
+    * discounting ("francisco" is frequent but only ever follows "san").
+    *
+    * One (a, b) bigram-count shuffle is the only corpus-sized
+    * aggregate; context totals, follower and preceder type counts all
+    * derive from the vocab-sized bigram table and join back BROADCAST;
+    * the type total rides a 1-row broadcast. Top-k by ROUNDED (6 dp)
+    * probability with (a, b) tiebreak — the [[pmiCollocations]]
+    * reproducibility convention. `minCount` bounds the REPORTED rows
+    * (the model still conditions on full counts). Returns
+    * (rank, a, b, c, p). */
+  def kneserNeyBigrams(df: org.apache.spark.sql.DataFrame, textCol: String,
+                       discount: Double = 0.75, minCount: Long = 1L,
+                       k: Int = 100): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(discount > 0 && discount < 1, s"discount: $discount")
+    val t = tokens(lower(col(textCol)))
+    val toks = df.select(t.as("__t")).where(size(col("__t")) >= 2)
+    val bi = toks
+      .select(explode(transform(
+        sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("a"),
+                    element_at(col("__t"), i + 1).as("b")))).as("__g"))
+      .groupBy(col("__g.a").as("a"), col("__g.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val ctx = bi.groupBy("a").agg(sum("c").as("ca"), count(lit(1)).as("fa"))
+    val prec = bi.groupBy("b").agg(count(lit(1)).as("pb"))
+    val types = bi.agg(count(lit(1)).as("bt"))
+    val scored = bi.where(col("c") >= minCount)
+      .join(broadcast(ctx), Seq("a"))
+      .join(broadcast(prec), Seq("b"))
+      .crossJoin(broadcast(types))
+      .select(col("a"), col("b"), col("c"),
+        round(
+          greatest(col("c") - lit(discount), lit(0.0)) / col("ca") +
+            lit(discount) * col("fa") / col("ca") * (col("pb") / col("bt")),
+          6).as("p"))
+    val w = Window.orderBy(col("p").desc, col("a"), col("b"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("rank"), col("a"), col("b"), col("c"), col("p"))
+  }
+
   /** BM25 top-k retrieval over the corpus for a fixed set of keyword
     * queries — the LEXICAL retrieval baseline beside the embedding ANN
     * stack (eval-set mining, dedup audits, RAG ground truth all start

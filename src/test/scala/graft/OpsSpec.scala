@@ -2724,6 +2724,45 @@ class OpsSpec extends AnyFunSuite {
     assert(top.getLong(0) === 99L, s"hub item should rank first: $top")
   }
 
+  test("exactMedianTwoPass: matches exact median under forced histogram recursion") {
+    // small buckets + tiny collectLimit force several refinement rounds
+    val d = spark.range(0, 100001).selectExpr("CAST(id AS DOUBLE) AS v")
+    val (n1, m1) = Sketches.exactMedianTwoPass(d, "v", buckets = 16, collectLimit = 128)
+    assert(n1 === 100001L && m1 === 50000.0) // odd count → middle element
+    val e = spark.range(0, 100000).selectExpr("CAST(id AS DOUBLE) AS v")
+    val (n2, m2) = Sketches.exactMedianTwoPass(e, "v", buckets = 16, collectLimit = 128)
+    assert(n2 === 100000L && m2 === 49999.5) // even → mean of the two middles
+    // heavy duplication: the median bucket never shrinks below the limit
+    // by count, only by width — the underflow guard must resolve it
+    val dup = spark.range(0, 100000).selectExpr(
+      "CASE WHEN id < 90000 THEN 5.0 ELSE CAST(id AS DOUBLE) END AS v")
+    val (_, m3) = Sketches.exactMedianTwoPass(dup, "v", buckets = 16, collectLimit = 128)
+    assert(m3 === 5.0)
+    // nulls and NaNs excluded
+    val withNull = Seq(Some(1.0), None, Some(Double.NaN), Some(3.0), Some(2.0))
+      .toDF("v")
+    assert(Sketches.exactMedianTwoPass(withNull, "v") === ((3L, 2.0)))
+  }
+
+  test("kneserNeyBigrams: hand-computed interpolated-KN probabilities sum per context") {
+    // corpus "a b a b a c": bigrams (a,b)×2 (b,a)×2 (a,c)×1
+    // c(a·)=3 fa=2 · c(b·)=2 fa=1 · preceders: a←1, b←1, c←1 · types=3
+    val d = Seq("a b a b a c").toDF("text")
+    val out = TextAnalysis.kneserNeyBigrams(d, "text", discount = 0.75,
+        minCount = 1, k = 10)
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getDouble(4)).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(("a", "b")) === r6(1.25 / 3 + 0.75 * 2.0 / 3 * (1.0 / 3)))
+    assert(out(("a", "c")) === r6(0.25 / 3 + 0.75 * 2.0 / 3 * (1.0 / 3)))
+    assert(out(("b", "a")) === r6(1.25 / 2 + 0.75 * 1.0 / 2 * (1.0 / 3)))
+    // interpolated KN is a proper conditional over the FULL vocab:
+    // Σ_observed P(b|a) = 1 − D·fa/ca · P_cont(unobserved) — here the
+    // only word never following "a" is "a" itself (P_cont = 1/3).
+    val missing = 0.75 * 2.0 / 3 * (1.0 / 3)
+    assert(math.abs(out(("a", "b")) + out(("a", "c")) - (1.0 - missing)) < 2e-6)
+    assert(out(("b", "a")) === 0.75) // 1.25/2 + 0.75·(1/2)·(1/3)... = 0.625 + 0.125
+  }
+
   test("Funnel.kaplanMeier: churn vs censoring on a hand-built cohort") {
     def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")
     // A lives days 0–2 (churned: 8 > 3 before obs end), B day 0 only
