@@ -471,4 +471,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"weight join is not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"product join in NB plan:\n$p")
   }
+
+  test("triangles / adamic-adar: shipdate slice reaches the scan; no product join") {
+    // the ops localCheckpoint the static edge list (the pageRank
+    // materialization rationale), which hides the scan from their
+    // executedPlan — so the pushdown contract is asserted on the
+    // edge-build subtree the entries construct, and the no-product
+    // contract on the full entry plans.
+    import org.apache.spark.sql.functions.{col, lit}
+    val li = SparkEntry.loader(spark, dir)("lineitem")
+      .where(col("l_shipdate") >= lit("1999-01-01").cast("date"))
+    val edges = graft.ops.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    val ep = edges.queryExecution.executedPlan.toString
+    val scans = ep.split('\n').map(_.trim)
+      .filter(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans.nonEmpty && scans.forall(_.contains("l_shipdate")),
+      s"shipdate filter not pushed to the lineitem scan:\n${scans.mkString("\n")}")
+    for (name <- Seq("q_graph_triangles", "q_graph_adamic_adar")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: product join:\n$p")
+    }
+  }
+
+  test("Kneser-Ney: context/continuation tables broadcast; one corpus shuffle class") {
+    val p = plan("q_text_kn_ngram")
+    // vocab-sized ctx/preceder tables join back broadcast — a shuffle
+    // join there re-keys the bigram table twice for no reason
+    assert(p.contains("BroadcastHashJoin"), s"KN side tables not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected product join in KN plan:\n$p")
+  }
+
+  test("markov transitions: the row-normalizing total joins broadcast") {
+    val p = plan("q_events_markov")
+    assert(p.contains("BroadcastHashJoin"), s"per-from total join is not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"product join in markov plan:\n$p")
+  }
 }
