@@ -1626,6 +1626,70 @@ object TrainingCatalog {
     // md5(id:b) hex cutoffs (engine-portable), ONE (b)-keyed aggregate,
     // percentile-disc interval on the rounded resample means. Oracle
     // replays draw, weights, and order statistics exactly.
+    // Benford's-law forensic audit of the price column: observed
+    // leading-digit counts vs the log10(1+1/d) law, per-digit χ²
+    // contributions. Leading digit from the integer part's decimal
+    // STRING (floor(log10) is a ULP landmine at powers of ten);
+    // expected probabilities are 6-dp literals in BOTH engines.
+    "q_quality_benford" -> (q((s, dir) =>
+      graft.ops.Profiling.benfordAudit(
+          SparkEntry.loader(s, dir)("lineitem"), "l_extendedprice")
+        .orderBy("digit")
+    ), Some("""
+      WITH v AS (
+        SELECT abs(l_extendedprice) AS v FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+          AND abs(l_extendedprice) >= 1.0),
+      d AS (SELECT CAST(substr(CAST(CAST(floor(v) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM v),
+      obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed FROM d GROUP BY 1),
+      exp AS (SELECT * FROM (VALUES
+        (1, 0.30103), (2, 0.176091), (3, 0.124939), (4, 0.09691), (5, 0.079181),
+        (6, 0.066947), (7, 0.057992), (8, 0.051153), (9, 0.045757)) e(digit, expected_p)),
+      n AS (SELECT sum(observed) AS n FROM obs)
+      SELECT e.digit, CAST(coalesce(o.observed, 0) AS BIGINT) AS observed,
+             CAST(e.expected_p AS DOUBLE) AS expected_p,
+             round((coalesce(o.observed, 0) - n.n * CAST(e.expected_p AS DOUBLE)) *
+                   (coalesce(o.observed, 0) - n.n * CAST(e.expected_p AS DOUBLE)) /
+                   (n.n * CAST(e.expected_p AS DOUBLE)), 6) AS chi2_term
+      FROM exp e LEFT JOIN obs o USING (digit) CROSS JOIN n ORDER BY e.digit""")),
+
+    // Gini concentration of document lengths — the corpus-balance
+    // audit (0 = even, →1 = one doc holds everything). Exact from the
+    // distinct-value distribution: tied groups contribute their rank-
+    // range arithmetic series, so the cumulative window is bounded by
+    // value cardinality (the KS/AUC pattern); integer sums stay exact,
+    // only the final ratio rounds.
+    "q_stats_gini" -> (q((s, dir) =>
+      graft.ops.Profiling.giniCoefficient(docs(s, dir), "n_chars")
+    ), Some("""
+      WITH g AS (
+        SELECT CAST(n_chars AS DOUBLE) AS v, count(*) AS c
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0 GROUP BY 1),
+      t AS (SELECT v, c, sum(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc FROM g)
+      SELECT CAST(sum(c) AS BIGINT) AS n, round(sum(v * c), 6) AS total,
+             round(2.0 * sum(v * ((cumc - c) * c + c * (c + 1) / 2)) /
+                   (sum(c) * sum(v * c)) - (sum(c) + 1.0) / sum(c), 6) AS gini
+      FROM t""")),
+
+    // weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
+    // top-100 docs by u^(1/w) keys, u the deterministic md5 uniform,
+    // weight = n_chars — the proportional-to-length corpus draw.
+    // Global top-k plans as TakeOrderedAndProject (no corpus sort).
+    "q_sample_weighted" -> (q((s, dir) =>
+      graft.ops.Sampling.weightedTake(docs(s, dir), "doc_id", "n_chars", k = 100)
+    ), Some("""
+      WITH k AS (
+        SELECT doc_id,
+               CAST(n_chars AS DOUBLE) AS weight,
+               ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1)
+                  / 4294967297.0) / CAST(n_chars AS DOUBLE) AS key
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      r AS (SELECT *, row_number() OVER (ORDER BY key DESC, doc_id) AS rank FROM k)
+      SELECT CAST(rank AS INT) AS rank, doc_id AS id, weight
+      FROM r WHERE rank <= 100 ORDER BY rank""")),
+
     // EXACT median via iterative histogram refinement — no global
     // sort, no approx_percentile error bar: each round is one
     // full-scan histogram (≤2048 driver-side counters, the bounded-

@@ -91,6 +91,77 @@ object Profiling {
     (instrumented, obs)
   }
 
+  /** BENFORD'S-LAW audit — the forensic data-quality screen for
+    * "organically grown" numeric columns (amounts, populations,
+    * counts): the leading digit of natural data follows
+    * P(d) = log₁₀(1 + 1/d); fabricated or truncated data doesn't
+    * (Benford 1938; Nigrini's fraud-audit usage). Per digit: observed
+    * count, expected probability, and the χ² contribution — Σ of the
+    * last column against χ²₈ critical values is the caller's verdict.
+    *
+    * ONE digit-keyed aggregate (9 groups) over a scan; the leading
+    * digit comes from the INTEGER part's decimal string — exact and
+    * engine-portable, where `floor(log10(v))` is a ULP landmine at
+    * powers of ten. Values with |v| < 1 are excluded (no leading
+    * integer digit; Benford applies scale-free data ≥ 1 here).
+    * Expected probabilities are 6-dp literal constants in BOTH engines
+    * — never recomputed through libm. Returns
+    * (digit, observed, expected_p, chi2_term). */
+  def benfordAudit(df: DataFrame, valCol: String): DataFrame = {
+    val benfordP: Map[Int, Double] = (1 to 9).map(d =>
+      d -> math.rint(math.log10(1.0 + 1.0 / d) * 1e6) / 1e6).toMap
+    val v = abs(col(valCol).cast("double"))
+    val digits = df
+      .where(v.isNotNull && !isnan(v) && v >= 1.0)
+      .select(substring(floor(v).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("observed"))
+    val n = digits.agg(sum("observed").as("__n"))
+    val expected = benfordP.toSeq.sortBy(_._1)
+      .map { case (d, p) => struct(lit(d).as("digit"), lit(p).as("expected_p")) }
+    val expDf = df.sparkSession.range(1)
+      .select(explode(array(expected: _*)).as("e")).select("e.*")
+    // left join from the expected table: a digit Benford predicts but the
+    // data never produces still appears (observed 0 inflates χ²)
+    expDf.join(digits, Seq("digit"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("digit"),
+        coalesce(col("observed"), lit(0L)).as("observed"),
+        col("expected_p"),
+        round(((coalesce(col("observed"), lit(0L)) - col("__n") * col("expected_p")) *
+          (coalesce(col("observed"), lit(0L)) - col("__n") * col("expected_p"))) /
+          (col("__n") * col("expected_p")), 6).as("chi2_term"))
+  }
+
+  /** GINI COEFFICIENT of a non-negative quantity — the concentration
+    * audit for corpus balance (token share by source, doc length
+    * inequality, per-domain crawl mass): 0 = perfectly even,
+    * →1 = one row holds everything. Computed EXACTLY from the
+    * distinct-value distribution: with values ascending, a tied group
+    * (value v, count c) after R earlier rows contributes
+    * v·(c·R + c(c+1)/2) to Σᵢ i·xᵢ, so the cumulative windows run
+    * over DISTINCT values only (the KS/AUC cardinality-bounded
+    * pattern), never over rows. G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n.
+    * Returns one row (n, total, gini) rounded 6 dp. */
+  def giniCoefficient(df: DataFrame, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valCol).cast("double")
+    val grouped = df.where(v.isNotNull && !isnan(v) && v >= 0.0)
+      .groupBy(v.as("__v")).agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val terms = grouped
+      .withColumn("__cumc", sum("__c").over(w))
+      .select(
+        (col("__v") * ((col("__cumc") - col("__c")) * col("__c") +
+          col("__c") * (col("__c") + 1) / 2)).as("__ix"),
+        (col("__v") * col("__c")).as("__vx"), col("__c"))
+    terms.agg(sum("__c").as("n"), round(sum("__vx"), 6).as("total"),
+        sum("__ix").as("__six"))
+      .select(col("n"), col("total"),
+        round(lit(2.0) * col("__six") / (col("n") * col("total")) -
+          (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty && cols.forall(df.columns.contains),
       s"columns must exist: $cols")

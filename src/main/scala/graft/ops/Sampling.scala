@@ -39,6 +39,38 @@ object Sampling {
     if (cut >= 256) lit(true) else hashBucket(key) < lit(f"$cut%02x")
   }
 
+  /** WEIGHTED sampling without replacement (Efraimidis & Spirakis
+    * 2006): each row draws key uᵢ^(1/wᵢ) and the k largest keys are
+    * the sample — provably the same distribution as sequential
+    * weighted draws without replacement, embarrassingly parallel.
+    * u is the deterministic md5-derived uniform ((first-8-hex + 1) /
+    * (2³² + 1) ∈ (0, 1]) — reruns and engines agree row-for-row, the
+    * [[sampleByHash]] convention. Ordering uses the monotone-
+    * equivalent ln(u)/w (avoids `pow`, halving the libm surface; ln's
+    * ULP drift could only flip two keys within ~1e-16 of each other —
+    * below the hash keyspace's granularity). Non-positive and null
+    * weights are excluded (zero weight = never sampled, the ES
+    * convention).
+    *
+    * Shape at scale: the key is computed IN the scan and the global
+    * top-k plans as TakeOrderedAndProject (per-partition heaps + one
+    * k-row merge — no global sort, no shuffle of the corpus); the rank
+    * window runs over k rows. Returns (rank, id, weight). */
+  def weightedTake(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   weightCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k: $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = col(weightCol).cast("double")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 1.0) / 4294967297.0
+    val keyed = df.where(w.isNotNull && w > 0)
+      .select(col(idCol).as("id"), w.as("weight"), (log(u) / w).as("__key"))
+      .orderBy(col("__key").desc, col("id")).limit(k)
+    keyed.withColumn("rank",
+        row_number().over(Window.orderBy(col("__key").desc, col("id"))))
+      .select(col("rank"), col("id"), col("weight"))
+  }
+
   /** Multilingual TEMPERATURE resampling (mT5/XLM-R style, fixed τ=2):
     * downsample each class (language) with keep-probability
     * `sqrt(n_min / n_class)` — head classes shrink toward the √ of

@@ -2724,6 +2724,50 @@ class OpsSpec extends AnyFunSuite {
     assert(top.getLong(0) === 99L, s"hub item should rank first: $top")
   }
 
+  test("benfordAudit: digit census with exclusions and zero-observed inflation") {
+    val d = Seq(Some(1.5), Some(19.0), Some(2.0), Some(0.5), Some(-30.0), None, Some(95.0))
+      .toDF("v")
+    val out = Profiling.benfordAudit(d, "v").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // |v| < 1 and null excluded; -30 → digit 3 via abs; n = 5
+    assert(out.values.map(_._1).sum === 5L)
+    assert(out(1)._1 === 2L && out(2)._1 === 1L && out(3)._1 === 1L && out(9)._1 === 1L)
+    // a digit Benford predicts but the data never produces: χ² = n·p
+    assert(out(4)._1 === 0L)
+    assert(out(4)._3 === math.rint(5 * 0.09691 * 1e6) / 1e6)
+    assert(out.size === 9)
+  }
+
+  test("giniCoefficient: uniform is 0, full concentration approaches (n-1)/n") {
+    val even = Seq(7.0, 7.0, 7.0, 7.0).toDF("v")
+    val g1 = Profiling.giniCoefficient(even, "v").head()
+    assert(g1.getLong(0) === 4L && g1.getDouble(2) === 0.0)
+    // [0,0,0,10]: Σi·x = 4·10, G = 2·40/(4·10) − 5/4 = 0.75 = (n−1)/n
+    val conc = Seq(0.0, 0.0, 0.0, 10.0).toDF("v")
+    assert(Profiling.giniCoefficient(conc, "v").head().getDouble(2) === 0.75)
+  }
+
+  test("weightedTake: Efraimidis-Spirakis ranks match a local replay; zero weights excluded") {
+    val d = Seq((1L, 10.0), (2L, 1.0), (3L, 100.0), (4L, 0.0), (5L, 50.0), (6L, 5.0))
+      .toDF("doc_id", "w")
+    val out = Sampling.weightedTake(d, "doc_id", "w", k = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    def key(id: Long, w: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4294967297.0
+      math.log(u) / w
+    }
+    val expect = Seq(1L, 2L, 3L, 5L, 6L) // id 4 excluded: zero weight
+      .map(id => id -> key(id, Map(1L -> 10.0, 2L -> 1.0, 3L -> 100.0,
+        5L -> 50.0, 6L -> 5.0)(id)))
+      .sortBy { case (id, k) => (-k, id) }.take(3).map(_._1)
+    assert(out.map(_._2).toSeq === expect)
+    assert(out.map(_._1).toSeq === Seq(1, 2, 3))
+    assert(!out.exists(_._2 == 4L))
+  }
+
   test("exactMedianTwoPass: matches exact median under forced histogram recursion") {
     // small buckets + tiny collectLimit force several refinement rounds
     val d = spark.range(0, 100001).selectExpr("CAST(id AS DOUBLE) AS v")

@@ -502,6 +502,12 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected product join in KN plan:\n$p")
   }
 
+  test("weighted sample: global top-k plans as TakeOrderedAndProject, no corpus sort") {
+    val p = plan("q_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ES top-k did not plan as per-partition heaps:\n$p")
+  }
+
   test("markov transitions: the row-normalizing total joins broadcast") {
     val p = plan("q_events_markov")
     assert(p.contains("BroadcastHashJoin"), s"per-from total join is not broadcast:\n$p")
