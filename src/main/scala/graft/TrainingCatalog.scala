@@ -2235,6 +2235,83 @@ object TrainingCatalog {
              round(cnt / CAST(sum(cnt) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
       FROM cnt ORDER BY from_type, to_type""")),
 
+    // Mann–Kendall trend test on the daily ingest-volume series: the
+    // nonparametric "is this metric drifting" monitor. Pairwise
+    // sign sum runs over the AGGREGATED series (30 dailies = 435
+    // pairs — the corpus never self-joins); daily sums pre-rounded
+    // 6 dp so sign() never compares last-ULP-different aggregates.
+    "q_events_trend" -> (q((s, dir) => {
+      val daily = SparkEntry.loader(s, dir)("events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(round(sum("value"), 6).as("x"))
+      graft.ops.Evaluation.mannKendall(daily, "day", "x")
+    }), Some("""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, round(sum(value), 6) AS x
+        FROM events GROUP BY 1),
+      p AS (SELECT CAST(sum(CASE WHEN j.x > i.x THEN 1
+                                 WHEN j.x < i.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+            FROM daily i JOIN daily j ON i.day < j.day),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+      ties AS (SELECT CAST(coalesce(sum(c * (c - 1) * (2 * c + 5)), 0) AS BIGINT) AS tt
+               FROM (SELECT count(*) AS c FROM daily GROUP BY x HAVING count(*) > 1)),
+      v AS (SELECT nn.n, p.s_stat,
+                   round((nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tt) / 18.0, 6) AS var_s
+            FROM p CROSS JOIN nn CROSS JOIN ties)
+      SELECT n, s_stat, var_s,
+             round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                        WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                        ELSE 0.0 END, 6) AS z
+      FROM v""")),
+
+    // per-source KL divergence vs the corpus unigram distribution —
+    // the diversity/drift audit ("how idiosyncratic is this source's
+    // vocabulary"). No smoothing needed: every observed p_g(w) is
+    // dominated by the corpus distribution by construction. One
+    // (source, word) count shuffle; corpus word counts join on the
+    // key the counts already carry (vocab can exceed broadcast).
+    "q_text_kl_sources" -> (q((s, dir) =>
+      TextAnalysis.klBySource(docs(s, dir), "source", "text")
+        .orderBy("group")
+    ), Some("""
+      WITH toks AS (
+        SELECT source AS grp,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents WHERE length(trim(text)) > 0),
+      gw AS (SELECT grp, w, count(*) AS cgw FROM toks GROUP BY 1, 2),
+      gt AS (SELECT grp, sum(cgw) AS tg FROM gw GROUP BY 1),
+      wt AS (SELECT w, sum(cgw) AS cw FROM gw GROUP BY 1),
+      t AS (SELECT sum(cgw) AS t FROM gw)
+      SELECT gw.grp AS "group", CAST(max(gt.tg) AS BIGINT) AS n_tokens,
+             round(sum((gw.cgw / CAST(gt.tg AS DOUBLE)) *
+               ln((gw.cgw / CAST(gt.tg AS DOUBLE)) / (wt.cw / CAST(t.t AS DOUBLE)))), 6) AS kl
+      FROM gw JOIN gt USING (grp) JOIN wt USING (w) CROSS JOIN t
+      GROUP BY gw.grp ORDER BY gw.grp""")),
+
+    // within-source ECDF quantile normalization of doc lengths — the
+    // per-source-threshold trick (absolute cutoffs over-prune clean
+    // sources, under-prune noisy ones): pct = P(X ≤ x | source),
+    // exact, with the cumulative window over each source's DISTINCT
+    // values and a (source, value) join back — never a per-row window.
+    "q_text_quantile_norm" -> (q((s, dir) =>
+      graft.ops.Profiling.ecdfNormalize(
+          docs(s, dir).select("doc_id", "source", "n_chars"), "source", "n_chars")
+        .select("doc_id", "source", "n_chars", "pct")
+        .orderBy("doc_id")
+    ), Some("""
+      WITH cnt AS (
+        SELECT source, n_chars, count(*) AS c
+        FROM documents GROUP BY 1, 2),
+      pct AS (
+        SELECT source, n_chars,
+               round(sum(c) OVER (PARTITION BY source ORDER BY n_chars
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) /
+                     CAST(sum(c) OVER (PARTITION BY source) AS DOUBLE), 6) AS pct
+        FROM cnt)
+      SELECT d.doc_id, d.source, d.n_chars, pct.pct
+      FROM documents d JOIN pct ON d.source = pct.source AND d.n_chars = pct.n_chars
+      ORDER BY d.doc_id""")),
+
     // Zipf-law fit (corpus-health diagnostic): OLS slope/intercept of
     // ln(count) on ln(rank) over the top-25 terms, closed form from
     // ONE aggregate; the rank window runs over the vocab-sized count

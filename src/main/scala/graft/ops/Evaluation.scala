@@ -129,6 +129,38 @@ object Evaluation {
     * One (a, b) count shuffle; marginals broadcast back. Returns
     * (n, dof, chi2 6 dp) — the statistic and degrees of freedom; p
     * needs the incomplete gamma and belongs to the caller's tables. */
+  /** MANN–KENDALL trend test over an ALREADY-AGGREGATED series (t, x)
+    * — the nonparametric "is this metric drifting" monitor (daily
+    * ingest volume, quality-score medians): S = Σ_{i<j} sign(xⱼ − xᵢ),
+    * with the tie-corrected variance
+    * Var(S) = [n(n−1)(2n+5) − Σₜ t(t−1)(2t+5)]/18 and the
+    * continuity-corrected z = (S ∓ 1)/√Var (z = 0 when S = 0).
+    *
+    * The pairwise self-join is O(n²) in SERIES length — by contract
+    * the caller aggregates first (a year of dailies is 66k pairs;
+    * the corpus never self-joins). Pass x values PRE-ROUNDED if the
+    * series comes from float sums: sign() on last-ULP-different
+    * aggregates is the one cross-engine hazard. Returns one row
+    * (n, s_stat, var_s, z) with var_s/z rounded 6 dp. */
+  def mannKendall(series: DataFrame, tCol: String, xCol: String): DataFrame = {
+    val s = series.select(col(tCol).as("__t"), col(xCol).cast("double").as("__x"))
+    val pairs = s.as("i").join(s.as("j"), col("i.__t") < col("j.__t"))
+      .agg(sum(signum(col("j.__x") - col("i.__x")).cast("long")).as("s_stat"))
+    val n = s.agg(count(lit(1)).as("__n"))
+    val ties = s.groupBy("__x").agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1)
+      .agg(coalesce(sum(col("__c") * (col("__c") - 1) * (col("__c") * 2 + 5)),
+        lit(0L)).as("__tt"))
+    pairs.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+      .select(col("__n").as("n"), col("s_stat"),
+        round((col("__n") * (col("__n") - 1) * (col("__n") * 2 + 5) - col("__tt")) /
+          lit(18.0), 6).as("var_s"))
+      .select(col("n"), col("s_stat"), col("var_s"),
+        round(when(col("s_stat") > 0, (col("s_stat") - 1) / sqrt(col("var_s")))
+          .when(col("s_stat") < 0, (col("s_stat") + 1) / sqrt(col("var_s")))
+          .otherwise(lit(0.0)), 6).as("z"))
+  }
+
   def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val obs = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__o"))

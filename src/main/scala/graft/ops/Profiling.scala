@@ -162,6 +162,33 @@ object Profiling {
           (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
   }
 
+  /** Within-group ECDF (quantile) normalization — map each row's value
+    * to its percentile WITHIN its group: the per-source threshold
+    * trick of corpus curation ("keep each source's top 30% by quality"
+    * — an absolute cutoff over-prunes clean sources and under-prunes
+    * noisy ones). pct = P(X ≤ x | group), exact.
+    *
+    * The cumulative window never sees rows: counts aggregate to
+    * (group, value) first (the KS/AUC cardinality-bounded pattern),
+    * the window walks each group's distinct values, and percentiles
+    * join back on (group, value) — one count shuffle + one join
+    * shuffle at any corpus size. Returns the input columns plus
+    * `pct` rounded 6 dp. */
+  def ecdfNormalize(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(groupCol), col(valCol))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col(groupCol))
+    val pct = counts
+      .withColumn("__cum", sum("__c").over(w))
+      .withColumn("__n", sum("__c").over(tot))
+      .select(col(groupCol), col(valCol),
+        round(col("__cum") / col("__n"), 6).as("pct"))
+    df.join(pct, Seq(groupCol, valCol))
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty && cols.forall(df.columns.contains),
       s"columns must exist: $cols")

@@ -1115,6 +1115,40 @@ object TextAnalysis {
       .select(col("rank"), col("a"), col("b"), col("c"), col("pmi"))
   }
 
+  /** Per-group KL divergence of unigram distributions vs the corpus —
+    * the diversity/drift audit across sources: KL(p_g ‖ p_corpus) =
+    * Σ_w p_g(w)·ln(p_g(w)/p(w)), the "how idiosyncratic is this
+    * source's vocabulary" scalar (0 = indistinguishable; rises as a
+    * source's word mix diverges — the mixture-weighting and
+    * contamination-triage signal). Every p_g(w) > 0 is observed and
+    * the corpus distribution dominates it (same tokens, superset
+    * counts), so no smoothing is needed and the sum is finite by
+    * construction.
+    *
+    * ONE (group, word) count shuffle; per-group and corpus totals are
+    * group/vocab-sized aggregates joined back (corpus word counts by
+    * word — vocab-sized, but joined on the same key the counts
+    * already carry, not broadcast: vocabulary can exceed broadcast
+    * limits at corpus scale). Returns (group, n_tokens, kl) rounded
+    * 6 dp. */
+  def klBySource(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                 textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(groupCol).as("group"),
+        explode(tokens(lower(col(textCol)))).as("__w"))
+    val gw = toks.groupBy("group", "__w").agg(count(lit(1)).as("__cgw"))
+    val gTot = gw.groupBy("group").agg(sum("__cgw").as("__tg"))
+    val wTot = gw.groupBy("__w").agg(sum("__cgw").as("__cw"))
+    val tot = gw.agg(sum("__cgw").as("__t"))
+    gw.join(wTot, Seq("__w"))
+      .join(broadcast(gTot), Seq("group"))
+      .crossJoin(broadcast(tot))
+      .select(col("group"), col("__tg"),
+        ((col("__cgw") / col("__tg")) *
+          log((col("__cgw") / col("__tg")) / (col("__cw") / col("__t")))).as("__term"))
+      .groupBy("group")
+      .agg(max("__tg").as("n_tokens"), round(sum("__term"), 6).as("kl"))
+  }
+
   /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
     * Chen & Goodman 1999's interpolated form) — the n-gram LM behind
     * perplexity-based quality filtering (CCNet/Wikipedia-LM gates)

@@ -2724,6 +2724,50 @@ class OpsSpec extends AnyFunSuite {
     assert(top.getLong(0) === 99L, s"hub item should rank first: $top")
   }
 
+  test("mannKendall: hand-computed S, tie-corrected variance, continuity-corrected z") {
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val up = Seq((1, 1.0), (2, 2.0), (3, 3.0)).toDF("t", "x")
+    val r1 = Evaluation.mannKendall(up, "t", "x").head()
+    assert(r1.getLong(0) === 3L && r1.getLong(1) === 3L)
+    assert(r1.getDouble(2) === r6(66.0 / 18))
+    assert(r1.getDouble(3) === r6(2.0 / math.sqrt(66.0 / 18)))
+    // tie group {1,1}: tt = 2·1·9 = 18 → var = (66−18)/18
+    val tied = Seq((1, 1.0), (2, 1.0), (3, 2.0)).toDF("t", "x")
+    val r2 = Evaluation.mannKendall(tied, "t", "x").head()
+    assert(r2.getLong(1) === 2L && r2.getDouble(2) === r6(48.0 / 18))
+    assert(r2.getDouble(3) === r6(1.0 / math.sqrt(48.0 / 18)))
+    // flat series: S = 0 → z = 0 (continuity correction must not fire)
+    val flat = Seq((1, 5.0), (2, 5.0)).toDF("t", "x")
+    assert(Evaluation.mannKendall(flat, "t", "x").head().getDouble(3) === 0.0)
+  }
+
+  test("klBySource: hand-computed divergence; identical source diverges zero") {
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val d = Seq(("A", "x x y"), ("B", "x y y y")).toDF("source", "text")
+    val out = TextAnalysis.klBySource(d, "source", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val klA = (2.0 / 3) * math.log((2.0 / 3) / (3.0 / 7)) +
+      (1.0 / 3) * math.log((1.0 / 3) / (4.0 / 7))
+    val klB = (1.0 / 4) * math.log((1.0 / 4) / (3.0 / 7)) +
+      (3.0 / 4) * math.log((3.0 / 4) / (4.0 / 7))
+    assert(out("A") === ((3L, r6(klA))))
+    assert(out("B") === ((4L, r6(klB))))
+    // a single source IS the corpus → KL = 0
+    val one = Seq(("A", "p q q")).toDF("source", "text")
+    assert(TextAnalysis.klBySource(one, "source", "text").head().getDouble(2) === 0.0)
+  }
+
+  test("ecdfNormalize: within-group percentiles, ties share the upper step") {
+    val d = Seq(("A", 1.0), ("A", 2.0), ("A", 2.0), ("A", 4.0), ("B", 5.0))
+      .toDF("g", "v")
+    val out = Profiling.ecdfNormalize(d, "g", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(out(("A", 1.0)) === 0.25)
+    assert(out(("A", 2.0)) === 0.75) // both tied rows map to P(X ≤ 2) = 3/4
+    assert(out(("A", 4.0)) === 1.0)
+    assert(out(("B", 5.0)) === 1.0)  // group B normalized against itself only
+  }
+
   test("benfordAudit: digit census with exclusions and zero-observed inflation") {
     val d = Seq(Some(1.5), Some(19.0), Some(2.0), Some(0.5), Some(-30.0), None, Some(95.0))
       .toDF("v")
