@@ -2235,6 +2235,38 @@ object TrainingCatalog {
              round(cnt / CAST(sum(cnt) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
       FROM cnt ORDER BY from_type, to_type""")),
 
+    // first-/last-touch revenue attribution: each purchase credits the
+    // first and the last view/click/signup strictly before it in the
+    // user's history (running ignoreNulls window — no join back into
+    // history); untouched conversions land in '(none)'. Channel-sized
+    // rollup per model.
+    "q_events_attribution" -> (q((s, dir) =>
+      graft.ops.Funnel.attribution(
+          SparkEntry.loader(s, dir)("events"), "user_id", "event_type",
+          "ts", "event_id", "value",
+          conversionType = "purchase", touchTypes = Seq("view", "click", "signup"))
+        .orderBy("model", "channel")
+    ), Some("""
+      WITH seq AS (
+        SELECT user_id, event_type, value,
+               first_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+                           THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+               last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
+                          THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        FROM events),
+      conv AS (SELECT * FROM seq WHERE event_type = 'purchase'),
+      bt AS (
+        SELECT 'first_touch' AS model, coalesce(ft, '(none)') AS channel, value FROM conv
+        UNION ALL
+        SELECT 'last_touch', coalesce(lt, '(none)'), value FROM conv)
+      SELECT model, channel, CAST(count(*) AS BIGINT) AS conversions,
+             round(sum(value), 6) AS value
+      FROM bt GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Mann–Kendall trend test on the daily ingest-volume series: the
     // nonparametric "is this metric drifting" monitor. Pairwise
     // sign sum runs over the AGGREGATED series (30 dailies = 435
@@ -2311,6 +2343,30 @@ object TrainingCatalog {
       SELECT d.doc_id, d.source, d.n_chars, pct.pct
       FROM documents d JOIN pct ON d.source = pct.source AND d.n_chars = pct.n_chars
       ORDER BY d.doc_id""")),
+
+    // dominant LSI axis by matrix-free power iteration: two rounds of
+    // u = A·v, v = Aᵀ·u over the (doc, term, count) frame — integer-
+    // valued throughout (v₀ = 1), normalized ONCE at the end, so the
+    // whole spectral computation is engine-exact. Top-25 topic terms.
+    // Oracle unrolls the same two rounds as chained CTEs.
+    "q_text_lsi" -> (q((s, dir) =>
+      TextAnalysis.lsiPowerIteration(docs(s, dir), "text", iters = 2, k = 25)
+    ), Some("""
+      WITH toks AS (
+        SELECT doc_id AS d,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0),
+      c AS (SELECT d, term, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY 1, 2),
+      u1 AS (SELECT d, sum(c * 1.0) AS u FROM c GROUP BY 1),
+      v1 AS (SELECT term, sum(c.c * u1.u) AS v FROM c JOIN u1 USING (d) GROUP BY 1),
+      u2 AS (SELECT d, sum(c.c * v1.v) AS u FROM c JOIN v1 USING (term) GROUP BY 1),
+      v2 AS (SELECT term, sum(c.c * u2.u) AS v FROM c JOIN u2 USING (d) GROUP BY 1),
+      n AS (SELECT sqrt(sum(v * v)) AS n FROM v2),
+      r AS (SELECT term, round(v / n.n, 6) AS loading,
+                   row_number() OVER (ORDER BY round(v / n.n, 6) DESC, term) AS rank
+            FROM v2 CROSS JOIN n)
+      SELECT CAST(rank AS INT) AS rank, term, loading
+      FROM r WHERE rank <= 25 ORDER BY rank""")),
 
     // Zipf-law fit (corpus-health diagnostic): OLS slope/intercept of
     // ln(count) on ln(rank) over the top-25 terms, closed form from
@@ -2799,6 +2855,52 @@ object TrainingCatalog {
       SELECT vec_id, CAST(generate_subscripts(codes, 1) AS BIGINT) AS pos,
              CAST(unnest(codes) AS BIGINT) AS code, scale
       FROM c ORDER BY vec_id, pos""")),
+
+    // grid-accelerated DBSCAN on the 2-d embedding scatter: core =
+    // ≥5 neighbors within eps=0.02 (self included), clusters =
+    // components of the core-core eps-graph (min-id labels via the
+    // dedup CC machinery), borders join their smallest core
+    // neighbor, rest is noise. The eps-grid bounds candidates by
+    // 3×3 cell occupancy — exact recall, never N². Oracle goes
+    // brute-force N² + recursive-CTE closure (a DIFFERENT algorithm
+    // proving the same clustering).
+    "q_embed_dbscan" -> (q((s, dir) =>
+      Similarity.dbscan2d(
+          embs(s, dir).select(col("vec_id"),
+            element_at(col("embedding"), 1).cast("double").as("x"),
+            element_at(col("embedding"), 2).cast("double").as("y")),
+          "vec_id", "x", "y", eps = 0.02, minPts = 5)
+        .orderBy("id")
+    ), Some("""
+      WITH RECURSIVE p AS (
+        SELECT vec_id AS id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+        FROM embeddings
+        WHERE embedding[1] IS NOT NULL AND embedding[2] IS NOT NULL),
+      pr AS (
+        SELECT a.id AS ida, b.id AS idb FROM p a JOIN p b
+        ON a.id <> b.id
+          AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.02 * 0.02),
+      core AS (SELECT ida AS id FROM pr GROUP BY 1 HAVING count(*) + 1 >= 5),
+      ce AS (SELECT ida AS a, idb AS b FROM pr
+             WHERE ida IN (SELECT id FROM core) AND idb IN (SELECT id FROM core)),
+      reach AS (
+        SELECT a, b FROM ce
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN ce e ON r.b = e.a),
+      comp AS (SELECT a AS id, least(a, min(b)) AS rep FROM reach GROUP BY a),
+      corec AS (SELECT c.id, coalesce(comp.rep, c.id) AS cluster
+                FROM core c LEFT JOIN comp USING (id)),
+      border AS (
+        SELECT pr.ida AS id, min(corec.cluster) AS cluster
+        FROM pr JOIN corec ON pr.idb = corec.id
+        WHERE pr.ida NOT IN (SELECT id FROM core) GROUP BY 1)
+      SELECT p.id, coalesce(cc.cluster, bb.cluster) AS cluster,
+             CASE WHEN cc.id IS NOT NULL THEN 'core'
+                  WHEN bb.id IS NOT NULL THEN 'border'
+                  ELSE 'noise' END AS role
+      FROM p LEFT JOIN corec cc ON p.id = cc.id
+             LEFT JOIN border bb ON p.id = bb.id
+      ORDER BY p.id""")),
 
     // PCA fit statistics, EXACT: the upper-triangle scatter matrix
     // Σ codeᵢ·codeⱼ over int8-QUANTIZED embeddings (quantize first →

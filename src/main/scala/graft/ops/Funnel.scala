@@ -123,6 +123,39 @@ object Funnel {
       .orderBy("t_days")
   }
 
+  /** First-/last-touch REVENUE ATTRIBUTION — which acquisition channel
+    * gets credit for each conversion: for every `conversionType` event,
+    * the FIRST and the LAST `touchTypes` event strictly before it in
+    * the user's (ts, id)-ordered history; conversion counts and value
+    * roll up per (model, channel), conversions with no prior touch
+    * land in the '(none)' channel (unattributable traffic is a signal,
+    * not a dropped row). One per-user window pass (running first/last
+    * with ignoreNulls — no per-conversion join back into history),
+    * then a channel-sized aggregate. Returns
+    * (model ∈ first_touch/last_touch, channel, conversions, value). */
+  def attribution(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, idCol: String, valueCol: String,
+                  conversionType: String, touchTypes: Seq[String]): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol).isin(touchTypes: _*), col(typeCol))
+    val conv = events
+      .withColumn("__ft", first(touch, ignoreNulls = true).over(w))
+      .withColumn("__lt", last(touch, ignoreNulls = true).over(w))
+      .where(col(typeCol) === conversionType)
+    conv.select(explode(array(
+        struct(lit("first_touch").as("m"),
+          coalesce(col("__ft"), lit("(none)")).as("c"),
+          col(valueCol).cast("double").as("v")),
+        struct(lit("last_touch").as("m"),
+          coalesce(col("__lt"), lit("(none)")).as("c"),
+          col(valueCol).cast("double").as("v")))).as("a"))
+      .groupBy(col("a.m").as("model"), col("a.c").as("channel"))
+      .agg(count(lit(1)).as("conversions"), round(sum("a.v"), 6).as("value"))
+  }
+
   /** First-order MARKOV TRANSITION MATRIX over per-entity event
     * sequences: P(next = b | current = a), estimated from every
     * consecutive pair in each entity's (ts, id)-ordered history —

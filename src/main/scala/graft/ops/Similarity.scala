@@ -301,6 +301,81 @@ object Similarity {
       .where(col("sim") >= threshold)
   }
 
+  /** Grid-accelerated DBSCAN over 2-d points (Ester et al. 1996) —
+    * density clustering where k-means' spherical-k assumption fails
+    * (embedding-map segmentation, outlier carving on a PCA/UMAP
+    * scatter): core = ≥ minPts neighbors within eps (self included),
+    * clusters = connected components of the core-core eps-graph,
+    * borders join their smallest core neighbor's cluster, the rest is
+    * noise.
+    *
+    * The eps-grid IS the scale story: each point probes only its 3×3
+    * cell neighborhood (cell side = eps ⇒ every eps-ball fits in it),
+    * so candidate pairs are bounded by grid occupancy, never N² —
+    * the same bucket-then-verify shape as [[cosinePairsLsh]], but
+    * with EXACT recall (the grid is a cover, not a hash). Components
+    * reuse [[Dedup.connectedComponents]] (min-id labels ⇒
+    * deterministic cluster ids); the border argmin is one aggregate.
+    * Returns (id, cluster, role) — cluster null for noise, role ∈
+    * core/border/noise. */
+  def dbscan2d(points: DataFrame, idCol: String, xCol: String, yCol: String,
+               eps: Double, minPts: Int): DataFrame = {
+    require(eps > 0, s"eps: $eps")
+    require(minPts >= 1, s"minPts: $minPts")
+    val pts = points.select(col(idCol).cast("long").as("id"),
+        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .where(col("x").isNotNull && !isnan(col("x")) &&
+             col("y").isNotNull && !isnan(col("y")))
+      .localCheckpoint() // static input, referenced by pairs + the final join
+    val withCell = pts.select(col("id"), col("x"), col("y"),
+      floor(col("x") / eps).cast("long").as("cx"),
+      floor(col("y") / eps).cast("long").as("cy"))
+    val nbrOffsets = array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val probes = withCell
+      .select(col("id").as("ida"), col("x").as("xa"), col("y").as("ya"),
+        explode(nbrOffsets).as("o"),
+        col("cx"), col("cy"))
+      .select(col("ida"), col("xa"), col("ya"),
+        (col("cx") + col("o.dx")).as("px"), (col("cy") + col("o.dy")).as("py"))
+    val targets = withCell.select(col("id").as("idb"), col("x").as("xb"),
+      col("y").as("yb"), col("cx").as("px"), col("cy").as("py"))
+    // directed neighbor pairs (each unordered pair once per direction —
+    // exactly what the per-point neighbor count wants)
+    val pairs = probes.join(targets, Seq("px", "py"))
+      .where(col("ida") =!= col("idb") &&
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb")) <= lit(eps * eps))
+      .select(col("ida"), col("idb"))
+      .localCheckpoint() // reused: counts, core edges, border assignment
+    val cores = pairs.groupBy("ida").agg(count(lit(1)).as("__nn"))
+      .where(col("__nn") + 1 >= minPts)
+      .select(col("ida").as("id"))
+    val coreEdges = pairs
+      .join(cores.select(col("id").as("ida")), Seq("ida"))
+      .join(cores.select(col("id").as("idb")), Seq("idb"))
+      .where(col("ida") < col("idb"))
+      .select(col("ida").as("id_a"), col("idb").as("id_b"))
+    val comp = Dedup.connectedComponents(coreEdges)
+    val coreClusters = cores
+      .join(comp.select(col("node").as("id"), col("rep")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("cluster"))
+    val borders = pairs
+      .join(coreClusters.select(col("id").as("idb"), col("cluster").as("__c")),
+        Seq("idb"))
+      .join(cores.select(col("id").as("ida")), Seq("ida"), "left_anti")
+      .groupBy(col("ida")).agg(min("__c").as("cluster"))
+      .select(col("ida").as("id"), col("cluster"))
+    pts.select(col("id"))
+      .join(coreClusters.withColumnRenamed("cluster", "__core_c"), Seq("id"), "left")
+      .join(borders.withColumnRenamed("cluster", "__border_c"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__core_c"), col("__border_c")).as("cluster"),
+        when(col("__core_c").isNotNull, "core")
+          .when(col("__border_c").isNotNull, "border")
+          .otherwise("noise").as("role"))
+  }
+
   // -- random-hyperplane LSH ---------------------------------------------
 
   /** Deterministic Gaussian hyperplanes (planes × dim). */

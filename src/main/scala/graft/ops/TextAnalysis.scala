@@ -1115,6 +1115,46 @@ object TextAnalysis {
       .select(col("rank"), col("a"), col("b"), col("c"), col("pmi"))
   }
 
+  /** Dominant LSI axis by MATRIX-FREE power iteration — the first
+    * right-singular vector of the doc-term count matrix (the
+    * "principal topic" of latent semantic indexing), computed without
+    * ever materializing a matrix: each iteration is two keyed
+    * aggregates, u = A·v (per-doc inner product) then v = Aᵀ·u
+    * (per-term inner product), over the SAME (doc, term, count)
+    * frame. Starting from v₀ = 1 every intermediate stays
+    * INTEGER-VALUED (nonneg counts × integer vector), so the
+    * iteration is exact in doubles below 2⁵³ at any partition order —
+    * normalization happens ONCE at the end (√ of an exact integer sum
+    * is correctly rounded, engine-identical). Loadings are
+    * nonnegative by Perron–Frobenius. For deep iteration counts at
+    * corpus scale, normalize per round in floats and accept spec-tier
+    * checking — two rounds is where exactness is free. Returns the
+    * top-k terms: (rank, term, loading 6 dp). */
+  def lsiPowerIteration(df: org.apache.spark.sql.DataFrame, textCol: String,
+                        iters: Int = 2, k: Int = 25): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iters >= 1 && k > 0)
+    val counts = df
+      .select(monotonically_increasing_id().as("__d"), tokens(lower(col(textCol))).as("__t"))
+      .where(size(col("__t")) > 0)
+      .select(col("__d"), explode(col("__t")).as("term"))
+      .groupBy("__d", "term").agg(count(lit(1)).cast("double").as("__c"))
+      .localCheckpoint() // both halves of every iteration re-read it
+    var v = counts.groupBy("term").agg(lit(1.0).as("__v"))
+    for (_ <- 1 to iters) {
+      val u = counts.join(v, Seq("term"))
+        .groupBy("__d").agg(sum(col("__c") * col("__v")).as("__u"))
+      v = counts.join(u, Seq("__d"))
+        .groupBy("term").agg(sum(col("__c") * col("__u")).as("__v"))
+    }
+    val norm = v.agg(sqrt(sum(col("__v") * col("__v"))).as("__n"))
+    val loadings = v.crossJoin(broadcast(norm))
+      .select(col("term"), round(col("__v") / col("__n"), 6).as("loading"))
+    val w = Window.orderBy(col("loading").desc, col("term"))
+    loadings.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("rank"), col("term"), col("loading"))
+  }
+
   /** Per-group KL divergence of unigram distributions vs the corpus —
     * the diversity/drift audit across sources: KL(p_g ‖ p_corpus) =
     * Σ_w p_g(w)·ln(p_g(w)/p(w)), the "how idiosyncratic is this

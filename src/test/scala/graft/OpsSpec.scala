@@ -2724,6 +2724,42 @@ class OpsSpec extends AnyFunSuite {
     assert(top.getLong(0) === 99L, s"hub item should rank first: $top")
   }
 
+  test("lsiPowerIteration: hand-unrolled two rounds on a 3-doc corpus") {
+    // counts — d1: a,b · d2: a,c · d3: a,a,d
+    // u1 = doc lengths (2,2,3); v1 = (a 10, b 2, c 2, d 3)
+    // u2 = (12, 12, 23);        v2 = (a 70, b 12, c 12, d 23)
+    val d = Seq("a b", "a c", "a a d").toDF("text")
+    val out = TextAnalysis.lsiPowerIteration(d, "text", iters = 2, k = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val n = math.sqrt(70.0 * 70 + 144 + 144 + 23.0 * 23)
+    assert(out.head === ((1, "a", r6(70 / n)))) // the everywhere-term dominates
+    assert(out(1) === ((2, "d", r6(23 / n))))
+    assert(out(2) === ((3, "b", r6(12 / n)))) // tie with c → term order
+    assert(out(3) === ((4, "c", r6(12 / n))))
+  }
+
+  test("dbscan2d: two clusters, a border point, and noise classified by hand") {
+    // cluster A: 4 mutually-eps-close points (all core); id 5 touches
+    // only ONE core (border); id 6 isolated (noise); cluster B: a
+    // 3-point chain, each with 2 neighbors + self = minPts (all core).
+    // Points deliberately straddle eps-grid cell boundaries so the 3×3
+    // probe is exercised.
+    val pts = Seq(
+      (1L, 0.0, 0.0), (2L, 0.01, 0.0), (3L, 0.0, 0.01), (4L, 0.01, 0.01),
+      (5L, 0.03, 0.0),
+      (6L, 0.2, 0.2),
+      (7L, 1.0, 1.0), (8L, 1.01, 1.0), (9L, 1.0, 1.01)
+    ).toDF("id", "x", "y")
+    val out = Similarity.dbscan2d(pts, "id", "x", "y", eps = 0.02, minPts = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getString(2))).toMap
+    for (i <- 1L to 4L) assert(out(i) === ((1L, "core")), s"point $i: ${out(i)}")
+    assert(out(5L) === ((1L, "border")))
+    assert(out(6L) === ((-1L, "noise")))
+    for (i <- 7L to 9L) assert(out(i) === ((7L, "core")), s"point $i: ${out(i)}")
+  }
+
   test("mannKendall: hand-computed S, tie-corrected variance, continuity-corrected z") {
     def r6(x: Double) = math.rint(x * 1e6) / 1e6
     val up = Seq((1, 1.0), (2, 2.0), (3, 3.0)).toDF("t", "x")
