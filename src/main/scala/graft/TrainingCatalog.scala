@@ -205,6 +205,41 @@ object TrainingCatalog {
       WHERE word <> '' GROUP BY word HAVING count(*) >= 900
       ORDER BY word""")),
 
+    // HyperLogLog distinct sketch: COUNT(DISTINCT) with FIXED state —
+    // the register table is 2^8 rows at any corpus size and merges
+    // across slices by slot-wise max. Hash = md5 (engine-portable),
+    // rank via bin() string arithmetic, harmonic sum scaled to an
+    // exact integer; the oracle replays the identical registers and
+    // divides by the same driver-printed α·m²·2^53 literal. True
+    // distinct here: 2000 parts (sf0.01) — estimate lands within the
+    // ~6.5% 1.04/√m band (spec-asserted; the driver gate pins
+    // engine-equality of registers + estimate).
+    "q_sketch_hll" -> (q((s, dir) => {
+      val regs = graft.ops.Sketches.hllRegisters(
+        SparkEntry.loader(s, dir)("lineitem"), "l_partkey", p = 8)
+      graft.ops.Sketches.hllEstimate(regs, p = 8)
+    }), Some(s"""
+      WITH h AS (SELECT md5(CAST(l_partkey AS VARCHAR)) AS x
+                 FROM lineitem WHERE l_partkey IS NOT NULL),
+      b AS (SELECT CAST(('0x' || substring(x, 1, 3))::BIGINT // 16 AS INT) AS bucket,
+                   ('0x' || substring(x, 4, 13))::BIGINT AS w FROM h),
+      r AS (SELECT bucket,
+                   CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho FROM b),
+      regs AS (SELECT g.bucket, coalesce(max(r.rho), 0) AS reg
+               FROM generate_series(0, 255) AS g(bucket)
+               LEFT JOIN r ON g.bucket = r.bucket GROUP BY 1),
+      agg AS (SELECT CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+                     CAST(sum(CAST(power(2, 53 - reg) AS BIGINT)) AS BIGINT) AS s_scaled
+              FROM regs),
+      e AS (SELECT v_zero, s_scaled,
+                   ${graft.ops.Sketches.hllAlphaConstant(8)} / CAST(s_scaled AS DOUBLE) AS raw
+            FROM agg)
+      SELECT CAST(256 AS BIGINT) AS m, v_zero, s_scaled,
+             round(CASE WHEN raw <= 640.0 AND v_zero > 0
+                        THEN 256.0 * ln(256.0 / CAST(v_zero AS DOUBLE))
+                        ELSE raw END, 6) AS estimate
+      FROM e""")),
+
     // the census→cleaning composition (C4's corpus-repeat removal at
     // word granularity): heavy-hitter words mined exactly, then dropped
     // by a zero-shuffle scan-stage filter; the oracle replays the same
@@ -2295,6 +2330,59 @@ object TrainingCatalog {
                         WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
                         ELSE 0.0 END, 6) AS z
       FROM v""")),
+
+    // CUSUM changepoint on the daily event-count series — "WHEN did
+    // the metric shift". The cumulative-deviation scan runs n-scaled
+    // so argmax/ties are integer-exact; only the final Brownian-
+    // bridge-normalized statistic divides. Windows run over the
+    // 30-row AGGREGATED series.
+    "q_events_cusum" -> (q((s, dir) => {
+      val daily = SparkEntry.loader(s, dir)("events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      graft.ops.Evaluation.cusumChangepoint(daily, "day", "x")
+    }), Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+                     FROM events GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS t,
+                     CAST(sum(x * x) AS BIGINT) AS sxx FROM daily),
+      cum AS (SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+                     CAST(sum(x) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+              FROM daily),
+      sc AS (SELECT day, tot.n, tot.sxx, tot.t, tot.n * cum.c - cum.rn * tot.t AS s
+             FROM cum CROSS JOIN tot)
+      SELECT n, day AS t_star, CAST(abs(s) AS BIGINT) AS s_max,
+             round(CASE WHEN n * sxx - t * t = 0 THEN 0.0
+                        ELSE CAST(abs(s) AS DOUBLE) /
+                             (sqrt(CAST(n * sxx - t * t AS DOUBLE)) * sqrt(CAST(n AS DOUBLE)))
+                   END, 6) AS stat
+      FROM sc ORDER BY abs(s) DESC, day LIMIT 1""")),
+
+    // sample ACF at lags 1..7 on the same daily series — the
+    // seasonality/memory diagnostic (a weekly rhythm shows at lag 7).
+    // Numerator and denominator carry the n² scale as exact integers;
+    // one division per lag.
+    "q_events_acf" -> (q((s, dir) => {
+      val daily = SparkEntry.loader(s, dir)("events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      graft.ops.Evaluation.autocorrelation(daily, "day", "x", maxLag = 7)
+    }), Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+                     FROM events GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS t FROM daily),
+      base AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+                      tot.n * daily.x - tot.t AS d, tot.n AS n
+               FROM daily CROSS JOIN tot),
+      c0 AS (SELECT CAST(sum(d * d) AS BIGINT) AS c0 FROM base),
+      p AS (SELECT ks.k, a.d * b.d AS dd, a.n
+            FROM generate_series(1, 7) AS ks(k), base a, base b
+            WHERE b.rn = a.rn + ks.k)
+      SELECT CAST(k AS INT) AS lag, CAST(max(n) - k AS BIGINT) AS n_pairs,
+             round(CASE WHEN c0.c0 = 0 THEN NULL
+                        ELSE CAST(sum(dd) AS DOUBLE) / CAST(c0.c0 AS DOUBLE) END, 6) AS r
+      FROM p CROSS JOIN c0 GROUP BY k, c0.c0 ORDER BY lag""")),
 
     // per-source KL divergence vs the corpus unigram distribution —
     // the diversity/drift audit ("how idiosyncratic is this source's

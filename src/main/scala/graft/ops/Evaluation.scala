@@ -260,4 +260,76 @@ object Evaluation {
         round(when(col("n") - col("c") < k, 1.0).otherwise(lit(1.0) - prod), 6)
           .as("pass_at_k"))
   }
+
+  /** CUSUM changepoint locator (Page 1954 / Pettitt-style scan) over
+    * an ALREADY-AGGREGATED integer series (t, x) — "WHEN did this
+    * metric shift": the cumulative deviation S_i = Σ_{j≤i}(x_j − x̄)
+    * peaks at the level-shift boundary. Computed SCALED BY n so every
+    * intermediate is an exact integer: S′_i = n·C_i − i·T (C = running
+    * sum, T = total) = n·S_i — argmax and ties are engine-exact, the
+    * only floats are the final normalized statistic
+    * max|S′| / (√(n·Σx²−T²) · √n)  (= max|S_i| / (σ̂√n), the scan
+    * statistic whose asymptotic null law is the Brownian-bridge sup),
+    * two correctly-rounded sqrts and one division, rounded 6 dp.
+    *
+    * Same contract as [[mannKendall]]: the caller aggregates first —
+    * the window runs over SERIES length (a year of dailies), never the
+    * corpus. Returns one row (n, t_star, s_max, stat); constant series
+    * → stat 0. */
+  def cusumChangepoint(series: DataFrame, tCol: String, xCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = series.select(col(tCol).as("__t"), col(xCol).cast("long").as("__x"))
+    val tot = s.agg(count(lit(1)).as("__n"), sum("__x").as("__tt"),
+      sum(col("__x") * col("__x")).as("__sxx"))
+    val w = Window.orderBy("__t")
+    val cum = s.select(col("__t"),
+        row_number().over(w).cast("long").as("__rn"),
+        sum("__x").over(w.rowsBetween(Window.unboundedPreceding, 0)).as("__c"))
+      .crossJoin(broadcast(tot))
+      .select(col("__t"), col("__n"), col("__sxx"), col("__tt"),
+        (col("__n") * col("__c") - col("__rn") * col("__tt")).as("__s"))
+    cum.orderBy(abs(col("__s")).desc, col("__t")).limit(1)
+      .select(col("__n").as("n"), col("__t").as("t_star"),
+        abs(col("__s")).as("s_max"),
+        round(when(col("__n") * col("__sxx") - col("__tt") * col("__tt") === 0, 0.0)
+          .otherwise(abs(col("__s")).cast("double") /
+            (sqrt((col("__n") * col("__sxx") - col("__tt") * col("__tt")).cast("double")) *
+              sqrt(col("__n").cast("double")))), 6).as("stat"))
+  }
+
+  /** Sample AUTOCORRELATION FUNCTION r_k, k = 1..maxLag, over an
+    * ALREADY-AGGREGATED integer series — the seasonality/memory
+    * diagnostic (weekly ingest rhythm shows as a lag-7 spike). The
+    * standard estimator r_k = Σ_{t≤n−k} d_t·d_{t+k} / Σ d_t² with
+    * deviations SCALED BY n (D_t = n·x_t − T), so numerator and
+    * denominator are exact integers (the n² scale cancels in the
+    * ratio) and the single division per lag is engine-deterministic,
+    * rounded 6 dp. Lag pairing is one self-join of the SERIES on the
+    * row offset ([[mannKendall]]'s aggregate-first contract — maxLag·n
+    * pairs, never the corpus). Returns (lag, n_pairs, r); constant
+    * series → r null. */
+  def autocorrelation(series: DataFrame, tCol: String, xCol: String,
+                      maxLag: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxLag >= 1, s"maxLag: $maxLag")
+    val tot = series.agg(count(lit(1)).as("__n"),
+      sum(col(xCol).cast("long")).as("__tt"))
+    val base = series
+      .select(col(tCol).as("__t"), col(xCol).cast("long").as("__x"))
+      .crossJoin(broadcast(tot))
+      .select(row_number().over(Window.orderBy("__t")).cast("long").as("__rn"),
+        (col("__n") * col("__x") - col("__tt")).as("__d"), col("__n"))
+    val c0 = base.agg(sum(col("__d") * col("__d")).as("__c0"))
+    val probes = base.withColumn("__k", explode(sequence(lit(1), lit(maxLag))))
+      .select(col("__k"), (col("__rn") + col("__k")).as("__rn2"), col("__d"), col("__n"))
+    val pairs = probes.join(
+      base.select(col("__rn").as("__rn2"), col("__d").as("__d2")), Seq("__rn2"))
+    pairs.groupBy(col("__k").cast("int").as("lag"))
+      .agg(max(col("__n")).as("__n"), sum(col("__d") * col("__d2")).as("__ck"))
+      .crossJoin(broadcast(c0))
+      .select(col("lag"), (col("__n") - col("lag")).as("n_pairs"),
+        round(when(col("__c0") === 0, lit(null).cast("double"))
+          .otherwise(col("__ck").cast("double") / col("__c0").cast("double")), 6).as("r"))
+      .orderBy("lag")
+  }
 }

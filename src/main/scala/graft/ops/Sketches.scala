@@ -222,4 +222,85 @@ object Sketches {
       }
     (n, med)
   }
+
+  // -- HyperLogLog ---------------------------------------------------------
+
+  /** Number of registers for precision `p`. */
+  def hllM(p: Int): Int = { require(p >= 4 && p <= 9, s"p: $p"); 1 << p }
+
+  /** HYPERLOGLOG register table (Flajolet et al. 2007) — the mergeable
+    * distinct-count sketch: COUNT(DISTINCT key) at 100 TB costs a
+    * shuffle of every distinct key, while the HLL register table is a
+    * FIXED 2^p rows whose per-key update is pure scan-stage Column
+    * algebra (hash → bucket → leading-zero rank) followed by one
+    * 2^p-ary max aggregate. Registers from disjoint corpus slices
+    * combine by [[hllMerge]] (slot-wise max is associative/commutative
+    * — the sketch is a semilattice), which is what makes it the
+    * per-partition / per-day / per-source distinct primitive: sketch
+    * once per slice, merge cheaply ever after.
+    *
+    * Engine-portable by construction: the hash is md5 (not an engine-
+    * native hash), the bucket is the first 12 hash bits >> (12−p), and
+    * the rank ρ = leading-zeros-plus-one over the next 52 bits is
+    * STRING arithmetic on `bin()` (both engines print minimal binary)
+    * — no float enters until [[hllEstimate]]'s final division. Returns
+    * the DENSE (bucket 0..m−1, reg) table; empty buckets hold 0.
+    * p ≤ 9 keeps [[hllEstimate]]'s scaled-integer harmonic sum inside
+    * Long (m·2^53 < 2^63). */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int): DataFrame = {
+    val m = hllM(p)
+    val h = md5(col(keyCol).cast("string"))
+    val bucket = shiftright(conv(substring(h, 1, 3), 16, 10).cast("long"), 12 - p)
+      .cast("int").as("bucket")
+    val w = conv(substring(h, 4, 13), 16, 10).cast("long")
+    val rho = when(w === 0, lit(53)).otherwise(lit(53) - length(bin(w)))
+    val regs = df.where(col(keyCol).isNotNull)
+      .select(bucket, rho.cast("int").as("__rho"))
+      .groupBy("bucket").agg(max("__rho").as("reg"))
+    df.sparkSession.range(m).select(col("id").cast("int").as("bucket"))
+      .join(regs, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("reg"), lit(0)).cast("int").as("reg"))
+  }
+
+  /** Merge two register tables (slot-wise max) — the distributed-
+    * union step: hll(A ∪ B) = merge(hll(A), hll(B)), exactly. */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("bucket"), col("reg").as("__ra"))
+      .join(b.select(col("bucket"), col("reg").as("__rb")), Seq("bucket"), "full")
+      .select(col("bucket"),
+        greatest(coalesce(col("__ra"), lit(0)), coalesce(col("__rb"), lit(0))).as("reg"))
+
+  /** Cardinality estimate from a register table: the classic
+    * bias-corrected harmonic mean E = α_m·m²/Σ 2^−reg, with the
+    * small-range linear-counting correction m·ln(m/V) when E ≤ 2.5m
+    * and V (empty registers) > 0. The harmonic sum is computed SCALED
+    * BY 2^53 so it is an exact integer (each term 2^(53−reg) is a
+    * whole power of two; reg ≤ 53) — summation order cannot perturb
+    * it, and exactly ONE float division produces the estimate
+    * (engine-deterministic, rounded 6 dp). Relative error ≈
+    * 1.04/√m (~6.5 % at p = 8). Returns one row
+    * (m, v_zero, s_scaled, estimate). */
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+    val m = hllM(p)
+    val c = hllAlphaConstant(p)
+    registers.agg(
+        sum(when(col("reg") === 0, 1L).otherwise(0L)).as("v_zero"),
+        sum(pow(lit(2.0), lit(53) - col("reg")).cast("long")).as("s_scaled"))
+      .select(lit(m.toLong).as("m"), col("v_zero"), col("s_scaled"),
+        (lit(c) / col("s_scaled").cast("double")).as("__raw"))
+      .select(col("m"), col("v_zero"), col("s_scaled"),
+        round(when(col("__raw") <= lit(2.5 * m) && col("v_zero") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
+          .otherwise(col("__raw")), 6).as("estimate"))
+  }
+
+  /** α_m·m²·2^53 as one driver-computed double literal — shared with
+    * oracle SQL generation so both engines divide by the identical
+    * constant (shortest-round-trip decimal printing preserves the
+    * bit pattern across parsers). */
+  def hllAlphaConstant(p: Int): Double = {
+    val m = hllM(p)
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    alpha * m * m * 9007199254740992.0 // 2^53
+  }
 }

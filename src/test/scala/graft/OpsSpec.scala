@@ -3026,4 +3026,47 @@ class OpsSpec extends AnyFunSuite {
     val p = scored.where(col("doc_id") === 0L).select("p").as[Double].head()
     assert(math.abs(p - 1.0 / (1.0 + math.exp(-z))) < 1e-12)
   }
+
+  test("hll: estimate within the error band, merge law, linear-counting floor") {
+    val a = (0 until 1200).map(i => s"key$i").toDF("k")
+    val b = (800 until 2000).map(i => s"key$i").toDF("k") // 400 overlap
+    val ra = Sketches.hllRegisters(a, "k", p = 8)
+    val rb = Sketches.hllRegisters(b, "k", p = 8)
+    val est = Sketches.hllEstimate(ra, p = 8).collect().head
+    assert(est.getLong(0) === 256L)
+    val e = est.getDouble(3)
+    assert(math.abs(e - 1200) / 1200.0 < 0.15, s"estimate $e for true 1200")
+    // union merge = sketch of the union, register-for-register
+    val merged = Sketches.hllMerge(ra, rb).orderBy("bucket").collect()
+    val direct = Sketches.hllRegisters(a.union(b), "k", p = 8).orderBy("bucket").collect()
+    assert(merged.map(r => (r.getInt(0), r.getInt(1))).toSeq ===
+           direct.map(r => (r.getInt(0), r.getInt(1))).toSeq)
+    // empty input: all registers 0 → linear-counting branch → ln(1) = 0
+    val empty = Sketches.hllRegisters(a.where(lit(false)), "k", p = 8)
+    val e0 = Sketches.hllEstimate(empty, p = 8).collect().head
+    assert(e0.getLong(1) === 256L && e0.getDouble(3) === 0.0)
+  }
+
+  test("cusumChangepoint: hand-computed level shift; constant series stat 0") {
+    // x = 0,0,0,10,10 → scaled S' = 5C − 20i = −20,−40,−60,−30,0;
+    // peak |S'| = 60 at t=3; stat = 60/(√600·√5) = 1.095445
+    val s = Seq((1, 0), (2, 0), (3, 0), (4, 10), (5, 10)).toDF("t", "x")
+    val r = Evaluation.cusumChangepoint(s, "t", "x").collect().head
+    assert(r.getLong(0) === 5L && r.getInt(1) === 3 && r.getLong(2) === 60L)
+    assert(r.getDouble(3) === math.rint(60.0 / (math.sqrt(600.0) * math.sqrt(5.0)) * 1e6) / 1e6)
+    val const = Seq((1, 7), (2, 7), (3, 7)).toDF("t", "x")
+    val rc = Evaluation.cusumChangepoint(const, "t", "x").collect().head
+    assert(rc.getDouble(3) === 0.0)
+  }
+
+  test("autocorrelation: hand-computed lags on 1..4; constant series null r") {
+    // x = 1,2,3,4: D = 4x−10 = −6,−2,2,6; c0 = 80; c1 = 20, c2 = −24, c3 = −36
+    val s = Seq((1, 1), (2, 2), (3, 3), (4, 4)).toDF("t", "x")
+    val out = Evaluation.autocorrelation(s, "t", "x", maxLag = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out === Array((1, 3L, 0.25), (2, 2L, -0.3), (3, 1L, -0.45)))
+    val const = Seq((1, 7), (2, 7), (3, 7)).toDF("t", "x")
+    val rc = Evaluation.autocorrelation(const, "t", "x", maxLag = 2).collect()
+    assert(rc.forall(_.isNullAt(2)))
+  }
 }
