@@ -240,6 +240,44 @@ object TrainingCatalog {
                         ELSE raw END, 6) AS estimate
       FROM e""")),
 
+    // count-min frequency sketch: point-queryable estimates for EVERY
+    // key in d·w = 3·256 integers of state — the estimate NEVER
+    // undercounts (collisions only add), cell tables merge by sum.
+    // The entry probes every supplier and emits est vs true count with
+    // the per-key overcount — the driver gate pins engine-equality of
+    // the whole estimate surface; the ≥0 overcount column makes the
+    // one-sided error law visible in the artifact.
+    "q_sketch_cm" -> (q((s, dir) => {
+      val li = SparkEntry.loader(s, dir)("lineitem")
+      val sk = graft.ops.Sketches.cmSketch(li, "l_suppkey", w = 256, d = 3)
+      val probes = li.select(col("l_suppkey")).distinct()
+      val est = graft.ops.Sketches.cmEstimate(sk, probes, "l_suppkey", w = 256, d = 3)
+      val tru = li.groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("true_cnt"))
+      est.join(tru, Seq("key"))
+        .select(col("key"), col("est"), col("true_cnt"),
+          (col("est") - col("true_cnt")).as("overcount"))
+        .orderBy("key")
+    }), Some("""
+      WITH occ AS (SELECT CAST(l_suppkey AS VARCHAR) AS k FROM lineitem
+                   WHERE l_suppkey IS NOT NULL),
+      cr AS (SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+               SELECT g.row,
+                      CAST(('0x' || substring(md5(CAST(g.row AS VARCHAR) || ':' || occ.k), 1, 6))::BIGINT % 256 AS INT) AS bucket
+               FROM occ, generate_series(0, 2) AS g(row))
+             GROUP BY 1, 2),
+      probes AS (SELECT DISTINCT l_suppkey AS key FROM lineitem
+                 WHERE l_suppkey IS NOT NULL),
+      pb AS (SELECT key, g.row,
+                    CAST(('0x' || substring(md5(CAST(g.row AS VARCHAR) || ':' || CAST(key AS VARCHAR)), 1, 6))::BIGINT % 256 AS INT) AS bucket
+             FROM probes, generate_series(0, 2) AS g(row)),
+      est AS (SELECT key, CAST(min(cr.cnt) AS BIGINT) AS est
+              FROM pb JOIN cr USING (row, bucket) GROUP BY 1),
+      tru AS (SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS true_cnt
+              FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1)
+      SELECT est.key, est.est, tru.true_cnt,
+             CAST(est.est - tru.true_cnt AS BIGINT) AS overcount
+      FROM est JOIN tru USING (key) ORDER BY key""")),
+
     // the census→cleaning composition (C4's corpus-repeat removal at
     // word granularity): heavy-hitter words mined exactly, then dropped
     // by a zero-shuffle scan-stage filter; the oracle replays the same
@@ -3635,6 +3673,37 @@ object TrainingCatalog {
         WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = sc.x AND e.b = sc.y))
       SELECT x, y, CAST(cn AS BIGINT) AS cn, aa
       FROM pred ORDER BY aa DESC, x, y LIMIT 100""")),
+
+    // k-core backbone of the recent co-purchase graph (same ≥1999
+    // slice): 3 bounded peeling rounds at k=13 — each round one degree
+    // aggregate + vertex-sized broadcast semi-joins, the edge list
+    // filtered in place (2000 → 1557 surviving parts at sf0.01, so
+    // every round removes real nodes). Oracle unrolls the identical
+    // rounds as chained CTEs, the pageRank/labelPropagation
+    // convention.
+    "q_graph_kcore" -> (q((s, dir) =>
+      graft.ops.Graph.kCore(recentCoPurchaseEdges(s, dir), k = 13, rounds = 3)
+        .orderBy("id")
+    ), Some("""
+      WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                  WHERE l_shipdate >= DATE '1999-01-01'),
+      e0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             FROM li a JOIN li b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      d1 AS (SELECT src AS id, count(*) AS d FROM e0 GROUP BY 1),
+      k1 AS (SELECT id FROM d1 WHERE d >= 13),
+      e1 AS (SELECT src, dst FROM e0 WHERE src IN (SELECT id FROM k1)
+                                      AND dst IN (SELECT id FROM k1)),
+      d2 AS (SELECT src AS id, count(*) AS d FROM e1 GROUP BY 1),
+      k2 AS (SELECT id FROM d2 WHERE d >= 13),
+      e2 AS (SELECT src, dst FROM e1 WHERE src IN (SELECT id FROM k2)
+                                      AND dst IN (SELECT id FROM k2)),
+      d3 AS (SELECT src AS id, count(*) AS d FROM e2 GROUP BY 1),
+      k3 AS (SELECT id FROM d3 WHERE d >= 13),
+      e3 AS (SELECT src, dst FROM e2 WHERE src IN (SELECT id FROM k3)
+                                      AND dst IN (SELECT id FROM k3))
+      SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+      FROM e3 GROUP BY 1 ORDER BY id""")),
 
     // model-based quality filter (fastText-style linear bag-of-words,
     // the CCNet/GPT-3 crawl gate): closed-form multinomial Naive Bayes

@@ -243,4 +243,38 @@ object Graph {
         scores("x") === und("a") && scores("y") === und("b"), "left_anti")
       .select(col("x"), col("y"), col("cn"), col("aa"))
   }
+
+  /** K-CORE peeling (Seidman 1983), `rounds` bounded iterations — the
+    * dense-backbone extractor (the k-core is the maximal subgraph where
+    * every node keeps ≥ k neighbors; spam/link-farm and community-
+    * nucleus analyses run on it rather than the full graph). Each round
+    * drops nodes whose CURRENT degree is < k and the edges they carry —
+    * degrees only ever fall, so survivors shrink monotonically to the
+    * true k-core fixpoint (reached when a round removes nothing;
+    * law-spec'd on crafted graphs).
+    *
+    * Bounded rounds is the same contract as [[pageRank]]/
+    * [[labelPropagation]]: deterministic work per round — one degree
+    * aggregate + two vertex-sized broadcast semi-joins (the EDGE list
+    * never shuffles; it is filtered in place) — and an oracle that
+    * unrolls the identical rounds as chained CTEs. Peeling needs
+    * O(max-core) rounds in the worst case but converges in a handful on
+    * real degree distributions; pass a larger `rounds` (with
+    * checkpointing via the loop's localCheckpoint) to guarantee the
+    * fixpoint. Input: undirected edges with BOTH directions present
+    * ([[coOccurrenceEdges]] shape). Returns surviving (id, deg) under
+    * the final subgraph. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k: $k")
+    require(rounds >= 1, s"rounds: $rounds")
+    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("__d"))
+        .where(col("__d") >= k).select("id")
+      e = e.join(broadcast(keep.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
+        .join(broadcast(keep.withColumnRenamed("id", "dst")), Seq("dst"), "left_semi")
+        .localCheckpoint()
+    }
+    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+  }
 }

@@ -303,4 +303,66 @@ object Sketches {
     val alpha = 0.7213 / (1 + 1.079 / m)
     alpha * m * m * 9007199254740992.0 // 2^53
   }
+
+  // -- count-min -----------------------------------------------------------
+
+  /** COUNT-MIN sketch (Cormode & Muthukrishnan 2005) — point-queryable
+    * frequency estimates for EVERY key in d·w integers of state, where
+    * [[heavyHitters]] answers only the heavy ones: d independent hash
+    * rows of w counters, each key increments one counter per row, and
+    * a point query reads the MINIMUM of its d counters — an estimate
+    * that NEVER undercounts and overshoots by ≤ e·N/w with probability
+    * 1 − e^−d (collisions only ever add). Sketches of corpus slices
+    * merge by cell-wise sum ([[cmMerge]] — the same semilattice story
+    * as [[hllMerge]]).
+    *
+    * Scale shape: ONE (row, bucket)-keyed count shuffle bounded by d·w
+    * cells regardless of key cardinality — the long tail folds into
+    * shared counters instead of shuffling. Hashes are md5 over
+    * "row:key" (engine-portable, row-independent by the prefix), 24
+    * hash bits mod w. Returns the DENSE (row 0..d−1, bucket 0..w−1,
+    * cnt) cell table. */
+  def cmSketch(df: DataFrame, keyCol: String, w: Int, d: Int): DataFrame = {
+    require(w > 1 && d >= 1, s"w: $w, d: $d")
+    val spark = df.sparkSession
+    val cells = df.where(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"),
+        explode(sequence(lit(0), lit(d - 1))).as("row"))
+      .select(col("row"),
+        (conv(substring(md5(concat(col("row").cast("string"), lit(":"), col("__k"))),
+          1, 6), 16, 10).cast("long") % w).cast("int").as("bucket"))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+    spark.range(d).select(col("id").cast("int").as("row"))
+      .crossJoin(spark.range(w).select(col("id").cast("int").as("bucket")))
+      .join(cells, Seq("row", "bucket"), "left")
+      .select(col("row"), col("bucket"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** Merge two count-min cell tables (cell-wise sum): cm(A ∪ B) =
+    * merge(cm(A), cm(B)), exactly. */
+  def cmMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("row"), col("bucket"), col("cnt").as("__ca"))
+      .join(b.select(col("row"), col("bucket"), col("cnt").as("__cb")),
+        Seq("row", "bucket"), "full")
+      .select(col("row"), col("bucket"),
+        (coalesce(col("__ca"), lit(0L)) + coalesce(col("__cb"), lit(0L))).as("cnt"))
+
+  /** Point-query a count-min cell table for each key in `probes`:
+    * estimate = min over the d rows of the key's counter. The probe
+    * side recomputes the same md5 buckets and equi-joins the (small,
+    * broadcastable) cell table — probing is a scan over the probe set,
+    * never the sketched corpus. Returns (key, est). */
+  def cmEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+                 w: Int, d: Int): DataFrame = {
+    require(w > 1 && d >= 1, s"w: $w, d: $d")
+    probes.where(col(keyCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        explode(sequence(lit(0), lit(d - 1))).as("row"))
+      .select(col("key"), col("row"),
+        (conv(substring(md5(concat(col("row").cast("string"), lit(":"),
+          col("key").cast("string"))), 1, 6), 16, 10).cast("long") % w)
+          .cast("int").as("bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy("key").agg(min("cnt").as("est"))
+  }
 }

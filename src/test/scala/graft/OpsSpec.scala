@@ -3047,6 +3047,42 @@ class OpsSpec extends AnyFunSuite {
     assert(e0.getLong(1) === 256L && e0.getDouble(3) === 0.0)
   }
 
+  test("cmSketch: never undercounts, exact without collisions, merge = union") {
+    val a = (Seq.fill(50)("hot") ++ (0 until 40).map(i => s"cold$i")).toDF("k")
+    val sk = Sketches.cmSketch(a, "k", w = 64, d = 3)
+    val probes = a.distinct()
+    val est = Sketches.cmEstimate(sk, probes, "k", w = 64, d = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = a.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, t) =>
+      assert(est(k) >= t, s"undercount for $k: est=${est(k)} true=$t") }
+    // one lonely key in a wide sketch: no collisions possible → exact
+    val solo = Seq.fill(7)("only").toDF("k")
+    val soloEst = Sketches.cmEstimate(Sketches.cmSketch(solo, "k", 64, 3),
+      solo.distinct(), "k", 64, 3).collect().head.getLong(1)
+    assert(soloEst === 7L)
+    // merge law: cm(A ∪ B) cell table = cmMerge(cm(A), cm(B))
+    val b = (0 until 30).map(i => s"extra$i").toDF("k")
+    val merged = Sketches.cmMerge(sk, Sketches.cmSketch(b, "k", 64, 3))
+      .orderBy("row", "bucket").collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val direct = Sketches.cmSketch(a.union(b), "k", 64, 3)
+      .orderBy("row", "bucket").collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(merged.toSeq === direct.toSeq)
+  }
+
+  test("kCore: clique survives its own k, appendages peel, over-k empties") {
+    // 4-clique {1,2,3,4} + path 4-5-6: deg(5)=2, deg(6)=1
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val core3 = Graph.kCore(edges, k = 3, rounds = 3).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(core3.toSeq === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // k above the max core: everything peels within rounds
+    assert(Graph.kCore(edges, k = 4, rounds = 3).count() === 0L)
+  }
+
   test("cusumChangepoint: hand-computed level shift; constant series stat 0") {
     // x = 0,0,0,10,10 → scaled S' = 5C − 20i = −20,−40,−60,−30,0;
     // peak |S'| = 60 at t=3; stat = 60/(√600·√5) = 1.095445
