@@ -421,6 +421,57 @@ object StreamCatalog {
       HAVING window_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
       ORDER BY window_start, event_type""")),
 
+    // streaming COUNT(DISTINCT) via windowed HLL registers: per
+    // finalized day window, the distinct-user estimate with state
+    // bounded by (open windows × 256) at ANY user cardinality — the
+    // sketch state replaces the unbounded per-window key set an exact
+    // distinct would hold. The STREAM maintains registers (one
+    // stateful max per (window, bucket), Append mode); the estimate is
+    // a post-drain batch aggregate (the production registers-in-store/
+    // estimate-at-query split). Registers are md5-derived, so the
+    // drained rows are replay-identical and the whole estimate surface
+    // hash-matches the batch oracle.
+    "q_stream_hll" -> (raw((s, dir) => {
+      val events = streamRead(s, dir, "events")
+      val regs = Streams.windowedDistinctHll(events, "ts", "user_id",
+        windowLen = "1 day", watermark = "1 hour", p = 8)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val drained = drain(s, regs, "hll", OutputMode.Append())
+        graft.ops.Sketches.hllEstimateGrouped(
+            drained, Seq("window_start", "window_end"), p = 8)
+          .orderBy("window_start")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }), Some(s"""
+      WITH ev AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS we,
+               md5(CAST(user_id AS VARCHAR)) AS x
+        FROM events WHERE user_id IS NOT NULL),
+      b AS (SELECT ws, we,
+                   CAST(('0x' || substring(x, 1, 3))::BIGINT // 16 AS INT) AS bucket,
+                   ('0x' || substring(x, 4, 13))::BIGINT AS w FROM ev),
+      r AS (SELECT ws, we, bucket,
+                   max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS reg
+            FROM b GROUP BY 1, 2, 3),
+      a AS (SELECT ws, we,
+                   CAST(256 - count(*) AS BIGINT) AS v_zero,
+                   CAST(sum(CAST(power(2, 53 - reg) AS BIGINT))
+                        + (256 - count(*)) * CAST(power(2, 53) AS BIGINT) AS BIGINT) AS s_scaled
+            FROM r GROUP BY 1, 2),
+      e AS (SELECT ws, we, v_zero, s_scaled,
+                   ${graft.ops.Sketches.hllAlphaConstant(8)} / CAST(s_scaled AS DOUBLE) AS raw
+            FROM a)
+      SELECT ws AS window_start, we AS window_end, CAST(256 AS BIGINT) AS m,
+             v_zero, s_scaled,
+             round(CASE WHEN raw <= 640.0 AND v_zero > 0
+                        THEN 256.0 * ln(256.0 / CAST(v_zero AS DOUBLE))
+                        ELSE raw END, 6) AS estimate
+      FROM e
+      WHERE we <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+      ORDER BY window_start""")),
+
     // STREAM-STREAM interval join: views and clicks are two unbounded
     // streams (two streaming reads of the same event file, filtered to
     // disjoint types); each view matches same-user clicks within the

@@ -247,15 +247,24 @@ object Sketches {
     * the DENSE (bucket 0..m−1, reg) table; empty buckets hold 0.
     * p ≤ 9 keeps [[hllEstimate]]'s scaled-integer harmonic sum inside
     * Long (m·2^53 < 2^63). */
+  /** The 12-bit-prefix bucket of a key's md5 under precision `p` —
+    * shared by the batch sketch and the streaming windowed variant. */
+  private[graft] def hllBucket(key: org.apache.spark.sql.Column, p: Int) =
+    shiftright(conv(substring(md5(key.cast("string")), 1, 3), 16, 10).cast("long"),
+      12 - p).cast("int")
+
+  /** Leading-zero rank ρ over the key's next 52 md5 bits, via `bin()`
+    * string arithmetic (engine-portable; all-zero window → 53). */
+  private[graft] def hllRho(key: org.apache.spark.sql.Column) = {
+    val w = conv(substring(md5(key.cast("string")), 4, 13), 16, 10).cast("long")
+    when(w === 0, lit(53)).otherwise(lit(53) - length(bin(w))).cast("int")
+  }
+
   def hllRegisters(df: DataFrame, keyCol: String, p: Int): DataFrame = {
     val m = hllM(p)
-    val h = md5(col(keyCol).cast("string"))
-    val bucket = shiftright(conv(substring(h, 1, 3), 16, 10).cast("long"), 12 - p)
-      .cast("int").as("bucket")
-    val w = conv(substring(h, 4, 13), 16, 10).cast("long")
-    val rho = when(w === 0, lit(53)).otherwise(lit(53) - length(bin(w)))
     val regs = df.where(col(keyCol).isNotNull)
-      .select(bucket, rho.cast("int").as("__rho"))
+      .select(hllBucket(col(keyCol), p).as("bucket"),
+        hllRho(col(keyCol)).as("__rho"))
       .groupBy("bucket").agg(max("__rho").as("reg"))
     df.sparkSession.range(m).select(col("id").cast("int").as("bucket"))
       .join(regs, Seq("bucket"), "left")
@@ -302,6 +311,33 @@ object Sketches {
     val m = hllM(p)
     val alpha = 0.7213 / (1 + 1.079 / m)
     alpha * m * m * 9007199254740992.0 // 2^53
+  }
+
+  /** Per-GROUP estimates from SPARSE register rows (group..., bucket,
+    * reg) where absent buckets mean 0 — the shape a per-window
+    * streaming sketch or a per-source sketch table naturally produces
+    * (only touched buckets materialize). Same scaled-integer harmonic
+    * sum and linear-counting correction as [[hllEstimate]]; one
+    * group-keyed aggregate. Returns (group..., m, v_zero, s_scaled,
+    * estimate). */
+  def hllEstimateGrouped(sparse: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+    require(groupCols.nonEmpty)
+    val m = hllM(p)
+    val c = hllAlphaConstant(p)
+    sparse.groupBy(groupCols.map(col): _*)
+      .agg(sum(pow(lit(2.0), lit(53) - col("reg")).cast("long")).as("__sp"),
+        count(lit(1)).as("__present"),
+        sum(when(col("reg") === 0, 1L).otherwise(0L)).as("__z0"))
+      .select(groupCols.map(col) ++ Seq(
+        lit(m.toLong).as("m"),
+        (lit(m.toLong) - col("__present") + col("__z0")).as("v_zero"),
+        (col("__sp") + (lit(m.toLong) - col("__present")) * lit(1L << 53)).as("s_scaled")): _*)
+      .select(groupCols.map(col) ++ Seq(col("m"), col("v_zero"), col("s_scaled"),
+        (lit(c) / col("s_scaled").cast("double")).as("__raw")): _*)
+      .select(groupCols.map(col) ++ Seq(col("m"), col("v_zero"), col("s_scaled"),
+        round(when(col("__raw") <= lit(2.5 * m) && col("v_zero") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
+          .otherwise(col("__raw")), 6).as("estimate")): _*)
   }
 
   // -- count-min -----------------------------------------------------------

@@ -168,6 +168,33 @@ object Streams {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col(keyCol), col("n"))
 
+  /** Windowed DISTINCT-COUNT sketch on a stream: per tumbling
+    * event-time window, the HyperLogLog register rows for `keyCol` —
+    * streaming COUNT(DISTINCT) with state bounded by (open windows ×
+    * 2^p) REGARDLESS of key cardinality, where an exact windowed
+    * distinct would hold every key seen per open window (the classic
+    * unbounded-state trap; dropDuplicates-within-window state grows
+    * with the key stream). One stateful aggregation (max per (window,
+    * bucket)) in Append mode: a window's registers emit at watermark
+    * finalization and evict.
+    *
+    * Emits the SPARSE register table (only touched buckets) — the
+    * production split: the stream maintains registers, the serving
+    * side estimates ([[graft.ops.Sketches.hllEstimateGrouped]]) and
+    * can merge windows/streams by slot-wise max before estimating.
+    * Registers are md5-derived exactly as the batch sketch, so a
+    * drained stream is row-identical to the batch replay. */
+  def windowedDistinctHll(events: DataFrame, tsCol: String, keyCol: String,
+                          windowLen: String, watermark: String, p: Int): DataFrame =
+    events
+      .where(col(keyCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("w"),
+        graft.ops.Sketches.hllBucket(col(keyCol), p).as("bucket"))
+      .agg(max(graft.ops.Sketches.hllRho(col(keyCol))).as("reg"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("bucket"), col("reg"))
+
   /** Windowed per-class MIX MONITOR: per finalized tumbling window,
     * each class's row count and weight sum (tokens, bytes) — the
     * streaming sibling of `TextAnalysis.mixDrift`, watching the

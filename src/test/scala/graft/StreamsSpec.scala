@@ -170,4 +170,41 @@ class StreamsSpec extends AnyFunSuite {
     assert(msgs.forall(m => m("bucket") == "s3://bucket/out" &&
       m.contains("key") && m.contains("timestamp") && m.contains("date/time")))
   }
+
+  test("windowedDistinctHll: drained registers = batch sketch of the finalized window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val regs = Streams.windowedDistinctHll(
+      in.toDF().toDF("ts", "uid"), "ts", "uid",
+      windowLen = "10 minutes", watermark = "5 minutes", p = 8)
+    val q = regs.writeStream.format("memory").queryName("hllwin")
+      .outputMode(OutputMode.Append).start()
+    // window [00:00, 00:10): users 1,2,3 (2 twice — dup must not bump a
+    // register); late watermark push finalizes it
+    in.addData((ts("2024-01-01 00:01:00"), 1L), (ts("2024-01-01 00:02:00"), 2L),
+      (ts("2024-01-01 00:03:00"), 2L), (ts("2024-01-01 00:04:00"), 3L))
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 00:21:00"), 9L)) // watermark → 00:16 > 00:10
+    q.processAllAvailable()
+    val drained = spark.table("hllwin")
+    q.stop()
+    val got = drained.orderBy("bucket")
+      .select("bucket", "reg").as[(Int, Int)].collect()
+    val batch = graft.ops.Sketches.hllRegisters(
+        Seq(1L, 2L, 3L).toDF("uid"), "uid", p = 8)
+      .where(col("reg") > 0).orderBy("bucket")
+      .select("bucket", "reg").as[(Int, Int)].collect()
+    assert(got.toSeq === batch.toSeq)
+    assert(got.length <= 3) // sparse: at most one touched bucket per distinct key
+    // and the grouped sparse estimator agrees with the dense one
+    val est = graft.ops.Sketches.hllEstimateGrouped(
+      drained.select(lit(1).as("g"), col("bucket"), col("reg")), Seq("g"), p = 8)
+      .select("v_zero", "s_scaled", "estimate").collect().head
+    val dense = graft.ops.Sketches.hllEstimate(
+      graft.ops.Sketches.hllRegisters(Seq(1L, 2L, 3L).toDF("uid"), "uid", p = 8), p = 8)
+      .select("v_zero", "s_scaled", "estimate").collect().head
+    assert((est.getLong(0), est.getLong(1), est.getDouble(2)) ===
+           (dense.getLong(0), dense.getLong(1), dense.getDouble(2)))
+  }
 }
