@@ -278,6 +278,16 @@ object TrainingCatalog {
              CAST(est.est - tru.true_cnt AS BIGINT) AS overcount
       FROM est JOIN tru USING (key) ORDER BY key""")),
 
+    // byte-level compression-ratio quality signal (the Gopher /
+    // RefinedWeb repetitiveness proxy): deflate length ÷ UTF-8 length
+    // per doc, one scan + per-partition Deflater. No SQL engine
+    // exposes deflate → rows-only driver check; the monotonicity /
+    // determinism laws live in OpsSpec.
+    "q_text_compress" -> (q((s, dir) =>
+      TextAnalysis.compressionRatio(docs(s, dir), "doc_id", "text")
+        .orderBy("id")
+    ), None),
+
     // the census→cleaning composition (C4's corpus-repeat removal at
     // word granularity): heavy-hitter words mined exactly, then dropped
     // by a zero-shuffle scan-stage filter; the oracle replays the same

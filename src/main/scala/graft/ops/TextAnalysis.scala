@@ -999,32 +999,6 @@ object TextAnalysis {
         sum(col("c") * log2(col("c"))) / sum("c")), 6).as("entropy_bits"))
   }
 
-  /** Compression-ratio quality signal (RefinedWeb/Dolma heuristic):
-    * deflate(level 6) bytes ÷ UTF-8 bytes — templated/boilerplate text
-    * compresses far below natural prose, repeated crawls of one page
-    * collapse, and random noise sits near 1. A per-row JDK Deflater
-    * UDF — like the ImageIO decode tier, there is no vectorized
-    * built-in; still map-side, zero shuffle. No SQL oracle (DuckDB
-    * cannot replay deflate) — spec-covered. Null/empty → null. */
-  def compressionRatio(text: Column): Column = {
-    val f = udf { (s: String) =>
-      if (s == null || s.isEmpty) None
-      else {
-        val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val d = new java.util.zip.Deflater(6)
-        d.setInput(raw); d.finish()
-        // incompressible input inflates past raw.length (~5 B/16 KiB
-        // block + header) — accumulate in chunks, never assume a bound
-        val chunk = new Array[Byte](8192)
-        var n = 0L
-        while (!d.finished()) n += d.deflate(chunk)
-        d.end()
-        Some(n.toDouble / raw.length)
-      }
-    }
-    f(text)
-  }
-
   /** Zipf-law fit over the corpus word-frequency distribution — the
     * corpus-health diagnostic (natural text slopes ≈ −1; synthetic or
     * template-heavy corpora deviate hard): OLS of ln(count) on
@@ -1291,5 +1265,50 @@ object TextAnalysis {
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id"))
     sums.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("score"))
+  }
+
+  /** COMPRESSION-RATIO quality signal (the Gopher / RefinedWeb
+    * repetitiveness proxy): deflate(text) length ÷ UTF-8 byte length —
+    * boilerplate, keyboard mash, and template spam compress far below
+    * natural prose, so a band filter on the ratio is a cheap
+    * model-free quality gate complementing [[repeatedTokenFraction]]
+    * (which only sees token-level repeats, not byte-level structure).
+    *
+    * No SQL engine exposes deflate, so this is a SPEC-TIER operator
+    * (monotonicity + determinism laws; the catalog entry is
+    * rows-only). Runs in the [[Multimodal.decodePartitioned]]-style
+    * partition seam: ONE Deflater per partition, reset per row (the
+    * allocation cost amortizes; payloads never shuffle — the ratio
+    * projects out of the scan). Level is pinned (default 6) because
+    * the ratio is only comparable within one deflate parameterization.
+    * Returns (id, n_bytes, n_deflate, ratio 6 dp; empty text → ratio
+    * null). */
+  def compressionRatio(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, level: Int = 6): org.apache.spark.sql.DataFrame = {
+    require(level >= 1 && level <= 9, s"level: $level")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(level, /*nowrap=*/ true)
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          val bytes =
+            if (text == null) Array.empty[Byte]
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          (id, bytes.length.toLong, n)
+        }
+      }
+      .toDF("id", "n_bytes", "n_deflate")
+    out.select(col("id"), col("n_bytes"), col("n_deflate"),
+      when(col("n_bytes") === 0, lit(null).cast("double"))
+        .otherwise(round(col("n_deflate").cast("double") / col("n_bytes"), 6))
+        .as("ratio"))
   }
 }

@@ -2359,8 +2359,8 @@ class OpsSpec extends AnyFunSuite {
     val rep = ("lorem ipsum " * 200).trim
     val varied = (1 to 200).map(i => s"w${i * 7919 % 9973}x${i * 31 % 101}").mkString(" ")
     val d = Seq((1L, rep), (2L, varied), (3L, ""), (4L, null)).toDF("doc_id", "text")
-    val r = d.select(col("doc_id"), TextAnalysis.compressionRatio(col("text")).as("cr"))
-      .collect().map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1.0 else x.getDouble(1))).toMap
+    val r = TextAnalysis.compressionRatio(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (if (x.isNullAt(3)) -1.0 else x.getDouble(3))).toMap
     assert(r(1L) < 0.05, s"repetitive text should crush: ${r(1L)}")
     assert(r(2L) > 3 * r(1L), s"varied text should compress far less: ${r(2L)} vs ${r(1L)}")
     assert(r(3L) === -1.0 && r(4L) === -1.0) // empty/null → null
@@ -3045,6 +3045,22 @@ class OpsSpec extends AnyFunSuite {
     val empty = Sketches.hllRegisters(a.where(lit(false)), "k", p = 8)
     val e0 = Sketches.hllEstimate(empty, p = 8).collect().head
     assert(e0.getLong(1) === 256L && e0.getDouble(3) === 0.0)
+  }
+
+  test("compressionRatio: repetition compresses hardest, deterministic, empty → null") {
+    val varied = (0 until 800).map(i => ('a' + (i * 31 + 7) % 26).toChar).mkString
+    val d = Seq((1L, "ab" * 400), (2L, varied), (3L, "")).toDF("doc_id", "text")
+    val run1 = TextAnalysis.compressionRatio(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+    assert(run1(1L)._1 === 800L && run1(2L)._1 === 800L)
+    assert(run1(1L)._3 < run1(2L)._3, s"pure repetition must compress below varied text: $run1")
+    assert(run1(1L)._3 < 0.05)
+    assert(run1(3L) === ((0L, run1(3L)._2, -1.0))) // empty → null ratio
+    val run2 = TextAnalysis.compressionRatio(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+    assert(run1 === run2)
   }
 
   test("cmSketch: never undercounts, exact without collisions, merge = union") {
