@@ -368,8 +368,9 @@ object Sketches {
         (conv(substring(md5(concat(col("row").cast("string"), lit(":"), col("__k"))),
           1, 6), 16, 10).cast("long") % w).cast("int").as("bucket"))
       .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
-    spark.range(d).select(col("id").cast("int").as("row"))
-      .crossJoin(spark.range(w).select(col("id").cast("int").as("bucket")))
+    spark.range(d.toLong * w)
+      .select((col("id") / w).cast("int").as("row"),
+        (col("id") % w).cast("int").as("bucket"))
       .join(cells, Seq("row", "bucket"), "left")
       .select(col("row"), col("bucket"), coalesce(col("cnt"), lit(0L)).as("cnt"))
   }

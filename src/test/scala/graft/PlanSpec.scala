@@ -513,4 +513,72 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"per-from total join is not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"product join in markov plan:\n$p")
   }
+
+  test("hll: register aggregate partially aggregates before its bucket-bounded shuffle") {
+    // the corpus folds into ≤ 2^p partial registers per task BEFORE the
+    // exchange — at 100 TB the shuffle moves (tasks × 256) rows, never
+    // the key stream
+    val p = plan("q_sketch_hll")
+    val lines = p.split('\n').toSeq
+    val firstExch = lines.indexWhere(_.contains("Exchange"))
+    assert(firstExch >= 0 &&
+      lines.drop(firstExch + 1).exists(_.contains("HashAggregate")),
+      s"no partial aggregate below the register exchange:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"register densify must not shuffle the corpus:\n$p")
+  }
+
+  test("count-min: cell table broadcasts to the probe side; no product join") {
+    val p = plan("q_sketch_cm")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the d·w cell table must broadcast under the probe join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"product join in the count-min plan:\n$p")
+  }
+
+  test("k-core: final plan reads the MATERIALIZED peeled edges, no shuffle join") {
+    // each peel round localCheckpoints, so the executed plan for the
+    // result is just the degree aggregate over the checkpointed RDD —
+    // the per-round broadcast semi-joins already ran (their plan shape
+    // is pinned by the op-level test below)
+    val p = plan("q_graph_kcore")
+    assert(p.contains("ExistingRDD"),
+      s"peeled edges should be a materialized checkpoint, not a re-derived plan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the final degree pass must not join:\n$p")
+  }
+
+  test("k-core: one peel round broadcasts the vertex-sized keep set") {
+    import org.apache.spark.sql.functions.{col, count, lit, broadcast}
+    val e = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+    val keep = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("__d"))
+      .where(col("__d") >= 2).select("id")
+    val round = e
+      .join(broadcast(keep.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
+      .join(broadcast(keep.withColumnRenamed("id", "dst")), Seq("dst"), "left_semi")
+    val p = round.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"survivor filtering must broadcast the keep set:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the edge list must be filtered in place, not shuffled:\n$p")
+  }
+
+  test("dbscan: neighbor pairs from the (cell) equi-join, never a product join") {
+    val p = plan("q_embed_dbscan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"grid candidate generation degenerated to a product join:\n$p")
+  }
+
+  test("grouped hll estimate: one aggregate over the register table, no join back") {
+    // the post-drain/serving side of q_stream_hll: estimating from
+    // (windows × 256) register rows must never join or rescan a corpus
+    val regs = graft.ops.Sketches.hllRegisters(
+      spark.read.parquet(s"$dir/events.parquet").select("user_id"), "user_id", 8)
+    val est = graft.ops.Sketches.hllEstimateGrouped(
+      regs.withColumn("g", org.apache.spark.sql.functions.lit(1)), Seq("g"), 8)
+    val ep = est.queryExecution.executedPlan.toString
+    assert(!ep.contains("SortMergeJoin") && !ep.contains("CartesianProduct"),
+      s"grouped estimate must not join:\n$ep")
+  }
 }
