@@ -240,6 +240,48 @@ object TrainingCatalog {
                         ELSE raw END, 6) AS estimate
       FROM e""")),
 
+    // per-source vocabulary cardinality via GROUPED HLL registers: the
+    // per-tenant distinct primitive — 256 registers per source instead
+    // of each source's key set; estimate beside the exact distinct so
+    // the artifact shows the error live (tiny vocab → the linear-
+    // counting branch is the one exercised).
+    "q_text_vocab_hll" -> (q((s, dir) => {
+      val words = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), "\\s+")).as("word"))
+        .where(col("word") =!= "")
+      val regs = graft.ops.Sketches.hllRegistersBy(words, Seq("source"), "word", p = 8)
+      val est = graft.ops.Sketches.hllEstimateGrouped(regs, Seq("source"), p = 8)
+      val exact = words.groupBy("source").agg(countDistinct("word").as("exact"))
+      est.join(exact, Seq("source")).orderBy("source")
+    }), Some(s"""
+      WITH ww AS (
+        SELECT source, word FROM (
+          SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+          FROM documents)
+        WHERE word <> ''),
+      h AS (SELECT source, md5(word) AS x FROM ww),
+      b AS (SELECT source,
+                   CAST(('0x' || substring(x, 1, 3))::BIGINT // 16 AS INT) AS bucket,
+                   ('0x' || substring(x, 4, 13))::BIGINT AS wv FROM h),
+      r AS (SELECT source, bucket,
+                   max(CASE WHEN wv = 0 THEN 53 ELSE 53 - length(bin(wv)) END) AS reg
+            FROM b GROUP BY 1, 2),
+      a AS (SELECT source, CAST(256 - count(*) AS BIGINT) AS v_zero,
+                   CAST(sum(CAST(power(2, 53 - reg) AS BIGINT))
+                        + (256 - count(*)) * CAST(power(2, 53) AS BIGINT) AS BIGINT) AS s_scaled
+            FROM r GROUP BY 1),
+      e AS (SELECT source, v_zero, s_scaled,
+                   ${graft.ops.Sketches.hllAlphaConstant(8)} / CAST(s_scaled AS DOUBLE) AS raw
+            FROM a),
+      x AS (SELECT source, CAST(count(DISTINCT word) AS BIGINT) AS exact
+            FROM ww GROUP BY 1)
+      SELECT e.source, CAST(256 AS BIGINT) AS m, v_zero, s_scaled,
+             round(CASE WHEN raw <= 640.0 AND v_zero > 0
+                        THEN 256.0 * ln(256.0 / CAST(v_zero AS DOUBLE))
+                        ELSE raw END, 6) AS estimate,
+             x.exact
+      FROM e JOIN x USING (source) ORDER BY source""")),
+
     // count-min frequency sketch: point-queryable estimates for EVERY
     // key in d·w = 3·256 integers of state — the estimate NEVER
     // undercounts (collisions only add), cell tables merge by sum.
@@ -2406,6 +2448,56 @@ object TrainingCatalog {
                              (sqrt(CAST(n * sxx - t * t AS DOUBLE)) * sqrt(CAST(n AS DOUBLE)))
                    END, 6) AS stat
       FROM sc ORDER BY abs(s) DESC, day LIMIT 1""")),
+
+    // day-of-week seasonal profile of the daily series — the weekly-
+    // rhythm decomposition an alerting monitor divides by before
+    // thresholding; the index is one exact-integer-product division.
+    "q_events_seasonal" -> (q((s, dir) => {
+      val daily = SparkEntry.loader(s, dir)("events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      graft.ops.Evaluation.seasonalProfile(daily, "day", "x")
+    }), Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+                     FROM events GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s FROM daily)
+      SELECT CAST(isodow(day) - 1 AS INT) AS dow,
+             CAST(count(*) AS BIGINT) AS n_days,
+             round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS mean_x,
+             round(CAST(sum(x) * tot.n AS DOUBLE) / CAST(count(*) * tot.s AS DOUBLE), 6)
+               AS seasonal_index
+      FROM daily CROSS JOIN tot
+      GROUP BY 1, tot.n, tot.s ORDER BY dow""")),
+
+    // per-type daily-volume OLS trend — "which event streams are
+    // growing": closed-form slope/intercept per group, each ONE
+    // division of exact integers (intercept from the symmetric form,
+    // not the rounded slope).
+    "q_events_trend_by_type" -> (q((s, dir) => {
+      val daily = SparkEntry.loader(s, dir)("events")
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("t", datediff(col("day"), lit("1970-01-01")))
+      graft.ops.Evaluation.groupTrendOls(daily, "event_type", "t", "x")
+        .orderBy("grp")
+    }), Some("""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            CAST(count(*) AS BIGINT) AS x
+                     FROM events GROUP BY 1, 2),
+      d2 AS (SELECT event_type AS grp,
+                    CAST(day - DATE '1970-01-01' AS BIGINT) AS t, x FROM daily),
+      a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS st,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(t * t) AS BIGINT) AS stt,
+                   CAST(sum(t * x) AS BIGINT) AS stx
+            FROM d2 GROUP BY 1)
+      SELECT grp, n,
+             round(CASE WHEN n * stt - st * st = 0 THEN NULL
+                        ELSE CAST(n * stx - st * sx AS DOUBLE) /
+                             CAST(n * stt - st * st AS DOUBLE) END, 6) AS slope,
+             round(CASE WHEN n * stt - st * st = 0 THEN NULL
+                        ELSE CAST(sx * stt - st * stx AS DOUBLE) /
+                             CAST(n * stt - st * st AS DOUBLE) END, 6) AS intercept
+      FROM a ORDER BY grp""")),
 
     // sample ACF at lags 1..7 on the same daily series — the
     // seasonality/memory diagnostic (a weekly rhythm shows at lag 7).

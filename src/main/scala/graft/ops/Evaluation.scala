@@ -297,6 +297,54 @@ object Evaluation {
               sqrt(col("__n").cast("double")))), 6).as("stat"))
   }
 
+  /** Day-of-week SEASONAL PROFILE over an aggregated daily series —
+    * the weekly-rhythm decomposition every ingest monitor wants before
+    * alerting on raw counts (a Saturday dip is seasonality, not an
+    * incident): per weekday (0 = Monday), the day count, mean, and the
+    * seasonal index mean_dow / mean_overall. Index computed as
+    * (sum_dow·n) / (n_dow·sum) — exact integers into ONE division —
+    * so engines agree bit-for-bit; means rounded 6 dp. */
+  def seasonalProfile(series: DataFrame, dateCol: String, xCol: String): DataFrame = {
+    val s = series.select(weekday(col(dateCol)).as("dow"),
+      col(xCol).cast("long").as("__x"))
+    val tot = s.agg(count(lit(1)).as("__n"), sum("__x").as("__sum"))
+    s.groupBy("dow")
+      .agg(count(lit(1)).as("n_days"), sum("__x").as("__sd"))
+      .crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_days"),
+        round(col("__sd").cast("double") / col("n_days"), 6).as("mean_x"),
+        round((col("__sd") * col("__n")).cast("double") /
+          (col("n_days") * col("__sum")).cast("double"), 6).as("seasonal_index"))
+      .orderBy("dow")
+  }
+
+  /** Per-GROUP OLS trend of an integer measure on integer time — the
+    * "which sources are growing/shrinking" monitor (per-type daily
+    * volumes, per-language token counts by day): closed-form slope and
+    * intercept per group from ONE aggregate of (n, Σt, Σx, Σt², Σtx),
+    * both as a single division of exact-integer numerator/denominator
+    * (slope = (nΣtx−ΣtΣx)/(nΣt²−(Σt)²); intercept from the symmetric
+    * form, NOT from the rounded slope). Groups with a degenerate time
+    * axis (one distinct t) yield nulls. Returns (group, n, slope,
+    * intercept) rounded 6 dp. */
+  def groupTrendOls(df: DataFrame, groupCol: String, tCol: String,
+                    xCol: String): DataFrame = {
+    val s = df.select(col(groupCol).as("grp"), col(tCol).cast("long").as("__t"),
+      col(xCol).cast("long").as("__x"))
+    val agg = s.groupBy("grp").agg(count(lit(1)).as("__n"),
+      sum("__t").as("__st"), sum("__x").as("__sx"),
+      sum(col("__t") * col("__t")).as("__stt"),
+      sum(col("__t") * col("__x")).as("__stx"))
+    val den = col("__n") * col("__stt") - col("__st") * col("__st")
+    agg.select(col("grp"), col("__n").as("n"),
+      round(when(den === 0, lit(null).cast("double"))
+        .otherwise((col("__n") * col("__stx") - col("__st") * col("__sx"))
+          .cast("double") / den.cast("double")), 6).as("slope"),
+      round(when(den === 0, lit(null).cast("double"))
+        .otherwise((col("__sx") * col("__stt") - col("__st") * col("__stx"))
+          .cast("double") / den.cast("double")), 6).as("intercept"))
+  }
+
   /** Sample AUTOCORRELATION FUNCTION r_k, k = 1..maxLag, over an
     * ALREADY-AGGREGATED integer series — the seasonality/memory
     * diagnostic (weekly ingest rhythm shows as a lag-7 spike). The

@@ -313,6 +313,23 @@ object Sketches {
     alpha * m * m * 9007199254740992.0 // 2^53
   }
 
+  /** Per-GROUP sparse register tables: one (group..., bucket)-keyed
+    * max aggregate — the per-source / per-day / per-tenant distinct
+    * primitive (2^p registers per group instead of that group's key
+    * set). Feed [[hllEstimateGrouped]]; merge groups by slot-wise max
+    * before estimating to get any union's cardinality without
+    * re-scanning. */
+  def hllRegistersBy(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                     p: Int): DataFrame = {
+    require(groupCols.nonEmpty)
+    hllM(p) // bounds-check p
+    df.where(col(keyCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(hllBucket(col(keyCol), p).as("bucket"),
+        hllRho(col(keyCol)).as("__rho")): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max("__rho").as("reg"))
+  }
+
   /** Per-GROUP estimates from SPARSE register rows (group..., bucket,
     * reg) where absent buckets mean 0 — the shape a per-window
     * streaming sketch or a per-source sketch table naturally produces

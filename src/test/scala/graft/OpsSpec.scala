@@ -3099,6 +3099,41 @@ class OpsSpec extends AnyFunSuite {
     assert(Graph.kCore(edges, k = 4, rounds = 3).count() === 0L)
   }
 
+  test("hllRegistersBy: per-group sparse registers = each group's dense sketch") {
+    val d = (Seq.tabulate(40)(i => ("a", s"w$i")) ++ Seq.tabulate(25)(i => ("b", s"v$i")))
+      .toDF("g", "k")
+    val sparse = Sketches.hllRegistersBy(d, Seq("g"), "k", p = 8)
+    for (g <- Seq("a", "b")) {
+      val got = sparse.where(col("g") === g).orderBy("bucket")
+        .select("bucket", "reg").collect().map(r => (r.getInt(0), r.getInt(1)))
+      val dense = Sketches.hllRegisters(d.where(col("g") === g), "k", p = 8)
+        .where(col("reg") > 0).orderBy("bucket")
+        .select("bucket", "reg").collect().map(r => (r.getInt(0), r.getInt(1)))
+      assert(got.toSeq === dense.toSeq, s"group $g")
+    }
+  }
+
+  test("seasonalProfile: hand-computed weekday means and indices") {
+    val d = Seq(("2024-01-01", 10L), ("2024-01-08", 20L), ("2024-01-02", 30L))
+      .toDF("day", "x").select(col("day").cast("date").as("day"), col("x"))
+    val out = Evaluation.seasonalProfile(d, "day", "x").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // overall mean 20: Mondays (10, 20) → mean 15, index 0.75; Tuesday 30 → 1.5
+    assert(out.toSeq === Seq((0, 2L, 15.0, 0.75), (1, 1L, 30.0, 1.5)))
+  }
+
+  test("groupTrendOls: exact line recovered; flat and degenerate groups") {
+    val d = Seq(("a", 0L, 1L), ("a", 1L, 3L), ("a", 2L, 5L),
+      ("b", 0L, 5L), ("b", 1L, 5L), ("c", 7L, 9L)).toDF("g", "t", "x")
+    val out = Evaluation.groupTrendOls(d, "g", "t", "x").orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(out(0) === (("a", 3L, 2.0, 1.0)))
+    assert(out(1) === (("b", 2L, 0.0, 5.0)))
+    assert(out(2) === (("c", 1L, null, null))) // one point: no line
+  }
+
   test("cusumChangepoint: hand-computed level shift; constant series stat 0") {
     // x = 0,0,0,10,10 → scaled S' = 5C − 20i = −20,−40,−60,−30,0;
     // peak |S'| = 60 at t=3; stat = 60/(√600·√5) = 1.095445
