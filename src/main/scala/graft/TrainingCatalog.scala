@@ -2449,6 +2449,85 @@ object TrainingCatalog {
                    END, 6) AS stat
       FROM sc ORDER BY abs(s) DESC, day LIMIT 1""")),
 
+    // Theil–Sen robust slope of the daily series — the trend MAGNITUDE
+    // beside q_events_trend's Mann–Kendall direction test: median
+    // pairwise slope (one outlier day cannot drag it), intercept from
+    // residual medians under the rounded slope. Pairwise over the
+    // 30-row aggregated series.
+    "q_events_theil_sen" -> (q((s, dir) => {
+      val daily = SparkEntry.loader(s, dir)("events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("t", datediff(col("day"), lit("1970-01-01")))
+      graft.ops.Evaluation.theilSenSlope(daily, "t", "x")
+    }), Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+                     FROM events GROUP BY 1),
+      d2 AS (SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS t, x FROM daily),
+      p AS (SELECT CAST(j.x - i.x AS DOUBLE) / CAST(j.t - i.t AS DOUBLE) AS s
+            FROM d2 i JOIN d2 j ON j.t > i.t),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d2),
+      sl AS (SELECT round(avg(s), 6) AS slope
+             FROM (SELECT s, row_number() OVER (ORDER BY s) AS r FROM p) CROSS JOIN m
+             WHERE r = (m.m + 1) // 2 OR r = (m.m + 2) // 2),
+      res AS (SELECT x - sl.slope * t AS res FROM d2 CROSS JOIN sl),
+      ic AS (SELECT round(avg(res), 6) AS intercept
+             FROM (SELECT res, row_number() OVER (ORDER BY res) AS r FROM res) CROSS JOIN nn
+             WHERE r = (nn.n + 1) // 2 OR r = (nn.n + 2) // 2)
+      SELECT nn.n, m.m AS n_pairs, sl.slope, ic.intercept
+      FROM nn CROSS JOIN m CROSS JOIN sl CROSS JOIN ic""")),
+
+    // funnel latency: time from first view to the first purchase
+    // strictly after it, per user — exact µs gaps so the percentile
+    // interpolation stays engine-exact; one summary row.
+    "q_events_time_to_convert" -> (q((s, dir) => {
+      val ttc = graft.ops.Funnel.timeToConvert(
+        SparkEntry.loader(s, dir)("events"), "user_id", "event_type", "ts",
+        fromType = "view", toType = "purchase")
+      ttc.agg(count(lit(1)).as("n_converted"),
+        round(percentile(col("delta_us"), lit(0.5)) / 1e6, 6).as("p50_s"),
+        round(percentile(col("delta_us"), lit(0.9)) / 1e6, 6).as("p90_s"),
+        round((sum("delta_us") / count(lit(1))) / 1e6, 6).as("mean_s"))
+    }), Some("""
+      WITH f AS (SELECT user_id, min(ts) AS t_from FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, f.t_from, min(e.ts) AS t_to
+            FROM events e JOIN f USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > f.t_from GROUP BY 1, 2),
+      d AS (SELECT epoch_us(t_to) - epoch_us(t_from) AS delta_us FROM c)
+      SELECT CAST(count(*) AS BIGINT) AS n_converted,
+             round(quantile_cont(delta_us, 0.5) / 1000000.0, 6) AS p50_s,
+             round(quantile_cont(delta_us, 0.9) / 1000000.0, 6) AS p90_s,
+             round((CAST(sum(delta_us) AS DOUBLE) / count(*)) / 1000000.0, 6) AS mean_s
+      FROM d""")),
+
+    // RFM behavioral segmentation: per user recency/frequency/monetary
+    // + deterministic ntile quintile scores (ties broken by entity id
+    // so buckets cannot flip across engines); the windows run over the
+    // 150-user aggregate, never the event stream.
+    "q_events_rfm" -> (q((s, dir) =>
+      graft.ops.Funnel.rfm(SparkEntry.loader(s, dir)("events"),
+          "user_id", "ts", "value")
+        .orderBy("entity")
+    ), Some("""
+      WITH pu AS (SELECT user_id AS entity, max(CAST(ts AS DATE)) AS last_d,
+                         CAST(count(*) AS BIGINT) AS frequency,
+                         round(sum(value), 6) AS monetary
+                  FROM events GROUP BY 1),
+      a AS (SELECT max(CAST(ts AS DATE)) AS anchor FROM events),
+      b AS (SELECT entity, CAST(a.anchor - last_d AS INT) AS recency_days,
+                   frequency, monetary
+            FROM pu CROSS JOIN a),
+      sc AS (SELECT entity, recency_days, frequency, monetary,
+                    ntile(5) OVER (ORDER BY recency_days DESC, entity) AS r,
+                    ntile(5) OVER (ORDER BY frequency ASC, entity) AS f,
+                    ntile(5) OVER (ORDER BY monetary ASC, entity) AS m
+             FROM b)
+      SELECT entity, recency_days, frequency, monetary, r, f, m,
+             r * 100 + f * 10 + m AS rfm
+      FROM sc ORDER BY entity""")),
+
     // day-of-week seasonal profile of the daily series — the weekly-
     // rhythm decomposition an alerting monitor divides by before
     // thresholding; the index is one exact-integer-product division.

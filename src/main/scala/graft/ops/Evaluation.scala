@@ -297,6 +297,50 @@ object Evaluation {
               sqrt(col("__n").cast("double")))), 6).as("stat"))
   }
 
+  /** THEIL–SEN slope over an aggregated integer series — the robust
+    * trend MAGNITUDE beside [[mannKendall]]'s direction test (same
+    * aggregate-first, O(series²) pairwise contract): slope = median of
+    * all pairwise (Δx/Δt), intercept = median of (x − slope·t)
+    * residuals under the ROUNDED slope (so both outputs are
+    * reproducible); a single outlier day cannot drag either, unlike
+    * OLS. Pairwise quotients are one IEEE division each — bit-equal
+    * across engines — and the median picks rank ⌊(m+1)/2⌋ /
+    * ⌊(m+2)/2⌋ positions (avg of the two middles for even m, the
+    * quantile_cont convention). Returns one row (n, n_pairs, slope,
+    * intercept), 6 dp; series under 2 points → nulls. */
+  def theilSenSlope(series: DataFrame, tCol: String, xCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = series.select(col(tCol).cast("long").as("__t"),
+      col(xCol).cast("long").as("__x"))
+    val pairs = s.as("i").join(s.as("j"), col("j.__t") > col("i.__t"))
+      .select(((col("j.__x") - col("i.__x")).cast("double") /
+        (col("j.__t") - col("i.__t")).cast("double")).as("__s"))
+    val m = pairs.agg(count(lit(1)).as("__m"))
+    val n = s.agg(count(lit(1)).as("__n"))
+    // integer-floored median ranks: Spark's `/` on longs is DOUBLE
+    // division, so (n+1)/2 at even n is x.5 and matches no rank
+    def medianRanks(r: org.apache.spark.sql.Column, total: org.apache.spark.sql.Column) =
+      r === ((total + 1) / 2).cast("long") || r === ((total + 2) / 2).cast("long")
+    val slope = pairs
+      .withColumn("__r", row_number().over(Window.orderBy(col("__s"))))
+      .crossJoin(broadcast(m))
+      .where(medianRanks(col("__r"), col("__m")))
+      .agg(round(avg("__s"), 6).as("slope"))
+    val withSlope = s.crossJoin(broadcast(slope))
+      .select(col("__t"), col("__x"), col("slope"),
+        (col("__x") - col("slope") * col("__t")).as("__res"))
+    val intercept = withSlope
+      .withColumn("__r", row_number().over(Window.orderBy(col("__res"))))
+      .crossJoin(broadcast(n))
+      .where(medianRanks(col("__r"), col("__n")))
+      .agg(round(avg("__res"), 6).as("intercept"))
+    broadcast(n).crossJoin(broadcast(m))
+      .crossJoin(slope).crossJoin(intercept)
+      .select(col("__n").as("n"), col("__m").as("n_pairs"),
+        when(col("__n") < 2, lit(null).cast("double")).otherwise(col("slope")).as("slope"),
+        when(col("__n") < 2, lit(null).cast("double")).otherwise(col("intercept")).as("intercept"))
+  }
+
   /** Day-of-week SEASONAL PROFILE over an aggregated daily series —
     * the weekly-rhythm decomposition every ingest monitor wants before
     * alerting on raw counts (a Saturday dip is seasonality, not an

@@ -182,4 +182,57 @@ object Funnel {
       .select(col("from_type"), col("to_type"), col("cnt"),
         round(col("cnt") / col("__tot"), 6).as("p"))
   }
+
+  /** TIME-TO-CONVERT per entity: the first `fromType` event and the
+    * first `toType` event STRICTLY AFTER it, with the gap in exact
+    * µs — the latency distribution behind every funnel ([[funnel]]
+    * gives reach, this gives speed). Two entity-keyed aggregates (the
+    * anchor min, then the conditional min over post-anchor
+    * conversions) — no per-entity history collection, no window over
+    * the corpus. Returns converted entities only:
+    * (entity, t_from, t_to, delta_us). Percentiles/means over
+    * delta_us are the caller's one extra aggregate (µs are integers,
+    * so exact-percentile interpolation stays engine-exact). */
+  def timeToConvert(events: DataFrame, entityCol: String, typeCol: String,
+                    tsCol: String, fromType: String, toType: String): DataFrame = {
+    val anchors = events.where(col(typeCol) === fromType)
+      .groupBy(col(entityCol).as("entity"))
+      .agg(min(col(tsCol)).as("t_from"))
+    events.where(col(typeCol) === toType)
+      .select(col(entityCol).as("entity"), col(tsCol).as("__ts"))
+      .join(anchors, Seq("entity"))
+      .where(col("__ts") > col("t_from"))
+      .groupBy(col("entity"), col("t_from"))
+      .agg(min("__ts").as("t_to"))
+      .select(col("entity"), col("t_from"), col("t_to"),
+        (unix_micros(col("t_to")) - unix_micros(col("t_from"))).as("delta_us"))
+  }
+
+  /** RFM segmentation (recency / frequency / monetary) — the classic
+    * behavioral quintile scoring: per entity, days since last
+    * activity (vs the feed's own max date — no wall clock enters, so
+    * the result is reproducible), event count, and value sum; each
+    * dimension scored 1..5 by `ntile` under a DETERMINISTIC total
+    * order (metric, then entity id — ties cannot flip buckets across
+    * engines or partitionings), 5 = best (most recent / most
+    * frequent / highest value). The ntile windows run over the
+    * ENTITY-sized aggregate, never the event stream. Returns
+    * (entity, recency_days, frequency, monetary, r, f, m, rfm). */
+  def rfm(events: DataFrame, entityCol: String, tsCol: String,
+          valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = events.groupBy(col(entityCol).as("entity"))
+      .agg(max(col(tsCol).cast("date")).as("__last"),
+        count(lit(1)).as("frequency"),
+        round(sum(col(valueCol).cast("double")), 6).as("monetary"))
+    val anchor = events.agg(max(col(tsCol).cast("date")).as("__anchor"))
+    perUser.crossJoin(broadcast(anchor))
+      .select(col("entity"), datediff(col("__anchor"), col("__last")).as("recency_days"),
+        col("frequency"), col("monetary"))
+      .select(col("entity"), col("recency_days"), col("frequency"), col("monetary"),
+        ntile(5).over(Window.orderBy(col("recency_days").desc, col("entity"))).as("r"),
+        ntile(5).over(Window.orderBy(col("frequency").asc, col("entity"))).as("f"),
+        ntile(5).over(Window.orderBy(col("monetary").asc, col("entity"))).as("m"))
+      .withColumn("rfm", col("r") * 100 + col("f") * 10 + col("m"))
+  }
 }

@@ -3099,6 +3099,54 @@ class OpsSpec extends AnyFunSuite {
     assert(Graph.kCore(edges, k = 4, rounds = 3).count() === 0L)
   }
 
+  test("theilSenSlope: outlier-immune line recovery") {
+    // x = 2t+1 with one wild outlier: OLS would bend, Theil–Sen holds
+    val d = Seq((0L, 1L), (1L, 3L), (2L, 5L), (3L, 7L), (4L, 100L)).toDF("t", "x")
+    val r = Evaluation.theilSenSlope(d, "t", "x").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) ===
+           ((5L, 10L, 2.0, 1.0)))
+    // EVEN counts exercise the two-middle-ranks average (the long-/
+    // double-division rank bug matched only one rank): n=4, m=6, both
+    // medians interpolate distinct middle values
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val d2 = Seq((0L, 0L), (1L, 2L), (2L, 4L), (3L, 7L)).toDF("t", "x")
+    val r2 = Evaluation.theilSenSlope(d2, "t", "x").collect().head
+    val slope = r6((2.0 + 7.0 / 3.0) / 2) // avg of sorted slopes at ranks 3,4
+    val res = Seq(0.0 - slope * 0, 2.0 - slope * 1, 4.0 - slope * 2, 7.0 - slope * 3).sorted
+    assert((r2.getLong(0), r2.getLong(1), r2.getDouble(2), r2.getDouble(3)) ===
+           ((4L, 6L, slope, r6((res(1) + res(2)) / 2))))
+  }
+
+  test("timeToConvert: pre-anchor conversions ignored, non-converters absent") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val d = Seq(
+      (1L, "purchase", ts("2024-01-01 00:00:00")), // BEFORE the first view: not a conversion
+      (1L, "view", ts("2024-01-01 01:00:00")),
+      (1L, "purchase", ts("2024-01-01 01:30:00")),
+      (1L, "purchase", ts("2024-01-01 02:00:00")), // later one loses to the min
+      (2L, "purchase", ts("2024-01-01 03:00:00")), // no view → excluded
+      (3L, "view", ts("2024-01-01 04:00:00"))      // no purchase → excluded
+    ).toDF("u", "et", "ts")
+    val out = Funnel.timeToConvert(d, "u", "et", "ts", "view", "purchase").collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 1L && out.head.getLong(3) === 1800L * 1000000)
+  }
+
+  test("rfm: quintile directions — best recency/frequency/value score 5") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val d = (1 to 5).flatMap { u =>
+      // user u: u events, last on day u, value 10·u each
+      (1 to u).map(i => (u.toLong, ts(f"2024-01-0$u%d 12:00:00"), 10.0 * u))
+    }.toDF("u", "ts", "v")
+    val out = Funnel.rfm(d, "u", "ts", "v").orderBy("entity").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))
+    // user 5: most recent (recency 0), most events, highest value → 555
+    assert(out(4) === ((5L, 0, 5L, 250.0, 5, 5, 5, 555)))
+    // user 1: stalest, fewest, lowest → 111
+    assert(out(0) === ((1L, 4, 1L, 10.0, 1, 1, 1, 111)))
+  }
+
   test("hllRegistersBy: per-group sparse registers = each group's dense sketch") {
     val d = (Seq.tabulate(40)(i => ("a", s"w$i")) ++ Seq.tabulate(25)(i => ("b", s"v$i")))
       .toDF("g", "k")
