@@ -2449,6 +2449,99 @@ object TrainingCatalog {
                    END, 6) AS stat
       FROM sc ORDER BY abs(s) DESC, day LIMIT 1""")),
 
+    // seasonality-adjusted anomaly days: counts divided by the weekday
+    // index, flagged beyond 3 MADs of the adjusted median — the
+    // monitor q_events_seasonal exists to feed (a normal Saturday dip
+    // stops alerting). All divisions on 6-dp inputs, exact-percentile
+    // medians.
+    "q_events_anomaly" -> (q((s, dir) => {
+      val daily = SparkEntry.loader(s, dir)("events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      graft.ops.Evaluation.seasonalAnomalies(daily, "day", "x", k = 3.0)
+    }), Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+                     FROM events GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s FROM daily),
+      prof AS (SELECT CAST(isodow(day) - 1 AS INT) AS dow,
+                      round(CAST(sum(x) * tot.n AS DOUBLE) /
+                            CAST(count(*) * tot.s AS DOUBLE), 6) AS seasonal_index
+               FROM daily CROSS JOIN tot GROUP BY 1, tot.n, tot.s),
+      adj AS (SELECT day, x, CAST(isodow(day) - 1 AS INT) AS dow, p.seasonal_index,
+                     round(x / p.seasonal_index, 6) AS adj
+              FROM daily JOIN prof p ON CAST(isodow(day) - 1 AS INT) = p.dow),
+      med AS (SELECT quantile_cont(adj, 0.5) AS m FROM adj),
+      mad AS (SELECT quantile_cont(abs(adj.adj - med.m), 0.5) AS d, max(med.m) AS m
+              FROM adj CROSS JOIN med)
+      SELECT adj.day, adj.x, adj.dow, adj.seasonal_index, adj.adj,
+             abs(adj.adj - mad.m) > 3.0 * mad.d AS is_anomaly
+      FROM adj CROSS JOIN mad ORDER BY day""")),
+
+    // frequent 3-step session paths: which ordered journeys recur —
+    // the path-mining layer over the same 30-minute session rule as
+    // q_sessionize; lead windows per (user, session), count shuffle
+    // keyed by the ≤|types|³ trigram.
+    "q_events_paths" -> (q((s, dir) => {
+      val e = SparkEntry.loader(s, dir)("events")
+        .withColumn("ts", date_trunc("second", col("ts")))
+      graft.ops.Funnel.pathTrigrams(e, "user_id", "event_type", "ts",
+          tieBreak = col("event_id"), gapSec = 1800, minCount = 5)
+        .orderBy("t1", "t2", "t3")
+    }), Some("""
+      WITH e AS (
+        SELECT user_id, event_type, date_trunc('second', ts) AS ts, event_id FROM events),
+      g AS (
+        SELECT user_id, event_type, ts, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (
+        SELECT user_id, event_type, ts, event_id,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) - 1 AS sess
+        FROM g),
+      tg AS (
+        SELECT event_type AS t1, lead(event_type, 1) OVER w2 AS t2,
+               lead(event_type, 2) OVER w2 AS t3
+        FROM s
+        WINDOW w2 AS (PARTITION BY user_id, sess ORDER BY ts, event_id))
+      SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS cnt
+      FROM tg WHERE t3 IS NOT NULL
+      GROUP BY 1, 2, 3 HAVING count(*) >= 5 ORDER BY 1, 2, 3""")),
+
+    // two-proportion z-test (pooled) on a deterministic user split —
+    // the A/B readout: did variant A's users convert more? The float
+    // expression is mirrored operation-for-operation by the oracle.
+    "q_events_abtest" -> (q((s, dir) => {
+      val perUser = SparkEntry.loader(s, dir)("events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .select(when(col("user_id") % 2 === 0, "A").otherwise("B").as("variant"),
+          (col("conv") === 1L).as("success"))
+      graft.ops.Evaluation.twoProportionZ(perUser, "variant", "success")
+    }), Some("""
+      WITH pu AS (SELECT user_id,
+                         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+                  FROM events GROUP BY 1),
+      v AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v, conv FROM pu),
+      g AS (SELECT v, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS x
+            FROM v GROUP BY 1),
+      a AS (SELECT v AS variant_a, n AS n_a, x AS x_a FROM g ORDER BY v LIMIT 1),
+      b AS (SELECT v AS variant_b, n AS n_b, x AS x_b FROM g ORDER BY v DESC LIMIT 1),
+      j AS (SELECT *, CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+            FROM a CROSS JOIN b WHERE variant_a <> variant_b)
+      SELECT variant_a, variant_b, n_a, n_b, x_a, x_b,
+             round(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS p_a,
+             round(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS p_b,
+             round(CASE WHEN pp = 0.0 OR pp = 1.0 THEN NULL
+                        ELSE (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+                              CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+                             sqrt(pp * (1.0 - pp) *
+                                  (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+                   END, 6) AS z
+      FROM j""")),
+
     // Theil–Sen robust slope of the daily series — the trend MAGNITUDE
     // beside q_events_trend's Mann–Kendall direction test: median
     // pairwise slope (one outlier day cannot drag it), intercept from

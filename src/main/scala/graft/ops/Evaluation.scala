@@ -389,6 +389,68 @@ object Evaluation {
           .cast("double") / den.cast("double")), 6).as("intercept"))
   }
 
+  /** SEASONALITY-ADJUSTED anomaly flags over an aggregated daily
+    * series — the monitor [[seasonalProfile]] exists to feed: each
+    * day's count is divided by its weekday's seasonal index (so a
+    * normal Saturday dip stops alerting), then flagged when the
+    * adjusted value sits more than `k` MADs from the adjusted median
+    * (the robust z of `lengthOutliers`, applied in time). All
+    * divisions on 6-dp-rounded inputs, medians by exact percentile —
+    * engine-reproducible end to end. Returns per day
+    * (day, x, dow, seasonal_index, adj, is_anomaly). */
+  def seasonalAnomalies(series: DataFrame, dateCol: String, xCol: String,
+                        k: Double = 3.0): DataFrame = {
+    val prof = seasonalProfile(series, dateCol, xCol)
+      .select(col("dow"), col("seasonal_index"))
+    val adj = series
+      .select(col(dateCol).as("day"), col(xCol).cast("long").as("x"),
+        weekday(col(dateCol)).as("dow"))
+      .join(broadcast(prof), Seq("dow"))
+      .select(col("day"), col("x"), col("dow"), col("seasonal_index"),
+        round(col("x") / col("seasonal_index"), 6).as("adj"))
+    val med = adj.agg(percentile(col("adj"), lit(0.5)).as("__med"))
+    val mad = adj.crossJoin(broadcast(med))
+      .agg(percentile(abs(col("adj") - col("__med")), lit(0.5)).as("__mad"),
+        max("__med").as("__med"))
+    adj.crossJoin(broadcast(mad))
+      .select(col("day"), col("x"), col("dow"), col("seasonal_index"), col("adj"),
+        (abs(col("adj") - col("__med")) > lit(k) * col("__mad")).as("is_anomaly"))
+      .orderBy("day")
+  }
+
+  /** TWO-PROPORTION z-test (pooled) — the A/B readout: given per-unit
+    * (variant, success) rows over EXACTLY two variants, the conversion
+    * rates and z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)) with p̂
+    * pooled; variant order is lexicographic so the sign is
+    * deterministic. One tiny keyed aggregate; the float expression is
+    * mirrored operation-for-operation by the oracle. Degenerate pooled
+    * rates (p̂ ∈ {0,1}) yield null z. Returns one row
+    * (variant_a, variant_b, n_a, n_b, x_a, x_b, p_a, p_b, z). */
+  def twoProportionZ(df: DataFrame, variantCol: String, successCol: String): DataFrame = {
+    val g = df.groupBy(col(variantCol).cast("string").as("v"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(successCol).cast("boolean"), 1L).otherwise(0L)).as("x"))
+    val a = g.orderBy("v").limit(1)
+      .select(col("v").as("variant_a"), col("n").as("n_a"), col("x").as("x_a"))
+    val b = g.orderBy(col("v").desc).limit(1)
+      .select(col("v").as("variant_b"), col("n").as("n_b"), col("x").as("x_b"))
+    val pooledP = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    a.crossJoin(b)
+      .where(col("variant_a") =!= col("variant_b"))
+      .select(col("variant_a"), col("variant_b"), col("n_a"), col("n_b"),
+        col("x_a"), col("x_b"),
+        round(col("x_a").cast("double") / col("n_a").cast("double"), 6).as("p_a"),
+        round(col("x_b").cast("double") / col("n_b").cast("double"), 6).as("p_b"),
+        round(when(pooledP === 0.0 || pooledP === 1.0, lit(null).cast("double"))
+          .otherwise(
+            (col("x_a").cast("double") / col("n_a").cast("double") -
+             col("x_b").cast("double") / col("n_b").cast("double")) /
+            sqrt(pooledP * (lit(1.0) - pooledP) *
+              (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))),
+          6).as("z"))
+  }
+
   /** Sample AUTOCORRELATION FUNCTION r_k, k = 1..maxLag, over an
     * ALREADY-AGGREGATED integer series — the seasonality/memory
     * diagnostic (weekly ingest rhythm shows as a lag-7 spike). The

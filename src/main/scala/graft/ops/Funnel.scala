@@ -208,6 +208,30 @@ object Funnel {
         (unix_micros(col("t_to")) - unix_micros(col("t_from"))).as("delta_us"))
   }
 
+  /** Frequent ordered event-type TRIGRAMS within sessions — the
+    * path-mining step after [[markovTransitions]]' one-step view:
+    * which three-step journeys actually recur (view→view→purchase vs
+    * view→click→purchase tells a different product story than any
+    * transition matrix can). Sessions come from
+    * [[Sessions.sessionize]]'s gap rule; the lead window runs per
+    * (entity, session) — bounded by session length, never the corpus —
+    * and the count shuffle is keyed by the (≤ |types|³) trigram.
+    * Returns (t1, t2, t3, cnt) with cnt ≥ `minCount`. */
+  def pathTrigrams(events: DataFrame, entityCol: String, typeCol: String,
+                   tsCol: String, tieBreak: org.apache.spark.sql.Column,
+                   gapSec: Long, minCount: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = Sessions.sessionize(events, entityCol, tsCol, gapSec, tieBreak)
+    val w = Window.partitionBy(col(entityCol), col("session_idx"))
+      .orderBy(col(tsCol), tieBreak)
+    s.select(col(typeCol).as("t1"),
+        lead(col(typeCol), 1).over(w).as("t2"),
+        lead(col(typeCol), 2).over(w).as("t3"))
+      .where(col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+  }
+
   /** RFM segmentation (recency / frequency / monetary) — the classic
     * behavioral quintile scoring: per entity, days since last
     * activity (vs the feed's own max date — no wall clock enters, so

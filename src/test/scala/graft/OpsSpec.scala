@@ -3099,6 +3099,59 @@ class OpsSpec extends AnyFunSuite {
     assert(Graph.kCore(edges, k = 4, rounds = 3).count() === 0L)
   }
 
+  test("seasonalAnomalies: planted spike flags, calm days do not") {
+    import java.sql.Date
+    // two weeks: Mondays ~100, other days ~50 with mild noise, one
+    // Wednesday at 500
+    val base = Map(0 -> 100, 1 -> 49, 2 -> 50, 3 -> 51, 4 -> 50, 5 -> 52, 6 -> 48)
+    val rows = (0 until 14).map { i =>
+      val d = Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+      val dow = i % 7 // 2024-01-01 is a Monday
+      val x = if (i == 9) 500L else (base(dow) + (if (i >= 7) 1 else 0)).toLong
+      (d, x)
+    }
+    val out = Evaluation.seasonalAnomalies(rows.toDF("day", "x"), "day", "x", k = 3.0)
+      .collect().map(r => r.getDate(0).toString -> r.getBoolean(5)).toMap
+    assert(out("2024-01-10"), "the planted 10× spike must flag")
+    assert(out.count(!_._2) >= 10, s"calm days must mostly pass: $out")
+  }
+
+  test("pathTrigrams: session boundaries cut paths; counts aggregate") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val d = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "B", ts("2024-01-01 10:05:00"), 2L),
+      (1L, "C", ts("2024-01-01 10:10:00"), 3L),
+      (1L, "D", ts("2024-01-01 10:15:00"), 4L),
+      (1L, "A", ts("2024-01-01 12:00:00"), 5L), // > 30 min gap → new session
+      (1L, "B", ts("2024-01-01 12:05:00"), 6L),
+      (1L, "C", ts("2024-01-01 12:10:00"), 7L),
+      (2L, "A", ts("2024-01-01 10:00:00"), 8L),
+      (2L, "B", ts("2024-01-01 10:01:00"), 9L),
+      (2L, "C", ts("2024-01-01 10:02:00"), 10L)
+    ).toDF("u", "et", "ts", "id")
+    val out = Funnel.pathTrigrams(d, "u", "et", "ts", col("id"),
+        gapSec = 1800, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    // ABC ×3 (u1 twice across sessions + u2), BCD once; no trigram
+    // spans the session break (CDA, DAB absent)
+    assert(out === Set(("A", "B", "C", 3L), ("B", "C", "D", 1L)))
+  }
+
+  test("twoProportionZ: hand-computed pooled z; degenerate pool → null") {
+    val d = (Seq.fill(2)(("A", true)) ++ Seq.fill(2)(("A", false)) ++
+      Seq.fill(1)(("B", true)) ++ Seq.fill(3)(("B", false))).toDF("v", "ok")
+    val r = Evaluation.twoProportionZ(d, "v", "ok").collect().head
+    val pp = 3.0 / 8.0
+    val z = (0.5 - 0.25) / math.sqrt(pp * (1 - pp) * (1.0 / 4 + 1.0 / 4))
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7), r.getDouble(8)) ===
+      (("A", "B", 4L, 4L, 2L, 1L, 0.5, 0.25, math.rint(z * 1e6) / 1e6)))
+    val allWin = Seq(("A", true), ("B", true)).toDF("v", "ok")
+    assert(Evaluation.twoProportionZ(allWin, "v", "ok").collect().head.isNullAt(8))
+  }
+
   test("theilSenSlope: outlier-immune line recovery") {
     // x = 2t+1 with one wild outlier: OLS would bend, Theil–Sen holds
     val d = Seq((0L, 1L), (1L, 3L), (2L, 5L), (3L, 7L), (4L, 100L)).toDF("t", "x")
