@@ -320,6 +320,68 @@ object TrainingCatalog {
              CAST(est.est - tru.true_cnt AS BIGINT) AS overcount
       FROM est JOIN tru USING (key) ORDER BY key""")),
 
+    // cross-source verbatim-overlap matrix: which sources share
+    // literal 8-gram passages (inter-source syndication/contamination
+    // audit, the class-level sibling of decontamination). Grams
+    // distinct per class first; ONE gram-keyed self-join bounded by
+    // classes-per-gram; containment = shared / smaller inventory.
+    "q_text_cross_source" -> (q((s, dir) =>
+      TextAnalysis.crossClassOverlap(docs(s, dir), "source", "text", n = 8)
+        .orderBy("class_a", "class_b")
+    ), Some("""
+      WITH toks AS (SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+                    FROM documents WHERE length(trim(text)) > 0),
+      g AS (SELECT DISTINCT source, array_to_string(t[i:i+7], ' ') AS g8
+            FROM (SELECT source, t, unnest(generate_series(1, len(t) - 7)) AS i
+                  FROM toks WHERE len(t) >= 8)),
+      tot AS (SELECT source, CAST(count(*) AS BIGINT) AS tot FROM g GROUP BY 1),
+      sh AS (SELECT a.source AS class_a, b.source AS class_b,
+                    CAST(count(*) AS BIGINT) AS shared_grams
+             FROM g a JOIN g b ON a.g8 = b.g8 AND a.source < b.source GROUP BY 1, 2)
+      SELECT class_a, class_b, shared_grams, ta.tot AS grams_a, tb.tot AS grams_b,
+             round(CAST(shared_grams AS DOUBLE) /
+                   CAST(least(ta.tot, tb.tot) AS DOUBLE), 6) AS containment
+      FROM sh JOIN tot ta ON sh.class_a = ta.source
+              JOIN tot tb ON sh.class_b = tb.source
+      ORDER BY class_a, class_b""")),
+
+    // key-skew report: the pre-join diagnosis the Skew tools act on —
+    // top-10 heaviest suppliers with share and ratio-to-mean (the
+    // straggler predictor), all single exact-integer divisions.
+    "q_meta_skew" -> (q((s, dir) =>
+      graft.ops.Profiling.skewReport(
+        SparkEntry.loader(s, dir)("lineitem"), "l_suppkey", k = 10)
+    ), Some("""
+      WITH c AS (SELECT CAST(l_suppkey AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS cnt
+                 FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS nk, CAST(sum(cnt) AS BIGINT) AS nr FROM c),
+      t AS (SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rk FROM c)
+      SELECT CAST(rk AS INT) AS rank, key, cnt,
+             round(CAST(cnt AS DOUBLE) / CAST(s.nr AS DOUBLE), 6) AS share,
+             round(CAST(cnt * s.nk AS DOUBLE) / CAST(s.nr AS DOUBLE), 6) AS ratio_to_mean
+      FROM t CROSS JOIN s WHERE rk <= 10 ORDER BY rank""")),
+
+    // top-N + '(other)' rollup: the dashboard cardinality cap — ten
+    // heaviest parts by shipped quantity, the long tail folded into
+    // one row; integer weights so the tail fold is partition-order-
+    // proof.
+    "q_agg_topn_other" -> (q((s, dir) =>
+      graft.ops.Rollup.topNOther(SparkEntry.loader(s, dir)("lineitem"),
+          "l_partkey", col("l_quantity"), n = 10)
+        .orderBy("rank")
+    ), Some("""
+      WITH a AS (SELECT CAST(l_partkey AS VARCHAR) AS key,
+                        CAST(count(*) AS BIGINT) AS n_rows,
+                        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS weight
+                 FROM lineitem GROUP BY 1),
+      r AS (SELECT *, row_number() OVER (ORDER BY weight DESC, key) AS rk FROM a)
+      SELECT CAST(rk AS INT) AS rank, key, n_rows, weight FROM r WHERE rk <= 10
+      UNION ALL
+      SELECT CAST(11 AS INT), '(other)', CAST(sum(n_rows) AS BIGINT),
+             CAST(sum(weight) AS BIGINT)
+      FROM r WHERE rk > 10 HAVING count(*) > 0
+      ORDER BY rank""")),
+
     // byte-level compression-ratio quality signal (the Gopher /
     // RefinedWeb repetitiveness proxy): deflate length ÷ UTF-8 length
     // per doc, one scan + per-partition Deflater. No SQL engine
@@ -2308,7 +2370,9 @@ object TrainingCatalog {
     // Kaplan–Meier churn risk table with right-censoring: lifetime =
     // first→last event days; churned only if the last event predates
     // the observation end by >7 days, censored otherwise (alive for
-    // all we know — leaves the risk set without a death). Exact
+    // all we know — leaves the risk set without a death; censored-only
+    // durations stay as n_events=0 lifetable rows, so a uniformly-
+    // active cohort — sf0.001 — still yields a table). Exact
     // integers + one rounded ratio per row; the float survival
     // PRODUCT is deliberately left to the caller (the one
     // cross-engine-fragile piece). Risk-set suffix sum runs over
@@ -2334,7 +2398,7 @@ object TrainingCatalog {
              n_events,
              round(1.0 - n_events / CAST(sum(n) OVER (ORDER BY t_days DESC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS km_factor
-      FROM perdur QUALIFY n_events > 0 ORDER BY t_days""")),
+      FROM perdur ORDER BY t_days""")),
 
     // first-order Markov transition matrix over per-user event
     // sequences (ts, event_id ordered): P(next | current) from
@@ -2477,15 +2541,17 @@ object TrainingCatalog {
              abs(adj.adj - mad.m) > 3.0 * mad.d AS is_anomaly
       FROM adj CROSS JOIN mad ORDER BY day""")),
 
-    // frequent 3-step session paths: which ordered journeys recur —
-    // the path-mining layer over the same 30-minute session rule as
+    // 3-step session paths: which ordered journeys occur, with counts
+    // — the path-mining layer over the same 30-minute session rule as
     // q_sessionize; lead windows per (user, session), count shuffle
-    // keyed by the ≤|types|³ trigram.
+    // keyed by the ≤|types|³ trigram (minCount=1: sf0.001 sessions
+    // are too short for higher support, and the output is
+    // type-cubed-bounded anyway).
     "q_events_paths" -> (q((s, dir) => {
       val e = SparkEntry.loader(s, dir)("events")
         .withColumn("ts", date_trunc("second", col("ts")))
       graft.ops.Funnel.pathTrigrams(e, "user_id", "event_type", "ts",
-          tieBreak = col("event_id"), gapSec = 1800, minCount = 5)
+          tieBreak = col("event_id"), gapSec = 1800, minCount = 1)
         .orderBy("t1", "t2", "t3")
     }), Some("""
       WITH e AS (
@@ -2508,7 +2574,7 @@ object TrainingCatalog {
         WINDOW w2 AS (PARTITION BY user_id, sess ORDER BY ts, event_id))
       SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS cnt
       FROM tg WHERE t3 IS NOT NULL
-      GROUP BY 1, 2, 3 HAVING count(*) >= 5 ORDER BY 1, 2, 3""")),
+      GROUP BY 1, 2, 3 HAVING count(*) >= 1 ORDER BY 1, 2, 3""")),
 
     // two-proportion z-test (pooled) on a deterministic user split —
     // the A/B readout: did variant A's users convert more? The float

@@ -96,8 +96,10 @@ object Funnel {
     * observation end, then a second aggregate to per-DURATION rows —
     * after which the cumulative risk-set window runs over ≤ span-days
     * rows, so its single partition is a non-issue at any event volume.
-    * Returns (t_days, n_risk, n_events, km_factor) for durations with
-    * ≥1 churn, ordered by t_days. */
+    * Returns the full lifetable (t_days, n_risk, n_events, km_factor)
+    * — censored-only durations stay as n_events = 0 / factor 1 rows
+    * (they carry the risk-set exits; a uniformly-active cohort still
+    * yields a table instead of vanishing), ordered by t_days. */
   def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
                   horizonDays: Int): DataFrame = {
     require(horizonDays >= 0, s"horizonDays: $horizonDays")
@@ -117,7 +119,6 @@ object Funnel {
     val w = Window.orderBy(col("t_days").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perDur.withColumn("n_risk", sum(col("__n")).over(w))
-      .where(col("n_events") > 0)
       .select(col("t_days"), col("n_risk"), col("n_events"),
         round(lit(1.0) - col("n_events") / col("n_risk"), 6).as("km_factor"))
       .orderBy("t_days")

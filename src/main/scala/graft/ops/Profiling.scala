@@ -204,4 +204,29 @@ object Profiling {
       col(s"__min_$c").as("min_value"), col(s"__max_$c").as("max_value")))
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** KEY-SKEW report — the pre-join diagnosis the [[Skew]] tools act
+    * on: the top-`k` heaviest keys with each key's row count, its
+    * share of all rows, and its ratio to the mean group size (the
+    * number that predicts a straggler task). One key-count aggregate +
+    * a k-row TakeOrdered; share and ratio are single divisions of
+    * exact integers. Returns (rank, key STRING, cnt, share,
+    * ratio_to_mean) — the key is cast to string so mixed-type callers
+    * compose. */
+  def skewReport(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k: $k")
+    val counts = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(count(lit(1)).as("__n_keys"), sum("cnt").as("__n_rows"))
+    val top = counts.orderBy(col("cnt").desc, col("key")).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("key"))))
+      .crossJoin(broadcast(stats))
+      .select(col("rank"), col("key"), col("cnt"),
+        round(col("cnt").cast("double") / col("__n_rows").cast("double"), 6).as("share"),
+        round((col("cnt") * col("__n_keys")).cast("double") /
+          col("__n_rows").cast("double"), 6).as("ratio_to_mean"))
+  }
 }

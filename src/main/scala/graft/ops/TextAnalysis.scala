@@ -1267,6 +1267,44 @@ object TextAnalysis {
       .select(col("qid"), col("rank"), col("id"), col("score"))
   }
 
+  /** CROSS-CLASS verbatim-overlap matrix — which sources share literal
+    * passages (the inter-source contamination / syndication audit; the
+    * class-level sibling of [[decontaminate]]'s doc-vs-benchmark
+    * check): for every class pair, the number of distinct word
+    * `n`-grams both emit, plus that count as a fraction of the
+    * smaller class's gram inventory (containment, so a small feed
+    * syndicated into a big one still scores high).
+    *
+    * Shape at scale: grams DISTINCT per class first (inventory-sized,
+    * not corpus-sized), then ONE gram-keyed self-join whose fan-out is
+    * bounded by classes-per-gram (≤ |classes|, usually ~1), never a
+    * class-pair product over the corpus. Returns
+    * (class_a < class_b, shared_grams, grams_a, grams_b,
+    * containment 6 dp). */
+  def crossClassOverlap(df: org.apache.spark.sql.DataFrame, classCol: String,
+                        textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n: $n")
+    val grams = df
+      .select(col(classCol).as("__c"), tokens(lower(col(textCol))).as("__t"))
+      .where(size(col("__t")) >= n)
+      .select(col("__c"), explode(ngramsFromTokens(col("__t"), n)).as("__g"))
+      .distinct()
+    val totals = grams.groupBy(col("__c")).agg(count(lit(1)).as("__tot"))
+    val shared = grams.as("a").join(grams.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__c") < col("b.__c"))
+      .groupBy(col("a.__c").as("class_a"), col("b.__c").as("class_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    shared
+      .join(broadcast(totals.select(col("__c").as("class_a"), col("__tot").as("grams_a"))),
+        Seq("class_a"))
+      .join(broadcast(totals.select(col("__c").as("class_b"), col("__tot").as("grams_b"))),
+        Seq("class_b"))
+      .select(col("class_a"), col("class_b"), col("shared_grams"),
+        col("grams_a"), col("grams_b"),
+        round(col("shared_grams").cast("double") /
+          least(col("grams_a"), col("grams_b")).cast("double"), 6).as("containment"))
+  }
+
   /** COMPRESSION-RATIO quality signal (the Gopher / RefinedWeb
     * repetitiveness proxy): deflate(text) length ÷ UTF-8 byte length —
     * boilerplate, keyboard mash, and template spam compress far below

@@ -2900,9 +2900,8 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(out.toSeq === Seq(
       (0, 3L, 1L, math.rint((1.0 - 1.0 / 3) * 1e6) / 1e6), // all 3 at risk at t=0
-      (2, 2L, 1L, 0.5)))                                   // C + A still at risk at t=2
-    // censored C contributes to n_risk but emits no row (no churn at 10)
-    assert(!out.exists(_._1 == 10))
+      (2, 2L, 1L, 0.5),                                    // C + A still at risk at t=2
+      (10, 1L, 0L, 1.0)))                                  // censored C: lifetable row, no death
   }
 
   test("Funnel.markovTransitions: row-normalized pair counts with id tie-break") {
@@ -3097,6 +3096,38 @@ class OpsSpec extends AnyFunSuite {
     assert(core3.toSeq === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
     // k above the max core: everything peels within rounds
     assert(Graph.kCore(edges, k = 4, rounds = 3).count() === 0L)
+  }
+
+  test("crossClassOverlap: shared grams counted once, disjoint classes absent") {
+    val d = Seq(
+      ("A", "t1 t2 t3 t4 t5 t6 t7 t8 t9"),          // grams: t1..t8, t2..t9
+      ("B", "t1 t2 t3 t4 t5 t6 t7 t8 zz"),          // shares t1..t8 with A
+      ("C", "u1 u2 u3 u4 u5 u6 u7 u8")              // disjoint
+    ).toDF("src", "text")
+    val out = TextAnalysis.crossClassOverlap(d, "src", "text", n = 8).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getDouble(5)) === (("A", "B", 1L, 2L, 2L, 0.5)))
+  }
+
+  test("skewReport: hand-computed share and ratio-to-mean on a skewed key set") {
+    val d = (Seq.fill(8)("hot") ++ Seq("k1", "k2", "k3", "k4")).toDF("k")
+    val out = Profiling.skewReport(d, "k", k = 2).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(0) === ((1, "hot", 8L, r6(8.0 / 12), r6(8.0 * 5 / 12))))
+    assert(out(1) === ((2, "k1", 1L, r6(1.0 / 12), r6(5.0 / 12))))
+  }
+
+  test("topNOther: tail folds to one row; no tail → no '(other)'") {
+    val d = Seq(("a", 10L), ("a", 10L), ("a", 10L), ("b", 7L), ("b", 7L),
+      ("c", 5L), ("d", 1L)).toDF("k", "w")
+    val out = Rollup.topNOther(d, "k", col("w"), n = 2).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1, "a", 3L, 30L), (2, "b", 2L, 14L), (3, "(other)", 2L, 6L)))
+    val noTail = Rollup.topNOther(d, "k", col("w"), n = 10).collect()
+    assert(noTail.length === 4 && !noTail.exists(_.getString(1) == "(other)"))
   }
 
   test("seasonalAnomalies: planted spike flags, calm days do not") {
