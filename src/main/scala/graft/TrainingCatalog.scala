@@ -119,6 +119,22 @@ object TrainingCatalog {
   private val LshPairsSlot =
     new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, DataFrame)]()
 
+  /** The slot-cached MinHash-LSH pair discovery shared by the cluster-
+    * resolution entries (q_dedup_clusters, q_dedup_keep_best). */
+  private def lshPairsFor(s: SparkSession, dir: String): DataFrame =
+    LshPairsSlot.synchronized {
+      Option(LshPairsSlot.get()) match {
+        case Some((`s`, `dir`, cached)) => cached
+        case prev =>
+          val fresh = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+              n = 3, numHashes = 128, bands = 32, threshold = 0.5)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          prev.foreach(_._3.unpersist())
+          LshPairsSlot.set((s, dir, fresh))
+          fresh
+      }
+    }
+
   /** One live (band index, shingle sets) pair for the "existing corpus"
     * (doc_id < 300) per (session, sf dir), shared by the incremental
     * near-dup entries — a production increment LOADS the persisted
@@ -281,6 +297,48 @@ object TrainingCatalog {
                         ELSE raw END, 6) AS estimate,
              x.exact
       FROM e JOIN x USING (source) ORDER BY source""")),
+
+    // HLL PERSISTENCE + incremental update — the production shape the
+    // register table exists for: the historical slice (ships < 1999)
+    // is sketched ONCE and saved to parquet; the new slice sketches
+    // separately and merges into the loaded registers by slot-wise
+    // max, with no historical rescan. Registers are ints, so the
+    // parquet round-trip is exact and the merged estimate equals the
+    // one-shot sketch — the oracle IS q_sketch_hll's, verbatim.
+    "q_sketch_hll_saved" -> (q((s, dir) => {
+      val li = SparkEntry.loader(s, dir)("lineitem")
+      val cut = lit("1999-01-01").cast("date")
+      val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_hll_regs_${ProcessHandle.current().pid()}", "regs").toString
+      graft.ops.Sketches.hllRegisters(
+          li.where(col("l_shipdate") < cut), "l_partkey", p = 8)
+        .write.mode("overwrite").parquet(path)
+      val merged = graft.ops.Sketches.hllMerge(
+        s.read.parquet(path),
+        graft.ops.Sketches.hllRegisters(
+          li.where(col("l_shipdate") >= cut), "l_partkey", p = 8))
+      graft.ops.Sketches.hllEstimate(merged, p = 8)
+    }), Some(s"""
+      WITH h AS (SELECT md5(CAST(l_partkey AS VARCHAR)) AS x
+                 FROM lineitem WHERE l_partkey IS NOT NULL),
+      b AS (SELECT CAST(('0x' || substring(x, 1, 3))::BIGINT // 16 AS INT) AS bucket,
+                   ('0x' || substring(x, 4, 13))::BIGINT AS w FROM h),
+      r AS (SELECT bucket,
+                   CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho FROM b),
+      regs AS (SELECT g.bucket, coalesce(max(r.rho), 0) AS reg
+               FROM generate_series(0, 255) AS g(bucket)
+               LEFT JOIN r ON g.bucket = r.bucket GROUP BY 1),
+      agg AS (SELECT CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+                     CAST(sum(CAST(power(2, 53 - reg) AS BIGINT)) AS BIGINT) AS s_scaled
+              FROM regs),
+      e AS (SELECT v_zero, s_scaled,
+                   ${graft.ops.Sketches.hllAlphaConstant(8)} / CAST(s_scaled AS DOUBLE) AS raw
+            FROM agg)
+      SELECT CAST(256 AS BIGINT) AS m, v_zero, s_scaled,
+             round(CASE WHEN raw <= 640.0 AND v_zero > 0
+                        THEN 256.0 * ln(256.0 / CAST(v_zero AS DOUBLE))
+                        ELSE raw END, 6) AS estimate
+      FROM e""")),
 
     // count-min frequency sketch: point-queryable estimates for EVERY
     // key in d·w = 3·256 integers of state — the estimate NEVER
@@ -3248,22 +3306,41 @@ object TrainingCatalog {
     // computes the same closure with a recursive CTE. Covers the step a
     // pair list alone cannot: A~B, B~C without A~C must still form ONE
     // cluster with ONE survivor.
-    "q_dedup_clusters" -> (q((s, dir) => {
-      val pairs = LshPairsSlot.synchronized {
-        Option(LshPairsSlot.get()) match {
-          case Some((`s`, `dir`, cached)) => cached
-          case prev =>
-            val fresh = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
-                n = 3, numHashes = 128, bands = 32, threshold = 0.5)
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            prev.foreach(_._3.unpersist())
-            LshPairsSlot.set((s, dir, fresh))
-            fresh
-        }
-      }
-      Dedup.connectedComponents(pairs)
+    "q_dedup_clusters" -> (q((s, dir) =>
+      Dedup.connectedComponents(lshPairsFor(s, dir))
         .select(col("node").as("doc_id"), col("rep"))
-    }), Some(ClusterOracleSql)),
+    ), Some(ClusterOracleSql)),
+
+    // quality-priority survivor selection: keep the LONGEST member of
+    // each near-dup cluster (n_chars score, ties → smallest id) —
+    // real curation keeps the most complete copy, min-id only encodes
+    // ingest order. One partial-aggregatable struct argmax per
+    // cluster; singletons keep themselves. Shares the slot-cached LSH
+    // pair discovery with q_dedup_clusters.
+    "q_dedup_keep_best" -> (q((s, dir) =>
+      Dedup.keepBestByScore(docs(s, dir), "doc_id",
+          Dedup.connectedComponents(lshPairsFor(s, dir)),
+          col("n_chars").cast("long"))
+        .orderBy("rep")
+    ), Some(s"""
+      WITH RECURSIVE ${jaccardPairsCtes()},
+      edges AS (SELECT id_a AS a, id_b AS b FROM jp
+                UNION SELECT id_b, id_a FROM jp),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      comp AS (SELECT a AS node, least(a, min(b)) AS rep FROM reach GROUP BY a),
+      alln AS (SELECT doc_id AS node, CAST(n_chars AS BIGINT) AS score FROM documents),
+      wr AS (SELECT alln.node, coalesce(comp.rep, alln.node) AS rep, score
+             FROM alln LEFT JOIN comp USING (node)),
+      ranked AS (SELECT rep, node, score,
+                        row_number() OVER (PARTITION BY rep ORDER BY score DESC, node) AS rk,
+                        count(*) OVER (PARTITION BY rep) AS cs
+                 FROM wr)
+      SELECT rep, CAST(cs AS BIGINT) AS cluster_size, node AS keep_id,
+             score AS keep_score
+      FROM ranked WHERE rk = 1 ORDER BY rep""")),
 
     // deterministic split assignment / sampling: md5-prefix buckets are
     // bytewise-identical across engines and independent of partitioning,

@@ -840,4 +840,26 @@ object Dedup {
       .groupBy(col("rep"))
       .agg(count(lit(1)).as("n_members"),
         slice(sort_array(collect_list(col("node"))), 1, maxMembers).as("members"))
+
+  /** QUALITY-PRIORITY survivor selection — keep the BEST member of each
+    * near-dup cluster instead of the arbitrary min-id: real curation
+    * keeps the longest / highest-quality / most-recent copy
+    * (keep-longest is the common near-dup policy), and min-id only
+    * encodes ingest order. `clusters` is [[connectedComponents]]'
+    * (node, rep) output; rows absent from it are singletons and keep
+    * themselves. The argmax is ONE partial-aggregatable struct max per
+    * cluster (max score, ties → smallest id) — no per-cluster window,
+    * no member collection. Returns (rep, cluster_size, keep_id,
+    * keep_score). */
+  def keepBestByScore(df: DataFrame, idCol: String, clusters: DataFrame,
+                      score: Column): DataFrame = {
+    val scored = df.select(col(idCol).cast("long").as("node"), score.as("__score"))
+    scored.join(clusters.select(col("node"), col("rep")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("rep"), col("node")).as("rep"), col("__score"))
+      .groupBy("rep")
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("__score").as("s"), (-col("node")).as("negid"))).as("__best"))
+      .select(col("rep"), col("cluster_size"),
+        (-col("__best.negid")).as("keep_id"), col("__best.s").as("keep_score"))
+  }
 }

@@ -3098,6 +3098,19 @@ class OpsSpec extends AnyFunSuite {
     assert(Graph.kCore(edges, k = 4, rounds = 3).count() === 0L)
   }
 
+  test("keepBestByScore: longest member survives, ties by id, singletons keep themselves") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)).toDF("node", "rep")
+    val d = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 7L), (5L, 2L), (6L, 2L))
+      .toDF("doc_id", "len")
+    val out = Dedup.keepBestByScore(d, "doc_id", clusters, col("len"))
+      .orderBy("rep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 2L, 30L),  // max len 30 tie between 2 and 3 → smaller id 2
+      (4L, 1L, 4L, 7L),   // singleton
+      (5L, 2L, 5L, 2L)))  // tie at 2 → smaller id
+  }
+
   test("crossClassOverlap: shared grams counted once, disjoint classes absent") {
     val d = Seq(
       ("A", "t1 t2 t3 t4 t5 t6 t7 t8 t9"),          // grams: t1..t8, t2..t9
