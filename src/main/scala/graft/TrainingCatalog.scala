@@ -2571,6 +2571,54 @@ object TrainingCatalog {
                    END, 6) AS stat
       FROM sc ORDER BY abs(s) DESC, day LIMIT 1""")),
 
+    // DAU growth accounting: each day's actives split into new /
+    // retained / resurrected, churned reconciling against yesterday
+    // (dau − dau_prev = new + resurrected − churned) — per-user lag
+    // over ACTIVE DAYS, then day-keyed aggregates; all integers.
+    "q_events_growth" -> (q((s, dir) =>
+      graft.ops.Funnel.growthAccounting(
+        SparkEntry.loader(s, dir)("events"), "user_id", "ts")
+    ), Some("""
+      WITH act AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+      f AS (SELECT u, day,
+                   lag(day) OVER (PARTITION BY u ORDER BY day) AS prev,
+                   min(day) OVER (PARTITION BY u) AS first_d
+            FROM act),
+      flags AS (SELECT day,
+                       CASE WHEN day = first_d THEN 1 ELSE 0 END AS is_new,
+                       CASE WHEN datediff('day', prev, day) = 1 THEN 1 ELSE 0 END AS is_ret,
+                       CASE WHEN day <> first_d AND
+                                 (prev IS NULL OR datediff('day', prev, day) > 1)
+                            THEN 1 ELSE 0 END AS is_res
+                FROM f),
+      daily AS (SELECT day, CAST(count(*) AS BIGINT) AS dau,
+                       CAST(sum(is_new) AS BIGINT) AS new_users,
+                       CAST(sum(is_ret) AS BIGINT) AS retained,
+                       CAST(sum(is_res) AS BIGINT) AS resurrected
+                FROM flags GROUP BY 1)
+      SELECT day, dau, new_users, retained, resurrected,
+             CAST(lag(dau) OVER (ORDER BY day) - retained AS BIGINT) AS churned
+      FROM daily ORDER BY day""")),
+
+    // day × event-type count matrix via the DataFrame pivot API (fixed
+    // value list so the schema is static and engine-independent);
+    // absent combinations densify to 0. The oracle is the conditional-
+    // aggregation unpivot of the same matrix.
+    "q_events_pivot" -> (q((s, dir) =>
+      SparkEntry.loader(s, dir)("events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count().na.fill(0L)
+        .orderBy("day")
+    ), Some("""
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      FROM events GROUP BY 1 ORDER BY day""")),
+
     // seasonality-adjusted anomaly days: counts divided by the weekday
     // index, flagged beyond 3 MADs of the adjusted median — the
     // monitor q_events_seasonal exists to feed (a normal Saturday dip

@@ -209,6 +209,48 @@ object Funnel {
         (unix_micros(col("t_to")) - unix_micros(col("t_from"))).as("delta_us"))
   }
 
+  /** DAU GROWTH ACCOUNTING (the Duolingo/a16z decomposition): each
+    * day's active users split into NEW (first-ever day), RETAINED
+    * (also active yesterday), and RESURRECTED (seen before, but not
+    * yesterday); CHURNED = yesterday's actives who didn't return
+    * (= dau_prev − retained, so the four series reconcile:
+    * dau = new + retained + resurrected and
+    * dau − dau_prev = new + resurrected − churned). One distinct
+    * (user, day) activity set, a per-user lag window over ACTIVE DAYS
+    * (bounded by a user's active-day count, not events), then a
+    * day-keyed aggregate + one day-level lag. All integers. Returns
+    * (day, dau, new_users, retained, resurrected, churned) — churned
+    * null on the first observed day (no yesterday to churn from). */
+  def growthAccounting(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val act = events.select(col(userCol).as("__u"),
+      col(tsCol).cast("date").as("day")).distinct()
+    val w = Window.partitionBy("__u").orderBy("day")
+    val flagged = act
+      .withColumn("__prev", lag(col("day"), 1).over(w))
+      .withColumn("__first", min(col("day")).over(
+        Window.partitionBy("__u")))
+      .select(col("day"),
+        when(col("day") === col("__first"), 1L).otherwise(0L).as("__new"),
+        when(datediff(col("day"), col("__prev")) === 1, 1L).otherwise(0L).as("__ret"),
+        when(col("day") =!= col("__first") &&
+          (col("__prev").isNull || datediff(col("day"), col("__prev")) > 1), 1L)
+          .otherwise(0L).as("__res"))
+    val daily = flagged.groupBy("day")
+      .agg(count(lit(1)).as("dau"), sum("__new").as("new_users"),
+        sum("__ret").as("retained"), sum("__res").as("resurrected"))
+    // churned = dau_prev − retained; across a calendar gap retained is
+    // 0 by the strict day−1 rule, so the same formula correctly counts
+    // ALL of the previous observed day's actives as churned
+    daily
+      .withColumn("__dau_prev", lag(col("dau"), 1).over(Window.orderBy("day")))
+      .select(col("day"), col("dau"), col("new_users"), col("retained"),
+        col("resurrected"),
+        when(col("__dau_prev").isNull, lit(null).cast("long"))
+          .otherwise(col("__dau_prev") - col("retained")).as("churned"))
+      .orderBy("day")
+  }
+
   /** Frequent ordered event-type TRIGRAMS within sessions — the
     * path-mining step after [[markovTransitions]]' one-step view:
     * which three-step journeys actually recur (view→view→purchase vs

@@ -3098,6 +3098,28 @@ class OpsSpec extends AnyFunSuite {
     assert(Graph.kCore(edges, k = 4, rounds = 3).count() === 0L)
   }
 
+  test("growthAccounting: new/retained/resurrected/churned reconcile by hand") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
+    // u1 active d1,d2,d4 (retained d2, resurrected d4)
+    // u2 active d1 only (churns into d2); u3 first appears d2
+    val ev = Seq(
+      (1L, t("2024-01-01")), (1L, t("2024-01-02")), (1L, t("2024-01-04")),
+      (2L, t("2024-01-01")),
+      (3L, t("2024-01-02"))
+    ).toDF("u", "ts")
+    val out = Funnel.growthAccounting(ev, "u", "ts").collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))
+    assert(out.toSeq === Seq(
+      (d("2024-01-01"), 2L, 2L, 0L, 0L, -1L),
+      (d("2024-01-02"), 2L, 1L, 1L, 0L, 1L),  // u2 churned, u1 retained, u3 new
+      (d("2024-01-04"), 1L, 0L, 0L, 1L, 2L))) // gap: both of d2's actives churned
+    // reconciliation: dau − dau_prev = new + resurrected − churned
+    for (i <- 1 until out.length)
+      assert(out(i)._2 - out(i - 1)._2 === out(i)._3 + out(i)._5 - out(i)._6)
+  }
+
   test("keepBestByScore: longest member survives, ties by id, singletons keep themselves") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)).toDF("node", "rep")
     val d = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 7L), (5L, 2L), (6L, 2L))
