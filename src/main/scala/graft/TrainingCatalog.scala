@@ -2619,6 +2619,73 @@ object TrainingCatalog {
              CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
       FROM events GROUP BY 1 ORDER BY day""")),
 
+    // daily OHLC candles: open/close from ONE struct min/max (no
+    // per-day window), turnover as engine-exact integer cents (float
+    // sums of raw doubles are partition-order-dependent).
+    "q_events_ohlc" -> (q((s, dir) =>
+      graft.ops.Evaluation.dailyOhlc(
+        SparkEntry.loader(s, dir)("events"), "ts", "value", col("event_id"))
+    ), Some("""
+      WITH e AS (SELECT CAST(ts AS DATE) AS day, ts, event_id, value
+                 FROM events WHERE value IS NOT NULL),
+      r AS (SELECT day, value,
+                   row_number() OVER (PARTITION BY day ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY day ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM e),
+      oc AS (SELECT day, max(CASE WHEN rn_a = 1 THEN value END) AS open,
+                    max(CASE WHEN rn_d = 1 THEN value END) AS close FROM r GROUP BY 1),
+      agg AS (SELECT day, max(value) AS high, min(value) AS low,
+                     CAST(count(*) AS BIGINT) AS volume,
+                     CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+              FROM e GROUP BY 1)
+      SELECT agg.day, oc.open, agg.high, agg.low, oc.close, agg.volume, agg.total_cents
+      FROM agg JOIN oc USING (day) ORDER BY day""")),
+
+    // per-user time-weighted average value (step-function hold until
+    // the next sample): cents × microseconds keep every intermediate
+    // an exact integer, one division at the end.
+    "q_events_twa" -> (q((s, dir) =>
+      graft.ops.Evaluation.timeWeightedAverage(
+          SparkEntry.loader(s, dir)("events"), "user_id", "ts", "value",
+          tieBreak = col("event_id"))
+        .orderBy("key")
+    ), Some("""
+      WITH s AS (SELECT user_id AS key, epoch_us(ts) AS t, event_id AS tb,
+                        CAST(round(value * 100, 0) AS BIGINT) AS cents
+                 FROM events WHERE value IS NOT NULL),
+      l AS (SELECT key, t, cents,
+                   lead(t) OVER (PARTITION BY key ORDER BY t, tb) AS tnext FROM s)
+      SELECT key, CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(max(t) - min(t) AS BIGINT) AS span_us,
+             round(CASE WHEN max(t) - min(t) = 0 THEN NULL
+                        ELSE CAST(sum(CASE WHEN tnext IS NOT NULL
+                                           THEN cents * (tnext - t) ELSE 0 END) AS DOUBLE) /
+                             (CAST(max(t) - min(t) AS DOUBLE) * 100.0)
+                   END, 6) AS twa
+      FROM l GROUP BY key ORDER BY key""")),
+
+    // unpivot (melt): the wide day × type matrix back to long rows via
+    // the DataFrame unpivot API — with the pivot entry this pins the
+    // roundtrip; absent combinations stay as explicit zeros.
+    "q_events_unpivot" -> (q((s, dir) => {
+      val wide = SparkEntry.loader(s, dir)("events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count().na.fill(0L)
+      wide.unpivot(Array(col("day")),
+          Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+          "event_type", "n")
+        .orderBy("day", "event_type")
+    }), Some("""
+      WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+      types AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type),
+      c AS (SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2)
+      SELECT d.day, t.event_type, coalesce(c.n, 0) AS n
+      FROM days d CROSS JOIN types t
+      LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+      ORDER BY d.day, t.event_type""")),
+
     // seasonality-adjusted anomaly days: counts divided by the weekday
     // index, flagged beyond 3 MADs of the adjusted median — the
     // monitor q_events_seasonal exists to feed (a normal Saturday dip

@@ -297,6 +297,65 @@ object Evaluation {
               sqrt(col("__n").cast("double")))), 6).as("stat"))
   }
 
+  /** Daily OHLC CANDLES — the finance-style compaction of an
+    * irregular value stream (open/high/low/close + volume per day):
+    * open/close come from ONE partial-aggregatable struct min/max
+    * over (ts, tiebreak, value) — no per-day window, no history
+    * collection — and the turnover total sums ENGINE-EXACT integer
+    * cents (round(value·100): the values are 2-decimal by
+    * construction, and float summation of raw doubles would be
+    * partition-order-dependent). Returns (day, open, high, low,
+    * close, volume, total_cents). */
+  def dailyOhlc(df: DataFrame, tsCol: String, valueCol: String,
+                tieBreak: org.apache.spark.sql.Column): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.where(v.isNotNull)
+      .groupBy(col(tsCol).cast("date").as("day"))
+      .agg(
+        min(struct(col(tsCol).as("t"), tieBreak.as("i"), v.as("v"))).as("__o"),
+        max(struct(col(tsCol).as("t"), tieBreak.as("i"), v.as("v"))).as("__c"),
+        max(v).as("high"), min(v).as("low"), count(lit(1)).as("volume"),
+        sum(round(v * 100, 0).cast("long")).as("total_cents"))
+      .select(col("day"), col("__o.v").as("open"), col("high"), col("low"),
+        col("__c.v").as("close"), col("volume"), col("total_cents"))
+      .orderBy("day")
+  }
+
+  /** Per-key TIME-WEIGHTED AVERAGE of a step-function metric sampled
+    * at irregular times — the correct mean when observations carry
+    * until the next one (account balances, feature values, prices):
+    * TWA = Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_n − t₀), each value held until the
+    * next sample. Computed over ENGINE-EXACT integers — cents ×
+    * microseconds — with exactly one division at the end (rounded
+    * 6 dp), so partition order cannot perturb it. One per-key lead
+    * window (bounded by the key's sample count). Keys with a single
+    * sample have zero span → null twa. Returns
+    * (key, n_samples, span_us, twa). */
+  def timeWeightedAverage(df: DataFrame, keyCol: String, tsCol: String,
+                          valueCol: String,
+                          tieBreak: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stepped = df
+      .where(col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        unix_micros(col(tsCol)).as("__t"), tieBreak.as("__tb"),
+        round(col(valueCol).cast("double") * 100, 0).cast("long").as("__cents"))
+      // the tiebreak makes same-timestamp holds deterministic: with
+      // equal t the earlier-by-tiebreak sample holds for 0 µs — which
+      // sample that is must not depend on partition order
+      .withColumn("__tnext", lead(col("__t"), 1).over(
+        Window.partitionBy(col("key")).orderBy(col("__t"), col("__tb"))))
+    stepped.groupBy("key")
+      .agg(count(lit(1)).as("n_samples"),
+        (max("__t") - min("__t")).as("span_us"),
+        sum(when(col("__tnext").isNotNull,
+          col("__cents") * (col("__tnext") - col("__t"))).otherwise(0L)).as("__num"))
+      .select(col("key"), col("n_samples"), col("span_us"),
+        round(when(col("span_us") === 0, lit(null).cast("double"))
+          .otherwise(col("__num").cast("double") /
+            (col("span_us").cast("double") * 100.0)), 6).as("twa"))
+  }
+
   /** THEIL–SEN slope over an aggregated integer series — the robust
     * trend MAGNITUDE beside [[mannKendall]]'s direction test (same
     * aggregate-first, O(series²) pairwise contract): slope = median of

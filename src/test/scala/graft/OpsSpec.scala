@@ -3098,6 +3098,38 @@ class OpsSpec extends AnyFunSuite {
     assert(Graph.kCore(edges, k = 4, rounds = 3).count() === 0L)
   }
 
+  test("dailyOhlc: open/close by arrival order, cents turnover exact") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val d = Seq(
+      (1L, t("2024-01-01 09:00:00"), 10.50),
+      (2L, t("2024-01-01 12:00:00"), 30.25), // high
+      (3L, t("2024-01-01 15:00:00"), 5.75),  // low
+      (4L, t("2024-01-01 17:00:00"), 20.00), // close
+      (5L, t("2024-01-02 10:00:00"), 7.00)
+    ).toDF("event_id", "ts", "value")
+    val out = Evaluation.dailyOhlc(d, "ts", "value", col("event_id")).collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 10.50, 30.25, 5.75, 20.00, 4L, 6650L),
+      ("2024-01-02", 7.00, 7.00, 7.00, 7.00, 1L, 700L)))
+  }
+
+  test("timeWeightedAverage: hold-until-next weighting, single sample null") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // key 1: 10.00 held 3h, 40.00 held 1h → (10·3 + 40·1)/4 = 17.5
+    val d = Seq(
+      (1L, t("2024-01-01 00:00:00"), 10.00, 1L),
+      (1L, t("2024-01-01 03:00:00"), 40.00, 2L),
+      (1L, t("2024-01-01 04:00:00"), 99.00, 3L), // last sample: no hold
+      (2L, t("2024-01-01 00:00:00"), 5.00, 4L)
+    ).toDF("k", "ts", "v", "id")
+    val out = Evaluation.timeWeightedAverage(d, "k", "ts", "v", col("id"))
+      .orderBy("key").collect()
+    assert(out(0).getLong(1) === 3L && out(0).getDouble(3) === 17.5)
+    assert(out(1).getLong(1) === 1L && out(1).getLong(2) === 0L && out(1).isNullAt(3))
+  }
+
   test("growthAccounting: new/retained/resurrected/churned reconcile by hand") {
     def d(s: String) = java.sql.Date.valueOf(s)
     def t(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
