@@ -440,6 +440,43 @@ object TrainingCatalog {
       FROM r WHERE rk > 10 HAVING count(*) > 0
       ORDER BY rank""")),
 
+    // two-level revenue drill-down (region → nation) with share-of-
+    // parent and share-of-total: dims broadcast onto the fact, the
+    // fact shuffles once for the aggregate, revenue summed as exact
+    // integer cents (round(price·(1−disc)·100) — the one float
+    // product is per-row deterministic; SUMMING raw doubles would
+    // be partition-order-dependent).
+    "q_agg_hierarchy" -> (q((s, dir) => {
+      val load = SparkEntry.loader(s, dir)
+      val fact = load("lineitem")
+        .join(load("orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(load("customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(load("nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(load("region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+            .cast("long").as("cents"))
+      graft.ops.Rollup.shareOfParent(fact, "r_name", "n_name", col("cents"))
+        .orderBy("parent", "child")
+    }), Some("""
+      WITH fact AS (
+        SELECT r.r_name AS parent, n.n_name AS child,
+               CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey),
+      agg AS (SELECT parent, child, CAST(sum(cents) AS BIGINT) AS weight
+              FROM fact GROUP BY 1, 2),
+      pt AS (SELECT parent, CAST(sum(weight) AS BIGINT) AS pw FROM agg GROUP BY 1),
+      tt AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM agg)
+      SELECT agg.parent, agg.child, agg.weight,
+             round(CAST(agg.weight AS DOUBLE) / CAST(pt.pw AS DOUBLE), 6) AS share_of_parent,
+             round(CAST(agg.weight AS DOUBLE) / CAST(tt.tw AS DOUBLE), 6) AS share_of_total
+      FROM agg JOIN pt USING (parent) CROSS JOIN tt
+      ORDER BY parent, child""")),
+
     // byte-level compression-ratio quality signal (the Gopher /
     // RefinedWeb repetitiveness proxy): deflate length ÷ UTF-8 length
     // per doc, one scan + per-partition Deflater. No SQL engine
@@ -2618,6 +2655,32 @@ object TrainingCatalog {
              CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
              CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
       FROM events GROUP BY 1 ORDER BY day""")),
+
+    // SCD Type-2 history: each user's purchase-value segment (bucket
+    // of 100) versioned into [valid_from, valid_to) intervals —
+    // consecutive same-segment purchases collapse, the open version
+    // flags current. The dimension-history builder behind every
+    // as-of analytics join.
+    "q_events_scd2" -> (q((s, dir) => {
+      val p = SparkEntry.loader(s, dir)("events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") / 100).cast("long").as("segment"))
+      graft.ops.Dedup.scd2(p, "user_id", "ts", Seq("segment"), col("event_id"))
+        .orderBy("user_id", "valid_from")
+    }), Some("""
+      WITH p AS (SELECT user_id, ts, event_id,
+                        CAST(floor(value / 100) AS BIGINT) AS segment
+                 FROM events WHERE event_type = 'purchase'),
+      ch AS (SELECT *, lag(segment) OVER w AS prev FROM p
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      f AS (SELECT user_id, ts, event_id, segment FROM ch
+            WHERE prev IS NULL OR prev IS DISTINCT FROM segment)
+      SELECT user_id, segment, ts AS valid_from,
+             lead(ts) OVER w2 AS valid_to,
+             lead(ts) OVER w2 IS NULL AS is_current
+      FROM f WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, valid_from""")),
 
     // daily OHLC candles: open/close from ONE struct min/max (no
     // per-day window), turnover as engine-exact integer cents (float

@@ -841,6 +841,31 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"),
         slice(sort_array(collect_list(col("node"))), 1, maxMembers).as("members"))
 
+  /** SCD TYPE-2 dimension history from a change feed — the warehouse
+    * sibling of [[latestByKey]] (which keeps only the newest version,
+    * while analytics joins need WHEN each version held): consecutive
+    * same-attribute rows collapse (null-safe struct compare, so
+    * null-valued attributes version correctly), each surviving version
+    * gets [valid_from, valid_to) from its own timestamp and its
+    * successor's, and the open version is flagged current. Two
+    * key-partitioned windows (change detection, then interval close)
+    * bounded by per-key version counts. Returns
+    * (key, attrs…, valid_from, valid_to, is_current). */
+  def scd2(df: DataFrame, keyCol: String, tsCol: String, attrs: Seq[String],
+           tieBreak: Column): DataFrame = {
+    require(attrs.nonEmpty)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), tieBreak)
+    val attrStruct = struct(attrs.map(col): _*)
+    val changed = df
+      .withColumn("__prev", lag(attrStruct, 1).over(w))
+      .where(col("__prev").isNull || !(attrStruct <=> col("__prev")))
+    changed
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select((col(keyCol) +: attrs.map(col)) ++ Seq(
+        col(tsCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current")): _*)
+  }
+
   /** QUALITY-PRIORITY survivor selection — keep the BEST member of each
     * near-dup cluster instead of the arbitrary min-id: real curation
     * keeps the longest / highest-quality / most-recent copy

@@ -71,6 +71,30 @@ object Rollup {
       .where(col("cnt") > 0)
   }
 
+  /** Two-level SHARE-OF-PARENT rollup — the drill-down tree every
+    * revenue report draws (region → nation with each child's share of
+    * its parent and of the whole): one keyed aggregate, parent totals
+    * joined back BROADCAST (dimension-sized), total as a 1-row
+    * broadcast. Same integer-weight contract as [[topNOther]] — the
+    * aggregate sums arbitrarily many weights, so pass exact integers
+    * (cents, counts) and the shares are single exact-integer
+    * divisions. Returns (parent, child, weight, share_of_parent,
+    * share_of_total). */
+  def shareOfParent(df: DataFrame, parentCol: String, childCol: String,
+                    weight: org.apache.spark.sql.Column): DataFrame = {
+    val agg = df.groupBy(col(parentCol).as("parent"), col(childCol).as("child"))
+      .agg(sum(weight.cast("long")).as("weight"))
+    val ptot = agg.groupBy("parent").agg(sum("weight").as("__pw"))
+    val tot = agg.agg(sum("weight").as("__tw"))
+    agg.join(broadcast(ptot), Seq("parent"))
+      .crossJoin(broadcast(tot))
+      .select(col("parent"), col("child"), col("weight"),
+        round(col("weight").cast("double") / col("__pw").cast("double"), 6)
+          .as("share_of_parent"),
+        round(col("weight").cast("double") / col("__tw").cast("double"), 6)
+          .as("share_of_total"))
+  }
+
   /** TOP-N + '(other)' rollup — the cardinality cap every dashboard
     * and report applies before a long-tail dimension explodes it: the
     * `n` heaviest keys keep their own rows (ranked by weight then key,

@@ -3098,6 +3098,40 @@ class OpsSpec extends AnyFunSuite {
     assert(Graph.kCore(edges, k = 4, rounds = 3).count() === 0L)
   }
 
+  test("scd2: consecutive repeats collapse, nulls version, open version current") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val feed = Seq(
+      (1L, t("2024-01-01 00:00:00"), 1L, Some("gold")),
+      (1L, t("2024-01-02 00:00:00"), 2L, Some("gold")),   // repeat → collapses
+      (1L, t("2024-01-03 00:00:00"), 3L, None),           // null is a real version
+      (1L, t("2024-01-04 00:00:00"), 4L, None),           // null repeat → collapses
+      (1L, t("2024-01-05 00:00:00"), 5L, Some("silver")),
+      (2L, t("2024-01-01 00:00:00"), 6L, Some("bronze"))
+    ).toDF("k", "ts", "id", "tier")
+    val out = Dedup.scd2(feed, "k", "ts", Seq("tier"), col("id"))
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) "∅" else r.getString(1),
+        r.getTimestamp(2).toString.take(10),
+        if (r.isNullAt(3)) "open" else r.getTimestamp(3).toString.take(10),
+        r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      (1L, "gold", "2024-01-01", "2024-01-03", false),
+      (1L, "∅", "2024-01-03", "2024-01-05", false),
+      (1L, "silver", "2024-01-05", "open", true),
+      (2L, "bronze", "2024-01-01", "open", true)))
+  }
+
+  test("shareOfParent: shares reconcile to 1 per parent and overall") {
+    val d = Seq(("p1", "a", 30L), ("p1", "a", 10L), ("p1", "b", 60L),
+      ("p2", "c", 100L)).toDF("p", "c", "w")
+    val out = Rollup.shareOfParent(d, "p", "c", col("w"))
+      .orderBy("parent", "child").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      ("p1", "a", 40L, 0.4, 0.2), ("p1", "b", 60L, 0.6, 0.3),
+      ("p2", "c", 100L, 1.0, 0.5)))
+  }
+
   test("dailyOhlc: open/close by arrival order, cents turnover exact") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val d = Seq(
