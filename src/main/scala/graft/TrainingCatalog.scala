@@ -2844,6 +2844,36 @@ object TrainingCatalog {
                    END, 6) AS z
       FROM j""")),
 
+    // split-conformal interval for the persistence forecast on the
+    // daily series: q̂ is an exact order statistic of calibration
+    // residuals (rank from INTEGER rational-α arithmetic), coverage
+    // reported on the held-out suffix — the distribution-free
+    // uncertainty wrapper (α = 1/5, cal = first 19 residuals).
+    "q_eval_conformal" -> (q((s, dir) => {
+      val daily = SparkEntry.loader(s, dir)("events")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      graft.ops.Evaluation.conformalPersistence(daily, "day", "x",
+        calN = 19, alphaNum = 1, alphaDen = 5)
+    }), Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+                     FROM events GROUP BY 1),
+      r AS (SELECT day, abs(x - lag(x) OVER (ORDER BY day)) AS res FROM daily),
+      rr AS (SELECT day, res, row_number() OVER (ORDER BY day) AS rn
+             FROM r WHERE res IS NOT NULL),
+      cal AS (SELECT * FROM rr WHERE rn <= 19),
+      tst AS (SELECT * FROM rr WHERE rn > 19),
+      nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+      kk AS (SELECT CAST(((n_cal + 1) * 4 + 4) // 5 AS BIGINT) AS k FROM nc),
+      q AS (SELECT res AS qhat FROM (
+              SELECT res, row_number() OVER (ORDER BY res, day) AS rk FROM cal)
+            CROSS JOIN kk WHERE rk = kk.k)
+      SELECT nc.n_cal, CAST(count(*) AS BIGINT) AS n_test, q.qhat,
+             round(CAST(sum(CASE WHEN tst.res <= q.qhat THEN 1 ELSE 0 END) AS DOUBLE) /
+                   count(*), 6) AS coverage
+      FROM tst CROSS JOIN q CROSS JOIN nc
+      GROUP BY nc.n_cal, q.qhat""")),
+
     // Theil–Sen robust slope of the daily series — the trend MAGNITUDE
     // beside q_events_trend's Mann–Kendall direction test: median
     // pairwise slope (one outlier day cannot drag it), intercept from
@@ -5198,6 +5228,32 @@ object TrainingCatalog {
     // Column-algebra header parsers; the oracle states the planted
     // arithmetic. The payload-synthesis UDF is test scaffolding — the
     // decoders under test are codegen'd Column algebra, not UDFs.
+    // GIF logical-screen decode: planted 87a/89a headers with id-
+    // derived dims and a real global color table (3·2^bits bytes +
+    // trailer), parsed by pure Column algebra; the oracle states the
+    // planted arithmetic (colors = 2^(id%3+1), byte_len follows the
+    // table size).
+    "q_multimodal_gif" -> (q((s, dir) => {
+      val mkGif = udf((id: Long) =>
+        Multimodal.syntheticGif((id % 251 + 16).toInt, (id * 7 % 251 + 16).toInt,
+          gctBits = (id % 3 + 1).toInt, v89 = id % 2 == 0))
+      val withPayloads = docs(s, dir).select(col("doc_id"),
+        mkGif(col("doc_id")).as("gif"))
+      val gm = Multimodal.gifMeta(col("gif"))
+      withPayloads.select(col("doc_id"),
+        gm.getField("byte_len").as("byte_len"),
+        gm.getField("version").as("version"),
+        gm.getField("width").as("w"), gm.getField("height").as("h"),
+        gm.getField("gct_colors").as("gct_colors"))
+    }), Some("""
+      SELECT doc_id,
+             CAST(14 + 3 * power(2, doc_id % 3 + 1) AS BIGINT) AS byte_len,
+             CASE WHEN doc_id % 2 = 0 THEN '89a' ELSE '87a' END AS version,
+             CAST(doc_id % 251 + 16 AS INT) AS w,
+             CAST(doc_id * 7 % 251 + 16 AS INT) AS h,
+             CAST(power(2, doc_id % 3 + 1) AS INT) AS gct_colors
+      FROM documents ORDER BY doc_id""")),
+
     "q_multimodal_decode" -> (q((s, dir) => {
       val mkBmp = udf((id: Long) =>
         Multimodal.syntheticBmp((id % 241 + 16).toInt, (id * 3 % 241 + 16).toInt))

@@ -297,6 +297,46 @@ object Evaluation {
               sqrt(col("__n").cast("double")))), 6).as("stat"))
   }
 
+  /** SPLIT-CONFORMAL prediction interval for the PERSISTENCE forecast
+    * (Vovk's conformal guarantee on the simplest possible model,
+    * x̂_t = x_{t−1}): nonconformity = |x_t − x_{t−1}| (exact integers
+    * on an integer series), q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest
+    * calibration residual — an exact ORDER STATISTIC, no
+    * interpolation, so the threshold is engine-identical — and the
+    * reported coverage on the held-out suffix is guaranteed ≥ 1−α in
+    * expectation whatever the series' distribution. α is passed as
+    * the rational `alphaNum/alphaDen` so the rank computes in integer
+    * arithmetic (a float (n+1)(1−α) can straddle ⌈⌉ boundaries
+    * differently per engine). Aggregate-first contract. Returns one
+    * row (n_cal, n_test, qhat, coverage); qhat null when the rank
+    * exceeds n_cal (α too small for the calibration size). */
+  def conformalPersistence(series: DataFrame, tCol: String, xCol: String,
+                           calN: Int, alphaNum: Int, alphaDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(calN >= 1, s"calN: $calN")
+    require(alphaNum > 0 && alphaDen > alphaNum, s"alpha: $alphaNum/$alphaDen")
+    val w = Window.orderBy(col("__t"))
+    val res = series.select(col(tCol).as("__t"), col(xCol).cast("long").as("__x"))
+      .withColumn("__r", abs(col("__x") - lag(col("__x"), 1).over(w)))
+      .where(col("__r").isNotNull)
+      .withColumn("__rn", row_number().over(Window.orderBy(col("__t"))))
+    val cal = res.where(col("__rn") <= calN)
+    val test = res.where(col("__rn") > calN)
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    // k = ⌈(n_cal+1)·(den−num)/den⌉ in pure integer arithmetic
+    val k = ((col("n_cal") + 1) * (alphaDen - alphaNum) + (alphaDen - 1)) / alphaDen
+    val qhat = cal
+      .withColumn("__k", row_number().over(Window.orderBy(col("__r"), col("__t"))))
+      .crossJoin(broadcast(nCal))
+      .where(col("__k") === k.cast("int"))
+      .agg(max("__r").as("qhat"))
+    test.crossJoin(broadcast(qhat)).crossJoin(broadcast(nCal))
+      .agg(max("n_cal").as("n_cal"), count(lit(1)).as("n_test"),
+        max("qhat").as("qhat"),
+        round(sum(when(col("__r") <= col("qhat"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("coverage"))
+  }
+
   /** Daily OHLC CANDLES — the finance-style compaction of an
     * irregular value stream (open/high/low/close + volume per day):
     * open/close come from ONE partial-aggregatable struct min/max

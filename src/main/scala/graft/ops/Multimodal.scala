@@ -99,6 +99,39 @@ object Multimodal {
       (leUInt(content, 28, 2) / 8L).cast("int").as("channels")))
   }
 
+  /** REAL GIF logical-screen decode (GIF87a/89a: LE uint16 width@6 /
+    * height@8, packed byte@10 — bit 7 = global-color-table flag, low 3
+    * bits n → 2^(n+1) table entries). Pure Column algebra like
+    * [[bmpMeta]]; null for non-GIF payloads. */
+  def gifMeta(content: Column): Column = {
+    val ok = length(content) >= 13 &&
+      (asciiAt(content, 0, 6) === "GIF87a" || asciiAt(content, 0, 6) === "GIF89a")
+    val packed = leUInt(content, 10, 1)
+    when(ok, struct(
+      length(content).cast("long").as("byte_len"),
+      asciiAt(content, 3, 3).as("version"),
+      leUInt(content, 6, 2).cast("int").as("width"),
+      leUInt(content, 8, 2).cast("int").as("height"),
+      when(packed >= 128, pow(lit(2.0), pmod(packed, lit(8L)) + 1).cast("int"))
+        .otherwise(lit(0)).as("gct_colors")))
+  }
+
+  /** Header-accurate GIF payload (logical screen descriptor + global
+    * color table when `gctBits` > 0 + trailer) — plant scaffolding for
+    * [[gifMeta]], same role as [[syntheticBmp]]. */
+  def syntheticGif(w: Int, h: Int, gctBits: Int = 0, v89: Boolean = true): Array[Byte] = {
+    require(w >= 0 && w < 65536 && h >= 0 && h < 65536 && gctBits >= 0 && gctBits <= 8)
+    val gctLen = if (gctBits > 0) 3 * (1 << gctBits) else 0
+    val bb = java.nio.ByteBuffer.allocate(13 + gctLen + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = if (v89) "GIF89a" else "GIF87a"
+    magic.zipWithIndex.foreach { case (c, i) => bb.put(i, c.toByte) }
+    bb.putShort(6, w.toShort); bb.putShort(8, h.toShort)
+    bb.put(10, (if (gctBits > 0) 0x80 | (gctBits - 1) else 0).toByte)
+    bb.put(13 + gctLen, 0x3b.toByte) // trailer
+    bb.array()
+  }
+
   /** REAL canonical-WAV header decode (44-byte RIFF/WAVE/fmt/data layout:
     * channels@22, sample rate@24, bits@34, data size@40 → duration).
     * Null for non-WAV payloads or non-canonical chunk layouts. */

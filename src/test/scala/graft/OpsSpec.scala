@@ -3098,6 +3098,35 @@ class OpsSpec extends AnyFunSuite {
     assert(Graph.kCore(edges, k = 4, rounds = 3).count() === 0L)
   }
 
+  test("gifMeta: round-trip planted headers; GCT size; non-GIF null") {
+    val d = Seq(
+      (1L, Multimodal.syntheticGif(320, 200, gctBits = 4, v89 = true)),
+      (2L, Multimodal.syntheticGif(16, 65535, gctBits = 0, v89 = false)),
+      (3L, "notagif".getBytes("UTF-8"))
+    ).toDF("id", "gif")
+    val gm = Multimodal.gifMeta(col("gif"))
+    val out = d.select(col("id"), gm.as("m")).orderBy("id").collect()
+    val r1 = out(0).getStruct(1)
+    assert((r1.getString(1), r1.getInt(2), r1.getInt(3), r1.getInt(4)) ===
+           (("89a", 320, 200, 16)))
+    assert(r1.getLong(0) === 14L + 3 * 16)
+    val r2 = out(1).getStruct(1)
+    assert((r2.getString(1), r2.getInt(2), r2.getInt(3), r2.getInt(4)) ===
+           (("87a", 16, 65535, 0)))
+    assert(out(2).isNullAt(1))
+  }
+
+  test("conformalPersistence: exact order-statistic threshold and coverage") {
+    // residuals 1,2,3,4,5,5,0; cal = first 4 → k = ⌈5·4/5⌉ = 4, q̂ = 4
+    // test residuals 5,5,0 → coverage 1/3
+    val xs = Seq(0L, 1L, 3L, 6L, 10L, 15L, 20L, 20L)
+    val d = xs.zipWithIndex.map { case (x, i) => (i, x) }.toDF("t", "x")
+    val r = Evaluation.conformalPersistence(d, "t", "x",
+      calN = 4, alphaNum = 1, alphaDen = 5).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ===
+           ((4L, 3L, 4L, math.rint(1.0 / 3 * 1e6) / 1e6)))
+  }
+
   test("scd2: consecutive repeats collapse, nulls version, open version current") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val feed = Seq(
