@@ -2608,6 +2608,46 @@ object TrainingCatalog {
                    END, 6) AS stat
       FROM sc ORDER BY abs(s) DESC, day LIMIT 1""")),
 
+    // per-user activity streaks (gaps-and-islands): longest and
+    // current consecutive-day runs — the island key day − rank is
+    // constant within a gapless run, integer-exact.
+    "q_events_streaks" -> (q((s, dir) =>
+      graft.ops.Funnel.activityStreaks(
+          SparkEntry.loader(s, dir)("events"), "user_id", "ts")
+        .orderBy("entity")
+    ), Some("""
+      WITH act AS (SELECT DISTINCT user_id AS entity, CAST(ts AS DATE) AS day FROM events),
+      e AS (SELECT max(CAST(ts AS DATE)) AS endd FROM events),
+      runs AS (SELECT entity,
+                      day - CAST(row_number() OVER (PARTITION BY entity ORDER BY day) AS INT)
+                        AS island,
+                      day
+               FROM act),
+      agg AS (SELECT entity, island, CAST(count(*) AS BIGINT) AS len, max(day) AS last_d
+              FROM runs GROUP BY 1, 2)
+      SELECT entity, CAST(sum(len) AS BIGINT) AS n_active_days,
+             CAST(max(len) AS BIGINT) AS longest_streak,
+             CAST(coalesce(max(CASE WHEN last_d = e.endd THEN len END), 0) AS BIGINT)
+               AS current_streak
+      FROM agg CROSS JOIN e GROUP BY entity ORDER BY entity""")),
+
+    // exact rolling 7-day active users (WAU): each active day covers
+    // the next 7 report days — a bounded ×7 explode + distinct count,
+    // no inequality join, exact where a sliding approx-distinct is
+    // not.
+    "q_events_wau" -> (q((s, dir) =>
+      graft.ops.Funnel.rollingActiveUsers(
+        SparkEntry.loader(s, dir)("events"), "user_id", "ts", windowDays = 7)
+    ), Some("""
+      WITH act AS (SELECT DISTINCT user_id AS entity, CAST(ts AS DATE) AS day FROM events),
+      b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
+      cov AS (SELECT DISTINCT entity, day + CAST(i AS INT) AS rday
+              FROM act, generate_series(0, 6) AS g(i))
+      SELECT rday AS day, CAST(count(*) AS BIGINT) AS active
+      FROM cov CROSS JOIN b
+      WHERE rday >= b.lo AND rday <= b.hi
+      GROUP BY 1 ORDER BY day""")),
+
     // DAU growth accounting: each day's actives split into new /
     // retained / resurrected, churned reconciling against yesterday
     // (dau − dau_prev = new + resurrected − churned) — per-user lag

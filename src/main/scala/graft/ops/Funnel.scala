@@ -209,6 +209,59 @@ object Funnel {
         (unix_micros(col("t_to")) - unix_micros(col("t_from"))).as("delta_us"))
   }
 
+  /** Per-entity ACTIVITY STREAKS (gaps-and-islands): consecutive-day
+    * runs found by the classic island key day − rank (constant within
+    * a gapless run, integer-exact), then per entity the longest streak
+    * and the CURRENT streak (the run touching the feed's last observed
+    * day; 0 if the entity wasn't active then — the re-engagement
+    * trigger every streak feature needs). Windows run over per-entity
+    * ACTIVE DAYS. Returns (entity, n_active_days, longest_streak,
+    * current_streak). */
+  def activityStreaks(events: DataFrame, entityCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val act = events.select(col(entityCol).as("entity"),
+      col(tsCol).cast("date").as("day")).distinct()
+    val end = events.agg(max(col(tsCol).cast("date")).as("__end"))
+    val w = Window.partitionBy("entity").orderBy("day")
+    val runs = act
+      .withColumn("__island",
+        datediff(col("day"), lit("1970-01-01").cast("date")) -
+          row_number().over(w))
+      .groupBy("entity", "__island")
+      .agg(count(lit(1)).as("__len"), max("day").as("__last"))
+    runs.crossJoin(broadcast(end))
+      .groupBy("entity")
+      .agg(sum("__len").as("n_active_days"),
+        max("__len").as("longest_streak"),
+        coalesce(max(when(col("__last") === col("__end"), col("__len"))), lit(0L))
+          .as("current_streak"))
+  }
+
+  /** ROLLING ACTIVE USERS — exact sliding-window distinct (WAU/MAU):
+    * each (entity, active day) covers the next `windowDays` report
+    * days, so the count per report day is a plain distinct count after
+    * a BOUNDED ×windowDays explode — no inequality join, no
+    * per-window rescan of history, and exact where a sliding
+    * `approx_count_distinct` would not be. Report days clip to the
+    * observed range. Returns (day, active). */
+  def rollingActiveUsers(events: DataFrame, entityCol: String, tsCol: String,
+                         windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays: $windowDays")
+    val act = events.select(col(entityCol).as("entity"),
+      col(tsCol).cast("date").as("day")).distinct()
+    val bounds = events.agg(min(col(tsCol).cast("date")).as("__lo"),
+      max(col(tsCol).cast("date")).as("__hi"))
+    act
+      .select(col("entity"),
+        explode(sequence(col("day"), date_add(col("day"), windowDays - 1))).as("rday"))
+      .distinct()
+      .crossJoin(broadcast(bounds))
+      .where(col("rday") >= col("__lo") && col("rday") <= col("__hi"))
+      .groupBy(col("rday").as("day"))
+      .agg(count(lit(1)).as("active"))
+      .orderBy("day")
+  }
+
   /** DAU GROWTH ACCOUNTING (the Duolingo/a16z decomposition): each
     * day's active users split into NEW (first-ever day), RETAINED
     * (also active yesterday), and RESURRECTED (seen before, but not

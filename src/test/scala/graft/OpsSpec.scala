@@ -3098,6 +3098,32 @@ class OpsSpec extends AnyFunSuite {
     assert(Graph.kCore(edges, k = 4, rounds = 3).count() === 0L)
   }
 
+  test("activityStreaks: islands split on gaps; current streak only at feed end") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
+    val ev = Seq(
+      // u1: runs 1-3 (len 3) and 5-6 (len 2, touches end) → longest 3, current 2
+      (1L, t("2024-01-01")), (1L, t("2024-01-02")), (1L, t("2024-01-03")),
+      (1L, t("2024-01-05")), (1L, t("2024-01-06")),
+      // u2: single day, not at end → current 0
+      (2L, t("2024-01-02"))
+    ).toDF("u", "ts")
+    val out = Funnel.activityStreaks(ev, "u", "ts").orderBy("entity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 5L, 3L, 2L), (2L, 1L, 1L, 0L)))
+  }
+
+  test("rollingActiveUsers: 3-day window counts distinct coverage, clipped to range") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
+    val ev = Seq(
+      (1L, t("2024-01-01")), (1L, t("2024-01-02")), // u1 covers 1-3 and 2-4 → 1-4
+      (2L, t("2024-01-04"))                          // u2 covers 4-6 → clipped to 4
+    ).toDF("u", "ts")
+    val out = Funnel.rollingActiveUsers(ev, "u", "ts", windowDays = 3).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(out === Map("2024-01-01" -> 1L, "2024-01-02" -> 1L, "2024-01-03" -> 1L,
+      "2024-01-04" -> 2L))
+  }
+
   test("gifMeta: round-trip planted headers; GCT size; non-GIF null") {
     val d = Seq(
       (1L, Multimodal.syntheticGif(320, 200, gctBits = 4, v89 = true)),

@@ -570,6 +570,26 @@ class PlanSpec extends AnyFunSuite {
       s"grid candidate generation degenerated to a product join:\n$p")
   }
 
+  test("hierarchy rollup: dimension joins broadcast; shares join broadcast") {
+    val p = plan("q_agg_hierarchy")
+    val bhj = p.split('\n').count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 3, s"nation/region dims + parent totals should broadcast (got $bhj):\n$p")
+    assert(!p.contains("CartesianProduct"), s"product join in the hierarchy plan:\n$p")
+  }
+
+  test("ohlc: one aggregate, no per-day window, no join") {
+    val p = plan("q_events_ohlc")
+    assert(!p.contains("Window"), s"open/close must come from struct min/max, not a window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no join belongs in the candle plan:\n$p")
+  }
+
+  test("cross-source overlap: gram-keyed equi-join, never a class-pair product") {
+    val p = plan("q_text_cross_source")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap candidates must come from the gram equi-join:\n$p")
+  }
+
   test("grouped hll estimate: one aggregate over the register table, no join back") {
     // the post-drain/serving side of q_stream_hll: estimating from
     // (windows × 256) register rows must never join or rescan a corpus
