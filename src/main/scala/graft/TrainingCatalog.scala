@@ -2608,6 +2608,59 @@ object TrainingCatalog {
                    END, 6) AS stat
       FROM sc ORDER BY abs(s) DESC, day LIMIT 1""")),
 
+    // LTV curve: average cumulative revenue by account age with
+    // maturity-eligible denominators (without the clip the tail mixes
+    // cohorts and bends down spuriously); bounded ×maxAge explodes,
+    // exact cents.
+    "q_events_ltv" -> (q((s, dir) =>
+      graft.ops.Funnel.ltvCurve(SparkEntry.loader(s, dir)("events"),
+        "user_id", "ts", "value", maxAge = 29)
+    ), Some("""
+      WITH act AS (SELECT user_id AS u, CAST(ts AS DATE) AS day,
+                          CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+      f AS (SELECT u, min(day) AS first_d FROM act GROUP BY 1),
+      e AS (SELECT max(CAST(ts AS DATE)) AS endd FROM events),
+      sp AS (SELECT u, first_d, least(datediff('day', first_d, e.endd), 29) AS span
+             FROM f CROSS JOIN e),
+      rev AS (SELECT act.u, sp.span, datediff('day', sp.first_d, act.day) AS age,
+                     CAST(sum(cents) AS BIGINT) AS c
+              FROM act JOIN sp ON act.u = sp.u GROUP BY 1, 2, 3),
+      numer AS (SELECT CAST(age + i AS INT) AS age, CAST(sum(c) AS BIGINT) AS total_cents
+                FROM rev, generate_series(0, 29) AS g(i)
+                WHERE age + i <= span GROUP BY 1),
+      denom AS (SELECT CAST(i AS INT) AS age, CAST(count(*) AS BIGINT) AS n_users
+                FROM sp, generate_series(0, 29) AS g(i)
+                WHERE i <= span GROUP BY 1)
+      SELECT d.age, d.n_users, coalesce(n.total_cents, 0) AS total_cents,
+             round(CAST(coalesce(n.total_cents, 0) AS DOUBLE) /
+                   (CAST(d.n_users AS DOUBLE) * 100.0), 6) AS ltv
+      FROM denom d LEFT JOIN numer n ON d.age = n.age ORDER BY d.age""")),
+
+    // empirical-Bayes conversion-rate shrinkage toward the pooled
+    // rate (pseudo-count τ=20): the small-n ranking fix; the prior is
+    // ONE exact pooled-integer division so engines see the identical
+    // m.
+    "q_events_eb_rates" -> (q((s, dir) => {
+      val perUser = SparkEntry.loader(s, dir)("events")
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      graft.ops.Evaluation.ebShrinkRates(
+          perUser.select(col("user_id"), (col("conv") === 1L).as("ok")),
+          "user_id", "ok", tau = 20.0)
+        .orderBy("key")
+    }), Some("""
+      WITH pd AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+                  FROM events GROUP BY 1, 2),
+      g AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(conv) AS BIGINT) AS x FROM pd GROUP BY 1),
+      m AS (SELECT CAST(sum(x) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS m FROM g)
+      SELECT key, n, x,
+             round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+             round((CAST(x AS DOUBLE) + 20.0 * m.m) / (CAST(n AS DOUBLE) + 20.0), 6)
+               AS shrunken
+      FROM g CROSS JOIN m ORDER BY key""")),
+
     // per-user activity streaks (gaps-and-islands): longest and
     // current consecutive-day runs — the island key day − rank is
     // constant within a gapless run, integer-exact.

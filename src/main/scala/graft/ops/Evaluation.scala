@@ -297,6 +297,30 @@ object Evaluation {
               sqrt(col("__n").cast("double")))), 6).as("stat"))
   }
 
+  /** EMPIRICAL-BAYES rate shrinkage toward the pooled rate — the
+    * small-n ranking fix (a 2/2 item must not outrank a 95/100 one):
+    * shrunken = (x + τ·m) / (n + τ) with pseudo-count `tau` and
+    * m = Σx/Σn, the Beta(τ·m, τ·(1−m)) posterior mean. m is ONE
+    * division of exact pooled integers (a mean-of-per-key-rates prior
+    * would sum arbitrary doubles — partition-order-dependent), so
+    * every per-key expression sees the identical prior and engines
+    * agree bit-for-bit. Returns (key, n, x, rate, shrunken), rates
+    * 6 dp. */
+  def ebShrinkRates(df: DataFrame, keyCol: String, successCol: String,
+                    tau: Double): DataFrame = {
+    require(tau > 0, s"tau: $tau")
+    val g = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(successCol).cast("boolean"), 1L).otherwise(0L)).as("x"))
+    val pooled = g.agg(sum("x").as("__sx"), sum("n").as("__sn"))
+      .select((col("__sx").cast("double") / col("__sn").cast("double")).as("__m"))
+    g.crossJoin(broadcast(pooled))
+      .select(col("key"), col("n"), col("x"),
+        round(col("x").cast("double") / col("n").cast("double"), 6).as("rate"),
+        round((col("x").cast("double") + lit(tau) * col("__m")) /
+          (col("n").cast("double") + lit(tau)), 6).as("shrunken"))
+  }
+
   /** SPLIT-CONFORMAL prediction interval for the PERSISTENCE forecast
     * (Vovk's conformal guarantee on the simplest possible model,
     * x̂_t = x_{t−1}): nonconformity = |x_t − x_{t−1}| (exact integers

@@ -209,6 +209,48 @@ object Funnel {
         (unix_micros(col("t_to")) - unix_micros(col("t_from"))).as("delta_us"))
   }
 
+  /** LTV CURVE — average cumulative revenue per user by account age
+    * (the payback-period chart every acquisition budget is set
+    * against): ltv(a) = Σ_eligible cumrev_u(a) / |eligible(a)|, where
+    * a user is eligible at age `a` only if observed that long
+    * (first day + a ≤ feed end — without the eligibility clip the
+    * curve's tail mixes cohorts of different maturity and bends down
+    * spuriously). Revenue at age a′ contributes to every age a ≥ a′:
+    * ONE bounded ×maxAge explode per (user, age) revenue cell and per
+    * user span — no per-age rescan, no inequality join; cents keep
+    * the sums exact. Returns (age, n_users, total_cents, ltv). */
+  def ltvCurve(events: DataFrame, entityCol: String, tsCol: String,
+               valueCol: String, maxAge: Int): DataFrame = {
+    require(maxAge >= 0, s"maxAge: $maxAge")
+    val act = events.select(col(entityCol).as("u"),
+      col(tsCol).cast("date").as("day"),
+      round(col(valueCol).cast("double") * 100, 0).cast("long").as("cents"))
+    val first = act.groupBy("u").agg(min("day").as("__first"))
+    val end = events.agg(max(col(tsCol).cast("date")).as("__end"))
+    val spans = first.crossJoin(broadcast(end))
+      .select(col("u"), col("__first"),
+        least(datediff(col("__end"), col("__first")), lit(maxAge)).as("__span"))
+    val rev = act.join(spans, Seq("u"))
+      .select(col("u"), col("__span"),
+        datediff(col("day"), col("__first")).as("__age"), col("cents"))
+      .groupBy("u", "__span", "__age").agg(sum("cents").as("__c"))
+    val numer = rev
+      // revenue past the clipped span contributes to no reported age
+      // (and Spark's sequence(start > stop) would silently DESCEND)
+      .where(col("__age") <= col("__span"))
+      .select(explode(sequence(col("__age"), col("__span"))).as("age"), col("__c"))
+      .groupBy("age").agg(sum("__c").as("total_cents"))
+    val denom = spans
+      .select(explode(sequence(lit(0), col("__span"))).as("age"))
+      .groupBy("age").agg(count(lit(1)).as("n_users"))
+    denom.join(numer, Seq("age"), "left")
+      .select(col("age"), col("n_users"),
+        coalesce(col("total_cents"), lit(0L)).as("total_cents"),
+        round(coalesce(col("total_cents"), lit(0L)).cast("double") /
+          (col("n_users").cast("double") * 100.0), 6).as("ltv"))
+      .orderBy("age")
+  }
+
   /** Per-entity ACTIVITY STREAKS (gaps-and-islands): consecutive-day
     * runs found by the classic island key day − rank (constant within
     * a gapless run, integer-exact), then per entity the longest streak

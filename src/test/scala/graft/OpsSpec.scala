@@ -3098,6 +3098,37 @@ class OpsSpec extends AnyFunSuite {
     assert(Graph.kCore(edges, k = 4, rounds = 3).count() === 0L)
   }
 
+  test("ltvCurve: eligibility-clipped denominators and cumulative cents by hand") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
+    // feed end = Jan 3. u1 starts Jan 1 (span 2): 1.00, then 2.00 at age 2.
+    // u2 starts Jan 3 (span 0): 5.00. maxAge=2.
+    val ev = Seq(
+      (1L, t("2024-01-01"), 1.00), (1L, t("2024-01-03"), 2.00),
+      (2L, t("2024-01-03"), 5.00)
+    ).toDF("u", "ts", "v")
+    val out = Funnel.ltvCurve(ev, "u", "ts", "v", maxAge = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (0, 2L, 600L, 3.0),   // age 0: u1 cum 1.00 + u2 cum 5.00 over 2 users
+      (1, 1L, 100L, 1.0),   // only u1 observed to age 1
+      (2, 1L, 300L, 3.0)))  // u1 cum 3.00
+  }
+
+  test("ebShrinkRates: pooled prior pulls small-n toward m, large-n resists") {
+    val d = (Seq.fill(2)(("small", true)) ++            // 2/2 raw 1.0
+      Seq.fill(95)(("large", true)) ++ Seq.fill(5)(("large", false)) ++
+      Seq.fill(3)(("mid", false))).toDF("k", "ok")
+    val out = Evaluation.ebShrinkRates(d, "k", "ok", tau = 20.0).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val m = 97.0 / 105.0
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out("small") === ((2L, 2L, 1.0, r6((2 + 20 * m) / 22.0))))
+    assert(out("large") === ((100L, 95L, 0.95, r6((95 + 20 * m) / 120.0))))
+    // ranking fix: raw says small > large; shrunken says large > small
+    assert(out("small")._4 < out("large")._4)
+  }
+
   test("activityStreaks: islands split on gaps; current streak only at feed end") {
     def t(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
     val ev = Seq(
