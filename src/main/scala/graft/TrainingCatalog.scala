@@ -2608,6 +2608,75 @@ object TrainingCatalog {
                    END, 6) AS stat
       FROM sc ORDER BY abs(s) DESC, day LIMIT 1""")),
 
+    // first-touch WINDOWED funnel: each stage must land within 24h of
+    // the previous one, anchored at the earliest view (the conversion-
+    // window convention; re-anchoring variants are a different
+    // operator — documented on the op). Exact-µs window bounds.
+    "q_events_funnel_window" -> (q((s, dir) =>
+      graft.ops.Funnel.funnelWithin(
+          SparkEntry.loader(s, dir)("events"), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"), withinSec = 86400L)
+        .orderBy("user_id")
+    ), Some("""
+      WITH s1 AS (
+        SELECT user_id, min(ts) AS view_ts FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (
+        SELECT e.user_id, min(e.ts) AS click_ts
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > s1.view_ts
+          AND epoch_us(e.ts) <= epoch_us(s1.view_ts) + 86400000000 GROUP BY 1),
+      s3 AS (
+        SELECT e.user_id, min(e.ts) AS purchase_ts
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s2.click_ts
+          AND epoch_us(e.ts) <= epoch_us(s2.click_ts) + 86400000000 GROUP BY 1)
+      SELECT u.user_id, s1.view_ts, s2.click_ts, s3.purchase_ts,
+             CAST((CASE WHEN s1.view_ts IS NOT NULL THEN 1 ELSE 0 END)
+                + (CASE WHEN s2.click_ts IS NOT NULL THEN 1 ELSE 0 END)
+                + (CASE WHEN s3.purchase_ts IS NOT NULL THEN 1 ELSE 0 END)
+               AS INT) AS stages_completed
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN s1 USING (user_id)
+      LEFT JOIN s2 USING (user_id)
+      LEFT JOIN s3 USING (user_id)
+      ORDER BY u.user_id""")),
+
+    // session bounce rate: single-event sessions per user over the
+    // same 30-minute session rule — the engagement-quality scalar on
+    // top of sessionization.
+    "q_events_bounce" -> (q((s, dir) => {
+      val e = SparkEntry.loader(s, dir)("events")
+        .withColumn("ts", date_trunc("second", col("ts")))
+      graft.ops.Sessions.sessionSummary(e, "user_id", "ts",
+          gapSec = 1800, tieBreak = col("event_id"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("bounces"))
+        .withColumn("bounce_rate",
+          round(col("bounces").cast("double") / col("n_sessions").cast("double"), 6))
+        .orderBy("user_id")
+    }), Some("""
+      WITH e AS (
+        SELECT user_id, date_trunc('second', ts) AS ts, event_id FROM events),
+      g AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (
+        SELECT user_id,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) - 1 AS sess
+        FROM g),
+      ses AS (SELECT user_id, sess, count(*) AS n_events FROM s GROUP BY 1, 2)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+             round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+                   count(*), 6) AS bounce_rate
+      FROM ses GROUP BY user_id ORDER BY user_id""")),
+
     // LTV curve: average cumulative revenue by account age with
     // maturity-eligible denominators (without the clip the tail mixes
     // cohorts and bends down spuriously); bounded ×maxAge explodes,

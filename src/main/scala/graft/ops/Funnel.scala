@@ -51,6 +51,46 @@ object Funnel {
           .reduce(_ + _).cast("int").as("stages_completed"): _*)
   }
 
+  /** FIRST-TOUCH WINDOWED funnel — [[funnel]] with a conversion
+    * window: stage k must land within `withinSec` of stage k−1's
+    * time. Semantics are ANCHORED at the earliest stage-1 event
+    * (the Amplitude-style convention): a user whose first entry
+    * missed its window does NOT re-anchor at a later entry — with
+    * windows, greedy-earliest is no longer optimal across anchors
+    * (a later anchor can open a window the earliest one closed), and
+    * re-anchoring semantics need a per-user sequence scan, a
+    * different operator. Window bounds compare exact µs. Same
+    * shape/output as [[funnel]]. */
+  def funnelWithin(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, stages: Seq[String], withinSec: Long): DataFrame = {
+    require(stages.nonEmpty && stages.distinct == stages, s"stages: $stages")
+    require(withinSec > 0, s"withinSec: $withinSec")
+    val base = events.select(col(userCol).as("__u"), col(typeCol).as("__t"),
+      col(tsCol).as("__ts"))
+    var acc = base.select(col("__u")).distinct()
+    var prevCol: Option[String] = None
+    for (st <- stages) {
+      val outCol = s"${st}_ts"
+      val evs = base.where(col("__t") === st)
+      val stage = prevCol match {
+        case None =>
+          evs.groupBy(col("__u")).agg(min(col("__ts")).as(outCol))
+        case Some(p) =>
+          evs.join(acc.select(col("__u"), col(p)).where(col(p).isNotNull), "__u")
+            .where(col("__ts") > col(p) &&
+              unix_micros(col("__ts")) <= unix_micros(col(p)) + withinSec * 1000000L)
+            .groupBy(col("__u")).agg(min(col("__ts")).as(outCol))
+      }
+      acc = acc.join(stage, Seq("__u"), "left")
+      prevCol = Some(outCol)
+    }
+    acc.select(
+      (col("__u").as(userCol) +:
+        stages.map(st => col(s"${st}_ts"))) :+
+        stages.map(st => when(col(s"${st}_ts").isNotNull, 1).otherwise(0))
+          .reduce(_ + _).cast("int").as("stages_completed"): _*)
+  }
+
   /** Weekly COHORT RETENTION — the other canonical product-analytics
     * matrix: users grouped by first-activity week (the cohort), and for
     * each week offset the count of that cohort still active, plus the

@@ -3098,6 +3098,30 @@ class OpsSpec extends AnyFunSuite {
     assert(Graph.kCore(edges, k = 4, rounds = 3).count() === 0L)
   }
 
+  test("funnelWithin: window cuts conversions; anchoring does not move") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: view 10:00, click 10:30 (inside 1h), purchase 12:00 (outside click+1h)
+      (1L, "view", t("2024-01-01 10:00:00")),
+      (1L, "click", t("2024-01-01 10:30:00")),
+      (1L, "purchase", t("2024-01-01 12:00:00")),
+      // u2: first view 08:00 with no click in window; a later view 10:00
+      // WOULD convert — first-touch anchoring must NOT use it
+      (2L, "view", t("2024-01-01 08:00:00")),
+      (2L, "view", t("2024-01-01 10:00:00")),
+      (2L, "click", t("2024-01-01 10:10:00"))
+    ).toDF("u", "et", "ts")
+    val out = Funnel.funnelWithin(ev, "u", "et", "ts",
+      Seq("view", "click", "purchase"), withinSec = 3600L)
+      .orderBy("u").collect()
+    assert(out(0).getInt(4) === 2, s"u1 purchase outside window: ${out(0)}")
+    assert(out(1).getInt(4) === 1, s"u2 anchored at 08:00, click outside: ${out(1)}")
+    // unwindowed funnel for contrast: u1 completes all 3
+    val plain = Funnel.funnel(ev, "u", "et", "ts", Seq("view", "click", "purchase"))
+      .orderBy("u").collect()
+    assert(plain(0).getInt(4) === 3)
+  }
+
   test("ltvCurve: eligibility-clipped denominators and cumulative cents by hand") {
     def t(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
     // feed end = Jan 3. u1 starts Jan 1 (span 2): 1.00, then 2.00 at age 2.
