@@ -472,6 +472,67 @@ object StreamCatalog {
       WHERE we <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
       ORDER BY window_start""")),
 
+    // streaming count-min: per finalized day window the d·w = 3·64
+    // cell table (state bounded at ANY key cardinality, where exact
+    // per-key counters grow with distinct keys), drained and then
+    // point-queried for every event type — missing cells read as 0,
+    // so estimates stay never-undercounting. Cells are md5-derived;
+    // the whole estimate surface hash-matches the batch replay.
+    "q_stream_cm" -> (raw((s, dir) => {
+      val events = streamRead(s, dir, "events")
+      val sk = Streams.windowedCmSketch(events, "ts", "event_type",
+        windowLen = "1 day", watermark = "1 hour", w = 64, d = 3)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val drained = drain(s, sk, "cm", OutputMode.Append())
+        import s.implicits._
+        val probes = Seq("click", "error", "purchase", "signup", "view").toDF("key")
+          .withColumn("prow", explode(sequence(lit(0), lit(2))))
+          .withColumn("pbucket",
+            (conv(substring(md5(concat(col("prow").cast("string"), lit(":"), col("key"))),
+              1, 6), 16, 10).cast("long") % 64).cast("int"))
+        // renamed projection: a memory-sink table self-join otherwise
+        // trips conflicting-attribute resolution
+        val wins = drained.select(col("window_start").as("ws"),
+          col("window_end").as("we")).distinct()
+        wins.crossJoin(probes)
+          .join(drained,
+            col("ws") === col("window_start") && col("we") === col("window_end") &&
+              col("prow") === col("row") && col("pbucket") === col("bucket"), "left")
+          .select(col("ws"), col("we"), col("key"),
+            coalesce(col("cnt"), lit(0L)).as("__c"))
+          .groupBy("ws", "we", "key")
+          .agg(min("__c").as("est"))
+          .select(col("ws").as("window_start"), col("we").as("window_end"),
+            col("key"), col("est"))
+          .orderBy("window_start", "key")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }), Some("""
+      WITH ev AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS we,
+               event_type AS k
+        FROM events),
+      cells AS (
+        SELECT ws, we, g.row,
+               CAST(('0x' || substring(md5(CAST(g.row AS VARCHAR) || ':' || k), 1, 6))::BIGINT % 64 AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM ev, generate_series(0, 2) AS g(row) GROUP BY 1, 2, 3, 4),
+      wins AS (SELECT DISTINCT ws, we FROM cells),
+      probes AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS key),
+      pb AS (SELECT wins.ws, wins.we, probes.key, g.row,
+                    CAST(('0x' || substring(md5(CAST(g.row AS VARCHAR) || ':' || probes.key), 1, 6))::BIGINT % 64 AS INT) AS bucket
+             FROM wins, probes, generate_series(0, 2) AS g(row)),
+      j AS (SELECT pb.ws, pb.we, pb.key, pb.row, coalesce(cells.cnt, 0) AS cnt
+            FROM pb LEFT JOIN cells
+              ON cells.ws = pb.ws AND cells.we = pb.we
+             AND cells.row = pb.row AND cells.bucket = pb.bucket)
+      SELECT ws AS window_start, we AS window_end, key, CAST(min(cnt) AS BIGINT) AS est
+      FROM j
+      WHERE we <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+      GROUP BY 1, 2, 3 ORDER BY window_start, key""")),
+
     // STREAM-STREAM interval join: views and clicks are two unbounded
     // streams (two streaming reads of the same event file, filtered to
     // disjoint types); each view matches same-user clicks within the

@@ -2677,6 +2677,30 @@ object TrainingCatalog {
                    count(*), 6) AS bounce_rate
       FROM ses GROUP BY user_id ORDER BY user_id""")),
 
+    // largest-remainder (Hamilton) apportionment of a 10,000-doc
+    // sampling budget across sources by character mass: base shares
+    // via EXACT remainder arithmetic (floor(a/b) on a rounded double
+    // can land wrong when a/b grazes an integer), leftovers to the
+    // largest remainders — Σalloc = total by construction.
+    "q_sample_apportion" -> (q((s, dir) => {
+      val weights = docs(s, dir).groupBy(col("source").as("src"))
+        .agg(sum(col("n_chars").cast("long")).as("chars"))
+      graft.ops.Sampling.apportion(weights, "src", "chars", total = 10000L)
+        .orderBy("key")
+    }), Some("""
+      WITH w AS (SELECT source AS key, CAST(sum(n_chars) AS BIGINT) AS weight
+                 FROM documents GROUP BY 1 HAVING sum(n_chars) > 0),
+      s AS (SELECT CAST(sum(weight) AS BIGINT) AS s FROM w),
+      b AS (SELECT key, weight,
+                   CAST((10000 * weight) % s.s AS BIGINT) AS remainder,
+                   CAST((10000 * weight) // s.s AS BIGINT) AS base
+            FROM w CROSS JOIN s),
+      l AS (SELECT CAST(10000 - sum(base) AS BIGINT) AS lft FROM b),
+      r AS (SELECT *, row_number() OVER (ORDER BY remainder DESC, key) AS rk FROM b)
+      SELECT key, weight, base, remainder,
+             CAST(base + CASE WHEN rk <= l.lft THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      FROM r CROSS JOIN l ORDER BY key""")),
+
     // LTV curve: average cumulative revenue by account age with
     // maturity-eligible denominators (without the clip the tail mixes
     // cohorts and bends down spuriously); bounded ×maxAge explodes,

@@ -349,4 +349,36 @@ object Sampling {
     cur.select(col("source"), col("tokens"), col("cap"), col("alloc"),
       round(col("alloc") / col("tokens"), 6).as("epochs"))
   }
+
+  /** LARGEST-REMAINDER (Hamilton) apportionment — split an integer
+    * budget across keys proportionally to integer weights with NO
+    * fractional drift: base = ⌊total·w/S⌋ via EXACT remainder
+    * arithmetic (subtract `pmod` first, so the one division is evenly
+    * divisible and float-exact; a naive floor(a/b) on a correctly-
+    * rounded double can land on the wrong side when a/b grazes an
+    * integer), then the `total − Σbase` leftover units go to the
+    * largest remainders (ties → smaller key — deterministic at any
+    * partitioning). Σalloc = total by construction (law-spec'd). The
+    * rank window runs over the KEY-sized frame. Returns
+    * (key, weight, base, remainder, alloc). */
+  def apportion(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                weightCol: String, total: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(total >= 0, s"total: $total")
+    val w = df.select(col(keyCol).as("key"), col(weightCol).cast("long").as("weight"))
+      .where(col("weight") > 0)
+    val s = w.agg(sum("weight").as("__s"))
+    val based = w.crossJoin(broadcast(s))
+      .select(col("key"), col("weight"),
+        pmod(lit(total) * col("weight"), col("__s")).as("remainder"),
+        ((lit(total) * col("weight") - pmod(lit(total) * col("weight"), col("__s"))) /
+          col("__s")).cast("long").as("base"))
+    val leftover = based.agg((lit(total) - sum("base")).as("__left"))
+    based
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("remainder").desc, col("key"))))
+      .crossJoin(broadcast(leftover))
+      .select(col("key"), col("weight"), col("base"), col("remainder"),
+        (col("base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L)).as("alloc"))
+  }
 }

@@ -195,6 +195,34 @@ object Streams {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("bucket"), col("reg"))
 
+  /** Windowed COUNT-MIN sketch on a stream — frequency estimates per
+    * tumbling window with state bounded by (open windows × d·w)
+    * REGARDLESS of key cardinality, where [[windowedFrequentItems]]'s
+    * exact counters grow with the window's distinct keys (fine for
+    * event types, fatal for URLs/user-agents). One stateful count per
+    * (window, row, bucket) in Append mode; cells are md5-derived
+    * exactly as the batch sketch ([[graft.ops.Sketches.cmSketch]]), so
+    * a drained window's cell table point-queries identically
+    * ([[graft.ops.Sketches.cmEstimate]] on the drained rows — the
+    * registers-in-store/estimate-at-query split, sketch edition;
+    * never undercounts, merges by cell-wise sum). */
+  def windowedCmSketch(events: DataFrame, tsCol: String, keyCol: String,
+                       windowLen: String, watermark: String,
+                       w: Int, d: Int): DataFrame = {
+    require(w > 1 && d >= 1, s"w: $w, d: $d")
+    events
+      .where(col(keyCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(keyCol).cast("string").as("__k"),
+        explode(sequence(lit(0), lit(d - 1))).as("row"))
+      .groupBy(window(col(tsCol), windowLen).as("w"), col("row"),
+        (conv(substring(md5(concat(col("row").cast("string"), lit(":"), col("__k"))),
+          1, 6), 16, 10).cast("long") % w).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("row"), col("bucket"), col("cnt"))
+  }
+
   /** Windowed per-class MIX MONITOR: per finalized tumbling window,
     * each class's row count and weight sum (tokens, bytes) — the
     * streaming sibling of `TextAnalysis.mixDrift`, watching the

@@ -3098,6 +3098,21 @@ class OpsSpec extends AnyFunSuite {
     assert(Graph.kCore(edges, k = 4, rounds = 3).count() === 0L)
   }
 
+  test("apportion: Hamilton shares by hand; Σalloc = total under awkward weights") {
+    val d = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("k", "w")
+    val out = Sampling.apportion(d, "k", "w", total = 7L).orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // quotas 3.5 / 2.1 / 1.4 → bases 3,2,1; one leftover to the
+    // largest remainder (a: 35%10=5 beats c: 14%10=4)
+    assert(out.toSeq === Seq(("a", 5L, 3L, 5L, 4L), ("b", 3L, 2L, 1L, 2L),
+      ("c", 2L, 1L, 4L, 1L)))
+    // prime-ish weights: the invariant is exact conservation
+    val d2 = (1 to 13).map(i => (s"k$i", (i * 7 + 3).toLong)).toDF("k", "w")
+    val total = Sampling.apportion(d2, "k", "w", total = 9973L)
+      .agg(sum("alloc")).collect().head.getLong(0)
+    assert(total === 9973L)
+  }
+
   test("funnelWithin: window cuts conversions; anchoring does not move") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(

@@ -171,6 +171,30 @@ class StreamsSpec extends AnyFunSuite {
       m.contains("key") && m.contains("timestamp") && m.contains("date/time")))
   }
 
+  test("windowedCmSketch: drained cells = batch sketch's nonzero cells") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val sk = Streams.windowedCmSketch(
+      in.toDF().toDF("ts", "k"), "ts", "k",
+      windowLen = "10 minutes", watermark = "5 minutes", w = 32, d = 3)
+    val q = sk.writeStream.format("memory").queryName("cmwin")
+      .outputMode(OutputMode.Append).start()
+    in.addData((ts("2024-01-01 00:01:00"), "x"), (ts("2024-01-01 00:02:00"), "y"),
+      (ts("2024-01-01 00:03:00"), "x"))
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 00:21:00"), "z")) // finalize the first window
+    q.processAllAvailable()
+    val got = spark.table("cmwin").orderBy("row", "bucket")
+      .select("row", "bucket", "cnt").as[(Int, Int, Long)].collect()
+    q.stop()
+    val batch = graft.ops.Sketches.cmSketch(
+        Seq("x", "y", "x").toDF("k"), "k", w = 32, d = 3)
+      .where(col("cnt") > 0).orderBy("row", "bucket")
+      .select("row", "bucket", "cnt").as[(Int, Int, Long)].collect()
+    assert(got.toSeq === batch.toSeq)
+  }
+
   test("windowedDistinctHll: drained registers = batch sketch of the finalized window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
