@@ -2677,6 +2677,59 @@ object TrainingCatalog {
                    count(*), 6) AS bounce_rate
       FROM ses GROUP BY user_id ORDER BY user_id""")),
 
+    // rendezvous (HRW) shard routing: each doc to the shard
+    // maximizing md5(shard:key) — the stable partition map whose
+    // minimal-disruption law (only ~1/N of keys move on reshard) is
+    // spec-pinned; pure scan-stage Column algebra, no shuffle.
+    "q_sample_rendezvous" -> (q((s, dir) =>
+      graft.ops.Sampling.rendezvousAssign(
+          docs(s, dir).select(col("doc_id")), "doc_id",
+          Seq("shard0", "shard1", "shard2", "shard3"))
+        .groupBy("shard").agg(count(lit(1)).as("n_docs"))
+        .orderBy("shard")
+    ), Some("""
+      WITH sc AS (
+        SELECT doc_id, sh, md5(sh || ':' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents, unnest(['shard0', 'shard1', 'shard2', 'shard3']) AS t(sh)),
+      w AS (SELECT doc_id, sh,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, sh DESC) AS rk
+            FROM sc)
+      SELECT sh AS shard, CAST(count(*) AS BIGINT) AS n_docs
+      FROM w WHERE rk = 1 GROUP BY 1 ORDER BY shard""")),
+
+    // dimensional-history lookup: each purchase joined with the
+    // segment that HELD at its moment — q_events_scd2's intervals
+    // probed as-of, the composition the SCD table exists for. The
+    // as-of probe is the running-last window (one user-keyed shuffle,
+    // no range join).
+    "q_events_scd2_lookup" -> (q((s, dir) => {
+      val p = SparkEntry.loader(s, dir)("events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") / 100).cast("long").as("segment"))
+      val dim = graft.ops.Dedup.scd2(p, "user_id", "ts", Seq("segment"), col("event_id"))
+      graft.ops.AsofJoin.asofBackward(
+          p.select(col("user_id"), col("ts"), col("event_id")),
+          dim.select(col("user_id"), col("valid_from"), col("segment")),
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "valid_from",
+          payload = Seq("segment"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("asof_segment").as("held_segment"))
+        .orderBy("user_id", "ts", "event_id")
+    }), Some("""
+      WITH p AS (SELECT user_id, ts, event_id,
+                        CAST(floor(value / 100) AS BIGINT) AS segment
+                 FROM events WHERE event_type = 'purchase'),
+      ch AS (SELECT *, lag(segment) OVER w AS prev FROM p
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      dim AS (SELECT user_id, ts AS valid_from, segment FROM ch
+              WHERE prev IS NULL OR prev IS DISTINCT FROM segment)
+      SELECT p.user_id, p.ts, p.event_id,
+             (SELECT d.segment FROM dim d
+              WHERE d.user_id = p.user_id AND d.valid_from <= p.ts
+              ORDER BY d.valid_from DESC LIMIT 1) AS held_segment
+      FROM p ORDER BY p.user_id, p.ts, p.event_id""")),
+
     // largest-remainder (Hamilton) apportionment of a 10,000-doc
     // sampling budget across sources by character mass: base shares
     // via EXACT remainder arithmetic (floor(a/b) on a rounded double

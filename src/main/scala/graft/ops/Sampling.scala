@@ -350,6 +350,27 @@ object Sampling {
       round(col("alloc") / col("tokens"), 6).as("epochs"))
   }
 
+  /** RENDEZVOUS (highest-random-weight) routing — the stable shard
+    * assignment behind consistent partition maps: each key goes to the
+    * shard maximizing md5(shard ‖ ':' ‖ key), so adding or removing a
+    * shard moves ONLY the keys whose winner changed (~1/N of them —
+    * the minimal-disruption law, spec-pinned), where mod-N hashing
+    * reshuffles nearly everything. Pure scan-stage Column algebra: the
+    * shard list unrolls to a greatest() over |shards| literal hashes —
+    * no join, no shuffle, engine-portable md5. Returns the input plus
+    * `shard`. */
+  def rendezvousAssign(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                       shards: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(shards.nonEmpty && shards.distinct == shards, s"shards: $shards")
+    val scored = shards.map { sh =>
+      struct(md5(concat(lit(sh), lit(":"), col(keyCol).cast("string"))).as("h"),
+        lit(sh).as("s"))
+    }
+    val winner =
+      if (scored.size == 1) scored.head else greatest(scored: _*)
+    df.withColumn("shard", winner.getField("s"))
+  }
+
   /** LARGEST-REMAINDER (Hamilton) apportionment — split an integer
     * budget across keys proportionally to integer weights with NO
     * fractional drift: base = ⌊total·w/S⌋ via EXACT remainder

@@ -3098,6 +3098,22 @@ class OpsSpec extends AnyFunSuite {
     assert(Graph.kCore(edges, k = 4, rounds = 3).count() === 0L)
   }
 
+  test("rendezvousAssign: deterministic, balanced-ish, minimal disruption on reshard") {
+    val keys = (0 until 400).map(_.toLong).toDF("k")
+    val three = Sampling.rendezvousAssign(keys, "k", Seq("s0", "s1", "s2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val four = Sampling.rendezvousAssign(keys, "k", Seq("s0", "s1", "s2", "s3"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // adding a shard: keys either keep their shard or move TO the new one
+    assert(keys.collect().forall { r =>
+      val k = r.getLong(0); four(k) == three(k) || four(k) == "s3" })
+    // roughly 1/4 land on the new shard (binomial ~100 ± wide slack)
+    val moved = four.values.count(_ == "s3")
+    assert(moved > 50 && moved < 160, s"moved=$moved of 400")
+    // every shard gets traffic
+    assert(four.values.toSet.size === 4)
+  }
+
   test("apportion: Hamilton shares by hand; Σalloc = total under awkward weights") {
     val d = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("k", "w")
     val out = Sampling.apportion(d, "k", "w", total = 7L).orderBy("key").collect()
