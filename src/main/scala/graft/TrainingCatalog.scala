@@ -403,6 +403,81 @@ object TrainingCatalog {
               JOIN tot tb ON sh.class_b = tb.source
       ORDER BY class_a, class_b""")),
 
+    // column-profile drift between the doc_id<300 release and the full
+    // corpus: null-rate deltas and range movement per column — the
+    // silent-upstream-change siren hash-identical schemas won't catch.
+    "q_meta_profile_drift" -> (q((s, dir) => {
+      val full = docs(s, dir)
+      graft.ops.Profiling.profileDrift(full.where(col("doc_id") < 300), full,
+          Seq("lang", "source", "n_chars"))
+        .orderBy("column_name")
+    }), Some("""
+      WITH pb AS (
+        SELECT 'lang' AS column_name, CAST(count(*) AS BIGINT) AS rows_base,
+               CAST(count(lang) AS BIGINT) AS nn,
+               CAST(count(DISTINCT lang) AS BIGINT) AS distinct_base,
+               CAST(min(lang) AS VARCHAR) AS mn, CAST(max(lang) AS VARCHAR) AS mx
+        FROM documents WHERE doc_id < 300
+        UNION ALL
+        SELECT 'source', CAST(count(*) AS BIGINT), CAST(count(source) AS BIGINT),
+               CAST(count(DISTINCT source) AS BIGINT),
+               CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        FROM documents WHERE doc_id < 300
+        UNION ALL
+        SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(count(n_chars) AS BIGINT),
+               CAST(count(DISTINCT n_chars) AS BIGINT),
+               CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        FROM documents WHERE doc_id < 300),
+      pc AS (
+        SELECT 'lang' AS column_name, CAST(count(*) AS BIGINT) AS rows_cur,
+               CAST(count(lang) AS BIGINT) AS nn,
+               CAST(count(DISTINCT lang) AS BIGINT) AS distinct_cur,
+               CAST(min(lang) AS VARCHAR) AS mn, CAST(max(lang) AS VARCHAR) AS mx
+        FROM documents
+        UNION ALL
+        SELECT 'source', CAST(count(*) AS BIGINT), CAST(count(source) AS BIGINT),
+               CAST(count(DISTINCT source) AS BIGINT),
+               CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(count(n_chars) AS BIGINT),
+               CAST(count(DISTINCT n_chars) AS BIGINT),
+               CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        FROM documents)
+      SELECT pb.column_name, pb.rows_base, pc.rows_cur,
+             round(CAST(pb.rows_base - pb.nn AS DOUBLE) / CAST(pb.rows_base AS DOUBLE), 6)
+               AS null_rate_base,
+             round(CAST(pc.rows_cur - pc.nn AS DOUBLE) / CAST(pc.rows_cur AS DOUBLE), 6)
+               AS null_rate_cur,
+             round(round(CAST(pc.rows_cur - pc.nn AS DOUBLE) / CAST(pc.rows_cur AS DOUBLE), 6)
+                 - round(CAST(pb.rows_base - pb.nn AS DOUBLE) / CAST(pb.rows_base AS DOUBLE), 6), 6)
+               AS null_rate_delta,
+             pb.distinct_base, pc.distinct_cur,
+             (pb.mn IS DISTINCT FROM pc.mn OR pb.mx IS DISTINCT FROM pc.mx)
+               AS range_changed
+      FROM pb JOIN pc USING (column_name) ORDER BY column_name""")),
+
+    // per-type inter-arrival burstiness: CV of consecutive-arrival
+    // gaps (Poisson ≈ 1, retry storms ≫ 1, cron ≪ 1) — exact ms
+    // integers into one sqrt + one division.
+    "q_events_burstiness" -> (q((s, dir) =>
+      graft.ops.Evaluation.burstiness(
+          SparkEntry.loader(s, dir)("events"), "event_type", "ts", col("event_id"))
+        .orderBy("cls")
+    ), Some("""
+      WITH s AS (SELECT event_type AS cls, epoch_ms(ts) // 1000 AS t, event_id AS tb
+                 FROM events),
+      g AS (SELECT cls, t - lag(t) OVER (PARTITION BY cls ORDER BY t, tb) AS g FROM s),
+      a AS (SELECT cls, CAST(count(*) AS BIGINT) AS n, CAST(sum(g) AS BIGINT) AS sg,
+                   CAST(sum(g * g) AS BIGINT) AS sgg
+            FROM g WHERE g IS NOT NULL GROUP BY 1)
+      SELECT cls, n AS n_gaps,
+             round(CAST(sg AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_gap_s,
+             round(CASE WHEN sg = 0 THEN NULL
+                        ELSE sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) / CAST(sg AS DOUBLE)
+                   END, 6) AS cv
+      FROM a ORDER BY cls""")),
+
     // key-skew report: the pre-join diagnosis the Skew tools act on —
     // top-10 heaviest suppliers with share and ratio-to-mean (the
     // straggler predictor), all single exact-integer divisions.

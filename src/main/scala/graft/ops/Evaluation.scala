@@ -297,6 +297,41 @@ object Evaluation {
               sqrt(col("__n").cast("double")))), 6).as("stat"))
   }
 
+  /** Per-class INTER-ARRIVAL BURSTINESS — the coefficient of variation
+    * of gaps between consecutive arrivals in each class's (ts, tie)-
+    * ordered stream: CV ≈ 1 is Poisson-like, CV ≫ 1 is bursty (retry
+    * storms, batch uploads), CV ≪ 1 is metronomic (cron) — the
+    * traffic-shape classifier behind rate-limit and capacity design.
+    * Gaps are exact WHOLE-SECOND integers — the grain that keeps
+    * n·Σg² − (Σg)² inside Long for month-scale class spans (µs gaps
+    * square to ~10²⁰ and even ms overflow once n·Σg² enters; the
+    * first ms draft did, in BOTH engines) — so the CV
+    * = √(n·Σg² − (Σg)²) / Σg touches floats only in one sqrt and one
+    * division. Sub-second arrivals contribute zero-second gaps (CV of
+    * a sub-second burst needs a finer grain AND a shorter span —
+    * split per (class, day) and scale accordingly). Per-class lag
+    * window, bounded by class volume. Returns
+    * (cls, n_gaps, mean_gap_s, cv). */
+  def burstiness(events: DataFrame, classCol: String, tsCol: String,
+                 tieBreak: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cls")).orderBy(col("__t"), col("__tb"))
+    val gaps = events
+      .select(col(classCol).as("cls"), unix_seconds(col(tsCol)).as("__t"),
+        tieBreak.as("__tb"))
+      .withColumn("__g", col("__t") - lag(col("__t"), 1).over(w))
+      .where(col("__g").isNotNull)
+    gaps.groupBy("cls")
+      .agg(count(lit(1)).as("n_gaps"), sum("__g").as("__sg"),
+        sum(col("__g") * col("__g")).as("__sgg"))
+      .select(col("cls"), col("n_gaps"),
+        round(col("__sg").cast("double") / col("n_gaps").cast("double"), 6)
+          .as("mean_gap_s"),
+        round(when(col("__sg") === 0, lit(null).cast("double"))
+          .otherwise(sqrt((col("n_gaps") * col("__sgg") - col("__sg") * col("__sg"))
+            .cast("double")) / col("__sg").cast("double")), 6).as("cv"))
+  }
+
   /** EMPIRICAL-BAYES rate shrinkage toward the pooled rate — the
     * small-n ranking fix (a 2/2 item must not outrank a 95/100 one):
     * shrunken = (x + τ·m) / (n + τ) with pseudo-count `tau` and

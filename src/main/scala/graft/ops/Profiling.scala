@@ -205,6 +205,36 @@ object Profiling {
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
 
+  /** Column-profile DRIFT between two snapshots — the schema-stable
+    * data-quality diff ([[profile]] run twice + a column-keyed join):
+    * per column, row/nonnull/distinct counts on each side, the
+    * null-RATE delta (the silent-upstream-change siren: a field going
+    * 2% → 40% null hash-identical schemas won't catch), and whether
+    * min/max moved. Rates are single exact-integer divisions. Returns
+    * (column_name, rows_base, rows_cur, null_rate_base, null_rate_cur,
+    * null_rate_delta, distinct_base, distinct_cur, range_changed). */
+  def profileDrift(base: DataFrame, current: DataFrame, cols: Seq[String]): DataFrame = {
+    val pb = profile(base, cols).select(col("column_name"),
+      col("n_rows").as("rows_base"), col("n_nonnull").as("__nn_b"),
+      col("n_distinct").as("distinct_base"),
+      col("min_value").as("__min_b"), col("max_value").as("__max_b"))
+    val pc = profile(current, cols).select(col("column_name"),
+      col("n_rows").as("rows_cur"), col("n_nonnull").as("__nn_c"),
+      col("n_distinct").as("distinct_cur"),
+      col("min_value").as("__min_c"), col("max_value").as("__max_c"))
+    val nrB = round((col("rows_base") - col("__nn_b")).cast("double") /
+      col("rows_base").cast("double"), 6)
+    val nrC = round((col("rows_cur") - col("__nn_c")).cast("double") /
+      col("rows_cur").cast("double"), 6)
+    pb.join(pc, Seq("column_name"))
+      .select(col("column_name"), col("rows_base"), col("rows_cur"),
+        nrB.as("null_rate_base"), nrC.as("null_rate_cur"),
+        round(nrC - nrB, 6).as("null_rate_delta"),
+        col("distinct_base"), col("distinct_cur"),
+        (!(col("__min_b") <=> col("__min_c")) || !(col("__max_b") <=> col("__max_c")))
+          .as("range_changed"))
+  }
+
   /** KEY-SKEW report — the pre-join diagnosis the [[Skew]] tools act
     * on: the top-`k` heaviest keys with each key's row count, its
     * share of all rows, and its ratio to the mean group size (the

@@ -3098,6 +3098,33 @@ class OpsSpec extends AnyFunSuite {
     assert(Graph.kCore(edges, k = 4, rounds = 3).count() === 0L)
   }
 
+  test("profileDrift: null-rate delta and range movement on planted snapshots") {
+    val base = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")), (4L, None))
+      .toDF("id", "v") // null rate 0.25, range a..c
+    val cur = Seq((1L, Some("a")), (2L, None), (3L, None), (4L, None))
+      .toDF("id", "v") // null rate 0.75, range a..a
+    val out = Profiling.profileDrift(base, cur, Seq("id", "v"))
+      .orderBy("column_name").collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getBoolean(8)))
+    assert(out(0) === (("id", 0.0, 0.0, 0.0, false)))
+    assert(out(1) === (("v", 0.25, 0.75, 0.5, true)))
+  }
+
+  test("burstiness: hand-computed CV; metronomic stream scores 0") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      ("A", t("2024-01-01 00:00:00"), 1L), ("A", t("2024-01-01 00:00:01"), 2L),
+      ("A", t("2024-01-01 00:00:03"), 3L), // gaps 1s, 2s → cv = 1/3
+      ("B", t("2024-01-01 00:00:00"), 4L), ("B", t("2024-01-01 00:00:05"), 5L),
+      ("B", t("2024-01-01 00:00:10"), 6L)  // equal gaps → cv 0
+    ).toDF("et", "ts", "id")
+    val out = Evaluation.burstiness(ev, "et", "ts", col("id")).orderBy("cls").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out(0) === (("A", 2L, 1.5, math.rint(1.0 / 3 * 1e6) / 1e6)))
+    assert(out(1) === (("B", 2L, 5.0, 0.0)))
+  }
+
   test("rendezvousAssign: deterministic, balanced-ish, minimal disruption on reshard") {
     val keys = (0 until 400).map(_.toLong).toDF("k")
     val three = Sampling.rendezvousAssign(keys, "k", Seq("s0", "s1", "s2"))
