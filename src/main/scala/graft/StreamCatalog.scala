@@ -472,6 +472,41 @@ object StreamCatalog {
       WHERE we <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
       ORDER BY window_start""")),
 
+    // streaming OHLC candles: per finalized day window open/high/low/
+    // close/volume + exact-cents turnover, all from ONE streaming
+    // aggregation (struct min/max carries open/close — state is a few
+    // scalars per open window, no row buffering); drained candles =
+    // the batch candle table's finalized prefix.
+    "q_stream_ohlc" -> (raw((s, dir) => {
+      val events = streamRead(s, dir, "events")
+      val candles = Streams.windowedOhlc(events, "ts", "value",
+        tieBreak = col("event_id"), windowLen = "1 day", watermark = "1 hour")
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try drain(s, candles, "ohlc", OutputMode.Append())
+        .orderBy("window_start")
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }), Some("""
+      WITH e AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws,
+                        CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS we,
+                        ts, event_id, value
+                 FROM events WHERE value IS NOT NULL),
+      r AS (SELECT ws, we, value,
+                   row_number() OVER (PARTITION BY ws ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY ws ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM e),
+      oc AS (SELECT ws, max(CASE WHEN rn_a = 1 THEN value END) AS open,
+                    max(CASE WHEN rn_d = 1 THEN value END) AS close FROM r GROUP BY 1),
+      agg AS (SELECT ws, we, max(value) AS high, min(value) AS low,
+                     CAST(count(*) AS BIGINT) AS volume,
+                     CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+              FROM e GROUP BY 1, 2)
+      SELECT agg.ws AS window_start, agg.we AS window_end, oc.open, agg.high,
+             agg.low, oc.close, agg.volume, agg.total_cents
+      FROM agg JOIN oc USING (ws)
+      WHERE agg.we <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+      ORDER BY window_start""")),
+
     // streaming count-min: per finalized day window the d·w = 3·64
     // cell table (state bounded at ANY key cardinality, where exact
     // per-key counters grow with distinct keys), drained and then

@@ -515,6 +515,26 @@ object TrainingCatalog {
       FROM r WHERE rk > 10 HAVING count(*) > 0
       ORDER BY rank""")),
 
+    // per-returnflag weighted median price — "the price at which half
+    // the QUANTITY traded": integer weights keep the 2·cum ≥ W
+    // crossing exact, the cumulative window runs over distinct values.
+    "q_agg_weighted_median" -> (q((s, dir) =>
+      graft.ops.Evaluation.weightedMedian(
+          SparkEntry.loader(s, dir)("lineitem"),
+          "l_returnflag", "l_extendedprice", "l_quantity")
+        .orderBy("grp")
+    ), Some("""
+      WITH pv AS (SELECT l_returnflag AS grp, l_extendedprice AS v,
+                         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wv
+                  FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2),
+      c AS (SELECT grp, v, wv,
+                   CAST(sum(wv) OVER (PARTITION BY grp ORDER BY v
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                   CAST(sum(wv) OVER (PARTITION BY grp) AS BIGINT) AS tot
+            FROM pv)
+      SELECT grp, max(tot) AS total_weight, min(v) AS w_median
+      FROM c WHERE cum * 2 >= tot GROUP BY grp ORDER BY grp""")),
+
     // two-level revenue drill-down (region → nation) with share-of-
     // parent and share-of-total: dims broadcast onto the fact, the
     // fact shuffles once for the aggregate, revenue summed as exact

@@ -297,6 +297,33 @@ object Evaluation {
               sqrt(col("__n").cast("double")))), 6).as("stat"))
   }
 
+  /** Per-group WEIGHTED MEDIAN (lower-median convention): the value at
+    * which cumulative weight first reaches half the group's total —
+    * "the price at which half the QUANTITY traded", which an unweighted
+    * median gets wrong whenever weight correlates with value. Integer
+    * weights keep the crossing test 2·cum ≥ W exact (no interpolation,
+    * no float compare), and the cumulative window runs over the
+    * group's DISTINCT values, never its rows. Returns
+    * (group, total_weight, w_median). */
+  def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
+                     weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perVal = df
+      .select(col(groupCol).as("grp"), col(valCol).as("v"),
+        col(weightCol).cast("long").as("__w"))
+      .where(col("__w") > 0)
+      .groupBy("grp", "v").agg(sum("__w").as("__wv"))
+    val w = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy("grp")
+    perVal
+      .withColumn("__cum", sum("__wv").over(w))
+      .withColumn("__tot", sum("__wv").over(tot))
+      .where(col("__cum") * 2 >= col("__tot"))
+      .groupBy("grp")
+      .agg(max("__tot").as("total_weight"), min("v").as("w_median"))
+  }
+
   /** Per-class INTER-ARRIVAL BURSTINESS — the coefficient of variation
     * of gaps between consecutive arrivals in each class's (ts, tie)-
     * ordered stream: CV ≈ 1 is Poisson-like, CV ≫ 1 is bursty (retry

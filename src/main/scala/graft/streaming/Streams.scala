@@ -195,6 +195,32 @@ object Streams {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("bucket"), col("reg"))
 
+  /** Windowed OHLC candles on a stream — the finance-style compaction
+    * running INSIDE the stream ([[graft.ops.Evaluation.dailyOhlc]]'s
+    * sibling): per tumbling window, open/close from one struct
+    * min/max over (ts, tiebreak, value) — a plain streaming
+    * aggregation, state = open windows × a handful of scalars, no
+    * per-window row buffering — high/low/volume, and turnover as
+    * exact integer cents. Append mode: a candle emits once at
+    * watermark finalization. */
+  def windowedOhlc(events: DataFrame, tsCol: String, valueCol: String,
+                   tieBreak: org.apache.spark.sql.Column, windowLen: String,
+                   watermark: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    events
+      .where(v.isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("w"))
+      .agg(
+        min(struct(col(tsCol).as("t"), tieBreak.as("i"), v.as("v"))).as("__o"),
+        max(struct(col(tsCol).as("t"), tieBreak.as("i"), v.as("v"))).as("__c"),
+        max(v).as("high"), min(v).as("low"), count(lit(1)).as("volume"),
+        sum(round(v * 100, 0).cast("long")).as("total_cents"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("__o.v").as("open"), col("high"), col("low"),
+        col("__c.v").as("close"), col("volume"), col("total_cents"))
+  }
+
   /** Windowed COUNT-MIN sketch on a stream — frequency estimates per
     * tumbling window with state bounded by (open windows × d·w)
     * REGARDLESS of key cardinality, where [[windowedFrequentItems]]'s

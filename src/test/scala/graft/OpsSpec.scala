@@ -3098,6 +3098,15 @@ class OpsSpec extends AnyFunSuite {
     assert(Graph.kCore(edges, k = 4, rounds = 3).count() === 0L)
   }
 
+  test("weightedMedian: weight-heavy tail wins; even split takes the lower") {
+    val d = Seq(("g", 10.0, 1L), ("g", 20.0, 2L), ("g", 30.0, 5L),
+      ("h", 10.0, 1L), ("h", 20.0, 1L)).toDF("k", "v", "w")
+    val out = Evaluation.weightedMedian(d, "k", "v", "w").orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // g: half of W=8 is first reached at v=30 (unweighted median says 20)
+    assert(out.toSeq === Seq(("g", 8L, 30.0), ("h", 2L, 10.0)))
+  }
+
   test("profileDrift: null-rate delta and range movement on planted snapshots") {
     val base = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("c")), (4L, None))
       .toDF("id", "v") // null rate 0.25, range a..c

@@ -171,6 +171,28 @@ class StreamsSpec extends AnyFunSuite {
       m.contains("key") && m.contains("timestamp") && m.contains("date/time")))
   }
 
+  test("windowedOhlc: drained candle = batch candle of the finalized window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val candles = Streams.windowedOhlc(
+      in.toDF().toDF("ts", "id", "v"), "ts", "v", col("id"),
+      windowLen = "10 minutes", watermark = "5 minutes")
+    val q = candles.writeStream.format("memory").queryName("ohlcwin")
+      .outputMode(OutputMode.Append).start()
+    in.addData((ts("2024-01-01 00:01:00"), 1L, 10.50),
+      (ts("2024-01-01 00:04:00"), 2L, 30.25),
+      (ts("2024-01-01 00:08:00"), 3L, 5.75))
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 00:21:00"), 4L, 1.0)) // finalize window 1
+    q.processAllAvailable()
+    val got = spark.table("ohlcwin")
+      .select("open", "high", "low", "close", "volume", "total_cents")
+      .as[(Double, Double, Double, Double, Long, Long)].collect()
+    q.stop()
+    assert(got.toSeq === Seq((10.50, 30.25, 5.75, 5.75, 3L, 4650L)))
+  }
+
   test("windowedCmSketch: drained cells = batch sketch's nonzero cells") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
