@@ -590,6 +590,32 @@ class PlanSpec extends AnyFunSuite {
       s"overlap candidates must come from the gram equi-join:\n$p")
   }
 
+  test("weighted median: cumulative window over distinct values, no join") {
+    val p = plan("q_agg_weighted_median")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastHashJoin"),
+      s"weighted median must be aggregate + window only:\n$p")
+  }
+
+  test("rolling WAU: bounded coverage explode; only the 1-row bounds clip joins") {
+    val p = plan("q_events_wau")
+    assert(p.contains("Generate explode"),
+      s"coverage must come from the bounded explode:\n$p")
+    // the [lo, hi] clip is a 1-ROW broadcast (IdentityBroadcastMode) —
+    // the library's standard broadcast-denominator shape; what must NOT
+    // appear is a data-sized shuffle or product join
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"corpus-sized join in the rolling-distinct plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("IdentityBroadcastMode"),
+      s"nested-loop join without the 1-row bounds broadcast:\n$p")
+  }
+
+  test("rendezvous routing: shuffle-free scan-stage projection up to its aggregate") {
+    val p = plan("q_sample_rendezvous")
+    assert(!p.contains("Join"), s"shard assignment must not join:\n$p")
+  }
+
   test("grouped hll estimate: one aggregate over the register table, no join back") {
     // the post-drain/serving side of q_stream_hll: estimating from
     // (windows × 256) register rows must never join or rescan a corpus
