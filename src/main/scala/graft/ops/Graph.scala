@@ -68,17 +68,30 @@ object Graph {
     * its neighbors' MOST FREQUENT label (ties → smallest label — the
     * determinism the async original lacks), isolated nodes keep their
     * own. ALL-INTEGER arithmetic (no float anywhere): one (dst, label)
-    * count shuffle + one per-node argmax window per round; the static
-    * structure is localCheckpoint'd once (the [[pageRank]] rationale).
+    * count shuffle + one per-node argmax window per round.
+    *
+    * INPUT CONTRACT: undirected edges must carry BOTH directions (the
+    * [[coOccurrenceEdges]] / [[kCore]] shape) — a node adopts labels
+    * along src→dst only, so a one-direction edge list propagates
+    * asymmetrically and yields directed-walk communities, not the
+    * undirected semantics this op documents.
+    *
+    * PERSIST LIFECYCLE ([[Pinned]]): statics (edges, vertex set) and
+    * each round's full label table are pinned eagerly; every round
+    * releases its predecessor the moment the new pin materializes, the
+    * result is slot-held, and all intermediates are freed before
+    * returning — the per-round checkpoint accumulation that made r8
+    * warm runs slower than cold is structurally impossible here.
     * Returns (id, community) after `iters` rounds. */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 0)
     import org.apache.spark.sql.expressions.Window
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    val verts = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint()
+    val (e, eH) = Pinned.checkpoint(edges.select(col("src"), col("dst")))
+    val (verts, vertsH) = Pinned.checkpoint(
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct())
     var labels = verts.select(col("id"), col("id").as("lbl"))
+    var labelsH: org.apache.spark.rdd.RDD[_] = null
     for (_ <- 1 to iters) {
       // labels are vertex-sized (≪ edges) → broadcast them onto the
       // edge stream so the edges never shuffle for the lookup; the
@@ -93,11 +106,16 @@ object Graph {
       val next = counts.withColumn("__rk", row_number().over(w))
         .where(col("__rk") === 1)
         .select(col("dst").as("id"), col("lbl").as("__new"))
-        .localCheckpoint()
-      labels = labels.join(next, Seq("id"), "left")
-        .select(col("id"), coalesce(col("__new"), col("lbl")).as("lbl"))
+      val (stepped, steppedH) = Pinned.checkpoint(
+        labels.join(next, Seq("id"), "left")
+          .select(col("id"), coalesce(col("__new"), col("lbl")).as("lbl")))
+      Pinned.release(labelsH)
+      labels = stepped; labelsH = steppedH
     }
-    labels.select(col("id"), col("lbl").as("community"))
+    val out = Pinned.hold("graph.lpa",
+      labels.select(col("id"), col("lbl").as("community")))
+    Pinned.release(eH, vertsH, labelsH)
+    out
   }
 
   /** PageRank over a directed edge list (src, dst): `iters` rounds of
@@ -108,30 +126,34 @@ object Graph {
     * rank rounded to 6 dp — reproducible across engines and partition
     * orders (per-vertex sums are far below the rounding granularity).
     *
-    * MATERIALIZATION: the static structure (vertex set, degree-annotated
-    * edges) is snapshotted ONCE via `localCheckpoint` — every iteration
-    * and the r0 seed reference it, and lazily that subtree re-executes
-    * per reference (a profiled draft ran the vertex `distinct` 8× for 3
+    * MATERIALIZATION ([[Pinned]]): the static structure (vertex set,
+    * degree-annotated edges) is pinned ONCE — every iteration and the
+    * r0 seed reference it, and lazily that subtree re-executes per
+    * reference (a profiled draft ran the vertex `distinct` 8× for 3
     * rounds). localCheckpoint rather than persist()+unpersist(): repeat
     * invocations build IDENTICAL plans, so CacheManager dedupes the new
     * pin onto the old entry and unpersisting the old one silently drops
-    * both — checkpointed RDDs have no plan identity (the ContextCleaner
-    * frees them once unreferenced). On a multi-node cluster prefer a
-    * reliable `checkpoint` dir (localCheckpoint does not survive
-    * executor loss); for deep iteration counts pass `checkpointEvery`
-    * to also cut the growing rank lineage every k rounds. */
+    * both — checkpointed RDDs have no plan identity; the explicit
+    * handle release below is what frees them (r8 showed ContextCleaner
+    * alone never does on a quiet-GC driver). The result is slot-held,
+    * statics and rank pins freed on the way out. On a multi-node
+    * cluster prefer a reliable `checkpoint` dir (localCheckpoint does
+    * not survive executor loss); for deep iteration counts pass
+    * `checkpointEvery` to also cut the growing rank lineage every k
+    * rounds (each rank pin releases its predecessor). */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
                checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 0)
     val e = edges.select(col("src"), col("dst"))
-    val verts = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint()
+    val (verts, vertsH) = Pinned.checkpoint(
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct())
     val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
-    val withDeg = e.join(deg, Seq("src")).localCheckpoint()
+    val (withDeg, withDegH) = Pinned.checkpoint(e.join(deg, Seq("src")))
     val n = verts.agg(count(lit(1)).as("__n"))
     var ranks = verts.crossJoin(broadcast(n))
       .select(col("id"), (lit(1.0) / col("__n")).as("r"))
+    var ranksH: org.apache.spark.rdd.RDD[_] = null
     for (i <- 1 to iters) {
       val contribs = withDeg.join(ranks, withDeg("src") === ranks("id"))
         .select(col("dst").as("id"), (col("r") / col("__deg")).as("__c"))
@@ -141,10 +163,16 @@ object Graph {
         .select(col("id"),
           ((lit(1.0) - lit(damping)) / col("__n") +
             lit(damping) * coalesce(col("__s"), lit(0.0))).as("r"))
-      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
-        ranks = ranks.localCheckpoint()
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
+        val (pinned, pinnedH) = Pinned.checkpoint(ranks)
+        Pinned.release(ranksH)
+        ranks = pinned; ranksH = pinnedH
+      }
     }
-    ranks.select(col("id"), round(col("r"), 6).as("rank"))
+    val out = Pinned.hold("graph.pagerank",
+      ranks.select(col("id"), round(col("r"), 6).as("rank")))
+    Pinned.release(vertsH, withDegH, ranksH)
+    out
   }
 
   /** Per-vertex triangle counts + local clustering coefficient over an
@@ -162,28 +190,27 @@ object Graph {
     * worst case and in practice far below. Three shuffles total:
     * the wedge self-join on u, the closing-edge join on (v, w), and
     * the per-vertex credit count. The static oriented edge list is
-    * snapshotted once ([[pageRank]]'s localCheckpoint rationale).
+    * pinned once and released on exit ([[Pinned]]'s lifecycle).
     *
     * Returns (id, deg, tri, coeff) with coeff = 2·tri / (deg·(deg−1))
     * rounded 6 dp (0 for deg < 2). */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val und = edges
+    val (und, undH) = Pinned.checkpoint(edges
       .select(least(col("src"), col("dst")).as("a"),
               greatest(col("src"), col("dst")).as("b"))
-      .where(col("a") =!= col("b")).distinct()
-      .localCheckpoint()
+      .where(col("a") =!= col("b")).distinct())
     val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     // (deg, id) as a struct gives the total order the orientation needs;
     // struct comparison is codegen'd lexicographic, no UDF.
     val ra = deg.select(col("id").as("a"), struct(col("deg"), col("id")).as("__ra"))
     val rb = deg.select(col("id").as("b"), struct(col("deg"), col("id")).as("__rb"))
-    val oriented = und.join(ra, Seq("a")).join(rb, Seq("b"))
-      .select(
-        when(col("__ra") < col("__rb"), col("a")).otherwise(col("b")).as("u"),
-        when(col("__ra") < col("__rb"), col("b")).otherwise(col("a")).as("v"),
-        when(col("__ra") < col("__rb"), col("__rb")).otherwise(col("__ra")).as("__rv"))
-      .localCheckpoint()
+    val (oriented, orientedH) = Pinned.checkpoint(
+      und.join(ra, Seq("a")).join(rb, Seq("b"))
+        .select(
+          when(col("__ra") < col("__rb"), col("a")).otherwise(col("b")).as("u"),
+          when(col("__ra") < col("__rb"), col("b")).otherwise(col("a")).as("v"),
+          when(col("__ra") < col("__rb"), col("__rb")).otherwise(col("__ra")).as("__rv")))
     val wedges = oriented.as("x").join(oriented.as("y"),
         col("x.u") === col("y.u") && col("x.__rv") < col("y.__rv"))
       .select(col("x.u").as("u"), col("x.v").as("v"), col("y.v").as("w"))
@@ -195,13 +222,16 @@ object Graph {
     val credit = tris
       .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("tri"))
-    deg.join(credit, Seq("id"), "left")
-      .select(col("id"), col("deg"),
-        coalesce(col("tri"), lit(0L)).as("tri"),
-        when(col("deg") >= 2,
-          round(lit(2.0) * coalesce(col("tri"), lit(0L)) /
-            (col("deg") * (col("deg") - lit(1))), 6))
-          .otherwise(lit(0.0)).as("coeff"))
+    val out = Pinned.hold("graph.triangles",
+      deg.join(credit, Seq("id"), "left")
+        .select(col("id"), col("deg"),
+          coalesce(col("tri"), lit(0L)).as("tri"),
+          when(col("deg") >= 2,
+            round(lit(2.0) * coalesce(col("tri"), lit(0L)) /
+              (col("deg") * (col("deg") - lit(1))), 6))
+            .otherwise(lit(0.0)).as("coeff")))
+    Pinned.release(undH, orientedH)
+    out
   }
 
   /** Adamic–Adar link prediction over an undirected edge list: for every
@@ -223,11 +253,10 @@ object Graph {
     * Returns (x, y, cn, aa): common-neighbor count and the rounded
     * score. deg(z) ≥ 2 for any wedge center, so ln(deg) > 0. */
   def adamicAdar(edges: DataFrame): DataFrame = {
-    val und = edges
+    val (und, undH) = Pinned.checkpoint(edges
       .select(least(col("src"), col("dst")).as("a"),
               greatest(col("src"), col("dst")).as("b"))
-      .where(col("a") =!= col("b")).distinct()
-      .localCheckpoint()
+      .where(col("a") =!= col("b")).distinct())
     val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     val adj = und.select(col("a").as("z"), col("b").as("n"))
@@ -239,9 +268,12 @@ object Graph {
       .select(col("l.n").as("x"), col("r.n").as("y"), col("l.__w").as("__w"))
       .groupBy("x", "y")
       .agg(count(lit(1)).as("cn"), round(sum(col("__w")), 6).as("aa"))
-    scores.join(und,
-        scores("x") === und("a") && scores("y") === und("b"), "left_anti")
-      .select(col("x"), col("y"), col("cn"), col("aa"))
+    val out = Pinned.hold("graph.adamic_adar",
+      scores.join(und,
+          scores("x") === und("a") && scores("y") === und("b"), "left_anti")
+        .select(col("x"), col("y"), col("cn"), col("aa")))
+    Pinned.release(undH)
+    out
   }
 
   /** K-CORE peeling (Seidman 1983), `rounds` bounded iterations — the
@@ -267,14 +299,23 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k: $k")
     require(rounds >= 1, s"rounds: $rounds")
-    var e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // [[Pinned]] lifecycle: each round's surviving edge list supersedes
+    // the previous round's pin, which is released the moment the new
+    // one materializes; the degree result is slot-held and the final
+    // edge pin freed on exit.
+    var (e, eH) = Pinned.checkpoint(edges.select(col("src"), col("dst")))
     for (_ <- 1 to rounds) {
       val keep = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("__d"))
         .where(col("__d") >= k).select("id")
-      e = e.join(broadcast(keep.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
-        .join(broadcast(keep.withColumnRenamed("id", "dst")), Seq("dst"), "left_semi")
-        .localCheckpoint()
+      val (ne, neH) = Pinned.checkpoint(e
+        .join(broadcast(keep.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
+        .join(broadcast(keep.withColumnRenamed("id", "dst")), Seq("dst"), "left_semi"))
+      Pinned.release(eH)
+      e = ne; eH = neH
     }
-    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val out = Pinned.hold("graph.kcore",
+      e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
+    Pinned.release(eH)
+    out
   }
 }

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Explicit lifecycle management for `localCheckpoint` pins — the
+ * discipline [[Dedup.connectedComponents]] institutionalized, factored
+ * out for every iterative / multi-consumer operator (Graph, Sampling,
+ * Similarity, TextAnalysis).
+ *
+ * WHY: `df.localCheckpoint()` is eager and its blocks are freed only by
+ * the GC-driven ContextCleaner — on a large-heap driver that rarely
+ * collects, every per-iteration checkpoint lingers for the life of the
+ * JVM. Driver telemetry across the r8 graph bench showed
+ * `persistent_rdds` marching 17→34 and pinned storage 28→824 MB with
+ * GC flat, and warm runs landing SLOWER than cold (q_graph_communities
+ * 6.8 s cold → 16.9 s warm) because each run executed on top of the
+ * previous run's unreleased blocks. `persist()+unpersist()` is NOT a
+ * substitute: repeat invocations build identical plans, so CacheManager
+ * dedupes the new pin onto the old cache entry and unpersisting either
+ * drops both. A localCheckpoint has no plan identity — but it DOES have
+ * a backing RDD, and unpersisting that RDD releases the blocks
+ * deterministically. This object hands the caller that handle.
+ *
+ * CONTRACT: a released pin must never be computed again — local
+ * checkpointing truncates lineage, so a post-release access fails
+ * rather than recomputes. Callers therefore (a) release intermediates
+ * only after the pin that supersedes them has materialized (the
+ * eager checkpoint in [[checkpoint]] guarantees that ordering), and
+ * (b) route anything they RETURN through [[hold]], which checkpoints
+ * the result so it references no released intermediate and bounds
+ * residency to one live result per key (benchmarks and notebook
+ * re-runs replace, not accumulate). On a multi-node cluster prefer a
+ * reliable checkpoint dir for fault tolerance — localCheckpoint does
+ * not survive executor loss; the lifecycle discipline is identical.
+ */
+object Pinned {
+
+  /** Eagerly localCheckpoint `df` and return the checkpointed frame
+    * plus the handle that releases its blocks. The handle is the
+    * checkpoint's backing RDD, recovered from the `LogicalRDD` leaf the
+    * checkpoint plan consists of (null if the plan shape ever changes —
+    * [[release]] tolerates null, degrading to the old GC-driven
+    * behavior rather than failing). */
+  def checkpoint(df: DataFrame): (DataFrame, RDD[_]) = {
+    val c = df.localCheckpoint()
+    val handle = c.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.headOption.orNull
+    (c, handle)
+  }
+
+  /** Release pins. Null handles are ignored; non-blocking (block
+    * removal proceeds asynchronously — the point is that it happens at
+    * all, not that the caller waits for it). */
+  def release(handles: RDD[_]*): Unit =
+    handles.foreach { h => if (h != null) h.unpersist(blocking = false) }
+
+  /** One live result per key: checkpoint `df` (so the returned frame
+    * references no intermediate the caller is about to release), then
+    * swap it into the named slot, releasing the previous occupant.
+    * Keys are per-operator (e.g. "graph.pagerank") — steady-state
+    * residency is bounded by the number of operator families, each
+    * holding one result-sized pin. */
+  def hold(key: String, df: DataFrame): DataFrame = {
+    val (c, handle) = checkpoint(df)
+    val prev = if (handle == null) slots.remove(key) else slots.put(key, handle)
+    if (prev != null && (prev ne handle)) release(prev)
+    c
+  }
+
+  private val slots = new java.util.concurrent.ConcurrentHashMap[String, RDD[_]]()
+}

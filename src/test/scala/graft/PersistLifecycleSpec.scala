@@ -34,4 +34,22 @@ class PersistLifecycleSpec extends AnyFunSuite {
     assert(afterSecond == afterFirst && afterThird == afterFirst,
       s"pinned RDDs grew across repeat invocations: $afterFirst -> $afterSecond -> $afterThird")
   }
+
+  test("graph family holds the pinned-RDD count flat across repeat invocations") {
+    // the r8 pathology: per-iteration localCheckpoint blocks accumulated
+    // across the graph block (persistent_rdds 17→34, storage 28→824 MB)
+    // and warm bench runs landed SLOWER than cold. The Pinned lifecycle
+    // (release-on-supersede + slot-held results) must keep the count
+    // flat: after the first pass only the one-slot result pins remain.
+    val entries = Seq("q_graph_communities", "q_graph_kcore", "q_graph_pagerank",
+      "q_graph_triangles", "q_graph_adamic_adar")
+    entries.foreach(runEntry) // populate the result slots
+    val afterFirst = pinned
+    entries.foreach(runEntry)
+    val afterSecond = pinned
+    entries.foreach(runEntry)
+    val afterThird = pinned
+    assert(afterSecond == afterFirst && afterThird == afterFirst,
+      s"graph pins grew across repeat invocations: $afterFirst -> $afterSecond -> $afterThird")
+  }
 }
