@@ -575,12 +575,29 @@ object TrainingCatalog {
     // byte-level compression-ratio quality signal (the Gopher /
     // RefinedWeb repetitiveness proxy): deflate length ÷ UTF-8 length
     // per doc, one scan + per-partition Deflater. No SQL engine
-    // exposes deflate → rows-only driver check; the monotonicity /
-    // determinism laws live in OpsSpec.
+    // exposes deflate, and exact deflate output is a zlib-
+    // implementation artifact (not engine-portable) — so the oracle is
+    // a LAW PROXY (VERDICT r8 #5): per-doc UTF-8 byte length checked
+    // bit-exactly (DuckDB strlen), plus deflate-law columns the oracle
+    // pins to TRUE — n_deflate within (0, n + 11 + 5·⌈n/16383⌉], the
+    // stored-block worst case of RFC 1951, and ratio null iff the doc
+    // is empty. A broken codec (wrong lengths, null leak, inflation
+    // past the format bound) flips a law column and fails the hash
+    // gate. Bit-exact determinism / monotonicity laws live in OpsSpec.
     "q_text_compress" -> (q((s, dir) =>
       TextAnalysis.compressionRatio(docs(s, dir), "doc_id", "text")
+        .select(col("id"), col("n_bytes"),
+          (col("n_deflate") >= 1 && col("n_deflate") <= col("n_bytes") + lit(11L)
+            + lit(5L) * ceil(col("n_bytes") / lit(16383.0)).cast("long"))
+            .as("deflate_bounded"),
+          (col("ratio").isNull === (col("n_bytes") === 0)).as("ratio_null_iff_empty"))
         .orderBy("id")
-    ), None),
+    ), Some("""
+      SELECT CAST(doc_id AS BIGINT) AS id,
+             CAST(coalesce(strlen(text), 0) AS BIGINT) AS n_bytes,
+             TRUE AS deflate_bounded,
+             TRUE AS ratio_null_iff_empty
+      FROM documents ORDER BY id""")),
 
     // the census→cleaning composition (C4's corpus-repeat removal at
     // word granularity): heavy-hitter words mined exactly, then dropped
