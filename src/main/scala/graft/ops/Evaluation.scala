@@ -609,7 +609,11 @@ object Evaluation {
     * pooled; variant order is lexicographic so the sign is
     * deterministic. One tiny keyed aggregate; the float expression is
     * mirrored operation-for-operation by the oracle. Degenerate pooled
-    * rates (p̂ ∈ {0,1}) yield null z. Returns one row
+    * rates (p̂ ∈ {0,1}) yield null z. The two-variant contract is
+    * ENFORCED (ADVICE r8): any other variant count raises at execution
+    * — silently comparing the lexicographic first and last of 3+
+    * variants would produce a plausible-looking but wrong readout.
+    * Returns one row
     * (variant_a, variant_b, n_a, n_b, x_a, x_b, p_a, p_b, z). */
   def twoProportionZ(df: DataFrame, variantCol: String, successCol: String): DataFrame = {
     val g = df.groupBy(col(variantCol).cast("string").as("v"))
@@ -619,10 +623,13 @@ object Evaluation {
       .select(col("v").as("variant_a"), col("n").as("n_a"), col("x").as("x_a"))
     val b = g.orderBy(col("v").desc).limit(1)
       .select(col("v").as("variant_b"), col("n").as("n_b"), col("x").as("x_b"))
+    val nv = g.agg(count(lit(1)).as("__nv"))
     val pooledP = (col("x_a") + col("x_b")).cast("double") /
       (col("n_a") + col("n_b")).cast("double")
-    a.crossJoin(b)
-      .where(col("variant_a") =!= col("variant_b"))
+    a.crossJoin(b).crossJoin(broadcast(nv))
+      .where(when(col("__nv") === 2, lit(true)).otherwise(
+        raise_error(concat(lit("twoProportionZ: EXACTLY two variants required, found "),
+          col("__nv"))).cast("boolean")))
       .select(col("variant_a"), col("variant_b"), col("n_a"), col("n_b"),
         col("x_a"), col("x_b"),
         round(col("x_a").cast("double") / col("n_a").cast("double"), 6).as("p_a"),

@@ -172,11 +172,20 @@ object Profiling {
     * (group, value) first (the KS/AUC cardinality-bounded pattern),
     * the window walks each group's distinct values, and percentiles
     * join back on (group, value) — one count shuffle + one join
-    * shuffle at any corpus size. Returns the input columns plus
-    * `pct` rounded 6 dp. */
+    * shuffle at any corpus size.
+    *
+    * NULL semantics (ADVICE r8 — the old inner join silently DROPPED
+    * rows with a null group or value while still counting them in the
+    * window totals): the row set is preserved exactly. A null GROUP is
+    * its own population (groupBy keeps null keys; the join-back is
+    * null-safe on the group). A null VALUE has no percentile — those
+    * rows are excluded from the ECDF population (pct = P(X ≤ x) among
+    * non-null values, the standard convention) and come back with
+    * pct = null. Returns the input columns plus `pct` rounded 6 dp. */
   def ecdfNormalize(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = df.groupBy(col(groupCol), col(valCol))
+    val counts = df.where(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(valCol))
       .agg(count(lit(1)).as("__c"))
     val w = Window.partitionBy(col(groupCol)).orderBy(col(valCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -184,9 +193,11 @@ object Profiling {
     val pct = counts
       .withColumn("__cum", sum("__c").over(w))
       .withColumn("__n", sum("__c").over(tot))
-      .select(col(groupCol), col(valCol),
+      .select(col(groupCol).as("__ecdf_g"), col(valCol).as("__ecdf_v"),
         round(col("__cum") / col("__n"), 6).as("pct"))
-    df.join(pct, Seq(groupCol, valCol))
+    df.join(pct,
+        df(groupCol) <=> col("__ecdf_g") && df(valCol) === col("__ecdf_v"), "left")
+      .drop("__ecdf_g", "__ecdf_v")
   }
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {

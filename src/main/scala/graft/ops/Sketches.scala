@@ -154,8 +154,15 @@ object Sketches {
     *
     * Median semantics = mean of the two middle order statistics for
     * even N (DuckDB/NumPy `median`). Nulls and NaNs are excluded.
-    * Heavy duplication is safe: a range whose width underflows is all
-    * one value and resolves immediately. Returns (n, median). */
+    * Heavy duplication is safe twice over: a range whose width
+    * underflows is all one value and resolves immediately, and the
+    * final collect gathers (value, count) pairs GROUPED BY VALUE — so
+    * 10⁹ copies of one value land as one driver row, not 10⁹
+    * (ADVICE r8: the ±bucket-width FP widening of the final range can
+    * pull whole adjacent buckets of duplicate mass into the collect;
+    * grouping makes the collect bounded by DISTINCT survivors, and a
+    * require fails fast with a clear message in the pathological case
+    * where even those exceed `collectLimit`). Returns (n, median). */
   def exactMedianTwoPass(df: DataFrame, valCol: String,
                          buckets: Int = 2048,
                          collectLimit: Int = 1 << 16): (Long, Double) = {
@@ -174,8 +181,16 @@ object Sketches {
     var rangeCount = n  // values in [lo, hi]
     var slack = 0.0     // last bucket width — final FP-safety margin
     var guard = 0
-    while (rangeCount > collectLimit && hi > lo && guard < 64) {
+    // a range pinned open by heavy duplicate mass at BOTH ends (kLo in
+    // one value's mass, kHi in another's) stops narrowing — every
+    // further round recomputes the identical histogram, so exit as soon
+    // as (lo, hi) repeats; the grouped final collect resolves it
+    var prevLo = Double.NaN
+    var prevHi = Double.NaN
+    while (rangeCount > collectLimit && hi > lo && guard < 64 &&
+           !(lo == prevLo && hi == prevHi)) {
       guard += 1
+      prevLo = lo; prevHi = hi
       val width = (hi - lo) / buckets
       if (width <= 0 || width.isInfinity) { hi = lo } // underflow: all equal
       else {
@@ -212,13 +227,34 @@ object Sketches {
         // widen by one bucket width on both ends (floor()'s FP rounding at
         // a boundary could strand a target value just outside [lo, hi])
         // and re-derive the rank base EXACTLY for the widened range — the
-        // loop's cumBase is only histogram-self-consistent.
+        // loop's cumBase is only histogram-self-consistent. The collect
+        // is (value, count) pairs grouped by value: the widening can pull
+        // entire adjacent buckets of DUPLICATE mass into the range, so
+        // bounding by row count would be wrong — distinct survivors are
+        // what must fit the driver, and the require enforces exactly that
+        // instead of silently collecting past the contract (ADVICE r8).
         val lo2 = lo - slack
         val hi2 = hi + slack
         val below = vals.where(col("__v") < lo2).count()
-        val sorted = vals.where(col("__v") >= lo2 && col("__v") <= hi2)
-          .collect().map(_.getDouble(0)).sorted
-        (sorted((kLo - below).toInt) + sorted((kHi - below).toInt)) / 2.0
+        val grouped = vals.where(col("__v") >= lo2 && col("__v") <= hi2)
+          .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+          .orderBy("__v")
+        val pairs = grouped.limit(collectLimit + 1).collect()
+          .map(r => (r.getDouble(0), r.getLong(1)))
+        require(pairs.length <= collectLimit,
+          s"exactMedianTwoPass: > $collectLimit distinct values in the final " +
+            s"median range [$lo2, $hi2] after $guard narrowing rounds — raise " +
+            "collectLimit or buckets")
+        def valueAt(k: Long): Double = {
+          var cum = below; var i = 0
+          while (i < pairs.length) {
+            cum += pairs(i)._2
+            if (k < cum) return pairs(i)._1
+            i += 1
+          }
+          pairs.last._1 // unreachable when bounds are exact; FP belt-and-braces
+        }
+        (valueAt(kLo) + valueAt(kHi)) / 2.0
       }
     (n, med)
   }

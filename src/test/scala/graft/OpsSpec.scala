@@ -2802,6 +2802,19 @@ class OpsSpec extends AnyFunSuite {
     assert(out(("A", 2.0)) === 0.75) // both tied rows map to P(X ≤ 2) = 3/4
     assert(out(("A", 4.0)) === 1.0)
     assert(out(("B", 5.0)) === 1.0)  // group B normalized against itself only
+    // ADVICE r8: rows with a null group or value must SURVIVE (the old
+    // inner join dropped them while still counting them in the totals)
+    val withNulls = Seq((Some("A"), Some(1.0)), (Some("A"), None),
+      (None, Some(2.0)), (None, Some(4.0))).toDF("g", "v")
+    val out2 = Profiling.ecdfNormalize(withNulls, "g", "v")
+    assert(out2.count() === 4L)
+    // null group = its own population, normalized null-safely
+    val nullG = out2.where(col("g").isNull).collect()
+      .map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(nullG === Map(2.0 -> 0.5, 4.0 -> 1.0))
+    // null value: no percentile, and excluded from A's population (1.0 is 1/1)
+    assert(out2.where(col("g") === "A" && col("v").isNull).head().isNullAt(2))
+    assert(out2.where(col("g") === "A" && col("v") === 1.0).head().getDouble(2) === 1.0)
   }
 
   test("benfordAudit: digit census with exclusions and zero-observed inflation") {
@@ -2866,6 +2879,16 @@ class OpsSpec extends AnyFunSuite {
     val withNull = Seq(Some(1.0), None, Some(Double.NaN), Some(3.0), Some(2.0))
       .toDF("v")
     assert(Sketches.exactMedianTwoPass(withNull, "v") === ((3L, 2.0)))
+    // ADVICE r8: heavy duplicate mass at BOTH ends of an even-count
+    // median (kLo inside 1.0's mass, kHi inside 2.0's) pins the range
+    // open forever — the loop must exit on the repeated (lo, hi) and
+    // the final collect must gather (value, count) PAIRS, not rows
+    // (10k survivors, collectLimit 128, but only 2 distinct values)
+    val twoHeavy = spark.range(0, 10000).selectExpr(
+      "CASE WHEN id < 5000 THEN 1.0 ELSE 2.0 END AS v")
+    val (n4, m4) = Sketches.exactMedianTwoPass(twoHeavy, "v",
+      buckets = 16, collectLimit = 128)
+    assert(n4 === 10000L && m4 === 1.5)
   }
 
   test("kneserNeyBigrams: hand-computed interpolated-KN probabilities sum per context") {
@@ -3459,6 +3482,20 @@ class OpsSpec extends AnyFunSuite {
       (("A", "B", 4L, 4L, 2L, 1L, 0.5, 0.25, math.rint(z * 1e6) / 1e6)))
     val allWin = Seq(("A", true), ("B", true)).toDF("v", "ok")
     assert(Evaluation.twoProportionZ(allWin, "v", "ok").collect().head.isNullAt(8))
+    // ADVICE r8: the EXACTLY-two contract is enforced — 3 variants must
+    // raise, not silently compare the lexicographic first and last
+    val three = Seq(("A", true), ("B", false), ("C", true)).toDF("v", "ok")
+    val ex = intercept[Throwable] {
+      Evaluation.twoProportionZ(three, "v", "ok").collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " " + msgs(t.getCause)
+    assert(msgs(ex).contains("EXACTLY two variants"))
+    val one = Seq(("A", true), ("A", false)).toDF("v", "ok")
+    val ex1 = intercept[Throwable] {
+      Evaluation.twoProportionZ(one, "v", "ok").collect()
+    }
+    assert(msgs(ex1).contains("EXACTLY two variants"))
   }
 
   test("theilSenSlope: outlier-immune line recovery") {
