@@ -20,6 +20,24 @@ object Batching {
     df.withColumn(out,
       ((row_number().over(Window.orderBy(col(orderCol))) - 1) / size).cast("long"))
 
+  /** Global top-k WITH ranks, at scale (VERDICT r8 #4): the
+    * `row_number().over(Window.orderBy(...)) <= k` idiom funnels the
+    * whole frame through ONE task to rank rows it then throws away;
+    * `orderBy(...).limit(k)` instead plans as TakeOrderedAndProject —
+    * per-partition top-k heaps merged once on the driver, no global
+    * sort, no single-task window over the data — and the rank is then
+    * re-derived by a window over the ≤ k SURVIVORS, bounded by the
+    * parameter k, never the input (the [[Sampling.weightedTake]] /
+    * skewReport shape, factored out; plan pinned in PlanSpec). `order`
+    * must be a total order (end with a unique tiebreak column) or
+    * boundary ties make the cut nondeterministic. */
+  def rankedTopK(df: DataFrame, order: Seq[Column], k: Int,
+                 out: String = "rank"): DataFrame = {
+    require(k > 0, s"k: $k")
+    df.orderBy(order: _*).limit(k)
+      .withColumn(out, row_number().over(Window.orderBy(order: _*)))
+  }
+
   /** Distributed equivalent of [[chunkBySize]] for data-scale inputs:
     * identical chunk ids for a unique `orderCol`, but the global rank
     * comes from `zipWithIndex` over ONE range-partitioned, in-partition-

@@ -99,8 +99,11 @@ object Evaluation {
     * source A vs B): KS = max over observed values of
     * |ECDF_a − ECDF_b|. One (value)-keyed aggregate with per-group
     * counts, one cumulative window over DISTINCT values (bounded by
-    * value cardinality, never the corpus), exact integer counts into
-    * one rounded ratio. Returns (n_a, n_b, ks 6 dp). */
+    * value cardinality, never the corpus — NOTE a raw continuous
+    * column has distinct ≈ rows; pre-round/bucket it, the
+    * [[binaryAuc]] 6-dp convention, or the window is a one-task
+    * sort), exact integer counts into one rounded ratio.
+    * Returns (n_a, n_b, ks 6 dp). */
   def ksStatistic(df: DataFrame, groupCol: String, valCol: String,
                   a: String, b: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1009,12 +1009,13 @@ object TextAnalysis {
     * row (n_terms, slope, intercept). */
   def zipfFit(df: org.apache.spark.sql.DataFrame, textCol: String,
               topN: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = df.select(explode(tokens(lower(col(textCol)))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
-    val ranked = counts
-      .withColumn("rank", row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
-      .where(col("rank") <= topN)
+    // top-topN via TakeOrderedAndProject (Batching.rankedTopK) — the
+    // vocab table is Heaps'-law bounded but still outgrows one task's
+    // sort at web-corpus scale; only the ≤ topN survivors see a window
+    val ranked = Batching
+      .rankedTopK(counts, Seq(col("cnt").desc, col("term")), topN)
       .select(log(col("rank")).as("x"), log(col("cnt")).as("y"))
     val agg = ranked.agg(
       count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
@@ -1084,8 +1085,10 @@ object TextAnalysis {
       .select(col("a"), col("b"), col("c"),
         round(log((col("c") / col("bt")) /
           ((col("ca") / col("t")) * (col("cb") / col("t")))), 6).as("pmi"))
-    val w = Window.orderBy(col("pmi").desc, col("a"), col("b"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    // top-k over the bigram-pair table via TakeOrderedAndProject
+    // (Batching.rankedTopK) — the pair table can be quadratic in vocab,
+    // exactly what must never funnel through a single-task rank window
+    Batching.rankedTopK(scored, Seq(col("pmi").desc, col("a"), col("b")), k)
       .select(col("rank"), col("a"), col("b"), col("c"), col("pmi"))
   }
 
@@ -1124,8 +1127,8 @@ object TextAnalysis {
     val norm = v.agg(sqrt(sum(col("__v") * col("__v"))).as("__n"))
     val loadings = v.crossJoin(broadcast(norm))
       .select(col("term"), round(col("__v") / col("__n"), 6).as("loading"))
-    val w = Window.orderBy(col("loading").desc, col("term"))
-    loadings.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    // vocab-sized loadings → TakeOrderedAndProject top-k, window over ≤ k
+    Batching.rankedTopK(loadings, Seq(col("loading").desc, col("term")), k)
       .select(col("rank"), col("term"), col("loading"))
   }
 
@@ -1209,8 +1212,8 @@ object TextAnalysis {
           greatest(col("c") - lit(discount), lit(0.0)) / col("ca") +
             lit(discount) * col("fa") / col("ca") * (col("pb") / col("bt")),
           6).as("p"))
-    val w = Window.orderBy(col("p").desc, col("a"), col("b"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    // bigram-pair-sized table → TakeOrderedAndProject top-k (rankedTopK)
+    Batching.rankedTopK(scored, Seq(col("p").desc, col("a"), col("b")), k)
       .select(col("rank"), col("a"), col("b"), col("c"), col("p"))
   }
 

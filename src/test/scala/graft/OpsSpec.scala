@@ -3544,6 +3544,26 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4) === ((5L, 0, 5L, 250.0, 5, 5, 5, 555)))
     // user 1: stalest, fewest, lowest → 111
     assert(out(0) === ((1L, 4, 1L, 10.0, 1, 1, 1, 111)))
+    // ntile-SEMANTICS contract (VERDICT r8 #4): the distributed
+    // rank+arithmetic buckets must equal a window ntile over the same
+    // deterministic order — uneven N (23 entities, buckets of 5 and 4)
+    // with heavy metric ties, the cases where the closed form could slip
+    import org.apache.spark.sql.expressions.Window
+    val d2 = (1 to 23).flatMap { u =>
+      (1 to (u % 4 + 1)).map(_ =>
+        (u.toLong, ts(f"2024-01-${u % 9 + 1}%02d 12:00:00"), 10.0 * (u % 6)))
+    }.toDF("u", "ts", "v")
+    val out2 = Funnel.rfm(d2, "u", "ts", "v")
+    val check = out2.select(col("entity"), col("r"), col("f"), col("m"),
+        ntile(5).over(Window.orderBy(col("recency_days").desc, col("entity"))).as("rw"),
+        ntile(5).over(Window.orderBy(col("frequency").asc, col("entity"))).as("fw"),
+        ntile(5).over(Window.orderBy(col("monetary").asc, col("entity"))).as("mw"))
+      .collect()
+    assert(check.length === 23)
+    check.foreach { r =>
+      assert((r.getInt(1), r.getInt(2), r.getInt(3)) ===
+        ((r.getInt(4), r.getInt(5), r.getInt(6))), s"entity ${r.getLong(0)}")
+    }
   }
 
   test("hllRegistersBy: per-group sparse registers = each group's dense sketch") {

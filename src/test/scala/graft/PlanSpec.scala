@@ -508,6 +508,20 @@ class PlanSpec extends AnyFunSuite {
       s"ES top-k did not plan as per-partition heaps:\n$p")
   }
 
+  test("rankedTopK consumers: vocab/pair top-k plans as TakeOrderedAndProject") {
+    // VERDICT r8 #4: these ops used to rank their FULL post-aggregation
+    // table (vocab / bigram pairs / keyed dimension) through one
+    // unpartitioned window to keep k rows; Batching.rankedTopK must
+    // plan the cut as per-partition heaps + one k-row merge, leaving
+    // the surviving window bounded by the parameter k
+    for (name <- Seq("q_text_zipf", "q_text_pmi", "q_text_lsi",
+        "q_text_kn_ngram", "q_agg_topn_other")) {
+      val p = plan(name)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name: top-k did not plan as per-partition heaps:\n$p")
+    }
+  }
+
   test("markov transitions: the row-normalizing total joins broadcast") {
     val p = plan("q_events_markov")
     assert(p.contains("BroadcastHashJoin"), s"per-from total join is not broadcast:\n$p")
