@@ -321,33 +321,39 @@ object Sampling {
     // nulls, so a null share would silently hand the source its FULL
     // cap and blow the budget
     val w0 = col("weight").cast("double")
-    var cur = counts.select(col("source"), col("tokens").cast("long").as("tokens"),
-      when(w0.isNull || w0 <= 0.0,
-        raise_error(concat(lit("budgetAllocate: non-positive weight for source "),
-          col("source").cast("string")))).otherwise(w0).as("weight"),
-      floor(col("tokens") * maxEpochs).cast("long").as("cap"),
-      lit(0L).as("alloc"))
-      // per-round localCheckpoint (the Graph.pageRank rationale): each
-      // round embeds the previous frame TWICE (totals + crossJoin), so
-      // lazily the input lineage re-executes up to 2^rounds times —
-      // q_budget_mix's input is a corpus-wide token count
-      .localCheckpoint()
+    // per-round Pinned checkpoint: each round embeds the previous frame
+    // TWICE (totals + crossJoin), so lazily the input lineage
+    // re-executes up to 2^rounds times — q_budget_mix's input is a
+    // corpus-wide token count. Every round releases its predecessor
+    // once the new pin materializes; the result is slot-held (the
+    // Graph r8 lesson: unreleased per-round pins stack across runs).
+    var (cur, curH) = Pinned.checkpoint(
+      counts.select(col("source"), col("tokens").cast("long").as("tokens"),
+        when(w0.isNull || w0 <= 0.0,
+          raise_error(concat(lit("budgetAllocate: non-positive weight for source "),
+            col("source").cast("string")))).otherwise(w0).as("weight"),
+        floor(col("tokens") * maxEpochs).cast("long").as("cap"),
+        lit(0L).as("alloc")))
     for (_ <- 1 to rounds) {
       val tot = cur.agg(
         sum(when(col("alloc") < col("cap"), col("weight"))).as("__wsum"),
         (lit(budget) - sum("alloc")).as("__rem"))
-      cur = cur.crossJoin(broadcast(tot))
+      val (nc, ncH) = Pinned.checkpoint(cur.crossJoin(broadcast(tot))
         .withColumn("__add",
           when(col("alloc") < col("cap") && col("__wsum") > 0.0,
             least(col("cap") - col("alloc"),
               floor(col("__rem") * col("weight") / col("__wsum")).cast("long")))
             .otherwise(0L))
         .select(col("source"), col("tokens"), col("weight"), col("cap"),
-          (col("alloc") + col("__add")).as("alloc"))
-        .localCheckpoint()
+          (col("alloc") + col("__add")).as("alloc")))
+      Pinned.release(curH)
+      cur = nc; curH = ncH
     }
-    cur.select(col("source"), col("tokens"), col("cap"), col("alloc"),
-      round(col("alloc") / col("tokens"), 6).as("epochs"))
+    val out = Pinned.hold("sampling.budget",
+      cur.select(col("source"), col("tokens"), col("cap"), col("alloc"),
+        round(col("alloc") / col("tokens"), 6).as("epochs")))
+    Pinned.release(curH)
+    out
   }
 
   /** RENDEZVOUS (highest-random-weight) routing — the stable shard

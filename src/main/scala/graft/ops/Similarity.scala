@@ -195,15 +195,14 @@ object Similarity {
     val y = ys.select(col(idCol).as("y_id"), vecD(col(vecCol)).as("y_vec"))
       .withColumn("y_norm", sqrt(dot(col("y_vec"), col("y_vec"))))
     val den = col("x_norm") * col("y_norm")
-    // localCheckpoint: three consumers (pair scores + both directional
+    // Pinned checkpoint: three consumers (pair scores + both directional
     // top-k averages) read this frame, and Spark does no cross-branch
     // common-subplan elimination — lazily every pairwise dot product
-    // would run 3×. Same materialization rationale (and same
-    // CacheManager-identity avoidance) as Graph.pageRank.
-    val scored = x.crossJoin(broadcast(y))
+    // would run 3×. Released on exit; the result is slot-held
+    // (Graph's r8 lesson: unreleased pins stack across invocations).
+    val (scored, scoredH) = Pinned.checkpoint(x.crossJoin(broadcast(y))
       .select(col("x_id"), col("y_id"),
-        when(den =!= 0.0, dot(col("x_vec"), col("y_vec")) / den).as("sim"))
-      .localCheckpoint()
+        when(den =!= 0.0, dot(col("x_vec"), col("y_vec")) / den).as("sim")))
     val wx = Window.partitionBy("x_id").orderBy(col("sim").desc, col("y_id"))
     val ax = scored.withColumn("__rk", row_number().over(wx)).where(col("__rk") <= k)
       .groupBy("x_id").agg(avg("sim").as("__ax"))
@@ -214,9 +213,12 @@ object Similarity {
       .select(col("x_id"), col("y_id"),
         round(col("sim") / ((col("__ax") + col("__ay")) / 2.0), 6).as("margin"))
     val wBest = Window.partitionBy("x_id").orderBy(col("margin").desc, col("y_id"))
-    margins.withColumn("__rk", row_number().over(wBest))
-      .where(col("__rk") === 1 && col("margin") >= threshold)
-      .select("x_id", "y_id", "margin")
+    val out = Pinned.hold("similarity.bitext",
+      margins.withColumn("__rk", row_number().over(wBest))
+        .where(col("__rk") === 1 && col("margin") >= threshold)
+        .select("x_id", "y_id", "margin"))
+    Pinned.release(scoredH)
+    out
   }
 
   /** Hard-NEGATIVE mining for contrastive training (DPR-style negative
@@ -322,11 +324,13 @@ object Similarity {
                eps: Double, minPts: Int): DataFrame = {
     require(eps > 0, s"eps: $eps")
     require(minPts >= 1, s"minPts: $minPts")
-    val pts = points.select(col(idCol).cast("long").as("id"),
-        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
-      .where(col("x").isNotNull && !isnan(col("x")) &&
-             col("y").isNotNull && !isnan(col("y")))
-      .localCheckpoint() // static input, referenced by pairs + the final join
+    // static input, referenced by pairs + the final join; released on
+    // exit with the pair pin, result slot-held (Pinned lifecycle)
+    val (pts, ptsH) = Pinned.checkpoint(
+      points.select(col(idCol).cast("long").as("id"),
+          col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+        .where(col("x").isNotNull && !isnan(col("x")) &&
+               col("y").isNotNull && !isnan(col("y"))))
     val withCell = pts.select(col("id"), col("x"), col("y"),
       floor(col("x") / eps).cast("long").as("cx"),
       floor(col("y") / eps).cast("long").as("cy"))
@@ -342,12 +346,12 @@ object Similarity {
       col("y").as("yb"), col("cx").as("px"), col("cy").as("py"))
     // directed neighbor pairs (each unordered pair once per direction —
     // exactly what the per-point neighbor count wants)
-    val pairs = probes.join(targets, Seq("px", "py"))
+    // reused by counts, core edges, and border assignment — pinned once
+    val (pairs, pairsH) = Pinned.checkpoint(probes.join(targets, Seq("px", "py"))
       .where(col("ida") =!= col("idb") &&
         (col("xa") - col("xb")) * (col("xa") - col("xb")) +
         (col("ya") - col("yb")) * (col("ya") - col("yb")) <= lit(eps * eps))
-      .select(col("ida"), col("idb"))
-      .localCheckpoint() // reused: counts, core edges, border assignment
+      .select(col("ida"), col("idb")))
     val cores = pairs.groupBy("ida").agg(count(lit(1)).as("__nn"))
       .where(col("__nn") + 1 >= minPts)
       .select(col("ida").as("id"))
@@ -366,14 +370,17 @@ object Similarity {
       .join(cores.select(col("id").as("ida")), Seq("ida"), "left_anti")
       .groupBy(col("ida")).agg(min("__c").as("cluster"))
       .select(col("ida").as("id"), col("cluster"))
-    pts.select(col("id"))
-      .join(coreClusters.withColumnRenamed("cluster", "__core_c"), Seq("id"), "left")
-      .join(borders.withColumnRenamed("cluster", "__border_c"), Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("__core_c"), col("__border_c")).as("cluster"),
-        when(col("__core_c").isNotNull, "core")
-          .when(col("__border_c").isNotNull, "border")
-          .otherwise("noise").as("role"))
+    val out = Pinned.hold("similarity.dbscan",
+      pts.select(col("id"))
+        .join(coreClusters.withColumnRenamed("cluster", "__core_c"), Seq("id"), "left")
+        .join(borders.withColumnRenamed("cluster", "__border_c"), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("__core_c"), col("__border_c")).as("cluster"),
+          when(col("__core_c").isNotNull, "core")
+            .when(col("__border_c").isNotNull, "border")
+            .otherwise("noise").as("role")))
+    Pinned.release(ptsH, pairsH)
+    out
   }
 
   // -- random-hyperplane LSH ---------------------------------------------

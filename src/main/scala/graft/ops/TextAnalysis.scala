@@ -1111,12 +1111,13 @@ object TextAnalysis {
                         iters: Int = 2, k: Int = 25): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(iters >= 1 && k > 0)
-    val counts = df
+    // both halves of every iteration re-read it — pinned once,
+    // released on exit; the result is slot-held (Pinned lifecycle)
+    val (counts, countsH) = Pinned.checkpoint(df
       .select(monotonically_increasing_id().as("__d"), tokens(lower(col(textCol))).as("__t"))
       .where(size(col("__t")) > 0)
       .select(col("__d"), explode(col("__t")).as("term"))
-      .groupBy("__d", "term").agg(count(lit(1)).cast("double").as("__c"))
-      .localCheckpoint() // both halves of every iteration re-read it
+      .groupBy("__d", "term").agg(count(lit(1)).cast("double").as("__c")))
     var v = counts.groupBy("term").agg(lit(1.0).as("__v"))
     for (_ <- 1 to iters) {
       val u = counts.join(v, Seq("term"))
@@ -1128,8 +1129,11 @@ object TextAnalysis {
     val loadings = v.crossJoin(broadcast(norm))
       .select(col("term"), round(col("__v") / col("__n"), 6).as("loading"))
     // vocab-sized loadings → TakeOrderedAndProject top-k, window over ≤ k
-    Batching.rankedTopK(loadings, Seq(col("loading").desc, col("term")), k)
-      .select(col("rank"), col("term"), col("loading"))
+    val out = Pinned.hold("text.lsi",
+      Batching.rankedTopK(loadings, Seq(col("loading").desc, col("term")), k)
+        .select(col("rank"), col("term"), col("loading")))
+    Pinned.release(countsH)
+    out
   }
 
   /** Per-group KL divergence of unigram distributions vs the corpus —

@@ -3544,16 +3544,18 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4) === ((5L, 0, 5L, 250.0, 5, 5, 5, 555)))
     // user 1: stalest, fewest, lowest → 111
     assert(out(0) === ((1L, 4, 1L, 10.0, 1, 1, 1, 111)))
-    // ntile-SEMANTICS contract (VERDICT r8 #4): the distributed
-    // rank+arithmetic buckets must equal a window ntile over the same
-    // deterministic order — uneven N (23 entities, buckets of 5 and 4)
-    // with heavy metric ties, the cases where the closed form could slip
+    // ntile-SEMANTICS contract (VERDICT r8 #4): the SCALED tier's
+    // distributed rank+arithmetic buckets must equal a window ntile
+    // over the same deterministic order — uneven N (23 entities,
+    // buckets of 5 and 4) with heavy metric ties, the cases where the
+    // closed form could slip. windowThreshold = 0 forces the scaled
+    // tier; the default small tier IS the window form.
     import org.apache.spark.sql.expressions.Window
     val d2 = (1 to 23).flatMap { u =>
       (1 to (u % 4 + 1)).map(_ =>
         (u.toLong, ts(f"2024-01-${u % 9 + 1}%02d 12:00:00"), 10.0 * (u % 6)))
     }.toDF("u", "ts", "v")
-    val out2 = Funnel.rfm(d2, "u", "ts", "v")
+    val out2 = Funnel.rfm(d2, "u", "ts", "v", windowThreshold = 0L)
     val check = out2.select(col("entity"), col("r"), col("f"), col("m"),
         ntile(5).over(Window.orderBy(col("recency_days").desc, col("entity"))).as("rw"),
         ntile(5).over(Window.orderBy(col("frequency").asc, col("entity"))).as("fw"),

@@ -42,7 +42,11 @@ class PersistLifecycleSpec extends AnyFunSuite {
     // (release-on-supersede + slot-held results) must keep the count
     // flat: after the first pass only the one-slot result pins remain.
     val entries = Seq("q_graph_communities", "q_graph_kcore", "q_graph_pagerank",
-      "q_graph_triangles", "q_graph_adamic_adar")
+      "q_graph_triangles", "q_graph_adamic_adar",
+      // the same Pinned lifecycle applied to the non-graph checkpoint
+      // users: iterative budget water-filling, multi-consumer pair
+      // frames (bitext, dbscan), and the LSI power iteration
+      "q_budget_mix", "q_sim_bitext", "q_embed_dbscan", "q_text_lsi")
     entries.foreach(runEntry) // populate the result slots
     val afterFirst = pinned
     entries.foreach(runEntry)

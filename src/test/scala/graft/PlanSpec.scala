@@ -514,12 +514,21 @@ class PlanSpec extends AnyFunSuite {
     // unpartitioned window to keep k rows; Batching.rankedTopK must
     // plan the cut as per-partition heaps + one k-row merge, leaving
     // the surviving window bounded by the parameter k
-    for (name <- Seq("q_text_zipf", "q_text_pmi", "q_text_lsi",
+    for (name <- Seq("q_text_zipf", "q_text_pmi",
         "q_text_kn_ngram", "q_agg_topn_other")) {
       val p = plan(name)
       assert(p.contains("TakeOrderedAndProject"),
         s"$name: top-k did not plan as per-partition heaps:\n$p")
     }
+    // q_text_lsi also rides rankedTopK but slot-checkpoints its result
+    // (Pinned lifecycle), so the entry-level plan is a checkpoint scan;
+    // pin the helper's plan directly instead
+    import org.apache.spark.sql.functions._
+    val d = spark.range(0, 1000).select(col("id"), (col("id") % 37).as("w"))
+    val p = graft.ops.Batching.rankedTopK(d, Seq(col("w").desc, col("id")), 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"rankedTopK itself did not plan as per-partition heaps:\n$p")
   }
 
   test("markov transitions: the row-normalizing total joins broadcast") {
