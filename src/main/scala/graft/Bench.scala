@@ -57,18 +57,27 @@ object Bench {
     // still for `stableMs` (background C2 queue drained), capped — the
     // counter only moves while compiler threads burn CPU, so stillness
     // means the timed run that follows is not co-scheduled with compile
-    // work from a PREVIOUS run. Returns seconds waited (reported in the
-    // artifact as quiesce overhead, never billed to an entry).
+    // work from a PREVIOUS run. Stillness OBSERVED BEFORE the call
+    // counts: the counter is monotone, so an unchanged value across the
+    // previous timed run proves the compiler was idle that whole span —
+    // without this, every quiesce pays the full stableMs window even on
+    // a dead-idle JIT, and 2 calls × 298 entries × 250 ms was 168 s of
+    // pure waiting (the r8 #6 overhead, second half). Returns seconds
+    // waited (reported as quiesce overhead, never billed to an entry).
+    var qLastJit = jitNow()
+    var qLastChangeNs = System.nanoTime()
     def quiesce(stableMs: Long, capMs: Long): Double = {
       val t0 = System.nanoTime()
       if (jitNow() < 0) return 0.0
-      var last = jitNow()
-      var lastChange = System.nanoTime()
-      while ((System.nanoTime() - t0) / 1e6 < capMs &&
-             (System.nanoTime() - lastChange) / 1e6 < stableMs) {
-        Thread.sleep(50)
+      def observe(): Unit = {
         val cur = jitNow()
-        if (cur != last) { last = cur; lastChange = System.nanoTime() }
+        if (cur != qLastJit) { qLastJit = cur; qLastChangeNs = System.nanoTime() }
+      }
+      observe()
+      while ((System.nanoTime() - t0) / 1e6 < capMs &&
+             (System.nanoTime() - qLastChangeNs) / 1e6 < stableMs) {
+        Thread.sleep(50)
+        observe()
       }
       (System.nanoTime() - t0) / 1e9
     }

@@ -602,6 +602,84 @@ object QueryCatalog {
              event_id, CAST(tr AS INT) AS tr
       FROM r ORDER BY pos""")),
 
+    // DEPTH-4 cross-type sort via the UNBOUNDED tier
+    // (functions/JsonMemKey.scala): the same recursive value_compare
+    // (jx.py:560-627) one level beyond q_sort_cross_type_nested3, but
+    // the key is the memcomparable BYTE encoding of the JSON value —
+    // one static call per row, constant codegen mass at ANY depth (the
+    // per-depth struct-key construction stops at 3; this tier removes
+    // the boundary). The sort itself is a plain BINARY column:
+    // Tungsten byte comparison, range-partitionable. Values are built
+    // as JSON text (numbers round-trip exactly; keys/strings are
+    // alphanumeric event_types). Oracle: the nested2/3 flattening
+    // strategy — each deterministic shape becomes natively-comparable
+    // DuckDB columns, one bracket deeper.
+    "q_sort_cross_type_nested4" -> (raw((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.functions.JsonMemKey
+      val e = SparkEntry.loader(s, dir)("events")
+      val m = col("event_id") % 7
+      val half = (col("event_id") / 7).cast("long") % 2 === 0
+      val fv = floor(col("value")).cast("long").cast("string")
+      val fv7 = (floor(col("value")) % 7).cast("long").cast("string")
+      val et = col("event_type")
+      val js =
+        when(m === 0, col("value").cast("string"))
+          .when(m === 1, concat(lit("\""), et, lit("\"")))
+          .when(m === 2, // list of numbers
+            when(half, concat(lit("["), fv, lit("]")))
+              .otherwise(concat(lit("["), fv, lit(","), fv7, lit("]"))))
+          .when(m === 3, // list of lists of LISTS OF LISTS (depth 4)
+            when(half, concat(lit("[[[["), fv, lit("]]]]")))
+              .otherwise(concat(lit("[[[["), fv, lit("]]],[[["), fv,
+                lit("]],[["), fv, lit("],["), fv7, lit("]]]]"))))
+          .when(m === 4, // list of OBJECTS holding lists of lists (depth 4)
+            when(half, concat(lit("""[{"a":[["""), fv, lit("]]}]")))
+              .otherwise(concat(lit("""[{"a":[["""), fv, lit("""]]},{"a":[["""), fv,
+                lit("""]],"b":[["""), fv7, lit("]]}]"))))
+          .when(m === 5, // object holding a list of lists of lists (+string)
+            when(half, concat(lit("""{"a":[[["""), fv, lit("]]]}")))
+              .otherwise(concat(lit("""{"a":[[["""), fv, lit("],["), fv7,
+                lit("""]]],"b":""""), et, lit("\"}"))))
+          .otherwise(lit("null"))
+      val keyed = e.select(col("event_id"), JsonMemKey.jsonSortKey(js).as("__k"))
+        .withColumn("__g", lit(0L))
+      // the key's FIRST byte is the TYPE tag — surfacing the rank from
+      // the encoding itself (the struct tiers surface __k.tr the same way)
+      val tag = conv(hex(substring(col("__k"), 1, 1)), 16, 10).cast("int")
+      val tr = when(tag === 1, 0).when(tag === 2, 1).when(tag === 3, 2)
+        .when(tag === 4, 3).when(tag === 5, 4).otherwise(9)
+      graft.ops.Batching.rankWithinScaled(keyed, "__g", Seq(col("__k"), col("event_id")), out = "pos0")
+        .select((col("pos0") + 1L).as("pos"), col("event_id"), tr.as("tr"))
+    }), Some("""
+      WITH m AS (
+        SELECT event_id, event_id % 7 AS m, (event_id // 7) % 2 = 0 AS half,
+               value, event_type, CAST(floor(value) AS DOUBLE) AS fv,
+               CAST(CAST(floor(value) AS BIGINT) % 7 AS DOUBLE) AS fv7
+        FROM events),
+      r AS (
+        SELECT event_id,
+          CASE m WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 WHEN 3 THEN 3
+                 WHEN 4 THEN 3 WHEN 5 THEN 4 ELSE 9 END AS tr,
+          CASE WHEN m = 0 THEN value END AS n,
+          CASE WHEN m = 1 THEN event_type END AS s,
+          CASE WHEN m = 2 THEN 1 WHEN m = 3 THEN 3 WHEN m = 4 THEN 4 END AS l_er,
+          CASE WHEN m = 2 THEN (CASE WHEN half THEN [fv] ELSE [fv, fv7] END) END AS l_n,
+          CASE WHEN m = 3 THEN (CASE WHEN half THEN [[[[fv]]]]
+               ELSE [[[[fv]]], [[[fv]], [[fv], [fv7]]]] END) END AS l_llll,
+          CASE WHEN m = 4 THEN [fv] END AS l4_a,
+          CASE WHEN m = 4 THEN (CASE WHEN half THEN 1 ELSE 2 END) END AS l4_len,
+          CASE WHEN m = 4 AND NOT half THEN fv7 END AS l4_b,
+          CASE WHEN m = 5 THEN (CASE WHEN half THEN [[[fv]]] ELSE [[[fv], [fv7]]] END) END AS o_a,
+          CASE WHEN m = 5 THEN (CASE WHEN half THEN 1 ELSE 0 END) END AS o_b_pres,
+          CASE WHEN m = 5 AND NOT half THEN event_type END AS o_b
+        FROM m)
+      SELECT CAST(row_number() OVER (
+               ORDER BY tr, n, s, l_er, l_n, l_llll, l4_a, l4_len, l4_b,
+                        o_a, o_b_pres, o_b, event_id) AS BIGINT) AS pos,
+             event_id, CAST(tr AS INT) AS tr
+      FROM r ORDER BY pos""")),
+
     // typed slots as FIRST-CLASS query values, not just a sort encoding
     // (vendor/jx_sqlite/expressions.py:32-79 compiles every expression to
     // per-slot fragments): grouping a mixed-type column — the slots

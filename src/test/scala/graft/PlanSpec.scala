@@ -650,4 +650,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!ep.contains("SortMergeJoin") && !ep.contains("CartesianProduct"),
       s"grouped estimate must not join:\n$ep")
   }
+
+  test("nested4 cross-type sort: memcomparable key stays native and range-partitions") {
+    // the unbounded-depth tier (JsonMemKey): one static-call expression
+    // per row — never a ScalaUDF — and the BINARY key range-partitions
+    // like any scalar. The entry itself rides rankWithinScaled, whose
+    // materialization hides the key stage behind a Scan ExistingRDD
+    // (the q_text_lsi situation), so the contract pins the key stage
+    // directly over the parquet source.
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$dir/events.parquet")
+    val keyed = e.select(col("event_id"),
+      graft.functions.JsonMemKey.jsonSortKey(
+        concat(lit("[["), col("event_id").cast("string"), lit("]]"))).as("__k"))
+    val p = keyed.orderBy(col("__k")).queryExecution.executedPlan.toString
+    assert(p.contains("graft_json_sort_key"), s"encoder expression missing:\n$p")
+    assert(!p.contains("ScalaUDF"), s"UDF crept into the key path:\n$p")
+    assert(p.contains("rangepartitioning"), s"sort did not range-partition:\n$p")
+  }
 }
