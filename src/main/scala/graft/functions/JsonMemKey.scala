@@ -128,7 +128,7 @@ object JsonMemKey {
     } else out.write(TagMissing) // binary/POJO nodes cannot occur from readTree
   }
 
-  private def encodeNumber(out: java.io.ByteArrayOutputStream, d0: Double): Unit = {
+  private[functions] def encodeNumber(out: java.io.ByteArrayOutputStream, d0: Double): Unit = {
     out.write(TagNum)
     val d = d0 + 0.0 // -0.0 → +0.0: SQL equality before total order
     var bits = java.lang.Double.doubleToLongBits(d)
@@ -143,7 +143,13 @@ object JsonMemKey {
     out.write(0); out.write(0)
   }
 
-  private def writeEscaped(out: java.io.ByteArrayOutputStream, bytes: Array[Byte]): Unit = {
+  private[functions] def encodeStringBytes(out: java.io.ByteArrayOutputStream, utf8: Array[Byte]): Unit = {
+    out.write(TagStr)
+    writeEscaped(out, utf8)
+    out.write(0); out.write(0)
+  }
+
+  private[functions] def writeEscaped(out: java.io.ByteArrayOutputStream, bytes: Array[Byte]): Unit = {
     var i = 0
     while (i < bytes.length) {
       val b = bytes(i) & 0xFF
@@ -152,9 +158,28 @@ object JsonMemKey {
     }
   }
 
+  private[functions] def tagBool: Int = TagBool
+  private[functions] def tagList: Int = TagList
+  private[functions] def tagObj: Int = TagObj
+  private[functions] def tagMissing: Int = TagMissing
+  private[functions] def tagTermList: Int = TagTermList
+  private[functions] def termObj: Int = TermObj
+
   /** Column wrapper: JSON text → memcomparable BINARY sort key. */
   def jsonSortKey(c: Column): Column =
     GraftColumnBridge.column(JsonSortKeyExpr(GraftColumnBridge.expression(c)))
+
+  /** Column wrapper: a [[graft.jx.TypedSlots]] nested-variant STRUCT
+    * (any depth) → the same memcomparable BINARY key. The sort-side
+    * answer to the struct tiers' geometric codegen: `GenerateOrdering`
+    * over a depth-3 nested struct emits a comparator that recurses
+    * through every field (the probe attributed ~34 s of cold JIT to
+    * the SORT alone at depth 3), while a binary column compares with
+    * Tungsten's library byte comparison — no generated comparator at
+    * all. Byte order == the struct key's order (law-pinned in
+    * JsonSortKeySpec against sortKeyNested3 on the entry domain). */
+  def nvSortKey(c: Column): Column =
+    GraftColumnBridge.column(NvMemKeyExpr(GraftColumnBridge.expression(c)))
 }
 
 /**
@@ -184,6 +209,135 @@ case class JsonSortKeyExpr(child: Expression) extends UnaryExpression {
         code"""
           |${CodeGenerator.javaType(dataType)} ${ev.value} =
           |  graft.functions.JsonMemKey.encode(${c.isNull} ? null : ${c.value});
+          |""".stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * Memcomparable key over a [[graft.jx.TypedSlots]] nested-variant
+ * struct: `struct<b:boolean, n:double, s:string, l:array<NV'>,
+ * o:array<struct<k:string, v:NV'>>>` recursively, bottoming at the
+ * scalar `struct<b,n,s>` — the shape every `nv`/`nv2`/`nv3` builder
+ * produces, accepted at ANY depth (the walker follows the schema).
+ * Emits exactly the [[JsonMemKey]] byte scheme, so the binary order
+ * equals the struct tiers' `sortKeyNested*` order and the reference's
+ * recursive value_compare.
+ *
+ * Object entries are trusted pre-sorted by key with missing-valued
+ * entries dropped (the `nvOfObject` construction contract — same trust
+ * as `sortKeyNested*`); a missing-valued entry that does reach the
+ * encoder is skipped, preserving `{a: null} == {}`. A NULL struct (or
+ * all-null slots) encodes as missing. Never returns null. Generated
+ * code is one virtual call on a plan-time reference — constant codegen
+ * mass at any depth, and crucially the downstream SORT needs no
+ * generated comparator (binary columns compare via Tungsten's byte
+ * comparison; `GenerateOrdering` over the equivalent depth-3 struct
+ * key was measured at ~34 s of cold JIT).
+ */
+case class NvMemKeyExpr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  private def isNvShape(t: DataType): Boolean = t match {
+    case StructType(fs) if fs.length == 3 =>
+      fs.map(_.name).sameElements(Array("b", "n", "s")) &&
+        fs(0).dataType == BooleanType && fs(1).dataType == DoubleType &&
+        fs(2).dataType == StringType
+    case StructType(fs) if fs.length == 5 =>
+      fs.map(_.name).sameElements(Array("b", "n", "s", "l", "o")) &&
+        fs(0).dataType == BooleanType && fs(1).dataType == DoubleType &&
+        fs(2).dataType == StringType &&
+        (fs(3).dataType match {
+          case ArrayType(et, _) => isNvShape(et)
+          case _ => false
+        }) &&
+        (fs(4).dataType match {
+          case ArrayType(StructType(ef), _) if ef.length == 2 =>
+            ef(0).name == "k" && ef(0).dataType == StringType &&
+              ef(1).name == "v" && isNvShape(ef(1).dataType)
+          case _ => false
+        })
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isNvShape(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a TypedSlots nested-variant struct, got ${child.dataType.sql}")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_nv_mem_key"
+
+  @transient private lazy val schema = child.dataType.asInstanceOf[StructType]
+
+  /** Recursive row walk; `t` is the nv struct type at this depth. */
+  private def encodeNv(out: java.io.ByteArrayOutputStream, row: InternalRow,
+                       t: StructType): Unit = {
+    if (row == null) { out.write(JsonMemKey.tagMissing); return }
+    if (!row.isNullAt(0)) {
+      out.write(JsonMemKey.tagBool); out.write(if (row.getBoolean(0)) 1 else 0)
+    } else if (!row.isNullAt(1)) JsonMemKey.encodeNumber(out, row.getDouble(1))
+    else if (!row.isNullAt(2)) JsonMemKey.encodeStringBytes(out, row.getUTF8String(2).getBytes)
+    else if (t.length > 3 && !row.isNullAt(3)) {
+      out.write(JsonMemKey.tagList)
+      val elemT = t(3).dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+      val arr = row.getArray(3)
+      var i = 0
+      while (i < arr.numElements()) {
+        if (arr.isNullAt(i)) out.write(JsonMemKey.tagMissing)
+        else encodeNv(out, arr.getStruct(i, elemT.length), elemT)
+        i += 1
+      }
+      out.write(JsonMemKey.tagTermList)
+    } else if (t.length > 4 && !row.isNullAt(4)) {
+      out.write(JsonMemKey.tagObj)
+      val entryT = t(4).dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+      val vT = entryT(1).dataType.asInstanceOf[StructType]
+      val arr = row.getArray(4)
+      var i = 0
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i)) {
+          val e = arr.getStruct(i, 2)
+          val v = if (e.isNullAt(1)) null else e.getStruct(1, vT.length)
+          if (v != null && !allNull(v, vT)) {
+            JsonMemKey.writeEscaped(out,
+              if (e.isNullAt(0)) Array.emptyByteArray else e.getUTF8String(0).getBytes)
+            out.write(0); out.write(0)
+            encodeNv(out, v, vT)
+          }
+        }
+        i += 1
+      }
+      out.write(JsonMemKey.termObj)
+    } else out.write(JsonMemKey.tagMissing)
+  }
+
+  private def allNull(row: InternalRow, t: StructType): Boolean = {
+    var i = 0
+    while (i < t.length) { if (!row.isNullAt(i)) return false; i += 1 }
+    true
+  }
+
+  def encodeValue(row: InternalRow): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(32)
+    encodeNv(out, row, schema)
+    out.toByteArray
+  }
+
+  override def eval(input: InternalRow): Any =
+    encodeValue(child.eval(input).asInstanceOf[InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("nvMemKey", this, classOf[NvMemKeyExpr].getName)
+    ev.copy(
+      code = c.code +
+        code"""
+          |${CodeGenerator.javaType(dataType)} ${ev.value} =
+          |  $ref.encodeValue(${c.isNull} ? null : ${c.value});
           |""".stripMargin,
       isNull = FalseLiteral)
   }
