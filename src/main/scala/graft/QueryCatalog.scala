@@ -491,9 +491,7 @@ object QueryCatalog {
         .select(col("event_id"),
           graft.functions.JsonMemKey.nvSortKey(col("__nv")).as("__k"))
         .withColumn("__g", lit(0L))
-      val tag = conv(hex(substring(col("__k"), 1, 1)), 16, 10).cast("int")
-      val tr = when(tag === 1, 0).when(tag === 2, 1).when(tag === 3, 2)
-        .when(tag === 4, 3).when(tag === 5, 4).otherwise(9)
+      val tr = graft.functions.JsonMemKey.typeRank(col("__k"))
       graft.ops.Batching.rankWithinScaled(keyed, "__g", Seq(col("__k"), col("event_id")), out = "pos0")
         .select((col("pos0") + 1L).as("pos"), col("event_id"), tr.as("tr"))
     }), Some("""
@@ -586,9 +584,7 @@ object QueryCatalog {
           graft.functions.JsonMemKey.nvSortKey(col("__nv")).as("__k"))
         .withColumn("__g", lit(0L))
       // first byte of the key IS the type tag (the nested4 convention)
-      val tag = conv(hex(substring(col("__k"), 1, 1)), 16, 10).cast("int")
-      val tr = when(tag === 1, 0).when(tag === 2, 1).when(tag === 3, 2)
-        .when(tag === 4, 3).when(tag === 5, 4).otherwise(9)
+      val tr = graft.functions.JsonMemKey.typeRank(col("__k"))
       graft.ops.Batching.rankWithinScaled(keyed, "__g", Seq(col("__k"), col("event_id")), out = "pos0")
         .select((col("pos0") + 1L).as("pos"), col("event_id"), tr.as("tr"))
     }), Some("""
@@ -625,10 +621,14 @@ object QueryCatalog {
     // per-depth struct-key construction stops at 3; this tier removes
     // the boundary). The sort itself is a plain BINARY column:
     // Tungsten byte comparison, range-partitionable. Values are built
-    // as JSON text (numbers round-trip exactly; keys/strings are
-    // alphanumeric event_types). Oracle: the nested2/3 flattening
-    // strategy — each deterministic shape becomes natively-comparable
-    // DuckDB columns, one bracket deeper.
+    // as JSON text (numbers round-trip exactly; the spliced string is
+    // backslash/quote-escaped below). INPUT CONTRACT shared with the
+    // nested2/3 entries: `value` and `event_type` are non-null in the
+    // generated tables — a NULL value would null the whole concat and
+    // sort as missing (tr 9) while the oracle keeps the row at its
+    // type rank with a NULL sort column. Oracle: the nested2/3
+    // flattening strategy — each deterministic shape becomes
+    // natively-comparable DuckDB columns, one bracket deeper.
     "q_sort_cross_type_nested4" -> (raw((s, dir) => {
       import org.apache.spark.sql.functions._
       import graft.functions.JsonMemKey
@@ -637,7 +637,14 @@ object QueryCatalog {
       val half = (col("event_id") / 7).cast("long") % 2 === 0
       val fv = floor(col("value")).cast("long").cast("string")
       val fv7 = (floor(col("value")) % 7).cast("long").cast("string")
-      val et = col("event_type")
+      // JSON-escape the spliced string: backslash then quote (review
+      // finding — an event_type containing either would otherwise
+      // reclassify the whole value via the bare-string fallback and
+      // diverge from the oracle, which sorts the raw column). Control
+      // characters remain a data contract (the table is alphanumeric),
+      // shared with the nested2/3 entries' typed-slot path.
+      val et = replace(replace(col("event_type"), lit("\\"), lit("\\\\")),
+        lit("\""), lit("\\\""))
       val js =
         when(m === 0, col("value").cast("string"))
           .when(m === 1, concat(lit("\""), et, lit("\"")))
@@ -661,9 +668,7 @@ object QueryCatalog {
         .withColumn("__g", lit(0L))
       // the key's FIRST byte is the TYPE tag — surfacing the rank from
       // the encoding itself (the struct tiers surface __k.tr the same way)
-      val tag = conv(hex(substring(col("__k"), 1, 1)), 16, 10).cast("int")
-      val tr = when(tag === 1, 0).when(tag === 2, 1).when(tag === 3, 2)
-        .when(tag === 4, 3).when(tag === 5, 4).otherwise(9)
+      val tr = graft.functions.JsonMemKey.typeRank(col("__k"))
       graft.ops.Batching.rankWithinScaled(keyed, "__g", Seq(col("__k"), col("event_id")), out = "pos0")
         .select((col("pos0") + 1L).as("pos"), col("event_id"), tr.as("tr"))
     }), Some("""

@@ -2,6 +2,7 @@ package graft.functions
 
 import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectMapper}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{conv, hex, lit, substring, when}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -83,22 +84,26 @@ object JsonMemKey {
     m
   }
 
-  /** UTF8String JSON text → memcomparable bytes; null → missing key. */
+  /** UTF8String JSON text → memcomparable bytes; null → missing key.
+    * Parses the UTF-8 bytes directly (Jackson reads UTF-8 natively — no
+    * String round-trip), and the loose bare-string fallback reuses the
+    * same bytes. One heap copy total on the fallback path, zero string
+    * decodes on the JSON path. */
   def encode(u: UTF8String): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(32)
+    val out = new ByteWriter(32)
     if (u == null) out.write(TagMissing)
     else {
-      val txt = u.toString
+      val bytes = u.getBytes
       val node =
-        try mapper.readTree(txt)
+        try mapper.readTree(bytes)
         catch { case _: Exception => null }
-      if (node == null || node.isMissingNode) encodeString(out, txt)
+      if (node == null || node.isMissingNode) encodeStringBytes(out, bytes)
       else encodeNode(out, node)
     }
     out.toByteArray
   }
 
-  private def encodeNode(out: java.io.ByteArrayOutputStream, n: JsonNode): Unit = {
+  private def encodeNode(out: ByteWriter, n: JsonNode): Unit = {
     if (n == null || n.isNull) out.write(TagMissing)
     else if (n.isBoolean) { out.write(TagBool); out.write(if (n.asBoolean) 1 else 0) }
     else if (n.isNumber) encodeNumber(out, n.asDouble)
@@ -128,7 +133,7 @@ object JsonMemKey {
     } else out.write(TagMissing) // binary/POJO nodes cannot occur from readTree
   }
 
-  private[functions] def encodeNumber(out: java.io.ByteArrayOutputStream, d0: Double): Unit = {
+  private[functions] def encodeNumber(out: ByteWriter, d0: Double): Unit = {
     out.write(TagNum)
     val d = d0 + 0.0 // -0.0 → +0.0: SQL equality before total order
     var bits = java.lang.Double.doubleToLongBits(d)
@@ -137,19 +142,19 @@ object JsonMemKey {
     while (i >= 0) { out.write(((bits >>> i) & 0xFF).toInt); i -= 8 }
   }
 
-  private def encodeString(out: java.io.ByteArrayOutputStream, s: String): Unit = {
+  private def encodeString(out: ByteWriter, s: String): Unit = {
     out.write(TagStr)
     writeEscaped(out, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.write(0); out.write(0)
   }
 
-  private[functions] def encodeStringBytes(out: java.io.ByteArrayOutputStream, utf8: Array[Byte]): Unit = {
+  private[functions] def encodeStringBytes(out: ByteWriter, utf8: Array[Byte]): Unit = {
     out.write(TagStr)
     writeEscaped(out, utf8)
     out.write(0); out.write(0)
   }
 
-  private[functions] def writeEscaped(out: java.io.ByteArrayOutputStream, bytes: Array[Byte]): Unit = {
+  private[functions] def writeEscaped(out: ByteWriter, bytes: Array[Byte]): Unit = {
     var i = 0
     while (i < bytes.length) {
       val b = bytes(i) & 0xFF
@@ -164,6 +169,20 @@ object JsonMemKey {
   private[functions] def tagMissing: Int = TagMissing
   private[functions] def tagTermList: Int = TagTermList
   private[functions] def termObj: Int = TermObj
+
+  /** TYPE_ORDER rank of a memcomparable key — the column-side mirror of
+    * `TypedSlots.nvRank` for byte keys: the key's FIRST byte is the type
+    * tag by construction, mapped here to the reference's ranks
+    * (bool 0 < number 1 < string 2 < list 3 < object 4 < missing 9).
+    * Shared by every catalog entry that surfaces `tr` beside a byte-key
+    * sort, so the tag→rank mapping lives in ONE place next to the tag
+    * constants it depends on. */
+  def typeRank(key: Column): Column = {
+    val tag = conv(hex(substring(key, 1, 1)), 16, 10).cast("int")
+    when(tag === lit(TagBool), 0).when(tag === lit(TagNum), 1)
+      .when(tag === lit(TagStr), 2).when(tag === lit(TagList), 3)
+      .when(tag === lit(TagObj), 4).otherwise(9)
+  }
 
   /** Column wrapper: JSON text → memcomparable BINARY sort key. */
   def jsonSortKey(c: Column): Column =
@@ -180,6 +199,23 @@ object JsonMemKey {
     * JsonSortKeySpec against sortKeyNested3 on the entry domain). */
   def nvSortKey(c: Column): Column =
     GraftColumnBridge.column(NvMemKeyExpr(GraftColumnBridge.expression(c)))
+}
+
+/**
+ * Minimal growable byte buffer for the per-row encode hot path —
+ * `java.io.ByteArrayOutputStream` synchronizes every single-byte write
+ * (a lock per byte since biased locking was removed), which matters
+ * when the escape loop writes strings byte-at-a-time on every sorted
+ * row. No locking, exact-size result copy.
+ */
+private[functions] final class ByteWriter(initialCapacity: Int) {
+  private var buf = new Array[Byte](initialCapacity)
+  private var n = 0
+  private def ensure(k: Int): Unit =
+    if (n + k > buf.length)
+      buf = java.util.Arrays.copyOf(buf, math.max(buf.length << 1, n + k))
+  def write(b: Int): Unit = { ensure(1); buf(n) = b.toByte; n += 1 }
+  def toByteArray: Array[Byte] = java.util.Arrays.copyOf(buf, n)
 }
 
 /**
@@ -229,8 +265,13 @@ case class JsonSortKeyExpr(child: Expression) extends UnaryExpression {
  * Object entries are trusted pre-sorted by key with missing-valued
  * entries dropped (the `nvOfObject` construction contract — same trust
  * as `sortKeyNested*`); a missing-valued entry that does reach the
- * encoder is skipped, preserving `{a: null} == {}`. A NULL struct (or
- * all-null slots) encodes as missing. Never returns null. Generated
+ * encoder is skipped, preserving `{a: null} == {}`. Keys must be VALID
+ * UTF-8 (every `nv*OfObject` builder constructs them from Scala string
+ * literals, which always are): the 0xFF object terminator's
+ * above-any-entry property relies on 0xFF never appearing in UTF-8, so
+ * a key fabricated from non-UTF-8 bytes (e.g. a binary cast) whose
+ * first byte is ≥ 0xF5 would break the union-walk order. A NULL struct
+ * (or all-null slots) encodes as missing. Never returns null. Generated
  * code is one virtual call on a plan-time reference — constant codegen
  * mass at any depth, and crucially the downstream SORT needs no
  * generated comparator (binary columns compare via Tungsten's byte
@@ -274,7 +315,7 @@ case class NvMemKeyExpr(child: Expression) extends UnaryExpression {
   @transient private lazy val schema = child.dataType.asInstanceOf[StructType]
 
   /** Recursive row walk; `t` is the nv struct type at this depth. */
-  private def encodeNv(out: java.io.ByteArrayOutputStream, row: InternalRow,
+  private def encodeNv(out: ByteWriter, row: InternalRow,
                        t: StructType): Unit = {
     if (row == null) { out.write(JsonMemKey.tagMissing); return }
     if (!row.isNullAt(0)) {
@@ -322,7 +363,7 @@ case class NvMemKeyExpr(child: Expression) extends UnaryExpression {
   }
 
   def encodeValue(row: InternalRow): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(32)
+    val out = new graft.functions.ByteWriter(32)
     encodeNv(out, row, schema)
     out.toByteArray
   }
