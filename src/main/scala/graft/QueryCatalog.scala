@@ -637,17 +637,16 @@ object QueryCatalog {
       val half = (col("event_id") / 7).cast("long") % 2 === 0
       val fv = floor(col("value")).cast("long").cast("string")
       val fv7 = (floor(col("value")) % 7).cast("long").cast("string")
-      // JSON-escape the spliced string: backslash then quote (review
-      // finding — an event_type containing either would otherwise
+      // JSON-escape the spliced string via jsonQuote (review finding —
+      // an event_type containing a quote/backslash would otherwise
       // reclassify the whole value via the bare-string fallback and
       // diverge from the oracle, which sorts the raw column). Control
       // characters remain a data contract (the table is alphanumeric),
       // shared with the nested2/3 entries' typed-slot path.
-      val et = replace(replace(col("event_type"), lit("\\"), lit("\\\\")),
-        lit("\""), lit("\\\""))
+      val etJson = JsonMemKey.jsonQuote(col("event_type"))
       val js =
         when(m === 0, col("value").cast("string"))
-          .when(m === 1, concat(lit("\""), et, lit("\"")))
+          .when(m === 1, etJson)
           .when(m === 2, // list of numbers
             when(half, concat(lit("["), fv, lit("]")))
               .otherwise(concat(lit("["), fv, lit(","), fv7, lit("]"))))
@@ -662,7 +661,7 @@ object QueryCatalog {
           .when(m === 5, // object holding a list of lists of lists (+string)
             when(half, concat(lit("""{"a":[[["""), fv, lit("]]]}")))
               .otherwise(concat(lit("""{"a":[[["""), fv, lit("],["), fv7,
-                lit("""]]],"b":""""), et, lit("\"}"))))
+                lit("""]]],"b":"""), etJson, lit("}"))))
           .otherwise(lit("null"))
       val keyed = e.select(col("event_id"), JsonMemKey.jsonSortKey(js).as("__k"))
         .withColumn("__g", lit(0L))

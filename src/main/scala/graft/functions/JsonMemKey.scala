@@ -2,7 +2,7 @@ package graft.functions
 
 import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectMapper}
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{conv, hex, lit, substring, when}
+import org.apache.spark.sql.functions.{concat, conv, hex, lit, replace, substring, when}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -183,6 +183,18 @@ object JsonMemKey {
       .when(tag === lit(TagStr), 2).when(tag === lit(TagList), 3)
       .when(tag === lit(TagObj), 4).otherwise(9)
   }
+
+  /** Render a string column as a JSON string literal — surrounding
+    * quotes plus backslash-then-quote escaping, so splicing the result
+    * into JSON text built by `concat` cannot reclassify the value via
+    * the bare-string fallback. Control characters (U+0000–U+001F) are
+    * NOT escaped — JSON forbids them raw, so text containing them
+    * falls back to sorting as its literal bytes (callers with control
+    * characters in data should pre-strip or accept the fallback). */
+  def jsonQuote(c: Column): Column =
+    concat(lit("\""),
+      replace(replace(c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\"")),
+      lit("\""))
 
   /** Column wrapper: JSON text → memcomparable BINARY sort key. */
   def jsonSortKey(c: Column): Column =

@@ -289,6 +289,22 @@ class JsonSortKeySpec extends AnyFunSuite {
     }
   }
 
+  test("jsonQuote: quotes and backslashes round-trip to the raw string's key") {
+    // splicing jsonQuote(s) into JSON text must encode exactly like the
+    // raw string value s — even when s contains the JSON metacharacters
+    val s = spark
+    import s.implicits._
+    val samples = Seq("plain", "he said \"x\"", "back\\slash", "\\\"both\\\"", "")
+    val got = samples.toDF("s")
+      .select(JsonMemKey.jsonSortKey(JsonMemKey.jsonQuote(col("s"))).as("k"))
+      .collect().map(_.getAs[Array[Byte]]("k"))
+    samples.zip(got).foreach { case (raw, k) =>
+      val want = JsonMemKey.encode(UTF8String.fromString(
+        mapper.writeValueAsString(raw))) // Jackson-escaped JSON literal
+      assert(java.util.Arrays.equals(k, want), s"jsonQuote broke on: $raw")
+    }
+  }
+
   test("Spark expression: codegen sort order matches, key is never null") {
     val s = spark
     import s.implicits._
