@@ -613,9 +613,13 @@ object Evaluation {
     * deterministic. One tiny keyed aggregate; the float expression is
     * mirrored operation-for-operation by the oracle. Degenerate pooled
     * rates (p̂ ∈ {0,1}) yield null z. The two-variant contract is
-    * ENFORCED (ADVICE r8): any other variant count raises at execution
-    * — silently comparing the lexicographic first and last of 3+
-    * variants would produce a plausible-looking but wrong readout.
+    * ENFORCED (ADVICE r8): one variant or 3+ variants raise at
+    * execution — silently comparing the lexicographic first and last
+    * of 3+ variants would produce a plausible-looking but wrong
+    * readout. EMPTY input returns an empty frame (nothing to test,
+    * nothing to mis-compare): a lazy plan cannot raise when no row
+    * ever reaches the guard, and forcing an eager driver-side count
+    * here would add a full extra pass at call time.
     * Returns one row
     * (variant_a, variant_b, n_a, n_b, x_a, x_b, p_a, p_b, z). */
   def twoProportionZ(df: DataFrame, variantCol: String, successCol: String): DataFrame = {

@@ -457,26 +457,44 @@ object Funnel {
         .otherwise(r + floor((rank - cut) / q).cast("long") + 1L)
         .cast("int")
     }
-    val nEntities = base.count()
+    // PIN the entity-sized aggregate once ([[Pinned]]): the tier choice
+    // needs a count, the small tier's three windows and the scaled
+    // tier's three rank folds each re-read it, and rankWithinScaled runs
+    // TWO eager actions (key probe + offset collect) per fold — an
+    // unpinned 3-fold chain re-executes the full event-stream aggregate
+    // ~7× (review r9). Each fold releases its predecessor once its own
+    // pin materializes; the returned frame is slot-held (one live rfm
+    // result — a re-invocation invalidates the previous one).
+    val (pinnedBase, baseH) = Pinned.checkpoint(base)
+    var lastFoldH: org.apache.spark.rdd.RDD[_] = null
+    val nEntities = pinnedBase.count()
     val scored =
       if (nEntities <= windowThreshold)
-        base.select(col("entity"), col("recency_days"), col("frequency"), col("monetary"),
+        pinnedBase.select(col("entity"), col("recency_days"), col("frequency"), col("monetary"),
           ntile(5).over(Window.orderBy(col("recency_days").desc, col("entity"))).as("r"),
           ntile(5).over(Window.orderBy(col("frequency").asc, col("entity"))).as("f"),
           ntile(5).over(Window.orderBy(col("monetary").asc, col("entity"))).as("m"))
       else {
-        val total = base.agg(count(lit(1)).as("__n"))
-        def score(d: DataFrame, order: Seq[Column], out: String): DataFrame =
-          Batching.rankWithinScaled(d.withColumn("__g", lit(0L)), "__g", order, out = "__rk")
-            .crossJoin(broadcast(total))
-            .withColumn(out, ntileOf(col("__rk"), col("__n"), 5))
-            .drop("__g", "__rk", "__n")
-        Seq[(Seq[Column], String)](
-          (Seq(col("recency_days").desc, col("entity")), "r"),
-          (Seq(col("frequency").asc, col("entity")), "f"),
-          (Seq(col("monetary").asc, col("entity")), "m"))
-          .foldLeft(base) { case (d, (ord, out)) => score(d, ord, out) }
+        var d = pinnedBase
+        var h: org.apache.spark.rdd.RDD[_] = null
+        for ((ord, out) <- Seq[(Seq[Column], String)](
+            (Seq(col("recency_days").desc, col("entity")), "r"),
+            (Seq(col("frequency").asc, col("entity")), "f"),
+            (Seq(col("monetary").asc, col("entity")), "m"))) {
+          val ranked = Batching
+            .rankWithinScaled(d.withColumn("__g", lit(0L)), "__g", ord, out = "__rk")
+            .withColumn(out, ntileOf(col("__rk"), lit(nEntities), 5))
+            .drop("__g", "__rk")
+          val (nd, nh) = Pinned.checkpoint(ranked)
+          Pinned.release(h)
+          d = nd; h = nh
+        }
+        lastFoldH = h // released only AFTER hold() materializes from it
+        d
       }
-    scored.withColumn("rfm", col("r") * 100 + col("f") * 10 + col("m"))
+    val out = Pinned.hold("funnel.rfm",
+      scored.withColumn("rfm", col("r") * 100 + col("f") * 10 + col("m")))
+    Pinned.release(baseH, lastFoldH)
+    out
   }
 }

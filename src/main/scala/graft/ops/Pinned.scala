@@ -62,7 +62,20 @@ object Pinned {
     * swap it into the named slot, releasing the previous occupant.
     * Keys are per-operator (e.g. "graph.pagerank") — steady-state
     * residency is bounded by the number of operator families, each
-    * holding one result-sized pin. */
+    * holding one result-sized pin.
+    *
+    * CALLER-VISIBLE CONTRACT: re-invoking an operator that holds its
+    * result INVALIDATES the frame the previous invocation returned —
+    * its blocks are released and a checkpointed plan cannot recompute,
+    * so later actions on the stale frame throw rather than silently
+    * recompute. This is the deliberate trade for bounded residency
+    * (the alternative — keeping every historical result pinned — is
+    * exactly the r8 storage march this object exists to prevent).
+    * A caller that needs two results of the SAME operator live at once
+    * must copy the first out (write it, or `.persist()` + action on a
+    * `.toDF()` re-plan) before invoking again; distinct operators never
+    * contend (per-operator keys). Ops routing results through here are
+    * also EAGER — the checkpoint materializes at call time. */
   def hold(key: String, df: DataFrame): DataFrame = {
     val (c, handle) = checkpoint(df)
     val prev = if (handle == null) slots.remove(key) else slots.put(key, handle)

@@ -118,8 +118,13 @@ object Rollup {
     val top = Batching
       .rankedTopK(agg, Seq(col("weight").desc, col("key")), n)
       .select(col("rank"), col("key"), col("n_rows"), col("weight"))
+    // null-SAFE anti join: a NULL key can legitimately rank into the
+    // top n (groupBy keeps the null group), and `Seq("key")` equality
+    // would never match it — the null group would then appear BOTH as
+    // its own top row and inside the '(other)' fold, double-counting.
     val other = agg
-      .join(broadcast(top.select(col("key"))), Seq("key"), "left_anti")
+      .join(broadcast(top.select(col("key").as("__tk"))),
+        col("key") <=> col("__tk"), "left_anti")
       .agg(sum("n_rows").as("n_rows"), sum("weight").as("weight"))
       .where(col("n_rows").isNotNull)
       .select(lit(n + 1).as("rank"), lit("(other)").as("key"),

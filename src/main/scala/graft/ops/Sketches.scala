@@ -160,9 +160,11 @@ object Sketches {
     * 10⁹ copies of one value land as one driver row, not 10⁹
     * (ADVICE r8: the ±bucket-width FP widening of the final range can
     * pull whole adjacent buckets of duplicate mass into the collect;
-    * grouping makes the collect bounded by DISTINCT survivors, and a
-    * require fails fast with a clear message in the pathological case
-    * where even those exceed `collectLimit`). Returns (n, median). */
+    * grouping makes the collect bounded by DISTINCT survivors, and when
+    * even those exceed `collectLimit` — legitimate on continuous data —
+    * each middle rank falls back to its own single-rank refinement loop
+    * with exact per-round recounts, so the collect NEVER exceeds the
+    * limit and correct inputs are never rejected). Returns (n, median). */
   def exactMedianTwoPass(df: DataFrame, valCol: String,
                          buckets: Int = 2048,
                          collectLimit: Int = 1 << 16): (Long, Double) = {
@@ -221,6 +223,61 @@ object Sketches {
         lo = newLo; hi = newHi
       }
     }
+    // walk grouped (value, count) pairs for 0-based rank k, given the
+    // EXACT count of values strictly below the collected range
+    def walk(pairs: Array[(Double, Long)], below: Long, k: Long): Double = {
+      var cum = below; var i = 0
+      while (i < pairs.length) {
+        cum += pairs(i)._2
+        if (k < cum) return pairs(i)._1
+        i += 1
+      }
+      pairs.last._1 // unreachable when bounds are exact; FP belt-and-braces
+    }
+    // SINGLE-RANK exact refinement — the fallback when the widened final
+    // range still holds more than `collectLimit` DISTINCT values (which
+    // is LEGITIMATE on continuous data: the ±width widening can triple
+    // the surviving range, and the main loop's two ranks can pin a wide
+    // range open when they sit in far-apart value masses). One rank
+    // always lies in ONE histogram bucket, so each round shrinks the
+    // range to ≤ 3 bucket widths (covering bucket ± one width of FP
+    // slack) — geometric convergence that no duplicate-mass distribution
+    // can stall — with the rank base recounted EXACTLY per round.
+    // Distinct doubles in a span are bounded by its ulp count, so the
+    // span falls below `collectLimit` distinct survivors before its
+    // width can underflow; the round guard is belt-and-braces.
+    def rankValue(k: Long, rLo0: Double, rHi0: Double): Double = {
+      var rLo = rLo0; var rHi = rHi0
+      var rounds = 0
+      val nb = math.max(buckets, 16) // narrowing factor 3/nb ≪ 1
+      while (true) {
+        val below = vals.where(col("__v") < rLo).count()
+        val inRange = vals.where(col("__v") >= rLo && col("__v") <= rHi)
+        val head = inRange.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+          .orderBy("__v").limit(collectLimit + 1).collect()
+          .map(r => (r.getDouble(0), r.getLong(1)))
+        if (head.length <= collectLimit) return walk(head, below, k)
+        rounds += 1
+        val width = (rHi - rLo) / nb
+        require(rounds <= 64 && width > 0 && !width.isInfinity,
+          s"exactMedianTwoPass: rank $k unresolved in [$rLo, $rHi] after " +
+            s"$rounds refinement rounds — raise collectLimit or buckets")
+        val idx = least(floor((col("__v") - lit(rLo)) / lit(width)), lit(nb - 1)).cast("int")
+        val histRows = inRange.groupBy(idx.as("__b")).agg(count(lit(1)).as("__c"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        var cum = below; var b = nb - 1; var i = 0
+        var found = false
+        while (i < nb && !found) {
+          cum += histRows.getOrElse(i, 0L)
+          if (k < cum) { b = i; found = true }
+          i += 1
+        }
+        val nLo = math.max(rLo, rLo + (b - 1).toDouble * width)
+        val nHi = math.min(rHi, rLo + (b + 2).toDouble * width)
+        rLo = nLo; rHi = nHi
+      }
+      Double.NaN // unreachable: the while(true) exits only via return/require
+    }
     val med =
       if (hi <= lo) lo
       else {
@@ -230,31 +287,22 @@ object Sketches {
         // loop's cumBase is only histogram-self-consistent. The collect
         // is (value, count) pairs grouped by value: the widening can pull
         // entire adjacent buckets of DUPLICATE mass into the range, so
-        // bounding by row count would be wrong — distinct survivors are
-        // what must fit the driver, and the require enforces exactly that
-        // instead of silently collecting past the contract (ADVICE r8).
+        // the collect is bounded by DISTINCT survivors; when even those
+        // exceed `collectLimit` (ADVICE r8), each middle rank is resolved
+        // by its own exact refinement loop instead of over-collecting or
+        // rejecting legitimate continuous data.
         val lo2 = lo - slack
         val hi2 = hi + slack
         val below = vals.where(col("__v") < lo2).count()
-        val grouped = vals.where(col("__v") >= lo2 && col("__v") <= hi2)
+        val pairs = vals.where(col("__v") >= lo2 && col("__v") <= hi2)
           .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
           .orderBy("__v")
-        val pairs = grouped.limit(collectLimit + 1).collect()
+          .limit(collectLimit + 1).collect()
           .map(r => (r.getDouble(0), r.getLong(1)))
-        require(pairs.length <= collectLimit,
-          s"exactMedianTwoPass: > $collectLimit distinct values in the final " +
-            s"median range [$lo2, $hi2] after $guard narrowing rounds — raise " +
-            "collectLimit or buckets")
-        def valueAt(k: Long): Double = {
-          var cum = below; var i = 0
-          while (i < pairs.length) {
-            cum += pairs(i)._2
-            if (k < cum) return pairs(i)._1
-            i += 1
-          }
-          pairs.last._1 // unreachable when bounds are exact; FP belt-and-braces
-        }
-        (valueAt(kLo) + valueAt(kHi)) / 2.0
+        if (pairs.length <= collectLimit)
+          (walk(pairs, below, kLo) + walk(pairs, below, kHi)) / 2.0
+        else
+          (rankValue(kLo, lo2, hi2) + rankValue(kHi, lo2, hi2)) / 2.0
       }
     (n, med)
   }

@@ -2889,6 +2889,22 @@ class OpsSpec extends AnyFunSuite {
     val (n4, m4) = Sketches.exactMedianTwoPass(twoHeavy, "v",
       buckets = 16, collectLimit = 128)
     assert(n4 === 10000L && m4 === 1.5)
+    // review r9: a collectLimit the widened final range legitimately
+    // exceeds on CONTINUOUS data must fall back to the single-rank
+    // refinement loop (exact per-round recounts), not reject the input —
+    // the r8 fail-fast require threw here. collectLimit 4 guarantees the
+    // ±width widening overflows it at every narrowing endpoint.
+    val (n5, m5) = Sketches.exactMedianTwoPass(d, "v", buckets = 16, collectLimit = 4)
+    assert(n5 === 100001L && m5 === 50000.0)
+    val (n6, m6) = Sketches.exactMedianTwoPass(e, "v", buckets = 16, collectLimit = 4)
+    assert(n6 === 100000L && m6 === 49999.5)
+    // duplicate mass adjacent to the median bucket (the ADVICE r8
+    // scenario: widening pulls a whole heavy bucket into range) — the
+    // grouped collect and the fallback both stay bounded and exact
+    val adjacent = spark.range(0, 100000).selectExpr(
+      "CASE WHEN id < 49000 THEN 1.0 ELSE CAST(id AS DOUBLE) END AS v")
+    val (_, m7) = Sketches.exactMedianTwoPass(adjacent, "v", buckets = 16, collectLimit = 4)
+    assert(m7 === 49999.5) // ranks 49999/50000 → values 49999.0 and 50000.0
   }
 
   test("kneserNeyBigrams: hand-computed interpolated-KN probabilities sum per context") {
@@ -3431,6 +3447,21 @@ class OpsSpec extends AnyFunSuite {
     assert(noTail.length === 4 && !noTail.exists(_.getString(1) == "(other)"))
   }
 
+  test("topNOther: NULL key ranking in the top n is not double-counted in '(other)'") {
+    // review r9: `Seq("key")` anti-join equality never matches null=null,
+    // so a null key heavy enough to rank top-n appeared BOTH as its own
+    // row and inside the '(other)' fold — totals exceeded the input. The
+    // null-safe (<=>) anti join must keep the partition exact.
+    val d = Seq((Option.empty[String], 10L), (None, 10L), (Some("b"), 7L),
+      (Some("c"), 5L), (Some("d"), 1L)).toDF("k", "w")
+    val out = Rollup.topNOther(d, "k", col("w"), n = 2).orderBy("rank").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1, None, 2L, 20L), (2, Some("b"), 1L, 7L),
+      (3, Some("(other)"), 2L, 6L)))
+    // the partition must be exact: row and weight totals equal the input
+    assert(out.map(_._3).sum === 5L && out.map(_._4).sum === 33L)
+  }
+
   test("seasonalAnomalies: planted spike flags, calm days do not") {
     import java.sql.Date
     // two weeks: Mondays ~100, other days ~50 with mild noise, one
@@ -3496,6 +3527,10 @@ class OpsSpec extends AnyFunSuite {
       Evaluation.twoProportionZ(one, "v", "ok").collect()
     }
     assert(msgs(ex1).contains("EXACTLY two variants"))
+    // EMPTY input: documented as an empty frame, not a raise — a lazy
+    // plan cannot evaluate the guard when no row reaches it (review r9)
+    val none = Seq.empty[(String, Boolean)].toDF("v", "ok")
+    assert(Evaluation.twoProportionZ(none, "v", "ok").collect().isEmpty)
   }
 
   test("theilSenSlope: outlier-immune line recovery") {

@@ -46,7 +46,9 @@ class PersistLifecycleSpec extends AnyFunSuite {
       // the same Pinned lifecycle applied to the non-graph checkpoint
       // users: iterative budget water-filling, multi-consumer pair
       // frames (bitext, dbscan), and the LSI power iteration
-      "q_budget_mix", "q_sim_bitext", "q_embed_dbscan", "q_text_lsi")
+      "q_budget_mix", "q_sim_bitext", "q_embed_dbscan", "q_text_lsi",
+      // rfm pins its entity aggregate between rank folds (review r9)
+      "q_events_rfm")
     entries.foreach(runEntry) // populate the result slots
     val afterFirst = pinned
     entries.foreach(runEntry)
