@@ -43,7 +43,11 @@ trait Container {
 
   private def rewriteFrom(from: String): String =
     if (from == "." || from.isEmpty) name
-    else if (from.startsWith(name)) from
+    // exact name or name-DOT-path counts as already qualified; a bare
+    // startsWith would swallow any from merely SHARING the name as a
+    // string prefix (container "order", from "order_items" — a relative
+    // child column, not a path under this container; review r9)
+    else if (from == name || from.startsWith(name + ".")) from
     else s"$name.$from" // "orders.lineitems" relative to this container
 
   protected def load: String => DataFrame =
@@ -378,24 +382,50 @@ class FactStore(val spark: SparkSession, val name: String, dir: Path) extends Co
     *     (and parent columns as fallback); `struct.field` rewrites a
     *     struct in place. A missing field is added to every element
     *     (null where not set).
+    *
+    * Evaluation order: the where-predicate and every SCALAR set
+    * expression see the ORIGINAL row (SQL UPDATE semantics — `{a: b,
+    * b: a}` swaps). Nested rewrites (array literals, dot paths) apply
+    * after the scalars, in sorted-key order.
     */
   def update(whereJson: String, set: Map[String, String]): this.type = {
     val df = dataFrame
-    val pred = JxCompiler.truthy(JxExpr.parseJson(whereJson), ctx(df))
-    val updated = set.foldLeft(df) { case (d, (colName, exprJson)) =>
-      val field = d.schema.fields.find(_.name == colName)
-      if (colName.contains(".")) deepFieldUpdate(d, pred, colName, exprJson)
-      else field.map(_.dataType) match {
-        case Some(org.apache.spark.sql.types.ArrayType(_: org.apache.spark.sql.types.StructType, _)) =>
-          replaceChildren(d, pred, colName, exprJson)
-        case _ =>
-          val old = if (field.isDefined) col(colName) else lit(null)
-          d.withColumn(colName,
-            when(pred, JxCompiler.compile(JxExpr.parseJson(exprJson), ctx(d)))
-              .otherwise(old))
+    // The where-predicate is MATERIALIZED as a column up front so every
+    // branch filters on the OLD row even when a set entry rewrites a
+    // column the predicate reads (SQL UPDATE semantics). Scalar set
+    // expressions all land in ONE projection over the original frame —
+    // a sequential withColumn fold would resolve cross-references by
+    // NAME against the partially-updated row, in unordered Map
+    // iteration order (review r9: {a -> b, b -> a} must swap, not
+    // chain). Nested rewrites apply after scalars in sorted-key order:
+    // array replacements are row-independent JSON literals and dot-path
+    // values read child fields, so the ordering is just determinism.
+    val predCol = "__graft_upd"
+    val base = df.withColumn(predCol,
+      JxCompiler.truthy(JxExpr.parseJson(whereJson), ctx(df)))
+    val pred = col(predCol)
+    val (dotted, flat) = set.partition(_._1.contains("."))
+    val (arrays, scalars) = flat.partition { case (n, _) =>
+      df.schema.fields.find(_.name == n).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.ArrayType(_: org.apache.spark.sql.types.StructType, _)) => true
+        case _ => false
       }
     }
-    writeSnapshot(updated)
+    val c = ctx(base)
+    val newVal = scalars.map { case (colName, exprJson) =>
+      val old = if (df.schema.fieldNames.contains(colName)) col(colName) else lit(null)
+      colName -> when(pred, JxCompiler.compile(JxExpr.parseJson(exprJson), c)).otherwise(old)
+    }
+    val kept = base.columns.map(n => newVal.getOrElse(n, col(n)).as(n))
+    val added = newVal.toSeq.sortBy(_._1)
+      .collect { case (n, e) if !base.columns.contains(n) => e.as(n) }
+    val afterScalars = base.select((kept ++ added).toIndexedSeq: _*)
+    val updated = (arrays.toSeq.sortBy(_._1) ++ dotted.toSeq.sortBy(_._1))
+      .foldLeft(afterScalars) { case (d, (colName, exprJson)) =>
+        if (colName.contains(".")) deepFieldUpdate(d, pred, colName, exprJson)
+        else replaceChildren(d, pred, colName, exprJson)
+      }
+    writeSnapshot(updated.drop(predCol))
     this
   }
 

@@ -69,11 +69,29 @@ object Extract {
             // resumes from it (graft pins UTC everywhere) — a DATE is
             // tz-less, so its timestamp reading is tz-dependent.
             val tfTs = col(tf).cast("timestamp")
-            fact0.filter(tfTs > lit(t) ||
+            // null-time rows PASS the keyset so the __dur null check
+            // below fails them loudly — both comparison branches are
+            // null on them, and a silent filter-out would mean a row
+            // extracted by a first run (or never) vanishes from every
+            // resumed increment with no error (review r9)
+            fact0.filter(col(tf).isNull || tfTs > lit(t) ||
               (tfTs === lit(t) && col(cfg.idField) > lit(w.lastId)))
-          // watermark carries no time component (recorded by a time-less
-          // config, or a legacy empty-increment run): keyset on id alone
-          case _ => fact0.filter(col(cfg.idField) > lit(w.lastId))
+          case Some((tf, _)) =>
+            // a time axis is configured but the watermark carries no
+            // time: resuming on id alone would let rows land in duration
+            // buckets EARLIER than already-written ones with batchBase 0,
+            // and the dynamic-overwrite write would then DELETE earlier
+            // increments' objects at those keys (review r9). This state
+            // only arises from a config/watermark mismatch (the axis was
+            // added after time-less runs) — refuse, loudly.
+            throw new IllegalStateException(
+              s"extract: watermark ${cfg.lastFile} has no lastTime but time axis " +
+                s"'$tf' is configured — resuming would re-batch old buckets from 0 " +
+                "and dynamic overwrite would delete earlier increments' objects; " +
+                "re-extract from scratch or restore a watermark with lastTime")
+          // time-less config: keyset on id alone (single bucket 0, whose
+          // batch base resumes from the watermark coords)
+          case None => fact0.filter(col(cfg.idField) > lit(w.lastId))
         }
     }
 
@@ -93,7 +111,17 @@ object Extract {
           case DurationUnit.Year =>
             year(col(tf)) - lit(cfg.start.atZone(java.time.ZoneOffset.UTC).getYear)
         }
-        fact.withColumn("__dur", durKey.cast("long"))
+        // a NULL on a configured time axis has no duration bucket, no
+        // watermark coordinate and no resume semantics — fail LOUDLY at
+        // scan time (first run or resumed), never silently drop or park
+        // rows in a null partition the keyset can't re-find (review r9).
+        // The check rides the existing expression: no extra scan.
+        fact.withColumn("__dur",
+          when(col(tf).isNotNull, durKey.cast("long"))
+            .otherwise(raise_error(lit(
+              s"extract: null time axis '$tf' — a watermark-driven extract " +
+                "requires a non-null time column; clean or default it upstream"))
+              .cast("long")))
       case None => fact.withColumn("__dur", lit(0L))
     }
     val order = cfg.timeField.map(t => col(t._1)).toSeq :+ col(cfg.idField)

@@ -24,8 +24,18 @@ object Funnel {
     * funnel — the deliberate tie rule (an instantaneous "conversion"
     * is attribution noise at event-log granularity). */
   def funnel(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
-             stages: Seq[String]): DataFrame = {
+             stages: Seq[String]): DataFrame =
+    funnelImpl(events, userCol, typeCol, tsCol, stages, withinSec = None)
+
+  /** Shared stage-join loop of [[funnel]] / [[funnelWithin]] — the two
+    * differ ONLY in the admissibility bound on each stage's events
+    * (strictly after the previous stage, optionally also within its
+    * conversion window). */
+  private def funnelImpl(events: DataFrame, userCol: String, typeCol: String,
+                         tsCol: String, stages: Seq[String],
+                         withinSec: Option[Long]): DataFrame = {
     require(stages.nonEmpty && stages.distinct == stages, s"stages: $stages")
+    withinSec.foreach(s => require(s > 0, s"withinSec: $s"))
     val base = events.select(col(userCol).as("__u"), col(typeCol).as("__t"),
       col(tsCol).as("__ts"))
     var acc = base.select(col("__u")).distinct()
@@ -37,8 +47,13 @@ object Funnel {
         case None =>
           evs.groupBy(col("__u")).agg(min(col("__ts")).as(outCol))
         case Some(p) =>
+          val admissible = withinSec match {
+            case None => col("__ts") > col(p)
+            case Some(s) => col("__ts") > col(p) &&
+              unix_micros(col("__ts")) <= unix_micros(col(p)) + s * 1000000L
+          }
           evs.join(acc.select(col("__u"), col(p)).where(col(p).isNotNull), "__u")
-            .where(col("__ts") > col(p))
+            .where(admissible)
             .groupBy(col("__u")).agg(min(col("__ts")).as(outCol))
       }
       acc = acc.join(stage, Seq("__u"), "left")
@@ -62,34 +77,8 @@ object Funnel {
     * different operator. Window bounds compare exact µs. Same
     * shape/output as [[funnel]]. */
   def funnelWithin(events: DataFrame, userCol: String, typeCol: String,
-                   tsCol: String, stages: Seq[String], withinSec: Long): DataFrame = {
-    require(stages.nonEmpty && stages.distinct == stages, s"stages: $stages")
-    require(withinSec > 0, s"withinSec: $withinSec")
-    val base = events.select(col(userCol).as("__u"), col(typeCol).as("__t"),
-      col(tsCol).as("__ts"))
-    var acc = base.select(col("__u")).distinct()
-    var prevCol: Option[String] = None
-    for (st <- stages) {
-      val outCol = s"${st}_ts"
-      val evs = base.where(col("__t") === st)
-      val stage = prevCol match {
-        case None =>
-          evs.groupBy(col("__u")).agg(min(col("__ts")).as(outCol))
-        case Some(p) =>
-          evs.join(acc.select(col("__u"), col(p)).where(col(p).isNotNull), "__u")
-            .where(col("__ts") > col(p) &&
-              unix_micros(col("__ts")) <= unix_micros(col(p)) + withinSec * 1000000L)
-            .groupBy(col("__u")).agg(min(col("__ts")).as(outCol))
-      }
-      acc = acc.join(stage, Seq("__u"), "left")
-      prevCol = Some(outCol)
-    }
-    acc.select(
-      (col("__u").as(userCol) +:
-        stages.map(st => col(s"${st}_ts"))) :+
-        stages.map(st => when(col(s"${st}_ts").isNotNull, 1).otherwise(0))
-          .reduce(_ + _).cast("int").as("stages_completed"): _*)
-  }
+                   tsCol: String, stages: Seq[String], withinSec: Long): DataFrame =
+    funnelImpl(events, userCol, typeCol, tsCol, stages, withinSec = Some(withinSec))
 
   /** Weekly COHORT RETENTION — the other canonical product-analytics
     * matrix: users grouped by first-activity week (the cohort), and for
@@ -436,7 +425,7 @@ object Funnel {
     * aggregate, never the event stream. Returns
     * (entity, recency_days, frequency, monetary, r, f, m, rfm). */
   def rfm(events: DataFrame, entityCol: String, tsCol: String,
-          valueCol: String, windowThreshold: Long = 1L << 22): DataFrame = {
+          valueCol: String, windowThreshold: Long = 1L << 22): DataFrame = Pinned.guard {
     import org.apache.spark.sql.expressions.Window
     val perUser = events.groupBy(col(entityCol).as("entity"))
       .agg(max(col(tsCol).cast("date")).as("__last"),

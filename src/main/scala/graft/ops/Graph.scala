@@ -83,7 +83,7 @@ object Graph {
     * returning — the per-round checkpoint accumulation that made r8
     * warm runs slower than cold is structurally impossible here.
     * Returns (id, community) after `iters` rounds. */
-  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = Pinned.guard {
     require(iters >= 0)
     import org.apache.spark.sql.expressions.Window
     val (e, eH) = Pinned.checkpoint(edges.select(col("src"), col("dst")))
@@ -142,7 +142,7 @@ object Graph {
     * `checkpointEvery` to also cut the growing rank lineage every k
     * rounds (each rank pin releases its predecessor). */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
-               checkpointEvery: Int = 0): DataFrame = {
+               checkpointEvery: Int = 0): DataFrame = Pinned.guard {
     require(iters >= 0)
     val e = edges.select(col("src"), col("dst"))
     val (verts, vertsH) = Pinned.checkpoint(
@@ -194,7 +194,7 @@ object Graph {
     *
     * Returns (id, deg, tri, coeff) with coeff = 2·tri / (deg·(deg−1))
     * rounded 6 dp (0 for deg < 2). */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame): DataFrame = Pinned.guard {
     val (und, undH) = Pinned.checkpoint(edges
       .select(least(col("src"), col("dst")).as("a"),
               greatest(col("src"), col("dst")).as("b"))
@@ -252,7 +252,7 @@ object Graph {
     * exact tier here mirrors the dedup family's tiering convention.
     * Returns (x, y, cn, aa): common-neighbor count and the rounded
     * score. deg(z) ≥ 2 for any wedge center, so ln(deg) > 0. */
-  def adamicAdar(edges: DataFrame): DataFrame = {
+  def adamicAdar(edges: DataFrame): DataFrame = Pinned.guard {
     val (und, undH) = Pinned.checkpoint(edges
       .select(least(col("src"), col("dst")).as("a"),
               greatest(col("src"), col("dst")).as("b"))
@@ -296,7 +296,7 @@ object Graph {
     * fixpoint. Input: undirected edges with BOTH directions present
     * ([[coOccurrenceEdges]] shape). Returns surviving (id, deg) under
     * the final subgraph. */
-  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = Pinned.guard {
     require(k >= 1, s"k: $k")
     require(rounds >= 1, s"rounds: $rounds")
     // [[Pinned]] lifecycle: each round's surviving edge list supersedes

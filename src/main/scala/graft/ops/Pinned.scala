@@ -48,6 +48,10 @@ object Pinned {
     val handle = c.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.headOption.orNull
+    if (handle != null) {
+      val fs = frames.get()
+      if (!fs.isEmpty) fs.peek().add(handle)
+    }
     (c, handle)
   }
 
@@ -55,7 +59,35 @@ object Pinned {
     * removal proceeds asynchronously — the point is that it happens at
     * all, not that the caller waits for it). */
   def release(handles: RDD[_]*): Unit =
-    handles.foreach { h => if (h != null) h.unpersist(blocking = false) }
+    handles.foreach { h =>
+      if (h != null) {
+        frames.get().forEach(f => { f.remove(h); () })
+        h.unpersist(blocking = false)
+      }
+    }
+
+  /** EXCEPTION-SAFE pin scope: every [[checkpoint]] taken inside `body`
+    * (on this thread) is tracked, and if `body` throws, the handles not
+    * yet released are unpersisted before the exception propagates — a
+    * mid-iteration failure must not leave round pins resident for the
+    * JVM's lifetime (the blocks a large-heap ContextCleaner never
+    * frees; review r9). Normal exit releases nothing extra: the body's
+    * own release/hold calls define the end state. Guards nest per
+    * thread (each guard releases only its own frame's leftovers). */
+  def guard[T](body: => T): T = {
+    val fs = frames.get()
+    val frame = new java.util.HashSet[RDD[_]]()
+    fs.push(frame)
+    try body
+    catch { case e: Throwable =>
+      frame.forEach(h => h.unpersist(blocking = false)); throw e }
+    finally fs.pop()
+  }
+
+  private val frames =
+    new ThreadLocal[java.util.ArrayDeque[java.util.HashSet[RDD[_]]]] {
+      override def initialValue() = new java.util.ArrayDeque[java.util.HashSet[RDD[_]]]()
+    }
 
   /** One live result per key: checkpoint `df` (so the returned frame
     * references no intermediate the caller is about to release), then
@@ -78,6 +110,7 @@ object Pinned {
     * also EAGER — the checkpoint materializes at call time. */
   def hold(key: String, df: DataFrame): DataFrame = {
     val (c, handle) = checkpoint(df)
+    if (handle != null) frames.get().forEach(f => { f.remove(handle); () })
     val prev = if (handle == null) slots.remove(key) else slots.put(key, handle)
     if (prev != null && (prev ne handle)) release(prev)
     c

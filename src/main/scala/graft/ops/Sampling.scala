@@ -193,7 +193,15 @@ object Sampling {
                          keyCol: String, parts: Map[String, Long]): org.apache.spark.sql.DataFrame = {
     require(parts.nonEmpty && parts.values.forall(_ > 0), s"parts: $parts")
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
-    val l = parts.values.reduce((a, b) => a / gcd(a, b) * b)
+    // multiplyExact: large coprime parts (raw token counts used as
+    // weights) overflow the lcm silently otherwise — negative strides,
+    // garbage interleave order, no error (review r9). Normalize such
+    // weights to small integer ratios before calling.
+    val l = parts.values.reduce((a, b) =>
+      try Math.multiplyExact(a / gcd(a, b), b)
+      catch { case _: ArithmeticException => throw new IllegalArgumentException(
+        s"interleaveByStride: lcm of parts overflows Long ($parts) — " +
+          "reduce the part values to small coprime ratios") })
     val in = df.where(col(sourceCol).isin(parts.keys.toSeq: _*))
     val stride = parts.foldLeft(lit(0L)) { case (acc, (k, p)) =>
       when(col(sourceCol) === k, lit(l / p)).otherwise(acc)
@@ -292,10 +300,16 @@ object Sampling {
     val cuts = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
     val bucket = hashBucket(key)
     val cases = splits.zip(cuts).dropRight(1).map { case ((name, _), cut) =>
-      (name, f"${math.min(256, math.ceil(cut * 256).toInt)}%02x")
+      (name, math.min(256, math.ceil(cut * 256).toInt))
     }
-    cases.foldRight(lit(splits.last._1): Column) { case ((name, hex), rest) =>
-      when(bucket < lit(hex), name).otherwise(rest)
+    cases.foldRight(lit(splits.last._1): Column) { case ((name, cut), rest) =>
+      // a cut of 256 covers the whole bucket space — it must short-
+      // circuit to TRUE, not format as 3-char hex "100", which would
+      // string-compare BELOW every 2-char bucket ≥ "11" and silently
+      // invert the split (review r9: ("train" -> 0.999, "test" -> 0.001)
+      // rounds the first cut up to 256)
+      val cond = if (cut >= 256) lit(true) else bucket < lit(f"$cut%02x")
+      when(cond, name).otherwise(rest)
     }
   }
 
@@ -315,7 +329,7 @@ object Sampling {
     * sizes — driver-free but trivially small; the point is the
     * deterministic recipe, not scale. */
   def budgetAllocate(counts: org.apache.spark.sql.DataFrame, budget: Long,
-                     maxEpochs: Double, rounds: Int = 3): org.apache.spark.sql.DataFrame = {
+                     maxEpochs: Double, rounds: Int = 3): org.apache.spark.sql.DataFrame = Pinned.guard {
     require(budget >= 0 && maxEpochs > 0 && rounds >= 1)
     // a null or non-positive weight must fail fast: Spark's least() SKIPS
     // nulls, so a null share would silently hand the source its FULL

@@ -188,7 +188,7 @@ object Similarity {
     * (same cell equi-join as [[positivePairsIvf]]) and keep this exact
     * margin as the verification tier. Returns (x_id, y_id, margin). */
   def bitextMine(xs: DataFrame, ys: DataFrame, k: Int, threshold: Double,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = Pinned.guard {
     import org.apache.spark.sql.expressions.Window
     val x = xs.select(col(idCol).as("x_id"), vecD(col(vecCol)).as("x_vec"))
       .withColumn("x_norm", sqrt(dot(col("x_vec"), col("x_vec"))))
@@ -321,7 +321,7 @@ object Similarity {
     * Returns (id, cluster, role) — cluster null for noise, role ∈
     * core/border/noise. */
   def dbscan2d(points: DataFrame, idCol: String, xCol: String, yCol: String,
-               eps: Double, minPts: Int): DataFrame = {
+               eps: Double, minPts: Int): DataFrame = Pinned.guard {
     require(eps > 0, s"eps: $eps")
     require(minPts >= 1, s"minPts: $minPts")
     // static input, referenced by pairs + the final join; released on

@@ -1108,7 +1108,7 @@ object TextAnalysis {
     * checking — two rounds is where exactness is free. Returns the
     * top-k terms: (rank, term, loading 6 dp). */
   def lsiPowerIteration(df: org.apache.spark.sql.DataFrame, textCol: String,
-                        iters: Int = 2, k: Int = 25): org.apache.spark.sql.DataFrame = {
+                        iters: Int = 2, k: Int = 25): org.apache.spark.sql.DataFrame = Pinned.guard {
     import org.apache.spark.sql.expressions.Window
     require(iters >= 1 && k > 0)
     // both halves of every iteration re-read it — pinned once,

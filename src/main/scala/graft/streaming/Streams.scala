@@ -285,8 +285,12 @@ object Streams {
     * bounded drain equals the batch interval join ([[graft.ops.RangeJoin]]
     * is the batch sibling).
     *
-    * Column names: left keeps its names, right's ts/id are suffixed so
-    * the joined row carries both event identities. */
+    * Column names: BOTH sides keep their names, so the joined frame
+    * carries duplicate `keyCol`/`tsCol` columns — select through the
+    * dataset aliases this function installs (`col("l.ts")` /
+    * `col("r.ts")`), as a bare `col("ts")` is ambiguous. Renaming the
+    * right side here would break the alias-qualified access downstream
+    * consumers use to keep both event identities. */
   def intervalJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
                          tsCol: String, within: String, watermark: String): DataFrame = {
     val l = left.withWatermark(tsCol, watermark).alias("l")
@@ -340,8 +344,13 @@ object Streams {
   /** Custom-state sessionization via flatMapGroupsWithState — the escape
     * hatch for state machines `session_window` can't express. A session
     * closes when a same-user event arrives more than `gapMs` later;
-    * still-open sessions stay in state. Works on batch Datasets too
-    * (state scoped to the run). For plain gap sessions on a stream prefer
+    * still-open sessions stay in state. Runs on batch Datasets too, BUT
+    * batch execution discards state at end-of-run and NoTimeout never
+    * fires, so each user's still-open TRAILING session is not emitted
+    * (emitting it here would double-emit under streaming's append mode,
+    * where the same call continues next micro-batch) — on batch, close
+    * trailing sessions with a per-user sentinel event past the gap, or
+    * use the batch sessionizer. For plain gap sessions on a stream prefer
     * [[sessionWindowAgg]]: group-state timeouts in this Spark version
     * retrigger empty micro-batches unboundedly, which starves
     * drain-the-source semantics (processAllAvailable). */

@@ -197,6 +197,40 @@ class ContainerSpec extends AnyFunSuite {
     assert(s2.dataFrame.where(col("id") === 1).select("x").as[Double].head() === 1234567890123.0)
   }
 
+  test("update: scalar set expressions and the where all see the OLD row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_swap")
+    val store = new FactStore(spark, "swapper", dir)
+    store.insert(Seq((1L, 10.0, 20.0), (2L, 3.0, 4.0)).toDF("id", "a", "b"))
+    // {a -> b, b -> a} must SWAP (SQL UPDATE snapshot semantics) — a
+    // sequential fold would chain one through the other in unordered
+    // Map iteration order (review r9)
+    store.update("""{"eq": {"id": 1}}""", Map("a" -> "\"b\"", "b" -> "\"a\""))
+    val r = store.dataFrame.where(col("id") === 1)
+      .select("a", "b").as[(Double, Double)].head()
+    assert(r === ((20.0, 10.0)))
+    // the predicate reads the OLD value even when the set rewrites the
+    // same column: a=3 < 5 matches, its new value must not re-decide
+    store.update("""{"lt": {"a": 5}}""", Map("a" -> """{"mul": ["a", 100]}"""))
+    val r2 = store.dataFrame.orderBy("id").select("a").as[Double].collect()
+    assert(r2.toSeq === Seq(20.0, 300.0))
+  }
+
+  test("container query: a relative child sharing the container-name prefix resolves") {
+    import spark.implicits._
+    // container "order", nested column "order_items": a bare startsWith
+    // treated the from as already qualified and tried to load a TABLE
+    // literally named "order_items" (review r9)
+    val df = Seq((1L, Seq((2, "p1"), (1, "p2"))), (2L, Seq((5, "p3"))))
+      .toDF("id", "items0")
+      .select(col("id"),
+        expr("transform(items0, x -> struct(x._1 as qty, x._2 as sku))").as("order_items"))
+    val c = new ListContainer(spark, "order", df)
+    val got = c.query("""{"from": "order_items", "select": ["qty"], "sort": ["qty"]}""")
+      .as[Int].collect()
+    assert(got.toSeq === Seq(1, 2, 5))
+  }
+
   test("format:container round-trips query -> store -> query") {
     import spark.implicits._
     val c = new ListContainer(spark, "people",

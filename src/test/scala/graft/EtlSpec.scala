@@ -172,6 +172,40 @@ class EtlSpec extends AnyFunSuite {
     assert(onDisk === r1.rows + r2.rows)
   }
 
+  test("extract: null time axis raises; time-less watermark with a time axis refuses to resume") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_etl_nulltime")
+    val full = SparkEntry.loader(spark, "/root/testdata/sf0.001")
+    val plan = SnowflakePlan("orders", "o_orderkey")
+    val cfg = ExtractConfig(
+      plan, timeField = Some(("o_orderdate", DurationUnit.Month)),
+      idField = "o_orderkey", batchSize = 1000,
+      start = Instant.parse("1992-01-01T00:00:00Z"),
+      destination = tmp.resolve("out").toString,
+      lastFile = tmp.resolve("last.json"))
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " " + msgs(t.getCause)
+    // a NULL on the configured time axis has no duration bucket and no
+    // resume semantics — the extract must raise, not silently drop the
+    // row or park it in a null partition the keyset can't re-find
+    // (review r9)
+    val withNull: String => org.apache.spark.sql.DataFrame = name => {
+      val df = full(name)
+      if (name == "orders")
+        df.withColumn("o_orderdate",
+          when(col("o_orderkey") % 97 === 0, lit(null)).otherwise(col("o_orderdate")))
+      else df
+    }
+    val ex = intercept[Exception] { Extract.run(spark, cfg, withNull) }
+    assert(msgs(ex).contains("null time axis"))
+    // a watermark without lastTime + a configured time axis: resuming on
+    // id alone would let old rows re-batch EARLIER buckets from base 0,
+    // and dynamic overwrite would delete prior increments' objects —
+    // the run must refuse (review r9)
+    Extract.writeWatermark(cfg.lastFile, Watermark(Seq(3L, 2L), None, 42L))
+    val ex2 = intercept[IllegalStateException] { Extract.run(spark, cfg, full) }
+    assert(ex2.getMessage.contains("no lastTime"))
+  }
+
   test("scaled batch indexing: byte-identical keys + doc→batch mapping vs the window path") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_etl_scaled")
     val load = SparkEntry.loader(spark, "/root/testdata/sf0.001")

@@ -162,6 +162,35 @@ class OpsSpec extends AnyFunSuite {
       .orderBy("mix_vt", "src", "id")
       .select("src", "mix_vt").as[(String, Long)].collect()
     assert(out.toSeq === again.toSeq)
+    // parts whose lcm overflows Long (raw token counts as weights) must
+    // fail fast, not produce negative strides silently (review r9)
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Sampling.interleaveByStride(df, "src", "id",
+        Map("a" -> 3037000499L, "b" -> 3037000507L, "c" -> 982451653L))
+    }
+    assert(ex.getMessage.contains("overflows"))
+  }
+
+  test("Pinned.guard releases pins taken inside a body that throws") {
+    import graft.ops.Pinned
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    intercept[RuntimeException] {
+      Pinned.guard {
+        val (a, _) = Pinned.checkpoint(Seq(1, 2, 3).toDF("x"))
+        val (b, bH) = Pinned.checkpoint(a.select(col("x") * 2 as "x"))
+        b.count()
+        Pinned.release(bH) // released early: guard must not double-free
+        throw new RuntimeException("mid-iteration failure")
+      }
+    }
+    // both pins are gone: the released-early one and the leaked one
+    assert(spark.sparkContext.getPersistentRDDs.size === before)
+    // normal exit releases nothing the body didn't release itself
+    val kept = Pinned.guard { Pinned.checkpoint(Seq(1).toDF("x"))._2 }
+    assert(spark.sparkContext.getPersistentRDDs.size === before + 1)
+    Pinned.release(kept)
+    assert(spark.sparkContext.getPersistentRDDs.size === before)
   }
 
   test("temperature resample: smallest class keeps all rows, head shrinks") {
@@ -680,6 +709,15 @@ class OpsSpec extends AnyFunSuite {
     // sampleByHash(0.25) keeps the same rows as the 0x40-cut predicate
     val n = df.where(Sampling.sampleByHash(col("k"), 0.25)).count()
     assert(math.abs(n - 20000.0 * 64 / 256) < 400)
+    // an INTERMEDIATE cut that rounds up to 256 must short-circuit to
+    // true, not format as 3-char hex "100" which string-compares below
+    // almost every 2-char bucket and inverts the split (review r9):
+    // 0.999 rounds to the full 256 buckets at 1/256 granularity, so
+    // train takes everything — never ~6.6%
+    val lop = df.select(Sampling.splitAssign(col("k"),
+        Seq("train" -> 0.999, "test" -> 0.001)).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lop.getOrElse("train", 0L) === 20000L)
   }
 
   test("DSIR: score matches local model replay; target-like docs outrank junk; take is top-k") {
