@@ -117,7 +117,9 @@ private[graft] object TrainingEvalEntries {
     ), Some("""
       WITH pv AS (SELECT l_returnflag AS grp, l_extendedprice AS v,
                          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wv
-                  FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2),
+                  FROM lineitem
+                  WHERE l_quantity > 0 AND l_extendedprice IS NOT NULL
+                  GROUP BY 1, 2),
       c AS (SELECT grp, v, wv,
                    CAST(sum(wv) OVER (PARTITION BY grp ORDER BY v
                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
@@ -277,7 +279,7 @@ private[graft] object TrainingEvalEntries {
       r AS (
         SELECT bs.b, CAST(d.n_chars AS DOUBLE) AS x,
                substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(bs.b AS VARCHAR)), 1, 8) AS h
-        FROM documents d CROSS JOIN bs),
+        FROM documents d CROSS JOIN bs WHERE d.n_chars IS NOT NULL),
       wgt AS (
         SELECT b, x,
                CASE WHEN h < '5e2d58d8' THEN 0 WHEN h < 'bc5ab1b1' THEN 1
@@ -412,7 +414,8 @@ private[graft] object TrainingEvalEntries {
     ), Some("""
       WITH base AS (
         SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
-        FROM documents WHERE source IN ('src0', 'src1')),
+        FROM documents
+        WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL),
       counts AS (
         SELECT v,
                sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS ca,

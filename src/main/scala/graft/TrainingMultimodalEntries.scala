@@ -307,8 +307,10 @@ private[graft] object TrainingMultimodalEntries {
                octet_length(encode(text)) % 7 + 1 AS n_frames
         FROM documents)
       SELECT doc_id, byte_len, width, height,
-             CAST(width * 128 AS DOUBLE) / CAST(greatest(width, height) AS DOUBLE) AS rs_width,
-             CAST(height * 128 AS DOUBLE) / CAST(greatest(width, height) AS DOUBLE) AS rs_height,
+             CAST(width * least(128, greatest(width, height))
+                  // greatest(width, height) AS INT) AS rs_width,
+             CAST(height * least(128, greatest(width, height))
+                  // greatest(width, height) AS INT) AS rs_height,
              CAST((n_frames + 1) // 2 AS INT) AS n_sampled_frames
       FROM m ORDER BY doc_id""")),
   )

@@ -566,14 +566,14 @@ private[graft] object TrainingTextEntries {
           len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS e
         FROM documents)
       SELECT doc_id,
-        CAST(greatest(a, b, c, d, e)
-           - greatest(least(a,b), least(a,c), least(a,d), least(a,e),
-                      least(b,c), least(b,d), least(b,e),
-                      least(c,d), least(c,e), least(d,e)) AS BIGINT) AS margin,
-        (greatest(a, b, c, d, e)
-           - greatest(least(a,b), least(a,c), least(a,d), least(a,e),
-                      least(b,c), least(b,d), least(b,e),
-                      least(c,d), least(c,e), least(d,e))) >= 3 AS confident
+        CAST(CASE WHEN e > 0 THEN e - greatest(a, b, c, d)
+             ELSE greatest(a, b, c, d)
+                - greatest(least(a,b), least(a,c), least(a,d),
+                           least(b,c), least(b,d), least(c,d)) END AS BIGINT) AS margin,
+        (CASE WHEN e > 0 THEN e - greatest(a, b, c, d)
+         ELSE greatest(a, b, c, d)
+            - greatest(least(a,b), least(a,c), least(a,d),
+                       least(b,c), least(b,d), least(c,d)) END) >= 3 AS confident
       FROM m ORDER BY doc_id""")),
 
     "q_text_repetition" -> (q((s, dir) => {

@@ -52,8 +52,11 @@ object DocAssembler {
     * child table is semi-joined down to the current level's key set
     * before its own assembly and `collect_list` — an increment touching
     * 0.01% of parents must not re-aggregate 100% of children (at 100 TB
-    * the child tables are the bulk of the data; the watermark-bounded key
-    * set broadcasts, so dropped child rows never shuffle). Child rows
+    * the child tables are the bulk of the data). The semi-join is NOT
+    * broadcast-hinted on purpose: a watermark-bounded increment's key
+    * set is small and AQE converts it to a broadcast join at runtime,
+    * but a FIRST run's key set is the whole parent table — a forced
+    * hint would try to ship it to the driver (review r9). Child rows
     * whose fk has no surviving parent contribute nothing to a left join
     * either way, so the output is identical (EtlSpec equivalence). */
   def assemble(plan: SnowflakePlan, load: String => DataFrame,

@@ -19,6 +19,17 @@ import org.apache.spark.sql.types._
  * unsafe array representation (`doGenCode`), keeping the kernels inside
  * whole-stage codegen; the interpreted `eval` path mirrors the same
  * arithmetic exactly.
+ *
+ * ELEMENT-NULL CONTRACT: a null ARGUMENT yields null, but array
+ * ELEMENTS are read without per-element null checks — the hot loops
+ * assume dense numeric arrays, and an unsafe-array null slot reads as
+ * 0. Every in-repo producer satisfies this (parquet embeddings are
+ * dense by generation; shingle/token hashes come from split/transform
+ * over non-null strings); callers feeding user data with nullable
+ * elements must pre-clean (e.g. `array_compact`, or the null-skipping
+ * aggregate in [[graft.ops.Similarity.centroids]]) — a per-element
+ * branch in these kernels would put the check on every iteration of
+ * exactly the loops this file exists to keep tight.
  */
 object native {
 

@@ -16,6 +16,11 @@ import org.json4s.jackson.JsonMethods
  * Formatting collects to the driver by design: cubes/tables are result
  * envelopes for clients, bounded by the query limit (default 10, max
  * 10,000 — reference jx_base/query.py:35-36), never a data-scale path.
+ * AGGREGATE queries parse with no implicit limit (the reference returns
+ * whole cubes), so list/table ENFORCE the 10,000-row envelope max with a
+ * clear error instead of collecting an unbounded groupby to the driver
+ * (review r9); cube sizes are bounded by the resolved edge domains
+ * (each clamped to 10,000 partitions at resolution).
  */
 object Formats {
 
@@ -24,10 +29,14 @@ object Formats {
     case b: Boolean => JBool(b)
     case i: Int => JLong(i.toLong)
     case l: Long => JLong(l)
+    case s: Short => JLong(s.toLong) // smallint/tinyint are NUMBERS in the
+    case b: Byte => JLong(b.toLong)  // envelope, not strings (review r9)
     case f: Float => JDouble(f.toDouble)
     case d: Double => JDouble(d)
     case d: java.math.BigDecimal => JDecimal(BigDecimal(d))
     case s: String => JString(s)
+    case b: Array[Byte] => // binary → base64, never toString garbage
+      JString(java.util.Base64.getEncoder.encodeToString(b))
     case t: java.sql.Timestamp => JDouble(t.getTime / 1000.0) // Date → unix (jx_base/__init__.py:41-56)
     case d: java.sql.Date => JDouble(d.getTime / 1000.0)
     case r: Row => JObject(r.schema.fieldNames.toList.zip(r.toSeq.map(jValue)).map { case (n, j) => n -> j })
@@ -37,12 +46,21 @@ object Formats {
     case other => JString(other.toString)
   }
 
+  private val MaxEnvelopeRows = 10000
+  private def bounded(df: DataFrame): List[Row] = {
+    val rows = df.limit(MaxEnvelopeRows + 1).collect().toList
+    require(rows.lengthCompare(MaxEnvelopeRows) <= 0,
+      s"format envelope exceeds $MaxEnvelopeRows rows (an aggregate query " +
+        "has no implicit limit) — add a limit or aggregate further")
+    rows
+  }
+
   def list(df: DataFrame): String =
-    JsonMethods.compact(JObject("data" -> JArray(df.collect().toList.map(jValue))))
+    JsonMethods.compact(JObject("data" -> JArray(bounded(df).map(jValue))))
 
   def table(df: DataFrame): String = {
     val names = df.columns.toList
-    val rows = df.collect().toList.map(r => JArray(r.toSeq.toList.map(jValue)))
+    val rows = bounded(df).map(r => JArray(r.toSeq.toList.map(jValue)))
     JsonMethods.compact(JObject(
       "header" -> JArray(names.map(JString(_))),
       "data" -> JArray(rows)))

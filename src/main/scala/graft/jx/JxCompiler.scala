@@ -288,22 +288,38 @@ object DateMath {
 
   def parse(spec: String): java.sql.Timestamp = parseAt(spec, Instant.now())
 
+  // longest leading prefix that can be a base: ISO datetime/date first
+  // (an ISO date contains '-', so a naive split-on-sign shatters it —
+  // review r9: "2020-06-15-7day" must read base "2020-06-15", op "-7day"),
+  // then the compact form, keywords, and bare epoch numbers
+  private val baseRx =
+    ("(?i)^(?:\\d{4}-\\d{2}-\\d{2}(?:[t ][0-9:.]+)?|" +
+      "\\d{1,2}(?:jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)\\d{4}|" +
+      "now|today|eod|\\d+(?:\\.\\d+)?)").r
+
   def parseAt(spec: String, now: Instant): java.sql.Timestamp = {
     val s = spec.trim
     // whole string may already be a date (ISO dates contain '-')
     try return java.sql.Timestamp.from(parseBase(s, now))
     catch { case _: Exception => }
-    // else split base and +/- duration operations
-    val parts = s.split("(?=[+-])").toSeq
-    val base = parseBase(parts.head.trim, now)
-    val result = parts.tail.foldLeft(base) { (t, op) =>
-      val sign = if (op.startsWith("-")) -1 else 1
-      val body = op.drop(1).trim
-      val m = "(\\d*)\\s*([a-zA-Z]+)".r.findFirstMatchIn(body)
-        .getOrElse(throw new IllegalArgumentException(s"bad date math: $spec"))
-      val n = if (m.group(1).isEmpty) 1L else m.group(1).toLong
-      addUnit(t, sign * n, m.group(2).toLowerCase.stripSuffix("s"))
+    // else: longest-prefix base, then a +/-<n><unit> op chain that must
+    // consume the rest of the string
+    val bm = baseRx.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse date: $s"))
+    val base = parseBase(bm.matched, now)
+    val rest = s.substring(bm.end)
+    val opRx = "\\s*([+-])\\s*(\\d*)\\s*([a-zA-Z]+)".r
+    var idx = 0
+    var result = base
+    for (om <- opRx.findAllMatchIn(rest)) {
+      if (om.start != idx) throw new IllegalArgumentException(s"bad date math: $spec")
+      val sign = if (om.group(1) == "-") -1 else 1
+      val n = if (om.group(2).isEmpty) 1L else om.group(2).toLong
+      result = addUnit(result, sign * n, om.group(3).toLowerCase.stripSuffix("s"))
+      idx = om.end
     }
+    if (rest.substring(idx).trim.nonEmpty)
+      throw new IllegalArgumentException(s"bad date math: $spec")
     java.sql.Timestamp.from(result)
   }
 

@@ -150,6 +150,12 @@ object JxExpr {
     "right", "rows", "script", "select", "split", "string", "sub", "subtract",
     "suffix", "sum", "term", "terms", "tuple", "unix", "when", "min")
 
+  /** Sibling keys an operator form may legitimately carry — the option
+    * fields parseOp consumes (reference: each Op.define reads its named
+    * options from the SAME dict, expressions.py:70-98). */
+  private val optionKeys: Set[String] =
+    Set("default", "separator", "start", "then", "else", "nulls")
+
   private def parseObject(obj: JObject): JxExpr = {
     val fields = obj.obj.toMap
     val opField = obj.obj.collectFirst { case (k, x) if opKeys(k) => (k, x) }
@@ -159,7 +165,20 @@ object JxExpr {
         // (reference: expressions.py:149-156)
         val eqs = obj.obj.map { case (k, x) => simpleEq(k, x) }
         if (eqs.size == 1) eqs.head else AndOp(eqs)
-      case Some((op, arg)) => parseOp(op, arg, fields)
+      case Some((op, arg)) =>
+        // the reference's rule is "first operator key wins, siblings are
+        // that op's options" — but a sibling that is NOT a recognized
+        // option would be dropped SILENTLY (review r9: {"status": "ok",
+        // "count": 5} lost the status predicate because `count` is an op
+        // name). An unknown sibling is an ambiguous simple-form/op mix:
+        // reject it loudly instead of guessing.
+        val strays = fields.keySet - op -- optionKeys
+        if (strays.nonEmpty)
+          throw new IllegalArgumentException(
+            s"ambiguous expression: operator '$op' with non-option sibling " +
+              s"key(s) ${strays.mkString(", ")} — write the conjunction " +
+              """explicitly: {"and": [...]}""")
+        parseOp(op, arg, fields)
     }
   }
 
@@ -235,7 +254,17 @@ object JxExpr {
       InequalityOp(op, l, r)
     case "in" | "terms" => arg match {
       case JObject(List((k, x))) => InOp(Variable(k), Lit(rawValue(x)))
-      case JArray(List(a, b))    => InOp(parse(a), parse(b))
+      case JArray(List(a, b)) =>
+        // the second element is the VALUE SET: a bare JSON array there is
+        // the literal list (same as the simple form), not a TupleOp —
+        // parse(b) would build struct(...) and crash isin/array_contains
+        // at run time (review r9: {"in": ["a", [1, 2]]})
+        val rhs = b match {
+          case JArray(items) if !items.exists(_.isInstanceOf[JObject]) =>
+            Lit(items.map(rawValue))
+          case other => parse(other)
+        }
+        InOp(parse(a), rhs)
       case other => throw new IllegalArgumentException(s"in: $other")
     }
     case "range" => arg match {

@@ -75,13 +75,22 @@ object QueryRunner {
     })
   }
 
-  def run(spark: SparkSession, q: JxQuery, load: String => DataFrame): DataFrame = {
+  /** Shared entry prologue: resolve `from`, build the compile context,
+    * apply the where-filter — one definition so [[run]] and
+    * [[runEdgesWithDomains]] cannot drift. */
+  private def prologue(q: JxQuery, load: String => DataFrame)
+      : (DataFrame, Seq[String], JxCompiler.Ctx) = {
     val (base, path) = resolveFrom(q.from, load)
     val ctx = mkCtx(base, path)
     val filtered = q.where match {
       case TrueOp => base
       case w      => base.filter(JxCompiler.filterPred(w, ctx))
     }
+    (filtered, path, ctx)
+  }
+
+  def run(spark: SparkSession, q: JxQuery, load: String => DataFrame): DataFrame = {
+    val (filtered, path, ctx) = prologue(q, load)
     if (q.edges.nonEmpty) runEdges(spark, q, filtered, ctx)
     else if (q.groupby.nonEmpty) runGroupby(q, filtered, ctx)
     else if (q.isAggregate) applyHaving(q, runScalarAgg(q, filtered, ctx))
@@ -123,8 +132,21 @@ object QueryRunner {
       val crossings = q.select.flatMap(s => vars(s.value)).distinct.flatMap { n =>
         val segs = n.split('.').toSeq
         val prefixes = (path.reverse.map(Seq(_)) :+ Seq.empty[String])
-        prefixes.flatMap(p => firstArraySeg(df.schema, p ++ segs, p.size)
-          .map { case (arm, atBoundary) => (n, arm, atBoundary) }).headOption
+        // deepest-arm-first, and the first prefix with an OUTCOME decides
+        // for this name: a name that resolves through plain struct fields
+        // on a deeper arm is directly selectable (that is how mkCtx will
+        // compile it), so a same-named ARRAY on a shallower prefix must
+        // NOT trigger a spurious explode that would multiply the output
+        // rows (review r9)
+        val decided: Option[Option[(String, Seq[String], Boolean)]] =
+          prefixes.view.map { p =>
+            if (resolvesPlain(df.schema, p ++ segs)) Some(None)
+            else firstArraySeg(df.schema, p ++ segs, p.size) match {
+              case Some((arm, atBoundary)) => Some(Some((n, arm, atBoundary)))
+              case None => None
+            }
+          }.collectFirst { case Some(d) => d }
+        decided.flatten.toSeq
       }
       val arms = crossings.collect { case (_, arm, true) => arm }.distinct.filterNot(done)
       if (arms.size > 1)
@@ -152,6 +174,25 @@ object QueryRunner {
     * dotted reference crosses WITH fields remaining after it, or None;
     * the Boolean is true when the crossing sits directly at the
     * resolution boundary (`skip` = number of prefix segments). */
+  /** The path resolves through plain struct fields from the root (no
+    * array-of-struct crossing before the final segment) — directly
+    * selectable, so implicit descent must not fire for it. */
+  private def resolvesPlain(schema: StructType, segs: Seq[String]): Boolean = {
+    var st: DataType = schema
+    var i = 0
+    while (i < segs.size) {
+      st match {
+        case s: StructType => s.fields.find(_.name == segs(i)) match {
+          case Some(f) => st = f.dataType
+          case None => return false
+        }
+        case _ => return false
+      }
+      i += 1
+    }
+    true
+  }
+
   private def firstArraySeg(schema: StructType, segs: Seq[String], skip: Int): Option[(Seq[String], Boolean)] = {
     var st: DataType = schema
     var i = 0
@@ -406,12 +447,19 @@ object QueryRunner {
           val mx = tmax.getTime / 1000.0
           val n = math.ceil((mx - mn) / stepSec).toInt
           mkIntervalEdge(spark, e, mn, mx, stepSec, n, ctx,
-            idx => timestamp_seconds(lit(mn) + idx * lit(stepSec)),
-            castToSeconds = true)
+            idx => timestamp_seconds(lit(mn) + idx * lit(stepSec)))
         } else {
-          // calendar-month intervals: idx = month-ordinal difference
-          val zmin = tmin.toInstant.atZone(java.time.ZoneOffset.UTC)
-          val zmax = tmax.toInstant.atZone(java.time.ZoneOffset.UTC)
+          // calendar-month intervals: idx = month-ordinal difference.
+          // The row-side year()/month() evaluate in the SESSION timezone,
+          // so the driver-side domain ordinals and labels must use that
+          // same zone (graft pins UTC, but a non-UTC session must not
+          // silently misbucket boundary rows — review r9). Labels go
+          // through a TIMESTAMP literal (micros-exact), never
+          // java.sql.Date (whose Spark conversion reads the JVM default
+          // zone, not the session's).
+          val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+          val zmin = tmin.toInstant.atZone(zone)
+          val zmax = tmax.toInstant.atZone(zone)
           val ordMin = zmin.getYear * 12 + zmin.getMonthValue - 1
           val n = math.ceil(((zmax.getYear * 12 + zmax.getMonthValue - 1) - ordMin).toDouble / stepMonths).toInt
           val v = JxCompiler.compile(e.value.get, ctx)
@@ -420,7 +468,7 @@ object QueryRunner {
             .otherwise(floor(ord).cast(IntegerType))
           val dom = spark.range(n).select(
             col("id").cast(IntegerType).as("__idx"),
-            to_timestamp(add_months(lit(new java.sql.Date(tmin.getTime)), col("id").cast(IntegerType) * stepMonths)).as("__value"))
+            to_timestamp(add_months(lit(tmin).cast(DateType), col("id").cast(IntegerType) * stepMonths)).as("__value"))
           ResolvedEdge(e.name, idx, n, e.allowNulls, dom)
         }
     }
@@ -432,11 +480,12 @@ object QueryRunner {
   private def mkIntervalEdge(
       spark: SparkSession, e: EdgeClause,
       mn: Double, mx: Double, step: Double, n: Int,
-      ctx: JxCompiler.Ctx, valueOf: Column => Column,
-      castToSeconds: Boolean = false): ResolvedEdge = {
+      ctx: JxCompiler.Ctx, valueOf: Column => Column): ResolvedEdge = {
     def numeric(expr: JxExpr): Column = {
-      val c = JxCompiler.compile(expr, ctx)
-      if (castToSeconds) c.cast(DoubleType) else c.cast(DoubleType)
+      // one cast serves both shapes: cast(TIMESTAMP AS DOUBLE) is epoch
+      // SECONDS by Spark's contract (what the TimeDomain seconds path
+      // relies on); on numerics it is a plain widening cast
+      JxCompiler.compile(expr, ctx).cast(DoubleType)
     }
     val dom = spark.range(n).select(
       col("id").cast(IntegerType).as("__idx"),
@@ -468,12 +517,7 @@ object QueryRunner {
     * for cube shaping; reconstruction from result rows is ambiguous when
     * partitions share values or a limit truncates the cube. */
   def runEdgesWithDomains(spark: SparkSession, q: JxQuery, load: String => DataFrame): (DataFrame, Seq[Seq[Any]]) = {
-    val (base, path) = resolveFrom(q.from, load)
-    val ctx = mkCtx(base, path)
-    val filtered = q.where match {
-      case TrueOp => base
-      case w      => base.filter(JxCompiler.filterPred(w, ctx))
-    }
+    val (filtered, _, ctx) = prologue(q, load)
     val edges = q.edges.zipWithIndex.map { case (e, i) => resolveEdge(spark, e, i, filtered, ctx) }
     val doms = edges.map { e =>
       e.domainDF.orderBy(col("__idx")).collect().map(_.get(1)).toSeq ++

@@ -199,14 +199,19 @@ object TypedSlots {
     scalarRank(e).as("tr"), e.getField("b").cast(IntegerType).as("b"),
     e.getField("n").as("n"), e.getField("s").as("s"))
 
-  /** Appended to every encoded object's entry list. Its key is above any
-    * real key, so when one side's entries run out first, the OTHER side's
-    * next real entry compares against the sentinel and loses — i.e. the
-    * side with the extra key is SMALLER, which is exactly the reference's
-    * union-key walk where the absent key reads as missing (rank 9,
-    * sorts last). Equal key sets meet sentinel-vs-sentinel: a tie. */
+  /** Appended to every encoded object's entry list. Its leading `end`
+    * rank (1, vs 0 on every real entry) sorts it above ANY real entry:
+    * no "maximal key string" exists under UTF-8 binary order — a
+    * supplementary-plane key (e.g. an emoji, F0-prefixed) out-sorts
+    * U+FFFF pairs (EF BF BF), so the end marker must be a RANK field,
+    * never a key value (review r9). When one side's entries run out
+    * first, the other side's next real entry compares against the
+    * sentinel and loses — the side with the extra key is SMALLER,
+    * which is exactly the reference's union-key walk where the absent
+    * key reads as missing (rank 9, sorts last). Equal key sets meet
+    * sentinel-vs-sentinel: a tie. */
   private val ObjSentinel = struct(
-    lit("￿￿").as("k"), lit(9).as("tr"),
+    lit(1).as("end"), lit("").as("k"), lit(9).as("tr"),
     lit(null).cast(IntegerType).as("b"), NullN.as("n"), NullS.as("s"))
 
   /** Cross-type sort key for nested variants: lexicographic struct of
@@ -219,12 +224,13 @@ object TypedSlots {
     val ok = when(v.getField("o").isNotNull,
         concat(
           transform(v.getField("o"), e => struct(
+            lit(0).as("end"),
             e.getField("k").as("k"), scalarRank(e.getField("v")).as("tr"),
             e.getField("v").getField("b").cast(IntegerType).as("b"),
             e.getField("v").getField("n").as("n"),
             e.getField("v").getField("s").as("s"))),
           array(ObjSentinel)))
-      .otherwise(array().cast("array<struct<k:string,tr:int,b:int,n:double,s:string>>"))
+      .otherwise(array().cast("array<struct<end:int,k:string,tr:int,b:int,n:double,s:string>>"))
     struct(nvRank(v).as("tr"), v.getField("b").cast(IntegerType).as("b"),
       v.getField("n").as("n"), v.getField("s").as("s"), lk.as("l"), ok.as("o"))
   }
@@ -257,7 +263,7 @@ object TypedSlots {
   private val NullO2 = lit(null).cast(Entry2T)
   private val Nv1KeyT = "struct<tr:int,b:int,n:double,s:string," +
     "l:array<struct<tr:int,b:int,n:double,s:string>>," +
-    "o:array<struct<k:string,tr:int,b:int,n:double,s:string>>>"
+    "o:array<struct<end:int,k:string,tr:int,b:int,n:double,s:string>>>"
 
   /** A depth-1 variant is missing: all five slots null. Never null. */
   def nvIsMissing(v: Column): Column =
@@ -295,9 +301,11 @@ object TypedSlots {
     val ok = when(v.getField("o").isNotNull,
         concat(
           transform(v.getField("o"), e =>
-            struct(e.getField("k").as("k"), sortKeyNested(e.getField("v")).as("v"))),
-          array(struct(lit("￿￿").as("k"), sortKeyNested(nvMissing).as("v")))))
-      .otherwise(array().cast(s"array<struct<k:string,v:$Nv1KeyT>>"))
+            struct(lit(0).as("end"), e.getField("k").as("k"),
+              sortKeyNested(e.getField("v")).as("v"))),
+          array(struct(lit(1).as("end"), lit("").as("k"),
+            sortKeyNested(nvMissing).as("v")))))
+      .otherwise(array().cast(s"array<struct<end:int,k:string,v:$Nv1KeyT>>"))
     struct(nvRank(v).as("tr"), v.getField("b").cast(IntegerType).as("b"),
       v.getField("n").as("n"), v.getField("s").as("s"), lk.as("l"), ok.as("o"))
   }
@@ -324,7 +332,7 @@ object TypedSlots {
   private val NullL3 = lit(null).cast(Elem3T)
   private val NullO3 = lit(null).cast(Entry3T)
   private val Nv2KeyT = s"struct<tr:int,b:int,n:double,s:string," +
-    s"l:array<$Nv1KeyT>,o:array<struct<k:string,v:$Nv1KeyT>>>"
+    s"l:array<$Nv1KeyT>,o:array<struct<end:int,k:string,v:$Nv1KeyT>>>"
 
   /** A depth-2 variant is missing: all five slots null. Never null. */
   def nv2IsMissing(v: Column): Column =
@@ -360,9 +368,11 @@ object TypedSlots {
     val ok = when(v.getField("o").isNotNull,
         concat(
           transform(v.getField("o"), e =>
-            struct(e.getField("k").as("k"), sortKeyNested2(e.getField("v")).as("v"))),
-          array(struct(lit("￿￿").as("k"), sortKeyNested2(nv2Missing).as("v")))))
-      .otherwise(array().cast(s"array<struct<k:string,v:$Nv2KeyT>>"))
+            struct(lit(0).as("end"), e.getField("k").as("k"),
+              sortKeyNested2(e.getField("v")).as("v"))),
+          array(struct(lit(1).as("end"), lit("").as("k"),
+            sortKeyNested2(nv2Missing).as("v")))))
+      .otherwise(array().cast(s"array<struct<end:int,k:string,v:$Nv2KeyT>>"))
     struct(nvRank(v).as("tr"), v.getField("b").cast(IntegerType).as("b"),
       v.getField("n").as("n"), v.getField("s").as("s"), lk.as("l"), ok.as("o"))
   }

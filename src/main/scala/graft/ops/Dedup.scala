@@ -192,7 +192,6 @@ object Dedup {
 
   // -- word n-gram shingles ----------------------------------------------
 
-  /** Distinct word n-gram shingles of the text as an array column. */
   /** LATEST-BY-KEY compaction — the CDC/upsert-feed dedup: from a
     * stream of row versions keep each key's most recent one (highest
     * event time, ties broken by the highest `tieCol` — a sequence
@@ -263,6 +262,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Distinct word n-gram shingles of the text as an array column. */
   def wordShingles(text: Column, n: Int): Column = {
     val t = TextAnalysis.tokens(text)
     when(size(t) >= n,
@@ -702,10 +702,21 @@ object Dedup {
     // canonical directed edges big→small, self-loops dropped; each
     // iteration is pinned as a fresh persisted RDD-backed frame so the
     // logical plan (and fault-recovery lineage) stays one round deep
+    // every live pin is tracked so a mid-computation failure (a checksum
+    // job dying, the non-convergence throw below) releases them instead
+    // of leaving discovery-sized RDDs persisted for the JVM's lifetime —
+    // the exact warm-slower-than-cold churn the lifecycle doc promises
+    // to prevent must hold on the FAILURE path too (review r9)
+    val livePins = new scala.collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
+    def unpin(r: org.apache.spark.rdd.RDD[_]): Unit = {
+      r.unpersist(blocking = false); livePins -= r
+    }
     def pin(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
       val r = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      livePins += r
       (spark.createDataFrame(r, schema), r)
     }
+    try {
     // the INPUT pair list is pinned once too: discovery upstream of this
     // operator (an LSH candidate join, a curation filter) is typically
     // the most expensive stage of the whole pipeline, and both the
@@ -771,10 +782,12 @@ object Dedup {
         val n = r.getLong(0)
         org.apache.spark.sql.Row(n, find(n))
       }
-      baseRdd.unpersist()
+      unpin(baseRdd)
       val resRdd = spark.sparkContext.parallelize(rows.toIndexedSeq)
         .persist(StorageLevel.MEMORY_AND_DISK)
+      livePins += resRdd
       resRdd.count()
+      livePins -= resRdd
       val prevSmall = ccResultSlot.getAndSet(resRdd)
       if (prevSmall != null && (prevSmall ne resRdd)) prevSmall.unpersist()
       return spark.createDataFrame(resRdd, resSchemaS)
@@ -802,7 +815,7 @@ object Dedup {
         val nextSig = checksum(cur)
         converged = nextSig == sig
         sig = nextSig
-        deferred.foreach(_.unpersist()); deferred = Nil
+        deferred.foreach(unpin); deferred = Nil
       }
     }
     if (!converged)
@@ -817,12 +830,17 @@ object Dedup {
     // then release everything except the one result RDD (slot-bounded
     // across invocations — see the PERSIST LIFECYCLE scaladoc)
     val resRdd = result.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    livePins += resRdd
     resRdd.count()
-    baseRdd.unpersist()
-    curRdd.unpersist()
+    livePins -= resRdd
+    unpin(baseRdd)
+    unpin(curRdd)
     val prev = ccResultSlot.getAndSet(resRdd)
     if (prev != null && (prev ne resRdd)) prev.unpersist()
     spark.createDataFrame(resRdd, resSchemaS)
+    } catch { case e: Throwable =>
+      livePins.foreach(_.unpersist(blocking = false)); throw e
+    }
   }
 
   /** One-slot holder for the last [[connectedComponents]] result RDD —

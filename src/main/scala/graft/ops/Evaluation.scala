@@ -29,7 +29,12 @@ object Evaluation {
     val rel = relevant.select(col("qid"), col("id")).distinct()
       .withColumn("__rel", lit(1))
     val relCounts = rel.groupBy("qid").agg(count(lit(1)).as("__n_rel"))
-    val judged = runs.where(col("rank") <= k)
+    // the RUN side dedups too: a system listing the same doc at two
+    // ranks within k would count the hit twice (recall > 1) and sum
+    // both DCG positions (review r9) — keep each (qid, id)'s BEST rank
+    val bestRank = runs.where(col("rank") <= k)
+      .groupBy(col("qid"), col("id")).agg(min(col("rank")).as("rank"))
+    val judged = bestRank
       .join(rel, Seq("qid", "id"), "left")
       .groupBy("qid").agg(
         sum(coalesce(col("__rel"), lit(0))).as("__hits"),
@@ -107,8 +112,12 @@ object Evaluation {
   def ksStatistic(df: DataFrame, groupCol: String, valCol: String,
                   a: String, b: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // rows with no value carry no distribution mass: a null would form
+    // a spurious smallest-value group counted in n_a/n_b and deflate
+    // every ECDF point (review r9)
     val base = df.where(col(groupCol).isin(a, b))
       .select(col(groupCol).as("__g"), col(valCol).cast("double").as("__v"))
+      .where(col("__v").isNotNull && !isnan(col("__v")))
     val counts = base.groupBy("__v").agg(
       sum(when(col("__g") === a, 1L).otherwise(0L)).as("__ca"),
       sum(when(col("__g") === b, 1L).otherwise(0L)).as("__cb"))
@@ -311,10 +320,13 @@ object Evaluation {
   def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
                      weightCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // null values carry weight but sort FIRST, shifting the 2·cum ≥ W
+    // crossing while min(v) skips them — exclude them from the mass
+    // entirely (review r9)
     val perVal = df
       .select(col(groupCol).as("grp"), col(valCol).as("v"),
         col(weightCol).cast("long").as("__w"))
-      .where(col("__w") > 0)
+      .where(col("__w") > 0 && col("v").isNotNull)
       .groupBy("grp", "v").agg(sum("__w").as("__wv"))
     val w = Window.partitionBy("grp").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -45,14 +45,20 @@ object Multimodal {
       lit(3).as("channels"))
   }
 
-  /** STUB resize: recompute target dims preserving the fake aspect. */
+  /** STUB resize: recompute target dims preserving the fake aspect.
+    * Emits INTEGER dims — the same struct schema as [[imageMeta]], so
+    * resized metas compose/union with originals — and never UPSCALES:
+    * the effective target is min(maxSide, current max side), matching
+    * [[imageIoResize]] (review r9: the old double-typed dims silently
+    * changed the meta schema and a small image "resized" up). */
   def resizeMeta(meta: Column, maxSide: Long): Column = {
     val w = meta.getField("width"); val h = meta.getField("height")
     val scaleDen = greatest(w, h)
+    val target = least(lit(maxSide), scaleDen.cast("long"))
     struct(
       meta.getField("byte_len").as("byte_len"),
-      (w * maxSide / scaleDen).as("width"),
-      (h * maxSide / scaleDen).as("height"),
+      floor(w * target / scaleDen).cast("int").as("width"),
+      floor(h * target / scaleDen).cast("int").as("height"),
       meta.getField("channels").as("channels"))
   }
 
@@ -309,7 +315,12 @@ object Multimodal {
       val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       if (bb.getInt(16) != 16 || bb.getShort(20) != 1 || bb.getShort(34) != 16) None
       else {
-        val n = math.min(bb.getInt(40), bytes.length - 44) / 2
+        // the data-chunk size is a u32: read it UNSIGNED so a corrupt
+        // high-bit field clamps to the available bytes instead of going
+        // negative (a signed read made pcm16Stats return Some((-k,0,0));
+        // review r9)
+        val n = (math.min(bb.getInt(40).toLong & 0xFFFFFFFFL,
+          (bytes.length - 44).toLong) / 2).toInt
         var i = 0; var peak = 0; var ss = 0L
         while (i < n) {
           val s = bb.getShort(44 + 2 * i).toInt
@@ -441,7 +452,12 @@ object Multimodal {
       val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       if (bb.getInt(16) != 16 || bb.getShort(20) != 1 || bb.getShort(34) != 16) None
       else {
-        val n = math.min(bb.getInt(40), bytes.length - 44) / 2
+        // the data-chunk size is a u32: read it UNSIGNED so a corrupt
+        // high-bit field clamps to the available bytes instead of going
+        // negative (a signed read made pcm16Stats return Some((-k,0,0));
+        // review r9)
+        val n = (math.min(bb.getInt(40).toLong & 0xFFFFFFFFL,
+          (bytes.length - 44).toLong) / 2).toInt
         if (n <= 0) Some((0L, 0, 0L))
         else {
           def s(i: Int): Int = bb.getShort(44 + 2 * i).toInt

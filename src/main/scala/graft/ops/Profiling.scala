@@ -51,8 +51,14 @@ object Profiling {
     val w = PoissonCuts.zipWithIndex.foldRight(lit(5): Column) {
       case ((cut, k), rest) => when(hx < lit(cut), k).otherwise(rest)
     }
+    // null/NaN values are excluded BEFORE resampling: a null __x drops
+    // out of sum(__w·__x) but its weight would still count in sum(__w),
+    // biasing every resample mean toward 0 while the point estimate
+    // (avg, which skips nulls) stays put (review r9)
     val resampled = df
-      .select(col(idCol), col(valCol).cast("double").as("__x"),
+      .select(col(idCol), col(valCol).cast("double").as("__x"))
+      .where(col("__x").isNotNull && !isnan(col("__x")))
+      .select(col(idCol), col("__x"),
         explode(array((1 to b).map(lit(_)): _*)).as("__b"))
       .select(col("__b"), col("__x"), w.cast("double").as("__w"))
     val means = resampled.groupBy("__b")

@@ -65,14 +65,17 @@ object Similarity {
   def centroids(df: DataFrame, groupCol: String, vecCol: String = "embedding"): DataFrame = {
     val ex = df.select(col(groupCol).as("g"),
       posexplode(vecD(col(vecCol))).as(Seq("pos", "x")))
+    // the mean divides by count(x) — non-null values only — so a null
+    // ELEMENT inside an embedding is skipped, not silently averaged as
+    // zero (review r9); n_vecs stays the row count
     val sums = ex.groupBy(col("g"), col("pos"))
-      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .agg(sum(col("x")).as("s"), count(col("x")).as("n"), count(lit(1)).as("cnt"))
     sums.groupBy(col("g"))
       .agg(
         transform(
           array_sort(collect_list(struct(col("pos"), (col("s") / col("n")).as("m")))),
           e => round(e.getField("m"), 6)).as("centroid"),
-        max(col("n")).as("n_vecs"))
+        max(col("cnt")).as("n_vecs"))
       .select(col("g").as(groupCol), col("n_vecs"), col("centroid"))
   }
 
@@ -352,9 +355,15 @@ object Similarity {
         (col("xa") - col("xb")) * (col("xa") - col("xb")) +
         (col("ya") - col("yb")) * (col("ya") - col("yb")) <= lit(eps * eps))
       .select(col("ida"), col("idb")))
-    val cores = pairs.groupBy("ida").agg(count(lit(1)).as("__nn"))
-      .where(col("__nn") + 1 >= minPts)
-      .select(col("ida").as("id"))
+    // minPts = 1: EVERY point is core by definition (|N_eps(p)| >= 1
+    // with self included always holds) — a point with zero neighbors
+    // never reaches the pairs frame, so deriving cores from it would
+    // silently demote isolated points to noise (review r9)
+    val cores =
+      if (minPts <= 1) pts.select(col("id"))
+      else pairs.groupBy("ida").agg(count(lit(1)).as("__nn"))
+        .where(col("__nn") + 1 >= minPts)
+        .select(col("ida").as("id"))
     val coreEdges = pairs
       .join(cores.select(col("id").as("ida")), Seq("ida"))
       .join(cores.select(col("id").as("idb")), Seq("idb"))
@@ -459,16 +468,23 @@ object Similarity {
     * Lloyd over a bounded sample: at most fitSampleCap vectors ever
     * leave the executors, the fit costs milliseconds instead of a
     * distributed job per iteration, and determinism is trivial. */
+  /** Bounded, deterministic fit sample: at most `cap` vectors collected
+    * (count → fraction sample → limit), shared by every quantizer fit
+    * (review r9: this block was triplicated across the IVF/PQ fits). */
+  private def fitSample(corpus: DataFrame, vecCol: String, cap: Long,
+                        seed: Long): Array[Array[Double]] = {
+    val c0 = corpus.select(vecD(col(vecCol)).as("__fit_v"))
+    val n = c0.count()
+    val fitSet =
+      if (n <= cap) c0
+      else c0.sample(withReplacement = false, cap.toDouble / n, seed)
+    fitSet.limit(cap.toInt).collect().map(_.getSeq[Double](0).toArray)
+  }
+
   def ivfFitCentroids(corpus: DataFrame, nlist: Int = 16,
                       vecCol: String = "embedding", seed: Long = 42L,
                       fitSampleCap: Long = 65536L, fitMaxIter: Int = 10): Array[Array[Double]] = {
-    val c0 = corpus.select(vecD(col(vecCol)).as("n_vec"))
-    val n = c0.count()
-    val fitSet =
-      if (n <= fitSampleCap) c0
-      else c0.sample(withReplacement = false, fitSampleCap.toDouble / n, seed)
-    val samplePts = fitSet.limit(fitSampleCap.toInt)
-      .collect().map(_.getSeq[Double](0).toArray)
+    val samplePts = fitSample(corpus, vecCol, fitSampleCap, seed)
     lloyd(samplePts, nlist, fitMaxIter, seed)
   }
 
@@ -588,12 +604,7 @@ object Similarity {
   def pqFitCodebooks(corpus: DataFrame, m: Int = 8, k: Int = 16,
                      vecCol: String = "embedding", seed: Long = 7L,
                      fitSampleCap: Long = 65536L, fitMaxIter: Int = 10): Array[Array[Array[Double]]] = {
-    val c0 = corpus.select(vecD(col(vecCol)).as("v"))
-    val n = c0.count()
-    val fitSet =
-      if (n <= fitSampleCap) c0
-      else c0.sample(withReplacement = false, fitSampleCap.toDouble / n, seed)
-    val pts = fitSet.limit(fitSampleCap.toInt).collect().map(_.getSeq[Double](0).toArray)
+    val pts = fitSample(corpus, vecCol, fitSampleCap, seed)
     val dim = pts(0).length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
@@ -699,12 +710,7 @@ object Similarity {
                              m: Int = 8, k: Int = 16, vecCol: String = "embedding",
                              seed: Long = 7L, fitSampleCap: Long = 65536L,
                              fitMaxIter: Int = 10): Array[Array[Array[Double]]] = {
-    val c0 = corpus.select(vecD(col(vecCol)).as("v"))
-    val n = c0.count()
-    val fitSet =
-      if (n <= fitSampleCap) c0
-      else c0.sample(withReplacement = false, fitSampleCap.toDouble / n, seed)
-    val pts = fitSet.limit(fitSampleCap.toInt).collect().map(_.getSeq[Double](0).toArray)
+    val pts = fitSample(corpus, vecCol, fitSampleCap, seed)
     val res = pts.map { v =>
       val c = centroids(nearestCellLocal(v, centroids))
       Array.tabulate(v.length)(i => v(i) - c(i))
@@ -804,7 +810,12 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
     val dropped = graft.ops.Dedup.connectedComponents(pairs)
       .where(col("rep") =!= col("node")).select(col("node").as("__drop"))
-    df.join(broadcast(dropped), col(idCol) === col("__drop"), "left_anti")
+    // NO broadcast hint: the drop set is corpus-PROPORTIONAL (the
+    // duplicate rows themselves — 30-50% of the corpus in SemDeDup's
+    // operating range), so forcing it to the driver would OOM at
+    // exactly the scale this operator targets (review r9); AQE still
+    // broadcasts it when it happens to be small
+    df.join(dropped, col(idCol) === col("__drop"), "left_anti")
   }
 
   // -- shared ANN candidate-scoring tails ----------------------------------

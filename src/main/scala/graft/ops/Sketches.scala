@@ -213,14 +213,24 @@ object Sketches {
           if (b1 < 0) cum = next
           i += 1
         }
-        // recompute cumBase = count below bucket b0
-        var below = cumBase; i = 0
-        while (i < b0) { below += counts(i); i += 1 }
-        cumBase = below
-        rangeCount = (b0 to b1).map(counts).sum
-        val newLo = lo + b0 * width
-        val newHi = if (b1 == buckets - 1) hi else lo + (b1 + 1) * width
-        lo = newLo; hi = newHi
+        if (b0 < 0 || b1 < 0) {
+          // FP stranding: a boundary value slipped outside the refined
+          // [lo, hi] while cumBase still excludes it, so the rank walk
+          // never crossed — STOP narrowing (never index counts(-1),
+          // review r9); the final stage recounts `below` EXACTLY over
+          // the ±width-widened range, which covers a one-rounding-step
+          // escape by construction
+          guard = 64
+        } else {
+          // recompute cumBase = count below bucket b0
+          var below = cumBase; i = 0
+          while (i < b0) { below += counts(i); i += 1 }
+          cumBase = below
+          rangeCount = (b0 to b1).map(counts).sum
+          val newLo = lo + b0 * width
+          val newHi = if (b1 == buckets - 1) hi else lo + (b1 + 1) * width
+          lo = newLo; hi = newHi
+        }
       }
     }
     // walk grouped (value, count) pairs for 0-based rank k, given the

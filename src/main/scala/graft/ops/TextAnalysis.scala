@@ -87,19 +87,25 @@ object TextAnalysis {
       .otherwise(lit("de"))
   }
 
-  /** Confidence MARGIN of the language-ID decision: top evidence score
-    * minus the runner-up across the five channels (four lexicons +
-    * CJK) — the routing gate for low-confidence docs (margin 0 = a
-    * tie the fixed tie-break order resolved arbitrarily). Second-max
-    * as max-over-pairs-of-min: pure integer Column algebra, replayed
-    * verbatim in SQL. */
+  /** Confidence MARGIN of the language-ID DECISION — mirrors
+    * [[langId]]'s rule, not a symmetric 5-way race: any CJK evidence
+    * decides zh, so with CJK present the margin is zh's evidence minus
+    * the best lexicon channel (NEGATIVE when the priority rule overrode
+    * stronger contrary evidence — exactly what a routing gate must see;
+    * review r9: the old symmetric margin reported the LOSING channel's
+    * lead as high confidence). Without CJK the margin is top lexicon
+    * minus runner-up (0 = a tie the fixed tie-break order resolved
+    * arbitrarily). Second-max as max-over-pairs-of-min: pure integer
+    * Column algebra, replayed verbatim in SQL. */
   def langIdMargin(text: Column): Column = {
     val xs = Seq(langScore(text, "en"), langScore(text, "fr"),
-      langScore(text, "es"), langScore(text, "de"), cjkCount(text))
+      langScore(text, "es"), langScore(text, "de"))
+    val cjk = cjkCount(text)
     val second = greatest((for {
       i <- xs.indices; j <- i + 1 until xs.size
     } yield least(xs(i), xs(j))): _*)
-    greatest(xs: _*) - second
+    when(cjk > 0, cjk - greatest(xs: _*))
+      .otherwise(greatest(xs: _*) - second)
   }
 
   /** Ratio of (per-language) stopwords to tokens. */
@@ -412,25 +418,35 @@ object TextAnalysis {
     * it)², and the class count is small by construction (sources,
     * languages). All integers except the final exact division. */
   def sourceOverlapMatrix(df: org.apache.spark.sql.DataFrame, classCol: String,
-                          textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
-    val grams = df
-      .select(col(classCol).as("__c"), tokens(lower(col(textCol))).as("__t"))
-      .select(col("__c"), explode(ngramsFromTokens(col("__t"), n)).as("__g"))
-      .distinct()
-    val totals = grams.groupBy(col("__c")).agg(count(lit(1)).as("__tot"))
-    val shared = grams.as("a").join(grams.as("b"),
-        col("a.__g") === col("b.__g") && col("a.__c") < col("b.__c"))
-      .groupBy(col("a.__c").as("class_a"), col("b.__c").as("class_b"))
-      .agg(count(lit(1)).as("shared_grams"))
-    shared
-      .join(broadcast(totals).withColumnRenamed("__c", "class_a")
-        .withColumnRenamed("__tot", "grams_a"), Seq("class_a"))
-      .join(broadcast(totals).withColumnRenamed("__c", "class_b")
-        .withColumnRenamed("__tot", "grams_b"), Seq("class_b"))
+                          textCol: String, n: Int): org.apache.spark.sql.DataFrame =
+    classGramPairCounts(df, classCol, textCol, n)
       .select(col("class_a"), col("class_b"), col("grams_a"), col("grams_b"),
         col("shared_grams"),
         (col("shared_grams").cast("double") /
           (col("grams_a") + col("grams_b") - col("shared_grams"))).as("jaccard"))
+
+  /** Shared pair-count core of [[sourceOverlapMatrix]] and
+    * [[crossClassOverlap]] (review r9: the two ops duplicated this
+    * block verbatim, differing only in the final metric): per-class
+    * DISTINCT gram inventories, one gram-keyed self-join whose fan-out
+    * is bounded by classes-per-gram, class totals broadcast back.
+    * Returns (class_a < class_b, shared_grams, grams_a, grams_b). */
+  private def classGramPairCounts(df: org.apache.spark.sql.DataFrame, classCol: String,
+                                  textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val grams = df
+      .select(col(classCol).as("__c"), tokens(lower(col(textCol))).as("__t"))
+      .where(size(col("__t")) >= n) // gram-less docs prune in the scan
+      .select(col("__c"), explode(ngramsFromTokens(col("__t"), n)).as("__g"))
+      .distinct()
+    val totals = grams.groupBy(col("__c")).agg(count(lit(1)).as("__tot"))
+    grams.as("a").join(grams.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__c") < col("b.__c"))
+      .groupBy(col("a.__c").as("class_a"), col("b.__c").as("class_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(broadcast(totals.select(col("__c").as("class_a"), col("__tot").as("grams_a"))),
+        Seq("class_a"))
+      .join(broadcast(totals.select(col("__c").as("class_b"), col("__tot").as("grams_b"))),
+        Seq("class_b"))
   }
 
   /** Corpus MIX-DRIFT between two snapshots — the composition audit a
@@ -1291,21 +1307,7 @@ object TextAnalysis {
   def crossClassOverlap(df: org.apache.spark.sql.DataFrame, classCol: String,
                         textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
     require(n >= 1, s"n: $n")
-    val grams = df
-      .select(col(classCol).as("__c"), tokens(lower(col(textCol))).as("__t"))
-      .where(size(col("__t")) >= n)
-      .select(col("__c"), explode(ngramsFromTokens(col("__t"), n)).as("__g"))
-      .distinct()
-    val totals = grams.groupBy(col("__c")).agg(count(lit(1)).as("__tot"))
-    val shared = grams.as("a").join(grams.as("b"),
-        col("a.__g") === col("b.__g") && col("a.__c") < col("b.__c"))
-      .groupBy(col("a.__c").as("class_a"), col("b.__c").as("class_b"))
-      .agg(count(lit(1)).as("shared_grams"))
-    shared
-      .join(broadcast(totals.select(col("__c").as("class_a"), col("__tot").as("grams_a"))),
-        Seq("class_a"))
-      .join(broadcast(totals.select(col("__c").as("class_b"), col("__tot").as("grams_b"))),
-        Seq("class_b"))
+    classGramPairCounts(df, classCol, textCol, n)
       .select(col("class_a"), col("class_b"), col("shared_grams"),
         col("grams_a"), col("grams_b"),
         round(col("shared_grams").cast("double") /

@@ -32,6 +32,25 @@ class FormatsSpec extends AnyFunSuite {
     assert((docs.head \ "n_nationkey") === JInt(0))
   }
 
+  test("list/table enforce the 10k envelope max instead of collecting unbounded groups") {
+    // aggregate queries parse with NO implicit limit, so a
+    // high-cardinality groupby must fail loudly, not OOM the driver
+    // (review r9)
+    import org.apache.spark.sql.functions._
+    val big = spark.range(10001).toDF("id")
+    val ex = intercept[IllegalArgumentException] { Formats.list(big) }
+    assert(ex.getMessage.contains("10000"))
+    // at the bound it still works
+    assert(Formats.list(spark.range(3).toDF("id")).contains("\"data\""))
+  }
+
+  test("jValue: smallint/tinyint are numbers, binary is base64") {
+    assert(Formats.jValue(5.toShort) === JLong(5L))
+    assert(Formats.jValue(7.toByte) === JLong(7L))
+    assert(Formats.jValue(Array[Byte](1, 2)) === JString(
+      java.util.Base64.getEncoder.encodeToString(Array[Byte](1, 2))))
+  }
+
   test("cube format: dense N-d measure arrays + edge domains") {
     val out = Formats.run(spark, JxQuery.parse("""{
       "from": "orders",

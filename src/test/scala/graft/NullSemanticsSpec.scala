@@ -86,4 +86,25 @@ class NullSemanticsSpec extends AnyFunSuite {
   test("when with missing condition takes else branch") {
     assert(eval("""{"when": {"gt": {"x": 0}}, "then": 1, "else": 2}""") === Seq(1, 1, 2, 2))
   }
+
+  test("operator with a non-option sibling key is rejected, not silently partial") {
+    // {"s": "a", "count": 5}: `count` is an operator name, so the old
+    // first-op-wins parse DROPPED the s=="a" predicate and returned a
+    // constant — every row passed (review r9). Ambiguity must be loud.
+    val ex = intercept[IllegalArgumentException] {
+      JxExpr.parseJson("""{"s": "a", "count": 5}""")
+    }
+    assert(ex.getMessage.contains("ambiguous"))
+    // op + recognized OPTION sibling still parses (the reference form)
+    assert(eval("""{"concat": ["s"], "default": "none"}""") === Seq("a", "none", "b", "none"))
+    // pure simple-form conjunction still works
+    assert(eval("""{"s": "a", "x": 1}""") === Seq(true, false, false, false))
+  }
+
+  test("in array form: a bare value list is the literal set, not a tuple") {
+    // {"in": [expr, [v...]]} used to parse the list as TupleOp →
+    // struct(...) → array_contains crash at run time (review r9)
+    assert(eval("""{"in": ["x", [1, 3]]}""") === Seq(true, false, false, false))
+    assert(eval("""{"in": ["s", ["a", "b"]]}""") === Seq(true, false, true, false))
+  }
 }

@@ -240,4 +240,71 @@ class QueryRunnerSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("offset 5 out of range"))
   }
+
+  test("DateMath: ISO bases compose with +/- unit ops") {
+    import graft.jx.DateMath
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    // an ISO base contains '-': the op split must not shatter it
+    // (review r9: "2020-06-15-7day" misparsed the base as epoch 2020)
+    assert(DateMath.parse("2020-06-15-7day") === ts("2020-06-08T00:00:00Z"))
+    assert(DateMath.parse("2020-01-01+1week") === ts("2020-01-08T00:00:00Z"))
+    assert(DateMath.parse("2020-06-15T10:00:00-2hour") === ts("2020-06-15T08:00:00Z"))
+    assert(DateMath.parse("1jan2015+1month") === ts("2015-02-01T00:00:00Z"))
+    assert(DateMath.parse("2020-01-31+1month-1day") === ts("2020-02-28T00:00:00Z"))
+    // plain bases and keyword chains unchanged
+    assert(DateMath.parse("2020-06-15") === ts("2020-06-15T00:00:00Z"))
+    val now = java.time.Instant.parse("2020-06-15T12:00:00Z")
+    assert(DateMath.parseAt("now-7day", now) === ts("2020-06-08T12:00:00Z"))
+    assert(DateMath.parseAt("today+1day", now) === ts("2020-06-16T00:00:00Z"))
+    // malformed chains are still rejected, including trailing junk
+    intercept[IllegalArgumentException](DateMath.parse("2020-06-15~3day"))
+    intercept[IllegalArgumentException](DateMath.parse("2020-06-15-7day junk"))
+  }
+
+  test("implicit descent: a name resolving plain on the deep arm ignores a same-named root array") {
+    import graft.jx._
+    val s = spark
+    import s.implicits._
+    // root has BOTH child: array<struct<x: struct<y>>> and a decoy
+    // x: array<struct<y>>; select "x.y" from "t.child" resolves plain
+    // through the exploded child and must NOT explode the root array
+    // (review r9: the spurious explode multiplied every child row)
+    val df = Seq(
+      (1L, Seq((10L, 0L)), Seq(100L, 200L, 300L)),
+      (2L, Seq((20L, 0L)), Seq(400L, 500L))
+    ).toDF("id", "child0", "x0")
+      .selectExpr("id",
+        "transform(child0, c -> named_struct('x', named_struct('y', c._1))) AS child",
+        "transform(x0, v -> named_struct('y', v)) AS x")
+    val q = JxQuery.parse(
+      """{"from": "t.child", "select": [{"name": "y", "value": "x.y"}],
+           "sort": ["x.y"], "limit": 10}""")
+    val got = QueryRunner.run(spark, q, _ => df).collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(10L, 20L)) // one row per child, not per child×root-array
+  }
+
+  test("time month edge: a non-UTC session keeps boundary rows (domain zone = row zone)") {
+    import graft.jx._
+    // graft pins UTC, but month classification must stay internally
+    // consistent in ANY session zone: the row-side year()/month() and
+    // the driver-side domain ordinals/labels must share the session
+    // timezone, or a row just after a UTC month boundary computes a
+    // bucket index OUTSIDE the domain and silently vanishes from the
+    // cube (review r9)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    import s2.implicits._
+    val df = Seq(
+      "2020-01-01T02:00:00Z", // New York: Dec 31 2019 — the boundary row
+      "2020-02-10T12:00:00Z",
+      "2020-03-05T12:00:00Z"
+    ).toDF("iso").selectExpr("CAST(iso AS TIMESTAMP) AS ts")
+    val q = JxQuery.parse(
+      """{"from": "t", "edges": [{"name": "m", "value": "ts", "allowNulls": true,
+           "domain": {"type": "time", "min": "2020-01-01", "max": "2020-07-01",
+                      "interval": "month"}}],
+         "select": [{"name": "n", "value": ".", "aggregate": "count"}]}""")
+    val out = QueryRunner.run(s2, q, _ => df).collect()
+    assert(out.map(_.getAs[Long]("n")).sum === 3L) // every row lands in SOME bucket
+  }
 }

@@ -154,6 +154,24 @@ class VariantLawsSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSeq
     assert(got === (0L until ordered.size.toLong),
       s"sortKeyNested must reproduce the reference order, got $got")
+    // SENTINEL law beyond the BMP (review r9): an emoji key (UTF-8 F0…)
+    // out-sorts any U+FFFF-based "maximal string", so the end marker
+    // must be a RANK, not a key value — {"😀": 1} still sorts BEFORE {}
+    // (absent key reads missing, sorts last) at every depth
+    val emoji = spark.range(2).toDF("id").withColumn("v",
+      when(col("id") === 0, TypedSlots.nvOfObject(array(ent("😀", nEl(1)))))
+        .otherwise(TypedSlots.nvOfObject(array())))
+    val gotE = emoji.orderBy(TypedSlots.sortKeyNested(col("v")))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(gotE === Seq(0L, 1L), "emoji-keyed object must sort before {}")
+    val emoji2 = spark.range(2).toDF("id").withColumn("v",
+      when(col("id") === 0, TypedSlots.nv2OfObject(
+          array(struct(lit("😀").as("k"),
+            TypedSlots.nvOfScalar(TypedSlots.ofNumber(lit(1))).as("v")))))
+        .otherwise(TypedSlots.nv2OfObject(array())))
+    val gotE2 = emoji2.orderBy(TypedSlots.sortKeyNested2(col("v")))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(gotE2 === Seq(0L, 1L), "depth-2 emoji-keyed object must sort before {}")
     // nvEq: reflexive, and distinct domain values are pairwise unequal
     // (incl. {} vs missing and [] vs missing)
     val a = df.select(col("id").as("ia"), col("v").as("va"))
