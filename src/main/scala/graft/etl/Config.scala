@@ -57,7 +57,34 @@ object Config {
 
   /** The reference's configs allow trailing commas; strip before parse. */
   private[etl] def parseLenient(json: String): JValue =
-    JsonMethods.parse(json.replaceAll(",\\s*([}\\]])", "$1"))
+    JsonMethods.parse(stripTrailingCommas(json))
+
+  /** Remove ",<ws>}" / ",<ws>]" OUTSIDE string literals only — a global
+    * regex rewrites inside quoted values containing ",]" or ",}" (a
+    * password, a regex, a null_values sentinel) and silently corrupts
+    * them (review r9). One linear scan tracking string state + escapes. */
+  private[etl] def stripTrailingCommas(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    var inStr = false; var esc = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        out.append(c)
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else if (c == '"') { inStr = true; out.append(c) }
+      else if (c == ',') {
+        var j = i + 1
+        while (j < s.length && Character.isWhitespace(s.charAt(j))) j += 1
+        if (!(j < s.length && (s.charAt(j) == '}' || s.charAt(j) == ']')))
+          out.append(c)
+      } else out.append(c)
+      i += 1
+    }
+    out.toString
+  }
 
   /** Merge `$ref` includes into their enclosing object (best-effort). */
   private[etl] def resolveRefs(j: JValue, baseDir: Path): JValue = j match {
@@ -67,8 +94,14 @@ object Config {
       refs.foldLeft(resolved: JValue) {
         case (acc, (_, JString(target))) =>
           readRef(target, baseDir) match {
-            case Some(inc) => acc merge inc // include merges under the enclosing object
-            case None      => acc           // e.g. ~/private.json not mounted
+            // EXPLICIT sibling fields win over the include, which only
+            // fills unset keys — the reference's set_default semantics
+            // (mo_json_config/__init__.py:117); json4s `a merge b` lets
+            // b win conflicts, so the include goes on the LEFT
+            // (review r9: the old `acc merge inc` let defaults override
+            // explicit overrides)
+            case Some(inc) => inc merge acc
+            case None      => acc // e.g. ~/private.json not mounted
           }
         case (acc, _) => acc
       }
@@ -133,7 +166,11 @@ object Config {
         .map { case (s, i) => parseRelation(s, i) },
       exclude = strings(sf \ "exclude").map(_.toLowerCase).toSet,
       referenceOnly = refOnly.filter(_.contains("."))
-        .map { s => val Array(t, c) = s.split('.'); t.toLowerCase -> c.toLowerCase }.toMap,
+        .map { s => // schema-qualified names take the LAST two segments,
+          // like parseRelation (review r9: a 3-part name crashed here)
+          val parts = s.split('.')
+          parts(parts.length - 2).toLowerCase -> parts.last.toLowerCase
+        }.toMap,
       referenceAll = refOnly.filterNot(_.contains(".")).map(_.toLowerCase).toSet,
       database = (sf \ "database") match {
         case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap

@@ -73,7 +73,9 @@ object DurationCounter {
     case t: java.sql.Timestamp => t.toInstant
     case d: java.util.Date     => d.toInstant
     case l: Long               => Instant.ofEpochSecond(l)
+    case i: Int                => Instant.ofEpochSecond(i.toLong) // JDBC INT
     case d: Double             => Instant.ofEpochMilli((d * 1000).toLong)
+    case f: Float              => Instant.ofEpochMilli((f.toDouble * 1000).toLong)
     case s: String             => graft.jx.DateMath.parse(s).toInstant
     case other => throw new IllegalArgumentException(s"not a time value: $other")
   }

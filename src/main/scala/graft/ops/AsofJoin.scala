@@ -54,6 +54,10 @@ object AsofJoin {
                    prefix: String, forward: Boolean): DataFrame = {
     val rightU = right
       .select((keys :+ rightTs) .map(col) ++ payload.map(col): _*)
+      // a null-timestamp right row satisfies NO as-of comparison — it
+      // must never enter the running frame (review r9: backward's
+      // nulls-first sort carried its payload to every early left row)
+      .where(col(rightTs).isNotNull)
       .withColumn("__ts", col(rightTs))
       .withColumn("__pay", struct((rightTs +: payload).map(col): _*))
       .select(keys.map(col) :+ col("__ts") :+ col("__pay"): _*)
@@ -63,9 +67,14 @@ object AsofJoin {
       .withColumn("__side", lit(1))
     // right (__side 0) sorts before left (__side 1) on timestamp ties in
     // BOTH directions, so the equal-timestamp right row is always visible
-    // to the left row's running frame (>= / <= inclusive semantics)
+    // to the left row's running frame (>= / <= inclusive semantics).
+    // Null-timestamp LEFT rows sort FIRST in both directions (nulls-first
+    // asc is Spark's default; forward pins desc_nulls_first explicitly)
+    // so no right row precedes them and their payload is null — a null
+    // left ts matches nothing (review r9: desc's nulls-LAST default
+    // attached the minimum-ts payload instead)
     val ord: Seq[Column] =
-      if (forward) Seq(col("__ts").desc, col("__side").asc)
+      if (forward) Seq(col("__ts").desc_nulls_first, col("__side").asc)
       else Seq(col("__ts").asc, col("__side").asc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

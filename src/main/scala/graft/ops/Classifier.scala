@@ -115,6 +115,11 @@ object Classifier {
     * contribute 0 — mirroring the batch scorer's inner weight join. */
   def nbScoreColumn(text: Column, model: NbModel): Column = {
     val keys = model.weights.keys.toSeq
+    // an EMPTY model (degenerate corpus: all text blank/null) scores the
+    // bare prior — map_from_arrays over zero-element NullType arrays
+    // fails analysis (review r9), and the batch scorer already handles
+    // the same corpus by scoring the prior
+    if (keys.isEmpty) return round(lit(model.prior), 6)
     val m = map_from_arrays(
       array(keys.map(lit(_)): _*),
       array(keys.map(k => lit(model.weights(k))): _*))
@@ -136,7 +141,15 @@ object Classifier {
     require(dim > 0, s"dim must be positive: $dim")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    // a non-numeric id (hex hash, URL) casts to null and the Dataset
+    // encoder dies mid-stage with an error that never names the column
+    // (review r9) — fail at the first bad row with a message that does
+    df.select(
+        when(col(idCol).cast("long").isNull,
+          raise_error(concat(lit(s"hashedTf: id column '$idCol' is null or "),
+            lit("not numeric — pre-map ids to longs (e.g. xxhash64)"))).cast("long"))
+          .otherwise(col(idCol).cast("long")).as("__id"),
+        col(textCol).cast("string").as("__text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         val f = new Array[Double](dim)

@@ -114,6 +114,7 @@ object ListOps {
     * last pair clips to the ceiling (reference jx.py:1045-1056 — "just
     * like range(), only cooler"). Generated distributed via spark.range. */
   def intervals(spark: SparkSession, min: Double, max: Double, size: Long = 1L): DataFrame = {
+    require(size > 0, s"intervals: size must be positive, got $size") // review r9
     val lo = math.floor(min).toLong
     val hi = math.ceil(max).toLong
     val n = math.max(0L, (hi - lo + size - 1) / size)

@@ -18,16 +18,36 @@ import org.apache.spark.sql.functions._
  */
 object Skew {
 
-  /** Deterministic pseudo-salt derived from the whole row (stable across
-    * retries — rand() would break task re-execution determinism). */
-  def salt(df: DataFrame, salts: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int")
+  /** Deterministic pseudo-salt derived from the row's HASHABLE columns
+    * (stable across retries — rand() would break task re-execution
+    * determinism). Map-typed columns are skipped: xxhash64 rejects
+    * MapType and would fail the whole plan (review r9); the remaining
+    * columns spread a hot key just as well. */
+  def salt(df: DataFrame, salts: Int): Column = {
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val cols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    require(cols.nonEmpty, "salt: no hashable (non-map) columns to derive a salt from")
+    pmod(xxhash64(cols.toIndexedSeq: _*), lit(salts)).cast("int")
+  }
 
   /** Equi-join `big ⋈ small` on `key`, spreading hot keys over `salts`
     * partitions. `small` is replicated ×salts (use only when small is
-    * modest but above the broadcast threshold). */
+    * modest but above the broadcast threshold). INNER/LEFT/SEMI/ANTI
+    * only: replicating the small side makes right/full outer joins emit
+    * one null-extended copy of an unmatched small row PER SALT
+    * (review r9), so those types are rejected. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
                  joinType: String = "inner"): DataFrame = {
+    val safe = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross")
+    require(safe(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched small-side " +
+        "rows once per salt replica — use AQE skew handling for outer joins")
     val b = big.withColumn("__salt", salt(big, salts))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))

@@ -47,6 +47,34 @@ class ConfigSpec extends AnyFunSuite {
     assert(c.snowflake.database("username") === "u1")
   }
 
+  test("$ref fills gaps only: explicit sibling fields WIN over the include") {
+    // the reference's set_default semantics (mo_json_config:117) — the
+    // include provides defaults, the enclosing object's own fields
+    // override them (review r9: the merge ran the other way)
+    val dir = Files.createTempDirectory("graft_cfg_prio")
+    Files.writeString(dir.resolve("defaults.json"),
+      """{"db": {"host": "localhost", "port": "3306"}}""")
+    Files.writeString(dir.resolve("main.json"),
+      """{"snowflake": {"fact_table": "f",
+           "database": {"host": "prod-db", "$ref": "file://defaults.json#db"}}}""")
+    val c = Config.loadFile(dir.resolve("main.json"))
+    assert(c.snowflake.database("host") === "prod-db") // explicit wins
+    assert(c.snowflake.database("port") === "3306")    // default fills the gap
+  }
+
+  test("lenient parse strips trailing commas OUTSIDE strings only") {
+    val j = Config.parse(
+      """{"snowflake": {"fact_table": "f", "null_values": ["a,]", "b,}",],}}""")
+    assert(j.snowflake.nullValues === Seq("a,]", "b,}")) // values intact
+  }
+
+  test("reference_only accepts schema-qualified names like add_relations") {
+    val c = Config.parse(
+      """{"snowflake": {"fact_table": "f",
+           "reference_only": ["treeherder.user.email", "plain.col"]}}""")
+    assert(c.snowflake.referenceOnly === Map("user" -> "email", "plain" -> "col"))
+  }
+
   test("extractConfig derives counters from the reference batch spec") {
     val c = Config.parse("""{
       "extract": {"last": "x.json", "field": ["last_modified", "id"],

@@ -32,6 +32,15 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  test("toInstant accepts JDBC Integer/Float epochs") {
+    // a MySQL INT epoch-seconds column arrives as java.lang.Integer —
+    // it must not throw "not a time value" (review r9)
+    assert(DurationCounter.toInstant(Int.box(86400)) ===
+      Instant.parse("1970-01-02T00:00:00Z"))
+    assert(DurationCounter.toInstant(java.lang.Float.valueOf(1.5f)) ===
+      Instant.ofEpochMilli(1500L))
+  }
+
   test("duration units floor correctly") {
     val t = Instant.parse("2024-02-14T13:47:21Z") // a Wednesday
     assert(DurationUnit.Week.floor(t) === Instant.parse("2024-02-11T00:00:00Z")) // Sunday

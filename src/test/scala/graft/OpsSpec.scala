@@ -253,6 +253,19 @@ class OpsSpec extends AnyFunSuite {
       .select("id", "asof_t", "asof_v")
       .as[(Long, Option[Long], Option[Double])].collect().toSet
     assert(fwd === brute(fwd = true))
+    // NULL timestamps match nothing on either side (review r9): a
+    // null-ts left row gets null payload in BOTH directions, and a
+    // null-ts right row never enters the running frame
+    val leftN = Seq((1L, "a", Some(10L)), (7L, "a", Option.empty[Long]))
+      .toDF("id", "k", "t")
+    val rightN = Seq(("a", Some(20L), 2.0), ("a", Option.empty[Long], 9.9))
+      .toDF("k", "t", "v")
+    val backN = AsofJoin.asofBackward(leftN, rightN, Seq("k"), "t", "t", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(backN(1L).isEmpty && backN(7L).isEmpty) // no right <= 10; null matches nothing
+    val fwdN = AsofJoin.asofForward(leftN, rightN, Seq("k"), "t", "t", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(fwdN(1L) === Some(2.0) && fwdN(7L).isEmpty)
   }
 
   test("prefixSumScaled equals the single-partition window prefix sum") {
@@ -303,6 +316,22 @@ class OpsSpec extends AnyFunSuite {
   }
 
   // -- jaccard ------------------------------------------------------------
+
+  test("charShingleHashes: exactly len-k+1 grams, no phantom from split's tail") {
+    import spark.implicits._
+    // pins Spark's split(s, "") semantics (NO trailing empty element —
+    // unlike raw Java split): a phantom "" token would add one extra
+    // k-gram per document and distort every char-shingle Jaccard
+    // (review r9 candidate, refuted empirically; this spec keeps it so)
+    val d = Seq("abcdefgh", "abcd", "abcde").toDF("text")
+    val n = d.select(size(Dedup.charShingleHashes(col("text"), 5)).as("n"))
+      .as[Int].collect().toSeq
+    assert(n === Seq(4, 0, 1)) // 8-4+1, too short -> 0, 5-5+1
+    // and the hash-kernel count equals the string-shingle count per doc
+    val eq = d.select(size(Dedup.charShingleHashes(col("text"), 5)) ===
+      size(Dedup.charShingles(col("text"), 5))).as[Boolean].collect()
+    assert(eq.forall(identity))
+  }
 
   test("sortedIntersectCount equals array_intersect size on the real shingle producer") {
     import graft.functions.native
@@ -592,6 +621,21 @@ class OpsSpec extends AnyFunSuite {
       "zzz qqq www").toDF("text")
     val got = df.select(TextAnalysis.langId(col("text"))).as[String].collect()
     assert(got.toSeq === Seq("en", "fr", "es", "de", "zh", "und"))
+  }
+
+  test("langIdMargin mirrors langId's zh-priority decision, not a symmetric race") {
+    // 8 English stopword hits + 1 CJK char: langId decides zh (absolute
+    // CJK priority), so the margin must report zh's evidence against
+    // the best lexicon — NEGATIVE here (low confidence), never the
+    // losing channel's +7 lead (review r9)
+    val mixed = "the cat and the dog in the house 中"
+    val df = Seq(mixed, "the cat and the dog in the house", "这是中文文本").toDF("text")
+    val got = df.select(TextAnalysis.langId(col("text")).as("l"),
+      TextAnalysis.langIdMargin(col("text")).cast("long").as("m")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got(0)._1 === "zh" && got(0)._2 < 0, s"mixed doc: ${got(0)}")
+    assert(got(1)._1 === "en" && got(1)._2 > 0)  // clean en: positive margin
+    assert(got(2)._1 === "zh" && got(2)._2 > 0)  // clean zh: positive margin
   }
 
   test("chunkBySizeScaled equals the single-partition chunking") {
@@ -2004,6 +2048,9 @@ class OpsSpec extends AnyFunSuite {
     assert(iv.toSeq === Seq((0L, 5L), (5L, 10L), (10L, 15L), (15L, 20L), (20L, 23L)))
     assert(ListOps.intervals(spark, 2.3, 7.9, 10).as[(Long, Long)].collect().toSeq === Seq((2L, 8L)))
     assert(ListOps.intervals(spark, 5, 5, 1).count() === 0)
+    // a non-positive size fails fast, not ArithmeticException/garbage
+    intercept[IllegalArgumentException] { ListOps.intervals(spark, 0, 10, 0) }
+    intercept[IllegalArgumentException] { ListOps.intervals(spark, 0, 10, -1) }
   }
 
   test("ListOps with partition keys distributes: no single-partition window in the plan") {
@@ -2055,6 +2102,36 @@ class OpsSpec extends AnyFunSuite {
 
   // -- multimodal ---------------------------------------------------------
 
+  test("resizeMeta keeps imageMeta's integer schema and never upscales") {
+    val withBin = Multimodal.withPayload(docs, "text")
+    val m = Multimodal.imageMeta(col("content"))
+    val r = Multimodal.resizeMeta(m, 128)
+    val out = withBin.select(m.as("m"), r.as("r"))
+    // same struct schema as imageMeta (review r9: double dims diverged)
+    assert(out.schema("m").dataType === out.schema("r").dataType)
+    val rows = out.select(col("m.width"), col("m.height"),
+        col("r.width"), col("r.height"))
+      .as[(Int, Int, Int, Int)].collect()
+    rows.foreach { case (w, h, rw, rh) =>
+      assert(math.max(rw, rh) <= math.max(128, 0), s"($w,$h)->($rw,$rh)")
+      if (math.max(w, h) <= 128) // small images pass through unchanged
+        assert((rw, rh) === ((w, h)), s"upscaled ($w,$h)->($rw,$rh)")
+      else
+        assert(math.max(rw, rh) === 128, s"($w,$h)->($rw,$rh)")
+    }
+  }
+
+  test("centroids skips null embedding ELEMENTS instead of averaging them as zero") {
+    val df = Seq(
+      ("g", Seq[java.lang.Double](1.0, null)),
+      ("g", Seq[java.lang.Double](3.0, 4.0))).toDF("src", "embedding")
+    val out = Similarity.centroids(df, "src")
+      .select("centroid", "n_vecs").collect().head
+    // dim 0: (1+3)/2 = 2; dim 1: 4/1 = 4 (null skipped, review r9)
+    assert(out.getSeq[Double](0).toSeq === Seq(2.0, 4.0))
+    assert(out.getLong(1) === 2L) // n_vecs stays the row count
+  }
+
   test("multimodal payload plumbing: meta from binary, batched decode agrees") {
     val withBin = Multimodal.withPayload(docs, "text")
     val viaColumns = withBin.select(col("doc_id"),
@@ -2080,6 +2157,17 @@ class OpsSpec extends AnyFunSuite {
       .agg(count(lit(1)), sum(col("value"))).collect()(0)
     assert(plain.getLong(0) === salted.getLong(0))
     assert(math.abs(plain.getDouble(1) - salted.getDouble(1)) < 1e-6)
+    // outer types would emit one null-extended copy of an unmatched
+    // small row PER SALT — rejected up front (review r9)
+    val exOuter = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(e, dim, "user_id", salts = 8, joinType = "full_outer")
+    }
+    assert(exOuter.getMessage.contains("per salt"))
+    // a map-typed column must not break the salt derivation (xxhash64
+    // rejects MapType; review r9)
+    val withMap = e.withColumn("attrs", map(lit("a"), lit("b")))
+    assert(Skew.saltedJoin(withMap, dim, "user_id", salts = 4).count() ===
+      plain.getLong(0))
 
     val direct = e.groupBy(col("user_id")).agg(sum(col("value")).as("s"), count(lit(1)).as("n"))
       .orderBy("user_id").collect().map(r => (r.getLong(0), math.round(r.getDouble(1)*1e6), r.getLong(2)))
@@ -2233,6 +2321,13 @@ class OpsSpec extends AnyFunSuite {
     // non-PCM audioFormat refused too
     val nonPcm = ok.clone(); nonPcm(20) = 3
     assert(Multimodal.pcm16Stats(nonPcm).isEmpty)
+    // a corrupt u32 data size (high bit set) must clamp to the bytes
+    // actually present, not go negative (review r9: signed getInt gave
+    // Some((-k, 0, 0)))
+    val huge = ok.clone()
+    huge(40) = 0xF0.toByte; huge(41) = 0xFF.toByte
+    huge(42) = 0xFF.toByte; huge(43) = 0xFF.toByte
+    assert(Multimodal.pcm16Stats(huge).contains((16L, 500, 16L * 500 * 500)))
   }
 
   test("incremental dedup handles null text: indexed null drops arriving nulls") {
@@ -2404,6 +2499,18 @@ class OpsSpec extends AnyFunSuite {
     assert(r(3L) === -1.0 && r(4L) === -1.0) // empty/null → null
   }
 
+  test("nbScoreColumn: an empty model scores the bare prior (no NullType map)") {
+    import graft.ops.Classifier
+    // degenerate corpus: all text blank -> zero weights; the scorer must
+    // emit the prior, not fail analysis on map_from_arrays of NullType
+    // (review r9); the batch scorer already behaves this way
+    val model = Classifier.NbModel(Map.empty, prior = 0.25)
+    val out = Seq("anything at all").toDF("text")
+      .select(Classifier.nbScoreColumn(col("text"), model).as("s"))
+      .as[Double].head()
+    assert(out === 0.25)
+  }
+
   test("nbFit + nbScoreColumn: stream-serving scorer matches nbTrainScore") {
     val d = Seq((1L, "good good fine", 1), (2L, "bad awful", 0), (3L, "good bad", 1),
       (4L, " ", 0)).toDF("doc_id", "text", "y")
@@ -2428,6 +2535,15 @@ class OpsSpec extends AnyFunSuite {
     // deterministic draw: a different partitioning yields identical rows
     val r2 = Profiling.bootstrapMeanCI(d.repartition(13), "id", "v", b = 40).head()
     assert(r2.getDouble(2) === lo && r2.getDouble(3) === hi)
+    // null values are EXCLUDED from the resamples, not averaged as 0:
+    // adding null rows must leave the CI around the non-null mean
+    // (review r9: their weight counted in sum(w) and dragged means down)
+    val withNulls = d.unionByName(
+      spark.range(2000, 2500).selectExpr("id", "CAST(NULL AS DOUBLE) AS v"))
+    val r3 = Profiling.bootstrapMeanCI(withNulls, "id", "v", b = 40).head()
+    assert(r3.getDouble(1) === 500.5)
+    assert(r3.getDouble(2) < 500.5 && 500.5 < r3.getDouble(3),
+      s"CI [${r3.getDouble(2)}, ${r3.getDouble(3)}] must bracket 500.5")
   }
 
   test("rankingMetrics: hand-computed recall/MRR/nDCG on a 3-doc run") {
@@ -2450,6 +2566,13 @@ class OpsSpec extends AnyFunSuite {
     val out2 = Evaluation.rankingMetrics(runs, dupRel, k = 3).orderBy("qid").collect()
     assert(out2(0).getDouble(1) === out(0).getDouble(1) &&
       out2(0).getDouble(3) === out(0).getDouble(3))
+    // duplicated RUN rows must not inflate either (review r9): the same
+    // relevant doc listed at two ranks counts once, at its best rank
+    val dupRuns = runs.union(Seq(("q1", 3, 10L)).toDF("qid", "rank", "id"))
+    val out3 = Evaluation.rankingMetrics(dupRuns, rel, k = 3).orderBy("qid").collect()
+    assert(out3(0).getDouble(1) === out(0).getDouble(1) &&
+      out3(0).getDouble(2) === out(0).getDouble(2) &&
+      out3(0).getDouble(3) === out(0).getDouble(3))
   }
 
   test("calibrationError: hand-computed ECE and Brier on two bins") {
@@ -2497,6 +2620,12 @@ class OpsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getDouble(2)) === ((2L, 2L, 0.5)))
     val same = Seq(("a", 1.0), ("a", 5.0), ("b", 1.0), ("b", 5.0)).toDF("g", "v")
     assert(Evaluation.ksStatistic(same, "g", "v", "a", "b").head().getDouble(2) === 0.0)
+    // null values carry no distribution mass (review r9: they formed a
+    // spurious smallest-value group and inflated n_a)
+    val withNull = d.unionByName(Seq(("a", Option.empty[Double]),
+      ("a", Option.empty[Double])).toDF("g", "v"))
+    val rn = Evaluation.ksStatistic(withNull, "g", "v", "a", "b").head()
+    assert((rn.getLong(0), rn.getLong(1), rn.getDouble(2)) === ((2L, 2L, 0.5)))
   }
 
   test("chiSquareIndependence: perfect association on a 2x2 diagonal") {
@@ -2796,6 +2925,14 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L) === ((1L, "border")))
     assert(out(6L) === ((-1L, "noise")))
     for (i <- 7L to 9L) assert(out(i) === ((7L, "core")), s"point $i: ${out(i)}")
+    // minPts = 1: EVERY point is core (|N_eps| >= 1 with self always
+    // holds) — an isolated point is a singleton-cluster core, never
+    // noise (review r9: pair-derived cores silently demoted it)
+    val out1 = Similarity.dbscan2d(pts, "id", "x", "y", eps = 0.02, minPts = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getString(2))).toMap
+    assert(out1(6L) === ((6L, "core")))
+    assert(out1.values.forall(_._2 == "core"))
   }
 
   test("mannKendall: hand-computed S, tie-corrected variance, continuity-corrected z") {
@@ -3182,6 +3319,14 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     // g: half of W=8 is first reached at v=30 (unweighted median says 20)
     assert(out.toSeq === Seq(("g", 8L, 30.0), ("h", 2L, 10.0)))
+    // null VALUES carry weight nowhere: they used to sort first and
+    // shift the 2·cum >= W crossing while min(v) skipped them
+    // (review r9)
+    val withNull = d.unionByName(
+      Seq(("g", Option.empty[Double], 10L)).toDF("k", "v", "w"))
+    val outN = Evaluation.weightedMedian(withNull, "k", "v", "w").orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(outN.toSeq === Seq(("g", 8L, 30.0), ("h", 2L, 10.0)))
   }
 
   test("profileDrift: null-rate delta and range movement on planted snapshots") {
