@@ -148,9 +148,13 @@ object Bench {
     val warmupDir: Option[String] =
       if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_WARMUP")) None
       else {
-        val p = java.nio.file.Paths.get(sfDir)
+        val p = java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize
         Option(p.getParent).map(_.resolve("sf0.001"))
-          .filter(d => java.nio.file.Files.isDirectory(d) && d.toString != sfDir)
+          // NORMALIZED compare: a trailing slash or relative sfDir must
+          // not defeat the same-directory check and double the warmup
+          // by re-running the catalog at the target SF (review r9)
+          .filter(d => java.nio.file.Files.isDirectory(d) &&
+            d.toAbsolutePath.normalize != p)
           .map(_.toString)
       }
     val tWarmup0 = System.nanoTime()
@@ -265,7 +269,19 @@ object Bench {
     // [cold_delta, warm_delta] of the JVM's cumulative JIT-compile-time
     // counter across that timed run — the environment-vs-code separator
     // VERDICT r7 #6 asked for.
-    val line = s"""{"queries_cold":$qsCold,"queries_jit_ms":$qsJit,"errors":$errors,"etl_assemble_docs_per_sec":${etlDps.toLong},"sf":"$sfDir","queries":$qs,"bench_schema":3,"bench_excluded":${SparkEntry.benchExcluded.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"warmup_dir":${warmupDir.map("\"" + _ + "\"").getOrElse("null")},"warmup_sec":${r3(warmupSec)},"quiesce_sec":${r3(quiesceSec)},"inversions":$inversions,"total_cold":$totalCold,"total_warm":$total,"metric":"total","value":$total,"unit":"sec"}"""
+    // paths come from the ENVIRONMENT — escape them like any other JSON
+    // string (Verify.q's rule; review r9: a quote/backslash in
+    // SPARK_GRAFT_SF_DIR produced an unparseable artifact)
+    def jsonStr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val line = s"""{"queries_cold":$qsCold,"queries_jit_ms":$qsJit,"errors":$errors,"etl_assemble_docs_per_sec":${etlDps.toLong},"sf":${jsonStr(sfDir)},"queries":$qs,"bench_schema":3,"bench_excluded":${SparkEntry.benchExcluded.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"warmup_dir":${warmupDir.map(jsonStr).getOrElse("null")},"warmup_sec":${r3(warmupSec)},"quiesce_sec":${r3(quiesceSec)},"inversions":$inversions,"total_cold":$totalCold,"total_warm":$total,"metric":"total","value":$total,"unit":"sec"}"""
     // belt-and-braces: the FULL artifact also lands in the repo as
     // BENCH.json (the driver commits leftover files at round end), so the
     // warm map survives even if the stdout tail is clipped. A SUBSET run

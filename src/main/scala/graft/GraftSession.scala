@@ -19,10 +19,16 @@ import org.apache.spark.sql.SparkSession
  *    should size this to ~2-3× total executor cores).
  */
 object GraftSession {
-  def builder(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder =
+  def builder(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder = {
+    // `cores` is a MASTER token ("*" and "N,F" retry syntax are legal);
+    // spark.sql.shuffle.partitions must be an integer — derive it, or
+    // the first shuffle dies on NumberFormatException (review r9)
+    val partitions =
+      if (cores.forall(_.isDigit) && cores.nonEmpty) cores
+      else Runtime.getRuntime.availableProcessors().toString
     SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.shuffle.partitions", partitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       // with ANSI off, legacy sizeOfNull would make size(null) = -1;
@@ -44,6 +50,7 @@ object GraftSession {
       // the cache at tens of MB of metaspace.
       .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
+  }
 
   def get(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val spark = builder(cores).getOrCreate()

@@ -36,13 +36,18 @@ private[graft] object TrainingShared {
   val PqSlot =
     new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, Array[Array[Array[Double]]])]()
 
+  // the three quantizer-fit slots synchronize like every other slot in
+  // this file: Bench's PARALLEL warmup runs entry families on separate
+  // threads, and an unsynchronized check-then-act here ran duplicate
+  // k-means fits with a nondeterministic last-writer winner (review r9)
   def pqCodebooksFor(s: SparkSession, dir: String,
                              corpus: DataFrame): Array[Array[Array[Double]]] =
-    PqSlot.get() match {
+    PqSlot.synchronized { PqSlot.get() match {
       case (ss, d, c) if (ss eq s) && d == dir => c
       case _ =>
         val c = Similarity.pqFitCodebooks(corpus, m = 8, k = 16)
         PqSlot.set((s, dir, c)); c
+    }
     }
 
   /** One persisted co-purchase edge list per (session, sf dir) — the
@@ -155,11 +160,12 @@ private[graft] object TrainingShared {
 
   def ivfCentroidsFor(s: SparkSession, dir: String,
                               corpus: DataFrame, nlist: Int): Array[Array[Double]] =
-    IvfSlot.get() match {
+    IvfSlot.synchronized { IvfSlot.get() match {
       case (ss, d, c) if (ss eq s) && d == dir => c
       case _ =>
         val c = Similarity.ivfFitCentroids(corpus, nlist)
         IvfSlot.set((s, dir, c)); c
+    }
     }
 
   /** One RESIDUAL PQ codebook set per (session, sf dir) — the residual
@@ -170,11 +176,12 @@ private[graft] object TrainingShared {
 
   def pqResidualCodebooksFor(s: SparkSession, dir: String, corpus: DataFrame,
                                      cents: Array[Array[Double]]): Array[Array[Array[Double]]] =
-    PqResSlot.get() match {
+    PqResSlot.synchronized { PqResSlot.get() match {
       case (ss, d, c) if (ss eq s) && d == dir => c
       case _ =>
         val c = Similarity.pqFitResidualCodebooks(corpus, cents, m = 8, k = 16)
         PqResSlot.set((s, dir, c)); c
+    }
     }
 
   def docs(spark: SparkSession, dir: String): DataFrame =

@@ -8,7 +8,9 @@ object Verify {
     // optional 3rd arg: comma-separated entry names — builder-side fast
     // iteration only; the driver always invokes with exactly two args
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2) // same trim/filter convention as Bench's arg
+        Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      else None
     val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -43,6 +43,14 @@ object Graph {
     * Returns (a, b, pair_cnt, support, confidence, lift). */
   def associationRules(df: DataFrame, groupCol: String, itemCol: String,
                        minPairCount: Long): DataFrame = {
+    // `g` appears FOUR times in the one result plan (group count, item
+    // counts, both self-join sides) but stays LAZY on purpose: all four
+    // consumers live in a SINGLE action, where Spark's exchange/subquery
+    // reuse dedupes the identical distinct subtree — unlike the
+    // iterative ops (pageRank et al.), whose per-round ACTIONS genuinely
+    // re-execute and therefore pin via [[Pinned]]. Keeping the plan
+    // declarative also keeps the broadcast joins visible to the PlanSpec
+    // contract (a checkpoint would hide them behind an RDD scan).
     val g = df.select(col(groupCol).as("__g"), col(itemCol).as("__i")).distinct()
     val nGroups = g.agg(countDistinct("__g").as("__n"))
     val itemCnt = g.groupBy("__i").agg(count(lit(1)).as("__ci"))

@@ -283,6 +283,21 @@ class QueryRunnerSpec extends AnyFunSuite {
     assert(got === Seq(10L, 20L)) // one row per child, not per child×root-array
   }
 
+  test("normalizeTs: ns→µs division is integral (exact above 2^53)") {
+    import graft.jx._
+    val s = spark
+    import s.implicits._
+    // (2^53 + 1) µs expressed in ns: double division rounds the low bit
+    // away (Column `/` promotes Long/Long to Double — review r9);
+    // integral `div` must preserve it exactly like DuckDB's truncation
+    val ns = ((1L << 53) + 1L) * 1000L + 999L // the +999 must truncate
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val out = SparkEntry.normalizeTs(Seq(ns).toDF("ts"))
+      .select(unix_micros(col("ts")))
+      .as[Long].head()
+    assert(out === (1L << 53) + 1L)
+  }
+
   test("time month edge: a non-UTC session keeps boundary rows (domain zone = row zone)") {
     import graft.jx._
     // graft pins UTC, but month classification must stay internally
