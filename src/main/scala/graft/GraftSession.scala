@@ -19,13 +19,19 @@ import org.apache.spark.sql.SparkSession
  *    should size this to ~2-3× total executor cores).
  */
 object GraftSession {
+  /** `cores` is a MASTER token ("*" and "N,F" retry syntax are legal);
+    * spark.sql.shuffle.partitions must be an integer — derive it from
+    * the LEADING integer of the token (so "8,3" retry syntax sizes
+    * shuffles to 8, not availableProcessors — review r10), falling
+    * back to the machine's core count only for "*". */
+  private[graft] def shufflePartitions(cores: String): String = {
+    val leading = cores.takeWhile(_.isDigit)
+    if (leading.nonEmpty) leading
+    else Runtime.getRuntime.availableProcessors().toString
+  }
+
   def builder(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder = {
-    // `cores` is a MASTER token ("*" and "N,F" retry syntax are legal);
-    // spark.sql.shuffle.partitions must be an integer — derive it, or
-    // the first shuffle dies on NumberFormatException (review r9)
-    val partitions =
-      if (cores.forall(_.isDigit) && cores.nonEmpty) cores
-      else Runtime.getRuntime.availableProcessors().toString
+    val partitions = shufflePartitions(cores)
     SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", partitions)

@@ -400,7 +400,13 @@ class FactStore(val spark: SparkSession, val name: String, dir: Path) extends Co
     // chain). Nested rewrites apply after scalars in sorted-key order:
     // array replacements are row-independent JSON literals and dot-path
     // values read child fields, so the ordering is just determinism.
-    val predCol = "__graft_upd"
+    // pick a marker name guaranteed absent from the stored schema —
+    // withColumn silently REPLACES a same-named user column and the
+    // final drop would then delete it from the snapshot (review r10)
+    val predCol = Iterator.from(0).map {
+      case 0 => "__graft_upd"
+      case i => s"__graft_upd_$i"
+    }.find(n => !df.columns.contains(n)).get
     val base = df.withColumn(predCol,
       JxCompiler.truthy(JxExpr.parseJson(whereJson), ctx(df)))
     val pred = col(predCol)

@@ -146,6 +146,8 @@ object Config {
     val Array(fk, pk) = s.split("->").map(_.trim)
     def tableCol(x: String): (String, String) = {
       val parts = x.split('.')
+      require(parts.length >= 2 && parts.last.nonEmpty && parts(parts.length - 2).nonEmpty,
+        s"add_relations: malformed qualified name '$x' in '$s' — expected table.column")
       (parts(parts.length - 2).toLowerCase, parts.last.toLowerCase)
     }
     val (fkT, fkC) = tableCol(fk); val (pkT, pkC) = tableCol(pk)
@@ -167,8 +169,12 @@ object Config {
       exclude = strings(sf \ "exclude").map(_.toLowerCase).toSet,
       referenceOnly = refOnly.filter(_.contains("."))
         .map { s => // schema-qualified names take the LAST two segments,
-          // like parseRelation (review r9: a 3-part name crashed here)
+          // like parseRelation (review r9: a 3-part name crashed here;
+          // review r10: ".col"/"col." split to <2 segments — split('.')
+          // drops empty trailing segments — so guard before indexing)
           val parts = s.split('.')
+          require(parts.length >= 2 && parts.last.nonEmpty && parts(parts.length - 2).nonEmpty,
+            s"reference_only: malformed qualified name '$s' — expected table.column")
           parts(parts.length - 2).toLowerCase -> parts.last.toLowerCase
         }.toMap,
       referenceAll = refOnly.filterNot(_.contains(".")).map(_.toLowerCase).toSet,

@@ -262,29 +262,55 @@ object Sketches {
       val nb = math.max(buckets, 16) // narrowing factor 3/nb ≪ 1
       while (true) {
         val below = vals.where(col("__v") < rLo).count()
-        val inRange = vals.where(col("__v") >= rLo && col("__v") <= rHi)
-        val head = inRange.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
-          .orderBy("__v").limit(collectLimit + 1).collect()
-          .map(r => (r.getDouble(0), r.getLong(1)))
-        if (head.length <= collectLimit) return walk(head, below, k)
-        rounds += 1
-        val width = (rHi - rLo) / nb
-        require(rounds <= 64 && width > 0 && !width.isInfinity,
-          s"exactMedianTwoPass: rank $k unresolved in [$rLo, $rHi] after " +
-            s"$rounds refinement rounds — raise collectLimit or buckets")
-        val idx = least(floor((col("__v") - lit(rLo)) / lit(width)), lit(nb - 1)).cast("int")
-        val histRows = inRange.groupBy(idx.as("__b")).agg(count(lit(1)).as("__c"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        var cum = below; var b = nb - 1; var i = 0
-        var found = false
-        while (i < nb && !found) {
-          cum += histRows.getOrElse(i, 0L)
-          if (k < cum) { b = i; found = true }
-          i += 1
+        if (below > k) {
+          // FP-stranding guard (the main loop's, mirrored — review
+          // r10): rounding left the rank-k value BELOW rLo, so the
+          // walk would cross at bucket 0 and silently return the
+          // smallest in-range value — widen the range back down
+          rounds += 1
+          require(rounds <= 64,
+            s"exactMedianTwoPass: rank $k stranded below [$rLo, $rHi] " +
+              s"after $rounds widenings")
+          rLo = rLo - math.max(rHi - rLo, math.ulp(rLo))
+        } else {
+          val inRange = vals.where(col("__v") >= rLo && col("__v") <= rHi)
+          val head = inRange.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+            .orderBy("__v").limit(collectLimit + 1).collect()
+            .map(r => (r.getDouble(0), r.getLong(1)))
+          if (head.length <= collectLimit && head.nonEmpty &&
+              below + head.map(_._2).sum > k) {
+            return walk(head, below, k)
+          } else if (head.length <= collectLimit) {
+            // empty range, or all in-range mass still ranks < k: the
+            // target escaped ABOVE rHi by the same one-rounding-step
+            // slip — widen up (walk would throw on an empty head or
+            // fall off .last otherwise)
+            rounds += 1
+            require(rounds <= 64,
+              s"exactMedianTwoPass: rank $k stranded above [$rLo, $rHi] " +
+                s"after $rounds widenings")
+            rHi = rHi + math.max(rHi - rLo, math.ulp(rHi))
+          } else {
+            rounds += 1
+            val width = (rHi - rLo) / nb
+            require(rounds <= 64 && width > 0 && !width.isInfinity,
+              s"exactMedianTwoPass: rank $k unresolved in [$rLo, $rHi] after " +
+                s"$rounds refinement rounds — raise collectLimit or buckets")
+            val idx = least(floor((col("__v") - lit(rLo)) / lit(width)), lit(nb - 1)).cast("int")
+            val histRows = inRange.groupBy(idx.as("__b")).agg(count(lit(1)).as("__c"))
+              .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+            var cum = below; var b = nb - 1; var i = 0
+            var found = false
+            while (i < nb && !found) {
+              cum += histRows.getOrElse(i, 0L)
+              if (k < cum) { b = i; found = true }
+              i += 1
+            }
+            val nLo = math.max(rLo, rLo + (b - 1).toDouble * width)
+            val nHi = math.min(rHi, rLo + (b + 2).toDouble * width)
+            rLo = nLo; rHi = nHi
+          }
         }
-        val nLo = math.max(rLo, rLo + (b - 1).toDouble * width)
-        val nHi = math.min(rHi, rLo + (b + 2).toDouble * width)
-        rLo = nLo; rHi = nHi
       }
       Double.NaN // unreachable: the while(true) exits only via return/require
     }

@@ -75,6 +75,24 @@ class ConfigSpec extends AnyFunSuite {
     assert(c.snowflake.referenceOnly === Map("user" -> "email", "plain" -> "col"))
   }
 
+  test("reference_only / add_relations reject malformed qualified names loudly") {
+    // ADVICE r10: "col." and "." pass the contains(".") filter but
+    // split('.') drops empty trailing segments — must raise a clear
+    // config error, not ArrayIndexOutOfBoundsException
+    for (bad <- Seq("col.", ".", ".col.")) {
+      val e = intercept[IllegalArgumentException] {
+        Config.parse(
+          s"""{"snowflake": {"fact_table": "f", "reference_only": ["$bad"]}}""")
+      }
+      assert(e.getMessage.contains("malformed qualified name"), s"for '$bad': $e")
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      Config.parse(
+        """{"snowflake": {"fact_table": "f", "add_relations": ["a. -> b.c"]}}""")
+    }
+    assert(e2.getMessage.contains("malformed qualified name"))
+  }
+
   test("extractConfig derives counters from the reference batch spec") {
     val c = Config.parse("""{
       "extract": {"last": "x.json", "field": ["last_modified", "id"],

@@ -216,6 +216,22 @@ class ContainerSpec extends AnyFunSuite {
     assert(r2.toSeq === Seq(20.0, 300.0))
   }
 
+  test("update preserves a stored column named like the predicate marker") {
+    import spark.implicits._
+    // ADVICE r10: update() materializes the where-predicate under a
+    // working column name; a user table that ALREADY has that name must
+    // survive the update with its values intact (withColumn would
+    // silently replace it and the final drop would delete it)
+    val dir = java.nio.file.Files.createTempDirectory("graft_marker")
+    val store = new FactStore(spark, "marked", dir)
+    store.insert(Seq((1L, "keep1", 1.0), (2L, "keep2", 2.0))
+      .toDF("id", "__graft_upd", "score"))
+    store.update("""{"eq": {"id": 1}}""", Map("score" -> """{"mul": ["score", 10]}"""))
+    val rows = store.dataFrame.orderBy("id")
+      .select("__graft_upd", "score").as[(String, Double)].collect()
+    assert(rows.toSeq === Seq(("keep1", 10.0), ("keep2", 2.0)))
+  }
+
   test("container query: a relative child sharing the container-name prefix resolves") {
     import spark.implicits._
     // container "order", nested column "order_items": a bare startsWith

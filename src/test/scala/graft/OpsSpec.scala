@@ -3843,4 +3843,15 @@ class OpsSpec extends AnyFunSuite {
     val rc = Evaluation.autocorrelation(const, "t", "x", maxLag = 2).collect()
     assert(rc.forall(_.isNullAt(2)))
   }
+
+  test("GraftSession.shufflePartitions parses the leading core count of a master token") {
+    // ADVICE r10: the local[N,F] retry syntax ("8,3") must size shuffles
+    // to N, not fall back to the machine's core count
+    assert(GraftSession.shufflePartitions("8") === "8")
+    assert(GraftSession.shufflePartitions("8,3") === "8")
+    assert(GraftSession.shufflePartitions("32") === "32")
+    val auto = Runtime.getRuntime.availableProcessors().toString
+    assert(GraftSession.shufflePartitions("*") === auto)
+    assert(GraftSession.shufflePartitions("*,4") === auto)
+  }
 }
