@@ -261,25 +261,77 @@ object Graph {
     * Returns (x, y, cn, aa): common-neighbor count and the rounded
     * score. deg(z) ≥ 2 for any wedge center, so ln(deg) > 0. */
   def adamicAdar(edges: DataFrame): DataFrame = Pinned.guard {
-    val (und, undH) = Pinned.checkpoint(edges
-      .select(least(col("src"), col("dst")).as("a"),
-              greatest(col("src"), col("dst")).as("b"))
-      .where(col("a") =!= col("b")).distinct())
+    val (und, undH) = Pinned.checkpoint(undirectedEdges(edges))
+    val out = Pinned.hold("graph.adamic_adar", adamicAdarScores(und, None))
+    Pinned.release(undH)
+    out
+  }
+
+  /** Canonical undirected edge list: (a < b), self-loops and duplicate
+    * orientations dropped. */
+  private[graft] def undirectedEdges(edges: DataFrame): DataFrame = edges
+    .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+    .where(col("a") =!= col("b")).distinct()
+
+  /** The Adamic–Adar dataflow over a canonical undirected edge list —
+    * shared by the exact and capped tiers (and exposed un-held so
+    * PlanSpec can pin the wedge-join plan; [[Pinned.hold]] truncates
+    * the plan of what the public ops return). `maxDeg = Some(c)`
+    * filters wedge CENTERS to deg ≤ c on the degree table BEFORE its
+    * broadcast — the capped tier's load-bearing plan property. */
+  private[graft] def adamicAdarScores(und: DataFrame, maxDeg: Option[Int]): DataFrame = {
     val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
+    val centers = maxDeg.fold(deg)(c => deg.where(col("deg") <= c))
     val adj = und.select(col("a").as("z"), col("b").as("n"))
       .union(und.select(col("b").as("z"), col("a").as("n")))
-    val weighted = adj.join(broadcast(deg.select(col("id").as("z"),
+    val weighted = adj.join(broadcast(centers.select(col("id").as("z"),
       (lit(1.0) / log(col("deg"))).as("__w"))), Seq("z"))
     val scores = weighted.as("l").join(weighted.as("r"),
         col("l.z") === col("r.z") && col("l.n") < col("r.n"))
       .select(col("l.n").as("x"), col("r.n").as("y"), col("l.__w").as("__w"))
       .groupBy("x", "y")
       .agg(count(lit(1)).as("cn"), round(sum(col("__w")), 6).as("aa"))
-    val out = Pinned.hold("graph.adamic_adar",
-      scores.join(und,
-          scores("x") === und("a") && scores("y") === und("b"), "left_anti")
-        .select(col("x"), col("y"), col("cn"), col("aa")))
+    scores.join(und,
+        scores("x") === und("a") && scores("y") === und("b"), "left_anti")
+      .select(col("x"), col("y"), col("cn"), col("aa"))
+  }
+
+  /** Degree-capped Adamic–Adar — the SCALE tier of [[adamicAdar]],
+    * mirroring the dedup family's tiering convention (exact op + its
+    * bounded sibling: `Dedup.minhashLshPairs` next to `jaccardPairs`,
+    * `Similarity.ivfTopK` next to `cosineTopK`). Identical scoring,
+    * but only wedge CENTERS z with deg(z) ≤ `maxDeg` generate
+    * candidate pairs, which turns the exact tier's Σdeg² wedge join
+    * into Σ_{deg(z)≤c} deg(z)² ≤ c·Σdeg(z) = 2c·|E| — LINEAR in the
+    * edge count for a fixed cap, so the plan survives hub-heavy
+    * 100-TB graphs where the exact tier's hottest center alone emits
+    * deg² ≈ 10¹² wedges.
+    *
+    * Recall semantics (documented, not hidden): scores are EXACT
+    * Adamic–Adar computed on the subgraph of sub-cap centers — a
+    * lower bound on the full score that drops precisely the LEAST
+    * informative evidence, because a hub center's per-wedge weight
+    * 1/ln(deg) is the smallest in the sum (the whole point of the
+    * Adamic–Adar weighting is that rare shared neighbors dominate).
+    * Pairs whose ONLY shared neighbors are hubs disappear; pairs
+    * ranked high by rare evidence keep their scores. cn counts the
+    * capped shared neighbors. The anti-join still runs against the
+    * FULL edge set: adjacency is a graph-level fact, not a subgraph
+    * one. deg ≥ 2 for any wedge center, so ln(deg) > 0; maxDeg ≥ 2.
+    *
+    * Plan shape: the cap filter lands on the vertex-sized degree
+    * table BEFORE its broadcast (the small side shrinks, never the
+    * adjacency), pinned in PlanSpec. On clusters where even the
+    * capped degree table outgrows the broadcast threshold, drop the
+    * hint and let AQE pick the join — the wedge bound is the part
+    * that matters. */
+  def adamicAdarCapped(edges: DataFrame, maxDeg: Int): DataFrame = Pinned.guard {
+    require(maxDeg >= 2, s"maxDeg: $maxDeg (a wedge center has deg >= 2)")
+    val (und, undH) = Pinned.checkpoint(undirectedEdges(edges))
+    val out = Pinned.hold("graph.adamic_adar_capped",
+      adamicAdarScores(und, Some(maxDeg)))
     Pinned.release(undH)
     out
   }

@@ -3173,6 +3173,28 @@ class OpsSpec extends AnyFunSuite {
     assert(out.size === 2)
   }
 
+  test("Graph.adamicAdarCapped: sub-cap centers keep exact scores, hub-only pairs drop") {
+    // low-degree center 1 (deg 2) links 2–3; hub 9 (deg 5) links
+    // 2,3,4,5,6. cap=4 excludes the hub: (2,3) keeps ONLY the rare
+    // evidence 1/ln2 (exact adds 1/ln5); (4,5) shares only the hub and
+    // must vanish; adjacency anti-join still uses the FULL edge set.
+    val e = (Seq((1L, 2L), (1L, 3L)) ++ Seq(2L, 3L, 4L, 5L, 6L).map((9L, _)))
+      .toDF("src", "dst")
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val exact = Graph.adamicAdar(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val capped = Graph.adamicAdarCapped(e, maxDeg = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(exact((2L, 3L)) === ((2L, r6(1.0 / math.log(2.0) + 1.0 / math.log(5.0)))))
+    assert(capped((2L, 3L)) === ((1L, r6(1.0 / math.log(2.0)))))
+    assert(exact.contains((4L, 5L)) && !capped.contains((4L, 5L)),
+      "hub-only pair must drop under the cap")
+    // with a cap at the max degree, capped ≡ exact
+    val same = Graph.adamicAdarCapped(e, maxDeg = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(same === exact)
+  }
+
   test("bm25TopK: tf saturation and length normalization order as expected") {
     val d = Seq(
       (1L, "cat cat dog bird"),  // tf(cat)=2, dl=4

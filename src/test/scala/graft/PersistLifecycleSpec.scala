@@ -42,7 +42,7 @@ class PersistLifecycleSpec extends AnyFunSuite {
     // (release-on-supersede + slot-held results) must keep the count
     // flat: after the first pass only the one-slot result pins remain.
     val entries = Seq("q_graph_communities", "q_graph_kcore", "q_graph_pagerank",
-      "q_graph_triangles", "q_graph_adamic_adar",
+      "q_graph_triangles", "q_graph_adamic_adar", "q_graph_adamic_adar_capped",
       // the same Pinned lifecycle applied to the non-graph checkpoint
       // users: iterative budget water-filling, multi-consumer pair
       // frames (bitext, dbscan), and the LSI power iteration

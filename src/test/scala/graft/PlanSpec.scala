@@ -487,10 +487,33 @@ class PlanSpec extends AnyFunSuite {
       .filter(l => l.contains("FileScan parquet") && l.contains("lineitem"))
     assert(scans.nonEmpty && scans.forall(_.contains("l_shipdate")),
       s"shipdate filter not pushed to the lineitem scan:\n${scans.mkString("\n")}")
-    for (name <- Seq("q_graph_triangles", "q_graph_adamic_adar")) {
+    for (name <- Seq("q_graph_triangles", "q_graph_adamic_adar",
+                     "q_graph_adamic_adar_capped")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name: product join:\n$p")
     }
+  }
+
+  test("adamic-adar capped: degree cap filters the BROADCAST side before the wedge join") {
+    // the scale tier's whole point: the cap lands on the vertex-sized
+    // degree table before its broadcast, so the wedge join fan-out is
+    // bounded at 2·cap·|E| — a cap applied after the join (or on the
+    // adjacency side) would leave the Σdeg² explosion in place
+    import org.apache.spark.sql.functions.col
+    val edges = graft.ops.Graph.coOccurrenceEdges(
+      SparkEntry.loader(spark, dir)("lineitem")
+        .where(col("l_shipdate") >= org.apache.spark.sql.functions.lit("1999-01-01").cast("date")),
+      "l_orderkey", "l_partkey")
+    // the un-held dataflow: the public op checkpoints its result
+    // (Pinned.hold), which truncates the inspectable plan to a Scan
+    val p = graft.ops.Graph.adamicAdarScores(
+        graft.ops.Graph.undirectedEdges(edges), Some(15))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"weight join not broadcast:\n$p")
+    val capLines = p.split('\n').map(_.trim).filter(_.contains("<= 15"))
+    assert(capLines.exists(l => l.contains("Filter") && l.contains("deg")),
+      s"degree cap is not a pre-broadcast Filter on deg:\n$p")
+    assert(!p.contains("CartesianProduct"), s"product join:\n$p")
   }
 
   test("Kneser-Ney: context/continuation tables broadcast; one corpus shuffle class") {
