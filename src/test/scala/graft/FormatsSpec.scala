@@ -128,4 +128,16 @@ class FormatsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("not dense"))
   }
+
+  test("cube over the envelope row bound is rejected BEFORE the collect") {
+    // VERDICT r9 #6: list/table pre-check the 10k-row bound; cube's
+    // size is knowable from the resolved domains, so an oversized dense
+    // cube must fail on the dims product, not after materializing
+    val big = (0 until 200).map(_.toString)
+    val ex = intercept[IllegalArgumentException] {
+      Formats.cube(spark.range(1).toDF("n"), Seq("a", "b"),
+        Seq(big, big)) // 200 x 200 = 40,000 cells > 10,000
+    }
+    assert(ex.getMessage.contains("format bound"), ex.getMessage)
+  }
 }
