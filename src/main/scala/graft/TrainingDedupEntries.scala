@@ -583,15 +583,17 @@ private[graft] object TrainingDedupEntries {
     // the hash gate.
     "q_dedup_image_pairs" -> (q((s, dir) => {
       import s.implicits._
+      // native PNG codec end to end (VERDICT r9 #5): the plant still
+      // round-trips REAL encoded bytes — decode the payload, swap two
+      // pixels of one aHash cell, re-encode — but through the repo's
+      // own pngDecodeRgb/pngEncodeRgb instead of ImageIO, whose plugin
+      // machinery carried the 2.2-6.9 s cold-variance band
       val mkImg = udf((id: Long) =>
         if (id >= 100000L) {
           val bytes = Multimodal.syntheticNoisePng(16, 16, id - 100000L)
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          val (p0, p1) = (img.getRGB(0, 0), img.getRGB(1, 1))
-          img.setRGB(0, 0, p1); img.setRGB(1, 1, p0)
-          val out = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", out)
-          out.toByteArray
+          val (w, h, px) = Multimodal.pngDecodeRgb(bytes).get
+          val t = px(0); px(0) = px(w + 1); px(w + 1) = t // (0,0) <-> (1,1)
+          Multimodal.pngEncodeRgb(w, h, px)
         } else Multimodal.syntheticNoisePng(16, 16, id))
       val base = docs(s, dir).select(col("doc_id"))
       val ids = base.unionByName(base.where(col("doc_id") < 12)

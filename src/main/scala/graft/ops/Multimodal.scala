@@ -188,6 +188,169 @@ object Multimodal {
       channels.cast("int").as("channels")))
   }
 
+  // -- native PNG codec (PNG spec, ISO/IEC 15948) ---------------------------
+  // The repo's own full-pixel tier (VERDICT r9 #5): ImageIO's plugin
+  // machinery (reader discovery, stream metadata, color-model
+  // conversion) carried a 2.2-6.9 s cold-variance band on the image
+  // hot paths; a PNG is just zlib-inflated filtered scanlines, all of
+  // which is pure-JDK arithmetic (Inflater/Deflater + the five §9
+  // filters). Exactness contract: for 8-bit gray/truecolor/RGBA
+  // non-interlaced PNGs the decoded 0xRRGGBB values are bit-identical
+  // to ImageIO's getRGB (law-tested both directions in OpsSpec);
+  // anything else (palette, 16-bit, interlaced) returns None and the
+  // caller falls back to the [[ImageIoDecoder]] tier.
+
+  /** Encode 8-bit truecolor pixels (row-major 0xRRGGBB) as a
+    * spec-compliant PNG: IHDR + one filter-0 IDAT + IEND, real zlib
+    * stream, real CRCs — any conformant decoder inflates it. */
+  def pngEncodeRgb(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    require(w > 0 && h > 0 && rgb.length == w * h,
+      s"pngEncodeRgb: ${rgb.length} pixels for ${w}x$h")
+    val raw = new Array[Byte](h * (1 + 3 * w))
+    var p = 0; var i = 0; var y = 0
+    while (y < h) {
+      raw(p) = 0; p += 1 // filter type None
+      var x = 0
+      while (x < w) {
+        val v = rgb(i)
+        raw(p) = ((v >> 16) & 0xff).toByte
+        raw(p + 1) = ((v >> 8) & 0xff).toByte
+        raw(p + 2) = (v & 0xff).toByte
+        p += 3; i += 1; x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zipped = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) zipped.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream(zipped.size() + 64)
+    out.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val bb = java.nio.ByteBuffer.allocate(4).putInt(data.length)
+      out.write(bb.array())
+      val t = typ.getBytes("US-ASCII")
+      out.write(t); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w); ihdr.putInt(h)
+    ihdr.put(8.toByte); ihdr.put(2.toByte) // bit depth 8, truecolor
+    ihdr.put(0.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", zipped.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode an 8-bit gray / truecolor / RGBA non-interlaced PNG to
+    * row-major 0xRRGGBB pixels (alpha dropped — the perceptual-hash
+    * consumers read color planes only). None for anything outside that
+    * profile, truncated streams, or implausible dimensions (> 2^26
+    * pixels: a hostile IHDR must not allocate the heap) — callers fall
+    * back to ImageIO. CRCs are not verified (same stance as
+    * [[pngMeta]]): corruption surfaces as an inflate failure → None. */
+  def pngDecodeRgb(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes.length < 45) return None
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    var i = 0
+    while (i < 8) { if (bytes(i) != sig(i)) return None; i += 1 }
+    def beInt(off: Int): Int =
+      ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+        ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+    // IHDR is mandatory-first (spec §5.6)
+    if (beInt(8) != 13 || bytes(12) != 'I' || bytes(13) != 'H' ||
+        bytes(14) != 'D' || bytes(15) != 'R') return None
+    val w = beInt(16); val h = beInt(20)
+    val bitDepth = bytes(24) & 0xff; val colorType = bytes(25) & 0xff
+    val interlace = bytes(28) & 0xff
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+    if (bitDepth != 8 || interlace != 0 ||
+        (bytes(26) & 0xff) != 0 || (bytes(27) & 0xff) != 0) return None
+    val bpp = colorType match {
+      case 0 => 1 case 2 => 3 case 4 => 2 case 6 => 4 case _ => return None
+    }
+    // walk chunks, concatenating IDAT payloads
+    val idat = new java.io.ByteArrayOutputStream(bytes.length)
+    var p = 8 + 25 // past IHDR chunk (len+type+13+crc)
+    var done = false
+    while (!done) {
+      if (p + 8 > bytes.length) return None
+      val len = beInt(p)
+      if (len < 0 || p + 12 + len > bytes.length) return None
+      val typ = new String(bytes, p + 4, 4, "US-ASCII")
+      if (typ == "IDAT") idat.write(bytes, p + 8, len)
+      else if (typ == "IEND") done = true
+      p += 12 + len
+    }
+    if (idat.size() == 0) return None
+    // inflate to exactly h filtered scanlines
+    val stride = 1 + bpp * w
+    val raw = new Array[Byte](h * stride)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    try {
+      var got = 0
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        if (n == 0 && inflater.needsInput()) return None // truncated
+        got += n
+      }
+      if (got < raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inflater.end()
+    // unfilter (spec §9): per-row filter byte, bytewise predictors over
+    // the left (a), up (b), upper-left (c) RECONSTRUCTED neighbors
+    var y = 0
+    while (y < h) {
+      val row = y * stride
+      val filt = raw(row) & 0xff
+      if (filt > 4) return None
+      var k = 1
+      while (k <= bpp * w) {
+        val a = if (k > bpp) raw(row + k - bpp) & 0xff else 0
+        val b = if (y > 0) raw(row - stride + k) & 0xff else 0
+        val c = if (y > 0 && k > bpp) raw(row - stride + k - bpp) & 0xff else 0
+        val x = raw(row + k) & 0xff
+        val rec = filt match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + ((a + b) >> 1)
+          case 4 =>
+            val pp = a + b - c
+            val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(row + k) = (rec & 0xff).toByte
+        k += 1
+      }
+      y += 1
+    }
+    val px = new Array[Int](w * h)
+    var o = 0; y = 0
+    while (y < h) {
+      val row = y * stride + 1
+      var x = 0
+      while (x < w) {
+        val base = row + x * bpp
+        px(o) = colorType match {
+          case 0 => val g = raw(base) & 0xff; (g << 16) | (g << 8) | g
+          case 4 => val g = raw(base) & 0xff; (g << 16) | (g << 8) | g
+          case _ => ((raw(base) & 0xff) << 16) | ((raw(base + 1) & 0xff) << 8) |
+            (raw(base + 2) & 0xff)
+        }
+        o += 1; x += 1
+      }
+      y += 1
+    }
+    Some((w, h, px))
+  }
+
   // -- synthetic payloads (spec/oracle scaffolding: headers with KNOWN
   //    planted dimensions, so decoders are checkable against arithmetic) --
 
@@ -231,8 +394,11 @@ object Multimodal {
     * 2^-64-scale. The planted-corpus generator for hash-pairing
     * entries. */
   def syntheticNoisePng(w: Int, h: Int, seed: Long): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    // same (seed, x, y) pixel hash as ever, but encoded by the repo's
+    // own [[pngEncodeRgb]] — byte layout differs from the old
+    // ImageIO.write output, PIXELS are identical, so every aHash over
+    // this corpus is unchanged (VERDICT r9 #5: the codec-jitter fix)
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
@@ -240,14 +406,12 @@ object Multimodal {
         val m = seed * 0x9E3779B97F4A7C15L + x * 0xC2B2AE3D27D4EB4FL +
           y * 0x165667B19E3779F9L
         val v = (m ^ (m >>> 29)) * 0xBF58476D1CE4E5B9L
-        img.setRGB(x, y, ((v >>> 24) & 0xFFFFFF).toInt)
+        px(y * w + x) = ((v >>> 24) & 0xFFFFFF).toInt
         x += 1
       }
       y += 1
     }
-    val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", out)
-    out.toByteArray
+    pngEncodeRgb(w, h, px)
   }
 
   /** PNG signature + IHDR chunk (33 bytes, truecolor 8-bit; CRC zeroed —
@@ -508,37 +672,51 @@ object Multimodal {
     catch { case scala.util.control.NonFatal(_) => null }
 
   def aHash64(bytes: Array[Byte]): Option[Long] = {
-    val img = decodeImageOrNull(bytes)
-    if (img == null || img.getWidth < 8 || img.getHeight < 8) None
-    else {
-      val w = img.getWidth; val h = img.getHeight
-      val cells = new Array[Long](64)
-      var cy = 0
-      while (cy < 8) {
-        var cx = 0
-        while (cx < 8) {
-          val x0 = cx * w / 8; val x1 = (cx + 1) * w / 8
-          val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
-          var sum = 0L; var n = 0L; var y = y0
-          while (y < y1) {
-            var x = x0
-            while (x < x1) {
-              val p = img.getRGB(x, y)
-              sum += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
-              n += 1; x += 1
-            }
-            y += 1
-          }
-          cells(cy * 8 + cx) = sum / n
-          cx += 1
-        }
-        cy += 1
-      }
-      val mean = cells.sum / 64
-      var hash = 0L; var i = 0
-      while (i < 64) { if (cells(i) > mean) hash |= (1L << (63 - i)); i += 1 }
-      Some(hash)
+    // native PNG fast path first (pixel-identical to ImageIO for the
+    // supported profile, law-tested); ImageIO only for formats the
+    // native decoder declines — keeps plugin-machinery jitter out of
+    // the perceptual-hash hot path (VERDICT r9 #5)
+    pngDecodeRgb(bytes) match {
+      case Some((w, h, px)) =>
+        if (w < 8 || h < 8) None
+        else Some(aHashOfPixels(w, h, (x, y) => px(y * w + x)))
+      case None =>
+        val img = decodeImageOrNull(bytes)
+        if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+        else Some(aHashOfPixels(img.getWidth, img.getHeight, img.getRGB))
     }
+  }
+
+  /** The 8×8 mean-threshold hash over any 0xRRGGBB pixel accessor —
+    * shared by the native-PNG and ImageIO decode tiers so both produce
+    * the same bits for the same pixels by construction. */
+  private def aHashOfPixels(w: Int, h: Int, rgbAt: (Int, Int) => Int): Long = {
+    val cells = new Array[Long](64)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val x0 = cx * w / 8; val x1 = (cx + 1) * w / 8
+        val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+        var sum = 0L; var n = 0L; var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = rgbAt(x, y)
+            sum += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        cells(cy * 8 + cx) = sum / n
+        cx += 1
+      }
+      cy += 1
+    }
+    val mean = cells.sum / 64
+    var hash = 0L; var i = 0
+    while (i < 64) { if (cells(i) > mean) hash |= (1L << (63 - i)); i += 1 }
+    hash
   }
 
   case class AHash(id: Long, ahash: Long)

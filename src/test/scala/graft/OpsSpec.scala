@@ -2415,6 +2415,38 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.aHash64(Array[Byte](1, 2, 3)).isEmpty, "garbage -> None")
   }
 
+  test("native PNG codec: round-trip + bit-exact cross-decode against ImageIO") {
+    // 1. encode -> decode round-trips pixels exactly
+    val w = 23; val h = 11
+    val px = Array.tabulate(w * h)(i => (i * 0x9E3779B9) & 0xFFFFFF)
+    val enc = Multimodal.pngEncodeRgb(w, h, px)
+    assert(Multimodal.pngDecodeRgb(enc).exists { case (dw, dh, dpx) =>
+      dw == w && dh == h && dpx.sameElements(px) }, "native round-trip")
+    // 2. ImageIO reads the native encoding to the same pixels
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+    assert(img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.getRGB(x, y) & 0xFFFFFF) === px(y * w + x), s"($x,$y)")
+    // 3. the native decoder reads an IMAGEIO-written PNG (arbitrary §9
+    //    filters per row) to ImageIO's own getRGB values, bit-exact —
+    //    the contract that lets aHash64 switch tiers without drift
+    for (seed <- Seq(1L, 7L, 42L)) {
+      val ioBytes = Multimodal.syntheticPngPixels(40, 30, seed)
+      val Some((dw, dh, dpx)) = Multimodal.pngDecodeRgb(ioBytes)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ioBytes))
+      assert(dw === ref.getWidth && dh === ref.getHeight)
+      for (y <- 0 until dh; x <- 0 until dw)
+        assert(dpx(y * dw + x) === (ref.getRGB(x, y) & 0xFFFFFF), s"seed $seed ($x,$y)")
+    }
+    // 4. out-of-profile payloads decline (caller falls back to ImageIO)
+    assert(Multimodal.pngDecodeRgb(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.pngDecodeRgb(Multimodal.syntheticPng(8, 8)).isEmpty,
+      "header-only PNG (no IDAT) must decline")
+    assert(Multimodal.pngDecodeRgb(Multimodal.syntheticBmp(8, 8)).isEmpty)
+    // truncated stream declines rather than returning garbage
+    assert(Multimodal.pngDecodeRgb(enc.take(enc.length - 20)).isEmpty)
+  }
+
   test("hammingPairs64 pairs aHash images: near-dups meet, opposites never") {
     def png(l: Int, r: Int) = Multimodal.syntheticHalfPng(16, 16, l, l, l, r, r, r)
     val imgs = Seq(
