@@ -42,7 +42,7 @@ object SparkEntry {
     * training-data pipeline operators (dedup/similarity/text/multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueryCatalog.queries ++ TrainingCatalog.queries ++ NestedCatalog.queries ++
-      StreamCatalog.queries
+      StreamCatalog.queries ++ FuzzCatalog.queries
 
   /** Entries that stay in `queries` (so the driver's DuckDB oracle gate
     * covers them at every SF) but are EXCLUDED from the timing artifact:
@@ -56,5 +56,5 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     QueryCatalog.oracles ++ TrainingCatalog.oracles ++ NestedCatalog.oracles ++
-      StreamCatalog.oracles
+      StreamCatalog.oracles ++ FuzzCatalog.oracles
 }

@@ -1,0 +1,200 @@
+package graft.jx
+
+import scala.util.Random
+
+/**
+ * Seeded differential expression fuzzer (VERDICT r9 #3): generates
+ * random well-typed JxExpr trees (depth ≤ 4) over a mixed-null domain
+ * and checks the [[JxCompiler]] Column path against the INDEPENDENT
+ * [[JxSql]] rendering of the same semantics — in-suite via the Spark
+ * dialect (JxFuzzSpec, 500 trees), and at the driver's correctness
+ * gate via the DuckDB dialect (the q_fuzz_expr_b* catalog entries, 500
+ * column-level comparisons against a second engine). Null-semantics
+ * drift — the reference's own eq/ne subtleties
+ * (vendor/jx_base/expressions.py:999-1048) — is exactly the bug class
+ * hand-enumerated entries miss; composition coverage is the point.
+ *
+ * Determinism: java.util.Random's LCG is spec-fixed, so a seed
+ * produces the same trees in the catalog registration and in the test
+ * suite, on any JVM. No wall-clock, no global state.
+ *
+ * Value-domain discipline (why generation is typed and products are
+ * flagged): DuckDB ERRORS on BIGINT overflow where Spark wraps, and a
+ * depth-4 multiply tree over unbounded leaves reaches 10^400 (double
+ * Inf, which the gate's normalizer cannot hash). So integer arithmetic
+ * is additive-only, multiply/power subtrees are generated under an
+ * `inProduct` flag that excludes the large-magnitude leaves and nested
+ * products, and every multiply operand is wrapped in a number cast so
+ * the arithmetic runs in IEEE doubles in both engines (worst case
+ * ~997^81 ≈ 1e243 — finite, bit-reproducible).
+ */
+object JxFuzz {
+  import JxExpr._
+
+  sealed trait Ty
+  case object TBool extends Ty
+  case object TNum  extends Ty
+  case object TInt  extends Ty
+  case object TStr  extends Ty
+
+  /** One generated case: output column name, tree, result type. */
+  case class FuzzCase(name: String, expr: JxExpr, ty: Ty)
+
+  private val numLits  = Seq[Any](0L, 1L, 25L, -2L, 0.5, 2.5, -1.5, 10.0)
+  private val intLits  = Seq(0L, 1L, 2L, 3L, 5L, 7L, 25L)
+  private val strLits  = Seq("A", "N", "R", "AF_1", "NO_2", "_", "")
+  private val patterns = Seq("[A-Z]+", "[A-Z]+_[0-9]+", ".*_.*", "(A|N)[FO].*", "[0-9]+")
+  private val findTargets = Seq("A", "_", "F", "1")
+
+  private def weighted[T](rnd: Random, xs: Seq[(Int, () => T)]): T = {
+    val total = xs.map(_._1).sum
+    var k = rnd.nextInt(total)
+    xs.find { case (w, _) => { k -= w; k < 0 } }.get._2()
+  }
+  private def oneOf[T](rnd: Random, xs: Seq[T]): T = xs(rnd.nextInt(xs.size))
+  private def terms(rnd: Random, n: Int, mk: () => JxExpr): Seq[JxExpr] =
+    Seq.fill(2 + rnd.nextInt(n - 1))(mk())
+
+  /** Optional default for ops that take one: missing (NullOp) 60%,
+    * else a literal of the op's type. */
+  private def numDefault(rnd: Random): JxExpr =
+    if (rnd.nextInt(5) < 3) NullOp else Lit(oneOf(rnd, numLits))
+
+  def genBool(rnd: Random, d: Int): JxExpr =
+    if (d <= 0) weighted(rnd, Seq(
+      3 -> (() => Variable("bool1")),
+      1 -> (() => TrueOp),
+      1 -> (() => FalseOp)))
+    else weighted[JxExpr](rnd, Seq(
+      4 -> (() => AndOp(terms(rnd, 3, () => genBool(rnd, d - 1)))),
+      4 -> (() => OrOp(terms(rnd, 3, () => genBool(rnd, d - 1)))),
+      3 -> (() => NotOp(genBool(rnd, d - 1))),
+      4 -> (() => EqOp(genNum(rnd, d - 1, false), genNum(rnd, d - 1, false))),
+      2 -> (() => EqOp(genStr(rnd, d - 1), genStr(rnd, d - 1))),
+      1 -> (() => EqOp(genBool(rnd, d - 1), genBool(rnd, d - 1))),
+      3 -> (() => NeOp(genNum(rnd, d - 1, false), genNum(rnd, d - 1, false))),
+      1 -> (() => NeOp(genStr(rnd, d - 1), genStr(rnd, d - 1))),
+      4 -> (() => InequalityOp(oneOf(rnd, Seq("gt", "gte", "lt", "lte")),
+        genNum(rnd, d - 1, false), genNum(rnd, d - 1, false))),
+      1 -> (() => InequalityOp(oneOf(rnd, Seq("gt", "lt")),
+        genStr(rnd, d - 1), genStr(rnd, d - 1))),
+      2 -> (() => InOp(genNum(rnd, d - 1, false),
+        Lit(Seq.fill(2 + rnd.nextInt(3))(oneOf(rnd, numLits))))),
+      2 -> (() => InOp(genStr(rnd, d - 1),
+        Lit(Seq.fill(2 + rnd.nextInt(3))(oneOf(rnd, strLits): Any)))),
+      2 -> (() => MissingOp(genAny(rnd, d - 1))),
+      2 -> (() => ExistsOp(genAny(rnd, d - 1))),
+      2 -> (() => PrefixOp(genStr(rnd, d - 1), genStr(rnd, d - 1))),
+      2 -> (() => SuffixOp(genStr(rnd, d - 1), genStr(rnd, d - 1))),
+      1 -> (() => RegExpOp(genStr(rnd, d - 1), Lit(oneOf(rnd, patterns)))),
+      1 -> (() => WhenOp(genBool(rnd, d - 1), genBool(rnd, d - 1), genBool(rnd, d - 1)))))
+
+  def genNum(rnd: Random, d: Int, inProduct: Boolean): JxExpr =
+    if (d <= 0) weighted(rnd, Seq(
+      3 -> (() => Variable("num1")),
+      (if (inProduct) 0 else 3) -> (() => Variable("num2")),
+      2 -> (() => Variable(oneOf(rnd, Seq("int1", "int2")))),
+      3 -> (() => Lit(oneOf(rnd, numLits))),
+      1 -> (() => NullOp)).filter(_._1 > 0))
+    else weighted[JxExpr](rnd, Seq(
+      5 -> (() => MultiOp("add", terms(rnd, 3, () => genNum(rnd, d - 1, inProduct)),
+        nulls = rnd.nextBoolean(), default = numDefault(rnd))),
+      (if (inProduct) 0 else 3) -> (() =>
+        MultiOp("mul",
+          terms(rnd, 3, () => CastOp("number", genNum(rnd, d - 1, true))),
+          nulls = rnd.nextBoolean(), default = numDefault(rnd))),
+      3 -> (() => BinaryOp("sub", genNum(rnd, d - 1, inProduct),
+        genNum(rnd, d - 1, inProduct), numDefault(rnd))),
+      (if (inProduct) 0 else 1) -> (() =>
+        BinaryOp("exp", genNum(rnd, d - 1, true), Lit(oneOf(rnd, Seq(2L, 3L))), numDefault(rnd))),
+      2 -> (() => BinaryOp("mod", genNum(rnd, d - 1, inProduct),
+        genNum(rnd, d - 1, inProduct), numDefault(rnd))),
+      3 -> (() => DivOp(genNum(rnd, d - 1, inProduct),
+        genNum(rnd, d - 1, inProduct), numDefault(rnd))),
+      1 -> (() => FloorOp(genNum(rnd, d - 1, inProduct), genNum(rnd, d - 1, inProduct))),
+      2 -> (() => MaxOp(terms(rnd, 3, () => genNum(rnd, d - 1, inProduct)))),
+      2 -> (() => MinOp(terms(rnd, 3, () => genNum(rnd, d - 1, inProduct)))),
+      2 -> (() => CountOp(terms(rnd, 3, () => genAny(rnd, d - 1)))),
+      2 -> (() => CoalesceOp(terms(rnd, 3, () => genNum(rnd, d - 1, inProduct)))),
+      2 -> (() => WhenOp(genBool(rnd, d - 1),
+        genNum(rnd, d - 1, inProduct), genNum(rnd, d - 1, inProduct))),
+      1 -> (() => CaseOp(
+        Seq.fill(1 + rnd.nextInt(2))(WhenOp(genBool(rnd, d - 1),
+          genNum(rnd, d - 1, inProduct), NullOp)),
+        genNum(rnd, d - 1, inProduct))),
+      1 -> (() => CastOp("number", genCastableStr(rnd))),
+      1 -> (() => LengthOp(genStr(rnd, d - 1))),
+      1 -> (() => FindOp(genStr(rnd, d - 1), Lit(oneOf(rnd, findTargets)),
+        Lit(0L), numDefault(rnd)))).filter(_._1 > 0))
+
+  def genInt(rnd: Random, d: Int): JxExpr =
+    if (d <= 0) weighted(rnd, Seq(
+      3 -> (() => Variable(oneOf(rnd, Seq("int1", "int2")))),
+      3 -> (() => Lit(oneOf(rnd, intLits))),
+      1 -> (() => NullOp)))
+    else weighted[JxExpr](rnd, Seq(
+      4 -> (() => MultiOp("add", terms(rnd, 3, () => genInt(rnd, d - 1)),
+        nulls = rnd.nextBoolean(),
+        default = if (rnd.nextBoolean()) NullOp else Lit(oneOf(rnd, intLits)))),
+      3 -> (() => BinaryOp("sub", genInt(rnd, d - 1), genInt(rnd, d - 1), NullOp)),
+      3 -> (() => BinaryOp("mod", genInt(rnd, d - 1), genInt(rnd, d - 1), NullOp)),
+      2 -> (() => CountOp(terms(rnd, 3, () => genAny(rnd, d - 1)))),
+      2 -> (() => CoalesceOp(terms(rnd, 3, () => genInt(rnd, d - 1)))),
+      2 -> (() => MaxOp(terms(rnd, 3, () => genInt(rnd, d - 1)))),
+      2 -> (() => MinOp(terms(rnd, 3, () => genInt(rnd, d - 1)))),
+      2 -> (() => WhenOp(genBool(rnd, d - 1), genInt(rnd, d - 1), genInt(rnd, d - 1))),
+      1 -> (() => CastOp("integer", genInt(rnd, d - 1)))))
+
+  def genStr(rnd: Random, d: Int): JxExpr =
+    if (d <= 0) weighted(rnd, Seq(
+      3 -> (() => Variable("str1")),
+      3 -> (() => Variable("str2")),
+      3 -> (() => Lit(oneOf(rnd, strLits))),
+      1 -> (() => NullOp)))
+    else weighted[JxExpr](rnd, Seq(
+      4 -> (() => SubstrOp(oneOf(rnd, Seq("left", "right", "not_left", "not_right")),
+        genStr(rnd, d - 1), genInt(rnd, d - 1))),
+      3 -> (() => ConcatOp(terms(rnd, 3, () => genStr(rnd, d - 1)),
+        separator = if (rnd.nextBoolean()) Lit("_") else NullOp,
+        default = if (rnd.nextBoolean()) NullOp else Lit(oneOf(rnd, strLits)))),
+      3 -> (() => WhenOp(genBool(rnd, d - 1), genStr(rnd, d - 1), genStr(rnd, d - 1))),
+      2 -> (() => CoalesceOp(terms(rnd, 3, () => genStr(rnd, d - 1)))),
+      1 -> (() => CaseOp(
+        Seq.fill(1 + rnd.nextInt(2))(WhenOp(genBool(rnd, d - 1), genStr(rnd, d - 1), NullOp)),
+        genStr(rnd, d - 1))),
+      1 -> (() => CastOp("string", genInt(rnd, d - 1)))))
+
+  /** String source for number-casts — excludes underscore-bearing
+    * strings, because the engines GENUINELY diverge there (a fuzzer
+    * finding, first run): DuckDB and Python accept underscore digit
+    * separators when parsing numeric strings ('492_1' → 4921.0), Spark
+    * SQL's cast does not (→ NULL). The divergence is documented here
+    * rather than papered over in the translation; every other string
+    * shape flows through the cast on both sides. */
+  def genCastableStr(rnd: Random): JxExpr = weighted(rnd, Seq(
+    3 -> (() => Variable("str1")),
+    3 -> (() => Lit(oneOf(rnd, Seq("12.5", "7", "-3", "A", "")): Any)),
+    1 -> (() => NullOp)))
+
+  /** A leaf-ish expression of any type (for missing/exists/count). */
+  def genAny(rnd: Random, d: Int): JxExpr = weighted(rnd, Seq(
+    3 -> (() => genNum(rnd, math.min(d, 1), false)),
+    2 -> (() => genStr(rnd, math.min(d, 1))),
+    1 -> (() => genInt(rnd, math.min(d, 1)))))
+
+  /** `n` deterministic cases for `seed`: names e000…, root depth 2-4,
+    * type mix num 40% / bool 30% / str 20% / int 10%. */
+  def cases(seed: Long, n: Int): Seq[FuzzCase] = {
+    val rnd = new Random(seed)
+    (0 until n).map { i =>
+      val d = 2 + rnd.nextInt(3)
+      val (e, ty) = rnd.nextInt(10) match {
+        case 0 | 1 | 2 | 3 => (genNum(rnd, d, false), TNum)
+        case 4 | 5 | 6     => (genBool(rnd, d), TBool)
+        case 7 | 8         => (genStr(rnd, d), TStr)
+        case _             => (genInt(rnd, d), TInt)
+      }
+      FuzzCase(f"e$i%03d", e, ty)
+    }
+  }
+}

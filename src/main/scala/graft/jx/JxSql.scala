@@ -1,0 +1,208 @@
+package graft.jx
+
+/**
+ * JxExpr → ANSI SQL, mirroring [[JxCompiler]]'s null-semantics contract
+ * (reference: vendor/jx_base/expressions.py:999-1014,1042-1043,1740-1756)
+ * as an INDEPENDENT render target — the analog of the reference's
+ * `to_sql` compiler (vendor/jx_sqlite/expressions.py), used by the
+ * differential expression fuzzer ([[JxFuzz]]):
+ *
+ *   - at the driver's correctness gate, the DuckDB dialect of this
+ *     translation runs as the oracle for the generated q_fuzz_* entries,
+ *     so the Column compiler is checked against a SECOND ENGINE's
+ *     evaluation of the same semantics;
+ *   - in the test suite, the Spark dialect runs through `spark.sql` and
+ *     is compared to the compiled Column on the same rows, pinning
+ *     compiler ≡ translation inside one engine for ≥500 generated trees.
+ *
+ * The semantic skeleton (eq decisive via null-safe equality, ne never
+ * missing, missing-inequality → FALSE, boolean context missing → FALSE,
+ * nulls:true arithmetic with neutral elements, /0 → missing) is shared
+ * verbatim across dialects; only function NAMES that genuinely differ
+ * (null-safe equality spelling, substring search, full-match regex,
+ * double→integer truncation) go through the [[Dialect]] seam.
+ *
+ * This translator intentionally covers the FUZZED subset of the
+ * registry — it throws on expressions outside it rather than guessing.
+ */
+object JxSql {
+  import JxExpr._
+
+  sealed trait Dialect {
+    /** Null-safe equality rendering. */
+    def eqNullSafe(a: String, b: String): String
+    /** 1-based position of literal `sub` in `s`, 0 when absent. */
+    def strpos(s: String, sub: String): String
+    /** Full-string regex match of RAW pattern `rawPat` against `s`. */
+    def regexpFullMatch(s: String, rawPat: String): String
+    /** The dialect's spelling of the string type in CAST. */
+    def stringType: String
+  }
+
+  /** DuckDB: the driver's oracle engine. */
+  case object DuckDb extends Dialect {
+    def eqNullSafe(a: String, b: String) = s"($a IS NOT DISTINCT FROM $b)"
+    def strpos(s: String, sub: String) = s"strpos($s, $sub)"
+    def regexpFullMatch(s: String, rawPat: String) =
+      s"regexp_full_match($s, ${litSql(rawPat)})"
+    val stringType = "VARCHAR"
+  }
+
+  /** Spark SQL: the in-suite differential target. */
+  case object SparkSql extends Dialect {
+    def eqNullSafe(a: String, b: String) = s"($a <=> $b)"
+    def strpos(s: String, sub: String) = s"locate($sub, $s)"
+    def regexpFullMatch(s: String, rawPat: String) =
+      s"regexp_like($s, ${litSql("^(?:" + rawPat + ")" + "$")})"
+    val stringType = "STRING"
+  }
+
+  def litSql(v: Any): String = v match {
+    case null       => "NULL"
+    case s: String  => "'" + s.replace("'", "''") + "'"
+    case l: Long    => l.toString
+    case i: Int     => i.toString
+    case d: Double  =>
+      require(!d.isNaN && !d.isInfinity, s"non-finite literal: $d")
+      // decimal-exact rendering both engines parse to the same double
+      new java.math.BigDecimal(d).toPlainString
+    case b: Boolean => if (b) "TRUE" else "FALSE"
+    case other => throw new IllegalArgumentException(s"unsupported literal: $other")
+  }
+
+  /** Boolean context (mirrors [[JxCompiler.truthy]]): missing → FALSE,
+    * with the identical never-null shortlist left bare. */
+  def truthy(e: JxExpr, d: Dialect): String = e match {
+    case _: EqOp | _: NeOp | _: InequalityOp | _: MissingOp | _: ExistsOp |
+         _: AndOp | _: OrOp | _: NotOp | TrueOp | FalseOp | _: PrefixOp | _: SuffixOp =>
+      sql(e, d)
+    case other => s"COALESCE(${sql(other, d)}, FALSE)"
+  }
+
+  private def withDefault(c: String, default: JxExpr, d: Dialect): String = default match {
+    case NullOp => c
+    case dd     => s"COALESCE($c, ${sql(dd, d)})"
+  }
+
+  def sql(e: JxExpr, d: Dialect): String = e match {
+    // ---- leaves ----------------------------------------------------------
+    case Variable(name) =>
+      require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"variable: $name")
+      name
+    case Lit(items: Seq[_]) =>
+      throw new IllegalArgumentException("list literal only valid under `in`")
+    case Lit(v)  => litSql(v)
+    case NullOp  => "NULL"
+    case TrueOp  => "TRUE"
+    case FalseOp => "FALSE"
+
+    // ---- boolean / comparison -------------------------------------------
+    case AndOp(Nil)   => "TRUE"
+    case AndOp(terms) => terms.map(truthy(_, d)).mkString("(", " AND ", ")")
+    case OrOp(Nil)    => "FALSE"
+    case OrOp(terms)  => terms.map(truthy(_, d)).mkString("(", " OR ", ")")
+    case NotOp(t)     => s"(NOT ${truthy(t, d)})"
+    case EqOp(l, r)   => d.eqNullSafe(sql(l, d), sql(r, d))
+    case NeOp(l, r)   => s"(NOT ${d.eqNullSafe(sql(l, d), sql(r, d))})"
+    case InequalityOp(op, l, r) =>
+      val cmp = op match {
+        case "gt" => ">"; case "gte" => ">="; case "lt" => "<"; case "lte" => "<="
+      }
+      s"COALESCE((${sql(l, d)} $cmp ${sql(r, d)}), FALSE)"
+    case InOp(v, Lit(items: Seq[_])) =>
+      s"COALESCE((${sql(v, d)} IN (${items.map(litSql).mkString(", ")})), FALSE)"
+    case MissingOp(t) => s"(${sql(t, d)} IS NULL)"
+    case ExistsOp(t)  => s"(${sql(t, d)} IS NOT NULL)"
+
+    // ---- arithmetic ------------------------------------------------------
+    case MultiOp(op, terms, nulls, default) =>
+      val cols = terms.map(sql(_, d))
+      val sym = op match { case "add" => "+"; case "mul" => "*" }
+      if (!nulls) withDefault(cols.mkString("(", s" $sym ", ")"), default, d)
+      else {
+        val neutral = if (op == "add") "0" else "1"
+        val body = cols.map(c => s"COALESCE($c, $neutral)").mkString("(", s" $sym ", ")")
+        val allMissing = cols.map(c => s"$c IS NULL").mkString(" AND ")
+        val dflt = default match { case NullOp => "NULL"; case dd => sql(dd, d) }
+        s"(CASE WHEN $allMissing THEN $dflt ELSE $body END)"
+      }
+    case BinaryOp(op, l, r, default) =>
+      val (a, b) = (sql(l, d), sql(r, d))
+      val res = op match {
+        case "sub" => s"($a - $b)"
+        case "exp" => s"POW($a, $b)"
+        case "mod" => s"($a % $b)" // % by 0 → NULL in Spark (non-ANSI) and DuckDB alike
+      }
+      withDefault(res, default, d)
+    case DivOp(l, r, default) =>
+      // plain division: x/0 → NULL in both engines (= try_divide)
+      withDefault(s"(CAST(${sql(l, d)} AS DOUBLE) / CAST(${sql(r, d)} AS DOUBLE))", default, d)
+    case FloorOp(l, r) =>
+      val (a, b) = (sql(l, d), sql(r, d))
+      s"(FLOOR(CAST($a AS DOUBLE) / CAST($b AS DOUBLE)) * $b)"
+    case MaxOp(terms) =>
+      if (terms.size == 1) sql(terms.head, d)
+      else s"GREATEST(${terms.map(sql(_, d)).mkString(", ")})" // both engines skip NULLs
+    case MinOp(terms) =>
+      if (terms.size == 1) sql(terms.head, d)
+      else s"LEAST(${terms.map(sql(_, d)).mkString(", ")})"
+    case CountOp(terms) =>
+      terms.map(t => s"(CASE WHEN ${sql(t, d)} IS NULL THEN 0 ELSE 1 END)")
+        .mkString("(", " + ", ")")
+    case CoalesceOp(terms) => s"COALESCE(${terms.map(sql(_, d)).mkString(", ")})"
+    case CastOp("number", t)  => s"TRY_CAST(${sql(t, d)} AS DOUBLE)"
+    case CastOp("integer", t) =>
+      // fuzz restricts this to integer-typed inputs: a bare CAST is a
+      // no-op in both engines there, whereas double→BIGINT would
+      // TRUNCATE in Spark and ROUND in DuckDB — out of scope
+      s"CAST(${sql(t, d)} AS BIGINT)"
+    case CastOp("string", t)  => s"CAST(${sql(t, d)} AS ${d.stringType})"
+
+    // ---- string ----------------------------------------------------------
+    case LengthOp(t) => s"LENGTH(${sql(t, d)})"
+    case SubstrOp(kind, v, n) =>
+      val s = sql(v, d)
+      val k = s"GREATEST(CAST(${sql(n, d)} AS INTEGER), 0)" // both engines skip the NULL
+      kind match {
+        case "left"      => s"SUBSTR($s, 1, $k)"
+        case "right"     => s"SUBSTR($s, LENGTH($s) - LEAST($k, LENGTH($s)) + 1, LEAST($k, LENGTH($s)))"
+        case "not_left"  => s"SUBSTR($s, $k + 1)"
+        case "not_right" => s"SUBSTR($s, 1, GREATEST(LENGTH($s) - $k, 0))"
+      }
+    case FindOp(v, Lit(f: String), Lit(0L), default) =>
+      require(f.nonEmpty, "find target must be non-empty in the fuzzed subset")
+      val s = sql(v, d)
+      val loc = d.strpos(s, litSql(f))
+      val dflt = default match { case NullOp => "NULL"; case dd => sql(dd, d) }
+      s"(CASE WHEN $s IS NULL OR $loc IS NULL OR $loc = 0 THEN $dflt ELSE CAST($loc - 1 AS BIGINT) END)"
+    case PrefixOp(v, p) =>
+      val (s, pc) = (sql(v, d), sql(p, d))
+      s"(CASE WHEN $pc IS NULL THEN TRUE ELSE COALESCE(SUBSTR($s, 1, LENGTH($pc)) = $pc, FALSE) END)"
+    case SuffixOp(v, p) =>
+      val (s, pc) = (sql(v, d), sql(p, d))
+      s"(CASE WHEN $pc IS NULL THEN TRUE ELSE COALESCE(" +
+        s"SUBSTR($s, LENGTH($s) - LEAST(LENGTH($pc), LENGTH($s)) + 1) = $pc, FALSE) END)"
+    case ConcatOp(terms, separator, default) =>
+      val sep = separator match {
+        case Lit(s: String) => litSql(s)
+        case NullOp         => "''"
+        case other => throw new IllegalArgumentException(s"concat separator must be literal: $other")
+      }
+      val cols = terms.map(sql(_, d))
+      val allMissing = cols.map(c => s"$c IS NULL").mkString(" AND ")
+      val dflt = default match { case NullOp => "NULL"; case dd => sql(dd, d) }
+      s"(CASE WHEN $allMissing THEN $dflt ELSE CONCAT_WS($sep, ${cols.mkString(", ")}) END)"
+    case RegExpOp(v, Lit(pat: String)) =>
+      s"COALESCE(${d.regexpFullMatch(sql(v, d), pat)}, FALSE)"
+
+    // ---- structural ------------------------------------------------------
+    case WhenOp(c, t, els) =>
+      s"(CASE WHEN ${truthy(c, d)} THEN ${sql(t, d)} ELSE ${sql(els, d)} END)"
+    case CaseOp(whens, default) =>
+      val arms = whens.map(w => s"WHEN ${truthy(w.cond, d)} THEN ${sql(w.thenE, d)}")
+      s"(CASE ${arms.mkString(" ")} ELSE ${sql(default, d)} END)"
+
+    case other =>
+      throw new IllegalArgumentException(s"JxSql: outside the fuzzed subset: $other")
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.jx.{JxCompiler, JxFuzz, JxSql}
+
+/** Differential expression fuzzing (VERDICT r9 #3): the 500 seeded
+  * JxExpr trees the q_fuzz_expr_b* catalog entries run against DuckDB
+  * are here evaluated BOTH ways inside Spark — JxCompiler's Column
+  * path vs `spark.sql` over [[JxSql]]'s Spark rendering of the same
+  * trees — and compared row by row. Together with the DuckDB gate this
+  * closes the triangle compiler ≡ translation ≡ second engine. The
+  * suite is fully deterministic: fixed seeds, spec-fixed LCG, no
+  * wall-clock. */
+class JxFuzzSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.get("4")
+  val dir = "/root/testdata/sf0.001"
+
+  /** selfcheck.py's value normalization (10 significant digits for
+    * fractional doubles), so a pass here predicts the gate's verdict. */
+  private def norm(v: Any): String = v match {
+    case null => "NULL"
+    case b: Boolean => if (b) "true" else "false"
+    case d: Double =>
+      if (d.isNaN) "NaN"
+      else if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+      else f"$d%.10g"
+    case other => other.toString
+  }
+
+  private def lines(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val names = df.columns
+    val order = names.indices.sortBy(names(_))
+    df.collect().map(r => order.map(i => norm(r.get(i))).mkString("|")).toSeq.sorted
+  }
+
+  test("500 generated trees: compiled Column equals the JxSql Spark rendering") {
+    val dom = FuzzCatalog.domainDf(spark, dir)
+    assert(dom.count() > 0)
+    dom.createOrReplaceTempView("fuzz_t")
+    for ((name, seed, n) <- FuzzCatalog.blocks) {
+      val cs = JxFuzz.cases(seed, n)
+      val compiled = dom.select(
+        col("k") +: cs.map(c => FuzzCatalog.normCol(JxCompiler.compile(c.expr), c.ty).as(c.name)): _*)
+      val rendered = spark.sql(FuzzCatalog.sparkSql(seed, n, "fuzz_t"))
+      val (a, b) = (lines(compiled), lines(rendered))
+      val diffs = a.zip(b).filter { case (x, y) => x != y }
+      assert(a.size == b.size && diffs.isEmpty,
+        s"$name: ${diffs.size} differing rows; first: ${diffs.headOption}")
+    }
+  }
+
+  test("generation is deterministic across invocations (seeded LCG)") {
+    val a = JxFuzz.cases(1001L, 125)
+    val b = JxFuzz.cases(1001L, 125)
+    assert(a == b)
+    // distinct seeds explore distinct trees
+    assert(JxFuzz.cases(2002L, 125) != a)
+  }
+
+  test("fuzzer finding pinned: underscore numeric strings diverge across engines") {
+    // DuckDB and Python accept underscore digit separators when parsing
+    // numeric strings ('492_1' -> 4921.0); Spark SQL's cast yields NULL.
+    // The generator therefore keeps '_'-bearing strings out of number
+    // casts (JxFuzz.genCastableStr) instead of hiding the divergence in
+    // the translation; this test documents the Spark half of the fact.
+    import spark.implicits._
+    val got = Seq("492_1").toDF("s").select(col("s").cast("double")).head()
+    assert(got.isNullAt(0), "Spark began accepting underscore numerics — revisit genCastableStr")
+  }
+}
