@@ -114,6 +114,109 @@ object JxExpr {
 
   def parseJson(json: String): JxExpr = parse(JsonMethods.parse(json))
 
+  // =====================================================================
+  // JSON serialization (canonical inverse of `parse` for the scalar
+  // subset — `parse(toJson(e)) == e` is law-tested over the fuzzer's
+  // generated trees in JxFuzzSpec, so parser and serializer cannot
+  // drift apart silently). Literals always render as {"literal": v}
+  // (a bare string would re-parse as a Variable); option fields
+  // (default/separator/start/then/else/nulls) render bare, matching
+  // the parser's optLiteral rules. Note the reference's own format
+  // ambiguity, preserved here: a `case` DEFAULT that is itself a bare
+  // `when` object would re-parse as another when-arm — callers (and
+  // the fuzzer) wrap such defaults in a 1-term coalesce.
+  // =====================================================================
+
+  def jsonString(e: JxExpr): String = JsonMethods.compact(toJson(e))
+
+  def toJson(e: JxExpr): JValue = e match {
+    case Variable(n) => JString(n)
+    case TrueOp      => JBool(true)
+    case FalseOp     => JBool(false)
+    case NullOp      => JObject("null" -> JNull)
+    case Lit(v)      => JObject("literal" -> rawJson(v))
+    case DateOp(s)   => JObject("date" -> JString(s))
+
+    case AndOp(ts) => JObject("and" -> JArray(ts.map(toJson).toList))
+    case OrOp(ts)  => JObject("or" -> JArray(ts.map(toJson).toList))
+    case NotOp(t)  => JObject("not" -> toJson(t))
+    case EqOp(l, r) => JObject("eq" -> JArray(List(toJson(l), toJson(r))))
+    case NeOp(l, r) => JObject("ne" -> JArray(List(toJson(l), toJson(r))))
+    case InequalityOp(op, l, r) => JObject(op -> JArray(List(toJson(l), toJson(r))))
+    case InOp(v, Lit(items: Seq[_])) =>
+      JObject("in" -> JArray(List(toJson(v), JArray(items.map(rawJson).toList))))
+    case InOp(v, listE) => JObject("in" -> JArray(List(toJson(v), toJson(listE))))
+    case MissingOp(t) => JObject("missing" -> toJson(t))
+    case ExistsOp(t)  => JObject("exists" -> toJson(t))
+    case IsTypeOp(kind, t) => JObject(s"is_$kind" -> toJson(t))
+
+    case MultiOp(op, ts, nulls, default) =>
+      JObject(List(op -> JArray(ts.map(toJson).toList)) ++
+        (if (nulls) List("nulls" -> JBool(true)) else Nil) ++ optJson(default))
+    case BinaryOp(op, l, r, default) =>
+      JObject(List(op -> JArray(List(toJson(l), toJson(r)))) ++ optJson(default))
+    case DivOp(l, r, default) =>
+      JObject(List("div" -> JArray(List(toJson(l), toJson(r)))) ++ optJson(default))
+    case FloorOp(l, r) => JObject("floor" -> JArray(List(toJson(l), toJson(r))))
+    case MaxOp(ts) => JObject("max" -> JArray(ts.map(toJson).toList))
+    case MinOp(ts) => JObject("min" -> JArray(ts.map(toJson).toList))
+    case CountOp(ts) => JObject("count" -> JArray(ts.map(toJson).toList))
+    case CoalesceOp(ts) => JObject("coalesce" -> JArray(ts.map(toJson).toList))
+    case CastOp(kind, t) => JObject(kind -> toJson(t))
+    case UnixOp(t) => JObject("unix" -> toJson(t))
+    case FromUnixOp(t) => JObject("from_unix" -> toJson(t))
+
+    case LengthOp(t) => JObject("length" -> toJson(t))
+    case SubstrOp(kind, v, n) => JObject(kind -> JArray(List(toJson(v), toJson(n))))
+    case FindOp(v, f, start, default) =>
+      JObject(List("find" -> JArray(List(toJson(v), toJson(f)))) ++
+        (start match { case Lit(0L) => Nil; case s => List("start" -> toJson(s)) }) ++
+        optJson(default))
+    case PrefixOp(v, p) => JObject("prefix" -> JArray(List(toJson(v), toJson(p))))
+    case SuffixOp(v, p) => JObject("suffix" -> JArray(List(toJson(v), toJson(p))))
+    case ConcatOp(ts, separator, default) =>
+      JObject(List("concat" -> JArray(ts.map(toJson).toList)) ++
+        (separator match {
+          case Lit("") => Nil // the parser's default
+          case Lit(s: String) => List("separator" -> JString(s))
+          case NullOp => Nil // parses back as Lit("") — same compile target
+          case other => List("separator" -> toJson(other))
+        }) ++ optJson(default))
+    case RegExpOp(v, p) => JObject("regex" -> JArray(List(toJson(v), toJson(p))))
+    case SplitOp(v, p)  => JObject("split" -> JArray(List(toJson(v), toJson(p))))
+
+    case WhenOp(c, t, els) =>
+      JObject(List("when" -> toJson(c)) ++
+        (t match { case NullOp => Nil; case x => List("then" -> toJson(x)) }) ++
+        (els match { case NullOp => Nil; case x => List("else" -> toJson(x)) }))
+    case CaseOp(whens, default) =>
+      JObject("case" -> JArray(whens.map(toJson).toList ++
+        (default match { case NullOp => Nil; case d => List(toJson(d)) })))
+
+    case other =>
+      throw new IllegalArgumentException(s"toJson: unsupported expression: $other")
+  }
+
+  /** raw literal value → JSON (inverse of [[rawValue]]). */
+  private def rawJson(v: Any): JValue = v match {
+    case null       => JNull
+    case b: Boolean => JBool(b)
+    case l: Long    => JInt(l)
+    case i: Int     => JInt(i)
+    case d: Double  => JDouble(d)
+    case s: String  => JString(s)
+    case xs: Seq[_] => JArray(xs.map(rawJson).toList)
+    case other => throw new IllegalArgumentException(s"rawJson: $other")
+  }
+
+  /** default option field: omitted when missing; bare literal per the
+    * parser's optLiteral; expression object otherwise. */
+  private def optJson(default: JxExpr): List[(String, JValue)] = default match {
+    case NullOp => Nil
+    case Lit(v) => List("default" -> rawJson(v))
+    case other  => List("default" -> toJson(other))
+  }
+
   /** json4s value → raw Scala value (for literals). */
   def rawValue(v: JValue): Any = v match {
     case JNull | JNothing => null

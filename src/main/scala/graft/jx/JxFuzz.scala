@@ -60,6 +60,15 @@ object JxFuzz {
   private def numDefault(rnd: Random): JxExpr =
     if (rnd.nextInt(5) < 3) NullOp else Lit(oneOf(rnd, numLits))
 
+  /** A `case` DEFAULT that is a bare `when` object is ambiguous in the
+    * JSON format (it re-parses as another when-arm — the reference has
+    * the same ambiguity), so wrap one in a semantically-neutral 1-term
+    * coalesce; every generated tree then JSON-round-trips exactly. */
+  private def caseDefault(e: JxExpr): JxExpr = e match {
+    case w: WhenOp => CoalesceOp(Seq(w))
+    case other     => other
+  }
+
   def genBool(rnd: Random, d: Int): JxExpr =
     if (d <= 0) weighted(rnd, Seq(
       3 -> (() => Variable("bool1")),
@@ -121,7 +130,7 @@ object JxFuzz {
       1 -> (() => CaseOp(
         Seq.fill(1 + rnd.nextInt(2))(WhenOp(genBool(rnd, d - 1),
           genNum(rnd, d - 1, inProduct), NullOp)),
-        genNum(rnd, d - 1, inProduct))),
+        caseDefault(genNum(rnd, d - 1, inProduct)))),
       1 -> (() => CastOp("number", genCastableStr(rnd))),
       1 -> (() => LengthOp(genStr(rnd, d - 1))),
       1 -> (() => FindOp(genStr(rnd, d - 1), Lit(oneOf(rnd, findTargets)),
@@ -155,13 +164,16 @@ object JxFuzz {
       4 -> (() => SubstrOp(oneOf(rnd, Seq("left", "right", "not_left", "not_right")),
         genStr(rnd, d - 1), genInt(rnd, d - 1))),
       3 -> (() => ConcatOp(terms(rnd, 3, () => genStr(rnd, d - 1)),
-        separator = if (rnd.nextBoolean()) Lit("_") else NullOp,
+        // Lit("") (the parser's default), not NullOp: both compile to
+        // the same empty separator, but only Lit("") JSON-round-trips
+        // to an identical tree (the toJson/parse law in JxFuzzSpec)
+        separator = if (rnd.nextBoolean()) Lit("_") else Lit(""),
         default = if (rnd.nextBoolean()) NullOp else Lit(oneOf(rnd, strLits)))),
       3 -> (() => WhenOp(genBool(rnd, d - 1), genStr(rnd, d - 1), genStr(rnd, d - 1))),
       2 -> (() => CoalesceOp(terms(rnd, 3, () => genStr(rnd, d - 1)))),
       1 -> (() => CaseOp(
         Seq.fill(1 + rnd.nextInt(2))(WhenOp(genBool(rnd, d - 1), genStr(rnd, d - 1), NullOp)),
-        genStr(rnd, d - 1))),
+        caseDefault(genStr(rnd, d - 1)))),
       1 -> (() => CastOp("string", genInt(rnd, d - 1)))))
 
   /** String source for number-casts — excludes underscore-bearing

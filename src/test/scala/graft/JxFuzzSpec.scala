@@ -50,6 +50,18 @@ class JxFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("500 generated trees JSON-round-trip: parse(toJson(e)) == e") {
+    // serializer/parser drift coverage: every fuzzed tree renders to
+    // the reference's JSON expression format and re-parses to the
+    // IDENTICAL tree (canonical literal forms, option-field rules,
+    // case-default disambiguation)
+    for ((_, seed, n) <- FuzzCatalog.blocks; c <- JxFuzz.cases(seed, n)) {
+      val json = jx.JxExpr.jsonString(c.expr)
+      val back = jx.JxExpr.parseJson(json)
+      assert(back == c.expr, s"round-trip drift via $json")
+    }
+  }
+
   test("generation is deterministic across invocations (seeded LCG)") {
     val a = JxFuzz.cases(1001L, 125)
     val b = JxFuzz.cases(1001L, 125)
