@@ -110,9 +110,88 @@ object FuzzCatalog {
     s"SELECT k, ${cols.mkString(",\n  ")} FROM $view"
   }
 
+  // ---- aggregate-layer fuzz ------------------------------------------------
+  // The scalar blocks exercise JxCompiler alone; these two blocks push
+  // generated trees through the WHOLE JX query path — JSON
+  // serialization (JxExpr.jsonString), JxQuery.parse, QueryRunner's
+  // groupby + aggColumn — and oracle the result against DuckDB
+  // GROUP BY over the same rendered expressions. Value trees come from
+  // the exact-valued integer generator (see JxFuzz.aggCases: integral
+  // magnitudes keep double sums exact under any summation order, the
+  // property that makes SUM/AVG hash-comparable across engines);
+  // conditions inside them roam the full mixed domain via the
+  // variable→column substitution below.
+
+  val aggBlocks: Seq[(String, Long, Int)] = Seq(
+    ("q_fuzz_agg_b1", 5005L, 40),
+    ("q_fuzz_agg_b2", 6006L, 40))
+
+  /** Domain variables → real lineitem columns (conditions keep their
+    * mixed types; aggregated values stay integral). */
+  private def liVar(name: String): jx.JxExpr = {
+    import jx.JxExpr._
+    name match {
+      case "int1"  => BinaryOp("mod", Variable("l_partkey"), Lit(100L), NullOp)
+      case "int2"  => BinaryOp("mod", Variable("l_orderkey"), Lit(997L), NullOp)
+      case "num1"  => Variable("l_quantity")
+      case "num2"  => Variable("l_extendedprice")
+      case "str1"  => Variable("l_returnflag")
+      case "str2"  => ConcatOp(Seq(Variable("l_returnflag"), Variable("l_linestatus"),
+        CastOp("string", Variable("l_linenumber"))), Lit("_"), NullOp)
+      case "bool1" => InequalityOp("gt", Variable("l_quantity"), Lit(25L))
+      case other   => Variable(other)
+    }
+  }
+
+  private def aggSql(agg: String, x: String): String = agg match {
+    // SUM(BIGINT) is HUGEINT in DuckDB (float64 through pandas) while
+    // the engine emits int64 — CAST both sides to DOUBLE (entry side
+    // in aggEntry's post-projection)
+    case "sum"         => s"CAST(SUM($x) AS DOUBLE)"
+    case "minimum"     => s"MIN($x)"
+    case "maximum"     => s"MAX($x)"
+    case "count"       => s"COUNT($x)"
+    case "average"     => s"AVG($x)"
+    case "cardinality" => s"COUNT(DISTINCT $x)"
+  }
+
+  private def aggEntry(seed: Long, n: Int): Q = (s, dir) => {
+    val cs = JxFuzz.aggCases(seed, n)
+    val selects = cs.map { c =>
+      val json = jx.JxExpr.jsonString(JxFuzz.mapVars(c.value, liVar))
+      s"""{"name": "${c.name}", "value": $json, "aggregate": "${c.agg}"}"""
+    }
+    val q = s"""{
+      "from": "lineitem",
+      "where": {"lt": {"l_orderkey": 500}},
+      "groupby": [{"name": "g", "value": {"mod": ["l_orderkey", {"literal": 7}]}}],
+      "select": [${selects.mkString(",\n        ")}]
+    }"""
+    val df = jx.QueryRunner.run(s, jx.JxQuery.parse(q), SparkEntry.loader(s, dir))
+    df.select(df.columns.map { cn =>
+      val c = col(cn)
+      cs.find(_.name == cn) match {
+        case Some(ac) if ac.agg == "sum" => c.cast("double").as(cn)
+        case _                           => c
+      }
+    }: _*)
+  }
+
+  private def aggOracle(seed: Long, n: Int): String = {
+    val cs = JxFuzz.aggCases(seed, n)
+    val cols = cs.map { c =>
+      val x = jx.JxSql.sql(JxFuzz.mapVars(c.value, liVar), jx.JxSql.DuckDb)
+      s"${aggSql(c.agg, x)} AS ${c.name}"
+    }
+    s"""SELECT l_orderkey % 7 AS g, ${cols.mkString(",\n  ")}
+       FROM lineitem WHERE l_orderkey < 500 GROUP BY 1 ORDER BY 1"""
+  }
+
   def queries: Map[String, Q] =
-    blocks.map { case (name, seed, n) => name -> entry(seed, n) }.toMap
+    blocks.map { case (name, seed, n) => name -> entry(seed, n) }.toMap ++
+      aggBlocks.map { case (name, seed, n) => name -> aggEntry(seed, n) }.toMap
 
   def oracles: Map[String, String] =
-    blocks.map { case (name, seed, n) => name -> oracle(seed, n) }.toMap
+    blocks.map { case (name, seed, n) => name -> oracle(seed, n) }.toMap ++
+      aggBlocks.map { case (name, seed, n) => name -> aggOracle(seed, n) }.toMap
 }

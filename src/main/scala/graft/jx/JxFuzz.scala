@@ -194,6 +194,68 @@ object JxFuzz {
     2 -> (() => genStr(rnd, math.min(d, 1))),
     1 -> (() => genInt(rnd, math.min(d, 1)))))
 
+  /** Rewrite every Variable leaf via `f` (the fuzzed subset only) —
+    * used to retarget domain-variable trees at real table columns for
+    * the aggregate-layer fuzz. */
+  def mapVars(e: JxExpr, f: String => JxExpr): JxExpr = {
+    def m(x: JxExpr): JxExpr = mapVars(x, f)
+    e match {
+      case Variable(n) => f(n)
+      case _: Lit | NullOp | TrueOp | FalseOp => e
+      case AndOp(ts) => AndOp(ts.map(m))
+      case OrOp(ts)  => OrOp(ts.map(m))
+      case NotOp(t)  => NotOp(m(t))
+      case EqOp(l, r) => EqOp(m(l), m(r))
+      case NeOp(l, r) => NeOp(m(l), m(r))
+      case InequalityOp(op, l, r) => InequalityOp(op, m(l), m(r))
+      case InOp(v, list) => InOp(m(v), m(list))
+      case MissingOp(t) => MissingOp(m(t))
+      case ExistsOp(t)  => ExistsOp(m(t))
+      case MultiOp(op, ts, nulls, dflt) => MultiOp(op, ts.map(m), nulls, m(dflt))
+      case BinaryOp(op, l, r, dflt) => BinaryOp(op, m(l), m(r), m(dflt))
+      case DivOp(l, r, dflt) => DivOp(m(l), m(r), m(dflt))
+      case FloorOp(l, r) => FloorOp(m(l), m(r))
+      case MaxOp(ts) => MaxOp(ts.map(m))
+      case MinOp(ts) => MinOp(ts.map(m))
+      case CountOp(ts) => CountOp(ts.map(m))
+      case CoalesceOp(ts) => CoalesceOp(ts.map(m))
+      case CastOp(kind, t) => CastOp(kind, m(t))
+      case LengthOp(t) => LengthOp(m(t))
+      case SubstrOp(kind, v, n) => SubstrOp(kind, m(v), m(n))
+      case FindOp(v, fi, st, dflt) => FindOp(m(v), m(fi), m(st), m(dflt))
+      case PrefixOp(v, p) => PrefixOp(m(v), m(p))
+      case SuffixOp(v, p) => SuffixOp(m(v), m(p))
+      case ConcatOp(ts, sep, dflt) => ConcatOp(ts.map(m), m(sep), m(dflt))
+      case RegExpOp(v, p) => RegExpOp(m(v), m(p))
+      case WhenOp(c, t, els) => WhenOp(m(c), m(t), m(els))
+      case CaseOp(ws, dflt) =>
+        CaseOp(ws.map(w => WhenOp(m(w.cond), m(w.thenE), m(w.elseE))), m(dflt))
+      case other =>
+        throw new IllegalArgumentException(s"mapVars: outside the fuzzed subset: $other")
+    }
+  }
+
+  /** One aggregate-layer case: output name, value tree (over the
+    * domain variables), accumulator name. */
+  case class AggCase(name: String, value: JxExpr, agg: String)
+
+  private val aggs = Seq("sum", "minimum", "maximum", "count", "average", "cardinality")
+
+  /** `n` deterministic aggregate cases: value trees come from the
+    * EXACT-valued integer generator (integral magnitudes bounded far
+    * below 2^53, so double sums are exact under ANY summation order —
+    * the property that makes a cross-engine SUM/AVG hash comparable at
+    * all; a fractional-double sum is partial-sum-order-dependent and
+    * ineligible). Conditions inside the trees may reference the full
+    * mixed domain. */
+  def aggCases(seed: Long, n: Int): Seq[AggCase] = {
+    val rnd = new Random(seed)
+    (0 until n).map { i =>
+      val d = 2 + rnd.nextInt(2)
+      AggCase(f"a$i%03d", genInt(rnd, d), oneOf(rnd, aggs))
+    }
+  }
+
   /** `n` deterministic cases for `seed`: names e000…, root depth 2-4,
     * type mix num 40% / bool 30% / str 20% / int 10%. */
   def cases(seed: Long, n: Int): Seq[FuzzCase] = {

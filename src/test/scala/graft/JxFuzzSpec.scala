@@ -62,6 +62,21 @@ class JxFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("80 aggregate cases through the full JX path round-trip and stay in-subset") {
+    // the agg entries serialize value trees to JSON, re-parse through
+    // JxQuery, and compile via aggColumn — pin the serialization leg
+    // here (the value leg runs against DuckDB at the gate)
+    for ((_, seed, n) <- FuzzCatalog.aggBlocks; c <- JxFuzz.aggCases(seed, n)) {
+      val json = jx.JxExpr.jsonString(c.value)
+      assert(jx.JxExpr.parseJson(json) == c.value, s"agg value drift via $json")
+    }
+    // and the entries themselves produce grouped rows at the tiny SF
+    for ((name, _, _) <- FuzzCatalog.aggBlocks) {
+      val out = FuzzCatalog.queries(name)(spark, dir)
+      assert(out.count() > 0 && out.columns.contains("g"))
+    }
+  }
+
   test("generation is deterministic across invocations (seeded LCG)") {
     val a = JxFuzz.cases(1001L, 125)
     val b = JxFuzz.cases(1001L, 125)
