@@ -254,7 +254,16 @@ object Multimodal {
     * pixels: a hostile IHDR must not allocate the heap) — callers fall
     * back to ImageIO. CRCs are not verified (same stance as
     * [[pngMeta]]): corruption surfaces as an inflate failure → None. */
-  def pngDecodeRgb(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+  def pngDecodeRgb(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    // tier-boundary containment (review r10): the ImageIO tier maps
+    // every decode failure to null/None via decodeImageOrNull — the
+    // native tier must uphold the same "no input bytes can throw"
+    // invariant, or a latent arithmetic defect on adversarial bytes
+    // kills the Spark task instead of falling back
+    try pngDecodeRgbUnsafe(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def pngDecodeRgbUnsafe(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (bytes.length < 45) return None
     val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
     var i = 0
@@ -281,7 +290,9 @@ object Multimodal {
     while (!done) {
       if (p + 8 > bytes.length) return None
       val len = beInt(p)
-      if (len < 0 || p + 12 + len > bytes.length) return None
+      // bound in LONG: a hostile/corrupt 4-byte length near 2^31 wraps
+      // an Int sum negative and would pass this check (review r10)
+      if (len < 0 || p.toLong + 12L + len > bytes.length) return None
       val typ = new String(bytes, p + 4, 4, "US-ASCII")
       if (typ == "IDAT") idat.write(bytes, p + 8, len)
       else if (typ == "IEND") done = true
@@ -297,7 +308,11 @@ object Multimodal {
       var got = 0
       while (got < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, got, raw.length - got)
-        if (n == 0 && inflater.needsInput()) return None // truncated
+        // n == 0 while unfinished covers BOTH stall states: truncated
+        // input (needsInput) and a preset-dictionary stream
+        // (needsDictionary — an FDICT zlib header would otherwise spin
+        // this loop forever; review r10)
+        if (n == 0 && !inflater.finished()) return None
         got += n
       }
       if (got < raw.length) return None

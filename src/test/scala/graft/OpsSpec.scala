@@ -2445,6 +2445,33 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.pngDecodeRgb(Multimodal.syntheticBmp(8, 8)).isEmpty)
     // truncated stream declines rather than returning garbage
     assert(Multimodal.pngDecodeRgb(enc.take(enc.length - 20)).isEmpty)
+    // 5. hostile bytes DECLINE, never throw or hang (review r10):
+    //    a) chunk length near 2^31 — an Int bound check would wrap
+    //       negative, pass, and crash on the array copy
+    val hugeLen = enc.clone()
+    hugeLen(33) = 0x7F.toByte; hugeLen(34) = 0xFF.toByte // IDAT length field
+    hugeLen(35) = 0xFF.toByte; hugeLen(36) = 0xF0.toByte
+    assert(Multimodal.pngDecodeRgb(hugeLen).isEmpty, "huge chunk length must decline")
+    //    b) zlib FDICT stream — inflate() returns 0 with
+    //       needsDictionary(): without the stall guard the loop spins
+    //       forever (asserted via the shared containment: returns None)
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val bb = java.nio.ByteBuffer.allocate(8 + 25 + 12 + 8 + 12)
+    bb.put(sig)
+    bb.putInt(13); bb.put("IHDR".getBytes("US-ASCII"))
+    bb.putInt(2); bb.putInt(2); bb.put(8.toByte); bb.put(2.toByte)
+    bb.put(0.toByte); bb.put(0.toByte); bb.put(0.toByte); bb.putInt(0) // crc ignored
+    bb.putInt(8); bb.put("IDAT".getBytes("US-ASCII"))
+    bb.put(0x78.toByte); bb.put(0xFB.toByte) // CMF/FLG with FDICT set (valid FCHECK)
+    bb.putInt(0x11223344); bb.putShort(0.toByte); bb.putInt(0)        // dictid + junk + crc
+    bb.putInt(0); bb.put("IEND".getBytes("US-ASCII")); bb.putInt(0)
+    assert(Multimodal.pngDecodeRgb(bb.array()).isEmpty, "FDICT stream must decline, not hang")
+    //    c) aHash64 inherits the no-throw contract for the same bytes —
+    //       the native tier declines and ImageIO (which tolerates the
+    //       bad chunk length and salvages the image) takes over, so
+    //       the call completes with SOME result instead of crashing
+    //       the task as the unguarded native tier did
+    assert(Multimodal.aHash64(hugeLen).isDefined)
   }
 
   test("hammingPairs64 pairs aHash images: near-dups meet, opposites never") {
