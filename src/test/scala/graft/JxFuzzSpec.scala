@@ -77,6 +77,55 @@ class JxFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("filterPred preserves truthy semantics on 300 generated predicate trees") {
+    // the FILTER-position compile (JxCompiler.filterPred) strips the
+    // missing→FALSE coalesce on positively-scoped comparisons so bare
+    // predicates reach PushedFilters — the optimization is only sound
+    // because a WHERE drops null-valued predicates exactly like false
+    // ones. Law: for every predicate tree, row-by-row,
+    // COALESCE(filterPred(t), FALSE) == truthy(t). A drift here would
+    // mean the pushdown path silently changes which rows survive.
+    val dom = FuzzCatalog.domainDf(spark, dir)
+    val rnd = new scala.util.Random(7007L)
+    val trees = Seq.fill(300)(JxFuzz.genBool(rnd, 2 + rnd.nextInt(3)))
+    for (batch <- trees.grouped(50)) {
+      val diffs = batch.zipWithIndex.map { case (t, i) =>
+        val fp = coalesce(JxCompiler.filterPred(t, JxCompiler.defaultCtx), lit(false))
+        val tr = JxCompiler.truthy(t, JxCompiler.defaultCtx)
+        when(fp =!= tr, lit(i)).as(s"d$i")
+      }
+      val bad = dom.select(diffs: _*)
+        .select(explode(array(diffs.indices.map(i => col(s"d$i")): _*)).as("i"))
+        .where(col("i").isNotNull)
+        .select("i").distinct().as[Int](org.apache.spark.sql.Encoders.scalaInt)
+        .collect().toSeq.sorted
+      assert(bad.isEmpty,
+        s"filterPred drifts from truthy for trees ${bad.map(batch(_))}")
+    }
+  }
+
+  test("1000 additional in-suite trees: compiled Column equals the Spark rendering") {
+    // extra seeds beyond the 500 gate-checked blocks — in-suite only
+    // (no DuckDB oracle), so coverage grows without growing the catalog
+    val dom = FuzzCatalog.domainDf(spark, dir)
+    dom.createOrReplaceTempView("fuzz_t2")
+    for (seed <- Seq(7070L, 8080L, 9090L, 10100L)) {
+      val cs = JxFuzz.cases(seed, 250)
+      for (group <- cs.grouped(125)) {
+        val compiled = dom.select(
+          col("k") +: group.map(c =>
+            FuzzCatalog.normCol(JxCompiler.compile(c.expr), c.ty).as(c.name)): _*)
+        val cols = group.map(c =>
+          s"${FuzzCatalog.normSql(JxSql.sql(c.expr, JxSql.SparkSql), c.ty)} AS ${c.name}")
+        val rendered = spark.sql(s"SELECT k, ${cols.mkString(", ")} FROM fuzz_t2")
+        val (a, b) = (lines(compiled), lines(rendered))
+        val diffs = a.zip(b).filter { case (x, y) => x != y }
+        assert(a.size == b.size && diffs.isEmpty,
+          s"seed $seed: ${diffs.size} differing rows; first: ${diffs.headOption}")
+      }
+    }
+  }
+
   test("generation is deterministic across invocations (seeded LCG)") {
     val a = JxFuzz.cases(1001L, 125)
     val b = JxFuzz.cases(1001L, 125)

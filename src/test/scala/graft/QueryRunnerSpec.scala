@@ -17,7 +17,8 @@ class QueryRunnerSpec extends AnyFunSuite {
     // SparkEntry merges four catalogs with ++ — a reused entry name
     // would silently DROP one implementation and weaken the gate
     val sizes = QueryCatalog.queries.size + TrainingCatalog.queries.size +
-      NestedCatalog.queries.size + StreamCatalog.queries.size
+      NestedCatalog.queries.size + StreamCatalog.queries.size +
+      FuzzCatalog.queries.size
     assert(SparkEntry.queries.size === sizes,
       "duplicate entry name across catalogs (one shadowed)")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
