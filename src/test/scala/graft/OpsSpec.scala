@@ -3254,6 +3254,71 @@ class OpsSpec extends AnyFunSuite {
     assert(same === exact)
   }
 
+  test("Graph.adamicAdarSketch: exact when sketches cover, calibrated when they sample") {
+    import org.apache.spark.sql.functions.{col, abs => sabs}
+    // 1. EXACT regime: every neighborhood fits the sketch (k >= max
+    //    deg), so the estimator must equal the exact tier bit-for-bit
+    //    (both round to 6 dp) — including when the UNION of two
+    //    covered neighborhoods exceeds k (the truncation case)
+    val e = (Seq((1L, 2L), (1L, 3L)) ++ Seq(2L, 3L, 4L, 5L, 6L).map((9L, _)))
+      .toDF("src", "dst")
+    val exact = Graph.adamicAdar(e)
+    val cands = exact.select("x", "y")
+    val est = Graph.adamicAdarSketch(e, cands, k = 4) // max deg 5 > k? deg(9)=5
+    // k=4 < deg(9)=5: pairs whose BOTH endpoints have deg <= 4 are
+    // exact; use k=8 for the full-graph exactness law
+    val est8 = Graph.adamicAdarSketch(e, cands, k = 8)
+    val exactMap = exact.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val est8Map = est8.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est8Map.keySet === exactMap.keySet)
+    for ((p, v) <- exactMap) assert(est8Map(p) === v, s"pair $p")
+    assert(est.count() === cands.count()) // k=4 path still scores every pair
+
+    // 1b. exact-regime TRUNCATION case: both endpoints' neighborhoods
+    //     fit the sketch (deg 5 <= k=6) but their UNION (8 members)
+    //     exceeds k — the exact branch must sum over the FULL merged
+    //     union, not the k-prefix (review r10: a sliced pool here
+    //     silently dropped intersection members)
+    val tr = ((1L to 5L).map((100L, _)) ++ (4L to 8L).map((200L, _))).toDF("src", "dst")
+    val trEst = Graph.adamicAdarSketch(tr, Seq((100L, 200L)).toDF("x", "y"), k = 6)
+      .collect().head.getDouble(2)
+    // shared neighbors 4 and 5, each deg 2 → aa = 2/ln(2)
+    assert(trEst === math.rint(2.0 / math.log(2.0) * 1e6) / 1e6)
+
+    // 2. SAMPLING regime: a deterministic co-membership graph where the
+    //    scored ENDPOINTS have deg 32 > k (the z side, deg 12, stays in
+    //    the exact regime — endpoint degree is what selects the branch).
+    //    The KMV estimate must track the exact scores at the ~1/sqrt(k)
+    //    calibration the sketch promises; the graph and hashes are
+    //    deterministic, so the measured errors are fixed (median 0.061,
+    //    p90 0.243 at k=24) and the bounds below carry safety margin.
+    val big = spark.range(0, 60).selectExpr("id AS x")
+      .crossJoin(spark.range(1000, 1160).selectExpr("id AS z"))
+      .where(org.apache.spark.sql.functions.expr("(x * 31 + z * 17) % 5 = 0"))
+      .selectExpr("x AS src", "z AS dst")
+    val bigExact = Graph.adamicAdar(big)
+    val bigCands = bigExact.where(col("x") < 60 && col("y") < 60).select("x", "y")
+    assert(bigCands.count() === 330)
+    val bigEst = Graph.adamicAdarSketch(big, bigCands, k = 24)
+    val joined = bigEst.join(bigExact, Seq("x", "y"))
+      .select((sabs(col("aa_est") - col("aa")) / col("aa")).as("rel"))
+      .collect().map(_.getDouble(0)).sorted
+    assert(joined.length === 330)
+    val median = joined(joined.length / 2)
+    val p90 = joined((joined.length * 9) / 10)
+    assert(median < 0.2, s"median relative error $median (k=24) — estimator drifted")
+    assert(p90 < 0.45, s"p90 relative error $p90 (k=24) — estimator drifted")
+    assert(joined.forall(r => !r.isNaN && !r.isInfinity))
+    // and the exact-vs-sampling branch boundary: z-side pairs (deg 12
+    // endpoints <= k) come back EXACT even though their members are
+    // deg-32 hubs
+    val zCands = bigExact.where(col("x") >= 1000).select("x", "y").limit(20)
+    val zJoin = Graph.adamicAdarSketch(big, zCands, k = 24)
+      .join(bigExact, Seq("x", "y"))
+      .where(sabs(col("aa_est") - col("aa")) > 1e-6)
+    assert(zJoin.count() === 0, "covered-endpoint pairs must be exact")
+  }
+
   test("bm25TopK: tf saturation and length normalization order as expected") {
     val d = Seq(
       (1L, "cat cat dog bird"),  // tf(cat)=2, dl=4
