@@ -102,13 +102,17 @@ object FuzzCatalog {
     s"WITH t AS ($domainSql)\nSELECT k, ${cols.mkString(",\n  ")} FROM t"
   }
 
-  /** The same block, rendered through the Spark dialect — the suite's
-    * differential leg (`FROM <view>` is caller-supplied). */
-  private[graft] def sparkSql(seed: Long, n: Int, view: String): String = {
-    val cs = JxFuzz.cases(seed, n)
+  /** A case list rendered through the Spark dialect — the suite's
+    * differential leg (`FROM <view>` is caller-supplied); the seed
+    * overload serves the catalog blocks, the list overload serves
+    * extra-seed/chunked in-suite sweeps (one rendering path, so a
+    * normalization change cannot split the two laws — review r10). */
+  private[graft] def sparkSql(cs: Seq[JxFuzz.FuzzCase], view: String): String = {
     val cols = cs.map(c => s"${normSql(JxSql.sql(c.expr, JxSql.SparkSql), c.ty)} AS ${c.name}")
     s"SELECT k, ${cols.mkString(",\n  ")} FROM $view"
   }
+  private[graft] def sparkSql(seed: Long, n: Int, view: String): String =
+    sparkSql(JxFuzz.cases(seed, n), view)
 
   // ---- aggregate-layer fuzz ------------------------------------------------
   // The scalar blocks exercise JxCompiler alone; these two blocks push

@@ -280,12 +280,21 @@ object Graph {
     * the plan of what the public ops return). `maxDeg = Some(c)`
     * filters wedge CENTERS to deg ≤ c on the degree table BEFORE its
     * broadcast — the capped tier's load-bearing plan property. */
-  private[graft] def adamicAdarScores(und: DataFrame, maxDeg: Option[Int]): DataFrame = {
+  /** Degree table and symmetric adjacency of a canonical undirected
+    * edge list — shared by all three Adamic–Adar tiers so a semantics
+    * change (weighted edges, multi-edge handling) cannot drift one
+    * tier away from the laws that compare them (review r10). */
+  private def degreeAndAdjacency(und: DataFrame): (DataFrame, DataFrame) = {
     val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
-    val centers = maxDeg.fold(deg)(c => deg.where(col("deg") <= c))
     val adj = und.select(col("a").as("z"), col("b").as("n"))
       .union(und.select(col("b").as("z"), col("a").as("n")))
+    (deg, adj)
+  }
+
+  private[graft] def adamicAdarScores(und: DataFrame, maxDeg: Option[Int]): DataFrame = {
+    val (deg, adj) = degreeAndAdjacency(und)
+    val centers = maxDeg.fold(deg)(c => deg.where(col("deg") <= c))
     val weighted = adj.join(broadcast(centers.select(col("id").as("z"),
       (lit(1.0) / log(col("deg"))).as("__w"))), Seq("z"))
     val scores = weighted.as("l").join(weighted.as("r"),
@@ -359,34 +368,53 @@ object Graph {
     * [[adamicAdar]]); unbiased with relative error ~1/√k otherwise
     * (seeded-tolerance spec). Returns (x, y, aa_est).
     *
-    * Plan shape: one groupBy builds the k-bounded sketches (sorted
-    * top-k slice per vertex — state k·|V|, never deg-shaped), two
-    * sketch joins onto the candidate pairs, and the estimator runs as
-    * codegen'd array HOFs (k ≤ ~256: the O(k²) membership probe stays
-    * cheap and in-stage). No wedge join anywhere. */
-  def adamicAdarSketch(edges: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    * Plan shape: the member stream shuffles once (edge-shaped —
+    * every neighbor must be SEEN once, that is the floor), a
+    * rank-within-vertex window streams over a spillable per-key sort
+    * so only k survivors per vertex ever enter an aggregation buffer
+    * (STORED state k·|V|, never a deg-shaped collect on hubs), two
+    * left sketch joins onto the candidate pairs (absent endpoints
+    * score 0.0, never drop), and the estimator runs as codegen'd
+    * array HOFs (k ≤ ~256: the O(k²) membership probe stays cheap and
+    * in-stage). No wedge join anywhere. Pinned lifecycle as the
+    * sibling tiers: und + the twice-joined sketch table checkpointed,
+    * the result slot-held. */
+  def adamicAdarSketch(edges: DataFrame, candidates: DataFrame, k: Int): DataFrame = Pinned.guard {
     require(k >= 4, s"k: $k (KMV needs a few minima to estimate)")
-    val und = undirectedEdges(edges)
-    val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
-    val adj = und.select(col("a").as("z"), col("b").as("n"))
-      .union(und.select(col("b").as("z"), col("a").as("n")))
+    val (und, undH) = Pinned.checkpoint(undirectedEdges(edges))
+    val (deg, adj) = degreeAndAdjacency(und)
     // member rows: vertex n holds neighbor z with weight 1/ln(deg z)
     // and a hash mapped to (0, 1] (63-bit positive fraction)
     val member = adj.join(broadcast(deg.select(col("id").as("z"),
         (lit(1.0) / log(col("deg"))).as("w"))), Seq("z"))
-      .select(col("n").as("id"), struct(
+      .select(col("n").as("id"),
         ((pmod(xxhash64(col("z")), lit(Long.MaxValue)) + 1L).cast("double") /
           lit(Long.MaxValue.toDouble)).as("h"),
-        col("z").as("z"), col("w").as("w")).as("m"))
-    val sketches = member.groupBy("id")
-      .agg(slice(array_sort(collect_list(col("m"))), 1, k).as("sk"),
-        count(lit(1)).as("degN"))
+        col("z"), col("w"))
+    // k-BOUNDED build (review r10): rank-within-vertex streams over a
+    // spillable per-key sort (row_number buffers nothing), so only the
+    // k survivors ever enter an aggregation buffer — collect_list over
+    // the FULL neighbor list would hold deg-shaped state on exactly
+    // the hub vertices this tier exists for. degN joins back from the
+    // degree table (a vertex's member count IS its degree).
+    val ranked = member.withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("h")))
+      .where(col("__rn") <= k)
+    val sketchAgg = ranked.groupBy("id")
+      .agg(array_sort(collect_list(struct(col("h"), col("z"), col("w")))).as("sk"))
+      .join(deg.select(col("id"), col("deg").as("degN")), Seq("id"))
+    // checkpoint: the sketch table is joined on BOTH candidate sides —
+    // without a pin the member build and the undirected distinct would
+    // execute once per side (Pinned contract all graph ops follow)
+    val (sketches, skH) = Pinned.checkpoint(sketchAgg)
     val cand = candidates.select(col(candidates.columns(0)).as("x"),
       col(candidates.columns(1)).as("y"))
+    // LEFT joins (review r10): a candidate endpoint absent from the
+    // edge list has an empty neighborhood — its pairs score 0.0, they
+    // do not silently vanish from the output (one row per candidate)
     val paired = cand
-      .join(sketches.select(col("id").as("x"), col("sk").as("skx"), col("degN").as("dx")), Seq("x"))
-      .join(sketches.select(col("id").as("y"), col("sk").as("sky"), col("degN").as("dy")), Seq("y"))
+      .join(sketches.select(col("id").as("x"), col("sk").as("skx"), col("degN").as("dx")), Seq("x"), "left")
+      .join(sketches.select(col("id").as("y"), col("sk").as("sky"), col("degN").as("dy")), Seq("y"), "left")
     // merged distinct members of both sketches, hash-sorted; a member
     // appearing in both sets merges to ONE struct (same z ⇒ same hash
     // and same broadcast weight), so array_union dedupes exactly
@@ -411,7 +439,13 @@ object Graph {
     val unionEst = (poolN.cast("double") - 1.0) / tau
     val est = when(exact, wsum(both(fullU)))
       .otherwise(wsum(both(pool)) * unionEst / poolN.cast("double"))
-    paired.select(col("x"), col("y"), round(est, 6).as("aa_est"))
+    // missing-endpoint pairs (null sketch through the left join)
+    // propagate null through the arithmetic → scored 0.0
+    val out = Pinned.hold("graph.adamic_adar_sketch",
+      paired.select(col("x"), col("y"),
+        coalesce(round(est, 6), lit(0.0)).as("aa_est")))
+    Pinned.release(undH, skH)
+    out
   }
 
   /** K-CORE peeling (Seidman 1983), `rounds` bounded iterations — the

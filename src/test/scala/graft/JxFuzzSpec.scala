@@ -115,9 +115,7 @@ class JxFuzzSpec extends AnyFunSuite {
         val compiled = dom.select(
           col("k") +: group.map(c =>
             FuzzCatalog.normCol(JxCompiler.compile(c.expr), c.ty).as(c.name)): _*)
-        val cols = group.map(c =>
-          s"${FuzzCatalog.normSql(JxSql.sql(c.expr, JxSql.SparkSql), c.ty)} AS ${c.name}")
-        val rendered = spark.sql(s"SELECT k, ${cols.mkString(", ")} FROM fuzz_t2")
+        val rendered = spark.sql(FuzzCatalog.sparkSql(group, "fuzz_t2"))
         val (a, b) = (lines(compiled), lines(rendered))
         val diffs = a.zip(b).filter { case (x, y) => x != y }
         assert(a.size == b.size && diffs.isEmpty,

@@ -3263,16 +3263,17 @@ class OpsSpec extends AnyFunSuite {
     val e = (Seq((1L, 2L), (1L, 3L)) ++ Seq(2L, 3L, 4L, 5L, 6L).map((9L, _)))
       .toDF("src", "dst")
     val exact = Graph.adamicAdar(e)
-    val cands = exact.select("x", "y")
-    val est = Graph.adamicAdarSketch(e, cands, k = 4) // max deg 5 > k? deg(9)=5
-    // k=4 < deg(9)=5: pairs whose BOTH endpoints have deg <= 4 are
-    // exact; use k=8 for the full-graph exactness law
-    val est8 = Graph.adamicAdarSketch(e, cands, k = 8)
     val exactMap = exact.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
-    val est8Map = est8.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cands = exactMap.keySet.toSeq.toDF("x", "y")
+    // Pinned.hold contract: each invocation supersedes the previous
+    // result's blocks, so every result is materialized IMMEDIATELY
+    // (accessing a stale frame after a re-invocation throws by design)
+    val est4Count = Graph.adamicAdarSketch(e, cands, k = 4).count()
+    assert(est4Count === exactMap.size.toLong) // k=4 still scores every pair
+    val est8Map = Graph.adamicAdarSketch(e, cands, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(est8Map.keySet === exactMap.keySet)
     for ((p, v) <- exactMap) assert(est8Map(p) === v, s"pair $p")
-    assert(est.count() === cands.count()) // k=4 path still scores every pair
 
     // 1b. exact-regime TRUNCATION case: both endpoints' neighborhoods
     //     fit the sketch (deg 5 <= k=6) but their UNION (8 members)
@@ -3317,6 +3318,16 @@ class OpsSpec extends AnyFunSuite {
       .join(bigExact, Seq("x", "y"))
       .where(sabs(col("aa_est") - col("aa")) > 1e-6)
     assert(zJoin.count() === 0, "covered-endpoint pairs must be exact")
+
+    // 3. candidate contract (review r10): a pair whose endpoint is
+    //    absent from the edge list scores 0.0 — one row per candidate,
+    //    never a silent drop (left joins, not inner)
+    val ghost = Graph.adamicAdarSketch(e,
+      Seq((2L, 3L), (2L, 777L), (777L, 888L)).toDF("x", "y"), k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ghost.size === 3)
+    assert(ghost((2L, 777L)) === 0.0 && ghost((777L, 888L)) === 0.0)
+    assert(ghost((2L, 3L)) === exactMap((2L, 3L)))
   }
 
   test("bm25TopK: tf saturation and length normalization order as expected") {

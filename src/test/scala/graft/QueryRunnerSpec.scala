@@ -14,7 +14,7 @@ class QueryRunnerSpec extends AnyFunSuite {
   }
 
   test("catalog merge shadows no entry and every oracle names a query") {
-    // SparkEntry merges four catalogs with ++ — a reused entry name
+    // SparkEntry merges five catalogs with ++ — a reused entry name
     // would silently DROP one implementation and weaken the gate
     val sizes = QueryCatalog.queries.size + TrainingCatalog.queries.size +
       NestedCatalog.queries.size + StreamCatalog.queries.size +
