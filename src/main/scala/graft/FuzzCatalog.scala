@@ -191,11 +191,115 @@ object FuzzCatalog {
        FROM lineitem WHERE l_orderkey < 500 GROUP BY 1 ORDER BY 1"""
   }
 
+  // ---- window-layer fuzz -----------------------------------------------
+  // §2.5 was the last hand-enumerated compile surface: these cases run
+  // generated exact-int value trees through parseWindow → applyWindow
+  // with generated frames (running / bounded / half-unbounded, the JX
+  // half-open [min, max) convention), partition keys, sort direction,
+  // and window `where` clauses — oracled by the equivalent DuckDB
+  // OVER(...) expressions. One entry, 30 cases.
+
+  val windowBlocks: Seq[(String, Long, Int)] = Seq(
+    ("q_fuzz_window_b1", 7007L, 30))
+
+  /** Domain variables → events columns (the window fuzz table). */
+  private def evVar(name: String): jx.JxExpr = {
+    import jx.JxExpr._
+    name match {
+      case "int1"  => BinaryOp("mod", Variable("event_id"), Lit(100L), NullOp)
+      case "int2"  => BinaryOp("mod", Variable("user_id"), Lit(97L), NullOp)
+      case "num1" | "num2" => Variable("value")
+      case "str1" | "str2" => Variable("event_type")
+      case "bool1" => InequalityOp("gt", Variable("value"), Lit(50L))
+      case other   => Variable(other)
+    }
+  }
+
+  private def windowEntry(seed: Long, n: Int): Q = (s, dir) => {
+    val cs = JxFuzz.windowCases(seed, n)
+    val clauses = cs.map { c =>
+      val parts = Seq(
+        s""""name": "${c.name}"""",
+        s""""value": ${jx.JxExpr.jsonString(JxFuzz.mapVars(c.value, evVar))}""",
+        s""""aggregate": "${c.agg}"""",
+        s""""edges": [${jx.JxExpr.jsonString(JxFuzz.mapVars(c.edge, evVar))}]""",
+        s""""sort": [{"value": "event_id", "sort": ${if (c.desc) -1 else 1}}]""") ++
+        c.range.map { case (mn, mx) =>
+          val fields = mn.map(v => s""""min": $v""").toSeq ++ mx.map(v => s""""max": $v""")
+          s""""range": {${fields.mkString(", ")}}"""
+        } ++
+        c.where.map(w => s""""where": ${jx.JxExpr.jsonString(JxFuzz.mapVars(w, evVar))}""")
+      s"{${parts.mkString(", ")}}"
+    }
+    val q = s"""{
+      "from": "events",
+      "window": [${clauses.mkString(",\n        ")}],
+      "select": [${("\"event_id\"" +: cs.map(c => "\"" + c.name + "\"")).mkString(", ")}],
+      "sort": ["event_id"],
+      "limit": 10000
+    }"""
+    val df = jx.QueryRunner.run(s, jx.JxQuery.parse(q), SparkEntry.loader(s, dir))
+    // normalize EVERY window output (not just the HUGEINT-prone sums):
+    // a generated value tree can be all-null (a NullOp leaf), which
+    // leaves Spark with a NullType column (pandas object) while DuckDB
+    // types the aggregate — cast pins both sides to one dtype kind
+    df.select(df.columns.map { cn =>
+      cs.find(_.name == cn) match {
+        case Some(wc) if wc.agg == "sum" || wc.agg == "average" =>
+          col(cn).cast("double").as(cn)
+        case Some(_) => col(cn).cast("long").as(cn)
+        case _ => col(cn)
+      }
+    }: _*)
+  }
+
+  private def windowOracle(seed: Long, n: Int): String = {
+    val cs = JxFuzz.windowCases(seed, n)
+    val cols = cs.map { c =>
+      val x = jx.JxSql.sql(JxFuzz.mapVars(c.value, evVar), jx.JxSql.DuckDb)
+      val contrib = c.where match {
+        case Some(w) =>
+          s"(CASE WHEN ${jx.JxSql.truthy(JxFuzz.mapVars(w, evVar), jx.JxSql.DuckDb)} THEN $x END)"
+        case None => x
+      }
+      val aggSql = c.agg match {
+        case "sum"     => s"CAST(SUM($contrib)"
+        case "average" => s"CAST(AVG($contrib)"
+        case "minimum" => s"CAST(MIN($contrib)"
+        case "maximum" => s"CAST(MAX($contrib)"
+        case "count"   => s"CAST(COUNT($contrib)"
+      }
+      val castClose = c.agg match {
+        case "sum" | "average" => " AS DOUBLE)"
+        case _ => " AS BIGINT)"
+      }
+      def bound(v: Long): String =
+        if (v == 0) "CURRENT ROW"
+        else if (v < 0) s"${-v} PRECEDING"
+        else s"$v FOLLOWING"
+      val frame = c.range match {
+        case None => "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        case Some((mn, mx)) =>
+          val lo = mn.map(bound).getOrElse("UNBOUNDED PRECEDING")
+          // JX max is EXCLUSIVE: Spark/SQL bounds are inclusive => max-1
+          val hi = mx.map(v => bound(v - 1)).getOrElse("UNBOUNDED FOLLOWING")
+          s"ROWS BETWEEN $lo AND $hi"
+      }
+      val part = jx.JxSql.sql(JxFuzz.mapVars(c.edge, evVar), jx.JxSql.DuckDb)
+      val ord = if (c.desc) "event_id DESC NULLS LAST" else "event_id ASC NULLS FIRST"
+      s"$aggSql OVER (PARTITION BY $part ORDER BY $ord $frame)$castClose AS ${c.name}"
+    }
+    s"""SELECT event_id, ${cols.mkString(",\n  ")}
+       FROM events ORDER BY event_id LIMIT 10000"""
+  }
+
   def queries: Map[String, Q] =
     blocks.map { case (name, seed, n) => name -> entry(seed, n) }.toMap ++
-      aggBlocks.map { case (name, seed, n) => name -> aggEntry(seed, n) }.toMap
+      aggBlocks.map { case (name, seed, n) => name -> aggEntry(seed, n) }.toMap ++
+      windowBlocks.map { case (name, seed, n) => name -> windowEntry(seed, n) }.toMap
 
   def oracles: Map[String, String] =
     blocks.map { case (name, seed, n) => name -> oracle(seed, n) }.toMap ++
-      aggBlocks.map { case (name, seed, n) => name -> aggOracle(seed, n) }.toMap
+      aggBlocks.map { case (name, seed, n) => name -> aggOracle(seed, n) }.toMap ++
+      windowBlocks.map { case (name, seed, n) => name -> windowOracle(seed, n) }.toMap
 }

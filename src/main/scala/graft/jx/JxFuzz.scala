@@ -256,6 +256,44 @@ object JxFuzz {
     }
   }
 
+  /** One window-layer case (§2.5 differential): an exact-int value
+    * tree aggregated over a generated frame. `range` carries the JX
+    * half-open [min, max) bounds (None side = unbounded); `desc`
+    * flips the total-order sort; `where` nulls non-matching
+    * contributions (the reference's "do not consider these values"). */
+  case class WindowCase(name: String, value: JxExpr, agg: String,
+      edge: JxExpr, desc: Boolean,
+      range: Option[(Option[Long], Option[Long])], where: Option[JxExpr])
+
+  private val winAggs = Seq("sum", "minimum", "maximum", "count", "average")
+
+  /** `n` deterministic window cases: same exact-int value discipline
+    * as [[aggCases]] (order-independent double sums), frames drawn
+    * from all four shapes (running, bounded-both, unbounded-preceding,
+    * unbounded-following), partition keys varied, 1-in-3 cases carry a
+    * window `where`. */
+  def windowCases(seed: Long, n: Int): Seq[WindowCase] = {
+    val rnd = new Random(seed)
+    (0 until n).map { i =>
+      val range: Option[(Option[Long], Option[Long])] = rnd.nextInt(4) match {
+        case 0 => None // running: unbounded preceding .. current row
+        case 1 =>
+          val mn = -(1L + rnd.nextInt(4))
+          Some((Some(mn), Some(mn + 1 + rnd.nextInt(5))))
+        case 2 => Some((None, Some(1L + rnd.nextInt(3))))
+        case _ => Some((Some(-rnd.nextInt(3).toLong), None))
+      }
+      val edge = rnd.nextInt(3) match {
+        case 0 => Variable("int2")
+        case 1 => Variable("str1")
+        case _ => BinaryOp("mod", Variable("int2"), Lit(7L), NullOp)
+      }
+      val where = if (rnd.nextInt(3) == 0) Some(genBool(rnd, 2)) else None
+      WindowCase(f"w$i%03d", genInt(rnd, 1 + rnd.nextInt(2)),
+        oneOf(rnd, winAggs), edge, rnd.nextBoolean(), range, where)
+    }
+  }
+
   /** `n` deterministic cases for `seed`: names e000…, root depth 2-4,
     * type mix num 40% / bool 30% / str 20% / int 10%. */
   def cases(seed: Long, n: Int): Seq[FuzzCase] = {

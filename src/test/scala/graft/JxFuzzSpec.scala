@@ -124,6 +124,23 @@ class JxFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("30 window cases round-trip their trees and run at the tiny SF") {
+    for ((_, seed, n) <- FuzzCatalog.windowBlocks; c <- JxFuzz.windowCases(seed, n)) {
+      for (t <- Seq(c.value, c.edge) ++ c.where) {
+        val json = jx.JxExpr.jsonString(t)
+        assert(jx.JxExpr.parseJson(json) == t, s"window tree drift via $json")
+      }
+      // frame sanity: a bounded JX [min, max) always has min <= max-1
+      c.range.foreach { case (mn, mx) =>
+        for (a <- mn; b <- mx) assert(a <= b - 1, s"${c.name}: empty frame [$a, $b)")
+      }
+    }
+    for ((name, _, _) <- FuzzCatalog.windowBlocks) {
+      val out = FuzzCatalog.queries(name)(spark, dir)
+      assert(out.count() > 0 && out.columns.contains("event_id"))
+    }
+  }
+
   test("generation is deterministic across invocations (seeded LCG)") {
     val a = JxFuzz.cases(1001L, 125)
     val b = JxFuzz.cases(1001L, 125)
