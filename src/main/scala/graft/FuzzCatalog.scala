@@ -293,13 +293,80 @@ object FuzzCatalog {
        FROM events ORDER BY event_id LIMIT 10000"""
   }
 
+  // ---- edges-layer (dense cube) fuzz -------------------------------------
+  // The edges op carries the densest semantics in §2.4: explicit set
+  // domains, densify-zero rows for phantom partitions, the null bucket
+  // (edge values outside the domain OR null) under allowNulls, and
+  // zero-fill counts with null-kept aggregates. 14 generated 1-edge
+  // queries run through resolveEdge/runEdges, each stamped with a
+  // case id and unioned into ONE entry; the oracle mirrors each case
+  // as dom VALUES + LEFT JOIN agg + a src-recomputed null-bucket row.
+
+  val edgeBlocks: Seq[(String, Long, Int)] = Seq(
+    ("q_fuzz_edges_b1", 9009L, 14))
+
+  private def edgeEntry(seed: Long, n: Int): Q = (s, dir) => {
+    val cs = JxFuzz.edgeCases(seed, n)
+    val frames = cs.zipWithIndex.map { case (c, i) =>
+      val q = s"""{
+        "from": "lineitem",
+        "where": {"lt": {"l_orderkey": 500}},
+        "edges": [{
+          "name": "g",
+          "value": ${jx.JxExpr.jsonString(JxFuzz.mapVars(JxFuzz.edgeKey(c), liVar))},
+          "allowNulls": ${c.allowNulls},
+          "domain": {"type": "set", "partitions": [${c.parts.mkString(", ")}]}
+        }],
+        "select": [
+          {"name": "n", "value": ".", "aggregate": "count"},
+          {"name": "s1", "value": ${jx.JxExpr.jsonString(JxFuzz.mapVars(c.value, liVar))},
+           "aggregate": "${c.agg}"}
+        ]
+      }"""
+      jx.QueryRunner.run(s, jx.JxQuery.parse(q), SparkEntry.loader(s, dir))
+        .select(lit(i).cast("int").as("case_id"), col("g").cast("long").as("g"),
+          col("n").cast("long").as("n"), col("s1").cast("double").as("s1"))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
+  private def edgeOracle(seed: Long, n: Int): String = {
+    val cs = JxFuzz.edgeCases(seed, n)
+    val arms = cs.zipWithIndex.map { case (c, i) =>
+      val key = jx.JxSql.sql(JxFuzz.mapVars(JxFuzz.edgeKey(c), liVar), jx.JxSql.DuckDb)
+      val v = jx.JxSql.sql(JxFuzz.mapVars(c.value, liVar), jx.JxSql.DuckDb)
+      val aggFn = c.agg match {
+        case "sum" => "SUM"; case "minimum" => "MIN"; case "maximum" => "MAX"
+      }
+      val domVals = c.parts.map(p => s"($p)").mkString(",")
+      val dense = s"""
+        SELECT $i AS case_id, CAST(dom.part AS BIGINT) AS g,
+               CAST(COALESCE(agg.c0, 0) AS BIGINT) AS n,
+               CAST(agg.c1 AS DOUBLE) AS s1
+        FROM (VALUES $domVals) dom(part)
+        LEFT JOIN (SELECT $key AS p, COUNT(*) AS c0, $aggFn($v) AS c1
+                   FROM src GROUP BY 1) agg
+          ON dom.part = agg.p"""
+      if (!c.allowNulls) dense
+      else dense + s"""
+        UNION ALL
+        SELECT $i, NULL, CAST(COUNT(*) AS BIGINT), CAST($aggFn($v) AS DOUBLE)
+        FROM src
+        WHERE $key IS NULL OR $key NOT IN (${c.parts.mkString(", ")})"""
+    }
+    s"""WITH src AS (SELECT * FROM lineitem WHERE l_orderkey < 500)
+       ${arms.mkString("\nUNION ALL\n")}"""
+  }
+
   def queries: Map[String, Q] =
     blocks.map { case (name, seed, n) => name -> entry(seed, n) }.toMap ++
       aggBlocks.map { case (name, seed, n) => name -> aggEntry(seed, n) }.toMap ++
-      windowBlocks.map { case (name, seed, n) => name -> windowEntry(seed, n) }.toMap
+      windowBlocks.map { case (name, seed, n) => name -> windowEntry(seed, n) }.toMap ++
+      edgeBlocks.map { case (name, seed, n) => name -> edgeEntry(seed, n) }.toMap
 
   def oracles: Map[String, String] =
     blocks.map { case (name, seed, n) => name -> oracle(seed, n) }.toMap ++
       aggBlocks.map { case (name, seed, n) => name -> aggOracle(seed, n) }.toMap ++
-      windowBlocks.map { case (name, seed, n) => name -> windowOracle(seed, n) }.toMap
+      windowBlocks.map { case (name, seed, n) => name -> windowOracle(seed, n) }.toMap ++
+      edgeBlocks.map { case (name, seed, n) => name -> edgeOracle(seed, n) }.toMap
 }

@@ -57,7 +57,7 @@ object SparkEntry {
     // them would drift the headline total against every prior
     // baseline row for reasons unrelated to performance (review r10)
     FuzzCatalog.blocks.map(_._1) ++ FuzzCatalog.aggBlocks.map(_._1) ++
-    FuzzCatalog.windowBlocks.map(_._1)
+    FuzzCatalog.windowBlocks.map(_._1) ++ FuzzCatalog.edgeBlocks.map(_._1)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -294,6 +294,42 @@ object JxFuzz {
     }
   }
 
+  /** One edges-layer (dense cube) case: a 1-edge set-domain query —
+    * edge key = `base` mod `mod` (optionally nulled on a second
+    * modulus so the NULL BUCKET has content), explicit partitions
+    * (possibly including a PHANTOM value no row produces — the
+    * densify-zero row — and possibly omitting live values — null-
+    * bucket spillover), allowNulls on/off, one generated aggregate
+    * beside the row count. */
+  case class EdgeCase(mod: Int, nullable: Boolean, parts: Seq[Long],
+      allowNulls: Boolean, agg: String, value: JxExpr)
+
+  def edgeCases(seed: Long, n: Int): Seq[EdgeCase] = {
+    val rnd = new Random(seed)
+    (0 until n).map { _ =>
+      val mod = 4 + rnd.nextInt(4) // 4..7
+      // distinct subset of the live values 0..mod-1 (at least one)
+      val live = (0L until mod.toLong)
+        .filter(_ => rnd.nextInt(3) > 0) match {
+          case s if s.isEmpty => Seq(0L)
+          case s => s
+        }
+      val parts = if (rnd.nextInt(3) == 0) live :+ (mod + 2L) else live
+      EdgeCase(mod, rnd.nextBoolean(), parts, rnd.nextBoolean(),
+        oneOf(rnd, Seq("sum", "minimum", "maximum")), genInt(rnd, 1 + rnd.nextInt(2)))
+    }
+  }
+
+  /** The edge-key tree for an [[EdgeCase]] over the domain variables:
+    * (int1 mod `mod`), nulled when (int2 mod 3) = 0 if `nullable`. */
+  def edgeKey(c: EdgeCase): JxExpr = {
+    val base = BinaryOp("mod", Variable("int1"), Lit(c.mod.toLong), NullOp)
+    if (!c.nullable) base
+    else WhenOp(
+      InequalityOp("gt", BinaryOp("mod", Variable("int2"), Lit(3L), NullOp), Lit(0L)),
+      base, NullOp)
+  }
+
   /** `n` deterministic cases for `seed`: names e000…, root depth 2-4,
     * type mix num 40% / bool 30% / str 20% / int 10%. */
   def cases(seed: Long, n: Int): Seq[FuzzCase] = {

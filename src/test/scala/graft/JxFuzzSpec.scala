@@ -141,6 +141,30 @@ class JxFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("14 edges cases round-trip their trees; dense cube shape holds at the tiny SF") {
+    for ((_, seed, n) <- FuzzCatalog.edgeBlocks; c <- JxFuzz.edgeCases(seed, n)) {
+      for (t <- Seq(JxFuzz.edgeKey(c), c.value)) {
+        val json = jx.JxExpr.jsonString(t)
+        assert(jx.JxExpr.parseJson(json) == t, s"edge tree drift via $json")
+      }
+      assert(c.parts.nonEmpty && c.parts.distinct == c.parts)
+    }
+    for ((name, seed, n) <- FuzzCatalog.edgeBlocks) {
+      val out = FuzzCatalog.queries(name)(spark, dir).collect()
+      val cs = JxFuzz.edgeCases(seed, n)
+      // the dense-cube row-count law: per case, one row per partition
+      // plus exactly one null-bucket row when allowNulls
+      val byCase = out.groupBy(_.getInt(0))
+      for ((i, rows) <- byCase) {
+        val c = cs(i)
+        val want = c.parts.size + (if (c.allowNulls) 1 else 0)
+        assert(rows.length === want, s"case $i: ${rows.length} rows, want $want")
+        assert(rows.count(_.isNullAt(1)) === (if (c.allowNulls) 1 else 0))
+      }
+      assert(byCase.size === n)
+    }
+  }
+
   test("generation is deterministic across invocations (seeded LCG)") {
     val a = JxFuzz.cases(1001L, 125)
     val b = JxFuzz.cases(1001L, 125)
