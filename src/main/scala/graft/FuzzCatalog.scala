@@ -147,16 +147,22 @@ object FuzzCatalog {
     }
   }
 
+  /** JX accumulator name → SQL aggregate function — the ONE mapping
+    * the groupby, window, and edges oracles all render through
+    * (review r10: a per-layer copy is where a cast-discipline change
+    * would silently split the gates). */
+  private def aggFn(agg: String): String = agg match {
+    case "sum" => "SUM"; case "minimum" => "MIN"; case "maximum" => "MAX"
+    case "count" => "COUNT"; case "average" => "AVG"
+  }
+
   private def aggSql(agg: String, x: String): String = agg match {
     // SUM(BIGINT) is HUGEINT in DuckDB (float64 through pandas) while
     // the engine emits int64 — CAST both sides to DOUBLE (entry side
     // in aggEntry's post-projection)
     case "sum"         => s"CAST(SUM($x) AS DOUBLE)"
-    case "minimum"     => s"MIN($x)"
-    case "maximum"     => s"MAX($x)"
-    case "count"       => s"COUNT($x)"
-    case "average"     => s"AVG($x)"
     case "cardinality" => s"COUNT(DISTINCT $x)"
+    case other         => s"${aggFn(other)}($x)"
   }
 
   private def aggEntry(seed: Long, n: Int): Q = (s, dir) => {
@@ -253,22 +259,24 @@ object FuzzCatalog {
     }: _*)
   }
 
-  private def windowOracle(seed: Long, n: Int): String = {
+  /** Dialect-parameterized (review r10) so the SAME rendering runs as
+    * the DuckDB gate oracle AND as the in-suite Spark-SQL differential
+    * (JxFuzzSpec) — a frame-conversion or where-nulling regression in
+    * applyWindow then fails `sbt test`, not just the driver gate. */
+  private[graft] def windowOracle(seed: Long, n: Int,
+      d: jx.JxSql.Dialect = jx.JxSql.DuckDb): String = {
     val cs = JxFuzz.windowCases(seed, n)
     val cols = cs.map { c =>
-      val x = jx.JxSql.sql(JxFuzz.mapVars(c.value, evVar), jx.JxSql.DuckDb)
+      val x = jx.JxSql.sql(JxFuzz.mapVars(c.value, evVar), d)
       val contrib = c.where match {
         case Some(w) =>
-          s"(CASE WHEN ${jx.JxSql.truthy(JxFuzz.mapVars(w, evVar), jx.JxSql.DuckDb)} THEN $x END)"
+          s"(CASE WHEN ${jx.JxSql.truthy(JxFuzz.mapVars(w, evVar), d)} THEN $x END)"
         case None => x
       }
-      val aggSql = c.agg match {
-        case "sum"     => s"CAST(SUM($contrib)"
-        case "average" => s"CAST(AVG($contrib)"
-        case "minimum" => s"CAST(MIN($contrib)"
-        case "maximum" => s"CAST(MAX($contrib)"
-        case "count"   => s"CAST(COUNT($contrib)"
-      }
+      // every window output is cast (all-null value trees leave Spark
+      // with a NullType column); sum/average take the HUGEINT→DOUBLE
+      // discipline, the rest pin BIGINT — mirrored in windowEntry
+      val aggSql = s"CAST(${aggFn(c.agg)}($contrib)"
       val castClose = c.agg match {
         case "sum" | "average" => " AS DOUBLE)"
         case _ => " AS BIGINT)"
@@ -285,7 +293,7 @@ object FuzzCatalog {
           val hi = mx.map(v => bound(v - 1)).getOrElse("UNBOUNDED FOLLOWING")
           s"ROWS BETWEEN $lo AND $hi"
       }
-      val part = jx.JxSql.sql(JxFuzz.mapVars(c.edge, evVar), jx.JxSql.DuckDb)
+      val part = jx.JxSql.sql(JxFuzz.mapVars(c.edge, evVar), d)
       val ord = if (c.desc) "event_id DESC NULLS LAST" else "event_id ASC NULLS FIRST"
       s"$aggSql OVER (PARTITION BY $part ORDER BY $ord $frame)$castClose AS ${c.name}"
     }
@@ -335,22 +343,20 @@ object FuzzCatalog {
     val arms = cs.zipWithIndex.map { case (c, i) =>
       val key = jx.JxSql.sql(JxFuzz.mapVars(JxFuzz.edgeKey(c), liVar), jx.JxSql.DuckDb)
       val v = jx.JxSql.sql(JxFuzz.mapVars(c.value, liVar), jx.JxSql.DuckDb)
-      val aggFn = c.agg match {
-        case "sum" => "SUM"; case "minimum" => "MIN"; case "maximum" => "MAX"
-      }
+      val fn = aggFn(c.agg)
       val domVals = c.parts.map(p => s"($p)").mkString(",")
       val dense = s"""
         SELECT $i AS case_id, CAST(dom.part AS BIGINT) AS g,
                CAST(COALESCE(agg.c0, 0) AS BIGINT) AS n,
                CAST(agg.c1 AS DOUBLE) AS s1
         FROM (VALUES $domVals) dom(part)
-        LEFT JOIN (SELECT $key AS p, COUNT(*) AS c0, $aggFn($v) AS c1
+        LEFT JOIN (SELECT $key AS p, COUNT(*) AS c0, $fn($v) AS c1
                    FROM src GROUP BY 1) agg
           ON dom.part = agg.p"""
       if (!c.allowNulls) dense
       else dense + s"""
         UNION ALL
-        SELECT $i, NULL, CAST(COUNT(*) AS BIGINT), CAST($aggFn($v) AS DOUBLE)
+        SELECT $i, NULL, CAST(COUNT(*) AS BIGINT), CAST($fn($v) AS DOUBLE)
         FROM src
         WHERE $key IS NULL OR $key NOT IN (${c.parts.mkString(", ")})"""
     }

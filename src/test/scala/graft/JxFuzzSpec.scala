@@ -124,6 +124,23 @@ class JxFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("30 window cases: the JX window path equals the Spark-SQL OVER rendering") {
+    // the in-suite leg of the window fuzz (review r10): the SAME
+    // rendering that oracles the gate against DuckDB runs here through
+    // spark.sql, so a regression in applyWindow (frame max-1
+    // conversion, where-nulling, sort-null placement) fails the suite,
+    // not just the driver gate
+    SparkEntry.loader(spark, dir)("events").createOrReplaceTempView("events")
+    for ((name, seed, n) <- FuzzCatalog.windowBlocks) {
+      val viaJx = FuzzCatalog.queries(name)(spark, dir)
+      val viaSql = spark.sql(FuzzCatalog.windowOracle(seed, n, JxSql.SparkSql))
+      val (a, b) = (lines(viaJx), lines(viaSql))
+      val diffs = a.zip(b).filter { case (x, y) => x != y }
+      assert(a.size == b.size && diffs.isEmpty,
+        s"$name: ${diffs.size} differing rows; first: ${diffs.headOption}")
+    }
+  }
+
   test("30 window cases round-trip their trees and run at the tiny SF") {
     for ((_, seed, n) <- FuzzCatalog.windowBlocks; c <- JxFuzz.windowCases(seed, n)) {
       for (t <- Seq(c.value, c.edge) ++ c.where) {
