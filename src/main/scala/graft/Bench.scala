@@ -229,20 +229,34 @@ object Bench {
       val warm = timeOne(fn)
       val jitWarm = if (jit1 < 0) -1L else jitNow() - jit1
       telemetry(name, "warm", warm)
-      (name, warm, cold, jitWarm, jitCold)
+      // In-run adjudication (review r11, automating the r7 #7 protocol):
+      // every round's inversion/regression suspicion has so far resolved
+      // as scheduling noise under a MANUAL isolated rerun — do that rerun
+      // HERE, while the flag is fresh, so the artifact ships with its own
+      // adjudication evidence. The headline warm number stays the
+      // original measurement (the rerun is evidence, never a substitute);
+      // only entries whose RERUN also trips the signature remain flagged.
+      val rerun =
+        if (cold > 0 && warm > 1.5 * cold && warm - cold > 1.0) {
+          quiesceSec += quiesce(150, 5000)
+          val r = timeOne(fn)
+          telemetry(name, "rerun", r)
+          r
+        } else -1.0
+      (name, warm, cold, jitWarm, jitCold, rerun)
     } finally telemetryOut.foreach(_.close())
     // millisecond precision keeps the one-line artifact small — the
     // driver stores a byte-bounded TAIL of the line, so every byte of
     // per-query noise pushes the headline keys closer to the clip point
     def r3(v: Double): Double = if (v < 0) v else math.rint(v * 1000) / 1000
-    def jmapD(f: ((String, Double, Double, Long, Long)) => (String, Double)): String =
+    def jmapD(f: ((String, Double, Double, Long, Long, Double)) => (String, Double)): String =
       results.map(r => { val (k, v) = f(r); "\"" + k + "\":" + r3(v) })
         .mkString("{", ",", "}")
-    val qs = jmapD { case (k, w, _, _, _) => (k, w) }
-    val qsCold = jmapD { case (k, _, c, _, _) => (k, c) }
-    val qsJit = results.map { case (k, _, _, jw, jc) => "\"" + k + "\":[" + jc + "," + jw + "]" }
+    val qs = jmapD { case (k, w, _, _, _, _) => (k, w) }
+    val qsCold = jmapD { case (k, _, c, _, _, _) => (k, c) }
+    val qsJit = results.map { case (k, _, _, jw, jc, _) => "\"" + k + "\":[" + jc + "," + jw + "]" }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, w, c, _, _) if w < 0 || c < 0 => "\"" + k + "\"" }
+    val errors = results.collect { case (k, w, c, _, _, _) if w < 0 || c < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // warm > 1.5× cold with ≥1 s of absolute excess is the r7 backlog
     // signature (34 s warm vs 15 s cold) — with the warmup + quiesce
@@ -250,10 +264,21 @@ object Bench {
     // the artifact's own methodology check, not a per-entry grade. The
     // absolute-excess term keeps sub-second scheduling blips (1.0 s vs
     // 0.65 s) from false-flagging: the signature being hunted costs
-    // whole seconds, not tenths.
+    // whole seconds, not tenths. As of r11 a tripped entry is re-run
+    // once in-place (see `rerun` above): `inversion_reruns` records
+    // every adjudication (name → rerun seconds), and `inversions` keeps
+    // only entries whose rerun ALSO tripped — persistent flags, which
+    // unlike the noise class demand investigation.
+    val inversionReruns = results.collect {
+      case (k, _, _, _, _, r) if r >= 0 => "\"" + k + "\":" + r3(r)
+    }.mkString("{", ",", "}")
     val inversions = results.collect {
-      case (k, w, c, _, _) if c > 0 && w > 1.5 * c && w - c > 1.0 => "\"" + k + "\""
+      case (k, w, c, _, _, r) if c > 0 && w > 1.5 * c && w - c > 1.0 &&
+        (r < 0 || (r > 1.5 * c && r - c > 1.0)) => "\"" + k + "\""
     }.mkString("[", ",", "]")
+    results.collect { case (k, _, c, _, _, r) if r >= 0 && c > 0 &&
+        (r > 1.5 * c && r - c > 1.0) => k }
+      .foreach(k => System.err.println(s"[bench] PERSISTENT inversion (survived rerun): $k"))
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val totalCold = r3(results.map(_._3).filter(_ >= 0).sum)
     // ETL assembly throughput: full 3-level snowflake (customer ⊃ orders
@@ -278,9 +303,10 @@ object Bench {
     // this line, so the bulky cold/JIT maps go FIRST and everything a
     // grader needs — warm per-query map, methodology fields, then the
     // headline totals — goes LAST. "metric"/"value"/"unit" keep their
-    // meaning (value = warm total, the engine number); "bench_schema":3
-    // marks the warmup+quiesce methodology (2 = r2-r7 warm-headline
-    // without warmup; 1 = r01 cold-only). queries_jit_ms maps entry →
+    // meaning (value = warm total, the engine number); "bench_schema":4
+    // marks the in-run inversion-rerun adjudication (3 = r8-r10
+    // warmup+quiesce without reruns; 2 = r2-r7 warm-headline without
+    // warmup; 1 = r01 cold-only). queries_jit_ms maps entry →
     // [cold_delta, warm_delta] of the JVM's cumulative JIT-compile-time
     // counter across that timed run — the environment-vs-code separator
     // VERDICT r7 #6 asked for.
@@ -296,7 +322,7 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val line = s"""{"queries_cold":$qsCold,"queries_jit_ms":$qsJit,"errors":$errors,"etl_assemble_docs_per_sec":${etlDps.toLong},"sf":${jsonStr(sfDir)},"queries":$qs,"bench_schema":3,"bench_excluded":${SparkEntry.benchExcluded.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"warmup_dir":${warmupDir.map(jsonStr).getOrElse("null")},"warmup_sec":${r3(warmupSec)},"warmup_quiesce_sec":${r3(warmupQuiesce)},"quiesce_sec":${r3(quiesceSec)},"inversions":$inversions,"total_cold":$totalCold,"total_warm":$total,"metric":"total","value":$total,"unit":"sec"}"""
+    val line = s"""{"queries_cold":$qsCold,"queries_jit_ms":$qsJit,"errors":$errors,"etl_assemble_docs_per_sec":${etlDps.toLong},"sf":${jsonStr(sfDir)},"queries":$qs,"bench_schema":4,"inversion_reruns":$inversionReruns,"bench_excluded":${SparkEntry.benchExcluded.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"warmup_dir":${warmupDir.map(jsonStr).getOrElse("null")},"warmup_sec":${r3(warmupSec)},"warmup_quiesce_sec":${r3(warmupQuiesce)},"quiesce_sec":${r3(quiesceSec)},"inversions":$inversions,"total_cold":$totalCold,"total_warm":$total,"metric":"total","value":$total,"unit":"sec"}"""
     // belt-and-braces: the FULL artifact also lands in the repo as
     // BENCH.json (the driver commits leftover files at round end), so the
     // warm map survives even if the stdout tail is clipped. A SUBSET run

@@ -26,8 +26,21 @@ object GraftSession {
     * back to the machine's core count only for "*". */
   private[graft] def shufflePartitions(cores: String): String = {
     val leading = cores.takeWhile(_.isDigit)
-    if (leading.nonEmpty) leading
-    else Runtime.getRuntime.availableProcessors().toString
+    if (leading.nonEmpty) {
+      // fail HERE, not three stages later: "0" or "0,3" would set
+      // spark.sql.shuffle.partitions=0, an invalid conf whose error
+      // surfaces far from the bad master token (review r11)
+      require(leading.length <= 9 && leading.toInt >= 1,
+        s"master token must start with a positive thread count: '$cores'")
+      leading
+    } else {
+      // only the wildcard forms legitimately carry no count; any other
+      // non-digit token is a typo that must not silently become
+      // availableProcessors (review r11)
+      require(cores == "*" || cores.startsWith("*,"),
+        s"unrecognized master token: '$cores'")
+      Runtime.getRuntime.availableProcessors().toString
+    }
   }
 
   def builder(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder = {

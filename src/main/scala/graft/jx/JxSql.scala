@@ -59,7 +59,17 @@ object JxSql {
 
   def litSql(v: Any): String = v match {
     case null       => "NULL"
-    case s: String  => "'" + s.replace("'", "''") + "'"
+    case s: String  =>
+      // ENFORCED, not conventional (review r11): Spark's default dialect
+      // treats backslash as an escape inside string literals, DuckDB does
+      // not — a backslash-bearing literal (or regex pattern, which routes
+      // through here) would silently mean different strings to the two
+      // engines and corrupt the differential oracle. The generator's
+      // pools contain none today; this require keeps that a checked
+      // invariant. Widening to backslashes needs per-dialect escaping.
+      require(!s.contains('\\'),
+        s"litSql: backslash literals are dialect-divergent (Spark escapes, DuckDB doesn't): $s")
+      "'" + s.replace("'", "''") + "'"
     case l: Long    => l.toString
     case i: Int     => i.toString
     case d: Double  =>

@@ -301,7 +301,17 @@ object Multimodal {
     if (idat.size() == 0) return None
     // inflate to exactly h filtered scanlines
     val stride = 1 + bpp * w
-    val raw = new Array[Byte](h * stride)
+    // allocation gate (review r11): deflate's maximum expansion is
+    // 1032:1 (one bit per 258-byte match, plus header/trailer slack),
+    // so a claimed geometry needing more output than the IDAT payload
+    // could possibly inflate to is hostile — reject BEFORE sizing the
+    // scanline buffer. Without this, a ~100-byte adversarial IHDR
+    // claiming 2^26 pixels forces ~270-340 MB of transient allocation
+    // per decode task (it still returns None, but the memory pressure
+    // across 32 concurrent tasks is avoidable).
+    val rawLen = h.toLong * stride
+    if (rawLen > idat.size().toLong * 1032L + 64L) return None
+    val raw = new Array[Byte](rawLen.toInt)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
     try {

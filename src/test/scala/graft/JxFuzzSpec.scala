@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.jx.{JxCompiler, JxFuzz, JxSql}
+import graft.jx.{JxCompiler, JxExpr, JxFuzz, JxSql}
 
 /** Differential expression fuzzing (VERDICT r9 #3): the 500 seeded
   * JxExpr trees the q_fuzz_expr_b* catalog entries run against DuckDB
@@ -199,5 +199,20 @@ class JxFuzzSpec extends AnyFunSuite {
     import spark.implicits._
     val got = Seq("492_1").toDF("s").select(col("s").cast("double")).head()
     assert(got.isNullAt(0), "Spark began accepting underscore numerics — revisit genCastableStr")
+  }
+
+  test("litSql rejects backslash literals (dialect-divergent escaping) — ADVICE r11") {
+    // Spark's default SQL dialect treats backslash as an escape inside
+    // string literals; DuckDB does not. A backslash-bearing literal (or
+    // regex pattern, which routes through litSql) would mean DIFFERENT
+    // strings to the two engines and silently corrupt the differential
+    // oracle. The generator's pools contain none — this makes that an
+    // enforced invariant rather than a convention.
+    intercept[IllegalArgumentException](JxSql.litSql("a\\d"))
+    intercept[IllegalArgumentException] {
+      JxSql.sql(JxExpr.RegExpOp(JxExpr.Variable("s"), JxExpr.Lit("\\d+")), JxSql.DuckDb)
+    }
+    // quotes stay legal via doubling in both dialects
+    assert(JxSql.litSql("o'k") === "'o''k'")
   }
 }

@@ -2472,6 +2472,23 @@ class OpsSpec extends AnyFunSuite {
     //       the call completes with SOME result instead of crashing
     //       the task as the unguarded native tier did
     assert(Multimodal.aHash64(hugeLen).isDefined)
+    //    d) allocation gate (review r11): an IHDR claiming 4096×4096 RGB
+    //       (inside the 2^26-pixel cap) with a few-byte IDAT payload is
+    //       geometrically impossible — deflate expands at most 1032:1 —
+    //       and must be rejected BEFORE the ~50 MB scanline buffer is
+    //       sized, not after a doomed inflate of it
+    val bigClaim = java.nio.ByteBuffer.allocate(8 + 25 + 16 + 12)
+    bigClaim.put(sig)
+    bigClaim.putInt(13); bigClaim.put("IHDR".getBytes("US-ASCII"))
+    bigClaim.putInt(4096); bigClaim.putInt(4096)
+    bigClaim.put(8.toByte); bigClaim.put(2.toByte)
+    bigClaim.put(0.toByte); bigClaim.put(0.toByte); bigClaim.put(0.toByte); bigClaim.putInt(0)
+    bigClaim.putInt(4); bigClaim.put("IDAT".getBytes("US-ASCII"))
+    bigClaim.putInt(0x789C0300) // 4 bytes of zlib-looking payload
+    bigClaim.putInt(0)          // IDAT crc (ignored)
+    bigClaim.putInt(0); bigClaim.put("IEND".getBytes("US-ASCII")); bigClaim.putInt(0)
+    assert(Multimodal.pngDecodeRgb(bigClaim.array()).isEmpty,
+      "geometry exceeding the IDAT payload's maximum inflation must decline pre-allocation")
   }
 
   test("hammingPairs64 pairs aHash images: near-dups meet, opposites never") {
@@ -4010,5 +4027,12 @@ class OpsSpec extends AnyFunSuite {
     val auto = Runtime.getRuntime.availableProcessors().toString
     assert(GraftSession.shufflePartitions("*") === auto)
     assert(GraftSession.shufflePartitions("*,4") === auto)
+    // ADVICE r11: "0"/"0,3" would set spark.sql.shuffle.partitions=0 (an
+    // invalid conf that fails far from the bad token), and a non-digit
+    // typo must not silently become availableProcessors — both fail HERE
+    intercept[IllegalArgumentException](GraftSession.shufflePartitions("0"))
+    intercept[IllegalArgumentException](GraftSession.shufflePartitions("0,3"))
+    intercept[IllegalArgumentException](GraftSession.shufflePartitions("abc"))
+    intercept[IllegalArgumentException](GraftSession.shufflePartitions(""))
   }
 }
