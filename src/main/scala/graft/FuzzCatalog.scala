@@ -364,15 +364,179 @@ object FuzzCatalog {
        ${arms.mkString("\nUNION ALL\n")}"""
   }
 
+  // ---- setop-pipeline fuzz ------------------------------------------------
+  // §2.6 was the last JX query layer without a generated differential
+  // block (VERDICT r10 #4): the filter→select→sort→limit pipeline
+  // (runSetop) and the set operations over full JX queries. Block b1:
+  // generated pipelines with a FIXED select shape (k, i0, i1, s0) so
+  // cases union into one entry — what varies is the pipeline MECHANICS:
+  // sort-key resolution in all four JX spellings (bare offset / offset
+  // object / bare name / name object), nulls-least multi-key order over
+  // null-bearing generated trees, and the DEFAULT_LIMIT(10)/
+  // MAX_LIMIT(10,000) clamps, with `k` as the final ascending key so
+  // every LIMIT prefix is a deterministic row SET (the gate hash is
+  // row-order-insensitive). Block b2: union-all/intersect/except over
+  // pairs of generated filters sharing one select pair — `k` is absent,
+  // so duplicate rows occur and the DISTINCT semantics of
+  // intersect/except (and duplicate-keeping of union-all) are real.
+
+  val setopBlocks: Seq[(String, Long, Int)] = Seq(
+    ("q_fuzz_setop_b1", 11011L, 12))
+  val setopPairBlocks: Seq[(String, Long, Int)] = Seq(
+    ("q_fuzz_setop_b2", 12012L, 9))
+
+  /** The unique row key as a JX select clause (l_orderkey·10 +
+    * l_linenumber — the same `k` every fuzz layer uses). */
+  private val kSelectJson =
+    """{"name": "k", "value": {"add": [{"mul": ["l_orderkey", {"literal": 10}]}, "l_linenumber"]}}"""
+
+  /** Source columns the NAME-spelled sort keys draw from (sorts run
+    * pre-projection, so names reference the source row, not select
+    * aliases — see JxFuzz.SetopCase). l_returnflag exercises string
+    * collation order; both engines compare binary on this ASCII pool. */
+  private val setopSortPool = Seq("l_partkey", "l_suppkey", "l_linenumber", "l_returnflag")
+
+  /** One sort key in the chosen JX spelling. Bare spellings (offset
+    * int, name string) are ascending-only in the format — descending
+    * keys fall back to the object form. Offset spellings index the
+    * select tuple (1..3 — 0 is reserved for the final `k` key); name
+    * spellings reference the source pool. */
+  private def sortKeyJson(idx: Int, desc: Boolean, spelling: Int): String = {
+    val off = 1 + idx % 3
+    val name = setopSortPool(idx % setopSortPool.size)
+    (spelling % 4, desc) match {
+      case (0, false) => off.toString
+      case (0, true)  => s"""{"value": {"offset": $off}, "sort": -1}"""
+      case (1, _)     => s"""{"value": {"offset": $off}, "sort": "${if (desc) "desc" else "asc"}"}"""
+      case (2, false) => "\"" + name + "\""
+      case (2, true)  => s"""{"value": "$name", "sort": "desc"}"""
+      case _          => s"""{"value": "$name", "sort": ${if (desc) -1 else 1}}"""
+    }
+  }
+
+  private def setopEntry(seed: Long, n: Int): Q = (s, dir) => {
+    val cs = JxFuzz.setopCases(seed, n)
+    val frames = cs.zipWithIndex.map { case (c, i) =>
+      val selects = Seq(
+        kSelectJson,
+        s"""{"name": "i0", "value": ${jx.JxExpr.jsonString(JxFuzz.mapVars(c.i0, liVar))}}""",
+        s"""{"name": "i1", "value": ${jx.JxExpr.jsonString(JxFuzz.mapVars(c.i1, liVar))}}""",
+        s"""{"name": "s0", "value": ${jx.JxExpr.jsonString(JxFuzz.mapVars(c.s0, liVar))}}""")
+      // final key: tuple offset 0 = the unique `k` select value (bare
+      // names cannot reference select aliases — sorts are pre-projection)
+      val sorts = c.sortKeys.map { case (idx, desc, sp) => sortKeyJson(idx, desc, sp) } :+ "0"
+      val q = s"""{
+        "from": "lineitem",
+        "where": {"and": [{"lt": {"l_orderkey": 500}},
+                          ${jx.JxExpr.jsonString(JxFuzz.mapVars(c.where, liVar))}]},
+        "select": [${selects.mkString(",\n          ")}],
+        "sort": [${sorts.mkString(", ")}]${c.limit.map(v => s""",\n        "limit": $v""").getOrElse("")}
+      }"""
+      jx.QueryRunner.run(s, jx.JxQuery.parse(q), SparkEntry.loader(s, dir))
+        .select(lit(i).cast("int").as("case_id"), col("k").cast("long").as("k"),
+          col("i0").cast("long").as("i0"), col("i1").cast("long").as("i1"), col("s0"))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
+  /** Dialect-parameterized like [[windowOracle]]: DuckDB for the gate,
+    * Spark SQL for the in-suite differential. Offset-spelled sort keys
+    * render as SELECT-LIST ORDINALS (offset+1 — the subquery select
+    * order is the JX select tuple order); name-spelled keys render the
+    * source column (ORDER BY may reference non-selected FROM columns in
+    * both engines). JX nulls-least placement is spelled explicitly:
+    * ASC NULLS FIRST / DESC NULLS LAST. */
+  private[graft] def setopOracle(seed: Long, n: Int,
+      d: jx.JxSql.Dialect = jx.JxSql.DuckDb): String = {
+    val cs = JxFuzz.setopCases(seed, n)
+    val arms = cs.zipWithIndex.map { case (c, i) =>
+      val w = jx.JxSql.truthy(JxFuzz.mapVars(c.where, liVar), d)
+      val i0 = jx.JxSql.sql(JxFuzz.mapVars(c.i0, liVar), d)
+      val i1 = jx.JxSql.sql(JxFuzz.mapVars(c.i1, liVar), d)
+      val s0 = jx.JxSql.sql(JxFuzz.mapVars(c.s0, liVar), d)
+      val order = (c.sortKeys.map { case (idx, desc, sp) =>
+        val key = if (sp % 4 < 2) s"${1 + idx % 3 + 1}"
+                  else setopSortPool(idx % setopSortPool.size)
+        s"$key ${if (desc) "DESC NULLS LAST" else "ASC NULLS FIRST"}"
+      } :+ "1 ASC NULLS FIRST").mkString(", ")
+      val lim = math.min(c.limit.getOrElse(10), 10000)
+      s"""
+        SELECT $i AS case_id, * FROM (
+          SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS k,
+                 CAST($i0 AS BIGINT) AS i0,
+                 CAST($i1 AS BIGINT) AS i1,
+                 $s0 AS s0
+          FROM src WHERE $w
+          ORDER BY $order LIMIT $lim) c$i"""
+    }
+    s"""WITH src AS (SELECT * FROM lineitem WHERE l_orderkey < 500)
+       ${arms.mkString("\nUNION ALL\n")}"""
+  }
+
+  private def setopPairEntry(seed: Long, n: Int): Q = (s, dir) => {
+    val cs = JxFuzz.setopPairCases(seed, n)
+    val frames = cs.zipWithIndex.map { case (c, i) =>
+      def side(w: jx.JxExpr): DataFrame = {
+        val q = s"""{
+          "from": "lineitem",
+          "where": {"and": [{"lt": {"l_orderkey": 500}},
+                            ${jx.JxExpr.jsonString(JxFuzz.mapVars(w, liVar))}]},
+          "select": [
+            {"name": "i0", "value": ${jx.JxExpr.jsonString(JxFuzz.mapVars(c.i0, liVar))}},
+            {"name": "s0", "value": ${jx.JxExpr.jsonString(JxFuzz.mapVars(c.s0, liVar))}}
+          ],
+          "sort": [0],
+          "limit": 10000
+        }"""
+        val df = jx.QueryRunner.run(s, jx.JxQuery.parse(q), SparkEntry.loader(s, dir))
+        df.select(col("i0").cast("long").as("i0"), col("s0"))
+      }
+      val (a, b) = (side(c.whereA), side(c.whereB))
+      val comb = c.kind match {
+        case "union"     => a.unionByName(b)
+        case "intersect" => a.intersect(b)
+        case _           => a.except(b)
+      }
+      comb.select(lit(i).cast("int").as("case_id"), col("i0"), col("s0"))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
+  private[graft] def setopPairOracle(seed: Long, n: Int,
+      d: jx.JxSql.Dialect = jx.JxSql.DuckDb): String = {
+    val cs = JxFuzz.setopPairCases(seed, n)
+    val arms = cs.zipWithIndex.map { case (c, i) =>
+      val i0 = jx.JxSql.sql(JxFuzz.mapVars(c.i0, liVar), d)
+      val s0 = jx.JxSql.sql(JxFuzz.mapVars(c.s0, liVar), d)
+      def sideSql(w: jx.JxExpr): String =
+        s"""SELECT CAST($i0 AS BIGINT) AS i0, $s0 AS s0
+            FROM src WHERE ${jx.JxSql.truthy(JxFuzz.mapVars(w, liVar), d)}"""
+      val op = c.kind match {
+        case "union" => "UNION ALL"; case "intersect" => "INTERSECT"; case _ => "EXCEPT"
+      }
+      s"""
+        SELECT $i AS case_id, i0, s0 FROM (
+          ${sideSql(c.whereA)}
+          $op
+          ${sideSql(c.whereB)}) u$i"""
+    }
+    s"""WITH src AS (SELECT * FROM lineitem WHERE l_orderkey < 500)
+       ${arms.mkString("\nUNION ALL\n")}"""
+  }
+
   def queries: Map[String, Q] =
     blocks.map { case (name, seed, n) => name -> entry(seed, n) }.toMap ++
       aggBlocks.map { case (name, seed, n) => name -> aggEntry(seed, n) }.toMap ++
       windowBlocks.map { case (name, seed, n) => name -> windowEntry(seed, n) }.toMap ++
-      edgeBlocks.map { case (name, seed, n) => name -> edgeEntry(seed, n) }.toMap
+      edgeBlocks.map { case (name, seed, n) => name -> edgeEntry(seed, n) }.toMap ++
+      setopBlocks.map { case (name, seed, n) => name -> setopEntry(seed, n) }.toMap ++
+      setopPairBlocks.map { case (name, seed, n) => name -> setopPairEntry(seed, n) }.toMap
 
   def oracles: Map[String, String] =
     blocks.map { case (name, seed, n) => name -> oracle(seed, n) }.toMap ++
       aggBlocks.map { case (name, seed, n) => name -> aggOracle(seed, n) }.toMap ++
       windowBlocks.map { case (name, seed, n) => name -> windowOracle(seed, n) }.toMap ++
-      edgeBlocks.map { case (name, seed, n) => name -> edgeOracle(seed, n) }.toMap
+      edgeBlocks.map { case (name, seed, n) => name -> edgeOracle(seed, n) }.toMap ++
+      setopBlocks.map { case (name, seed, n) => name -> setopOracle(seed, n) }.toMap ++
+      setopPairBlocks.map { case (name, seed, n) => name -> setopPairOracle(seed, n) }.toMap
 }

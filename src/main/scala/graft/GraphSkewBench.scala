@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Hub-skew measurement harness for the Adamic–Adar tier family
+ * (VERDICT r10 #1). The capped and sketch tiers exist for degree
+ * distributions the TPC-H-derived fixtures do NOT have — their payoff
+ * at sf0.01/sf0.1 was a complexity argument (wedge join Σdeg² vs
+ * 2·cap·|E|) plus a PlanSpec pin, never a measurement. This main
+ * plants the skew and measures it:
+ *
+ *   - a SEEDED synthetic power-law graph (xxhash64-driven, fully
+ *     deterministic: same args ⇒ same edges) with one planted hub of
+ *     degree `hubDeg` (~10⁴–10⁵ is the regime where the exact tier's
+ *     hottest center alone emits deg²/2 ≈ 10⁸ wedges);
+ *   - each tier invoked TWICE (cold then warm — a fresh invocation
+ *     recomputes the whole dataflow; only the edge list is persisted,
+ *     the tiers share nothing else across runs);
+ *   - recall/accuracy on the SAME run's held results: capped-tier
+ *     recall against the exact top-1000 pairs, sketch median/p90
+ *     relative error against exact scores over the candidate join.
+ *
+ * Output: one JSON line (wedge counts, per-tier cold/warm seconds,
+ * pair counts, recall, error quantiles) — recorded as a BASELINE.md
+ * row. The small-graph twin of this measurement is the OpsSpec
+ * skew-graph law (subset/bound/hub-evidence assertions, no timing).
+ *
+ * Usage: runMain graft.GraphSkewBench [n m hubDeg cap k]
+ */
+object GraphSkewBench {
+
+  /** Seeded planted-hub power-law edge list. Background: `m` directed
+    * draws with a uniform source and a destination concentrated on low
+    * ids — P(dst < t) = (t/n)^(1/alpha), so low ids accumulate
+    * power-law degrees (vertex 0 expects ~m·n^(-1/alpha) edges).
+    * Planted hub: vertex `n` (an id the background cannot produce)
+    * connected to vertices 1..hubDeg, so its degree is EXACTLY hubDeg
+    * after dedup. Self-loops dropped; the tiers' own undirectedEdges
+    * canonicalization handles duplicate orientations. */
+  def plantedHubGraph(spark: SparkSession, n: Long, m: Long, hubDeg: Int,
+                      alpha: Double = 2.5): DataFrame = {
+    val frac = (pmod(xxhash64(col("id"), lit(2)), lit(1000000L)).cast("double") +
+      0.5) / 1000000.0
+    val bg = spark.range(m).select(
+      pmod(xxhash64(col("id"), lit(1)), lit(n)).as("src"),
+      floor(pow(frac, alpha) * n).cast("long").as("dst"))
+    val hub = spark.range(1, hubDeg + 1L)
+      .select(lit(n).cast("long").as("src"), col("id").as("dst"))
+    bg.union(hub).where(col("src") =!= col("dst"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.lift(0).map(_.toLong).getOrElse(200000L)
+    val m = args.lift(1).map(_.toLong).getOrElse(500000L)
+    val hubDeg = args.lift(2).map(_.toInt).getOrElse(10000)
+    val cap = args.lift(3).map(_.toInt).getOrElse(15)
+    val k = args.lift(4).map(_.toInt).getOrElse(32)
+    val spark = GraftSession.get()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val edges = plantedHubGraph(spark, n, m, hubDeg).persist()
+    val eDirected = edges.count()
+
+    // graph facts (same canonicalization the tiers apply internally)
+    val und = edges.select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .where($"a" =!= $"b").distinct().persist()
+    val eCnt = und.count()
+    val deg = und.select($"a".as("id")).union(und.select($"b".as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg")).persist()
+    val maxDeg = deg.agg(max("deg")).as[Long].head()
+    def wedgeSum(d: DataFrame): Long =
+      d.agg(coalesce(sum(($"deg" * ($"deg" - 1)) / 2).cast("long"), lit(0L))).as[Long].head()
+    val wedgesExact = wedgeSum(deg)
+    val wedgesCapped = wedgeSum(deg.where($"deg" <= cap))
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+
+    // each tier: cold invocation timed, then a SECOND fresh invocation
+    // timed (warm — plans/codegen hot, data recomputed). The ops route
+    // their results through Pinned.hold, which is EAGER — the compute
+    // happens AT INVOCATION, so the op call itself sits inside the
+    // timed block (an earlier draft timed only .count() on the second
+    // invocation and measured a pinned-result scan, not the dataflow).
+    val (_, tExactCold) = time(graft.ops.Graph.adamicAdar(edges).count())
+    val (exactDf, tExactWarm) = time {
+      val df = graft.ops.Graph.adamicAdar(edges); df.count(); df
+    }
+    val exactPairs = exactDf.count()
+
+    val (_, tCappedCold) = time(graft.ops.Graph.adamicAdarCapped(edges, cap).count())
+    val (cappedDf, tCappedWarm) = time {
+      val df = graft.ops.Graph.adamicAdarCapped(edges, cap); df.count(); df
+    }
+    val cappedPairs = cappedDf.count()
+
+    val cand = cappedDf.select($"x", $"y")
+    val (sketchDf, tSketchCold) = time {
+      val df = graft.ops.Graph.adamicAdarSketch(edges, cand, k); df.count(); df
+    }
+    val (_, tSketchWarm) = time(graft.ops.Graph.adamicAdarSketch(edges, cand, k).count())
+    // NOTE: the warm sketch invocation superseded sketchDf's pin — but
+    // only the LAST held frame is read below, so re-hold the metrics
+    // source by invoking once more (untimed) for the error section
+    val sketchScored = graft.ops.Graph.adamicAdarSketch(edges, cand, k)
+    val sketchPairsCnt = sketchScored.count()
+
+    // recall: how much of the exact tier's TOP of the ranking does the
+    // capped tier keep? (The capped tier's documented semantics: drops
+    // pairs whose ONLY evidence is super-cap hubs — the lowest-weight
+    // evidence — so top-of-ranking recall should stay high even when
+    // the hub dominates the wedge COUNT.)
+    val exactTop = exactDf.orderBy($"aa".desc, $"x", $"y").limit(1000)
+      .select($"x", $"y").persist()
+    exactTop.count()
+    val topKept = exactTop.join(cappedDf, Seq("x", "y")).count()
+
+    // sketch accuracy vs exact over the scored candidates (nonzero
+    // exact score always exists: every candidate shares >=1 sub-cap
+    // neighbor by construction)
+    val errQ = sketchScored.join(exactDf, Seq("x", "y"))
+      .select((abs($"aa_est" - $"aa") / $"aa").as("relerr"))
+      .agg(expr("percentile(relerr, 0.5)").as("p50"),
+           expr("percentile(relerr, 0.9)").as("p90"))
+      .head()
+    val (p50, p90) = (errQ.getDouble(0), errQ.getDouble(1))
+    // error restricted to the exact TOP-1000 — the pairs a link-
+    // prediction consumer acts on. These have the LARGEST shared-
+    // neighbor sums, i.e. the largest |∩|/|∪| sampling ratios, so the
+    // KMV estimate concentrates exactly where the ranking matters; the
+    // all-candidate p90 above is dominated by 1-2-shared-neighbor
+    // pairs whose absolute scores are near the noise floor by design.
+    val errTop = sketchScored.join(exactTop, Seq("x", "y")).join(exactDf, Seq("x", "y"))
+      .select((abs($"aa_est" - $"aa") / $"aa").as("relerr"))
+      .agg(coalesce(expr("percentile(relerr, 0.5)"), lit(-1.0)).as("p50"),
+           coalesce(expr("percentile(relerr, 0.9)"), lit(-1.0)).as("p90"))
+      .head()
+    val (p50Top, p90Top) = (errTop.getDouble(0), errTop.getDouble(1))
+
+    println(
+      s"""{"n":$n,"m":$m,"hub_deg":$hubDeg,"cap":$cap,"k":$k,""" +
+      s""""edges_directed":$eDirected,"edges_undirected":$eCnt,"max_deg":$maxDeg,""" +
+      s""""wedges_exact":$wedgesExact,"wedges_capped":$wedgesCapped,""" +
+      s""""exact_pairs":$exactPairs,"capped_pairs":$cappedPairs,"sketch_pairs":$sketchPairsCnt,""" +
+      s""""exact_cold":${r3(tExactCold)},"exact_warm":${r3(tExactWarm)},""" +
+      s""""capped_cold":${r3(tCappedCold)},"capped_warm":${r3(tCappedWarm)},""" +
+      s""""sketch_cold":${r3(tSketchCold)},"sketch_warm":${r3(tSketchWarm)},""" +
+      s""""capped_recall_at_1000":${r3(topKept / 1000.0)},""" +
+      s""""sketch_relerr_p50":${r3(p50)},"sketch_relerr_p90":${r3(p90)},""" +
+      s""""sketch_relerr_top1000_p50":${r3(p50Top)},"sketch_relerr_top1000_p90":${r3(p90Top)}}""")
+    spark.stop()
+  }
+}

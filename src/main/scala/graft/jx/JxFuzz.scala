@@ -330,6 +330,67 @@ object JxFuzz {
       base, NullOp)
   }
 
+  /** One setop-pipeline case (§2.6 differential, VERDICT r10 #4): the
+    * filter→select→sort→limit composition. The select tuple is FIXED
+    * SHAPE — (k, i0, i1, s0): the unique row key, two exact-int trees,
+    * one string tree — so generated cases union into one entry; the
+    * pipeline MECHANICS (sort-key resolution incl. tuple offsets,
+    * nulls-least multi-key order, the default-10/max-10000 limit
+    * clamps) are what varies. Sort keys come in all four JX spellings:
+    * offset forms (bare int / {"offset": i}) index the SELECT tuple
+    * (the engine substitutes the i-th select value expression —
+    * reference OffsetOp), name forms (bare string / object) reference
+    * SOURCE columns (sorts run pre-projection, so select aliases are
+    * deliberately NOT in scope — the reference's sort values are
+    * source-row expressions). Each key carries (idx, desc, spelling);
+    * idx maps to a tuple offset or a source-pool column depending on
+    * the spelling. The select tuple's offset-0 key `k` is always the
+    * final ascending key so every LIMIT prefix is a deterministic row
+    * set. `limit` None = the parser's DEFAULT_LIMIT path (10); values
+    * above 10,000 exercise MAX_LIMIT. */
+  case class SetopCase(where: JxExpr, i0: JxExpr, i1: JxExpr, s0: JxExpr,
+      sortKeys: Seq[(Int, Boolean, Int)], limit: Option[Int])
+
+  def setopCases(seed: Long, n: Int): Seq[SetopCase] = {
+    val rnd = new Random(seed)
+    (0 until n).map { _ =>
+      val nKeys = 1 + rnd.nextInt(2)
+      val keys = Seq.fill(nKeys)(
+        (rnd.nextInt(4), rnd.nextBoolean(), rnd.nextInt(4)))
+      val limit = rnd.nextInt(5) match {
+        case 0 => None               // default-limit path (10)
+        case 1 => Some(7)
+        case 2 => Some(123)
+        case 3 => Some(50000)        // MAX_LIMIT clamp (10,000)
+        case _ => Some(10000)
+      }
+      SetopCase(genBool(rnd, 2), genInt(rnd, 1 + rnd.nextInt(2)),
+        genInt(rnd, 1 + rnd.nextInt(2)), genStr(rnd, 1 + rnd.nextInt(2)),
+        keys, limit)
+    }
+  }
+
+  /** One set-operation case: two generated FILTERS over one shared
+    * select pair (i0 int, s0 str — exact-valued, so the set-op equality
+    * both engines apply is bit-stable), composed with union-all /
+    * intersect / except. `k` is deliberately ABSENT from the select:
+    * duplicate output rows occur, so intersect/except exercise their
+    * DISTINCT semantics (and union-all its duplicate-keeping) rather
+    * than degenerating to key-set algebra. Per-side limits stay at the
+    * 10,000 clamp (≥ the fuzz domain), keeping each side's row SET
+    * deterministic without a total order. */
+  case class SetopPairCase(kind: String, whereA: JxExpr, whereB: JxExpr,
+      i0: JxExpr, s0: JxExpr)
+
+  def setopPairCases(seed: Long, n: Int): Seq[SetopPairCase] = {
+    val rnd = new Random(seed)
+    (0 until n).map { i =>
+      SetopPairCase(Seq("union", "intersect", "except")(i % 3),
+        genBool(rnd, 2), genBool(rnd, 2),
+        genInt(rnd, 1 + rnd.nextInt(2)), genStr(rnd, 1 + rnd.nextInt(2)))
+    }
+  }
+
   /** `n` deterministic cases for `seed`: names e000…, root depth 2-4,
     * type mix num 40% / bool 30% / str 20% / int 10%. */
   def cases(seed: Long, n: Int): Seq[FuzzCase] = {

@@ -3347,6 +3347,71 @@ class OpsSpec extends AnyFunSuite {
     assert(ghost((2L, 3L)) === exactMap((2L, 3L)))
   }
 
+  test("Adamic–Adar tiers on a planted-hub power-law graph: wedge bound, dominance, hub evidence") {
+    import org.apache.spark.sql.functions.{col, least, greatest, count => scount, sum => ssum}
+    // VERDICT r10 #1, the LAW half (the timing half is GraphSkewBench →
+    // BASELINE.md): a seeded power-law graph with one planted hub — the
+    // degree shape the TPC-H fixtures lack and the capped/sketch tiers
+    // exist for. Deterministic: xxhash64 generation, fixed args.
+    val n = 5000L; val hubDeg = 600; val cap = 12; val k = 32
+    val edges = GraphSkewBench.plantedHubGraph(spark, n, 12000L, hubDeg)
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct().cache()
+    val eCnt = und.count()
+    val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+      .groupBy("id").agg(scount(lit(1)).as("deg")).cache()
+    // the planted hub is real: vertex n has degree EXACTLY hubDeg
+    assert(deg.where(col("id") === n).select("deg").as[Long].head() === hubDeg.toLong)
+    def wedges(d: org.apache.spark.sql.DataFrame): Long =
+      d.agg(ssum((col("deg") * (col("deg") - 1)) / 2).cast("long")).as[Long].head()
+    val wAll = wedges(deg)
+    val wCap = wedges(deg.where(col("deg") <= cap))
+    // law 1 (the scale argument, now measured on skew): sub-cap centers
+    // emit ≤ cap·|E| wedges — LINEAR in edges — while the hub ALONE
+    // emits hubDeg·(hubDeg−1)/2, more than the whole capped budget
+    val hubWedges = hubDeg.toLong * (hubDeg - 1) / 2
+    assert(wCap <= cap.toLong * eCnt, s"capped wedges $wCap > cap*|E| ${cap.toLong * eCnt}")
+    assert(wAll >= hubWedges)
+    assert(hubWedges > wCap,
+      s"hub wedges $hubWedges should dominate the capped budget $wCap on this graph")
+
+    // law 2: capped ⊆ exact with per-pair cn and aa DOMINATED by exact
+    // (capped = exact scoring on the sub-cap-center subgraph)
+    val exact = Graph.adamicAdar(edges)
+    val exactN = exact.count()
+    val capped = Graph.adamicAdarCapped(edges, cap)
+    val cappedN = capped.count()
+    assert(cappedN > 0 && cappedN < exactN)
+    val dom = capped.as("c").join(exact.as("e"), Seq("x", "y"))
+    assert(dom.count() === cappedN, "every capped pair must exist in the exact output")
+    assert(dom.where(col("c.cn") > col("e.cn") ||
+      col("c.aa") > col("e.aa") + 1e-9).count() === 0)
+
+    // law 3: hub-only pairs — exact pairs the capped tier DROPS because
+    // all their shared neighbors are super-cap. In the exact regime
+    // (both endpoint degrees ≤ k) the sketch holds both FULL
+    // neighborhoods, so it must (a) score every such pair > 0 — the hub
+    // evidence the capped tier is blind to — and (b) reproduce the
+    // exact tier's score bit-for-bit (both round to 6 dp).
+    val degX = deg.select(col("id").as("x"), col("deg").as("dx"))
+    val degY = deg.select(col("id").as("y"), col("deg").as("dy"))
+    val droppedSmall = exact.join(capped, Seq("x", "y"), "left_anti")
+      .join(degX, Seq("x")).join(degY, Seq("y"))
+      .where(col("dx") <= k && col("dy") <= k)
+      .select(col("x"), col("y"), col("aa")).orderBy("x", "y").limit(300).cache()
+    val droppedN = droppedSmall.count()
+    assert(droppedN > 0, "the planted hub must create capped-tier blind-spot pairs")
+    val sk = Graph.adamicAdarSketch(edges, droppedSmall.select("x", "y"), k)
+    val skJoined = sk.join(droppedSmall, Seq("x", "y")).cache()
+    assert(skJoined.count() === droppedN) // one row per candidate, no drops
+    assert(skJoined.where(col("aa_est") <= 0.0).count() === 0,
+      "sketch must retain hub evidence the capped tier drops")
+    assert(skJoined.where(abs(col("aa_est") - col("aa")) > 1e-6).count() === 0,
+      "exact-regime sketch scores must equal the exact tier")
+    und.unpersist(); deg.unpersist(); droppedSmall.unpersist(); skJoined.unpersist()
+  }
+
   test("bm25TopK: tf saturation and length normalization order as expected") {
     val d = Seq(
       (1L, "cat cat dog bird"),  // tf(cat)=2, dl=4
