@@ -524,13 +524,148 @@ object FuzzCatalog {
        ${arms.mkString("\nUNION ALL\n")}"""
   }
 
+  // ---- nested-layer fuzz ---------------------------------------------------
+  // The document machinery (VERDICT r10 #5) — the deepest surface that
+  // was covered only pointwise (8 q_nested_* entries): generated trees
+  // now run through existsIn (any-child predicate), drillFilter
+  // (in-place array rewrite) counted and summed (sumOver of a generated
+  // exact-int tree over the FILTERED arm), and the implicit one-branch
+  // descent with generated parent predicates. The Spark side reads the
+  // ASSEMBLED orders⊃lineitems documents (struct-array HOFs, no
+  // explode round-trip except the descent kind); the oracle replays
+  // each case against the FLAT tables with EXISTS / conditional
+  // aggregates / LEFT JOIN — a genuinely different dataflow proving
+  // the same semantics. All cases share the (case_id, k, v) shape so
+  // 16 of them union into one entry.
+
+  val nestedBlocks: Seq[(String, Long, Int)] = Seq(
+    ("q_fuzz_nested_b1", 13013L, 16))
+
+  /** Child-arm variable mapping (fields of the lineitems struct). */
+  private[graft] def nlVar(name: String): jx.JxExpr = {
+    import jx.JxExpr._
+    name match {
+      case "int1"  => BinaryOp("mod", Variable("l_partkey"), Lit(100L), NullOp)
+      case "int2"  => BinaryOp("mod", Variable("l_suppkey"), Lit(97L), NullOp)
+      case "num1"  => Variable("l_quantity")
+      case "num2"  => Variable("l_extendedprice")
+      case "str1"  => Variable("l_returnflag")
+      case "str2"  => Variable("l_linestatus")
+      case "bool1" => InequalityOp("gt", Variable("l_quantity"), Lit(25L))
+      case other   => Variable(other)
+    }
+  }
+
+  /** Parent variable mapping (orders fields — kind-3 where clauses). */
+  private def noVar(name: String): jx.JxExpr = {
+    import jx.JxExpr._
+    name match {
+      case "int1"  => BinaryOp("mod", Variable("o_custkey"), Lit(50L), NullOp)
+      case "int2"  => BinaryOp("mod", Variable("o_orderkey"), Lit(97L), NullOp)
+      case "num1" | "num2" => Variable("o_totalprice")
+      case "str1"  => Variable("o_orderstatus")
+      case "str2"  => Variable("o_orderpriority")
+      case "bool1" => InequalityOp("gt", Variable("o_totalprice"), Lit(150000L))
+      case other   => Variable(other)
+    }
+  }
+
+  /** Doc-plan column set the generated trees can reference. */
+  private[graft] val nestedNeeded = Some(Set(
+    "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority",
+    "lineitems", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+    "l_returnflag", "l_linestatus", "l_linenumber"))
+
+  private def nestedEntry(seed: Long, n: Int): Q = (s, dir) => {
+    val cs = JxFuzz.nestedCases(seed, n)
+    val frames = cs.zipWithIndex.map { case (c, i) =>
+      val predJson = jx.JxExpr.jsonString(JxFuzz.mapVars(c.pred, nlVar))
+      def docs = NestedCatalog.load(s, dir, nestedNeeded)("orders_docs")
+        .where(col("o_orderkey") < 800)
+      val out: DataFrame = c.kind match {
+        case 0 => docs.where(graft.ops.NestedOps.existsIn("lineitems", predJson))
+          .select(col("o_orderkey").cast("long").as("k"), lit(1.0).as("v"))
+        case 1 => graft.ops.NestedOps.drillFilter(docs, "lineitems", predJson)
+          .select(col("o_orderkey").cast("long").as("k"),
+            coalesce(size(col("lineitems")), lit(0)).cast("double").as("v"))
+        case 2 =>
+          val vJson = jx.JxExpr.jsonString(JxFuzz.mapVars(c.value, nlVar))
+          graft.ops.NestedOps.drillFilter(docs, "lineitems", predJson)
+            .select(col("o_orderkey").cast("long").as("k"),
+              graft.ops.NestedOps.sumOver("lineitems", vJson).cast("double").as("v"))
+        case _ =>
+          val q = s"""{
+            "from": "orders_docs",
+            "select": ["o_orderkey", {"name": "ln", "value": "lineitems.l_linenumber"}],
+            "where": {"and": [{"lt": {"o_orderkey": 800}},
+                              ${jx.JxExpr.jsonString(JxFuzz.mapVars(c.parentPred, noVar))}]},
+            "sort": ["o_orderkey", "lineitems.l_linenumber"],
+            "limit": 10000
+          }"""
+          jx.QueryRunner.run(s, jx.JxQuery.parse(q),
+              NestedCatalog.load(s, dir, nestedNeeded))
+            .select(col("o_orderkey").cast("long").as("k"),
+              col("ln").cast("double").as("v"))
+      }
+      out.select(lit(i).cast("int").as("case_id"), col("k"), col("v"))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
+  /** Dialect-parameterized; the oracle's dataflow is deliberately
+    * DIFFERENT from the entry's (flat-table EXISTS / conditional
+    * aggregates / LEFT JOIN vs struct-array HOFs over assembled docs). */
+  private[graft] def nestedOracle(seed: Long, n: Int,
+      d: jx.JxSql.Dialect = jx.JxSql.DuckDb): String = {
+    val cs = JxFuzz.nestedCases(seed, n)
+    val arms = cs.zipWithIndex.map { case (c, i) =>
+      val p = jx.JxSql.truthy(JxFuzz.mapVars(c.pred, nlVar), d)
+      c.kind match {
+        case 0 => s"""
+          SELECT $i AS case_id, CAST(o_orderkey AS BIGINT) AS k, 1.0 AS v
+          FROM o WHERE EXISTS (SELECT 1 FROM lineitem l
+                               WHERE l.l_orderkey = o.o_orderkey AND $p)"""
+        // the LEFT JOIN pads childless parents with a PHANTOM all-null
+        // child row that a null-hungry generated predicate (e.g.
+        // missing(...)) can MATCH — the document side has an empty
+        // array there, no phantom member. Guard on the join key so the
+        // predicate only ever sees real children. (Found by this
+        // block's first run: order 114 at sf0.001 has no lineitems;
+        // the phantom row matched `missing(mod(l_suppkey, 97))` and
+        // LEAST(NULL, 3, NULL) summed 3 into an empty-arm aggregate.)
+        case 1 => s"""
+          SELECT $i AS case_id, CAST(o_orderkey AS BIGINT) AS k,
+                 CAST(COUNT(CASE WHEN l.l_orderkey IS NOT NULL AND $p THEN 1 END) AS DOUBLE) AS v
+          FROM o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          GROUP BY 2"""
+        case 2 =>
+          val v = jx.JxSql.sql(JxFuzz.mapVars(c.value, nlVar), d)
+          s"""
+          SELECT $i AS case_id, CAST(o_orderkey AS BIGINT) AS k,
+                 CAST(COALESCE(SUM(CASE WHEN l.l_orderkey IS NOT NULL AND $p THEN ($v) END), 0) AS DOUBLE) AS v
+          FROM o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          GROUP BY 2"""
+        case _ =>
+          val pp = jx.JxSql.truthy(JxFuzz.mapVars(c.parentPred, noVar), d)
+          s"""
+          SELECT $i AS case_id, CAST(o_orderkey AS BIGINT) AS k,
+                 CAST(l_linenumber AS DOUBLE) AS v
+          FROM o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          WHERE $pp"""
+      }
+    }
+    s"""WITH o AS (SELECT * FROM orders WHERE o_orderkey < 800)
+       ${arms.mkString("\nUNION ALL\n")}"""
+  }
+
   def queries: Map[String, Q] =
     blocks.map { case (name, seed, n) => name -> entry(seed, n) }.toMap ++
       aggBlocks.map { case (name, seed, n) => name -> aggEntry(seed, n) }.toMap ++
       windowBlocks.map { case (name, seed, n) => name -> windowEntry(seed, n) }.toMap ++
       edgeBlocks.map { case (name, seed, n) => name -> edgeEntry(seed, n) }.toMap ++
       setopBlocks.map { case (name, seed, n) => name -> setopEntry(seed, n) }.toMap ++
-      setopPairBlocks.map { case (name, seed, n) => name -> setopPairEntry(seed, n) }.toMap
+      setopPairBlocks.map { case (name, seed, n) => name -> setopPairEntry(seed, n) }.toMap ++
+      nestedBlocks.map { case (name, seed, n) => name -> nestedEntry(seed, n) }.toMap
 
   def oracles: Map[String, String] =
     blocks.map { case (name, seed, n) => name -> oracle(seed, n) }.toMap ++
@@ -538,5 +673,6 @@ object FuzzCatalog {
       windowBlocks.map { case (name, seed, n) => name -> windowOracle(seed, n) }.toMap ++
       edgeBlocks.map { case (name, seed, n) => name -> edgeOracle(seed, n) }.toMap ++
       setopBlocks.map { case (name, seed, n) => name -> setopOracle(seed, n) }.toMap ++
-      setopPairBlocks.map { case (name, seed, n) => name -> setopPairOracle(seed, n) }.toMap
+      setopPairBlocks.map { case (name, seed, n) => name -> setopPairOracle(seed, n) }.toMap ++
+      nestedBlocks.map { case (name, seed, n) => name -> nestedOracle(seed, n) }.toMap
 }

@@ -51,16 +51,17 @@ object SparkEntry {
     * tier's documented worst case grades the engine on a plan it
     * doesn't ship (VERDICT r7 "What's wrong" #3). */
   val benchExcluded: Set[String] = Set("q_dedup_jaccard_naive") ++
-    // fuzz blocks are CORRECTNESS fixtures (645 differential cases
-    // across 10 blocks — 500 scalar, 80 aggregate, 30 window, 14
-    // edges, 12 setop pipelines + 9 set-op pairs — under the DuckDB
-    // gate): their timed cost is wide-projection codegen compile mass,
-    // not engine work, and timing them would drift the headline total
-    // against every prior baseline row for reasons unrelated to
-    // performance (review r10)
+    // fuzz blocks are CORRECTNESS fixtures (661 differential cases
+    // across 11 blocks — 500 scalar, 80 aggregate, 30 window, 14
+    // edges, 12 setop pipelines + 9 set-op pairs, 16 nested — under
+    // the DuckDB gate): their timed cost is wide-projection codegen
+    // compile mass, not engine work, and timing them would drift the
+    // headline total against every prior baseline row for reasons
+    // unrelated to performance (review r10)
     FuzzCatalog.blocks.map(_._1) ++ FuzzCatalog.aggBlocks.map(_._1) ++
     FuzzCatalog.windowBlocks.map(_._1) ++ FuzzCatalog.edgeBlocks.map(_._1) ++
-    FuzzCatalog.setopBlocks.map(_._1) ++ FuzzCatalog.setopPairBlocks.map(_._1)
+    FuzzCatalog.setopBlocks.map(_._1) ++ FuzzCatalog.setopPairBlocks.map(_._1) ++
+    FuzzCatalog.nestedBlocks.map(_._1)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -391,6 +391,25 @@ object JxFuzz {
     }
   }
 
+  /** One nested-layer case (VERDICT r10 #5): generated trees through
+    * the document machinery — the deepest remaining hand-enumerated
+    * surface. Four kinds cycle: 0 = existsIn (any-child predicate on
+    * the parent), 1 = drillFilter + size (in-place array rewrite,
+    * counted), 2 = drillFilter + sumOver (filtered in-document
+    * aggregate of a generated exact-int value tree), 3 = implicit
+    * one-branch descent with a generated PARENT predicate (child-array
+    * select paths explode; `pred`/`value` roam the child fields via
+    * the child variable mapping, `parentPred` the parent fields). */
+  case class NestedCase(kind: Int, pred: JxExpr, value: JxExpr, parentPred: JxExpr)
+
+  def nestedCases(seed: Long, n: Int): Seq[NestedCase] = {
+    val rnd = new Random(seed)
+    (0 until n).map { i =>
+      NestedCase(i % 4, genBool(rnd, 2),
+        genInt(rnd, 1 + rnd.nextInt(2)), genBool(rnd, 2))
+    }
+  }
+
   /** `n` deterministic cases for `seed`: names e000…, root depth 2-4,
     * type mix num 40% / bool 30% / str 20% / int 10%. */
   def cases(seed: Long, n: Int): Seq[FuzzCase] = {

@@ -234,6 +234,36 @@ class JxFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("nested cases: the document machinery equals the flat-table Spark-SQL rendering") {
+    // the in-suite leg of the nested fuzz (VERDICT r10 #5): the entry
+    // reads ASSEMBLED orders⊃lineitems documents through struct-array
+    // HOFs (existsIn / drillFilter / sumOver) and the implicit descent;
+    // the rendering replays each case against the FLAT tables with
+    // EXISTS / conditional aggregates / LEFT JOIN — two genuinely
+    // different dataflows that must agree row-for-row
+    SparkEntry.loader(spark, dir)("orders").createOrReplaceTempView("orders")
+    SparkEntry.loader(spark, dir)("lineitem").createOrReplaceTempView("lineitem")
+    for ((name, seed, n) <- FuzzCatalog.nestedBlocks) {
+      val viaDocs = FuzzCatalog.queries(name)(spark, dir)
+      val viaSql = spark.sql(FuzzCatalog.nestedOracle(seed, n, JxSql.SparkSql))
+      val (a, b) = (lines(viaDocs), lines(viaSql))
+      val diffs = a.zip(b).filter { case (x, y) => x != y }
+      assert(a.size == b.size && diffs.isEmpty,
+        s"$name: sizes ${a.size}/${b.size}, ${diffs.size} differing rows; first: ${diffs.headOption}")
+    }
+  }
+
+  test("nested cases round-trip their trees; all four kinds appear") {
+    for ((_, seed, n) <- FuzzCatalog.nestedBlocks) {
+      val cs = JxFuzz.nestedCases(seed, n)
+      assert(cs.map(_.kind).toSet === Set(0, 1, 2, 3))
+      for (c <- cs; t <- Seq(c.pred, c.value, c.parentPred)) {
+        val json = jx.JxExpr.jsonString(t)
+        assert(jx.JxExpr.parseJson(json) == t, s"nested tree drift via $json")
+      }
+    }
+  }
+
   test("generation is deterministic across invocations (seeded LCG)") {
     val a = JxFuzz.cases(1001L, 125)
     val b = JxFuzz.cases(1001L, 125)
