@@ -54,7 +54,12 @@ object FuzzCatalog {
           .otherwise(concat(col("l_returnflag"), col("l_linestatus"),
             lit("_"), col("l_linenumber").cast("string"))).as("str2"),
         when(col("l_orderkey") % 11 === 0, lit(null))
-          .otherwise(col("l_quantity") > 25).as("bool1"))
+          .otherwise(col("l_quantity") > 25).as("bool1"),
+        // timestamp var for the date-math ops (r11 widening): midnight
+        // values — integral epoch seconds, exact in doubles on both
+        // engines and under the 10-sig-digit comparator
+        when(col("l_suppkey") % 7 === 0, lit(null))
+          .otherwise(col("l_shipdate")).as("ts1"))
 
   /** DuckDB side of the domain (the oracle CTE body). */
   val domainSql: String = """
@@ -66,7 +71,8 @@ object FuzzCatalog {
            CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_returnflag END AS str1,
            CASE WHEN l_linenumber % 2 = 0 THEN NULL
                 ELSE l_returnflag || l_linestatus || '_' || CAST(l_linenumber AS VARCHAR) END AS str2,
-           CASE WHEN l_orderkey % 11 = 0 THEN NULL ELSE l_quantity > 25 END AS bool1
+           CASE WHEN l_orderkey % 11 = 0 THEN NULL ELSE l_quantity > 25 END AS bool1,
+           CASE WHEN l_suppkey % 7 = 0 THEN NULL ELSE l_shipdate END AS ts1
     FROM lineitem WHERE l_orderkey < 500"""
 
   /** Output normalization, mirrored on both sides: numeric results to
@@ -143,6 +149,7 @@ object FuzzCatalog {
       case "str2"  => ConcatOp(Seq(Variable("l_returnflag"), Variable("l_linestatus"),
         CastOp("string", Variable("l_linenumber"))), Lit("_"), NullOp)
       case "bool1" => InequalityOp("gt", Variable("l_quantity"), Lit(25L))
+      case "ts1"   => Variable("l_shipdate")
       case other   => Variable(other)
     }
   }
@@ -217,6 +224,7 @@ object FuzzCatalog {
       case "num1" | "num2" => Variable("value")
       case "str1" | "str2" => Variable("event_type")
       case "bool1" => InequalityOp("gt", Variable("value"), Lit(50L))
+      case "ts1"   => Variable("ts")
       case other   => Variable(other)
     }
   }
@@ -552,6 +560,7 @@ object FuzzCatalog {
       case "str1"  => Variable("l_returnflag")
       case "str2"  => Variable("l_linestatus")
       case "bool1" => InequalityOp("gt", Variable("l_quantity"), Lit(25L))
+      case "ts1"   => Variable("l_shipdate")
       case other   => Variable(other)
     }
   }
@@ -566,6 +575,7 @@ object FuzzCatalog {
       case "str1"  => Variable("o_orderstatus")
       case "str2"  => Variable("o_orderpriority")
       case "bool1" => InequalityOp("gt", Variable("o_totalprice"), Lit(150000L))
+      case "ts1"   => Variable("o_orderdate")
       case other   => Variable(other)
     }
   }
@@ -573,7 +583,8 @@ object FuzzCatalog {
   /** Doc-plan column set the generated trees can reference. */
   private[graft] val nestedNeeded = Some(Set(
     "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority",
-    "lineitems", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+    "o_orderdate", "lineitems", "l_partkey", "l_suppkey", "l_quantity",
+    "l_extendedprice", "l_shipdate",
     "l_returnflag", "l_linestatus", "l_linenumber"))
 
   private def nestedEntry(seed: Long, n: Int): Q = (s, dir) => {

@@ -57,6 +57,13 @@ object GraphSkewBench {
     val hubDeg = args.lift(2).map(_.toInt).getOrElse(10000)
     val cap = args.lift(3).map(_.toInt).getOrElse(15)
     val k = args.lift(4).map(_.toInt).getOrElse(32)
+    // rescore-prefix width: how deep into the CAPPED ranking the exact
+    // re-scorer reads. The capped ranking reorders (it drops mid-degree
+    // center evidence), so the prefix must be several× the final top-K
+    // — the r11 measurement: prefix 2,000 → recall@1000 0.608, prefix
+    // 20,000 → see BASELINE.md (rescore cost stays linear in the
+    // prefix's adjacency fan-out, far below the exact tier's wedges)
+    val prefix = args.lift(5).map(_.toInt).getOrElse(20000)
     val spark = GraftSession.get()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -110,6 +117,19 @@ object GraphSkewBench {
     val sketchScored = graft.ops.Graph.adamicAdarSketch(edges, cand, k)
     val sketchPairsCnt = sketchScored.count()
 
+    // the tiered COMPOSITION the scaladoc prescribes for hub graphs:
+    // capped generates + ranks, the top survivors get EXACT re-scores
+    // at linear cost (no wedge join). Timed like the other tiers; the
+    // end-to-end recall of the composition is computed below.
+    val cappedTop = cappedDf.orderBy($"aa".desc, $"x", $"y").limit(prefix)
+      .select($"x", $"y").persist()
+    cappedTop.count()
+    val (_, tRescoreCold) = time(
+      graft.ops.Graph.adamicAdarRescore(edges, cappedTop).count())
+    val (rescoredDf, tRescoreWarm) = time {
+      val df = graft.ops.Graph.adamicAdarRescore(edges, cappedTop); df.count(); df
+    }
+
     // recall: how much of the exact tier's TOP of the ranking does the
     // capped tier keep? (The capped tier's documented semantics: drops
     // pairs whose ONLY evidence is super-cap hubs — the lowest-weight
@@ -119,6 +139,16 @@ object GraphSkewBench {
       .select($"x", $"y").persist()
     exactTop.count()
     val topKept = exactTop.join(cappedDf, Seq("x", "y")).count()
+    // the composition's numbers: rescored values must EQUAL the exact
+    // tier (same wedge sum, different dataflow), and the end-to-end
+    // top-1000 of (capped top-2000 → exact rescore) against the true
+    // exact top-1000 is the pipeline's real recall
+    val rescoreJoin = rescoredDf.as("r").join(exactDf.as("e"), Seq("x", "y"))
+    val rescoreMismatch = rescoreJoin
+      .where(abs($"r.aa" - $"e.aa") > 1e-6 || $"r.cn" =!= $"e.cn").count()
+    val pipeTop = rescoredDf.orderBy($"aa".desc, $"x", $"y").limit(1000)
+      .select($"x", $"y")
+    val pipeKept = exactTop.join(pipeTop, Seq("x", "y")).count()
 
     // sketch accuracy vs exact over the scored candidates (nonzero
     // exact score always exists: every candidate shares >=1 sub-cap
@@ -150,6 +180,10 @@ object GraphSkewBench {
       s""""exact_cold":${r3(tExactCold)},"exact_warm":${r3(tExactWarm)},""" +
       s""""capped_cold":${r3(tCappedCold)},"capped_warm":${r3(tCappedWarm)},""" +
       s""""sketch_cold":${r3(tSketchCold)},"sketch_warm":${r3(tSketchWarm)},""" +
+      s""""rescore_prefix":$prefix,""" +
+      s""""rescore_cold":${r3(tRescoreCold)},"rescore_warm":${r3(tRescoreWarm)},""" +
+      s""""rescore_mismatch_rows":$rescoreMismatch,""" +
+      s""""pipeline_recall_at_1000":${r3(pipeKept / 1000.0)},""" +
       s""""capped_recall_at_1000":${r3(topKept / 1000.0)},""" +
       s""""sketch_relerr_p50":${r3(p50)},"sketch_relerr_p90":${r3(p90)},""" +
       s""""sketch_relerr_top1000_p50":${r3(p50Top)},"sketch_relerr_top1000_p90":${r3(p90Top)}}""")

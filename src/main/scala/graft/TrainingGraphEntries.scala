@@ -403,6 +403,54 @@ private[graft] object TrainingGraphEntries {
       WHERE dx.deg <= 24 AND dy.deg <= 24
       ORDER BY sc.aa_est DESC, c.x, c.y LIMIT 100""")),
 
+    // Exact RE-SCORING of a bounded candidate list — the fourth tier
+    // (r11: the skew measurement showed KMV estimates collapse to 0 on
+    // top-ranked pairs whose intersections are tiny fractions of
+    // hub-sized unions, k·|∩|/|∪| < 1). The production composition:
+    // capped generates + RANKS, the top survivors get exact scores at
+    // linear cost (per-pair adjacency semi-join — no Σdeg² wedge join).
+    // Oracle: the capped-tier CTE picks the same top-100 candidates,
+    // LEFT-joined to the UNCAPPED wedge sums.
+    "q_graph_adamic_adar_rescore" -> (q((s, dir) => {
+      val edges = recentCoPurchaseEdges(s, dir)
+      val cand = graft.ops.Graph.adamicAdarCapped(edges, maxDeg = 15)
+        .orderBy(col("aa").desc, col("x"), col("y")).limit(100)
+        .select(col("x"), col("y"))
+      graft.ops.Graph.adamicAdarRescore(edges, cand)
+        .orderBy(col("aa").desc, col("x"), col("y"))
+    }), Some("""
+      WITH li AS (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1999-01-01'),
+      e0 AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e0),
+      deg AS (SELECT id, count(*) AS deg FROM (
+                SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+      adj AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e),
+      wadjc AS (SELECT adj.z, adj.n, 1.0 / ln(deg.deg) AS w
+                FROM adj JOIN deg ON adj.z = deg.id
+                WHERE deg.deg <= 15),
+      scc AS (
+        SELECT l.n AS x, r.n AS y, round(sum(l.w), 6) AS aa
+        FROM wadjc l JOIN wadjc r ON l.z = r.z AND l.n < r.n
+        GROUP BY 1, 2),
+      cand AS (
+        SELECT x, y FROM scc
+        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = scc.x AND e.b = scc.y)
+        ORDER BY aa DESC, x, y LIMIT 100),
+      wadj AS (SELECT adj.z, adj.n, 1.0 / ln(deg.deg) AS w
+               FROM adj JOIN deg ON adj.z = deg.id),
+      sc AS (
+        SELECT l.n AS x, r.n AS y, count(*) AS cn, round(sum(l.w), 6) AS aa
+        FROM wadj l JOIN wadj r ON l.z = r.z AND l.n < r.n
+        GROUP BY 1, 2)
+      SELECT c.x, c.y,
+             CAST(coalesce(sc.cn, 0) AS BIGINT) AS cn,
+             coalesce(sc.aa, 0.0) AS aa
+      FROM cand c LEFT JOIN sc ON sc.x = c.x AND sc.y = c.y
+      ORDER BY aa DESC, c.x, c.y""")),
+
     // k-core backbone of the recent co-purchase graph (same ≥1999
     // slice): 3 bounded peeling rounds at k=13 — each round one degree
     // aggregate + vertex-sized broadcast semi-joins, the edge list

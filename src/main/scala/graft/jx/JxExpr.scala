@@ -172,6 +172,10 @@ object JxExpr {
       JObject(List("find" -> JArray(List(toJson(v), toJson(f)))) ++
         (start match { case Lit(0L) => Nil; case s => List("start" -> toJson(s)) }) ++
         optJson(default))
+    case BetweenOp(v, p, s, start, default) =>
+      JObject(List("between" -> JArray(List(toJson(v), toJson(p), toJson(s)))) ++
+        (start match { case Lit(0L) => Nil; case st => List("start" -> toJson(st)) }) ++
+        optJson(default))
     case PrefixOp(v, p) => JObject("prefix" -> JArray(List(toJson(v), toJson(p))))
     case SuffixOp(v, p) => JObject("suffix" -> JArray(List(toJson(v), toJson(p))))
     case ConcatOp(ts, separator, default) =>

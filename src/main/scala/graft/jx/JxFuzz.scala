@@ -132,6 +132,13 @@ object JxFuzz {
           genNum(rnd, d - 1, inProduct), NullOp)),
         caseDefault(genNum(rnd, d - 1, inProduct)))),
       1 -> (() => CastOp("number", genCastableStr(rnd))),
+      // date math (r11 widening): epoch seconds of the domain's
+      // timestamp (integral ~8.6e8 — exact in doubles and under the
+      // 10-sig-digit comparator) or of a from_unix round-trip over a
+      // SMALL literal (a huge generated double into a timestamp would
+      // hit the engines' different overflow behaviors)
+      1 -> (() => UnixOp(if (rnd.nextInt(4) > 0) Variable("ts1")
+                         else FromUnixOp(Lit(oneOf(rnd, intLits))))),
       1 -> (() => LengthOp(genStr(rnd, d - 1))),
       1 -> (() => FindOp(genStr(rnd, d - 1), Lit(oneOf(rnd, findTargets)),
         Lit(0L), numDefault(rnd)))).filter(_._1 > 0))
@@ -170,6 +177,16 @@ object JxFuzz {
         separator = if (rnd.nextBoolean()) Lit("_") else Lit(""),
         default = if (rnd.nextBoolean()) NullOp else Lit(oneOf(rnd, strLits)))),
       3 -> (() => WhenOp(genBool(rnd, d - 1), genStr(rnd, d - 1), genStr(rnd, d - 1))),
+      // between with non-empty literal needles and start 0 — the
+      // JxSql-renderable subset (r11 widening); a string default half
+      // the time exercises the absent-needle arm. The VALUE is a LEAF:
+      // the SQL rendering textually repeats it ~8× (begin/end/result
+      // arms), so a deep subtree here compounds exponentially upward —
+      // the first widened run OOM'd Spark's ANTLR parser on the
+      // rendered block before this bound
+      2 -> (() => BetweenOp(genStr(rnd, 0),
+        Lit(oneOf(rnd, findTargets)), Lit(oneOf(rnd, findTargets)), Lit(0L),
+        if (rnd.nextBoolean()) NullOp else Lit(oneOf(rnd, strLits)))),
       2 -> (() => CoalesceOp(terms(rnd, 3, () => genStr(rnd, d - 1)))),
       1 -> (() => CaseOp(
         Seq.fill(1 + rnd.nextInt(2))(WhenOp(genBool(rnd, d - 1), genStr(rnd, d - 1), NullOp)),
@@ -221,8 +238,12 @@ object JxFuzz {
       case CoalesceOp(ts) => CoalesceOp(ts.map(m))
       case CastOp(kind, t) => CastOp(kind, m(t))
       case LengthOp(t) => LengthOp(m(t))
+      case UnixOp(t) => UnixOp(m(t))
+      case FromUnixOp(t) => FromUnixOp(m(t))
       case SubstrOp(kind, v, n) => SubstrOp(kind, m(v), m(n))
       case FindOp(v, fi, st, dflt) => FindOp(m(v), m(fi), m(st), m(dflt))
+      case BetweenOp(v, p, sfx, st, dflt) =>
+        BetweenOp(m(v), m(p), m(sfx), m(st), m(dflt))
       case PrefixOp(v, p) => PrefixOp(m(v), m(p))
       case SuffixOp(v, p) => SuffixOp(m(v), m(p))
       case ConcatOp(ts, sep, dflt) => ConcatOp(ts.map(m), m(sep), m(dflt))

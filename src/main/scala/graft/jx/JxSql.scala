@@ -37,6 +37,11 @@ object JxSql {
     def regexpFullMatch(s: String, rawPat: String): String
     /** The dialect's spelling of the string type in CAST. */
     def stringType: String
+    /** Timestamp → DOUBLE epoch seconds (the compiler's UnixOp is a
+      * double cast, which DuckDB's CAST cannot do on timestamps). */
+    def epochSeconds(ts: String): String
+    /** DOUBLE epoch seconds → timestamp (FromUnixOp). */
+    def toTimestamp(sec: String): String
   }
 
   /** DuckDB: the driver's oracle engine. */
@@ -46,6 +51,8 @@ object JxSql {
     def regexpFullMatch(s: String, rawPat: String) =
       s"regexp_full_match($s, ${litSql(rawPat)})"
     val stringType = "VARCHAR"
+    def epochSeconds(ts: String) = s"epoch($ts)" // returns DOUBLE
+    def toTimestamp(sec: String) = s"to_timestamp($sec)"
   }
 
   /** Spark SQL: the in-suite differential target. */
@@ -55,6 +62,8 @@ object JxSql {
     def regexpFullMatch(s: String, rawPat: String) =
       s"regexp_like($s, ${litSql("^(?:" + rawPat + ")" + "$")})"
     val stringType = "STRING"
+    def epochSeconds(ts: String) = s"CAST($ts AS DOUBLE)"
+    def toTimestamp(sec: String) = s"timestamp_seconds($sec)"
   }
 
   def litSql(v: Any): String = v match {
@@ -167,6 +176,14 @@ object JxSql {
       // TRUNCATE in Spark and ROUND in DuckDB — out of scope
       s"CAST(${sql(t, d)} AS BIGINT)"
     case CastOp("string", t)  => s"CAST(${sql(t, d)} AS ${d.stringType})"
+    // date math (r11 widening): the compiler's UnixOp is cast-to-double
+    // (fractional epoch seconds preserved); both engines agree on
+    // integral-second fixtures and IEEE arithmetic over them. The
+    // fuzzed subset keeps FromUnixOp arguments to small literals so a
+    // huge generated double can never hit the engines' DIFFERENT
+    // timestamp-overflow behaviors (Spark nulls, DuckDB errors).
+    case UnixOp(t)     => d.epochSeconds(sql(t, d))
+    case FromUnixOp(Lit(v)) => d.toTimestamp(litSql(v))
 
     // ---- string ----------------------------------------------------------
     case LengthOp(t) => s"LENGTH(${sql(t, d)})"
@@ -185,6 +202,25 @@ object JxSql {
       val loc = d.strpos(s, litSql(f))
       val dflt = default match { case NullOp => "NULL"; case dd => sql(dd, d) }
       s"(CASE WHEN $s IS NULL OR $loc IS NULL OR $loc = 0 THEN $dflt ELSE CAST($loc - 1 AS BIGINT) END)"
+    case BetweenOp(v, Lit(p: String), Lit(sfx: String), Lit(0L), default) =>
+      // r11 widening, mirroring JxCompiler's dataflow (JxCompiler.scala
+      // BetweenOp): begin = 1-based position just AFTER the first
+      // prefix occurrence; end = first suffix occurrence at-or-after
+      // begin (searched via substring shift — identical to a
+      // position-arg locate, and expressible in both dialects); either
+      // absent → default. The fuzzed subset pins prefix/suffix to
+      // non-empty literals and start to 0 (empty-needle position
+      // semantics differ across engines, same stance as FindOp).
+      require(p.nonEmpty && sfx.nonEmpty,
+        "between prefix/suffix must be non-empty in the fuzzed subset")
+      val s = sql(v, d)
+      val loc1 = d.strpos(s, litSql(p))
+      val begin = s"(CASE WHEN $loc1 = 0 THEN NULL ELSE $loc1 + ${p.length} END)"
+      val loc2 = d.strpos(s"SUBSTR($s, $begin)", litSql(sfx))
+      val end = s"(CASE WHEN $loc2 = 0 THEN NULL ELSE $loc2 + $begin - 1 END)"
+      val res = s"SUBSTR($s, $begin, $end - $begin)"
+      val dflt = default match { case NullOp => "NULL"; case dd => sql(dd, d) }
+      s"(CASE WHEN $s IS NULL OR $begin IS NULL OR $end IS NULL THEN $dflt ELSE $res END)"
     case PrefixOp(v, p) =>
       val (s, pc) = (sql(v, d), sql(p, d))
       s"(CASE WHEN $pc IS NULL THEN TRUE ELSE COALESCE(SUBSTR($s, 1, LENGTH($pc)) = $pc, FALSE) END)"

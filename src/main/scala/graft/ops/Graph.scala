@@ -368,6 +368,21 @@ object Graph {
     * [[adamicAdar]]); unbiased with relative error ~1/√k otherwise
     * (seeded-tolerance spec). Returns (x, y, aa_est).
     *
+    * ACCURACY REGIME (measured, r11 planted-hub fixture — see
+    * BASELINE.md): the estimate's resolution is governed by the
+    * expected intersection sample count k·|∩|/|∪|. Below ~1 the
+    * estimate collapses to 0 (no intersection member lands in the
+    * pooled k-prefix) — on a hub-heavy graph that is exactly the
+    * TOP-ranked pairs (|∩| ≈ 20 rare shared neighbors inside
+    * |∪| ≈ 5000 hub-sized unions ⇒ ratio 0.004; raising k to 128 cut
+    * the all-candidate p90 error to ~0 but left top-pair estimates at
+    * 0, while costing O(k²) per pair). Use this tier to score pairs
+    * whose neighborhoods overlap substantially (near-duplicate regime,
+    * |∩|/|∪| ≳ 1/k) or fit the sketch outright (exact regime, its
+    * oracle row); for top-of-ranking on skewed graphs compose
+    * [[adamicAdarCapped]] (generate + rank, 0.993 recall@1000 measured)
+    * with [[adamicAdarRescore]] (exact scores at linear cost).
+    *
     * Plan shape: the member stream shuffles once (edge-shaped —
     * every neighbor must be SEEN once, that is the floor), a
     * rank-within-vertex window streams over a spillable per-key sort
@@ -445,6 +460,49 @@ object Graph {
       paired.select(col("x"), col("y"),
         coalesce(round(est, 6), lit(0.0)).as("aa_est")))
     Pinned.release(undH, skH)
+    out
+  }
+
+  /** EXACT Adamic–Adar re-scoring of a BOUNDED pair list — the fourth
+    * member of the family, closing the gap the r11 skew measurement
+    * exposed: on a hub-heavy graph the TOP-ranked pairs have small
+    * intersections inside hub-sized unions (|∩|/|∪| ≈ 0.004 on the
+    * planted-hub fixture), so the KMV sketch's expected sample count
+    * k·|∩|/|∪| sits below 1 at any practical k and its estimate
+    * collapses to 0 exactly where the ranking matters. This op scores
+    * those pairs EXACTLY — hub evidence included — without the exact
+    * tier's Σdeg² wedge join: per pair, stream x's weighted adjacency
+    * and semi-join it against y's (cost Σ_pairs deg(x) + one
+    * edge-shaped join — LINEAR in edges and pair-list fan-out, no
+    * quadratic term anywhere).
+    *
+    * Composition at scale (the FAISS shape: cheap generator + exact
+    * re-rank of survivors): adamicAdarCapped generates and RANKS
+    * candidates (top-of-ranking recall 0.993 on the skew fixture), the
+    * top-K survivors flow here for exact scores. Returns one row per
+    * candidate pair: (x, y, cn, aa) — 0/0.0 when no shared neighbor
+    * survives (never a dropped row; left join). Pairs are canonical
+    * (x, y) as the sibling tiers emit them; adjacency is symmetric so
+    * orientation does not change the result. */
+  def adamicAdarRescore(edges: DataFrame, pairs: DataFrame): DataFrame = Pinned.guard {
+    val (und, undH) = Pinned.checkpoint(undirectedEdges(edges))
+    val (deg, adj) = degreeAndAdjacency(und)
+    val w = adj.join(broadcast(deg.select(col("id").as("z"),
+      (lit(1.0) / log(col("deg"))).as("__w"))), Seq("z"))
+    val cand = pairs.select(col(pairs.columns(0)).as("x"), col(pairs.columns(1)).as("y"))
+    // z ∈ N(x) fan-out, then keep z ∈ N(y): both joins are edge-shaped
+    // shuffles on vertex keys — AQE may broadcast the pair list when it
+    // is small, but correctness does not depend on it
+    val nx = cand.join(w.select(col("n").as("x"), col("z"), col("__w")), Seq("x"))
+    val nxy = nx.join(adj.select(col("n").as("y"), col("z")), Seq("y", "z"))
+    val scored = nxy.groupBy("x", "y")
+      .agg(count(lit(1)).as("cn"), round(sum(col("__w")), 6).as("aa"))
+    val out = Pinned.hold("graph.adamic_adar_rescore",
+      cand.join(scored, Seq("x", "y"), "left")
+        .select(col("x"), col("y"),
+          coalesce(col("cn"), lit(0L)).as("cn"),
+          coalesce(col("aa"), lit(0.0)).as("aa")))
+    Pinned.release(undH)
     out
   }
 

@@ -264,6 +264,71 @@ class JxFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("r11 widened ops (between, unix/from_unix) appear in generated trees and render") {
+    // VERDICT r10 #6: every op added to JxSql multiplies composition
+    // coverage only if the generator actually emits it — pin presence
+    // across the four committed scalar seeds, and pin the rendering
+    // contract on hand cases whose value is known
+    def ops(e: JxExpr): Seq[String] = {
+      val kids = e match {
+        case JxExpr.BetweenOp(v, p, s, st, d) => Seq(v, p, s, st, d)
+        case JxExpr.UnixOp(t) => Seq(t)
+        case JxExpr.FromUnixOp(t) => Seq(t)
+        case JxExpr.AndOp(ts) => ts; case JxExpr.OrOp(ts) => ts
+        case JxExpr.NotOp(t) => Seq(t)
+        case JxExpr.EqOp(l, r) => Seq(l, r); case JxExpr.NeOp(l, r) => Seq(l, r)
+        case JxExpr.InequalityOp(_, l, r) => Seq(l, r)
+        case JxExpr.InOp(v, l) => Seq(v, l)
+        case JxExpr.MissingOp(t) => Seq(t); case JxExpr.ExistsOp(t) => Seq(t)
+        case JxExpr.MultiOp(_, ts, _, d) => ts :+ d
+        case JxExpr.BinaryOp(_, l, r, d) => Seq(l, r, d)
+        case JxExpr.DivOp(l, r, d) => Seq(l, r, d)
+        case JxExpr.FloorOp(l, r) => Seq(l, r)
+        case JxExpr.MaxOp(ts) => ts; case JxExpr.MinOp(ts) => ts
+        case JxExpr.CountOp(ts) => ts; case JxExpr.CoalesceOp(ts) => ts
+        case JxExpr.CastOp(_, t) => Seq(t)
+        case JxExpr.LengthOp(t) => Seq(t)
+        case JxExpr.SubstrOp(_, v, n) => Seq(v, n)
+        case JxExpr.FindOp(v, f, st, d) => Seq(v, f, st, d)
+        case JxExpr.PrefixOp(v, p) => Seq(v, p); case JxExpr.SuffixOp(v, p) => Seq(v, p)
+        case JxExpr.ConcatOp(ts, sep, d) => ts ++ Seq(sep, d)
+        case JxExpr.RegExpOp(v, p) => Seq(v, p)
+        case JxExpr.WhenOp(c, t, e2) => Seq(c, t, e2)
+        case JxExpr.CaseOp(ws, d) => ws.flatMap(w => Seq(w.cond, w.thenE, w.elseE)) :+ d
+        case _ => Nil
+      }
+      e.getClass.getSimpleName +: kids.flatMap(ops)
+    }
+    val all = (for ((_, seed, n) <- FuzzCatalog.blocks; c <- JxFuzz.cases(seed, n))
+      yield ops(c.expr)).flatten.toSet
+    assert(all.contains("BetweenOp"), "no between generated across the scalar blocks")
+    assert(all.contains("UnixOp"), "no unix generated across the scalar blocks")
+    assert(all.contains("FromUnixOp"), "no from_unix generated across the scalar blocks")
+    // rendering contract, hand-checked: between('RAIL_7', 'R', '_') =
+    // 'AIL' (after first R, before first _ at-or-after); absent needle
+    // → default
+    import spark.implicits._
+    val row = Seq(("RAIL_7", java.sql.Timestamp.valueOf("1992-01-01 00:00:00")))
+      .toDF("s", "t")
+    row.createOrReplaceTempView("fuzz_wide_t")
+    def btw(p: String, sfx: String, dflt: JxExpr = JxExpr.NullOp) =
+      JxExpr.BetweenOp(JxExpr.Variable("s"), JxExpr.Lit(p), JxExpr.Lit(sfx),
+        JxExpr.Lit(0L), dflt)
+    for (e <- Seq(btw("R", "_"), btw("X", "_", JxExpr.Lit("dflt")),
+                  btw("R", "X", JxExpr.Lit("dflt")),
+                  JxExpr.UnixOp(JxExpr.Variable("t")),
+                  JxExpr.UnixOp(JxExpr.FromUnixOp(JxExpr.Lit(25L))))) {
+      val compiled = row.select(JxCompiler.compile(e).as("v")).head.get(0)
+      val rendered = spark.sql(
+        s"SELECT ${JxSql.sql(e, JxSql.SparkSql)} AS v FROM fuzz_wide_t").head.get(0)
+      assert(compiled == rendered, s"compiler/rendering drift on $e: $compiled vs $rendered")
+    }
+    val got = row.select(JxCompiler.compile(btw("R", "_")).as("v")).head.getString(0)
+    assert(got === "AIL")
+    assert(row.select(JxCompiler.compile(JxExpr.UnixOp(JxExpr.Variable("t"))))
+      .head.getDouble(0) === 694224000.0)
+  }
+
   test("generation is deterministic across invocations (seeded LCG)") {
     val a = JxFuzz.cases(1001L, 125)
     val b = JxFuzz.cases(1001L, 125)

@@ -3409,7 +3409,30 @@ class OpsSpec extends AnyFunSuite {
       "sketch must retain hub evidence the capped tier drops")
     assert(skJoined.where(abs(col("aa_est") - col("aa")) > 1e-6).count() === 0,
       "exact-regime sketch scores must equal the exact tier")
+
+    // law 4: the RESCORER equals the exact tier on any candidate list —
+    // top-of-ranking AND hub-only blind-spot pairs, with NO degree
+    // restriction (this is the tier the r11 skew measurement showed is
+    // needed where k·|∩|/|∪| < 1 defeats the sketch) — and scores
+    // ghost pairs 0 instead of dropping them
+    val sampleTop = exact.orderBy(col("aa").desc, col("x"), col("y")).limit(200)
+      .select(col("x"), col("y"), col("cn"), col("aa"))
+    val sampleDropped = exact.join(capped, Seq("x", "y"), "left_anti")
+      .orderBy("x", "y").limit(200).select(col("x"), col("y"), col("cn"), col("aa"))
+    val sample = sampleTop.unionByName(sampleDropped).cache()
+    val sampleN = sample.count()
+    val rescored = Graph.adamicAdarRescore(edges, sample.select("x", "y"))
+    val rj = rescored.as("r").join(sample.as("s"), Seq("x", "y")).cache()
+    assert(rj.count() === sampleN)
+    assert(rj.where(col("r.cn") =!= col("s.cn") ||
+      abs(col("r.aa") - col("s.aa")) > 1e-6).count() === 0,
+      "rescored pairs must equal the exact tier bit-for-bit")
+    val ghosts = Graph.adamicAdarRescore(edges,
+      Seq((888888L, 999999L)).toDF("x", "y")).collect()
+    assert(ghosts.length === 1 && ghosts.head.getLong(2) === 0L &&
+      ghosts.head.getDouble(3) === 0.0)
     und.unpersist(); deg.unpersist(); droppedSmall.unpersist(); skJoined.unpersist()
+    sample.unpersist(); rj.unpersist()
   }
 
   test("bm25TopK: tf saturation and length normalization order as expected") {
