@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
  * row. The small-graph twin of this measurement is the OpsSpec
  * skew-graph law (subset/bound/hub-evidence assertions, no timing).
  *
- * Usage: runMain graft.GraphSkewBench [n m hubDeg cap k]
+ * Usage: runMain graft.GraphSkewBench [n m hubDeg cap k rescorePrefix]
  */
 object GraphSkewBench {
 
@@ -106,16 +106,26 @@ object GraphSkewBench {
     }
     val cappedPairs = cappedDf.count()
 
+    // k <= 0 skips the sketch leg (cap sweeps: the sketch's cost and
+    // accuracy do not depend on the cap, and its struct-array join over
+    // a cap-widened multi-million-pair candidate set is the one leg
+    // that can exhaust the local heap)
+    val runSketch = k > 0
     val cand = cappedDf.select($"x", $"y")
-    val (sketchDf, tSketchCold) = time {
-      val df = graft.ops.Graph.adamicAdarSketch(edges, cand, k); df.count(); df
+    val (sketchScoredOpt, tSketchCold) = if (!runSketch) (None, -1.0) else {
+      val (df0, t) = time {
+        val df = graft.ops.Graph.adamicAdarSketch(edges, cand, k); df.count(); df
+      }
+      (Some(df0), t)
     }
-    val (_, tSketchWarm) = time(graft.ops.Graph.adamicAdarSketch(edges, cand, k).count())
-    // NOTE: the warm sketch invocation superseded sketchDf's pin — but
+    val tSketchWarm = if (!runSketch) -1.0
+      else time(graft.ops.Graph.adamicAdarSketch(edges, cand, k).count())._2
+    // NOTE: the warm sketch invocation superseded the first pin — but
     // only the LAST held frame is read below, so re-hold the metrics
     // source by invoking once more (untimed) for the error section
-    val sketchScored = graft.ops.Graph.adamicAdarSketch(edges, cand, k)
-    val sketchPairsCnt = sketchScored.count()
+    val sketchScored = if (runSketch) graft.ops.Graph.adamicAdarSketch(edges, cand, k)
+      else null
+    val sketchPairsCnt = if (runSketch) sketchScored.count() else -1L
 
     // the tiered COMPOSITION the scaladoc prescribes for hub graphs:
     // capped generates + ranks, the top survivors get EXACT re-scores
@@ -153,24 +163,28 @@ object GraphSkewBench {
     // sketch accuracy vs exact over the scored candidates (nonzero
     // exact score always exists: every candidate shares >=1 sub-cap
     // neighbor by construction)
-    val errQ = sketchScored.join(exactDf, Seq("x", "y"))
-      .select((abs($"aa_est" - $"aa") / $"aa").as("relerr"))
-      .agg(expr("percentile(relerr, 0.5)").as("p50"),
-           expr("percentile(relerr, 0.9)").as("p90"))
-      .head()
-    val (p50, p90) = (errQ.getDouble(0), errQ.getDouble(1))
+    val (p50, p90) = if (!runSketch) (-1.0, -1.0) else {
+      val errQ = sketchScored.join(exactDf, Seq("x", "y"))
+        .select((abs($"aa_est" - $"aa") / $"aa").as("relerr"))
+        .agg(expr("percentile(relerr, 0.5)").as("p50"),
+             expr("percentile(relerr, 0.9)").as("p90"))
+        .head()
+      (errQ.getDouble(0), errQ.getDouble(1))
+    }
     // error restricted to the exact TOP-1000 — the pairs a link-
     // prediction consumer acts on. These have the LARGEST shared-
     // neighbor sums, i.e. the largest |∩|/|∪| sampling ratios, so the
     // KMV estimate concentrates exactly where the ranking matters; the
     // all-candidate p90 above is dominated by 1-2-shared-neighbor
     // pairs whose absolute scores are near the noise floor by design.
-    val errTop = sketchScored.join(exactTop, Seq("x", "y")).join(exactDf, Seq("x", "y"))
-      .select((abs($"aa_est" - $"aa") / $"aa").as("relerr"))
-      .agg(coalesce(expr("percentile(relerr, 0.5)"), lit(-1.0)).as("p50"),
-           coalesce(expr("percentile(relerr, 0.9)"), lit(-1.0)).as("p90"))
-      .head()
-    val (p50Top, p90Top) = (errTop.getDouble(0), errTop.getDouble(1))
+    val (p50Top, p90Top) = if (!runSketch) (-1.0, -1.0) else {
+      val errTop = sketchScored.join(exactTop, Seq("x", "y")).join(exactDf, Seq("x", "y"))
+        .select((abs($"aa_est" - $"aa") / $"aa").as("relerr"))
+        .agg(coalesce(expr("percentile(relerr, 0.5)"), lit(-1.0)).as("p50"),
+             coalesce(expr("percentile(relerr, 0.9)"), lit(-1.0)).as("p90"))
+        .head()
+      (errTop.getDouble(0), errTop.getDouble(1))
+    }
 
     println(
       s"""{"n":$n,"m":$m,"hub_deg":$hubDeg,"cap":$cap,"k":$k,""" +

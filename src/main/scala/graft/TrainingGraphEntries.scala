@@ -353,22 +353,37 @@ private[graft] object TrainingGraphEntries {
     // not a no-op). Oracle = capped-tier candidate CTE + the UNCAPPED
     // wedge sum with an endpoint-degree guard.
     "q_graph_adamic_adar_sketch" -> (q((s, dir) => {
-      val edges = recentCoPurchaseEdges(s, dir)
       val k = 24
-      val und = edges.select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .where(col("a") =!= col("b")).distinct()
-      val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+      // canonicalize ONCE and persist: this entry drives THREE
+      // consumers of the edge list (its own degree guard, the capped
+      // candidate generator, the sketch scorer) — without the pin each
+      // re-derives the lineitem co-purchase self-join, tripling the
+      // entry's cost (r11: this was the bench's most expensive row).
+      // Both ops are EAGER (Pinned.hold), so the pin is released
+      // before the entry returns; the returned frame reads only the
+      // sketch op's own checkpoint.
+      val und = recentCoPurchaseEdges(s, dir)
+        .select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"))
+        .where(col("src") =!= col("dst")).distinct().persist()
+      und.count()
+      val deg = und.select(col("src").as("id")).union(und.select(col("dst").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
-      val cand = graft.ops.Graph.adamicAdarCapped(edges, maxDeg = 15)
+      val sub = deg.where(col("deg") <= k)
+      // the exact-regime degree guard is part of this query's semantics
+      // — apply it to the CANDIDATES, before the sketch join, not to
+      // the scored output: the expensive per-pair struct-array probe
+      // then runs only on pairs the guard keeps
+      val cand = graft.ops.Graph.adamicAdarCapped(und, maxDeg = 15)
         .select(col("x"), col("y"))
-      graft.ops.Graph.adamicAdarSketch(edges, cand, k = k)
-        .join(deg.select(col("id").as("x"), col("deg").as("dx")), Seq("x"))
-        .join(deg.select(col("id").as("y"), col("deg").as("dy")), Seq("y"))
-        .where(col("dx") <= k && col("dy") <= k)
-        .select(col("x"), col("y"), col("aa_est"))
+        .join(broadcast(sub.select(col("id").as("x"))), Seq("x"), "left_semi")
+        .join(broadcast(sub.select(col("id").as("y"))), Seq("y"), "left_semi")
+        .select(col("x"), col("y"))
+      val out = graft.ops.Graph.adamicAdarSketch(und, cand, k = k)
         .orderBy(col("aa_est").desc, col("x"), col("y"))
         .limit(100)
+      und.unpersist()
+      out
     }), Some("""
       WITH li AS (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1999-01-01'),
       e0 AS (

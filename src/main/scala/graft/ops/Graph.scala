@@ -330,6 +330,17 @@ object Graph {
     * FULL edge set: adjacency is a graph-level fact, not a subgraph
     * one. deg ≥ 2 for any wedge center, so ln(deg) > 0; maxDeg ≥ 2.
     *
+    * CAP SIZING (measured, r11 planted-hub fixture — BASELINE.md):
+    * set the cap ABOVE the graph's informative-evidence degree band
+    * and below the hub scale — it bounds cost, it should not cut into
+    * ranking signal. On the fixture (max deg 10⁴), cap 15→100 moved
+    * the capped→rescore composition's top-1000 recall 0.608→1.0 while
+    * the wedge budget grew only 2.2M→3.8M (still 17× below exact):
+    * mid-degree centers (deg ~16-100, weight 0.22-0.36) carry real
+    * ranking evidence; only the hub tail is noise-weighted. For exact
+    * top-of-ranking compose with [[adamicAdarRescore]] over the
+    * capped top-K.
+    *
     * Plan shape: the cap filter lands on the vertex-sized degree
     * table BEFORE its broadcast (the small side shrinks, never the
     * adjacency), pinned in PlanSpec. On clusters where even the
@@ -386,80 +397,117 @@ object Graph {
     * Plan shape: the member stream shuffles once (edge-shaped —
     * every neighbor must be SEEN once, that is the floor), a
     * rank-within-vertex window streams over a spillable per-key sort
-    * so only k survivors per vertex ever enter an aggregation buffer
-    * (STORED state k·|V|, never a deg-shaped collect on hubs), two
-    * left sketch joins onto the candidate pairs (absent endpoints
-    * score 0.0, never drop), and the estimator runs as codegen'd
-    * array HOFs (k ≤ ~256: the O(k²) membership probe stays cheap and
-    * in-stage). No wedge join anywhere. Pinned lifecycle as the
-    * sibling tiers: und + the twice-joined sketch table checkpointed,
-    * the result slot-held. */
+    * so only k survivors per vertex survive (STORED state
+    * k·|candidate endpoints| — the build is semi-joined to the pairs
+    * it will score, and never a deg-shaped collect on hubs), and the
+    * ESTIMATOR RUNS AS JOINS: a pair×member fan-out (≤2k rows per
+    * pair, linear in the candidate count) merged/deduped by (pair, z),
+    * a per-pair rank window for the pooled k-prefix, one aggregate —
+    * all shuffle-shaped and codegen'd (r11: the earlier per-row
+    * array-HOF probe evaluated as CodegenFallback at ~1 µs/element-op
+    * and dominated the op). Absent endpoints score 0.0, never drop.
+    * No wedge join anywhere. Pinned lifecycle as the sibling tiers:
+    * und + the twice-joined member table checkpointed, the result
+    * slot-held. */
   def adamicAdarSketch(edges: DataFrame, candidates: DataFrame, k: Int): DataFrame = Pinned.guard {
     require(k >= 4, s"k: $k (KMV needs a few minima to estimate)")
     val (und, undH) = Pinned.checkpoint(undirectedEdges(edges))
     val (deg, adj) = degreeAndAdjacency(und)
+    // pin the pair list ONCE: it is consumed three times below (the
+    // endpoint prune + both sides of the member fan-out), and callers
+    // legitimately pass lazy frames whose re-execution is not free
+    // (r11: a capped-tier candidate pipeline re-ran per consumption
+    // and cost more than the scoring)
+    val (candPinned, candH) = Pinned.checkpoint(
+      candidates.select(col(candidates.columns(0)).as("x"),
+        col(candidates.columns(1)).as("y")))
+    val candEp = candPinned.select(col("x").as("id"))
+      .union(candPinned.select(col("y").as("id"))).distinct()
     // member rows: vertex n holds neighbor z with weight 1/ln(deg z)
-    // and a hash mapped to (0, 1] (63-bit positive fraction)
+    // and a hash mapped to (0, 1] (63-bit positive fraction). Only
+    // CANDIDATE ENDPOINTS need sketches (the sketch table is consumed
+    // solely by the two candidate joins below) — the semi-join prunes
+    // the build to k·|endpoints| state instead of k·|V| (r11: this was
+    // the hot half of the sf0.1 entry; at scale candidates ≪ V makes
+    // it the difference between a pair-list-sized build and a
+    // graph-sized one)
     val member = adj.join(broadcast(deg.select(col("id").as("z"),
         (lit(1.0) / log(col("deg"))).as("w"))), Seq("z"))
       .select(col("n").as("id"),
         ((pmod(xxhash64(col("z")), lit(Long.MaxValue)) + 1L).cast("double") /
           lit(Long.MaxValue.toDouble)).as("h"),
         col("z"), col("w"))
+      .join(candEp, Seq("id"), "left_semi")
     // k-BOUNDED build (review r10): rank-within-vertex streams over a
     // spillable per-key sort (row_number buffers nothing), so only the
-    // k survivors ever enter an aggregation buffer — collect_list over
-    // the FULL neighbor list would hold deg-shaped state on exactly
-    // the hub vertices this tier exists for. degN joins back from the
-    // degree table (a vertex's member count IS its degree).
+    // k survivors per vertex survive — an aggregation over the FULL
+    // neighbor list would hold deg-shaped state on exactly the hub
+    // vertices this tier exists for. The k-bounded member ROWS are the
+    // sketch representation (no array agg — see the scoring comment).
     val ranked = member.withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("h")))
       .where(col("__rn") <= k)
-    val sketchAgg = ranked.groupBy("id")
-      .agg(array_sort(collect_list(struct(col("h"), col("z"), col("w")))).as("sk"))
-      .join(deg.select(col("id"), col("deg").as("degN")), Seq("id"))
-    // checkpoint: the sketch table is joined on BOTH candidate sides —
-    // without a pin the member build and the undirected distinct would
-    // execute once per side (Pinned contract all graph ops follow)
-    val (sketches, skH) = Pinned.checkpoint(sketchAgg)
-    val cand = candidates.select(col(candidates.columns(0)).as("x"),
-      col(candidates.columns(1)).as("y"))
+      .select(col("id"), col("z"), col("h"), col("w"))
+    // checkpoint: the k-bounded member table is joined on BOTH
+    // candidate sides — without a pin the member build and the
+    // undirected distinct would execute once per side (Pinned
+    // contract all graph ops follow)
+    val (m, skH) = Pinned.checkpoint(ranked)
+    val cand = candPinned
+    // SCORING AS JOINS, not per-row array probes (r11 perf): the first
+    // formulation aggregated each sketch into an array column and ran
+    // filter/exists HOFs per pair — those evaluate as CodegenFallback
+    // at ~1 µs per element-op, and the O(k²) membership probe cost
+    // ~12 s for 117k pairs at sf0.1. The identical KMV math runs here
+    // as a pair×member fan-out (2k rows per pair — LINEAR in the
+    // candidate count, shuffle-shaped, fully codegen'd):
+    //   u        = merged distinct members of both endpoint sketches
+    //              (same z ⇒ same hash and same broadcast weight, so
+    //              the groupBy dedupes exactly like array_union did),
+    //              flagged with which side(s) hold it;
+    //   pool     = the k smallest of u by hash (row_number) — a valid
+    //              KMV of N(x)∪N(y): every prefix member with
+    //              h ≤ τ ≤ min(τx, τy) is in its side's sketch iff it
+    //              is in that side's SET, so the ∩ probe is exact on
+    //              the prefix;
+    //   exact    = both endpoint degrees ≤ k ⇒ the sketches ARE the
+    //              full neighborhoods and the both-sides sum over ALL
+    //              of u is the exact Adamic–Adar score.
+    val mx = cand.join(m.select(col("id").as("x"), col("z"), col("h"), col("w")), Seq("x"))
+      .select(col("x"), col("y"), col("z"), col("h"), col("w"),
+        lit(1).as("fx"), lit(0).as("fy"))
+    val my = cand.join(m.select(col("id").as("y"), col("z"), col("h"), col("w")), Seq("y"))
+      .select(col("x"), col("y"), col("z"), col("h"), col("w"),
+        lit(0).as("fx"), lit(1).as("fy"))
+    val u = mx.unionByName(my).groupBy("x", "y", "z")
+      .agg(first(col("h")).as("h"), first(col("w")).as("w"),
+        max(col("fx")).as("fx"), max(col("fy")).as("fy"))
+    val ru = u.withColumn("__rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("x", "y").orderBy("h")))
+    val isBoth = col("fx") === 1 && col("fy") === 1
+    val scored = ru.groupBy("x", "y").agg(
+      sum(when(isBoth, col("w"))).as("wBothAll"),
+      sum(when(col("__rn") <= k && isBoth, col("w"))).as("wBothPool"),
+      max(when(col("__rn") <= k, col("h"))).as("tau"),
+      count(when(col("__rn") <= k, lit(1))).as("poolN"))
     // LEFT joins (review r10): a candidate endpoint absent from the
     // edge list has an empty neighborhood — its pairs score 0.0, they
-    // do not silently vanish from the output (one row per candidate)
+    // do not silently vanish from the output (one row per candidate);
+    // null aggregates propagate through the arithmetic → 0.0
+    val degSide = deg.select(col("id"), col("deg"))
     val paired = cand
-      .join(sketches.select(col("id").as("x"), col("sk").as("skx"), col("degN").as("dx")), Seq("x"), "left")
-      .join(sketches.select(col("id").as("y"), col("sk").as("sky"), col("degN").as("dy")), Seq("y"), "left")
-    // merged distinct members of both sketches, hash-sorted; a member
-    // appearing in both sets merges to ONE struct (same z ⇒ same hash
-    // and same broadcast weight), so array_union dedupes exactly
-    def both(arr: org.apache.spark.sql.Column) = filter(arr, m =>
-      exists(col("skx"), a => a.getField("z") === m.getField("z")) &&
-        exists(col("sky"), b => b.getField("z") === m.getField("z")))
-    def wsum(arr: org.apache.spark.sql.Column) =
-      aggregate(arr, lit(0.0), (acc, m) => acc + m.getField("w"))
-    val fullU = array_sort(array_union(col("skx"), col("sky")))
-    // exact regime: BOTH full neighborhoods fit their sketches, so
-    // fullU is the entire union (possibly > k long — the k-prefix
-    // would truncate it) and the both-membership sum is exact
+      .join(degSide.select(col("id").as("x"), col("deg").as("dx")), Seq("x"), "left")
+      .join(degSide.select(col("id").as("y"), col("deg").as("dy")), Seq("y"), "left")
+      .join(scored, Seq("x", "y"), "left")
     val exact = col("dx") <= k && col("dy") <= k
-    // estimate regime: the k smallest pooled hashes are a valid KMV of
-    // the union (every prefix member with h ≤ τ ≤ min(τx, τy) is in
-    // its side's sketch iff it is in that side's SET, so the ∩ probe
-    // is exact on the prefix); poolN = k here by construction (a
-    // non-exact pair has ≥ one sketch of size k)
-    val pool = slice(fullU, 1, k)
-    val poolN = size(pool)
-    val tau = element_at(pool, poolN).getField("h")
-    val unionEst = (poolN.cast("double") - 1.0) / tau
-    val est = when(exact, wsum(both(fullU)))
-      .otherwise(wsum(both(pool)) * unionEst / poolN.cast("double"))
-    // missing-endpoint pairs (null sketch through the left join)
-    // propagate null through the arithmetic → scored 0.0
+    val poolN = col("poolN").cast("double")
+    val unionEst = (poolN - 1.0) / col("tau")
+    val est = when(exact, coalesce(col("wBothAll"), lit(0.0)))
+      .otherwise(coalesce(col("wBothPool"), lit(0.0)) * unionEst / poolN)
     val out = Pinned.hold("graph.adamic_adar_sketch",
       paired.select(col("x"), col("y"),
         coalesce(round(est, 6), lit(0.0)).as("aa_est")))
-    Pinned.release(undH, skH)
+    Pinned.release(undH, skH, candH)
     out
   }
 
@@ -489,7 +537,10 @@ object Graph {
     val (deg, adj) = degreeAndAdjacency(und)
     val w = adj.join(broadcast(deg.select(col("id").as("z"),
       (lit(1.0) / log(col("deg"))).as("__w"))), Seq("z"))
-    val cand = pairs.select(col(pairs.columns(0)).as("x"), col(pairs.columns(1)).as("y"))
+    // pinned once — consumed by the fan-out AND the final left join
+    // (same rationale as adamicAdarSketch: callers pass lazy frames)
+    val (cand, candH) = Pinned.checkpoint(
+      pairs.select(col(pairs.columns(0)).as("x"), col(pairs.columns(1)).as("y")))
     // z ∈ N(x) fan-out, then keep z ∈ N(y): both joins are edge-shaped
     // shuffles on vertex keys — AQE may broadcast the pair list when it
     // is small, but correctness does not depend on it
@@ -502,7 +553,7 @@ object Graph {
         .select(col("x"), col("y"),
           coalesce(col("cn"), lit(0L)).as("cn"),
           coalesce(col("aa"), lit(0.0)).as("aa")))
-    Pinned.release(undH)
+    Pinned.release(undH, candH)
     out
   }
 
