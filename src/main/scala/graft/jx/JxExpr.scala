@@ -188,6 +188,9 @@ object JxExpr {
         }) ++ optJson(default))
     case RegExpOp(v, p) => JObject("regex" -> JArray(List(toJson(v), toJson(p))))
     case SplitOp(v, p)  => JObject("split" -> JArray(List(toJson(v), toJson(p))))
+    case GetOp(v, i)    => JObject("get" -> JArray(List(toJson(v), toJson(i))))
+    case FirstOp(t)     => JObject("first" -> toJson(t))
+    case LastOp(t)      => JObject("last" -> toJson(t))
 
     case WhenOp(c, t, els) =>
       JObject(List("when" -> toJson(c)) ++

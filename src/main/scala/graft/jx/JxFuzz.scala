@@ -45,6 +45,9 @@ object JxFuzz {
   private val strLits  = Seq("A", "N", "R", "AF_1", "NO_2", "_", "")
   private val patterns = Seq("[A-Z]+", "[A-Z]+_[0-9]+", ".*_.*", "(A|N)[FO].*", "[0-9]+")
   private val findTargets = Seq("A", "_", "F", "1")
+  // split patterns: regex-identical between Java (Spark) and RE2
+  // (DuckDB), no backslashes (litSql rejects those by design)
+  private val splitPats = Seq("_", "[_0]", "[AN]")
 
   private def weighted[T](rnd: Random, xs: Seq[(Int, () => T)]): T = {
     val total = xs.map(_._1).sum
@@ -188,6 +191,19 @@ object JxFuzz {
         Lit(oneOf(rnd, findTargets)), Lit(oneOf(rnd, findTargets)), Lit(0L),
         if (rnd.nextBoolean()) NullOp else Lit(oneOf(rnd, strLits)))),
       2 -> (() => CoalesceOp(terms(rnd, 3, () => genStr(rnd, d - 1)))),
+      // split + element access (r11 widening): a literal-pattern regex
+      // split consumed by get/first/last — the only array-producing op
+      // in the registry, always collapsed back to a string here (the
+      // gate's comparator cannot hash raw array cells). Get indexes are
+      // small non-negative literals (the compiler renders JX's 0-based
+      // get as 1-based element_at(i+1); both engines NULL out of range)
+      2 -> (() => {
+        val arr = SplitOp(genStr(rnd, d - 1), Lit(oneOf(rnd, splitPats)))
+        weighted[JxExpr](rnd, Seq(
+          2 -> (() => GetOp(arr, Lit(rnd.nextInt(4).toLong))),
+          1 -> (() => FirstOp(arr)),
+          1 -> (() => LastOp(arr))))
+      }),
       1 -> (() => CaseOp(
         Seq.fill(1 + rnd.nextInt(2))(WhenOp(genBool(rnd, d - 1), genStr(rnd, d - 1), NullOp)),
         caseDefault(genStr(rnd, d - 1)))),
@@ -248,6 +264,10 @@ object JxFuzz {
       case SuffixOp(v, p) => SuffixOp(m(v), m(p))
       case ConcatOp(ts, sep, dflt) => ConcatOp(ts.map(m), m(sep), m(dflt))
       case RegExpOp(v, p) => RegExpOp(m(v), m(p))
+      case SplitOp(v, p)  => SplitOp(m(v), m(p))
+      case GetOp(v, i)    => GetOp(m(v), m(i))
+      case FirstOp(t)     => FirstOp(m(t))
+      case LastOp(t)      => LastOp(m(t))
       case WhenOp(c, t, els) => WhenOp(m(c), m(t), m(els))
       case CaseOp(ws, dflt) =>
         CaseOp(ws.map(w => WhenOp(m(w.cond), m(w.thenE), m(w.elseE))), m(dflt))
@@ -374,16 +394,23 @@ object JxFuzz {
 
   def setopCases(seed: Long, n: Int): Seq[SetopCase] = {
     val rnd = new Random(seed)
-    (0 until n).map { _ =>
+    (0 until n).map { i =>
       val nKeys = 1 + rnd.nextInt(2)
       val keys = Seq.fill(nKeys)(
         (rnd.nextInt(4), rnd.nextBoolean(), rnd.nextInt(4)))
-      val limit = rnd.nextInt(5) match {
-        case 0 => None               // default-limit path (10)
-        case 1 => Some(7)
-        case 2 => Some(123)
-        case 3 => Some(50000)        // MAX_LIMIT clamp (10,000)
-        case _ => Some(10000)
+      // both clamp edges are pinned STRUCTURALLY to the block's first
+      // two cases (any later generator widening reshuffles the LCG
+      // stream, and a probabilistic draw then silently loses an edge —
+      // r11: the split/get widening did exactly that); the draw still
+      // happens for every case so the remaining limits stay diverse
+      val limit = (i, rnd.nextInt(5)) match {
+        case (0, _) => None          // default-limit path (10)
+        case (1, _) => Some(50000)   // MAX_LIMIT clamp (10,000)
+        case (_, 0) => None
+        case (_, 1) => Some(7)
+        case (_, 2) => Some(123)
+        case (_, 3) => Some(50000)
+        case _      => Some(10000)
       }
       SetopCase(genBool(rnd, 2), genInt(rnd, 1 + rnd.nextInt(2)),
         genInt(rnd, 1 + rnd.nextInt(2)), genStr(rnd, 1 + rnd.nextInt(2)),

@@ -42,6 +42,14 @@ object JxSql {
     def epochSeconds(ts: String): String
     /** DOUBLE epoch seconds → timestamp (FromUnixOp). */
     def toTimestamp(sec: String): String
+    /** Regex-split `s` into an array (both engines keep trailing
+      * empties and split on every match — checked r11). `pat` is an
+      * already-rendered string literal. */
+    def splitRegex(s: String, pat: String): String
+    /** 1-based array element, NULL when out of bounds or the index is
+      * 0; negative indexes count from the end in both engines. `n` is
+      * an already-rendered integer literal. */
+    def elementAt(arr: String, n: String): String
   }
 
   /** DuckDB: the driver's oracle engine. */
@@ -53,6 +61,8 @@ object JxSql {
     val stringType = "VARCHAR"
     def epochSeconds(ts: String) = s"epoch($ts)" // returns DOUBLE
     def toTimestamp(sec: String) = s"to_timestamp($sec)"
+    def splitRegex(s: String, pat: String) = s"string_split_regex($s, $pat)"
+    def elementAt(arr: String, n: String) = s"list_extract($arr, $n)"
   }
 
   /** Spark SQL: the in-suite differential target. */
@@ -64,6 +74,8 @@ object JxSql {
     val stringType = "STRING"
     def epochSeconds(ts: String) = s"CAST($ts AS DOUBLE)"
     def toTimestamp(sec: String) = s"timestamp_seconds($sec)"
+    def splitRegex(s: String, pat: String) = s"split($s, $pat)"
+    def elementAt(arr: String, n: String) = s"try_element_at($arr, $n)"
   }
 
   def litSql(v: Any): String = v match {
@@ -240,6 +252,22 @@ object JxSql {
       s"(CASE WHEN $allMissing THEN $dflt ELSE CONCAT_WS($sep, ${cols.mkString(", ")}) END)"
     case RegExpOp(v, Lit(pat: String)) =>
       s"COALESCE(${d.regexpFullMatch(sql(v, d), pat)}, FALSE)"
+    // r11 widening: split + element access (vendor/jx_base/
+    // expressions.py SplitOp/GetOp/FirstOp/LastOp). The fuzzed subset
+    // pins the split pattern to a literal (mirroring the compiler's
+    // fast path) and the get index to a non-negative literal — the
+    // compiler renders JX's 0-based get as 1-based element_at(i+1),
+    // done here at render time so both engines see the same literal.
+    // Split semantics checked identical across engines: regex split,
+    // trailing empties kept, NULL in → NULL array, OOB/0 index → NULL.
+    case SplitOp(v, Lit(pat: String)) =>
+      require(pat.nonEmpty, "split pattern must be non-empty in the fuzzed subset")
+      d.splitRegex(s"CAST(${sql(v, d)} AS ${d.stringType})", litSql(pat))
+    case GetOp(v, Lit(i: Long)) =>
+      require(i >= 0, s"get index must be non-negative in the fuzzed subset: $i")
+      d.elementAt(sql(v, d), (i + 1).toString)
+    case FirstOp(t) => d.elementAt(sql(t, d), "1")
+    case LastOp(t)  => d.elementAt(sql(t, d), "-1")
 
     // ---- structural ------------------------------------------------------
     case WhenOp(c, t, els) =>

@@ -295,6 +295,10 @@ class JxFuzzSpec extends AnyFunSuite {
         case JxExpr.RegExpOp(v, p) => Seq(v, p)
         case JxExpr.WhenOp(c, t, e2) => Seq(c, t, e2)
         case JxExpr.CaseOp(ws, d) => ws.flatMap(w => Seq(w.cond, w.thenE, w.elseE)) :+ d
+        case JxExpr.SplitOp(v, p) => Seq(v, p)
+        case JxExpr.GetOp(v, i) => Seq(v, i)
+        case JxExpr.FirstOp(t) => Seq(t)
+        case JxExpr.LastOp(t) => Seq(t)
         case _ => Nil
       }
       e.getClass.getSimpleName +: kids.flatMap(ops)
@@ -327,6 +331,67 @@ class JxFuzzSpec extends AnyFunSuite {
     assert(got === "AIL")
     assert(row.select(JxCompiler.compile(JxExpr.UnixOp(JxExpr.Variable("t"))))
       .head.getDouble(0) === 694224000.0)
+  }
+
+  test("r11 widened ops (split + get/first/last) appear in generated trees and render") {
+    // same discipline as the between/unix widening test above: presence
+    // across the committed scalar seeds, then the rendering contract on
+    // hand cases with known values — compiled Column vs the Spark-SQL
+    // rendering, and the JX semantics themselves (0-based get, regex
+    // split keeping trailing empties, OOB index → missing)
+    def ops(e: JxExpr): Set[String] = {
+      val kids = e match {
+        case JxExpr.SplitOp(v, p) => Seq(v, p)
+        case JxExpr.GetOp(v, i) => Seq(v, i)
+        case JxExpr.FirstOp(t) => Seq(t)
+        case JxExpr.LastOp(t) => Seq(t)
+        case JxExpr.AndOp(ts) => ts; case JxExpr.OrOp(ts) => ts
+        case JxExpr.NotOp(t) => Seq(t)
+        case JxExpr.EqOp(l, r) => Seq(l, r); case JxExpr.NeOp(l, r) => Seq(l, r)
+        case JxExpr.InequalityOp(_, l, r) => Seq(l, r)
+        case JxExpr.MissingOp(t) => Seq(t); case JxExpr.ExistsOp(t) => Seq(t)
+        case JxExpr.MultiOp(_, ts, _, d) => ts :+ d
+        case JxExpr.BinaryOp(_, l, r, d) => Seq(l, r, d)
+        case JxExpr.DivOp(l, r, d) => Seq(l, r, d)
+        case JxExpr.MaxOp(ts) => ts; case JxExpr.MinOp(ts) => ts
+        case JxExpr.CountOp(ts) => ts; case JxExpr.CoalesceOp(ts) => ts
+        case JxExpr.CastOp(_, t) => Seq(t)
+        case JxExpr.SubstrOp(_, v, n) => Seq(v, n)
+        case JxExpr.FindOp(v, f, st, d) => Seq(v, f, st, d)
+        case JxExpr.BetweenOp(v, p, s, st, d) => Seq(v, p, s, st, d)
+        case JxExpr.ConcatOp(ts, sep, d) => ts ++ Seq(sep, d)
+        case JxExpr.WhenOp(c, t, e2) => Seq(c, t, e2)
+        case JxExpr.CaseOp(ws, d) => ws.flatMap(w => Seq(w.cond, w.thenE, w.elseE)) :+ d
+        case _ => Nil
+      }
+      kids.flatMap(ops).toSet + e.getClass.getSimpleName
+    }
+    val all = (for ((_, seed, n) <- FuzzCatalog.blocks; c <- JxFuzz.cases(seed, n))
+      yield ops(c.expr)).flatten.toSet
+    assert(all.contains("SplitOp"), "no split generated across the scalar blocks")
+    assert(all.contains("GetOp"), "no get generated across the scalar blocks")
+    assert(all.contains("FirstOp") || all.contains("LastOp"),
+      "neither first nor last generated across the scalar blocks")
+    import spark.implicits._
+    val row = Seq(Tuple1("AF_1")).toDF("s")
+    row.createOrReplaceTempView("fuzz_split_t")
+    val arr = JxExpr.SplitOp(JxExpr.Variable("s"), JxExpr.Lit("_"))
+    val cases: Seq[(JxExpr, Any)] = Seq(
+      (JxExpr.GetOp(arr, JxExpr.Lit(0L)), "AF"),   // 0-based
+      (JxExpr.GetOp(arr, JxExpr.Lit(1L)), "1"),
+      (JxExpr.GetOp(arr, JxExpr.Lit(3L)), null),   // OOB → missing
+      (JxExpr.FirstOp(arr), "AF"),
+      (JxExpr.LastOp(arr), "1"),
+      // trailing empty kept: split('AF_1', '1') = ['AF_', '']
+      (JxExpr.LastOp(JxExpr.SplitOp(JxExpr.Variable("s"), JxExpr.Lit("1"))), ""),
+      (JxExpr.FirstOp(JxExpr.SplitOp(JxExpr.NullOp, JxExpr.Lit("_"))), null))
+    for ((e, want) <- cases) {
+      val compiled = row.select(JxCompiler.compile(e).as("v")).head.get(0)
+      val rendered = spark.sql(
+        s"SELECT ${JxSql.sql(e, JxSql.SparkSql)} AS v FROM fuzz_split_t").head.get(0)
+      assert(compiled == rendered, s"compiler/rendering drift on $e: $compiled vs $rendered")
+      assert(compiled == want, s"semantics drift on $e: got $compiled, want $want")
+    }
   }
 
   test("generation is deterministic across invocations (seeded LCG)") {
