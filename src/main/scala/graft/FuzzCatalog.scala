@@ -259,7 +259,7 @@ object FuzzCatalog {
     // types the aggregate — cast pins both sides to one dtype kind
     df.select(df.columns.map { cn =>
       cs.find(_.name == cn) match {
-        case Some(wc) if wc.agg == "sum" || wc.agg == "average" =>
+        case Some(wc) if wc.agg == "sum" || wc.agg == "average" || wc.agg == "median" =>
           col(cn).cast("double").as(cn)
         case Some(_) => col(cn).cast("long").as(cn)
         case _ => col(cn)
@@ -284,9 +284,15 @@ object FuzzCatalog {
       // every window output is cast (all-null value trees leave Spark
       // with a NullType column); sum/average take the HUGEINT→DOUBLE
       // discipline, the rest pin BIGINT — mirrored in windowEntry
-      val aggSql = s"CAST(${aggFn(c.agg)}($contrib)"
+      // median goes through the dialect seam (DuckDB quantile_cont vs
+      // Spark percentile — both interpolate, both ignore NULLs; exact
+      // on the layer's integer value trees)
+      val aggSql = c.agg match {
+        case "median" => s"CAST(${d.medianCont(contrib)}"
+        case other    => s"CAST(${aggFn(other)}($contrib)"
+      }
       val castClose = c.agg match {
-        case "sum" | "average" => " AS DOUBLE)"
+        case "sum" | "average" | "median" => " AS DOUBLE)"
         case _ => " AS BIGINT)"
       }
       def bound(v: Long): String =
@@ -549,6 +555,136 @@ object FuzzCatalog {
   val nestedBlocks: Seq[(String, Long, Int)] = Seq(
     ("q_fuzz_nested_b1", 13013L, 16))
 
+  // ---- deep-nested (two-level) fuzz --------------------------------------
+  // r11 deepening: generated cases through the TWO-LEVEL document
+  // (customer ⊃ orders ⊃ lineitems) — the deep-arm relative
+  // perspectives `q_nested_deep_arm`/`q_nested_agg` cover pointwise.
+  // Generated predicates land at ALL THREE levels of one query; the
+  // Spark side runs the full JX path over assembled docs (explode
+  // chain through two array arms), the oracle replays each case as a
+  // flat three-table join. The c_custkey bounds are key-range bounds
+  // (dense keys, so the kept row count is SF-independent and sits
+  // under the 10,000 JX limit clamp — deep arm ~6k rows at <150,
+  // groupby arms ≤800 groups at <800, mid arm ~3k rows at <300).
+
+  val deepBlocks: Seq[(String, Long, Int)] = Seq(
+    ("q_fuzz_nested_b2", 17017L, 16))
+
+  /** Customer-level variable mapping (grandparent fields; ts1 maps to
+    * the order date — in scope at every arm these cases query). */
+  private def ncVar(name: String): jx.JxExpr = {
+    import jx.JxExpr._
+    name match {
+      case "int1"  => BinaryOp("mod", Variable("c_custkey"), Lit(50L), NullOp)
+      case "int2"  => BinaryOp("mod", Variable("c_nationkey"), Lit(7L), NullOp)
+      case "num1" | "num2" => Variable("c_acctbal")
+      case "str1"  => Variable("c_mktsegment")
+      case "str2"  => Variable("c_name")
+      case "bool1" => InequalityOp("gt", Variable("c_acctbal"), Lit(0L))
+      case "ts1"   => Variable("o_orderdate")
+      case other   => Variable(other)
+    }
+  }
+
+  private[graft] val deepNeeded = Some(Set(
+    "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment", "c_name",
+    "orders", "o_orderkey", "o_totalprice", "o_orderstatus",
+    "o_orderpriority", "o_orderdate",
+    "lineitems", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+    "l_shipdate", "l_returnflag", "l_linestatus", "l_linenumber"))
+
+  private def deepEntry(seed: Long, n: Int): Q = (s, dir) => {
+    val cs = JxFuzz.deepCases(seed, n)
+    val frames = cs.zipWithIndex.map { case (c, i) =>
+      val cp = jx.JxExpr.jsonString(JxFuzz.mapVars(c.custPred, ncVar))
+      val op = jx.JxExpr.jsonString(JxFuzz.mapVars(c.ordPred, noVar))
+      val lp = jx.JxExpr.jsonString(JxFuzz.mapVars(c.linePred, nlVar))
+      def run(q: String): DataFrame =
+        jx.QueryRunner.run(s, jx.JxQuery.parse(q),
+          NestedCatalog.load(s, dir, deepNeeded))
+      val out: DataFrame = c.kind match {
+        case 0 => run(s"""{
+            "from": "customer_docs.orders.lineitems",
+            "select": ["o_orderkey", {"name": "v", "value": "l_linenumber"}],
+            "where": {"and": [{"lt": {"c_custkey": 150}}, $cp, $op, $lp]},
+            "sort": ["o_orderkey", "l_linenumber"],
+            "limit": 10000
+          }""").select(col("o_orderkey").cast("long").as("k"),
+            col("v").cast("double").as("v"))
+        case 1 => run(s"""{
+            "from": "customer_docs.orders.lineitems",
+            "groupby": ["c_custkey"],
+            "select": [{"name": "v", "value": ".", "aggregate": "count"}],
+            "where": {"and": [{"lt": {"c_custkey": 800}}, $cp, $op, $lp]},
+            "limit": 10000
+          }""").select(col("c_custkey").cast("long").as("k"),
+            col("v").cast("double").as("v"))
+        case 2 =>
+          val vJson = jx.JxExpr.jsonString(JxFuzz.mapVars(c.value, nlVar))
+          run(s"""{
+            "from": "customer_docs.orders.lineitems",
+            "groupby": ["o_orderkey"],
+            "select": [{"name": "v", "value": $vJson, "aggregate": "sum"}],
+            "where": {"and": [{"lt": {"c_custkey": 800}}, $cp, $lp]},
+            "limit": 10000
+          }""").select(col("o_orderkey").cast("long").as("k"),
+            col("v").cast("double").as("v"))
+        case _ => run(s"""{
+            "from": "customer_docs.orders",
+            "select": ["o_orderkey", {"name": "v", "value": "o_totalprice"}],
+            "where": {"and": [{"lt": {"c_custkey": 300}}, $cp, $op]},
+            "sort": ["o_orderkey"],
+            "limit": 10000
+          }""").select(col("o_orderkey").cast("long").as("k"),
+            col("v").cast("double").as("v"))
+      }
+      out.select(lit(i).cast("int").as("case_id"), col("k"), col("v"))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
+  /** Flat three-table replay; INNER joins because the deep `from` arm
+    * has inner semantics (childless ancestors contribute no rows —
+    * q_nested_deep_arm pins the same contract pointwise). */
+  private[graft] def deepOracle(seed: Long, n: Int,
+      d: jx.JxSql.Dialect = jx.JxSql.DuckDb): String = {
+    val cs = JxFuzz.deepCases(seed, n)
+    val join3 =
+      """FROM customer
+         JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem l ON l.l_orderkey = o_orderkey"""
+    val arms = cs.zipWithIndex.map { case (c, i) =>
+      val cp = jx.JxSql.truthy(JxFuzz.mapVars(c.custPred, ncVar), d)
+      val op = jx.JxSql.truthy(JxFuzz.mapVars(c.ordPred, noVar), d)
+      val lp = jx.JxSql.truthy(JxFuzz.mapVars(c.linePred, nlVar), d)
+      c.kind match {
+        case 0 => s"""
+          SELECT $i AS case_id, CAST(o_orderkey AS BIGINT) AS k,
+                 CAST(l_linenumber AS DOUBLE) AS v
+          $join3 WHERE c_custkey < 150 AND $cp AND $op AND $lp"""
+        case 1 => s"""
+          SELECT $i AS case_id, CAST(c_custkey AS BIGINT) AS k,
+                 CAST(COUNT(*) AS DOUBLE) AS v
+          $join3 WHERE c_custkey < 800 AND $cp AND $op AND $lp GROUP BY 2"""
+        case 2 =>
+          // same SUM discipline as the aggregate layer: exact-int
+          // trees, CAST both sides to DOUBLE (DuckDB SUM(BIGINT) is
+          // HUGEINT), all-null groups stay NULL in both engines
+          val v = jx.JxSql.sql(JxFuzz.mapVars(c.value, nlVar), d)
+          s"""
+          SELECT $i AS case_id, CAST(o_orderkey AS BIGINT) AS k,
+                 CAST(SUM($v) AS DOUBLE) AS v
+          $join3 WHERE c_custkey < 800 AND $cp AND $lp GROUP BY 2"""
+        case _ => s"""
+          SELECT $i AS case_id, CAST(o_orderkey AS BIGINT) AS k,
+                 CAST(o_totalprice AS DOUBLE) AS v
+          FROM customer JOIN orders ON o_custkey = c_custkey
+          WHERE c_custkey < 300 AND $cp AND $op"""
+      }
+    }
+    arms.mkString("\nUNION ALL\n")
+  }
+
   /** Child-arm variable mapping (fields of the lineitems struct). */
   private[graft] def nlVar(name: String): jx.JxExpr = {
     import jx.JxExpr._
@@ -676,7 +812,8 @@ object FuzzCatalog {
       edgeBlocks.map { case (name, seed, n) => name -> edgeEntry(seed, n) }.toMap ++
       setopBlocks.map { case (name, seed, n) => name -> setopEntry(seed, n) }.toMap ++
       setopPairBlocks.map { case (name, seed, n) => name -> setopPairEntry(seed, n) }.toMap ++
-      nestedBlocks.map { case (name, seed, n) => name -> nestedEntry(seed, n) }.toMap
+      nestedBlocks.map { case (name, seed, n) => name -> nestedEntry(seed, n) }.toMap ++
+      deepBlocks.map { case (name, seed, n) => name -> deepEntry(seed, n) }.toMap
 
   def oracles: Map[String, String] =
     blocks.map { case (name, seed, n) => name -> oracle(seed, n) }.toMap ++
@@ -685,5 +822,6 @@ object FuzzCatalog {
       edgeBlocks.map { case (name, seed, n) => name -> edgeOracle(seed, n) }.toMap ++
       setopBlocks.map { case (name, seed, n) => name -> setopOracle(seed, n) }.toMap ++
       setopPairBlocks.map { case (name, seed, n) => name -> setopPairOracle(seed, n) }.toMap ++
-      nestedBlocks.map { case (name, seed, n) => name -> nestedOracle(seed, n) }.toMap
+      nestedBlocks.map { case (name, seed, n) => name -> nestedOracle(seed, n) }.toMap ++
+      deepBlocks.map { case (name, seed, n) => name -> deepOracle(seed, n) }.toMap
 }

@@ -61,7 +61,7 @@ object SparkEntry {
     FuzzCatalog.blocks.map(_._1) ++ FuzzCatalog.aggBlocks.map(_._1) ++
     FuzzCatalog.windowBlocks.map(_._1) ++ FuzzCatalog.edgeBlocks.map(_._1) ++
     FuzzCatalog.setopBlocks.map(_._1) ++ FuzzCatalog.setopPairBlocks.map(_._1) ++
-    FuzzCatalog.nestedBlocks.map(_._1)
+    FuzzCatalog.nestedBlocks.map(_._1) ++ FuzzCatalog.deepBlocks.map(_._1)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -306,7 +306,13 @@ object JxFuzz {
       edge: JxExpr, desc: Boolean,
       range: Option[(Option[Long], Option[Long])], where: Option[JxExpr])
 
-  private val winAggs = Seq("sum", "minimum", "maximum", "count", "average")
+  // median (r11): the exact sliding-percentile accumulator — the JX
+  // window surface's hardest aggregate (reference windows.py:281-306,
+  // the sub()-capable percentile q_window_median pins pointwise) now
+  // fuzzes over generated frames too. Exact-int value trees keep the
+  // interpolated midpoint ((a+b)/2 of bounded ints) bit-stable across
+  // engines.
+  private val winAggs = Seq("sum", "minimum", "maximum", "count", "average", "median")
 
   /** `n` deterministic window cases: same exact-int value discipline
     * as [[aggCases]] (order-independent double sums), frames drawn
@@ -455,6 +461,26 @@ object JxFuzz {
     (0 until n).map { i =>
       NestedCase(i % 4, genBool(rnd, 2),
         genInt(rnd, 1 + rnd.nextInt(2)), genBool(rnd, 2))
+    }
+  }
+
+  /** One TWO-LEVEL nested case (r11 deepening of the nested layer):
+    * generated predicates at all three document levels (customer /
+    * orders / lineitems) through the deep-arm JX query path
+    * (`from: "docs.orders.lineitems"` — reference jx_sqlite/
+    * snowflake.py:247-341's relative perspectives). Four kinds cycle:
+    * 0 = deep row select (grandchild rows with tri-level where),
+    * 1 = groupby GRANDPARENT key over the deep arm (count),
+    * 2 = groupby MID key, sum of a generated exact-int child tree,
+    * 3 = mid-arm select (parent+mid predicates, mid-level value). */
+  case class DeepCase(kind: Int, custPred: JxExpr, ordPred: JxExpr,
+      linePred: JxExpr, value: JxExpr)
+
+  def deepCases(seed: Long, n: Int): Seq[DeepCase] = {
+    val rnd = new Random(seed)
+    (0 until n).map { i =>
+      DeepCase(i % 4, genBool(rnd, 2), genBool(rnd, 2), genBool(rnd, 2),
+        genInt(rnd, 1 + rnd.nextInt(2)))
     }
   }
 

@@ -46,6 +46,10 @@ object JxSql {
       * empties and split on every match — checked r11). `pat` is an
       * already-rendered string literal. */
     def splitRegex(s: String, pat: String): String
+    /** Interpolated median aggregate (NULLs ignored, linear
+      * interpolation at even counts — both engines agree exactly on
+      * integer inputs). Usable over window frames. */
+    def medianCont(x: String): String
     /** 1-based array element, NULL when out of bounds or the index is
       * 0; negative indexes count from the end in both engines. `n` is
       * an already-rendered integer literal. */
@@ -63,6 +67,7 @@ object JxSql {
     def toTimestamp(sec: String) = s"to_timestamp($sec)"
     def splitRegex(s: String, pat: String) = s"string_split_regex($s, $pat)"
     def elementAt(arr: String, n: String) = s"list_extract($arr, $n)"
+    def medianCont(x: String) = s"quantile_cont($x, 0.5)"
   }
 
   /** Spark SQL: the in-suite differential target. */
@@ -76,6 +81,7 @@ object JxSql {
     def toTimestamp(sec: String) = s"timestamp_seconds($sec)"
     def splitRegex(s: String, pat: String) = s"split($s, $pat)"
     def elementAt(arr: String, n: String) = s"try_element_at($arr, $n)"
+    def medianCont(x: String) = s"percentile($x, 0.5D)"
   }
 
   def litSql(v: Any): String = v match {
