@@ -402,10 +402,13 @@ object Graph {
     * it will score, and never a deg-shaped collect on hubs), and the
     * ESTIMATOR RUNS AS JOINS: a pair×member fan-out (≤2k rows per
     * pair, linear in the candidate count) merged/deduped by (pair, z),
-    * a per-pair rank window for the pooled k-prefix, one aggregate —
-    * all shuffle-shaped and codegen'd (r11: the earlier per-row
-    * array-HOF probe evaluated as CodegenFallback at ~1 µs/element-op
-    * and dominated the op). Absent endpoints score 0.0, never drop.
+    * then REGIME-SPLIT: exact-regime pairs (both degrees ≤ k) take one
+    * plain aggregate — the pooled k-prefix rank window runs only over
+    * estimator-regime pairs, which is what it bounds — all
+    * shuffle-shaped and codegen'd (r11: the earlier per-row array-HOF
+    * probe evaluated as CodegenFallback at ~1 µs/element-op and
+    * dominated the op; the window over all-exact candidate lists was
+    * the second pass). Absent endpoints score 0.0, never drop.
     * No wedge join anywhere. Pinned lifecycle as the sibling tiers:
     * und + the twice-joined member table checkpointed, the result
     * slot-held. */
@@ -473,36 +476,55 @@ object Graph {
     //   exact    = both endpoint degrees ≤ k ⇒ the sketches ARE the
     //              full neighborhoods and the both-sides sum over ALL
     //              of u is the exact Adamic–Adar score.
-    val mx = cand.join(m.select(col("id").as("x"), col("z"), col("h"), col("w")), Seq("x"))
-      .select(col("x"), col("y"), col("z"), col("h"), col("w"),
+    // REGIME SPLIT before the fan-out (r11 perf, second pass): exact
+    // pairs (both endpoint degrees ≤ k; absent endpoint = degree 0)
+    // need only the both-sides sum over the merged members — the
+    // pooled k-prefix exists to bound the ESTIMATOR, so only
+    // estimator-regime pairs pay the per-pair rank window. On an
+    // all-exact candidate list (the oracle entry's regime) the
+    // window's shuffle-sort over the ~2k-per-pair fan-out disappears
+    // entirely; on a mixed list each pair routes to its own arm.
+    val degSide = deg.select(col("id"), col("deg"))
+    val candDeg = cand
+      .join(degSide.select(col("id").as("x"), col("deg").as("dx")), Seq("x"), "left")
+      .join(degSide.select(col("id").as("y"), col("deg").as("dy")), Seq("y"), "left")
+    val exPred = coalesce(col("dx"), lit(0L)) <= k &&
+      coalesce(col("dy"), lit(0L)) <= k
+    val candT = candDeg.select(col("x"), col("y"), exPred.as("ex"))
+    val mx = candT.join(m.select(col("id").as("x"), col("z"), col("h"), col("w")), Seq("x"))
+      .select(col("x"), col("y"), col("ex"), col("z"), col("h"), col("w"),
         lit(1).as("fx"), lit(0).as("fy"))
-    val my = cand.join(m.select(col("id").as("y"), col("z"), col("h"), col("w")), Seq("y"))
-      .select(col("x"), col("y"), col("z"), col("h"), col("w"),
+    val my = candT.join(m.select(col("id").as("y"), col("z"), col("h"), col("w")), Seq("y"))
+      .select(col("x"), col("y"), col("ex"), col("z"), col("h"), col("w"),
         lit(0).as("fx"), lit(1).as("fy"))
     val u = mx.unionByName(my).groupBy("x", "y", "z")
-      .agg(first(col("h")).as("h"), first(col("w")).as("w"),
+      .agg(first(col("ex")).as("ex"), first(col("h")).as("h"),
+        first(col("w")).as("w"),
         max(col("fx")).as("fx"), max(col("fy")).as("fy"))
-    val ru = u.withColumn("__rn", row_number().over(
-      org.apache.spark.sql.expressions.Window.partitionBy("x", "y").orderBy("h")))
     val isBoth = col("fx") === 1 && col("fy") === 1
-    val scored = ru.groupBy("x", "y").agg(
-      sum(when(isBoth, col("w"))).as("wBothAll"),
+    // exact arm: plain aggregate, no window
+    val scoredEx = u.where(col("ex")).groupBy("x", "y")
+      .agg(sum(when(isBoth, col("w"))).as("aa_raw"))
+    // estimator arm: pooled k-prefix over the merged members
+    val ru = u.where(!col("ex")).withColumn("__rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("x", "y").orderBy("h")))
+    val scoredEst = ru.groupBy("x", "y").agg(
       sum(when(col("__rn") <= k && isBoth, col("w"))).as("wBothPool"),
       max(when(col("__rn") <= k, col("h"))).as("tau"),
       count(when(col("__rn") <= k, lit(1))).as("poolN"))
     // LEFT joins (review r10): a candidate endpoint absent from the
     // edge list has an empty neighborhood — its pairs score 0.0, they
     // do not silently vanish from the output (one row per candidate);
-    // null aggregates propagate through the arithmetic → 0.0
-    val degSide = deg.select(col("id"), col("deg"))
-    val paired = cand
-      .join(degSide.select(col("id").as("x"), col("deg").as("dx")), Seq("x"), "left")
-      .join(degSide.select(col("id").as("y"), col("deg").as("dy")), Seq("y"), "left")
-      .join(scored, Seq("x", "y"), "left")
-    val exact = col("dx") <= k && col("dy") <= k
+    // null aggregates propagate through the arithmetic → 0.0. (An
+    // absent-endpoint pair routes to the EXACT arm now — degree 0 ≤ k
+    // — and scores coalesce(null) = 0.0, the same value the estimator
+    // arm produced for it before the split.)
+    val paired = candDeg
+      .join(scoredEx, Seq("x", "y"), "left")
+      .join(scoredEst, Seq("x", "y"), "left")
     val poolN = col("poolN").cast("double")
     val unionEst = (poolN - 1.0) / col("tau")
-    val est = when(exact, coalesce(col("wBothAll"), lit(0.0)))
+    val est = when(exPred, coalesce(col("aa_raw"), lit(0.0)))
       .otherwise(coalesce(col("wBothPool"), lit(0.0)) * unionEst / poolN)
     val out = Pinned.hold("graph.adamic_adar_sketch",
       paired.select(col("x"), col("y"),
