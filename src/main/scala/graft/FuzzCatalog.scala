@@ -565,7 +565,10 @@ object FuzzCatalog {
   // flat three-table join. The c_custkey bounds are key-range bounds
   // (dense keys, so the kept row count is SF-independent and sits
   // under the 10,000 JX limit clamp — deep arm ~6k rows at <150,
-  // groupby arms ≤800 groups at <800, mid arm ~3k rows at <300).
+  // kind-1 groupby ≤799 c_custkey groups at <800, kind-2 groupby
+  // ~8,000 o_orderkey groups at <800 (≈10 orders per customer — only
+  // ~20% headroom under the clamp: do NOT widen the <800 bound
+  // without re-counting), mid arm ~3k rows at <300).
 
   val deepBlocks: Seq[(String, Long, Int)] = Seq(
     ("q_fuzz_nested_b2", 17017L, 16))

@@ -50,9 +50,12 @@ object JxSql {
       * interpolation at even counts — both engines agree exactly on
       * integer inputs). Usable over window frames. */
     def medianCont(x: String): String
-    /** 1-based array element, NULL when out of bounds or the index is
-      * 0; negative indexes count from the end in both engines. `n` is
-      * an already-rendered integer literal. */
+    /** 1-based array element, NULL when out of bounds; negative
+      * indexes count from the end in both engines. `n` must be an
+      * already-rendered NON-ZERO integer literal — index 0 DIVERGES
+      * (Spark's try_element_at throws INVALID_INDEX_OF_ZERO at
+      * runtime, DuckDB's list_extract returns NULL), which is why the
+      * GetOp renderer requires i ≥ 0 and emits i+1. */
     def elementAt(arr: String, n: String): String
   }
 
@@ -265,7 +268,10 @@ object JxSql {
     // compiler renders JX's 0-based get as 1-based element_at(i+1),
     // done here at render time so both engines see the same literal.
     // Split semantics checked identical across engines: regex split,
-    // trailing empties kept, NULL in → NULL array, OOB/0 index → NULL.
+    // trailing empties kept, NULL in → NULL array, out-of-bounds
+    // index → NULL. (Index 0 is NOT identical — Spark throws where
+    // DuckDB NULLs — so the GetOp guard below keeps rendered indexes
+    // at i+1 ≥ 1; see Dialect.elementAt.)
     case SplitOp(v, Lit(pat: String)) =>
       require(pat.nonEmpty, "split pattern must be non-empty in the fuzzed subset")
       d.splitRegex(s"CAST(${sql(v, d)} AS ${d.stringType})", litSql(pat))

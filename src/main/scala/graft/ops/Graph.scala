@@ -485,9 +485,16 @@ object Graph {
     // window's shuffle-sort over the ~2k-per-pair fan-out disappears
     // entirely; on a mixed list each pair routes to its own arm.
     val degSide = deg.select(col("id"), col("deg"))
-    val candDeg = cand
+    // checkpoint the degree-tagged pair list (review r11): it is
+    // consumed three times (both fan-out sides via candT + the final
+    // paired join), and each un-pinned consumption would re-execute
+    // the degree groupBy over und and both candidate joins — the same
+    // multiple-consumption rule candPinned and m already follow. It is
+    // pair-list-sized, so the materialization is bounded by the
+    // candidate count.
+    val (candDeg, candDegH) = Pinned.checkpoint(cand
       .join(degSide.select(col("id").as("x"), col("deg").as("dx")), Seq("x"), "left")
-      .join(degSide.select(col("id").as("y"), col("deg").as("dy")), Seq("y"), "left")
+      .join(degSide.select(col("id").as("y"), col("deg").as("dy")), Seq("y"), "left"))
     val exPred = coalesce(col("dx"), lit(0L)) <= k &&
       coalesce(col("dy"), lit(0L)) <= k
     val candT = candDeg.select(col("x"), col("y"), exPred.as("ex"))
@@ -529,7 +536,7 @@ object Graph {
     val out = Pinned.hold("graph.adamic_adar_sketch",
       paired.select(col("x"), col("y"),
         coalesce(round(est, 6), lit(0.0)).as("aa_est")))
-    Pinned.release(undH, skH, candH)
+    Pinned.release(undH, skH, candH, candDegH)
     out
   }
 

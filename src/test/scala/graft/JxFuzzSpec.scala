@@ -293,47 +293,52 @@ class JxFuzzSpec extends AnyFunSuite {
     }
   }
 
+  /** Op-name collector over the FULL fuzzed subset — one walker shared
+    * by every presence test (review r11: two divergent copies meant a
+    * split nested under e.g. a prefix/suffix operand was invisible to
+    * one of them, and every widening had to patch both). */
+  private def opNames(e: JxExpr): Set[String] = {
+    val kids = e match {
+      case JxExpr.BetweenOp(v, p, s, st, d) => Seq(v, p, s, st, d)
+      case JxExpr.UnixOp(t) => Seq(t)
+      case JxExpr.FromUnixOp(t) => Seq(t)
+      case JxExpr.AndOp(ts) => ts; case JxExpr.OrOp(ts) => ts
+      case JxExpr.NotOp(t) => Seq(t)
+      case JxExpr.EqOp(l, r) => Seq(l, r); case JxExpr.NeOp(l, r) => Seq(l, r)
+      case JxExpr.InequalityOp(_, l, r) => Seq(l, r)
+      case JxExpr.InOp(v, l) => Seq(v, l)
+      case JxExpr.MissingOp(t) => Seq(t); case JxExpr.ExistsOp(t) => Seq(t)
+      case JxExpr.MultiOp(_, ts, _, d) => ts :+ d
+      case JxExpr.BinaryOp(_, l, r, d) => Seq(l, r, d)
+      case JxExpr.DivOp(l, r, d) => Seq(l, r, d)
+      case JxExpr.FloorOp(l, r) => Seq(l, r)
+      case JxExpr.MaxOp(ts) => ts; case JxExpr.MinOp(ts) => ts
+      case JxExpr.CountOp(ts) => ts; case JxExpr.CoalesceOp(ts) => ts
+      case JxExpr.CastOp(_, t) => Seq(t)
+      case JxExpr.LengthOp(t) => Seq(t)
+      case JxExpr.SubstrOp(_, v, n) => Seq(v, n)
+      case JxExpr.FindOp(v, f, st, d) => Seq(v, f, st, d)
+      case JxExpr.PrefixOp(v, p) => Seq(v, p); case JxExpr.SuffixOp(v, p) => Seq(v, p)
+      case JxExpr.ConcatOp(ts, sep, d) => ts ++ Seq(sep, d)
+      case JxExpr.RegExpOp(v, p) => Seq(v, p)
+      case JxExpr.WhenOp(c, t, e2) => Seq(c, t, e2)
+      case JxExpr.CaseOp(ws, d) => ws.flatMap(w => Seq(w.cond, w.thenE, w.elseE)) :+ d
+      case JxExpr.SplitOp(v, p) => Seq(v, p)
+      case JxExpr.GetOp(v, i) => Seq(v, i)
+      case JxExpr.FirstOp(t) => Seq(t)
+      case JxExpr.LastOp(t) => Seq(t)
+      case _ => Nil
+    }
+    kids.flatMap(opNames).toSet + e.getClass.getSimpleName
+  }
+
   test("r11 widened ops (between, unix/from_unix) appear in generated trees and render") {
     // VERDICT r10 #6: every op added to JxSql multiplies composition
     // coverage only if the generator actually emits it — pin presence
     // across the four committed scalar seeds, and pin the rendering
     // contract on hand cases whose value is known
-    def ops(e: JxExpr): Seq[String] = {
-      val kids = e match {
-        case JxExpr.BetweenOp(v, p, s, st, d) => Seq(v, p, s, st, d)
-        case JxExpr.UnixOp(t) => Seq(t)
-        case JxExpr.FromUnixOp(t) => Seq(t)
-        case JxExpr.AndOp(ts) => ts; case JxExpr.OrOp(ts) => ts
-        case JxExpr.NotOp(t) => Seq(t)
-        case JxExpr.EqOp(l, r) => Seq(l, r); case JxExpr.NeOp(l, r) => Seq(l, r)
-        case JxExpr.InequalityOp(_, l, r) => Seq(l, r)
-        case JxExpr.InOp(v, l) => Seq(v, l)
-        case JxExpr.MissingOp(t) => Seq(t); case JxExpr.ExistsOp(t) => Seq(t)
-        case JxExpr.MultiOp(_, ts, _, d) => ts :+ d
-        case JxExpr.BinaryOp(_, l, r, d) => Seq(l, r, d)
-        case JxExpr.DivOp(l, r, d) => Seq(l, r, d)
-        case JxExpr.FloorOp(l, r) => Seq(l, r)
-        case JxExpr.MaxOp(ts) => ts; case JxExpr.MinOp(ts) => ts
-        case JxExpr.CountOp(ts) => ts; case JxExpr.CoalesceOp(ts) => ts
-        case JxExpr.CastOp(_, t) => Seq(t)
-        case JxExpr.LengthOp(t) => Seq(t)
-        case JxExpr.SubstrOp(_, v, n) => Seq(v, n)
-        case JxExpr.FindOp(v, f, st, d) => Seq(v, f, st, d)
-        case JxExpr.PrefixOp(v, p) => Seq(v, p); case JxExpr.SuffixOp(v, p) => Seq(v, p)
-        case JxExpr.ConcatOp(ts, sep, d) => ts ++ Seq(sep, d)
-        case JxExpr.RegExpOp(v, p) => Seq(v, p)
-        case JxExpr.WhenOp(c, t, e2) => Seq(c, t, e2)
-        case JxExpr.CaseOp(ws, d) => ws.flatMap(w => Seq(w.cond, w.thenE, w.elseE)) :+ d
-        case JxExpr.SplitOp(v, p) => Seq(v, p)
-        case JxExpr.GetOp(v, i) => Seq(v, i)
-        case JxExpr.FirstOp(t) => Seq(t)
-        case JxExpr.LastOp(t) => Seq(t)
-        case _ => Nil
-      }
-      e.getClass.getSimpleName +: kids.flatMap(ops)
-    }
     val all = (for ((_, seed, n) <- FuzzCatalog.blocks; c <- JxFuzz.cases(seed, n))
-      yield ops(c.expr)).flatten.toSet
+      yield opNames(c.expr)).flatten.toSet
     assert(all.contains("BetweenOp"), "no between generated across the scalar blocks")
     assert(all.contains("UnixOp"), "no unix generated across the scalar blocks")
     assert(all.contains("FromUnixOp"), "no from_unix generated across the scalar blocks")
@@ -364,39 +369,13 @@ class JxFuzzSpec extends AnyFunSuite {
 
   test("r11 widened ops (split + get/first/last) appear in generated trees and render") {
     // same discipline as the between/unix widening test above: presence
-    // across the committed scalar seeds, then the rendering contract on
-    // hand cases with known values — compiled Column vs the Spark-SQL
-    // rendering, and the JX semantics themselves (0-based get, regex
-    // split keeping trailing empties, OOB index → missing)
-    def ops(e: JxExpr): Set[String] = {
-      val kids = e match {
-        case JxExpr.SplitOp(v, p) => Seq(v, p)
-        case JxExpr.GetOp(v, i) => Seq(v, i)
-        case JxExpr.FirstOp(t) => Seq(t)
-        case JxExpr.LastOp(t) => Seq(t)
-        case JxExpr.AndOp(ts) => ts; case JxExpr.OrOp(ts) => ts
-        case JxExpr.NotOp(t) => Seq(t)
-        case JxExpr.EqOp(l, r) => Seq(l, r); case JxExpr.NeOp(l, r) => Seq(l, r)
-        case JxExpr.InequalityOp(_, l, r) => Seq(l, r)
-        case JxExpr.MissingOp(t) => Seq(t); case JxExpr.ExistsOp(t) => Seq(t)
-        case JxExpr.MultiOp(_, ts, _, d) => ts :+ d
-        case JxExpr.BinaryOp(_, l, r, d) => Seq(l, r, d)
-        case JxExpr.DivOp(l, r, d) => Seq(l, r, d)
-        case JxExpr.MaxOp(ts) => ts; case JxExpr.MinOp(ts) => ts
-        case JxExpr.CountOp(ts) => ts; case JxExpr.CoalesceOp(ts) => ts
-        case JxExpr.CastOp(_, t) => Seq(t)
-        case JxExpr.SubstrOp(_, v, n) => Seq(v, n)
-        case JxExpr.FindOp(v, f, st, d) => Seq(v, f, st, d)
-        case JxExpr.BetweenOp(v, p, s, st, d) => Seq(v, p, s, st, d)
-        case JxExpr.ConcatOp(ts, sep, d) => ts ++ Seq(sep, d)
-        case JxExpr.WhenOp(c, t, e2) => Seq(c, t, e2)
-        case JxExpr.CaseOp(ws, d) => ws.flatMap(w => Seq(w.cond, w.thenE, w.elseE)) :+ d
-        case _ => Nil
-      }
-      kids.flatMap(ops).toSet + e.getClass.getSimpleName
-    }
+    // across the committed scalar seeds (via the shared opNames
+    // walker), then the rendering contract on hand cases with known
+    // values — compiled Column vs the Spark-SQL rendering, and the JX
+    // semantics themselves (0-based get, regex split keeping trailing
+    // empties, OOB index → missing)
     val all = (for ((_, seed, n) <- FuzzCatalog.blocks; c <- JxFuzz.cases(seed, n))
-      yield ops(c.expr)).flatten.toSet
+      yield opNames(c.expr)).flatten.toSet
     assert(all.contains("SplitOp"), "no split generated across the scalar blocks")
     assert(all.contains("GetOp"), "no get generated across the scalar blocks")
     assert(all.contains("FirstOp") || all.contains("LastOp"),
