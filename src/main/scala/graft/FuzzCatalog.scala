@@ -378,6 +378,95 @@ object FuzzCatalog {
        ${arms.mkString("\nUNION ALL\n")}"""
   }
 
+  // ---- 2-edge (dense cube cross-product) fuzz ----------------------------
+  // r11 deepening: the 1-edge block cannot reach the CROSS-DOMAIN
+  // semantics — the dense (domA ∪ nullA) × (domB ∪ nullB) cell grid,
+  // zero-filled count cells across the product, and the null-bucket
+  // ARMS (null, b) / (a, null) / (null, null) where one key is
+  // outside-or-null while the other still classifies. 10 generated
+  // 2-edge queries; the oracle mirrors each as domA × domB LEFT JOIN a
+  // two-key aggregate plus one arm per allowed null bucket (the
+  // (null, null) arm is a bare aggregate — always one row, so the cell
+  // exists zero-filled exactly like the engine's densify emits it).
+
+  val edge2Blocks: Seq[(String, Long, Int)] = Seq(
+    ("q_fuzz_edges_b2", 19019L, 10))
+
+  private def edge2Entry(seed: Long, n: Int): Q = (s, dir) => {
+    val cs = JxFuzz.edge2Cases(seed, n)
+    val frames = cs.zipWithIndex.map { case ((a, b), i) =>
+      val q = s"""{
+        "from": "lineitem",
+        "where": {"lt": {"l_orderkey": 500}},
+        "edges": [{
+          "name": "g1",
+          "value": ${jx.JxExpr.jsonString(JxFuzz.mapVars(JxFuzz.edgeKey(a), liVar))},
+          "allowNulls": ${a.allowNulls},
+          "domain": {"type": "set", "partitions": [${a.parts.mkString(", ")}]}
+        }, {
+          "name": "g2",
+          "value": ${jx.JxExpr.jsonString(JxFuzz.mapVars(JxFuzz.edgeKey2(b), liVar))},
+          "allowNulls": ${b.allowNulls},
+          "domain": {"type": "set", "partitions": [${b.parts.mkString(", ")}]}
+        }],
+        "select": [
+          {"name": "n", "value": ".", "aggregate": "count"},
+          {"name": "s1", "value": ${jx.JxExpr.jsonString(JxFuzz.mapVars(a.value, liVar))},
+           "aggregate": "${a.agg}"}
+        ]
+      }"""
+      jx.QueryRunner.run(s, jx.JxQuery.parse(q), SparkEntry.loader(s, dir))
+        .select(lit(i).cast("int").as("case_id"),
+          col("g1").cast("long").as("g1"), col("g2").cast("long").as("g2"),
+          col("n").cast("long").as("n"), col("s1").cast("double").as("s1"))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
+  private def edge2Oracle(seed: Long, n: Int): String = {
+    val cs = JxFuzz.edge2Cases(seed, n)
+    val arms = cs.zipWithIndex.map { case ((a, b), i) =>
+      val kA = jx.JxSql.sql(JxFuzz.mapVars(JxFuzz.edgeKey(a), liVar), jx.JxSql.DuckDb)
+      val kB = jx.JxSql.sql(JxFuzz.mapVars(JxFuzz.edgeKey2(b), liVar), jx.JxSql.DuckDb)
+      val v = jx.JxSql.sql(JxFuzz.mapVars(a.value, liVar), jx.JxSql.DuckDb)
+      val fn = aggFn(a.agg)
+      val domA = a.parts.map(p => s"($p)").mkString(",")
+      val domB = b.parts.map(p => s"($p)").mkString(",")
+      val outsideA = s"($kA IS NULL OR $kA NOT IN (${a.parts.mkString(", ")}))"
+      val outsideB = s"($kB IS NULL OR $kB NOT IN (${b.parts.mkString(", ")}))"
+      val dense = s"""
+        SELECT $i AS case_id, CAST(da.part AS BIGINT) AS g1, CAST(db.part AS BIGINT) AS g2,
+               CAST(COALESCE(agg.c0, 0) AS BIGINT) AS n, CAST(agg.c1 AS DOUBLE) AS s1
+        FROM (VALUES $domA) da(part) CROSS JOIN (VALUES $domB) db(part)
+        LEFT JOIN (SELECT $kA AS pa, $kB AS pb, COUNT(*) AS c0, $fn($v) AS c1
+                   FROM src GROUP BY 1, 2) agg
+          ON da.part = agg.pa AND db.part = agg.pb"""
+      val nullA = if (!a.allowNulls) "" else s"""
+        UNION ALL
+        SELECT $i, NULL, CAST(db.part AS BIGINT),
+               CAST(COALESCE(agg.c0, 0) AS BIGINT), CAST(agg.c1 AS DOUBLE)
+        FROM (VALUES $domB) db(part)
+        LEFT JOIN (SELECT $kB AS pb, COUNT(*) AS c0, $fn($v) AS c1
+                   FROM src WHERE $outsideA GROUP BY 1) agg
+          ON db.part = agg.pb"""
+      val nullB = if (!b.allowNulls) "" else s"""
+        UNION ALL
+        SELECT $i, CAST(da.part AS BIGINT), NULL,
+               CAST(COALESCE(agg.c0, 0) AS BIGINT), CAST(agg.c1 AS DOUBLE)
+        FROM (VALUES $domA) da(part)
+        LEFT JOIN (SELECT $kA AS pa, COUNT(*) AS c0, $fn($v) AS c1
+                   FROM src WHERE $outsideB GROUP BY 1) agg
+          ON da.part = agg.pa"""
+      val nullBoth = if (!(a.allowNulls && b.allowNulls)) "" else s"""
+        UNION ALL
+        SELECT $i, NULL, NULL, CAST(COUNT(*) AS BIGINT), CAST($fn($v) AS DOUBLE)
+        FROM src WHERE $outsideA AND $outsideB"""
+      dense + nullA + nullB + nullBoth
+    }
+    s"""WITH src AS (SELECT * FROM lineitem WHERE l_orderkey < 500)
+       ${arms.mkString("\nUNION ALL\n")}"""
+  }
+
   // ---- setop-pipeline fuzz ------------------------------------------------
   // §2.6 was the last JX query layer without a generated differential
   // block (VERDICT r10 #4): the filter→select→sort→limit pipeline
@@ -813,6 +902,7 @@ object FuzzCatalog {
       aggBlocks.map { case (name, seed, n) => name -> aggEntry(seed, n) }.toMap ++
       windowBlocks.map { case (name, seed, n) => name -> windowEntry(seed, n) }.toMap ++
       edgeBlocks.map { case (name, seed, n) => name -> edgeEntry(seed, n) }.toMap ++
+      edge2Blocks.map { case (name, seed, n) => name -> edge2Entry(seed, n) }.toMap ++
       setopBlocks.map { case (name, seed, n) => name -> setopEntry(seed, n) }.toMap ++
       setopPairBlocks.map { case (name, seed, n) => name -> setopPairEntry(seed, n) }.toMap ++
       nestedBlocks.map { case (name, seed, n) => name -> nestedEntry(seed, n) }.toMap ++
@@ -823,6 +913,7 @@ object FuzzCatalog {
       aggBlocks.map { case (name, seed, n) => name -> aggOracle(seed, n) }.toMap ++
       windowBlocks.map { case (name, seed, n) => name -> windowOracle(seed, n) }.toMap ++
       edgeBlocks.map { case (name, seed, n) => name -> edgeOracle(seed, n) }.toMap ++
+      edge2Blocks.map { case (name, seed, n) => name -> edge2Oracle(seed, n) }.toMap ++
       setopBlocks.map { case (name, seed, n) => name -> setopOracle(seed, n) }.toMap ++
       setopPairBlocks.map { case (name, seed, n) => name -> setopPairOracle(seed, n) }.toMap ++
       nestedBlocks.map { case (name, seed, n) => name -> nestedOracle(seed, n) }.toMap ++

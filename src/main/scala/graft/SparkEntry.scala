@@ -60,6 +60,7 @@ object SparkEntry {
     // unrelated to performance (review r10)
     FuzzCatalog.blocks.map(_._1) ++ FuzzCatalog.aggBlocks.map(_._1) ++
     FuzzCatalog.windowBlocks.map(_._1) ++ FuzzCatalog.edgeBlocks.map(_._1) ++
+    FuzzCatalog.edge2Blocks.map(_._1) ++
     FuzzCatalog.setopBlocks.map(_._1) ++ FuzzCatalog.setopPairBlocks.map(_._1) ++
     FuzzCatalog.nestedBlocks.map(_._1) ++ FuzzCatalog.deepBlocks.map(_._1)
 

@@ -377,6 +377,26 @@ object JxFuzz {
       base, NullOp)
   }
 
+  /** Second-edge key for the 2-d cube cases: same shape as [[edgeKey]]
+    * with the variable roles swapped, so the two edges of one query
+    * classify on (near-)independent columns. */
+  def edgeKey2(c: EdgeCase): JxExpr = {
+    val base = BinaryOp("mod", Variable("int2"), Lit(c.mod.toLong), NullOp)
+    if (!c.nullable) base
+    else WhenOp(
+      InequalityOp("gt", BinaryOp("mod", Variable("int1"), Lit(3L), NullOp), Lit(0L)),
+      base, NullOp)
+  }
+
+  /** 2-EDGE cube cases (r11 deepening of the edges layer): pairs of
+    * independently-generated [[EdgeCase]]s drive one two-edge query
+    * each — the dense CROSS-PRODUCT grid (domA ∪ nullA) × (domB ∪
+    * nullB) with zero-filled counts, phantom partitions, and the four
+    * null-bucket arms the 1-edge block cannot reach. Drawn through the
+    * same generator so the per-edge distributions match the 1-d block. */
+  def edge2Cases(seed: Long, n: Int): Seq[(EdgeCase, EdgeCase)] =
+    edgeCases(seed, 2 * n).grouped(2).map { case Seq(a, b) => (a, b) }.toSeq
+
   /** One setop-pipeline case (§2.6 differential, VERDICT r10 #4): the
     * filter→select→sort→limit composition. The select tuple is FIXED
     * SHAPE — (k, i0, i1, s0): the unique row key, two exact-int trees,

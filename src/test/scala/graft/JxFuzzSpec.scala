@@ -182,6 +182,34 @@ class JxFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("2-edge cube cases round-trip their trees; the cross-product grid shape holds") {
+    // the 2-d analog of the 1-edge shape law: per case the cell count
+    // must be exactly (|domA| + nullA?) × (|domB| + nullB?) — the full
+    // cross-product grid including zero-filled phantom cells and the
+    // null-bucket rows on each axis (the semantics the DuckDB oracle
+    // checks value-by-value at the gate)
+    for ((_, seed, n) <- FuzzCatalog.edge2Blocks; (a, b) <- JxFuzz.edge2Cases(seed, n);
+         t <- Seq(JxFuzz.edgeKey(a), JxFuzz.edgeKey2(b), a.value)) {
+      val json = jx.JxExpr.jsonString(t)
+      assert(jx.JxExpr.parseJson(json) == t, s"2-edge tree drift via $json")
+    }
+    for ((name, seed, n) <- FuzzCatalog.edge2Blocks) {
+      val out = FuzzCatalog.queries(name)(spark, dir).collect()
+      val cs = JxFuzz.edge2Cases(seed, n)
+      val byCase = out.groupBy(_.getInt(0))
+      for ((i, rows) <- byCase) {
+        val (a, b) = cs(i)
+        val wantA = a.parts.size + (if (a.allowNulls) 1 else 0)
+        val wantB = b.parts.size + (if (b.allowNulls) 1 else 0)
+        assert(rows.length === wantA * wantB,
+          s"case $i: ${rows.length} cells, want $wantA×$wantB")
+        assert(rows.count(_.isNullAt(1)) === (if (a.allowNulls) wantB else 0))
+        assert(rows.count(_.isNullAt(2)) === (if (b.allowNulls) wantA else 0))
+      }
+      assert(byCase.size === n)
+    }
+  }
+
   test("setop cases: the JX pipeline path equals the Spark-SQL rendering") {
     // the in-suite leg of the setop fuzz (VERDICT r10 #4): the SAME
     // rendering that oracles the gate against DuckDB runs here through
