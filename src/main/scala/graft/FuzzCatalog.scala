@@ -352,11 +352,16 @@ object FuzzCatalog {
     frames.reduce(_ unionByName _)
   }
 
-  private def edgeOracle(seed: Long, n: Int): String = {
+  /** Dialect-parameterized (r11) so the SAME rendering oracles the
+    * DuckDB gate AND runs in-suite through spark.sql — the edges
+    * layers then carry the full compiler ≡ rendering ≡ second-engine
+    * triangle like every other fuzzed layer. */
+  private[graft] def edgeOracle(seed: Long, n: Int,
+      d: jx.JxSql.Dialect = jx.JxSql.DuckDb): String = {
     val cs = JxFuzz.edgeCases(seed, n)
     val arms = cs.zipWithIndex.map { case (c, i) =>
-      val key = jx.JxSql.sql(JxFuzz.mapVars(JxFuzz.edgeKey(c), liVar), jx.JxSql.DuckDb)
-      val v = jx.JxSql.sql(JxFuzz.mapVars(c.value, liVar), jx.JxSql.DuckDb)
+      val key = jx.JxSql.sql(JxFuzz.mapVars(JxFuzz.edgeKey(c), liVar), d)
+      val v = jx.JxSql.sql(JxFuzz.mapVars(c.value, liVar), d)
       val fn = aggFn(c.agg)
       val domVals = c.parts.map(p => s"($p)").mkString(",")
       val dense = s"""
@@ -423,12 +428,13 @@ object FuzzCatalog {
     frames.reduce(_ unionByName _)
   }
 
-  private def edge2Oracle(seed: Long, n: Int): String = {
+  private[graft] def edge2Oracle(seed: Long, n: Int,
+      d: jx.JxSql.Dialect = jx.JxSql.DuckDb): String = {
     val cs = JxFuzz.edge2Cases(seed, n)
     val arms = cs.zipWithIndex.map { case ((a, b), i) =>
-      val kA = jx.JxSql.sql(JxFuzz.mapVars(JxFuzz.edgeKey(a), liVar), jx.JxSql.DuckDb)
-      val kB = jx.JxSql.sql(JxFuzz.mapVars(JxFuzz.edgeKey2(b), liVar), jx.JxSql.DuckDb)
-      val v = jx.JxSql.sql(JxFuzz.mapVars(a.value, liVar), jx.JxSql.DuckDb)
+      val kA = jx.JxSql.sql(JxFuzz.mapVars(JxFuzz.edgeKey(a), liVar), d)
+      val kB = jx.JxSql.sql(JxFuzz.mapVars(JxFuzz.edgeKey2(b), liVar), d)
+      val v = jx.JxSql.sql(JxFuzz.mapVars(a.value, liVar), d)
       val fn = aggFn(a.agg)
       val domA = a.parts.map(p => s"($p)").mkString(",")
       val domB = b.parts.map(p => s"($p)").mkString(",")
