@@ -417,13 +417,16 @@ object FuzzCatalog {
         "select": [
           {"name": "n", "value": ".", "aggregate": "count"},
           {"name": "s1", "value": ${jx.JxExpr.jsonString(JxFuzz.mapVars(a.value, liVar))},
-           "aggregate": "${a.agg}"}
+           "aggregate": "${a.agg}"},
+          {"name": "s2", "value": ${jx.JxExpr.jsonString(JxFuzz.mapVars(b.value, liVar))},
+           "aggregate": "${b.agg}"}
         ]
       }"""
       jx.QueryRunner.run(s, jx.JxQuery.parse(q), SparkEntry.loader(s, dir))
         .select(lit(i).cast("int").as("case_id"),
           col("g1").cast("long").as("g1"), col("g2").cast("long").as("g2"),
-          col("n").cast("long").as("n"), col("s1").cast("double").as("s1"))
+          col("n").cast("long").as("n"), col("s1").cast("double").as("s1"),
+          col("s2").cast("double").as("s2"))
     }
     frames.reduce(_ unionByName _)
   }
@@ -434,38 +437,47 @@ object FuzzCatalog {
     val arms = cs.zipWithIndex.map { case ((a, b), i) =>
       val kA = jx.JxSql.sql(JxFuzz.mapVars(JxFuzz.edgeKey(a), liVar), d)
       val kB = jx.JxSql.sql(JxFuzz.mapVars(JxFuzz.edgeKey2(b), liVar), d)
+      // BOTH generated aggregate trees execute (review r11): s1 from
+      // edge a's draw, s2 from edge b's — without s2 half the block's
+      // value trees were generated but never run
       val v = jx.JxSql.sql(JxFuzz.mapVars(a.value, liVar), d)
+      val v2 = jx.JxSql.sql(JxFuzz.mapVars(b.value, liVar), d)
       val fn = aggFn(a.agg)
+      val fn2 = aggFn(b.agg)
       val domA = a.parts.map(p => s"($p)").mkString(",")
       val domB = b.parts.map(p => s"($p)").mkString(",")
       val outsideA = s"($kA IS NULL OR $kA NOT IN (${a.parts.mkString(", ")}))"
       val outsideB = s"($kB IS NULL OR $kB NOT IN (${b.parts.mkString(", ")}))"
       val dense = s"""
         SELECT $i AS case_id, CAST(da.part AS BIGINT) AS g1, CAST(db.part AS BIGINT) AS g2,
-               CAST(COALESCE(agg.c0, 0) AS BIGINT) AS n, CAST(agg.c1 AS DOUBLE) AS s1
+               CAST(COALESCE(agg.c0, 0) AS BIGINT) AS n, CAST(agg.c1 AS DOUBLE) AS s1,
+               CAST(agg.c2 AS DOUBLE) AS s2
         FROM (VALUES $domA) da(part) CROSS JOIN (VALUES $domB) db(part)
-        LEFT JOIN (SELECT $kA AS pa, $kB AS pb, COUNT(*) AS c0, $fn($v) AS c1
+        LEFT JOIN (SELECT $kA AS pa, $kB AS pb, COUNT(*) AS c0, $fn($v) AS c1, $fn2($v2) AS c2
                    FROM src GROUP BY 1, 2) agg
           ON da.part = agg.pa AND db.part = agg.pb"""
       val nullA = if (!a.allowNulls) "" else s"""
         UNION ALL
         SELECT $i, NULL, CAST(db.part AS BIGINT),
-               CAST(COALESCE(agg.c0, 0) AS BIGINT), CAST(agg.c1 AS DOUBLE)
+               CAST(COALESCE(agg.c0, 0) AS BIGINT), CAST(agg.c1 AS DOUBLE),
+               CAST(agg.c2 AS DOUBLE)
         FROM (VALUES $domB) db(part)
-        LEFT JOIN (SELECT $kB AS pb, COUNT(*) AS c0, $fn($v) AS c1
+        LEFT JOIN (SELECT $kB AS pb, COUNT(*) AS c0, $fn($v) AS c1, $fn2($v2) AS c2
                    FROM src WHERE $outsideA GROUP BY 1) agg
           ON db.part = agg.pb"""
       val nullB = if (!b.allowNulls) "" else s"""
         UNION ALL
         SELECT $i, CAST(da.part AS BIGINT), NULL,
-               CAST(COALESCE(agg.c0, 0) AS BIGINT), CAST(agg.c1 AS DOUBLE)
+               CAST(COALESCE(agg.c0, 0) AS BIGINT), CAST(agg.c1 AS DOUBLE),
+               CAST(agg.c2 AS DOUBLE)
         FROM (VALUES $domA) da(part)
-        LEFT JOIN (SELECT $kA AS pa, COUNT(*) AS c0, $fn($v) AS c1
+        LEFT JOIN (SELECT $kA AS pa, COUNT(*) AS c0, $fn($v) AS c1, $fn2($v2) AS c2
                    FROM src WHERE $outsideB GROUP BY 1) agg
           ON da.part = agg.pa"""
       val nullBoth = if (!(a.allowNulls && b.allowNulls)) "" else s"""
         UNION ALL
-        SELECT $i, NULL, NULL, CAST(COUNT(*) AS BIGINT), CAST($fn($v) AS DOUBLE)
+        SELECT $i, NULL, NULL, CAST(COUNT(*) AS BIGINT), CAST($fn($v) AS DOUBLE),
+               CAST($fn2($v2) AS DOUBLE)
         FROM src WHERE $outsideA AND $outsideB"""
       dense + nullA + nullB + nullBoth
     }

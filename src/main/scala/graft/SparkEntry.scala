@@ -51,9 +51,10 @@ object SparkEntry {
     * tier's documented worst case grades the engine on a plan it
     * doesn't ship (VERDICT r7 "What's wrong" #3). */
   val benchExcluded: Set[String] = Set("q_dedup_jaccard_naive") ++
-    // fuzz blocks are CORRECTNESS fixtures (661 differential cases
-    // across 11 blocks — 500 scalar, 80 aggregate, 30 window, 14
-    // edges, 12 setop pipelines + 9 set-op pairs, 16 nested — under
+    // fuzz blocks are CORRECTNESS fixtures (687 differential cases
+    // across 13 blocks — 500 scalar, 80 aggregate, 30 window, 14
+    // one-edge + 10 two-edge cubes, 12 setop pipelines + 9 set-op
+    // pairs, 16 nested + 16 deep-nested — under
     // the DuckDB gate): their timed cost is wide-projection codegen
     // compile mass, not engine work, and timing them would drift the
     // headline total against every prior baseline row for reasons

@@ -28,11 +28,23 @@ class JxFuzzSpec extends AnyFunSuite {
     case other => other.toString
   }
 
-  private def lines(df: org.apache.spark.sql.DataFrame): Seq[String] = {
-    val names = df.columns
+  private def linesOf(names: Seq[String], rows: Array[org.apache.spark.sql.Row]): Seq[String] = {
     val order = names.indices.sortBy(names(_))
-    df.collect().map(r => order.map(i => norm(r.get(i))).mkString("|")).toSeq.sorted
+    rows.map(r => order.map(i => norm(r.get(i))).mkString("|")).toSeq.sorted
   }
+
+  private def lines(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    linesOf(df.columns.toSeq, df.collect())
+
+  /** The 2-edge engine output, collected ONCE per block (review r11):
+    * the shape law and the Spark-SQL twin both consume it, and the
+    * 10-way union of cross-join-densify plans is the most expensive
+    * compile mass in this suite. */
+  private lazy val edge2Results: Map[String, (Seq[String], Array[org.apache.spark.sql.Row])] =
+    FuzzCatalog.edge2Blocks.map { case (name, _, _) =>
+      val df = FuzzCatalog.queries(name)(spark, dir)
+      name -> ((df.columns.toSeq, df.collect()))
+    }.toMap
 
   test("500 generated trees: compiled Column equals the JxSql Spark rendering") {
     val dom = FuzzCatalog.domainDf(spark, dir)
@@ -189,12 +201,12 @@ class JxFuzzSpec extends AnyFunSuite {
     // null-bucket rows on each axis (the semantics the DuckDB oracle
     // checks value-by-value at the gate)
     for ((_, seed, n) <- FuzzCatalog.edge2Blocks; (a, b) <- JxFuzz.edge2Cases(seed, n);
-         t <- Seq(JxFuzz.edgeKey(a), JxFuzz.edgeKey2(b), a.value)) {
+         t <- Seq(JxFuzz.edgeKey(a), JxFuzz.edgeKey2(b), a.value, b.value)) {
       val json = jx.JxExpr.jsonString(t)
       assert(jx.JxExpr.parseJson(json) == t, s"2-edge tree drift via $json")
     }
     for ((name, seed, n) <- FuzzCatalog.edge2Blocks) {
-      val out = FuzzCatalog.queries(name)(spark, dir).collect()
+      val out = edge2Results(name)._2
       val cs = JxFuzz.edge2Cases(seed, n)
       val byCase = out.groupBy(_.getInt(0))
       for ((i, rows) <- byCase) {
@@ -225,9 +237,9 @@ class JxFuzzSpec extends AnyFunSuite {
         s"$name: sizes ${a.size}/${b.size}, ${diffs.size} differing rows; first: ${diffs.headOption}")
     }
     for ((name, seed, n) <- FuzzCatalog.edge2Blocks) {
-      val viaEngine = FuzzCatalog.queries(name)(spark, dir)
+      val (engCols, engRows) = edge2Results(name)
       val viaSql = spark.sql(FuzzCatalog.edge2Oracle(seed, n, JxSql.SparkSql))
-      val (a, b) = (lines(viaEngine), lines(viaSql))
+      val (a, b) = (linesOf(engCols, engRows), lines(viaSql))
       val diffs = a.zip(b).filter { case (x, y) => x != y }
       assert(a.size == b.size && diffs.isEmpty,
         s"$name: sizes ${a.size}/${b.size}, ${diffs.size} differing rows; first: ${diffs.headOption}")
