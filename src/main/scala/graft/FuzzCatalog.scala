@@ -397,7 +397,7 @@ object FuzzCatalog {
   val edge2Blocks: Seq[(String, Long, Int)] = Seq(
     ("q_fuzz_edges_b2", 19019L, 10))
 
-  private def edge2Entry(seed: Long, n: Int): Q = (s, dir) => {
+  private[graft] def edge2Entry(seed: Long, n: Int): Q = (s, dir) => {
     val cs = JxFuzz.edge2Cases(seed, n)
     val frames = cs.zipWithIndex.map { case ((a, b), i) =>
       val q = s"""{
@@ -703,7 +703,7 @@ object FuzzCatalog {
     "lineitems", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
     "l_shipdate", "l_returnflag", "l_linestatus", "l_linenumber"))
 
-  private def deepEntry(seed: Long, n: Int): Q = (s, dir) => {
+  private[graft] def deepEntry(seed: Long, n: Int): Q = (s, dir) => {
     val cs = JxFuzz.deepCases(seed, n)
     val frames = cs.zipWithIndex.map { case (c, i) =>
       val cp = jx.JxExpr.jsonString(JxFuzz.mapVars(c.custPred, ncVar))

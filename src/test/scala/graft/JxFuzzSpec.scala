@@ -346,6 +346,33 @@ class JxFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("deep-nested and 2-edge extra-seed sweeps: more seeds, in-suite only") {
+    // the scalar layer's extra-seed pattern applied to the two newest
+    // layers (review r11): coverage grows without growing the catalog —
+    // fresh seeds run the full document/densify machinery against the
+    // Spark-SQL rendering of the same cases (no DuckDB leg; the
+    // committed seeds carry that at the gate)
+    SparkEntry.loader(spark, dir)("customer").createOrReplaceTempView("customer")
+    SparkEntry.loader(spark, dir)("orders").createOrReplaceTempView("orders")
+    SparkEntry.loader(spark, dir)("lineitem").createOrReplaceTempView("lineitem")
+    for (seed <- Seq(23023L, 29029L)) {
+      val viaDocs = FuzzCatalog.deepEntry(seed, 16)(spark, dir)
+      val viaSql = spark.sql(FuzzCatalog.deepOracle(seed, 16, JxSql.SparkSql))
+      val (a, b) = (lines(viaDocs), lines(viaSql))
+      val diffs = a.zip(b).filter { case (x, y) => x != y }
+      assert(a.size == b.size && diffs.isEmpty,
+        s"deep seed $seed: sizes ${a.size}/${b.size}, ${diffs.size} differing; first: ${diffs.headOption}")
+    }
+    for (seed <- Seq(31031L)) {
+      val viaEngine = FuzzCatalog.edge2Entry(seed, 10)(spark, dir)
+      val viaSql = spark.sql(FuzzCatalog.edge2Oracle(seed, 10, JxSql.SparkSql))
+      val (a, b) = (lines(viaEngine), lines(viaSql))
+      val diffs = a.zip(b).filter { case (x, y) => x != y }
+      assert(a.size == b.size && diffs.isEmpty,
+        s"edge2 seed $seed: sizes ${a.size}/${b.size}, ${diffs.size} differing; first: ${diffs.headOption}")
+    }
+  }
+
   test("deep-nested cases round-trip their trees; all four kinds appear") {
     for ((_, seed, n) <- FuzzCatalog.deepBlocks) {
       val cs = JxFuzz.deepCases(seed, n)
