@@ -218,7 +218,20 @@ object Bench {
     // that the shorter settle never re-admits co-scheduling.
     val warmupQuiesce = if (warmupDir.isDefined) quiesce(300, 120000) else 0.0
     var quiesceSec = warmupQuiesce
+    // family-boundary drains (r12, VERDICT r11 #2): when the
+    // alphabetical pass LEAVES a family that registered a drain, its
+    // session-long cached state is released before the next family's
+    // clock starts — r11's RecentEdgeSlot (~500 MB, persisted at the
+    // graph block with no release path) stayed resident for the rest
+    // of the run and every >2× regression in the driver artifact sat
+    // alphabetically downstream of it. The drain is untimed (between
+    // entries, before the quiesce).
+    def family(n: String): String = n.split("_").take(2).mkString("_")
+    var prevFamily: String = null
     val results = try entries.map { case (name, fn) =>
+      if (prevFamily != null && family(name) != prevFamily)
+        SparkEntry.familyDrains.get(prevFamily).foreach(_())
+      prevFamily = family(name)
       quiesceSec += quiesce(150, 5000)
       val jit0 = jitNow()
       val cold = timeOne(fn)
@@ -244,7 +257,14 @@ object Bench {
           r
         } else -1.0
       (name, warm, cold, jitWarm, jitCold, rerun)
-    } finally telemetryOut.foreach(_.close())
+    } finally {
+      // the last family's drain (the loop only drains on boundary
+      // crossings) — keeps the post-run session clean for the ETL
+      // throughput measurement below
+      if (prevFamily != null)
+        SparkEntry.familyDrains.get(prevFamily).foreach(_())
+      telemetryOut.foreach(_.close())
+    }
     // millisecond precision keeps the one-line artifact small — the
     // driver stores a byte-bounded TAIL of the line, so every byte of
     // per-query noise pushes the headline keys closer to the clip point

@@ -25,12 +25,27 @@ import graft.jx.{JxCompiler, JxFuzz, JxSql}
 object FuzzCatalog {
   type Q = (SparkSession, String) => DataFrame
 
-  /** (name, seed, #cases) per block — 4 × 125 = 500 gate cases. */
+  /** (name, seed, #cases) per block — 4 × 125 = 500 fuzzed trees.
+    * These four blocks remain the in-suite law surface (JxFuzzSpec
+    * sweeps every tree); the GATE entries derive from them below. */
   val blocks: Seq[(String, Long, Int)] = Seq(
     ("q_fuzz_expr_b1", 1001L, 125),
     ("q_fuzz_expr_b2", 2002L, 125),
     ("q_fuzz_expr_b3", 3003L, 125),
     ("q_fuzz_expr_b4", 4004L, 125))
+
+  /** Gate-facing sub-blocks of q_fuzz_expr_b4 (VERDICT r11 #1): the
+    * driver's hash gate compares a block as ONE wide table, so its r11
+    * b4 mismatch — reproducibly green against local DuckDB 1.0.0,
+    * bit-exact per column (r12 re-check: zero raw-double diffs across
+    * all 125 b4 columns) — is unlocalizable from the artifact. For one
+    * round b4 runs as five 25-case windows over the SAME seed-4004
+    * tree sequence (cases sliced, not re-drawn), so a red row names a
+    * 25-tree window and the diverging construct can be adjudicated
+    * next round. b1–b3 stay whole (green on the driver), and the
+    * in-suite laws still sweep the full 125-tree b4 via [[blocks]]. */
+  val b4SubBlocks: Seq[(String, Int, Int)] =
+    (0 until 5).map(i => (s"q_fuzz_expr_b4${('a' + i).toChar}", i * 25, (i + 1) * 25))
 
   /** Spark side of the domain. Must stay value-identical to
     * [[domainSql]] — both derive the same columns from the same
@@ -95,18 +110,23 @@ object FuzzCatalog {
     case _           => s
   }
 
-  private def entry(seed: Long, n: Int): Q = (s, dir) => {
-    val cs = JxFuzz.cases(seed, n)
+  private def entryOf(cs: Seq[JxFuzz.FuzzCase]): Q = (s, dir) =>
     domainDf(s, dir).select(
       col("k") +: cs.map(c =>
         normCol(JxCompiler.compile(c.expr), ty = c.ty).as(c.name)): _*)
-  }
 
-  private def oracle(seed: Long, n: Int): String = {
-    val cs = JxFuzz.cases(seed, n)
+  private def entry(seed: Long, n: Int): Q = entryOf(JxFuzz.cases(seed, n))
+
+  private def oracleOf(cs: Seq[JxFuzz.FuzzCase]): String = {
     val cols = cs.map(c => s"${normSql(JxSql.sql(c.expr, JxSql.DuckDb), c.ty)} AS ${c.name}")
     s"WITH t AS ($domainSql)\nSELECT k, ${cols.mkString(",\n  ")} FROM t"
   }
+
+  private def oracle(seed: Long, n: Int): String = oracleOf(JxFuzz.cases(seed, n))
+
+  /** The seed-4004 trees sliced for one gate sub-block. */
+  private def b4Cases(from: Int, until: Int): Seq[JxFuzz.FuzzCase] =
+    JxFuzz.cases(4004L, 125).slice(from, until)
 
   /** A case list rendered through the Spark dialect — the suite's
     * differential leg (`FROM <view>` is caller-supplied); the seed
@@ -915,8 +935,12 @@ object FuzzCatalog {
        ${arms.mkString("\nUNION ALL\n")}"""
   }
 
+  /** The gate runs b1–b3 whole and b4 as its five sub-blocks. */
+  private def gateExprBlocks: Seq[(String, Long, Int)] = blocks.filterNot(_._1 == "q_fuzz_expr_b4")
+
   def queries: Map[String, Q] =
-    blocks.map { case (name, seed, n) => name -> entry(seed, n) }.toMap ++
+    gateExprBlocks.map { case (name, seed, n) => name -> entry(seed, n) }.toMap ++
+      b4SubBlocks.map { case (name, from, until) => name -> entryOf(b4Cases(from, until)) }.toMap ++
       aggBlocks.map { case (name, seed, n) => name -> aggEntry(seed, n) }.toMap ++
       windowBlocks.map { case (name, seed, n) => name -> windowEntry(seed, n) }.toMap ++
       edgeBlocks.map { case (name, seed, n) => name -> edgeEntry(seed, n) }.toMap ++
@@ -927,7 +951,8 @@ object FuzzCatalog {
       deepBlocks.map { case (name, seed, n) => name -> deepEntry(seed, n) }.toMap
 
   def oracles: Map[String, String] =
-    blocks.map { case (name, seed, n) => name -> oracle(seed, n) }.toMap ++
+    gateExprBlocks.map { case (name, seed, n) => name -> oracle(seed, n) }.toMap ++
+      b4SubBlocks.map { case (name, from, until) => name -> oracleOf(b4Cases(from, until)) }.toMap ++
       aggBlocks.map { case (name, seed, n) => name -> aggOracle(seed, n) }.toMap ++
       windowBlocks.map { case (name, seed, n) => name -> windowOracle(seed, n) }.toMap ++
       edgeBlocks.map { case (name, seed, n) => name -> edgeOracle(seed, n) }.toMap ++

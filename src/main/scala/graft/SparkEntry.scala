@@ -52,18 +52,31 @@ object SparkEntry {
     * doesn't ship (VERDICT r7 "What's wrong" #3). */
   val benchExcluded: Set[String] = Set("q_dedup_jaccard_naive") ++
     // fuzz blocks are CORRECTNESS fixtures (687 differential cases
-    // across 13 blocks — 500 scalar, 80 aggregate, 30 window, 14
+    // across 13 blocks, gated as 17 entries since r12's b4 sub-block
+    // split — 500 scalar, 80 aggregate, 30 window, 14
     // one-edge + 10 two-edge cubes, 12 setop pipelines + 9 set-op
     // pairs, 16 nested + 16 deep-nested — under
     // the DuckDB gate): their timed cost is wide-projection codegen
     // compile mass, not engine work, and timing them would drift the
     // headline total against every prior baseline row for reasons
     // unrelated to performance (review r10)
-    FuzzCatalog.blocks.map(_._1) ++ FuzzCatalog.aggBlocks.map(_._1) ++
+    FuzzCatalog.blocks.map(_._1) ++ FuzzCatalog.b4SubBlocks.map(_._1) ++
+    FuzzCatalog.aggBlocks.map(_._1) ++
     FuzzCatalog.windowBlocks.map(_._1) ++ FuzzCatalog.edgeBlocks.map(_._1) ++
     FuzzCatalog.edge2Blocks.map(_._1) ++
     FuzzCatalog.setopBlocks.map(_._1) ++ FuzzCatalog.setopPairBlocks.map(_._1) ++
     FuzzCatalog.nestedBlocks.map(_._1) ++ FuzzCatalog.deepBlocks.map(_._1)
+
+  /** Per-family lifecycle drains (r12, VERDICT r11 #2): when a caller
+    * that runs entries in alphabetical order (the bench) finishes a
+    * family, the family's session-long cached state can be released —
+    * entry families are keyed by name prefix up to the second '_'
+    * (the bench's own family convention). Only families whose slots
+    * have NO consumers outside the family register here; slots refill
+    * on demand if touched again, so draining is always safe, just
+    * possibly wasteful. */
+  val familyDrains: Map[String, () => Unit] = Map(
+    "q_graph" -> (() => TrainingShared.drainGraphSlots()))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -313,8 +313,13 @@ private[graft] object TrainingGraphEntries {
     // cap keeps 460/2000 centers and 33k/350k pairs — a real filter,
     // not a no-op. Oracle = the exact oracle with the cap in the wadj
     // CTE. Anti-join still runs against the FULL edge set.
+    // r12: the capped RESULT is slot-shared (TrainingShared.
+    // cappedRecentAa) across the three entries that derive from it —
+    // one wedge join per (session, sf dir) instead of one per
+    // consuming entry, and no more hold-slot eviction ping-pong
+    // between siblings (the r11 rescore inversion's mechanism).
     "q_graph_adamic_adar_capped" -> (q((s, dir) =>
-      graft.ops.Graph.adamicAdarCapped(recentCoPurchaseEdges(s, dir), maxDeg = 15)
+      cappedRecentAa(s, dir)
         .orderBy(col("aa").desc, col("x"), col("y"))
         .limit(100)
     ), Some("""
@@ -348,42 +353,41 @@ private[graft] object TrainingGraphEntries {
     // degrees are ≤ k — the regime where both neighborhoods fit their
     // sketches, so the estimator provably equals exact Adamic–Adar over
     // the FULL neighborhoods (including hub centers the capped tier
-    // drops from scoring). At sf0.01 the guard keeps 14,483 of 33,123
-    // candidate pairs (max degree 43, so the regime is a real filter,
-    // not a no-op). Oracle = capped-tier candidate CTE + the UNCAPPED
-    // wedge sum with an endpoint-degree guard.
+    // drops from scoring). r12: candidates are the capped top-5000 by
+    // (aa, x, y) — the per-pair law is slice-invariant and the slice
+    // bounds the fixture's cost (VERDICT r11 #4). The deg≤24 guard
+    // stays a real filter on the slice (max degree 43 at sf0.01).
+    // Oracle = capped-tier candidate CTE with the same ranked LIMIT +
+    // the UNCAPPED wedge sum with the endpoint-degree guard.
     "q_graph_adamic_adar_sketch" -> (q((s, dir) => {
       val k = 24
-      // canonicalize ONCE and persist: this entry drives THREE
-      // consumers of the edge list (its own degree guard, the capped
-      // candidate generator, the sketch scorer) — without the pin each
-      // re-derives the lineitem co-purchase self-join, tripling the
-      // entry's cost (r11: this was the bench's most expensive row).
-      // Both ops are EAGER (Pinned.hold), so the pin is released
-      // before the entry returns; the returned frame reads only the
-      // sketch op's own checkpoint.
-      val und = recentCoPurchaseEdges(s, dir)
-        .select(least(col("src"), col("dst")).as("src"),
-          greatest(col("src"), col("dst")).as("dst"))
-        .where(col("src") =!= col("dst")).distinct().persist()
-      und.count()
-      val deg = und.select(col("src").as("id")).union(und.select(col("dst").as("id")))
+      // r12 (VERDICT r11 #4: this was the catalog's heaviest row at
+      // 19.6 s cold / 10.7 s warm — an oracle fixture should not
+      // dominate the bench): candidates now come from the SHARED
+      // capped result (no per-entry wedge join), RANKED and sliced to
+      // the capped top-5000 before the degree guard — the exact-regime
+      // law is per-pair, so a ranked slice bounds the scorer's fan-out
+      // (≤ 2k·5000 member rows) without changing what the oracle
+      // asserts about any pair it keeps. The guard still runs before
+      // the sketch join, so scoring only touches exact-regime pairs.
+      val edges = recentCoPurchaseEdges(s, dir)
+      val cand0 = cappedRecentAa(s, dir)
+        .orderBy(col("aa").desc, col("x"), col("y")).limit(5000)
+        .select(col("x"), col("y"))
+      val und = edges
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .where(col("a") =!= col("b")).distinct()
+      val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
       val sub = deg.where(col("deg") <= k)
-      // the exact-regime degree guard is part of this query's semantics
-      // — apply it to the CANDIDATES, before the sketch join, not to
-      // the scored output: the expensive per-pair struct-array probe
-      // then runs only on pairs the guard keeps
-      val cand = graft.ops.Graph.adamicAdarCapped(und, maxDeg = 15)
-        .select(col("x"), col("y"))
+      val cand = cand0
         .join(broadcast(sub.select(col("id").as("x"))), Seq("x"), "left_semi")
         .join(broadcast(sub.select(col("id").as("y"))), Seq("y"), "left_semi")
         .select(col("x"), col("y"))
-      val out = graft.ops.Graph.adamicAdarSketch(und, cand, k = k)
+      graft.ops.Graph.adamicAdarSketch(edges, cand, k = k)
         .orderBy(col("aa_est").desc, col("x"), col("y"))
         .limit(100)
-      und.unpersist()
-      out
     }), Some("""
       WITH li AS (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1999-01-01'),
       e0 AS (
@@ -398,12 +402,13 @@ private[graft] object TrainingGraphEntries {
                 FROM adj JOIN deg ON adj.z = deg.id
                 WHERE deg.deg <= 15),
       scc AS (
-        SELECT l.n AS x, r.n AS y
+        SELECT l.n AS x, r.n AS y, round(sum(l.w), 6) AS aa
         FROM wadjc l JOIN wadjc r ON l.z = r.z AND l.n < r.n
         GROUP BY 1, 2),
       cand AS (
-        SELECT * FROM scc
-        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = scc.x AND e.b = scc.y)),
+        SELECT x, y FROM scc
+        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = scc.x AND e.b = scc.y)
+        ORDER BY aa DESC, x, y LIMIT 5000),
       wadj AS (SELECT adj.z, adj.n, 1.0 / ln(deg.deg) AS w
                FROM adj JOIN deg ON adj.z = deg.id),
       sc AS (
@@ -426,12 +431,16 @@ private[graft] object TrainingGraphEntries {
     // linear cost (per-pair adjacency semi-join — no Σdeg² wedge join).
     // Oracle: the capped-tier CTE picks the same top-100 candidates,
     // LEFT-joined to the UNCAPPED wedge sums.
+    // r12 (VERDICT r11 #3): candidates come from the SHARED capped
+    // result — this entry no longer re-invokes adamicAdarCapped, so it
+    // no longer evicts the sibling tier's hold slot on every run (the
+    // rerun-confirmed warm-slower-than-cold signature: each rescore
+    // re-materialized what the preceding capped entry had just held).
     "q_graph_adamic_adar_rescore" -> (q((s, dir) => {
-      val edges = recentCoPurchaseEdges(s, dir)
-      val cand = graft.ops.Graph.adamicAdarCapped(edges, maxDeg = 15)
+      val cand = cappedRecentAa(s, dir)
         .orderBy(col("aa").desc, col("x"), col("y")).limit(100)
         .select(col("x"), col("y"))
-      graft.ops.Graph.adamicAdarRescore(edges, cand)
+      graft.ops.Graph.adamicAdarRescore(recentCoPurchaseEdges(s, dir), cand)
         .orderBy(col("aa").desc, col("x"), col("y"))
     }), Some("""
       WITH li AS (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1999-01-01'),

@@ -245,16 +245,39 @@ object JxCompiler {
       }
       coalesce(call_function("regexp_like", s, full), lit(false))
     case SplitOp(v, p) =>
+      // LITERAL split (the jx_python contract, see JxExpr.SplitOp): the
+      // pattern is regex-quoted before reaching Spark's regex-based
+      // split — statically for literal patterns, via a regex-escaping
+      // regexp_replace for dynamic ones
       val pat = p match {
-        case Lit(s: String) => lit(s)
-        case other          => compile(other, ctx)
+        case Lit(s: String) => lit(JxExpr.regexQuote(s))
+        case other          =>
+          call_function("regexp_replace",
+            compile(other, ctx).cast(StringType),
+            lit("([^a-zA-Z0-9])"), lit("\\\\$1"))
       }
       call_function("split", compile(v, ctx).cast(StringType), pat)
     // ---- structural ------------------------------------------------------
+    // GetOp/FirstOp/LastOp follow the reference's listwrap semantics
+    // (see the JxExpr scaladocs): array operands take element access
+    // with Python indexing (0-based, negative from the end, NULL out of
+    // range — try_element_at is 1-based so i>=0 maps to i+1 and i<0
+    // passes through, never emitting the index 0 Spark throws on);
+    // scalar operands are one-element lists (get 0/-1 = the value,
+    // first/last = the value itself).
+    case GetOp(v, i) if JxExpr.isArrayExpr(v) =>
+      val idx = compile(i, ctx).cast(IntegerType)
+      call_function("try_element_at", compile(v, ctx),
+        when(idx >= 0, idx + lit(1)).otherwise(idx))
     case GetOp(v, i) =>
-      call_function("try_element_at", compile(v, ctx), compile(i, ctx).cast(IntegerType) + lit(1))
-    case FirstOp(t) => call_function("try_element_at", compile(t, ctx), lit(1))
-    case LastOp(t)  => call_function("try_element_at", compile(t, ctx), lit(-1))
+      val idx = compile(i, ctx).cast(IntegerType)
+      when(idx === 0 || idx === -1, compile(v, ctx))
+    case FirstOp(t) if JxExpr.isArrayExpr(t) =>
+      call_function("try_element_at", compile(t, ctx), lit(1))
+    case FirstOp(t) => compile(t, ctx)
+    case LastOp(t) if JxExpr.isArrayExpr(t) =>
+      call_function("try_element_at", compile(t, ctx), lit(-1))
+    case LastOp(t)  => compile(t, ctx)
     case TupleOp(terms) =>
       struct(terms.zipWithIndex.map { case (t, i) => compile(t, ctx).as(s"_$i") }: _*)
     case SelectOp(fields) =>

@@ -87,12 +87,34 @@ object JxExpr {
   case class ConcatOp(terms: Seq[JxExpr], separator: JxExpr, default: JxExpr) extends JxExpr
   /** Full-match regex test. */
   case class RegExpOp(value: JxExpr, pattern: JxExpr) extends JxExpr
+  /** Split on a LITERAL substring — the reference's jx_python backend
+    * compiles split to Python `(value).split(find)`
+    * (vendor/jx_python/expressions.py:329-331), which is plain
+    * substring splitting, NOT a regex (the ES Painless backend's
+    * Java-regex reading is a different engine's choice). Decided r12
+    * (ADVICE): graft follows the jx_python literal contract — the
+    * compiler quotes the pattern before handing it to Spark's
+    * regex-based `split`, so '.' or '|' split on those characters
+    * rather than on everything/nothing. */
   case class SplitOp(value: JxExpr, pattern: JxExpr) extends JxExpr
 
   // ---- structural -----------------------------------------------------
-  /** Dynamic index into a list value. */
+  /** Dynamic index into a list value — the reference's GetOp is Python
+    * `listwrap(obj)[offset]` (vendor/jx_python/expressions.py:96-100):
+    * 0-based, NEGATIVE indexes count from the end, out-of-range (either
+    * sign) is Null, and a SCALAR operand is listwrapped into a
+    * one-element list (index 0 and -1 hit the value, everything else is
+    * Null). The compiler dispatches on [[isArrayExpr]] to mirror both
+    * halves (r12, ADVICE: the previous rendering mapped -1 to
+    * element_at(0), a runtime error). */
   case class GetOp(value: JxExpr, index: JxExpr) extends JxExpr
+  /** First element of a list; a scalar term IS its own first element —
+    * reference FirstOp.partial_eval returns the term unchanged when
+    * `not term.many` (vendor/jx_base/expressions.py:1318-1330). */
   case class FirstOp(term: JxExpr) extends JxExpr
+  /** Last element; scalar pass-through like [[FirstOp]]
+    * (vendor/jx_base/expressions.py:1350-1366, jx_python
+    * `listwrap(term).last()`). */
   case class LastOp(term: JxExpr) extends JxExpr
   case class TupleOp(terms: Seq[JxExpr]) extends JxExpr
   /** Build an object from named sub-expressions. */
@@ -113,6 +135,31 @@ object JxExpr {
   // =====================================================================
 
   def parseJson(json: String): JxExpr = parse(JsonMethods.parse(json))
+
+  /** Structural array-typedness of a scalar-registry expression — the
+    * compile-time analog of the reference's `term.many` flag
+    * (jx_base Expression.many), used by GetOp/FirstOp/LastOp to pick
+    * between element access and scalar pass-through. [[SplitOp]] is
+    * the registry's only array PRODUCER; conditionals propagate the
+    * type of their arms. Variables are scalar here: array-shaped data
+    * reaches queries through the drill/leaf pipeline and typed slots,
+    * never as a bare scalar-expression variable. */
+  def isArrayExpr(e: JxExpr): Boolean = e match {
+    case SplitOp(_, _)       => true
+    case WhenOp(_, t, els)   => isArrayExpr(t) || isArrayExpr(els)
+    case CaseOp(whens, dflt) => whens.exists(w => isArrayExpr(w.thenE)) || isArrayExpr(dflt)
+    case CoalesceOp(terms)   => terms.exists(isArrayExpr)
+    case _                   => false
+  }
+
+  /** Quote a literal string for use inside a regex, escaping every
+    * non-alphanumeric with a backslash — portable across Java regex
+    * (Spark's split) and RE2 (never `\Q…\E`, which RE2-family engines
+    * and DuckDB handle differently). Alphanumerics are left bare
+    * because a backslash BEFORE a letter/digit is itself a metaclass
+    * (`\d`, `\w`). */
+  def regexQuote(s: String): String =
+    s.flatMap(c => if (c.isLetterOrDigit) c.toString else "\\" + c)
 
   // =====================================================================
   // JSON serialization (canonical inverse of `parse` for the scalar

@@ -45,9 +45,14 @@ object JxFuzz {
   private val strLits  = Seq("A", "N", "R", "AF_1", "NO_2", "_", "")
   private val patterns = Seq("[A-Z]+", "[A-Z]+_[0-9]+", ".*_.*", "(A|N)[FO].*", "[0-9]+")
   private val findTargets = Seq("A", "_", "F", "1")
-  // split patterns: regex-identical between Java (Spark) and RE2
-  // (DuckDB), no backslashes (litSql rejects those by design)
-  private val splitPats = Seq("_", "[_0]", "[AN]")
+  // split patterns are LITERAL substrings (the jx_python contract,
+  // r12 — JxExpr.SplitOp): "_" and "A" occur in the domain strings
+  // (both-sides coverage of match/no-match), "." occurs in NONE of
+  // them but is a regex metachar — the case that PROVES literal
+  // semantics (an unquoted regex "." would split every string into
+  // empties; the literal splits nothing). Pool size pinned at 3 (the
+  // draw pattern the r11 trees used).
+  private val splitPats = Seq("_", "A", ".")
 
   private def weighted[T](rnd: Random, xs: Seq[(Int, () => T)]): T = {
     val total = xs.map(_._1).sum
@@ -191,16 +196,17 @@ object JxFuzz {
         Lit(oneOf(rnd, findTargets)), Lit(oneOf(rnd, findTargets)), Lit(0L),
         if (rnd.nextBoolean()) NullOp else Lit(oneOf(rnd, strLits)))),
       2 -> (() => CoalesceOp(terms(rnd, 3, () => genStr(rnd, d - 1)))),
-      // split + element access (r11 widening): a literal-pattern regex
-      // split consumed by get/first/last — the only array-producing op
-      // in the registry, always collapsed back to a string here (the
-      // gate's comparator cannot hash raw array cells). Get indexes are
-      // small non-negative literals (the compiler renders JX's 0-based
-      // get as 1-based element_at(i+1); both engines NULL out of range)
+      // split + element access (r11 widening; r12 literal contract):
+      // a literal-substring split consumed by get/first/last — the
+      // only array-producing op in the registry, always collapsed
+      // back to a string here (the gate's comparator cannot hash raw
+      // array cells). Get indexes span -1..3 (r12: the listwrap
+      // contract makes negative indexing real semantics — -1 is the
+      // last element; both engines NULL out of range on either sign)
       2 -> (() => {
         val arr = SplitOp(genStr(rnd, d - 1), Lit(oneOf(rnd, splitPats)))
         weighted[JxExpr](rnd, Seq(
-          2 -> (() => GetOp(arr, Lit(rnd.nextInt(4).toLong))),
+          2 -> (() => GetOp(arr, Lit(rnd.nextInt(5).toLong - 1L))),
           1 -> (() => FirstOp(arr)),
           1 -> (() => LastOp(arr))))
       }),

@@ -28,7 +28,11 @@ package graft.jx
 object JxSql {
   import JxExpr._
 
-  sealed trait Dialect {
+  /** Unsealed (r12) so diagnostic harnesses can instantiate variant
+    * dialects (e.g. the IEEE-division simulator that adjudicated the
+    * q_fuzz_expr_b4 driver divergence) without touching the two
+    * production objects. */
+  trait Dialect {
     /** Null-safe equality rendering. */
     def eqNullSafe(a: String, b: String): String
     /** 1-based position of literal `sub` in `s`, 0 when absent. */
@@ -42,10 +46,15 @@ object JxSql {
     def epochSeconds(ts: String): String
     /** DOUBLE epoch seconds → timestamp (FromUnixOp). */
     def toTimestamp(sec: String): String
-    /** Regex-split `s` into an array (both engines keep trailing
-      * empties and split on every match — checked r11). `pat` is an
-      * already-rendered string literal. */
-    def splitRegex(s: String, pat: String): String
+    /** LITERAL-split `s` into an array (the jx_python contract, r12 —
+      * see JxExpr.SplitOp; both engines keep trailing empties and
+      * split on every occurrence, NULL in → NULL array). `raw` is the
+      * RAW pattern string — DuckDB has a native literal split, the
+      * Spark dialect regex-quotes into its regex-based `split`
+      * (exactly what the compiler does, so the in-suite law pins the
+      * quoting). Dropping string_split_regex from the DuckDB oracle
+      * also removes a whole engine-version seam from the driver gate. */
+    def splitLiteral(s: String, raw: String): String
     /** Interpolated median aggregate (NULLs ignored, linear
       * interpolation at even counts — both engines agree exactly on
       * integer inputs). Usable over window frames. */
@@ -57,6 +66,32 @@ object JxSql {
       * runtime, DuckDB's list_extract returns NULL), which is why the
       * GetOp renderer requires i ≥ 0 and emits i+1. */
     def elementAt(arr: String, n: String): String
+    /** Division with the zero divisor excluded BEFORE the divide.
+      * The JX contract is /0 → missing (the compiler uses Spark's
+      * try_divide), and the pre-r12 rendering relied on the engine's
+      * own divide-by-zero → NULL — which is a VERSION BOUNDARY in
+      * DuckDB: 1.1.0 switched bare float division to IEEE-754
+      * semantics (x/0 → ±inf, 0/0 → NaN; "Breaking SQL changes",
+      * DuckDB 1.1.0 release notes), so the same SQL means different
+      * values on either side of 1.1.0. NULLIF-guarding the divisor
+      * renders identically-NULL on every engine version. Adjudication
+      * note (r12): an IEEE simulation on local DuckDB 1.0.0 showed
+      * bare-division trees in ALL FOUR fuzz blocks would diverge (or
+      * error on the BIGINT casts) under a ≥1.1 oracle — which both
+      * RULES OUT a ≥1.1 driver as the cause of the r11 b4-only red
+      * row (b1–b3 were green there) and makes this guard the cheap
+      * insurance that keeps the gate portable if the driver's engine
+      * ever crosses that boundary. The guard is value-preserving at
+      * 1.0.0 (probe-verified: zero value changes across all 500
+      * trees). */
+    def div(a: String, b: String): String =
+      s"(CAST($a AS DOUBLE) / NULLIF(CAST($b AS DOUBLE), 0.0))"
+    /** Modulo with the same guarded-divisor treatment as [[div]]:
+      * float fmod(x, 0) is NaN under IEEE-754 but NULL pre-1.1, so
+      * the zero case is excluded before the engine sees it. Operand
+      * types are preserved (NULLIF(int, 0) stays int → int % int
+      * stays int in both engines). */
+    def mod(a: String, b: String): String = s"($a % NULLIF($b, 0))"
   }
 
   /** DuckDB: the driver's oracle engine. */
@@ -68,7 +103,7 @@ object JxSql {
     val stringType = "VARCHAR"
     def epochSeconds(ts: String) = s"epoch($ts)" // returns DOUBLE
     def toTimestamp(sec: String) = s"to_timestamp($sec)"
-    def splitRegex(s: String, pat: String) = s"string_split_regex($s, $pat)"
+    def splitLiteral(s: String, raw: String) = s"string_split($s, ${litSql(raw)})"
     def elementAt(arr: String, n: String) = s"list_extract($arr, $n)"
     def medianCont(x: String) = s"quantile_cont($x, 0.5)"
   }
@@ -82,7 +117,16 @@ object JxSql {
     val stringType = "STRING"
     def epochSeconds(ts: String) = s"CAST($ts AS DOUBLE)"
     def toTimestamp(sec: String) = s"timestamp_seconds($sec)"
-    def splitRegex(s: String, pat: String) = s"split($s, $pat)"
+    def splitLiteral(s: String, raw: String) = {
+      // regex-quote (the compiler's exact transform), then render as a
+      // Spark string literal — Spark's default parser treats backslash
+      // as an escape inside literals, so the quoting backslashes are
+      // doubled here (the one place the litSql backslash invariant is
+      // deliberately bypassed, for strings this dialect itself built)
+      val q = JxExpr.regexQuote(raw)
+      val sparkLit = "'" + q.replace("\\", "\\\\").replace("'", "''") + "'"
+      s"split($s, $sparkLit)"
+    }
     def elementAt(arr: String, n: String) = s"try_element_at($arr, $n)"
     def medianCont(x: String) = s"percentile($x, 0.5D)"
   }
@@ -171,15 +215,16 @@ object JxSql {
       val res = op match {
         case "sub" => s"($a - $b)"
         case "exp" => s"POW($a, $b)"
-        case "mod" => s"($a % $b)" // % by 0 → NULL in Spark (non-ANSI) and DuckDB alike
+        case "mod" => d.mod(a, b) // %0 → NULL on every engine version (seam doc)
       }
       withDefault(res, default, d)
     case DivOp(l, r, default) =>
-      // plain division: x/0 → NULL in both engines (= try_divide)
-      withDefault(s"(CAST(${sql(l, d)} AS DOUBLE) / CAST(${sql(r, d)} AS DOUBLE))", default, d)
+      // /0 → missing via the guarded seam (try_divide's contract,
+      // stable across the DuckDB 1.1.0 IEEE-754 division change)
+      withDefault(d.div(sql(l, d), sql(r, d)), default, d)
     case FloorOp(l, r) =>
       val (a, b) = (sql(l, d), sql(r, d))
-      s"(FLOOR(CAST($a AS DOUBLE) / CAST($b AS DOUBLE)) * $b)"
+      s"(FLOOR(${d.div(a, b)}) * $b)"
     case MaxOp(terms) =>
       if (terms.size == 1) sql(terms.head, d)
       else s"GREATEST(${terms.map(sql(_, d)).mkString(", ")})" // both engines skip NULLs
@@ -261,25 +306,28 @@ object JxSql {
       s"(CASE WHEN $allMissing THEN $dflt ELSE CONCAT_WS($sep, ${cols.mkString(", ")}) END)"
     case RegExpOp(v, Lit(pat: String)) =>
       s"COALESCE(${d.regexpFullMatch(sql(v, d), pat)}, FALSE)"
-    // r11 widening: split + element access (vendor/jx_base/
-    // expressions.py SplitOp/GetOp/FirstOp/LastOp). The fuzzed subset
-    // pins the split pattern to a literal (mirroring the compiler's
-    // fast path) and the get index to a non-negative literal — the
-    // compiler renders JX's 0-based get as 1-based element_at(i+1),
-    // done here at render time so both engines see the same literal.
-    // Split semantics checked identical across engines: regex split,
+    // split + element access (vendor/jx_base/expressions.py SplitOp/
+    // GetOp/FirstOp/LastOp; r11 widening, r12 contract fix): split is
+    // a LITERAL substring split (jx_python `.split(find)` — see
+    // JxExpr.SplitOp) through the per-dialect splitLiteral seam;
     // trailing empties kept, NULL in → NULL array, out-of-bounds
-    // index → NULL. (Index 0 is NOT identical — Spark throws where
-    // DuckDB NULLs — so the GetOp guard below keeps rendered indexes
-    // at i+1 ≥ 1; see Dialect.elementAt.)
+    // index (either sign) → NULL in both engines.
     case SplitOp(v, Lit(pat: String)) =>
       require(pat.nonEmpty, "split pattern must be non-empty in the fuzzed subset")
-      d.splitRegex(s"CAST(${sql(v, d)} AS ${d.stringType})", litSql(pat))
+      d.splitLiteral(s"CAST(${sql(v, d)} AS ${d.stringType})", pat)
+    // get/first/last mirror the compiler's listwrap dispatch (see
+    // JxCompiler): array operands take 1-based element access with
+    // Python index mapping (i>=0 → i+1, i<0 passes through — index 0
+    // never rendered, where the engines diverge), scalar operands are
+    // one-element lists
+    case GetOp(v, Lit(i: Long)) if JxExpr.isArrayExpr(v) =>
+      d.elementAt(sql(v, d), (if (i >= 0) i + 1 else i).toString)
     case GetOp(v, Lit(i: Long)) =>
-      require(i >= 0, s"get index must be non-negative in the fuzzed subset: $i")
-      d.elementAt(sql(v, d), (i + 1).toString)
-    case FirstOp(t) => d.elementAt(sql(t, d), "1")
-    case LastOp(t)  => d.elementAt(sql(t, d), "-1")
+      if (i == 0 || i == -1) sql(v, d) else "NULL"
+    case FirstOp(t) if JxExpr.isArrayExpr(t) => d.elementAt(sql(t, d), "1")
+    case FirstOp(t) => sql(t, d)
+    case LastOp(t) if JxExpr.isArrayExpr(t) => d.elementAt(sql(t, d), "-1")
+    case LastOp(t)  => sql(t, d)
 
     // ---- structural ------------------------------------------------------
     case WhenOp(c, t, els) =>

@@ -117,4 +117,20 @@ object Pinned {
   }
 
   private val slots = new java.util.concurrent.ConcurrentHashMap[String, RDD[_]]()
+
+  /** Release every [[hold]] slot whose key starts with `prefix` —
+    * family-level lifecycle for a caller that knows a whole operator
+    * family is done with its results (r12, VERDICT r11 #2: the bench
+    * drains "graph." when its alphabetical pass leaves the graph
+    * entries, so the family's result-sized pins stop occupying the
+    * storage region every downstream entry then competes for).
+    * Released frames obey the [[hold]] contract: later actions on
+    * them throw rather than recompute. */
+  def drain(prefix: String): Unit = {
+    val it = slots.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(prefix)) { release(e.getValue); it.remove() }
+    }
+  }
 }

@@ -493,6 +493,50 @@ class JxFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("r12 contract fixes: literal split, listwrap get, scalar first/last (ADVICE r11)") {
+    // the jx_python semantics (vendor/jx_python/expressions.py:96-106,
+    // 329-331; jx_base expressions.py:1318): split is a LITERAL
+    // substring split, get is listwrap indexing (negative from the
+    // end; scalars are one-element lists), first/last pass scalars
+    // through. Each case checked compiled-vs-Spark-rendering AND
+    // against the hand-computed Python value.
+    import spark.implicits._
+    val row = Seq(Tuple1("AF_1")).toDF("s")
+    row.createOrReplaceTempView("fuzz_contract_t")
+    val arr = JxExpr.SplitOp(JxExpr.Variable("s"), JxExpr.Lit("_"))
+    // 'A.F' with pattern '.': literal → 2 parts; a regex reading would
+    // explode every string into empties
+    val dotArr = JxExpr.SplitOp(JxExpr.Lit("A.F"), JxExpr.Lit("."))
+    val cases: Seq[(JxExpr, Any)] = Seq(
+      (JxExpr.FirstOp(dotArr), "A"),                     // 'A.F'.split('.') = ['A','F']
+      (JxExpr.LastOp(dotArr), "F"),
+      (JxExpr.FirstOp(JxExpr.SplitOp(JxExpr.Variable("s"), JxExpr.Lit("."))), "AF_1"),
+      (JxExpr.GetOp(arr, JxExpr.Lit(-1L)), "1"),         // negative from the end
+      (JxExpr.GetOp(arr, JxExpr.Lit(-2L)), "AF"),
+      (JxExpr.GetOp(arr, JxExpr.Lit(-3L)), null),        // OOB negative → missing
+      (JxExpr.GetOp(JxExpr.Variable("s"), JxExpr.Lit(0L)), "AF_1"),  // listwrap scalar
+      (JxExpr.GetOp(JxExpr.Variable("s"), JxExpr.Lit(-1L)), "AF_1"),
+      (JxExpr.GetOp(JxExpr.Variable("s"), JxExpr.Lit(1L)), null),
+      (JxExpr.FirstOp(JxExpr.Variable("s")), "AF_1"),    // scalar pass-through
+      (JxExpr.LastOp(JxExpr.Variable("s")), "AF_1"),
+      // conditional arms propagate array-typedness through the dispatch
+      (JxExpr.LastOp(JxExpr.WhenOp(JxExpr.TrueOp, arr, JxExpr.NullOp)), "1"))
+    for ((e, want) <- cases) {
+      val compiled = row.select(JxCompiler.compile(e).as("v")).head.get(0)
+      val rendered = spark.sql(
+        s"SELECT ${JxSql.sql(e, JxSql.SparkSql)} AS v FROM fuzz_contract_t").head.get(0)
+      assert(compiled == rendered, s"compiler/rendering drift on $e: $compiled vs $rendered")
+      assert(compiled == want, s"semantics drift on $e: got $compiled, want $want")
+    }
+    // the gate's b4 sub-blocks slice the SAME tree sequence the whole
+    // block generates — sub-entry columns must be exactly the block's
+    // columns, windowed (localizability without re-drawing)
+    val whole = JxFuzz.cases(4004L, 125).map(_.name)
+    val sliced = FuzzCatalog.b4SubBlocks.flatMap { case (_, from, until) =>
+      JxFuzz.cases(4004L, 125).slice(from, until).map(_.name) }
+    assert(sliced == whole, "b4 sub-blocks do not tile the seed-4004 sequence")
+  }
+
   test("generation is deterministic across invocations (seeded LCG)") {
     val a = JxFuzz.cases(1001L, 125)
     val b = JxFuzz.cases(1001L, 125)

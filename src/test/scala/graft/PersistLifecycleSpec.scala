@@ -58,4 +58,31 @@ class PersistLifecycleSpec extends AnyFunSuite {
     assert(afterSecond == afterFirst && afterThird == afterFirst,
       s"graph pins grew across repeat invocations: $afterFirst -> $afterSecond -> $afterThird")
   }
+
+  test("r12: shared capped frame is stable across siblings and the graph drain releases residency") {
+    // VERDICT r11 #2/#3: the three capped-derived entries share ONE
+    // checkpointed capped result (no per-entry wedge join, no hold-slot
+    // eviction ping-pong), and the family drain releases the edge +
+    // capped slots AND the graph ops' result holds so nothing from the
+    // family stays resident for downstream families.
+    val entries = Seq("q_graph_adamic_adar_capped", "q_graph_adamic_adar_rescore",
+      "q_graph_adamic_adar_sketch")
+    entries.foreach(runEntry)
+    val c1 = TrainingShared.cappedRecentAa(spark, dir)
+    entries.foreach(runEntry) // siblings must not evict the shared slot
+    val c2 = TrainingShared.cappedRecentAa(spark, dir)
+    assert(c1 eq c2, "shared capped frame was rebuilt by a sibling entry")
+    val before = pinned
+    TrainingShared.drainGraphSlots()
+    assert(TrainingShared.EdgeSlot.get() == null
+      && TrainingShared.RecentEdgeSlot.get() == null
+      && TrainingShared.CappedAaSlot.get() == null, "a graph slot survived the drain")
+    val after = pinned
+    assert(after < before,
+      s"drain released no pinned RDDs: $before -> $after")
+    // slots refill on demand: the family still works after a drain
+    runEntry("q_graph_adamic_adar_rescore")
+    assert(TrainingShared.CappedAaSlot.get() != null, "capped slot did not refill")
+    TrainingShared.drainGraphSlots()
+  }
 }
