@@ -176,7 +176,7 @@ object Bench {
       // compile mass has largely landed by then and the timed runs are
       // strictly sequential).
       val families = entries
-        .groupBy { case (n, _) => n.split("_").take(2).mkString("_") }
+        .groupBy { case (n, _) => SparkEntry.entryFamily(n) }
         .toSeq.sortBy(_._1)
       // pool sized to the family count (r9 capped at 8; VERDICT r9 #2):
       // warmup wall is bounded below by the LONGEST family chain
@@ -226,12 +226,11 @@ object Bench {
     // of the run and every >2× regression in the driver artifact sat
     // alphabetically downstream of it. The drain is untimed (between
     // entries, before the quiesce).
-    def family(n: String): String = n.split("_").take(2).mkString("_")
     var prevFamily: String = null
     val results = try entries.map { case (name, fn) =>
-      if (prevFamily != null && family(name) != prevFamily)
+      if (prevFamily != null && SparkEntry.entryFamily(name) != prevFamily)
         SparkEntry.familyDrains.get(prevFamily).foreach(_())
-      prevFamily = family(name)
+      prevFamily = SparkEntry.entryFamily(name)
       quiesceSec += quiesce(150, 5000)
       val jit0 = jitNow()
       val cold = timeOne(fn)
@@ -260,9 +259,15 @@ object Bench {
     } finally {
       // the last family's drain (the loop only drains on boundary
       // crossings) — keeps the post-run session clean for the ETL
-      // throughput measurement below
-      if (prevFamily != null)
-        SparkEntry.familyDrains.get(prevFamily).foreach(_())
+      // throughput measurement below. Guarded: a drain failing on a
+      // wrecked session must not mask the loop's own exception or
+      // skip closing the telemetry stream (review r12).
+      try {
+        if (prevFamily != null)
+          SparkEntry.familyDrains.get(prevFamily).foreach(_())
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] family drain failed (ignored): ${e.getMessage}")
+      }
       telemetryOut.foreach(_.close())
     }
     // millisecond precision keeps the one-line artifact small — the

@@ -100,14 +100,23 @@ object FuzzCatalog {
     * (multiply-then-round) legitimately disagree — the fuzzer's first
     * run caught exactly that on -0.0021875. */
   private[graft] def normCol(c: Column, ty: JxFuzz.Ty): Column = ty match {
-    case JxFuzz.TNum => c.cast("double")
-    case JxFuzz.TInt => c.cast("long")
-    case _           => c
+    case JxFuzz.TNum  => c.cast("double")
+    case JxFuzz.TInt  => c.cast("long")
+    case JxFuzz.TStr  => c.cast("string")
+    case JxFuzz.TBool => c.cast("boolean")
   }
+  // string/bool outputs are ALSO explicitly typed (r12): a column that
+  // constant-folds to NULL types as SQLNULL in DuckDB (float64 through
+  // the driver's pandas comparator) while Spark keeps the value type
+  // (object dtype) — a dtype-kind red with identical values. STRING
+  // and BOOLEAN spell identically in both dialects (DuckDB aliases
+  // STRING to VARCHAR), and the casts are identities on non-null
+  // values, so this is comparator hardening, not a semantics change.
   private[graft] def normSql(s: String, ty: JxFuzz.Ty): String = ty match {
-    case JxFuzz.TNum => s"CAST($s AS DOUBLE)"
-    case JxFuzz.TInt => s"CAST($s AS BIGINT)"
-    case _           => s
+    case JxFuzz.TNum  => s"CAST($s AS DOUBLE)"
+    case JxFuzz.TInt  => s"CAST($s AS BIGINT)"
+    case JxFuzz.TStr  => s"CAST($s AS STRING)"
+    case JxFuzz.TBool => s"CAST($s AS BOOLEAN)"
   }
 
   private def entryOf(cs: Seq[JxFuzz.FuzzCase]): Q = (s, dir) =>
@@ -936,7 +945,8 @@ object FuzzCatalog {
   }
 
   /** The gate runs b1–b3 whole and b4 as its five sub-blocks. */
-  private def gateExprBlocks: Seq[(String, Long, Int)] = blocks.filterNot(_._1 == "q_fuzz_expr_b4")
+  private[graft] def gateExprBlocks: Seq[(String, Long, Int)] =
+    blocks.filterNot(_._1 == "q_fuzz_expr_b4")
 
   def queries: Map[String, Q] =
     gateExprBlocks.map { case (name, seed, n) => name -> entry(seed, n) }.toMap ++

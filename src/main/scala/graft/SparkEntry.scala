@@ -60,20 +60,30 @@ object SparkEntry {
     // compile mass, not engine work, and timing them would drift the
     // headline total against every prior baseline row for reasons
     // unrelated to performance (review r10)
-    FuzzCatalog.blocks.map(_._1) ++ FuzzCatalog.b4SubBlocks.map(_._1) ++
+    // gateExprBlocks + the b4 sub-blocks, NOT `blocks`: the artifact's
+    // bench_excluded field must list only names that exist in
+    // `queries` (review r12 — a phantom q_fuzz_expr_b4 row would also
+    // make a subset run naming it silently time nothing)
+    FuzzCatalog.gateExprBlocks.map(_._1) ++ FuzzCatalog.b4SubBlocks.map(_._1) ++
     FuzzCatalog.aggBlocks.map(_._1) ++
     FuzzCatalog.windowBlocks.map(_._1) ++ FuzzCatalog.edgeBlocks.map(_._1) ++
     FuzzCatalog.edge2Blocks.map(_._1) ++
     FuzzCatalog.setopBlocks.map(_._1) ++ FuzzCatalog.setopPairBlocks.map(_._1) ++
     FuzzCatalog.nestedBlocks.map(_._1) ++ FuzzCatalog.deepBlocks.map(_._1)
 
+  /** THE family-key convention: entry-name prefix up to the second
+    * '_'. Load-bearing in two places — the bench's warmup grouping and
+    * the [[familyDrains]] boundary detection — so it lives here once
+    * (review r12: two inline copies plus prose is how a prefix-depth
+    * change silently stops drains from firing). */
+  def entryFamily(name: String): String = name.split("_").take(2).mkString("_")
+
   /** Per-family lifecycle drains (r12, VERDICT r11 #2): when a caller
     * that runs entries in alphabetical order (the bench) finishes a
-    * family, the family's session-long cached state can be released —
-    * entry families are keyed by name prefix up to the second '_'
-    * (the bench's own family convention). Only families whose slots
-    * have NO consumers outside the family register here; slots refill
-    * on demand if touched again, so draining is always safe, just
+    * family (keyed by [[entryFamily]]), the family's session-long
+    * cached state can be released. Only families whose slots have NO
+    * consumers outside the family register here; slots refill on
+    * demand if touched again, so draining is always safe, just
     * possibly wasteful. */
   val familyDrains: Map[String, () => Unit] = Map(
     "q_graph" -> (() => TrainingShared.drainGraphSlots()))

@@ -380,14 +380,21 @@ private[graft] object TrainingGraphEntries {
         .where(col("a") =!= col("b")).distinct()
       val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
-      val sub = deg.where(col("deg") <= k)
+      // checkpoint the sub-k vertex list ONCE (review r12): it feeds
+      // BOTH broadcast semi-joins, and un-pinned each would re-execute
+      // the canonicalize+degree pipeline; the sketch op is eager
+      // (Pinned.hold), so the pin is safely released before return
+      val (sub, subH) = graft.ops.Pinned.checkpoint(
+        deg.where(col("deg") <= k).select(col("id")))
       val cand = cand0
         .join(broadcast(sub.select(col("id").as("x"))), Seq("x"), "left_semi")
         .join(broadcast(sub.select(col("id").as("y"))), Seq("y"), "left_semi")
         .select(col("x"), col("y"))
-      graft.ops.Graph.adamicAdarSketch(edges, cand, k = k)
+      val out = graft.ops.Graph.adamicAdarSketch(edges, cand, k = k)
         .orderBy(col("aa_est").desc, col("x"), col("y"))
         .limit(100)
+      graft.ops.Pinned.release(subH)
+      out
     }), Some("""
       WITH li AS (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1999-01-01'),
       e0 AS (

@@ -210,6 +210,18 @@ object JxFuzz {
           1 -> (() => FirstOp(arr)),
           1 -> (() => LastOp(arr))))
       }),
+      // SCALAR element access (r12): the listwrap half of the contract
+      // — first/last of a scalar is the scalar, get hits it only at
+      // 0/-1 (JxExpr.GetOp scaladoc) — generated into the gate so the
+      // scalar dispatch is differentially checked against DuckDB, not
+      // only spec-pinned
+      1 -> (() => {
+        val v = genStr(rnd, 0)
+        weighted[JxExpr](rnd, Seq(
+          1 -> (() => FirstOp(v)),
+          1 -> (() => LastOp(v)),
+          1 -> (() => GetOp(v, Lit(rnd.nextInt(3).toLong - 1L)))))
+      }),
       1 -> (() => CaseOp(
         Seq.fill(1 + rnd.nextInt(2))(WhenOp(genBool(rnd, d - 1), genStr(rnd, d - 1), NullOp)),
         caseDefault(genStr(rnd, d - 1)))),

@@ -59,12 +59,14 @@ object JxSql {
       * interpolation at even counts — both engines agree exactly on
       * integer inputs). Usable over window frames. */
     def medianCont(x: String): String
-    /** 1-based array element, NULL when out of bounds; negative
-      * indexes count from the end in both engines. `n` must be an
-      * already-rendered NON-ZERO integer literal — index 0 DIVERGES
-      * (Spark's try_element_at throws INVALID_INDEX_OF_ZERO at
-      * runtime, DuckDB's list_extract returns NULL), which is why the
-      * GetOp renderer requires i ≥ 0 and emits i+1. */
+    /** 1-based array element, NULL when out of bounds (either sign);
+      * negative indexes count from the end in both engines. `n` must
+      * be an already-rendered NON-ZERO integer literal — index 0
+      * DIVERGES (Spark's try_element_at throws INVALID_INDEX_OF_ZERO
+      * at runtime, DuckDB's list_extract returns NULL), which is why
+      * the GetOp renderer maps JX's 0-based i to i+1 for i ≥ 0 and
+      * passes i < 0 through unchanged (r12 listwrap contract) — zero
+      * is unreachable from both arms. */
     def elementAt(arr: String, n: String): String
     /** Division with the zero divisor excluded BEFORE the divide.
       * The JX contract is /0 → missing (the compiler uses Spark's
@@ -323,7 +325,12 @@ object JxSql {
     case GetOp(v, Lit(i: Long)) if JxExpr.isArrayExpr(v) =>
       d.elementAt(sql(v, d), (if (i >= 0) i + 1 else i).toString)
     case GetOp(v, Lit(i: Long)) =>
-      if (i == 0 || i == -1) sql(v, d) else "NULL"
+      // the miss arm must be a NULL OF THE OPERAND'S TYPE: a bare NULL
+      // literal types as INTEGER in DuckDB and lands float64 in the
+      // driver's pandas comparator, while Spark's never-true `when`
+      // folds to a null of the value type (string → object dtype)
+      if (i == 0 || i == -1) sql(v, d)
+      else s"(CASE WHEN FALSE THEN ${sql(v, d)} END)"
     case FirstOp(t) if JxExpr.isArrayExpr(t) => d.elementAt(sql(t, d), "1")
     case FirstOp(t) => sql(t, d)
     case LastOp(t) if JxExpr.isArrayExpr(t) => d.elementAt(sql(t, d), "-1")

@@ -23,6 +23,16 @@ class QueryRunnerSpec extends AnyFunSuite {
       "duplicate entry name across catalogs (one shadowed)")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
+    // r12: the two name-keyed registries must reference entries that
+    // exist — a phantom benchExcluded row makes a subset run naming it
+    // silently time nothing, and a familyDrains key that matches no
+    // entry family means the drain never fires (the r11 residency
+    // regression's failure mode, silently reintroduced)
+    val phantom = SparkEntry.benchExcluded -- SparkEntry.queries.keySet
+    assert(phantom.isEmpty, s"benchExcluded names no existing entry: $phantom")
+    val fams = SparkEntry.queries.keySet.map(SparkEntry.entryFamily)
+    val deadDrains = SparkEntry.familyDrains.keySet -- fams
+    assert(deadDrains.isEmpty, s"familyDrains keys matching no entry family: $deadDrains")
   }
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
