@@ -516,6 +516,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"product join:\n$p")
   }
 
+  test("r12 capped-derived entries: no product joins; sketch guard semi-joins broadcast") {
+    // the rewired entries (shared capped frame + guard/candidate
+    // slices) must keep the family's plan contracts: no cartesian
+    // anywhere, and the sketch entry's exact-regime endpoint guard
+    // lands as BROADCAST left-semi joins on the vertex-sized sub-k
+    // list (a shuffle semi-join there would re-key the 5000-pair
+    // candidate list against a list that fits in one broadcast)
+    for (name <- Seq("q_graph_adamic_adar_capped", "q_graph_adamic_adar_rescore",
+                     "q_graph_adamic_adar_sketch")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: product join:\n$p")
+    }
+    // inspect the un-held guard dataflow directly (the entry's plan is
+    // checkpoint-truncated): candidate pairs semi-joined to a broadcast
+    // sub-k vertex list on both endpoints
+    import org.apache.spark.sql.functions.{broadcast, col, count, least, greatest, lit}
+    val li = SparkEntry.loader(spark, dir)("lineitem")
+      .where(col("l_shipdate") >= lit("1999-01-01").cast("date"))
+    val edges = graft.ops.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val sub = deg.where(col("deg") <= 24).select(col("id"))
+    val cand = und.limit(100).select(col("a").as("x"), col("b").as("y"))
+      .join(broadcast(sub.select(col("id").as("x"))), Seq("x"), "left_semi")
+      .join(broadcast(sub.select(col("id").as("y"))), Seq("y"), "left_semi")
+    val p = cand.queryExecution.executedPlan.toString
+    val semis = p.split('\n').count(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+    assert(semis >= 2, s"endpoint guard not two broadcast semi-joins:\n$p")
+  }
+
   test("Kneser-Ney: context/continuation tables broadcast; one corpus shuffle class") {
     val p = plan("q_text_kn_ngram")
     // vocab-sized ctx/preceder tables join back broadcast — a shuffle
