@@ -174,13 +174,26 @@ object Extract {
       // and the resume base would then leave holes in the key sequence
       val agg = withBatch.agg(
         count(lit(1)), max(struct(col("__dur"), col("__batch"))),
-        // cast: a DATE time axis still records a Timestamp watermark
-        cfg.timeField.map(t => max(col(t._1).cast("timestamp"))).getOrElse(lit(null)),
-        max(col(cfg.idField)),
+        // the (time, id) watermark is the LAST KEY in keyset order —
+        // lexicographic max of the pair, the same rationale the coords
+        // max(struct) above documents. Independent maxima (max(time),
+        // max(id)) are WRONG whenever ids are not monotone with time:
+        // lastId then exceeds the largest id actually extracted AT
+        // lastTime, and the resume filter's `time = lastTime AND
+        // id > lastId` arm permanently skips the rows in between
+        // (r12, found by ExtractFuzzSpec's random resume schedules —
+        // every schedule lost exactly the boundary rows; the reference
+        // records the final row of the ordered batch, extract.py:254,
+        // never column-wise maxima). Cast: a DATE time axis still
+        // records a Timestamp watermark.
+        max(struct(
+          cfg.timeField.map(t => col(t._1).cast("timestamp"))
+            .getOrElse(lit(null).cast("timestamp")).as("t"),
+          col(cfg.idField).as("i"))),
         collect_set(struct(col("__dur"), col("__batch")))).collect()(0)
       val rows = agg.getLong(0)
       val batchKeys: Seq[(Long, Long)] =
-        agg.getSeq[org.apache.spark.sql.Row](4).map(r => (r.getLong(0), r.getLong(1))).sorted
+        agg.getSeq[org.apache.spark.sql.Row](3).map(r => (r.getLong(0), r.getLong(1))).sorted
       if (rows == 0) {
         // nothing to write → nothing notified, destination untouched, and
         // the watermark must NOT move (a time-less watermark would poison
@@ -212,10 +225,11 @@ object Extract {
           .json(cfg.destination)
 
         val lastKey = agg.getStruct(1)
+        val lastRow = agg.getStruct(2)
         val wm = Watermark(
           Seq(lastKey.getLong(0), lastKey.getLong(1)),
-          Option(agg.get(2)).map(_.asInstanceOf[java.sql.Timestamp]),
-          agg.getLong(3))
+          Option(lastRow.get(0)).map(_.asInstanceOf[java.sql.Timestamp]),
+          lastRow.getLong(1))
         // notify per written batch object (reference extract.py:244-251),
         // then advance the watermark (extract.py:254)
         val now = java.time.Instant.now()
