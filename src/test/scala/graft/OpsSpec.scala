@@ -687,6 +687,36 @@ class OpsSpec extends AnyFunSuite {
       viaWindow.exceptAll(scaled).count() === 0)
   }
 
+  test("rankWithinScaled fuzz: skewed key distributions, NULL keys, random part counts") {
+    // the 100-TB batching kernel under the shapes the fixed laws above
+    // don't draw (r12): zipf-skewed bucket sizes (one bucket holding a
+    // third of the rows next to many singletons), a NULL-key slice
+    // (nulls range-partition first and form their own window group —
+    // both paths must agree), and random partition counts, incl. parts
+    // far above and below the bucket count
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- Seq(41L, 42L, 43L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 2000 + rnd.nextInt(3000)
+      val alpha = 1 + rnd.nextInt(4)
+      val parts = 2 + rnd.nextInt(31)
+      val rows: Seq[(Option[Long], Long, Long)] = (0 until n).map { i =>
+        val k = if (rnd.nextInt(20) == 0) None
+          else Some(math.floor(math.pow(rnd.nextDouble(), alpha) * 40).toLong)
+        (k, rnd.nextInt(100000).toLong, i.toLong)
+      }
+      val df = spark.createDataFrame(rows).toDF("k", "v", "id")
+      val viaWindow = df.withColumn("r",
+        row_number().over(Window.partitionBy(col("k"))
+          .orderBy(col("v"), col("id"))).cast("long") - 1)
+      val viaScaled = Batching.rankWithinScaled(
+        df, "k", Seq(col("v"), col("id")), out = "r", parts = parts)
+      assert(viaScaled.exceptAll(viaWindow).count() === 0 &&
+        viaWindow.exceptAll(viaScaled).count() === 0,
+        s"seed $seed (n=$n alpha=$alpha parts=$parts): rank drift between paths")
+    }
+  }
+
   test("connectedComponents matches driver-side union-find on a random graph") {
     import graft.ops.Dedup
     // deterministic random graph: 400 nodes, 300 edges → a mix of
