@@ -69,7 +69,10 @@ object JxCompiler {
         case "gt" => a > b; case "gte" => a >= b
         case "lt" => a < b; case "lte" => a <= b
       }
-    case InOp(v, Lit(items: Seq[_])) => compile(v, ctx).isin(items: _*)
+    // null-free lists only: the null-bearing arm needs a CASE (not
+    // pushdown-shaped) and routes through truthy below
+    case InOp(v, Lit(items: Seq[_])) if !items.contains(null) =>
+      compile(v, ctx).isin(items: _*)
     case other => truthy(other, ctx)
   }
 
@@ -104,10 +107,27 @@ object JxCompiler {
         case "lt" => a < b; case "lte" => a <= b
       }
       coalesce(cmp, lit(false))
+    // JX `in` is Python list membership (reference jx_python
+    // expressions.py:175-177, `value in superset`) — a NULL member
+    // makes a missing value MATCH (`None in [None, 1]` is True),
+    // where SQL IN's three-valued logic would yield false (r12, the
+    // same divergence class as GetOp's listwrap indexing). Null-free
+    // lists keep the plain pushdown-friendly isin.
+    case InOp(v, Lit(items: Seq[_])) if items.contains(null) =>
+      val c = compile(v, ctx)
+      val nonNull = items.filterNot(_ == null)
+      val rest =
+        if (nonNull.isEmpty) lit(false)
+        else coalesce(c.isin(nonNull: _*), lit(false))
+      when(c.isNull, lit(true)).otherwise(rest)
     case InOp(v, Lit(items: Seq[_])) =>
       coalesce(compile(v, ctx).isin(items: _*), lit(false))
     case InOp(v, listE) =>
-      coalesce(array_contains(compile(listE, ctx), compile(v, ctx)), lit(false))
+      // dynamic list: null membership checked the same Python way
+      val arr = compile(listE, ctx)
+      val c = compile(v, ctx)
+      when(c.isNull, coalesce(exists(arr, x => x.isNull), lit(false)))
+        .otherwise(coalesce(array_contains(arr, c), lit(false)))
     case MissingOp(t) => compile(t, ctx).isNull
     case ExistsOp(t)  => compile(t, ctx).isNotNull
     case IsTypeOp(kind, t) =>

@@ -95,10 +95,15 @@ object JxFuzz {
         genNum(rnd, d - 1, false), genNum(rnd, d - 1, false))),
       1 -> (() => InequalityOp(oneOf(rnd, Seq("gt", "lt")),
         genStr(rnd, d - 1), genStr(rnd, d - 1))),
+      // a quarter of the lists carry a NULL member (r12): JX `in` is
+      // Python membership, so a missing value MATCHES a null member —
+      // the arm SQL IN's three-valued logic gets wrong (JxCompiler)
       2 -> (() => InOp(genNum(rnd, d - 1, false),
-        Lit(Seq.fill(2 + rnd.nextInt(3))(oneOf(rnd, numLits))))),
+        Lit(Seq.fill(2 + rnd.nextInt(3))(oneOf(rnd, numLits)) ++
+          (if (rnd.nextInt(4) == 0) Seq(null) else Nil)))),
       2 -> (() => InOp(genStr(rnd, d - 1),
-        Lit(Seq.fill(2 + rnd.nextInt(3))(oneOf(rnd, strLits): Any)))),
+        Lit(Seq.fill(2 + rnd.nextInt(3))(oneOf(rnd, strLits): Any) ++
+          (if (rnd.nextInt(4) == 0) Seq(null) else Nil)))),
       2 -> (() => MissingOp(genAny(rnd, d - 1))),
       2 -> (() => ExistsOp(genAny(rnd, d - 1))),
       2 -> (() => PrefixOp(genStr(rnd, d - 1), genStr(rnd, d - 1))),

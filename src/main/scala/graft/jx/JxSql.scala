@@ -195,6 +195,14 @@ object JxSql {
         case "gt" => ">"; case "gte" => ">="; case "lt" => "<"; case "lte" => "<="
       }
       s"COALESCE((${sql(l, d)} $cmp ${sql(r, d)}), FALSE)"
+    case InOp(v, Lit(items: Seq[_])) if items.contains(null) =>
+      // Python membership: a NULL member matches a missing value
+      // (mirrors JxCompiler's null-bearing arm, r12)
+      val nonNull = items.filterNot(_ == null)
+      val rest =
+        if (nonNull.isEmpty) "FALSE"
+        else s"COALESCE((${sql(v, d)} IN (${nonNull.map(litSql).mkString(", ")})), FALSE)"
+      s"(CASE WHEN ${sql(v, d)} IS NULL THEN TRUE ELSE $rest END)"
     case InOp(v, Lit(items: Seq[_])) =>
       s"COALESCE((${sql(v, d)} IN (${items.map(litSql).mkString(", ")})), FALSE)"
     case MissingOp(t) => s"(${sql(t, d)} IS NULL)"

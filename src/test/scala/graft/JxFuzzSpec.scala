@@ -528,6 +528,24 @@ class JxFuzzSpec extends AnyFunSuite {
       assert(compiled == rendered, s"compiler/rendering drift on $e: $compiled vs $rendered")
       assert(compiled == want, s"semantics drift on $e: got $compiled, want $want")
     }
+    // JX `in` is Python membership: a NULL list member matches a
+    // missing value (r12, jx_python expressions.py:175-177) — pinned
+    // on both the literal and dynamic-list arms, null-free lists
+    // unchanged
+    val inCases: Seq[(JxExpr, Any)] = Seq(
+      (JxExpr.InOp(JxExpr.NullOp, JxExpr.Lit(Seq("A", null))), true),
+      (JxExpr.InOp(JxExpr.NullOp, JxExpr.Lit(Seq[Any]("A", "B"))), false),
+      (JxExpr.InOp(JxExpr.Lit("A"), JxExpr.Lit(Seq("A", null))), true),
+      (JxExpr.InOp(JxExpr.Lit("B"), JxExpr.Lit(Seq("A", null))), false),
+      (JxExpr.InOp(JxExpr.NullOp, JxExpr.Lit(Seq[Any](null))), true))
+    for ((e, want) <- inCases) {
+      val compiled = row.select(JxCompiler.compile(e).as("v")).head.get(0)
+      val rendered = spark.sql(
+        s"SELECT ${JxSql.sql(e, JxSql.SparkSql)} AS v FROM fuzz_contract_t").head.get(0)
+      assert(compiled == rendered && compiled == want,
+        s"in-with-null drift on $e: compiled=$compiled rendered=$rendered want=$want")
+    }
+
     // the gate's b4 sub-blocks slice the SAME tree sequence the whole
     // block generates — sub-entry columns must be exactly the block's
     // columns, windowed (localizability without re-drawing)
