@@ -100,4 +100,61 @@ class EdgeTimeFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  for (seed <- Seq(919L, 1020L)) {
+    test(s"random duration- and range-domain cubes match the floor-bucket oracle (seed $seed)") {
+      // completes the domain-type sweep: duration (seconds-valued
+      // buckets over events.value with JX duration spellings) and plain
+      // numeric range with NON-integer boundaries (double-precision
+      // floor arithmetic over l_extendedprice)
+      val rnd = new scala.util.Random(seed)
+      for (rd <- 0 until 4) {
+        val durDomain = rnd.nextBoolean()
+        val allowNulls = rnd.nextBoolean()
+        val (tbl, valueCol, mn, step, nB) =
+          if (durDomain) {
+            val stepSec = Seq(30, 60, 90)(rnd.nextInt(3))
+            ("events", "value", rnd.nextInt(3) * 60.0, stepSec.toDouble, 3 + rnd.nextInt(5))
+          } else
+            ("lineitem", "l_extendedprice",
+              900.0 + rnd.nextInt(5) * 250.5, 7777.25 + rnd.nextInt(3) * 500.5, 3 + rnd.nextInt(5))
+        val mx = mn + step * nB
+        val domJson =
+          if (durDomain)
+            s"""{"type": "duration", "min": ${mn.toInt}, "max": "${mx.toInt}second", "interval": "${step.toInt}second"}"""
+          else s"""{"type": "range", "min": $mn, "max": $mx, "interval": $step}"""
+
+        val got = runJx(s"""{
+          "from": "$tbl",
+          "edges": [{
+            "name": "b", "value": "$valueCol", "allowNulls": $allowNulls,
+            "domain": $domJson
+          }],
+          "select": [{"name": "n", "value": ".", "aggregate": "count"}]}""")
+          .select(col("b").cast("double").as("b"), col("n").cast("long").as("n"))
+
+        val src = SparkEntry.loader(spark, dir)(tbl)
+        val v = col(valueCol).cast("double")
+        val inRange = v.isNotNull && v >= lit(mn) && v < lit(mx)
+        val label = lit(mn) + floor((v - lit(mn)) / lit(step)) * lit(step)
+        val dom = spark.range(nB.toLong)
+          .select((lit(mn) + col("id") * lit(step)).as("b"))
+        val agg = src.where(inRange).groupBy(label.as("b")).agg(count(lit(1)).as("n"))
+        val dense = dom.join(agg, Seq("b"), "left")
+          .select(col("b"), coalesce(col("n"), lit(0L)).as("n"))
+        val want =
+          if (!allowNulls) dense
+          else dense.unionByName(src.where(!coalesce(inRange, lit(false)))
+            .agg(count(lit(1)).as("n"))
+            .select(lit(null).cast("double").as("b"), col("n")))
+
+        val g = got.collect().map(_.toSeq).sortBy(_.toString())
+        val w = want.collect().map(_.toSeq).sortBy(_.toString())
+        val diffs = g.zipAll(w, null, null).filter { case (a, b) => a != b }.take(3)
+        assert(g.length == w.length && diffs.isEmpty,
+          s"seed $seed rd $rd ($tbl dom=[$mn,$mx) step $step allowNulls=$allowNulls): " +
+            s"${g.length} vs ${w.length}; diffs $diffs")
+      }
+    }
+  }
 }
