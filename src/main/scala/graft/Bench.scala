@@ -228,8 +228,16 @@ object Bench {
     // entries, before the quiesce).
     var prevFamily: String = null
     val results = try entries.map { case (name, fn) =>
-      if (prevFamily != null && SparkEntry.entryFamily(name) != prevFamily)
+      if (prevFamily != null && SparkEntry.entryFamily(name) != prevFamily) {
         SparkEntry.familyDrains.get(prevFamily).foreach(_())
+        // r13 (VERDICT r12 #4): ALL Pinned.hold result slots drain at
+        // every boundary, not just registered families' — hold slots
+        // bound residency (every op invocation recomputes and re-holds;
+        // they never serve cross-invocation reads), so this costs zero
+        // recompute and keeps steady-state persistent_rdds near the
+        // slot-cache count instead of one-per-op-family
+        graft.ops.Pinned.drain("")
+      }
       prevFamily = SparkEntry.entryFamily(name)
       quiesceSec += quiesce(150, 5000)
       val jit0 = jitNow()
@@ -265,6 +273,7 @@ object Bench {
       try {
         if (prevFamily != null)
           SparkEntry.familyDrains.get(prevFamily).foreach(_())
+        graft.ops.Pinned.drain("")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] family drain failed (ignored): ${e.getMessage}")
       }

@@ -34,18 +34,27 @@ object FuzzCatalog {
     ("q_fuzz_expr_b3", 3003L, 125),
     ("q_fuzz_expr_b4", 4004L, 125))
 
-  /** Gate-facing sub-blocks of q_fuzz_expr_b4 (VERDICT r11 #1): the
-    * driver's hash gate compares a block as ONE wide table, so its r11
-    * b4 mismatch — reproducibly green against local DuckDB 1.0.0,
-    * bit-exact per column (r12 re-check: zero raw-double diffs across
-    * all 125 b4 columns) — is unlocalizable from the artifact. For one
-    * round b4 runs as five 25-case windows over the SAME seed-4004
-    * tree sequence (cases sliced, not re-drawn), so a red row names a
-    * 25-tree window and the diverging construct can be adjudicated
-    * next round. b1–b3 stay whole (green on the driver), and the
-    * in-suite laws still sweep the full 125-tree b4 via [[blocks]]. */
+  /** Gate-facing sub-blocks (VERDICT r11 #1 for b4; r12 #1 extends the
+    * same treatment to b1/b2): the driver's hash gate compares a block
+    * as ONE wide table, so a red 125-case block is unlocalizable from
+    * the artifact — r11's b4 red and r12's b1/b2 reds were all green
+    * against local DuckDB 1.0.0, bit-exact per column, i.e.
+    * driver-environment divergences that need a named 25-tree window
+    * to adjudicate. Split blocks run as five 25-case windows over the
+    * SAME seeded tree sequence (cases sliced, not re-drawn); b3 stays
+    * whole (green on the driver every round), and the in-suite laws
+    * still sweep all four full 125-tree blocks via [[blocks]]. */
+  val subBlockSeeds: Seq[(String, Long)] = Seq(
+    ("q_fuzz_expr_b1", 1001L),
+    ("q_fuzz_expr_b2", 2002L),
+    ("q_fuzz_expr_b4", 4004L))
+  val gateSubBlocks: Seq[(String, Long, Int, Int)] =
+    subBlockSeeds.flatMap { case (base, seed) =>
+      (0 until 5).map(i => (s"$base${('a' + i).toChar}", seed, i * 25, (i + 1) * 25))
+    }
+  /** b4's windows under their historic name (spec compatibility). */
   val b4SubBlocks: Seq[(String, Int, Int)] =
-    (0 until 5).map(i => (s"q_fuzz_expr_b4${('a' + i).toChar}", i * 25, (i + 1) * 25))
+    gateSubBlocks.collect { case (n, 4004L, from, until) => (n, from, until) }
 
   /** Spark side of the domain. Must stay value-identical to
     * [[domainSql]] — both derive the same columns from the same
@@ -133,9 +142,9 @@ object FuzzCatalog {
 
   private def oracle(seed: Long, n: Int): String = oracleOf(JxFuzz.cases(seed, n))
 
-  /** The seed-4004 trees sliced for one gate sub-block. */
-  private def b4Cases(from: Int, until: Int): Seq[JxFuzz.FuzzCase] =
-    JxFuzz.cases(4004L, 125).slice(from, until)
+  /** A seeded block's trees sliced for one gate sub-block. */
+  private def slicedCases(seed: Long, from: Int, until: Int): Seq[JxFuzz.FuzzCase] =
+    JxFuzz.cases(seed, 125).slice(from, until)
 
   /** A case list rendered through the Spark dialect — the suite's
     * differential leg (`FROM <view>` is caller-supplied); the seed
@@ -944,13 +953,14 @@ object FuzzCatalog {
        ${arms.mkString("\nUNION ALL\n")}"""
   }
 
-  /** The gate runs b1–b3 whole and b4 as its five sub-blocks. */
+  /** The gate runs b3 whole and b1/b2/b4 as five sub-blocks each. */
   private[graft] def gateExprBlocks: Seq[(String, Long, Int)] =
-    blocks.filterNot(_._1 == "q_fuzz_expr_b4")
+    blocks.filterNot { case (name, _, _) => subBlockSeeds.exists(_._1 == name) }
 
   def queries: Map[String, Q] =
     gateExprBlocks.map { case (name, seed, n) => name -> entry(seed, n) }.toMap ++
-      b4SubBlocks.map { case (name, from, until) => name -> entryOf(b4Cases(from, until)) }.toMap ++
+      gateSubBlocks.map { case (name, seed, from, until) =>
+        name -> entryOf(slicedCases(seed, from, until)) }.toMap ++
       aggBlocks.map { case (name, seed, n) => name -> aggEntry(seed, n) }.toMap ++
       windowBlocks.map { case (name, seed, n) => name -> windowEntry(seed, n) }.toMap ++
       edgeBlocks.map { case (name, seed, n) => name -> edgeEntry(seed, n) }.toMap ++
@@ -962,7 +972,8 @@ object FuzzCatalog {
 
   def oracles: Map[String, String] =
     gateExprBlocks.map { case (name, seed, n) => name -> oracle(seed, n) }.toMap ++
-      b4SubBlocks.map { case (name, from, until) => name -> oracleOf(b4Cases(from, until)) }.toMap ++
+      gateSubBlocks.map { case (name, seed, from, until) =>
+        name -> oracleOf(slicedCases(seed, from, until)) }.toMap ++
       aggBlocks.map { case (name, seed, n) => name -> aggOracle(seed, n) }.toMap ++
       windowBlocks.map { case (name, seed, n) => name -> windowOracle(seed, n) }.toMap ++
       edgeBlocks.map { case (name, seed, n) => name -> edgeOracle(seed, n) }.toMap ++

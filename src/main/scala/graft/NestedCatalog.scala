@@ -84,6 +84,18 @@ object NestedCatalog {
     if (m != null) m.values.forEach(df => unpersistQuietly(df))
   }
 
+  /** Drop every cached assembly of EVERY session (r13 family drains):
+    * registered for the q_window family — the alphabetically last
+    * bench consumer of assembled documents — so the ~150 MB of
+    * persisted doc variants (one per distinct pruned-column set) stops
+    * being end-of-run residency. Warm timings inside the consuming
+    * families still see cache hits; only the post-consumer tail pays
+    * nothing for the release (assemblies rebuild on demand). */
+  def clearAllCaches(): Unit = assembled.synchronized {
+    assembled.values.forEach(m => m.values.forEach(df => unpersistQuietly(df)))
+    assembled.clear()
+  }
+
   /** Number of live cached assemblies for `s` (spec hook). */
   private[graft] def cachedAssemblies(s: SparkSession): Int = assembled.synchronized {
     val m = assembled.get(s); if (m == null) 0 else m.size()

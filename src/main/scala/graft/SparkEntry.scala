@@ -52,19 +52,19 @@ object SparkEntry {
     * doesn't ship (VERDICT r7 "What's wrong" #3). */
   val benchExcluded: Set[String] = Set("q_dedup_jaccard_naive") ++
     // fuzz blocks are CORRECTNESS fixtures (687 differential cases
-    // across 13 blocks, gated as 17 entries since r12's b4 sub-block
-    // split — 500 scalar, 80 aggregate, 30 window, 14
-    // one-edge + 10 two-edge cubes, 12 setop pipelines + 9 set-op
+    // across 13 blocks, gated as 27 entries since r13 extended the
+    // sub-block split to b1/b2 — 500 scalar, 80 aggregate, 30 window,
+    // 14 one-edge + 10 two-edge cubes, 12 setop pipelines + 9 set-op
     // pairs, 16 nested + 16 deep-nested — under
     // the DuckDB gate): their timed cost is wide-projection codegen
     // compile mass, not engine work, and timing them would drift the
     // headline total against every prior baseline row for reasons
     // unrelated to performance (review r10)
-    // gateExprBlocks + the b4 sub-blocks, NOT `blocks`: the artifact's
+    // gateExprBlocks + gateSubBlocks, NOT `blocks`: the artifact's
     // bench_excluded field must list only names that exist in
     // `queries` (review r12 — a phantom q_fuzz_expr_b4 row would also
     // make a subset run naming it silently time nothing)
-    FuzzCatalog.gateExprBlocks.map(_._1) ++ FuzzCatalog.b4SubBlocks.map(_._1) ++
+    FuzzCatalog.gateExprBlocks.map(_._1) ++ FuzzCatalog.gateSubBlocks.map(_._1) ++
     FuzzCatalog.aggBlocks.map(_._1) ++
     FuzzCatalog.windowBlocks.map(_._1) ++ FuzzCatalog.edgeBlocks.map(_._1) ++
     FuzzCatalog.edge2Blocks.map(_._1) ++
@@ -78,15 +78,32 @@ object SparkEntry {
     * change silently stops drains from firing). */
   def entryFamily(name: String): String = name.split("_").take(2).mkString("_")
 
-  /** Per-family lifecycle drains (r12, VERDICT r11 #2): when a caller
-    * that runs entries in alphabetical order (the bench) finishes a
-    * family (keyed by [[entryFamily]]), the family's session-long
-    * cached state can be released. Only families whose slots have NO
-    * consumers outside the family register here; slots refill on
-    * demand if touched again, so draining is always safe, just
-    * possibly wasteful. */
+  /** Per-family lifecycle drains (r12, VERDICT r11 #2; r13 extends
+    * them catalog-wide per VERDICT r12 #4): when a caller that runs
+    * entries in alphabetical order (the bench) finishes a family
+    * (keyed by [[entryFamily]]), the family's session-long cached
+    * state is released. A slot registers under its alphabetically
+    * LAST consuming family (cross-family slots — the incremental LSH
+    * index, the nested assembly cache — drain when their final
+    * consumer is done); slots refill on demand if touched again, so
+    * draining is always safe, just possibly wasteful. The bench
+    * additionally drains ALL `Pinned.hold` result slots at EVERY
+    * family boundary (see Bench): hold slots bound residency, they
+    * are never memo caches, so that drain costs zero recompute. */
   val familyDrains: Map[String, () => Unit] = Map(
-    "q_graph" -> (() => TrainingShared.drainGraphSlots()))
+    "q_dedup" -> (() => TrainingShared.drainDedupSlots()),
+    "q_graph" -> (() => TrainingShared.drainGraphSlots()),
+    "q_multimodal" -> (() => TrainingShared.drainMultimodalSlots()),
+    "q_pipeline" -> (() => TrainingShared.drainPipelineSlots()),
+    // assembled nested docs (~150 MB at sf0.1, one persisted variant
+    // per pruned-column set): the consumer families are q_agg..q_nested
+    // plus exactly ONE later entry (q_window_median), so the cache
+    // drains when the BULK consumers finish — freeing the back third of
+    // the run that r12's >2× cluster sat in — at the cost of one
+    // assembly rebuild in q_window_median's cold run, and again at
+    // q_window (the last consumer) so nothing outlives the catalog pass
+    "q_nested" -> (() => NestedCatalog.clearAllCaches()),
+    "q_window" -> (() => NestedCatalog.clearAllCaches()))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

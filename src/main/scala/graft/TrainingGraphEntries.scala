@@ -360,41 +360,20 @@ private[graft] object TrainingGraphEntries {
     // Oracle = capped-tier candidate CTE with the same ranked LIMIT +
     // the UNCAPPED wedge sum with the endpoint-degree guard.
     "q_graph_adamic_adar_sketch" -> (q((s, dir) => {
-      val k = 24
-      // r12 (VERDICT r11 #4: this was the catalog's heaviest row at
-      // 19.6 s cold / 10.7 s warm — an oracle fixture should not
-      // dominate the bench): candidates now come from the SHARED
-      // capped result (no per-entry wedge join), RANKED and sliced to
-      // the capped top-5000 before the degree guard — the exact-regime
-      // law is per-pair, so a ranked slice bounds the scorer's fan-out
-      // (≤ 2k·5000 member rows) without changing what the oracle
-      // asserts about any pair it keeps. The guard still runs before
-      // the sketch join, so scoring only touches exact-regime pairs.
-      val edges = recentCoPurchaseEdges(s, dir)
-      val cand0 = cappedRecentAa(s, dir)
-        .orderBy(col("aa").desc, col("x"), col("y")).limit(5000)
-        .select(col("x"), col("y"))
-      val und = edges
-        .select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .where(col("a") =!= col("b")).distinct()
-      val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("deg"))
-      // checkpoint the sub-k vertex list ONCE (review r12): it feeds
-      // BOTH broadcast semi-joins, and un-pinned each would re-execute
-      // the canonicalize+degree pipeline; the sketch op is eager
-      // (Pinned.hold), so the pin is safely released before return
-      val (sub, subH) = graft.ops.Pinned.checkpoint(
-        deg.where(col("deg") <= k).select(col("id")))
-      val cand = cand0
-        .join(broadcast(sub.select(col("id").as("x"))), Seq("x"), "left_semi")
-        .join(broadcast(sub.select(col("id").as("y"))), Seq("y"), "left_semi")
-        .select(col("x"), col("y"))
-      val out = graft.ops.Graph.adamicAdarSketch(edges, cand, k = k)
+      // r12 bounded the fixture (capped top-5000 slice, shared capped
+      // frame); r13 (VERDICT r12 #2) moves the WHOLE candidate
+      // derivation — ranked slice, undirected canonicalize + degree
+      // pass, deg≤24 exact-regime guard — into a build-once slot
+      // ([[TrainingShared.sketchCandidates]]): it is pure static graph
+      // structure, and rebuilding it per run re-churned checkpoint
+      // blocks every invocation (the residency interaction behind the
+      // driver's 40.6 s isolated rerun; isolated same-code runs were
+      // 2.4-3.6 s). Per-run cost is now the sketch SCORER alone — the
+      // op this entry's oracle row actually grades.
+      graft.ops.Graph.adamicAdarSketch(
+          recentCoPurchaseEdges(s, dir), sketchCandidates(s, dir, k = 24), k = 24)
         .orderBy(col("aa_est").desc, col("x"), col("y"))
         .limit(100)
-      graft.ops.Pinned.release(subH)
-      out
     }), Some("""
       WITH li AS (SELECT * FROM lineitem WHERE l_shipdate >= DATE '1999-01-01'),
       e0 AS (

@@ -269,29 +269,35 @@ object JxCompiler {
       // pattern is regex-quoted before reaching Spark's regex-based
       // split — statically for literal patterns, via a regex-escaping
       // regexp_replace for dynamic ones
+      // dynamic patterns quote through regexp_replace with the SAME
+      // predicate as the static JxExpr.regexQuote path (r13 ADVICE
+      // alignment): escape any BMP non-letter/digit (Unicode classes,
+      // not ASCII-only), pass supplementary code points through bare
       val pat = p match {
         case Lit(s: String) => lit(JxExpr.regexQuote(s))
         case other          =>
           call_function("regexp_replace",
             compile(other, ctx).cast(StringType),
-            lit("([^a-zA-Z0-9])"), lit("\\\\$1"))
+            lit("([^\\p{L}\\p{Nd}\\x{10000}-\\x{10FFFF}])"), lit("\\\\$1"))
       }
       call_function("split", compile(v, ctx).cast(StringType), pat)
     // ---- structural ------------------------------------------------------
     // GetOp/FirstOp/LastOp follow the reference's listwrap semantics
-    // (see the JxExpr scaladocs): array operands take element access
-    // with Python indexing (0-based, negative from the end, NULL out of
-    // range — try_element_at is 1-based so i>=0 maps to i+1 and i<0
-    // passes through, never emitting the index 0 Spark throws on);
-    // scalar operands are one-element lists (get 0/-1 = the value,
-    // first/last = the value itself).
+    // (see the JxExpr scaladocs): the subscript is mo_dots
+    // FlatList.__getitem__ (lists.py:69-71) — 0-based, ANY negative
+    // index is missing (no count-from-the-end), positive out-of-range
+    // is missing. Array operands map i>=0 to 1-based try_element_at
+    // (never emitting the index 0 Spark throws on) and fall to NULL for
+    // i<0; scalar operands are one-element lists (only get 0 hits the
+    // value). first/last of a scalar is the value itself, and LastOp on
+    // arrays keeps element -1: FlatList.last() explicitly returns the
+    // final element (lists.py:238-245), unlike subscripting.
     case GetOp(v, i) if JxExpr.isArrayExpr(v) =>
       val idx = compile(i, ctx).cast(IntegerType)
-      call_function("try_element_at", compile(v, ctx),
-        when(idx >= 0, idx + lit(1)).otherwise(idx))
+      when(idx >= 0, call_function("try_element_at", compile(v, ctx), idx + lit(1)))
     case GetOp(v, i) =>
       val idx = compile(i, ctx).cast(IntegerType)
-      when(idx === 0 || idx === -1, compile(v, ctx))
+      when(idx === 0, compile(v, ctx))
     case FirstOp(t) if JxExpr.isArrayExpr(t) =>
       call_function("try_element_at", compile(t, ctx), lit(1))
     case FirstOp(t) => compile(t, ctx)

@@ -100,13 +100,18 @@ object JxExpr {
 
   // ---- structural -----------------------------------------------------
   /** Dynamic index into a list value — the reference's GetOp is Python
-    * `listwrap(obj)[offset]` (vendor/jx_python/expressions.py:96-100):
-    * 0-based, NEGATIVE indexes count from the end, out-of-range (either
-    * sign) is Null, and a SCALAR operand is listwrapped into a
-    * one-element list (index 0 and -1 hit the value, everything else is
-    * Null). The compiler dispatches on [[isArrayExpr]] to mirror both
-    * halves (r12, ADVICE: the previous rendering mapped -1 to
-    * element_at(0), a runtime error). */
+    * `listwrap(obj)[offset]` (vendor/jx_python/expressions.py:96-100),
+    * and the subscript is mo_dots `FlatList.__getitem__`, NOT plain
+    * Python list indexing: `if index < 0 or len(list) <= index: return
+    * Null` (vendor/mo_dots/lists.py:69-71). So the contract is 0-based
+    * with ANY negative index → Null (no count-from-the-end), positive
+    * out-of-range → Null, and a SCALAR operand listwrapped into a
+    * one-element list (only index 0 hits the value). The compiler
+    * dispatches on [[isArrayExpr]] to mirror both halves (r13, ADVICE:
+    * r12 had wrongly given negative indexes Python-list
+    * count-from-the-end semantics; [[LastOp]] is unaffected —
+    * `FlatList.last()` explicitly returns the final element,
+    * lists.py:238-245). */
   case class GetOp(value: JxExpr, index: JxExpr) extends JxExpr
   /** First element of a list; a scalar term IS its own first element —
     * reference FirstOp.partial_eval returns the term unchanged when
@@ -157,9 +162,19 @@ object JxExpr {
     * (Spark's split) and RE2 (never `\Q…\E`, which RE2-family engines
     * and DuckDB handle differently). Alphanumerics are left bare
     * because a backslash BEFORE a letter/digit is itself a metaclass
-    * (`\d`, `\w`). */
-  def regexQuote(s: String): String =
-    s.flatMap(c => if (c.isLetterOrDigit) c.toString else "\\" + c)
+    * (`\d`, `\w`). Iterates CODE POINTS, not UTF-16 chars (r13
+    * ADVICE): escaping a surrogate pair as two lone backslash-escaped
+    * surrogates would produce a Java regex that no longer matches the
+    * original code point — non-BMP characters pass through unescaped
+    * (they are never regex metacharacters). */
+  def regexQuote(s: String): String = {
+    val sb = new StringBuilder
+    s.codePoints().forEach { cp =>
+      if (!Character.isLetterOrDigit(cp) && Character.isBmpCodePoint(cp)) sb.append('\\')
+      sb.appendAll(Character.toChars(cp))
+    }
+    sb.result()
+  }
 
   // =====================================================================
   // JSON serialization (canonical inverse of `parse` for the scalar

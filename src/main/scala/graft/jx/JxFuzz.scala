@@ -205,9 +205,10 @@ object JxFuzz {
       // a literal-substring split consumed by get/first/last — the
       // only array-producing op in the registry, always collapsed
       // back to a string here (the gate's comparator cannot hash raw
-      // array cells). Get indexes span -1..3 (r12: the listwrap
-      // contract makes negative indexing real semantics — -1 is the
-      // last element; both engines NULL out of range on either sign)
+      // array cells). Get indexes span -1..3 — the -1 draw stays so
+      // the r13 contract (ANY negative index is missing,
+      // FlatList.__getitem__ mo_dots lists.py:69) is differentially
+      // pinned, not just spec-pinned
       2 -> (() => {
         val arr = SplitOp(genStr(rnd, d - 1), Lit(oneOf(rnd, splitPats)))
         weighted[JxExpr](rnd, Seq(
@@ -215,9 +216,10 @@ object JxFuzz {
           1 -> (() => FirstOp(arr)),
           1 -> (() => LastOp(arr))))
       }),
-      // SCALAR element access (r12): the listwrap half of the contract
-      // — first/last of a scalar is the scalar, get hits it only at
-      // 0/-1 (JxExpr.GetOp scaladoc) — generated into the gate so the
+      // SCALAR element access (r12; r13 contract fix): the listwrap
+      // half of the contract — first/last of a scalar is the scalar,
+      // get hits it only at index 0 (JxExpr.GetOp scaladoc; negative
+      // draws must render missing) — generated into the gate so the
       // scalar dispatch is differentially checked against DuckDB, not
       // only spec-pinned
       1 -> (() => {

@@ -59,14 +59,16 @@ object JxSql {
       * interpolation at even counts — both engines agree exactly on
       * integer inputs). Usable over window frames. */
     def medianCont(x: String): String
-    /** 1-based array element, NULL when out of bounds (either sign);
-      * negative indexes count from the end in both engines. `n` must
-      * be an already-rendered NON-ZERO integer literal — index 0
-      * DIVERGES (Spark's try_element_at throws INVALID_INDEX_OF_ZERO
-      * at runtime, DuckDB's list_extract returns NULL), which is why
-      * the GetOp renderer maps JX's 0-based i to i+1 for i ≥ 0 and
-      * passes i < 0 through unchanged (r12 listwrap contract) — zero
-      * is unreachable from both arms. */
+    /** 1-based array element, NULL when out of bounds. `n` must be an
+      * already-rendered POSITIVE integer literal: index 0 DIVERGES
+      * (Spark's try_element_at throws INVALID_INDEX_OF_ZERO at
+      * runtime, DuckDB's list_extract returns NULL) and negative
+      * indexes are an engine-version seam we no longer need — the r13
+      * listwrap contract (FlatList.__getitem__, mo_dots lists.py:69)
+      * makes every negative GetOp index missing, so the renderer only
+      * ever emits i+1 for JX i ≥ 0, plus the fixed -1 that LastOp
+      * keeps (FlatList.last(), lists.py:238-245 — count-from-the-end
+      * in both engines for that one literal). */
     def elementAt(arr: String, n: String): String
     /** Division with the zero divisor excluded BEFORE the divide.
       * The JX contract is /0 → missing (the compiler uses Spark's
@@ -326,18 +328,23 @@ object JxSql {
       require(pat.nonEmpty, "split pattern must be non-empty in the fuzzed subset")
       d.splitLiteral(s"CAST(${sql(v, d)} AS ${d.stringType})", pat)
     // get/first/last mirror the compiler's listwrap dispatch (see
-    // JxCompiler): array operands take 1-based element access with
-    // Python index mapping (i>=0 → i+1, i<0 passes through — index 0
-    // never rendered, where the engines diverge), scalar operands are
-    // one-element lists
+    // JxCompiler): the subscript is FlatList.__getitem__ (mo_dots
+    // lists.py:69-71) — ANY negative index is missing, so only i>=0
+    // renders element access (1-based, i+1; index 0 — where the
+    // engines diverge — is never rendered) and negative indexes render
+    // the never-true CASE; scalar operands are one-element lists
+    // (only index 0 hits the value)
     case GetOp(v, Lit(i: Long)) if JxExpr.isArrayExpr(v) =>
-      d.elementAt(sql(v, d), (if (i >= 0) i + 1 else i).toString)
+      // the miss arm must be a NULL OF THE ELEMENT'S TYPE (see the
+      // scalar arm below) — a never-true element access keeps it
+      if (i >= 0) d.elementAt(sql(v, d), (i + 1).toString)
+      else s"(CASE WHEN FALSE THEN ${d.elementAt(sql(v, d), "1")} END)"
     case GetOp(v, Lit(i: Long)) =>
       // the miss arm must be a NULL OF THE OPERAND'S TYPE: a bare NULL
       // literal types as INTEGER in DuckDB and lands float64 in the
       // driver's pandas comparator, while Spark's never-true `when`
       // folds to a null of the value type (string → object dtype)
-      if (i == 0 || i == -1) sql(v, d)
+      if (i == 0) sql(v, d)
       else s"(CASE WHEN FALSE THEN ${sql(v, d)} END)"
     case FirstOp(t) if JxExpr.isArrayExpr(t) => d.elementAt(sql(t, d), "1")
     case FirstOp(t) => sql(t, d)

@@ -843,6 +843,13 @@ object Dedup {
     }
   }
 
+  /** Release the one-slot [[connectedComponents]] result holder (r13
+    * family drains): the slot is NOT a memo cache — every call
+    * recomputes and swaps it — so releasing when a bench family
+    * finishes costs nothing and frees the persisted cluster map. */
+  def releaseCcResult(): Unit =
+    Option(ccResultSlot.getAndSet(null)).foreach(_.unpersist(blocking = false))
+
   /** One-slot holder for the last [[connectedComponents]] result RDD —
     * bounds resident cache to a single live cluster map per JVM. */
   private val ccResultSlot =

@@ -496,10 +496,12 @@ class JxFuzzSpec extends AnyFunSuite {
   test("r12 contract fixes: literal split, listwrap get, scalar first/last (ADVICE r11)") {
     // the jx_python semantics (vendor/jx_python/expressions.py:96-106,
     // 329-331; jx_base expressions.py:1318): split is a LITERAL
-    // substring split, get is listwrap indexing (negative from the
-    // end; scalars are one-element lists), first/last pass scalars
-    // through. Each case checked compiled-vs-Spark-rendering AND
-    // against the hand-computed Python value.
+    // substring split, get is listwrap indexing through
+    // FlatList.__getitem__ (mo_dots lists.py:69-71 — ANY negative
+    // index is Null, no count-from-the-end; scalars are one-element
+    // lists), first/last pass scalars through. Each case checked
+    // compiled-vs-Spark-rendering AND against the hand-computed
+    // reference value.
     import spark.implicits._
     val row = Seq(Tuple1("AF_1")).toDF("s")
     row.createOrReplaceTempView("fuzz_contract_t")
@@ -511,11 +513,14 @@ class JxFuzzSpec extends AnyFunSuite {
       (JxExpr.FirstOp(dotArr), "A"),                     // 'A.F'.split('.') = ['A','F']
       (JxExpr.LastOp(dotArr), "F"),
       (JxExpr.FirstOp(JxExpr.SplitOp(JxExpr.Variable("s"), JxExpr.Lit("."))), "AF_1"),
-      (JxExpr.GetOp(arr, JxExpr.Lit(-1L)), "1"),         // negative from the end
-      (JxExpr.GetOp(arr, JxExpr.Lit(-2L)), "AF"),
-      (JxExpr.GetOp(arr, JxExpr.Lit(-3L)), null),        // OOB negative → missing
+      // ANY negative index is missing — FlatList.__getitem__ has no
+      // count-from-the-end arm (mo_dots lists.py:69-71; r13 ADVICE fix:
+      // r12 wrongly gave these Python-list semantics)
+      (JxExpr.GetOp(arr, JxExpr.Lit(-1L)), null),
+      (JxExpr.GetOp(arr, JxExpr.Lit(-2L)), null),
+      (JxExpr.GetOp(arr, JxExpr.Lit(-3L)), null),
       (JxExpr.GetOp(JxExpr.Variable("s"), JxExpr.Lit(0L)), "AF_1"),  // listwrap scalar
-      (JxExpr.GetOp(JxExpr.Variable("s"), JxExpr.Lit(-1L)), "AF_1"),
+      (JxExpr.GetOp(JxExpr.Variable("s"), JxExpr.Lit(-1L)), null),
       (JxExpr.GetOp(JxExpr.Variable("s"), JxExpr.Lit(1L)), null),
       (JxExpr.FirstOp(JxExpr.Variable("s")), "AF_1"),    // scalar pass-through
       (JxExpr.LastOp(JxExpr.Variable("s")), "AF_1"),
@@ -546,13 +551,34 @@ class JxFuzzSpec extends AnyFunSuite {
         s"in-with-null drift on $e: compiled=$compiled rendered=$rendered want=$want")
     }
 
-    // the gate's b4 sub-blocks slice the SAME tree sequence the whole
-    // block generates — sub-entry columns must be exactly the block's
-    // columns, windowed (localizability without re-drawing)
-    val whole = JxFuzz.cases(4004L, 125).map(_.name)
-    val sliced = FuzzCatalog.b4SubBlocks.flatMap { case (_, from, until) =>
-      JxFuzz.cases(4004L, 125).slice(from, until).map(_.name) }
-    assert(sliced == whole, "b4 sub-blocks do not tile the seed-4004 sequence")
+    // the gate's sub-blocks (b1/b2/b4 since r13) slice the SAME tree
+    // sequence each whole block generates — sub-entry columns must be
+    // exactly the block's columns, windowed (localizability without
+    // re-drawing)
+    for ((base, seed) <- FuzzCatalog.subBlockSeeds) {
+      val whole = JxFuzz.cases(seed, 125).map(_.name)
+      val sliced = FuzzCatalog.gateSubBlocks
+        .filter(_._1.startsWith(base))
+        .flatMap { case (_, s, from, until) =>
+          JxFuzz.cases(s, 125).slice(from, until).map(_.name) }
+      assert(sliced == whole, s"$base sub-blocks do not tile the seed-$seed sequence")
+    }
+  }
+
+  test("regexQuote is code-point safe: non-BMP patterns survive quoting — ADVICE r12") {
+    // escaping per UTF-16 char would split a surrogate pair into two
+    // backslash-escaped lone surrogates — a Java regex that no longer
+    // matches the original code point. The r13 quoting iterates code
+    // points and leaves supplementary characters bare (they are never
+    // regex metacharacters), so splitting on an emoji works.
+    val q = JxExpr.regexQuote("a.😀|b")
+    assert(q == "a\\.😀\\|b", s"got $q")
+    import spark.implicits._
+    val got = Seq(Tuple1("x😀y")).toDF("s")
+      .select(JxCompiler.compile(
+        JxExpr.FirstOp(JxExpr.SplitOp(JxExpr.Variable("s"), JxExpr.Lit("😀")))).as("v"))
+      .head.getString(0)
+    assert(got == "x", s"non-BMP literal split broke: got $got")
   }
 
   test("generation is deterministic across invocations (seeded LCG)") {
