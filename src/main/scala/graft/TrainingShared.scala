@@ -143,12 +143,14 @@ private[graft] object TrainingShared {
     * [[CappedAaSlot]]; per-run entry cost is now the sketch SCORER
     * alone. Released by [[drainGraphSlots]]. */
   val SketchCandSlot =
-    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, DataFrame, org.apache.spark.rdd.RDD[_])]()
+    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String, Int, DataFrame, org.apache.spark.rdd.RDD[_])]()
 
   def sketchCandidates(s: SparkSession, dir: String, k: Int = 24): DataFrame =
     SketchCandSlot.synchronized {
       Option(SketchCandSlot.get()) match {
-        case Some((`s`, `dir`, df, _)) => df
+        // k is part of the key: a hit with a different degree guard
+        // must rebuild, not silently serve the old guard's pairs
+        case Some((`s`, `dir`, `k`, df, _)) => df
         case prev =>
           val cand0 = cappedRecentAa(s, dir)
             .orderBy(col("aa").desc, col("x"), col("y")).limit(5000)
@@ -164,8 +166,8 @@ private[graft] object TrainingShared {
             .join(broadcast(sub.select(col("id").as("x"))), Seq("x"), "left_semi")
             .join(broadcast(sub.select(col("id").as("y"))), Seq("y"), "left_semi")
             .select(col("x"), col("y")))
-          prev.foreach(p => graft.ops.Pinned.release(p._4))
-          SketchCandSlot.set((s, dir, copy, h))
+          prev.foreach(p => graft.ops.Pinned.release(p._5))
+          SketchCandSlot.set((s, dir, k, copy, h))
           copy
       }
     }
@@ -193,7 +195,7 @@ private[graft] object TrainingShared {
       Option(CappedAaSlot.getAndSet(null)).foreach(p => graft.ops.Pinned.release(p._4))
     }
     SketchCandSlot.synchronized {
-      Option(SketchCandSlot.getAndSet(null)).foreach(p => graft.ops.Pinned.release(p._4))
+      Option(SketchCandSlot.getAndSet(null)).foreach(p => graft.ops.Pinned.release(p._5))
     }
     graft.ops.Pinned.drain("graph.")
   }

@@ -94,6 +94,23 @@ class PersistLifecycleSpec extends AnyFunSuite {
       s"q_budget_mix read ${entryPass}B vs single-pass ${onePass}B — corpus scanned more than once")
   }
 
+  test("r13: the nested assembly cache drains fully and refills on demand") {
+    // VERDICT r12 #4: the ~150 MB of persisted doc assemblies was the
+    // residency the one-family drain discipline missed. The bench
+    // drains it when the bulk consumer families finish (q_nested) and
+    // after its last consumer (q_window); this pins the drain's
+    // contract: all sessions' assemblies release, and a later consumer
+    // rebuilds transparently.
+    runEntry("q_nested_agg") // populates at least one assembly
+    assert(NestedCatalog.cachedAssemblies(spark) > 0, "no assembly cached")
+    NestedCatalog.clearAllCaches()
+    assert(NestedCatalog.cachedAssemblies(spark) == 0, "assemblies survived clearAllCaches")
+    val rows = SparkEntry.queries("q_nested_agg")(spark, dir).count()
+    assert(rows > 0, "entry failed after the cache drain")
+    assert(NestedCatalog.cachedAssemblies(spark) > 0, "cache did not refill on demand")
+    NestedCatalog.clearAllCaches()
+  }
+
   test("r12: shared capped frame is stable across siblings and the graph drain releases residency") {
     // VERDICT r11 #2/#3: the three capped-derived entries share ONE
     // checkpointed capped result (no per-entry wedge join, no hold-slot
@@ -104,14 +121,18 @@ class PersistLifecycleSpec extends AnyFunSuite {
       "q_graph_adamic_adar_sketch")
     entries.foreach(runEntry)
     val c1 = TrainingShared.cappedRecentAa(spark, dir)
-    entries.foreach(runEntry) // siblings must not evict the shared slot
+    val sc1 = TrainingShared.sketchCandidates(spark, dir)
+    entries.foreach(runEntry) // siblings must not evict the shared slots
     val c2 = TrainingShared.cappedRecentAa(spark, dir)
+    val sc2 = TrainingShared.sketchCandidates(spark, dir)
     assert(c1 eq c2, "shared capped frame was rebuilt by a sibling entry")
+    assert(sc1 eq sc2, "shared sketch-candidate frame was rebuilt by a sibling entry")
     val before = pinned
     TrainingShared.drainGraphSlots()
     assert(TrainingShared.EdgeSlot.get() == null
       && TrainingShared.RecentEdgeSlot.get() == null
-      && TrainingShared.CappedAaSlot.get() == null, "a graph slot survived the drain")
+      && TrainingShared.CappedAaSlot.get() == null
+      && TrainingShared.SketchCandSlot.get() == null, "a graph slot survived the drain")
     val after = pinned
     assert(after < before,
       s"drain released no pinned RDDs: $before -> $after")
