@@ -141,6 +141,49 @@ object JxExpr {
 
   def parseJson(json: String): JxExpr = parse(JsonMethods.parse(json))
 
+  /** Direct sub-expressions of `e` (the structural walk the fuzz laws,
+    * diagnostic censuses, and [[JxFuzz.mapVars]]-style rewrites share —
+    * one copy, so a new operator cannot be added to the registry
+    * without the walk seeing it: keep this in sync with the case-class
+    * list above). Leaves (Variable/Lit/NullOp/TrueOp/FalseOp/DateOp/
+    * LeavesOp/ScriptOp) return empty. */
+  def children(e: JxExpr): Seq[JxExpr] = e match {
+    case AndOp(ts) => ts; case OrOp(ts) => ts; case NotOp(t) => Seq(t)
+    case EqOp(a, b) => Seq(a, b); case NeOp(a, b) => Seq(a, b)
+    case InequalityOp(_, a, b) => Seq(a, b)
+    case BinaryOp(_, a, b, d) => Seq(a, b, d)
+    case MultiOp(_, ts, _, d) => ts :+ d
+    case CoalesceOp(ts) => ts
+    case MissingOp(t) => Seq(t); case ExistsOp(t) => Seq(t)
+    case InOp(v, s) => Seq(v, s)
+    case LengthOp(t) => Seq(t)
+    case FindOp(a, b, c, d) => Seq(a, b, c, d)
+    case BetweenOp(a, b, c, d, e2) => Seq(a, b, c, d, e2)
+    case PrefixOp(a, b) => Seq(a, b); case SuffixOp(a, b) => Seq(a, b)
+    case ConcatOp(ts, s, d) => ts ++ Seq(s, d)
+    case RegExpOp(a, b) => Seq(a, b)
+    case SplitOp(a, b) => Seq(a, b)
+    case GetOp(a, b) => Seq(a, b)
+    case FirstOp(t) => Seq(t); case LastOp(t) => Seq(t)
+    case TupleOp(ts) => ts
+    case SelectOp(fs) => fs.map(_._2)
+    case WhenOp(c, t, e2) => Seq(c, t, e2)
+    case CaseOp(ws, d) => ws.flatMap(w => Seq(w.cond, w.thenE)) :+ d
+    case CastOp(_, t) => Seq(t)
+    case UnixOp(t) => Seq(t); case FromUnixOp(t) => Seq(t)
+    case SubstrOp(_, a, b) => Seq(a, b)
+    case FloorOp(a, b) => Seq(a, b)
+    case DivOp(a, b, d) => Seq(a, b, d)
+    case MaxOp(ts) => ts; case MinOp(ts) => ts; case CountOp(ts) => ts
+    case _ => Seq.empty
+  }
+
+  /** Does any node of `e` satisfy `p`? (pre-order over [[children]];
+    * named treeExists so a wildcard import next to Spark's
+    * `functions.exists` cannot shadow the HOF). */
+  def treeExists(e: JxExpr)(p: JxExpr => Boolean): Boolean =
+    p(e) || children(e).exists(treeExists(_)(p))
+
   /** Structural array-typedness of a scalar-registry expression — the
     * compile-time analog of the reference's `term.many` flag
     * (jx_base Expression.many), used by GetOp/FirstOp/LastOp to pick

@@ -19,33 +19,9 @@ object FuzzWindowCensusMain {
       case other => add(other.getClass.getSimpleName.stripSuffix("$")
         .stripSuffix("Op"))
     }
-    kids(e).foreach(ops(_, acc))
+    JxExpr.children(e).foreach(ops(_, acc))
   }
 
-  private def kids(e: JxExpr): Seq[JxExpr] = e match {
-    case AndOp(ts) => ts; case OrOp(ts) => ts; case NotOp(t) => Seq(t)
-    case EqOp(a, b) => Seq(a, b); case NeOp(a, b) => Seq(a, b)
-    case InequalityOp(_, a, b) => Seq(a, b)
-    case BinaryOp(_, a, b, d) => Seq(a, b, d)
-    case MultiOp(_, ts, _, d) => ts :+ d
-    case CoalesceOp(ts) => ts
-    case MissingOp(t) => Seq(t); case ExistsOp(t) => Seq(t)
-    case InOp(v, s) => Seq(v, s)
-    case LengthOp(t) => Seq(t)
-    case FindOp(a, b, c, d) => Seq(a, b, c, d)
-    case BetweenOp(a, b, c, d, e2) => Seq(a, b, c, d, e2)
-    case PrefixOp(a, b) => Seq(a, b); case SuffixOp(a, b) => Seq(a, b)
-    case ConcatOp(ts, s, d) => ts ++ Seq(s, d)
-    case RegExpOp(a, b) => Seq(a, b)
-    case SplitOp(a, b) => Seq(a, b)
-    case GetOp(a, b) => Seq(a, b)
-    case FirstOp(t) => Seq(t); case LastOp(t) => Seq(t)
-    case WhenOp(c, t, e2) => Seq(c, t, e2)
-    case CaseOp(ws, d) => ws.flatMap(w => Seq(w.cond, w.thenE)) :+ d
-    case CastOp(_, t) => Seq(t)
-    case UnixOp(t) => Seq(t); case FromUnixOp(t) => Seq(t)
-    case _ => Seq.empty
-  }
 
   def main(args: Array[String]): Unit = {
     val seed = args(0).toLong

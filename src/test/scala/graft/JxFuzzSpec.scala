@@ -581,6 +581,60 @@ class JxFuzzSpec extends AnyFunSuite {
     assert(got == "x", s"non-BMP literal split broke: got $got")
   }
 
+  test("r13 fragility law: pow-bearing numeric gate columns on a comparator rendering boundary stay the documented set") {
+    // The driver comparator renders floats via python %.10g with an
+    // integral fast-path (str(int(v)) when v == int(v) and |v| < 1e15).
+    // pow is the scalar registry's only op WITHOUT an IEEE
+    // exact-rounding guarantee, so a pow-derived cell within ulps of a
+    // rendering boundary (or on the integral-print cliff, |v| ≥ 1e10)
+    // is the one class that can be bit-exact green against local DuckDB
+    // yet red on a driver whose DuckDB build carries a different libm.
+    // The r13 audit found exactly {b2.e103, b2.e117} (COVERAGE.md §2.7
+    // decision key); this law pins that census at the GATE's sf so a
+    // future generator redraw that grows the set is a conscious
+    // decision, not a silent side-effect. (Scope: TNum outputs — the
+    // double-rendered class; int-cast truncation of a pow would need
+    // per-node perturbation to observe and is not generated today.)
+    val gateDir = "/root/testdata/sf0.01"
+    // the comparator's rendering as a NUMERIC key: the integral
+    // fast-path prints every digit (so it keys exact), %.10g keys as
+    // the 10-significant-digit rounding; two values render the same
+    // string iff these keys compare numerically equal (the int branch
+    // "8" and the g branch's "8" meet at compareTo == 0)
+    def renderKey(v: Double): java.math.BigDecimal =
+      if (v == v.toLong.toDouble && math.abs(v) < 1e15)
+        java.math.BigDecimal.valueOf(v.toLong)
+      else new java.math.BigDecimal(v).round(new java.math.MathContext(10))
+    def fragile(v: Double): Boolean = {
+      if (v.isNaN || v == 0.0) return false
+      val k = renderKey(v)
+      Seq(1, 4, 16, 64).exists { n =>
+        var up = v; var dn = v
+        (1 to n).foreach { _ =>
+          up = Math.nextAfter(up, Double.PositiveInfinity)
+          dn = Math.nextAfter(dn, Double.NegativeInfinity)
+        }
+        renderKey(up).compareTo(k) != 0 || renderKey(dn).compareTo(k) != 0
+      }
+    }
+    val dom = FuzzCatalog.domainDf(spark, gateDir)
+    val found = collection.mutable.Set[String]()
+    for ((block, seed) <- Seq(("b1", 1001L), ("b2", 2002L), ("b3", 3003L), ("b4", 4004L))) {
+      val cs = JxFuzz.cases(seed, 125)
+        .filter(c => c.ty == JxFuzz.TNum && FuzzPowMain.hasPow(c.expr))
+      if (cs.nonEmpty) {
+        val out = dom.select(cs.map(c =>
+          JxCompiler.compile(c.expr).cast("double").as(c.name)): _*).collect()
+        for (c <- cs; r <- out) {
+          val i = out.head.fieldIndex(c.name)
+          if (!r.isNullAt(i) && fragile(r.getDouble(i))) found += s"$block.${c.name}"
+        }
+      }
+    }
+    assert(found.toSet == Set("b2.e103", "b2.e117"),
+      s"pow-fragile census changed: $found — update COVERAGE.md's decision key and adjudicate")
+  }
+
   test("generation is deterministic across invocations (seeded LCG)") {
     val a = JxFuzz.cases(1001L, 125)
     val b = JxFuzz.cases(1001L, 125)
