@@ -175,6 +175,8 @@ object JxExpr {
     case FloorOp(a, b) => Seq(a, b)
     case DivOp(a, b, d) => Seq(a, b, d)
     case MaxOp(ts) => ts; case MinOp(ts) => ts; case CountOp(ts) => ts
+    case IsTypeOp(_, t) => Seq(t)
+    case RowsOp(v, _) => Seq(v)
     case _ => Seq.empty
   }
 

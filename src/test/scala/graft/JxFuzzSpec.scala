@@ -581,6 +581,47 @@ class JxFuzzSpec extends AnyFunSuite {
     assert(got == "x", s"non-BMP literal split broke: got $got")
   }
 
+  test("r13: JxExpr.children walks every non-leaf operator (completeness law)") {
+    // the shared walk backs the fuzz censuses and treeExists-based
+    // laws; a constructor arm missing from it silently blinds every
+    // consumer to that operator's subtree (exactly what happened to
+    // the four diagnostic mains' local copies before r13 unified them
+    // — their walks lacked Substr/Div/Floor/Max/Min/Count and the
+    // first b1/b2 census under-counted). One sample per non-leaf op,
+    // expected child count from the constructor.
+    import JxExpr._
+    val v = Variable("x"); val w = Variable("y"); val z = Variable("z")
+    val samples: Seq[(JxExpr, Int)] = Seq(
+      (AndOp(Seq(v, w)), 2), (OrOp(Seq(v, w)), 2), (NotOp(v), 1),
+      (EqOp(v, w), 2), (NeOp(v, w), 2), (InequalityOp("gt", v, w), 2),
+      (BinaryOp("sub", v, w, z), 3), (MultiOp("add", Seq(v, w), true, z), 3),
+      (DivOp(v, w, z), 3), (FloorOp(v, w), 2),
+      (MaxOp(Seq(v, w)), 2), (MinOp(Seq(v, w)), 2), (CountOp(Seq(v, w)), 2),
+      (CoalesceOp(Seq(v, w)), 2), (MissingOp(v), 1), (ExistsOp(v), 1),
+      (InOp(v, w), 2), (IsTypeOp("number", v), 1),
+      (CastOp("string", v), 1), (UnixOp(v), 1), (FromUnixOp(v), 1),
+      (LengthOp(v), 1), (SubstrOp("left", v, w), 2),
+      (FindOp(v, w, z, NullOp), 4), (BetweenOp(v, w, z, NullOp, NullOp), 5),
+      (PrefixOp(v, w), 2), (SuffixOp(v, w), 2),
+      (ConcatOp(Seq(v, w), z, NullOp), 4), (RegExpOp(v, w), 2),
+      (SplitOp(v, w), 2), (GetOp(v, w), 2), (FirstOp(v), 1), (LastOp(v), 1),
+      (TupleOp(Seq(v, w)), 2), (SelectOp(Seq("a" -> v)), 1),
+      (WhenOp(v, w, z), 3),
+      // CaseOp walks each arm's (cond, then) + the default; arm elses
+      // are structurally NullOp and semantically ignored
+      (CaseOp(Seq(WhenOp(v, w, NullOp)), z), 3),
+      (RowsOp(v, 1), 1))
+    for ((e, n) <- samples) {
+      val kids = JxExpr.children(e)
+      assert(kids.size == n,
+        s"children(${e.getClass.getSimpleName}) returned ${kids.size}, expected $n — the shared walk is blind to it")
+    }
+    // leaves stay leaves
+    for (leaf <- Seq[JxExpr](v, Lit(1L), NullOp, TrueOp, FalseOp,
+        OffsetOp(0), DateOp("now"), LeavesOp("a"), ScriptOp("1")))
+      assert(JxExpr.children(leaf).isEmpty, s"leaf $leaf grew children")
+  }
+
   test("r13 fragility law: pow-bearing numeric gate columns on a comparator rendering boundary stay the documented set") {
     // The driver comparator renders floats via python %.10g with an
     // integral fast-path (str(int(v)) when v == int(v) and |v| < 1e15).
