@@ -110,10 +110,18 @@ object Graph {
       // plan runs as a keyed join.
       val counts = e.join(broadcast(labels), e("src") === labels("id"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("__c"))
-      val w = Window.partitionBy("dst").orderBy(col("__c").desc, col("lbl"))
-      val next = counts.withColumn("__rk", row_number().over(w))
-        .where(col("__rk") === 1)
-        .select(col("dst").as("id"), col("lbl").as("__new"))
+      // the (count desc, lbl asc) argmax as a TWO-LEVEL hash aggregate
+      // (r13; was row_number over a per-dst window): the second
+      // aggregation gets map-side partial combine and no per-partition
+      // sort — at scale the sort buffer on hub vertices is pure waste
+      // when only the 1-row max survives. struct compares
+      // lexicographically, so max(struct(c, -lbl)) IS the argmax with
+      // the oracle's exact tie-break (labels are distinct within a dst,
+      // making the max deterministic).
+      val next = counts
+        .groupBy(col("dst"))
+        .agg(max(struct(col("__c"), (-col("lbl")).as("__nl"))).as("__m"))
+        .select(col("dst").as("id"), (-col("__m.__nl")).as("__new"))
       val (stepped, steppedH) = Pinned.checkpoint(
         labels.join(next, Seq("id"), "left")
           .select(col("id"), coalesce(col("__new"), col("lbl")).as("lbl")))
