@@ -215,11 +215,21 @@ object Similarity {
     val margins = scored.join(ax, Seq("x_id")).join(ay, Seq("y_id"))
       .select(col("x_id"), col("y_id"),
         round(col("sim") / ((col("__ax") + col("__ay")) / 2.0), 6).as("margin"))
-    val wBest = Window.partitionBy("x_id").orderBy(col("margin").desc, col("y_id"))
+    // best-y-per-x as a hash-aggregate argmax (r13, same rewrite as
+    // labelPropagation): max(struct(margin, -y_id, y_id)) compares
+    // lexicographically — (margin desc, y_id asc) tie-break, y_id
+    // unique per pair so the max is deterministic, payload fields ride
+    // behind the total-order prefix. Map-side partial combine, no
+    // per-x_id sort buffer (the window formulation sorted every x's
+    // full candidate list to keep 1 row).
     val out = Pinned.hold("similarity.bitext",
-      margins.withColumn("__rk", row_number().over(wBest))
-        .where(col("__rk") === 1 && col("margin") >= threshold)
-        .select("x_id", "y_id", "margin"))
+      margins
+        .groupBy(col("x_id"))
+        .agg(max(struct(col("margin"), (-col("y_id")).as("__ny"),
+          col("y_id"))).as("__m"))
+        .where(col("__m.margin") >= threshold)
+        .select(col("x_id"), col("__m.y_id").as("y_id"),
+          col("__m.margin").as("margin")))
     Pinned.release(scoredH)
     out
   }
