@@ -37,12 +37,15 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
 
   /** Keep the lowest-id row of each exact-duplicate group.
-    * Single hash-shuffle; at scale prefer this over `dropDuplicates`
-    * because the survivor choice is deterministic. */
-  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(contentHash(col(textCol))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
-  }
+    * Single hash-shuffle AND sortless (r13): min_by over the packed row
+    * with the unique id as the ordering key is a hash aggregate with
+    * map-side partial combine — the previous row_number window paid a
+    * full per-partition sort of the corpus to keep one row per group.
+    * Deterministic survivor (ids are unique), unlike `dropDuplicates`. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(contentHash(col(textCol)).as("__h"))
+      .agg(min_by(struct(df.columns.map(col): _*), col(idCol)).as("__row"))
+      .select(col("__row.*"))
 
   /** Content-hash INDEX of a corpus: one narrow row per distinct
     * normalized content — the only state incremental dedup carries
@@ -70,8 +73,11 @@ object Dedup {
     // null hashes like any other key
     val novel = hashed.join(index.select(col("content_hash").as("__idx_hash")),
       col("content_hash") <=> col("__idx_hash"), "left_anti")
-    val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
-    novel.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+    // keep-one as a sortless hash aggregate (r13, same rewrite as
+    // dropExactDuplicates) — delta-sized, but increments run forever
+    novel.groupBy(col("content_hash").as("__h"))
+      .agg(min_by(struct(novel.columns.map(col): _*), col(idCol)).as("__row"))
+      .select(col("__row.*"))
   }
 
   /** The index after an increment: previous index ∪ the survivors'

@@ -64,10 +64,14 @@ object Sessions {
       floor(col(tsCol).cast("double") / stepSec) * stepSec)
     val obs = df.select(col(keyCol).as("key"), bucket.as("bucket"),
         col(tsCol).as("__ts"), col(valCol).as("value"))
-    val wPick = Window.partitionBy("key", "bucket")
-      .orderBy(col("__ts").desc, col("value").desc)
-    val perBucket = obs.withColumn("__rn", row_number().over(wPick))
-      .where(col("__rn") === 1).select("key", "bucket", "value")
+    // last observation per bucket as a hash-aggregate argmax (r13):
+    // max(struct(ts, value)) IS the (ts desc, value desc) pick — struct
+    // comparison is lexicographic and a null value field sorts below
+    // non-null, matching the window's desc-NULLS-LAST order — with
+    // map-side partial combine instead of a per-(key,bucket) sort
+    val perBucket = obs.groupBy("key", "bucket")
+      .agg(max(struct(col("__ts"), col("value"))).as("__m"))
+      .select(col("key"), col("bucket"), col("__m.value").as("value"))
     val grid = perBucket.groupBy("key")
       .agg(min("bucket").as("__lo"), max("bucket").as("__hi"))
       .select(col("key"), explode(sequence(col("__lo"), col("__hi"),
