@@ -2852,6 +2852,23 @@ class OpsSpec extends AnyFunSuite {
       ("u2", "05", Some(7.0), 7.0)))
   }
 
+  test("resampleLocf: exact-ts collisions keep the larger value, nulls lose ties (r13 argmax rewrite)") {
+    // pins the (ts desc, value desc) pick order through the r13
+    // max(struct) rewrite: same-bucket same-ts rows must resolve by
+    // value desc, and a null value at the winning ts must lose to a
+    // non-null one at the same ts (struct comparison sorts null fields
+    // below non-null, matching the old window's desc-NULLS-LAST)
+    val e = Seq(
+      ("u1", "2024-01-01 00:30:00", Some(1.0)),
+      ("u1", "2024-01-01 00:30:00", Some(5.0)),  // exact tie → larger value
+      ("u2", "2024-01-01 00:30:00", None),
+      ("u2", "2024-01-01 00:30:00", Some(3.0))   // null loses the tie
+    ).toDF("user_id", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val out = Sessions.resampleLocf(e, "user_id", "ts", "v", stepSec = 3600)
+      .select(col("key"), col("value")).as[(String, Option[Double])].collect().toSet
+    assert(out === Set(("u1", Some(5.0)), ("u2", Some(3.0))))
+  }
+
   test("cohortRetention: hand-built weekly matrix with per-cohort rates") {
     val e = Seq(
       ("A", "2024-01-02 10:00:00"), ("A", "2024-01-09 10:00:00"),

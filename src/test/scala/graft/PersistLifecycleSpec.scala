@@ -71,6 +71,11 @@ class PersistLifecycleSpec extends AnyFunSuite {
     // parquet scan itself): one warm invocation must read at most ~1.5×
     // the bytes of a single bare tokenization pass (the old shape read
     // the corpus twice).
+    // the "file"-scheme statistics entry is registered lazily on first
+    // FileSystem instantiation — force it so a filtered run (-z) that
+    // skipped earlier FS-touching tests still measures
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
     def fsBytesRead(): Long =
       org.apache.hadoop.fs.FileSystem.getGlobalStorageStatistics
         .get("file") match {
@@ -92,6 +97,19 @@ class PersistLifecycleSpec extends AnyFunSuite {
     val entryPass = measure(runEntry("q_budget_mix"))
     assert(entryPass <= (onePass * 1.5).toLong + 1,
       s"q_budget_mix read ${entryPass}B vs single-pass ${onePass}B — corpus scanned more than once")
+  }
+
+  test("r13: sketchCandidates keys its slot by the degree guard") {
+    // a cache hit with a DIFFERENT k must rebuild, not silently serve
+    // the old guard's pair list (the slot is (session, dir, k)-keyed)
+    TrainingShared.drainGraphSlots()
+    val a = TrainingShared.sketchCandidates(spark, dir, k = 24)
+    val b = TrainingShared.sketchCandidates(spark, dir, k = 24)
+    assert(a eq b, "same-k call rebuilt the slot")
+    val c = TrainingShared.sketchCandidates(spark, dir, k = 8)
+    assert(!(c eq b), "k change served the old guard's candidates")
+    assert(TrainingShared.SketchCandSlot.get()._3 == 8, "slot key not updated")
+    TrainingShared.drainGraphSlots()
   }
 
   test("r13: the nested assembly cache drains fully and refills on demand") {
