@@ -48,13 +48,29 @@ object FuzzCatalog {
     ("q_fuzz_expr_b1", 1001L),
     ("q_fuzz_expr_b2", 2002L),
     ("q_fuzz_expr_b4", 4004L))
+  /** r14 (VERDICT r13 #1): the two r13 driver-red windows — b1a and b2b,
+    * both judge-verified bit-exact green on local DuckDB 1.0.0 — split
+    * AGAIN into five 5-case sub-sub-windows each (`q_fuzz_expr_b1a1..a5`,
+    * `q_fuzz_expr_b2b1..b2b5`; same seeds, cases SLICED, never re-drawn),
+    * so a persisting driver red names ≤5 trees. The other eight windows
+    * stay 25-wide. The r14 adjudication evidence for these 50 trees is in
+    * COVERAGE.md §2.7: every pre-registered construct/value model was
+    * refuted locally (FuzzUlpMain, FuzzValueCensusMain), and the one op
+    * with any cross-engine value license — pow — is now rendered
+    * libm-free on both sides (JxSql.Dialect.pow), so a pow-class driver
+    * divergence cannot recur by construction. */
+  private val redWindows: Set[(String, Int)] =
+    Set(("q_fuzz_expr_b1", 0), ("q_fuzz_expr_b2", 1)) // r13 driver-red b1a, b2b
   val gateSubBlocks: Seq[(String, Long, Int, Int)] =
     subBlockSeeds.flatMap { case (base, seed) =>
-      (0 until 5).map(i => (s"$base${('a' + i).toChar}", seed, i * 25, (i + 1) * 25))
+      (0 until 5).flatMap { i =>
+        val win = s"$base${('a' + i).toChar}"
+        if (redWindows((base, i)))
+          (0 until 5).map(j => (s"$win${j + 1}", seed, i * 25 + j * 5, i * 25 + (j + 1) * 5))
+        else
+          Seq((win, seed, i * 25, (i + 1) * 25))
+      }
     }
-  /** b4's windows under their historic name (spec compatibility). */
-  val b4SubBlocks: Seq[(String, Int, Int)] =
-    gateSubBlocks.collect { case (n, 4004L, from, until) => (n, from, until) }
 
   /** Spark side of the domain. Must stay value-identical to
     * [[domainSql]] — both derive the same columns from the same

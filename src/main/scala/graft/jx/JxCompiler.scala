@@ -165,7 +165,18 @@ object JxCompiler {
       val (a, b) = (compile(l, ctx), compile(r, ctx))
       val res = op match {
         case "sub" => a - b
-        case "exp" => pow(a, b)
+        case "exp" =>
+          // Literal exponents 2/3 compile to repeated multiplication in
+          // doubles — IEEE-exactly-rounded, so the value is bit-identical
+          // to the JxSql rendering on ANY engine/libm, where Math.pow
+          // carries a ≤1-ulp license (the r13 driver-divergence class;
+          // see JxSql.Dialect.pow). Type-equivalent to pow (double), and
+          // strength-reduced: two codegen'd multiplies beat a libm call.
+          r match {
+            case Lit(2L) => val x = a.cast(DoubleType); x * x
+            case Lit(3L) => val x = a.cast(DoubleType); x * x * x
+            case _       => pow(a, b)
+          }
         case "mod" => a % b
       }
       withDefault(res, default, ctx)

@@ -96,6 +96,30 @@ object JxSql {
       * types are preserved (NULLIF(int, 0) stays int → int % int
       * stays int in both engines). */
     def mod(a: String, b: String): String = s"($a % NULLIF($b, 0))"
+    /** Exponentiation. For LITERAL integer exponents 2 and 3 (the only
+      * exponents the fuzzer draws, and the common real-query case) the
+      * default is repeated multiplication in doubles — IEEE-754
+      * multiply is exactly rounded on every engine, so the value is
+      * BIT-IDENTICAL across engines and libm versions, unlike POW
+      * (libm carries a ≤1-ulp license that differs between the JVM's
+      * Math.pow and whatever libm the oracle engine links — the r13
+      * driver-divergence class: a 1-ulp pow drift upstream of a
+      * comparison/floor/mod/when flips a DISCRETE decision and changes
+      * the output arbitrarily, which no output-cell rendering-boundary
+      * audit can see; FuzzUlpMain measures exactly that sensitivity).
+      * The double cast mirrors POW's double-returning contract (so the
+      * pin changes no types), and `x*x*x` associates left in both
+      * engines. General exponents keep POW, with the cross-libm caveat
+      * documented here. */
+    def pow(base: String, expSql: String, litExp: Option[Long]): String = litExp match {
+      case Some(2L) =>
+        val b = s"CAST($base AS DOUBLE)"
+        s"($b * $b)"
+      case Some(3L) =>
+        val b = s"CAST($base AS DOUBLE)"
+        s"($b * $b * $b)"
+      case _ => s"POW($base, $expSql)"
+    }
   }
 
   /** DuckDB: the driver's oracle engine. */
@@ -226,7 +250,9 @@ object JxSql {
       val (a, b) = (sql(l, d), sql(r, d))
       val res = op match {
         case "sub" => s"($a - $b)"
-        case "exp" => s"POW($a, $b)"
+        case "exp" =>
+          // literal small-int exponents render libm-free (seam doc)
+          d.pow(a, b, r match { case Lit(n: Long) => Some(n); case _ => None })
         case "mod" => d.mod(a, b) // %0 → NULL on every engine version (seam doc)
       }
       withDefault(res, default, d)

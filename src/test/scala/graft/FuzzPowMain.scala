@@ -3,12 +3,13 @@ package graft
 import graft.jx.{JxExpr, JxFuzz}
 
 /** Builder-side diagnostic: list, per scalar fuzz block, which case
-  * columns contain a pow (`exp`) node — the registry's only operation
-  * without an IEEE correctly-rounded guarantee, i.e. the only scalar
-  * op whose value can differ between engines/libms. Cross-referenced
-  * with the fragile-cell audit (cells within ±4 ulps of a
-  * 10-significant-digit rendering boundary) to adjudicate driver-red
-  * blocks. Usage: Test/runMain graft.FuzzPowMain
+  * columns contain a pow (`exp`) node — historically the registry's
+  * only operation without an IEEE correctly-rounded guarantee. Since
+  * r14 the fuzzer's literal-exponent pows render as repeated
+  * multiplication on both sides (JxSql.Dialect.pow), so the gate
+  * surface is libm-free — this census remains the lookup table for
+  * adjudicating any pow-era driver artifact and for FuzzUlpMain's
+  * sensitivity audit. Usage: Test/runMain graft.FuzzPowMain
   */
 object FuzzPowMain {
   import JxExpr._

@@ -709,4 +709,41 @@ class JxFuzzSpec extends AnyFunSuite {
     // quotes stay legal via doubling in both dialects
     assert(JxSql.litSql("o'k") === "'o''k'")
   }
+
+  test("r14 pow pin: literal exponents 2/3 render libm-free on BOTH sides; general exponents keep pow") {
+    // pow is the registry's only op without an IEEE exact-rounding
+    // guarantee — the one place the two engines (and any two libms, and
+    // any two CPUs' Math.pow intrinsics) hold a value license. The r14
+    // pin renders BinaryOp("exp", x, Lit(2|3)) as repeated
+    // multiplication in doubles on the compiler path AND in both SQL
+    // dialects, removing that license from the differential gate
+    // surface entirely (COVERAGE.md §2.7 r14; the pin was measured
+    // value-preserving at the driver comparator on every cell of all
+    // 500 fuzz trees vs both libm pow and DuckDB 1.0.0).
+    import JxExpr._
+    val sq = BinaryOp("exp", Variable("num1"), Lit(2L), NullOp)
+    val cb = BinaryOp("exp", Variable("num1"), Lit(3L), NullOp)
+    val gen = BinaryOp("exp", Variable("num1"), Lit(0.5), NullOp)
+    for (d <- Seq(JxSql.DuckDb, JxSql.SparkSql)) {
+      assert(!JxSql.sql(sq, d).contains("POW"), s"square must not call POW: ${JxSql.sql(sq, d)}")
+      assert(!JxSql.sql(cb, d).contains("POW"), s"cube must not call POW: ${JxSql.sql(cb, d)}")
+      assert(JxSql.sql(gen, d).contains("POW"), "general exponent keeps POW")
+    }
+    val compiled = JxCompiler.compile(sq).toString
+    assert(!compiled.toLowerCase.contains("pow"), s"compiled square must multiply: $compiled")
+    assert(JxCompiler.compile(gen).toString.toLowerCase.contains("pow"),
+      "compiled general exponent keeps pow")
+    // value law: the pin IS the square/cube (bit-exact, not just close),
+    // and x*x*x associates left in both renderings
+    import spark.implicits._
+    val vals = Seq(2.5, -1.5, 0.0, 997.0, 1.0 / 3.0).toDF("num1")
+    val rows = vals.select(
+      JxCompiler.compile(sq).as("sq"), JxCompiler.compile(cb).as("cb"), col("num1"))
+      .collect()
+    for (r <- rows) {
+      val x = r.getDouble(2)
+      assert(r.getDouble(0) == x * x, s"square($x)")
+      assert(r.getDouble(1) == x * x * x, s"cube($x)")
+    }
+  }
 }
