@@ -41,10 +41,15 @@ object Dedup {
     * with the unique id as the ordering key is a hash aggregate with
     * map-side partial combine — the previous row_number window paid a
     * full per-partition sort of the corpus to keep one row per group.
-    * Deterministic survivor (ids are unique), unlike `dropDuplicates`. */
+    * Deterministic survivor (ids are unique), unlike `dropDuplicates`.
+    * The ordering key is struct(id), not the bare id (ADVICE r13,
+    * Dedup.scala:47): min_by SKIPS rows whose ordering key is NULL, so
+    * a bare-id key made an all-null-id group yield a row of nulls and
+    * null-id rows never win — struct(null) is non-null and its field
+    * comparison is NULLS FIRST ascending, the window's exact order. */
   def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(contentHash(col(textCol)).as("__h"))
-      .agg(min_by(struct(df.columns.map(col): _*), col(idCol)).as("__row"))
+      .agg(min_by(struct(df.columns.map(col): _*), struct(col(idCol))).as("__row"))
       .select(col("__row.*"))
 
   /** Content-hash INDEX of a corpus: one narrow row per distinct
@@ -74,9 +79,10 @@ object Dedup {
     val novel = hashed.join(index.select(col("content_hash").as("__idx_hash")),
       col("content_hash") <=> col("__idx_hash"), "left_anti")
     // keep-one as a sortless hash aggregate (r13, same rewrite as
-    // dropExactDuplicates) — delta-sized, but increments run forever
+    // dropExactDuplicates, incl. the r14 struct(id) null-safe ordering
+    // key) — delta-sized, but increments run forever
     novel.groupBy(col("content_hash").as("__h"))
-      .agg(min_by(struct(novel.columns.map(col): _*), col(idCol)).as("__row"))
+      .agg(min_by(struct(novel.columns.map(col): _*), struct(col(idCol))).as("__row"))
       .select(col("__row.*"))
   }
 

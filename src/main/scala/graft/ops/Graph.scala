@@ -114,14 +114,19 @@ object Graph {
       // (r13; was row_number over a per-dst window): the second
       // aggregation gets map-side partial combine and no per-partition
       // sort — at scale the sort buffer on hub vertices is pure waste
-      // when only the 1-row max survives. struct compares
-      // lexicographically, so max(struct(c, -lbl)) IS the argmax with
-      // the oracle's exact tie-break (labels are distinct within a dst,
-      // making the max deterministic).
+      // when only the 1-row max survives. min_by over struct(-count,
+      // lbl) IS that argmax with the oracle's exact tie-break (struct
+      // compares lexicographically; labels are distinct within a dst,
+      // so ties are value-identical). Only the COUNT is negated — a
+      // non-negative bigint, so no overflow and no type constraint on
+      // the label: string/any-orderable vertex ids order correctly,
+      // where the r13 (-lbl) form silently null-cast non-numeric
+      // labels into a no-op (ADVICE r13, Graph.scala:123).
       val next = counts
         .groupBy(col("dst"))
-        .agg(max(struct(col("__c"), (-col("lbl")).as("__nl"))).as("__m"))
-        .select(col("dst").as("id"), (-col("__m.__nl")).as("__new"))
+        .agg(min_by(col("lbl"),
+          struct((-col("__c")).as("__negc"), col("lbl"))).as("__new"))
+        .select(col("dst").as("id"), col("__new"))
       val (stepped, steppedH) = Pinned.checkpoint(
         labels.join(next, Seq("id"), "left")
           .select(col("id"), coalesce(col("__new"), col("lbl")).as("lbl")))

@@ -216,17 +216,25 @@ object Similarity {
       .select(col("x_id"), col("y_id"),
         round(col("sim") / ((col("__ax") + col("__ay")) / 2.0), 6).as("margin"))
     // best-y-per-x as a hash-aggregate argmax (r13, same rewrite as
-    // labelPropagation): max(struct(margin, -y_id, y_id)) compares
-    // lexicographically — (margin desc, y_id asc) tie-break, y_id
-    // unique per pair so the max is deterministic, payload fields ride
-    // behind the total-order prefix. Map-side partial combine, no
-    // per-x_id sort buffer (the window formulation sorted every x's
-    // full candidate list to keep 1 row).
+    // labelPropagation): min_by over struct(-margin, y_id) compares
+    // lexicographically — (margin desc, y_id asc) tie-break. Only the
+    // MARGIN is negated (a double: exact, no overflow), so y_id keeps
+    // its native ordering whatever its type — the r13 (-y_id) form
+    // null-cast non-numeric ids (flipping the tie-break to the struct's
+    // trailing field) and overflowed Long.MinValue (ADVICE r13,
+    // Similarity.scala:228). Map-side partial combine, no per-x_id
+    // sort buffer (the window formulation sorted every x's full
+    // candidate list to keep 1 row).
     val out = Pinned.hold("similarity.bitext",
       margins
+        // zero-norm vectors score a NULL margin; under the old
+        // max(struct(margin, ...)) nulls-first struct order they could
+        // never win, so drop them before the min_by (where a null
+        // -margin WOULD sort first) — same semantics, now explicit
+        .where(col("margin").isNotNull)
         .groupBy(col("x_id"))
-        .agg(max(struct(col("margin"), (-col("y_id")).as("__ny"),
-          col("y_id"))).as("__m"))
+        .agg(min_by(struct(col("y_id"), col("margin")),
+          struct((-col("margin")).as("__nm"), col("y_id"))).as("__m"))
         .where(col("__m.margin") >= threshold)
         .select(col("x_id"), col("__m.y_id").as("y_id"),
           col("__m.margin").as("margin")))
