@@ -139,7 +139,7 @@ object FuzzUlpMain {
         }
         for ((cn, idx, bad) <- diffs) {
           val win = s"${('a' + idx / 25).toChar}${idx % 25 / 5 + 1}"
-          println(s"[ulp] $name/$cn vs $vn: $bad rows differ (window ${name.takeRight(0)}$win, case $idx)")
+          println(s"[ulp] $name/$cn vs $vn: $bad rows differ (window $win, case $idx)")
         }
         if (diffs.isEmpty) println(s"[ulp] $name vs $vn: no column moves")
       }
