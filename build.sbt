@@ -31,7 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 12g default: the full suite peaked within ~1 extra heavy test of an
+  // 8g heap (the 2-edge cube compile mass + resident edge2Results), and
+  // the host has 128 GiB — headroom is cheaper than a flaked OOM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
   // Headroom for Janino-generated classes: the JDK default (240 MB) was
   // 61% occupied after one 143-query bench run (146 MB peak); a longer
   // production session would tip into code-cache flushing, which
