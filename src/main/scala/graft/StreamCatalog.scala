@@ -31,9 +31,19 @@ object StreamCatalog {
     * streaming file sources require an explicit schema, and a brace-glob
     * path so the source's basePath resolves to the directory (a bare
     * file path is rejected). Applies the same ns→µs `ts` normalization
-    * as the batch loader. */
+    * as the batch loader.
+    *
+    * The inferred schema is CACHED per (dir, table) — static file
+    * metadata, not data (r14): every stream entry paid a batch
+    * parquet footer read per invocation (twice for the stream-stream
+    * joins, which build two sources over the same table), pure fixed
+    * overhead on the drain-dominated entries. A production job passes
+    * its schema explicitly for the same reason. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.types.StructType]()
   private def streamRead(s: SparkSession, dir: String, table: String): DataFrame = {
-    val sch = s.read.parquet(s"$dir/$table.parquet").schema
+    val sch = schemaCache.computeIfAbsent((dir, table),
+      _ => s.read.parquet(s"$dir/$table.parquet").schema)
     SparkEntry.normalizeTs(
       s.readStream.schema(sch).parquet(s"$dir/{$table.parquet}"))
   }
@@ -52,6 +62,21 @@ object StreamCatalog {
     val q = Streams.runToMemory(df, name, mode)
     q.stop()
     s.table(name)
+  }
+
+  /** Run `body` with the stream's state-partition count (r14,
+    * extending the q_stream_join/q_stream_frequent convention to the
+    * WHOLE family): state store partitions are a per-query throughput
+    * knob frozen into each checkpoint at first start, and every
+    * stateful operator commits one state file per partition per
+    * micro-batch — at the session's 32 partitions that is pure fixed
+    * overhead for these few-thousand-row drains. Sized to the stream
+    * like a production job would (the knob scales UP with volume the
+    * same way); entries run sequentially and the conf is restored. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Pid+sequence-keyed scratch dir (same hygiene as NestedCatalog's
@@ -89,7 +114,9 @@ object StreamCatalog {
         plan, SparkEntry.loader(s, dir)) {
         (docs, _) => docs.write.mode("append").parquet(out)
       }
-      val q = writer.start(); q.processAllAvailable(); q.stop()
+      withStatePartitions(s, 8) {
+        val q = writer.start(); q.processAllAvailable(); q.stop()
+      }
       val docs = s.read.parquet(out)
       docs.select(col("o_orderkey"),
           col("customer").getField("c_name").as("c_name"),
@@ -120,14 +147,16 @@ object StreamCatalog {
         java.nio.file.Paths.get(tmp, "store"))
       val events = streamRead(s, dir, "events")
         .select("user_id", "ts", "event_id", "event_type", "value")
-      val q = events.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          store.upsertLatest(batch, "user_id", "ts", "event_id"); ()
-        }
-        .option("checkpointLocation",
-          java.nio.file.Paths.get(tmp, "ckpt").toString)
-        .start()
-      q.processAllAvailable(); q.stop()
+      withStatePartitions(s, 8) {
+        val q = events.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            store.upsertLatest(batch, "user_id", "ts", "event_id"); ()
+          }
+          .option("checkpointLocation",
+            java.nio.file.Paths.get(tmp, "ckpt").toString)
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
       store.dataFrame.orderBy("user_id")
     }), Some("""
       WITH r AS (
@@ -151,18 +180,20 @@ object StreamCatalog {
         java.nio.file.Paths.get(tmp, "store"))
       val keys = Seq("event_type")
       val events = streamRead(s, dir, "events").select("event_type", "value")
-      val q = events.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val delta = graft.ops.Rollup.aggDelta(batch, keys, "value")
-          if (store.isEmpty) store.insert(delta)
-          else store.upsert(graft.ops.Rollup.merge(store.dataFrame, delta, keys),
-            "event_type")
-          ()
-        }
-        .option("checkpointLocation",
-          java.nio.file.Paths.get(tmp, "ckpt").toString)
-        .start()
-      q.processAllAvailable(); q.stop()
+      withStatePartitions(s, 8) {
+        val q = events.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val delta = graft.ops.Rollup.aggDelta(batch, keys, "value")
+            if (store.isEmpty) store.insert(delta)
+            else store.upsert(graft.ops.Rollup.merge(store.dataFrame, delta, keys),
+              "event_type")
+            ()
+          }
+          .option("checkpointLocation",
+            java.nio.file.Paths.get(tmp, "ckpt").toString)
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
       store.dataFrame.select(col("event_type"), col("cnt"),
           round(col("sum_v"), 6).as("sum_v"), col("min_v"), col("max_v"),
           round(col("sum_v") / col("cnt"), 6).as("avg_v"))
@@ -182,8 +213,9 @@ object StreamCatalog {
       val events = streamRead(s, dir, "events")
       val counts = Streams.windowedCounts(events, "ts", "value",
         windowLen = "1 day", slide = "1 day", watermark = "1 hour")
-      drain(s, counts, "window", OutputMode.Complete())
-        .orderBy("window_start")
+      withStatePartitions(s, 8) {
+        drain(s, counts, "window", OutputMode.Complete())
+      }.orderBy("window_start")
     }), Some("""
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
              CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
@@ -201,8 +233,9 @@ object StreamCatalog {
       val events = streamRead(s, dir, "events")
       val counts = Streams.windowedCounts(events, "ts", "value",
         windowLen = "1 day", slide = "1 day", watermark = "1 hour")
-      drain(s, counts, "window_append", OutputMode.Append())
-        .orderBy("window_start")
+      withStatePartitions(s, 8) {
+        drain(s, counts, "window_append", OutputMode.Append())
+      }.orderBy("window_start")
     }), Some("""
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
              CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
@@ -223,8 +256,9 @@ object StreamCatalog {
         .withColumn("ts", timestamp_seconds(col("doc_id") + lit(86400L)))
       val kept = Streams.dedupStream(docs, "text", "ts", delay = "7 days")
         .select(graft.ops.Dedup.contentHash(col("text")).as("content_hash"))
-      drain(s, kept, "dedup", OutputMode.Append())
-        .orderBy("content_hash")
+      withStatePartitions(s, 8) {
+        drain(s, kept, "dedup", OutputMode.Append())
+      }.orderBy("content_hash")
     }), Some("""
       SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
       FROM documents ORDER BY 1""")),
@@ -244,8 +278,9 @@ object StreamCatalog {
       val kept = Streams.dedupStreamAgainstIndex(delta, "text", "ts",
           delay = "7 days", index = index)
         .select(col("content_hash"))
-      drain(s, kept, "dedup_incr", OutputMode.Append())
-        .orderBy("content_hash")
+      withStatePartitions(s, 8) {
+        drain(s, kept, "dedup_incr", OutputMode.Append())
+      }.orderBy("content_hash")
     }), Some("""
       WITH idx AS (
         SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
@@ -678,8 +713,9 @@ object StreamCatalog {
         .withColumn("ts", date_trunc("second", col("ts")))
       val sess = Streams.sessionWindowAgg(events, "ts", "value", "user_id",
         gap = "30 minutes", watermark = "1 hour")
-      drain(s, sess, "sessions", OutputMode.Complete())
-        .orderBy("user_id", "session_start")
+      withStatePartitions(s, 8) {
+        drain(s, sess, "sessions", OutputMode.Complete())
+      }.orderBy("user_id", "session_start")
     }), Some("""
       WITH e AS (
         SELECT user_id, date_trunc('second', ts) AS ts, value, event_id FROM events),

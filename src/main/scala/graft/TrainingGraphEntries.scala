@@ -62,9 +62,11 @@ private[graft] object TrainingGraphEntries {
       val cut = lit("1999-01-01").cast("date")
       val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         s"graft_hll_regs_${ProcessHandle.current().pid()}", "regs").toString
+      // one file: the register table is ≤2^p = 256 rows at ANY corpus
+      // size — the fixed-state property is the point of the sketch
       graft.ops.Sketches.hllRegisters(
           li.where(col("l_shipdate") < cut), "l_partkey", p = 8)
-        .write.mode("overwrite").parquet(path)
+        .coalesce(1).write.mode("overwrite").parquet(path)
       val merged = graft.ops.Sketches.hllMerge(
         s.read.parquet(path),
         graft.ops.Sketches.hllRegisters(

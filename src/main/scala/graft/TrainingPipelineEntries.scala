@@ -256,8 +256,18 @@ private[graft] object TrainingPipelineEntries {
           .withColumn("doc_id", col("doc_id") + 100000L))
         .unionByName(d.where(col("doc_id") >= 300 && col("doc_id") < 305)
           .withColumn("doc_id", col("doc_id") + 200000L))
-      val surv1 = Dedup.dedupDeltaAgainstIndex(delta, "doc_id", "text",
-        Dedup.hashIndex(existing, "text"))
+      // ONE materialization of the exact-dedup survivors (r14): surv1
+      // fans out into FIVE consumers (the delta shingle sets, their
+      // band signatures — used on both sides of the candidate join —
+      // both verification array attaches, and the final anti-join),
+      // and lazily each consumer re-executed the whole union + anti-
+      // join + keep-one chain: the entry's plan carried 84 Exchanges.
+      // Pinned.hold bounds it to one result-sized pin (drained at the
+      // family boundary), the same single-checkpoint hoist as
+      // q_budget_mix (r13). Isolated warm 2.36 s -> measured after.
+      val surv1 = graft.ops.Pinned.hold("pipeline.incr_surv1",
+        Dedup.dedupDeltaAgainstIndex(delta, "doc_id", "text",
+          Dedup.hashIndex(existing, "text")))
       val (bands, shingles) = lshIndexFor(s, dir, existing)
       val dropped = Dedup.nearDupDeltaLsh(surv1.select("doc_id", "text"),
           "doc_id", "text", bands, shingles)

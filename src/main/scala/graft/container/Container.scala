@@ -226,7 +226,18 @@ class FactStore(val spark: SparkSession, val name: String, dir: Path) extends Co
 
   private def writeSnapshot(df: DataFrame): Unit = {
     val next = currentVersion + 1
-    df.write.mode("overwrite").parquet(dir.resolve(s"v$next").toString)
+    // size-adaptive snapshot layout (r14, guide §6): every insert/
+    // update/upsert rewrites the snapshot, and with the cluster's
+    // default parallelism a KB-scale store left dozens of task-sized
+    // files per VERSION — file-open cost every later read-back (and
+    // this store re-reads itself on each increment) then pays.
+    // ⌈est/target⌉ keeps small snapshots at one file while a 100-TB
+    // store still fans out; `optimize()` remains the explicit
+    // re-layout for stores grown incrementally.
+    val target = spark.conf.get("spark.graft.snapshotTargetFileBytes",
+      (128L << 20).toString).toLong
+    df.coalesce(graft.ops.Layout.sizedWritePartitions(df, target))
+      .write.mode("overwrite").parquet(dir.resolve(s"v$next").toString)
     val tmp = dir.resolve("_CURRENT.tmp")
     Files.writeString(tmp, next.toString)
     Files.move(tmp, marker, java.nio.file.StandardCopyOption.ATOMIC_MOVE,

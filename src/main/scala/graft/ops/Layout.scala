@@ -74,6 +74,24 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** Size-adaptive output partition count for a frame about to be
+    * written: ⌈estimated bytes / targetFileBytes⌉, clamped to [1, cap]
+    * (r14, guide §6 — output files belong in the 100 MB-1 GB band; a
+    * KB-scale snapshot has no business leaving 32 task-sized files
+    * whose per-file open cost its every future reader then pays). The
+    * estimate is the optimizer's plan-stats size — in-memory-biased
+    * (strings overshoot parquet ~2-4×), which errs toward MORE files,
+    * the safe direction. Pair with `coalesce`: a frame already
+    * narrower than the target is left alone (coalesce never raises
+    * partition counts), so scan parallelism is preserved at scale. */
+  def sizedWritePartitions(df: DataFrame, targetFileBytes: Long,
+                           cap: Int = 1 << 20): Int = {
+    require(targetFileBytes > 0, s"targetFileBytes: $targetFileBytes")
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = (est + targetFileBytes - 1) / targetFileBytes
+    n.max(1).min(cap).toInt
+  }
+
   /** File count + total bytes of a directory's parquet files (recursive
     * Hadoop FS listing — works on any FileSystem scheme, local or
     * object store). */

@@ -958,6 +958,14 @@ object Similarity {
                          idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
     corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
       .withColumn("cell", nearestCell(vecD(col("embedding")), centroids))
+      // hash-distribute by the partition column before the partitioned
+      // write (r14, guide §6 — Iceberg's write.distribution-mode=hash
+      // shape): without it every scan task cuts a file into EVERY cell
+      // it touches, so the index is (input tasks × nlist) KB-files and
+      // each probed list pays that many opens per search. One shuffle
+      // at write time buys one file per list; at scale AQE splits any
+      // oversized cell partition.
+      .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
 
   /** Append new vectors to a saved index (see [[ivfSaveAssignments]]). */
@@ -966,6 +974,7 @@ object Similarity {
                            idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
     newVecs.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
       .withColumn("cell", nearestCell(vecD(col("embedding")), centroids))
+      .repartition(col("cell")) // one appended file per touched list (see save)
       .write.partitionBy("cell").mode("append").parquet(path)
 
   /** Search a saved cell-partitioned index: each query probes its
