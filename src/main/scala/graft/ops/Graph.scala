@@ -91,10 +91,23 @@ object Graph {
     * returning — the per-round checkpoint accumulation that made r8
     * warm runs slower than cold is structurally impossible here.
     * Returns (id, community) after `iters` rounds. */
+  /** Pin the projected edge list UNLESS the caller's frame is already
+    * persisted (the slot-cached co-purchase lists): a checkpoint there
+    * would eagerly COPY millions of already-materialized edge rows per
+    * invocation — measured ~0.5-1 s per op at sf0.1 (r14) — purely to
+    * re-pin what the slot already pins. Lazy inputs still checkpoint:
+    * iterations must not re-execute an arbitrary upstream plan. Null
+    * handle when skipped ([[Pinned.release]] ignores null). */
+  private def pinEdgesUnlessPersisted(edges: DataFrame,
+      projected: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) =
+    if (edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      (projected, null)
+    else Pinned.checkpoint(projected)
+
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = Pinned.guard {
     require(iters >= 0)
     import org.apache.spark.sql.expressions.Window
-    val (e, eH) = Pinned.checkpoint(edges.select(col("src"), col("dst")))
+    val (e, eH) = pinEdgesUnlessPersisted(edges, edges.select(col("src"), col("dst")))
     val (verts, vertsH) = Pinned.checkpoint(
       e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct())
@@ -165,21 +178,33 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
                checkpointEvery: Int = 0): DataFrame = Pinned.guard {
     require(iters >= 0)
-    val e = edges.select(col("src"), col("dst"))
+    val (e, eH) = pinEdgesUnlessPersisted(edges, edges.select(col("src"), col("dst")))
     val (verts, vertsH) = Pinned.checkpoint(
       e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct())
-    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
-    val (withDeg, withDegH) = Pinned.checkpoint(e.join(deg, Seq("src")))
+    // VERTEX-sized degree pin (r14; was a checkpoint of the full
+    // degree-annotated EDGE list — an eager edge-sized copy per
+    // invocation whose only purpose was carrying __deg to the
+    // iteration join). Degrees now ride the per-iteration broadcast:
+    // each round joins ranks⋈deg vertex-side, broadcasts the combined
+    // (src, r/deg) table onto the edge stream — the LPA shape — so
+    // the edge list is read in place and NEVER shuffled or copied.
+    // On graphs whose vertex set outgrows a broadcast, drop the hint
+    // (same note as labelPropagation); the edge stream still only
+    // carries (dst, contribution) into the one aggregate shuffle.
+    val (deg, degH) = Pinned.checkpoint(
+      e.groupBy(col("src").as("__dsrc")).agg(count(lit(1)).as("__deg")))
     val n = verts.agg(count(lit(1)).as("__n"))
     var ranks = verts.crossJoin(broadcast(n))
       .select(col("id"), (lit(1.0) / col("__n")).as("r"))
     var ranksH: org.apache.spark.rdd.RDD[_] = null
     for (i <- 1 to iters) {
-      val contribs = withDeg.join(ranks, withDeg("src") === ranks("id"))
-        .select(col("dst").as("id"), (col("r") / col("__deg")).as("__c"))
+      val rd = deg.join(ranks, col("__dsrc") === col("id"))
+        .select(col("__dsrc"), (col("r") / col("__deg")).as("__c"))
+      val contribs = e.join(broadcast(rd), e("src") === rd("__dsrc"))
+        .select(col("dst").as("id"), col("__c"))
         .groupBy("id").agg(sum("__c").as("__s"))
-      ranks = verts.join(contribs, Seq("id"), "left")
+      ranks = verts.join(broadcast(contribs), Seq("id"), "left")
         .crossJoin(broadcast(n))
         .select(col("id"),
           ((lit(1.0) - lit(damping)) / col("__n") +
@@ -192,7 +217,7 @@ object Graph {
     }
     val out = Pinned.hold("graph.pagerank",
       ranks.select(col("id"), round(col("r"), 6).as("rank")))
-    Pinned.release(vertsH, withDegH, ranksH)
+    Pinned.release(eH, vertsH, degH, ranksH)
     out
   }
 
@@ -626,7 +651,7 @@ object Graph {
     // the previous round's pin, which is released the moment the new
     // one materializes; the degree result is slot-held and the final
     // edge pin freed on exit.
-    var (e, eH) = Pinned.checkpoint(edges.select(col("src"), col("dst")))
+    var (e, eH) = pinEdgesUnlessPersisted(edges, edges.select(col("src"), col("dst")))
     for (_ <- 1 to rounds) {
       val keep = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("__d"))
         .where(col("__d") >= k).select("id")
