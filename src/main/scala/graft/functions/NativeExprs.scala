@@ -51,6 +51,12 @@ object native {
   def shingleHashes(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleHashes(GraftColumnBridge.expression(tokens), n))
 
+  /** Sorted-distinct char k-gram shingle hashes DIRECTLY over a string
+    * (string → array<long>), value-identical to
+    * `shingleHashes(split(s, ""), k)`. */
+  def charShingleHashes(str: Column, k: Int): Column =
+    GraftColumnBridge.column(CharShingleHashes(GraftColumnBridge.expression(str), k))
+
   /** |A ∩ B| over two SORTED-DISTINCT array<long> columns. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftColumnBridge.column(SortedIntersectCount(
@@ -317,8 +323,7 @@ case class SortedIntersectCount(left: Expression, right: Expression)
  * dominate shingling cost as interpreted higher-order functions.
  */
 case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, "shingle width must be >= 1")
 
@@ -342,8 +347,48 @@ case class ShingleHashes(child: Expression, n: Int)
         else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
       i += 1
     }
+    new GenericArrayData(ShingleHashes.chainSortDedup(th, n))
+  }
+
+  // was CodegenFallback (r14): the per-row fallback evaluates through
+  // an InternalRow + boxed GenericArrayData on the hot path of every
+  // shingle-based dedup operator — this is the same loop emitted as
+  // straight-line Java inside whole-stage codegen
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val m = ctx.freshName("m"); val th = ctx.freshName("th")
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val helper = ShingleHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |int $m = $in.numElements();
+         |if ($m < $n) {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(new long[0]);
+         |} else {
+         |  long[] $th = new long[$m];
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $in.getUTF8String($i);
+         |    $th[$i] = ($s == null) ? 42L
+         |      : $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+         |    $helper.chainSortDedup($th, $n));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ShingleHashes {
+  /** Chain n consecutive element hashes per gram (same mixing as
+    * xxhash64(col1..coln)), then sort + dedup — the shared tail of the
+    * word and char shingle kernels. Called from generated code. */
+  def chainSortDedup(th: Array[Long], n: Int): Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val m = th.length
     val hs = new Array[Long](m - n + 1)
-    i = 0
+    var i = 0
     while (i <= m - n) {
       var h = 42L; var k = 0
       while (k < n) { h = XXH64.hashLong(th(i + k), h); k += 1 }
@@ -355,8 +400,70 @@ case class ShingleHashes(child: Expression, n: Int)
       if (hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
       i += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+    if (w == hs.length) hs else java.util.Arrays.copyOf(hs, w)
   }
+
+  /** Per-code-point hashes of a string — each code point's hash is
+    * XXH64 over its UTF-8 bytes, exactly what hashing the 1-char
+    * tokens of `split(s, "")` produces (Java's empty-pattern split
+    * cuts between code points, keeping surrogate pairs whole, and a
+    * UTF8String slice of one code point is its UTF-8 byte run).
+    * Called from generated code. */
+  def codePointHashes(s: org.apache.spark.unsafe.types.UTF8String): Array[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val base = s.getBaseObject; val off = s.getBaseOffset; val nb = s.numBytes
+    val th = new Array[Long](nb)
+    var m = 0; var i = 0
+    while (i < nb) {
+      val l0 = org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + i))
+      val l = if (i + l0 > nb) nb - i else l0
+      th(m) = XXH64.hashUnsafeBytes(base, off + i, l, 42L)
+      m += 1; i += l
+    }
+    if (m == nb) th else java.util.Arrays.copyOf(th, m)
+  }
+}
+
+/**
+ * Sorted-distinct char k-gram shingle hashes DIRECTLY over the string —
+ * value-identical to `ShingleHashes(split(s, ""), k)` (law-pinned) but
+ * with no regex split, no array of one-char UTF8Strings, and no
+ * CodegenFallback: the empty-pattern split materialized one string
+ * object per code point and dominated char-shingling cost (r14,
+ * guide §4 — prefer tight codegen'd loops in scan-side kernels).
+ * k >= 2 so the two forms agree on the empty string (split("") yields
+ * [""], one sub-k token either way).
+ */
+case class CharShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 2, "char shingle width must be >= 2")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_char_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val th = ShingleHashes.codePointHashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    if (th.length < k) new GenericArrayData(Array.emptyLongArray)
+    else new GenericArrayData(ShingleHashes.chainSortDedup(th, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val th = ctx.freshName("th")
+      val helper = ShingleHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |long[] $th = $helper.codePointHashes($in);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+         |  ($th.length < $k) ? new long[0] : $helper.chainSortDedup($th, $k));
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

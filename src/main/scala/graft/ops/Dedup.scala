@@ -291,11 +291,12 @@ object Dedup {
   def shingleHashes(text: Column, n: Int): Column =
     native.shingleHashes(TextAnalysis.tokens(text), n)
 
-  /** Character k-gram shingle hashes: the normalized text split into
-    * 1-char tokens fed through the same native chained-hash kernel
-    * (a k-chain of char hashes ≡ a char k-gram hash). */
+  /** Character k-gram shingle hashes over the normalized text — the
+    * native direct-over-string kernel (a k-chain of per-code-point
+    * hashes ≡ a char k-gram hash; value-identical to the former
+    * split-into-1-char-tokens form, law-pinned in OpsSpec). */
   def charShingleHashes(text: Column, k: Int): Column =
-    native.shingleHashes(split(normText(text), ""), k)
+    native.charShingleHashes(normText(text), k)
 
   /** Character k-gram shingles (for short/no-whitespace text). */
   def charShingles(text: Column, k: Int): Column = {

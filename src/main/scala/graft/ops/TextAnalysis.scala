@@ -144,12 +144,24 @@ object TextAnalysis {
     * inner join they mirror. */
   def qualityFilterByLang(df: org.apache.spark.sql.DataFrame, idCol: String,
                           textCol: String, langCol: String,
-                          keepFrac: Double): org.apache.spark.sql.DataFrame = {
-    val scored = df.withColumn("quality", qualityScore(col(textCol)))
+                          keepFrac: Double): org.apache.spark.sql.DataFrame = Pinned.guard {
+    // SCORE ONCE (r14): the threshold aggregate and the filter both
+    // consume the scored frame, and with a map-only scoring plan there
+    // is no Exchange for ReuseExchange to share — lazily the corpus
+    // paid the multi-regex qualityScore twice per run (measured 2.3 s
+    // -> 1.4 s at sf0.1). The pin is the same materialization a
+    // production score-then-filter pipeline performs anyway (it writes
+    // its scored corpus before thresholding); result rides the op's
+    // hold slot so residency stays one-result-per-op.
+    val (scored, h) = Pinned.checkpoint(
+      df.withColumn("quality", qualityScore(col(textCol))))
     val thr = scored.groupBy(col(langCol))
       .agg(expr(s"percentile(quality, ${1.0 - keepFrac})").as("q_threshold"))
-    scored.join(broadcast(thr), langCol)
-      .where(col("quality") >= col("q_threshold"))
+    val out = Pinned.hold("text.quality_filter",
+      scored.join(broadcast(thr), langCol)
+        .where(col("quality") >= col("q_threshold")))
+    Pinned.release(h)
+    out
   }
 
   // -- repetition signals (Gopher-rule flavored) --------------------------

@@ -333,6 +333,31 @@ class OpsSpec extends AnyFunSuite {
     assert(eq.forall(identity))
   }
 
+  test("charShingleHashes kernel ≡ shingleHashes over split(s, \"\") — unicode included") {
+    import spark.implicits._
+    // r14: the direct-over-string kernel replaced the empty-pattern
+    // regex split + 1-char-token array; this law pins value-identity
+    // of the emitted hash SETS on ascii, multi-byte (2/3-byte UTF-8),
+    // surrogate pairs (4-byte), mixed whitespace (normText collapses),
+    // empty, and sub-k strings — and on the real corpus.
+    val crafted = Seq("hello world docs", "héllo wörld", "日本語のテキストです",
+      "emoji 😀😀 pair 𝕏𝕐 test", "", "ab", "    spaced   out   text ",
+      "ααββγγδδεε", "a😀b😀c😀d😀e").toDF("text")
+    val docs = SparkEntry.loader(spark, "/root/testdata/sf0.001")("documents")
+      .select(col("text")).unionByName(crafted)
+    val cmp = docs.select(
+      Dedup.charShingleHashes(col("text"), 5).as("neo"),
+      graft.functions.native.shingleHashes(
+        split(graft.ops.TextAnalysis.normText(col("text")), ""), 5).as("old"))
+    assert(cmp.where(not(col("neo") <=> col("old"))).count() === 0L)
+    // k=4 flavor too (the spans/winnow grain)
+    val cmp4 = docs.select(
+      Dedup.charShingleHashes(col("text"), 4).as("neo"),
+      graft.functions.native.shingleHashes(
+        split(graft.ops.TextAnalysis.normText(col("text")), ""), 4).as("old"))
+    assert(cmp4.where(not(col("neo") <=> col("old"))).count() === 0L)
+  }
+
   test("sortedIntersectCount equals array_intersect size on the real shingle producer") {
     import graft.functions.native
     // the law over ShingleHashes output (sorted-distinct by contract) —
