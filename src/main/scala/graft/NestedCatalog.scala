@@ -695,7 +695,16 @@ object NestedCatalog {
       val orders = SparkEntry.loader(s, dir)("orders")
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
         .where(col("o_orderkey") <= 2000)
-      store.insert(orders.repartition(32))
+      // the fixture WANTS a fragmented v1 (optimize's whole subject):
+      // disable the r14 size-adaptive snapshot layout for this insert,
+      // which would otherwise coalesce the 32 planted fragments away
+      val prevTarget = s.conf.getOption("spark.graft.snapshotTargetFileBytes")
+      s.conf.set("spark.graft.snapshotTargetFileBytes", "0")
+      try store.insert(orders.repartition(32))
+      finally prevTarget match {
+        case Some(v) => s.conf.set("spark.graft.snapshotTargetFileBytes", v)
+        case None => s.conf.unset("spark.graft.snapshotTargetFileBytes")
+      }
       val (before, after) = store.optimize(64L << 20, order = Seq("o_orderkey"))
       require(after < before, s"optimize did not shrink: $before -> $after")
       require(store.versions == Seq(1, 2), s"versions: ${store.versions}")

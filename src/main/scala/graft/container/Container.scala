@@ -236,8 +236,11 @@ class FactStore(val spark: SparkSession, val name: String, dir: Path) extends Co
     // re-layout for stores grown incrementally.
     val target = spark.conf.get("spark.graft.snapshotTargetFileBytes",
       (128L << 20).toString).toLong
-    df.coalesce(graft.ops.Layout.sizedWritePartitions(df, target))
-      .write.mode("overwrite").parquet(dir.resolve(s"v$next").toString)
+    // target <= 0 disables sizing and keeps the frame's own layout —
+    // for callers that fragment DELIBERATELY (the optimize() fixture)
+    val sized = if (target <= 0) df
+      else df.coalesce(graft.ops.Layout.sizedWritePartitions(df, target))
+    sized.write.mode("overwrite").parquet(dir.resolve(s"v$next").toString)
     val tmp = dir.resolve("_CURRENT.tmp")
     Files.writeString(tmp, next.toString)
     Files.move(tmp, marker, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
