@@ -12,8 +12,21 @@ import graft.jx.{JxQuery, QueryRunner}
   */
 object SparkEntry {
 
-  def loader(spark: SparkSession, dir: String): String => DataFrame = name =>
-    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+  /** Static per-(dir, table) schema cache (r14): parquet schema
+    * INFERENCE costs ~85 ms per read (footer job) vs ~7 ms with an
+    * explicit schema, and the catalog's entries pay it one-to-three
+    * times per invocation — tens of seconds across a bench pass for
+    * metadata that never changes within a run. Data is still read
+    * fresh on every invocation; this caches only the StructType, the
+    * same thing a production job's catalog/metastore provides. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.types.StructType]()
+
+  def loader(spark: SparkSession, dir: String): String => DataFrame = name => {
+    val sch = schemaCache.computeIfAbsent((dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet").schema)
+    normalizeTs(spark.read.schema(sch).parquet(s"$dir/$name.parquet"))
+  }
 
   /** Parquet TIMESTAMP(NANOS) is read as Long (spark.sql.legacy.parquet.
     * nanosAsLong=true — Spark has no native nanos type); convert to a
