@@ -218,7 +218,15 @@ object Extract {
             lit(cfg.revision).as("revision"),
             (unix_timestamp() * lit(1.0)).as("timestamp")).as("etl"),
           col("__dur").as("batch_t"), col("__batch").as("batch_i"))
-        docs.write.mode("overwrite")
+        // hash-distribute by the batch key before the partitioned write
+        // (r14, guide §6): without it every assembly task cuts an
+        // object into every batch key it touches — the reference
+        // contract is ONE object per batch key (extract.py:208-242),
+        // and the fragmented layout also multiplied the read-back and
+        // notification-side opens. One shuffle of the batch, exactly
+        // the Iceberg write.distribution-mode=hash shape.
+        docs.repartition(col("batch_t"), col("batch_i"))
+          .write.mode("overwrite")
           .partitionBy("batch_t", "batch_i")
           .option("partitionOverwriteMode", "dynamic")
           .option("compression", "gzip")

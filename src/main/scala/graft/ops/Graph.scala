@@ -140,8 +140,11 @@ object Graph {
         .agg(min_by(col("lbl"),
           struct((-col("__c")).as("__negc"), col("lbl"))).as("__new"))
         .select(col("dst").as("id"), col("__new"))
+      // next is vertex-bounded (one argmax row per dst) — broadcast it
+      // onto the label table so the step join never shuffles (r14);
+      // same outgrow caveat as the labels broadcast above
       val (stepped, steppedH) = Pinned.checkpoint(
-        labels.join(next, Seq("id"), "left")
+        labels.join(broadcast(next), Seq("id"), "left")
           .select(col("id"), coalesce(col("__new"), col("lbl")).as("lbl")))
       Pinned.release(labelsH)
       labels = stepped; labelsH = steppedH
