@@ -1638,7 +1638,11 @@ class OpsSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft_opt")
     val store = new graft.container.FactStore(spark, "opt_spec", tmp)
     val data = spark.range(0, 500).selectExpr("id", "id * 2 AS v")
-    store.insert(data.repartition(16))
+    // the fixture WANTS 16 planted fragments (optimize's subject) —
+    // disable the r14 size-adaptive snapshot layout for this insert
+    spark.conf.set("spark.graft.snapshotTargetFileBytes", "0")
+    try store.insert(data.repartition(16))
+    finally spark.conf.unset("spark.graft.snapshotTargetFileBytes")
     val before = store.dataFrame.orderBy("id").collect()
     val (f0, f1) = store.optimize(1L << 30, order = Seq("id"))
     assert(f0 === 16L && f1 === 1L)

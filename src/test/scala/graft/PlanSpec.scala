@@ -171,10 +171,28 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("quality filter: threshold table broadcasts, no per-lang window") {
+    // r14: the op scores ONCE into a pin and holds its result, so the
+    // ENTRY plan is checkpoint-truncated (the materialized-result
+    // contract, same as k-core's final plan) — the broadcast/no-window
+    // contract is asserted on the op-internal dataflow it executes.
     val p = plan("q_text_quality_filter")
-    assert(p.contains("BroadcastHashJoin"),
-      s"per-lang thresholds should broadcast back onto the scan:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"score-once result should be a materialized checkpoint:\n$p")
     assert(!p.contains("Window"), s"quality gate must not use a lang window:\n$p")
+    import org.apache.spark.sql.functions.{broadcast, col, expr}
+    val docs = SparkEntry.loader(spark, dir)("documents")
+    val (scored, h) = graft.ops.Pinned.checkpoint(
+      docs.withColumn("quality", graft.ops.TextAnalysis.qualityScore(col("text"))))
+    try {
+      val thr = scored.groupBy(col("lang"))
+        .agg(expr("percentile(quality, 0.5)").as("q_threshold"))
+      val joined = scored.join(broadcast(thr), "lang")
+        .where(col("quality") >= col("q_threshold"))
+      val ip = joined.queryExecution.executedPlan.toString
+      assert(ip.contains("BroadcastHashJoin"),
+        s"per-lang thresholds should broadcast back onto the pin:\n$ip")
+      assert(!ip.contains("Window"), s"quality gate must not use a lang window:\n$ip")
+    } finally graft.ops.Pinned.release(h)
   }
 
   test("asof join: window shuffle on the key, no range/theta join") {
